@@ -1,0 +1,630 @@
+package graft.compile
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.domain.AttributeSource
+import graft.model._
+import graft.model.ValueKind._
+
+/** A compiled relation: a DataFrame in Z-set (weighted multiset) form.
+  *
+  * Invariant: `df.columns == vars.indices.map(i => s"c$i") :+ "_w"`. The
+  * `_w` column is the differential-dataflow diff (`isize` multiplicity) made
+  * explicit as data: joins multiply it, negation flips it, distinct
+  * normalizes it to 1, consolidation sums it. This keeps every operator a
+  * plain Catalyst-optimizable DataFrame transform while staying faithful to
+  * the reference's Z-set semantics (`src/lib.rs:243`).
+  *
+  * `isPathArray` marks pull results whose tuples have heterogeneous arity
+  * and are therefore packed into a single `array<variant>` column.
+  */
+final case class Rel(
+    vars: Seq[Int],
+    kinds: Seq[ValueKind],
+    df: DataFrame,
+    isPathArray: Boolean = false,
+    unit: Boolean = false) {
+
+  def idx(v: Int): Int = {
+    val i = vars.indexOf(v)
+    require(i >= 0, s"variable $v not bound by relation over $vars")
+    i
+  }
+  def colOf(v: Int): Column = col(Rel.c(idx(v)))
+  def kindOf(v: Int): ValueKind = kinds(idx(v))
+}
+
+object Rel {
+  val W = "_w"
+  def c(i: Int): String = s"c$i"
+  def names(n: Int): Seq[String] = (0 until n).map(c) :+ W
+}
+
+/** Compiles the `Plan` algebra to DataFrames — the analog of the reference's
+  * `implement` (`src/lib.rs:933-1023`). Batch-first: every operator is a
+  * declarative DataFrame transform, so Catalyst gets predicate pushdown,
+  * column pruning and join planning for free; recursion (`NameExpr`
+  * self-reference) runs as a driver-side fixpoint loop (see `compileRule`).
+  */
+class Compiler(
+    source: AttributeSource,
+    rules: Map[String, Rule] = Map.empty,
+    maxIterations: Int = 10000) {
+
+  import Rel.{c, W}
+  import graft.model.{Plan => P}
+
+  private val memo = mutable.Map.empty[String, Rel]
+
+  /** Compile and consolidate a plan (multiset canonicalization, as the
+    * reference applies to every rule result — `src/lib.rs:1012-1016`). */
+  def run(plan: Plan): Rel = {
+    val rel = compile(plan, Map.empty)
+      .getOrElse(sys.error("plan compiled to the empty relation"))
+    rel.copy(df = consolidate(rel.df))
+  }
+
+  /** Compile a named rule, solving recursive references via a semi-naive-
+    * style driver fixpoint (the Spark analog of the reference's iterative
+    * scope with per-rule `Variable`s, `src/lib.rs:943-1022`). */
+  def compileRule(name: String): Rel = {
+    val reach = reachable(name)
+    val recursive = reach.filter(r => reachable(r).contains(r))
+    if (recursive.isEmpty) {
+      memo.getOrElseUpdate(name,
+        compile(rules(name).plan, Map.empty)
+          .getOrElse(sys.error(s"rule $name compiled to the empty relation")))
+    } else {
+      fixpoint(reach, name)
+    }
+  }
+
+  /** Rules transitively reachable from `name`'s plan. */
+  private def reachable(name: String): Set[String] = {
+    val seen = mutable.Set.empty[String]
+    def go(n: String): Unit = rules.get(n).foreach { r =>
+      val (_, rs) = P.dependencies(r.plan)
+      rs.foreach { dep => if (seen.add(dep)) go(dep) }
+    }
+    go(name)
+    seen.toSet
+  }
+
+  /** Naive fixpoint iteration with set semantics inside the loop (the
+    * reference closes recursion variables under `distinct`/`consolidate`,
+    * `src/lib.rs:999-1019`). Counts are monotone under distinct, so count
+    * stability across one full round is a fixed point for stratified plans.
+    */
+  private def fixpoint(ruleNames: Set[String], target: String): Rel = {
+    val ordered = ruleNames.toSeq.sorted
+    var env: Map[String, Option[Rel]] = ordered.map(_ -> (None: Option[Rel])).toMap
+    var counts: Map[String, Long] = ordered.map(_ -> -1L).toMap
+    var iter = 0
+    var stable = false
+    while (!stable && iter < maxIterations) {
+      iter += 1
+      val newEnv = ordered.map { r =>
+        val rel = compile(rules(r).plan, env).map { rel =>
+          val dd = distinctify(rel.df).localCheckpoint(true)
+          rel.copy(df = dd)
+        }
+        r -> rel
+      }.toMap
+      val newCounts = ordered.map { r =>
+        r -> newEnv(r).map(_.df.count()).getOrElse(0L)
+      }.toMap
+      stable = newCounts == counts
+      env = newEnv
+      counts = newCounts
+    }
+    env(target).getOrElse(sys.error(s"recursive rule $target has no base case"))
+  }
+
+  /** Core lowering. `env` carries in-progress recursive rule bodies; `None`
+    * marks a not-yet-populated recursion variable (empty relation), which
+    * propagates bottom-up except through Union (which just drops the
+    * branch). */
+  def compile(plan: Plan, env: Map[String, Option[Rel]]): Option[Rel] = plan match {
+
+    case P.MatchA(e, a, v) =>
+      val base = source.collection(a)
+      if (e == v) {
+        Some(Rel(Seq(e), Seq(KEid),
+          base.where(col("e") === col("v")).select(col("e").as(c(0)), col(W)),
+          unit = source.unit(a)))
+      } else {
+        Some(Rel(Seq(e, v), Seq(KEid, source.kind(a)),
+          base.select(col("e").as(c(0)), col("v").as(c(1)), col(W)),
+          unit = source.unit(a)))
+      }
+
+    case P.MatchEA(eid, a, v) =>
+      Some(Rel(Seq(v), Seq(source.kind(a)),
+        source.collection(a).where(col("e") === lit(eid))
+          .select(col("v").as(c(0)), col(W)),
+        unit = source.unit(a)))
+
+    case P.MatchAV(e, a, value) =>
+      Some(Rel(Seq(e), Seq(KEid),
+        source.collection(a).where(col("v") === Value.asLiteral(value))
+          .select(col("e").as(c(0)), col(W)),
+        unit = source.unit(a)))
+
+    case P.Project(vs, p) =>
+      compile(p, env).map(projectTo(_, vs))
+
+    case P.Join(vs, l, r) =>
+      for { lr <- compile(l, env); rr <- compile(r, env) } yield join(vs, lr, rr)
+
+    case P.Antijoin(vs, l, r) =>
+      for { lr <- compile(l, env); rr <- compile(r, env) } yield antijoin(vs, lr, rr)
+
+    case P.Negate(p) =>
+      compile(p, env).map(rel =>
+        rel.copy(df = rel.df.withColumn(W, -col(W)), unit = false))
+
+    case P.Union(vs, ps) =>
+      val rels = ps.flatMap(compile(_, env))
+      if (rels.isEmpty) None
+      else {
+        val projected = rels.map(projectTo(_, vs))
+        val all = projected.map(_.df).reduce(_ unionAll _)
+        // `concat.distinct()` — src/plan/union.rs:73-77 (set semantics).
+        Some(Rel(vs, projected.head.kinds, distinctify(all), unit = true))
+      }
+
+    case P.Filter(fvars, pred, p, consts) =>
+      compile(p, env).map { rel =>
+        def cmp(a: Column, b: Column): Column = pred match {
+          case Predicate.LT  => a < b
+          case Predicate.GT  => a > b
+          case Predicate.LTE => a <= b
+          case Predicate.GTE => a >= b
+          case Predicate.EQ  => a === b
+          case Predicate.NEQ => a =!= b
+        }
+        // constants(0) = constant LEFT operand, constants(1) = constant
+        // RIGHT operand — src/plan/filter.rs:111-130.
+        val cond = consts.lift(0).flatten match {
+          case Some(k) => cmp(Value.asLiteral(k), rel.colOf(fvars(0)))
+          case None => consts.lift(1).flatten match {
+            case Some(k) => cmp(rel.colOf(fvars(0)), Value.asLiteral(k))
+            case None    => cmp(rel.colOf(fvars(0)), rel.colOf(fvars(1)))
+          }
+        }
+        rel.copy(df = rel.df.where(cond))
+      }
+
+    case P.Transform(tvars, resultVar, p, fn, consts) =>
+      compile(p, env).map(transform(_, tvars, resultVar, fn, consts))
+
+    case P.Aggregate(vs, p, fns, keyVars, aggVars, withVars) =>
+      compile(p, env).map(aggregate(_, vs, fns, keyVars, aggVars, withVars))
+
+    case P.NameExpr(vs, name) =>
+      val base: Option[Rel] =
+        if (env.contains(name)) env(name)
+        else if (rules.contains(name)) Some(memo.getOrElse(name, compileRule(name)))
+        else source.relation(name) match {
+          case Some((df, kinds)) =>
+            val renamed = df.toDF(df.columns.indices.map(c): _*)
+              .withColumn(W, lit(1L))
+            Some(Rel(vs, kinds, renamed, unit = true))
+          case None => sys.error(s"$name is neither a rule nor a base relation")
+        }
+      base.map { rel =>
+        require(rel.vars.length == vs.length,
+          s"NameExpr($vs, $name): arity mismatch with ${rel.vars}")
+        rel.copy(vars = vs)
+      }
+
+    case P.Hector(vs, bindings) => hector(vs, bindings, env)
+
+    case P.PullLevel(_, p, pullVar, pullAttrs, pathAttrs, cardMany) =>
+      compile(p, env).map(pullLevel(_, pullVar, pullAttrs, pathAttrs, cardMany))
+
+    case P.Pull(_, paths) =>
+      val rels = paths.flatMap(compile(_, env))
+      if (rels.isEmpty) None
+      else {
+        // Paths may have heterogeneous arity (src/plan/pull.rs:239-284), so
+        // pack each tuple into one array<variant> column before the union.
+        val dfs = rels.map { rel =>
+          val cols = rel.vars.indices.map { i =>
+            val cc = col(c(i))
+            if (rel.kinds(i) == KVariant) cc else Variant.encode(cc, rel.kinds(i))
+          }
+          rel.df.select(array(cols: _*).as(c(0)), col(W))
+        }
+        Some(Rel(Seq(-1), Seq(KVariant), dfs.reduce(_ unionAll _), isPathArray = true))
+      }
+
+    case P.PullAll(_, pullAttrs) =>
+      // [e a v] for every attribute — src/plan/pull.rs:288-358.
+      val dfs = pullAttrs.map { a =>
+        source.collection(a).select(
+          col("e").as(c(0)),
+          lit(a).as(c(1)),
+          Variant.encode(col("v"), source.kind(a)).as(c(2)),
+          col(W))
+      }
+      Some(Rel(Seq(-1, -2, -3), Seq(KEid, KAid, KVariant), dfs.reduce(_ unionAll _)))
+  }
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Multiset canonicalization (differential `consolidate()`). */
+  def consolidate(df: DataFrame): DataFrame = {
+    val cols = df.columns.filter(_ != W).map(col)
+    df.groupBy(cols: _*).agg(sum(col(W)).as(W)).where(col(W) =!= 0L)
+  }
+
+  /** Z-set distinct: rows with positive accumulated weight, at weight 1. */
+  def distinctify(df: DataFrame): DataFrame = {
+    val cols = df.columns.filter(_ != W).map(col)
+    df.groupBy(cols: _*).agg(sum(col(W)).as(W))
+      .where(col(W) > 0L).withColumn(W, lit(1L))
+  }
+
+  private def dedupFirst(vars: Seq[Int]): Seq[Int] = vars.distinct
+
+  /** Reorder/drop columns; weights ride along (multiset projection). */
+  def projectTo(rel: Rel, vars: Seq[Int]): Rel = {
+    val cols = vars.zipWithIndex.map { case (v, i) => rel.colOf(v).as(c(i)) } :+ col(W)
+    Rel(vars, vars.map(rel.kindOf), rel.df.select(cols: _*), unit = rel.unit)
+  }
+
+  /** Binary equijoin on `target`; output = key ++ leftRest ++ rightRest
+    * (`src/plan/join.rs:119-180`). Weights multiply. */
+  def join(target: Seq[Int], l: Rel, r: Rel): Rel = {
+    val lRest = dedupFirst(l.vars).filterNot(target.contains)
+    val rRest = dedupFirst(r.vars).filterNot(target.contains)
+    val outVars = target ++ lRest ++ rRest
+
+    val ldf = l.df.toDF(l.vars.indices.map(i => s"l$i") :+ "_wl": _*)
+    val rdf = r.df.toDF(r.vars.indices.map(i => s"r$i") :+ "_wr": _*)
+    val cond = target.map(v => col(s"l${l.idx(v)}") === col(s"r${r.idx(v)}"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val joined = ldf.join(rdf, cond)
+
+    val sel =
+      target.zipWithIndex.map { case (v, i) => col(s"l${l.idx(v)}").as(c(i)) } ++
+        lRest.zipWithIndex.map { case (v, i) => col(s"l${l.idx(v)}").as(c(target.length + i)) } ++
+        rRest.zipWithIndex.map { case (v, i) =>
+          col(s"r${r.idx(v)}").as(c(target.length + lRest.length + i))
+        } :+ (col("_wl") * col("_wr")).as(W)
+
+    val kinds = target.map(l.kindOf) ++ lRest.map(l.kindOf) ++ rRest.map(r.kindOf)
+    Rel(outVars, kinds, joined.select(sel: _*), unit = l.unit && r.unit)
+  }
+
+  /** Left tuples whose key has no match in right; both sides distinct-ed
+    * (`src/plan/antijoin.rs:95-98`). Output = key ++ leftRest. */
+  def antijoin(target: Seq[Int], l: Rel, r: Rel): Rel = {
+    val lRest = dedupFirst(l.vars).filterNot(target.contains)
+    val outVars = target ++ lRest
+    val leftD = distinctify(projectTo(l, outVars).df)
+    val rightK = distinctify(projectTo(r, target).df).drop(W)
+    val result = leftD.join(rightK, target.indices.map(c), "left_anti")
+    Rel(outVars, outVars.map(l.kindOf), result, unit = true)
+  }
+
+  /** TRUNCATE / ADD / SUBTRACT — `src/plan/transform.rs:86-192`. */
+  private def transform(
+      rel: Rel, tvars: Seq[Int], resultVar: Int, fn: Fn,
+      consts: Seq[Option[Value]]): Rel = {
+    val operands = tvars.map(rel.colOf)
+    val constNums: Seq[Long] = consts.flatten.collect { case Value.VNumber(n) => n }
+    val (newCol, kind) = fn match {
+      case Fn.TRUNCATE =>
+        val interval = consts.lift(1).flatten match {
+          case Some(Value.VString(s)) => s
+          case None                   => ":hour"
+          case other                  => sys.error(s"TRUNCATE interval must be a string, got $other")
+        }
+        val modVal = interval match {
+          case ":minute" => 60000L
+          case ":hour"   => 3600000L
+          case ":day"    => 86400000L
+          case ":week"   => 604800000L
+          case other     => sys.error(s"unknown TRUNCATE interval $other")
+        }
+        val t = operands.head
+        (t - (t % lit(modVal)), KInstant)
+      case Fn.ADD =>
+        val all = operands ++ constNums.map(lit(_))
+        (all.reduce(_ + _), KNumber)
+      case Fn.SUBTRACT =>
+        // result = minuend - sum(other operands); minuend is constants(0)
+        // if present, else the first variable — src/plan/transform.rs:146-192.
+        consts.lift(0).flatten match {
+          case Some(Value.VNumber(minuend)) =>
+            val rest = operands ++ constNums.filterNot(_ == minuend).map(lit(_))
+            (rest.foldLeft(lit(minuend): Column)(_ - _), KNumber)
+          case _ =>
+            val rest = operands.tail ++ constNums.map(lit(_))
+            (rest.foldLeft(operands.head)(_ - _), KNumber)
+        }
+    }
+    val n = rel.vars.length
+    val df = rel.df.select(
+      (rel.vars.indices.map(i => col(c(i))) :+ newCol.as(c(n)) :+ col(W)): _*)
+    Rel(rel.vars :+ resultVar, rel.kinds :+ kind, df, unit = rel.unit)
+  }
+
+  /** Normalize a rational to gcd-reduced form with positive denominator.
+    * Off the hot path: only AVG/VARIANCE parity queries use it. */
+  private val rationalizeUdf = udf { (num: Long, den: Long) =>
+    val sign = if (den < 0) -1L else 1L
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val g = gcd(math.abs(num), math.abs(den))
+    val gg = if (g == 0) 1L else g
+    (sign * num / gg, sign * den / gg)
+  }
+
+  private def rationalCol(num: Column, den: Column): Column =
+    rationalizeUdf(num, den).cast("struct<num:bigint,den:bigint>")
+
+  /** Grouped aggregation with the reference's multiset semantics
+    * (`src/plan/aggregate_neu.rs:45-285`):
+    *  - COUNT/SUM/AVG/VARIANCE are computed in the diff monoid (weighted);
+    *  - MIN/MAX/MEDIAN operate on the *distinct* set of (value ++ withs)
+    *    tuples per key, MEDIAN being the element at `len/2` of the sorted
+    *    distinct list (upper median), not an interpolated percentile;
+    *  - aggregate results are re-inserted at their original find-clause
+    *    positions (`output_offsets`, `aggregate_neu.rs:108-120`);
+    *  - `withVariables` ride along in the pre-aggregation tuple so equal
+    *    contributions from different provenance don't consolidate away.
+    */
+  private def aggregate(
+      rel: Rel, outVars: Seq[Int], fns: Seq[AggregationFn],
+      keyVars: Seq[Int], aggVars: Seq[Int], withVars: Seq[Int]): Rel = {
+    import AggregationFn._
+
+    val valueVars = dedupFirst(aggVars ++ withVars).filterNot(keyVars.contains)
+    val pre = projectTo(rel, keyVars ++ valueVars)
+    // Order statistics need the distinct Z-set support, which requires a
+    // consolidation shuffle — but only when weights can differ from 1.
+    // Unit-weight inputs (the bulk/static path) go straight to groupBy:
+    // one shuffle, map-side partial aggregation, exactly the plan you'd
+    // write by hand.
+    // Linear aggregates (COUNT/SUM/AVG/VARIANCE) are weight-arithmetic and
+    // never need it.
+    val needsOrderStats = fns.exists(f => f == MIN || f == MAX || f == MEDIAN)
+    val cons = if (needsOrderStats && !pre.unit) consolidate(pre.df) else pre.df
+
+    val keyCols = keyVars.indices.map(i => col(c(i)))
+    def vcol(v: Int): Column = col(c(pre.idx(v)))
+    val withCols = withVars.map(vcol)
+
+    val aggExprs: Seq[Column] = fns.zipWithIndex.map { case (f, i) =>
+      val v = vcol(aggVars(i))
+      val out = s"a$i"
+      f match {
+        case MIN => min(when(col(W) > 0, v)).as(out)
+        case MAX => max(when(col(W) > 0, v)).as(out)
+        case MEDIAN =>
+          // vals[len / 2] over the sorted *distinct* (value ++ withs) tuples
+          // — src/plan/aggregate_neu.rs:157-164 (differential reduce sees
+          // each distinct record once). collect_set gives the support set
+          // whether or not the input was consolidated.
+          val entry = struct((v.as("v") +: withCols.zipWithIndex.map {
+            case (wc, j) => wc.as(s"w$j")
+          }): _*)
+          val arr = sort_array(collect_set(when(col(W) > 0, entry)))
+          element_at(arr, (size(arr).cast("int") / 2).cast("int") + 1).getField("v").as(out)
+        case COUNT => sum(col(W)).as(out)
+        case SUM   => sum(v * col(W)).as(out)
+        case AVG   => rationalCol(sum(v * col(W)), sum(col(W))).as(out)
+        case VARIANCE =>
+          // (ssq/c) - (s/c)^2 computed exactly as a rational
+          // — src/plan/aggregate_neu.rs:231-239.
+          val ssq = sum(v * v * col(W))
+          val s = sum(v * col(W))
+          val cnt = sum(col(W))
+          rationalCol(ssq * cnt - s * s, cnt * cnt).as(out)
+      }
+    }
+
+    val grouped =
+      if (keyVars.nonEmpty) cons.groupBy(keyCols: _*).agg(aggExprs.head, aggExprs.tail: _*)
+      else {
+        // Global aggregation must produce nothing on empty input (the
+        // reference's reduce is per-key); group by a dummy key and drop it.
+        cons.groupBy(lit(0).as("_g")).agg(aggExprs.head, aggExprs.tail: _*).drop("_g")
+      }
+
+    // Re-insert aggregation results at their find-clause positions
+    // (output_offsets, src/plan/aggregate_neu.rs:108-120): the i-th
+    // aggregation consumes the first unconsumed occurrence of its variable.
+    val work = mutable.ArrayBuffer(outVars.map(Option(_)): _*)
+    val posToAgg = mutable.Map.empty[Int, Int]
+    for (i <- fns.indices) {
+      val pos = work.indexOf(Some(aggVars(i)))
+      require(pos >= 0, s"aggregation variable ${aggVars(i)} not in output $outVars")
+      work(pos) = None
+      posToAgg(pos) = i
+    }
+    val slots: Seq[Either[Int, Int]] = outVars.indices.map { j =>
+      posToAgg.get(j) match {
+        case Some(i) => Right(i)
+        case None    => Left(outVars(j))
+      }
+    }
+
+    def aggKind(i: Int): ValueKind = fns(i) match {
+      case COUNT | SUM        => KNumber
+      case AVG | VARIANCE     => KRational
+      case MIN | MAX | MEDIAN => pre.kindOf(aggVars(i))
+    }
+
+    val sel = slots.zipWithIndex.map {
+      case (Left(kv), j)  => col(c(keyVars.indexOf(kv))).as(c(j))
+      case (Right(i), j)  => col(s"a$i").as(c(j))
+    } :+ lit(1L).as(W)
+    val kinds = slots.map {
+      case Left(kv) => pre.kindOf(kv)
+      case Right(i) => aggKind(i)
+    }
+    Rel(outVars, kinds.toSeq, grouped.select(sel.toSeq: _*), unit = true)
+  }
+
+  /** N-way conjunction solver — same *results* as the reference's
+    * worst-case-optimal Hector (`src/plan/hector.rs`), produced with
+    * constant-pushed attribute scans + greedily ordered binary equijoins
+    * (Catalyst/AQE then picks physical strategies). The count/propose/
+    * validate machinery of the reference is an incremental-maintenance
+    * trick that batch recomputation doesn't need (SURVEY.md §2.4).
+    */
+  private def hector(
+      target: Seq[Int], bindings: Seq[Binding],
+      env: Map[String, Option[Rel]]): Option[Rel] = {
+    val attrBs = bindings.collect { case a: Binding.Attr => a }
+    val notBs = bindings.collect { case Binding.Not(a) => a }
+    val constOf: Map[Int, Value] =
+      bindings.collect { case Binding.Const(x, v) => x -> v }.toMap
+    val preds = bindings.collect { case p: Binding.BinaryPred => p }
+    require(attrBs.nonEmpty, "Hector requires at least one attribute binding")
+
+    def scan(a: Binding.Attr): Rel = {
+      var df = source.collection(a.a)
+      constOf.get(a.e).foreach(v => df = df.where(col("e") === Value.asLiteral(v)))
+      constOf.get(a.v).foreach(v => df = df.where(col("v") === Value.asLiteral(v)))
+      if (a.e == a.v)
+        Rel(Seq(a.e), Seq(KEid), df.where(col("e") === col("v"))
+          .select(col("e").as(c(0)), col(W)), unit = source.unit(a.a))
+      else
+        Rel(Seq(a.e, a.v), Seq(KEid, source.kind(a.a)),
+          df.select(col("e").as(c(0)), col("v").as(c(1)), col(W)),
+          unit = source.unit(a.a))
+    }
+
+    // Greedy binding order: most-constrained first (constants), then any
+    // binding sharing a variable with the bound prefix (plan_order's
+    // reachability constraint, src/plan/hector.rs:209-309).
+    def constrainedness(a: Binding.Attr): Int =
+      Seq(a.e, a.v).count(constOf.contains)
+    val orderedStart = attrBs.sortBy(a => -constrainedness(a)).head
+    var rel = scan(orderedStart)
+    var remaining = attrBs.filterNot(_ eq orderedStart)
+    val appliedPreds = mutable.Set.empty[Binding.BinaryPred]
+
+    def applyPreds(): Unit =
+      preds.filterNot(appliedPreds.contains).foreach { p =>
+        if (rel.vars.contains(p.x) && rel.vars.contains(p.y)) {
+          val cond = p.predicate match {
+            case Predicate.LT  => rel.colOf(p.x) < rel.colOf(p.y)
+            case Predicate.GT  => rel.colOf(p.x) > rel.colOf(p.y)
+            case Predicate.LTE => rel.colOf(p.x) <= rel.colOf(p.y)
+            case Predicate.GTE => rel.colOf(p.x) >= rel.colOf(p.y)
+            case Predicate.EQ  => rel.colOf(p.x) === rel.colOf(p.y)
+            case Predicate.NEQ => rel.colOf(p.x) =!= rel.colOf(p.y)
+          }
+          rel = rel.copy(df = rel.df.where(cond))
+          appliedPreds += p
+        }
+      }
+
+    applyPreds()
+    while (remaining.nonEmpty) {
+      val next = remaining
+        .find(a => rel.vars.contains(a.e) || rel.vars.contains(a.v))
+        .getOrElse(remaining.head) // disconnected => cross product
+      val shared = Seq(next.e, next.v).filter(rel.vars.contains).distinct
+      rel = join(shared, rel, scan(next))
+      remaining = remaining.filterNot(_ eq next)
+      applyPreds()
+    }
+
+    // Negation-as-antijoin (AntijoinBinding, src/plan/hector.rs:1494-1529).
+    notBs.foreach { nb =>
+      val notRel = scan(nb)
+      val sharedVars = notRel.vars.filter(rel.vars.contains)
+      require(sharedVars.nonEmpty, "Not binding shares no variable with prefix")
+      rel = rel.copy(df = rel.df.join(
+        distinctify(projectTo(notRel, sharedVars).df).drop(W)
+          .toDF(sharedVars.indices.map(i => s"n$i"): _*),
+        sharedVars.zipWithIndex.map { case (v, i) => rel.colOf(v) === col(s"n$i") }
+          .reduce(_ && _),
+        "left_anti"))
+    }
+
+    Some(projectTo(rel, target))
+  }
+
+  /** Single pull level — `src/plan/pull.rs:94-237`. */
+  private def pullLevel(
+      input: Rel, pullVar: Int, pullAttrs: Seq[String],
+      pathAttrs: Seq[String], cardMany: Boolean): Rel = {
+
+    // interleave(values, constants) — src/plan/pull.rs:53-79.
+    def interleave(
+        cols: Seq[(Column, ValueKind)], consts: Seq[String]): Seq[(Column, ValueKind)] =
+      if (cols.isEmpty || consts.isEmpty) cols
+      else {
+        val total = cols.size + consts.size
+        val out = mutable.ArrayBuffer.empty[(Column, ValueKind)]
+        var (nv, nc) = (0, 0)
+        (0 until total).foreach { i =>
+          if (i % 2 == 0) { out += cols(nv); nv += 1 }
+          else { out += ((lit(consts(nc)), KAid)); nc += 1 }
+        }
+        out.toSeq
+      }
+
+    val inputCols: Seq[(Column, ValueKind)] =
+      input.vars.indices.map(i => (col(c(i)), input.kinds(i)))
+
+    if (pullAttrs.isEmpty) {
+      if (pathAttrs.isEmpty) input
+      else {
+        val inter = interleave(inputCols, pathAttrs)
+        val df = input.df.select(
+          inter.zipWithIndex.map { case ((cc, _), i) => cc.as(c(i)) } :+ col(W): _*)
+        Rel(inter.indices.map(i => -(i + 1)), inter.map(_._2), df)
+      }
+    } else {
+      val eIdx = input.idx(pullVar)
+      val branches: Seq[DataFrame] = pullAttrs.map { a =>
+        val attrDf = source.collection(a)
+          .select(col("e").as("_pe"), col("v").as("_pv"), col(W).as("_pw"))
+        val joined = input.df.join(attrDf, col(c(eIdx)) === col("_pe"))
+        val path = interleave(inputCols, pathAttrs)
+        val base = if (pathAttrs.isEmpty || cardMany) path else path.dropRight(1)
+        val outCols = base ++ Seq(
+          (lit(a), KAid),
+          (Variant.encode(col("_pv"), source.kind(a)), KVariant))
+        joined.select(
+          outCols.zipWithIndex.map { case ((cc, _), i) => cc.as(c(i)) } :+
+            (col(W) * col("_pw")).as(W): _*)
+      }
+
+      val withDbId: Seq[DataFrame] =
+        if (pathAttrs.isEmpty || cardMany) branches
+        else {
+          // Synthetic db__id rows retain the child eid — src/plan/pull.rs:211-230.
+          val path = interleave(inputCols, pathAttrs)
+          val base = path.dropRight(1)
+          val eidCol = path.last
+          val outCols = base ++ Seq(
+            (lit("db__id"), KAid),
+            (Variant.encode(eidCol._1, eidCol._2), KVariant))
+          branches :+ input.df.select(
+            outCols.zipWithIndex.map { case ((cc, _), i) => cc.as(c(i)) } :+ col(W): _*)
+        }
+
+      val unioned = withDbId.reduce(_ unionAll _)
+      val arity = unioned.columns.length - 1
+      val pathKinds = {
+        val path = interleave(inputCols, pathAttrs)
+        val base = if (pathAttrs.isEmpty || cardMany) path else path.dropRight(1)
+        base.map(_._2) ++ Seq(KAid, KVariant)
+      }
+      Rel((0 until arity).map(i => -(i + 1)), pathKinds, unioned)
+    }
+  }
+}

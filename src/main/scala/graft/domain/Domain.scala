@@ -1,0 +1,167 @@
+package graft.domain
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model._
+
+/** What the compiler needs from attribute storage: a consolidated
+  * `(e, v, _w)` collection per attribute plus its value kind. */
+trait AttributeSource {
+  def collection(name: String): DataFrame
+
+  def kind(name: String): ValueKind
+
+  def has(name: String): Boolean
+
+  /** True when `collection` is guaranteed to carry weight 1 on every row
+    * (static bulk relations, Distinct/LWW semantics). Lets the compiler
+    * skip consolidation shuffles on the hot batch path. */
+  def unit(name: String): Boolean
+
+  /** N-ary base relation (the reference's `CollectionRelation` shape,
+    * `src/lib.rs:525-528`) addressable via `NameExpr`. Used for wide fact
+    * tables with no natural entity id, where EAV unpivoting would require
+    * synthesizing row ids — wrong at scale. Columns in declared order,
+    * weight implied 1. */
+  def relation(name: String): Option[(DataFrame, Seq[ValueKind])] = None
+}
+
+/** The attribute catalog — the Spark analog of the reference `Domain`
+  * (`src/domain/mod.rs:47-85`): per-attribute collections sharing one
+  * timestamp semantics, plus the named-rule catalog.
+  *
+  * Following ADR 0002 of the reference (column-oriented data model), each
+  * attribute is its own binary `(e, v)` relation. Two ingestion paths:
+  *
+  *  - `registerStatic`: a bulk parquet-backed relation, pre-consolidated
+  *    with weight 1 (the 100 TB path: scans stay pushdown/prune-friendly,
+  *    no per-datom bookkeeping);
+  *  - `transact`: driver-fed datoms with explicit times and diffs (the
+  *    reference-parity path, mirroring `Domain::transact`,
+  *    `src/domain/mod.rs:204-218`).
+  */
+class Domain(val spark: SparkSession) extends Serializable {
+
+  private case class AttrState(
+      config: AttributeConfig,
+      var kind: Option[ValueKind],
+      // transacted datoms: (e, v-native, t, diff, seq)
+      buffer: mutable.ArrayBuffer[(Long, Any, Long, Long, Long)],
+      staticDf: Option[DataFrame])
+
+  private val attrs = mutable.LinkedHashMap.empty[String, AttrState]
+  private val baseRelations =
+    mutable.LinkedHashMap.empty[String, (DataFrame, Seq[ValueKind])]
+  private val rulesCatalog = mutable.LinkedHashMap.empty[String, Rule]
+  private var seqCounter = 0L
+
+  /** Reference `CreateAttribute` (`src/server/mod.rs:143-149`). */
+  def createAttribute(name: String, config: AttributeConfig = AttributeConfig()): Unit = {
+    require(!attrs.contains(name), s"attribute $name already exists")
+    attrs(name) = AttrState(config, None, mutable.ArrayBuffer.empty, None)
+  }
+
+  /** Bulk path: register a pre-consolidated weight-1 attribute backed by an
+    * arbitrary (typically parquet-scanned) DataFrame with columns (e, v). */
+  def registerStatic(name: String, df: DataFrame, kind: ValueKind): Unit = {
+    attrs(name) = AttrState(AttributeConfig(), Some(kind), mutable.ArrayBuffer.empty, Some(df))
+  }
+
+  /** Register a static n-ary base relation (columns in positional order,
+    * weight-1 rows), addressable from plans via `NameExpr`. */
+  def registerBase(name: String, df: DataFrame, kinds: Seq[ValueKind]): Unit = {
+    require(df.columns.length == kinds.length, s"base relation $name: arity mismatch")
+    baseRelations(name) = (df, kinds)
+  }
+
+  /** Route datoms to their attribute buffers; datoms without an explicit
+    * time get `defaultT` (the current epoch). */
+  def transact(datoms: Seq[Datom], defaultT: Long): Unit = {
+    datoms.foreach { d =>
+      val st = attrs.getOrElse(d.a, {
+        createAttribute(d.a); attrs(d.a)
+      })
+      val k = ValueKind.of(d.v)
+      st.kind match {
+        case None           => st.kind = Some(k)
+        case Some(existing) => require(existing == k, s"attribute ${d.a}: kind $k != $existing")
+      }
+      seqCounter += 1
+      st.buffer += ((d.e, d.v.native, d.t.getOrElse(defaultT), d.diff, seqCounter))
+    }
+  }
+
+  /** Distinct datom times in [from, until) — the completed times an
+    * `advance` must emit output diffs for. */
+  def pendingTimes(from: Long, until: Long): Seq[Long] =
+    attrs.valuesIterator
+      .flatMap(_.buffer.iterator.map(_._3))
+      .filter(t => t >= from && t < until)
+      .toSeq.distinct.sorted
+
+  def attributeNames: Seq[String] = attrs.keys.toSeq
+
+  def registerRule(rule: Rule): Unit = rulesCatalog(rule.name) = rule
+  def rules: Map[String, Rule] = rulesCatalog.toMap
+
+  /** A view of this domain with all transacted datoms up to and including
+    * time `asOf` applied, exposing consolidated `(e, v, _w)` collections
+    * with the attribute's input semantics enforced
+    * (`InputSemantics::{Raw, Distinct, LastWriteWins}`, `src/lib.rs:342-357`).
+    */
+  def asOf(t: Long): AttributeSource = new AttributeSource {
+    def has(name: String): Boolean = attrs.contains(name)
+    def kind(name: String): ValueKind =
+      attrs.get(name).flatMap(_.kind).getOrElse(ValueKind.KString)
+
+    override def relation(name: String): Option[(DataFrame, Seq[ValueKind])] =
+      baseRelations.get(name)
+
+    def unit(name: String): Boolean = attrs.get(name) match {
+      case None     => false
+      case Some(st) => st.staticDf.isDefined ||
+        (st.config.inputSemantics != InputSemantics.Raw)
+    }
+
+    def collection(name: String): DataFrame = {
+      val st = attrs.getOrElse(name, sys.error(s"attribute $name does not exist"))
+      st.staticDf match {
+        case Some(df) => df.select(col("e"), col("v"), lit(1L).as("_w"))
+        case None =>
+          val k = st.kind.getOrElse(ValueKind.KString)
+          val schema = StructType(Seq(
+            StructField("e", LongType, false),
+            StructField("v", k.dataType, false),
+            StructField("t", LongType, false),
+            StructField("diff", LongType, false),
+            StructField("seq", LongType, false)))
+          val rows = st.buffer.filter(_._3 <= t).map {
+            case (e, v, tt, d, s) => Row(e, v, tt, d, s)
+          }
+          val raw = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+          st.config.inputSemantics match {
+            case InputSemantics.Raw =>
+              raw.groupBy(col("e"), col("v")).agg(sum(col("diff")).as("_w"))
+                .where(col("_w") =!= 0L)
+            case InputSemantics.Distinct =>
+              raw.groupBy(col("e"), col("v")).agg(sum(col("diff")).as("_w"))
+                .where(col("_w") > 0L).withColumn("_w", lit(1L))
+            case InputSemantics.LastWriteWins =>
+              // Latest write per entity wins (`src/operators/last_write_wins.rs`);
+              // ties on t broken by transaction order.
+              val w = Window.partitionBy(col("e")).orderBy(col("t").desc, col("seq").desc)
+              raw.where(col("diff") > 0L)
+                .withColumn("_rn", row_number().over(w))
+                .where(col("_rn") === 1)
+                .select(col("e"), col("v"), lit(1L).as("_w"))
+          }
+      }
+    }
+  }
+}

@@ -1,0 +1,138 @@
+package graft.engine
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import graft.compile.{Compiler, Rel}
+import graft.domain.Domain
+import graft.model._
+
+/** The embedded-engine API, mirroring the reference `Server`
+  * (`src/server/mod.rs:225-530`) test path (SURVEY.md §3.2):
+  * `createAttribute` → `register` → `interest` → `transact` → `advance`,
+  * with results delivered as exact `(tuple, time, diff)` multisets per
+  * completed time — including retractions — just like the reference's
+  * end-to-end suites assert.
+  *
+  * Batch IVM strategy: on each `advance`, recompute every interested rule at
+  * each newly completed input time and diff against the previous snapshot
+  * (semantically identical to differential's incremental output; SURVEY.md
+  * §4.2). Distributed evaluation, driver-side diffing — snapshots collected
+  * here are query *results*, which are small relative to inputs.
+  */
+class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
+
+  val domain = new Domain(spark)
+
+  private val interests = mutable.LinkedHashSet.empty[String]
+  private val prevSnapshots =
+    mutable.Map.empty[String, Map[Seq[Any], Long]].withDefaultValue(Map.empty)
+  private val outputs =
+    mutable.Map.empty[String, mutable.ArrayBuffer[(Seq[Any], Long, Long)]]
+  private var frontier: Long = 0L
+
+  def createAttribute(name: String, config: AttributeConfig = AttributeConfig()): Unit =
+    domain.createAttribute(name, config)
+
+  /** Store a rule in the catalog (nothing is built yet — registration is
+    * lazy, as in `src/server/mod.rs:324-338`). */
+  def register(rule: Rule): Unit = domain.registerRule(rule)
+
+  /** Express interest in a rule's results; diffs accumulate per `advance`
+    * and are fetched with `drain`. */
+  def interest(name: String): Unit = {
+    require(domain.rules.contains(name), s"unknown rule $name")
+    interests += name
+    outputs.getOrElseUpdate(name, mutable.ArrayBuffer.empty)
+  }
+
+  /** Datoms without an explicit time are stamped with the current epoch. */
+  def transact(datoms: Seq[Datom]): Unit = domain.transact(datoms, frontier)
+
+  /** Advance the logical clock to `next`: every input time in
+    * [frontier, next) is now complete; emit output diffs at each. */
+  def advance(next: Long): Unit = {
+    require(next > frontier, s"cannot rewind domain from $frontier to $next")
+    val times = domain.pendingTimes(0L, next).filter(_ >= earliestUnprocessed)
+    for (t <- times; name <- interests) {
+      val cur = snapshot(name, t)
+      val prev = prevSnapshots(name)
+      val buf = outputs(name)
+      (cur.keySet ++ prev.keySet).foreach { tuple =>
+        val d = cur.getOrElse(tuple, 0L) - prev.getOrElse(tuple, 0L)
+        if (d != 0L) buf += ((tuple, t, d))
+      }
+      prevSnapshots(name) = cur
+    }
+    processedThrough = times.lastOption.map(_ + 1).getOrElse(processedThrough)
+    frontier = next
+  }
+
+  private var processedThrough: Long = 0L
+  private def earliestUnprocessed: Long = processedThrough
+
+  /** Fetch and clear accumulated output diffs for a rule. */
+  def drain(name: String): Seq[(Seq[Any], Long, Long)] = {
+    val buf = outputs(name)
+    val out = buf.toSeq
+    buf.clear()
+    out
+  }
+
+  /** Current consolidated result of a rule as a DataFrame (columns c0..cn
+    * plus weight `_w`) — the non-diff query path. */
+  def resultFrame(name: String): DataFrame = {
+    val compiler = new Compiler(domain.asOf(Long.MaxValue), domain.rules)
+    val rel = compiler.compileRule(name)
+    canonicalize(compiler, rel).df
+  }
+
+  private def canonicalize(compiler: Compiler, rel: Rel): Rel =
+    if (setSemantics) rel.copy(df = compiler.distinctify(rel.df))
+    else rel.copy(df = compiler.consolidate(rel.df))
+
+  private def snapshot(name: String, t: Long): Map[Seq[Any], Long] = {
+    val compiler = new Compiler(domain.asOf(t), domain.rules)
+    val rel = canonicalize(compiler, compiler.compileRule(name))
+    val n = rel.df.columns.length - 1 // tuple width without _w
+    rel.df.collect().iterator.map { row =>
+      val tuple = (0 until n).map(i => Engine.deepNative(row.get(i)))
+      tuple -> row.getLong(n)
+    }.toMap
+  }
+}
+
+object Engine {
+
+  /** Canonical driver-side form of a collected cell: variant structs decode
+    * to their payload, rational structs to Seq(num, den), nested rows and
+    * arrays to Seq — so results compare cleanly against
+    * `Value(...).native` expectations. */
+  def deepNative(v: Any): Any = v match {
+    case r: Row if isVariant(r) => variantPayload(r)
+    case r: Row                 => r.toSeq.map(deepNative)
+    case s: scala.collection.Seq[_] => s.map(deepNative).toSeq
+    case a: Array[_]            => a.map(deepNative).toSeq
+    case other                  => other
+  }
+
+  private def isVariant(r: Row): Boolean =
+    r.length == 7 && r.schema != null &&
+      r.schema.fieldNames.sameElements(Variant.schema.fieldNames)
+
+  private def variantPayload(r: Row): Any = r.getInt(0) match {
+    case 0 | 1 | 7 => r.get(1) // aid / string / uuid
+    case 2         => r.get(3) // bool
+    case 3 | 5 | 6 => r.get(2) // number / eid / instant
+    case 4         => Seq(r.get(5), r.get(6)) // rational
+    case 8         => r.get(4) // real
+    case other     => sys.error(s"unknown variant tag $other")
+  }
+
+  /** Expected-side canonical form of a `Value`, matching `deepNative`. */
+  def expectedNative(v: Value): Any = v match {
+    case Value.VRational(n, d) => Seq(n, d)
+    case other                 => other.native
+  }
+}

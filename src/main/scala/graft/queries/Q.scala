@@ -1,0 +1,30 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.compile.{Compiler, Rel}
+import graft.model.Plan
+import graft.sources.TpchDomain
+
+/** Helpers for the driver-facing query surface (SparkEntry.queries):
+  * compile a `Plan` against the bulk-loaded TPC-H domain and name the
+  * output columns for the DuckDB-oracle compare. */
+object Q {
+
+  /** Compile `plan` over the parquet tables in `sfDir`; rename positional
+    * output columns to `names`. The result is the plain SQL multiset (unit
+    * weights are guaranteed on the bulk path, so no consolidation shuffle
+    * and the weight column is dropped). */
+  def plan(spark: SparkSession, sfDir: String, p: Plan, names: Seq[String]): DataFrame = {
+    val domain = TpchDomain.load(spark, sfDir)
+    val compiler = new Compiler(domain.asOf(Long.MaxValue), domain.rules)
+    val rel = compiler.compile(p, Map.empty)
+      .getOrElse(sys.error("plan compiled to empty relation"))
+    require(rel.unit, "driver-facing queries must stay on the unit-weight path")
+    require(names.length == rel.vars.length,
+      s"expected ${rel.vars.length} names, got ${names.length}")
+    val cols: Seq[Column] = names.zipWithIndex.map { case (n, i) => col(Rel.c(i)).as(n) }
+    rel.df.select(cols: _*)
+  }
+}
