@@ -43,6 +43,22 @@ object Rel {
   def names(n: Int): Seq[String] = (0 until n).map(c) :+ W
 }
 
+object Compiler extends Serializable {
+  /** Normalize a rational to gcd-reduced form with positive denominator
+    * (the reference's `Rational32` results). Off the hot path: only
+    * AVG/VARIANCE parity queries use it. Lives on the companion so the
+    * closure doesn't capture a (non-serializable) Compiler instance. */
+  private[compile] val rationalizeUdf =
+    org.apache.spark.sql.functions.udf { (num: Long, den: Long) =>
+      val sign = if (den < 0) -1L else 1L
+      @annotation.tailrec
+      def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+      val g = gcd(math.abs(num), math.abs(den))
+      val gg = if (g == 0) 1L else g
+      (sign * num / gg, sign * den / gg)
+    }
+}
+
 /** Compiles the `Plan` algebra to DataFrames — the analog of the reference's
   * `implement` (`src/lib.rs:933-1023`). Batch-first: every operator is a
   * declarative DataFrame transform, so Catalyst gets predicate pushdown,
@@ -71,7 +87,7 @@ class Compiler(
     * style driver fixpoint (the Spark analog of the reference's iterative
     * scope with per-rule `Variable`s, `src/lib.rs:943-1022`). */
   def compileRule(name: String): Rel = {
-    val reach = reachable(name)
+    val reach = reachable(name) + name
     val recursive = reach.filter(r => reachable(r).contains(r))
     if (recursive.isEmpty) {
       memo.getOrElseUpdate(name,
@@ -355,19 +371,8 @@ class Compiler(
     Rel(rel.vars :+ resultVar, rel.kinds :+ kind, df, unit = rel.unit)
   }
 
-  /** Normalize a rational to gcd-reduced form with positive denominator.
-    * Off the hot path: only AVG/VARIANCE parity queries use it. */
-  private val rationalizeUdf = udf { (num: Long, den: Long) =>
-    val sign = if (den < 0) -1L else 1L
-    @annotation.tailrec
-    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-    val g = gcd(math.abs(num), math.abs(den))
-    val gg = if (g == 0) 1L else g
-    (sign * num / gg, sign * den / gg)
-  }
-
   private def rationalCol(num: Column, den: Column): Column =
-    rationalizeUdf(num, den).cast("struct<num:bigint,den:bigint>")
+    Compiler.rationalizeUdf(num, den).cast("struct<num:bigint,den:bigint>")
 
   /** Grouped aggregation with the reference's multiset semantics
     * (`src/plan/aggregate_neu.rs:45-285`):

@@ -153,12 +153,13 @@ class Domain(val spark: SparkSession) extends Serializable {
               raw.groupBy(col("e"), col("v")).agg(sum(col("diff")).as("_w"))
                 .where(col("_w") > 0L).withColumn("_w", lit(1L))
             case InputSemantics.LastWriteWins =>
-              // Latest write per entity wins (`src/operators/last_write_wins.rs`);
-              // ties on t broken by transaction order.
+              // Last event per entity wins (`src/operators/last_write_wins.rs:
+              // 71-101`): an add sets the value, a retraction clears it —
+              // so the state is the latest event's value iff that event was
+              // an add. Ties on t broken by transaction order.
               val w = Window.partitionBy(col("e")).orderBy(col("t").desc, col("seq").desc)
-              raw.where(col("diff") > 0L)
-                .withColumn("_rn", row_number().over(w))
-                .where(col("_rn") === 1)
+              raw.withColumn("_rn", row_number().over(w))
+                .where(col("_rn") === 1 && col("diff") > 0L)
                 .select(col("e"), col("v"), lit(1L).as("_w"))
           }
       }

@@ -97,7 +97,11 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     val rel = canonicalize(compiler, compiler.compileRule(name))
     val n = rel.df.columns.length - 1 // tuple width without _w
     rel.df.collect().iterator.map { row =>
-      val tuple = (0 until n).map(i => Engine.deepNative(row.get(i)))
+      // Pull results with heterogeneous arity arrive as one array<variant>
+      // column — unpack it so tuples compare against plain expectations.
+      val tuple =
+        if (rel.isPathArray) Engine.deepNative(row.get(0)).asInstanceOf[Seq[Any]]
+        else (0 until n).map(i => Engine.deepNative(row.get(i)))
       tuple -> row.getLong(n)
     }.toMap
   }

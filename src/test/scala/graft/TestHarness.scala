@@ -65,10 +65,14 @@ trait EngineCases { self: AnyFunSuite =>
     tc.rules.foreach(engine.register)
     engine.interest(tc.interestOn)
 
+    // Expectations may outnumber transactions (future-dated datoms emit
+    // on later advances) — mirror the reference harness's pop-one-if-any
+    // loop (input_semantics.rs:146-158).
     var nextTx = 0L
-    tc.transactions.zip(tc.expectations).foreach { case (tx, expected) =>
+    val txQueue = scala.collection.mutable.Queue(tc.transactions: _*)
+    tc.expectations.foreach { expected =>
       nextTx += 1
-      engine.transact(tx)
+      if (txQueue.nonEmpty) engine.transact(txQueue.dequeue())
       engine.advance(nextTx)
       val got = engine.drain(tc.interestOn)
       val want = expected.map { case (vs, t, d) =>
