@@ -98,12 +98,13 @@ class Compiler(
     }
   }
 
-  /** Rules transitively reachable from `name`'s plan. */
+  /** Rules transitively reachable from `name`'s plan (NameExpr references
+    * to base relations are data, not rules — excluded). */
   private def reachable(name: String): Set[String] = {
     val seen = mutable.Set.empty[String]
     def go(n: String): Unit = rules.get(n).foreach { r =>
       val (_, rs) = P.dependencies(r.plan)
-      rs.foreach { dep => if (seen.add(dep)) go(dep) }
+      rs.filter(rules.contains).foreach { dep => if (seen.add(dep)) go(dep) }
     }
     go(name)
     seen.toSet
@@ -255,7 +256,8 @@ class Compiler(
           }
           rel.df.select(array(cols: _*).as(c(0)), col(W))
         }
-        Some(Rel(Seq(-1), Seq(KVariant), dfs.reduce(_ unionAll _), isPathArray = true))
+        Some(Rel(Seq(-1), Seq(KVariant), dfs.reduce(_ unionAll _),
+          isPathArray = true, unit = rels.forall(_.unit)))
       }
 
     case P.PullAll(_, pullAttrs) =>
@@ -267,7 +269,8 @@ class Compiler(
           Variant.encode(col("v"), source.kind(a)).as(c(2)),
           col(W))
       }
-      Some(Rel(Seq(-1, -2, -3), Seq(KEid, KAid, KVariant), dfs.reduce(_ unionAll _)))
+      Some(Rel(Seq(-1, -2, -3), Seq(KEid, KAid, KVariant), dfs.reduce(_ unionAll _),
+        unit = pullAttrs.forall(source.unit)))
   }
 
   // ---------------------------------------------------------------- helpers

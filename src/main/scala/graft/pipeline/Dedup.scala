@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
+
+/** Deduplication operators for large-scale document pipelines. All are pure
+  * DataFrame transforms (codegen-friendly, one shuffle each unless noted)
+  * and scale by key partitioning:
+  *
+  *  - exact: hash-groupBy on the content digest;
+  *  - MinHash + LSH: shingle → k independent min-hashes → band → bucket
+  *    join (the scalable near-dup path: candidates only meet inside a
+  *    bucket, never all-pairs);
+  *  - SimHash: per-bit majority vote over token hashes;
+  *  - n-gram Jaccard: exact verification for candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct content digest with the
+    * lowest doc id as keeper and the duplicate count. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n"))
+
+  /** MinHash signature: `perms` independent 60-bit min-hashes over word
+    * `n`-gram shingles. Columns: id, m0..m{perms-1}. Single pass, no
+    * shuffle (per-row aggregation via array_min). */
+  def minhash(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, perms: Int = 8): DataFrame = {
+    val sh = shingles(col(textCol), n)
+    val sig = (0 until perms).map { j =>
+      array_min(transform(sh, s => h64Seeded(j, s))).as(s"m$j")
+    }
+    docs.select((col(idCol).as("id") +: sig): _*)
+  }
+
+  /** LSH bands over a minhash signature: `bands` buckets of
+    * `perms/bands` rows each; two docs are candidates iff they agree on
+    * all rows of at least one band. Columns: id, band, bucket. */
+  def lshBuckets(sig: DataFrame, perms: Int, bands: Int): DataFrame = {
+    require(perms % bands == 0, "perms must divide evenly into bands")
+    val rows = perms / bands
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => col(s"m${b * rows + r}"))
+      struct(lit(b).as("band"),
+        h64(concat_ws("_", parts: _*)).as("bucket"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Candidate near-duplicate pairs from LSH buckets: a self-equijoin on
+    * (band, bucket) — the shuffle is keyed by bucket, so work is
+    * proportional to bucket sizes, not |docs|². */
+  def candidatePairs(buckets: DataFrame): DataFrame = {
+    val l = buckets.toDF("a", "band", "bucket")
+    val r = buckets.toDF("b", "band", "bucket")
+    l.join(r, Seq("band", "bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** SimHash: `bits`-bit signature where bit b is set iff the (multiset)
+    * majority of token hashes has bit b set. One explode + one groupBy. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("t"))
+      .where(col("t") =!= "")
+      .select(col("id"), h64(col("t")).as("h"))
+    val bitSums = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val perBit = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until bits).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    perBit.select(col("id"), sig.as("simhash"))
+  }
+
+  /** Exact word n-gram Jaccard for given (a, b) candidate pairs, returned
+    * as exact integers (intersection, union) to stay float-free. */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), n))).as("s"))
+    val a = sh.toDF("a", "s")
+    val b = sh.toDF("b", "s")
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    // Equi-join on the shingle itself: work is proportional to shingle
+    // collisions, not |pairs| × |shingles|.
+    val inter = a.join(b, Seq("s"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.toDF("a", "sza"), "a")
+      .join(sizes.toDF("b", "szb"), "b")
+      .select(col("a"), col("b"), col("inter"),
+        (col("sza") + col("szb") - col("inter")).as("uni"))
+  }
+}

@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (exact, O(q·n) dot products — all
+  * codegen'd array arithmetic, no UDFs). Scale path: random-hyperplane LSH
+  * bucketing — deterministic pseudo-random hyperplanes derived from the
+  * portable hash, so buckets are reproducible across engines and runs; at
+  * 100 TB the bucket join replaces the all-pairs product.
+  */
+object Similarity {
+
+  /** Cosine similarity between two equal-length float-array columns,
+    * computed as an ordered left fold (deterministic summation order). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact brute-force top-k neighbours for the query vectors, ranked by
+    * cosine (rounded to `roundTo` decimals for deterministic ties) then id. */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Int = 6): DataFrame = {
+    val q = queries.select(col(idCol).as("q"), col(vecCol).as("qv"))
+    val v = vectors.select(col(idCol).as("nb"), col(vecCol).as("nv"))
+    val scored = q.join(v, col("q") =!= col("nb"))
+      .select(col("q"), col("nb"),
+        round(cosine(col("qv"), col("nv")), roundTo).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q")).orderBy(col("cos").desc, col("nb").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q"), col("nb"), col("cos"), col("rank"))
+  }
+
+  /** Near-duplicate pairs within a blocking key (e.g. label): cosine above
+    * `threshold`, ids ordered. The blocking key keeps the join from going
+    * all-pairs; at scale, use [[lshBucket]] as the blocker instead. */
+  def nearDupPairs(vectors: DataFrame, blockCol: String, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Int = 6): DataFrame = {
+    val l = vectors.select(col(blockCol).as("blk"), col(idCol).as("a"), col(vecCol).as("av"))
+    val r = vectors.select(col(blockCol).as("blk"), col(idCol).as("b"), col(vecCol).as("bv"))
+    l.join(r, Seq("blk"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(cosine(col("av"), col("bv")), roundTo).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  // ---- exact (quantized-integer) kernels -------------------------------
+  //
+  // Float dot products depend on summation order, which differs between
+  // engines; quantizing components to integers makes every similarity
+  // decision exact and portable (the DuckDB oracle reproduces it bit-for-
+  // bit). Quantization at scale=100 bounds |dot| ≈ 64·10^4, so all the
+  // integer arithmetic below stays far from Long overflow.
+
+  /** Integer-quantized embedding: round(x · scale). */
+  def quantize(vec: Column, scale: Int = 100): Column =
+    transform(vec, x => round(x.cast("double") * scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Near-duplicate pairs with cosine ≥ tauNum/tauDen decided exactly:
+    * dot > 0 ∧ tauDen²·dot² ≥ tauNum²·|a|²·|b|². Output columns
+    * (a, b, dotq, na, nb) are all exact integers. */
+  def quantizedNearDup(vectors: DataFrame, blockCol: String,
+      tauNum: Long, tauDen: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = vectors.select(col(blockCol).as("blk"), col(idCol).cast("long").as("id"),
+      quantize(col(vecCol)).as("qv"))
+      .withColumn("nrm", dotQ(col("qv"), col("qv")))
+    val l = q.toDF("blk", "a", "av", "na")
+    val r = q.toDF("blk", "b", "bv", "nb")
+    l.join(r, Seq("blk"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), dotQ(col("av"), col("bv")).as("dotq"),
+        col("na"), col("nb"))
+      .where(col("dotq") > 0 &&
+        lit(tauDen * tauDen) * col("dotq") * col("dotq") >=
+          lit(tauNum * tauNum) * col("na") * col("nb"))
+  }
+
+  /** Exact brute-force top-k: rank key = trunc(10^6·dot²/(|a|²·|b|²)),
+    * signed by the dot — integer-exact in both engines. */
+  def quantizedTopK(vectors: DataFrame, queryPred: Column, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = vectors.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol)).as("qv"))
+      .withColumn("nrm", dotQ(col("qv"), col("qv")))
+    val queries = q.where(queryPred).toDF("q", "qqv", "nq")
+    val scored = queries.join(q.toDF("nb", "nv", "nn"), col("q") =!= col("nb"))
+      .select(col("q"), col("nb"), dotQ(col("qqv"), col("nv")).as("dotq"),
+        col("nq"), col("nn"))
+    val mag = expr("(1000000 * dotq * dotq) div (nq * nn)")
+    val keyed = scored.select(col("q"), col("nb"),
+      when(col("dotq") >= 0, mag).otherwise(-mag).as("key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q")).orderBy(col("key").desc, col("nb").asc)
+    keyed.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Random-hyperplane LSH bucket id (`bits`-bit signature) over the
+    * quantized vector — integer dot products, so bucket assignment is
+    * exact. Hyperplane component j,i is a deterministic pseudo-random
+    * value in [-500, 499] derived from the portable hash. */
+  def lshBucketQ(qvec: Column, dim: Int, bits: Int = 8): Column = {
+    val bitCols = (0 until bits).map { j =>
+      val plane = array((0 until dim).map(i =>
+        lit(PortablePlanes.component(j, i))): _*)
+      when(dotQ(qvec, plane) > 0, lit(1L << j)).otherwise(0L)
+    }
+    bitCols.reduce(_ + _)
+  }
+}
+
+/** Deterministic hyperplane components shared with oracle SQL generation. */
+object PortablePlanes {
+  private val md = java.security.MessageDigest.getInstance("MD5")
+
+  /** = h64("j:i") % 1000 - 500 (matches Portable.h64Seeded semantics). */
+  def component(j: Int, i: Int): Long = synchronized {
+    md.reset()
+    val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % 1000 - 500
+  }
+}

@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
+
+/** Text-analysis operators for document pipelines: token counting,
+  * quality scoring, n-gram-heuristic language id, and content
+  * fingerprinting. All integer/exact outputs (float-free) so results
+  * hash-compare across engines; all Catalyst built-ins (no UDFs).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = {
+    val ws = tokens(text)
+    when(length(trim(text)) === 0, 0).otherwise(size(ws))
+  }
+
+  /** Integer quality facets: chars, tokens, distinct tokens, punctuation
+    * marks, digits. Ratios are left to the consumer — keeping raw counts
+    * exact avoids cross-engine float drift. */
+  def qualityFacets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol).as("id"),
+      length(t).as("nchars"),
+      tokenCount(t).as("ntokens"),
+      size(array_distinct(tokens(t))).as("ndistinct"),
+      (length(t) - length(regexp_replace(t, "[.,;:!?]", ""))).as("npunct"),
+      (length(t) - length(regexp_replace(t, "[0-9]", ""))).as("ndigits"))
+  }
+
+  /** Stopword tables for the n-gram language heuristic. */
+  val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"))
+
+  /** Language id by stopword hits: emits per-language hit counts and the
+    * argmax (ties and zero hits → "und"). */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val hitCols = StopwordSets.map { case (lang, words) =>
+      size(filter(toks, t => t.isin(words.map(lit(_)): _*))).as(s"hits_$lang")
+    }
+    val withHits = docs.select((col(idCol).as("id") +: hitCols): _*)
+    val langs = StopwordSets.map(_._1)
+    val best = langs.map(l => col(s"hits_$l")).reduce((a, b) => greatest(a, b))
+    val pred = langs.foldRight(lit("und"): Column) { (l, acc) =>
+      when(col(s"hits_$l") === best && best > 0 &&
+        langs.filter(_ != l).map(o => (col(s"hits_$o") === best).cast("int"))
+          .reduce(_ + _) === 0, lit(l)).otherwise(acc)
+    }
+    withHits.withColumn("lang_pred", pred)
+  }
+
+  /** Content fingerprint: portable 60-bit hash of the normalized text
+    * (lowercase alnum) — a deterministic rolling-hash substitute. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      h64(normalized(col(textCol))).as("fp"))
+}

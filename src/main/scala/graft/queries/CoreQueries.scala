@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.model._
+import graft.model.Plan._
+
+/** Core operator query surface — one driver-facing query per SURVEY.md §2
+  * operator, each compiled through the Plan algebra and verified against a
+  * DuckDB oracle on the same parquet tables. */
+object CoreQueries {
+
+  /** `:lineitem` base relation with vars 0..10: orderkey partkey suppkey
+    * linenumber quantity extendedprice discount tax returnflag linestatus
+    * shipdate (TpchDomain.LineitemCols order). */
+  private def li: Plan = NameExpr(0 to 10, ":lineitem")
+
+  private def p(s: SparkSession, dir: String, plan: Plan, names: Seq[String],
+      rules: Seq[Rule] = Seq.empty): DataFrame =
+    Q.plan(s, dir, plan, names, rules)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans (MatchA / MatchEA / MatchAV) ----
+    "q_match_a" -> ((s, dir) =>
+      p(s, dir, matchA(0, ":customer/name", 1), Seq("e", "v"))),
+    "q_match_ea" -> ((s, dir) =>
+      p(s, dir, matchEA(42L, ":customer/name", 0), Seq("v"))),
+    "q_match_av" -> ((s, dir) =>
+      p(s, dir, matchAV(0, ":customer/mktsegment", Value.str("BUILDING")),
+        Seq("e"))),
+
+    // ---- project ----
+    "q_project" -> ((s, dir) =>
+      p(s, dir, Project(Seq(1, 0), matchA(0, ":supplier/name", 1)),
+        Seq("n", "sk"))),
+
+    // ---- join / hector / predicates ----
+    "q_hector_join" -> ((s, dir) =>
+      p(s, dir,
+        q(Seq(0, 1, 2), Seq(
+          Binding.attribute(0, ":orders/custkey", 1),
+          Binding.attribute(1, ":customer/name", 2))),
+        Seq("o", "c", "n"))),
+    "q_hector_triangle" -> ((s, dir) =>
+      // 3-way conjunction across orders→customer→nation (WCO-style plan):
+      // [?o :orders/custkey ?c][?c :customer/nationkey ?nk][?nk :nation/name ?nn]
+      p(s, dir,
+        q(Seq(0, 1, 2, 3), Seq(
+          Binding.attribute(0, ":orders/custkey", 1),
+          Binding.attribute(1, ":customer/nationkey", 2),
+          Binding.attribute(2, ":nation/name", 3))),
+        Seq("o", "c", "nk", "nn"))),
+    "q_hector_pred" -> ((s, dir) =>
+      // theta predicate between bound variables (BinaryPredicate binding)
+      p(s, dir,
+        q(Seq(0, 1, 2, 3), Seq(
+          Binding.attribute(0, ":orders/custkey", 1),
+          Binding.attribute(1, ":customer/acctbal", 2),
+          Binding.attribute(0, ":orders/totalprice", 3),
+          Binding.binaryPredicate(Predicate.GT, 3, 2))),
+        Seq("o", "c", "b", "tp"))),
+    "q_hector_not" -> ((s, dir) =>
+      // negation binding: customers in segment BUILDING with no orders
+      p(s, dir,
+        q(Seq(0), Seq(
+          Binding.attribute(0, ":customer/mktsegment", 1),
+          Binding.constant(1, Value.str("BUILDING")),
+          Binding.not(2, ":orders/custkey", 0))),
+        Seq("c"))),
+
+    // ---- antijoin / union / negate ----
+    "q_antijoin" -> ((s, dir) =>
+      p(s, dir,
+        Antijoin(Seq(0),
+          matchA(0, ":customer/name", 1),
+          Project(Seq(0), matchA(5, ":orders/custkey", 0))),
+        Seq("c", "n"))),
+    "q_union" -> ((s, dir) =>
+      p(s, dir,
+        Union(Seq(0), Seq(
+          matchAV(0, ":customer/mktsegment", Value.str("BUILDING")),
+          matchAV(0, ":customer/mktsegment", Value.str("MACHINERY")))),
+        Seq("e"))),
+    "q_negate_except" -> ((s, dir) =>
+      // set difference via Negate inside Union (distinct(A ⊎ −B))
+      p(s, dir,
+        Union(Seq(0), Seq(
+          Project(Seq(0), matchA(0, ":customer/name", 1)),
+          Negate(Project(Seq(0), matchA(5, ":orders/custkey", 0))))),
+        Seq("c"))),
+
+    // ---- filter ----
+    "q_filter_const" -> ((s, dir) =>
+      p(s, dir,
+        Filter(Seq(1), Predicate.LT, matchA(0, ":customer/acctbal", 1),
+          Seq(None, Some(Value.VReal(0.0)))),
+        Seq("e", "bal"))),
+
+    // ---- transform ----
+    "q_transform_add" -> ((s, dir) =>
+      p(s, dir,
+        Transform(Seq(4, 3), 20, Project(Seq(4, 3), li),
+          Fn.ADD, Seq(Some(Value.num(5)))),
+        Seq("qty", "ln", "total"))),
+    "q_transform_truncate" -> ((s, dir) =>
+      p(s, dir,
+        Transform(Seq(1), 2, matchA(0, ":events/ts", 1),
+          Fn.TRUNCATE, Seq(None, Some(Value.str(":day")))),
+        Seq("ev", "t", "day"))),
+
+    // ---- aggregate (multi-fn, order stats, grouped) ----
+    "q_agg_sum" -> ((s, dir) =>
+      p(s, dir,
+        Aggregate(Seq(8, 4), Project(Seq(8, 4), li),
+          Seq(AggregationFn.SUM), Seq(8), Seq(4), Seq.empty),
+        Seq("f", "sum_qty"))),
+    "q_agg_stats" -> ((s, dir) =>
+      p(s, dir,
+        Aggregate(Seq(8, 4, 4, 4, 4, 4), Project(Seq(8, 4), li),
+          Seq(AggregationFn.MIN, AggregationFn.MAX, AggregationFn.MEDIAN,
+            AggregationFn.COUNT, AggregationFn.SUM),
+          Seq(8), Seq(4, 4, 4, 4, 4), Seq.empty),
+        Seq("f", "min_q", "max_q", "med_q", "n", "sum_q"))),
+    "q_agg_global" -> ((s, dir) =>
+      p(s, dir,
+        Aggregate(Seq(4, 4), Project(Seq(4), li),
+          Seq(AggregationFn.COUNT, AggregationFn.MAX),
+          Seq.empty, Seq(4, 4), Seq.empty),
+        Seq("n", "max_q"))),
+
+    // ---- pull ----
+    "q_pull" -> ((s, dir) =>
+      p(s, dir,
+        PullLevel(Seq.empty,
+          Project(Seq(0), matchA(0, ":customer/name", 1)),
+          pullVariable = 0,
+          pullAttributes = Seq(":customer/name", ":customer/mktsegment"),
+          pathAttributes = Seq.empty,
+          cardinalityMany = false),
+        Seq("e", "a", "v"))
+        .withColumn("v", col("v").getField("s"))),
+    "q_pull_all" -> ((s, dir) =>
+      p(s, dir,
+        PullAll(Seq.empty, Seq(":region/name", ":nation/name")),
+        Seq("e", "a", "v"))
+        .withColumn("v", col("v").getField("s"))),
+
+    // ---- recursion (NameExpr fixpoint) ----
+    "q_recursion_closure" -> ((s, dir) => {
+      val edges = Rule("edges",
+        Union(Seq(1, 2), Seq(
+          Project(Seq(1, 2),
+            Filter(Seq(1), Predicate.LTE, li, Seq(None, Some(Value.num(200))))))))
+      val closure = Rule("closure",
+        Union(Seq(0, 1), Seq(
+          NameExpr(Seq(0, 1), "edges"),
+          Project(Seq(0, 1),
+            Join(Seq(2),
+              NameExpr(Seq(0, 2), "edges"),
+              NameExpr(Seq(2, 1), "closure"))))))
+      p(s, dir, NameExpr(Seq(0, 1), "closure"), Seq("src", "dst"),
+        rules = Seq(edges, closure))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_match_a" -> "SELECT c_custkey AS e, c_name AS v FROM customer",
+    "q_match_ea" -> "SELECT c_name AS v FROM customer WHERE c_custkey = 42",
+    "q_match_av" ->
+      "SELECT c_custkey AS e FROM customer WHERE c_mktsegment = 'BUILDING'",
+    "q_project" -> "SELECT s_name AS n, s_suppkey AS sk FROM supplier",
+    "q_hector_join" ->
+      """SELECT o.o_orderkey AS o, o.o_custkey AS c, c.c_name AS n
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+    "q_hector_triangle" ->
+      """SELECT o.o_orderkey AS o, o.o_custkey AS c,
+                CAST(c.c_nationkey AS BIGINT) AS nk, n.n_name AS nn
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey""",
+    "q_hector_pred" ->
+      """SELECT o.o_orderkey AS o, o.o_custkey AS c, c.c_acctbal AS b,
+                o.o_totalprice AS tp
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE o.o_totalprice > c.c_acctbal""",
+    "q_hector_not" ->
+      """SELECT c_custkey AS c FROM customer
+         WHERE c_mktsegment = 'BUILDING'
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q_antijoin" ->
+      """SELECT c_custkey AS c, c_name AS n FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q_union" ->
+      """SELECT DISTINCT c_custkey AS e FROM customer
+         WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""",
+    "q_negate_except" ->
+      """SELECT c_custkey AS c FROM customer
+         EXCEPT SELECT o_custkey FROM orders""",
+    "q_filter_const" ->
+      "SELECT c_custkey AS e, c_acctbal AS bal FROM customer WHERE c_acctbal < 0",
+    "q_transform_add" ->
+      """SELECT CAST(l_quantity AS BIGINT) AS qty,
+                CAST(l_linenumber AS BIGINT) AS ln,
+                CAST(l_quantity AS BIGINT) + CAST(l_linenumber AS BIGINT) + 5 AS total
+         FROM lineitem""",
+    "q_transform_truncate" ->
+      """SELECT event_id AS ev, t, t - (t % 86400000) AS day
+         FROM (SELECT event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t FROM events)""",
+    "q_agg_sum" ->
+      """SELECT l_returnflag AS f,
+                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY 1""",
+    "q_agg_stats" ->
+      """SELECT l_returnflag AS f,
+                CAST(MIN(q) AS BIGINT) AS min_q,
+                CAST(MAX(q) AS BIGINT) AS max_q,
+                CAST((list_sort(list(DISTINCT q)))[len(list(DISTINCT q)) // 2 + 1] AS BIGINT) AS med_q,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(q) AS BIGINT) AS sum_q
+         FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+         GROUP BY 1""",
+    "q_agg_global" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(q) AS BIGINT) AS max_q
+         FROM (SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem)""",
+    "q_pull" ->
+      """SELECT c_custkey AS e, ':customer/name' AS a, c_name AS v FROM customer
+         UNION ALL
+         SELECT c_custkey, ':customer/mktsegment', c_mktsegment FROM customer""",
+    "q_pull_all" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS e, ':region/name' AS a, r_name AS v FROM region
+         UNION ALL
+         SELECT CAST(n_nationkey AS BIGINT), ':nation/name', n_name FROM nation""",
+    "q_recursion_closure" ->
+      """WITH RECURSIVE edges AS (
+           SELECT DISTINCT l_partkey AS src, l_suppkey AS dst
+           FROM lineitem WHERE l_partkey <= 200),
+         closure AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT e.src, c.dst FROM edges e JOIN closure c ON e.dst = c.src)
+         SELECT src, dst FROM closure"""
+  )
+}

@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.Portable
+import graft.functions.Portable._
+import graft.pipeline.{Dedup, PortablePlanes, Similarity, TextAnalysis}
+
+/** Training-data-pipeline query surface: deduplication, similarity search,
+  * text analysis — each with a DuckDB oracle that reproduces the result
+  * exactly (portable md5-derived hashing, integer-quantized similarity,
+  * float-free outputs). */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Q.table(s, dir, "documents")
+  private def embeds(s: SparkSession, dir: String): DataFrame =
+    Q.table(s, dir, "embeddings")
+
+  /** Cast int columns to long so parquet dtypes match DuckDB's BIGINT. */
+  private def longify(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      if (f.dataType == IntegerType) col(f.name).cast("long").as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
+
+  val MinhashPerms = 8
+  val MinhashBands = 4
+  val SimhashBits = 32
+  val ShingleN = 3
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhash(docs(s, dir), "doc_id", "text", ShingleN, 4)),
+
+    "q_dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.candidatePairs(
+        Dedup.lshBuckets(
+          Dedup.minhash(docs(s, dir), "doc_id", "text", ShingleN, MinhashPerms),
+          MinhashPerms, MinhashBands))),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir), "doc_id", "text", SimhashBits)),
+
+    "q_dedup_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val l = d.select(col("n_chars"), col("doc_id").as("a"))
+      val r = d.select(col("n_chars"), col("doc_id").as("b"))
+      val pairs = l.join(r, "n_chars").where(col("a") < col("b"))
+        .select(col("a"), col("b"))
+      Dedup.ngramJaccard(d, pairs, "doc_id", "text", ShingleN)
+    }),
+
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.quantizedNearDup(embeds(s, dir), "label", 95, 100)),
+
+    "q_ann_topk" -> ((s, dir) =>
+      Similarity.quantizedTopK(embeds(s, dir), col("id") < 3, 5)),
+
+    "q_ann_lsh" -> ((s, dir) =>
+      embeds(s, dir).select(col("vec_id").cast("long").as("id"),
+        Similarity.lshBucketQ(
+          Similarity.quantize(col("embedding")), dim = 64, bits = 8).as("bucket"))),
+
+    "q_text_tokens" -> ((s, dir) => longify(
+      docs(s, dir).select(col("doc_id").as("id"),
+        TextAnalysis.tokenCount(col("text")).as("ntokens")))),
+
+    "q_text_quality" -> ((s, dir) => longify(
+      TextAnalysis.qualityFacets(docs(s, dir), "doc_id", "text"))),
+
+    "q_text_langid" -> ((s, dir) => longify(
+      TextAnalysis.languageId(docs(s, dir), "doc_id", "text"))),
+
+    "q_text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")),
+
+    "q_lww_batch" -> ((s, dir) => {
+      // Batch analog of the LastWriteWins input semantics over the events
+      // stream table: latest event's value per user (ties by event_id).
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Q.table(s, dir, "events")
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(col("user_id").as("u"), col("event_type").as("last_type"))
+    })
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  private val sh3 = shinglesSql("text", ShingleN)
+
+  private def sigSql(perms: Int): String = {
+    val mins = (0 until perms)
+      .map(j => s"MIN(${h64SeededSql(j, "s")}) AS m$j").mkString(", ")
+    s"""SELECT CAST(doc_id AS BIGINT) AS id, $mins
+        FROM (SELECT doc_id, unnest($sh3) AS s FROM documents) GROUP BY 1"""
+  }
+
+  private def bandsSql: String = {
+    val rows = MinhashPerms / MinhashBands
+    (0 until MinhashBands).map { b =>
+      val parts = (0 until rows).map(r => s"CAST(m${b * rows + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT id, $b AS band, ${h64Sql(parts)} AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+  }
+
+  private val qvSql =
+    "list_transform(embedding, x -> CAST(round(x * 100) AS BIGINT))"
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum([($a)[i] * ($b)[i] for i in generate_series(1, len($a))]) AS BIGINT)"
+
+  private val stopSqls = TextAnalysis.StopwordSets.map { case (lang, words) =>
+    val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    lang -> s"CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS BIGINT)"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS digest, CAST(min(doc_id) AS BIGINT) AS keeper,
+         CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1""",
+
+    "q_dedup_minhash" -> sigSql(4),
+
+    "q_dedup_minhash_pairs" ->
+      s"""WITH sig AS (${sigSql(MinhashPerms)}), bands AS ($bandsSql)
+          SELECT DISTINCT l.id AS a, r.id AS b
+          FROM bands l JOIN bands r USING (band, bucket) WHERE l.id < r.id""",
+
+    "q_dedup_simhash" -> {
+      val toks = s"SELECT doc_id, unnest(${tokensSql("text")}) AS t FROM documents"
+      s"""WITH tok AS (SELECT doc_id, ${h64Sql("t")} AS h FROM ($toks) WHERE t <> ''),
+          bits AS (SELECT doc_id, b,
+                     CASE WHEN SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                          THEN 1::BIGINT << b ELSE 0 END AS bit
+                   FROM tok, (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS b)
+                   GROUP BY 1, 2)
+          SELECT CAST(doc_id AS BIGINT) AS id, CAST(SUM(bit) AS BIGINT) AS simhash
+          FROM bits GROUP BY 1"""
+    },
+
+    "q_dedup_jaccard" ->
+      s"""WITH shd AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, s
+                       FROM (SELECT doc_id, unnest($sh3) AS s FROM documents)),
+          sz AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM shd GROUP BY 1),
+          pairs AS (SELECT CAST(l.doc_id AS BIGINT) AS a, CAST(r.doc_id AS BIGINT) AS b
+                    FROM documents l JOIN documents r
+                    ON l.n_chars = r.n_chars AND l.doc_id < r.doc_id),
+          inter AS (SELECT l.id AS a, r.id AS b, CAST(count(*) AS BIGINT) AS inter
+                    FROM shd l JOIN shd r USING (s) WHERE l.id < r.id GROUP BY 1, 2)
+          SELECT p.a, p.b, COALESCE(i.inter, 0) AS inter,
+                 CAST(za.sz + zb.sz - COALESCE(i.inter, 0) AS BIGINT) AS uni
+          FROM pairs p LEFT JOIN inter i ON p.a = i.a AND p.b = i.b
+          JOIN sz za ON za.id = p.a JOIN sz zb ON zb.id = p.b""",
+
+    "q_embed_neardup" ->
+      s"""WITH s AS (SELECT CAST(vec_id AS BIGINT) AS id, label, $qvSql AS qv
+                     FROM embeddings),
+          n AS (SELECT id, label, qv, ${dotSql("qv", "qv")} AS nrm FROM s)
+          SELECT * FROM (
+            SELECT l.id AS a, r.id AS b, ${dotSql("l.qv", "r.qv")} AS dotq,
+                   l.nrm AS na, r.nrm AS nb
+            FROM n l JOIN n r ON l.label = r.label AND l.id < r.id)
+          WHERE dotq > 0 AND 10000 * dotq * dotq >= 9025 * na * nb""",
+
+    "q_ann_topk" ->
+      s"""WITH s AS (SELECT CAST(vec_id AS BIGINT) AS id, $qvSql AS qv FROM embeddings),
+          n AS (SELECT id, qv, ${dotSql("qv", "qv")} AS nrm FROM s),
+          scored AS (SELECT l.id AS q, r.id AS nb,
+                            ${dotSql("l.qv", "r.qv")} AS dotq,
+                            l.nrm AS nq, r.nrm AS nn
+                     FROM n l JOIN n r ON l.id < 3 AND l.id <> r.id),
+          keyed AS (SELECT q, nb,
+                           CAST(CASE WHEN dotq >= 0
+                                THEN (1000000 * dotq * dotq) // (nq * nn)
+                                ELSE -((1000000 * dotq * dotq) // (nq * nn)) END
+                                AS BIGINT) AS key
+                    FROM scored)
+          SELECT q, nb, key, rank FROM (
+            SELECT q, nb, key,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY key DESC, nb ASC) AS BIGINT) AS rank
+            FROM keyed)
+          WHERE rank <= 5""",
+
+    "q_ann_lsh" -> {
+      val bits = (0 until 8).map { j =>
+        val plane = (0 until 64).map(i => PortablePlanes.component(j, i))
+          .mkString("[", ", ", "]")
+        s"CASE WHEN ${dotSql("qv", s"$plane::BIGINT[]")} > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""SELECT CAST(vec_id AS BIGINT) AS id, CAST($bits AS BIGINT) AS bucket
+          FROM (SELECT vec_id, $qvSql AS qv FROM embeddings)"""
+    },
+
+    "q_text_tokens" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS id,
+                 CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(${tokensSql("text")}) END AS BIGINT) AS ntokens
+          FROM documents""",
+
+    "q_text_quality" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS id,
+                 CAST(len(text) AS BIGINT) AS nchars,
+                 CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(${tokensSql("text")}) END AS BIGINT) AS ntokens,
+                 CAST(len(list_distinct(${tokensSql("text")})) AS BIGINT) AS ndistinct,
+                 CAST(len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS npunct,
+                 CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS ndigits
+          FROM documents""",
+
+    "q_text_langid" -> {
+      val hits = stopSqls.map { case (l, sql) => s"$sql AS hits_$l" }.mkString(", ")
+      val langs = TextAnalysis.StopwordSets.map(_._1)
+      val g = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+      val winners = langs.map(l => s"CASE WHEN hits_$l = $g THEN 1 ELSE 0 END").mkString(" + ")
+      val firstWin = langs.map(l => s"WHEN hits_$l = $g THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                            ${tokensSql("lower(text)")} AS toks FROM documents),
+          h AS (SELECT id, $hits FROM t)
+          SELECT id, ${langs.map(l => s"hits_$l").mkString(", ")},
+                 CASE WHEN $g = 0 THEN 'und'
+                      WHEN ($winners) > 1 THEN 'und'
+                      $firstWin ELSE 'und' END AS lang_pred
+          FROM h"""
+    },
+
+    "q_text_fingerprint" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS id,
+                 ${h64Sql(Portable.normalizedSql("text"))} AS fp
+          FROM documents""",
+
+    "q_lww_batch" ->
+      """SELECT CAST(user_id AS BIGINT) AS u, last_type FROM (
+           SELECT user_id, event_type AS last_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1"""
+  )
+}

@@ -1,10 +1,13 @@
 package graft.queries
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 import graft.compile.{Compiler, Rel}
-import graft.model.Plan
+import graft.domain.Domain
+import graft.model.{Plan, Rule}
 import graft.sources.TpchDomain
 
 /** Helpers for the driver-facing query surface (SparkEntry.queries):
@@ -12,13 +15,22 @@ import graft.sources.TpchDomain
   * output columns for the DuckDB-oracle compare. */
 object Q {
 
+  private val domainCache = mutable.Map.empty[(SparkSession, String), Domain]
+
+  def domain(spark: SparkSession, sfDir: String): Domain = synchronized {
+    domainCache.getOrElseUpdate((spark, sfDir), TpchDomain.load(spark, sfDir))
+  }
+
   /** Compile `plan` over the parquet tables in `sfDir`; rename positional
     * output columns to `names`. The result is the plain SQL multiset (unit
     * weights are guaranteed on the bulk path, so no consolidation shuffle
-    * and the weight column is dropped). */
-  def plan(spark: SparkSession, sfDir: String, p: Plan, names: Seq[String]): DataFrame = {
-    val domain = TpchDomain.load(spark, sfDir)
-    val compiler = new Compiler(domain.asOf(Long.MaxValue), domain.rules)
+    * and the weight column is dropped). Rules (for NameExpr/recursion) may
+    * be supplied. */
+  def plan(spark: SparkSession, sfDir: String, p: Plan, names: Seq[String],
+      rules: Seq[Rule] = Seq.empty): DataFrame = {
+    val dom = domain(spark, sfDir)
+    val compiler = new Compiler(dom.asOf(Long.MaxValue),
+      rules.map(r => r.name -> r).toMap)
     val rel = compiler.compile(p, Map.empty)
       .getOrElse(sys.error("plan compiled to empty relation"))
     require(rel.unit, "driver-facing queries must stay on the unit-weight path")
@@ -27,4 +39,8 @@ object Q {
     val cols: Seq[Column] = names.zipWithIndex.map { case (n, i) => col(Rel.c(i)).as(n) }
     rel.df.select(cols: _*)
   }
+
+  /** Raw table reader for the DataFrame-level (pipeline) queries. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
 }

@@ -101,9 +101,10 @@ object TpchDomain {
 
     // events.ts is parquet TIMESTAMP(NANOS); with
     // spark.sql.legacy.parquet.nanosAsLong=true it scans as long nanos.
+    // Integer division — ns values exceed double's 53-bit mantissa.
     val eventsTs =
       if (table("events").schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType) col("ts") / lit(1000000L)
+        org.apache.spark.sql.types.LongType) expr("ts div 1000000")
       else ms(col("ts"))
     reg("events", "events", col("event_id"), Seq(
       ("user", col("user_id"), KEid),
