@@ -83,19 +83,20 @@ class Compiler(
     rel.copy(df = consolidate(rel.df))
   }
 
-  /** Compile a named rule, solving recursive references via a semi-naive-
-    * style driver fixpoint (the Spark analog of the reference's iterative
-    * scope with per-rule `Variable`s, `src/lib.rs:943-1022`). */
-  def compileRule(name: String): Rel = {
-    val reach = reachable(name) + name
-    val recursive = reach.filter(r => reachable(r).contains(r))
-    if (recursive.isEmpty) {
+  /** Compile a named rule, solving recursive references via a driver-side
+    * fixpoint (the Spark analog of the reference's iterative scope with
+    * per-rule `Variable`s, `src/lib.rs:943-1022`). Rules in recursive
+    * cliques are solved first and memoized; everything downstream of them
+    * then compiles as plain stratified lookups. */
+  def compileRule(name: String): Rel = memo.get(name) match {
+    case Some(rel) => rel
+    case None =>
+      val reach = reachable(name) + name
+      val cyclic = reach.filter(r => reachable(r).contains(r))
+      if (cyclic.exists(!memo.contains(_))) fixpoint(cyclic)
       memo.getOrElseUpdate(name,
         compile(rules(name).plan, Map.empty)
           .getOrElse(sys.error(s"rule $name compiled to the empty relation")))
-    } else {
-      fixpoint(reach, name)
-    }
   }
 
   /** Rules transitively reachable from `name`'s plan (NameExpr references
@@ -110,34 +111,137 @@ class Compiler(
     seen.toSet
   }
 
-  /** Naive fixpoint iteration with set semantics inside the loop (the
-    * reference closes recursion variables under `distinct`/`consolidate`,
-    * `src/lib.rs:999-1019`). Counts are monotone under distinct, so count
-    * stability across one full round is a fixed point for stratified plans.
+  /** Solve a recursive clique to fixpoint and memoize every member's final
+    * relation. Set semantics inside the loop (the reference closes recursion
+    * variables under `distinct`/`consolidate`, `src/lib.rs:999-1019`).
+    *
+    * Two strategies:
+    *  - **Semi-naive** when every clique rule is monotone and linearly
+    *    recursive (≤ 1 recursive reference per body): each round evaluates
+    *    bodies against only the previous round's *delta*, so per-round join
+    *    input tracks the growth frontier rather than the accumulated total —
+    *    at scale the difference between O(frontier · depth) and
+    *    O(total · depth) shuffled bytes. Totals accumulate as unions of
+    *    checkpointed deltas (no recomputation).
+    *  - **Naive recompute** otherwise, with convergence decided by a content
+    *    signature (row count, weight sum, order-independent row-hash sum) —
+    *    bare counts can stay equal while sets oscillate under non-monotone
+    *    operators (Negate/Antijoin inside the recursion).
     */
-  private def fixpoint(ruleNames: Set[String], target: String): Rel = {
-    val ordered = ruleNames.toSeq.sorted
-    var env: Map[String, Option[Rel]] = ordered.map(_ -> (None: Option[Rel])).toMap
-    var counts: Map[String, Long] = ordered.map(_ -> -1L).toMap
-    var iter = 0
-    var stable = false
-    while (!stable && iter < maxIterations) {
-      iter += 1
-      val newEnv = ordered.map { r =>
-        val rel = compile(rules(r).plan, env).map { rel =>
-          val dd = distinctify(rel.df).localCheckpoint(true)
-          rel.copy(df = dd)
-        }
-        r -> rel
-      }.toMap
-      val newCounts = ordered.map { r =>
-        r -> newEnv(r).map(_.df.count()).getOrElse(0L)
-      }.toMap
-      stable = newCounts == counts
-      env = newEnv
-      counts = newCounts
+  private def fixpoint(cyclicAll: Set[String]): Unit = {
+    val cyclic = cyclicAll.filterNot(memo.contains)
+    if (cyclic.isEmpty) return
+    val ordered = cyclic.toSeq.sorted
+    val semiNaive = ordered.forall { r =>
+      isMonotone(rules(r).plan) && recRefCount(rules(r).plan, cyclic) <= 1
     }
-    env(target).getOrElse(sys.error(s"recursive rule $target has no base case"))
+    var iter = 0
+
+    if (semiNaive) {
+      // Round 0: deltas = bodies evaluated with empty recursion variables.
+      var delta: Map[String, Option[Rel]] = ordered.map { r =>
+        r -> compile(rules(r).plan, ordered.map(_ -> (None: Option[Rel])).toMap)
+          .map(rel => rel.copy(df = distinctify(rel.df).localCheckpoint(true)))
+      }.toMap
+      var total: Map[String, Option[Rel]] = delta
+      var changed = delta.values.exists(_.exists(_.df.count() > 0))
+      while (changed && iter < maxIterations) {
+        iter += 1
+        val stepped = ordered.map { r =>
+          val cand = compile(rules(r).plan, delta)
+          val fresh: Option[Rel] = (cand, total(r)) match {
+            case (None, _)          => None
+            case (Some(c), None)    => Some(c.copy(df = distinctify(c.df)))
+            case (Some(c), Some(t)) =>
+              // New tuples only: distinct candidate minus accumulated total.
+              Some(c.copy(df = distinctify(c.df).drop(W)
+                .exceptAll(t.df.drop(W)).withColumn(W, lit(1L))))
+          }
+          val freshChk = fresh.map(rel => rel.copy(df = rel.df.localCheckpoint(true)))
+          val n = freshChk.map(_.df.count()).getOrElse(0L)
+          r -> (if (n > 0) freshChk else None)
+        }.toMap
+        changed = stepped.values.exists(_.isDefined)
+        total = ordered.map { r =>
+          r -> ((total(r), stepped(r)) match {
+            case (t, None)          => t
+            case (None, d)          => d
+            case (Some(t), Some(d)) => Some(t.copy(df = t.df.unionAll(d.df)))
+          })
+        }.toMap
+        delta = stepped
+      }
+      ordered.foreach { r =>
+        memo(r) = total(r).getOrElse(sys.error(s"recursive rule $r has no base case"))
+      }
+    } else {
+      var env: Map[String, Option[Rel]] = ordered.map(_ -> (None: Option[Rel])).toMap
+      var sigs: Map[String, (Long, Long)] = ordered.map(_ -> (-1L, -1L)).toMap
+      var stable = false
+      while (!stable && iter < maxIterations) {
+        iter += 1
+        val newEnv = ordered.map { r =>
+          r -> compile(rules(r).plan, env).map { rel =>
+            rel.copy(df = distinctify(rel.df).localCheckpoint(true))
+          }
+        }.toMap
+        val newSigs = ordered.map { r =>
+          r -> newEnv(r).map(rel => contentSignature(rel.df)).getOrElse((0L, 0L))
+        }.toMap
+        stable = newSigs == sigs
+        env = newEnv
+        sigs = newSigs
+      }
+      ordered.foreach { r =>
+        memo(r) = env(r).getOrElse(sys.error(s"recursive rule $r has no base case"))
+      }
+    }
+  }
+
+  /** Order-independent content signature: (row count, sum of per-row
+    * 64-bit hashes over all columns incl. weight). Equal signatures across
+    * a full round ⇒ fixed point; hash-sum collision between *different*
+    * consecutive states is the only failure mode (astronomically unlikely,
+    * vs. certain failure for bare counts under equal-cardinality drift). */
+  private def contentSignature(df: DataFrame): (Long, Long) = {
+    val row = df.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(df.columns.map(col): _*)), lit(0L)).as("h")).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** Monotone plans distribute over union in each input — the precondition
+    * for semi-naive evaluation (and the reference's implicit assumption for
+    * recursion, SURVEY.md §7.4). */
+  private def isMonotone(p: Plan): Boolean = p match {
+    case _: P.MatchA | _: P.MatchEA | _: P.MatchAV | _: P.NameExpr | _: P.PullAll => true
+    case P.Project(_, x)              => isMonotone(x)
+    case P.Join(_, l, r)              => isMonotone(l) && isMonotone(r)
+    case P.Hector(_, bs)              => !bs.exists(_.isInstanceOf[Binding.Not])
+    case P.Union(_, ps)               => ps.forall(isMonotone)
+    case P.Filter(_, _, x, _)         => isMonotone(x)
+    case P.Transform(_, _, x, _, _)   => isMonotone(x)
+    case P.PullLevel(_, x, _, _, _, _) => isMonotone(x)
+    case P.Pull(_, ps)                => ps.forall(isMonotone)
+    case _: P.Negate | _: P.Antijoin | _: P.Aggregate => false
+  }
+
+  /** Number of direct references to clique rules in a plan body (clique
+    * bodies can only reference clique members directly — a rule outside the
+    * clique that reached back in would itself be cyclic). */
+  private def recRefCount(p: Plan, rec: Set[String]): Int = p match {
+    case P.NameExpr(_, n)             => if (rec(n)) 1 else 0
+    case P.Project(_, x)              => recRefCount(x, rec)
+    case P.Join(_, l, r)              => recRefCount(l, rec) + recRefCount(r, rec)
+    case P.Antijoin(_, l, r)          => recRefCount(l, rec) + recRefCount(r, rec)
+    case P.Negate(x)                  => recRefCount(x, rec)
+    case P.Union(_, ps)               => ps.map(recRefCount(_, rec)).sum
+    case P.Filter(_, _, x, _)         => recRefCount(x, rec)
+    case P.Transform(_, _, x, _, _)   => recRefCount(x, rec)
+    case P.Aggregate(_, x, _, _, _, _) => recRefCount(x, rec)
+    case P.PullLevel(_, x, _, _, _, _) => recRefCount(x, rec)
+    case P.Pull(_, ps)                => ps.map(recRefCount(_, rec)).sum
+    case _                            => 0
   }
 
   /** Core lowering. `env` carries in-progress recursive rule bodies; `None`
@@ -357,16 +461,18 @@ class Compiler(
         val all = operands ++ constNums.map(lit(_))
         (all.reduce(_ + _), KNumber)
       case Fn.SUBTRACT =>
-        // result = minuend - sum(other operands); minuend is constants(0)
-        // if present, else the first variable — src/plan/transform.rs:146-192.
-        consts.lift(0).flatten match {
-          case Some(Value.VNumber(minuend)) =>
-            val rest = operands ++ constNums.filterNot(_ == minuend).map(lit(_))
-            (rest.foldLeft(lit(minuend): Column)(_ - _), KNumber)
-          case _ =>
-            val rest = operands.tail ++ constNums.map(lit(_))
-            (rest.foldLeft(operands.head)(_ - _), KNumber)
+        // The reference doubles the minuend (constants(0) if present, else
+        // the first variable) then subtracts ALL vars and ALL constants —
+        // including the minuend's own occurrence — so the net effect is
+        // minuend - (everything else), positionally exact even when other
+        // operands equal the minuend's value (src/plan/transform.rs:146-192).
+        val minuend: Column = consts.lift(0).flatten match {
+          case Some(Value.VNumber(m)) => lit(m)
+          case Some(other) => sys.error(s"SUBTRACT minuend must be a number, got $other")
+          case None        => operands.head
         }
+        val subtrahends = operands ++ constNums.map(lit(_))
+        (subtrahends.foldLeft(minuend + minuend)(_ - _), KNumber)
     }
     val n = rel.vars.length
     val df = rel.df.select(
@@ -395,15 +501,12 @@ class Compiler(
 
     val valueVars = dedupFirst(aggVars ++ withVars).filterNot(keyVars.contains)
     val pre = projectTo(rel, keyVars ++ valueVars)
-    // Order statistics need the distinct Z-set support, which requires a
-    // consolidation shuffle — but only when weights can differ from 1.
     // Unit-weight inputs (the bulk/static path) go straight to groupBy:
     // one shuffle, map-side partial aggregation, exactly the plan you'd
-    // write by hand.
-    // Linear aggregates (COUNT/SUM/AVG/VARIANCE) are weight-arithmetic and
-    // never need it.
-    val needsOrderStats = fns.exists(f => f == MIN || f == MAX || f == MEDIAN)
-    val cons = if (needsOrderStats && !pre.unit) consolidate(pre.df) else pre.df
+    // write by hand. Non-unit (Z-set) inputs are consolidated first: order
+    // statistics need the distinct support set, and empty-support detection
+    // (below) needs per-value net weights.
+    val cons = if (!pre.unit) consolidate(pre.df) else pre.df
 
     val keyCols = keyVars.indices.map(i => col(c(i)))
     def vcol(v: Int): Column = col(c(pre.idx(v)))
@@ -438,12 +541,28 @@ class Compiler(
       }
     }
 
-    val grouped =
-      if (keyVars.nonEmpty) cons.groupBy(keyCols: _*).agg(aggExprs.head, aggExprs.tail: _*)
+    // Keys whose consolidated support is empty must vanish (the reference's
+    // reduce/count emit nothing for them) — reachable only on the non-unit
+    // path via Negate: track positive-support and net-weight alongside.
+    val supExprs =
+      if (pre.unit) Seq.empty
+      else Seq(sum(when(col(W) > 0, 1L).otherwise(0L)).as("_sup"),
+        sum(col(W)).as("_wsum"))
+    val allExprs = aggExprs ++ supExprs
+
+    val rawGrouped =
+      if (keyVars.nonEmpty) cons.groupBy(keyCols: _*).agg(allExprs.head, allExprs.tail: _*)
       else {
         // Global aggregation must produce nothing on empty input (the
         // reference's reduce is per-key); group by a dummy key and drop it.
-        cons.groupBy(lit(0).as("_g")).agg(aggExprs.head, aggExprs.tail: _*).drop("_g")
+        cons.groupBy(lit(0).as("_g")).agg(allExprs.head, allExprs.tail: _*).drop("_g")
+      }
+    val grouped =
+      if (pre.unit) rawGrouped
+      else {
+        val base = rawGrouped.where(col("_sup") > 0L)
+        if (fns.exists(f => f == COUNT || f == SUM)) base.where(col("_wsum") =!= 0L)
+        else base
       }
 
     // Re-insert aggregation results at their find-clause positions
@@ -523,17 +642,25 @@ class Compiler(
 
     def applyPreds(): Unit =
       preds.filterNot(appliedPreds.contains).foreach { p =>
-        if (rel.vars.contains(p.x) && rel.vars.contains(p.y)) {
-          val cond = p.predicate match {
-            case Predicate.LT  => rel.colOf(p.x) < rel.colOf(p.y)
-            case Predicate.GT  => rel.colOf(p.x) > rel.colOf(p.y)
-            case Predicate.LTE => rel.colOf(p.x) <= rel.colOf(p.y)
-            case Predicate.GTE => rel.colOf(p.x) >= rel.colOf(p.y)
-            case Predicate.EQ  => rel.colOf(p.x) === rel.colOf(p.y)
-            case Predicate.NEQ => rel.colOf(p.x) =!= rel.colOf(p.y)
-          }
-          rel = rel.copy(df = rel.df.where(cond))
-          appliedPreds += p
+        // An operand is usable once its variable is a bound column, or
+        // immediately if it is Const-bound (constants are pushed into scans
+        // and never become columns — substitute the literal).
+        def operand(v: Int): Option[Column] =
+          if (rel.vars.contains(v)) Some(rel.colOf(v))
+          else constOf.get(v).map(Value.asLiteral)
+        (operand(p.x), operand(p.y)) match {
+          case (Some(a), Some(b)) =>
+            val cond = p.predicate match {
+              case Predicate.LT  => a < b
+              case Predicate.GT  => a > b
+              case Predicate.LTE => a <= b
+              case Predicate.GTE => a >= b
+              case Predicate.EQ  => a === b
+              case Predicate.NEQ => a =!= b
+            }
+            rel = rel.copy(df = rel.df.where(cond))
+            appliedPreds += p
+          case _ => ()
         }
       }
 
@@ -547,6 +674,11 @@ class Compiler(
       remaining = remaining.filterNot(_ eq next)
       applyPreds()
     }
+
+    // The reference panics on predicates over unbound variables — a silent
+    // drop would return a superset with no error.
+    require(appliedPreds.size == preds.size,
+      s"predicate bindings over unbound variables: ${preds.filterNot(appliedPreds.contains)}")
 
     // Negation-as-antijoin (AntijoinBinding, src/plan/hector.rs:1494-1529).
     notBs.foreach { nb =>
@@ -593,7 +725,7 @@ class Compiler(
         val inter = interleave(inputCols, pathAttrs)
         val df = input.df.select(
           inter.zipWithIndex.map { case ((cc, _), i) => cc.as(c(i)) } :+ col(W): _*)
-        Rel(inter.indices.map(i => -(i + 1)), inter.map(_._2), df)
+        Rel(inter.indices.map(i => -(i + 1)), inter.map(_._2), df, unit = input.unit)
       }
     } else {
       val eIdx = input.idx(pullVar)
@@ -632,7 +764,9 @@ class Compiler(
         val base = if (pathAttrs.isEmpty || cardMany) path else path.dropRight(1)
         base.map(_._2) ++ Seq(KAid, KVariant)
       }
-      Rel((0 until arity).map(i => -(i + 1)), pathKinds, unioned)
+      // Weight-1 input × weight-1 attributes ⇒ weight-1 paths.
+      Rel((0 until arity).map(i => -(i + 1)), pathKinds, unioned,
+        unit = input.unit && pullAttrs.forall(source.unit))
     }
   }
 }

@@ -47,8 +47,17 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     outputs.getOrElseUpdate(name, mutable.ArrayBuffer.empty)
   }
 
-  /** Datoms without an explicit time are stamped with the current epoch. */
-  def transact(datoms: Seq[Datom]): Unit = domain.transact(datoms, frontier)
+  /** Datoms without an explicit time are stamped with the current epoch.
+    * Explicit times below the advanced frontier are rejected loudly — the
+    * reference refuses writes at completed times (`Domain::advance_epoch`,
+    * `src/domain/mod.rs:268-274`); silently accepting them would defer or
+    * drop their output diffs. */
+  def transact(datoms: Seq[Datom]): Unit = {
+    datoms.foreach(d => d.t.foreach(t =>
+      require(t >= frontier,
+        s"write at closed time $t: frontier has advanced to $frontier")))
+    domain.transact(datoms, frontier)
+  }
 
   /** Advance the logical clock to `next`: every input time in
     * [frontier, next) is now complete; emit output diffs at each. */

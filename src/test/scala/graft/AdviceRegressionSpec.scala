@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Engine
+import graft.model._
+import graft.model.Plan._
+
+/** Regressions for the round-1 advisor findings (ADVICE.md):
+  *  1. writes at closed times are rejected loudly;
+  *  2. Hector predicates over Const-bound variables apply as literals, and
+  *     predicates over unbound variables fail instead of silently dropping;
+  *  3. SUBTRACT with a constant minuend equal in value to another constant
+  *     follows the reference's double-then-subtract-all scheme;
+  *  4. fixpoint convergence is content-based (and semi-naive for linear
+  *     monotone cliques);
+  *  5. aggregation keys with empty consolidated support emit nothing.
+  */
+class AdviceRegressionSpec extends AnyFunSuite with EngineCases {
+
+  private def spark = TestSpark.spark
+
+  test("transact at a closed time fails loudly (ADVICE #1)") {
+    val engine = new Engine(spark)
+    engine.createAttribute(":x", AttributeConfig(InputSemantics.Raw))
+    engine.register(Rule("query", matchA(0, ":x", 1)))
+    engine.interest("query")
+    engine.transact(Seq(Datom.addAt(1L, ":x", Value.num(10), 0L)))
+    engine.advance(2)
+    engine.drain("query")
+    val ex = intercept[IllegalArgumentException] {
+      engine.transact(Seq(Datom.addAt(2L, ":x", Value.num(20), 1L)))
+    }
+    assert(ex.getMessage.contains("closed time"))
+    // At-or-above the frontier is still fine.
+    engine.transact(Seq(Datom.addAt(3L, ":x", Value.num(30), 2L)))
+  }
+
+  test("hector predicate against a Const-bound variable (ADVICE #2)") {
+    // [?e :age ?v] [?c = 30] [?v > ?c] — var 2 is bound only by Const.
+    val plan = q(Seq(0, 1), Seq(
+      Binding.attribute(0, ":age", 1),
+      Binding.constant(2, Value.num(30)),
+      Binding.binaryPredicate(Predicate.GT, 1, 2)))
+    runCases(Seq(TC(
+      "pred vs const-bound var",
+      plan,
+      Seq(Seq(
+        Datom.add(1L, ":age", Value.num(20)),
+        Datom.add(2L, ":age", Value.num(30)),
+        Datom.add(3L, ":age", Value.num(40)))),
+      Seq(Seq((Seq(Value.eid(3), Value.num(40)), 0L, 1L))))))
+  }
+
+  test("hector predicate over an unbound variable panics (ADVICE #2)") {
+    val engine = new Engine(spark)
+    engine.createAttribute(":age", AttributeConfig(InputSemantics.Distinct))
+    engine.register(Rule("query", q(Seq(0, 1), Seq(
+      Binding.attribute(0, ":age", 1),
+      Binding.binaryPredicate(Predicate.GT, 1, 99))))) // 99 never bound
+    engine.interest("query")
+    engine.transact(Seq(Datom.add(1L, ":age", Value.num(20))))
+    val ex = intercept[Exception] { engine.advance(1) }
+    assert(ex.getMessage.contains("unbound"))
+  }
+
+  test("SUBTRACT [Some(5), Some(5)]: 5 - vars - 5 (ADVICE #3)") {
+    // Reference: result = 2*minuend - Σvars - Σconsts = 10 - v - 5 - 5 = -v.
+    runCases(Seq(TC(
+      "subtract duplicate constants",
+      Transform(Seq(1), 2, matchA(0, ":n", 1), Fn.SUBTRACT,
+        Seq(Some(Value.num(5)), Some(Value.num(5)))),
+      Seq(Seq(Datom.add(1L, ":n", Value.num(7)))),
+      Seq(Seq((Seq(Value.eid(1), Value.num(7), Value.num(-7)), 0L, 1L))))))
+  }
+
+  test("aggregate key with empty consolidated support vanishes (ADVICE #5)") {
+    // (+1, -1) on the same (e, v) under Raw semantics nets to zero support;
+    // COUNT must emit nothing for that key, not (key, 0).
+    val plan = Aggregate(Seq(0, 1), matchA(0, ":v", 1),
+      Seq(AggregationFn.COUNT), Seq(0), Seq(1), Seq.empty)
+    runCases(Seq(TC(
+      "empty-support key",
+      plan,
+      Seq(
+        Seq(Datom.add(1L, ":v", Value.num(3)),
+          Datom.add(2L, ":v", Value.num(4))),
+        Seq(Datom.retract(1L, ":v", Value.num(3)))),
+      Seq(
+        Seq(
+          (Seq(Value.eid(1), Value.num(1)), 0L, 1L),
+          (Seq(Value.eid(2), Value.num(1)), 0L, 1L)),
+        Seq(
+          (Seq(Value.eid(1), Value.num(1)), 1L, -1L))))),
+      semantics = InputSemantics.Raw)
+  }
+
+  test("semi-naive fixpoint matches naive closure (ADVICE #4)") {
+    // Tiny graph: edges {(1,2),(2,3),(3,4),(2,5)} ⇒ closure adds
+    // (1,3),(1,4),(1,5),(2,4).
+    val edges = Rule("edges", matchA(0, ":edge", 1))
+    val closure = Rule("closure", Union(Seq(0, 1), Seq(
+      NameExpr(Seq(0, 1), "edges"),
+      Project(Seq(0, 1), Join(Seq(2),
+        NameExpr(Seq(0, 2), "edges"),
+        NameExpr(Seq(2, 1), "closure"))))))
+    val expected = Set(
+      (1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L),
+      (1L, 3L), (1L, 4L), (1L, 5L), (2L, 4L), (3L, 4L))
+
+    val engine = new Engine(spark)
+    engine.createAttribute(":edge", AttributeConfig(InputSemantics.Distinct))
+    engine.register(edges)
+    engine.register(closure)
+    engine.interest("closure")
+    engine.transact(Seq(
+      Datom.add(1L, ":edge", Value.eid(2)),
+      Datom.add(2L, ":edge", Value.eid(3)),
+      Datom.add(3L, ":edge", Value.eid(4)),
+      Datom.add(2L, ":edge", Value.eid(5))))
+    engine.advance(1)
+    val got = engine.drain("closure").map { case (tuple, _, d) =>
+      assert(d == 1L)
+      (tuple(0).asInstanceOf[Long], tuple(1).asInstanceOf[Long])
+    }.toSet
+    assert(got == expected)
+  }
+}
