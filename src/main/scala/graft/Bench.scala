@@ -13,7 +13,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm the session first (codegen compilation, parquet footer reads,
+    // broadcast machinery) so startup cost isn't attributed to whichever
+    // query happens to run first.
+    SparkEntry.entry(spark).count()
+
+    // Optional comma-separated subset for local iteration, e.g.
+    // SPARK_GRAFT_ONLY=q_dedup_jaccard,q_recursion_closure
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.contains(name))
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -137,8 +137,22 @@ class Compiler(
     }
     var iter = 0
 
+    // Non-cyclic rules referenced from the clique are re-read every round —
+    // materialize them once so each iteration scans a checkpoint instead of
+    // re-deriving (e.g. re-distincting an edge list out of the fact table).
+    ordered.flatMap(r => reachable(r)).distinct
+      .filterNot(cyclic).filter(rules.contains).foreach { dep =>
+        val rel = compileRule(dep)
+        memo(dep) = rel.copy(df = rel.df.localCheckpoint(true))
+      }
+
     if (semiNaive) {
-      // Round 0: deltas = bodies evaluated with empty recursion variables.
+      // Per-round bodies are the DERIVATIVE of the rule: union branches
+      // without the recursive reference are constants whose delta is empty,
+      // so only the recursive branch is re-evaluated after round 0.
+      val derived: Map[String, Plan] =
+        ordered.map(r => r -> derivative(rules(r).plan, cyclic)).toMap
+      // Round 0: deltas = full bodies evaluated with empty recursion vars.
       var delta: Map[String, Option[Rel]] = ordered.map { r =>
         r -> compile(rules(r).plan, ordered.map(_ -> (None: Option[Rel])).toMap)
           .map(rel => rel.copy(df = distinctify(rel.df).localCheckpoint(true)))
@@ -148,7 +162,7 @@ class Compiler(
       while (changed && iter < maxIterations) {
         iter += 1
         val stepped = ordered.map { r =>
-          val cand = compile(rules(r).plan, delta)
+          val cand = compile(derived(r), delta)
           val fresh: Option[Rel] = (cand, total(r)) match {
             case (None, _)          => None
             case (Some(c), None)    => Some(c.copy(df = distinctify(c.df)))
@@ -224,6 +238,28 @@ class Compiler(
     case P.PullLevel(_, x, _, _, _, _) => isMonotone(x)
     case P.Pull(_, ps)                => ps.forall(isMonotone)
     case _: P.Negate | _: P.Antijoin | _: P.Aggregate => false
+  }
+
+  /** Differentiate a linear body with respect to its (single) recursive
+    * reference: drop union branches that don't contain it — they are
+    * constants across rounds, already folded into the total by round 0.
+    * Valid at any depth because monotone operators distribute over union in
+    * each argument (the semi-naive precondition). */
+  private def derivative(p: Plan, rec: Set[String]): Plan = p match {
+    case u @ P.Union(vs, ps) =>
+      val (recPs, _) = ps.partition(recRefCount(_, rec) > 0)
+      if (recPs.isEmpty) u else P.Union(vs, recPs.map(derivative(_, rec)))
+    case P.Project(vs, x)                 => P.Project(vs, derivative(x, rec))
+    case j @ P.Join(vs, l, r) =>
+      if (recRefCount(l, rec) > 0) P.Join(vs, derivative(l, rec), r)
+      else if (recRefCount(r, rec) > 0) P.Join(vs, l, derivative(r, rec))
+      else j
+    case P.Filter(vs, pr, x, cs)          => P.Filter(vs, pr, derivative(x, rec), cs)
+    case P.Transform(vs, rv, x, f, cs)    => P.Transform(vs, rv, derivative(x, rec), f, cs)
+    case P.PullLevel(vs, x, pv, pas, pth, cm) =>
+      P.PullLevel(vs, derivative(x, rec), pv, pas, pth, cm)
+    case P.Pull(vs, ps)                   => P.Pull(vs, ps.map(derivative(_, rec)))
+    case other                            => other
   }
 
   /** Number of direct references to clique rules in a plan body (clique

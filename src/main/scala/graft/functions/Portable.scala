@@ -23,9 +23,22 @@ object Portable {
   def h64Seeded(seed: Int, c: Column): Column =
     h64(concat_ws(":", lit(seed.toString), c))
 
+  /** Second independent hash from the SAME md5 digest: 56 bits from hex
+    * chars 17-30. One md5 yields the (h64, h64b) pair that seeds a whole
+    * hash family via `h64 + j·h64b` (Kirsch-Mitzenmacher double hashing) —
+    * 8 MinHash permutations for the price of one digest, and
+    * max(h64) + 7·max(h64b) < 2^63 so the arithmetic never overflows in
+    * either engine. */
+  def h64b(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 17, 14), 16, 10).cast("long")
+
   /** DuckDB SQL fragment equivalent to [[h64]]. */
   def h64Sql(expr: String): String =
     s"CAST('0x' || substring(md5(CAST($expr AS VARCHAR)), 1, 15) AS BIGINT)"
+
+  /** DuckDB SQL fragment equivalent to [[h64b]]. */
+  def h64bSql(expr: String): String =
+    s"CAST('0x' || substring(md5(CAST($expr AS VARCHAR)), 17, 14) AS BIGINT)"
 
   /** DuckDB SQL fragment equivalent to [[h64Seeded]]. */
   def h64SeededSql(seed: Int, expr: String): String =

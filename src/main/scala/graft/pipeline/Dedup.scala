@@ -24,16 +24,26 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n"))
 
-  /** MinHash signature: `perms` independent 60-bit min-hashes over word
-    * `n`-gram shingles. Columns: id, m0..m{perms-1}. Single pass, no
-    * shuffle (per-row aggregation via array_min). */
+  /** MinHash signature: `perms` independent min-hashes over word `n`-gram
+    * shingles. Columns: id, m0..m{perms-1}. Single pass, no shuffle
+    * (per-row aggregation via array_min), and ONE md5 digest per shingle:
+    * the digest's two halves (h1, h2) seed the whole permutation family as
+    * `h1 + j·h2` — at 100 TB the digest, not the min, is the dominant cost,
+    * so this is ~`perms`× cheaper than hashing per permutation.
+    *
+    * The two-step select is deliberate: the hashed-shingle array
+    * materializes per row once, and CollapseProject keeps it that way
+    * (non-cheap expressions referenced `perms` times don't re-inline). */
   def minhash(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, perms: Int = 8): DataFrame = {
-    val sh = shingles(col(textCol), n)
+    val hashed = transform(shingles(col(textCol), n),
+      s => struct(h64(s).as("h1"), h64b(s).as("h2")))
     val sig = (0 until perms).map { j =>
-      array_min(transform(sh, s => h64Seeded(j, s))).as(s"m$j")
+      array_min(transform(col("_h"),
+        h => h.getField("h1") + lit(j.toLong) * h.getField("h2"))).as(s"m$j")
     }
-    docs.select((col(idCol).as("id") +: sig): _*)
+    docs.select(col(idCol).as("id"), hashed.as("_h"))
+      .select((col("id") +: sig): _*)
   }
 
   /** LSH bands over a minhash signature: `bands` buckets of
@@ -53,10 +63,15 @@ object Dedup {
 
   /** Candidate near-duplicate pairs from LSH buckets: a self-equijoin on
     * (band, bucket) — the shuffle is keyed by bucket, so work is
-    * proportional to bucket sizes, not |docs|². */
+    * proportional to bucket sizes, not |docs|². The bucket table is
+    * materialized first (it's tiny — |docs|·bands rows of three longs —
+    * while its lineage holds the full signature computation), so the
+    * self-join's two sides share one computation instead of re-hashing
+    * every shingle twice. */
   def candidatePairs(buckets: DataFrame): DataFrame = {
-    val l = buckets.toDF("a", "band", "bucket")
-    val r = buckets.toDF("b", "band", "bucket")
+    val mat = buckets.localCheckpoint(true)
+    val l = mat.toDF("a", "band", "bucket")
+    val r = mat.toDF("b", "band", "bucket")
     l.join(r, Seq("band", "bucket"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
@@ -81,14 +96,19 @@ object Dedup {
   }
 
   /** Exact word n-gram Jaccard for given (a, b) candidate pairs, returned
-    * as exact integers (intersection, union) to stay float-free. */
+    * as exact integers (intersection, union) to stay float-free. Set sizes
+    * come from a per-row array expression (no explode, no shuffle); the
+    * exploded shingle table feeds both sides of the intersection join, so
+    * it is materialized once instead of re-shingling every document twice. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       explode(array_distinct(shingles(col(textCol), n))).as("s"))
+      .localCheckpoint(true)
     val a = sh.toDF("a", "s")
     val b = sh.toDF("b", "s")
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sizes = docs.select(col(idCol).as("id"),
+      size(array_distinct(shingles(col(textCol), n))).cast("long").as("sz"))
     // Equi-join on the shingle itself: work is proportional to shingle
     // collisions, not |pairs| × |shingles|.
     val inter = a.join(b, Seq("s"))

@@ -99,9 +99,11 @@ object PipelineQueries {
 
   private def sigSql(perms: Int): String = {
     val mins = (0 until perms)
-      .map(j => s"MIN(${h64SeededSql(j, "s")}) AS m$j").mkString(", ")
+      .map(j => s"MIN(h1 + $j * h2) AS m$j").mkString(", ")
     s"""SELECT CAST(doc_id AS BIGINT) AS id, $mins
-        FROM (SELECT doc_id, unnest($sh3) AS s FROM documents) GROUP BY 1"""
+        FROM (SELECT doc_id, ${h64Sql("s")} AS h1, ${h64bSql("s")} AS h2
+              FROM (SELECT doc_id, unnest($sh3) AS s FROM documents))
+        GROUP BY 1"""
   }
 
   private def bandsSql: String = {
