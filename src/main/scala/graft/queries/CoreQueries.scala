@@ -97,12 +97,32 @@ object CoreQueries {
           Seq(None, Some(Value.VReal(0.0)))),
         Seq("e", "bal"))),
 
+    // ---- binary join (Plan::Join proper, not Hector) ----
+    "q_join_binary" -> ((s, dir) =>
+      p(s, dir,
+        Join(Seq(1), matchA(0, ":customer/nationkey", 1),
+          matchA(1, ":nation/name", 2)),
+        Seq("nk", "c", "nn"))),
+
+    // ---- filter between two bound variables ----
+    "q_filter_vars" -> ((s, dir) =>
+      p(s, dir,
+        Filter(Seq(6, 7), Predicate.LT, Project(Seq(0, 3, 6, 7), li),
+          Seq(None, None)),
+        Seq("ok", "ln", "disc", "tax"))),
+
     // ---- transform ----
     "q_transform_add" -> ((s, dir) =>
       p(s, dir,
         Transform(Seq(4, 3), 20, Project(Seq(4, 3), li),
           Fn.ADD, Seq(Some(Value.num(5)))),
         Seq("qty", "ln", "total"))),
+    "q_transform_subtract" -> ((s, dir) =>
+      // constant minuend: 100 - qty - ln (reference double-then-subtract-all)
+      p(s, dir,
+        Transform(Seq(4, 3), 20, Project(Seq(4, 3), li),
+          Fn.SUBTRACT, Seq(Some(Value.num(100)))),
+        Seq("qty", "ln", "rem"))),
     "q_transform_truncate" -> ((s, dir) =>
       p(s, dir,
         Transform(Seq(1), 2, matchA(0, ":events/ts", 1),
@@ -122,6 +142,27 @@ object CoreQueries {
             AggregationFn.COUNT, AggregationFn.SUM),
           Seq(8), Seq(4, 4, 4, 4, 4), Seq.empty),
         Seq("f", "min_q", "max_q", "med_q", "n", "sum_q"))),
+    "q_agg_avg_var" -> ((s, dir) =>
+      // AVG/VARIANCE return exact gcd-reduced rationals
+      // (src/plan/aggregate_neu.rs:206-239) — unpacked to (num, den) longs.
+      p(s, dir,
+        Aggregate(Seq(8, 4, 4), Project(Seq(8, 4), li),
+          Seq(AggregationFn.AVG, AggregationFn.VARIANCE),
+          Seq(8), Seq(4, 4), Seq.empty),
+        Seq("f", "avg_q", "var_q"))
+        .select(col("f"),
+          col("avg_q").getField("num").as("avg_num"),
+          col("avg_q").getField("den").as("avg_den"),
+          col("var_q").getField("num").as("var_num"),
+          col("var_q").getField("den").as("var_den"))),
+    "q_agg_median_with" -> ((s, dir) =>
+      // Datomic :with — the extra variable rides along so the order
+      // statistic runs over distinct (value, with) tuples
+      // (src/plan/aggregate_neu.rs:130-143).
+      p(s, dir,
+        Aggregate(Seq(8, 4), Project(Seq(8, 4, 3), li),
+          Seq(AggregationFn.MEDIAN), Seq(8), Seq(4), Seq(3)),
+        Seq("f", "med_q"))),
     "q_agg_global" -> ((s, dir) =>
       p(s, dir,
         Aggregate(Seq(4, 4), Project(Seq(4), li),
@@ -199,6 +240,34 @@ object CoreQueries {
          EXCEPT SELECT o_custkey FROM orders""",
     "q_filter_const" ->
       "SELECT c_custkey AS e, c_acctbal AS bal FROM customer WHERE c_acctbal < 0",
+    "q_join_binary" ->
+      """SELECT CAST(c.c_nationkey AS BIGINT) AS nk, c.c_custkey AS c, n.n_name AS nn
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""",
+    "q_filter_vars" ->
+      """SELECT l_orderkey AS ok, CAST(l_linenumber AS BIGINT) AS ln,
+                l_discount AS disc, l_tax AS tax
+         FROM lineitem WHERE l_discount < l_tax""",
+    "q_transform_subtract" ->
+      """SELECT CAST(l_quantity AS BIGINT) AS qty,
+                CAST(l_linenumber AS BIGINT) AS ln,
+                100 - CAST(l_quantity AS BIGINT) - CAST(l_linenumber AS BIGINT) AS rem
+         FROM lineitem""",
+    "q_agg_avg_var" ->
+      """WITH g AS (SELECT l_returnflag AS f, CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+                           CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ssq
+                    FROM lineitem GROUP BY 1)
+         SELECT f,
+                CAST(s // gcd(abs(s), n) AS BIGINT) AS avg_num,
+                CAST(n // gcd(abs(s), n) AS BIGINT) AS avg_den,
+                CAST((ssq * n - s * s) // gcd(abs(ssq * n - s * s), n * n) AS BIGINT) AS var_num,
+                CAST((n * n) // gcd(abs(ssq * n - s * s), n * n) AS BIGINT) AS var_den
+         FROM g""",
+    "q_agg_median_with" ->
+      """WITH d AS (SELECT DISTINCT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS v,
+                           CAST(l_linenumber AS BIGINT) AS w FROM lineitem),
+           a AS (SELECT f, list_sort(list({'v': v, 'w': w})) AS arr FROM d GROUP BY 1)
+         SELECT f, CAST(arr[len(arr) // 2 + 1].v AS BIGINT) AS med_q FROM a""",
     "q_transform_add" ->
       """SELECT CAST(l_quantity AS BIGINT) AS qty,
                 CAST(l_linenumber AS BIGINT) AS ln,

@@ -81,6 +81,17 @@ object PipelineQueries {
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")),
 
+    "q_multimodal_features" -> ((s, dir) => {
+      // Opaque-binary media plumbing (stub decoder — no codecs in this
+      // container): schema, repartition-by-id, per-partition decode. No SQL
+      // oracle (mapPartitions over a typed Dataset) → rows-only check.
+      import graft.pipeline.Multimodal
+      val media = Multimodal.fromBinary(
+        docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("b")),
+        "doc_id", "b", "image", "application/octet-stream")
+      Multimodal.extractFeatures(media, partitions = Some(8)).toDF()
+    }),
+
     "q_lww_batch" -> ((s, dir) => {
       // Batch analog of the LastWriteWins input semantics over the events
       // stream table: latest event's value per user (ties by event_id).
