@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One attribute update on a stream: the (e, v) pair with event time and
+  * multiplicity diff — the streaming shape of the reference's per-attribute
+  * collections of `((Value, Value), T, isize)` (`src/sources/mod.rs:47-64`).
+  */
+final case class Update[V](e: Long, v: V, t: Long, diff: Long)
+
+/** Structured Streaming counterparts of the reference's input-semantics
+  * operators and delivery-time controls (SURVEY.md §2.9):
+  *
+  * | reference                                  | here                      |
+  * |--------------------------------------------|---------------------------|
+  * | `InputSemantics::LastWriteWins`            | [[DatomStreams.lastWriteWins]] |
+  * | `InputSemantics::Distinct`                 | [[DatomStreams.distinctSet]]   |
+  * | `Coarsen` delivery granularity             | [[DatomStreams.coarsen]]       |
+  * | `trace_slack` state bound                  | [[DatomStreams.withSlack]]     |
+  * | epoch advance / frontier                   | micro-batch boundary      |
+  *
+  * The stateful operators are `flatMapGroupsWithState` transforms keyed by
+  * entity (or (e, v)): state is partitioned exactly like the reference's
+  * hash-exchanged arrangements, scales by key, and emits explicit
+  * retraction diffs — which Spark's own output modes do not produce.
+  * Filter/project/union need no operators at all: they map diffs 1:1, so
+  * the plain DataFrame transforms apply unchanged to a diff stream.
+  */
+object DatomStreams {
+
+  /** Last-write-wins input semantics, the streaming mirror of the
+    * reference's per-entity state machine
+    * (`src/operators/last_write_wins.rs:71-101`): updates apply in event-
+    * time order per entity; an addition retracts the previous value and
+    * asserts the new one; an explicit retraction retracts the current value
+    * and clears state (later writes may re-assert). Emits `(e, v, t, ±1)`
+    * diffs; downstream consolidation cancels same-value rewrites.
+    */
+  def lastWriteWins[V](updates: Dataset[Update[V]])(
+      implicit uEnc: Encoder[Update[V]], vEnc: Encoder[V]): Dataset[Update[V]] = {
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    updates
+      .groupByKey(_.e)
+      .flatMapGroupsWithState[V, Update[V]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (e: Long, it: Iterator[Update[V]], state: GroupState[V]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Update[V]]
+          // Stable sort by event time (arrival order breaks ties), as the
+          // reference sorts each batch per key before the state machine.
+          it.toSeq.sortBy(_.t).foreach { u =>
+            state.getOption match {
+              case None =>
+                require(u.diff > 0,
+                  "Received a retraction of a new key on a LastWriteWins attribute")
+                state.update(u.v)
+                out += Update(e, u.v, u.t, 1L)
+              case Some(old) =>
+                if (u.diff > 0) {
+                  state.update(u.v)
+                  out += Update(e, old, u.t, -1L)
+                  out += Update(e, u.v, u.t, 1L)
+                } else {
+                  state.remove()
+                  out += Update(e, old, u.t, -1L)
+                }
+            }
+          }
+          out.iterator
+      }
+  }
+
+  /** Distinct (set) input semantics: per (e, v), emit +1 when accumulated
+    * support first turns positive and -1 when it drops back to zero —
+    * the streaming form of the reference's `distinct` wrapper on attribute
+    * inputs (`src/server/mod.rs:355-361`). */
+  def distinctSet[V](updates: Dataset[Update[V]])(
+      implicit uEnc: Encoder[Update[V]], vEnc: Encoder[V]): Dataset[Update[V]] = {
+    implicit val keyEnc: Encoder[(Long, V)] = Encoders.tuple(Encoders.scalaLong, vEnc)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    updates
+      .groupByKey(u => (u.e, u.v))
+      .flatMapGroupsWithState[Long, Update[V]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, V), it: Iterator[Update[V]], state: GroupState[Long]) =>
+          val (e, v) = key
+          var support = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Update[V]]
+          it.toSeq.sortBy(_.t).foreach { u =>
+            val before = support
+            support += u.diff
+            if (before <= 0 && support > 0) out += Update(e, v, u.t, 1L)
+            else if (before > 0 && support <= 0) out += Update(e, v, u.t, -1L)
+          }
+          state.update(support)
+          out.iterator
+      }
+  }
+
+  /** Delivery-granularity coarsening: round an event time UP to the next
+    * interval bound (identity on exact bounds) — the reference's `Coarsen`
+    * (`src/timestamp/mod.rs:144-184`), used to batch result delivery. On a
+    * stream this is a plain column transform feeding a tumbling-window
+    * group-by. */
+  def coarsen(t: Column, granularity: Long): Column =
+    when(t % granularity === 0L, t)
+      .otherwise(t - (t % granularity) + granularity)
+
+  /** Bounded state retention: the reference compacts indexes up to
+    * `frontier - trace_slack` (`src/domain/mod.rs:291-341`); the Spark
+    * analog is an event-time watermark, which bounds stateful-operator
+    * state and late-data acceptance the same way. `tMillis` must be an
+    * epoch-ms long column; returns the frame with a `_ts` timestamp column
+    * registered for watermarking. */
+  def withSlack(df: DataFrame, tMillisCol: String, slackMs: Long): DataFrame =
+    df.withColumn("_ts", timestamp_millis(col(tMillisCol)))
+      .withWatermark("_ts", s"$slackMs milliseconds")
+
+  /** Tumbling-window count with watermark — delivery granularity + slack
+    * composed (the `Interest.granularity` path, `src/server/mod.rs:110-119`).
+    */
+  def windowedCounts(
+      df: DataFrame, tMillisCol: String, granularityMs: Long,
+      slackMs: Long): DataFrame =
+    withSlack(df, tMillisCol, slackMs)
+      .groupBy(window(col("_ts"), s"$granularityMs milliseconds"))
+      .count()
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{DatomStreams, Update}
+
+/** Structured Streaming semantics: LWW and Distinct input operators emit
+  * the reference's exact retract/assert diffs across micro-batches
+  * (mirrors `tests/input_semantics.rs` expectations), and Coarsen rounds
+  * up to interval bounds (`src/timestamp/mod.rs:144-184`). */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def runBatches[V](
+      name: String,
+      transform: org.apache.spark.sql.Dataset[Update[V]] => org.apache.spark.sql.Dataset[Update[V]],
+      batches: Seq[Seq[Update[V]]])(
+      implicit enc: org.apache.spark.sql.Encoder[Update[V]]): Seq[Seq[Update[V]]] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Update[V]]
+    val query = transform(input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Update[V]]]
+      var seen = 0L
+      batches.foreach { b =>
+        input.addData(b)
+        query.processAllAvailable()
+        val all = spark.table(name).as[Update[V]].collect().toSeq
+        out += all.drop(seen.toInt)
+        seen = all.length
+      }
+      out.toSeq
+    } finally query.stop()
+  }
+
+  test("lastWriteWins emits retract+assert per entity across batches") {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Update[String]]
+    implicit val vEnc = org.apache.spark.sql.Encoders.STRING
+    val got = runBatches[String](
+      "lww_out",
+      ds => DatomStreams.lastWriteWins(ds),
+      Seq(
+        // batch 1: e1 written twice (time order within the batch), e2 once
+        Seq(Update(1L, "A", 0L, 1L), Update(1L, "B", 1L, 1L), Update(2L, "C", 0L, 1L)),
+        // batch 2: e1 overwritten, e2 explicitly retracted
+        Seq(Update(1L, "D", 2L, 1L), Update(2L, "X", 2L, -1L))))
+
+    assert(got(0).toSet == Set(
+      Update(1L, "A", 0L, 1L), Update(1L, "A", 1L, -1L), Update(1L, "B", 1L, 1L),
+      Update(2L, "C", 0L, 1L)))
+    assert(got(1).toSet == Set(
+      Update(1L, "B", 2L, -1L), Update(1L, "D", 2L, 1L),
+      // retraction retracts the CURRENT value (state machine), not the
+      // retraction's own payload
+      Update(2L, "C", 2L, -1L)))
+  }
+
+  test("distinctSet emits one diff per support zero-crossing") {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Update[Long]]
+    implicit val vEnc = org.apache.spark.sql.Encoders.scalaLong
+    val got = runBatches[Long](
+      "distinct_out",
+      ds => DatomStreams.distinctSet(ds),
+      Seq(
+        // double assert → a single +1
+        Seq(Update(1L, 7L, 0L, 1L), Update(1L, 7L, 1L, 1L)),
+        // one retraction → support still positive, nothing emitted
+        Seq(Update(1L, 7L, 2L, -1L)),
+        // second retraction → support zero, -1 emitted
+        Seq(Update(1L, 7L, 3L, -1L))))
+    assert(got(0) == Seq(Update(1L, 7L, 0L, 1L)))
+    assert(got(1).isEmpty)
+    assert(got(2) == Seq(Update(1L, 7L, 3L, -1L)))
+  }
+
+  test("coarsen rounds up to interval bounds") {
+    import spark.implicits._
+    val df = Seq(0L, 1L, 59L, 60L, 61L, 120L).toDF("t")
+    val got = df.select(DatomStreams.coarsen($"t", 60L).as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 60L, 60L, 60L, 120L, 120L))
+  }
+
+  test("windowedCounts groups by tumbling event-time windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Long]
+    val query = DatomStreams.windowedCounts(
+      input.toDS().toDF("t"), "t", granularityMs = 1000L, slackMs = 2000L)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Seq(0L, 100L, 999L, 1000L, 1500L))
+      query.processAllAvailable()
+      val rows = spark.table("win_out")
+        .selectExpr("window.start", "count").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toMap
+      assert(rows == Map(0L -> 3L, 1000L -> 2L))
+    } finally query.stop()
+  }
+}
