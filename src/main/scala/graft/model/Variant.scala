@@ -74,6 +74,21 @@ object Variant {
       d.as("d"), rn.as("rn"), rd.as("rd"))
   }
 
+  /** Decode a collected variant row back into a `Value` (inverse of
+    * [[rowOf]]/[[encode]]). */
+  def valueOf(r: Row): Value = r.getInt(0) match {
+    case 0 => Value.VAid(r.getString(1))
+    case 1 => Value.VString(r.getString(1))
+    case 2 => Value.VBool(r.getBoolean(3))
+    case 3 => Value.VNumber(r.getLong(2))
+    case 4 => Value.VRational(r.getLong(5), r.getLong(6))
+    case 5 => Value.VEid(r.getLong(2))
+    case 6 => Value.VInstant(r.getLong(2))
+    case 7 => Value.VUuid(r.getString(1))
+    case 8 => Value.VReal(r.getDouble(4))
+    case other => sys.error(s"unknown variant tag $other")
+  }
+
   /** Driver-side representation of a `Value` as a variant row, for comparing
     * collected results against expectations. */
   def rowOf(v: Value): Row = {

@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.domain.Domain
+import graft.model.ValueKind
+import graft.model.ValueKind._
+
+/** File → attribute-collection sources, the Spark mirror of the reference's
+  * `Sourceable` implementations (`src/sources/mod.rs:47-64`): one file fans
+  * out into one `(e, v)` relation per requested attribute.
+  *
+  * Differences from the reference are deliberate Spark idioms:
+  *  - the poll/fuel/re-activation machinery (`csv_file.rs:95-199`) is the
+  *    engine's scheduling concern — here a file is either a batch scan or a
+  *    `readStream` with `maxFilesPerTrigger` (same batching effect);
+  *  - per-worker round-robin sharding becomes Spark's split planning.
+  *
+  * Reference CSV attributes are registered with Distinct semantics
+  * (`csv_file.rs:204-212`) — mirrored in [[registerCsv]].
+  */
+object FileSources {
+
+  /** Reference `CsvFile` (`src/sources/csv_file.rs:17-39`): positional
+    * schema `(aid, (column offset, type hint))`, entity id at `eidOffset`.
+    * Only String / Number / Eid hints are supported (`csv_file.rs:147-159`).
+    */
+  final case class CsvFile(
+      path: String,
+      hasHeaders: Boolean = true,
+      delimiter: String = ",",
+      comment: Option[String] = None,
+      eidOffset: Int = 0,
+      schema: Seq[(String, (Int, ValueKind))] = Seq.empty)
+
+  /** Reference `JsonFile` (`src/sources/json_file.rs:24-150`): newline-
+    * delimited JSON objects; the object's line index becomes its eid; one
+    * output per requested attribute; String / Number / Bool values only
+    * (`json_file.rs:108-131`). */
+  final case class JsonFile(
+      path: String,
+      attributes: Seq[(String, ValueKind)])
+
+  private def castTo(c: org.apache.spark.sql.Column, kind: ValueKind) = kind match {
+    case KString          => c.cast("string")
+    case KNumber | KEid   => c.cast("long")
+    case KBool            => c.cast("boolean")
+    case other            => sys.error(s"unsupported source type hint $other")
+  }
+
+  /** Read a CSV into per-attribute `(e, v)` DataFrames. One scan serves all
+    * attributes (Catalyst prunes unused columns per branch). */
+  def sourceCsv(spark: SparkSession, src: CsvFile): Seq[(String, DataFrame, ValueKind)] = {
+    var reader = spark.read
+      .option("header", src.hasHeaders.toString)
+      .option("delimiter", src.delimiter)
+      .option("inferSchema", "false")
+    src.comment.foreach(c => reader = reader.option("comment", c))
+    val raw = reader.csv(src.path)
+    val cols = raw.columns
+    val e = col(cols(src.eidOffset)).cast("long").as("e")
+    src.schema.map { case (aid, (offset, kind)) =>
+      (aid, raw.select(e, castTo(col(cols(offset)), kind).as("v")), kind)
+    }
+  }
+
+  /** Read newline-delimited JSON into per-attribute `(e, v)` DataFrames.
+    * Line index = eid (the reference's object index): assigned with
+    * `zipWithIndex`, which is deterministic in input order. Objects missing
+    * an attribute contribute no datom for it. */
+  def sourceJson(spark: SparkSession, src: JsonFile): Seq[(String, DataFrame, ValueKind)] = {
+    val lines = spark.read.textFile(src.path)
+    val indexed = lines.rdd.zipWithIndex().map { case (line, idx) => (idx, line) }
+    val indexedDf = spark.createDataFrame(
+      indexed.map { case (i, l) => org.apache.spark.sql.Row(i, l) },
+      StructType(Seq(
+        StructField("e", LongType, false), StructField("line", StringType, true))))
+      .where(length(trim(col("line"))) > 0)
+    val jsonSchema = StructType(src.attributes.map { case (aid, kind) =>
+      StructField(aid, kind match {
+        case KString        => StringType
+        case KNumber | KEid => LongType
+        case KBool          => BooleanType
+        case other          => sys.error(s"unsupported source type hint $other")
+      }, true)
+    })
+    val parsed = indexedDf
+      .select(col("e"), from_json(col("line"), jsonSchema).as("o"))
+    src.attributes.map { case (aid, kind) =>
+      (aid, parsed.select(col("e"), col(s"o.`$aid`").as("v")).where(col("v").isNotNull), kind)
+    }
+  }
+
+  /** Register a CSV source's attributes into a domain with Distinct
+    * semantics, as the reference does (`csv_file.rs:204-212`). */
+  def registerCsv(domain: Domain, src: CsvFile): Unit =
+    sourceCsv(domain.spark, src).foreach { case (aid, df, kind) =>
+      domain.registerStatic(aid, df.distinct(), kind)
+    }
+
+  /** Register a JSON source's attributes into a domain (Distinct). */
+  def registerJson(domain: Domain, src: JsonFile): Unit =
+    sourceJson(domain.spark, src).foreach { case (aid, df, kind) =>
+      domain.registerStatic(aid, df.distinct(), kind)
+    }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.compile.Compiler
+import graft.domain.Domain
+import graft.model._
+import graft.model.Plan._
+import graft.model.ValueKind._
+import graft.sinks.AssocIn
+import graft.sources.FileSources
+import graft.sources.FileSources.{CsvFile, JsonFile}
+
+/** CSV/JSON datom sources (`src/sources/csv_file.rs`, `json_file.rs`) and
+  * the AssocIn document sink (`src/sinks/assoc_in.rs`). */
+class SourcesAndSinksSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("CsvFile fans one file into per-attribute (e, v) relations") {
+    val dir = Files.createTempDirectory("graft_csv")
+    val f = dir.resolve("people.csv")
+    Files.writeString(f,
+      """id,name,age
+        |1,alice,33
+        |2,bob,41
+        |2,bob,41
+        |# comment line
+        |3,carol,27
+        |""".stripMargin)
+
+    val domain = new Domain(spark)
+    FileSources.registerCsv(domain, CsvFile(
+      path = f.toString,
+      hasHeaders = true,
+      comment = Some("#"),
+      eidOffset = 0,
+      schema = Seq(":name" -> (1, KString), ":age" -> (2, KNumber))))
+
+    val compiler = new Compiler(domain.asOf(Long.MaxValue))
+    val names = compiler.run(matchA(0, ":name", 1)).df
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // duplicate row deduped (Distinct semantics, csv_file.rs:204-212)
+    assert(names == Set((1L, "alice"), (2L, "bob"), (3L, "carol")))
+
+    val ages = compiler.run(matchA(0, ":age", 1)).df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ages == Set((1L, 33L), (2L, 41L), (3L, 27L)))
+  }
+
+  test("JsonFile: line index is the eid; missing attributes emit nothing") {
+    val dir = Files.createTempDirectory("graft_json")
+    val f = dir.resolve("objs.json")
+    Files.writeString(f,
+      """{"name": "alice", "age": 33, "admin": true}
+        |{"name": "bob"}
+        |{"age": 27, "admin": false}
+        |""".stripMargin)
+
+    val domain = new Domain(spark)
+    FileSources.registerJson(domain, JsonFile(
+      path = f.toString,
+      attributes = Seq("name" -> KString, "age" -> KNumber, "admin" -> KBool)))
+
+    val compiler = new Compiler(domain.asOf(Long.MaxValue))
+    val names = compiler.run(matchA(0, "name", 1)).df
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(names == Set((0L, "alice"), (1L, "bob")))
+    val ages = compiler.run(matchA(0, "age", 1)).df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ages == Set((0L, 33L), (2L, 27L)))
+    val admins = compiler.run(matchA(0, "admin", 1)).df
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(admins == Set((0L, true), (2L, false)))
+  }
+
+  test("AssocIn stateless fold builds one document per top-level key") {
+    import Value._
+    // paths: [eid attr val] and nested [eid attr eid attr val]
+    val paths = Seq(
+      (Seq[Value](VEid(1), VAid("name"), VString("alice")), 0L, 1L),
+      (Seq[Value](VEid(1), VAid("age"), VNumber(33)), 0L, 1L),
+      (Seq[Value](VEid(1), VAid("friend"), VEid(2), VAid("name"), VString("bob")), 0L, 1L),
+      (Seq[Value](VEid(2), VAid("name"), VString("bob")), 0L, 1L))
+    val docs = AssocIn.fold(paths).toMap
+    assert(docs("1") ==
+      """{"age":33,"friend":{"2":{"name":"bob"}},"name":"alice"}""")
+    assert(docs("2") == """{"name":"bob"}""")
+  }
+
+  test("AssocIn stateful merge applies retractions first and reports changes") {
+    import Value._
+    val sink = new AssocIn.Stateful(granularity = 1)
+    val c1 = sink.merge(Seq(
+      (Seq[Value](VEid(1), VAid("name"), VString("alice")), 0L, 1L)))
+    assert(c1 == Seq(Seq("1") -> """{"name":"alice"}"""))
+
+    // same-batch retract + assert: retraction applies first, value survives
+    val c2 = sink.merge(Seq(
+      (Seq[Value](VEid(1), VAid("name"), VString("alicia")), 1L, 1L),
+      (Seq[Value](VEid(1), VAid("name"), VString("alice")), 1L, -1L)))
+    assert(c2 == Seq(Seq("1") -> """{"name":"alicia"}"""))
+
+    // plain retraction deletes the leaf
+    sink.merge(Seq(
+      (Seq[Value](VEid(1), VAid("name"), VString("alicia")), 2L, -1L)))
+    assert(sink.snapshot == """{"1":{}}""")
+  }
+
+  test("AssocIn folds a compiled pull-path frame end-to-end") {
+    val engine = new graft.engine.Engine(spark)
+    engine.createAttribute(":person/name", AttributeConfig(InputSemantics.Distinct))
+    engine.createAttribute(":person/age", AttributeConfig(InputSemantics.Distinct))
+    engine.register(Rule("docs",
+      PullAll(Seq.empty, Seq(":person/name", ":person/age"))))
+    engine.transact(Seq(
+      Datom.add(1L, ":person/name", Value.str("alice")),
+      Datom.add(1L, ":person/age", Value.num(33)),
+      Datom.add(2L, ":person/name", Value.str("bob"))))
+    engine.advance(1)
+
+    val frame = engine.resultFrame("docs")
+    // PullAll rows are (e, a, variant-v): assemble [eid aid val] paths.
+    val paths = frame.collect().toSeq.map { row =>
+      (Seq[Value](Value.VEid(row.getLong(0)), Value.VAid(row.getString(1)),
+        graft.model.Variant.valueOf(row.getStruct(2))), 0L, row.getLong(3))
+    }
+    val docs = AssocIn.fold(paths).toMap
+    assert(docs("1") == """{":person/age":33,":person/name":"alice"}""")
+    assert(docs("2") == """{":person/name":"bob"}""")
+  }
+}
