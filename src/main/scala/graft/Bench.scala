@@ -14,9 +14,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session first (codegen compilation, parquet footer reads,
-    // broadcast machinery) so startup cost isn't attributed to whichever
-    // query happens to run first.
+    // broadcast machinery, domain-catalog load for the bench SF) so startup
+    // cost isn't attributed to whichever query happens to run first.
     SparkEntry.entry(spark).count()
+    SparkEntry.queries("q_match_ea")(spark, sfDir).count()
 
     // Optional comma-separated subset for local iteration, e.g.
     // SPARK_GRAFT_ONLY=q_dedup_jaccard,q_recursion_closure

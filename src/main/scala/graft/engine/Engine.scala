@@ -26,6 +26,7 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
   val domain = new Domain(spark)
 
   private val interests = mutable.LinkedHashSet.empty[String]
+  private val granularities = mutable.Map.empty[String, Long]
   private val prevSnapshots =
     mutable.Map.empty[String, Map[Seq[Any], Long]].withDefaultValue(Map.empty)
   private val outputs =
@@ -40,11 +41,41 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
   def register(rule: Rule): Unit = domain.registerRule(rule)
 
   /** Express interest in a rule's results; diffs accumulate per `advance`
-    * and are fetched with `drain`. */
-  def interest(name: String): Unit = {
+    * and are fetched with `drain`. An optional delivery granularity
+    * coarsens emitted times up to interval bounds (`Interest.granularity`,
+    * `src/server/mod.rs:110-119` + `Coarsen`, `src/timestamp/mod.rs:144-184`).
+    */
+  def interest(name: String, granularity: Option[Long] = None): Unit = {
     require(domain.rules.contains(name), s"unknown rule $name")
     interests += name
+    granularity.foreach(g => granularities(name) = g)
     outputs.getOrElseUpdate(name, mutable.ArrayBuffer.empty)
+  }
+
+  /** Withdraw interest: stop tracking the rule and drop its buffered diffs
+    * and snapshot state (the reference tears the dataflow down when the
+    * last interested client leaves — `src/server/mod.rs:276-281`). */
+  def uninterest(name: String): Unit = {
+    interests -= name
+    granularities -= name
+    prevSnapshots -= name
+    outputs -= name
+  }
+
+  /** Dispatch a wire-format request (`Request`, `src/server/mod.rs:153-191`)
+    * — the transport-free server entry point. */
+  def handle(req: graft.server.Request): Unit = {
+    import graft.server.{Request => R}
+    req match {
+      case R.Transact(datoms)        => transact(datoms)
+      case R.Interest(name, g)       => interest(name, g)
+      case R.Uninterest(name)        => uninterest(name)
+      case R.Register(rules, _)      => rules.foreach(register)
+      case R.CreateAttribute(n, cfg) => createAttribute(n, cfg)
+      case R.AdvanceDomain(_, t)     => advance(t)
+      case R.Tick                    => advance(frontier + 1)
+      case R.CloseInput(_) | R.Disconnect | R.Setup | R.Status | R.Shutdown => ()
+    }
   }
 
   /** Datoms without an explicit time are stamped with the current epoch.
@@ -68,9 +99,14 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
       val cur = snapshot(name, t)
       val prev = prevSnapshots(name)
       val buf = outputs(name)
+      // Delivery granularity: coarsen emitted times up to interval bounds.
+      val tOut = granularities.get(name) match {
+        case Some(g) if t % g != 0 => t - (t % g) + g
+        case _                     => t
+      }
       (cur.keySet ++ prev.keySet).foreach { tuple =>
         val d = cur.getOrElse(tuple, 0L) - prev.getOrElse(tuple, 0L)
-        if (d != 0L) buf += ((tuple, t, d))
+        if (d != 0L) buf += ((tuple, tOut, d))
       }
       prevSnapshots(name) = cur
     }
@@ -81,13 +117,16 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
   private var processedThrough: Long = 0L
   private def earliestUnprocessed: Long = processedThrough
 
-  /** Fetch and clear accumulated output diffs for a rule. */
-  def drain(name: String): Seq[(Seq[Any], Long, Long)] = {
-    val buf = outputs(name)
-    val out = buf.toSeq
-    buf.clear()
-    out
-  }
+  /** Fetch and clear accumulated output diffs for a rule (empty after
+    * `uninterest`). */
+  def drain(name: String): Seq[(Seq[Any], Long, Long)] =
+    outputs.get(name) match {
+      case None => Seq.empty
+      case Some(buf) =>
+        val out = buf.toSeq
+        buf.clear()
+        out
+    }
 
   /** Current consolidated result of a rule as a DataFrame (columns c0..cn
     * plus weight `_w`) — the non-diff query path. */

@@ -1,0 +1,472 @@
+package graft.server
+
+import graft.model._
+
+/** The reference's client-facing request API (`Request`,
+  * `src/server/mod.rs:153-191`) as a plain ADT — the transport (WebSocket,
+  * `server/src/main.rs`) is out of scope for the library, but the request
+  * vocabulary and its serde-JSON wire format are mirrored so a reference
+  * client's payloads drive this engine unchanged (see [[Wire]]).
+  */
+sealed trait Request
+object Request {
+  final case class Transact(datoms: Seq[Datom]) extends Request
+  final case class Interest(name: String, granularity: Option[Long] = None)
+      extends Request
+  final case class Uninterest(name: String) extends Request
+  final case class Register(rules: Seq[Rule], publish: Seq[String]) extends Request
+  final case class CreateAttribute(name: String, config: AttributeConfig)
+      extends Request
+  final case class AdvanceDomain(domain: Option[String], t: Long) extends Request
+  case object Tick extends Request
+  final case class CloseInput(name: String) extends Request
+  case object Disconnect extends Request
+  case object Setup extends Request
+  case object Status extends Request
+  case object Shutdown extends Request
+}
+
+/** serde-JSON wire codec for the request API, matching the reference's
+  * derived `Serialize`/`Deserialize` representation
+  * (`server/tests/serialization.rs`):
+  *
+  *  - `Value`: `String`/`Bool`/`Number` untagged (`"foo"`, `true`, `44`),
+  *    other variants externally tagged (`{"Aid": ":edge"}`,
+  *    `{"Instant": 0}`, `{"Uuid": "..."}`); tagged scalar forms are also
+  *    accepted on input (older clients, `cli/examples/changes.json`);
+  *  - tuple structs as arrays: `Datom` is `[e, a, v, time?, diff]`;
+  *  - enums externally tagged: `{"Transact": [...]}`, unit variants as
+  *    bare strings (`"Tick"`);
+  *  - `Time`: `{"TxId": n}` (logical) or `{"Real": {"secs": s, "nanos": n}}`
+  *    (wall-clock, mapped to epoch-ms).
+  */
+object Wire {
+
+  // ------------------------------------------------------------- JSON AST
+
+  sealed trait J
+  object J {
+    case object JNull extends J
+    final case class JBool(b: Boolean) extends J
+    final case class JNum(n: Double, raw: String) extends J
+    final case class JStr(s: String) extends J
+    final case class JArr(items: Vector[J]) extends J
+    final case class JObj(fields: Vector[(String, J)]) extends J {
+      def get(k: String): Option[J] = fields.collectFirst { case (`k`, v) => v }
+    }
+  }
+  import J._
+
+  // ------------------------------------------------------------- requests
+
+  def parseRequests(json: String): Seq[Request] = parseJson(json) match {
+    case JArr(items) => items.map(requestOf)
+    case single      => Seq(requestOf(single))
+  }
+
+  def requestOf(j: J): Request = j match {
+    case JStr("Tick")       => Request.Tick
+    case JStr("Disconnect") => Request.Disconnect
+    case JStr("Setup")      => Request.Setup
+    case JStr("Status")     => Request.Status
+    case JStr("Shutdown")   => Request.Shutdown
+    case o: JObj =>
+      o.fields match {
+        case Vector(("Transact", JArr(ds))) =>
+          Request.Transact(ds.map(datomOf))
+        case Vector(("Interest", io: JObj)) =>
+          Request.Interest(
+            str(io.get("name").get),
+            io.get("granularity").filter(_ != JNull).map(timeOf))
+        case Vector(("Uninterest", JStr(n))) => Request.Uninterest(n)
+        case Vector(("Register", ro: JObj)) =>
+          Request.Register(
+            arr(ro.get("rules").get).map(ruleOf),
+            ro.get("publish").map(arr(_).map(str)).getOrElse(Seq.empty))
+        case Vector(("CreateAttribute", co: JObj)) =>
+          Request.CreateAttribute(str(co.get("name").get),
+            co.get("config").map(configOf).getOrElse(AttributeConfig()))
+        case Vector(("AdvanceDomain", JArr(Vector(dom, t)))) =>
+          Request.AdvanceDomain(
+            if (dom == JNull) None else Some(str(dom)), timeOf(t))
+        case Vector(("CloseInput", JStr(n))) => Request.CloseInput(n)
+        case other => sys.error(s"unknown request: $other")
+      }
+    case other => sys.error(s"unknown request: $other")
+  }
+
+  def renderRequest(r: Request): String = r match {
+    case Request.Tick       => "\"Tick\""
+    case Request.Disconnect => "\"Disconnect\""
+    case Request.Setup      => "\"Setup\""
+    case Request.Status     => "\"Status\""
+    case Request.Shutdown   => "\"Shutdown\""
+    case Request.Transact(ds) =>
+      s"""{"Transact":[${ds.map(renderDatom).mkString(",")}]}"""
+    case Request.Interest(name, g) =>
+      s"""{"Interest":{"name":${qs(name)},"granularity":${
+        g.map(t => s"""{"TxId":$t}""").getOrElse("null")}}}"""
+    case Request.Uninterest(n) => s"""{"Uninterest":${qs(n)}}"""
+    case Request.Register(rules, publish) =>
+      s"""{"Register":{"rules":[${rules.map(renderRule).mkString(",")}],"publish":[${
+        publish.map(qs).mkString(",")}]}}"""
+    case Request.CreateAttribute(n, c) =>
+      s"""{"CreateAttribute":{"name":${qs(n)},"config":{"input_semantics":${
+        qs(semanticsName(c.inputSemantics))}}}}"""
+    case Request.AdvanceDomain(dom, t) =>
+      s"""{"AdvanceDomain":[${dom.map(qs).getOrElse("null")},{"TxId":$t}]}"""
+    case Request.CloseInput(n) => s"""{"CloseInput":${qs(n)}}"""
+  }
+
+  // --------------------------------------------------------------- pieces
+
+  def datomOf(j: J): Datom = j match {
+    case JArr(Vector(e, JStr(a), v, t, d)) =>
+      Datom(long(e), a, valueOf(v),
+        if (t == JNull) None else Some(timeOf(t)), long(d))
+    case other => sys.error(s"malformed datom: $other")
+  }
+
+  def renderDatom(d: Datom): String =
+    s"""[${d.e},${qs(d.a)},${renderValue(d.v)},${
+      d.t.map(t => s"""{"TxId":$t}""").getOrElse("null")},${d.diff}]"""
+
+  def valueOf(j: J): Value = j match {
+    case JStr(s)     => Value.VString(s)
+    case JBool(b)    => Value.VBool(b)
+    case n: JNum     => Value.VNumber(long(n))
+    case o: JObj =>
+      o.fields match {
+        case Vector(("Aid", JStr(s)))      => Value.VAid(s)
+        case Vector(("String", JStr(s)))   => Value.VString(s)
+        case Vector(("Bool", JBool(b)))    => Value.VBool(b)
+        case Vector(("Number", n: JNum))   => Value.VNumber(long(n))
+        case Vector(("Eid", n: JNum))      => Value.VEid(long(n))
+        case Vector(("Instant", n: JNum))  => Value.VInstant(long(n))
+        case Vector(("Uuid", JStr(s)))     => Value.VUuid(s)
+        case Vector(("Rational32", JArr(Vector(p, q)))) =>
+          Value.VRational(long(p), long(q))
+        case Vector(("Real", n: JNum))     => Value.VReal(n.n)
+        case other => sys.error(s"unknown value: $other")
+      }
+    case other => sys.error(s"unknown value: $other")
+  }
+
+  def renderValue(v: Value): String = v match {
+    case Value.VString(s)      => qs(s)
+    case Value.VBool(b)        => b.toString
+    case Value.VNumber(n)      => n.toString
+    case Value.VAid(s)         => s"""{"Aid":${qs(s)}}"""
+    case Value.VEid(e)         => s"""{"Eid":$e}"""
+    case Value.VInstant(ms)    => s"""{"Instant":$ms}"""
+    case Value.VUuid(s)        => s"""{"Uuid":${qs(s)}}"""
+    case Value.VRational(p, q) => s"""{"Rational32":[$p,$q]}"""
+    case Value.VReal(d)        => s"""{"Real":$d}"""
+  }
+
+  /** `Time`: logical tx ids pass through; `Real` durations map to epoch-ms
+    * (the engine's single clock). Bare numbers are accepted. */
+  def timeOf(j: J): Long = j match {
+    case n: JNum => long(n)
+    case o: JObj =>
+      o.fields match {
+        case Vector(("TxId", n: JNum)) => long(n)
+        case Vector(("Real", ro: JObj)) =>
+          long(ro.get("secs").get) * 1000L +
+            long(ro.get("nanos").get) / 1000000L
+        case other => sys.error(s"unsupported time: $other")
+      }
+    case other => sys.error(s"unsupported time: $other")
+  }
+
+  def ruleOf(j: J): Rule = j match {
+    case o: JObj => Rule(str(o.get("name").get), planOf(o.get("plan").get))
+    case other   => sys.error(s"malformed rule: $other")
+  }
+
+  def renderRule(r: Rule): String =
+    s"""{"name":${qs(r.name)},"plan":${renderPlan(r.plan)}}"""
+
+  def planOf(j: J): Plan = j match {
+    case o: JObj =>
+      o.fields match {
+        case Vector(("MatchA", JArr(Vector(e, JStr(a), v)))) =>
+          Plan.MatchA(int(e), a, int(v))
+        case Vector(("MatchEA", JArr(Vector(e, JStr(a), v)))) =>
+          Plan.MatchEA(long(e), a, int(v))
+        case Vector(("MatchAV", JArr(Vector(e, JStr(a), v)))) =>
+          Plan.MatchAV(int(e), a, valueOf(v))
+        case Vector(("Project", po: JObj)) =>
+          Plan.Project(vars(po.get("variables").get), planOf(po.get("plan").get))
+        case Vector(("Join", jo: JObj)) =>
+          Plan.Join(vars(jo.get("variables").get),
+            planOf(jo.get("left_plan").get), planOf(jo.get("right_plan").get))
+        case Vector(("Hector", ho: JObj)) =>
+          Plan.Hector(vars(ho.get("variables").get),
+            arr(ho.get("bindings").get).map(bindingOf))
+        case Vector(("Antijoin", ao: JObj)) =>
+          Plan.Antijoin(vars(ao.get("variables").get),
+            planOf(ao.get("left_plan").get), planOf(ao.get("right_plan").get))
+        case Vector(("Negate", p)) => Plan.Negate(planOf(p))
+        case Vector(("Union", uo: JObj)) =>
+          Plan.Union(vars(uo.get("variables").get),
+            arr(uo.get("plans").get).map(planOf))
+        case Vector(("Filter", fo: JObj)) =>
+          Plan.Filter(vars(fo.get("variables").get),
+            predicateOf(fo.get("predicate").get),
+            planOf(fo.get("plan").get),
+            arr(fo.get("constants").get).map(c =>
+              if (c == JNull) None else Some(valueOf(c))))
+        case Vector(("Transform", to: JObj)) =>
+          Plan.Transform(vars(to.get("variables").get),
+            int(to.get("result_variable").get),
+            planOf(to.get("plan").get),
+            fnOf(to.get("function").get),
+            arr(to.get("constants").get).map(c =>
+              if (c == JNull) None else Some(valueOf(c))))
+        case Vector(("Aggregate", ao: JObj)) =>
+          Plan.Aggregate(vars(ao.get("variables").get),
+            planOf(ao.get("plan").get),
+            arr(ao.get("aggregation_fns").get).map(aggFnOf),
+            vars(ao.get("key_variables").get),
+            vars(ao.get("aggregation_variables").get),
+            vars(ao.get("with_variables").get))
+        case Vector(("NameExpr", JArr(Vector(vs, JStr(name))))) =>
+          Plan.NameExpr(vars(vs), name)
+        case Vector(("PullLevel", po: JObj)) =>
+          Plan.PullLevel(vars(po.get("variables").get),
+            planOf(po.get("plan").get),
+            int(po.get("pull_variable").get),
+            arr(po.get("pull_attributes").get).map(str),
+            arr(po.get("path_attributes").get).map(str),
+            po.get("cardinality_many").contains(JBool(true)))
+        case Vector(("Pull", po: JObj)) =>
+          Plan.Pull(vars(po.get("variables").get),
+            arr(po.get("paths").get).map(planOf))
+        case Vector(("PullAll", po: JObj)) =>
+          Plan.PullAll(vars(po.get("variables").get),
+            arr(po.get("pull_attributes").get).map(str))
+        case other => sys.error(s"unknown plan: $other")
+      }
+    case other => sys.error(s"unknown plan: $other")
+  }
+
+  def renderPlan(p: Plan): String = p match {
+    case Plan.MatchA(e, a, v)  => s"""{"MatchA":[$e,${qs(a)},$v]}"""
+    case Plan.MatchEA(e, a, v) => s"""{"MatchEA":[$e,${qs(a)},$v]}"""
+    case Plan.MatchAV(e, a, v) => s"""{"MatchAV":[$e,${qs(a)},${renderValue(v)}]}"""
+    case Plan.Project(vs, x) =>
+      s"""{"Project":{"variables":${ints(vs)},"plan":${renderPlan(x)}}}"""
+    case Plan.Join(vs, l, r) =>
+      s"""{"Join":{"variables":${ints(vs)},"left_plan":${renderPlan(l)},"right_plan":${renderPlan(r)}}}"""
+    case Plan.Hector(vs, bs) =>
+      s"""{"Hector":{"variables":${ints(vs)},"bindings":[${bs.map(renderBinding).mkString(",")}]}}"""
+    case Plan.Antijoin(vs, l, r) =>
+      s"""{"Antijoin":{"variables":${ints(vs)},"left_plan":${renderPlan(l)},"right_plan":${renderPlan(r)}}}"""
+    case Plan.Negate(x) => s"""{"Negate":${renderPlan(x)}}"""
+    case Plan.Union(vs, ps) =>
+      s"""{"Union":{"variables":${ints(vs)},"plans":[${ps.map(renderPlan).mkString(",")}]}}"""
+    case Plan.Filter(vs, pred, x, cs) =>
+      s"""{"Filter":{"variables":${ints(vs)},"predicate":${qs(predName(pred))},"plan":${
+        renderPlan(x)},"constants":[${cs.map(_.map(renderValue).getOrElse("null")).mkString(",")}]}}"""
+    case Plan.Transform(vs, rv, x, f, cs) =>
+      s"""{"Transform":{"variables":${ints(vs)},"result_variable":$rv,"plan":${
+        renderPlan(x)},"function":${qs(fnName(f))},"constants":[${
+        cs.map(_.map(renderValue).getOrElse("null")).mkString(",")}]}}"""
+    case Plan.Aggregate(vs, x, fns, ks, as_, ws) =>
+      s"""{"Aggregate":{"variables":${ints(vs)},"plan":${renderPlan(x)},"aggregation_fns":[${
+        fns.map(f => qs(aggName(f))).mkString(",")}],"key_variables":${ints(ks)},"aggregation_variables":${
+        ints(as_)},"with_variables":${ints(ws)}}}"""
+    case Plan.NameExpr(vs, n) => s"""{"NameExpr":[${ints(vs)},${qs(n)}]}"""
+    case Plan.PullLevel(vs, x, pv, pas, paths, cm) =>
+      s"""{"PullLevel":{"variables":${ints(vs)},"plan":${renderPlan(x)},"pull_variable":$pv,"pull_attributes":[${
+        pas.map(qs).mkString(",")}],"path_attributes":[${paths.map(qs).mkString(",")}],"cardinality_many":$cm}}"""
+    case Plan.Pull(vs, paths) =>
+      s"""{"Pull":{"variables":${ints(vs)},"paths":[${paths.map(renderPlan).mkString(",")}]}}"""
+    case Plan.PullAll(vs, pas) =>
+      s"""{"PullAll":{"variables":${ints(vs)},"pull_attributes":[${pas.map(qs).mkString(",")}]}}"""
+  }
+
+  def bindingOf(j: J): Binding = j match {
+    case o: JObj =>
+      o.fields match {
+        case Vector(("Attribute", ao: JObj)) =>
+          val Seq(e, v) = pair(ao.get("variables").get)
+          Binding.Attr(e, str(ao.get("source_attribute").get), v)
+        case Vector(("Constant", co: JObj)) =>
+          Binding.Const(int(co.get("variable").get), valueOf(co.get("value").get))
+        case Vector(("BinaryPredicate", bo: JObj)) =>
+          val Seq(x, y) = pair(bo.get("variables").get)
+          Binding.BinaryPred(x, y, predicateOf(bo.get("predicate").get))
+        case Vector(("Not", no: JObj)) =>
+          bindingOf(no.get("binding").get) match {
+            case a: Binding.Attr => Binding.Not(a)
+            case other => sys.error(s"Not binding must wrap an attribute, got $other")
+          }
+        case other => sys.error(s"unknown binding: $other")
+      }
+    case other => sys.error(s"unknown binding: $other")
+  }
+
+  def renderBinding(b: Binding): String = b match {
+    case Binding.Attr(e, a, v) =>
+      s"""{"Attribute":{"variables":[$e,$v],"source_attribute":${qs(a)}}}"""
+    case Binding.Const(x, v) =>
+      s"""{"Constant":{"variable":$x,"value":${renderValue(v)}}}"""
+    case Binding.BinaryPred(x, y, p) =>
+      s"""{"BinaryPredicate":{"variables":[$x,$y],"predicate":${qs(predName(p))}}}"""
+    case Binding.Not(inner) =>
+      s"""{"Not":{"binding":${renderBinding(inner)}}}"""
+  }
+
+  private def configOf(j: J): AttributeConfig = j match {
+    case o: JObj =>
+      val sem = o.get("input_semantics").map(str).getOrElse("Raw") match {
+        case "Raw"           => InputSemantics.Raw
+        case "LastWriteWins" => InputSemantics.LastWriteWins
+        case "CardinalityOne" => InputSemantics.LastWriteWins
+        case "Distinct"      => InputSemantics.Distinct
+        case other           => sys.error(s"unknown input semantics $other")
+      }
+      val slack = o.get("trace_slack").filter(_ != JNull).map(timeOf)
+      AttributeConfig(sem, slack)
+    case _ => AttributeConfig()
+  }
+
+  private def semanticsName(s: InputSemantics): String = s match {
+    case InputSemantics.Raw           => "Raw"
+    case InputSemantics.LastWriteWins => "LastWriteWins"
+    case InputSemantics.Distinct      => "Distinct"
+  }
+
+  private def predicateOf(j: J): Predicate = str(j) match {
+    case "LT" => Predicate.LT; case "GT" => Predicate.GT
+    case "LTE" => Predicate.LTE; case "GTE" => Predicate.GTE
+    case "EQ" => Predicate.EQ; case "NEQ" => Predicate.NEQ
+    case other => sys.error(s"unknown predicate $other")
+  }
+  private def predName(p: Predicate): String = p.toString
+
+  private def fnOf(j: J): Fn = str(j) match {
+    case "TRUNCATE" => Fn.TRUNCATE
+    case "ADD"      => Fn.ADD
+    case "SUBTRACT" => Fn.SUBTRACT
+    case other      => sys.error(s"unknown function $other")
+  }
+  private def fnName(f: Fn): String = f.toString
+
+  private def aggFnOf(j: J): AggregationFn = str(j) match {
+    case "MIN" => AggregationFn.MIN; case "MAX" => AggregationFn.MAX
+    case "MEDIAN" => AggregationFn.MEDIAN; case "COUNT" => AggregationFn.COUNT
+    case "SUM" => AggregationFn.SUM; case "AVG" => AggregationFn.AVG
+    case "VARIANCE" => AggregationFn.VARIANCE
+    case other => sys.error(s"unknown aggregation $other")
+  }
+  private def aggName(f: AggregationFn): String = f.toString
+
+  // ------------------------------------------------------ JSON primitives
+
+  private def str(j: J): String = j match {
+    case JStr(s) => s
+    case other   => sys.error(s"expected string, got $other")
+  }
+  private def arr(j: J): Seq[J] = j match {
+    case JArr(items) => items
+    case other       => sys.error(s"expected array, got $other")
+  }
+  private def long(j: J): Long = j match {
+    case n: JNum => if (n.raw.contains('.') || n.raw.contains('e') ||
+      n.raw.contains('E')) n.n.toLong else java.lang.Long.parseLong(n.raw)
+    case other => sys.error(s"expected number, got $other")
+  }
+  private def int(j: J): Int = long(j).toInt
+  private def vars(j: J): Seq[Int] = arr(j).map(int)
+  private def pair(j: J): Seq[Int] = vars(j)
+  private def ints(vs: Seq[Int]): String = vs.mkString("[", ",", "]")
+
+  private def qs(s: String): String =
+    "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+
+  /** Minimal recursive-descent JSON parser (lenient: trailing commas
+    * tolerated, as seen in the reference CLI examples). */
+  def parseJson(input: String): J = {
+    var pos = 0
+    def ws(): Unit = while (pos < input.length && input(pos).isWhitespace) pos += 1
+    def expect(c: Char): Unit = {
+      ws(); require(pos < input.length && input(pos) == c,
+        s"expected '$c' at $pos"); pos += 1
+    }
+    def value(): J = {
+      ws()
+      input(pos) match {
+        case '{' =>
+          pos += 1
+          val fields = Vector.newBuilder[(String, J)]
+          ws()
+          while (input(pos) != '}') {
+            ws()
+            val k = string()
+            expect(':')
+            fields += (k -> value())
+            ws()
+            if (input(pos) == ',') { pos += 1; ws() }
+          }
+          pos += 1
+          JObj(fields.result())
+        case '[' =>
+          pos += 1
+          val items = Vector.newBuilder[J]
+          ws()
+          while (input(pos) != ']') {
+            items += value()
+            ws()
+            if (input(pos) == ',') { pos += 1; ws() }
+          }
+          pos += 1
+          JArr(items.result())
+        case '"' => JStr(string())
+        case 't' => pos += 4; JBool(true)
+        case 'f' => pos += 5; JBool(false)
+        case 'n' => pos += 4; JNull
+        case _ =>
+          val start = pos
+          while (pos < input.length && "+-0123456789.eE".contains(input(pos))) pos += 1
+          val raw = input.substring(start, pos)
+          JNum(raw.toDouble, raw)
+      }
+    }
+    def string(): String = {
+      ws()
+      require(input(pos) == '"', s"expected string at $pos")
+      pos += 1
+      val sb = new StringBuilder
+      while (input(pos) != '"') {
+        if (input(pos) == '\\') {
+          pos += 1
+          input(pos) match {
+            case 'n' => sb += '\n'; case 't' => sb += '\t'; case 'r' => sb += '\r'
+            case 'u' =>
+              sb += Integer.parseInt(input.substring(pos + 1, pos + 5), 16).toChar
+              pos += 4
+            case c => sb += c
+          }
+        } else sb += input(pos)
+        pos += 1
+      }
+      pos += 1
+      sb.toString
+    }
+    val v = value()
+    ws()
+    require(pos == input.length, s"trailing JSON input at $pos")
+    v
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Engine
+import graft.model._
+import graft.model.Plan._
+import graft.server.{Request, Wire}
+
+/** serde-JSON wire format round-trips (`server/tests/serialization.rs`) and
+  * a full request-driven engine session. */
+class WireSpec extends AnyFunSuite {
+
+  test("Value serialization matches the reference (serialization.rs)") {
+    assert(Wire.renderValue(Value.VAid(":edge")) == """{"Aid":":edge"}""")
+    assert(Wire.renderValue(Value.str("foo")) == "\"foo\"")
+    assert(Wire.renderValue(Value.bool(true)) == "true")
+    assert(Wire.renderValue(Value.num(44)) == "44")
+    assert(Wire.renderValue(Value.VInstant(0)) == """{"Instant":0}""")
+    assert(Wire.renderValue(Value.VUuid("71828aae-4fc8-421b-82ca-68c5f4981d74"))
+      == """{"Uuid":"71828aae-4fc8-421b-82ca-68c5f4981d74"}""")
+  }
+
+  test("values, datoms, plans, bindings round-trip through JSON") {
+    val values = Seq(
+      Value.VAid(":a"), Value.str("s"), Value.bool(false), Value.num(-7),
+      Value.eid(42), Value.VInstant(1234), Value.VUuid("u"),
+      Value.rational(1, 3))
+    values.foreach { v =>
+      assert(Wire.valueOf(Wire.parseJson(Wire.renderValue(v))) == v)
+    }
+
+    val datom = Datom.addAt(5L, ":person/name", Value.str("alice"), 3L)
+    assert(Wire.datomOf(Wire.parseJson(Wire.renderDatom(datom))) == datom)
+
+    val plan: Plan = Hector(Seq(0, 1, 2), Seq(
+      Binding.attribute(0, ":orders/custkey", 1),
+      Binding.constant(2, Value.str("BUILDING")),
+      Binding.binaryPredicate(Predicate.GT, 1, 2),
+      Binding.not(0, ":blocked", 3)))
+    assert(Wire.planOf(Wire.parseJson(Wire.renderPlan(plan))) == plan)
+
+    val nested: Plan = Aggregate(Seq(0, 1),
+      Union(Seq(0, 1), Seq(
+        Project(Seq(0, 1), Join(Seq(0), MatchA(0, ":x", 1), Negate(MatchA(0, ":y", 1)))),
+        Filter(Seq(1), Predicate.LT, MatchEA(9, ":z", 1), Seq(None, Some(Value.num(5)))),
+        Transform(Seq(1), 2, NameExpr(Seq(0, 1), "r"), Fn.ADD, Seq(Some(Value.num(1)))))),
+      Seq(AggregationFn.SUM), Seq(0), Seq(1), Seq.empty)
+    assert(Wire.planOf(Wire.parseJson(Wire.renderPlan(nested))) == nested)
+  }
+
+  test("tagged scalar values from older clients are accepted") {
+    assert(Wire.valueOf(Wire.parseJson("""{"String":"Peter"}""")) == Value.str("Peter"))
+    assert(Wire.valueOf(Wire.parseJson("""{"Number":43}""")) == Value.num(43))
+    assert(Wire.valueOf(Wire.parseJson("""{"Eid":100}""")) == Value.eid(100))
+  }
+
+  test("a JSON request session drives the engine end-to-end") {
+    val engine = new Engine(TestSpark.spark)
+    val session = Seq(
+      """{"CreateAttribute":{"name":":age","config":{"input_semantics":"Distinct"}}}""",
+      """{"Register":{"rules":[{"name":"adults","plan":
+           {"Filter":{"variables":[1],"predicate":"GTE",
+                      "plan":{"MatchA":[0,":age",1]},
+                      "constants":[null,{"Number":18}]}}}],"publish":["adults"]}}""",
+      """{"Interest":{"name":"adults","granularity":null}}""",
+      """{"Transact":[[1,":age",33,null,1],[2,":age",12,null,1],[3,":age",18,null,1]]}""",
+      """{"AdvanceDomain":[null,{"TxId":1}]}""")
+    session.foreach(s => engine.handle(Wire.parseRequests(s).head))
+    val got = engine.drain("adults").toSet
+    assert(got == Set(
+      (Seq(1L, 33L), 0L, 1L),
+      (Seq(3L, 18L), 0L, 1L)))
+
+    // Uninterest drops tracking; subsequent advances emit nothing for it.
+    engine.handle(Wire.parseRequests("""{"Uninterest":"adults"}""").head)
+    engine.handle(Wire.parseRequests(
+      """{"Transact":[[4,":age",99,null,1]]}""").head)
+    engine.handle(Wire.parseRequests("""{"AdvanceDomain":[null,{"TxId":2}]}""").head)
+    assert(engine.drain("adults").isEmpty)
+  }
+
+  test("interest granularity coarsens emitted times") {
+    val engine = new Engine(TestSpark.spark)
+    engine.createAttribute(":v", AttributeConfig(InputSemantics.Distinct))
+    engine.register(Rule("q", matchA(0, ":v", 1)))
+    engine.interest("q", granularity = Some(10L))
+    engine.transact(Seq(Datom.addAt(1L, ":v", Value.num(5), 3L)))
+    engine.advance(4)
+    val got = engine.drain("q")
+    assert(got == Seq((Seq(1L, 5L), 10L, 1L))) // 3 coarsened up to 10
+  }
+}
