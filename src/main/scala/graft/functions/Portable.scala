@@ -73,6 +73,66 @@ object Portable {
         ELSE [array_to_string($ws, ' ')] END"""
   }
 
+  /** Per-token 40-bit hash pairs from ONE md5 per token: `(a, b)` =
+    * hex chars 1-10 and 17-26 of the digest. Shingle hashes combine these
+    * arithmetically (`Σ 31^k·a_k`, `Σ 37^k·b_k`), so an n-gram shingle
+    * costs zero string building and 1/n-th the digests of hashing shingle
+    * strings — the dominant cost of MinHash at scale. 40-bit components
+    * keep every combination (31²·2^40 ≈ 2^50, plus 7× in the seeded
+    * family) far from Long overflow in both engines. */
+  def tokenHashPairs(text: Column): Column =
+    transform(tokens(text), t => struct(
+      conv(substring(md5(t), 1, 10), 16, 10).cast("long").as("a"),
+      conv(substring(md5(t), 17, 10), 16, 10).cast("long").as("b")))
+
+  /** Word n-gram shingle hash pairs (`array<struct<s1,s2>>`) from a
+    * PRE-MATERIALIZED token-hash-pair column (see [[tokenHashPairs]]):
+    * sliding windows of `n` token hashes combined with base-31/base-37
+    * weights; texts shorter than `n` tokens yield one whole-text
+    * combination — mirroring [[shingles]]' short-text rule.
+    *
+    * `hp` MUST be a bound column (select `tokenHashPairs` into a column
+    * first): the window lambdas reference it once per element, and an
+    * inline expression there would re-hash every token per window —
+    * O(len²) digests per document. */
+  def shingleHashWindows(hp: Column, n: Int): Column = {
+    // Weighted sums: 31^k for s1, 37^k for s2.
+    def s1(start: Column): Column =
+      (0 until n).map(k => element_at(hp, (start + lit(k)).cast("int"))
+        .getField("a") * lit(math.pow(31, k).toLong)).reduce(_ + _)
+    def s2(start: Column): Column =
+      (0 until n).map(k => element_at(hp, (start + lit(k)).cast("int"))
+        .getField("b") * lit(math.pow(37, k).toLong)).reduce(_ + _)
+    def sAll(first: String, base: Long): Column =
+      zip_with(hp, sequence(lit(0L), size(hp) - 1),
+        (h, k) => h.getField(first) * pow(lit(base.toDouble), k.cast("double")).cast("long"))
+    when(size(hp) >= n,
+      transform(sequence(lit(1), size(hp) - (n - 1)),
+        i => struct(s1(i).as("s1"), s2(i).as("s2"))))
+      .otherwise(array(struct(
+        aggregate(sAll("a", 31L), lit(0L), (acc, v) => acc + v).as("s1"),
+        aggregate(sAll("b", 37L), lit(0L), (acc, v) => acc + v).as("s2"))))
+  }
+
+  /** DuckDB SQL fragment equivalent to [[shingleHashPairs]] (yields a
+    * LIST of STRUCT(s1 BIGINT, s2 BIGINT)). */
+  def shingleHashPairsSql(expr: String, n: Int): String = {
+    val toks = tokensSql(expr)
+    val hp = s"""list_transform($toks, t ->
+      {'a': CAST('0x' || substring(md5(t), 1, 10) AS BIGINT),
+       'b': CAST('0x' || substring(md5(t), 17, 10) AS BIGINT)})"""
+    val w1 = (0 until n).map(k => s"(hp[i+$k].a) * ${math.pow(31, k).toLong}").mkString(" + ")
+    val w2 = (0 until n).map(k => s"(hp[i+$k].b) * ${math.pow(37, k).toLong}").mkString(" + ")
+    s"""(SELECT CASE WHEN len(hp) >= $n
+          THEN list_transform(generate_series(1, len(hp) - ${n - 1}),
+                              i -> {'s1': $w1, 's2': $w2})
+          ELSE [{'s1': CAST(list_sum(list_transform(generate_series(1, len(hp)),
+                        i -> hp[i].a * CAST(31 ** (i-1) AS BIGINT))) AS BIGINT),
+                 's2': CAST(list_sum(list_transform(generate_series(1, len(hp)),
+                        i -> hp[i].b * CAST(37 ** (i-1) AS BIGINT))) AS BIGINT)}] END
+        FROM (SELECT $hp AS hp))"""
+  }
+
   /** Normalized text for fingerprinting: lowercase, alnum only. */
   def normalized(text: Column): Column =
     regexp_replace(lower(text), "[^a-z0-9]", "")

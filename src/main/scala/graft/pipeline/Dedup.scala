@@ -36,13 +36,16 @@ object Dedup {
     * (non-cheap expressions referenced `perms` times don't re-inline). */
   def minhash(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, perms: Int = 8): DataFrame = {
-    val hashed = transform(shingles(col(textCol), n),
-      s => struct(h64(s).as("h1"), h64b(s).as("h2")))
     val sig = (0 until perms).map { j =>
       array_min(transform(col("_h"),
-        h => h.getField("h1") + lit(j.toLong) * h.getField("h2"))).as(s"m$j")
+        h => h.getField("s1") + lit(j.toLong) * h.getField("s2"))).as(s"m$j")
     }
-    docs.select(col(idCol).as("id"), hashed.as("_h"))
+    // Three-step select: token hashes materialize once per row, windows
+    // once per row, then the permutation family — each step references the
+    // previous step's column many times, which keeps CollapseProject from
+    // re-inlining the expensive producers.
+    docs.select(col(idCol).as("id"), tokenHashPairs(col(textCol)).as("_hp"))
+      .select(col("id"), shingleHashWindows(col("_hp"), n).as("_h"))
       .select((col("id") +: sig): _*)
   }
 
@@ -102,13 +105,20 @@ object Dedup {
     * it is materialized once instead of re-shingling every document twice. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(array_distinct(shingles(col(textCol), n))).as("s"))
+    // Shingles are compared by their (s1, s2) hash pair — no shingle
+    // strings are built or shuffled; both the intersection join and the
+    // oracle use the identical scheme.
+    val sh = docs
+      .select(col(idCol).as("id"), tokenHashPairs(col(textCol)).as("_hp"))
+      .select(col("id"), explode(array_distinct(
+        shingleHashWindows(col("_hp"), n))).as("s"))
       .localCheckpoint(true)
     val a = sh.toDF("a", "s")
     val b = sh.toDF("b", "s")
-    val sizes = docs.select(col(idCol).as("id"),
-      size(array_distinct(shingles(col(textCol), n))).cast("long").as("sz"))
+    // Distinct-shingle set sizes from the materialized table (one cheap
+    // shuffle; every document has at least one shingle).
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      .toDF("id", "sz")
     // Equi-join on the shingle itself: work is proportional to shingle
     // collisions, not |pairs| × |shingles|.
     val inter = a.join(b, Seq("s"))

@@ -106,14 +106,12 @@ object PipelineQueries {
 
   // ------------------------------------------------------------- oracles
 
-  private val sh3 = shinglesSql("text", ShingleN)
-
   private def sigSql(perms: Int): String = {
     val mins = (0 until perms)
-      .map(j => s"MIN(h1 + $j * h2) AS m$j").mkString(", ")
+      .map(j => s"MIN(s.s1 + $j * s.s2) AS m$j").mkString(", ")
     s"""SELECT CAST(doc_id AS BIGINT) AS id, $mins
-        FROM (SELECT doc_id, ${h64Sql("s")} AS h1, ${h64bSql("s")} AS h2
-              FROM (SELECT doc_id, unnest($sh3) AS s FROM documents))
+        FROM (SELECT doc_id, unnest(${shingleHashPairsSql("text", ShingleN)}) AS s
+              FROM documents)
         GROUP BY 1"""
   }
 
@@ -162,7 +160,8 @@ object PipelineQueries {
 
     "q_dedup_jaccard" ->
       s"""WITH shd AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, s
-                       FROM (SELECT doc_id, unnest($sh3) AS s FROM documents)),
+                       FROM (SELECT doc_id, unnest(${shingleHashPairsSql("text", ShingleN)}) AS s
+                             FROM documents)),
           sz AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM shd GROUP BY 1),
           pairs AS (SELECT CAST(l.doc_id AS BIGINT) AS a, CAST(r.doc_id AS BIGINT) AS b
                     FROM documents l JOIN documents r
