@@ -158,7 +158,17 @@ class Compiler(
           .map(rel => rel.copy(df = distinctify(rel.df).localCheckpoint(true)))
       }.toMap
       var total: Map[String, Option[Rel]] = delta
-      var changed = delta.values.exists(_.exists(_.df.count() > 0))
+      var totalCount: Map[String, Long] =
+        ordered.map(r => r -> delta(r).map(_.df.count()).getOrElse(0L)).toMap
+      var changed = totalCount.valuesIterator.exists(_ > 0)
+      // Totals up to this many rows anti-join as a broadcast (no shuffle of
+      // the candidate); beyond it, fall back to a shuffled set difference.
+      val broadcastLimit = 5000000L
+      delta = ordered.map { r =>
+        r -> delta(r).map(rel =>
+          if (totalCount(r) <= broadcastLimit) rel.copy(df = broadcast(rel.df))
+          else rel)
+      }.toMap
       while (changed && iter < maxIterations) {
         iter += 1
         val stepped = ordered.map { r =>
@@ -168,22 +178,34 @@ class Compiler(
             case (Some(c), None)    => Some(c.copy(df = distinctify(c.df)))
             case (Some(c), Some(t)) =>
               // New tuples only: distinct candidate minus accumulated total.
-              Some(c.copy(df = distinctify(c.df).drop(W)
-                .exceptAll(t.df.drop(W)).withColumn(W, lit(1L))))
+              val dataCols = c.df.columns.filter(_ != W).toSeq
+              val minus =
+                if (totalCount(r) <= broadcastLimit)
+                  distinctify(c.df).join(broadcast(t.df.drop(W)), dataCols, "left_anti")
+                else
+                  distinctify(c.df).drop(W)
+                    .exceptAll(t.df.drop(W)).withColumn(W, lit(1L))
+              Some(c.copy(df = minus.select((dataCols.map(col) :+ lit(1L).as(W)): _*)))
           }
           val freshChk = fresh.map(rel => rel.copy(df = rel.df.localCheckpoint(true)))
           val n = freshChk.map(_.df.count()).getOrElse(0L)
-          r -> (if (n > 0) freshChk else None)
+          // Checkpointed RDDs carry no size stats, so Catalyst would
+          // shuffle-join against them; deltas we KNOW are small get an
+          // explicit broadcast hint for the next round's body joins.
+          val hinted = freshChk.map(rel =>
+            if (n <= broadcastLimit) rel.copy(df = broadcast(rel.df)) else rel)
+          r -> ((if (n > 0) hinted else None, n))
         }.toMap
-        changed = stepped.values.exists(_.isDefined)
+        changed = stepped.values.exists(_._1.isDefined)
         total = ordered.map { r =>
-          r -> ((total(r), stepped(r)) match {
+          r -> ((total(r), stepped(r)._1) match {
             case (t, None)          => t
             case (None, d)          => d
             case (Some(t), Some(d)) => Some(t.copy(df = t.df.unionAll(d.df)))
           })
         }.toMap
-        delta = stepped
+        totalCount = ordered.map(r => r -> (totalCount(r) + stepped(r)._2)).toMap
+        delta = stepped.view.mapValues(_._1).toMap
       }
       ordered.foreach { r =>
         memo(r) = total(r).getOrElse(sys.error(s"recursive rule $r has no base case"))
