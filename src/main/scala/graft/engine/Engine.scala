@@ -26,6 +26,7 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
   val domain = new Domain(spark)
 
   private val interests = mutable.LinkedHashSet.empty[String]
+  private val initialized = mutable.Set.empty[String]
   private val granularities = mutable.Map.empty[String, Long]
   private val prevSnapshots =
     mutable.Map.empty[String, Map[Seq[Any], Long]].withDefaultValue(Map.empty)
@@ -57,6 +58,7 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     * last interested client leaves — `src/server/mod.rs:276-281`). */
   def uninterest(name: String): Unit = {
     interests -= name
+    initialized -= name
     granularities -= name
     prevSnapshots -= name
     outputs -= name
@@ -91,9 +93,27 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
   }
 
   /** Advance the logical clock to `next`: every input time in
-    * [frontier, next) is now complete; emit output diffs at each. */
+    * [frontier, next) is now complete; emit output diffs at each.
+    * Advancing to the current epoch is a no-op; rewinding is an error
+    * (`Domain::advance_epoch`, `tests/domain_test.rs:9-22`). */
   def advance(next: Long): Unit = {
-    require(next > frontier, s"cannot rewind domain from $frontier to $next")
+    require(next >= frontier, s"cannot rewind domain from $frontier to $next")
+    if (next == frontier) return
+
+    // Late subscribers (interest registered after earlier times were
+    // already processed) receive the accumulated current state as initial
+    // diffs — the reference replays the compacted trace into newly built
+    // dataflows (`tests/registration_test.rs`).
+    for (name <- interests if !initialized(name)) {
+      if (processedThrough > 0L) {
+        val cur = snapshot(name, processedThrough - 1)
+        val buf = outputs(name)
+        cur.foreach { case (tuple, w) => buf += ((tuple, frontier, w)) }
+        prevSnapshots(name) = cur
+      }
+      initialized += name
+    }
+
     val times = domain.pendingTimes(0L, next).filter(_ >= earliestUnprocessed)
     for (t <- times; name <- interests) {
       val cur = snapshot(name, t)
