@@ -78,9 +78,12 @@ object Similarity {
   def quantizedNearDup(vectors: DataFrame, blockCol: String,
       tauNum: Long, tauDen: Long,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Materialized once: both sides of the blocked self-join read the
+    // quantized+normed table instead of re-deriving it.
     val q = vectors.select(col(blockCol).as("blk"), col(idCol).cast("long").as("id"),
       quantize(col(vecCol)).as("qv"))
       .withColumn("nrm", dotQ(col("qv"), col("qv")))
+      .localCheckpoint(true)
     val l = q.toDF("blk", "a", "av", "na")
     val r = q.toDF("blk", "b", "bv", "nb")
     l.join(r, Seq("blk"))

@@ -56,6 +56,19 @@ object TextAnalysis {
     withHits.withColumn("lang_pred", pred)
   }
 
+  /** BPE-ish subword token count: alphabetic runs, single digits, and
+    * individual punctuation marks — the shape of GPT-2-style pre-tokenizer
+    * splits, kept to a regex class both engines implement identically. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
+
+  /** DuckDB SQL fragment equivalent to [[bpeishTokenCount]] (DuckDB string
+    * literals keep backslashes verbatim — no re-escaping). */
+  def bpeishTokenCountSql(expr: String): String =
+    s"CAST(len(regexp_extract_all($expr, '$BpeishPattern')) AS BIGINT)"
+
   /** Content fingerprint: portable 60-bit hash of the normalized text
     * (lowercase alnum) — a deterministic rolling-hash substitute. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =

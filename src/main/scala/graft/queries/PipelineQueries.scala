@@ -72,6 +72,10 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id").as("id"),
         TextAnalysis.tokenCount(col("text")).as("ntokens")))),
 
+    "q_text_tokens_bpe" -> ((s, dir) => longify(
+      docs(s, dir).select(col("doc_id").as("id"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("ntokens")))),
+
     "q_text_quality" -> ((s, dir) => longify(
       TextAnalysis.qualityFacets(docs(s, dir), "doc_id", "text"))),
 
@@ -216,6 +220,11 @@ object PipelineQueries {
       s"""SELECT CAST(doc_id AS BIGINT) AS id,
                  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
                       ELSE len(${tokensSql("text")}) END AS BIGINT) AS ntokens
+          FROM documents""",
+
+    "q_text_tokens_bpe" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS id,
+                 ${TextAnalysis.bpeishTokenCountSql("text")} AS ntokens
           FROM documents""",
 
     "q_text_quality" ->
