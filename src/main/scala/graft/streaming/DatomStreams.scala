@@ -10,6 +10,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 final case class Update[V](e: Long, v: V, t: Long, diff: Long)
 
+/** Side-tagged update feeding [[DatomStreams.joinDiffs]]. */
+final case class JoinUpdate[A, B](
+    e: Long, left: Option[A], right: Option[B], t: Long, diff: Long)
+
+/** One weighted output diff of an incremental join. */
+final case class JoinDiff[A, B](e: Long, left: A, right: B, t: Long, diff: Long)
+
 /** Structured Streaming counterparts of the reference's input-semantics
   * operators and delivery-time controls (SURVEY.md §2.9):
   *
@@ -94,6 +101,55 @@ object DatomStreams {
             else if (before > 0 && support <= 0) out += Update(e, v, u.t, -1L)
           }
           state.update(support)
+          out.iterator
+      }
+  }
+
+  /** Incremental equijoin of two diff streams on the entity key — the
+    * streaming form of differential's join delta rule
+    * `Δ(L ⋈ R) = ΔL ⋈ R  ∪  L ⋈ ΔR  ∪  ΔL ⋈ ΔR` (SURVEY.md §4.2). Keyed
+    * state holds both sides' accumulated (value → weight) multisets;
+    * each batch's updates apply sequentially (event-time order), emitting
+    * the cross product against the other side's current state with
+    * multiplied weights — so retractions propagate with negative diffs.
+    * The telescoping sum makes the net diffs independent of the order in
+    * which same-timestamp updates apply. */
+  def joinDiffs[A, B](left: Dataset[Update[A]], right: Dataset[Update[B]])(
+      implicit tEnc: Encoder[JoinUpdate[A, B]],
+      oEnc: Encoder[JoinDiff[A, B]]): Dataset[JoinDiff[A, B]] = {
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val stateEnc: Encoder[(Map[A, Long], Map[B, Long])] =
+      Encoders.kryo[(Map[A, Long], Map[B, Long])]
+    val tagged = left.map(u => JoinUpdate[A, B](u.e, Some(u.v), None, u.t, u.diff))
+      .union(right.map(u => JoinUpdate[A, B](u.e, None, Some(u.v), u.t, u.diff)))
+    tagged
+      .groupByKey(_.e)
+      .flatMapGroupsWithState[(Map[A, Long], Map[B, Long]), JoinDiff[A, B]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (e: Long, it: Iterator[JoinUpdate[A, B]],
+            state: GroupState[(Map[A, Long], Map[B, Long])]) =>
+          var (ls, rs) = state.getOption.getOrElse((Map.empty[A, Long], Map.empty[B, Long]))
+          val out = scala.collection.mutable.ArrayBuffer.empty[JoinDiff[A, B]]
+          it.toSeq.sortBy(_.t).foreach { u =>
+            (u.left, u.right) match {
+              case (Some(a), _) =>
+                rs.foreach { case (b, wb) =>
+                  val d = u.diff * wb
+                  if (d != 0L) out += JoinDiff(e, a, b, u.t, d)
+                }
+                val nw = ls.getOrElse(a, 0L) + u.diff
+                ls = if (nw == 0L) ls - a else ls.updated(a, nw)
+              case (_, Some(b)) =>
+                ls.foreach { case (a, wa) =>
+                  val d = wa * u.diff
+                  if (d != 0L) out += JoinDiff(e, a, b, u.t, d)
+                }
+                val nw = rs.getOrElse(b, 0L) + u.diff
+                rs = if (nw == 0L) rs - b else rs.updated(b, nw)
+              case _ => ()
+            }
+          }
+          state.update((ls, rs))
           out.iterator
       }
   }

@@ -78,6 +78,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(2) == Seq(Update(1L, 7L, 3L, -1L)))
   }
 
+  test("joinDiffs maintains an incremental equijoin with retractions") {
+    import graft.streaming.{JoinDiff, JoinUpdate}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val uEnc = org.apache.spark.sql.Encoders.product[Update[String]]
+    implicit val tEnc = org.apache.spark.sql.Encoders.product[JoinUpdate[String, String]]
+    implicit val oEnc = org.apache.spark.sql.Encoders.product[JoinDiff[String, String]]
+
+    val l = MemoryStream[Update[String]]
+    val r = MemoryStream[Update[String]]
+    val query = DatomStreams.joinDiffs(l.toDS(), r.toDS())
+      .writeStream.format("memory").queryName("join_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def drained(seen: Int): Seq[JoinDiff[String, String]] = {
+        query.processAllAvailable()
+        spark.table("join_out").as[JoinDiff[String, String]].collect().toSeq.drop(seen)
+      }
+      // batch 1: both sides matched on e=1, unmatched e=2 left only
+      l.addData(Seq(Update(1L, "A", 0L, 1L), Update(2L, "B", 0L, 1L)))
+      r.addData(Seq(Update(1L, "X", 0L, 1L)))
+      val b1 = drained(0)
+      assert(b1.toSet == Set(JoinDiff(1L, "A", "X", 0L, 1L)))
+
+      // batch 2: second right value joins existing left; left retraction
+      // propagates as a negative diff
+      r.addData(Seq(Update(1L, "Y", 1L, 1L)))
+      l.addData(Seq(Update(1L, "A", 1L, -1L)))
+      val b2 = drained(b1.length)
+      // net effect: +(A,Y) then -(A,X), -(A,Y) — or the retraction first;
+      // net diffs are order-independent, so compare consolidated sums
+      val net = b2.groupBy(d => (d.left, d.right))
+        .view.mapValues(_.map(_.diff).sum).filter(_._2 != 0L).toMap
+      assert(net == Map(("A", "X") -> -1L))
+    } finally query.stop()
+  }
+
   test("coarsen rounds up to interval bounds") {
     import spark.implicits._
     val df = Seq(0L, 1L, 59L, 60L, 61L, 120L).toDF("t")
