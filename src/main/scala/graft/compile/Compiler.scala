@@ -669,7 +669,12 @@ class Compiler(
       target: Seq[Int], bindings: Seq[Binding],
       env: Map[String, Option[Rel]]): Option[Rel] = {
     val attrBs = bindings.collect { case a: Binding.Attr => a }
-    val notBs = bindings.collect { case Binding.Not(a) => a }
+    val notBs = bindings.collect { case Binding.Not(a: Binding.Attr) => a }
+    val unsupported = bindings.collect {
+      case Binding.Not(inner) if !inner.isInstanceOf[Binding.Attr] => inner
+    }
+    require(unsupported.isEmpty,
+      s"Not bindings over non-attribute bindings are not executable: $unsupported")
     val constOf: Map[Int, Value] =
       bindings.collect { case Binding.Const(x, v) => x -> v }.toMap
     val preds = bindings.collect { case p: Binding.BinaryPred => p }

@@ -144,6 +144,7 @@ object Plan {
       (bs.flatMap {
         case Binding.Attr(_, a, _)            => Seq(a)
         case Binding.Not(Binding.Attr(_, a, _)) => Seq(a)
+        case Binding.Not(Binding.Not(Binding.Attr(_, a, _))) => Seq(a)
         case _                                => Seq.empty
       }.toSet, Set.empty)
     case Antijoin(_, l, r) => merge(dependencies(l), dependencies(r))
@@ -215,8 +216,9 @@ object Binding {
   /** Two variables constrained by a binary predicate. */
   final case class BinaryPred(x: Var, y: Var, predicate: Predicate) extends Binding
 
-  /** Negation-as-antijoin: the wrapped binding's tuples must be absent. */
-  final case class Not(binding: Attr) extends Binding
+  /** Negation-as-antijoin: the wrapped binding's tuples must be absent
+    * (`AntijoinBinding` wraps any binding — `src/binding/mod.rs:56-57`). */
+  final case class Not(binding: Binding) extends Binding
 
   def attribute(e: Var, a: String, v: Var): Binding = Attr(e, a, v)
   def constant(variable: Var, value: Value): Binding = Const(variable, value)

@@ -299,10 +299,7 @@ object Wire {
           val Seq(x, y) = pair(bo.get("variables").get)
           Binding.BinaryPred(x, y, predicateOf(bo.get("predicate").get))
         case Vector(("Not", no: JObj)) =>
-          bindingOf(no.get("binding").get) match {
-            case a: Binding.Attr => Binding.Not(a)
-            case other => sys.error(s"Not binding must wrap an attribute, got $other")
-          }
+          Binding.Not(bindingOf(no.get("binding").get))
         case other => sys.error(s"unknown binding: $other")
       }
     case other => sys.error(s"unknown binding: $other")
