@@ -70,6 +70,12 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     import graft.server.{Request => R}
     req match {
       case R.Transact(datoms)        => transact(datoms)
+      case R.Derive(ns, query) =>
+        // GraphQL document -> pull-path rule registered + subscribed under
+        // the namespace (the reference additionally re-publishes results as
+        // derived attributes; here the rule IS the namespace's relation).
+        register(Rule(ns, graft.plans.GraphQl.plan(query)))
+        interest(ns)
       case R.Interest(name, g)       => interest(name, g)
       case R.Uninterest(name)        => uninterest(name)
       case R.Register(rules, _)      => rules.foreach(register)

@@ -115,6 +115,27 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** IVF-style coarse quantization: assign every vector to its
+    * nearest-by-dot-product centroid cell; at scale, ANN search probes only
+    * the query's cell(s) instead of the full corpus. Centroids here are the
+    * quantized vectors of the `k` lowest ids — a deterministic, oracle-
+    * portable stand-in for trained k-means centroids (swap in real ones by
+    * replacing `cents`); they broadcast to every executor, so assignment is
+    * a map-side cross product with no shuffle. Output: (id, cell, dotq). */
+  def ivfAssign(vectors: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = vectors.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol)).as("qv"))
+    val cents = q.where(col("id") < k).select(col("id").as("cell"), col("qv").as("cv"))
+    val scored = q.join(org.apache.spark.sql.functions.broadcast(cents))
+      .select(col("id"), col("cell"), dotQ(col("qv"), col("cv")).as("dotq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("dotq").desc, col("cell").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col("id"), col("cell"), col("dotq"))
+  }
+
   /** Random-hyperplane LSH bucket id (`bits`-bit signature) over the
     * quantized vector — integer dot products, so bucket assignment is
     * exact. Hyperplane component j,i is a deterministic pseudo-random

@@ -63,6 +63,9 @@ object PipelineQueries {
     "q_ann_topk" -> ((s, dir) =>
       Similarity.quantizedTopK(embeds(s, dir), col("id") < 3, 5)),
 
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfAssign(embeds(s, dir), k = 8)),
+
     "q_ann_lsh" -> ((s, dir) =>
       embeds(s, dir).select(col("vec_id").cast("long").as("id"),
         Similarity.lshBucketQ(
@@ -205,6 +208,15 @@ object PipelineQueries {
                    CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY key DESC, nb ASC) AS BIGINT) AS rank
             FROM keyed)
           WHERE rank <= 5""",
+
+    "q_ann_ivf" ->
+      s"""WITH q AS (SELECT CAST(vec_id AS BIGINT) AS id, $qvSql AS qv FROM embeddings),
+          c AS (SELECT id AS cell, qv AS cv FROM q WHERE id < 8),
+          d AS (SELECT q.id, c.cell, ${dotSql("q.qv", "c.cv")} AS dotq FROM q, c),
+          r AS (SELECT id, cell, dotq,
+                       ROW_NUMBER() OVER (PARTITION BY id ORDER BY dotq DESC, cell ASC) AS rn
+                FROM d)
+          SELECT id, cell, dotq FROM r WHERE rn = 1""",
 
     "q_ann_lsh" -> {
       val bits = (0 until 8).map { j =>

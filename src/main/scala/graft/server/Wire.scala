@@ -11,6 +11,9 @@ import graft.model._
 sealed trait Request
 object Request {
   final case class Transact(datoms: Seq[Datom]) extends Request
+  /** Derive new attributes under a namespace from a GraphQL document
+    * (`Request::Derive`, feature-gated in the reference). */
+  final case class Derive(namespace: String, query: String) extends Request
   final case class Interest(name: String, granularity: Option[Long] = None)
       extends Request
   final case class Uninterest(name: String) extends Request
@@ -78,6 +81,8 @@ object Wire {
           Request.Interest(
             str(io.get("name").get),
             io.get("granularity").filter(_ != JNull).map(timeOf))
+        case Vector(("Derive", JArr(Vector(JStr(ns), JStr(q))))) =>
+          Request.Derive(ns, q)
         case Vector(("Uninterest", JStr(n))) => Request.Uninterest(n)
         case Vector(("Register", ro: JObj)) =>
           Request.Register(
@@ -106,6 +111,7 @@ object Wire {
     case Request.Interest(name, g) =>
       s"""{"Interest":{"name":${qs(name)},"granularity":${
         g.map(t => s"""{"TxId":$t}""").getOrElse("null")}}}"""
+    case Request.Derive(ns, q) => s"""{"Derive":[${qs(ns)},${qs(q)}]}"""
     case Request.Uninterest(n) => s"""{"Uninterest":${qs(n)}}"""
     case Request.Register(rules, publish) =>
       s"""{"Register":{"rules":[${rules.map(renderRule).mkString(",")}],"publish":[${

@@ -154,6 +154,44 @@ object DatomStreams {
       }
   }
 
+  /** Incrementally maintained grouped COUNT/SUM over a diff stream: per
+    * entity, each batch folds the incoming weighted updates into keyed
+    * state and emits a retraction of the previous aggregate value plus an
+    * assertion of the new one — the reference's diff-monoid aggregation
+    * (`src/plan/aggregate_neu.rs:167-243`) expressed as keyed state. Keys
+    * whose support drops to zero retract without re-asserting (empty
+    * consolidated support emits nothing). `valueOf` extracts the summed
+    * quantity (COUNT = `_ => 1L`). */
+  def aggregateDiffs[V](updates: Dataset[Update[V]])(valueOf: V => Long)(
+      implicit uEnc: Encoder[Update[V]]): Dataset[Update[Long]] = {
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val outEnc: Encoder[Update[Long]] = Encoders.product[Update[Long]]
+    implicit val stateEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    updates
+      .groupByKey(_.e)
+      .flatMapGroupsWithState[(Long, Long), Update[Long]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (e: Long, it: Iterator[Update[V]], state: GroupState[(Long, Long)]) =>
+          val (oldSum, oldSupport) = state.getOption.getOrElse((0L, 0L))
+          var sum = oldSum
+          var support = oldSupport
+          var tMax = Long.MinValue
+          it.foreach { u =>
+            sum += valueOf(u.v) * u.diff
+            support += u.diff
+            if (u.t > tMax) tMax = u.t
+          }
+          state.update((sum, support))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Update[Long]]
+          if (sum != oldSum || (support > 0L) != (oldSupport > 0L)) {
+            if (oldSupport > 0L) out += Update(e, oldSum, tMax, -1L)
+            if (support > 0L) out += Update(e, sum, tMax, 1L)
+          }
+          out.iterator
+      }
+  }
+
   /** Delivery-granularity coarsening: round an event time UP to the next
     * interval bound (identity on exact bounds) — the reference's `Coarsen`
     * (`src/timestamp/mod.rs:144-184`), used to batch result delivery. On a

@@ -114,6 +114,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("aggregateDiffs retracts the previous aggregate and asserts the new") {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Update[Long]]
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Update[Long]]
+    val query = DatomStreams.aggregateDiffs(input.toDS())(identity)
+      .writeStream.format("memory").queryName("agg_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def drained(seen: Int): Seq[Update[Long]] = {
+        query.processAllAvailable()
+        spark.table("agg_out").as[Update[Long]].collect().toSeq.drop(seen)
+      }
+      input.addData(Seq(Update(1L, 10L, 0L, 1L), Update(1L, 5L, 0L, 1L)))
+      val b1 = drained(0)
+      assert(b1 == Seq(Update(1L, 15L, 0L, 1L)))
+
+      input.addData(Seq(Update(1L, 10L, 1L, -1L)))
+      val b2 = drained(1)
+      assert(b2.toSet == Set(Update(1L, 15L, 1L, -1L), Update(1L, 5L, 1L, 1L)))
+
+      // retracting the last contribution empties the key's support: the
+      // aggregate retracts without re-asserting
+      input.addData(Seq(Update(1L, 5L, 2L, -1L)))
+      val b3 = drained(3)
+      assert(b3 == Seq(Update(1L, 5L, 2L, -1L)))
+    } finally query.stop()
+  }
+
   test("coarsen rounds up to interval bounds") {
     import spark.implicits._
     val df = Seq(0L, 1L, 59L, 60L, 61L, 120L).toDF("t")

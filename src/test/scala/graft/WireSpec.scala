@@ -80,6 +80,22 @@ class WireSpec extends AnyFunSuite {
     assert(engine.drain("adults").isEmpty)
   }
 
+  test("Derive registers and subscribes a GraphQL-derived rule") {
+    val engine = new Engine(TestSpark.spark)
+    engine.createAttribute("hero", AttributeConfig(InputSemantics.Distinct))
+    engine.createAttribute("name", AttributeConfig(InputSemantics.Distinct))
+    engine.handle(Wire.parseRequests(
+      """{"Derive":["heroes","{ hero { name } }"]}""").head)
+    engine.transact(Seq(
+      Datom.add(1L, "hero", Value.eid(7)),
+      Datom.add(7L, "name", Value.str("alice"))))
+    engine.advance(1)
+    val got = engine.drain("heroes").map { case (t, _, d) => (t, d) }.toSet
+    assert(got == Set(
+      (Seq(1L, "hero", "name", "alice"), 1L),
+      (Seq(1L, "hero", "db__id", 7L), 1L)))
+  }
+
   test("interest granularity coarsens emitted times") {
     val engine = new Engine(TestSpark.spark)
     engine.createAttribute(":v", AttributeConfig(InputSemantics.Distinct))
