@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{CoreQueries, PipelineQueries}
+
+/** Physical-plan regression guards: the properties that make these
+  * operators viable at scale must survive refactoring — column-pruned
+  * parquet scans, pushed filters, broadcast joins for dimension-sized
+  * sides, no Python/Scala UDFs in hot paths. Checked against the
+  * sf0.001 testdata (plan shape is scale-independent here; AQE re-plans
+  * sizes at runtime). */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val fn = (CoreQueries.queries ++ PipelineQueries.queries)(name)
+    fn(spark, sf).queryExecution.executedPlan.toString
+  }
+
+  test("MatchA scan reads exactly the two referenced columns") {
+    val plan = planOf("q_match_a")
+    assert(plan.contains("ReadSchema: struct<c_custkey:bigint,c_name:string"),
+      s"expected a pruned 2-column scan:\n$plan")
+  }
+
+  test("MatchAV pushes the value predicate into the scan") {
+    val plan = planOf("q_match_av")
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]"),
+      s"expected the constant filter pushed to parquet:\n$plan")
+  }
+
+  test("hector predicate query broadcasts both dimension sides") {
+    val plan = planOf("q_hector_pred")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffle join expected:\n$plan")
+  }
+
+  test("IVF assignment broadcasts the centroid table") {
+    val plan = planOf("q_ann_ivf")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected centroids broadcast:\n$plan")
+  }
+
+  test("minhash hashes each token once (projects not re-inlined, no UDFs)") {
+    val plan = planOf("q_dedup_minhash")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"hot path must not contain UDFs:\n$plan")
+    // Three-stage structure: token digests materialize once in the bottom
+    // project ("AS _hp"); if CollapseProject re-inlined them, md5 would
+    // appear once per window element (O(len^2) digests per row).
+    assert(plan.contains("AS _hp"), s"expected materialized token hashes:\n$plan")
+    val md5s = "md5\\(".r.findAllIn(plan).size
+    assert(md5s <= 2, s"expected md5 only in the token-hash project, found $md5s:\n$plan")
+  }
+
+  test("aggregation uses map-side partial aggregation on the unit path") {
+    val plan = planOf("q_agg_sum")
+    // two HashAggregates (partial + final) around a single exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final hash aggregation:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one shuffle:\n$plan")
+  }
+}
