@@ -242,7 +242,7 @@ class Compiler(
   private def contentSignature(df: DataFrame): (Long, Long) = {
     val row = df.agg(
       count(lit(1)).as("n"),
-      coalesce(sum(xxhash64(df.columns.map(col): _*)), lit(0L)).as("h")).head()
+      coalesce(sum(xxhash64(df.columns.toIndexedSeq.map(col): _*)), lit(0L)).as("h")).head()
     (row.getLong(0), row.getLong(1))
   }
 
@@ -439,13 +439,13 @@ class Compiler(
 
   /** Multiset canonicalization (differential `consolidate()`). */
   def consolidate(df: DataFrame): DataFrame = {
-    val cols = df.columns.filter(_ != W).map(col)
+    val cols = df.columns.toIndexedSeq.filter(_ != W).map(col)
     df.groupBy(cols: _*).agg(sum(col(W)).as(W)).where(col(W) =!= 0L)
   }
 
   /** Z-set distinct: rows with positive accumulated weight, at weight 1. */
   def distinctify(df: DataFrame): DataFrame = {
-    val cols = df.columns.filter(_ != W).map(col)
+    val cols = df.columns.toIndexedSeq.filter(_ != W).map(col)
     df.groupBy(cols: _*).agg(sum(col(W)).as(W))
       .where(col(W) > 0L).withColumn(W, lit(1L))
   }

@@ -93,6 +93,40 @@ object FileSources {
     }
   }
 
+  /** Streaming variant: watch a DIRECTORY of CSV files, fanning each new
+    * file's rows into per-attribute `(e, v, t, diff)` update streams. The
+    * reference's poll/fuel/re-activation batching (`csv_file.rs:95-199`)
+    * maps to `maxFilesPerTrigger`; event time is the ingest batch's
+    * processing time unless a timestamp column offset is given
+    * (`timestamp_offset`, `csv_file.rs:30-31`). Feed the results through
+    * `DatomStreams.distinctSet`/`lastWriteWins` for input semantics. */
+  def streamCsv(
+      spark: SparkSession,
+      dir: String,
+      schemaDDL: String,
+      eidOffset: Int,
+      schema: Seq[(String, (Int, ValueKind))],
+      tsOffset: Option[Int] = None,
+      maxFilesPerTrigger: Int = 1): Seq[(String, DataFrame, ValueKind)] = {
+    val raw = spark.readStream
+      .option("header", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .schema(schemaDDL)
+      .csv(dir)
+    val cols = raw.columns
+    val e = col(cols(eidOffset)).cast("long").as("e")
+    val t = tsOffset
+      .map(i => col(cols(i)).cast("long"))
+      .getOrElse(unix_millis(current_timestamp()))
+      .as("t")
+    schema.map { case (aid, (offset, kind)) =>
+      (aid,
+        raw.select(e, castTo(col(cols(offset)), kind).as("v"), t,
+          lit(1L).as("diff")),
+        kind)
+    }
+  }
+
   /** Register a CSV source's attributes into a domain with Distinct
     * semantics, as the reference does (`csv_file.rs:204-212`). */
   def registerCsv(domain: Domain, src: CsvFile): Unit =

@@ -76,6 +76,36 @@ class SourcesAndSinksSpec extends AnyFunSuite {
     assert(admins == Set((0L, true), (2L, false)))
   }
 
+  test("streamCsv fans incoming files into per-attribute update streams") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = Files.createTempDirectory("graft_csv_stream")
+    Files.writeString(dir.resolve("batch1.csv"),
+      "id,name,ts\n1,alice,10\n2,bob,20\n")
+
+    val sources = FileSources.streamCsv(
+      spark, dir.toString,
+      schemaDDL = "id LONG, name STRING, ts LONG",
+      eidOffset = 0,
+      schema = Seq(":name" -> (1, KString)),
+      tsOffset = Some(2))
+    val (aid, df, _) = sources.head
+    assert(aid == ":name")
+    val query = df.writeStream.format("memory").queryName("csv_stream_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      query.processAllAvailable()
+      // second file arrives while the stream runs
+      Files.writeString(dir.resolve("batch2.csv"),
+        "id,name,ts\n3,carol,30\n")
+      query.processAllAvailable()
+      val got = spark.table("csv_stream_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == Set(
+        (1L, "alice", 10L, 1L), (2L, "bob", 20L, 1L), (3L, "carol", 30L, 1L)))
+    } finally query.stop()
+  }
+
   test("AssocIn stateless fold builds one document per top-level key") {
     import Value._
     // paths: [eid attr val] and nested [eid attr eid attr val]
