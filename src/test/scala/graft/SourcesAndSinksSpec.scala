@@ -106,6 +106,24 @@ class SourcesAndSinksSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("TheVoid sink swallows a stream while logging per-epoch latency") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Long]
+    val (writer, log) = graft.sinks.TheVoid.sink(input.toDS().toDF("v"), "void_out")
+    val query = writer.start()
+    try {
+      input.addData(Seq(1L, 2L, 3L))
+      query.processAllAvailable()
+      input.addData(Seq(4L))
+      query.processAllAvailable()
+      val epochs = log.epochs
+      assert(epochs.map(_.inputRows).sum == 4L)
+      assert(epochs.forall(_.durationMs >= 0L))
+    } finally query.stop()
+  }
+
   test("AssocIn stateless fold builds one document per top-level key") {
     import Value._
     // paths: [eid attr val] and nested [eid attr eid attr val]
