@@ -68,7 +68,8 @@ object Compiler extends Serializable {
 class Compiler(
     source: AttributeSource,
     rules: Map[String, Rule] = Map.empty,
-    maxIterations: Int = 10000) {
+    maxIterations: Int = 10000,
+    aggregateSetSemantics: Boolean = false) {
 
   import Rel.{c, W}
   import graft.model.{Plan => P}
@@ -563,8 +564,16 @@ class Compiler(
     // one shuffle, map-side partial aggregation, exactly the plan you'd
     // write by hand. Non-unit (Z-set) inputs are consolidated first: order
     // statistics need the distinct support set, and empty-support detection
-    // (below) needs per-value net weights.
-    val cons = if (!pre.unit) consolidate(pre.df) else pre.df
+    // (below) needs per-value net weights. Under set semantics (the
+    // reference's feature-flagged aggregate.rs variant) the projected
+    // tuples are distinct-ed before ALL aggregations — SUM/AVG/VARIANCE
+    // see each distinct (key, value ++ withs) record once
+    // (src/plan/aggregate.rs:180-245).
+    val cons =
+      if (aggregateSetSemantics) distinctify(pre.df)
+      else if (!pre.unit) consolidate(pre.df)
+      else pre.df
+    val unitWeights = pre.unit || aggregateSetSemantics
 
     val keyCols = keyVars.indices.map(i => col(c(i)))
     def vcol(v: Int): Column = col(c(pre.idx(v)))
@@ -603,7 +612,7 @@ class Compiler(
     // reduce/count emit nothing for them) — reachable only on the non-unit
     // path via Negate: track positive-support and net-weight alongside.
     val supExprs =
-      if (pre.unit) Seq.empty
+      if (unitWeights) Seq.empty
       else Seq(sum(when(col(W) > 0, 1L).otherwise(0L)).as("_sup"),
         sum(col(W)).as("_wsum"))
     val allExprs = aggExprs ++ supExprs
@@ -616,7 +625,7 @@ class Compiler(
         cons.groupBy(lit(0).as("_g")).agg(allExprs.head, allExprs.tail: _*).drop("_g")
       }
     val grouped =
-      if (pre.unit) rawGrouped
+      if (unitWeights) rawGrouped
       else {
         val base = rawGrouped.where(col("_sup") > 0L)
         if (fns.exists(f => f == COUNT || f == SUM)) base.where(col("_wsum") =!= 0L)
@@ -742,6 +751,22 @@ class Compiler(
     // drop would return a superset with no error.
     require(appliedPreds.size == preds.size,
       s"predicate bindings over unbound variables: ${preds.filterNot(appliedPreds.contains)}")
+
+    // Target variables bound ONLY by a Const binding never become columns
+    // (constants are pushed into scans); synthesize them as literal columns
+    // — the reference's ConstantExtender proposes the constant value
+    // (src/plan/hector.rs:980-1021).
+    val constOnly = target.filterNot(rel.vars.contains).filter(constOf.contains)
+    if (constOnly.nonEmpty) {
+      val n = rel.vars.length
+      val sel = rel.vars.indices.map(i => col(c(i))) ++
+        constOnly.zipWithIndex.map { case (v, i) =>
+          Value.asLiteral(constOf(v)).as(c(n + i))
+        } :+ col(W)
+      rel = Rel(rel.vars ++ constOnly,
+        rel.kinds ++ constOnly.map(v => ValueKind.of(constOf(v))),
+        rel.df.select(sel: _*), unit = rel.unit)
+    }
 
     // Negation-as-antijoin (AntijoinBinding, src/plan/hector.rs:1494-1529).
     notBs.foreach { nb =>

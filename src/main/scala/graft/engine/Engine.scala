@@ -157,7 +157,8 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
   /** Current consolidated result of a rule as a DataFrame (columns c0..cn
     * plus weight `_w`) — the non-diff query path. */
   def resultFrame(name: String): DataFrame = {
-    val compiler = new Compiler(domain.asOf(Long.MaxValue), domain.rules)
+    val compiler = new Compiler(domain.asOf(Long.MaxValue), domain.rules,
+      aggregateSetSemantics = setSemantics)
     val rel = compiler.compileRule(name)
     canonicalize(compiler, rel).df
   }
@@ -167,7 +168,8 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     else rel.copy(df = compiler.consolidate(rel.df))
 
   private def snapshot(name: String, t: Long): Map[Seq[Any], Long] = {
-    val compiler = new Compiler(domain.asOf(t), domain.rules)
+    val compiler = new Compiler(domain.asOf(t), domain.rules,
+      aggregateSetSemantics = setSemantics)
     val rel = canonicalize(compiler, compiler.compileRule(name))
     val n = rel.df.columns.length - 1 // tuple width without _w
     rel.df.collect().iterator.map { row =>

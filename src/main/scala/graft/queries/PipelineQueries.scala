@@ -63,6 +63,14 @@ object PipelineQueries {
     "q_ann_topk" -> ((s, dir) =>
       Similarity.quantizedTopK(embeds(s, dir), col("id") < 3, 5)),
 
+    "q_embed_neardup_lsh" -> ((s, dir) => {
+      // Scale path: blocking by LSH bucket instead of a label column — the
+      // self-join meets only inside hyperplane-signature buckets.
+      val withBucket = embeds(s, dir).withColumn("_bkt",
+        Similarity.lshBucketQ(Similarity.quantize(col("embedding")), dim = 64, bits = 8))
+      Similarity.quantizedNearDup(withBucket, "_bkt", 90, 100)
+    }),
+
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.ivfAssign(embeds(s, dir), k = 8)),
 
@@ -208,6 +216,22 @@ object PipelineQueries {
                    CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY key DESC, nb ASC) AS BIGINT) AS rank
             FROM keyed)
           WHERE rank <= 5""",
+
+    "q_embed_neardup_lsh" -> {
+      val bits = (0 until 8).map { j =>
+        val plane = (0 until 64).map(i => PortablePlanes.component(j, i))
+          .mkString("[", ", ", "]")
+        s"CASE WHEN ${dotSql("qv", s"$plane::BIGINT[]")} > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH s AS (SELECT CAST(vec_id AS BIGINT) AS id, $qvSql AS qv FROM embeddings),
+          n AS (SELECT id, qv, CAST($bits AS BIGINT) AS bkt,
+                       ${dotSql("qv", "qv")} AS nrm FROM s)
+          SELECT * FROM (
+            SELECT l.id AS a, r.id AS b, ${dotSql("l.qv", "r.qv")} AS dotq,
+                   l.nrm AS na, r.nrm AS nb
+            FROM n l JOIN n r ON l.bkt = r.bkt AND l.id < r.id)
+          WHERE dotq > 0 AND 10000 * dotq * dotq >= 8100 * na * nb"""
+    },
 
     "q_ann_ivf" ->
       s"""WITH q AS (SELECT CAST(vec_id AS BIGINT) AS id, $qvSql AS qv FROM embeddings),

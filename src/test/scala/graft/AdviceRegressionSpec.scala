@@ -95,6 +95,38 @@ class AdviceRegressionSpec extends AnyFunSuite with EngineCases {
       semantics = InputSemantics.Raw)
   }
 
+  test("set-semantics aggregation distincts before SUM (aggregate.rs:180)") {
+    // Two entities contribute the same value: multiset SUM = 10, set SUM = 5.
+    val plan = Aggregate(Seq(1), matchA(0, ":x", 1),
+      Seq(AggregationFn.SUM), Seq.empty, Seq(1), Seq.empty)
+    val data = Seq(
+      Datom.add(1L, ":x", Value.num(5)),
+      Datom.add(2L, ":x", Value.num(5)))
+
+    def run(setSem: Boolean): Seq[Any] = {
+      val engine = new Engine(spark, setSemantics = setSem)
+      engine.createAttribute(":x", AttributeConfig(InputSemantics.Distinct))
+      engine.register(Rule("q", Project(Seq(1), plan)))
+      engine.interest("q")
+      engine.transact(data)
+      engine.advance(1)
+      engine.drain("q").map(_._1.head)
+    }
+    assert(run(setSem = false) == Seq(10L))
+    assert(run(setSem = true) == Seq(5L))
+  }
+
+  test("hector target variable bound only by a constant (ConstantExtender)") {
+    val plan = q(Seq(0, 2), Seq(
+      Binding.attribute(0, ":name", 1),
+      Binding.constant(2, Value.num(7))))
+    runCases(Seq(TC(
+      "const-only target var",
+      plan,
+      Seq(Seq(Datom.add(1L, ":name", Value.str("a")))),
+      Seq(Seq((Seq(Value.eid(1), Value.num(7)), 0L, 1L))))))
+  }
+
   test("semi-naive fixpoint matches naive closure (ADVICE #4)") {
     // Tiny graph: edges {(1,2),(2,3),(3,4),(2,5)} ⇒ closure adds
     // (1,3),(1,4),(1,5),(2,4).
