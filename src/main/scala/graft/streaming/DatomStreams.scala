@@ -51,7 +51,7 @@ object DatomStreams {
     updates
       .groupByKey(_.e)
       .flatMapGroupsWithState[V, Update[V]](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (e: Long, it: Iterator[Update[V]], state: GroupState[V]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[Update[V]]
           // Stable sort by event time (arrival order breaks ties), as the
@@ -89,7 +89,7 @@ object DatomStreams {
     updates
       .groupByKey(u => (u.e, u.v))
       .flatMapGroupsWithState[Long, Update[V]](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: (Long, V), it: Iterator[Update[V]], state: GroupState[Long]) =>
           val (e, v) = key
           var support = state.getOption.getOrElse(0L)
@@ -125,7 +125,7 @@ object DatomStreams {
     tagged
       .groupByKey(_.e)
       .flatMapGroupsWithState[(Map[A, Long], Map[B, Long]), JoinDiff[A, B]](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (e: Long, it: Iterator[JoinUpdate[A, B]],
             state: GroupState[(Map[A, Long], Map[B, Long])]) =>
           var (ls, rs) = state.getOption.getOrElse((Map.empty[A, Long], Map.empty[B, Long]))
@@ -171,7 +171,7 @@ object DatomStreams {
     updates
       .groupByKey(_.e)
       .flatMapGroupsWithState[(Long, Long), Update[Long]](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (e: Long, it: Iterator[Update[V]], state: GroupState[(Long, Long)]) =>
           val (oldSum, oldSupport) = state.getOption.getOrElse((0L, 0L))
           var sum = oldSum

@@ -23,7 +23,7 @@ class StreamingSpec extends AnyFunSuite {
     val input = MemoryStream[Update[V]]
     val query = transform(input.toDS())
       .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Update()).start()
+      .outputMode(OutputMode.Append()).start()
     try {
       val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Update[V]]]
       var seen = 0L
@@ -89,7 +89,7 @@ class StreamingSpec extends AnyFunSuite {
     val r = MemoryStream[Update[String]]
     val query = DatomStreams.joinDiffs(l.toDS(), r.toDS())
       .writeStream.format("memory").queryName("join_out")
-      .outputMode(OutputMode.Update()).start()
+      .outputMode(OutputMode.Append()).start()
     try {
       def drained(seen: Int): Seq[JoinDiff[String, String]] = {
         query.processAllAvailable()
@@ -120,7 +120,7 @@ class StreamingSpec extends AnyFunSuite {
     val input = MemoryStream[Update[Long]]
     val query = DatomStreams.aggregateDiffs(input.toDS())(identity)
       .writeStream.format("memory").queryName("agg_out")
-      .outputMode(OutputMode.Update()).start()
+      .outputMode(OutputMode.Append()).start()
     try {
       def drained(seen: Int): Seq[Update[Long]] = {
         query.processAllAvailable()
@@ -139,6 +139,38 @@ class StreamingSpec extends AnyFunSuite {
       input.addData(Seq(Update(1L, 5L, 2L, -1L)))
       val b3 = drained(3)
       assert(b3 == Seq(Update(1L, 5L, 2L, -1L)))
+    } finally query.stop()
+  }
+
+  test("composed pipeline: distinct -> incremental join -> incremental count") {
+    import graft.streaming.{JoinDiff, JoinUpdate}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val uEnc = org.apache.spark.sql.Encoders.product[Update[String]]
+    implicit val vEnc = org.apache.spark.sql.Encoders.STRING
+    implicit val tEnc = org.apache.spark.sql.Encoders.product[JoinUpdate[String, String]]
+    implicit val oEnc = org.apache.spark.sql.Encoders.product[JoinDiff[String, String]]
+    implicit val aEnc = org.apache.spark.sql.Encoders.product[Update[Long]]
+
+    val l = MemoryStream[Update[String]]
+    val r = MemoryStream[Update[String]]
+    // distinct-ed left side joined to right, then count of joined pairs per
+    // entity — three stateful operators chained on one diff stream.
+    val joined = DatomStreams.joinDiffs(
+      DatomStreams.distinctSet(l.toDS()), r.toDS())
+    val counted = DatomStreams.aggregateDiffs(
+      joined.map(d => Update[String](d.e, d.left + "|" + d.right, d.t, d.diff)))(_ => 1L)
+    val query = counted.writeStream.format("memory").queryName("pipe_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // duplicate left asserts collapse to one; two right values → count 2
+      l.addData(Seq(Update(1L, "A", 0L, 1L), Update(1L, "A", 0L, 1L)))
+      r.addData(Seq(Update(1L, "X", 0L, 1L), Update(1L, "Y", 0L, 1L)))
+      query.processAllAvailable()
+      val rows = spark.table("pipe_out").as[Update[Long]].collect().toSeq
+      // accumulated aggregate state for entity 1 must net to count=2
+      val net = rows.groupBy(_.v).view.mapValues(_.map(_.diff).sum)
+        .filter(_._2 != 0L).toMap
+      assert(net == Map(2L -> 1L), s"rows: $rows")
     } finally query.stop()
   }
 
