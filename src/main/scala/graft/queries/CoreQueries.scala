@@ -187,6 +187,28 @@ object CoreQueries {
         Seq("e", "a", "v"))
         .withColumn("v", col("v").getField("s"))),
 
+    // ---- recursion + stratified aggregation (labelprop-style, the
+    //      reference's second benchmark workload: experiments/labelprop.rs) ----
+    "q_recursion_labelprop" -> ((s, dir) => {
+      val edges = Rule("edges",
+        Union(Seq(1, 2), Seq(
+          Project(Seq(1, 2),
+            Filter(Seq(1), Predicate.LTE, li, Seq(None, Some(Value.num(200))))))))
+      val closure = Rule("closure",
+        Union(Seq(0, 1), Seq(
+          NameExpr(Seq(0, 1), "edges"),
+          Project(Seq(0, 1),
+            Join(Seq(2),
+              NameExpr(Seq(0, 2), "edges"),
+              NameExpr(Seq(2, 1), "closure"))))))
+      // label(node) = min source that reaches it
+      val labels = Rule("labels",
+        Aggregate(Seq(1, 0), NameExpr(Seq(0, 1), "closure"),
+          Seq(AggregationFn.MIN), Seq(1), Seq(0), Seq.empty))
+      p(s, dir, NameExpr(Seq(0, 1), "labels"), Seq("node", "label"),
+        rules = Seq(edges, closure, labels))
+    }),
+
     // ---- recursion (NameExpr fixpoint) ----
     "q_recursion_closure" -> ((s, dir) => {
       val edges = Rule("edges",
@@ -300,6 +322,16 @@ object CoreQueries {
       """SELECT CAST(r_regionkey AS BIGINT) AS e, ':region/name' AS a, r_name AS v FROM region
          UNION ALL
          SELECT CAST(n_nationkey AS BIGINT), ':nation/name', n_name FROM nation""",
+    "q_recursion_labelprop" ->
+      """WITH RECURSIVE edges AS (
+           SELECT DISTINCT l_partkey AS src, l_suppkey AS dst
+           FROM lineitem WHERE l_partkey <= 200),
+         closure AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT e.src, c.dst FROM edges e JOIN closure c ON e.dst = c.src)
+         SELECT dst AS node, CAST(MIN(src) AS BIGINT) AS label
+         FROM closure GROUP BY 1""",
     "q_recursion_closure" ->
       """WITH RECURSIVE edges AS (
            SELECT DISTINCT l_partkey AS src, l_suppkey AS dst
