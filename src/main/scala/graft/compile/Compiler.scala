@@ -69,7 +69,14 @@ class Compiler(
     source: AttributeSource,
     rules: Map[String, Rule] = Map.empty,
     maxIterations: Int = 10000,
-    aggregateSetSemantics: Boolean = false) {
+    aggregateSetSemantics: Boolean = false,
+    // Cross-compiler rule-result cache (the reference shares one
+    // arrangement per rule across all queries — src/domain/mod.rs:605-610).
+    // Keyed by the rule's TRANSITIVE definition (its own plan plus every
+    // reachable rule's plan), so equal derivations share work and renamed
+    // or redefined rules don't collide. Only safe when every participating
+    // compiler reads the same immutable source (the bulk path).
+    sharedCache: Option[mutable.Map[Seq[(String, Plan)], Rel]] = None) {
 
   import Rel.{c, W}
   import graft.model.{Plan => P}
@@ -92,13 +99,25 @@ class Compiler(
   def compileRule(name: String): Rel = memo.get(name) match {
     case Some(rel) => rel
     case None =>
-      val reach = reachable(name) + name
-      val cyclic = reach.filter(r => reachable(r).contains(r))
-      if (cyclic.exists(!memo.contains(_))) fixpoint(cyclic)
-      memo.getOrElseUpdate(name,
-        compile(rules(name).plan, Map.empty)
-          .getOrElse(sys.error(s"rule $name compiled to the empty relation")))
+      val key = cacheKey(name)
+      sharedCache.flatMap(_.get(key)) match {
+        case Some(rel) =>
+          memo(name) = rel
+          rel
+        case None =>
+          val reach = reachable(name) + name
+          val cyclic = reach.filter(r => reachable(r).contains(r))
+          if (cyclic.exists(!memo.contains(_))) fixpoint(cyclic)
+          val rel = memo.getOrElseUpdate(name,
+            compile(rules(name).plan, Map.empty)
+              .getOrElse(sys.error(s"rule $name compiled to the empty relation")))
+          sharedCache.foreach(_.update(key, rel))
+          rel
+      }
   }
+
+  private def cacheKey(name: String): Seq[(String, Plan)] =
+    (reachable(name) + name).toSeq.sorted.map(n => (n, rules(n).plan))
 
   /** Rules transitively reachable from `name`'s plan (NameExpr references
     * to base relations are data, not rules — excluded). */
@@ -130,6 +149,13 @@ class Compiler(
     *    operators (Negate/Antijoin inside the recursion).
     */
   private def fixpoint(cyclicAll: Set[String]): Unit = {
+    // Previously solved cliques (this compiler or a sibling sharing the
+    // cache) resolve without re-iterating.
+    sharedCache.foreach { cache =>
+      cyclicAll.filterNot(memo.contains).foreach { r =>
+        cache.get(cacheKey(r)).foreach(rel => memo(r) = rel)
+      }
+    }
     val cyclic = cyclicAll.filterNot(memo.contains)
     if (cyclic.isEmpty) return
     val ordered = cyclic.toSeq.sorted
@@ -209,7 +235,9 @@ class Compiler(
         delta = stepped.view.mapValues(_._1).toMap
       }
       ordered.foreach { r =>
-        memo(r) = total(r).getOrElse(sys.error(s"recursive rule $r has no base case"))
+        val rel = total(r).getOrElse(sys.error(s"recursive rule $r has no base case"))
+        memo(r) = rel
+        sharedCache.foreach(_.update(cacheKey(r), rel))
       }
     } else {
       var env: Map[String, Option[Rel]] = ordered.map(_ -> (None: Option[Rel])).toMap
@@ -230,7 +258,9 @@ class Compiler(
         sigs = newSigs
       }
       ordered.foreach { r =>
-        memo(r) = env(r).getOrElse(sys.error(s"recursive rule $r has no base case"))
+        val rel = env(r).getOrElse(sys.error(s"recursive rule $r has no base case"))
+        memo(r) = rel
+        sharedCache.foreach(_.update(cacheKey(r), rel))
       }
     }
   }

@@ -55,6 +55,11 @@ class Domain(val spark: SparkSession) extends Serializable {
       staticDf: Option[DataFrame])
 
   private val attrs = mutable.LinkedHashMap.empty[String, AttrState]
+
+  /** Cross-query rule-result cache for the immutable bulk path (see
+    * `Compiler.sharedCache`); keyed by transitive rule definitions. */
+  val ruleResultCache =
+    mutable.Map.empty[Seq[(String, Plan)], graft.compile.Rel]
   private val baseRelations =
     mutable.LinkedHashMap.empty[String, (DataFrame, Seq[ValueKind])]
   private val rulesCatalog = mutable.LinkedHashMap.empty[String, Rule]

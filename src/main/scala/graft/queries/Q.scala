@@ -29,8 +29,12 @@ object Q {
   def plan(spark: SparkSession, sfDir: String, p: Plan, names: Seq[String],
       rules: Seq[Rule] = Seq.empty): DataFrame = {
     val dom = domain(spark, sfDir)
+    // Bulk path: the domain is immutable, so equal rule derivations (e.g.
+    // the closure fixpoint shared by q_recursion_closure and labelprop)
+    // share one computed result across queries.
     val compiler = new Compiler(dom.asOf(Long.MaxValue),
-      rules.map(r => r.name -> r).toMap)
+      rules.map(r => r.name -> r).toMap,
+      sharedCache = Some(dom.ruleResultCache))
     val rel = compiler.compile(p, Map.empty)
       .getOrElse(sys.error("plan compiled to empty relation"))
     require(rel.unit, "driver-facing queries must stay on the unit-weight path")
