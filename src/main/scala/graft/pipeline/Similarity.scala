@@ -68,9 +68,12 @@ object Similarity {
   def quantize(vec: Column, scale: Int = 100): Column =
     transform(vec, x => round(x.cast("double") * scale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — a native
+    * codegen expression (see [[graft.functions.DotProduct]]); the composed
+    * `aggregate(zip_with(...))` form allocates per evaluation, which
+    * dominates when the dot runs once per candidate pair. */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.DotProduct(a, b)
 
   /** Near-duplicate pairs with cosine ≥ tauNum/tauDen decided exactly:
     * dot > 0 ∧ tauDen²·dot² ≥ tauNum²·|a|²·|b|². Output columns
