@@ -42,6 +42,14 @@ class IvmPropertySpec extends AnyFunSuite {
     "aggregate" -> Seq(Rule("query",
       Aggregate(Seq(0, 1), matchA(0, ":p/x", 1),
         Seq(AggregationFn.COUNT), Seq(0), Seq(1), Seq.empty))),
+    "hector" -> Seq(Rule("query",
+      q(Seq(0, 1, 2), Seq(
+        Binding.attribute(0, ":p/x", 1),
+        Binding.attribute(0, ":p/y", 2),
+        Binding.binaryPredicate(Predicate.LTE, 1, 2))))),
+    "transform" -> Seq(Rule("query",
+      Transform(Seq(1), 3, matchA(0, ":p/x", 1), Fn.ADD,
+        Seq(Some(Value.num(2)))))),
     "closure" -> Seq(
       Rule("edges", matchA(0, ":p/x", 1)),
       Rule("query", Union(Seq(0, 1), Seq(
