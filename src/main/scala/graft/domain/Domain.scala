@@ -63,7 +63,12 @@ class Domain(val spark: SparkSession) extends Serializable {
   private val baseRelations =
     mutable.LinkedHashMap.empty[String, (DataFrame, Seq[ValueKind])]
   private val rulesCatalog = mutable.LinkedHashMap.empty[String, Rule]
+  private val closedInputs = mutable.Set.empty[String]
   private var seqCounter = 0L
+
+  /** Close a named input handle — further writes to it are errors
+    * (`Request::CloseInput`). */
+  def closeInput(name: String): Unit = closedInputs += name
 
   /** Reference `CreateAttribute` (`src/server/mod.rs:143-149`). */
   def createAttribute(name: String, config: AttributeConfig = AttributeConfig()): Unit = {
@@ -88,6 +93,7 @@ class Domain(val spark: SparkSession) extends Serializable {
     * time get `defaultT` (the current epoch). */
   def transact(datoms: Seq[Datom], defaultT: Long): Unit = {
     datoms.foreach { d =>
+      require(!closedInputs(d.a), s"input ${d.a} is closed")
       val st = attrs.getOrElse(d.a, {
         createAttribute(d.a); attrs(d.a)
       })

@@ -70,6 +70,10 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     import graft.server.{Request => R}
     req match {
       case R.Transact(datoms)        => transact(datoms)
+      case R.Subscribe(attr) =>
+        // Interest in the whole attribute: a MatchA rule named after it.
+        register(Rule(attr, Plan.MatchA(0, attr, 1)))
+        interest(attr)
       case R.Derive(ns, query) =>
         // GraphQL document -> pull-path rule registered + subscribed under
         // the namespace (the reference additionally re-publishes results as
@@ -82,7 +86,8 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
       case R.CreateAttribute(n, cfg) => createAttribute(n, cfg)
       case R.AdvanceDomain(_, t)     => advance(t)
       case R.Tick                    => advance(frontier + 1)
-      case R.CloseInput(_) | R.Disconnect | R.Setup | R.Status | R.Shutdown => ()
+      case R.CloseInput(name)        => domain.closeInput(name)
+      case R.Disconnect | R.Setup | R.Status | R.Shutdown => ()
     }
   }
 

@@ -11,6 +11,8 @@ import graft.model._
 sealed trait Request
 object Request {
   final case class Transact(datoms: Seq[Datom]) extends Request
+  /** Interest in an ENTIRE attribute (`Request::Subscribe`). */
+  final case class Subscribe(name: String) extends Request
   /** Derive new attributes under a namespace from a GraphQL document
     * (`Request::Derive`, feature-gated in the reference). */
   final case class Derive(namespace: String, query: String) extends Request
@@ -81,6 +83,7 @@ object Wire {
           Request.Interest(
             str(io.get("name").get),
             io.get("granularity").filter(_ != JNull).map(timeOf))
+        case Vector(("Subscribe", JStr(n))) => Request.Subscribe(n)
         case Vector(("Derive", JArr(Vector(JStr(ns), JStr(q))))) =>
           Request.Derive(ns, q)
         case Vector(("Uninterest", JStr(n))) => Request.Uninterest(n)
@@ -111,6 +114,7 @@ object Wire {
     case Request.Interest(name, g) =>
       s"""{"Interest":{"name":${qs(name)},"granularity":${
         g.map(t => s"""{"TxId":$t}""").getOrElse("null")}}}"""
+    case Request.Subscribe(n)  => s"""{"Subscribe":${qs(n)}}"""
     case Request.Derive(ns, q) => s"""{"Derive":[${qs(ns)},${qs(q)}]}"""
     case Request.Uninterest(n) => s"""{"Uninterest":${qs(n)}}"""
     case Request.Register(rules, publish) =>

@@ -96,6 +96,21 @@ class WireSpec extends AnyFunSuite {
       (Seq(1L, "hero", "db__id", 7L), 1L)))
   }
 
+  test("Subscribe delivers whole-attribute diffs; CloseInput rejects writes") {
+    val engine = new Engine(TestSpark.spark)
+    engine.createAttribute(":tag", AttributeConfig(InputSemantics.Distinct))
+    engine.handle(Wire.parseRequests("""{"Subscribe":":tag"}""").head)
+    engine.transact(Seq(Datom.add(1L, ":tag", Value.str("x"))))
+    engine.advance(1)
+    assert(engine.drain(":tag") == Seq((Seq(1L, "x"), 0L, 1L)))
+
+    engine.handle(Wire.parseRequests("""{"CloseInput":":tag"}""").head)
+    val ex = intercept[IllegalArgumentException] {
+      engine.transact(Seq(Datom.add(2L, ":tag", Value.str("y"))))
+    }
+    assert(ex.getMessage.contains("closed"))
+  }
+
   test("interest granularity coarsens emitted times") {
     val engine = new Engine(TestSpark.spark)
     engine.createAttribute(":v", AttributeConfig(InputSemantics.Distinct))
