@@ -76,7 +76,7 @@ class Compiler(
     // reachable rule's plan), so equal derivations share work and renamed
     // or redefined rules don't collide. Only safe when every participating
     // compiler reads the same immutable source (the bulk path).
-    sharedCache: Option[mutable.Map[Seq[(String, Plan)], Rel]] = None) {
+    sharedCache: Option[mutable.Map[(Boolean, Seq[(String, Plan)]), Rel]] = None) {
 
   import Rel.{c, W}
   import graft.model.{Plan => P}
@@ -116,8 +116,9 @@ class Compiler(
       }
   }
 
-  private def cacheKey(name: String): Seq[(String, Plan)] =
-    (reachable(name) + name).toSeq.sorted.map(n => (n, rules(n).plan))
+  private def cacheKey(name: String): (Boolean, Seq[(String, Plan)]) =
+    (aggregateSetSemantics,
+      (reachable(name) + name).toSeq.sorted.map(n => (n, rules(n).plan)))
 
   /** Rules transitively reachable from `name`'s plan (NameExpr references
     * to base relations are data, not rules — excluded). */

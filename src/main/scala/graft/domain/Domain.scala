@@ -59,7 +59,7 @@ class Domain(val spark: SparkSession) extends Serializable {
   /** Cross-query rule-result cache for the immutable bulk path (see
     * `Compiler.sharedCache`); keyed by transitive rule definitions. */
   val ruleResultCache =
-    mutable.Map.empty[Seq[(String, Plan)], graft.compile.Rel]
+    mutable.Map.empty[(Boolean, Seq[(String, Plan)]), graft.compile.Rel]
   private val baseRelations =
     mutable.LinkedHashMap.empty[String, (DataFrame, Seq[ValueKind])]
   private val rulesCatalog = mutable.LinkedHashMap.empty[String, Rule]
