@@ -49,11 +49,14 @@ object PipelineQueries {
       Dedup.simhash(docs(s, dir), "doc_id", "text", SimhashBits)),
 
     "q_dedup_jaccard" -> ((s, dir) => {
+      // Candidate pairs come from the LSH banding path (bucket-keyed
+      // self-join) — the scale-safe blocker. A length-equality blocker
+      // would make the biggest length bucket one task at 100×.
       val d = docs(s, dir)
-      val l = d.select(col("n_chars"), col("doc_id").as("a"))
-      val r = d.select(col("n_chars"), col("doc_id").as("b"))
-      val pairs = l.join(r, "n_chars").where(col("a") < col("b"))
-        .select(col("a"), col("b"))
+      val pairs = Dedup.candidatePairs(
+        Dedup.lshBuckets(
+          Dedup.minhash(d, "doc_id", "text", ShingleN, MinhashPerms),
+          MinhashPerms, MinhashBands))
       Dedup.ngramJaccard(d, pairs, "doc_id", "text", ShingleN)
     }),
 
@@ -98,8 +101,9 @@ object PipelineQueries {
 
     "q_multimodal_features" -> ((s, dir) => {
       // Opaque-binary media plumbing (stub decoder — no codecs in this
-      // container): schema, repartition-by-id, per-partition decode. No SQL
-      // oracle (mapPartitions over a typed Dataset) → rows-only check.
+      // container): schema, repartition-by-id, per-partition decode. The
+      // stub is pure integer arithmetic (FNV-1a over UTF-8 bytes), so the
+      // DuckDB oracle reproduces it exactly (list_reduce fold below).
       import graft.pipeline.Multimodal
       val media = Multimodal.fromBinary(
         docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("b")),
@@ -174,13 +178,14 @@ object PipelineQueries {
     },
 
     "q_dedup_jaccard" ->
-      s"""WITH shd AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, s
-                       FROM (SELECT doc_id, unnest(${shingleHashPairsSql("text", ShingleN)}) AS s
-                             FROM documents)),
+      s"""WITH sig AS (${sigSql(MinhashPerms)}), bands AS ($bandsSql),
+          pairs AS (SELECT DISTINCT l.id AS a, r.id AS b
+                    FROM bands l JOIN bands r USING (band, bucket)
+                    WHERE l.id < r.id),
+          shd AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, s
+                  FROM (SELECT doc_id, unnest(${shingleHashPairsSql("text", ShingleN)}) AS s
+                        FROM documents)),
           sz AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM shd GROUP BY 1),
-          pairs AS (SELECT CAST(l.doc_id AS BIGINT) AS a, CAST(r.doc_id AS BIGINT) AS b
-                    FROM documents l JOIN documents r
-                    ON l.n_chars = r.n_chars AND l.doc_id < r.doc_id),
           inter AS (SELECT l.id AS a, r.id AS b, CAST(count(*) AS BIGINT) AS inter
                     FROM shd l JOIN shd r USING (s) WHERE l.id < r.id GROUP BY 1, 2)
           SELECT p.a, p.b, COALESCE(i.inter, 0) AS inter,
@@ -299,6 +304,35 @@ object PipelineQueries {
            SELECT user_id, event_type AS last_type,
                   ROW_NUMBER() OVER (PARTITION BY user_id
                                      ORDER BY ts DESC, event_id DESC) AS rn
-           FROM events) WHERE rn = 1"""
+           FROM events) WHERE rn = 1""",
+
+    // Reproduces Multimodal.StubDecoder exactly: FNV-1a (64-bit wraparound)
+    // over the text's UTF-8 bytes, via a list_reduce fold. Signed xor in
+    // BIGINT (two's complement, matches JVM Long ^), multiply in HUGEINT
+    // mod 2^64, then re-sign. Test data is ASCII so ascii(substr) == byte.
+    "q_multimodal_features" -> {
+      val unsigned =
+        "CASE WHEN xor(h,x) < 0 THEN CAST(xor(h,x) AS HUGEINT) + 18446744073709551616 " +
+          "ELSE CAST(xor(h,x) AS HUGEINT) END"
+      val mul = s"(($unsigned) * 1099511628211) % 18446744073709551616"
+      val step =
+        s"""(h, x) -> CAST(CASE WHEN $mul >= 9223372036854775808
+            THEN $mul - 18446744073709551616 ELSE $mul END AS BIGINT)"""
+      s"""WITH f AS (
+            SELECT CAST(doc_id AS BIGINT) AS id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                   list_reduce(
+                     list_prepend(CAST(1469598103934665603 AS BIGINT),
+                       list_transform(generate_series(1, len(text)),
+                                      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                     $step) AS cs
+            FROM documents)
+          SELECT id, 'image' AS modality, n AS "byteLength", cs AS checksum,
+                 CAST(1 + abs(cs % 4096) AS INTEGER) AS width,
+                 CAST(1 + abs((cs >> 12) % 4096) AS INTEGER) AS height,
+                 CAST(0 AS BIGINT) AS "durationMs",
+                 CAST(1 AS INTEGER) AS "frameCount"
+          FROM f"""
+    }
   )
 }
