@@ -1,10 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, concat_ws, transform}
 
 import graft.model._
 import graft.model.Plan._
+import graft.plans.GraphQl
 
 /** Core operator query surface — one driver-facing query per SURVEY.md §2
   * operator, each compiled through the Plan algebra and verified against a
@@ -19,6 +20,19 @@ object CoreQueries {
   private def p(s: SparkSession, dir: String, plan: Plan, names: Seq[String],
       rules: Seq[Rule] = Seq.empty): DataFrame =
     Q.plan(s, dir, plan, names, rules)
+
+  /** Render a `Pull` result (one array<variant> column, heterogeneous
+    * arity) as a pipe-joined string so DuckDB can reproduce it with plain
+    * string concatenation. */
+  private def renderPath(df: DataFrame): DataFrame = {
+    val asString: Column => Column = v =>
+      coalesce(v.getField("s"),
+        v.getField("n").cast("string"),
+        v.getField("b").cast("string"),
+        v.getField("d").cast("string"),
+        concat_ws("/", v.getField("rn"), v.getField("rd")))
+    df.select(concat_ws("|", transform(col("arr"), asString)).as("path"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans (MatchA / MatchEA / MatchAV) ----
@@ -186,6 +200,28 @@ object CoreQueries {
         PullAll(Seq.empty, Seq(":region/name", ":nation/name")),
         Seq("e", "a", "v"))
         .withColumn("v", col("v").getField("s"))),
+    "q_pull_paths" -> ((s, dir) => {
+      // Multi-path Pull with heterogeneous arity (src/plan/pull.rs:239-284):
+      // a 3-wide root path and a 5-wide nested path (cardinality_many keeps
+      // the child eid in the path) unioned into one array<variant> column.
+      val root = PullLevel(Seq.empty,
+        Project(Seq(0), matchA(0, ":customer/name", 1)),
+        pullVariable = 0, pullAttributes = Seq(":customer/name"),
+        pathAttributes = Seq.empty, cardinalityMany = false)
+      val nested = PullLevel(Seq.empty,
+        Hector(Seq(0, 1), Seq(Binding.attribute(0, ":customer/nationkey", 1))),
+        pullVariable = 1, pullAttributes = Seq(":nation/name"),
+        pathAttributes = Seq(":customer/nationkey"), cardinalityMany = true)
+      renderPath(p(s, dir, Pull(Seq.empty, Seq(root, nested)), Seq("arr")))
+    }),
+    "q_graphql" -> ((s, dir) =>
+      // GraphQL document → pull paths (src/plan/graphql.rs:23-271): the
+      // root level (no bindings) lowers to PullAll, the nested field to a
+      // PullLevel with cardinality_many=false, which injects synthetic
+      // db__id rows retaining the child eid (src/plan/pull.rs:211-230).
+      renderPath(p(s, dir,
+        GraphQl.plan("{ :customer/name :customer/nationkey { :nation/name } }"),
+        Seq("arr")))),
 
     // ---- recursion + stratified aggregation (labelprop-style, the
     //      reference's second benchmark workload: experiments/labelprop.rs) ----
@@ -322,6 +358,23 @@ object CoreQueries {
       """SELECT CAST(r_regionkey AS BIGINT) AS e, ':region/name' AS a, r_name AS v FROM region
          UNION ALL
          SELECT CAST(n_nationkey AS BIGINT), ':nation/name', n_name FROM nation""",
+    "q_pull_paths" ->
+      """SELECT CAST(c_custkey AS VARCHAR) || '|:customer/name|' || c_name AS path
+         FROM customer
+         UNION ALL
+         SELECT CAST(c.c_custkey AS VARCHAR) || '|:customer/nationkey|' ||
+                CAST(CAST(c.c_nationkey AS BIGINT) AS VARCHAR) || '|:nation/name|' || n.n_name
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""",
+    "q_graphql" ->
+      """SELECT CAST(c_custkey AS VARCHAR) || '|:customer/name|' || c_name AS path
+         FROM customer
+         UNION ALL
+         SELECT CAST(c.c_custkey AS VARCHAR) || '|:customer/nationkey|:nation/name|' || n.n_name
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         UNION ALL
+         SELECT CAST(c_custkey AS VARCHAR) || '|:customer/nationkey|db__id|' ||
+                CAST(CAST(c_nationkey AS BIGINT) AS VARCHAR)
+         FROM customer""",
     "q_recursion_labelprop" ->
       """WITH RECURSIVE edges AS (
            SELECT DISTINCT l_partkey AS src, l_suppkey AS dst
