@@ -26,7 +26,13 @@ final case class Rel(
     kinds: Seq[ValueKind],
     df: DataFrame,
     isPathArray: Boolean = false,
-    unit: Boolean = false) {
+    unit: Boolean = false,
+    // Known-small relation (e.g. a fixpoint delta whose checkpointed RDD
+    // carries no Catalyst size stats): join sites broadcast it instead of
+    // shuffling. A property of the RELATION consumed at join sites — never
+    // a df-level hint, which would leak into unions (HintErrorLogger spam,
+    // round-2 advice).
+    small: Boolean = false) {
 
   def idx(v: Int): Int = {
     val i = vars.indexOf(v)
@@ -44,6 +50,12 @@ object Rel {
 }
 
 object Compiler extends Serializable {
+  /** Shared rule-cache key: (source (data epoch, as-of) version,
+    * aggregation-semantics flag, transitive rule definitions). The source
+    * version makes staleness structurally impossible: any domain mutation
+    * or different as-of view changes the key. */
+  type RuleCacheKey = ((Long, Long), Boolean, Seq[(String, Plan)])
+
   /** Normalize a rational to gcd-reduced form with positive denominator
     * (the reference's `Rational32` results). Off the hot path: only
     * AVG/VARIANCE parity queries use it. Lives on the companion so the
@@ -76,7 +88,7 @@ class Compiler(
     // reachable rule's plan), so equal derivations share work and renamed
     // or redefined rules don't collide. Only safe when every participating
     // compiler reads the same immutable source (the bulk path).
-    sharedCache: Option[mutable.Map[(Boolean, Seq[(String, Plan)]), Rel]] = None) {
+    sharedCache: Option[mutable.Map[Compiler.RuleCacheKey, Rel]] = None) {
 
   import Rel.{c, W}
   import graft.model.{Plan => P}
@@ -116,8 +128,8 @@ class Compiler(
       }
   }
 
-  private def cacheKey(name: String): (Boolean, Seq[(String, Plan)]) =
-    (aggregateSetSemantics,
+  private def cacheKey(name: String): Compiler.RuleCacheKey =
+    (source.version, aggregateSetSemantics,
       (reachable(name) + name).toSeq.sorted.map(n => (n, rules(n).plan)))
 
   /** Rules transitively reachable from `name`'s plan (NameExpr references
@@ -149,7 +161,10 @@ class Compiler(
     *    bare counts can stay equal while sets oscillate under non-monotone
     *    operators (Negate/Antijoin inside the recursion).
     */
+  private val fixpointDebug = sys.env.contains("GRAFT_FIXPOINT_DEBUG")
+
   private def fixpoint(cyclicAll: Set[String]): Unit = {
+    val debugT0 = System.nanoTime()
     // Previously solved cliques (this compiler or a sibling sharing the
     // cache) resolve without re-iterating.
     sharedCache.foreach { cache =>
@@ -165,78 +180,173 @@ class Compiler(
     }
     var iter = 0
 
+    val spark = org.apache.spark.sql.SparkSession.active
+    val shufflePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // Keep fixpoint internals' partition counts proportional to their row
+    // counts: checkpointed deltas/deps are often tiny (a few k rows spread
+    // over every shuffle partition), and per-round cost is dominated by
+    // task scheduling, not data. ~500k rows per partition of narrow tuples.
+    def compacted(df: DataFrame, rows: Long): DataFrame = {
+      val p = math.max(1L, math.min(shufflePartitions.toLong, rows / 500000L + 1L))
+      df.coalesce(p.toInt)
+    }
+
     // Non-cyclic rules referenced from the clique are re-read every round —
-    // materialize them once so each iteration scans a checkpoint instead of
-    // re-deriving (e.g. re-distincting an edge list out of the fact table).
+    // materialize them once so each iteration scans a (right-sized)
+    // checkpoint instead of re-deriving (e.g. re-distincting an edge list
+    // out of the fact table).
     ordered.flatMap(r => reachable(r)).distinct
       .filterNot(cyclic).filter(rules.contains).foreach { dep =>
         val rel = compileRule(dep)
-        memo(dep) = rel.copy(df = rel.df.localCheckpoint(true))
+        val chk = rel.df.localCheckpoint(false)
+        memo(dep) = rel.copy(df = compacted(chk, chk.count()))
+        if (fixpointDebug) System.err.println(
+          s"[fixpoint] dep $dep materializedMs=${(System.nanoTime() - debugT0) / 1000000}")
       }
 
+    // Adaptive execution re-plans and materializes every shuffle as its own
+    // query stage — pure overhead at fixpoint-round granularity (each round
+    // is already a small, known-shape plan). Restore the user's setting
+    // after the loop; the memoized results are consumed under it.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey, "true")
+    val spKey = "spark.sql.shuffle.partitions"
+    val spWas = spark.conf.get(spKey, shufflePartitions.toString)
+    val wscgKey = "spark.sql.codegen.wholeStage"
+    val wscgWas = spark.conf.get(wscgKey, "true")
+    spark.conf.set(aqeKey, "false")
+    // Each round is a NEW small plan: whole-stage codegen would generate
+    // and Janino-compile fresh classes every round, costing more driver
+    // time than the interpreted path costs executor time at per-round data
+    // sizes. (The memoized result is consumed downstream under the user's
+    // codegen setting.)
+    spark.conf.set(wscgKey, "false")
+    try {
+
     if (semiNaive) {
+      // Broadcast only what actually fits: estimated bytes (rows × a
+      // conservative per-column width) against
+      // spark.sql.autoBroadcastJoinThreshold — a bare row-count gate would
+      // happily broadcast 5M wide tuples and OOM the driver (round-2
+      // advice). Oversized sides fall back to shuffled plans.
+      val bcBytes: Long = {
+        val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        try raw.toLong
+        catch {
+          case _: NumberFormatException =>
+            org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+        }
+      }
+      def canBroadcast(rows: Long, cols: Int): Boolean =
+        bcBytes > 0 && rows * (24L * cols + 8L) <= bcBytes
+
       // Per-round bodies are the DERIVATIVE of the rule: union branches
       // without the recursive reference are constants whose delta is empty,
       // so only the recursive branch is re-evaluated after round 0.
       val derived: Map[String, Plan] =
         ordered.map(r => r -> derivative(rules(r).plan, cyclic)).toMap
       // Round 0: deltas = full bodies evaluated with empty recursion vars.
+      // LAZY local checkpoint + count(): one Spark job both materializes
+      // the checkpoint and yields the row count (the eager-checkpoint-
+      // then-count variant ran two jobs per rule per round).
       var delta: Map[String, Option[Rel]] = ordered.map { r =>
         r -> compile(rules(r).plan, ordered.map(_ -> (None: Option[Rel])).toMap)
-          .map(rel => rel.copy(df = distinctify(rel.df).localCheckpoint(true)))
+          .map(rel => rel.copy(df = distinctify(rel.df).localCheckpoint(false)))
       }.toMap
-      var total: Map[String, Option[Rel]] = delta
       var totalCount: Map[String, Long] =
         ordered.map(r => r -> delta(r).map(_.df.count()).getOrElse(0L)).toMap
       var changed = totalCount.valuesIterator.exists(_ > 0)
-      // Totals up to this many rows anti-join as a broadcast (no shuffle of
-      // the candidate); beyond it, fall back to a shuffled set difference.
-      val broadcastLimit = 5000000L
+      if (fixpointDebug) System.err.println(
+        s"[fixpoint] round0 doneMs=${(System.nanoTime() - debugT0) / 1000000}")
+      // Round-0 rels keep each rule's vars/kinds for the final result.
+      val template: Map[String, Option[Rel]] = delta
+
+      // Delta-minimization (candidate MINUS accumulated total) runs as an
+      // anti-join CHAIN against the per-round checkpointed deltas, all
+      // hash-partitioned on the tuple columns with the same partition
+      // count: localCheckpoint preserves partitioning and ordering, so
+      // after the candidate's own distinct shuffle every link in the chain
+      // is exchange-free. Unlike a driver broadcast of the total (OOM at
+      // scale) or a per-round exceptAll (re-shuffles the whole total every
+      // round), per-round shuffled bytes stay O(candidate) — the totals
+      // never move again once checkpointed.
+      // Totals typically grow several-fold past round 0; ~500k narrow rows
+      // per partition (task overhead dominates below that, locally and on a
+      // cluster).
+      val pLoop = math.max(1L, math.min(shufflePartitions.toLong,
+        totalCount.values.max * 8L / 125000L + 1L)).toInt
+      spark.conf.set(spKey, pLoop.toString)
+      def repart(df: DataFrame): DataFrame = {
+        val dataCols = df.columns.filter(_ != W).toSeq
+        df.repartition(pLoop, dataCols.map(col): _*)
+      }
+      // Accumulated total per rule = vector of checkpointed delta frames
+      // (co-partitioned); compacted into one frame when the chain grows.
+      var totalParts: Map[String, Vector[DataFrame]] = ordered.map { r =>
+        r -> delta(r).map(rel =>
+          Vector(repart(rel.df).localCheckpoint(false))).getOrElse(Vector.empty)
+      }.toMap
+      val maxChain = 16
       delta = ordered.map { r =>
         r -> delta(r).map(rel =>
-          if (totalCount(r) <= broadcastLimit) rel.copy(df = broadcast(rel.df))
-          else rel)
+          rel.copy(df = compacted(rel.df, totalCount(r)),
+            small = canBroadcast(totalCount(r), rel.vars.length)))
       }.toMap
       while (changed && iter < maxIterations) {
         iter += 1
         val stepped = ordered.map { r =>
+          val tPlan0 = if (fixpointDebug) System.nanoTime() else 0L
           val cand = compile(derived(r), delta)
-          val fresh: Option[Rel] = (cand, total(r)) match {
-            case (None, _)          => None
-            case (Some(c), None)    => Some(c.copy(df = distinctify(c.df)))
-            case (Some(c), Some(t)) =>
-              // New tuples only: distinct candidate minus accumulated total.
+          val fresh: Option[Rel] = (cand, totalParts(r)) match {
+            case (None, _) => None
+            case (Some(c), parts) =>
               val dataCols = c.df.columns.filter(_ != W).toSeq
-              val minus =
-                if (totalCount(r) <= broadcastLimit)
-                  distinctify(c.df).join(broadcast(t.df.drop(W)), dataCols, "left_anti")
-                else
-                  distinctify(c.df).drop(W)
-                    .exceptAll(t.df.drop(W)).withColumn(W, lit(1L))
-              Some(c.copy(df = minus.select((dataCols.map(col) :+ lit(1L).as(W)): _*)))
+              val minus = parts.foldLeft(distinctify(c.df).drop(W))(
+                (acc, d) => acc.join(d.drop(W), dataCols, "left_anti"))
+              Some(c.copy(df = minus.withColumn(W, lit(1L))))
           }
-          val freshChk = fresh.map(rel => rel.copy(df = rel.df.localCheckpoint(true)))
+          val freshChk = fresh.map(rel => rel.copy(df = rel.df.localCheckpoint(false)))
+          val tCount0 = if (fixpointDebug) System.nanoTime() else 0L
           val n = freshChk.map(_.df.count()).getOrElse(0L)
-          // Checkpointed RDDs carry no size stats, so Catalyst would
-          // shuffle-join against them; deltas we KNOW are small get an
-          // explicit broadcast hint for the next round's body joins.
-          val hinted = freshChk.map(rel =>
-            if (n <= broadcastLimit) rel.copy(df = broadcast(rel.df)) else rel)
-          r -> ((if (n > 0) hinted else None, n))
+          if (fixpointDebug) System.err.println(
+            s"[fixpoint]   $r planMs=${(tCount0 - tPlan0) / 1000000} " +
+              s"countActionMs=${(System.nanoTime() - tCount0) / 1000000}")
+          // Checkpointed RDDs carry no size stats; mark small deltas so the
+          // next round's body joins broadcast them AT THE JOIN SITE (a
+          // df-level hint here would ride into downstream unions and spam
+          // HintErrorLogger warnings). The chain part keeps the RAW
+          // checkpoint — coalescing would discard its partitioning and
+          // reintroduce an exchange per link.
+          val flagged = freshChk.map(rel =>
+            rel.copy(df = compacted(rel.df, n),
+              small = canBroadcast(n, rel.vars.length)))
+          r -> ((if (n > 0) flagged else None, n, if (n > 0) freshChk else None))
         }.toMap
         changed = stepped.values.exists(_._1.isDefined)
-        total = ordered.map { r =>
-          r -> ((total(r), stepped(r)._1) match {
-            case (t, None)          => t
-            case (None, d)          => d
-            case (Some(t), Some(d)) => Some(t.copy(df = t.df.unionAll(d.df)))
+        totalParts = ordered.map { r =>
+          r -> (stepped(r)._3 match {
+            case None    => totalParts(r)
+            case Some(d) =>
+              val grown = totalParts(r) :+ d.df
+              if (grown.length <= maxChain) grown
+              // One shuffle of the total every maxChain rounds keeps both
+              // the chain length and the plan-analysis cost bounded in
+              // deep fixpoints.
+              else Vector(repart(grown.reduce(_ unionAll _)).localCheckpoint(false))
           })
         }.toMap
         totalCount = ordered.map(r => r -> (totalCount(r) + stepped(r)._2)).toMap
         delta = stepped.view.mapValues(_._1).toMap
+        if (fixpointDebug) System.err.println(
+          s"[fixpoint] iter=$iter deltas=${stepped.view.mapValues(_._2).toMap} " +
+            s"totals=$totalCount elapsedMs=${(System.nanoTime() - debugT0) / 1000000}")
       }
       ordered.foreach { r =>
-        val rel = total(r).getOrElse(sys.error(s"recursive rule $r has no base case"))
+        val parts = totalParts(r)
+        val templ = template(r)
+          .getOrElse(sys.error(s"recursive rule $r has no base case"))
+        val rel = templ.copy(df = parts.reduce(_ unionAll _), small = false)
         memo(r) = rel
         sharedCache.foreach(_.update(cacheKey(r), rel))
       }
@@ -263,6 +373,11 @@ class Compiler(
         memo(r) = rel
         sharedCache.foreach(_.update(cacheKey(r), rel))
       }
+    }
+    } finally {
+      spark.conf.set(aqeKey, aqeWas)
+      spark.conf.set(spKey, spWas)
+      spark.conf.set(wscgKey, wscgWas)
     }
   }
 
@@ -487,7 +602,8 @@ class Compiler(
   /** Reorder/drop columns; weights ride along (multiset projection). */
   def projectTo(rel: Rel, vars: Seq[Int]): Rel = {
     val cols = vars.zipWithIndex.map { case (v, i) => rel.colOf(v).as(c(i)) } :+ col(W)
-    Rel(vars, vars.map(rel.kindOf), rel.df.select(cols: _*), unit = rel.unit)
+    Rel(vars, vars.map(rel.kindOf), rel.df.select(cols: _*), unit = rel.unit,
+      small = rel.small)
   }
 
   /** Binary equijoin on `target`; output = key ++ leftRest ++ rightRest
@@ -497,8 +613,12 @@ class Compiler(
     val rRest = dedupFirst(r.vars).filterNot(target.contains)
     val outVars = target ++ lRest ++ rRest
 
-    val ldf = l.df.toDF(l.vars.indices.map(i => s"l$i") :+ "_wl": _*)
-    val rdf = r.df.toDF(r.vars.indices.map(i => s"r$i") :+ "_wr": _*)
+    val ldf0 = l.df.toDF(l.vars.indices.map(i => s"l$i") :+ "_wl": _*)
+    val rdf0 = r.df.toDF(r.vars.indices.map(i => s"r$i") :+ "_wr": _*)
+    // Join-site broadcast for known-small sides (checkpointed fixpoint
+    // deltas have no size stats, so Catalyst would pick a shuffle join).
+    val ldf = if (l.small) broadcast(ldf0) else ldf0
+    val rdf = if (r.small) broadcast(rdf0) else rdf0
     val cond = target.map(v => col(s"l${l.idx(v)}") === col(s"r${r.idx(v)}"))
       .reduceOption(_ && _).getOrElse(lit(true))
     val joined = ldf.join(rdf, cond)
@@ -520,7 +640,8 @@ class Compiler(
     val lRest = dedupFirst(l.vars).filterNot(target.contains)
     val outVars = target ++ lRest
     val leftD = distinctify(projectTo(l, outVars).df)
-    val rightK = distinctify(projectTo(r, target).df).drop(W)
+    val rightK0 = distinctify(projectTo(r, target).df).drop(W)
+    val rightK = if (r.small) broadcast(rightK0) else rightK0
     val result = leftD.join(rightK, target.indices.map(c), "left_anti")
     Rel(outVars, outVars.map(l.kindOf), result, unit = true)
   }
@@ -659,8 +780,19 @@ class Compiler(
       if (unitWeights) rawGrouped
       else {
         val base = rawGrouped.where(col("_sup") > 0L)
-        if (fns.exists(f => f == COUNT || f == SUM)) base.where(col("_wsum") =!= 0L)
-        else base
+        // Net-zero weight sums make COUNT/SUM vanish, but MIN/MAX/MEDIAN
+        // over the positive-support set stay well-defined (Z-set {A:+1,
+        // B:-1}: sup=1, wsum=0). Drop the whole row only when COUNT/SUM
+        // are the only aggregates; with mixed functions, null out just the
+        // weight-sensitive outputs.
+        val wSensitive = fns.zipWithIndex.collect {
+          case (f, i) if f == COUNT || f == SUM => i
+        }
+        if (wSensitive.isEmpty) base
+        else if (wSensitive.length == fns.length) base.where(col("_wsum") =!= 0L)
+        else wSensitive.foldLeft(base) { (df, i) =>
+          df.withColumn(s"a$i", when(col("_wsum") =!= 0L, col(s"a$i")))
+        }
       }
 
     // Re-insert aggregation results at their find-clause positions

@@ -29,6 +29,12 @@ trait AttributeSource {
     * synthesizing row ids — wrong at scale. Columns in declared order,
     * weight implied 1. */
   def relation(name: String): Option[(DataFrame, Seq[ValueKind])] = None
+
+  /** (data epoch, as-of time) of the data this source exposes. Part of the
+    * shared rule-result cache key, so a cached relation can never be read
+    * against newer data or a different as-of view — staleness is
+    * structurally impossible rather than contractual. */
+  def version: (Long, Long) = (0L, Long.MaxValue)
 }
 
 /** The attribute catalog — the Spark analog of the reference `Domain`
@@ -56,10 +62,13 @@ class Domain(val spark: SparkSession) extends Serializable {
 
   private val attrs = mutable.LinkedHashMap.empty[String, AttrState]
 
-  /** Cross-query rule-result cache for the immutable bulk path (see
-    * `Compiler.sharedCache`); keyed by transitive rule definitions. */
+  /** Cross-query rule-result cache (see `Compiler.sharedCache`); keyed by
+    * transitive rule definitions PLUS this domain's (data epoch, as-of)
+    * version, so mutation can never serve a stale cached relation. */
   val ruleResultCache =
-    mutable.Map.empty[(Boolean, Seq[(String, Plan)]), graft.compile.Rel]
+    mutable.Map.empty[graft.compile.Compiler.RuleCacheKey, graft.compile.Rel]
+  /** Bumped on every data mutation; part of the rule-cache key. */
+  private var dataEpoch = 0L
   private val baseRelations =
     mutable.LinkedHashMap.empty[String, (DataFrame, Seq[ValueKind])]
   private val rulesCatalog = mutable.LinkedHashMap.empty[String, Rule]
@@ -73,12 +82,14 @@ class Domain(val spark: SparkSession) extends Serializable {
   /** Reference `CreateAttribute` (`src/server/mod.rs:143-149`). */
   def createAttribute(name: String, config: AttributeConfig = AttributeConfig()): Unit = {
     require(!attrs.contains(name), s"attribute $name already exists")
+    dataEpoch += 1
     attrs(name) = AttrState(config, None, mutable.ArrayBuffer.empty, None)
   }
 
   /** Bulk path: register a pre-consolidated weight-1 attribute backed by an
     * arbitrary (typically parquet-scanned) DataFrame with columns (e, v). */
   def registerStatic(name: String, df: DataFrame, kind: ValueKind): Unit = {
+    dataEpoch += 1
     attrs(name) = AttrState(AttributeConfig(), Some(kind), mutable.ArrayBuffer.empty, Some(df))
   }
 
@@ -86,12 +97,14 @@ class Domain(val spark: SparkSession) extends Serializable {
     * weight-1 rows), addressable from plans via `NameExpr`. */
   def registerBase(name: String, df: DataFrame, kinds: Seq[ValueKind]): Unit = {
     require(df.columns.length == kinds.length, s"base relation $name: arity mismatch")
+    dataEpoch += 1
     baseRelations(name) = (df, kinds)
   }
 
   /** Route datoms to their attribute buffers; datoms without an explicit
     * time get `defaultT` (the current epoch). */
   def transact(datoms: Seq[Datom], defaultT: Long): Unit = {
+    dataEpoch += 1
     datoms.foreach { d =>
       require(!closedInputs(d.a), s"input ${d.a} is closed")
       val st = attrs.getOrElse(d.a, {
@@ -126,6 +139,9 @@ class Domain(val spark: SparkSession) extends Serializable {
     * (`InputSemantics::{Raw, Distinct, LastWriteWins}`, `src/lib.rs:342-357`).
     */
   def asOf(t: Long): AttributeSource = new AttributeSource {
+    // Live read: a view created before a transact() sees the bumped epoch,
+    // so the shared rule cache can never return pre-mutation results.
+    override def version: (Long, Long) = (dataEpoch, t)
     def has(name: String): Boolean = attrs.contains(name)
     def kind(name: String): ValueKind =
       attrs.get(name).flatMap(_.kind).getOrElse(ValueKind.KString)
