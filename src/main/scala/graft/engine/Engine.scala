@@ -32,6 +32,11 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     mutable.Map.empty[String, Map[Seq[Any], Long]].withDefaultValue(Map.empty)
   private val outputs =
     mutable.Map.empty[String, mutable.ArrayBuffer[(Seq[Any], Long, Long)]]
+  // Diffs coarsened to a future interval bound are held here until the
+  // frontier passes the bound (the reference delays delivery until the
+  // coarsened time completes — src/timestamp/mod.rs:144-184).
+  private val pendingCoarse =
+    mutable.Map.empty[String, mutable.ArrayBuffer[(Seq[Any], Long, Long)]]
   private var frontier: Long = 0L
 
   def createAttribute(name: String, config: AttributeConfig = AttributeConfig()): Unit =
@@ -62,6 +67,7 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     granularities -= name
     prevSnapshots -= name
     outputs -= name
+    pendingCoarse -= name
   }
 
   /** Dispatch a wire-format request (`Request`, `src/server/mod.rs:153-191`)
@@ -129,11 +135,15 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     for (t <- times; name <- interests) {
       val cur = snapshot(name, t)
       val prev = prevSnapshots(name)
-      val buf = outputs(name)
-      // Delivery granularity: coarsen emitted times up to interval bounds.
-      val tOut = granularities.get(name) match {
-        case Some(g) if t % g != 0 => t - (t % g) + g
-        case _                     => t
+      // Delivery granularity: coarsen emitted times STRICTLY up to the next
+      // interval bound — (t/g + 1)·g even at exact multiples (the reference
+      // Coarsen, src/timestamp/mod.rs:151-154) — and hold them until the
+      // frontier passes that bound.
+      val (tOut, buf) = granularities.get(name) match {
+        case Some(g) =>
+          ((t / g + 1L) * g,
+            pendingCoarse.getOrElseUpdate(name, mutable.ArrayBuffer.empty))
+        case None => (t, outputs(name))
       }
       (cur.keySet ++ prev.keySet).foreach { tuple =>
         val d = cur.getOrElse(tuple, 0L) - prev.getOrElse(tuple, 0L)
@@ -143,6 +153,13 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     }
     processedThrough = times.lastOption.map(_ + 1).getOrElse(processedThrough)
     frontier = next
+    // Release coarsened diffs whose interval bound has now completed.
+    for ((name, buf) <- pendingCoarse if interests(name)) {
+      val (ready, held) = buf.partition(_._2 < frontier)
+      outputs(name) ++= ready
+      buf.clear()
+      buf ++= held
+    }
   }
 
   private var processedThrough: Long = 0L

@@ -382,8 +382,13 @@ object Wire {
     case other       => sys.error(s"expected array, got $other")
   }
   private def long(j: J): Long = j match {
-    case n: JNum => if (n.raw.contains('.') || n.raw.contains('e') ||
-      n.raw.contains('E')) n.n.toLong else java.lang.Long.parseLong(n.raw)
+    // The reference's Number/Eid/Instant/TxId are integers (i64) — a
+    // fractional or exponent literal here is a malformed payload, not
+    // something to silently truncate.
+    case n: JNum =>
+      require(!(n.raw.contains('.') || n.raw.contains('e') || n.raw.contains('E')),
+        s"expected an integer, got ${n.raw}")
+      java.lang.Long.parseLong(n.raw)
     case other => sys.error(s"expected number, got $other")
   }
   private def int(j: J): Int = long(j).toInt
@@ -407,24 +412,36 @@ object Wire {
   def parseJson(input: String): J = {
     var pos = 0
     def ws(): Unit = while (pos < input.length && input(pos).isWhitespace) pos += 1
+    // Bounds-checked cursor: truncated documents fail with a parse error,
+    // not a StringIndexOutOfBoundsException.
+    def cur(): Char = {
+      require(pos < input.length, s"unexpected end of JSON input at $pos")
+      input(pos)
+    }
     def expect(c: Char): Unit = {
       ws(); require(pos < input.length && input(pos) == c,
         s"expected '$c' at $pos"); pos += 1
     }
+    // Literals must be spelled exactly — 'trXX' is an error, not `true`.
+    def literal(word: String): Unit = {
+      require(input.regionMatches(pos, word, 0, word.length),
+        s"malformed literal at $pos (expected $word)")
+      pos += word.length
+    }
     def value(): J = {
       ws()
-      input(pos) match {
+      cur() match {
         case '{' =>
           pos += 1
           val fields = Vector.newBuilder[(String, J)]
           ws()
-          while (input(pos) != '}') {
+          while (cur() != '}') {
             ws()
             val k = string()
             expect(':')
             fields += (k -> value())
             ws()
-            if (input(pos) == ',') { pos += 1; ws() }
+            if (cur() == ',') { pos += 1; ws() }
           }
           pos += 1
           JObj(fields.result())
@@ -432,35 +449,37 @@ object Wire {
           pos += 1
           val items = Vector.newBuilder[J]
           ws()
-          while (input(pos) != ']') {
+          while (cur() != ']') {
             items += value()
             ws()
-            if (input(pos) == ',') { pos += 1; ws() }
+            if (cur() == ',') { pos += 1; ws() }
           }
           pos += 1
           JArr(items.result())
         case '"' => JStr(string())
-        case 't' => pos += 4; JBool(true)
-        case 'f' => pos += 5; JBool(false)
-        case 'n' => pos += 4; JNull
+        case 't' => literal("true"); JBool(true)
+        case 'f' => literal("false"); JBool(false)
+        case 'n' => literal("null"); JNull
         case _ =>
           val start = pos
           while (pos < input.length && "+-0123456789.eE".contains(input(pos))) pos += 1
           val raw = input.substring(start, pos)
+          require(raw.nonEmpty, s"expected a JSON value at $start")
           JNum(raw.toDouble, raw)
       }
     }
     def string(): String = {
       ws()
-      require(input(pos) == '"', s"expected string at $pos")
+      require(cur() == '"', s"expected string at $pos")
       pos += 1
       val sb = new StringBuilder
-      while (input(pos) != '"') {
+      while (cur() != '"') {
         if (input(pos) == '\\') {
           pos += 1
-          input(pos) match {
+          cur() match {
             case 'n' => sb += '\n'; case 't' => sb += '\t'; case 'r' => sb += '\r'
             case 'u' =>
+              require(pos + 5 <= input.length, s"truncated \\u escape at $pos")
               sb += Integer.parseInt(input.substring(pos + 1, pos + 5), 16).toChar
               pos += 4
             case c => sb += c

@@ -192,14 +192,12 @@ object DatomStreams {
       }
   }
 
-  /** Delivery-granularity coarsening: round an event time UP to the next
-    * interval bound (identity on exact bounds) — the reference's `Coarsen`
-    * (`src/timestamp/mod.rs:144-184`), used to batch result delivery. On a
-    * stream this is a plain column transform feeding a tumbling-window
-    * group-by. */
+  /** Delivery-granularity coarsening: round an event time STRICTLY up to
+    * the next interval bound — (t/g + 1)·g, even at exact multiples — the
+    * reference's `Coarsen` (`src/timestamp/mod.rs:151-154`). On a stream
+    * this is a plain column transform feeding a tumbling-window group-by. */
   def coarsen(t: Column, granularity: Long): Column =
-    when(t % granularity === 0L, t)
-      .otherwise(t - (t % granularity) + granularity)
+    t - (t % granularity) + granularity // == (t/g + 1)·g for t ≥ 0
 
   /** Bounded state retention: the reference compacts indexes up to
     * `frontier - trace_slack` (`src/domain/mod.rs:291-341`); the Spark

@@ -127,6 +127,65 @@ class AdviceRegressionSpec extends AnyFunSuite with EngineCases {
       Seq(Seq((Seq(Value.eid(1), Value.num(7)), 0L, 1L))))))
   }
 
+  // ------------------------------------------------------ round-2 advice
+
+  test("rule cache is invalidated by transact (r2 ADVICE: cache epoch)") {
+    import graft.compile.Compiler
+    import graft.domain.Domain
+    val dom = new Domain(spark)
+    dom.createAttribute(":n", AttributeConfig(InputSemantics.Distinct))
+    dom.registerRule(Rule("q", matchA(0, ":n", 1)))
+    dom.transact(Seq(Datom.addAt(1L, ":n", Value.num(10), 0L)), 0L)
+    def count(): Long = {
+      val c = new Compiler(dom.asOf(Long.MaxValue), dom.rules,
+        sharedCache = Some(dom.ruleResultCache))
+      c.compileRule("q").df.count()
+    }
+    assert(count() == 1L)
+    // A second datom must be visible even though the first result was
+    // cached — the data-epoch in the key makes the old entry unreachable.
+    dom.transact(Seq(Datom.addAt(2L, ":n", Value.num(20), 0L)), 0L)
+    assert(count() == 2L)
+    // And different as-of views never share entries.
+    val cEarly = new Compiler(dom.asOf(-1L), dom.rules,
+      sharedCache = Some(dom.ruleResultCache))
+    assert(cEarly.compileRule("q").df.count() == 0L)
+  }
+
+  test("mixed COUNT+MIN keeps order statistics at net-zero weight (r2 ADVICE)") {
+    // Z-set {(1,3):+1, (1,4):-1} for key 1 (a phantom retraction under Raw
+    // semantics): sup=1, wsum=0 — MIN over the positive support stays
+    // defined; COUNT nulls out instead of dropping the whole row.
+    val plan = Aggregate(Seq(0, 1, 1), matchA(0, ":v", 1),
+      Seq(AggregationFn.COUNT, AggregationFn.MIN), Seq(0), Seq(1, 1), Seq.empty)
+    val engine = new Engine(spark)
+    engine.createAttribute(":v", AttributeConfig(InputSemantics.Raw))
+    engine.register(Rule("q", plan))
+    engine.interest("q")
+    engine.transact(Seq(
+      Datom.add(1L, ":v", Value.num(3)),
+      Datom.retract(1L, ":v", Value.num(4))))
+    engine.advance(1)
+    val got = engine.drain("q")
+    assert(got == Seq((Seq(1L, null, 3L), 0L, 1L)), s"got $got")
+  }
+
+  test("wire parser rejects malformed input (r2 ADVICE)") {
+    import graft.server.Wire
+    // Misspelled literals must not parse by position.
+    intercept[IllegalArgumentException](Wire.parseJson("trXX"))
+    intercept[IllegalArgumentException](Wire.parseJson("nulX"))
+    // Truncated documents fail with a parse error, not
+    // StringIndexOutOfBoundsException.
+    val truncated = intercept[IllegalArgumentException](Wire.parseJson("""{"a": [1, 2"""))
+    assert(truncated.getMessage.contains("JSON"))
+    // Untagged fractional numbers are not silently truncated into i64
+    // Value payloads (reference Number is an integer).
+    val datoms = intercept[Exception](
+      Wire.parseRequests("""{"Transact":[[1,":a",1.5,null,1]]}"""))
+    assert(datoms.getMessage.toLowerCase.contains("integer"))
+  }
+
   test("semi-naive fixpoint matches naive closure (ADVICE #4)") {
     // Tiny graph: edges {(1,2),(2,3),(3,4),(2,5)} ⇒ closure adds
     // (1,3),(1,4),(1,5),(2,4).

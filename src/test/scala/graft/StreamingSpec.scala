@@ -174,12 +174,13 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
-  test("coarsen rounds up to interval bounds") {
+  test("coarsen rounds STRICTLY up to the next interval bound") {
     import spark.implicits._
+    // (t/g + 1)·g — exact multiples round up too (src/timestamp/mod.rs:151-154).
     val df = Seq(0L, 1L, 59L, 60L, 61L, 120L).toDF("t")
     val got = df.select(DatomStreams.coarsen($"t", 60L).as("c"))
       .collect().map(_.getLong(0)).toSeq
-    assert(got == Seq(0L, 60L, 60L, 60L, 120L, 120L))
+    assert(got == Seq(60L, 60L, 60L, 120L, 120L, 180L))
   }
 
   test("windowedCounts groups by tumbling event-time windows") {

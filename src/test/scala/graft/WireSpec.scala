@@ -111,14 +111,21 @@ class WireSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("closed"))
   }
 
-  test("interest granularity coarsens emitted times") {
+  test("interest granularity coarsens emitted times and delays delivery") {
     val engine = new Engine(TestSpark.spark)
     engine.createAttribute(":v", AttributeConfig(InputSemantics.Distinct))
     engine.register(Rule("q", matchA(0, ":v", 1)))
     engine.interest("q", granularity = Some(10L))
     engine.transact(Seq(Datom.addAt(1L, ":v", Value.num(5), 3L)))
     engine.advance(4)
-    val got = engine.drain("q")
-    assert(got == Seq((Seq(1L, 5L), 10L, 1L))) // 3 coarsened up to 10
+    // 3 coarsens to bound 10, which has not completed at frontier 4 — the
+    // diff is held back (the reference delays until the bound completes).
+    assert(engine.drain("q") == Seq.empty)
+    engine.advance(11)
+    assert(engine.drain("q") == Seq((Seq(1L, 5L), 10L, 1L)))
+    // Exact multiples coarsen strictly up: t=20 → bound 30.
+    engine.transact(Seq(Datom.addAt(2L, ":v", Value.num(7), 20L)))
+    engine.advance(31)
+    assert(engine.drain("q") == Seq((Seq(2L, 7L), 30L, 1L)))
   }
 }
