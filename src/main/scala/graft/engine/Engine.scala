@@ -38,6 +38,15 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
   private val pendingCoarse =
     mutable.Map.empty[String, mutable.ArrayBuffer[(Seq[Any], Long, Long)]]
   private var frontier: Long = 0L
+  // Column kinds of each rule's result (recorded at first snapshot) — lets
+  // transports re-tag collected native values as wire `Value`s.
+  private val resultKinds = mutable.Map.empty[String, Seq[ValueKind]]
+
+  /** Rules currently under interest (transport fan-out reads this). */
+  def interestNames: Seq[String] = interests.toSeq
+
+  /** Column kinds of a rule's result, once it has produced a snapshot. */
+  def kindsFor(name: String): Option[Seq[ValueKind]] = resultKinds.get(name)
 
   def createAttribute(name: String, config: AttributeConfig = AttributeConfig()): Unit =
     domain.createAttribute(name, config)
@@ -193,6 +202,8 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     val compiler = new Compiler(domain.asOf(t), domain.rules,
       aggregateSetSemantics = setSemantics)
     val rel = canonicalize(compiler, compiler.compileRule(name))
+    resultKinds(name) =
+      if (rel.isPathArray) Seq(ValueKind.KVariant) else rel.kinds
     val n = rel.df.columns.length - 1 // tuple width without _w
     rel.df.collect().iterator.map { row =>
       // Pull results with heterogeneous arity arrive as one array<variant>

@@ -31,6 +31,19 @@ object Request {
   case object Shutdown extends Request
 }
 
+/** Server-to-client payloads (`Output`, `src/lib.rs:250-262`), serialized
+  * with serde's externally-tagged representation — what a reference client
+  * receives over the socket. */
+sealed trait Output
+object Output {
+  /** A batch of (tuple, time, diff) triples for a named query. */
+  final case class QueryDiff(name: String, batch: Seq[(Seq[Value], Long, Long)])
+      extends Output
+  /** An error forwarded to a specific client (`Error`, `src/lib.rs:163-170`). */
+  final case class Error(client: Long, category: String, message: String, txId: Long)
+      extends Output
+}
+
 /** serde-JSON wire codec for the request API, matching the reference's
   * derived `Serialize`/`Deserialize` representation
   * (`server/tests/serialization.rs`):
@@ -128,13 +141,62 @@ object Wire {
     case Request.CloseInput(n) => s"""{"CloseInput":${qs(n)}}"""
   }
 
+  // -------------------------------------------------------------- outputs
+
+  /** Render a server output as the reference's serde JSON:
+    * `{"QueryDiff":["name",[[[v,...],{"TxId":t},diff],...]]}` /
+    * `{"Error":[client,{"df.error/category":...,"df.error/message":...},tx]}`.
+    */
+  def renderOutput(o: Output): String = o match {
+    case Output.QueryDiff(name, batch) =>
+      val rows = batch.map { case (tuple, t, d) =>
+        s"""[[${tuple.map(renderValue).mkString(",")}],{"TxId":$t},$d]"""
+      }
+      s"""{"QueryDiff":[${qs(name)},[${rows.mkString(",")}]]}"""
+    case Output.Error(client, category, message, tx) =>
+      s"""{"Error":[$client,{"df.error/category":${qs(category)},"df.error/message":${
+        qs(message)}},$tx]}"""
+  }
+
+  /** Parse a server output (the client side of [[renderOutput]]). */
+  def parseOutput(json: String): Output = parseJson(json) match {
+    case o: JObj => o.fields match {
+      case Vector(("QueryDiff", JArr(Vector(JStr(name), JArr(rows))))) =>
+        Output.QueryDiff(name, rows.map {
+          case JArr(Vector(JArr(vs), t, d)) =>
+            (vs.map(valueOf), timeOf(t), long(d))
+          case other => sys.error(s"malformed result diff: $other")
+        })
+      case Vector(("Error", JArr(Vector(client, eo: JObj, tx)))) =>
+        Output.Error(long(client),
+          eo.get("df.error/category").map(str).getOrElse(""),
+          eo.get("df.error/message").map(str).getOrElse(""), long(tx))
+      case other => sys.error(s"unknown output: $other")
+    }
+    case other => sys.error(s"unknown output: $other")
+  }
+
   // --------------------------------------------------------------- pieces
 
   def datomOf(j: J): Datom = j match {
     case JArr(Vector(e, JStr(a), v, t, d)) =>
-      Datom(long(e), a, valueOf(v),
+      Datom(eidOf(e), a, valueOf(v),
+        if (t == JNull) None else Some(timeOf(t)), long(d))
+    // Older CLI TxData shape — (diff, e, a, v, t), as in the reference's
+    // own cli/examples/changes.json (predates the current Datom derive).
+    case JArr(Vector(d: JNum, e, JStr(a), v, t)) =>
+      Datom(eidOf(e), a, valueOf(v),
         if (t == JNull) None else Some(timeOf(t)), long(d))
     case other => sys.error(s"malformed datom: $other")
+  }
+
+  /** Entity position: bare number or tagged `{"Eid": n}`. */
+  private def eidOf(j: J): Long = j match {
+    case o: JObj => o.fields match {
+      case Vector(("Eid", n: JNum)) => long(n)
+      case other                    => sys.error(s"malformed entity id: $other")
+    }
+    case other => long(other)
   }
 
   def renderDatom(d: Datom): String =

@@ -1,0 +1,233 @@
+package graft.server
+
+import java.io.{BufferedReader, DataInputStream, DataOutputStream, InputStreamReader}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.util.Base64
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import graft.engine.Engine
+import graft.model.{Value, ValueKind}
+
+/** WebSocket transport over [[graft.engine.Engine]] — the Spark analog of
+  * the reference server loop (`server/src/main.rs:330-660` +
+  * `networking.rs:1-320`): accept reference-format JSON requests (RFC 6455
+  * text frames), dispatch them through `Engine.handle`, and push one
+  * `Output::QueryDiff(name, batch)` message per advance to every client
+  * interested in that query.
+  *
+  * Transport-layer scope mirrors the reference: unfragmented text frames in
+  * (client-masked, as RFC 6455 requires), text frames out, ping answered
+  * with pong, close answered with close. The engine itself is
+  * single-threaded behind a lock — the reference sequences all client
+  * commands through one worker the same way (`server/src/main.rs:360-380`).
+  */
+final class WsServer(engine: Engine, port: Int = 0) {
+
+  private val serverSocket = new ServerSocket(port)
+  @volatile private var running = true
+  // client id -> (socket out, names this client declared interest in)
+  private val clients =
+    mutable.LinkedHashMap.empty[Long, (DataOutputStream, mutable.Set[String])]
+  private var nextClient = 0L
+  private var nextTx = 0L
+
+  def boundPort: Int = serverSocket.getLocalPort
+
+  private val acceptThread = new Thread(() => {
+    while (running) {
+      try {
+        val sock = serverSocket.accept()
+        val id = synchronized { nextClient += 1; nextClient }
+        val t = new Thread(() => serve(id, sock), s"graft-ws-client-$id")
+        t.setDaemon(true)
+        t.start()
+      } catch { case NonFatal(_) => () /* socket closed on stop() */ }
+    }
+  }, "graft-ws-accept")
+  acceptThread.setDaemon(true)
+
+  def start(): WsServer = { acceptThread.start(); this }
+
+  def stop(): Unit = {
+    running = false
+    serverSocket.close()
+    synchronized { clients.values.foreach { case (out, _) => out.close() } }
+  }
+
+  // ----------------------------------------------------------- connection
+
+  private def serve(id: Long, sock: Socket): Unit = {
+    try {
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      handshake(in, out)
+      synchronized { clients(id) = (out, mutable.Set.empty[String]) }
+      var open = true
+      while (open && running) {
+        readFrame(in) match {
+          case Frame(OpText, payload) =>
+            handleMessage(id, new String(payload, UTF_8))
+          case Frame(OpPing, payload) =>
+            synchronized(writeFrame(out, OpPong, payload))
+          case Frame(OpClose, _) =>
+            synchronized(writeFrame(out, OpClose, Array.emptyByteArray))
+            open = false
+          case _ => () // pong / fragments of binary: ignored
+        }
+      }
+    } catch {
+      case NonFatal(_) => () // client went away
+    } finally {
+      synchronized { clients.remove(id) }
+      try sock.close() catch { case NonFatal(_) => () }
+    }
+  }
+
+  /** One client message = a JSON request (or array of requests), sequenced
+    * through the engine under the lock; any buffered diffs produced by the
+    * batch are fanned out afterwards. Errors go back to the offending
+    * client as `Output::Error`, like the reference's command loop
+    * (`server/src/main.rs:616-624`). */
+  private def handleMessage(id: Long, text: String): Unit = synchronized {
+    nextTx += 1
+    try {
+      val requests = Wire.parseRequests(text)
+      requests.foreach {
+        case Request.Interest(name, g) =>
+          engine.interest(name, g)
+          clients(id)._2 += name
+        case Request.Subscribe(attr) =>
+          engine.handle(Request.Subscribe(attr))
+          clients(id)._2 += attr
+        case Request.Derive(ns, q) =>
+          engine.handle(Request.Derive(ns, q))
+          clients(id)._2 += ns
+        case Request.Uninterest(name) =>
+          clients(id)._2 -= name
+          // Tear the dataflow down only when the LAST interested client
+          // leaves (server/src/main.rs:276-281).
+          if (!clients.values.exists(_._2.contains(name)))
+            engine.uninterest(name)
+        case other => engine.handle(other)
+      }
+      flushDiffs()
+    } catch {
+      case NonFatal(e) =>
+        clients.get(id).foreach { case (out, _) =>
+          send(out, Wire.renderOutput(Output.Error(
+            id, "df.error.category/incorrect", String.valueOf(e.getMessage), nextTx)))
+        }
+    }
+  }
+
+  /** Drain every interested rule once and deliver its batch to all clients
+    * interested in it. */
+  private def flushDiffs(): Unit = {
+    for (name <- engine.interestNames) {
+      val diffs = engine.drain(name)
+      if (diffs.nonEmpty) {
+        val kinds = engine.kindsFor(name)
+        val batch = diffs.map { case (tuple, t, d) =>
+          (tuple.zipWithIndex.map { case (v, i) =>
+            asValue(v, kinds.flatMap(_.lift(i)))
+          }, t, d)
+        }
+        val msg = Wire.renderOutput(Output.QueryDiff(name, batch))
+        for ((out, names) <- clients.values if names.contains(name))
+          send(out, msg)
+      }
+    }
+  }
+
+  /** Re-tag a collected native value as a wire `Value` using the result
+    * column's kind where known (eids/instants keep their tags); path-array
+    * elements fall back to runtime-type tagging. */
+  private def asValue(v: Any, kind: Option[ValueKind]): Value = (v, kind) match {
+    case (n: Long, Some(ValueKind.KEid))     => Value.VEid(n)
+    case (n: Long, Some(ValueKind.KInstant)) => Value.VInstant(n)
+    case (s: String, Some(ValueKind.KAid))   => Value.VAid(s)
+    case (s: String, Some(ValueKind.KUuid))  => Value.VUuid(s)
+    case (n: Long, _)                        => Value.VNumber(n)
+    case (s: String, _)                      => Value.VString(s)
+    case (b: Boolean, _)                     => Value.VBool(b)
+    case (d: Double, _)                      => Value.VReal(d)
+    case (s: Seq[_], _) => s match {
+      case Seq(p: Long, q: Long) => Value.VRational(p, q)
+      case other                 => Value.VString(other.mkString("[", " ", "]"))
+    }
+    case (other, _) => Value.VString(String.valueOf(other))
+  }
+
+  private def send(out: DataOutputStream, text: String): Unit =
+    try writeFrame(out, OpText, text.getBytes(UTF_8))
+    catch { case NonFatal(_) => () }
+
+  // ------------------------------------------------------------ handshake
+
+  /** RFC 6455 opening handshake: HTTP/1.1 Upgrade with the SHA-1/base64
+    * `Sec-WebSocket-Accept` transform. */
+  private def handshake(in: DataInputStream, out: DataOutputStream): Unit = {
+    val reader = new BufferedReader(new InputStreamReader(in, UTF_8))
+    var key: String = null
+    var line = reader.readLine()
+    require(line != null && line.startsWith("GET "), s"not a websocket upgrade: $line")
+    line = reader.readLine()
+    while (line != null && line.nonEmpty) {
+      val idx = line.indexOf(':')
+      if (idx > 0) {
+        val (h, v) = (line.substring(0, idx).trim.toLowerCase, line.substring(idx + 1).trim)
+        if (h == "sec-websocket-key") key = v
+      }
+      line = reader.readLine()
+    }
+    require(key != null, "missing Sec-WebSocket-Key")
+    val accept = Base64.getEncoder.encodeToString(
+      MessageDigest.getInstance("SHA-1")
+        .digest((key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").getBytes(UTF_8)))
+    out.write(
+      ("HTTP/1.1 101 Switching Protocols\r\n" +
+        "Upgrade: websocket\r\n" +
+        "Connection: Upgrade\r\n" +
+        s"Sec-WebSocket-Accept: $accept\r\n\r\n").getBytes(UTF_8))
+    out.flush()
+  }
+
+  // --------------------------------------------------------------- frames
+
+  private val OpText = 0x1
+  private val OpClose = 0x8
+  private val OpPing = 0x9
+  private val OpPong = 0xa
+
+  private final case class Frame(op: Int, payload: Array[Byte])
+
+  private def readFrame(in: DataInputStream): Frame = {
+    val b0 = in.readUnsignedByte()
+    val op = b0 & 0x0f
+    val b1 = in.readUnsignedByte()
+    val masked = (b1 & 0x80) != 0
+    val len: Long = (b1 & 0x7f) match {
+      case 126 => in.readUnsignedShort().toLong
+      case 127 => in.readLong()
+      case n   => n.toLong
+    }
+    require(len <= Int.MaxValue, s"frame too large: $len")
+    val mask = if (masked) { val m = new Array[Byte](4); in.readFully(m); m } else null
+    val payload = new Array[Byte](len.toInt)
+    in.readFully(payload)
+    if (masked) payload.indices.foreach(i => payload(i) = (payload(i) ^ mask(i % 4)).toByte)
+    Frame(op, payload)
+  }
+
+  private def writeFrame(out: DataOutputStream, op: Int, payload: Array[Byte]): Unit = {
+    out.writeByte(0x80 | op) // FIN + opcode; server frames are unmasked
+    if (payload.length < 126) out.writeByte(payload.length)
+    else if (payload.length < 65536) { out.writeByte(126); out.writeShort(payload.length) }
+    else { out.writeByte(127); out.writeLong(payload.length.toLong) }
+    out.write(payload)
+    out.flush()
+  }
+}

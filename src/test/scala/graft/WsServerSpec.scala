@@ -1,0 +1,127 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, WebSocket}
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.{CompletionStage, LinkedBlockingQueue, TimeUnit}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Engine
+import graft.model.Value
+import graft.server.{Output, Wire, WsServer}
+
+/** End-to-end WebSocket transport test: a real RFC 6455 client (the JDK's
+  * `java.net.http.WebSocket`) drives [[WsServer]] with reference-format
+  * JSON payloads — including the reference's own
+  * `cli/examples/schema.json` + `changes.json` — and receives
+  * `Output::QueryDiff` batches, mirroring `server/src/main.rs:330-660`. */
+class WsServerSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  /** Blocking text-message client over the JDK WebSocket API. */
+  private final class Client(port: Int) {
+    private val received = new LinkedBlockingQueue[String]()
+    private val buf = new StringBuilder
+    private val listener = new WebSocket.Listener {
+      override def onText(ws: WebSocket, data: CharSequence,
+          last: Boolean): CompletionStage[_] = {
+        buf.append(data)
+        if (last) { received.put(buf.toString); buf.clear() }
+        ws.request(1)
+        null
+      }
+    }
+    private val ws = HttpClient.newHttpClient().newWebSocketBuilder()
+      .buildAsync(URI.create(s"ws://127.0.0.1:$port/"), listener)
+      .get(10, TimeUnit.SECONDS)
+
+    def send(text: String): Unit =
+      ws.sendText(text, true).get(10, TimeUnit.SECONDS)
+    def next(): String = {
+      val msg = received.poll(15, TimeUnit.SECONDS)
+      assert(msg != null, "timed out waiting for a server message")
+      msg
+    }
+    def close(): Unit =
+      ws.sendClose(WebSocket.NORMAL_CLOSURE, "done").get(10, TimeUnit.SECONDS)
+  }
+
+  private def withServer(f: (WsServer, Client) => Unit): Unit = {
+    val server = new WsServer(new Engine(spark)).start()
+    val client = new Client(server.boundPort)
+    try f(server, client)
+    finally {
+      try client.close() catch { case _: Throwable => () }
+      server.stop()
+    }
+  }
+
+  private def example(name: String): String =
+    Files.readString(Paths.get(s"/root/reference/cli/examples/$name"))
+
+  test("reference cli example payloads produce the expected diff batches") {
+    withServer { (_, client) =>
+      // schema.json: four CreateAttribute requests (Distinct semantics,
+      // trailing commas and trace_slack configs included).
+      client.send(example("schema.json"))
+      // A join rule over two of those attributes, plus interest in it.
+      client.send("""{"Register":{"rules":[{"name":"hero_age","plan":
+        {"Join":{"variables":[0],
+                 "left_plan":{"MatchA":[0,"name",1]},
+                 "right_plan":{"MatchA":[0,"age",2]}}}}],"publish":["hero_age"]}}""")
+      client.send("""{"Interest":{"name":"hero_age","granularity":null}}""")
+      // changes.json: older CLI TxData shape (diff, e, a, v, t).
+      client.send(s"""{"Transact":${example("changes.json")}}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+
+      val out = Wire.parseOutput(client.next())
+      out match {
+        case Output.QueryDiff(name, batch) =>
+          assert(name == "hero_age")
+          assert(batch == Seq(
+            (Seq(Value.eid(100), Value.str("Peter"), Value.num(43)), 0L, 1L)))
+        case other => fail(s"expected a QueryDiff, got $other")
+      }
+    }
+  }
+
+  test("subscribe to a whole attribute and receive retractions") {
+    withServer { (_, client) =>
+      client.send(
+        """{"CreateAttribute":{"name":":tag","config":{"input_semantics":"Raw"}}}""")
+      client.send("""{"Subscribe":":tag"}""")
+      client.send("""{"Transact":[[1,":tag","a",null,1],[2,":tag","b",null,1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+      Wire.parseOutput(client.next()) match {
+        case Output.QueryDiff(name, batch) =>
+          assert(name == ":tag")
+          assert(batch.toSet == Set(
+            (Seq(Value.eid(1), Value.str("a")), 0L, 1L),
+            (Seq(Value.eid(2), Value.str("b")), 0L, 1L)))
+        case other => fail(s"expected a QueryDiff, got $other")
+      }
+      // A retraction at the next epoch arrives as a -1 diff.
+      client.send("""{"Transact":[[1,":tag","a",null,-1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":2}]}""")
+      Wire.parseOutput(client.next()) match {
+        case Output.QueryDiff(name, batch) =>
+          assert(name == ":tag")
+          assert(batch == Seq((Seq(Value.eid(1), Value.str("a")), 1L, -1L)))
+        case other => fail(s"expected a QueryDiff, got $other")
+      }
+    }
+  }
+
+  test("malformed requests come back as Output::Error") {
+    withServer { (_, client) =>
+      client.send("""{"Nonsense": 1}""")
+      Wire.parseOutput(client.next()) match {
+        case Output.Error(_, category, _, _) =>
+          assert(category.nonEmpty)
+        case other => fail(s"expected an Error, got $other")
+      }
+    }
+  }
+}
