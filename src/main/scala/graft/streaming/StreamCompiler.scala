@@ -1,0 +1,394 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.model._
+import graft.model.{Plan => P}
+import graft.model.ValueKind._
+
+/** A generic tuple update flowing through the streaming plan compiler:
+  * `key` is the current operator's grouping key (recomputed before each
+  * stateful step), `tuple` the positional variable values (native types),
+  * `t` the event time and `diff` the multiplicity. */
+final case class SUpd(key: String, tuple: Vector[Any], t: Long, diff: Long)
+
+/** Compiles the monotone core of the `Plan` algebra to ONE composed
+  * Structured Streaming query over per-attribute diff streams, emitting
+  * exact `(tuple, t, diff)` rows — retractions included — with no
+  * driver-side snapshot diffing. The general-plan analog of the proven
+  * single-operator streams in [[DatomStreams]] (delta-join, incremental
+  * aggregate, distinct), which it generalizes from entity-keyed typed
+  * streams to arbitrary key positions over untyped tuples.
+  *
+  * Streamable subset (README "streaming" section):
+  *  - `MatchA` / `MatchEA` / `MatchAV` over a registered source stream;
+  *  - `Project`, `Filter` (all six predicates, const or var operands),
+  *    `Transform` (ADD / SUBTRACT / TRUNCATE) — stateless, map diffs 1:1;
+  *  - `Negate` — flips diffs;
+  *  - `Join` — incremental delta join with keyed two-sided multiset state
+  *    (`Δ(L⋈R) = ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR`);
+  *  - `Union` — branch union + keyed set-distinct (matching the
+  *    reference's `concat.distinct()`, `src/plan/union.rs:73-77`);
+  *  - `Aggregate` with COUNT / SUM functions — diff-monoid keyed state
+  *    emitting retract+assert pairs (`src/plan/aggregate_neu.rs:167-243`).
+  *
+  * NOT streamable here (use the batch engine): Hector conjunctions,
+  * recursion (`NameExpr` fixpoints), Antijoin, Pull/PullAll/GraphQl, and
+  * the order-statistic / rational aggregates (MIN MAX MEDIAN AVG
+  * VARIANCE) — each needs either iteration or full-support state that the
+  * snapshot-diff engine already provides.
+  *
+  * Sources are streaming DataFrames with columns `(e, v, t, diff)` — from
+  * [[graft.sources.FileSources]], a Kafka reader, or a MemoryStream —
+  * optionally pre-wrapped with [[DatomStreams.distinctSet]] /
+  * [[DatomStreams.lastWriteWins]] for non-Raw input semantics.
+  */
+object StreamCompiler extends Serializable {
+
+  /** Type-tagged, length-prefixed lossless key for a set of tuple
+    * positions: "1" the string never collides with 1 the number, and
+    * adjacent values can never be re-segmented into a colliding key. */
+  private[streaming] def keyOf(tuple: Vector[Any], idxs: Seq[Int]): String =
+    idxs.map { i =>
+      val body = tuple(i) match {
+        case null       => "?"
+        case n: Long    => s"n$n"
+        case s: String  => s"s$s"
+        case b: Boolean => s"b$b"
+        case d: Double  => s"d$d"
+        case other      => s"x$other"
+      }
+      s"${body.length}:$body"
+    }.mkString
+
+  private[streaming] def asLong(v: Any): Long = v match {
+    case n: Long => n
+    case i: Int  => i.toLong
+    case other   => sys.error(s"expected a number, got $other")
+  }
+
+  private[streaming] def cmp(pred: Predicate, a: Any, b: Any): Boolean = {
+    val c = (a, b) match {
+      case (x: Long, y: Long)       => java.lang.Long.compare(x, y)
+      case (x: Double, y: Double)   => java.lang.Double.compare(x, y)
+      case (x: Long, y: Double)     => java.lang.Double.compare(x.toDouble, y)
+      case (x: Double, y: Long)     => java.lang.Double.compare(x, y.toDouble)
+      case (x: String, y: String)   => x.compareTo(y)
+      case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+      case other => sys.error(s"incomparable operands: $other")
+    }
+    pred match {
+      case Predicate.LT  => c < 0
+      case Predicate.GT  => c > 0
+      case Predicate.LTE => c <= 0
+      case Predicate.GTE => c >= 0
+      case Predicate.EQ  => c == 0
+      case Predicate.NEQ => c != 0
+    }
+  }
+}
+
+class StreamCompiler(
+    sources: Map[String, DataFrame],
+    sourceKinds: Map[String, ValueKind]) {
+
+  import StreamCompiler.{asLong, cmp, keyOf}
+
+  private implicit val updEnc: Encoder[SUpd] = Encoders.kryo[SUpd]
+  private implicit val keyEnc: Encoder[String] = Encoders.STRING
+  private implicit val cntEnc: Encoder[Long] = Encoders.scalaLong
+
+  private final case class SRel(vars: Seq[Int], kinds: Seq[ValueKind], ds: Dataset[SUpd]) {
+    def idx(v: Int): Int = {
+      val i = vars.indexOf(v)
+      require(i >= 0, s"variable $v not bound by stream over $vars")
+      i
+    }
+  }
+
+  // ------------------------------------------------------------- compile
+
+  /** Compile to a streaming DataFrame with columns `c0..cn, t, diff`. */
+  def compileToFrame(plan: Plan): DataFrame = {
+    val rel = compile(plan)
+    val fields = rel.kinds.zipWithIndex.map { case (k, i) =>
+      StructField(s"c$i", k.dataType, nullable = true)
+    } ++ Seq(StructField("t", LongType, false), StructField("diff", LongType, false))
+    val schema = StructType(fields)
+    rel.ds.map(u => Row.fromSeq(u.tuple :+ u.t :+ u.diff))(Encoders.row(schema))
+  }
+
+  private def compile(plan: Plan): SRel = plan match {
+
+    case P.MatchA(e, a, v) =>
+      val src = sourceFrame(a)
+      require(e != v, "MatchA(e, a, e) is not supported on streams")
+      SRel(Seq(e, v), Seq(KEid, kindOf(a)), src)
+
+    case P.MatchEA(eid, a, v) =>
+      val src = sourceFrame(a)
+      SRel(Seq(v), Seq(kindOf(a)),
+        src.filter(_.tuple(0) == eid).map(u => u.copy(tuple = Vector(u.tuple(1)))))
+
+    case P.MatchAV(e, a, value) =>
+      val src = sourceFrame(a)
+      val native = value.native
+      SRel(Seq(e), Seq(KEid),
+        src.filter(_.tuple(1) == native).map(u => u.copy(tuple = Vector(u.tuple(0)))))
+
+    case P.Project(vs, p) =>
+      val rel = compile(p)
+      val idxs = vs.map(rel.idx)
+      SRel(vs, idxs.map(rel.kinds), rel.ds.map(u =>
+        u.copy(tuple = idxs.map(u.tuple).toVector)))
+
+    case P.Negate(p) =>
+      val rel = compile(p)
+      rel.copy(ds = rel.ds.map(u => u.copy(diff = -u.diff)))
+
+    case P.Filter(fvars, pred, p, consts) =>
+      val rel = compile(p)
+      val leftConst = consts.lift(0).flatten.map(_.native)
+      val rightConst = consts.lift(1).flatten.map(_.native)
+      val i0 = rel.idx(fvars(0))
+      val cond: Vector[Any] => Boolean = (leftConst, rightConst) match {
+        case (Some(k), _) => tup => cmp(pred, k, tup(i0))
+        case (_, Some(k)) => tup => cmp(pred, tup(i0), k)
+        case _ =>
+          val i1 = rel.idx(fvars(1))
+          tup => cmp(pred, tup(i0), tup(i1))
+      }
+      rel.copy(ds = rel.ds.filter(u => cond(u.tuple)))
+
+    case P.Transform(tvars, resultVar, p, fn, consts) =>
+      val rel = compile(p)
+      val idxs = tvars.map(rel.idx)
+      val constNums = consts.flatten.collect { case Value.VNumber(n) => n }
+      val (f, kind): (Vector[Any] => Any, ValueKind) = fn match {
+        case Fn.ADD =>
+          (tup => idxs.map(i => asLong(tup(i))).sum + constNums.sum, KNumber)
+        case Fn.SUBTRACT =>
+          // Double-then-subtract-all, as the reference and the batch path
+          // (src/plan/transform.rs:146-192).
+          val minuendConst = consts.lift(0).flatten.collect { case Value.VNumber(m) => m }
+          (tup => {
+            val minuend = minuendConst.getOrElse(asLong(tup(idxs.head)))
+            2 * minuend - idxs.map(i => asLong(tup(i))).sum - constNums.sum
+          }, KNumber)
+        case Fn.TRUNCATE =>
+          val interval = consts.lift(1).flatten match {
+            case Some(Value.VString(s)) => s
+            case None                   => ":hour"
+            case other => sys.error(s"TRUNCATE interval must be a string, got $other")
+          }
+          val modVal = interval match {
+            case ":minute" => 60000L
+            case ":hour"   => 3600000L
+            case ":day"    => 86400000L
+            case ":week"   => 604800000L
+            case other     => sys.error(s"unknown TRUNCATE interval $other")
+          }
+          (tup => { val t = asLong(tup(idxs.head)); t - (t % modVal) }, KInstant)
+      }
+      SRel(rel.vars :+ resultVar, rel.kinds :+ kind,
+        rel.ds.map(u => u.copy(tuple = u.tuple :+ f(u.tuple))))
+
+    case P.Union(vs, ps) =>
+      val projected = ps.map(p => compile(P.Project(vs, p)))
+      val all = projected.map(_.ds).reduce(_ union _)
+      // `concat.distinct()` — keyed support state over the whole tuple.
+      projected.head.copy(ds = distinctTuples(all))
+
+    case P.Join(target, l, r) =>
+      val lr = compile(l)
+      val rr = compile(r)
+      joinRels(target, lr, rr)
+
+    case P.Aggregate(outVars, p, fns, keyVars, aggVars, withVars) =>
+      require(withVars.isEmpty,
+        "streaming Aggregate does not support :with variables")
+      require(fns.forall(f =>
+        f == AggregationFn.COUNT || f == AggregationFn.SUM),
+        s"streaming Aggregate supports COUNT/SUM only, got $fns")
+      aggregateRel(compile(p), outVars, fns, keyVars, aggVars)
+
+    case other =>
+      sys.error(s"plan not streamable (see StreamCompiler docs): $other")
+  }
+
+  // ------------------------------------------------------------- sources
+
+  private def sourceFrame(a: String): Dataset[SUpd] = {
+    val df = sources.getOrElse(a, sys.error(s"no source stream for attribute $a"))
+    df.selectExpr("e", "v", "t", "diff").map { row =>
+      SUpd("", Vector(row.get(0), row.get(1)), row.getLong(2), row.getLong(3))
+    }
+  }
+
+  private def kindOf(a: String): ValueKind = sourceKinds.getOrElse(a, KString)
+
+  // ----------------------------------------------------------- operators
+
+  /** Set-distinct over whole tuples: +1 when support first turns positive,
+    * -1 when it returns to zero (generalizes [[DatomStreams.distinctSet]]). */
+  private def distinctTuples(ds: Dataset[SUpd]): Dataset[SUpd] =
+    ds.map(u => u.copy(key = keyOf(u.tuple, u.tuple.indices)))
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, SUpd](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[SUpd], state: GroupState[Long]) =>
+          var support = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SUpd]
+          it.toSeq.sortBy(_.t).foreach { u =>
+            val before = support
+            support += u.diff
+            if (before <= 0 && support > 0) out += u.copy(diff = 1L)
+            else if (before > 0 && support <= 0) out += u.copy(diff = -1L)
+          }
+          state.update(support)
+          out.iterator
+      }
+
+  /** Incremental equijoin on `target`: keyed two-sided (restTuple → weight)
+    * multiset state, emitting the delta cross-product with multiplied
+    * weights (generalizes [[DatomStreams.joinDiffs]] to arbitrary keys and
+    * arities). Output layout matches the batch join: key ++ lRest ++ rRest. */
+  private def joinRels(target: Seq[Int], l: SRel, r: SRel): SRel = {
+    val lRest = l.vars.distinct.filterNot(target.contains)
+    val rRest = r.vars.distinct.filterNot(target.contains)
+    val outVars = target ++ lRest ++ rRest
+    val outKinds = target.map(v => l.kinds(l.idx(v))) ++
+      lRest.map(v => l.kinds(l.idx(v))) ++ rRest.map(v => r.kinds(r.idx(v)))
+
+    val lKeyIdx = target.map(l.idx)
+    val lRestIdx = lRest.map(l.idx)
+    val rKeyIdx = target.map(r.idx)
+    val rRestIdx = rRest.map(r.idx)
+
+    // One grouping key per join key; the side tag rides in the tuple's
+    // first slot, key values next, rest values after (rest multisets live
+    // in state).
+    val byKey =
+      l.ds.map(u => SUpd(keyOf(u.tuple, lKeyIdx),
+        ("l": Any) +: (lKeyIdx.map(u.tuple).toVector ++ lRestIdx.map(u.tuple)),
+        u.t, u.diff)) union
+      r.ds.map(u => SUpd(keyOf(u.tuple, rKeyIdx),
+        ("r": Any) +: (rKeyIdx.map(u.tuple).toVector ++ rRestIdx.map(u.tuple)),
+        u.t, u.diff))
+
+    implicit val stateEnc: Encoder[(Map[Vector[Any], Long], Map[Vector[Any], Long])] =
+      Encoders.kryo[(Map[Vector[Any], Long], Map[Vector[Any], Long])]
+
+    val nKey = target.length
+    val joined = byKey
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Map[Vector[Any], Long], Map[Vector[Any], Long]), SUpd](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[SUpd],
+            state: GroupState[(Map[Vector[Any], Long], Map[Vector[Any], Long])]) =>
+          var (ls, rs) = state.getOption
+            .getOrElse((Map.empty[Vector[Any], Long], Map.empty[Vector[Any], Long]))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SUpd]
+          it.toSeq.sortBy(_.t).foreach { u =>
+            val side = u.tuple.head
+            val keyVals = u.tuple.slice(1, 1 + nKey)
+            val rest = u.tuple.drop(1 + nKey)
+            if (side == "l") {
+              rs.foreach { case (rRestVals, wb) =>
+                val d = u.diff * wb
+                if (d != 0L) out += SUpd("", keyVals ++ rest ++ rRestVals, u.t, d)
+              }
+              val nw = ls.getOrElse(rest, 0L) + u.diff
+              ls = if (nw == 0L) ls - rest else ls.updated(rest, nw)
+            } else {
+              ls.foreach { case (lRestVals, wa) =>
+                val d = wa * u.diff
+                if (d != 0L) out += SUpd("", keyVals ++ lRestVals ++ rest, u.t, d)
+              }
+              val nw = rs.getOrElse(rest, 0L) + u.diff
+              rs = if (nw == 0L) rs - rest else rs.updated(rest, nw)
+            }
+          }
+          state.update((ls, rs))
+          out.iterator
+      }
+    SRel(outVars, outKinds, joined)
+  }
+
+  /** Keyed diff-monoid aggregation (COUNT / SUM per function): state holds
+    * per-key sums and support; each changed batch retracts the previous
+    * output tuple and asserts the new one. Output offsets match the batch
+    * aggregate (results re-inserted at their find positions). */
+  private def aggregateRel(
+      rel: SRel, outVars: Seq[Int], fns: Seq[AggregationFn],
+      keyVars: Seq[Int], aggVars: Seq[Int]): SRel = {
+    import AggregationFn._
+    val keyIdx = keyVars.map(rel.idx)
+    val aggIdx = aggVars.map(rel.idx)
+
+    // Output slots: each aggregation consumes the first unconsumed
+    // occurrence of its variable (aggregate_neu.rs:108-120).
+    val work = scala.collection.mutable.ArrayBuffer(outVars.map(Option(_)): _*)
+    val posToAgg = scala.collection.mutable.Map.empty[Int, Int]
+    for (i <- fns.indices) {
+      val pos = work.indexOf(Some(aggVars(i)))
+      require(pos >= 0, s"aggregation variable ${aggVars(i)} not in output $outVars")
+      work(pos) = None
+      posToAgg(pos) = i
+    }
+    val slots: Seq[Either[Int, Int]] = outVars.indices.map { j =>
+      posToAgg.get(j).map(Right(_)).getOrElse(Left(keyVars.indexOf(outVars(j))))
+    }
+    val outKinds = slots.map {
+      case Left(k)  => rel.kinds(keyIdx(k))
+      case Right(_) => KNumber
+    }
+
+    implicit val stateEnc: Encoder[(Vector[Long], Long)] =
+      Encoders.kryo[(Vector[Long], Long)]
+
+    val keyed = rel.ds.map(u => u.copy(key = keyOf(u.tuple, keyIdx)))
+    val out = keyed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Vector[Long], Long), SUpd](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[SUpd], state: GroupState[(Vector[Long], Long)]) =>
+          val updates = it.toSeq.sortBy(_.t)
+          val keyVals = keyIdx.map(updates.head.tuple).toVector
+          val (oldSums, oldSupport) =
+            state.getOption.getOrElse((Vector.fill(fns.length)(0L), 0L))
+          var sums = oldSums
+          var support = oldSupport
+          var tMax = Long.MinValue
+          updates.foreach { u =>
+            sums = sums.zipWithIndex.map { case (s, i) =>
+              fns(i) match {
+                case COUNT => s + u.diff
+                case SUM   => s + asLong(u.tuple(aggIdx(i))) * u.diff
+                case _     => s
+              }
+            }
+            support += u.diff
+            if (u.t > tMax) tMax = u.t
+          }
+          state.update((sums, support))
+          def tupleOf(ss: Vector[Long]): Vector[Any] =
+            slots.map {
+              case Left(k)  => keyVals(k)
+              case Right(i) => ss(i)
+            }.toVector
+          val out = scala.collection.mutable.ArrayBuffer.empty[SUpd]
+          if (sums != oldSums || (support > 0L) != (oldSupport > 0L)) {
+            if (oldSupport > 0L) out += SUpd("", tupleOf(oldSums), tMax, -1L)
+            if (support > 0L) out += SUpd("", tupleOf(sums), tMax, 1L)
+          }
+          out.iterator
+      }
+    SRel(outVars, outKinds, out)
+  }
+
+  // ------------------------------------------------------------- helpers
+
+}

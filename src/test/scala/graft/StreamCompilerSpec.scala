@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model._
+import graft.model.Plan._
+import graft.model.ValueKind._
+import graft.streaming.StreamCompiler
+
+/** The streaming plan compiler runs a registered rule as ONE composed
+  * Structured Streaming query emitting exact `(tuple, t, diff)` rows — no
+  * driver snapshot diffing. Cases mirror the reference's end-to-end join
+  * expectations (`tests/query_test.rs:263-287`) plus incremental
+  * retraction rounds. */
+class StreamCompilerSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private type Datom4[V] = (Long, V, Long, Long) // (e, v, t, diff)
+
+  private def collectBatches(
+      query: StreamingQuery, table: String,
+      feed: Seq[() => Unit]): Seq[Set[(Seq[Any], Long, Long)]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Set[(Seq[Any], Long, Long)]]
+    var seen = 0
+    feed.foreach { step =>
+      step()
+      query.processAllAvailable()
+      val rows = spark.table(table).collect().toSeq
+      out += rows.drop(seen).map { r =>
+        val n = r.length
+        ((0 until n - 2).map(r.get), r.getLong(n - 2), r.getLong(n - 1))
+      }.toSet
+      seen = rows.length
+    }
+    out.toSeq
+  }
+
+  test("reference join case streams end-to-end with exact diffs") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val names = MemoryStream[Datom4[String]]
+    val ages = MemoryStream[Datom4[Long]]
+    val compiler = new StreamCompiler(
+      sources = Map(
+        ":name" -> names.toDF.toDF("e", "v", "t", "diff"),
+        ":age" -> ages.toDF.toDF("e", "v", "t", "diff")),
+      sourceKinds = Map(":name" -> KString, ":age" -> KNumber))
+
+    // [:find ?e ?n ?a :where [?e :age ?a] [?e :name ?n]] —
+    // tests/query_test.rs:263-287.
+    val (e, n, a) = (1, 3, 2)
+    val plan = Project(Seq(e, n, a),
+      Join(Seq(e), matchA(e, ":name", n), matchA(e, ":age", a)))
+
+    val query = compiler.compileToFrame(plan)
+      .writeStream.format("memory").queryName("join_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val got = collectBatches(query, "join_out", Seq(
+        // batch 1: the reference case — one joined row appears
+        () => {
+          names.addData((1L, "Dipper", 0L, 1L))
+          ages.addData((1L, 12L, 0L, 1L))
+        },
+        // batch 2: second entity joins across batches (state, not snapshot)
+        () => {
+          names.addData((2L, "Mabel", 1L, 1L))
+          ages.addData((2L, 13L, 1L, 1L))
+        },
+        // batch 3: retracting one side retracts the joined row
+        () => names.addData((1L, "Dipper", 2L, -1L))))
+
+      assert(got(0) == Set((Seq(1L, "Dipper", 12L), 0L, 1L)))
+      assert(got(1) == Set((Seq(2L, "Mabel", 13L), 1L, 1L)))
+      assert(got(2) == Set((Seq(1L, "Dipper", 12L), 2L, -1L)))
+    } finally query.stop()
+  }
+
+  test("join chained into grouped aggregate streams as one query") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val names = MemoryStream[Datom4[String]]
+    val ages = MemoryStream[Datom4[Long]]
+    val compiler = new StreamCompiler(
+      sources = Map(
+        ":name" -> names.toDF.toDF("e", "v", "t", "diff"),
+        ":age" -> ages.toDF.toDF("e", "v", "t", "diff")),
+      sourceKinds = Map(":name" -> KString, ":age" -> KNumber))
+
+    // count entities and sum ages per name:
+    // [:find ?n (count ?e) (sum ?a) :where [?e :name ?n] [?e :age ?a]]
+    val (e, n, a) = (0, 1, 2)
+    val plan = Aggregate(Seq(n, e, a),
+      Join(Seq(e), matchA(e, ":name", n), matchA(e, ":age", a)),
+      Seq(AggregationFn.COUNT, AggregationFn.SUM), Seq(n), Seq(e, a), Seq.empty)
+
+    val query = compiler.compileToFrame(plan)
+      .writeStream.format("memory").queryName("agg_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val got = collectBatches(query, "agg_out", Seq(
+        () => {
+          names.addData((1L, "Ivan", 0L, 1L), (3L, "Ivan", 0L, 1L))
+          ages.addData((1L, 15L, 0L, 1L), (3L, 37L, 0L, 1L))
+        },
+        // a second Ivan age retracts the old aggregate and asserts the new
+        () => ages.addData((1L, 15L, 1L, -1L))))
+
+      assert(got(0) == Set((Seq("Ivan", 2L, 52L), 0L, 1L)))
+      assert(got(1) == Set(
+        (Seq("Ivan", 2L, 52L), 1L, -1L),
+        (Seq("Ivan", 1L, 37L), 1L, 1L)))
+    } finally query.stop()
+  }
+
+  test("union distincts across branches and batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val xs = MemoryStream[Datom4[Long]]
+    val ys = MemoryStream[Datom4[Long]]
+    val compiler = new StreamCompiler(
+      sources = Map(
+        ":x" -> xs.toDF.toDF("e", "v", "t", "diff"),
+        ":y" -> ys.toDF.toDF("e", "v", "t", "diff")),
+      sourceKinds = Map(":x" -> KNumber, ":y" -> KNumber))
+
+    val plan = Union(Seq(0), Seq(
+      Project(Seq(0), matchA(0, ":x", 1)),
+      Project(Seq(0), matchA(0, ":y", 1))))
+
+    val query = compiler.compileToFrame(plan)
+      .writeStream.format("memory").queryName("union_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val got = collectBatches(query, "union_out", Seq(
+        // entity 1 arrives on both branches: ONE distinct assertion
+        () => {
+          xs.addData((1L, 10L, 0L, 1L))
+          ys.addData((1L, 20L, 0L, 1L))
+        },
+        // dropping one branch's support keeps the tuple alive...
+        () => xs.addData((1L, 10L, 1L, -1L)),
+        // ...dropping the last support retracts it
+        () => ys.addData((1L, 20L, 2L, -1L))))
+
+      assert(got(0) == Set((Seq(1L), 0L, 1L)))
+      assert(got(1) == Set.empty)
+      assert(got(2) == Set((Seq(1L), 2L, -1L)))
+    } finally query.stop()
+  }
+}
