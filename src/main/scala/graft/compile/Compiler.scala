@@ -539,7 +539,8 @@ class Compiler(
             val renamed = df.toDF(df.columns.indices.map(c): _*)
               .withColumn(W, lit(1L))
             Some(Rel(vs, kinds, renamed, unit = true))
-          case None => sys.error(s"$name is neither a rule nor a base relation")
+          case None =>
+            throw GraftError.notFound(s"$name is neither a rule nor a base relation")
         }
       base.map { rel =>
         require(rel.vars.length == vs.length,

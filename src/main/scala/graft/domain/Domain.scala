@@ -71,6 +71,11 @@ class Domain(val spark: SparkSession) extends Serializable {
   private var dataEpoch = 0L
   private val baseRelations =
     mutable.LinkedHashMap.empty[String, (DataFrame, Seq[ValueKind])]
+  // Derived attributes (Request::Derive): computed (e, v, _w) views built
+  // per as-of time. Kind is a thunk — the underlying attribute's kind may
+  // only be known after its first datom.
+  private val derivedAttrs =
+    mutable.LinkedHashMap.empty[String, (() => ValueKind, Long => DataFrame)]
   private val rulesCatalog = mutable.LinkedHashMap.empty[String, Rule]
   private val closedInputs = mutable.Set.empty[String]
   private var seqCounter = 0L
@@ -81,7 +86,8 @@ class Domain(val spark: SparkSession) extends Serializable {
 
   /** Reference `CreateAttribute` (`src/server/mod.rs:143-149`). */
   def createAttribute(name: String, config: AttributeConfig = AttributeConfig()): Unit = {
-    require(!attrs.contains(name), s"attribute $name already exists")
+    if (attrs.contains(name))
+      throw GraftError.conflict(s"attribute $name already exists")
     dataEpoch += 1
     attrs(name) = AttrState(config, None, mutable.ArrayBuffer.empty, None)
   }
@@ -106,14 +112,17 @@ class Domain(val spark: SparkSession) extends Serializable {
   def transact(datoms: Seq[Datom], defaultT: Long): Unit = {
     dataEpoch += 1
     datoms.foreach { d =>
-      require(!closedInputs(d.a), s"input ${d.a} is closed")
+      if (closedInputs(d.a))
+        throw GraftError.conflict(s"input ${d.a} is closed")
       val st = attrs.getOrElse(d.a, {
         createAttribute(d.a); attrs(d.a)
       })
       val k = ValueKind.of(d.v)
       st.kind match {
         case None           => st.kind = Some(k)
-        case Some(existing) => require(existing == k, s"attribute ${d.a}: kind $k != $existing")
+        case Some(existing) =>
+          if (existing != k)
+            throw GraftError.incorrect(s"attribute ${d.a}: kind $k != $existing")
       }
       seqCounter += 1
       st.buffer += ((d.e, d.v.native, d.t.getOrElse(defaultT), d.diff, seqCounter))
@@ -133,6 +142,18 @@ class Domain(val spark: SparkSession) extends Serializable {
   def registerRule(rule: Rule): Unit = rulesCatalog(rule.name) = rule
   def rules: Map[String, Rule] = rulesCatalog.toMap
 
+  /** Publish a DERIVED attribute (the reference's `Derive` materialization,
+    * `src/derive/graphql.rs` + `aid.with_namespace`, `src/lib.rs:72-74`):
+    * a computed `(e, v, _w)` view other rules can `MatchA` against like
+    * any stored attribute. `build` receives the as-of time. */
+  def registerDerived(name: String, kind: () => ValueKind,
+      build: Long => DataFrame): Unit = {
+    if (attrs.contains(name) || derivedAttrs.contains(name))
+      throw GraftError.conflict(s"attribute $name already exists")
+    dataEpoch += 1
+    derivedAttrs(name) = (kind, build)
+  }
+
   /** A view of this domain with all transacted datoms up to and including
     * time `asOf` applied, exposing consolidated `(e, v, _w)` collections
     * with the attribute's input semantics enforced
@@ -142,21 +163,31 @@ class Domain(val spark: SparkSession) extends Serializable {
     // Live read: a view created before a transact() sees the bumped epoch,
     // so the shared rule cache can never return pre-mutation results.
     override def version: (Long, Long) = (dataEpoch, t)
-    def has(name: String): Boolean = attrs.contains(name)
+    def has(name: String): Boolean =
+      attrs.contains(name) || derivedAttrs.contains(name)
     def kind(name: String): ValueKind =
-      attrs.get(name).flatMap(_.kind).getOrElse(ValueKind.KString)
+      attrs.get(name).flatMap(_.kind)
+        .orElse(derivedAttrs.get(name).map(_._1()))
+        .getOrElse(ValueKind.KString)
 
     override def relation(name: String): Option[(DataFrame, Seq[ValueKind])] =
       baseRelations.get(name)
 
     def unit(name: String): Boolean = attrs.get(name) match {
-      case None     => false
+      // Derived attributes are distinct-ed views (weight-1 by construction).
+      case None     => derivedAttrs.contains(name)
       case Some(st) => st.staticDf.isDefined ||
         (st.config.inputSemantics != InputSemantics.Raw)
     }
 
-    def collection(name: String): DataFrame = {
-      val st = attrs.getOrElse(name, sys.error(s"attribute $name does not exist"))
+    def collection(name: String): DataFrame = derivedAttrs.get(name) match {
+      case Some((_, build)) => build(t)
+      case None => collectionStored(name)
+    }
+
+    private def collectionStored(name: String): DataFrame = {
+      val st = attrs.getOrElse(name,
+        throw GraftError.notFound(s"attribute $name does not exist"))
       st.staticDf match {
         case Some(df) => df.select(col("e"), col("v"), lit(1L).as("_w"))
         case None =>

@@ -61,7 +61,8 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     * `src/server/mod.rs:110-119` + `Coarsen`, `src/timestamp/mod.rs:144-184`).
     */
   def interest(name: String, granularity: Option[Long] = None): Unit = {
-    require(domain.rules.contains(name), s"unknown rule $name")
+    if (!domain.rules.contains(name))
+      throw GraftError.notFound(s"unknown rule $name")
     interests += name
     granularity.foreach(g => granularities(name) = g)
     outputs.getOrElseUpdate(name, mutable.ArrayBuffer.empty)
@@ -91,10 +92,30 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
         interest(attr)
       case R.Derive(ns, query) =>
         // GraphQL document -> pull-path rule registered + subscribed under
-        // the namespace (the reference additionally re-publishes results as
-        // derived attributes; here the rule IS the namespace's relation).
+        // the namespace, AND each pulled path re-published as a derived
+        // attribute `ns/attr` other rules can MatchA against — the
+        // reference's derive materialization (`src/derive/graphql.rs:501-534`,
+        // `aid.with_namespace`, `src/lib.rs:72-74`).
         register(Rule(ns, graft.plans.GraphQl.plan(query)))
         interest(ns)
+        graft.plans.GraphQl.paths(query).foreach {
+          case Plan.PullLevel(_, inner, pullVar, pullAttrs, _, _) =>
+            pullAttrs.foreach { a =>
+              // (level entity, pulled value) pairs: join the level's plan
+              // with the attribute at the pull variable. Fresh output var
+              // below the GraphQl gensym range (1000000+).
+              val fresh = 999999
+              val plan = Plan.Project(Seq(pullVar, fresh),
+                Plan.Join(Seq(pullVar), inner, Plan.MatchA(pullVar, a, fresh)))
+              registerDerivedView(s"$ns/$a", a, plan)
+            }
+          case Plan.PullAll(_, pullAttrs) =>
+            // Root level with no bindings: ns/attr is the attribute itself.
+            pullAttrs.foreach { a =>
+              registerDerivedView(s"$ns/$a", a, Plan.MatchA(0, a, 1))
+            }
+          case _ => ()
+        }
       case R.Interest(name, g)       => interest(name, g)
       case R.Uninterest(name)        => uninterest(name)
       case R.Register(rules, _)      => rules.foreach(register)
@@ -106,6 +127,31 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     }
   }
 
+  /** Register a derived attribute whose (e, v, _w) view compiles `plan`
+    * (expected binary: entity, value) at each as-of time. Weight-1 by
+    * distinctify, so downstream MatchA treats it like a Distinct input. */
+  private def registerDerivedView(name: String, sourceAttr: String, plan: Plan): Unit =
+    domain.registerDerived(name,
+      kind = () => domain.asOf(Long.MaxValue).kind(sourceAttr),
+      build = { t =>
+        val compiler = new Compiler(domain.asOf(t), domain.rules,
+          aggregateSetSemantics = setSemantics)
+        compiler.compile(plan, Map.empty) match {
+          case None =>
+            import org.apache.spark.sql.types.{LongType, StructField, StructType}
+            val k = domain.asOf(Long.MaxValue).kind(sourceAttr)
+            domain.spark.createDataFrame(
+              domain.spark.sparkContext.emptyRDD[Row],
+              StructType(Seq(StructField("e", LongType, false),
+                StructField("v", k.dataType, true),
+                StructField("_w", LongType, false))))
+          case Some(rel) =>
+            import org.apache.spark.sql.functions.col
+            compiler.distinctify(rel.df)
+              .select(col(Rel.c(0)).as("e"), col(Rel.c(1)).as("v"), col(Rel.W).as("_w"))
+        }
+      })
+
   /** Datoms without an explicit time are stamped with the current epoch.
     * Explicit times below the advanced frontier are rejected loudly — the
     * reference refuses writes at completed times (`Domain::advance_epoch`,
@@ -113,7 +159,7 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     * drop their output diffs. */
   def transact(datoms: Seq[Datom]): Unit = {
     datoms.foreach(d => d.t.foreach(t =>
-      require(t >= frontier,
+      if (t < frontier) throw GraftError.conflict(
         s"write at closed time $t: frontier has advanced to $frontier")))
     domain.transact(datoms, frontier)
   }
@@ -123,7 +169,8 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     * Advancing to the current epoch is a no-op; rewinding is an error
     * (`Domain::advance_epoch`, `tests/domain_test.rs:9-22`). */
   def advance(next: Long): Unit = {
-    require(next >= frontier, s"cannot rewind domain from $frontier to $next")
+    if (next < frontier)
+      throw GraftError.conflict(s"cannot rewind domain from $frontier to $next")
     if (next == frontier) return
 
     // Late subscribers (interest registered after earlier times were

@@ -116,9 +116,12 @@ final class WsServer(engine: Engine, port: Int = 0) {
       flushDiffs()
     } catch {
       case NonFatal(e) =>
+        val (category, message) = e match {
+          case graft.model.GraftError(c, m) => (c, m)
+          case _ => ("df.error.category/incorrect", String.valueOf(e.getMessage))
+        }
         clients.get(id).foreach { case (out, _) =>
-          send(out, Wire.renderOutput(Output.Error(
-            id, "df.error.category/incorrect", String.valueOf(e.getMessage), nextTx)))
+          send(out, Wire.renderOutput(Output.Error(id, category, message, nextTx)))
         }
     }
   }

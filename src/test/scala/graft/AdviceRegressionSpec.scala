@@ -28,10 +28,11 @@ class AdviceRegressionSpec extends AnyFunSuite with EngineCases {
     engine.transact(Seq(Datom.addAt(1L, ":x", Value.num(10), 0L)))
     engine.advance(2)
     engine.drain("query")
-    val ex = intercept[IllegalArgumentException] {
+    val ex = intercept[GraftError] {
       engine.transact(Seq(Datom.addAt(2L, ":x", Value.num(20), 1L)))
     }
     assert(ex.getMessage.contains("closed time"))
+    assert(ex.category == "df.error.category/conflict")
     // At-or-above the frontier is still fine.
     engine.transact(Seq(Datom.addAt(3L, ":x", Value.num(30), 2L)))
   }

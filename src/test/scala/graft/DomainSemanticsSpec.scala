@@ -21,8 +21,9 @@ class DomainSemanticsSpec extends AnyFunSuite {
     engine.interest("q")
     engine.advance(1)
     engine.advance(1) // advancing to the current epoch is a no-op
-    val ex = intercept[IllegalArgumentException] { engine.advance(0) }
+    val ex = intercept[GraftError] { engine.advance(0) }
     assert(ex.getMessage.contains("rewind"))
+    assert(ex.category == "df.error.category/conflict")
   }
 
   test("match_ea after input (registration_test.rs:11)") {

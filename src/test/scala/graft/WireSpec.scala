@@ -105,10 +105,11 @@ class WireSpec extends AnyFunSuite {
     assert(engine.drain(":tag") == Seq((Seq(1L, "x"), 0L, 1L)))
 
     engine.handle(Wire.parseRequests("""{"CloseInput":":tag"}""").head)
-    val ex = intercept[IllegalArgumentException] {
+    val ex = intercept[GraftError] {
       engine.transact(Seq(Datom.add(2L, ":tag", Value.str("y"))))
     }
     assert(ex.getMessage.contains("closed"))
+    assert(ex.category == "df.error.category/conflict")
   }
 
   test("interest granularity coarsens emitted times and delays delivery") {
