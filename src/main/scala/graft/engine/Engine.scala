@@ -45,6 +45,10 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
   /** Rules currently under interest (transport fan-out reads this). */
   def interestNames: Seq[String] = interests.toSeq
 
+  /** The current epoch: every input time below it is complete (read by
+    * frontier-gated schedulers). */
+  def currentFrontier: Long = frontier
+
   /** Column kinds of a rule's result, once it has produced a snapshot. */
   def kindsFor(name: String): Option[Seq[ValueKind]] = resultKinds.get(name)
 

