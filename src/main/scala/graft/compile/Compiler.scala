@@ -32,7 +32,10 @@ final case class Rel(
     // shuffling. A property of the RELATION consumed at join sites — never
     // a df-level hint, which would leak into unions (HintErrorLogger spam,
     // round-2 advice).
-    small: Boolean = false) {
+    small: Boolean = false,
+    // Rows are already set-distinct at weight 1 (e.g. a Union output):
+    // lets the fixpoint skip a second distinct shuffle per round.
+    distinct: Boolean = false) {
 
   def idx(v: Int): Int = {
     val i = vars.indexOf(v)
@@ -252,7 +255,8 @@ class Compiler(
       // then-count variant ran two jobs per rule per round).
       var delta: Map[String, Option[Rel]] = ordered.map { r =>
         r -> compile(rules(r).plan, ordered.map(_ -> (None: Option[Rel])).toMap)
-          .map(rel => rel.copy(df = distinctify(rel.df).localCheckpoint(false)))
+          .map(rel => rel.copy(df =
+            (if (rel.distinct) rel.df else distinctify(rel.df)).localCheckpoint(false)))
       }.toMap
       var totalCount: Map[String, Long] =
         ordered.map(r => r -> delta(r).map(_.df.count()).getOrElse(0L)).toMap
@@ -275,7 +279,7 @@ class Compiler(
       // per partition (task overhead dominates below that, locally and on a
       // cluster).
       val pLoop = math.max(1L, math.min(shufflePartitions.toLong,
-        totalCount.values.max * 8L / 125000L + 1L)).toInt
+        totalCount.values.max * 8L / 60000L + 1L)).toInt
       spark.conf.set(spKey, pLoop.toString)
       def repart(df: DataFrame): DataFrame = {
         val dataCols = df.columns.filter(_ != W).toSeq
@@ -302,7 +306,10 @@ class Compiler(
             case (None, _) => None
             case (Some(c), parts) =>
               val dataCols = c.df.columns.filter(_ != W).toSeq
-              val minus = parts.foldLeft(distinctify(c.df).drop(W))(
+              // Union-rooted bodies are already set-distinct — a second
+              // distinct here would cost a duplicate shuffle per round.
+              val cd = if (c.distinct) c.df else distinctify(c.df)
+              val minus = parts.foldLeft(cd.drop(W))(
                 (acc, d) => acc.join(d.drop(W), dataCols, "left_anti"))
               Some(c.copy(df = minus.withColumn(W, lit(1L))))
           }
@@ -490,7 +497,7 @@ class Compiler(
 
     case P.Negate(p) =>
       compile(p, env).map(rel =>
-        rel.copy(df = rel.df.withColumn(W, -col(W)), unit = false))
+        rel.copy(df = rel.df.withColumn(W, -col(W)), unit = false, distinct = false))
 
     case P.Union(vs, ps) =>
       val rels = ps.flatMap(compile(_, env))
@@ -499,7 +506,8 @@ class Compiler(
         val projected = rels.map(projectTo(_, vs))
         val all = projected.map(_.df).reduce(_ unionAll _)
         // `concat.distinct()` — src/plan/union.rs:73-77 (set semantics).
-        Some(Rel(vs, projected.head.kinds, distinctify(all), unit = true))
+        Some(Rel(vs, projected.head.kinds, distinctify(all), unit = true,
+          distinct = true))
       }
 
     case P.Filter(fvars, pred, p, consts) =>
