@@ -365,7 +365,11 @@ class Compiler(
         iter += 1
         val newEnv = ordered.map { r =>
           r -> compile(rules(r).plan, env).map { rel =>
-            rel.copy(df = distinctify(rel.df).localCheckpoint(true))
+            // Lazy checkpoint: the signature aggregation below is the
+            // materializing action (one job per rule-round, not two).
+            rel.copy(df =
+              (if (rel.distinct) rel.df else distinctify(rel.df))
+                .localCheckpoint(false))
           }
         }.toMap
         val newSigs = ordered.map { r =>

@@ -118,6 +118,22 @@ object PipelineQueries {
       Multimodal.extractFeatures(media, partitions = Some(8)).toDF()
     }),
 
+    "q_multimodal_frames" -> ((s, dir) => {
+      // Frame sampling over opaque video payloads: every 2nd fixed-size
+      // chunk, with its ordering index — the explode shape a real frame
+      // extractor produces. Deterministic chunking, so DuckDB reproduces
+      // it with substr arithmetic.
+      import graft.pipeline.Multimodal
+      val media = Multimodal.fromBinary(
+        docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("b")),
+        "doc_id", "b", "video", "application/octet-stream")
+      Multimodal.sampleFrames(media, stride = 2, frameSize = 64).toDF()
+        // Hex-encode the payload: binary columns don't survive the
+        // oracle's sort/hash compare (unhashable in pandas).
+        .select(col("id"), col("frameIdx").as("frame_idx"),
+          hex(col("frameBytes")).as("frame_hex"))
+    }),
+
     "q_lww_batch" -> ((s, dir) => {
       // Batch analog of the LastWriteWins input semantics over the events
       // stream table: latest event's value per user (ties by event_id).
@@ -312,6 +328,17 @@ object PipelineQueries {
                   ROW_NUMBER() OVER (PARTITION BY user_id
                                      ORDER BY ts DESC, event_id DESC) AS rn
            FROM events) WHERE rn = 1""",
+
+    // Every 2nd 64-byte chunk per document (ASCII text, so char == byte
+    // positions); generate_series' step does the stride.
+    "q_multimodal_frames" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+                CAST(idx AS INTEGER) AS frame_idx,
+                hex(encode(substr(text, idx * 64 + 1, 64))) AS frame_hex
+         FROM (SELECT doc_id, text,
+                      unnest(generate_series(
+                        0, CAST(ceil(len(text) / 64.0) AS INTEGER) - 1, 2)) AS idx
+               FROM documents)""",
 
     // Reproduces Multimodal.StubDecoder exactly: FNV-1a (64-bit wraparound)
     // over the text's UTF-8 bytes, via a list_reduce fold. Signed xor in
