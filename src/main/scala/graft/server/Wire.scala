@@ -42,6 +42,9 @@ object Output {
   /** An error forwarded to a specific client (`Error`, `src/lib.rs:163-170`). */
   final case class Error(client: Long, category: String, message: String, txId: Long)
       extends Output
+  /** A JSON message forwarded to a specific client (e.g. the `Status`
+    * response, `server/src/main.rs:605-614`). */
+  final case class Message(client: Long, json: String) extends Output
 }
 
 /** serde-JSON wire codec for the request API, matching the reference's
@@ -156,6 +159,21 @@ object Wire {
     case Output.Error(client, category, message, tx) =>
       s"""{"Error":[$client,{"df.error/category":${qs(category)},"df.error/message":${
         qs(message)}},$tx]}"""
+    case Output.Message(client, json) =>
+      s"""{"Message":[$client,$json]}"""
+  }
+
+  /** Re-render a parsed JSON value (used to carry `Message` payloads
+    * through verbatim). */
+  def renderJson(j: J): String = j match {
+    case JNull        => "null"
+    case JBool(b)     => b.toString
+    case n: JNum      => n.raw
+    case JStr(s)      => qs(s)
+    case JArr(items)  => items.map(renderJson).mkString("[", ",", "]")
+    case JObj(fields) =>
+      fields.map { case (k, v) => s"${qs(k)}:${renderJson(v)}" }
+        .mkString("{", ",", "}")
   }
 
   /** Parse a server output (the client side of [[renderOutput]]). */
@@ -171,6 +189,8 @@ object Wire {
         Output.Error(long(client),
           eo.get("df.error/category").map(str).getOrElse(""),
           eo.get("df.error/message").map(str).getOrElse(""), long(tx))
+      case Vector(("Message", JArr(Vector(client, payload)))) =>
+        Output.Message(long(client), renderJson(payload))
       case other => sys.error(s"unknown output: $other")
     }
     case other => sys.error(s"unknown output: $other")

@@ -111,6 +111,12 @@ final class WsServer(engine: Engine, port: Int = 0) {
           // leaves (server/src/main.rs:276-281).
           if (!clients.values.exists(_._2.contains(name)))
             engine.uninterest(name)
+        case Request.Status =>
+          // server/src/main.rs:605-614.
+          clients.get(id).foreach { case (out, _) =>
+            send(out, Wire.renderOutput(Output.Message(id,
+              """{"category":"df/status","message":"running"}""")))
+          }
         case other => engine.handle(other)
       }
       flushDiffs()

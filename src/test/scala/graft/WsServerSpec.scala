@@ -114,6 +114,40 @@ class WsServerSpec extends AnyFunSuite {
     }
   }
 
+  test("diffs fan out only to clients interested in the query") {
+    val server = new WsServer(new Engine(spark)).start()
+    val interested = new Client(server.boundPort)
+    val other = new Client(server.boundPort)
+    try {
+      interested.send(
+        """{"CreateAttribute":{"name":":x","config":{"input_semantics":"Distinct"}}}""")
+      interested.send("""{"Subscribe":":x"}""")
+      // `other` never subscribes; it asks for Status instead.
+      other.send("\"Status\"")
+      Wire.parseOutput(other.next()) match {
+        case Output.Message(_, json) => assert(json.contains("df/status"))
+        case o => fail(s"expected a Message, got $o")
+      }
+      interested.send("""{"Transact":[[1,":x","v",null,1]]}""")
+      interested.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+      Wire.parseOutput(interested.next()) match {
+        case Output.QueryDiff(name, batch) =>
+          assert(name == ":x" && batch.nonEmpty)
+        case o => fail(s"expected a QueryDiff, got $o")
+      }
+      // The uninterested client got nothing beyond its Status reply.
+      other.send("\"Status\"")
+      Wire.parseOutput(other.next()) match {
+        case Output.Message(_, _) => () // next message is the 2nd status,
+        // not a stray QueryDiff
+        case o => fail(s"expected only Status replies, got $o")
+      }
+    } finally {
+      try { interested.close(); other.close() } catch { case _: Throwable => () }
+      server.stop()
+    }
+  }
+
   test("malformed requests come back as Output::Error") {
     withServer { (_, client) =>
       client.send("""{"Nonsense": 1}""")
