@@ -510,8 +510,14 @@ class Compiler(
         val projected = rels.map(projectTo(_, vs))
         val all = projected.map(_.df).reduce(_ unionAll _)
         // `concat.distinct()` — src/plan/union.rs:73-77 (set semantics).
-        Some(Rel(vs, projected.head.kinds, distinctify(all), unit = true,
-          distinct = true))
+        // A single already-distinct branch permuted onto the same variable
+        // set needs no distinct shuffle (common in fixpoint round 0, where
+        // every union branch but the base case drops out).
+        val needsDistinct = !(rels.lengthCompare(1) == 0 && rels.head.distinct &&
+          vs.toSet == dedupFirst(rels.head.vars).toSet)
+        Some(Rel(vs, projected.head.kinds,
+          if (needsDistinct) distinctify(all) else all,
+          unit = true, distinct = true))
       }
 
     case P.Filter(fvars, pred, p, consts) =>
