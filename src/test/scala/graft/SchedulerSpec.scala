@@ -14,6 +14,21 @@ class SchedulerSpec extends AnyFunSuite {
 
   private def spark = TestSpark.spark
 
+  test("empty and immediately-due schedules (scheduling_test.rs:1-38)") {
+    var now = 0L
+    val sched = new RealtimeScheduler(clock = () => now)
+    // test_schedule_now: empty queue has nothing pending and no deadline.
+    assert(!sched.hasPending)
+    assert(sched.untilNext.isEmpty)
+    // A zero-delay tick is due immediately.
+    sched.tickAt(0L)
+    assert(sched.hasPending)
+    val engine = new Engine(spark)
+    assert(sched.step(engine) == 1)
+    assert(engine.currentFrontier == 1L)
+    assert(sched.untilNext.isEmpty)
+  }
+
   test("realtime scheduler runs due activations and domain ticks") {
     var now = 1000L
     val sched = new RealtimeScheduler(clock = () => now)
