@@ -5,6 +5,8 @@ import java.net.http.{HttpClient, WebSocket}
 import java.nio.file.{Files, Paths}
 import java.util.concurrent.{CompletionStage, LinkedBlockingQueue, TimeUnit}
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.engine.Engine
@@ -146,6 +148,16 @@ class WsServerSpec extends AnyFunSuite {
       try { interested.close(); other.close() } catch { case _: Throwable => () }
       server.stop()
     }
+  }
+
+  test("cli ping round-trips a Status message") {
+    val server = new WsServer(new Engine(spark)).start()
+    try {
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      graft.server.Cli.run(
+        Array("--port", server.boundPort.toString, "ping"), out.add(_))
+      assert(out.asScala.exists(_.contains("df/status")), s"got $out")
+    } finally server.stop()
   }
 
   test("malformed requests come back as Output::Error") {
