@@ -56,6 +56,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(md5s <= 2, s"expected md5 only in the token-hash project, found $md5s:\n$plan")
   }
 
+  test("jaccard candidates come from LSH buckets, not length equality") {
+    // Round-2 advice: a document-length blocker is a skewed low-cardinality
+    // join key at scale — candidates must come from the banded LSH path.
+    val plan = planOf("q_dedup_jaccard")
+    assert(!plan.contains("n_chars"),
+      s"no length-equality blocking join expected:\n$plan")
+  }
+
+  test("graphql-derived pull joins broadcast the dimension side") {
+    val plan = planOf("q_graphql")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"no UDFs expected:\n$plan")
+  }
+
   test("aggregation uses map-side partial aggregation on the unit path") {
     val plan = planOf("q_agg_sum")
     // two HashAggregates (partial + final) around a single exchange
