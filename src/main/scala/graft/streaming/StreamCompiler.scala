@@ -29,16 +29,20 @@ final case class SUpd(key: String, tuple: Vector[Any], t: Long, diff: Long)
   *  - `Negate` — flips diffs;
   *  - `Join` — incremental delta join with keyed two-sided multiset state
   *    (`Δ(L⋈R) = ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR`);
+  *  - `Antijoin` — keyed left-tuple supports + right key presence, with
+  *    presence transitions retracting/asserting every live left tuple;
   *  - `Union` — branch union + keyed set-distinct (matching the
   *    reference's `concat.distinct()`, `src/plan/union.rs:73-77`);
-  *  - `Aggregate` with COUNT / SUM functions — diff-monoid keyed state
-  *    emitting retract+assert pairs (`src/plan/aggregate_neu.rs:167-243`).
+  *  - `Aggregate` with COUNT / SUM (diff-monoid keyed state) and
+  *    MIN / MAX / MEDIAN (per-key value-multiset state, order statistics
+  *    over the positive-support set), emitting retract+assert pairs
+  *    (`src/plan/aggregate_neu.rs:130-243`).
   *
   * NOT streamable here (use the batch engine): Hector conjunctions,
-  * recursion (`NameExpr` fixpoints), Antijoin, Pull/PullAll/GraphQl, and
-  * the order-statistic / rational aggregates (MIN MAX MEDIAN AVG
-  * VARIANCE) — each needs either iteration or full-support state that the
-  * snapshot-diff engine already provides.
+  * recursion (`NameExpr` fixpoints), Pull/PullAll/GraphQl, `:with`
+  * variables, and the exact-rational aggregates (AVG VARIANCE) — each
+  * needs either iteration or result shapes the untyped tuple stream does
+  * not carry.
   *
   * Sources are streaming DataFrames with columns `(e, v, t, diff)` — from
   * [[graft.sources.FileSources]], a Kafka reader, or a MemoryStream —
@@ -46,6 +50,12 @@ final case class SUpd(key: String, tuple: Vector[Any], t: Long, diff: Long)
   * [[DatomStreams.lastWriteWins]] for non-Raw input semantics.
   */
 object StreamCompiler extends Serializable {
+
+  /** Aggregation functions the streaming compiler maintains incrementally. */
+  val StreamableAggs: Set[AggregationFn] = {
+    import AggregationFn._
+    Set(COUNT, SUM, MIN, MAX, MEDIAN)
+  }
 
   /** Type-tagged, length-prefixed lossless key for a set of tuple
     * positions: "1" the string never collides with 1 the number, and
@@ -209,10 +219,12 @@ class StreamCompiler(
     case P.Aggregate(outVars, p, fns, keyVars, aggVars, withVars) =>
       require(withVars.isEmpty,
         "streaming Aggregate does not support :with variables")
-      require(fns.forall(f =>
-        f == AggregationFn.COUNT || f == AggregationFn.SUM),
-        s"streaming Aggregate supports COUNT/SUM only, got $fns")
+      require(fns.forall(f => StreamCompiler.StreamableAggs(f)),
+        s"streaming Aggregate supports COUNT/SUM/MIN/MAX/MEDIAN, got $fns")
       aggregateRel(compile(p), outVars, fns, keyVars, aggVars)
+
+    case P.Antijoin(target, l, r) =>
+      antijoinRels(target, compile(l), compile(r))
 
     case other =>
       sys.error(s"plan not streamable (see StreamCompiler docs): $other")
@@ -321,6 +333,13 @@ class StreamCompiler(
     * per-key sums and support; each changed batch retracts the previous
     * output tuple and asserts the new one. Output offsets match the batch
     * aggregate (results re-inserted at their find positions). */
+  /** Keyed aggregation: COUNT/SUM fold in the diff monoid; MIN/MAX/MEDIAN
+    * keep the per-key value multiset (value -> support) and recompute the
+    * order statistic over the positive-support set — the reference's
+    * distinct-set semantics (`src/plan/aggregate_neu.rs:130-164`). Each
+    * changed batch retracts the previous output tuple and asserts the new
+    * one; keys whose support empties retract without re-asserting. Output
+    * offsets match the batch aggregate. */
   private def aggregateRel(
       rel: SRel, outVars: Seq[Int], fns: Seq[AggregationFn],
       keyVars: Seq[Int], aggVars: Seq[Int]): SRel = {
@@ -343,47 +362,142 @@ class StreamCompiler(
     }
     val outKinds = slots.map {
       case Left(k)  => rel.kinds(keyIdx(k))
-      case Right(_) => KNumber
+      case Right(i) => fns(i) match {
+        case COUNT | SUM => KNumber
+        case _           => rel.kinds(aggIdx(i))
+      }
     }
 
-    implicit val stateEnc: Encoder[(Vector[Long], Long)] =
-      Encoders.kryo[(Vector[Long], Long)]
+    implicit val stateEnc: Encoder[(Vector[Long], Vector[Map[Any, Long]], Long)] =
+      Encoders.kryo[(Vector[Long], Vector[Map[Any, Long]], Long)]
+    val lt: (Any, Any) => Boolean = StreamCompiler.cmp(Predicate.LT, _, _)
 
     val keyed = rel.ds.map(u => u.copy(key = keyOf(u.tuple, keyIdx)))
     val out = keyed
       .groupByKey(_.key)
-      .flatMapGroupsWithState[(Vector[Long], Long), SUpd](
+      .flatMapGroupsWithState[(Vector[Long], Vector[Map[Any, Long]], Long), SUpd](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: String, it: Iterator[SUpd], state: GroupState[(Vector[Long], Long)]) =>
+        (_: String, it: Iterator[SUpd],
+            state: GroupState[(Vector[Long], Vector[Map[Any, Long]], Long)]) =>
           val updates = it.toSeq.sortBy(_.t)
           val keyVals = keyIdx.map(updates.head.tuple).toVector
-          val (oldSums, oldSupport) =
-            state.getOption.getOrElse((Vector.fill(fns.length)(0L), 0L))
+          val (oldSums, oldSets, oldSupport) = state.getOption.getOrElse(
+            (Vector.fill(fns.length)(0L),
+              Vector.fill(fns.length)(Map.empty[Any, Long]), 0L))
           var sums = oldSums
+          var sets = oldSets
           var support = oldSupport
           var tMax = Long.MinValue
           updates.foreach { u =>
-            sums = sums.zipWithIndex.map { case (s, i) =>
+            fns.indices.foreach { i =>
               fns(i) match {
-                case COUNT => s + u.diff
-                case SUM   => s + asLong(u.tuple(aggIdx(i))) * u.diff
-                case _     => s
+                case COUNT => sums = sums.updated(i, sums(i) + u.diff)
+                case SUM => sums = sums.updated(i,
+                  sums(i) + asLong(u.tuple(aggIdx(i))) * u.diff)
+                case _ =>
+                  val v = u.tuple(aggIdx(i))
+                  val nw = sets(i).getOrElse(v, 0L) + u.diff
+                  sets = sets.updated(i,
+                    if (nw == 0L) sets(i) - v else sets(i).updated(v, nw))
               }
             }
             support += u.diff
             if (u.t > tMax) tMax = u.t
           }
-          state.update((sums, support))
-          def tupleOf(ss: Vector[Long]): Vector[Any] =
+          state.update((sums, sets, support))
+          def aggValue(ss: Vector[Long], ms: Vector[Map[Any, Long]], i: Int): Any =
+            fns(i) match {
+              case COUNT | SUM => ss(i)
+              case f =>
+                val vals = ms(i).collect { case (v, w) if w > 0 => v }.toSeq
+                if (vals.isEmpty) null
+                else f match {
+                  case MIN => vals.reduce((a, b) => if (lt(a, b)) a else b)
+                  case MAX => vals.reduce((a, b) => if (lt(a, b)) b else a)
+                  case _ => // MEDIAN: sorted distinct values, element len/2
+                    val sorted = vals.sortWith(lt)
+                    sorted(sorted.length / 2)
+                }
+            }
+          def tupleOf(ss: Vector[Long], ms: Vector[Map[Any, Long]]): Vector[Any] =
             slots.map {
               case Left(k)  => keyVals(k)
-              case Right(i) => ss(i)
+              case Right(i) => aggValue(ss, ms, i)
             }.toVector
           val out = scala.collection.mutable.ArrayBuffer.empty[SUpd]
-          if (sums != oldSums || (support > 0L) != (oldSupport > 0L)) {
-            if (oldSupport > 0L) out += SUpd("", tupleOf(oldSums), tMax, -1L)
-            if (support > 0L) out += SUpd("", tupleOf(sums), tMax, 1L)
+          val before = tupleOf(oldSums, oldSets)
+          val after = tupleOf(sums, sets)
+          if (before != after || (support > 0L) != (oldSupport > 0L)) {
+            if (oldSupport > 0L) out += SUpd("", before, tMax, -1L)
+            if (support > 0L) out += SUpd("", after, tMax, 1L)
           }
+          out.iterator
+      }
+    SRel(outVars, outKinds, out)
+  }
+
+  /** Incremental antijoin on `target`: keyed state holds the left side's
+    * distinct rest-tuple supports and the right side's key presence; right
+    * presence transitions retract/assert every live left tuple for the key
+    * (`src/plan/antijoin.rs:95-98` semantics — both sides distinct-ed,
+    * output = key ++ leftRest at weight 1). */
+  private def antijoinRels(target: Seq[Int], l: SRel, r: SRel): SRel = {
+    val lRest = l.vars.distinct.filterNot(target.contains)
+    val outVars = target ++ lRest
+    val outKinds = target.map(v => l.kinds(l.idx(v))) ++
+      lRest.map(v => l.kinds(l.idx(v)))
+    val lKeyIdx = target.map(l.idx)
+    val lRestIdx = lRest.map(l.idx)
+    val rKeyIdx = target.map(r.idx)
+    val rRestIdx = r.vars.distinct.filterNot(target.contains).map(r.idx)
+
+    val byKey =
+      l.ds.map(u => SUpd(keyOf(u.tuple, lKeyIdx),
+        ("l": Any) +: (lKeyIdx.map(u.tuple).toVector ++ lRestIdx.map(u.tuple)),
+        u.t, u.diff)) union
+      r.ds.map(u => SUpd(keyOf(u.tuple, rKeyIdx),
+        ("r": Any) +: (rKeyIdx.map(u.tuple).toVector ++ rRestIdx.map(u.tuple)),
+        u.t, u.diff))
+
+    implicit val stateEnc: Encoder[(Map[Vector[Any], Long], Map[Vector[Any], Long])] =
+      Encoders.kryo[(Map[Vector[Any], Long], Map[Vector[Any], Long])]
+
+    val nKey = target.length
+    val out = byKey
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Map[Vector[Any], Long], Map[Vector[Any], Long]), SUpd](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[SUpd],
+            state: GroupState[(Map[Vector[Any], Long], Map[Vector[Any], Long])]) =>
+          var (ls, rs) = state.getOption
+            .getOrElse((Map.empty[Vector[Any], Long], Map.empty[Vector[Any], Long]))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SUpd]
+          it.toSeq.sortBy(_.t).foreach { u =>
+            val side = u.tuple.head
+            val keyVals = u.tuple.slice(1, 1 + nKey)
+            val rest = u.tuple.drop(1 + nKey)
+            val presentBefore = rs.valuesIterator.exists(_ > 0L)
+            if (side == "l") {
+              val before = ls.getOrElse(rest, 0L)
+              val after = before + u.diff
+              ls = if (after == 0L) ls - rest else ls.updated(rest, after)
+              if (!presentBefore) {
+                if (before <= 0L && after > 0L) out += SUpd("", keyVals ++ rest, u.t, 1L)
+                else if (before > 0L && after <= 0L) out += SUpd("", keyVals ++ rest, u.t, -1L)
+              }
+            } else {
+              val nw = rs.getOrElse(rest, 0L) + u.diff
+              rs = if (nw == 0L) rs - rest else rs.updated(rest, nw)
+              val presentAfter = rs.valuesIterator.exists(_ > 0L)
+              if (presentBefore != presentAfter) {
+                val d = if (presentAfter) -1L else 1L
+                ls.foreach { case (lRestVals, w) =>
+                  if (w > 0L) out += SUpd("", keyVals ++ lRestVals, u.t, d)
+                }
+              }
+            }
+          }
+          state.update((ls, rs))
           out.iterator
       }
     SRel(outVars, outKinds, out)

@@ -39,6 +39,10 @@ class StreamIvmPropertySpec extends AnyFunSuite {
     "union" -> Union(Seq(0, 1), Seq(MatchA(0, ":s/x", 1), MatchA(0, ":s/y", 1))),
     "aggregate" -> Aggregate(Seq(0, 1), MatchA(0, ":s/x", 1),
       Seq(AggregationFn.SUM), Seq(0), Seq(1), Seq.empty),
+    "minmax" -> Aggregate(Seq(0, 1, 1), MatchA(0, ":s/x", 1),
+      Seq(AggregationFn.MIN, AggregationFn.MAX), Seq(0), Seq(1, 1), Seq.empty),
+    "antijoin" -> Antijoin(Seq(0), MatchA(0, ":s/x", 1),
+      Project(Seq(0), MatchA(0, ":s/y", 1))),
     "transform" -> Transform(Seq(1), 3, MatchA(0, ":s/x", 1), Fn.ADD,
       Seq(Some(Value.num(2)))))
 
@@ -72,6 +76,25 @@ class StreamIvmPropertySpec extends AnyFunSuite {
           .mapValues(vs => (vs.map(u => u._1._2 * u._2).sum, vs.map(_._2).sum))
           .collect { case (e, (s, sup)) if sup > 0 => (Seq[Any](e, s), 1L) }
           .toMap
+      case "minmax" =>
+        x.toSeq.groupBy(_._1._1).view
+          .mapValues { vs =>
+            val pos = vs.collect { case ((_, v), w) if w > 0 => v }
+            (pos, vs.map(_._2).sum)
+          }
+          .collect { case (e, (pos, sup)) if sup > 0 =>
+            (Seq[Any](e,
+              if (pos.isEmpty) null else pos.min,
+              if (pos.isEmpty) null else pos.max), 1L)
+          }.toMap
+      case "antijoin" =>
+        // Right presence = per-entity NET weight of the projected side > 0
+        // (batch: projectTo then distinctify sums weights per key).
+        val rightKeys = y.toSeq.groupBy(_._1._1).view
+          .mapValues(_.map(_._2).sum).collect { case (e, w) if w > 0 => e }.toSet
+        x.collect { case ((e, v), w) if w > 0 && !rightKeys.contains(e) =>
+          (Seq[Any](e, v), 1L)
+        }
       case "transform" =>
         x.map { case ((e, v), w) => (Seq[Any](e, v, v + 2L), w) }
       case other => sys.error(s"no oracle for $other")
