@@ -36,13 +36,18 @@ final case class SUpd(key: String, tuple: Vector[Any], t: Long, diff: Long)
   *  - `Aggregate` with COUNT / SUM (diff-monoid keyed state) and
   *    MIN / MAX / MEDIAN (per-key value-multiset state, order statistics
   *    over the positive-support set), emitting retract+assert pairs
-  *    (`src/plan/aggregate_neu.rs:130-243`).
+  *    (`src/plan/aggregate_neu.rs:130-243`);
+  *  - `Hector` conjunctions — lowered to a connected Join/Filter/Antijoin
+  *    chain over the attribute bindings (Const vars as EQ filters or
+  *    predicate literals, `Not` attribute bindings as antijoins).
   *
-  * NOT streamable here (use the batch engine): Hector conjunctions,
-  * recursion (`NameExpr` fixpoints), Pull/PullAll/GraphQl, `:with`
-  * variables, and the exact-rational aggregates (AVG VARIANCE) — each
-  * needs either iteration or result shapes the untyped tuple stream does
-  * not carry.
+  * NOT streamable here (use the batch engine): recursion (`NameExpr`
+  * fixpoints), Pull/PullAll/GraphQl, `:with` variables, and the
+  * exact-rational aggregates (AVG VARIANCE) — each needs either iteration
+  * or result shapes the untyped tuple stream does not carry. Per-batch
+  * emissions are consolidated per (tuple, time), so transient
+  * assert+retract pairs inside one batch cancel exactly as differential
+  * consolidates.
   *
   * Sources are streaming DataFrames with columns `(e, v, t, diff)` — from
   * [[graft.sources.FileSources]], a Kafka reader, or a MemoryStream —
@@ -50,6 +55,16 @@ final case class SUpd(key: String, tuple: Vector[Any], t: Long, diff: Long)
   * [[DatomStreams.lastWriteWins]] for non-Raw input semantics.
   */
 object StreamCompiler extends Serializable {
+
+  /** Consolidate one batch's emissions per (tuple, time) — transient
+    * assert+retract pairs at the same timestamp cancel, as differential
+    * consolidates each batch (`src/lib.rs:1012-1016`). */
+  private[streaming] def consolidated(
+      out: scala.collection.Seq[SUpd]): Iterator[SUpd] =
+    out.groupBy(u => (u.tuple, u.t)).iterator.flatMap { case ((tuple, t), us) =>
+      val d = us.map(_.diff).sum
+      if (d == 0L) None else Some(SUpd("", tuple, t, d))
+    }
 
   /** Aggregation functions the streaming compiler maintains incrementally. */
   val StreamableAggs: Set[AggregationFn] = {
@@ -226,8 +241,73 @@ class StreamCompiler(
     case P.Antijoin(target, l, r) =>
       antijoinRels(target, compile(l), compile(r))
 
+    case P.Hector(vs, bindings) =>
+      compile(lowerHector(vs, bindings))
+
     case other =>
       sys.error(s"plan not streamable (see StreamCompiler docs): $other")
+  }
+
+  /** Lower a Hector conjunction to a Join/Filter chain for streaming:
+    * attribute bindings become MatchA scans joined on shared variables
+    * (connected order), Const bindings become EQ filters over bound
+    * variables, BinaryPred bindings become Filters, and a Not over an
+    * attribute binding becomes an Antijoin. Unsupported on streams:
+    * const-only output variables and disconnected binding groups (a
+    * cartesian product) — both fail loudly. */
+  private def lowerHector(vs: Seq[Int], bindings: Seq[Binding]): Plan = {
+    val attrs = bindings.collect { case a: Binding.Attr => a }
+    val consts = bindings.collect { case c: Binding.Const => c }
+    val preds = bindings.collect { case p: Binding.BinaryPred => p }
+    val nots = bindings.collect { case n: Binding.Not => n }
+    require(attrs.nonEmpty, "streaming Hector needs at least one attribute binding")
+
+    // Connected join order over attribute bindings.
+    val remaining = scala.collection.mutable.ArrayBuffer(attrs.tail: _*)
+    var plan: Plan = P.MatchA(attrs.head.e, attrs.head.a, attrs.head.v)
+    var bound = Set(attrs.head.e, attrs.head.v)
+    while (remaining.nonEmpty) {
+      val i = remaining.indexWhere(a => bound(a.e) || bound(a.v))
+      require(i >= 0,
+        s"streaming Hector requires a connected binding graph, got $bindings")
+      val a = remaining.remove(i)
+      val shared = Seq(a.e, a.v).filter(bound).distinct
+      plan = P.Join(shared, plan, P.MatchA(a.e, a.a, a.v))
+      bound ++= Seq(a.e, a.v)
+    }
+    // Attribute-bound Const vars filter directly; const-ONLY vars may feed
+    // predicates as literal operands (the reference's const-then-predicate
+    // idiom) but cannot appear in the output on a stream.
+    val constMap = consts.map(c => c.variable -> c.value).toMap
+    consts.filter(c => bound(c.variable)).foreach { c =>
+      plan = P.Filter(Seq(c.variable), Predicate.EQ, plan, Seq(None, Some(c.value)))
+    }
+    consts.filterNot(c => bound(c.variable)).foreach { c =>
+      require(!vs.contains(c.variable),
+        s"streaming Hector cannot bind output variable ${c.variable} by constant only")
+    }
+    preds.foreach { p =>
+      (bound(p.x), bound(p.y)) match {
+        case (true, true) =>
+          plan = P.Filter(Seq(p.x, p.y), p.predicate, plan, Seq(None, None))
+        case (true, false) =>
+          val k = constMap.getOrElse(p.y, sys.error(s"predicate over unbound variable in $p"))
+          plan = P.Filter(Seq(p.x), p.predicate, plan, Seq(None, Some(k)))
+        case (false, true) =>
+          val k = constMap.getOrElse(p.x, sys.error(s"predicate over unbound variable in $p"))
+          plan = P.Filter(Seq(p.y), p.predicate, plan, Seq(Some(k), None))
+        case _ => sys.error(s"predicate over unbound variables in $p")
+      }
+    }
+    nots.foreach {
+      case Binding.Not(a: Binding.Attr) =>
+        val shared = Seq(a.e, a.v).filter(bound).distinct
+        require(shared.nonEmpty, s"negation shares no variable with the query: $a")
+        plan = P.Antijoin(shared, plan,
+          P.Project(shared, P.MatchA(a.e, a.a, a.v)))
+      case other => sys.error(s"streaming Hector cannot negate $other")
+    }
+    P.Project(vs, plan)
   }
 
   // ------------------------------------------------------------- sources
@@ -260,7 +340,7 @@ class StreamCompiler(
             else if (before > 0 && support <= 0) out += u.copy(diff = -1L)
           }
           state.update(support)
-          out.iterator
+          StreamCompiler.consolidated(out)
       }
 
   /** Incremental equijoin on `target`: keyed two-sided (restTuple → weight)
@@ -324,7 +404,7 @@ class StreamCompiler(
             }
           }
           state.update((ls, rs))
-          out.iterator
+          StreamCompiler.consolidated(out)
       }
     SRel(outVars, outKinds, joined)
   }
@@ -498,7 +578,7 @@ class StreamCompiler(
             }
           }
           state.update((ls, rs))
-          out.iterator
+          StreamCompiler.consolidated(out)
       }
     SRel(outVars, outKinds, out)
   }

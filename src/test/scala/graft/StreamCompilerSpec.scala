@@ -117,6 +117,47 @@ class StreamCompilerSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("hector conjunction lowers to a streamed join chain with negation") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val names = MemoryStream[Datom4[String]]
+    val ages = MemoryStream[Datom4[Long]]
+    val blocked = MemoryStream[Datom4[Long]]
+    val compiler = new StreamCompiler(
+      sources = Map(
+        ":name" -> names.toDF.toDF("e", "v", "t", "diff"),
+        ":age" -> ages.toDF.toDF("e", "v", "t", "diff"),
+        ":blocked" -> blocked.toDF.toDF("e", "v", "t", "diff")),
+      sourceKinds = Map(":name" -> KString, ":age" -> KNumber, ":blocked" -> KNumber))
+
+    // [?e :name ?n] [?e :age ?a] [?c = 12] [?a > ?c] (not [?e :blocked ?x])
+    // — attribute joins, the const-then-predicate idiom, and a negation.
+    val (e, n, a, x) = (0, 1, 2, 3)
+    val plan = Hector(Seq(e, n, a), Seq(
+      Binding.attribute(e, ":name", n),
+      Binding.attribute(e, ":age", a),
+      Binding.constant(9, Value.num(12)),
+      Binding.binaryPredicate(Predicate.GT, a, 9),
+      Binding.not(e, ":blocked", x)))
+
+    val query = compiler.compileToFrame(plan)
+      .writeStream.format("memory").queryName("hector_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val got = collectBatches(query, "hector_out", Seq(
+        () => {
+          names.addData((1L, "Ivan", 0L, 1L), (2L, "Petr", 0L, 1L))
+          ages.addData((1L, 15L, 0L, 1L), (2L, 37L, 0L, 1L))
+          blocked.addData((2L, 1L, 0L, 1L))
+        },
+        // Unblocking entity 2 asserts its conjunction row.
+        () => blocked.addData((2L, 1L, 1L, -1L))))
+
+      assert(got(0) == Set((Seq(1L, "Ivan", 15L), 0L, 1L)))
+      assert(got(1) == Set((Seq(2L, "Petr", 37L), 1L, 1L)))
+    } finally query.stop()
+  }
+
   test("union distincts across branches and batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
