@@ -24,7 +24,11 @@ import graft.model.{Value, ValueKind}
   * single-threaded behind a lock — the reference sequences all client
   * commands through one worker the same way (`server/src/main.rs:360-380`).
   */
-final class WsServer(engine: Engine, port: Int = 0) {
+final class WsServer(engine: Engine, port: Int = 0,
+    // Optional wall-clock domain drive: advance one epoch every period and
+    // push resulting diffs — the reference server's realtime loop
+    // (`server/src/main.rs:640-660`) via the scheduler module.
+    tickPeriodMillis: Option[Long] = None) {
 
   private val serverSocket = new ServerSocket(port)
   @volatile private var running = true
@@ -49,7 +53,28 @@ final class WsServer(engine: Engine, port: Int = 0) {
   }, "graft-ws-accept")
   acceptThread.setDaemon(true)
 
-  def start(): WsServer = { acceptThread.start(); this }
+  private val tickThread: Option[Thread] = tickPeriodMillis.map { period =>
+    val sched = new graft.scheduling.RealtimeScheduler()
+    sched.tickEvery(period)
+    val t = new Thread(() => {
+      while (running) {
+        val ran = synchronized {
+          val n = sched.step(engine)
+          if (n > 0) flushDiffs()
+          n
+        }
+        if (ran == 0) Thread.sleep(math.min(period, sched.untilNext.getOrElse(period)))
+      }
+    }, "graft-ws-ticker")
+    t.setDaemon(true)
+    t
+  }
+
+  def start(): WsServer = {
+    acceptThread.start()
+    tickThread.foreach(_.start())
+    this
+  }
 
   def stop(): Unit = {
     running = false

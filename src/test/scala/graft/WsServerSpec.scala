@@ -150,6 +150,29 @@ class WsServerSpec extends AnyFunSuite {
     }
   }
 
+  test("a ticking server pushes diffs without explicit AdvanceDomain") {
+    // The realtime drive loop (server/src/main.rs:640-660): epochs advance
+    // on wall-clock ticks, so a transact alone eventually yields diffs.
+    val server = new WsServer(new Engine(spark), tickPeriodMillis = Some(100L)).start()
+    val client = new Client(server.boundPort)
+    try {
+      client.send(
+        """{"CreateAttribute":{"name":":w","config":{"input_semantics":"Distinct"}}}""")
+      client.send("""{"Subscribe":":w"}""")
+      client.send("""{"Transact":[[1,":w","hello",null,1]]}""")
+      Wire.parseOutput(client.next()) match {
+        case Output.QueryDiff(name, batch) =>
+          assert(name == ":w")
+          assert(batch.map(b => (b._1, b._3)) ==
+            Seq((Seq(Value.eid(1), Value.str("hello")), 1L)))
+        case other => fail(s"expected a QueryDiff, got $other")
+      }
+    } finally {
+      try client.close() catch { case _: Throwable => () }
+      server.stop()
+    }
+  }
+
   test("cli ping round-trips a Status message") {
     val server = new WsServer(new Engine(spark)).start()
     try {
