@@ -18,11 +18,12 @@ import graft.model.{Value, ValueKind}
   * `Output::QueryDiff(name, batch)` message per advance to every client
   * interested in that query.
   *
-  * Transport-layer scope mirrors the reference: unfragmented text frames in
-  * (client-masked, as RFC 6455 requires), text frames out, ping answered
-  * with pong, close answered with close. The engine itself is
-  * single-threaded behind a lock — the reference sequences all client
-  * commands through one worker the same way (`server/src/main.rs:360-380`).
+  * Transport-layer scope mirrors the reference: text messages in
+  * (client-masked, as RFC 6455 requires; fragmented messages reassembled),
+  * text frames out, ping answered with pong, close answered with close.
+  * The engine itself is single-threaded behind a lock — the reference
+  * sequences all client commands through one worker the same way
+  * (`server/src/main.rs:360-380`).
   */
 final class WsServer(engine: Engine, port: Int = 0,
     // Optional wall-clock domain drive: advance one epoch every period and
@@ -91,16 +92,28 @@ final class WsServer(engine: Engine, port: Int = 0,
       handshake(in, out)
       synchronized { clients(id) = (out, mutable.Set.empty[String]) }
       var open = true
+      // Fragmented text messages (FIN=0 + continuation frames): clients —
+      // including the JDK's — split large payloads, so reassemble before
+      // dispatching (RFC 6455 §5.4).
+      val assembling = new java.io.ByteArrayOutputStream()
+      var assemblingText = false
       while (open && running) {
         readFrame(in) match {
-          case Frame(OpText, payload) =>
-            handleMessage(id, new String(payload, UTF_8))
-          case Frame(OpPing, payload) =>
+          case Frame(OpText, payload, fin) =>
+            if (fin) handleMessage(id, new String(payload, UTF_8))
+            else { assembling.reset(); assembling.write(payload); assemblingText = true }
+          case Frame(OpCont, payload, fin) if assemblingText =>
+            assembling.write(payload)
+            if (fin) {
+              assemblingText = false
+              handleMessage(id, assembling.toString(UTF_8))
+            }
+          case Frame(OpPing, payload, _) =>
             synchronized(writeFrame(out, OpPong, payload))
-          case Frame(OpClose, _) =>
+          case Frame(OpClose, _, _) =>
             synchronized(writeFrame(out, OpClose, Array.emptyByteArray))
             open = false
-          case _ => () // pong / fragments of binary: ignored
+          case _ => () // pong / binary: ignored
         }
       }
     } catch {
@@ -231,16 +244,18 @@ final class WsServer(engine: Engine, port: Int = 0,
 
   // --------------------------------------------------------------- frames
 
+  private val OpCont = 0x0
   private val OpText = 0x1
   private val OpClose = 0x8
   private val OpPing = 0x9
   private val OpPong = 0xa
 
-  private final case class Frame(op: Int, payload: Array[Byte])
+  private final case class Frame(op: Int, payload: Array[Byte], fin: Boolean)
 
   private def readFrame(in: DataInputStream): Frame = {
     val b0 = in.readUnsignedByte()
     val op = b0 & 0x0f
+    val fin = (b0 & 0x80) != 0
     val b1 = in.readUnsignedByte()
     val masked = (b1 & 0x80) != 0
     val len: Long = (b1 & 0x7f) match {
@@ -253,7 +268,7 @@ final class WsServer(engine: Engine, port: Int = 0,
     val payload = new Array[Byte](len.toInt)
     in.readFully(payload)
     if (masked) payload.indices.foreach(i => payload(i) = (payload(i) ^ mask(i % 4)).toByte)
-    Frame(op, payload)
+    Frame(op, payload, fin)
   }
 
   private def writeFrame(out: DataOutputStream, op: Int, payload: Array[Byte]): Unit = {

@@ -183,6 +183,28 @@ class WsServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("large fragmented transact payloads reassemble correctly") {
+    withServer { (_, client) =>
+      client.send(
+        """{"CreateAttribute":{"name":":big","config":{"input_semantics":"Distinct"}}}""")
+      client.send("""{"Subscribe":":big"}""")
+      // ~1 MB of datoms — the JDK client fragments messages well below
+      // this, so the server must reassemble continuation frames.
+      val n = 20000
+      val datoms = (1 to n)
+        .map(i => s"""[$i,":big","payload-padding-padding-padding-$i",null,1]""")
+        .mkString("[", ",", "]")
+      client.send(s"""{"Transact":$datoms}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+      Wire.parseOutput(client.next()) match {
+        case Output.QueryDiff(name, batch) =>
+          assert(name == ":big")
+          assert(batch.length == n)
+        case other => fail(s"expected a QueryDiff, got $other")
+      }
+    }
+  }
+
   test("malformed requests come back as Output::Error") {
     withServer { (_, client) =>
       client.send("""{"Nonsense": 1}""")
