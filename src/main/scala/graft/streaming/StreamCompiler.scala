@@ -33,21 +33,22 @@ final case class SUpd(key: String, tuple: Vector[Any], t: Long, diff: Long)
   *    presence transitions retracting/asserting every live left tuple;
   *  - `Union` — branch union + keyed set-distinct (matching the
   *    reference's `concat.distinct()`, `src/plan/union.rs:73-77`);
-  *  - `Aggregate` with COUNT / SUM (diff-monoid keyed state) and
-  *    MIN / MAX / MEDIAN (per-key value-multiset state, order statistics
-  *    over the positive-support set), emitting retract+assert pairs
-  *    (`src/plan/aggregate_neu.rs:130-243`);
+  *  - `Aggregate` with ALL seven functions: COUNT/SUM (diff-monoid keyed
+  *    state), AVG/VARIANCE (exact gcd-reduced rationals from (s, ssq, cnt)
+  *    state), MIN/MAX/MEDIAN (per-key value-multiset state, order
+  *    statistics over the positive-support set, MEDIAN over distinct
+  *    (value ++ :with) tuples), emitting retract+assert pairs
+  *    (`src/plan/aggregate_neu.rs:108-243`);
   *  - `Hector` conjunctions — lowered to a connected Join/Filter/Antijoin
   *    chain over the attribute bindings (Const vars as EQ filters or
   *    predicate literals, `Not` attribute bindings as antijoins).
   *
   * NOT streamable here (use the batch engine): recursion (`NameExpr`
-  * fixpoints), Pull/PullAll/GraphQl, `:with` variables, and the
-  * exact-rational aggregates (AVG VARIANCE) — each needs either iteration
-  * or result shapes the untyped tuple stream does not carry. Per-batch
-  * emissions are consolidated per (tuple, time), so transient
-  * assert+retract pairs inside one batch cancel exactly as differential
-  * consolidates.
+  * fixpoints) and Pull/PullAll/GraphQl — iteration and heterogeneous path
+  * arity need the batch engine. Per-batch emissions are consolidated per
+  * (tuple, time), so transient assert+retract pairs inside one batch
+  * cancel exactly as differential consolidates. (Rational outputs are
+  * terminal: don't key a downstream distinct/join on them.)
   *
   * Sources are streaming DataFrames with columns `(e, v, t, diff)` — from
   * [[graft.sources.FileSources]], a Kafka reader, or a MemoryStream —
@@ -66,10 +67,15 @@ object StreamCompiler extends Serializable {
       if (d == 0L) None else Some(SUpd("", tuple, t, d))
     }
 
-  /** Aggregation functions the streaming compiler maintains incrementally. */
-  val StreamableAggs: Set[AggregationFn] = {
-    import AggregationFn._
-    Set(COUNT, SUM, MIN, MAX, MEDIAN)
+  /** Exact gcd-reduced rational as a (num, den) row — matches the batch
+    * path's `rationalizeUdf` normalization (positive denominator). */
+  private[streaming] def rationalRow(num: Long, den: Long): Row = {
+    val sign = if (den < 0) -1L else 1L
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val g = gcd(math.abs(num), math.abs(den))
+    val gg = if (g == 0) 1L else g
+    Row(sign * num / gg, sign * den / gg)
   }
 
   /** Type-tagged, length-prefixed lossless key for a set of tuple
@@ -232,11 +238,7 @@ class StreamCompiler(
       joinRels(target, lr, rr)
 
     case P.Aggregate(outVars, p, fns, keyVars, aggVars, withVars) =>
-      require(withVars.isEmpty,
-        "streaming Aggregate does not support :with variables")
-      require(fns.forall(f => StreamCompiler.StreamableAggs(f)),
-        s"streaming Aggregate supports COUNT/SUM/MIN/MAX/MEDIAN, got $fns")
-      aggregateRel(compile(p), outVars, fns, keyVars, aggVars)
+      aggregateRel(compile(p), outVars, fns, keyVars, aggVars, withVars)
 
     case P.Antijoin(target, l, r) =>
       antijoinRels(target, compile(l), compile(r))
@@ -413,19 +415,22 @@ class StreamCompiler(
     * per-key sums and support; each changed batch retracts the previous
     * output tuple and asserts the new one. Output offsets match the batch
     * aggregate (results re-inserted at their find positions). */
-  /** Keyed aggregation: COUNT/SUM fold in the diff monoid; MIN/MAX/MEDIAN
-    * keep the per-key value multiset (value -> support) and recompute the
-    * order statistic over the positive-support set — the reference's
-    * distinct-set semantics (`src/plan/aggregate_neu.rs:130-164`). Each
-    * changed batch retracts the previous output tuple and asserts the new
-    * one; keys whose support empties retract without re-asserting. Output
+  /** Keyed aggregation with full batch parity minus nothing: COUNT/SUM
+    * fold in the diff monoid; AVG/VARIANCE keep (s, ssq, cnt) and emit
+    * exact gcd-reduced rationals (`src/plan/aggregate_neu.rs:206-239`);
+    * MIN/MAX/MEDIAN keep the per-key value multiset and recompute the
+    * order statistic over the positive-support set, MEDIAN over distinct
+    * (value ++ :with) tuples (`aggregate_neu.rs:130-164`). Each changed
+    * batch retracts the previous output tuple and asserts the new one;
+    * keys whose support empties retract without re-asserting. Output
     * offsets match the batch aggregate. */
   private def aggregateRel(
       rel: SRel, outVars: Seq[Int], fns: Seq[AggregationFn],
-      keyVars: Seq[Int], aggVars: Seq[Int]): SRel = {
+      keyVars: Seq[Int], aggVars: Seq[Int], withVars: Seq[Int]): SRel = {
     import AggregationFn._
     val keyIdx = keyVars.map(rel.idx)
     val aggIdx = aggVars.map(rel.idx)
+    val withIdx = withVars.map(rel.idx)
 
     // Output slots: each aggregation consumes the first unconsumed
     // occurrence of its variable (aggregate_neu.rs:108-120).
@@ -443,63 +448,91 @@ class StreamCompiler(
     val outKinds = slots.map {
       case Left(k)  => rel.kinds(keyIdx(k))
       case Right(i) => fns(i) match {
-        case COUNT | SUM => KNumber
-        case _           => rel.kinds(aggIdx(i))
+        case COUNT | SUM     => KNumber
+        case AVG | VARIANCE  => KRational
+        case _               => rel.kinds(aggIdx(i))
       }
     }
 
-    implicit val stateEnc: Encoder[(Vector[Long], Vector[Map[Any, Long]], Long)] =
-      Encoders.kryo[(Vector[Long], Vector[Map[Any, Long]], Long)]
+    // Per-fn scalar state (s, ssq, cnt) + per-fn value multiset
+    // (MIN/MAX key on value; MEDIAN on value ++ withs) + net support.
+    type AggState = (Vector[(Long, Long, Long)], Vector[Map[Vector[Any], Long]], Long)
+    implicit val stateEnc: Encoder[AggState] = Encoders.kryo[AggState]
     val lt: (Any, Any) => Boolean = StreamCompiler.cmp(Predicate.LT, _, _)
+    def ltVec(a: Vector[Any], b: Vector[Any]): Boolean = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        if (lt(a(i), b(i))) return true
+        if (lt(b(i), a(i))) return false
+        i += 1
+      }
+      a.length < b.length
+    }
 
     val keyed = rel.ds.map(u => u.copy(key = keyOf(u.tuple, keyIdx)))
     val out = keyed
       .groupByKey(_.key)
-      .flatMapGroupsWithState[(Vector[Long], Vector[Map[Any, Long]], Long), SUpd](
+      .flatMapGroupsWithState[AggState, SUpd](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: String, it: Iterator[SUpd],
-            state: GroupState[(Vector[Long], Vector[Map[Any, Long]], Long)]) =>
+        (_: String, it: Iterator[SUpd], state: GroupState[AggState]) =>
           val updates = it.toSeq.sortBy(_.t)
           val keyVals = keyIdx.map(updates.head.tuple).toVector
           val (oldSums, oldSets, oldSupport) = state.getOption.getOrElse(
-            (Vector.fill(fns.length)(0L),
-              Vector.fill(fns.length)(Map.empty[Any, Long]), 0L))
+            (Vector.fill(fns.length)((0L, 0L, 0L)),
+              Vector.fill(fns.length)(Map.empty[Vector[Any], Long]), 0L))
           var sums = oldSums
           var sets = oldSets
           var support = oldSupport
           var tMax = Long.MinValue
           updates.foreach { u =>
             fns.indices.foreach { i =>
+              val (s0, q0, c0) = sums(i)
               fns(i) match {
-                case COUNT => sums = sums.updated(i, sums(i) + u.diff)
-                case SUM => sums = sums.updated(i,
-                  sums(i) + asLong(u.tuple(aggIdx(i))) * u.diff)
+                case COUNT => sums = sums.updated(i, (s0, q0, c0 + u.diff))
+                case SUM =>
+                  val v = asLong(u.tuple(aggIdx(i)))
+                  sums = sums.updated(i, (s0 + v * u.diff, q0, c0))
+                case AVG | VARIANCE =>
+                  val v = asLong(u.tuple(aggIdx(i)))
+                  sums = sums.updated(i,
+                    (s0 + v * u.diff, q0 + v * v * u.diff, c0 + u.diff))
                 case _ =>
-                  val v = u.tuple(aggIdx(i))
-                  val nw = sets(i).getOrElse(v, 0L) + u.diff
+                  val entry: Vector[Any] = fns(i) match {
+                    case MEDIAN => u.tuple(aggIdx(i)) +: withIdx.map(u.tuple).toVector
+                    case _      => Vector(u.tuple(aggIdx(i)))
+                  }
+                  val nw = sets(i).getOrElse(entry, 0L) + u.diff
                   sets = sets.updated(i,
-                    if (nw == 0L) sets(i) - v else sets(i).updated(v, nw))
+                    if (nw == 0L) sets(i) - entry else sets(i).updated(entry, nw))
               }
             }
             support += u.diff
             if (u.t > tMax) tMax = u.t
           }
           state.update((sums, sets, support))
-          def aggValue(ss: Vector[Long], ms: Vector[Map[Any, Long]], i: Int): Any =
+          def aggValue(ss: Vector[(Long, Long, Long)],
+              ms: Vector[Map[Vector[Any], Long]], i: Int): Any = {
+            val (sv, qv, cv) = ss(i)
             fns(i) match {
-              case COUNT | SUM => ss(i)
+              case COUNT    => cv
+              case SUM      => sv
+              case AVG      => StreamCompiler.rationalRow(sv, cv)
+              case VARIANCE => StreamCompiler.rationalRow(qv * cv - sv * sv, cv * cv)
               case f =>
-                val vals = ms(i).collect { case (v, w) if w > 0 => v }.toSeq
-                if (vals.isEmpty) null
+                val entries = ms(i).collect { case (v, w) if w > 0 => v }.toSeq
+                if (entries.isEmpty) null
                 else f match {
-                  case MIN => vals.reduce((a, b) => if (lt(a, b)) a else b)
-                  case MAX => vals.reduce((a, b) => if (lt(a, b)) b else a)
-                  case _ => // MEDIAN: sorted distinct values, element len/2
-                    val sorted = vals.sortWith(lt)
-                    sorted(sorted.length / 2)
+                  case MIN => entries.map(_.head).reduce((a, b) => if (lt(a, b)) a else b)
+                  case MAX => entries.map(_.head).reduce((a, b) => if (lt(a, b)) b else a)
+                  case _ => // MEDIAN: sorted distinct (value ++ withs), [len/2]
+                    val sorted = entries.sortWith(ltVec)
+                    sorted(sorted.length / 2).head
                 }
             }
-          def tupleOf(ss: Vector[Long], ms: Vector[Map[Any, Long]]): Vector[Any] =
+          }
+          def tupleOf(ss: Vector[(Long, Long, Long)],
+              ms: Vector[Map[Vector[Any], Long]]): Vector[Any] =
             slots.map {
               case Left(k)  => keyVals(k)
               case Right(i) => aggValue(ss, ms, i)

@@ -117,6 +117,55 @@ class StreamCompilerSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("rational AVG/VARIANCE and :with MEDIAN stream with batch parity") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val xs = MemoryStream[Datom4[Long]]
+    val ys = MemoryStream[Datom4[Long]]
+    def mkCompiler() = new StreamCompiler(
+      sources = Map(
+        ":s/x" -> xs.toDF.toDF("e", "v", "t", "diff"),
+        ":s/y" -> ys.toDF.toDF("e", "v", "t", "diff")),
+      sourceKinds = Map(":s/x" -> KNumber, ":s/y" -> KNumber))
+
+    // [:find ?e (avg ?v) (variance ?v) :where [?e :s/x ?v]] — exact
+    // gcd-reduced rationals (aggregate_neu.rs:206-239).
+    val avgVar = Aggregate(Seq(0, 1, 1), MatchA(0, ":s/x", 1),
+      Seq(AggregationFn.AVG, AggregationFn.VARIANCE), Seq(0), Seq(1, 1), Seq.empty)
+    val q1 = mkCompiler().compileToFrame(avgVar)
+      .writeStream.format("memory").queryName("rat_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val got = collectBatches(q1, "rat_out", Seq(
+        () => xs.addData((1L, 10L, 0L, 1L), (1L, 20L, 0L, 1L)),
+        () => xs.addData((1L, 40L, 1L, 1L))))
+      import org.apache.spark.sql.Row
+      assert(got(0) == Set((Seq(1L, Row(15L, 1L), Row(25L, 1L)), 0L, 1L)))
+      assert(got(1) == Set(
+        (Seq(1L, Row(15L, 1L), Row(25L, 1L)), 1L, -1L),
+        (Seq(1L, Row(70L, 3L), Row(1400L, 9L)), 1L, 1L)))
+    } finally q1.stop()
+
+    // [:find (median ?v) :with ?w ...] — the :with variable rides along so
+    // the order statistic runs over distinct (value, with) tuples: values
+    // {5 via w10, 5 via w20, 9 via w30} have median 5, not 9.
+    val medianWith = Aggregate(Seq(1),
+      Join(Seq(0), MatchA(0, ":s/x", 1), MatchA(0, ":s/y", 2)),
+      Seq(AggregationFn.MEDIAN), Seq.empty, Seq(1), Seq(2))
+    val q2 = mkCompiler().compileToFrame(medianWith)
+      .writeStream.format("memory").queryName("medw_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val got = collectBatches(q2, "medw_out", Seq(
+        () => {
+          xs.addData((10L, 5L, 2L, 1L), (11L, 5L, 2L, 1L), (12L, 9L, 2L, 1L))
+          ys.addData((10L, 100L, 2L, 1L), (11L, 200L, 2L, 1L), (12L, 300L, 2L, 1L))
+        }))
+      assert(got(0).map { case (t, _, d) => (t, d) } == Set((Seq(5L), 1L)),
+        s"got ${got(0)}")
+    } finally q2.stop()
+  }
+
   test("hector conjunction lowers to a streamed join chain with negation") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
