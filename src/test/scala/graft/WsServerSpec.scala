@@ -86,6 +86,32 @@ class WsServerSpec extends AnyFunSuite {
             (Seq(Value.eid(100), Value.str("Peter"), Value.num(43)), 0L, 1L)))
         case other => fail(s"expected a QueryDiff, got $other")
       }
+
+      // changes2.json: retraction + correction — Peter's age 43 retracts
+      // and 45 asserts in one advance — plus a new named entity joins.
+      client.send(s"""{"Transact":${example("changes2.json")}}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":2}]}""")
+      Wire.parseOutput(client.next()) match {
+        case Output.QueryDiff(name, batch) =>
+          assert(name == "hero_age")
+          assert(batch.toSet == Set(
+            (Seq(Value.eid(100), Value.str("Peter"), Value.num(43)), 1L, -1L),
+            (Seq(Value.eid(100), Value.str("Peter"), Value.num(45)), 1L, 1L),
+            (Seq(Value.eid(200), Value.str("Alice"), Value.num(33)), 1L, 1L)))
+        case other => fail(s"expected a QueryDiff, got $other")
+      }
+
+      // changes3.json retracts the already-absent 43 (no transition under
+      // Distinct semantics) and asserts age 100.
+      client.send(s"""{"Transact":${example("changes3.json")}}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":3}]}""")
+      Wire.parseOutput(client.next()) match {
+        case Output.QueryDiff(name, batch) =>
+          assert(name == "hero_age")
+          assert(batch == Seq(
+            (Seq(Value.eid(100), Value.str("Peter"), Value.num(100)), 2L, 1L)))
+        case other => fail(s"expected a QueryDiff, got $other")
+      }
     }
   }
 
