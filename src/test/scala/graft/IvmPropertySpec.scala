@@ -42,6 +42,11 @@ class IvmPropertySpec extends AnyFunSuite {
     "aggregate" -> Seq(Rule("query",
       Aggregate(Seq(0, 1), matchA(0, ":p/x", 1),
         Seq(AggregationFn.COUNT), Seq(0), Seq(1), Seq.empty))),
+    // Mixed weight-sensitive + order-statistic functions: net-zero weight
+    // sums null out COUNT while MIN stays defined (round-2 advice).
+    "aggregate_mixed" -> Seq(Rule("query",
+      Aggregate(Seq(0, 1, 1), matchA(0, ":p/x", 1),
+        Seq(AggregationFn.COUNT, AggregationFn.MIN), Seq(0), Seq(1, 1), Seq.empty))),
     "hector" -> Seq(Rule("query",
       q(Seq(0, 1, 2), Seq(
         Binding.attribute(0, ":p/x", 1),
