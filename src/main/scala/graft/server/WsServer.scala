@@ -119,7 +119,17 @@ final class WsServer(engine: Engine, port: Int = 0,
     } catch {
       case NonFatal(_) => () // client went away
     } finally {
-      synchronized { clients.remove(id) }
+      // The reference routes a disconnect through Request::Disconnect and
+      // tears down dataflows the leaving client was the last to watch
+      // (`server/src/main.rs:349-355`, `mod.rs:276-281`).
+      synchronized {
+        clients.remove(id).foreach { case (_, names) =>
+          names.foreach { name =>
+            if (!clients.values.exists(_._2.contains(name)))
+              try engine.uninterest(name) catch { case NonFatal(_) => () }
+          }
+        }
+      }
       try sock.close() catch { case NonFatal(_) => () }
     }
   }

@@ -231,6 +231,27 @@ class WsServerSpec extends AnyFunSuite {
     }
   }
 
+  test("disconnecting the last interested client tears the interest down") {
+    val engine = new Engine(spark)
+    val server = new WsServer(engine).start()
+    val client = new Client(server.boundPort)
+    try {
+      client.send(
+        """{"CreateAttribute":{"name":":d","config":{"input_semantics":"Distinct"}}}""")
+      client.send("""{"Subscribe":":d"}""")
+      client.send("""{"Transact":[[1,":d","v",null,1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+      Wire.parseOutput(client.next()) // the subscription works
+      client.close()
+      // Wait for the server's connection thread to clean up.
+      val deadline = System.currentTimeMillis() + 10000
+      while (engine.interestNames.contains(":d") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(!engine.interestNames.contains(":d"),
+        "interest should be torn down when its last client leaves")
+    } finally server.stop()
+  }
+
   test("malformed requests come back as Output::Error") {
     withServer { (_, client) =>
       client.send("""{"Nonsense": 1}""")
