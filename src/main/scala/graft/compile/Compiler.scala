@@ -225,6 +225,12 @@ class Compiler(
     // sizes. (The memoized result is consumed downstream under the user's
     // codegen setting.)
     spark.conf.set(wscgKey, "false")
+    // Constraint propagation walks the full lineage per analysis pass —
+    // on fixpoint plans (anti-join chains over checkpoints, growing unions)
+    // that driver-side walk costs more than any pruning it could buy.
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpWas = spark.conf.get(cpKey, "true")
+    spark.conf.set(cpKey, "false")
     try {
 
     if (semiNaive) {
@@ -284,6 +290,25 @@ class Compiler(
       def repart(df: DataFrame): DataFrame = {
         val dataCols = df.columns.filter(_ != W).toSeq
         df.repartition(pLoop, dataCols.map(col): _*)
+      }
+
+      // Single-rule linear recursion whose derivative is `static ⋈ Δrec`
+      // with a broadcastable static side (transitive closure, reachability,
+      // label propagation — the dominant recursive workloads) runs on the
+      // iterative RDD kernel instead: identical shuffle structure, zero
+      // per-round Catalyst planning. Falls through to the general
+      // DataFrame loop whenever the shape or size gates fail.
+      if (ordered.lengthCompare(1) == 0 && changed &&
+          !sys.props.get("graft.fixpoint.kernel").contains("off")) {
+        val r = ordered.head
+        kernelLinear(spark, r, derived(r), template(r).get, delta(r).get,
+          totalCount(r), pLoop, shufflePartitions, canBroadcast, debugT0) match {
+          case Some(rel) =>
+            memo(r) = rel
+            sharedCache.foreach(_.update(cacheKey(r), rel))
+            return
+          case None => ()
+        }
       }
       // Accumulated total per rule = vector of checkpointed delta frames
       // (co-partitioned); compacted into one frame when the chain grows.
@@ -389,7 +414,202 @@ class Compiler(
       spark.conf.set(aqeKey, aqeWas)
       spark.conf.set(spKey, spWas)
       spark.conf.set(wscgKey, wscgWas)
+      spark.conf.set(cpKey, cpWas)
     }
+  }
+
+  /** Iterative RDD kernel for single-rule linear recursion.
+    *
+    * Applies when the rule's derivative is (modulo projections)
+    * `Join(target, static, NameExpr(rec))` with the recursive reference a
+    * BARE NameExpr and the static side free of recursion. Replaces the
+    * per-round DataFrame pipeline (compile → distinct → anti-join chain →
+    * checkpoint → count: one SQL job plus 200-450 ms of driver-side plan
+    * construction/analysis per round) with the classic iterative-graph
+    * kernel (what GraphX exists for): the static side is collected and
+    * broadcast once (size-gated), candidates are generated map-side, and
+    * dedup + subtract-from-total run as co-partitioned `zipPartitions`
+    * (narrow) over hash-partitioned deltas — one cheap RDD job per round.
+    * Shuffle structure is identical to the DataFrame loop (O(candidate)
+    * bytes per round, totals never move once written), so the scale story
+    * is unchanged; only constant per-round overhead drops.
+    *
+    * Falls back (returns None) on: multi-rule cliques (caller guards),
+    * non-Join shapes, wrapped recursive references, duplicate variables,
+    * non-scalar column kinds (rational/variant), or a static side too big
+    * to broadcast.
+    */
+  private def kernelLinear(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      derived: Plan,
+      template: Rel,
+      delta0: Rel,
+      rows0: Long,
+      pLoop: Int,
+      userPartitions: Int,
+      canBroadcast: (Long, Int) => Boolean,
+      debugT0: Long): Option[Rel] = {
+    val maxChain = 16
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.Row
+    import scala.collection.immutable.ArraySeq
+
+    // ---- shape detection -------------------------------------------------
+    def inner(p: Plan): Option[P.Join] = p match {
+      case j: P.Join       => Some(j)
+      case P.Project(_, x) => inner(x)
+      case _               => None
+    }
+    val (finalVars, j) = derived match {
+      case P.Union(vs, Seq(b)) => inner(b) match {
+        case Some(jj) => (vs, jj)
+        case None     => return None
+      }
+      case P.Project(vs, x) => inner(x) match {
+        case Some(jj) => (vs, jj)
+        case None     => return None
+      }
+      case _ => return None
+    }
+    val rec = Set(name)
+    val (recVars, staticPlan) = (j.leftPlan, j.rightPlan) match {
+      case (P.NameExpr(nvs, n), s) if n == name && recRefCount(s, rec) == 0 => (nvs, s)
+      case (s, P.NameExpr(nvs, n)) if n == name && recRefCount(s, rec) == 0 => (nvs, s)
+      case _ => return None
+    }
+    val target = j.variables
+    val scalarOk = template.kinds.forall(k =>
+      k != ValueKind.KRational && k != ValueKind.KVariant)
+    if (!scalarOk || recVars.distinct != recVars) return None
+    if (!target.forall(recVars.contains)) return None
+
+    // ---- static side: compile once, size-gate, collect + broadcast -------
+    val sRel = compile(staticPlan, Map.empty).getOrElse(return None)
+    val sVars = sRel.vars
+    if (sVars.distinct != sVars || !target.forall(sVars.contains)) return None
+    val recipe: Array[(Boolean, Int)] = finalVars.map { v =>
+      val ri = recVars.indexOf(v)
+      if (ri >= 0) (true, ri)
+      else {
+        val si = sVars.indexOf(v)
+        if (si < 0) return None
+        (false, si)
+      }
+    }.toArray
+    val maxStaticRows = {
+      // invert the canBroadcast estimate to a row cap for this arity
+      var lo = 0L; var hi = 1L << 32
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (canBroadcast(mid, sVars.length)) lo = mid else hi = mid - 1
+      }
+      lo
+    }
+    if (maxStaticRows <= 0) return None
+    val sDf = (if (sRel.distinct) sRel.df else distinctify(sRel.df)).drop(W)
+    val sArr = sDf.limit(math.min(maxStaticRows + 1, Int.MaxValue.toLong).toInt).collect()
+    if (sArr.length > maxStaticRows) return None
+    val keyIdxS: Array[Int] = target.map(sVars.indexOf).toArray
+    val keyIdxR: Array[Int] = target.map(recVars.indexOf).toArray
+    val sMap: Map[Seq[Any], Array[Array[Any]]] = {
+      val full = sArr.map { row =>
+        val a = new Array[Any](row.length); var i = 0
+        while (i < row.length) { a(i) = row.get(i); i += 1 }
+        a
+      }
+      full.groupBy(a => ArraySeq.unsafeWrapArray(keyIdxS.map(a(_))): Seq[Any])
+    }
+    if (fixpointDebug) System.err.println(
+      s"[fixpoint] kernel static=${sArr.length} rows " +
+        s"elapsedMs=${(System.nanoTime() - debugT0) / 1000000}")
+
+    // ---- iterate ---------------------------------------------------------
+    type Tup = ArraySeq[Any]
+    val sc = spark.sparkContext
+    // Totals typically grow well past round 0 (closure depth × branching),
+    // and the per-round subtract hashes the whole accumulated total — keep
+    // a floor of parallelism so that work spreads across cores even when
+    // round 0 alone would fit one partition. Eight near-empty tasks cost
+    // ~ms; a single-threaded 200k-row hash chain costs hundreds.
+    val pKernel =
+      if (rows0 > 2000) math.max(pLoop, math.min(userPartitions, 8))
+      else pLoop
+    val part = new HashPartitioner(pKernel)
+    val bcMap = sc.broadcast(sMap)
+    val nCols = template.vars.length
+    val d0: RDD[(Tup, Null)] = delta0.df.rdd.map { r =>
+      val a = new Array[Any](nCols); var i = 0
+      while (i < nCols) { a(i) = r.get(i); i += 1 }
+      (ArraySeq.unsafeWrapArray(a): Tup, null)
+    }.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    d0.count()
+    val recipeL = recipe // local vals only in closures (no `this` capture)
+    val keyIdxRL = keyIdxR
+
+    var parts = Vector[RDD[(Tup, Null)]](d0)
+    var delta: RDD[(Tup, Null)] = d0
+    var total = rows0
+    var n = rows0
+    var iter = 0
+    while (n > 0 && iter < maxIterations) {
+      iter += 1
+      val cand: RDD[(Tup, Null)] = delta.mapPartitions { it =>
+        val m = bcMap.value
+        it.flatMap { case (t, _) =>
+          val key: Seq[Any] = ArraySeq.unsafeWrapArray(keyIdxRL.map(t(_)))
+          m.get(key) match {
+            case None => Iterator.empty
+            case Some(ms) => ms.iterator.map { s =>
+              val out = new Array[Any](recipeL.length); var i = 0
+              while (i < recipeL.length) {
+                val (fromRec, idx) = recipeL(i)
+                out(i) = if (fromRec) t(idx) else s(idx)
+                i += 1
+              }
+              (ArraySeq.unsafeWrapArray(out): Tup, null)
+            }
+          }
+        }
+      }
+      val deduped = cand.partitionBy(part).mapPartitions({ it =>
+        val seen = new java.util.HashSet[Tup]()
+        it.filter { case (t, _) => seen.add(t) }
+      }, preservesPartitioning = true)
+      val fresh = parts.foldLeft(deduped) { (acc, tot) =>
+        acc.zipPartitions(tot, preservesPartitioning = true) { (a, b) =>
+          val seen = new java.util.HashSet[Tup]()
+          b.foreach(p => seen.add(p._1))
+          a.filter(p => !seen.contains(p._1))
+        }
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      n = fresh.count()
+      if (n > 0) {
+        parts = parts :+ fresh
+        delta = fresh
+        total += n
+        if (parts.length >= maxChain) {
+          val comp = parts.reduce((a, b) =>
+            a.zipPartitions(b, preservesPartitioning = true)(_ ++ _))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          comp.count()
+          parts.filter(_ ne delta).foreach(_.unpersist(blocking = false))
+          parts = Vector(comp)
+        }
+      } else fresh.unpersist(blocking = false)
+      if (fixpointDebug) System.err.println(
+        s"[fixpoint] kernel iter=$iter delta=$n total=$total " +
+          s"elapsedMs=${(System.nanoTime() - debugT0) / 1000000}")
+    }
+
+    // ---- back to a DataFrame --------------------------------------------
+    val schema = template.df.schema
+    val rows: RDD[Row] = sc.union(parts.map(_.map(p => Row.fromSeq(p._1 :+ 1L))))
+    val pOut = math.max(1L, math.min(pLoop.toLong, total / 500000L + 1L)).toInt
+    val df = spark.createDataFrame(rows, schema).coalesce(pOut)
+    Some(template.copy(df = df, small = false))
   }
 
   /** Order-independent content signature: (row count, sum of per-row
