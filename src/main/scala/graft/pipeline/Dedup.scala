@@ -98,6 +98,44 @@ object Dedup {
     perBit.select(col("id"), sig.as("simhash"))
   }
 
+  /** Connected components over candidate duplicate pairs: assigns every id
+    * the minimum id of its component ("cluster"), turning pairwise near-dup
+    * hits into dedup groups. `keep` marks the canonical representative.
+    *
+    * Min-label propagation: each round pushes labels one hop along the
+    * (undirected) edge set and keeps the per-node minimum. Rounds =
+    * component diameter — for dedup workloads components are near-cliques
+    * of a few documents, so this converges in 2-3 rounds; the edge table is
+    * materialized once and the per-round shuffle is keyed by node id (no
+    * all-pairs work, no growth with |docs|²). Labels only decrease, so
+    * convergence is detected from a strictly decreasing label-sum — no
+    * second join per round.
+    */
+  def connectedComponents(pairs: DataFrame, ids: DataFrame,
+      idCol: String = "id"): DataFrame = {
+    val edges = pairs.select(col("a").as("s"), col("b").as("d"))
+      .unionAll(pairs.select(col("b").as("s"), col("a").as("d")))
+      .localCheckpoint(true)
+    var labels = ids.select(col(idCol).cast("long").as("id"),
+      col(idCol).cast("long").as("lbl")).localCheckpoint(true)
+    var lastSig: (Long, java.math.BigDecimal) = null
+    var done = false
+    while (!done) {
+      val prop = edges.join(labels, edges("d") === labels("id"))
+        .select(col("s").as("id"), col("lbl"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(false)
+      val row = next.agg(count(lit(1)), sum(col("lbl").cast("decimal(38,0)"))).head()
+      val sig = (row.getLong(0), row.getDecimal(1))
+      done = sig == lastSig
+      lastSig = sig
+      labels = next
+    }
+    labels.select(col("id"), col("lbl").as("cluster"),
+      (col("id") === col("lbl")).as("keep"))
+  }
+
   /** Exact word n-gram Jaccard for given (a, b) candidate pairs, returned
     * as exact integers (intersection, union) to stay float-free. Set sizes
     * come from a per-row array expression (no explode, no shuffle); the

@@ -67,6 +67,13 @@ object PipelineQueries {
       Dedup.ngramJaccard(docs(s, dir), lshCandidatePairs(s, dir),
         "doc_id", "text", ShingleN)),
 
+    "q_dedup_clusters" -> ((s, dir) =>
+      // Pairwise LSH hits -> dedup groups: connected components with the
+      // component-minimum id as cluster label; `keep` marks the canonical
+      // representative each group retains.
+      Dedup.connectedComponents(lshCandidatePairs(s, dir),
+        docs(s, dir), "doc_id")),
+
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.quantizedNearDup(embeds(s, dir), "label", 95, 100)),
 
@@ -215,6 +222,22 @@ object PipelineQueries {
                  CAST(za.sz + zb.sz - COALESCE(i.inter, 0) AS BIGINT) AS uni
           FROM pairs p LEFT JOIN inter i ON p.a = i.a AND p.b = i.b
           JOIN sz za ON za.id = p.a JOIN sz zb ON zb.id = p.b""",
+
+    // Min reachable id per node over the undirected LSH candidate-pair
+    // graph == the component minimum the label propagation converges to.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE sig AS (${sigSql(MinhashPerms)}), bands AS ($bandsSql),
+          pairs AS (SELECT DISTINCT l.id AS a, r.id AS b
+                    FROM bands l JOIN bands r USING (band, bucket)
+                    WHERE l.id < r.id),
+          edges AS (SELECT a AS s, b AS d FROM pairs
+                    UNION SELECT b, a FROM pairs),
+          reach(id, r) AS (
+            SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+            UNION
+            SELECT e.d, re.r FROM reach re JOIN edges e ON e.s = re.id)
+          SELECT id, MIN(r) AS cluster, (id = MIN(r)) AS keep
+          FROM reach GROUP BY id""",
 
     "q_embed_neardup" ->
       s"""WITH s AS (SELECT CAST(vec_id AS BIGINT) AS id, label, $qvSql AS qv
