@@ -141,6 +141,23 @@ object PipelineQueries {
           hex(col("frameBytes")).as("frame_hex"))
     }),
 
+    "q_asof_join" -> ((s, dir) => {
+      // Point-in-time join on the event stream: each click picks up the
+      // latest view (ts <= click ts) by the same user — union + window,
+      // one shuffle, no range-join explosion.
+      import graft.pipeline.Temporal
+      val ev = Q.table(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_id").as("view_id"))
+      Temporal.asOfJoin(clicks, views, Seq("user_id"), "ts", "event_id",
+          Seq("view_id"))
+        .select(col("event_id").as("click_id"), col("user_id").as("u"),
+          col("view_id"))
+    }),
+
     "q_lww_batch" -> ((s, dir) => {
       // Batch analog of the LastWriteWins input semantics over the events
       // stream table: latest event's value per user (ties by event_id).
@@ -344,6 +361,29 @@ object PipelineQueries {
       s"""SELECT CAST(doc_id AS BIGINT) AS id,
                  ${h64Sql(Portable.normalizedSql("text"))} AS fp
           FROM documents""",
+
+    // Deterministic as-of semantics spelled out as a window sweep (rather
+    // than DuckDB's ASOF JOIN, whose tie-breaking is unspecified): per
+    // user, the last view at or before each click, ties by event_id.
+    "q_asof_join" ->
+      """WITH u AS (
+           SELECT user_id, ts, event_id, 1 AS side,
+                  CAST(NULL AS BIGINT) AS view_id
+           FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, ts, event_id, 0 AS side, event_id AS view_id
+           FROM events WHERE event_type = 'view'),
+         swept AS (
+           SELECT user_id, event_id, side,
+                  LAST_VALUE(view_id IGNORE NULLS) OVER (
+                    PARTITION BY user_id
+                    ORDER BY ts ASC, side ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id
+           FROM u)
+         SELECT CAST(event_id AS BIGINT) AS click_id,
+                CAST(user_id AS BIGINT) AS u,
+                CAST(view_id AS BIGINT) AS view_id
+         FROM swept WHERE side = 1""",
 
     "q_lww_batch" ->
       """SELECT CAST(user_id AS BIGINT) AS u, last_type FROM (

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.pipeline.Dedup
@@ -26,6 +27,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       (5L, 1L, false),
       (10L, 10L, true), (11L, 10L, false),
       (20L, 20L, true), (21L, 21L, true))
+    assert(got == want)
+  }
+
+  test("asOfJoin: latest-at-or-before match, ties, and no-match nulls") {
+    import graft.pipeline.Temporal
+    // key=1: right rows at ts 10 (id 100), 20 (ids 200 and 201 — tie),
+    // 20 again; left rows at ts 5 (no match), 10 (exact-ts match), 25
+    // (tie broken by greatest id). key=2: no right rows at all.
+    val left = Seq(
+      (1L, 5L, 1000L), (1L, 10L, 1001L), (1L, 25L, 1002L),
+      (2L, 30L, 1003L)).toDF("k", "ts", "id")
+    val right = Seq(
+      (1L, 10L, 100L, "a"), (1L, 20L, 200L, "b"), (1L, 20L, 201L, "c"))
+      .toDF("k", "ts", "id", "tag")
+      .select(col("k"), col("ts"), col("id"),
+        col("id").as("rid"), col("tag"))
+    val got = Temporal.asOfJoin(left, right, Seq("k"), "ts", "id",
+        Seq("rid", "tag"))
+      .collect()
+      .map(r => (r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) "-" else r.getString(4))).toSet
+    val want = Set(
+      (1000L, -1L, "-"),     // before any right row
+      (1001L, 100L, "a"),    // right row AT the left ts matches
+      (1002L, 201L, "c"),    // equal-ts tie -> greatest tie column, atomic payload
+      (1003L, -1L, "-"))     // key with no right rows
     assert(got == want)
   }
 

@@ -71,6 +71,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no UDFs expected:\n$plan")
   }
 
+  test("as-of join is a window sweep: one key exchange, no join operator") {
+    val plan = planOf("q_asof_join")
+    assert(!plan.contains("Join"),
+      s"as-of must not lower to a (range) join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one key shuffle, got $exchanges:\n$plan")
+  }
+
   test("aggregation uses map-side partial aggregation on the unit path") {
     val plan = planOf("q_agg_sum")
     // two HashAggregates (partial + final) around a single exchange
