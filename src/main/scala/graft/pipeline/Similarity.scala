@@ -68,6 +68,22 @@ object Similarity {
   def quantize(vec: Column, scale: Int = 100): Column =
     transform(vec, x => round(x.cast("double") * scale).cast("long"))
 
+  /** Per-group embedding centroids in exact integer form: one row per
+    * (group, dimension) with the quantized component sum and the member
+    * count (consumers divide; keeping the exact pair avoids cross-engine
+    * rounding drift). posexplode + groupBy is one shuffle whose map-side
+    * partial aggregation collapses each partition to |groups|·dims rows
+    * before any data moves — at 100 TB the shuffle carries centroids, not
+    * vectors. The classic use: IVF coarse quantizers and per-source "mean
+    * embedding" drift monitors. */
+  def centroids(vectors: DataFrame, groupCol: String,
+      vecCol: String = "embedding", scale: Int = 100): DataFrame =
+    vectors
+      .select(col(groupCol).cast("long").as("label"),
+        posexplode(quantize(col(vecCol), scale)))
+      .groupBy(col("label"), col("pos").cast("long").as("dim"))
+      .agg(sum(col("col")).as("csum"), count(lit(1)).as("n"))
+
   /** Exact integer dot product of two quantized vectors — a native
     * codegen expression (see [[graft.functions.DotProduct]]); the composed
     * `aggregate(zip_with(...))` form allocates per evaluation, which

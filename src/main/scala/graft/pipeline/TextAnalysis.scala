@@ -74,4 +74,28 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
       h64(normalized(col(textCol))).as("fp"))
+
+  /** Benchmark-contamination scan: for every (corpus doc, benchmark doc)
+    * pair sharing at least one word `n`-gram, the count of shared distinct
+    * n-grams plus the corpus doc's n-gram total (the consumer derives the
+    * overlap ratio). The join is keyed by the n-gram HASH itself — work is
+    * proportional to actual collisions, never |corpus| × |benchmark| — and
+    * shingles ride as arithmetic hash pairs (one md5 per token, zero
+    * shingle strings; see Portable.shingleHashWindows). The benchmark side
+    * is dimension-sized in practice, so Catalyst broadcasts it.
+    */
+  def ngramOverlap(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    def shingleSet(df: DataFrame, as: String): DataFrame = df
+      .select(col(idCol).as(as), tokenHashPairs(col(textCol)).as("_hp"))
+      .select(col(as), explode(array_distinct(
+        shingleHashWindows(col("_hp"), n))).as("s"))
+    val c = shingleSet(corpus, "corpus_id").localCheckpoint(true)
+    val b = shingleSet(benchmark, "bench_id")
+    val sizes = c.groupBy(col("corpus_id")).agg(count(lit(1)).as("corpus_sz"))
+    c.join(b, Seq("s"))
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes, Seq("corpus_id"))
+  }
 }

@@ -141,6 +141,33 @@ object PipelineQueries {
           hex(col("frameBytes")).as("frame_hex"))
     }),
 
+    "q_topk_per_group" -> ((s, dir) =>
+      // Corpus shaping: the 3 longest documents per language.
+      graft.pipeline.Sampling.topKPerGroup(
+        docs(s, dir).select(col("lang"), col("doc_id").cast("long").as("id"),
+          col("n_chars").cast("long").as("nchars")),
+        Seq("lang"), col("nchars"), col("id"), 3)),
+
+    "q_sample_stratified" -> ((s, dir) =>
+      // Deterministic per-language sampling rates (per-mille): membership
+      // is a pure function of the doc id — no shuffle, no RNG state.
+      graft.pipeline.Sampling.stratified(docs(s, dir), "doc_id", "lang",
+          Map("en" -> 500, "zh" -> 100), 250)
+        .select(col("doc_id").cast("long").as("id"), col("lang"))),
+
+    "q_contamination" -> ((s, dir) => {
+      // Benchmark-contamination scan: 4-gram overlap of the corpus against
+      // a held-out benchmark slice (doc_id % 20 == 0), keyed by n-gram
+      // hash (work ∝ collisions, never corpus × benchmark).
+      val d = docs(s, dir)
+      val bench = d.where(pmod(col("doc_id"), lit(20)) === 0)
+      val corpus = d.where(pmod(col("doc_id"), lit(20)) =!= 0)
+      longify(TextAnalysis.ngramOverlap(corpus, bench, "doc_id", "text", 4))
+    }),
+
+    "q_embed_centroid" -> ((s, dir) =>
+      Similarity.centroids(embeds(s, dir), "label")),
+
     "q_asof_join" -> ((s, dir) => {
       // Point-in-time join on the event stream: each click picks up the
       // latest view (ts <= click ts) by the same user — union + window,
@@ -361,6 +388,41 @@ object PipelineQueries {
       s"""SELECT CAST(doc_id AS BIGINT) AS id,
                  ${h64Sql(Portable.normalizedSql("text"))} AS fp
           FROM documents""",
+
+    "q_topk_per_group" ->
+      """SELECT lang, id, nchars, rank FROM (
+           SELECT lang, CAST(doc_id AS BIGINT) AS id,
+                  CAST(n_chars AS BIGINT) AS nchars,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank
+           FROM documents) WHERE rank <= 3""",
+
+    "q_sample_stratified" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS id, lang FROM documents
+          WHERE ${h64Sql("doc_id")} % 1000 <
+                CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 100 ELSE 250 END""",
+
+    "q_contamination" ->
+      s"""WITH shd AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, s
+                       FROM (SELECT doc_id,
+                                    unnest(${shingleHashPairsSql("text", 4)}) AS s
+                             FROM documents)),
+          c AS (SELECT * FROM shd WHERE id % 20 <> 0),
+          b AS (SELECT * FROM shd WHERE id % 20 = 0),
+          sz AS (SELECT id, CAST(count(*) AS BIGINT) AS corpus_sz FROM c GROUP BY 1)
+          SELECT c.id AS corpus_id, b.id AS bench_id,
+                 CAST(count(*) AS BIGINT) AS shared, any_value(sz.corpus_sz) AS corpus_sz
+          FROM c JOIN b USING (s) JOIN sz ON sz.id = c.id
+          GROUP BY 1, 2""",
+
+    "q_embed_centroid" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+                CAST(SUM(CAST(round(embedding[i] * 100) AS BIGINT)) AS BIGINT) AS csum,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM (SELECT label, embedding,
+                      unnest(generate_series(1, len(embedding))) AS i
+               FROM embeddings)
+         GROUP BY 1, 2""",
 
     // Deterministic as-of semantics spelled out as a window sweep (rather
     // than DuckDB's ASOF JOIN, whose tie-breaking is unspecified): per

@@ -57,6 +57,61 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("topKPerGroup: rank, tie-breaking, short groups") {
+    import graft.pipeline.Sampling
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 20L),
+      ("b", 5L, 7L)).toDF("g", "id", "score")
+    val got = Sampling.topKPerGroup(df, Seq("g"), col("score"), col("id"), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    // ties by id ascending: (2, 30) ranks before (3, 30); b has only 1 row
+    assert(got == Set(("a", 2L, 1L), ("a", 3L, 2L), ("b", 5L, 1L)))
+  }
+
+  test("stratified sampling is a deterministic function of the id") {
+    import graft.pipeline.Sampling
+    val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "x" else "y"))
+      .toDF("id", "s")
+    val once = Sampling.stratified(df, "id", "s", Map("x" -> 700), 100)
+      .collect().map(_.getLong(0)).toSet
+    val again = Sampling.stratified(df, "id", "s", Map("x" -> 700), 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(once == again)
+    assert(once.nonEmpty && once.size < 200)
+    // higher-rate stratum keeps proportionally more
+    val xs = once.count(_ % 2 == 0)
+    val ys = once.count(_ % 2 == 1)
+    assert(xs > ys, s"x-stratum (700/1000) kept $xs, y-stratum (100/1000) kept $ys")
+  }
+
+  test("ngramOverlap counts shared distinct n-grams per pair") {
+    import graft.pipeline.TextAnalysis
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),     // shares the 4-gram twice-window with bench 10
+      (2L, "nothing in common here at all")).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "alpha beta gamma delta zeta")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramOverlap(corpus, bench, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // doc 1 has 4-grams {a b g d, b g d e}; bench has {a b g d, b g d z};
+    // shared = 1; doc 1's total 4-grams = 2. Doc 2 shares nothing -> absent.
+    assert(got == Set((1L, 10L, 1L, 2L)))
+  }
+
+  test("centroids: exact quantized component sums per group") {
+    import graft.pipeline.Similarity
+    val df = Seq(
+      (1L, Seq(0.011f, -0.02f), 7),
+      (2L, Seq(0.029f, 0.04f), 7),
+      (3L, Seq(1.0f, 1.0f), 8)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroids(df, "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // label 7: dim0 round(1.1)+round(2.9)=1+3=4, dim1 round(-2)+round(4)=2; n=2
+    assert(got == Set(
+      (7L, 0L, 4L, 2L), (7L, 1L, 2L, 2L),
+      (8L, 0L, 100L, 1L), (8L, 1L, 100L, 1L)))
+  }
+
   test("connectedComponents: empty pair set keeps every doc") {
     val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
     val ids = Seq(7L, 8L).toDF("id")
