@@ -112,6 +112,57 @@ class PipelineOpsSpec extends AnyFunSuite {
       (8L, 0L, 100L, 1L), (8L, 1L, 100L, 1L)))
   }
 
+  test("connectedComponents matches brute-force union-find on random graphs") {
+    import graft.pipeline.Dedup
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30 + rnd.nextInt(40)
+      val ids = (0L until n.toLong)
+      val pairSeq = Seq.fill(n / 2) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a < b) (a, b) else (b, a)
+      }.filter(p => p._1 != p._2).distinct
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairSeq.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = ids.map(i => (i, find(i))).toSet
+      val got = Dedup.connectedComponents(
+        pairSeq.toDF("a", "b"), ids.toDF("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"seed=$seed n=$n pairs=${pairSeq.length}")
+    }
+  }
+
+  test("asOfJoin matches a per-row reference on random event streams") {
+    import graft.pipeline.Temporal
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      def rows(m: Int, idBase: Long) = Seq.fill(m)(
+        (rnd.nextInt(5).toLong, rnd.nextInt(40).toLong, 0L))
+        .zipWithIndex.map { case ((k, ts, _), i) => (k, ts, idBase + i) }
+      val lRows = rows(60, 1000)
+      val rRows = rows(60, 5000)
+      val want = lRows.map { case (k, ts, id) =>
+        val m = rRows.filter(r => r._1 == k && r._2 <= ts)
+          .sortBy(r => (r._2, r._3)).lastOption
+        (id, m.map(_._3).getOrElse(-1L))
+      }.toSet
+      val got = Temporal.asOfJoin(
+        lRows.toDF("k", "ts", "id"),
+        rRows.toDF("k", "ts", "id")
+          .select(col("k"), col("ts"), col("id"), col("id").as("rid")),
+        Seq("k"), "ts", "id", Seq("rid"))
+        .collect()
+        .map(r => (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("connectedComponents: empty pair set keeps every doc") {
     val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
     val ids = Seq(7L, 8L).toDF("id")
