@@ -578,13 +578,19 @@ class Compiler(
         val seen = new java.util.HashSet[Tup]()
         it.filter { case (t, _) => seen.add(t) }
       }, preservesPartitioning = true)
+      // localCheckpoint, not bare persist: truncates lineage so deep
+      // fixpoints don't stack every round's shuffle dependency into each
+      // task's DAG (and an evicted block can't trigger a full-history
+      // recompute). Superseded parts are reclaimed by the ContextCleaner
+      // once unreferenced — never unpersisted manually, since the chain
+      // and the final result still read them.
       val fresh = parts.foldLeft(deduped) { (acc, tot) =>
         acc.zipPartitions(tot, preservesPartitioning = true) { (a, b) =>
           val seen = new java.util.HashSet[Tup]()
           b.foreach(p => seen.add(p._1))
           a.filter(p => !seen.contains(p._1))
         }
-      }.persist(StorageLevel.MEMORY_AND_DISK)
+      }.localCheckpoint()
       n = fresh.count()
       if (n > 0) {
         parts = parts :+ fresh
@@ -593,12 +599,11 @@ class Compiler(
         if (parts.length >= maxChain) {
           val comp = parts.reduce((a, b) =>
             a.zipPartitions(b, preservesPartitioning = true)(_ ++ _))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
           comp.count()
-          parts.filter(_ ne delta).foreach(_.unpersist(blocking = false))
           parts = Vector(comp)
         }
-      } else fresh.unpersist(blocking = false)
+      }
       if (fixpointDebug) System.err.println(
         s"[fixpoint] kernel iter=$iter delta=$n total=$total " +
           s"elapsedMs=${(System.nanoTime() - debugT0) / 1000000}")

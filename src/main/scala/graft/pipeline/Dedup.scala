@@ -175,9 +175,8 @@ object Dedup {
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
           m.forEach { (k, v) => acc.add(v); out += ((k, v)) }
           out.iterator
-      }.persist(StorageLevel.MEMORY_AND_DISK)
+      }.localCheckpoint() // truncate lineage: rounds must not stack shuffles
       next.count()
-      labels.unpersist(blocking = false)
       labels = next
       curSum = acc.value
       trace(s"round done sum=$curSum")

@@ -1,0 +1,174 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+/** Incrementally maintained transitive closure over a streamed edge
+  * attribute — the monotone-recursion slice of the reference's
+  * incrementally-maintained rules (differential's `iterate`), which the
+  * general [[StreamCompiler]] intentionally leaves to the batch engine.
+  *
+  * Per micro-batch of edge ADDITIONS at time `t`, emits the exact closure
+  * diffs `((src, dst), t, +1)` — precisely the tuples in
+  * `closure(E ∪ Δe) − closure(E)` — by warm-starting the semi-naive
+  * iteration from the persisted totals instead of recomputing:
+  *
+  *   D₁   = (Δe ∪ Δe∘C) − C          (new edges, and new edges entering
+  *                                    existing paths)
+  *   Dₖ₊₁ = (E'∘Dₖ) − (C ∪ D₁ ∪ …)   (ordinary semi-naive rounds against
+  *                                    the UPDATED edge set)
+  *
+  * Sound for monotone programs: iteration starts from a post-fixpoint of
+  * the old rules below the new least fixpoint. Retractions are rejected —
+  * delete-and-rederive is the batch engine's job (snapshot diffing).
+  *
+  * State lives where the batch fixpoint kernel puts it: closure totals as
+  * hash-partitioned, persisted RDDs (subtraction is a co-partitioned
+  * narrow `zipPartitions` chain, compacted every `maxChain` batches), and
+  * the adjacency as a broadcast reverse index, size-gated like the
+  * kernel's static side (`maxEdges`). The one full-total scan per batch
+  * (Δe∘C) is narrow and partition-parallel; the arrangement-style upgrade
+  * if batches ever dominate is a second totals copy keyed by source.
+  */
+class IncrementalClosure(
+    spark: SparkSession,
+    partitions: Int = 8,
+    maxEdges: Long = 5000000L) {
+
+  private type Tup = (Long, Long)
+  private val sc = spark.sparkContext
+  private val part = new HashPartitioner(partitions)
+  private val maxChain = 16
+
+  private val edgeSet = mutable.Set.empty[Tup]
+  // reverse adjacency: dst -> srcs (the semi-naive round joins
+  // edges(x,y) with delta(y,z) on y)
+  private val rev = mutable.Map.empty[Long, mutable.ArrayBuffer[Long]]
+  private var totalParts: Vector[RDD[(Tup, Null)]] = Vector.empty
+
+  /** Current closure size (tuples). */
+  def size: Long = totalParts.map(_.count()).sum
+
+  /** Apply one batch of edge additions; returns the exact new closure
+    * tuples as a DataFrame (src, dst, t, diff) — all diffs +1. */
+  def advance(newEdges: Seq[(Long, Long)], t: Long): DataFrame = {
+    require(edgeSet.size + newEdges.size <= maxEdges,
+      s"edge relation exceeds the broadcast gate ($maxEdges); " +
+        "use the batch engine for edge sets this large")
+    val fresh = newEdges.distinct.filterNot(edgeSet)
+    fresh.foreach { case (s, d) =>
+      edgeSet += ((s, d))
+      rev.getOrElseUpdate(d, mutable.ArrayBuffer.empty) += s
+    }
+    if (fresh.isEmpty) return diffDf(sc.emptyRDD[(Tup, Null)], t)
+
+    // D1 candidates: Δe itself, plus Δe entering existing paths
+    // ((x,y) ∈ Δe, (y,z) ∈ C ⇒ (x,z)) — a narrow scan of the persisted
+    // totals against the broadcast Δe-by-destination map (y → {x}).
+    val dxBc = sc.broadcast(fresh.groupBy(_._2).map { case (y, es) =>
+      y -> es.map(_._1).toArray
+    })
+    val viaOld: RDD[(Tup, Null)] = if (totalParts.isEmpty) sc.emptyRDD
+    else sc.union(totalParts).mapPartitions { it =>
+      val m = dxBc.value
+      it.flatMap { case ((y, z), _) =>
+        m.get(y) match {
+          case None     => Iterator.empty
+          case Some(xs) => xs.iterator.map(x => ((x, z): Tup, null))
+        }
+      }
+    }
+    val cand0 = sc.parallelize(fresh.map(e => (e: Tup, null)), 1).union(viaOld)
+
+    val revBc = sc.broadcast(rev.view.mapValues(_.toArray).toMap)
+    var newParts = Vector.empty[RDD[(Tup, Null)]]
+    var delta = materializeFresh(cand0)
+    var n = delta.count()
+    while (n > 0) {
+      newParts = newParts :+ delta
+      totalParts = totalParts :+ delta
+      val next = delta.mapPartitions { it =>
+        val m = revBc.value
+        it.flatMap { case ((y, z), _) =>
+          m.get(y) match {
+            case None     => Iterator.empty
+            case Some(xs) => xs.iterator.map(x => ((x, z): Tup, null))
+          }
+        }
+      }
+      delta = materializeFresh(next)
+      n = delta.count()
+    }
+    if (totalParts.length > maxChain) compact()
+
+    val out = if (newParts.isEmpty) sc.emptyRDD[(Tup, Null)]
+    else sc.union(newParts)
+    diffDf(out, t)
+  }
+
+  /** Structured Streaming integration: drain a `(src, dst, t, diff)` edge
+    * stream through [[advance]] per micro-batch, handing each batch's
+    * closure diffs to `onDiffs`. Additions only (diff must be +1). */
+  def attach(edges: DataFrame, queryName: String)(
+      onDiffs: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect()
+        require(rows.forall(_.getLong(3) == 1L),
+          "IncrementalClosure maintains additions only; retract via the batch engine")
+        val byT = rows.groupBy(_.getLong(2)).toSeq.sortBy(_._1)
+        byT.foreach { case (t, rs) =>
+          onDiffs(advance(rs.map(r => (r.getLong(0), r.getLong(1))).toSeq, t))
+        }
+      }
+      .start()
+
+  // ------------------------------------------------------------------ impl
+
+  /** Partition candidates by tuple hash, dedup within the batch, subtract
+    * everything already derived (co-partitioned narrow chain). Local
+    * checkpoint, not bare persist: state RDDs live across batches, so
+    * their lineage must be TRUNCATED — otherwise every batch's chain
+    * stacks shuffle dependencies on the last, and any recompute (or even
+    * task metrics bookkeeping) walks the whole history. */
+  private def materializeFresh(cand: RDD[(Tup, Null)]): RDD[(Tup, Null)] = {
+    val deduped = cand.partitionBy(part).mapPartitions({ it =>
+      val seen = new java.util.HashSet[Tup]()
+      it.filter { case (e, _) => seen.add(e) }
+    }, preservesPartitioning = true)
+    totalParts.foldLeft(deduped) { (acc, tot) =>
+      acc.zipPartitions(tot, preservesPartitioning = true) { (a, b) =>
+        val seen = new java.util.HashSet[Tup]()
+        b.foreach(p => seen.add(p._1))
+        a.filter(p => !seen.contains(p._1))
+      }
+    }.localCheckpoint()
+  }
+
+  private def compact(): Unit = {
+    val comp = totalParts.reduce((a, b) =>
+      a.zipPartitions(b, preservesPartitioning = true)(_ ++ _))
+      .localCheckpoint()
+    comp.count()
+    // no manual unpersist: superseded parts stay referenced by nothing and
+    // the ContextCleaner reclaims their blocks; unpersisting here would
+    // strip the blocks out from under this batch's still-unconsumed diff
+    // output (checkpointed RDDs cannot recompute).
+    totalParts = Vector(comp)
+  }
+
+  private val schema = StructType(Seq(
+    StructField("src", LongType), StructField("dst", LongType),
+    StructField("t", LongType), StructField("diff", LongType)))
+
+  private def diffDf(rdd: RDD[(Tup, Null)], t: Long): DataFrame =
+    spark.createDataFrame(
+      rdd.map { case ((s, d), _) => Row(s, d, t, 1L) }, schema)
+}

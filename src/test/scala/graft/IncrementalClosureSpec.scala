@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.IncrementalClosure
+
+/** The streamed closure must emit, per batch, EXACTLY the tuples of
+  * closure(E ∪ Δe) − closure(E) — verified against a driver-side BFS
+  * closure on random edge batches, and end-to-end through the
+  * foreachBatch attachment on a memory stream.
+  */
+class IncrementalClosureSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Driver-side reference closure by repeated BFS. */
+  private def closure(edges: Set[(Long, Long)]): Set[(Long, Long)] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    nodes.flatMap { s =>
+      val seen = scala.collection.mutable.Set.empty[Long]
+      var frontier = adj.getOrElse(s, Set.empty)
+      while (frontier.nonEmpty) {
+        seen ++= frontier
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+      }
+      seen.map(d => (s, d))
+    }
+  }
+
+  test("per-batch diffs equal closure(E ∪ Δe) − closure(E) on random batches") {
+    val rnd = new scala.util.Random(42)
+    val inc = new IncrementalClosure(spark, partitions = 2)
+    var accumulated = Set.empty[(Long, Long)]
+    for (batch <- 1 to 6) {
+      val edges = Seq.fill(8)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+        .filter(e => e._1 != e._2)
+      val before = closure(accumulated)
+      accumulated ++= edges
+      val after = closure(accumulated)
+      val got = inc.advance(edges, batch.toLong).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == after -- before, s"batch $batch edges=$edges")
+    }
+    assert(inc.size == closure(accumulated).size.toLong)
+  }
+
+  test("duplicate and already-known edges emit nothing") {
+    val inc = new IncrementalClosure(spark, partitions = 2)
+    val d1 = inc.advance(Seq((1L, 2L), (2L, 3L), (1L, 2L)), 1L).collect()
+    assert(d1.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (2L, 3L), (1L, 3L)))
+    assert(inc.advance(Seq((1L, 2L)), 2L).collect().isEmpty)
+  }
+
+  test("foreachBatch attachment streams closure diffs from a memory stream") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val edges = MemoryStream[(Long, Long, Long, Long)]
+    val inc = new IncrementalClosure(spark, partitions = 2)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val query = inc.attach(
+      edges.toDF.toDF("src", "dst", "t", "diff"), "inc-closure-spec") { df =>
+      out ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    try {
+      edges.addData((1L, 2L, 1L, 1L), (2L, 3L, 1L, 1L))
+      query.processAllAvailable()
+      assert(out.toSet == Set((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L)))
+      out.clear()
+      edges.addData((3L, 1L, 2L, 1L)) // closes the cycle
+      query.processAllAvailable()
+      val want = Set(
+        (3L, 1L), (3L, 2L), (3L, 3L),
+        (1L, 1L), (2L, 2L), (2L, 1L))
+      assert(out.map(r => (r._1, r._2)).toSet == want)
+      assert(out.forall(_._3 == 2L))
+    } finally query.stop()
+  }
+}
