@@ -35,17 +35,25 @@ object Dedup {
     * materializes per row once, and CollapseProject keeps it that way
     * (non-cheap expressions referenced `perms` times don't re-inline). */
   def minhash(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, perms: Int = 8): DataFrame = {
+      n: Int = 3, perms: Int = 8): DataFrame =
+    minhashFromHp(
+      docs.select(col(idCol).as("id"), tokenHashPairs(col(textCol)).as("_hp")),
+      n, perms)
+
+  /** [[minhash]] over a prepared `(id, _hp)` token-hash-pair table — the
+    * md5-per-token pass is the dominant cost of every shingle-based
+    * operator, so pipelines materialize it once (see
+    * `PipelineQueries.docsHp`) and fan out. */
+  def minhashFromHp(hp: DataFrame, n: Int = 3, perms: Int = 8): DataFrame = {
     val sig = (0 until perms).map { j =>
       array_min(transform(col("_h"),
         h => h.getField("s1") + lit(j.toLong) * h.getField("s2"))).as(s"m$j")
     }
-    // Three-step select: token hashes materialize once per row, windows
-    // once per row, then the permutation family — each step references the
-    // previous step's column many times, which keeps CollapseProject from
-    // re-inlining the expensive producers.
-    docs.select(col(idCol).as("id"), tokenHashPairs(col(textCol)).as("_hp"))
-      .select(col("id"), shingleHashWindows(col("_hp"), n).as("_h"))
+    // Two-step select: windows materialize once per row, then the
+    // permutation family — each step references the previous step's column
+    // many times, which keeps CollapseProject from re-inlining the
+    // expensive producers.
+    hp.select(col("id"), shingleHashWindows(col("_hp"), n).as("_h"))
       .select((col("id") +: sig): _*)
   }
 
@@ -197,12 +205,19 @@ object Dedup {
     * exploded shingle table feeds both sides of the intersection join, so
     * it is materialized once instead of re-shingling every document twice. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
-      textCol: String, n: Int = 3): DataFrame = {
+      textCol: String, n: Int = 3): DataFrame =
+    ngramJaccardFromHp(
+      docs.select(col(idCol).as("id"), tokenHashPairs(col(textCol)).as("_hp")),
+      pairs, n)
+
+  /** [[ngramJaccard]] over a prepared `(id, _hp)` table (shared hash pass,
+    * see [[minhashFromHp]]). */
+  def ngramJaccardFromHp(hp: DataFrame, pairs: DataFrame,
+      n: Int = 3): DataFrame = {
     // Shingles are compared by their (s1, s2) hash pair — no shingle
     // strings are built or shuffled; both the intersection join and the
     // oracle use the identical scheme.
-    val sh = docs
-      .select(col(idCol).as("id"), tokenHashPairs(col(textCol)).as("_hp"))
+    val sh = hp
       .select(col("id"), explode(array_distinct(
         shingleHashWindows(col("_hp"), n))).as("s"))
       .localCheckpoint(true)

@@ -85,13 +85,21 @@ object TextAnalysis {
     * is dimension-sized in practice, so Catalyst broadcasts it.
     */
   def ngramOverlap(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
-    def shingleSet(df: DataFrame, as: String): DataFrame = df
-      .select(col(idCol).as(as), tokenHashPairs(col(textCol)).as("_hp"))
-      .select(col(as), explode(array_distinct(
+      textCol: String, n: Int): DataFrame =
+    ngramOverlapFromHp(
+      corpus.select(col(idCol).as("id"), tokenHashPairs(col(textCol)).as("_hp")),
+      benchmark.select(col(idCol).as("id"), tokenHashPairs(col(textCol)).as("_hp")),
+      n)
+
+  /** [[ngramOverlap]] over prepared `(id, _hp)` token-hash-pair tables
+    * (shared hash pass — see `Dedup.minhashFromHp`). */
+  def ngramOverlapFromHp(corpusHp: DataFrame, benchHp: DataFrame,
+      n: Int): DataFrame = {
+    def shingleSet(hp: DataFrame, as: String): DataFrame = hp
+      .select(col("id").as(as), explode(array_distinct(
         shingleHashWindows(col("_hp"), n))).as("s"))
-    val c = shingleSet(corpus, "corpus_id").localCheckpoint(true)
-    val b = shingleSet(benchmark, "bench_id")
+    val c = shingleSet(corpusHp, "corpus_id").localCheckpoint(true)
+    val b = shingleSet(benchHp, "bench_id")
     val sizes = c.groupBy(col("corpus_id")).agg(count(lit(1)).as("corpus_sz"))
     c.join(b, Seq("s"))
       .groupBy(col("corpus_id"), col("bench_id"))

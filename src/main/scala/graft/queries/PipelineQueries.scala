@@ -38,13 +38,25 @@ object PipelineQueries {
   // cross-query rule cache).
   private val pairsCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private val hpCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  // One md5 pass per token per document per (session, SF): every
+  // shingle-based query (minhash/LSH pairs, jaccard, contamination) reads
+  // this checkpointed (id, _hp) table instead of re-hashing the corpus.
+  private def docsHp(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      hpCache.getOrElseUpdate((s, dir),
+        docs(s, dir).select(col("doc_id").as("id"),
+          Portable.tokenHashPairs(col("text")).as("_hp")).localCheckpoint(true))
+    }
 
   private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
     synchronized {
       pairsCache.getOrElseUpdate((s, dir),
         Dedup.candidatePairs(
           Dedup.lshBuckets(
-            Dedup.minhash(docs(s, dir), "doc_id", "text", ShingleN, MinhashPerms),
+            Dedup.minhashFromHp(docsHp(s, dir), ShingleN, MinhashPerms),
             MinhashPerms, MinhashBands)).localCheckpoint(true))
     }
 
@@ -53,7 +65,7 @@ object PipelineQueries {
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
 
     "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhash(docs(s, dir), "doc_id", "text", ShingleN, 4)),
+      Dedup.minhashFromHp(docsHp(s, dir), ShingleN, 4)),
 
     "q_dedup_minhash_pairs" -> ((s, dir) => lshCandidatePairs(s, dir)),
 
@@ -64,8 +76,8 @@ object PipelineQueries {
       // Candidate pairs come from the LSH banding path (bucket-keyed
       // self-join) — the scale-safe blocker. A length-equality blocker
       // would make the biggest length bucket one task at 100×.
-      Dedup.ngramJaccard(docs(s, dir), lshCandidatePairs(s, dir),
-        "doc_id", "text", ShingleN)),
+      Dedup.ngramJaccardFromHp(docsHp(s, dir), lshCandidatePairs(s, dir),
+        ShingleN)),
 
     "q_dedup_clusters" -> ((s, dir) =>
       // Pairwise LSH hits -> dedup groups: connected components with the
@@ -159,10 +171,10 @@ object PipelineQueries {
       // Benchmark-contamination scan: 4-gram overlap of the corpus against
       // a held-out benchmark slice (doc_id % 20 == 0), keyed by n-gram
       // hash (work ∝ collisions, never corpus × benchmark).
-      val d = docs(s, dir)
-      val bench = d.where(pmod(col("doc_id"), lit(20)) === 0)
-      val corpus = d.where(pmod(col("doc_id"), lit(20)) =!= 0)
-      longify(TextAnalysis.ngramOverlap(corpus, bench, "doc_id", "text", 4))
+      val hp = docsHp(s, dir)
+      val bench = hp.where(pmod(col("id"), lit(20)) === 0)
+      val corpus = hp.where(pmod(col("id"), lit(20)) =!= 0)
+      longify(TextAnalysis.ngramOverlapFromHp(corpus, bench, 4))
     }),
 
     "q_embed_centroid" -> ((s, dir) =>

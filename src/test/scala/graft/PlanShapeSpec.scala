@@ -45,15 +45,23 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("minhash hashes each token once (projects not re-inlined, no UDFs)") {
-    val plan = planOf("q_dedup_minhash")
-    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
-      s"hot path must not contain UDFs:\n$plan")
-    // Three-stage structure: token digests materialize once in the bottom
-    // project ("AS _hp"); if CollapseProject re-inlined them, md5 would
-    // appear once per window element (O(len^2) digests per row).
-    assert(plan.contains("AS _hp"), s"expected materialized token hashes:\n$plan")
-    val md5s = "md5\\(".r.findAllIn(plan).size
-    assert(md5s <= 2, s"expected md5 only in the token-hash project, found $md5s:\n$plan")
+    // Operator-level property on raw documents: token digests materialize
+    // once in the bottom project ("AS _hp"); if CollapseProject re-inlined
+    // them, md5 would appear once per window element (O(len^2) digests
+    // per row).
+    val docs = TestSpark.spark.read.parquet(s"$sf/documents.parquet")
+    val opPlan = graft.pipeline.Dedup.minhash(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!opPlan.contains("BatchEvalPython") && !opPlan.contains("ScalaUDF"),
+      s"hot path must not contain UDFs:\n$opPlan")
+    assert(opPlan.contains("AS _hp"), s"expected materialized token hashes:\n$opPlan")
+    val md5s = "md5\\(".r.findAllIn(opPlan).size
+    assert(md5s <= 2, s"expected md5 only in the token-hash project, found $md5s:\n$opPlan")
+    // Query-level property: the driver query reads the SHARED checkpointed
+    // token-hash table — no md5 in its plan at all.
+    val qPlan = planOf("q_dedup_minhash")
+    assert(!"md5\\(".r.findAllIn(qPlan).hasNext,
+      s"query should scan the shared token-hash table, not re-hash:\n$qPlan")
   }
 
   test("jaccard candidates come from LSH buckets, not length equality") {
