@@ -246,8 +246,96 @@ class StreamCompiler(
     case P.Hector(vs, bindings) =>
       compile(lowerHector(vs, bindings))
 
+    case P.PullLevel(_, p, pullVar, pullAttrs, pathAttrs, cardMany) =>
+      pullLevelRel(compile(p), pullVar, pullAttrs, pathAttrs, cardMany)
+
     case other =>
       sys.error(s"plan not streamable (see StreamCompiler docs): $other")
+  }
+
+  /** Streaming PullLevel, mirroring the batch lowering
+    * (`Compiler.pullLevel`, reference `src/plan/pull.rs:94-237`): one
+    * incremental join per pulled attribute — the stream analog of the
+    * reference's arrangement-per-attribute — then a stateless map to the
+    * interleaved path shape `(parent path…, attr-name, variant value)`,
+    * plus the synthetic `db__id` branch when a path prefix exists and
+    * cardinality is one. Branch outputs union WITHOUT distinct (pull is
+    * multiset; weights multiplied by the join). */
+  private def pullLevelRel(input: SRel, pullVar: Int, pullAttrs: Seq[String],
+      pathAttrs: Seq[String], cardMany: Boolean): SRel = {
+    // interleave(values, constants) — src/plan/pull.rs:53-79.
+    def interleave[A](vals: Seq[A], consts: Seq[A]): Seq[A] =
+      if (vals.isEmpty || consts.isEmpty) vals
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[A]
+        var (nv, nc) = (0, 0)
+        (0 until vals.size + consts.size).foreach { i =>
+          if (i % 2 == 0) { out += vals(nv); nv += 1 }
+          else { out += consts(nc); nc += 1 }
+        }
+        out.toSeq
+      }
+    // Slots address the INPUT tuple: Left(position) or Right(constant).
+    val slots: Seq[Either[Int, String]] = interleave(
+      input.vars.indices.map(Left(_)), pathAttrs.map(Right(_)))
+    val slotKinds: Seq[ValueKind] = interleave(
+      input.kinds, pathAttrs.map(_ => KAid: ValueKind))
+
+    if (pullAttrs.isEmpty) {
+      if (pathAttrs.isEmpty) input
+      else SRel(
+        slots.indices.map(i => -(i + 1)), slotKinds,
+        input.ds.map(u => u.copy(tuple = slots.map {
+          case Left(i)  => u.tuple(i)
+          case Right(s) => s
+        }.toVector)))
+    } else {
+      val baseSlots = if (pathAttrs.isEmpty || cardMany) slots else slots.dropRight(1)
+      val baseKinds = (if (pathAttrs.isEmpty || cardMany) slotKinds
+                       else slotKinds.dropRight(1))
+      val outKinds = baseKinds ++ Seq(KAid, KVariant)
+      val outVars = outKinds.indices.map(i => -(i + 1))
+
+      val branches: Seq[Dataset[SUpd]] = pullAttrs.zipWithIndex.map { case (a, bi) =>
+        val fv = Int.MinValue / 2 - bi // fresh var, collision-free
+        val attrRel = SRel(Seq(pullVar, fv), Seq(KEid, kindOf(a)), sourceFrame(a))
+        val joined = joinRels(Seq(pullVar), input, attrRel)
+        val basePos: Seq[Either[Int, String]] = baseSlots.map {
+          case Left(i)  => Left(joined.idx(input.vars(i)))
+          case Right(s) => Right(s)
+        }
+        val vPos = joined.idx(fv)
+        val vKind = kindOf(a)
+        joined.ds.map { u =>
+          val base = basePos.map {
+            case Left(i)  => u.tuple(i)
+            case Right(s) => s
+          }
+          u.copy(tuple =
+            (base :+ (a: Any) :+ (Variant.rowOfNative(u.tuple(vPos), vKind): Any)).toVector)
+        }
+      }
+      val withDbId: Seq[Dataset[SUpd]] =
+        if (pathAttrs.isEmpty || cardMany) branches
+        else {
+          // Synthetic db__id rows retain the child eid — src/plan/pull.rs:211-230.
+          val eidSlot = slots.last
+          val eidKind = slotKinds.last
+          branches :+ input.ds.map { u =>
+            val base = baseSlots.map {
+              case Left(i)  => u.tuple(i)
+              case Right(s) => s
+            }
+            val eidVariant = eidSlot match {
+              case Left(i)  => Variant.rowOfNative(u.tuple(i), eidKind)
+              case Right(s) => Variant.rowOfNative(s, KAid)
+            }
+            u.copy(tuple =
+              (base :+ ("db__id": Any) :+ (eidVariant: Any)).toVector)
+          }
+        }
+      SRel(outVars, outKinds, withDbId.reduce(_ union _))
+    }
   }
 
   /** Lower a Hector conjunction to a Join/Filter chain for streaming:

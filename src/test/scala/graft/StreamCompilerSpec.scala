@@ -242,4 +242,52 @@ class StreamCompilerSpec extends AnyFunSuite {
       assert(got(2) == Set((Seq(1L), 2L, -1L)))
     } finally query.stop()
   }
+
+  test("pull level streams path rows with db__id and exact retractions") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val refs = MemoryStream[Datom4[Long]]
+    val names = MemoryStream[Datom4[String]]
+    val ages = MemoryStream[Datom4[Long]]
+    val compiler = new StreamCompiler(
+      sources = Map(
+        ":parent/child" -> refs.toDF.toDF("e", "v", "t", "diff"),
+        ":child/name" -> names.toDF.toDF("e", "v", "t", "diff"),
+        ":child/age" -> ages.toDF.toDF("e", "v", "t", "diff")),
+      sourceKinds = Map(":parent/child" -> KEid,
+        ":child/name" -> KString, ":child/age" -> KNumber))
+
+    // Pull [:child/age :child/name] along the :parent/child path with
+    // cardinality-one semantics (synthetic db__id rows retain the child
+    // eid — src/plan/pull.rs:211-230).
+    val plan = PullLevel(Seq.empty,
+      matchA(0, ":parent/child", 1), pullVariable = 1,
+      pullAttributes = Seq(":child/age", ":child/name"),
+      pathAttributes = Seq(":parent/child"), cardinalityMany = false)
+
+    def v(x: Value): Any = graft.model.Variant.rowOf(x)
+    val query = compiler.compileToFrame(plan)
+      .writeStream.format("memory").queryName("pull_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val got = collectBatches(query, "pull_out", Seq(
+        // batch 1: parent edge alone yields only the db__id row
+        () => refs.addData((100L, 200L, 0L, 1L)),
+        // batch 2: child attributes arrive, one path row each
+        () => {
+          names.addData((200L, "Alice", 1L, 1L))
+          ages.addData((200L, 13L, 1L, 1L))
+        },
+        // batch 3: retracting the age retracts exactly its path row
+        () => ages.addData((200L, 13L, 2L, -1L))))
+
+      assert(got(0) == Set(
+        (Seq(100L, ":parent/child", "db__id", v(Value.eid(200))), 0L, 1L)))
+      assert(got(1) == Set(
+        (Seq(100L, ":parent/child", ":child/age", v(Value.num(13))), 1L, 1L),
+        (Seq(100L, ":parent/child", ":child/name", v(Value.str("Alice"))), 1L, 1L)))
+      assert(got(2) == Set(
+        (Seq(100L, ":parent/child", ":child/age", v(Value.num(13))), 2L, -1L)))
+    } finally query.stop()
+  }
 }
