@@ -71,10 +71,43 @@ final class WsServer(engine: Engine, port: Int = 0,
     t
   }
 
+  // Rules served by a live Structured Streaming query rather than the
+  // batch engine: Interest in these names only registers delivery.
+  private val streamNames = mutable.Set.empty[String]
+
   def start(): WsServer = {
     acceptThread.start()
     tickThread.foreach(_.start())
     this
+  }
+
+  /** Serve a STREAMING rule: a `StreamCompiler` frame (columns
+    * `c0..cn, t, diff`) maintained as one continuous query, each
+    * micro-batch rendered as `Output::QueryDiff(name, batch)` to every
+    * client interested in `name` — the reference's live-dataflow delivery
+    * (`server/src/main.rs:455-520`) driven by the stream itself instead of
+    * explicit AdvanceDomain requests. */
+  def serveStream(name: String, frame: org.apache.spark.sql.DataFrame,
+      kinds: Seq[ValueKind]): org.apache.spark.sql.streaming.StreamingQuery = {
+    synchronized { streamNames += name }
+    frame.writeStream.outputMode("append")
+      .queryName(s"graft-ws-stream-$name")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect()
+        if (rows.nonEmpty) {
+          val n = rows.head.length
+          val rendered = rows.toSeq.map { r =>
+            ((0 until n - 2).map(i => asValue(r.get(i), kinds.lift(i))),
+              r.getLong(n - 2), r.getLong(n - 1))
+          }
+          val msg = Wire.renderOutput(Output.QueryDiff(name, rendered))
+          synchronized {
+            for ((out, names) <- clients.values if names.contains(name))
+              send(out, msg)
+          }
+        }
+      }
+      .start()
   }
 
   def stop(): Unit = {
@@ -145,7 +178,9 @@ final class WsServer(engine: Engine, port: Int = 0,
       val requests = Wire.parseRequests(text)
       requests.foreach {
         case Request.Interest(name, g) =>
-          engine.interest(name, g)
+          // Stream-served rules need no engine registration — the live
+          // query delivers; Interest only wires up this client.
+          if (!streamNames.contains(name)) engine.interest(name, g)
           clients(id)._2 += name
         case Request.Subscribe(attr) =>
           engine.handle(Request.Subscribe(attr))
@@ -215,6 +250,10 @@ final class WsServer(engine: Engine, port: Int = 0,
       case Seq(p: Long, q: Long) => Value.VRational(p, q)
       case other                 => Value.VString(other.mkString("[", " ", "]"))
     }
+    // Variant-encoded values (pull paths on the streaming delivery path)
+    // decode back to their tagged wire Value.
+    case (r: org.apache.spark.sql.Row, _) if r.length == 7 =>
+      graft.model.Variant.valueOf(r)
     case (other, _) => Value.VString(String.valueOf(other))
   }
 

@@ -262,4 +262,55 @@ class WsServerSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("stream-served rule pushes QueryDiff per micro-batch to interested clients") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    import graft.model.Plan._
+    import graft.model.ValueKind._
+    import graft.streaming.StreamCompiler
+
+    val names = MemoryStream[(Long, String, Long, Long)]
+    val ages = MemoryStream[(Long, Long, Long, Long)]
+    val compiler = new StreamCompiler(
+      sources = Map(
+        ":name" -> names.toDF.toDF("e", "v", "t", "diff"),
+        ":age" -> ages.toDF.toDF("e", "v", "t", "diff")),
+      sourceKinds = Map(":name" -> KString, ":age" -> KNumber))
+    val frame = compiler.compileToFrame(Project(Seq(1, 3, 2),
+      Join(Seq(1), matchA(1, ":name", 3), matchA(1, ":age", 2))))
+
+    val server = new WsServer(new Engine(spark)).start()
+    val query = server.serveStream("live_join", frame,
+      Seq(KEid, KString, KNumber))
+    val client = new Client(server.boundPort)
+    try {
+      client.send("""{"Interest":{"name":"live_join","granularity":null}}""")
+      names.addData((1L, "Dipper", 0L, 1L))
+      ages.addData((1L, 12L, 0L, 1L))
+      query.processAllAvailable()
+      Wire.parseOutput(client.next()) match {
+        case Output.QueryDiff(name, batch) =>
+          assert(name == "live_join")
+          assert(batch == Seq((Seq(Value.eid(1), Value.str("Dipper"),
+            Value.num(12)), 0L, 1L)))
+        case other => fail(s"expected a QueryDiff, got $other")
+      }
+      // retraction flows through the same live query
+      names.addData((1L, "Dipper", 1L, -1L))
+      query.processAllAvailable()
+      Wire.parseOutput(client.next()) match {
+        case Output.QueryDiff(_, batch) =>
+          assert(batch == Seq((Seq(Value.eid(1), Value.str("Dipper"),
+            Value.num(12)), 1L, -1L)))
+        case other => fail(s"expected a retraction QueryDiff, got $other")
+      }
+    } finally {
+      try query.stop() catch { case _: Throwable => () }
+      try client.close() catch { case _: Throwable => () }
+      server.stop()
+    }
+  }
 }
