@@ -75,6 +75,18 @@ object TextAnalysis {
     docs.select(col(idCol).as("id"),
       h64(normalized(col(textCol))).as("fp"))
 
+  /** Within-document repetition: total word n-gram windows vs distinct
+    * ones — the "how much of this document is itself repeated" signal
+    * used to filter boilerplate and degenerate generations. Pure per-row
+    * arithmetic over the shared token-hash table (no shuffle, no strings). */
+  def repetition(hp: DataFrame, n: Int): DataFrame = {
+    val windows = shingleHashWindows(col("_hp"), n)
+    hp.select(col("id"), windows.as("_w"))
+      .select(col("id"),
+        size(col("_w")).cast("long").as("nshingles"),
+        (size(col("_w")) - size(array_distinct(col("_w")))).cast("long").as("nrepeated"))
+  }
+
   /** Benchmark-contamination scan: for every (corpus doc, benchmark doc)
     * pair sharing at least one word `n`-gram, the count of shared distinct
     * n-grams plus the corpus doc's n-gram total (the consumer derives the

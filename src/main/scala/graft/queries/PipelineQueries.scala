@@ -180,6 +180,9 @@ object PipelineQueries {
     "q_embed_centroid" -> ((s, dir) =>
       Similarity.centroids(embeds(s, dir), "label")),
 
+    "q_text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(docsHp(s, dir), ShingleN)),
+
     "q_asof_join" -> ((s, dir) => {
       // Point-in-time join on the event stream: each click picks up the
       // latest view (ts <= click ts) by the same user — union + window,
@@ -426,6 +429,17 @@ object PipelineQueries {
                  CAST(count(*) AS BIGINT) AS shared, any_value(sz.corpus_sz) AS corpus_sz
           FROM c JOIN b USING (s) JOIN sz ON sz.id = c.id
           GROUP BY 1, 2""",
+
+    // list_distinct can't handle struct lists in DuckDB — compare windows
+    // by their (s1, s2) pair rendered to one string (same identity).
+    "q_text_repetition" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS id,
+                 CAST(len(w) AS BIGINT) AS nshingles,
+                 CAST(len(w) - len(list_distinct(list_transform(w,
+                   x -> CAST(x.s1 AS VARCHAR) || ':' || CAST(x.s2 AS VARCHAR))))
+                   AS BIGINT) AS nrepeated
+          FROM (SELECT doc_id, ${shingleHashPairsSql("text", ShingleN)} AS w
+                FROM documents)""",
 
     "q_embed_centroid" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,

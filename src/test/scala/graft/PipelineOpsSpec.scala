@@ -163,6 +163,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition counts duplicated n-gram windows per document") {
+    import graft.functions.Portable
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),   // 7 trigram windows, 3 distinct -> 4 repeated
+      (2L, "all distinct words here now"), // 3 windows, all distinct
+      (3L, "tiny")).toDF("doc_id", "text") // short text: one whole-text window
+    val hp = docs.select(col("doc_id").as("id"),
+      Portable.tokenHashPairs(col("text")).as("_hp"))
+    val got = TextAnalysis.repetition(hp, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 7L, 4L), (2L, 3L, 0L), (3L, 1L, 0L)))
+  }
+
   test("connectedComponents: empty pair set keeps every doc") {
     val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
     val ids = Seq(7L, 8L).toDF("id")
