@@ -434,10 +434,15 @@ class Compiler(
     * bytes per round, totals never move once written), so the scale story
     * is unchanged; only constant per-round overhead drops.
     *
+    * Filter layers between the union branch and the join (bounded
+    * reachability, guarded propagation) compile to JVM predicates applied
+    * during candidate generation — ordering predicates gated to
+    * long-backed kinds so JVM comparison matches Catalyst's exactly.
+    *
     * Falls back (returns None) on: multi-rule cliques (caller guards),
     * non-Join shapes, wrapped recursive references, duplicate variables,
-    * non-scalar column kinds (rational/variant), or a static side too big
-    * to broadcast.
+    * non-scalar column kinds (rational/variant), ordering filters over
+    * non-long kinds, or a static side too big to broadcast.
     */
   private def kernelLinear(
       spark: org.apache.spark.sql.SparkSession,
@@ -458,19 +463,24 @@ class Compiler(
     import scala.collection.immutable.ArraySeq
 
     // ---- shape detection -------------------------------------------------
-    def inner(p: Plan): Option[P.Join] = p match {
-      case j: P.Join       => Some(j)
-      case P.Project(_, x) => inner(x)
-      case _               => None
-    }
-    val (finalVars, j) = derived match {
-      case P.Union(vs, Seq(b)) => inner(b) match {
-        case Some(jj) => (vs, jj)
-        case None     => return None
+    // Unwrap Project/Filter layers down to the Join; filters apply to the
+    // candidate BEFORE the final projection (by variable id, so layer
+    // order is immaterial for Project-only reshuffles).
+    def inner(p: Plan, fs: List[P.Filter]): Option[(P.Join, List[P.Filter])] =
+      p match {
+        case j: P.Join            => Some((j, fs))
+        case P.Project(_, x)      => inner(x, fs)
+        case f @ P.Filter(_, _, x, _) => inner(x, f :: fs)
+        case _                    => None
       }
-      case P.Project(vs, x) => inner(x) match {
-        case Some(jj) => (vs, jj)
-        case None     => return None
+    val (finalVars, j, filters) = derived match {
+      case P.Union(vs, Seq(b)) => inner(b, Nil) match {
+        case Some((jj, fs)) => (vs, jj, fs)
+        case None           => return None
+      }
+      case P.Project(vs, x) => inner(x, Nil) match {
+        case Some((jj, fs)) => (vs, jj, fs)
+        case None           => return None
       }
       case _ => return None
     }
@@ -522,8 +532,71 @@ class Compiler(
       }
       full.groupBy(a => ArraySeq.unsafeWrapArray(keyIdxS.map(a(_))): Seq[Any])
     }
+    type Tup0 = ArraySeq[Any]
+    def asLongK(x: Any): Long = x match {
+      case l: Long => l
+      case i: Int  => i.toLong
+      case other   => sys.error(s"kernel filter expected a long, got $other")
+    }
+
+    // ---- filters: compile to JVM predicates over (rec tuple, static row).
+    // Operand lookup is by variable id (rec side preferred — target vars
+    // carry equal values on both). Ordering predicates are gated to
+    // long-backed kinds so JVM comparison matches Catalyst's exactly;
+    // EQ/NEQ allow any scalar (universal equals == Catalyst equality for
+    // scalars). Anything else bails to the DataFrame loop.
+    type Operand = (Boolean, Int) // (fromRec, idx)
+    def operandOf(v: Int): Option[Operand] = {
+      val ri = recVars.indexOf(v)
+      if (ri >= 0) Some((true, ri))
+      else {
+        val si = sVars.indexOf(v)
+        if (si < 0) None else Some((false, si))
+      }
+    }
+    def kindOfOperand(o: Operand): ValueKind =
+      if (o._1) template.kinds(o._2) else sRel.kinds(o._2)
+    def longKind(k: ValueKind): Boolean =
+      k == ValueKind.KNumber || k == ValueKind.KEid || k == ValueKind.KInstant
+    val filterFns: Array[(Tup0, Array[Any]) => Boolean] = filters.map { f =>
+      val ordering = f.predicate match {
+        case Predicate.EQ | Predicate.NEQ => false
+        case _                            => true
+      }
+      def check(pred: Predicate, a: Any, b: Any): Boolean = pred match {
+        case Predicate.EQ  => a == b
+        case Predicate.NEQ => a != b
+        case Predicate.LT  => asLongK(a) < asLongK(b)
+        case Predicate.LTE => asLongK(a) <= asLongK(b)
+        case Predicate.GT  => asLongK(a) > asLongK(b)
+        case Predicate.GTE => asLongK(a) >= asLongK(b)
+      }
+      val o0 = operandOf(f.variables(0)).getOrElse(return None)
+      if (ordering && !longKind(kindOfOperand(o0))) return None
+      def value(o: Operand, t: Tup0, s: Array[Any]): Any =
+        if (o._1) t(o._2) else s(o._2)
+      def constOk(k: Value): Boolean = !ordering ||
+        k.isInstanceOf[Value.VNumber] || k.isInstanceOf[Value.VEid] ||
+        k.isInstanceOf[Value.VInstant]
+      (f.constants.lift(0).flatten, f.constants.lift(1).flatten) match {
+        case (Some(k), _) =>
+          if (!constOk(k)) return None
+          val kn = k.native
+          (t: Tup0, s: Array[Any]) => check(f.predicate, kn, value(o0, t, s))
+        case (_, Some(k)) =>
+          if (!constOk(k)) return None
+          val kn = k.native
+          (t: Tup0, s: Array[Any]) => check(f.predicate, value(o0, t, s), kn)
+        case _ =>
+          val o1 = operandOf(f.variables(1)).getOrElse(return None)
+          if (ordering && !longKind(kindOfOperand(o1))) return None
+          (t: Tup0, s: Array[Any]) =>
+            check(f.predicate, value(o0, t, s), value(o1, t, s))
+      }
+    }.toArray
+
     if (fixpointDebug) System.err.println(
-      s"[fixpoint] kernel static=${sArr.length} rows " +
+      s"[fixpoint] kernel static=${sArr.length} rows filters=${filterFns.length} " +
         s"elapsedMs=${(System.nanoTime() - debugT0) / 1000000}")
 
     // ---- iterate ---------------------------------------------------------
@@ -548,6 +621,7 @@ class Compiler(
     d0.count()
     val recipeL = recipe // local vals only in closures (no `this` capture)
     val keyIdxRL = keyIdxR
+    val filterFnsL = filterFns
 
     var parts = Vector[RDD[(Tup, Null)]](d0)
     var delta: RDD[(Tup, Null)] = d0
@@ -562,15 +636,17 @@ class Compiler(
           val key: Seq[Any] = ArraySeq.unsafeWrapArray(keyIdxRL.map(t(_)))
           m.get(key) match {
             case None => Iterator.empty
-            case Some(ms) => ms.iterator.map { s =>
-              val out = new Array[Any](recipeL.length); var i = 0
-              while (i < recipeL.length) {
-                val (fromRec, idx) = recipeL(i)
-                out(i) = if (fromRec) t(idx) else s(idx)
-                i += 1
+            case Some(ms) => ms.iterator
+              .filter(s => filterFnsL.forall(f => f(t, s)))
+              .map { s =>
+                val out = new Array[Any](recipeL.length); var i = 0
+                while (i < recipeL.length) {
+                  val (fromRec, idx) = recipeL(i)
+                  out(i) = if (fromRec) t(idx) else s(idx)
+                  i += 1
+                }
+                (ArraySeq.unsafeWrapArray(out): Tup, null)
               }
-              (ArraySeq.unsafeWrapArray(out): Tup, null)
-            }
           }
         }
       }

@@ -59,9 +59,10 @@ class KernelFixpointSpec extends AnyFunSuite {
     assert(viaKernel == viaDataFrame)
   }
 
-  test("kernel bails to the DataFrame loop on non-bare recursive references") {
-    // A Filter between the Project and the Join breaks the kernel's shape
-    // gate; the fixpoint must still converge to the right closure subset.
+  test("filtered linear recursion runs on the kernel with identical results") {
+    // Bounded reachability: a Filter between the Project and the Join
+    // compiles to a kernel-side JVM predicate; results must match the
+    // general DataFrame loop exactly.
     val rules = Seq(
       Rule("edges", matchA(0, ":edge", 1)),
       Rule("closure", Union(Seq(0, 1), Seq(
@@ -74,7 +75,24 @@ class KernelFixpointSpec extends AnyFunSuite {
     val datoms = graphDatoms(60, seed = 11)
     val got = runClosure(rules, datoms, "closure")
     val reference = withKernelOff(runClosure(rules, datoms, "closure"))
-    assert(got == reference)
+    assert(got.nonEmpty && got == reference)
+  }
+
+  test("kernel bails to the DataFrame loop on non-bare recursive references") {
+    // A Project WRAPPING the recursive NameExpr inside the join breaks the
+    // bare-reference gate; the fixpoint must still converge correctly via
+    // the general loop.
+    val rules = Seq(
+      Rule("edges", matchA(0, ":edge", 1)),
+      Rule("closure", Union(Seq(0, 1), Seq(
+        NameExpr(Seq(0, 1), "edges"),
+        Project(Seq(0, 1), Join(Seq(2),
+          NameExpr(Seq(0, 2), "edges"),
+          Project(Seq(2, 1), NameExpr(Seq(2, 1), "closure"))))))))
+    val datoms = graphDatoms(60, seed = 11)
+    val got = runClosure(rules, datoms, "closure")
+    val reference = withKernelOff(runClosure(rules, datoms, "closure"))
+    assert(got.nonEmpty && got == reference)
   }
 
   test("downstream aggregation consumes a kernel-produced relation") {
