@@ -131,7 +131,10 @@ class StreamCompiler(
   private implicit val keyEnc: Encoder[String] = Encoders.STRING
   private implicit val cntEnc: Encoder[Long] = Encoders.scalaLong
 
-  private final case class SRel(vars: Seq[Int], kinds: Seq[ValueKind], ds: Dataset[SUpd]) {
+  private final case class SRel(vars: Seq[Int], kinds: Seq[ValueKind], ds: Dataset[SUpd],
+      // Pull paths with heterogeneous arity pack each tuple into ONE
+      // array<variant> element (mirrors Rel.isPathArray on the batch side).
+      isPathArray: Boolean = false) {
     def idx(v: Int): Int = {
       val i = vars.indexOf(v)
       require(i >= 0, s"variable $v not bound by stream over $vars")
@@ -145,7 +148,10 @@ class StreamCompiler(
   def compileToFrame(plan: Plan): DataFrame = {
     val rel = compile(plan)
     val fields = rel.kinds.zipWithIndex.map { case (k, i) =>
-      StructField(s"c$i", k.dataType, nullable = true)
+      val dt = if (rel.isPathArray)
+        org.apache.spark.sql.types.ArrayType(graft.model.Variant.schema)
+      else k.dataType
+      StructField(s"c$i", dt, nullable = true)
     } ++ Seq(StructField("t", LongType, false), StructField("diff", LongType, false))
     val schema = StructType(fields)
     rel.ds.map(u => Row.fromSeq(u.tuple :+ u.t :+ u.diff))(Encoders.row(schema))
@@ -248,6 +254,32 @@ class StreamCompiler(
 
     case P.PullLevel(_, p, pullVar, pullAttrs, pathAttrs, cardMany) =>
       pullLevelRel(compile(p), pullVar, pullAttrs, pathAttrs, cardMany)
+
+    case P.Pull(_, paths) =>
+      // Heterogeneous-arity path union: pack each tuple into one
+      // array<variant> element before the union (mirrors the batch
+      // compiler / src/plan/pull.rs:239-284); multiset — no distinct.
+      val packed = paths.map { p =>
+        val rel = compile(p)
+        val kinds = rel.kinds
+        rel.ds.map { u =>
+          val arr: Seq[Row] = u.tuple.toSeq.zip(kinds).map { case (x, k) =>
+            Variant.rowOfNative(x, k)
+          }
+          u.copy(tuple = Vector(arr))
+        }
+      }
+      SRel(Seq(-1), Seq(KVariant), packed.reduce(_ union _), isPathArray = true)
+
+    case P.PullAll(_, pullAttrs) =>
+      // [e a v] for every attribute — src/plan/pull.rs:288-358.
+      val branches = pullAttrs.map { a =>
+        val k = kindOf(a)
+        sourceFrame(a).map(u => u.copy(tuple =
+          Vector(u.tuple(0), a, Variant.rowOfNative(u.tuple(1), k))))
+      }
+      SRel(Seq(-1, -2, -3), Seq(KEid, KAid, KVariant),
+        branches.reduce(_ union _))
 
     case other =>
       sys.error(s"plan not streamable (see StreamCompiler docs): $other")

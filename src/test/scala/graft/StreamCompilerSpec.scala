@@ -290,4 +290,45 @@ class StreamCompilerSpec extends AnyFunSuite {
         (Seq(100L, ":parent/child", ":child/age", v(Value.num(13))), 2L, -1L)))
     } finally query.stop()
   }
+
+  test("multi-path pull streams heterogeneous arities as variant arrays") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val refs = MemoryStream[Datom4[Long]]
+    val names = MemoryStream[Datom4[String]]
+    val tags = MemoryStream[Datom4[String]]
+    val compiler = new StreamCompiler(
+      sources = Map(
+        ":p/child" -> refs.toDF.toDF("e", "v", "t", "diff"),
+        ":c/name" -> names.toDF.toDF("e", "v", "t", "diff"),
+        ":p/tag" -> tags.toDF.toDF("e", "v", "t", "diff")),
+      sourceKinds = Map(":p/child" -> KEid, ":c/name" -> KString,
+        ":p/tag" -> KString))
+
+    // Two paths of different arity — a 5-wide pulled path and a bare
+    // 2-wide attribute — packed per-tuple into one array<variant> column
+    // (the batch Pull shape, src/plan/pull.rs:239-284).
+    val plan = Pull(Seq.empty, Seq(
+      PullLevel(Seq.empty, matchA(0, ":p/child", 1), pullVariable = 1,
+        pullAttributes = Seq(":c/name"), pathAttributes = Seq(":p/child"),
+        cardinalityMany = true),
+      matchA(0, ":p/tag", 1)))
+
+    def v(x: Value) = graft.model.Variant.rowOf(x)
+    val query = compiler.compileToFrame(plan)
+      .writeStream.format("memory").queryName("pull_multi_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val got = collectBatches(query, "pull_multi_out", Seq(
+        () => {
+          refs.addData((1L, 2L, 0L, 1L))
+          names.addData((2L, "N", 0L, 1L))
+          tags.addData((1L, "hot", 0L, 1L))
+        }))
+      assert(got(0) == Set(
+        (Seq(Seq(v(Value.eid(1)), v(Value.VAid(":p/child")), v(Value.eid(2)),
+          v(Value.VAid(":c/name")), v(Value.str("N")))), 0L, 1L),
+        (Seq(Seq(v(Value.eid(1)), v(Value.str("hot")))), 0L, 1L)))
+    } finally query.stop()
+  }
 }
