@@ -129,11 +129,18 @@ class Domain(val spark: SparkSession) extends Serializable {
     }
   }
 
+  // Times that must be processed even though no buffered datom carries
+  // them — e.g. a static source registration landing "now" (its data has
+  // no per-datom timestamps but changes the next snapshot).
+  private val extraPending = mutable.SortedSet.empty[Long]
+  def notePending(t: Long): Unit = extraPending += t
+
   /** Distinct datom times in [from, until) — the completed times an
     * `advance` must emit output diffs for. */
   def pendingTimes(from: Long, until: Long): Seq[Long] =
-    attrs.valuesIterator
-      .flatMap(_.buffer.iterator.map(_._3))
+    (attrs.valuesIterator
+      .flatMap(_.buffer.iterator.map(_._3)) ++
+      extraPending.iterator)
       .filter(t => t >= from && t < until)
       .toSeq.distinct.sorted
 

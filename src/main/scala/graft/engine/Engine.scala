@@ -125,6 +125,17 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
       case R.Register(rules, _)      => rules.foreach(register)
       case R.CreateAttribute(n, cfg) => createAttribute(n, cfg)
       case R.AdvanceDomain(_, t)     => advance(t)
+      case R.RegisterSource(src) =>
+        src match {
+          // Reference semantics (`server/src/main.rs:396-420`): the source's
+          // attribute streams join the domain; here the file materializes
+          // into Distinct-semantics attribute collections.
+          case Left(csv)   => graft.sources.FileSources.registerCsv(domain, csv)
+          case Right(json) => graft.sources.FileSources.registerJson(domain, json)
+        }
+        // The registration lands "now": the next advance must snapshot at
+        // this time to emit the new data as diffs.
+        domain.notePending(frontier)
       case R.Tick                    => advance(frontier + 1)
       case R.CloseInput(name)        => domain.closeInput(name)
       case R.Disconnect | R.Setup | R.Status | R.Shutdown => ()

@@ -23,6 +23,11 @@ object Request {
   final case class CreateAttribute(name: String, config: AttributeConfig)
       extends Request
   final case class AdvanceDomain(domain: Option[String], t: Long) extends Request
+  /** Attach an external data source publishing one or more attributes
+    * (`Request::RegisterSource`, `src/server/mod.rs:171`). */
+  final case class RegisterSource(
+      source: Either[graft.sources.FileSources.CsvFile,
+        graft.sources.FileSources.JsonFile]) extends Request
   case object Tick extends Request
   final case class CloseInput(name: String) extends Request
   case object Disconnect extends Request
@@ -114,6 +119,49 @@ object Wire {
           Request.AdvanceDomain(
             if (dom == JNull) None else Some(str(dom)), timeOf(t))
         case Vector(("CloseInput", JStr(n))) => Request.CloseInput(n)
+        case Vector(("RegisterSource", so: JObj)) =>
+          // serde shape: {"CsvFile": {path, has_headers, delimiter(u8),
+          // comment(u8|null), eid_offset, schema: [[aid,[off,ValueHint]]]}}
+          // — reference `src/sources/csv_file.rs:17-40`. Unsupported
+          // reference fields (flexible, fuel, timestamp_offset) ignored.
+          def charOf(j: J): String = j match {
+            case n: JNum => long(n).toChar.toString
+            case other   => str(other)
+          }
+          so.fields match {
+            case Vector(("CsvFile", co: JObj)) =>
+              val schema = arr(co.get("schema").get).map { e =>
+                arr(e) match {
+                  case Seq(aidJ, offVal) => arr(offVal) match {
+                    case Seq(off, hint) =>
+                      (str(aidJ), (int(off), ValueKind.of(valueOf(hint))))
+                    case other => sys.error(s"malformed schema entry: $other")
+                  }
+                  case other => sys.error(s"malformed schema entry: $other")
+                }
+              }
+              Request.RegisterSource(Left(graft.sources.FileSources.CsvFile(
+                path = str(co.get("path").get),
+                hasHeaders = co.get("has_headers") match {
+                  case Some(JBool(b)) => b
+                  case _              => true
+                },
+                delimiter = co.get("delimiter").map(charOf).getOrElse(","),
+                comment = co.get("comment").filter(_ != JNull).map(charOf),
+                eidOffset = co.get("eid_offset").map(int).getOrElse(0),
+                schema = schema)))
+            case Vector(("JsonFile", co: JObj)) =>
+              Request.RegisterSource(Right(graft.sources.FileSources.JsonFile(
+                path = str(co.get("path").get),
+                attributes = arr(co.get("attributes").get).map { e =>
+                  arr(e) match {
+                    case Seq(aidJ, hint) =>
+                      (str(aidJ), ValueKind.of(valueOf(hint)))
+                    case other => sys.error(s"malformed attribute entry: $other")
+                  }
+                })))
+            case other => sys.error(s"unknown source: $other")
+          }
         case other => sys.error(s"unknown request: $other")
       }
     case other => sys.error(s"unknown request: $other")
@@ -136,6 +184,30 @@ object Wire {
     case Request.Register(rules, publish) =>
       s"""{"Register":{"rules":[${rules.map(renderRule).mkString(",")}],"publish":[${
         publish.map(qs).mkString(",")}]}}"""
+    case Request.RegisterSource(src) =>
+      def hint(kind: ValueKind): String = kind match {
+        case ValueKind.KString  => """{"String":""}"""
+        case ValueKind.KNumber  => """{"Number":0}"""
+        case ValueKind.KEid     => """{"Eid":0}"""
+        case ValueKind.KBool    => """{"Bool":false}"""
+        case ValueKind.KInstant => """{"Instant":0}"""
+        case other              => sys.error(s"unsupported source type hint $other")
+      }
+      src match {
+        case Left(c) =>
+          val schema = c.schema.map { case (aid, (off, kind)) =>
+            s"[${qs(aid)},[$off,${hint(kind)}]]"
+          }.mkString(",")
+          s"""{"RegisterSource":{"CsvFile":{"path":${qs(c.path)},""" +
+            s""""has_headers":${c.hasHeaders},"delimiter":${c.delimiter.head.toInt},""" +
+            s""""comment":${c.comment.map(_.head.toInt.toString).getOrElse("null")},""" +
+            s""""eid_offset":${c.eidOffset},"schema":[$schema]}}}"""
+        case Right(jf) =>
+          val attrs = jf.attributes.map { case (aid, kind) =>
+            s"[${qs(aid)},${hint(kind)}]"
+          }.mkString(",")
+          s"""{"RegisterSource":{"JsonFile":{"path":${qs(jf.path)},"attributes":[$attrs]}}}"""
+      }
     case Request.CreateAttribute(n, c) =>
       s"""{"CreateAttribute":{"name":${qs(n)},"config":{"input_semantics":${
         qs(semanticsName(c.inputSemantics))}}}}"""

@@ -179,4 +179,34 @@ class SourcesAndSinksSpec extends AnyFunSuite {
     assert(docs("1") == """{":person/age":33,":person/name":"alice"}""")
     assert(docs("2") == """{":person/name":"bob"}""")
   }
+
+  test("RegisterSource request wires a CSV source through the engine") {
+    import graft.engine.Engine
+    import graft.server.{Request, Wire}
+    val dir = Files.createTempDirectory("graft_regsrc")
+    val f = dir.resolve("people.csv")
+    Files.writeString(f,
+      """id,name,age
+        |1,alice,33
+        |2,bob,41
+        |""".stripMargin)
+
+    // serde shape: delimiter/comment as u8, schema hints as Value variants.
+    val json =
+      s"""{"RegisterSource":{"CsvFile":{"path":"$f","has_headers":true,
+          "delimiter":44,"comment":null,"eid_offset":0,
+          "schema":[[":name",[1,{"String":""}]],[":age",[2,{"Number":0}]]]}}}"""
+    val reqs = Wire.parseRequests(json)
+    // render(parse(x)) parses back to the same request (round-trip).
+    assert(Wire.parseRequests(Wire.renderRequest(reqs.head)) == reqs)
+
+    val engine = new Engine(spark)
+    reqs.foreach(engine.handle)
+    engine.handle(Request.Subscribe(":age"))
+    engine.advance(1)
+    val got = engine.drain(":age").map { case (tuple, _, d) =>
+      (tuple(0).asInstanceOf[Long], tuple(1).asInstanceOf[Long], d)
+    }.toSet
+    assert(got == Set((1L, 33L, 1L), (2L, 41L, 1L)))
+  }
 }
