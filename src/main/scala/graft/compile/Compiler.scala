@@ -491,14 +491,19 @@ class Compiler(
       case _ => return None
     }
     val target = j.variables
-    val scalarOk = template.kinds.forall(k =>
-      k != ValueKind.KRational && k != ValueKind.KVariant)
-    if (!scalarOk || recVars.distinct != recVars) return None
+    // KReal excluded everywhere: JVM Double equality/hashing disagrees with
+    // Catalyst's NormalizeFloatingNumbers on -0.0/NaN, so kernel join keys
+    // and tuple dedup could diverge from the DataFrame loop.
+    def kernelKind(k: ValueKind): Boolean =
+      k != ValueKind.KRational && k != ValueKind.KVariant && k != ValueKind.KReal
+    if (!template.kinds.forall(kernelKind) || recVars.distinct != recVars)
+      return None
     if (!target.forall(recVars.contains)) return None
 
     // ---- static side: compile once, size-gate, collect + broadcast -------
     val sRel = compile(staticPlan, Map.empty).getOrElse(return None)
     val sVars = sRel.vars
+    if (!sRel.kinds.forall(kernelKind)) return None
     if (sVars.distinct != sVars || !target.forall(sVars.contains)) return None
     val recipe: Array[(Boolean, Int)] = finalVars.map { v =>
       val ri = recVars.indexOf(v)
@@ -563,14 +568,17 @@ class Compiler(
         case Predicate.EQ | Predicate.NEQ => false
         case _                            => true
       }
-      def check(pred: Predicate, a: Any, b: Any): Boolean = pred match {
-        case Predicate.EQ  => a == b
-        case Predicate.NEQ => a != b
-        case Predicate.LT  => asLongK(a) < asLongK(b)
-        case Predicate.LTE => asLongK(a) <= asLongK(b)
-        case Predicate.GT  => asLongK(a) > asLongK(b)
-        case Predicate.GTE => asLongK(a) >= asLongK(b)
-      }
+      def check(pred: Predicate, a: Any, b: Any): Boolean =
+        // Catalyst three-valued logic: any null operand fails the filter.
+        if (a == null || b == null) false
+        else pred match {
+          case Predicate.EQ  => a == b
+          case Predicate.NEQ => a != b
+          case Predicate.LT  => asLongK(a) < asLongK(b)
+          case Predicate.LTE => asLongK(a) <= asLongK(b)
+          case Predicate.GT  => asLongK(a) > asLongK(b)
+          case Predicate.GTE => asLongK(a) >= asLongK(b)
+        }
       val o0 = operandOf(f.variables(0)).getOrElse(return None)
       if (ordering && !longKind(kindOfOperand(o0))) return None
       def value(o: Operand, t: Tup0, s: Array[Any]): Any =
@@ -650,35 +658,14 @@ class Compiler(
           }
         }
       }
-      val deduped = cand.partitionBy(part).mapPartitions({ it =>
-        val seen = new java.util.HashSet[Tup]()
-        it.filter { case (t, _) => seen.add(t) }
-      }, preservesPartitioning = true)
-      // localCheckpoint, not bare persist: truncates lineage so deep
-      // fixpoints don't stack every round's shuffle dependency into each
-      // task's DAG (and an evicted block can't trigger a full-history
-      // recompute). Superseded parts are reclaimed by the ContextCleaner
-      // once unreferenced — never unpersisted manually, since the chain
-      // and the final result still read them.
-      val fresh = parts.foldLeft(deduped) { (acc, tot) =>
-        acc.zipPartitions(tot, preservesPartitioning = true) { (a, b) =>
-          val seen = new java.util.HashSet[Tup]()
-          b.foreach(p => seen.add(p._1))
-          a.filter(p => !seen.contains(p._1))
-        }
-      }.localCheckpoint()
+      val fresh = graft.kernel.RddKernel.freshDelta(cand, part, parts)
       n = fresh.count()
       if (n > 0) {
         parts = parts :+ fresh
         delta = fresh
         total += n
-        if (parts.length >= maxChain) {
-          val comp = parts.reduce((a, b) =>
-            a.zipPartitions(b, preservesPartitioning = true)(_ ++ _))
-            .localCheckpoint()
-          comp.count()
-          parts = Vector(comp)
-        }
+        if (parts.length >= maxChain)
+          parts = Vector(graft.kernel.RddKernel.compact(parts))
       }
       if (fixpointDebug) System.err.println(
         s"[fixpoint] kernel iter=$iter delta=$n total=$total " +

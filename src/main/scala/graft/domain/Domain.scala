@@ -134,6 +134,10 @@ class Domain(val spark: SparkSession) extends Serializable {
   // no per-datom timestamps but changes the next snapshot).
   private val extraPending = mutable.SortedSet.empty[Long]
   def notePending(t: Long): Unit = extraPending += t
+  /** Drop noted times below `before` (already processed — they can never
+    * matter again; keeps the set bounded on long-lived servers). */
+  def prunePending(before: Long): Unit =
+    extraPending.filterInPlace(_ >= before)
 
   /** Distinct datom times in [from, until) — the completed times an
     * `advance` must emit output diffs for. */

@@ -223,6 +223,7 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
       prevSnapshots(name) = cur
     }
     processedThrough = times.lastOption.map(_ + 1).getOrElse(processedThrough)
+    domain.prunePending(processedThrough)
     frontier = next
     // Release coarsened diffs whose interval bound has now completed.
     for ((name, buf) <- pendingCoarse if interests(name)) {

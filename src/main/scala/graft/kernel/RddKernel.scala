@@ -1,0 +1,58 @@
+package graft.kernel
+
+import scala.reflect.ClassTag
+
+import org.apache.spark.Partitioner
+import org.apache.spark.rdd.RDD
+
+/** Shared primitives for the iterative RDD kernels (the recursive-fixpoint
+  * loop in the compiler and the incrementally-maintained streaming
+  * closure): hash-partitioned within-batch dedup, subtraction against a
+  * co-partitioned chain of already-derived tuples, and chain compaction.
+  *
+  * Two invariants every caller relies on, in one place so a fix can't
+  * miss a copy:
+  *  - every RDD in a chain shares ONE partitioner, so dedup/subtract/
+  *    concat are narrow (positional `zipPartitions` alignment);
+  *  - state living across jobs is `localCheckpoint()`ed, NOT merely
+  *    persisted — without lineage truncation each round/batch stacks its
+  *    shuffle dependencies on the last — and chain members are never
+  *    manually unpersisted while any live RDD still references them
+  *    (checkpointed RDDs cannot recompute).
+  */
+object RddKernel {
+
+  /** Hash-partition candidates and drop within-batch duplicates. */
+  def dedup[K: ClassTag](cand: RDD[(K, Null)], part: Partitioner): RDD[(K, Null)] =
+    cand.partitionBy(part).mapPartitions({ it =>
+      val seen = new java.util.HashSet[K]()
+      it.filter { case (k, _) => seen.add(k) }
+    }, preservesPartitioning = true)
+
+  /** Remove every key present in the co-partitioned chain (narrow
+    * anti-join per link). */
+  def subtract[K: ClassTag](
+      cand: RDD[(K, Null)], chain: Seq[RDD[(K, Null)]]): RDD[(K, Null)] =
+    chain.foldLeft(cand) { (acc, tot) =>
+      acc.zipPartitions(tot, preservesPartitioning = true) { (a, b) =>
+        val seen = new java.util.HashSet[K]()
+        b.foreach(p => seen.add(p._1))
+        a.filter(p => !seen.contains(p._1))
+      }
+    }
+
+  /** dedup + subtract + lineage-truncating checkpoint: the per-round step
+    * of every semi-naive kernel. The caller's next action materializes it. */
+  def freshDelta[K: ClassTag](cand: RDD[(K, Null)], part: Partitioner,
+      chain: Seq[RDD[(K, Null)]]): RDD[(K, Null)] =
+    subtract(dedup(cand, part), chain).localCheckpoint()
+
+  /** Collapse a chain into one materialized frame (narrow concat). */
+  def compact[K: ClassTag](chain: Seq[RDD[(K, Null)]]): RDD[(K, Null)] = {
+    val comp = chain.reduce((a, b) =>
+      a.zipPartitions(b, preservesPartitioning = true)(_ ++ _))
+      .localCheckpoint()
+    comp.count()
+    comp
+  }
+}

@@ -163,11 +163,15 @@ object Dedup {
         it.collect { case (s, _) if seen.add(s) => (s, s) }
       }, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var prevSum = Long.MinValue
-    var curSum = labels.map(_._2).sum().toLong
+    labels.count()
     trace(s"labels initialized")
-    while (curSum != prevSum) {
-      prevSum = curSum
+    // Convergence = no label shrank this round. The changed-count
+    // accumulator is exact (no floating sums, no overflow wrap) and its
+    // ZERO/non-zero reading is retry-safe: a re-executed task that saw no
+    // change still adds nothing, and any task that shrank a label keeps
+    // the count positive regardless of double-counting.
+    var changed = 1L
+    while (changed > 0) {
       val acc = sc.longAccumulator
       val msgs = edges.zipPartitions(labels, preservesPartitioning = true) {
         (eIt, lIt) =>
@@ -179,15 +183,17 @@ object Dedup {
         (lIt, mIt) =>
           val m = new java.util.HashMap[Long, Long]()
           lIt.foreach { case (id, l) => m.put(id, l) }
-          mIt.foreach { case (d, l) => if (l < m.get(d)) m.put(d, l) }
+          mIt.foreach { case (d, l) =>
+            if (l < m.get(d)) { m.put(d, l); acc.add(1L) }
+          }
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-          m.forEach { (k, v) => acc.add(v); out += ((k, v)) }
+          m.forEach { (k, v) => out += ((k, v)) }
           out.iterator
       }.localCheckpoint() // truncate lineage: rounds must not stack shuffles
       next.count()
       labels = next
-      curSum = acc.value
-      trace(s"round done sum=$curSum")
+      changed = acc.value
+      trace(s"round done changed=$changed")
     }
 
     import spark.implicits._

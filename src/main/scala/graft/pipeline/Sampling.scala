@@ -40,6 +40,8 @@ object Sampling {
     */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], order: Column,
       tie: Column, k: Int): DataFrame = {
+    require(!df.columns.contains("rank"),
+      "topKPerGroup appends a 'rank' column; rename the input's existing one")
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(order.desc, tie.asc)
     df.withColumn("rank", row_number().over(w).cast("long"))

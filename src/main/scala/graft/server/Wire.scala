@@ -198,9 +198,14 @@ object Wire {
           val schema = c.schema.map { case (aid, (off, kind)) =>
             s"[${qs(aid)},[$off,${hint(kind)}]]"
           }.mkString(",")
+          // Reference delimiters are u8; ours are strings (Spark allows
+          // multi-char). Render single chars as u8 for serde parity, else
+          // as a string (our parser accepts both) — no silent truncation.
+          def charJson(s: String): String =
+            if (s.length == 1) s.head.toInt.toString else qs(s)
           s"""{"RegisterSource":{"CsvFile":{"path":${qs(c.path)},""" +
-            s""""has_headers":${c.hasHeaders},"delimiter":${c.delimiter.head.toInt},""" +
-            s""""comment":${c.comment.map(_.head.toInt.toString).getOrElse("null")},""" +
+            s""""has_headers":${c.hasHeaders},"delimiter":${charJson(c.delimiter)},""" +
+            s""""comment":${c.comment.map(charJson).getOrElse("null")},""" +
             s""""eid_offset":${c.eidOffset},"schema":[$schema]}}}"""
         case Right(jf) =>
           val attrs = jf.attributes.map { case (aid, kind) =>

@@ -93,17 +93,32 @@ final class WsServer(engine: Engine, port: Int = 0,
     frame.writeStream.outputMode("append")
       .queryName(s"graft-ws-stream-$name")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val rows = batch.collect()
-        if (rows.nonEmpty) {
-          val n = rows.head.length
-          val rendered = rows.toSeq.map { r =>
-            ((0 until n - 2).map(i => asValue(r.get(i), kinds.lift(i))),
-              r.getLong(n - 2), r.getLong(n - 1))
-          }
-          val msg = Wire.renderOutput(Output.QueryDiff(name, rendered))
-          synchronized {
-            for ((out, names) <- clients.values if names.contains(name))
-              send(out, msg)
+        // No interested client ⇒ skip the collect + render entirely (the
+        // query keeps running so a later Interest picks up from there).
+        val anyInterested =
+          synchronized(clients.values.exists(_._2.contains(name)))
+        if (anyInterested) {
+          val rows = batch.collect()
+          if (rows.nonEmpty) {
+            val n = rows.head.length
+            val rendered = rows.toSeq.map { r =>
+              r.get(0) match {
+                // Pull path-array frames: the single array<variant> column
+                // IS the tuple — decode each element to its tagged Value.
+                case arr: scala.collection.Seq[_] if n == 3 =>
+                  (arr.map(e => graft.model.Variant.valueOf(
+                    e.asInstanceOf[org.apache.spark.sql.Row])).toSeq,
+                    r.getLong(1), r.getLong(2))
+                case _ =>
+                  ((0 until n - 2).map(i => asValue(r.get(i), kinds.lift(i))),
+                    r.getLong(n - 2), r.getLong(n - 1))
+              }
+            }
+            val msg = Wire.renderOutput(Output.QueryDiff(name, rendered))
+            synchronized {
+              for ((out, names) <- clients.values if names.contains(name))
+                send(out, msg)
+            }
           }
         }
       }
@@ -251,9 +266,12 @@ final class WsServer(engine: Engine, port: Int = 0,
       case other                 => Value.VString(other.mkString("[", " ", "]"))
     }
     // Variant-encoded values (pull paths on the streaming delivery path)
-    // decode back to their tagged wire Value.
+    // decode back to their tagged wire Value; rational structs keep their
+    // exact (num, den) identity.
     case (r: org.apache.spark.sql.Row, _) if r.length == 7 =>
       graft.model.Variant.valueOf(r)
+    case (r: org.apache.spark.sql.Row, _) if r.length == 2 =>
+      Value.VRational(r.getLong(0), r.getLong(1))
     case (other, _) => Value.VString(String.valueOf(other))
   }
 

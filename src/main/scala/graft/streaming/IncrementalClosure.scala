@@ -133,36 +133,14 @@ class IncrementalClosure(
   // ------------------------------------------------------------------ impl
 
   /** Partition candidates by tuple hash, dedup within the batch, subtract
-    * everything already derived (co-partitioned narrow chain). Local
-    * checkpoint, not bare persist: state RDDs live across batches, so
-    * their lineage must be TRUNCATED — otherwise every batch's chain
-    * stacks shuffle dependencies on the last, and any recompute (or even
-    * task metrics bookkeeping) walks the whole history. */
-  private def materializeFresh(cand: RDD[(Tup, Null)]): RDD[(Tup, Null)] = {
-    val deduped = cand.partitionBy(part).mapPartitions({ it =>
-      val seen = new java.util.HashSet[Tup]()
-      it.filter { case (e, _) => seen.add(e) }
-    }, preservesPartitioning = true)
-    totalParts.foldLeft(deduped) { (acc, tot) =>
-      acc.zipPartitions(tot, preservesPartitioning = true) { (a, b) =>
-        val seen = new java.util.HashSet[Tup]()
-        b.foreach(p => seen.add(p._1))
-        a.filter(p => !seen.contains(p._1))
-      }
-    }.localCheckpoint()
-  }
+    * everything already derived — the shared semi-naive step
+    * ([[graft.kernel.RddKernel]] holds the partitioning and
+    * lineage-truncation invariants). */
+  private def materializeFresh(cand: RDD[(Tup, Null)]): RDD[(Tup, Null)] =
+    graft.kernel.RddKernel.freshDelta(cand, part, totalParts)
 
-  private def compact(): Unit = {
-    val comp = totalParts.reduce((a, b) =>
-      a.zipPartitions(b, preservesPartitioning = true)(_ ++ _))
-      .localCheckpoint()
-    comp.count()
-    // no manual unpersist: superseded parts stay referenced by nothing and
-    // the ContextCleaner reclaims their blocks; unpersisting here would
-    // strip the blocks out from under this batch's still-unconsumed diff
-    // output (checkpointed RDDs cannot recompute).
-    totalParts = Vector(comp)
-  }
+  private def compact(): Unit =
+    totalParts = Vector(graft.kernel.RddKernel.compact(totalParts))
 
   private val schema = StructType(Seq(
     StructField("src", LongType), StructField("dst", LongType),
