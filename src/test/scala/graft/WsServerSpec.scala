@@ -313,4 +313,47 @@ class WsServerSpec extends AnyFunSuite {
       server.stop()
     }
   }
+
+  test("stream-served pull paths decode variant arrays to tagged wire values") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    import graft.model.Plan._
+    import graft.model.ValueKind._
+    import graft.streaming.StreamCompiler
+
+    val refs = MemoryStream[(Long, Long, Long, Long)]
+    val names = MemoryStream[(Long, String, Long, Long)]
+    val compiler = new StreamCompiler(
+      sources = Map(
+        ":p/child" -> refs.toDF.toDF("e", "v", "t", "diff"),
+        ":c/name" -> names.toDF.toDF("e", "v", "t", "diff")),
+      sourceKinds = Map(":p/child" -> KEid, ":c/name" -> KString))
+    val frame = compiler.compileToFrame(Pull(Seq.empty, Seq(
+      PullLevel(Seq.empty, matchA(0, ":p/child", 1), pullVariable = 1,
+        pullAttributes = Seq(":c/name"), pathAttributes = Seq(":p/child"),
+        cardinalityMany = true))))
+
+    val server = new WsServer(new Engine(spark)).start()
+    val query = server.serveStream("live_pull", frame, Seq(KVariant))
+    val client = new Client(server.boundPort)
+    try {
+      client.send("""{"Interest":{"name":"live_pull","granularity":null}}""")
+      refs.addData((100L, 200L, 0L, 1L))
+      names.addData((200L, "Alice", 0L, 1L))
+      query.processAllAvailable()
+      Wire.parseOutput(client.next()) match {
+        case Output.QueryDiff(name, batch) =>
+          assert(name == "live_pull")
+          assert(batch == Seq((Seq(Value.eid(100), Value.VAid(":p/child"),
+            Value.eid(200), Value.VAid(":c/name"), Value.str("Alice")), 0L, 1L)))
+        case other => fail(s"expected a QueryDiff, got $other")
+      }
+    } finally {
+      try query.stop() catch { case _: Throwable => () }
+      try client.close() catch { case _: Throwable => () }
+      server.stop()
+    }
+  }
 }
