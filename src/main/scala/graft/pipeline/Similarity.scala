@@ -155,6 +155,53 @@ object Similarity {
       .select(col("id"), col("cell"), col("dotq"))
   }
 
+  /** IVF SEARCH (the scale path [[quantizedTopK]] is the exact baseline
+    * for): probe each query's `nprobe` nearest cells, then exact re-rank
+    * within the probed cells only. Corpus vectors hash-shuffle by cell
+    * once; queries and centroids broadcast; candidate scoring touches
+    * ~|corpus|·nprobe/cells vectors instead of the full corpus. The rank
+    * key is the same integer-exact expression as the brute-force baseline,
+    * so recall loss vs exact search is precisely the neighbors whose cells
+    * weren't probed — measurable, not noise. */
+  def ivfTopK(vectors: DataFrame, queryPred: Column, k: Int, cells: Int,
+      nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.broadcast
+    val q = vectors.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol)).as("qv"))
+      .withColumn("nrm", dotQ(col("qv"), col("qv")))
+      .localCheckpoint(true) // shared by assignment, probing, and scoring
+    val cents = q.where(col("id") < cells)
+      .select(col("id").as("cell"), col("qv").as("cv"))
+    val wId = Window.partitionBy(col("id"))
+      .orderBy(col("dotc").desc, col("cell").asc)
+    val corpus = q.join(broadcast(cents))
+      .select(col("id"), col("qv"), col("nrm"), col("cell"),
+        dotQ(col("qv"), col("cv")).as("dotc"))
+      .withColumn("_rn", row_number().over(wId)).where(col("_rn") === 1)
+      .select(col("cell"), col("id").as("nb"), col("qv").as("nv"),
+        col("nrm").as("nn"))
+    val wQ = Window.partitionBy(col("q"))
+      .orderBy(col("dotc").desc, col("cell").asc)
+    val probed = q.where(queryPred).toDF("q", "qqv", "nq")
+      .join(broadcast(cents))
+      .select(col("q"), col("qqv"), col("nq"), col("cell"),
+        dotQ(col("qqv"), col("cv")).as("dotc"))
+      .withColumn("_rn", row_number().over(wQ)).where(col("_rn") <= nprobe)
+      .select(col("q"), col("qqv"), col("nq"), col("cell"))
+    val cand = corpus.join(broadcast(probed), Seq("cell"))
+      .where(col("q") =!= col("nb"))
+      .select(col("q"), col("nb"), dotQ(col("qqv"), col("nv")).as("dotq"),
+        col("nq"), col("nn"))
+    val mag = expr("(1000000 * dotq * dotq) div (nq * nn)")
+    val keyed = cand.select(col("q"), col("nb"),
+      when(col("dotq") >= 0, mag).otherwise(-mag).as("key"))
+    val w = Window.partitionBy(col("q")).orderBy(col("key").desc, col("nb").asc)
+    keyed.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Random-hyperplane LSH bucket id (`bits`-bit signature) over the
     * quantized vector — integer dot products, so bucket assignment is
     * exact. Hyperplane component j,i is a deterministic pseudo-random

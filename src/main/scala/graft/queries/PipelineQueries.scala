@@ -103,6 +103,12 @@ object PipelineQueries {
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.ivfAssign(embeds(s, dir), k = 8)),
 
+    "q_ann_ivf_search" -> ((s, dir) =>
+      // The actual ANN search over the IVF index: probe 3 of 8 cells,
+      // exact re-rank within them.
+      Similarity.ivfTopK(embeds(s, dir), col("id") < 3, k = 5,
+        cells = 8, nprobe = 3)),
+
     "q_ann_lsh" -> ((s, dir) =>
       embeds(s, dir).select(col("vec_id").cast("long").as("id"),
         Similarity.lshBucketQ(
@@ -351,6 +357,39 @@ object PipelineQueries {
                        ROW_NUMBER() OVER (PARTITION BY id ORDER BY dotq DESC, cell ASC) AS rn
                 FROM d)
           SELECT id, cell, dotq FROM r WHERE rn = 1""",
+
+    "q_ann_ivf_search" ->
+      s"""WITH s AS (SELECT CAST(vec_id AS BIGINT) AS id, $qvSql AS qv FROM embeddings),
+          n AS (SELECT id, qv, ${dotSql("qv", "qv")} AS nrm FROM s),
+          c AS (SELECT id AS cell, qv AS cv FROM n WHERE id < 8),
+          corpus AS (
+            SELECT cell, id AS nb, qv AS nv, nrm AS nn FROM (
+              SELECT n.id, n.qv, n.nrm, c.cell,
+                     ROW_NUMBER() OVER (PARTITION BY n.id
+                       ORDER BY ${dotSql("n.qv", "c.cv")} DESC, c.cell ASC) AS rn
+              FROM n, c) WHERE rn = 1),
+          probes AS (
+            SELECT q, qqv, nq, cell FROM (
+              SELECT n.id AS q, n.qv AS qqv, n.nrm AS nq, c.cell,
+                     ROW_NUMBER() OVER (PARTITION BY n.id
+                       ORDER BY ${dotSql("n.qv", "c.cv")} DESC, c.cell ASC) AS rn
+              FROM n, c WHERE n.id < 3) WHERE rn <= 3),
+          cand AS (SELECT p.q, co.nb, ${dotSql("p.qqv", "co.nv")} AS dotq,
+                          p.nq, co.nn
+                   FROM corpus co JOIN probes p USING (cell)
+                   WHERE p.q <> co.nb),
+          keyed AS (SELECT q, nb,
+                           CAST(CASE WHEN dotq >= 0
+                                THEN (1000000 * dotq * dotq) // (nq * nn)
+                                ELSE -((1000000 * dotq * dotq) // (nq * nn)) END
+                                AS BIGINT) AS key
+                    FROM cand)
+          SELECT q, nb, key, rank FROM (
+            SELECT q, nb, key,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q
+                     ORDER BY key DESC, nb ASC) AS BIGINT) AS rank
+            FROM keyed)
+          WHERE rank <= 5""",
 
     "q_ann_lsh" -> {
       val bits = (0 until 8).map { j =>

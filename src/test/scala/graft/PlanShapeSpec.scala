@@ -79,6 +79,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no UDFs expected:\n$plan")
   }
 
+  test("IVF search broadcasts centroids and probes; no unbroadcast cartesian") {
+    val plan = planOf("q_ann_ivf_search")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected centroid/probe broadcasts:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus-side joins must broadcast the small side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no shuffle joins expected (all small sides broadcast):\n$plan")
+  }
+
   test("as-of join is a window sweep: one key exchange, no join operator") {
     val plan = planOf("q_asof_join")
     assert(!plan.contains("Join"),
