@@ -616,7 +616,7 @@ class Compiler(
     // round 0 alone would fit one partition. Eight near-empty tasks cost
     // ~ms; a single-threaded 200k-row hash chain costs hundreds.
     val pKernel =
-      if (rows0 > 2000) math.max(pLoop, math.min(userPartitions, 8))
+      if (rows0 > 2000) math.max(pLoop, math.min(userPartitions, 16))
       else pLoop
     val part = new HashPartitioner(pKernel)
     val bcMap = sc.broadcast(sMap)

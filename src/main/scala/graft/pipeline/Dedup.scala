@@ -197,7 +197,10 @@ object Dedup {
     }
 
     import spark.implicits._
-    val labelDf = labels.toDF("id", "lbl")
+    val labelDf0 = labels.toDF("id", "lbl")
+    // RDD-backed frames carry no Catalyst stats; hint the broadcast when
+    // the touched-node count (≤ 2·edges) is provably dimension-sized.
+    val labelDf = if (nEdges * 2 <= 1000000L) broadcast(labelDf0) else labelDf0
     val result = allIds.join(labelDf, Seq("id"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster"),
         (col("id") === coalesce(col("lbl"), col("id"))).as("keep"))
