@@ -13,6 +13,20 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Gap-based sessionization: a new session starts whenever the gap to
+    * the previous event of the same key exceeds `gap` (same time unit as
+    * `tsCol`). One key shuffle, two window passes over the same sort
+    * (lag + running sum — Catalyst reuses the sort), deterministic ties
+    * by `tieCol`. Session ids are 0-based per key. */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, gap: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val prev = lag(col(tsCol), 1).over(w)
+    val newSession = when(prev.isNull || col(tsCol) - prev <= gap, 0L).otherwise(1L)
+    events.withColumn("session",
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** As-of join, implemented as union + one window — NOT a range join.
     *
     * A range join (`l.key = r.key AND r.ts <= l.ts`) explodes to one row

@@ -206,6 +206,18 @@ object PipelineQueries {
           col("view_id"))
     }),
 
+    "q_sessionize" -> ((s, dir) => {
+      // Gap-based sessions over the event stream: a >30-minute silence
+      // starts a new session (ts is nanoseconds in this table).
+      import graft.pipeline.Temporal
+      Temporal.sessionize(
+        Q.table(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        "user_id", "ts", "event_id", gap = 30L * 60 * 1000 * 1000 * 1000)
+        .select(col("event_id").as("eid"), col("user_id").as("u"),
+          col("session"))
+    }),
+
     "q_lww_batch" -> ((s, dir) => {
       // Batch analog of the LastWriteWins input semantics over the events
       // stream table: latest event's value per user (ties by event_id).
@@ -511,6 +523,18 @@ object PipelineQueries {
                 CAST(user_id AS BIGINT) AS u,
                 CAST(view_id AS BIGINT) AS view_id
          FROM swept WHERE side = 1""",
+
+    "q_sessionize" ->
+      """SELECT CAST(event_id AS BIGINT) AS eid, CAST(user_id AS BIGINT) AS u,
+                CAST(SUM(CASE WHEN prev IS NULL
+                          OR ts - prev <= INTERVAL '30 minutes' THEN 0
+                          ELSE 1 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
+         FROM (SELECT event_id, user_id, ts,
+                      LAG(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
+               FROM events)""",
 
     "q_lww_batch" ->
       """SELECT CAST(user_id AS BIGINT) AS u, last_type FROM (

@@ -177,6 +177,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 7L, 4L), (2L, 3L, 0L), (3L, 1L, 0L)))
   }
 
+  test("sessionize: gap boundary is exclusive, sessions are per key") {
+    import graft.pipeline.Temporal
+    // key 1: events at t=0, 10 (gap 10 == threshold -> same session),
+    // 21 (gap 11 > threshold -> new session), 22. key 2: one event.
+    val df = Seq(
+      (1L, 0L, 100L), (1L, 10L, 101L), (1L, 21L, 102L), (1L, 22L, 103L),
+      (2L, 5L, 200L)).toDF("k", "ts", "id")
+    val got = Temporal.sessionize(df, "k", "ts", "id", gap = 10L)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (100L, 0L), (101L, 0L), (102L, 1L), (103L, 1L), (200L, 0L)))
+  }
+
   test("connectedComponents: empty pair set keeps every doc") {
     val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
     val ids = Seq(7L, 8L).toDF("id")
