@@ -116,18 +116,26 @@ object Dedup {
     * pair iterate — untouched documents are their own cluster by
     * definition and join back in at the end. Edges and labels share one
     * hash partitioner keyed by node id, so each round is one narrow
-    * propagate (edge partition × co-resident label map), one shuffle of
-    * O(edges) messages, and one narrow min-merge — a single cheap job
-    * (~45 ms/round at sf0.1). Rounds = component diameter: near-clique
-    * duplicate groups converge in 2-3, but LSH bucket chains stretch it
-    * (observed ~20 at sf0.1) — each extra round is one narrow O(edges)
-    * job, and if pathological chains ever dominate, the O(log d) upgrade
-    * is star-contraction (pointer-jumping) on the same kernel. Labels
-    * only decrease, so a label-sum accumulator read from the same job
+    * propagate (edge partition × co-resident label map) plus one
+    * pointer-jump (each node asks its current label for THAT node's
+    * label), O(edges + nodes) shuffled messages, and one narrow
+    * min-merge — a single cheap job (~50 ms/round at sf0.1). The jump is
+    * what caps the round count: plain edge propagation needs
+    * O(component diameter) rounds (LSH bucket chains stretched this to
+    * ~20 at sf0.1), while propagate+jump doubles the label's reach every
+    * round — O(log d) total, the classic hash-to-min bound. Labels only
+    * decrease, so a changed-count accumulator read from the same job
     * detects convergence for free.
     */
   def connectedComponents(pairs: DataFrame, ids: DataFrame,
-      idCol: String = "id"): DataFrame = {
+      idCol: String = "id"): DataFrame =
+    connectedComponentsWithRounds(pairs, ids, idCol)._1
+
+  /** [[connectedComponents]] plus the number of label-update rounds the
+    * kernel ran before converging (exposed for the O(log d) convergence
+    * test; the last round — the one that observes zero changes — counts). */
+  private[graft] def connectedComponentsWithRounds(pairs: DataFrame,
+      ids: DataFrame, idCol: String = "id"): (DataFrame, Int) = {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
@@ -147,7 +155,8 @@ object Dedup {
     val allIds = ids.select(col(idCol).cast("long").as("id"))
 
     if (nEdges == 0)
-      return allIds.select(col("id"), col("id").as("cluster"), lit(true).as("keep"))
+      return (allIds.select(col("id"), col("id").as("cluster"),
+        lit(true).as("keep")), 0)
 
     val userP = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val p = math.max(1L, math.min(userP.toLong, nEdges / 250000L + 1L)).toInt
@@ -163,7 +172,7 @@ object Dedup {
         it.collect { case (s, _) if seen.add(s) => (s, s) }
       }, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+    var nTouched = labels.count()
     trace(s"labels initialized")
     // Convergence = no label shrank this round. The changed-count
     // accumulator is exact (no floating sums, no overflow wrap) and its
@@ -171,41 +180,71 @@ object Dedup {
     // change still adds nothing, and any task that shrank a label keeps
     // the count positive regardless of double-counting.
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
       val acc = sc.longAccumulator
+      // Edge propagation: every edge forwards its source's label to its
+      // destination (min over neighbors).
       val msgs = edges.zipPartitions(labels, preservesPartitioning = true) {
         (eIt, lIt) =>
           val m = new java.util.HashMap[Long, Long]()
           lIt.foreach { case (id, l) => m.put(id, l) }
           eIt.map { case (s, d) => (d, m.get(s)) }
       }.partitionBy(part)
-      val next = labels.zipPartitions(msgs, preservesPartitioning = true) {
-        (lIt, mIt) =>
+      // Pointer jump: each node asks its current label l for l's OWN
+      // label (label values are always touched-node ids, so the lookup
+      // always hits). Each round the effective reach of a component's min
+      // label doubles — this is what turns O(diameter) rounds into
+      // O(log diameter).
+      val reqs = labels.map { case (id, l) => (l, id) }.partitionBy(part)
+      val jmsgs = reqs.zipPartitions(labels, preservesPartitioning = true) {
+        (rIt, lIt) =>
           val m = new java.util.HashMap[Long, Long]()
           lIt.foreach { case (id, l) => m.put(id, l) }
-          mIt.foreach { case (d, l) =>
-            if (l < m.get(d)) { m.put(d, l); acc.add(1L) }
-          }
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-          m.forEach { (k, v) => out += ((k, v)) }
-          out.iterator
+          rIt.map { case (l, id) => (id, m.get(l)) }
+      }.partitionBy(part)
+      val next = labels.zipPartitions(msgs, jmsgs,
+          preservesPartitioning = true) { (lIt, mIt, jIt) =>
+        val m = new java.util.HashMap[Long, Long]()
+        lIt.foreach { case (id, l) => m.put(id, l) }
+        def merge(d: Long, l: Long): Unit =
+          if (l < m.get(d)) { m.put(d, l); acc.add(1L) }
+        mIt.foreach { case (d, l) => merge(d, l) }
+        jIt.foreach { case (d, l) => merge(d, l) }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        m.forEach { (k, v) => out += ((k, v)) }
+        out.iterator
       }.localCheckpoint() // truncate lineage: rounds must not stack shuffles
-      next.count()
+      nTouched = next.count()
       labels = next
       changed = acc.value
-      trace(s"round done changed=$changed")
+      trace(s"round $rounds done changed=$changed")
     }
 
     import spark.implicits._
     val labelDf0 = labels.toDF("id", "lbl")
     // RDD-backed frames carry no Catalyst stats; hint the broadcast when
-    // the touched-node count (≤ 2·edges) is provably dimension-sized.
-    val labelDf = if (nEdges * 2 <= 1000000L) broadcast(labelDf0) else labelDf0
+    // the touched-node table's estimated bytes fit the session's
+    // autoBroadcastJoinThreshold (same byte gate as the fixpoint loop —
+    // a bare row-count gate would broadcast arbitrarily wide totals).
+    val bcBytes: Long = {
+      val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      try raw.toLong
+      catch {
+        case _: NumberFormatException =>
+          org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      }
+    }
+    val labelDf =
+      if (bcBytes > 0 && nTouched * (24L * 2 + 8L) <= bcBytes)
+        broadcast(labelDf0)
+      else labelDf0
     val result = allIds.join(labelDf, Seq("id"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster"),
         (col("id") === coalesce(col("lbl"), col("id"))).as("keep"))
     if (dbg) { val n = result.count(); trace(s"final count n=$n") }
-    result
+    (result, rounds)
   }
 
   /** Exact word n-gram Jaccard for given (a, b) candidate pairs, returned

@@ -30,6 +30,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("connectedComponents: pointer jumping converges in O(log diameter)") {
+    // Path graph 0-1-2-...-256: diameter 256. Plain min-label propagation
+    // would need ~256 rounds; propagate+jump doubles the min label's reach
+    // every round, so convergence must land within log2(256)=8 plus a
+    // small constant (one detection round + ramp-up slack).
+    val d = 256
+    val pairs = (0 until d).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val ids = (0L to d.toLong).toDF("id")
+    val (df, rounds) = Dedup.connectedComponentsWithRounds(pairs, ids)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L to d.toLong).map(i => (i, 0L)).toSet)
+    assert(rounds <= 12, s"expected O(log d) rounds, got $rounds for diameter $d")
+  }
+
   test("asOfJoin: latest-at-or-before match, ties, and no-match nulls") {
     import graft.pipeline.Temporal
     // key=1: right rows at ts 10 (id 100), 20 (ids 200 and 201 — tie),
