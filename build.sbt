@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Forward graft.* tuning props (e.g. -Dgraft.fixpoint.khop=1) from the
+  // sbt JVM into the forked run/test JVMs so A/B toggles actually land.
+  sys.props.toSeq.collect {
+    case (k, v) if k.startsWith("graft.") => s"-D$k=$v"
+  }

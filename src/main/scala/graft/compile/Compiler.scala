@@ -631,6 +631,21 @@ class Compiler(
     val keyIdxRL = keyIdxR
     val filterFnsL = filterFns
 
+    // K-hop round batching: the static side is a broadcast map, so a
+    // candidate can expand through it again WITHOUT a shuffle — each
+    // kernel job expands the delta up to k hops map-side (local
+    // per-partition dedup) before the one global dedup/subtract. On deep
+    // thin recursions (path-shaped graphs: tiny deltas, many rounds) jobs
+    // drop from O(depth) to O(depth/k). On shallow dense graphs in-batch
+    // hops lack the GLOBAL dedup that keeps semi-naive candidate volume
+    // linear, so a per-partition work budget truncates hopping — mid-hop
+    // truncation is safe because every emitted fresh tuple lands in the
+    // next delta and is expanded then; in-batch expansion is only a
+    // prepayment. Fresh tuples found at hops < k get re-expanded once
+    // more next round (subtracted away), a bounded ~2× on candidate
+    // volume in exchange for k× fewer jobs where depth dominates.
+    val kHops = math.max(1, Integer.getInteger("graft.fixpoint.khop", 4))
+    val hopBudget = 1 << 16
     var parts = Vector[RDD[(Tup, Null)]](d0)
     var delta: RDD[(Tup, Null)] = d0
     var total = rows0
@@ -640,7 +655,7 @@ class Compiler(
       iter += 1
       val cand: RDD[(Tup, Null)] = delta.mapPartitions { it =>
         val m = bcMap.value
-        it.flatMap { case (t, _) =>
+        def expandOne(t: Tup): Iterator[Tup] = {
           val key: Seq[Any] = ArraySeq.unsafeWrapArray(keyIdxRL.map(t(_)))
           m.get(key) match {
             case None => Iterator.empty
@@ -653,9 +668,33 @@ class Compiler(
                   out(i) = if (fromRec) t(idx) else s(idx)
                   i += 1
                 }
-                (ArraySeq.unsafeWrapArray(out): Tup, null)
+                ArraySeq.unsafeWrapArray(out): Tup
               }
           }
+        }
+        if (kHops <= 1) {
+          it.flatMap { case (t, _) => expandOne(t).map((_, null)) }
+        } else {
+          // Hop 1 is the rule's semantics and always runs in full; hops
+          // 2..k are prepayments gated by the work budget (checked per
+          // candidate, so a dense hop stops within `hopBudget` adds).
+          val seen = new java.util.LinkedHashSet[Tup]()
+          var frontier: Array[Tup] =
+            it.flatMap { case (t, _) => expandOne(t) }
+              .filter(seen.add).toArray
+          var hop = 1
+          while (hop < kHops && frontier.nonEmpty && seen.size < hopBudget) {
+            val next = scala.collection.mutable.ArrayBuffer.empty[Tup]
+            val cs = frontier.iterator.flatMap(expandOne)
+            while (cs.hasNext && seen.size < hopBudget) {
+              val c = cs.next()
+              if (seen.add(c)) next += c
+            }
+            frontier = next.toArray
+            hop += 1
+          }
+          import scala.jdk.CollectionConverters._
+          seen.iterator.asScala.map((_, null))
         }
       }
       val fresh = graft.kernel.RddKernel.freshDelta(cand, part, parts)
