@@ -208,30 +208,34 @@ class Compiler(
           s"[fixpoint] dep $dep materializedMs=${(System.nanoTime() - debugT0) / 1000000}")
       }
 
-    // Adaptive execution re-plans and materializes every shuffle as its own
-    // query stage — pure overhead at fixpoint-round granularity (each round
-    // is already a small, known-shape plan). Restore the user's setting
-    // after the loop; the memoized results are consumed under it.
+    // The loop's conf overrides are THREAD-LOCAL (a cloned SQLConf
+    // installed via SQLConf.withExistingConf), never session-global:
+    // Catalyst's rules all read SQLConf.get, which prefers the calling
+    // thread's override, so concurrent queries on the same session (the
+    // WsServer case) plan under the user's untouched settings while only
+    // this fixpoint sees the tuned ones. Memoized results are consumed
+    // after the loop on whatever thread asks — i.e. under user settings.
+    //
+    // Adaptive execution re-plans and materializes every shuffle as its
+    // own query stage — pure overhead at fixpoint-round granularity (each
+    // round is already a small, known-shape plan).
     val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeWas = spark.conf.get(aqeKey, "true")
     val spKey = "spark.sql.shuffle.partitions"
-    val spWas = spark.conf.get(spKey, shufflePartitions.toString)
     val wscgKey = "spark.sql.codegen.wholeStage"
-    val wscgWas = spark.conf.get(wscgKey, "true")
-    spark.conf.set(aqeKey, "false")
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val fpConf = org.apache.spark.sql.internal.SQLConf.get.clone()
+    fpConf.setConfString(aqeKey, "false")
     // Each round is a NEW small plan: whole-stage codegen would generate
     // and Janino-compile fresh classes every round, costing more driver
     // time than the interpreted path costs executor time at per-round data
     // sizes. (The memoized result is consumed downstream under the user's
     // codegen setting.)
-    spark.conf.set(wscgKey, "false")
+    fpConf.setConfString(wscgKey, "false")
     // Constraint propagation walks the full lineage per analysis pass —
     // on fixpoint plans (anti-join chains over checkpoints, growing unions)
     // that driver-side walk costs more than any pruning it could buy.
-    val cpKey = "spark.sql.constraintPropagation.enabled"
-    val cpWas = spark.conf.get(cpKey, "true")
-    spark.conf.set(cpKey, "false")
-    try {
+    fpConf.setConfString(cpKey, "false")
+    org.apache.spark.sql.internal.SQLConf.withExistingConf(fpConf) {
 
     if (semiNaive) {
       // Broadcast only what actually fits: estimated bytes (rows × a
@@ -286,7 +290,7 @@ class Compiler(
       // cluster).
       val pLoop = math.max(1L, math.min(shufflePartitions.toLong,
         totalCount.values.max * 8L / 60000L + 1L)).toInt
-      spark.conf.set(spKey, pLoop.toString)
+      fpConf.setConfString(spKey, pLoop.toString)
       def repart(df: DataFrame): DataFrame = {
         val dataCols = df.columns.filter(_ != W).toSeq
         df.repartition(pLoop, dataCols.map(col): _*)
@@ -410,11 +414,6 @@ class Compiler(
         sharedCache.foreach(_.update(cacheKey(r), rel))
       }
     }
-    } finally {
-      spark.conf.set(aqeKey, aqeWas)
-      spark.conf.set(spKey, spWas)
-      spark.conf.set(wscgKey, wscgWas)
-      spark.conf.set(cpKey, cpWas)
     }
   }
 

@@ -217,4 +217,64 @@ class AdviceRegressionSpec extends AnyFunSuite with EngineCases {
     }.toSet
     assert(got == expected)
   }
+
+  test("fixpoint conf overrides are thread-local (r5 ADVICE: no global mutation)") {
+    // The fixpoint loop tunes AQE/codegen/shuffle-partition settings for
+    // its per-round plans. Those overrides must be invisible to concurrent
+    // queries on the SAME session (the WsServer serves several clients off
+    // one session): run a recursive closure on another thread and, while
+    // it runs, keep asserting from this thread that the session conf still
+    // reads the user's values and that a plain aggregate still answers
+    // correctly.
+    val s = spark
+    val keys = Map(
+      "spark.sql.adaptive.enabled" -> s.conf.get("spark.sql.adaptive.enabled", "true"),
+      "spark.sql.codegen.wholeStage" -> s.conf.get("spark.sql.codegen.wholeStage", "true"),
+      "spark.sql.constraintPropagation.enabled" ->
+        s.conf.get("spark.sql.constraintPropagation.enabled", "true"),
+      "spark.sql.shuffle.partitions" -> s.conf.get("spark.sql.shuffle.partitions"))
+
+    val engine = new Engine(s)
+    engine.createAttribute(":edge", AttributeConfig(InputSemantics.Distinct))
+    // Random graph big enough that the fixpoint runs for a visible window;
+    // kernel off forces the DataFrame loop (the path that tunes the conf
+    // hardest).
+    val rnd = new scala.util.Random(11)
+    val n = 80
+    val datoms = (0 until 2 * n).map { _ =>
+      Datom.add(rnd.nextInt(n).toLong, ":edge", Value.eid(rnd.nextInt(n).toLong))
+    }
+    engine.register(Rule("edges", matchA(0, ":edge", 1)))
+    engine.register(Rule("closure", Union(Seq(0, 1), Seq(
+      NameExpr(Seq(0, 1), "edges"),
+      Project(Seq(0, 1), Join(Seq(2),
+        NameExpr(Seq(0, 2), "edges"),
+        NameExpr(Seq(2, 1), "closure")))))))
+    engine.interest("closure")
+    engine.transact(datoms)
+
+    sys.props("graft.fixpoint.kernel") = "off"
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fixpoint = Future { engine.advance(1); engine.drain("closure").size }
+      import s.implicits._
+      var polls = 0
+      while (!fixpoint.isCompleted) {
+        keys.foreach { case (k, want) =>
+          assert(s.conf.get(k) == want,
+            s"session conf $k mutated to ${s.conf.get(k)} during a fixpoint")
+        }
+        // A concurrent plain aggregate on the same session must still plan
+        // and answer under the user's settings.
+        assert(Seq(1L, 2L, 3L).toDF("x")
+          .agg(org.apache.spark.sql.functions.sum($"x"))
+          .head().getLong(0) == 6L)
+        polls += 1
+      }
+      assert(Await.result(fixpoint, 1.minute) > 0)
+      keys.foreach { case (k, want) => assert(s.conf.get(k) == want) }
+    } finally sys.props.remove("graft.fixpoint.kernel")
+  }
 }
