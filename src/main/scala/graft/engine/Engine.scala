@@ -3,10 +3,12 @@ package graft.engine
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 import graft.compile.{Compiler, Rel}
 import graft.domain.Domain
 import graft.model._
+import graft.sinks.DiffSink
 
 /** The embedded-engine API, mirroring the reference `Server`
   * (`src/server/mod.rs:225-530`) test path (SURVEY.md §3.2):
@@ -37,6 +39,12 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
   // coarsened time completes — src/timestamp/mod.rs:144-184).
   private val pendingCoarse =
     mutable.Map.empty[String, mutable.ArrayBuffer[(Seq[Any], Long, Long)]]
+  // Sink-delivered interests: diffs are computed as DataFrames (distributed
+  // snapshot-vs-previous diff) and handed to the sink — never collected.
+  private val sinks = mutable.Map.empty[String, DiffSink]
+  private val prevFrames = mutable.Map.empty[String, DataFrame]
+  private val pendingCoarseFrames =
+    mutable.Map.empty[String, mutable.ArrayBuffer[(Long, DataFrame)]]
   private var frontier: Long = 0L
   // Column kinds of each rule's result (recorded at first snapshot) — lets
   // transports re-tag collected native values as wire `Value`s.
@@ -72,6 +80,22 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     outputs.getOrElseUpdate(name, mutable.ArrayBuffer.empty)
   }
 
+  /** Express interest with DataFrame delivery to `sink` — the data-sized
+    * result path: each advance's diffs are computed as a distributed
+    * snapshot-vs-previous diff (a full-outer join on the tuple columns)
+    * and handed to the sink; the engine never materializes them on the
+    * driver. `drain` stays empty for sink-delivered rules. */
+  def interestSink(
+      name: String,
+      sink: DiffSink,
+      granularity: Option[Long] = None): Unit = {
+    if (!domain.rules.contains(name))
+      throw GraftError.notFound(s"unknown rule $name")
+    interests += name
+    sinks(name) = sink
+    granularity.foreach(g => granularities(name) = g)
+  }
+
   /** Withdraw interest: stop tracking the rule and drop its buffered diffs
     * and snapshot state (the reference tears the dataflow down when the
     * last interested client leaves — `src/server/mod.rs:276-281`). */
@@ -82,6 +106,9 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     prevSnapshots -= name
     outputs -= name
     pendingCoarse -= name
+    sinks -= name
+    prevFrames -= name
+    pendingCoarseFrames -= name
   }
 
   /** Dispatch a wire-format request (`Request`, `src/server/mod.rs:153-191`)
@@ -193,34 +220,52 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     // diffs — the reference replays the compacted trace into newly built
     // dataflows (`tests/registration_test.rs`).
     for (name <- interests if !initialized(name)) {
-      if (processedThrough > 0L) {
-        val cur = snapshot(name, processedThrough - 1)
-        val buf = outputs(name)
-        cur.foreach { case (tuple, w) => buf += ((tuple, frontier, w)) }
-        prevSnapshots(name) = cur
+      if (processedThrough > 0L) sinks.get(name) match {
+        case Some(sink) =>
+          val cur = frameSnapshot(name, processedThrough - 1)
+          sink.deliver(name, frontier, frameDiff(cur, None, frontier))
+          prevFrames(name) = cur
+        case None =>
+          val cur = snapshot(name, processedThrough - 1)
+          val buf = outputs(name)
+          cur.foreach { case (tuple, w) => buf += ((tuple, frontier, w)) }
+          prevSnapshots(name) = cur
       }
       initialized += name
     }
 
     val times = domain.pendingTimes(0L, next).filter(_ >= earliestUnprocessed)
     for (t <- times; name <- interests) {
-      val cur = snapshot(name, t)
-      val prev = prevSnapshots(name)
       // Delivery granularity: coarsen emitted times STRICTLY up to the next
       // interval bound — (t/g + 1)·g even at exact multiples (the reference
       // Coarsen, src/timestamp/mod.rs:151-154) — and hold them until the
       // frontier passes that bound.
-      val (tOut, buf) = granularities.get(name) match {
-        case Some(g) =>
-          ((t / g + 1L) * g,
-            pendingCoarse.getOrElseUpdate(name, mutable.ArrayBuffer.empty))
-        case None => (t, outputs(name))
+      val coarse = granularities.get(name).map(g => (t / g + 1L) * g)
+      sinks.get(name) match {
+        case Some(sink) =>
+          val cur = frameSnapshot(name, t)
+          val diff = frameDiff(cur, prevFrames.get(name), coarse.getOrElse(t))
+          coarse match {
+            case Some(tOut) =>
+              pendingCoarseFrames
+                .getOrElseUpdate(name, mutable.ArrayBuffer.empty) += ((tOut, diff))
+            case None => sink.deliver(name, t, diff)
+          }
+          prevFrames(name) = cur
+        case None =>
+          val cur = snapshot(name, t)
+          val prev = prevSnapshots(name)
+          val (tOut, buf) = coarse match {
+            case Some(c) =>
+              (c, pendingCoarse.getOrElseUpdate(name, mutable.ArrayBuffer.empty))
+            case None => (t, outputs(name))
+          }
+          (cur.keySet ++ prev.keySet).foreach { tuple =>
+            val d = cur.getOrElse(tuple, 0L) - prev.getOrElse(tuple, 0L)
+            if (d != 0L) buf += ((tuple, tOut, d))
+          }
+          prevSnapshots(name) = cur
       }
-      (cur.keySet ++ prev.keySet).foreach { tuple =>
-        val d = cur.getOrElse(tuple, 0L) - prev.getOrElse(tuple, 0L)
-        if (d != 0L) buf += ((tuple, tOut, d))
-      }
-      prevSnapshots(name) = cur
     }
     processedThrough = times.lastOption.map(_ + 1).getOrElse(processedThrough)
     domain.prunePending(processedThrough)
@@ -229,6 +274,12 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     for ((name, buf) <- pendingCoarse if interests(name)) {
       val (ready, held) = buf.partition(_._2 < frontier)
       outputs(name) ++= ready
+      buf.clear()
+      buf ++= held
+    }
+    for ((name, buf) <- pendingCoarseFrames if interests(name)) {
+      val (ready, held) = buf.partition(_._1 < frontier)
+      ready.foreach { case (tOut, df) => sinks(name).deliver(name, tOut, df) }
       buf.clear()
       buf ++= held
     }
@@ -260,6 +311,44 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
   private def canonicalize(compiler: Compiler, rel: Rel): Rel =
     if (setSemantics) rel.copy(df = compiler.distinctify(rel.df))
     else rel.copy(df = compiler.consolidate(rel.df))
+
+  /** Distributed snapshot of a rule at time `t`: the canonicalized result
+    * frame (columns c0..cn + _w). Stable against later transacts — asOf
+    * collections copy the datom buffer at build time. */
+  private def frameSnapshot(name: String, t: Long): DataFrame = {
+    val compiler = new Compiler(domain.asOf(t), domain.rules,
+      aggregateSetSemantics = setSemantics)
+    val rel = canonicalize(compiler, compiler.compileRule(name))
+    resultKinds(name) =
+      if (rel.isPathArray) Seq(ValueKind.KVariant) else rel.kinds
+    rel.df
+  }
+
+  /** Diffs between two snapshot frames as (c0..cn, _t, _diff), computed
+    * distributed: a null-safe full-outer join on the tuple columns — the
+    * one shuffle a multiset diff fundamentally needs. With no previous
+    * snapshot, the current weights ARE the diffs. */
+  private def frameDiff(
+      cur: DataFrame, prev: Option[DataFrame], tOut: Long): DataFrame = {
+    val cols = cur.columns.dropRight(1) // tuple columns without _w
+    prev match {
+      case None =>
+        cur.select(cols.map(col) :+ lit(tOut).as("_t") :+
+          col(Rel.W).as("_diff"): _*)
+      case Some(p) =>
+        val l = cur.withColumnRenamed(Rel.W, "_wl")
+        val r = cols.foldLeft(p.withColumnRenamed(Rel.W, "_wr")) {
+          (df, c) => df.withColumnRenamed(c, c + "_r")
+        }
+        val cond = cols.map(c => col(c) <=> col(c + "_r")).reduce(_ && _)
+        l.join(r, cond, "full_outer")
+          .select(cols.map(c => coalesce(col(c), col(c + "_r")).as(c)) :+
+            lit(tOut).as("_t") :+
+            (coalesce(col("_wl"), lit(0L)) -
+              coalesce(col("_wr"), lit(0L))).as("_diff"): _*)
+          .where(col("_diff") =!= 0L)
+    }
+  }
 
   private def snapshot(name: String, t: Long): Map[Seq[Any], Long] = {
     val compiler = new Compiler(domain.asOf(t), domain.rules,
