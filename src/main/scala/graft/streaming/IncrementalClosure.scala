@@ -56,11 +56,27 @@ class IncrementalClosure(
 
   /** Apply one batch of edge additions; returns the exact new closure
     * tuples as a DataFrame (src, dst, t, diff) — all diffs +1. */
-  def advance(newEdges: Seq[(Long, Long)], t: Long): DataFrame = {
-    require(edgeSet.size + newEdges.size <= maxEdges,
+  def advance(newEdges: Seq[(Long, Long)], t: Long): DataFrame =
+    advanceFresh(newEdges.distinct.filterNot(edgeSet), t)
+
+  /** RDD-side variant for firehose ingest: the raw batch is deduped and
+    * subtracted against the known edge set DISTRIBUTED (the known set
+    * rides a broadcast — an immutable copy, since local-mode broadcasts
+    * share driver references), so only genuinely fresh edges — bounded by
+    * the `maxEdges` gate, however large the raw batch — ever reach the
+    * driver (which needs them anyway: the adjacency is a broadcast map). */
+  def advanceRdd(newEdges: RDD[(Long, Long)], t: Long): DataFrame = {
+    val known = sc.broadcast(edgeSet.toSet)
+    val fresh =
+      try newEdges.distinct(partitions).filter(e => !known.value(e)).collect().toSeq
+      finally known.destroy()
+    advanceFresh(fresh, t)
+  }
+
+  private def advanceFresh(fresh: Seq[(Long, Long)], t: Long): DataFrame = {
+    require(edgeSet.size + fresh.size <= maxEdges,
       s"edge relation exceeds the broadcast gate ($maxEdges); " +
         "use the batch engine for edge sets this large")
-    val fresh = newEdges.distinct.filterNot(edgeSet)
     fresh.foreach { case (s, d) =>
       edgeSet += ((s, d))
       rev.getOrElseUpdate(d, mutable.ArrayBuffer.empty) += s
@@ -112,21 +128,28 @@ class IncrementalClosure(
   }
 
   /** Structured Streaming integration: drain a `(src, dst, t, diff)` edge
-    * stream through [[advance]] per micro-batch, handing each batch's
-    * closure diffs to `onDiffs`. Additions only (diff must be +1). */
+    * stream through [[advanceRdd]] per micro-batch, handing each batch's
+    * closure diffs to `onDiffs`. Additions only (diff must be +1 —
+    * asserted distributed, never by collecting the batch: the raw batch
+    * may exceed driver limits; only its deduped fresh edges land there). */
   def attach(edges: DataFrame, queryName: String)(
       onDiffs: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     edges.writeStream
       .outputMode("append")
       .queryName(queryName)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch.collect()
-        require(rows.forall(_.getLong(3) == 1L),
-          "IncrementalClosure maintains additions only; retract via the batch engine")
-        val byT = rows.groupBy(_.getLong(2)).toSeq.sortBy(_._1)
-        byT.foreach { case (t, rs) =>
-          onDiffs(advance(rs.map(r => (r.getLong(0), r.getLong(1))).toSeq, t))
-        }
+        import org.apache.spark.sql.functions.col
+        batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          require(batch.where(col("diff") =!= 1L).isEmpty,
+            "IncrementalClosure maintains additions only; retract via the batch engine")
+          val times = batch.select("t").distinct().collect().map(_.getLong(0)).sorted
+          times.foreach { t =>
+            val es = batch.where(col("t") === t)
+              .select("src", "dst").rdd.map(r => (r.getLong(0), r.getLong(1)))
+            onDiffs(advanceRdd(es, t))
+          }
+        } finally batch.unpersist()
       }
       .start()
 

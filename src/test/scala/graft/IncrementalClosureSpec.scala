@@ -53,6 +53,40 @@ class IncrementalClosureSpec extends AnyFunSuite {
     assert(inc.advance(Seq((1L, 2L)), 2L).collect().isEmpty)
   }
 
+  test("advanceRdd dedups a firehose batch distributed: raw rows never collected") {
+    // 500k raw rows but only 100 distinct fresh edges: the driver must see
+    // the 100, not the 500k (the raw batch is deduped and subtracted
+    // against the known set as an RDD before any collect).
+    val inc = new IncrementalClosure(spark, partitions = 4, maxEdges = 200L)
+    val path = (0L until 100L).map(i => (i, i + 1))
+    val raw = spark.sparkContext
+      .parallelize(0 until 500000, 8)
+      .map(i => path(i % path.length))
+    // maxEdges=200 < 500k raw rows: this only passes if dedup/subtract
+    // runs BEFORE the driver-side gate sees the batch.
+    val d1 = inc.advanceRdd(raw, 1L)
+    assert(d1.count() === 100L * 101L / 2) // closure of a 101-node path
+    // Re-sending the same firehose adds nothing.
+    assert(inc.advanceRdd(raw, 2L).count() === 0L)
+  }
+
+  test("attach rejects retractions via the distributed guard") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val edges = MemoryStream[(Long, Long, Long, Long)]
+    val inc = new IncrementalClosure(spark, partitions = 2)
+    val query = inc.attach(
+      edges.toDF.toDF("src", "dst", "t", "diff"), "inc-closure-guard-spec") { _ => () }
+    try {
+      edges.addData((1L, 2L, 1L, -1L))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("additions only") ||
+        Option(ex.getCause).exists(_.getMessage.contains("additions only")))
+    } finally query.stop()
+  }
+
   test("foreachBatch attachment streams closure diffs from a memory stream") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
