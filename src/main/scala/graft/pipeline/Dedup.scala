@@ -158,6 +158,58 @@ object Dedup {
       return (allIds.select(col("id"), col("id").as("cluster"),
         lit(true).as("keep")), 0)
 
+    // RDD-backed frames carry no Catalyst stats; gate driver/broadcast
+    // decisions on estimated bytes vs the session's
+    // autoBroadcastJoinThreshold (same byte gate as the fixpoint loop —
+    // a bare row-count gate would admit arbitrarily wide rows).
+    val bcBytes: Long = {
+      val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      try raw.toLong
+      catch {
+        case _: NumberFormatException =>
+          org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      }
+    }
+
+    // Gate-sized pair sets (the common case: candidate pairs are a tiny
+    // fraction of the corpus) finish on the driver: union-find with
+    // min-root union + path compression is O(E·α) — microseconds where the
+    // iterative kernel pays a job per round — and the label table rides
+    // back as a broadcast, exactly like any dimension-sized join side.
+    // The distributed pointer-jumping kernel below is the scale path for
+    // pair sets past the gate. `-Dgraft.cc.driver=off` forces the kernel
+    // (A/B and the convergence spec).
+    if (bcBytes > 0 && nEdges * 32L <= bcBytes &&
+        !sys.props.get("graft.cc.driver").contains("off")) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      edgePairs.collect().foreach { case (a, b) =>
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        // Min-root union: the root is always the component's minimum id,
+        // so find(x) IS the cluster label.
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      parent.forEach { (k, _) => rows += ((k, find(k))) }
+      trace(s"driver union-find done nodes=${rows.length}")
+      import spark.implicits._
+      val labelDf = broadcast(rows.toSeq.toDF("id", "lbl"))
+      val result = allIds.join(labelDf, Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster"),
+          (col("id") === coalesce(col("lbl"), col("id"))).as("keep"))
+      return (result, 0)
+    }
+
     val userP = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val p = math.max(1L, math.min(userP.toLong, nEdges / 250000L + 1L)).toInt
     val part = new HashPartitioner(p)
@@ -224,18 +276,7 @@ object Dedup {
 
     import spark.implicits._
     val labelDf0 = labels.toDF("id", "lbl")
-    // RDD-backed frames carry no Catalyst stats; hint the broadcast when
-    // the touched-node table's estimated bytes fit the session's
-    // autoBroadcastJoinThreshold (same byte gate as the fixpoint loop —
-    // a bare row-count gate would broadcast arbitrarily wide totals).
-    val bcBytes: Long = {
-      val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-      try raw.toLong
-      catch {
-        case _: NumberFormatException =>
-          org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
-      }
-    }
+    // Broadcast the touched-node label table when it fits the same gate.
     val labelDf =
       if (bcBytes > 0 && nTouched * (24L * 2 + 8L) <= bcBytes)
         broadcast(labelDf0)

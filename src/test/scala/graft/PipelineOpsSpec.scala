@@ -38,10 +38,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     val d = 256
     val pairs = (0 until d).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
     val ids = (0L to d.toLong).toDF("id")
-    val (df, rounds) = Dedup.connectedComponentsWithRounds(pairs, ids)
+    // Force the distributed kernel: a path this small would otherwise take
+    // the driver union-find shortcut.
+    sys.props("graft.cc.driver") = "off"
+    val (df, rounds) =
+      try Dedup.connectedComponentsWithRounds(pairs, ids)
+      finally sys.props -= "graft.cc.driver"
     val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == (0L to d.toLong).map(i => (i, 0L)).toSet)
     assert(rounds <= 12, s"expected O(log d) rounds, got $rounds for diameter $d")
+  }
+
+  test("connectedComponents: driver union-find agrees with the kernel") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2).map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct.toDF("a", "b")
+    val ids = (0L until 150L).toDF("id")
+    val viaDriver = Dedup.connectedComponents(pairs, ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    sys.props("graft.cc.driver") = "off"
+    val viaKernel =
+      try Dedup.connectedComponents(pairs, ids)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      finally sys.props -= "graft.cc.driver"
+    assert(viaDriver == viaKernel)
   }
 
   test("asOfJoin: latest-at-or-before match, ties, and no-match nulls") {
