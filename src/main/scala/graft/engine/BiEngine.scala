@@ -83,6 +83,9 @@ class BiEngine(val spark: SparkSession) {
     outputs.getOrElseUpdate(name, mutable.ArrayBuffer.empty)
   }
 
+  /** Rules currently under interest (streaming fan-out reads this). */
+  def interestNames: Seq[String] = interests.toSeq
+
   def transact(datoms: Seq[BiDatom]): Unit = datoms.foreach { d =>
     require(d.t._1 >= sysFrontier,
       s"write at closed system time ${d.t._1}: frontier at $sysFrontier")
