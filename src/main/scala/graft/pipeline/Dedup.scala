@@ -88,6 +88,37 @@ object Dedup {
       .select(col("a"), col("b")).distinct()
   }
 
+  /** Candidate pairs for CLUSTERING: like [[candidatePairs]], but buckets
+    * larger than `starCap` emit a star — `(bucket_min, id)` for every
+    * other member, n−1 edges instead of n²/2 — which yields IDENTICAL
+    * connected components (every pair of co-bucketed docs stays connected
+    * through the bucket minimum) at linear, not quadratic, cost. This is
+    * the 100 TB guard against duplication-heavy corpora: a bucket of n
+    * exact near-copies is n²/2 candidate pairs under the plain self-join
+    * (the sf1 headroom run hit 121× pair growth on 10× data — see
+    * SCALE_NOTES.md), but only n−1 star edges here. Only the clustering
+    * path may use this: pairwise *verification* (Jaccard) needs the real
+    * pairs, stars would skip direct comparisons. */
+  def clusterPairs(buckets: DataFrame, starCap: Int = 64): DataFrame = {
+    val mat = buckets.localCheckpoint(true)
+    // Bucket stats ride the same (band, bucket) key as the join below, so
+    // the exchange is reused rather than re-shuffled.
+    val stats = mat.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n"), min(col("id")).as("_mn"))
+    val annotated = mat.join(stats, Seq("band", "bucket"))
+    val small = annotated.where(col("_n") <= starCap)
+      .select(col("id"), col("band"), col("bucket"))
+    val l = small.toDF("a", "band", "bucket")
+    val r = small.toDF("b", "band", "bucket")
+    val smallPairs = l.join(r, Seq("band", "bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val starPairs = annotated
+      .where(col("_n") > starCap && col("id") =!= col("_mn"))
+      .select(col("_mn").as("a"), col("id").as("b"))
+    smallPairs.union(starPairs).distinct()
+  }
+
   /** SimHash: `bits`-bit signature where bit b is set iff the (multiset)
     * majority of token hashes has bit b set. One explode + one groupBy. */
   def simhash(docs: DataFrame, idCol: String, textCol: String,

@@ -40,6 +40,8 @@ object PipelineQueries {
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private val hpCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private val bucketsCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
   // One md5 pass per token per document per (session, SF): every
   // shingle-based query (minhash/LSH pairs, jaccard, contamination) reads
@@ -51,13 +53,21 @@ object PipelineQueries {
           Portable.tokenHashPairs(col("text")).as("_hp")).localCheckpoint(true))
     }
 
+  // The LSH bucket table feeds two pair shapes: full pairs for pairwise
+  // verification (minhash_pairs, jaccard) and star-capped pairs for
+  // clustering — materialize it once.
+  private def lshBucketTable(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      bucketsCache.getOrElseUpdate((s, dir),
+        Dedup.lshBuckets(
+          Dedup.minhashFromHp(docsHp(s, dir), ShingleN, MinhashPerms),
+          MinhashPerms, MinhashBands).localCheckpoint(true))
+    }
+
   private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
     synchronized {
       pairsCache.getOrElseUpdate((s, dir),
-        Dedup.candidatePairs(
-          Dedup.lshBuckets(
-            Dedup.minhashFromHp(docsHp(s, dir), ShingleN, MinhashPerms),
-            MinhashPerms, MinhashBands)).localCheckpoint(true))
+        Dedup.candidatePairs(lshBucketTable(s, dir)).localCheckpoint(true))
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -82,8 +92,10 @@ object PipelineQueries {
     "q_dedup_clusters" -> ((s, dir) =>
       // Pairwise LSH hits -> dedup groups: connected components with the
       // component-minimum id as cluster label; `keep` marks the canonical
-      // representative each group retains.
-      Dedup.connectedComponents(lshCandidatePairs(s, dir),
+      // representative each group retains. Clustering consumes STAR-CAPPED
+      // pairs (identical components, linear in bucket size) — the
+      // duplication-heavy-corpus guard; see Dedup.clusterPairs.
+      Dedup.connectedComponents(Dedup.clusterPairs(lshBucketTable(s, dir)),
         docs(s, dir), "doc_id")),
 
     "q_embed_neardup" -> ((s, dir) =>
