@@ -88,35 +88,26 @@ object Dedup {
       .select(col("a"), col("b")).distinct()
   }
 
-  /** Candidate pairs for CLUSTERING: like [[candidatePairs]], but buckets
-    * larger than `starCap` emit a star — `(bucket_min, id)` for every
-    * other member, n−1 edges instead of n²/2 — which yields IDENTICAL
-    * connected components (every pair of co-bucketed docs stays connected
-    * through the bucket minimum) at linear, not quadratic, cost. This is
-    * the 100 TB guard against duplication-heavy corpora: a bucket of n
-    * exact near-copies is n²/2 candidate pairs under the plain self-join
-    * (the sf1 headroom run hit 121× pair growth on 10× data — see
-    * SCALE_NOTES.md), but only n−1 star edges here. Only the clustering
-    * path may use this: pairwise *verification* (Jaccard) needs the real
-    * pairs, stars would skip direct comparisons. */
-  def clusterPairs(buckets: DataFrame, starCap: Int = 64): DataFrame = {
-    val mat = buckets.localCheckpoint(true)
-    // Bucket stats ride the same (band, bucket) key as the join below, so
-    // the exchange is reused rather than re-shuffled.
-    val stats = mat.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("_n"), min(col("id")).as("_mn"))
-    val annotated = mat.join(stats, Seq("band", "bucket"))
-    val small = annotated.where(col("_n") <= starCap)
-      .select(col("id"), col("band"), col("bucket"))
-    val l = small.toDF("a", "band", "bucket")
-    val r = small.toDF("b", "band", "bucket")
-    val smallPairs = l.join(r, Seq("band", "bucket"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"))
-    val starPairs = annotated
-      .where(col("_n") > starCap && col("id") =!= col("_mn"))
+  /** Candidate edges for CLUSTERING: every bucket collapses to a star —
+    * `(bucket_min, id)` for each other member, n−1 edges instead of the
+    * self-join's n²/2 pairs — which yields IDENTICAL connected components
+    * (every pair of co-bucketed docs stays connected through the bucket
+    * minimum). Cost is linear in the bucket table, ≤ |docs|·bands edges
+    * total, one window shuffle, NO self-join — the 100 TB guard against
+    * duplication-heavy corpora, where pairwise candidates grow
+    * quadratically in the duplication factor (the sf1 headroom run hit
+    * 121× pair growth on 10× data — see SCALE_NOTES.md). Only the
+    * clustering path may use this: pairwise *verification* (Jaccard)
+    * needs [[candidatePairs]]' real pairs, stars would skip direct
+    * comparisons. */
+  def clusterPairs(buckets: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    buckets
+      .withColumn("_mn", min(col("id")).over(w))
+      .where(col("id") =!= col("_mn"))
       .select(col("_mn").as("a"), col("id").as("b"))
-    smallPairs.union(starPairs).distinct()
+      .distinct()
   }
 
   /** SimHash: `bits`-bit signature where bit b is set iff the (multiset)

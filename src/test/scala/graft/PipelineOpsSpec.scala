@@ -49,15 +49,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rounds <= 12, s"expected O(log d) rounds, got $rounds for diameter $d")
   }
 
-  test("clusterPairs: star-capped buckets keep identical components at linear cost") {
-    // One mega-bucket (80 members, ids 0,3,6,...) far past the cap, plus
-    // small buckets chaining a few of its members to outside docs.
+  test("clusterPairs: bucket stars keep identical components at linear cost") {
+    // One mega-bucket (80 members, ids 0,3,6,...), plus small buckets
+    // chaining some of its members to outside docs.
     val big = (0 until 80).map(i => (i * 3L, 0, 1000L))
     val chain = Seq((0L, 1, 2000L), (500L, 1, 2000L), (501L, 2, 3000L), (502L, 2, 3000L))
     val buckets = (big ++ chain).toDF("id", "band", "bucket")
     val full = Dedup.candidatePairs(buckets)
-    val star = Dedup.clusterPairs(buckets, starCap = 16)
-    // 80·79/2 = 3160 full pairs inside the mega-bucket vs 79 star edges.
+    val star = Dedup.clusterPairs(buckets)
+    // 80·79/2 = 3160 full pairs inside the mega-bucket vs 79 star edges;
+    // each 2-member chain bucket contributes 1 edge either way.
     assert(full.count() === 3160L + 1L + 1L)
     assert(star.count() === 79L + 1L + 1L)
     val ids = (big ++ chain).map(_._1).distinct.toDF("id")
