@@ -147,7 +147,9 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
             }
           case _ => ()
         }
-      case R.Interest(name, g)       => interest(name, g)
+      // Wire-level sink routing is the transport's concern (WsServer);
+      // the embedded path registers plain interest.
+      case R.Interest(name, g, _, _) => interest(name, g)
       case R.Uninterest(name)        => uninterest(name)
       case R.Register(rules, _)      => rules.foreach(register)
       case R.CreateAttribute(n, cfg) => createAttribute(n, cfg)

@@ -16,7 +16,24 @@ object Request {
   /** Derive new attributes under a namespace from a GraphQL document
     * (`Request::Derive`, feature-gated in the reference). */
   final case class Derive(namespace: String, query: String) extends Request
-  final case class Interest(name: String, granularity: Option[Long] = None)
+  /** Sink configuration attachable to an `Interest` (`Sink`,
+    * `src/sinks/mod.rs:56-65`): results route into the sink instead of the
+    * plain QueryDiff channel. */
+  sealed trait SinkSpec
+  object SinkSpec {
+    /** /dev/null benchmarking sink (`Sink::TheVoid(Option<String>)`):
+      * diffs are swallowed; per-advance latency is logged, optionally
+      * appended to `logPath`. */
+    final case class TheVoid(logPath: Option[String]) extends SinkSpec
+    /** Nested-document sink (`Sink::AssocIn`, `src/sinks/assoc_in.rs:22-32`):
+      * result paths fold into documents, emitted as `Output::Json`.
+      * `stateful = Some(g)` keeps history and reports changed
+      * sub-structures at granularity depth `g`; `None` folds each batch
+      * into fresh documents. */
+    final case class AssocIn(stateful: Option[Int]) extends SinkSpec
+  }
+  final case class Interest(name: String, granularity: Option[Long] = None,
+      sink: Option[SinkSpec] = None, disableLogging: Option[Boolean] = None)
       extends Request
   final case class Uninterest(name: String) extends Request
   final case class Register(rules: Seq[Rule], publish: Seq[String]) extends Request
@@ -50,6 +67,10 @@ object Output {
   /** A JSON message forwarded to a specific client (e.g. the `Status`
     * response, `server/src/main.rs:605-614`). */
   final case class Message(client: Long, json: String) extends Output
+  /** A JSON document produced by a sink (`Output::Json`,
+    * `src/lib.rs:254-256`): (query name, rendered JSON, time, diff). */
+  final case class Json(name: String, json: String, t: Long, diff: Long)
+      extends Output
 }
 
 /** serde-JSON wire codec for the request API, matching the reference's
@@ -103,7 +124,9 @@ object Wire {
         case Vector(("Interest", io: JObj)) =>
           Request.Interest(
             str(io.get("name").get),
-            io.get("granularity").filter(_ != JNull).map(timeOf))
+            io.get("granularity").filter(_ != JNull).map(timeOf),
+            io.get("sink").filter(_ != JNull).map(sinkOf),
+            io.get("disable_logging").filter(_ != JNull).map(bool))
         case Vector(("Subscribe", JStr(n))) => Request.Subscribe(n)
         case Vector(("Derive", JArr(Vector(JStr(ns), JStr(q))))) =>
           Request.Derive(ns, q)
@@ -175,9 +198,11 @@ object Wire {
     case Request.Shutdown   => "\"Shutdown\""
     case Request.Transact(ds) =>
       s"""{"Transact":[${ds.map(renderDatom).mkString(",")}]}"""
-    case Request.Interest(name, g) =>
+    case Request.Interest(name, g, sink, dl) =>
       s"""{"Interest":{"name":${qs(name)},"granularity":${
-        g.map(t => s"""{"TxId":$t}""").getOrElse("null")}}}"""
+        g.map(t => s"""{"TxId":$t}""").getOrElse("null")},"sink":${
+        sink.map(renderSink).getOrElse("null")},"disable_logging":${
+        dl.map(_.toString).getOrElse("null")}}}"""
     case Request.Subscribe(n)  => s"""{"Subscribe":${qs(n)}}"""
     case Request.Derive(ns, q) => s"""{"Derive":[${qs(ns)},${qs(q)}]}"""
     case Request.Uninterest(n) => s"""{"Uninterest":${qs(n)}}"""
@@ -238,6 +263,8 @@ object Wire {
         qs(message)}},$tx]}"""
     case Output.Message(client, json) =>
       s"""{"Message":[$client,$json]}"""
+    case Output.Json(name, json, t, d) =>
+      s"""{"Json":[${qs(name)},$json,{"TxId":$t},$d]}"""
   }
 
   /** Re-render a parsed JSON value (used to carry `Message` payloads
@@ -268,6 +295,8 @@ object Wire {
           eo.get("df.error/message").map(str).getOrElse(""), long(tx))
       case Vector(("Message", JArr(Vector(client, payload)))) =>
         Output.Message(long(client), renderJson(payload))
+      case Vector(("Json", JArr(Vector(JStr(name), payload, t, d)))) =>
+        Output.Json(name, renderJson(payload), timeOf(t), long(d))
       case other => sys.error(s"unknown output: $other")
     }
     case other => sys.error(s"unknown output: $other")
@@ -346,6 +375,28 @@ object Wire {
         case other => sys.error(s"unsupported time: $other")
       }
     case other => sys.error(s"unsupported time: $other")
+  }
+
+  /** `Sink` (`src/sinks/mod.rs:56-65`), externally tagged like every other
+    * enum: `{"TheVoid":null|"path"}`, `{"AssocIn":{"stateful":n|null}}`. */
+  def sinkOf(j: J): Request.SinkSpec = j match {
+    case o: JObj =>
+      o.fields match {
+        case Vector(("TheVoid", JNull))   => Request.SinkSpec.TheVoid(None)
+        case Vector(("TheVoid", p))       => Request.SinkSpec.TheVoid(Some(str(p)))
+        case Vector(("AssocIn", ao: JObj)) =>
+          Request.SinkSpec.AssocIn(
+            ao.get("stateful").filter(_ != JNull).map(int))
+        case other => sys.error(s"unsupported sink: $other")
+      }
+    case other => sys.error(s"unsupported sink: $other")
+  }
+
+  def renderSink(s: Request.SinkSpec): String = s match {
+    case Request.SinkSpec.TheVoid(p) =>
+      s"""{"TheVoid":${p.map(qs).getOrElse("null")}}"""
+    case Request.SinkSpec.AssocIn(st) =>
+      s"""{"AssocIn":{"stateful":${st.map(_.toString).getOrElse("null")}}}"""
   }
 
   def ruleOf(j: J): Rule = j match {
@@ -551,6 +602,10 @@ object Wire {
     case other => sys.error(s"expected number, got $other")
   }
   private def int(j: J): Int = long(j).toInt
+  private def bool(j: J): Boolean = j match {
+    case JBool(b) => b
+    case other    => sys.error(s"expected bool, got $other")
+  }
   private def vars(j: J): Seq[Int] = arr(j).map(int)
   private def pair(j: J): Seq[Int] = vars(j)
   private def ints(vs: Seq[Int]): String = vs.mkString("[", ",", "]")

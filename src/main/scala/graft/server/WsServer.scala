@@ -192,11 +192,21 @@ final class WsServer(engine: Engine, port: Int = 0,
     try {
       val requests = Wire.parseRequests(text)
       requests.foreach {
-        case Request.Interest(name, g) =>
+        case Request.Interest(name, g, sink, _) =>
           // Stream-served rules need no engine registration — the live
           // query delivers; Interest only wires up this client.
           if (!streamNames.contains(name)) engine.interest(name, g)
           clients(id)._2 += name
+          // Sink routing (reference: `Interest.sink`, server/src/main.rs:
+          // 494-520): diffs divert into the sink; AssocIn forwards its
+          // Output::Json stream to interested clients, TheVoid swallows.
+          sink.foreach {
+            case Request.SinkSpec.TheVoid(path) =>
+              sinkStates(name) = VoidState(path)
+            case Request.SinkSpec.AssocIn(stateful) =>
+              sinkStates(name) = AssocState(stateful,
+                if (stateful.isDefined) Some(graft.sinks.AssocIn.Obj()) else None)
+          }
         case Request.Subscribe(attr) =>
           engine.handle(Request.Subscribe(attr))
           clients(id)._2 += attr
@@ -207,8 +217,10 @@ final class WsServer(engine: Engine, port: Int = 0,
           clients(id)._2 -= name
           // Tear the dataflow down only when the LAST interested client
           // leaves (server/src/main.rs:276-281).
-          if (!clients.values.exists(_._2.contains(name)))
+          if (!clients.values.exists(_._2.contains(name))) {
             engine.uninterest(name)
+            sinkStates -= name
+          }
         case Request.Status =>
           // server/src/main.rs:605-614.
           clients.get(id).foreach { case (out, _) =>
@@ -230,6 +242,16 @@ final class WsServer(engine: Engine, port: Int = 0,
     }
   }
 
+  // Per-interest sink routing state (reference `Interest.sink`).
+  private sealed trait SinkState
+  private final case class VoidState(logPath: Option[String]) extends SinkState
+  private final case class AssocState(stateful: Option[Int],
+      acc: Option[graft.sinks.AssocIn.Obj]) extends SinkState
+  private val sinkStates = mutable.Map.empty[String, SinkState]
+  /** Per-advance latency log of void-sinked interests, mirroring
+    * `Sink::TheVoid`'s ms-per-frontier log: (name, time, rows). */
+  val voidLog = mutable.ArrayBuffer.empty[(String, Long, Long)]
+
   /** Drain every interested rule once and deliver its batch to all clients
     * interested in it. */
   private def flushDiffs(): Unit = {
@@ -242,7 +264,60 @@ final class WsServer(engine: Engine, port: Int = 0,
             asValue(v, kinds.flatMap(_.lift(i)))
           }, t, d)
         }
-        val msg = Wire.renderOutput(Output.QueryDiff(name, batch))
+        sinkStates.get(name) match {
+          case Some(v: VoidState)  => sinkVoid(name, v, batch)
+          case Some(a: AssocState) => sinkAssoc(name, a, batch)
+          case None =>
+            val msg = Wire.renderOutput(Output.QueryDiff(name, batch))
+            for ((out, names) <- clients.values if names.contains(name))
+              send(out, msg)
+        }
+      }
+    }
+  }
+
+  /** `Sink::TheVoid` (`src/sinks/mod.rs:83-128`): swallow the batch, log
+    * per-epoch volume (appended to the configured file when given). */
+  private def sinkVoid(name: String, v: VoidState,
+      batch: Seq[(Seq[Value], Long, Long)]): Unit = {
+    for ((t, rows) <- batch.groupBy(_._2).toSeq.sortBy(_._1)) {
+      voidLog += ((name, t, rows.length.toLong))
+      v.logPath.foreach { p =>
+        val w = new java.io.FileWriter(p, true)
+        try w.write(s"$name\t$t\t${rows.length}\n") finally w.close()
+      }
+    }
+  }
+
+  /** `Sink::AssocIn` (`src/sinks/assoc_in.rs:55-140`): fold result paths
+    * into nested documents per completed time; stateless mode emits one
+    * `Output::Json` per top-level key, stateful mode reports the changed
+    * sub-structures at the configured granularity depth. */
+  private def sinkAssoc(name: String, a: AssocState,
+      batch: Seq[(Seq[Value], Long, Long)]): Unit = {
+    import graft.sinks.AssocIn
+    for ((t, rows) <- batch.groupBy(_._2).toSeq.sortBy(_._1)) {
+      val paths = rows.map { case (tuple, tt, d) => (tuple, tt, d) }
+      val outputs: Seq[(String, String)] = a.acc match {
+        case None =>
+          val doc = AssocIn.Obj()
+          AssocIn.mergePaths(doc, paths)
+          doc.fields.toSeq.map { case (k, node) => (k, AssocIn.render(node)) }
+        case Some(acc) =>
+          val granularity = a.stateful.getOrElse(1)
+          val changes = AssocIn.mergePaths(acc, paths, granularity)
+          changes.distinct.flatMap { keyPath =>
+            // Walk to the changed sub-structure; a deleted path emits
+            // nothing (mirroring the reference's map indexing behavior).
+            val node = keyPath.foldLeft(Option(acc: AssocIn.Node)) {
+              case (Some(AssocIn.Obj(fs)), k) => fs.get(k)
+              case _                          => None
+            }
+            node.map(n => (keyPath.mkString("/"), AssocIn.render(n)))
+          }
+      }
+      for ((_, json) <- outputs) {
+        val msg = Wire.renderOutput(Output.Json(name, json, t, 1L))
         for ((out, names) <- clients.values if names.contains(name))
           send(out, msg)
       }

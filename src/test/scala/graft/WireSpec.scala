@@ -47,6 +47,19 @@ class WireSpec extends AnyFunSuite {
         Transform(Seq(1), 2, NameExpr(Seq(0, 1), "r"), Fn.ADD, Seq(Some(Value.num(1)))))),
       Seq(AggregationFn.SUM), Seq(0), Seq(1), Seq.empty)
     assert(Wire.planOf(Wire.parseJson(Wire.renderPlan(nested))) == nested)
+
+    // Interest with a sink configuration round-trips (reference
+    // Interest.sink, src/server/mod.rs:110-119 + Sink, src/sinks/mod.rs).
+    Seq[Request](
+      Request.Interest("q", Some(10L),
+        Some(Request.SinkSpec.TheVoid(Some("/tmp/void.log"))), Some(true)),
+      Request.Interest("q", None,
+        Some(Request.SinkSpec.AssocIn(Some(2))), None),
+      Request.Interest("q", None,
+        Some(Request.SinkSpec.AssocIn(None)), None)
+    ).foreach { r =>
+      assert(Wire.parseRequests(Wire.renderRequest(r)) == Seq(r))
+    }
   }
 
   test("tagged scalar values from older clients are accepted") {

@@ -356,4 +356,46 @@ class WsServerSpec extends AnyFunSuite {
       server.stop()
     }
   }
+
+  test("Interest with an AssocIn sink emits Output::Json documents") {
+    withServer { (_, client) =>
+      client.send("""{"CreateAttribute":{"name":":age","config":{"input_semantics":"Distinct"}}}""")
+      client.send("""{"Register":{"rules":[{"name":"ages","plan":
+        {"MatchA":[0,":age",1]}}],"publish":["ages"]}}""")
+      // Stateful granularity 1: changed top-level sub-structures re-emit.
+      client.send("""{"Interest":{"name":"ages","granularity":null,
+        "sink":{"AssocIn":{"stateful":1}},"disable_logging":null}}""")
+      client.send("""{"Transact":[[100,":age",43,null,1],[200,":age",33,null,1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+      val first = Seq(Wire.parseOutput(client.next()), Wire.parseOutput(client.next()))
+      assert(first.toSet == Set(
+        Output.Json("ages", "43", 0L, 1L),
+        Output.Json("ages", "33", 0L, 1L)))
+
+      // Correction: only entity 100's document changes and re-emits.
+      client.send("""{"Transact":[[100,":age",43,null,-1],[100,":age",45,null,1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":2}]}""")
+      assert(Wire.parseOutput(client.next()) == Output.Json("ages", "45", 1L, 1L))
+    }
+  }
+
+  test("Interest with a TheVoid sink swallows diffs and logs epochs") {
+    withServer { (server, client) =>
+      client.send("""{"CreateAttribute":{"name":":v","config":{"input_semantics":"Distinct"}}}""")
+      client.send("""{"Register":{"rules":[{"name":"vq","plan":
+        {"MatchA":[0,":v",1]}}],"publish":["vq"]}}""")
+      client.send("""{"Interest":{"name":"vq","granularity":null,
+        "sink":{"TheVoid":null},"disable_logging":null}}""")
+      client.send("""{"Transact":[[1,":v",7,null,1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+      // Status echoes a Message; if the void leaked, a QueryDiff would
+      // arrive first instead.
+      client.send(""""Status"""")
+      Wire.parseOutput(client.next()) match {
+        case Output.Message(_, json) => assert(json.contains("df/status"))
+        case other => fail(s"void sink leaked output: $other")
+      }
+      assert(server.voidLog.toSeq == Seq(("vq", 0L, 1L)))
+    }
+  }
 }
