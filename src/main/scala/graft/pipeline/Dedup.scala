@@ -310,6 +310,36 @@ object Dedup {
     (result, rounds)
   }
 
+  /** EXACT-DEDUP-FIRST near-dup clustering — the composition SCALE_NOTES.md
+    * prescribes for duplication-heavy corpora: shingle and LSH-cluster only
+    * DISTINCT texts (one representative per content digest, the group
+    * minimum), then expand labels back over the digest groups. Labels are
+    * provably identical to clustering all documents directly: an exact
+    * copy shares every band bucket with its representative, so the
+    * all-docs component structure is exactly the expansion of the
+    * representative components — but shingling cost drops from
+    * O(corpus tokens) to O(distinct-text tokens), which at 100 TB with
+    * heavy duplication is the dominant saving. Output: (id, cluster,
+    * keep), same contract as [[connectedComponents]]. */
+  def exactFirstClusters(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, perms: Int = 8, bands: Int = 4): DataFrame = {
+    val d = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    // One row per distinct text: representative id = group minimum, so the
+    // component minimum over representatives IS the minimum over all docs.
+    val groups = d.groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("id")).as("rep"), first(col("text")).as("text"))
+      .localCheckpoint(true) // shared by the rep pipeline and the expansion
+    val hp = groups.select(col("rep").as("id"),
+      tokenHashPairs(col("text")).as("_hp"))
+    val buckets = lshBuckets(minhashFromHp(hp, n, perms), perms, bands)
+    val repClusters = connectedComponents(clusterPairs(buckets),
+      groups.select(col("rep").as("id")), "id")
+    d.select(col("id"), md5(col("text")).as("digest"))
+      .join(groups.select(col("digest"), col("rep")), "digest")
+      .join(repClusters.select(col("id").as("rep"), col("cluster")), "rep")
+      .select(col("id"), col("cluster"), (col("id") === col("cluster")).as("keep"))
+  }
+
   /** Exact word n-gram Jaccard for given (a, b) candidate pairs, returned
     * as exact integers (intersection, union) to stay float-free. Set sizes
     * come from a per-row array expression (no explode, no shuffle); the

@@ -98,6 +98,14 @@ object PipelineQueries {
       Dedup.connectedComponents(Dedup.clusterPairs(lshBucketTable(s, dir)),
         docs(s, dir), "doc_id")),
 
+    "q_dedup_exact_first" -> ((s, dir) =>
+      // Exact-dedup-first composition: shingle/LSH only distinct texts,
+      // expand cluster labels over digest groups — identical labels to
+      // q_dedup_clusters at shingling cost ∝ distinct texts (the 100 TB
+      // prescription of SCALE_NOTES.md).
+      Dedup.exactFirstClusters(docs(s, dir), "doc_id", "text",
+        ShingleN, MinhashPerms, MinhashBands)),
+
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.quantizedNearDup(embeds(s, dir), "label", 95, 100)),
 
@@ -262,6 +270,20 @@ object PipelineQueries {
     }.mkString(" UNION ALL ")
   }
 
+  private lazy val clustersOracleSql =
+    s"""WITH RECURSIVE sig AS (${sigSql(MinhashPerms)}), bands AS ($bandsSql),
+        pairs AS (SELECT DISTINCT l.id AS a, r.id AS b
+                  FROM bands l JOIN bands r USING (band, bucket)
+                  WHERE l.id < r.id),
+        edges AS (SELECT a AS s, b AS d FROM pairs
+                  UNION SELECT b, a FROM pairs),
+        reach(id, r) AS (
+          SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+          UNION
+          SELECT e.d, re.r FROM reach re JOIN edges e ON e.s = re.id)
+        SELECT id, MIN(r) AS cluster, (id = MIN(r)) AS keep
+        FROM reach GROUP BY id"""
+
   private val qvSql =
     "list_transform(embedding, x -> CAST(round(x * 100) AS BIGINT))"
   private def dotSql(a: String, b: String): String =
@@ -314,19 +336,12 @@ object PipelineQueries {
 
     // Min reachable id per node over the undirected LSH candidate-pair
     // graph == the component minimum the label propagation converges to.
-    "q_dedup_clusters" ->
-      s"""WITH RECURSIVE sig AS (${sigSql(MinhashPerms)}), bands AS ($bandsSql),
-          pairs AS (SELECT DISTINCT l.id AS a, r.id AS b
-                    FROM bands l JOIN bands r USING (band, bucket)
-                    WHERE l.id < r.id),
-          edges AS (SELECT a AS s, b AS d FROM pairs
-                    UNION SELECT b, a FROM pairs),
-          reach(id, r) AS (
-            SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
-            UNION
-            SELECT e.d, re.r FROM reach re JOIN edges e ON e.s = re.id)
-          SELECT id, MIN(r) AS cluster, (id = MIN(r)) AS keep
-          FROM reach GROUP BY id""",
+    "q_dedup_clusters" -> clustersOracleSql,
+
+    // Exact-first composition produces IDENTICAL labels (an exact copy
+    // shares every band bucket with its digest representative), so the
+    // all-docs reachability oracle applies verbatim.
+    "q_dedup_exact_first" -> clustersOracleSql,
 
     "q_embed_neardup" ->
       s"""WITH s AS (SELECT CAST(vec_id AS BIGINT) AS id, label, $qvSql AS qv

@@ -68,6 +68,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(labels(star) === labels(full))
   }
 
+  test("exactFirstClusters: identical labels to all-docs clustering") {
+    // 12 base texts, several near-dup variants, each text replicated 1-4x
+    // as exact copies with distinct ids.
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "the quick brown fox jumps over the lazy dog near the river edge",
+      "a completely different document about spark dataframes and shuffles",
+      "a completely different document about spark dataframes and shuffle",
+      "lorem ipsum dolor sit amet consectetur adipiscing elit sed do",
+      "totally unrelated text with its own unique vocabulary here today",
+      "another single document that matches nothing else in the corpus")
+    val rows = for {
+      (t, ti) <- base.zipWithIndex
+      copy <- 0 to (ti % 4)
+    } yield (ti * 100L + copy, t)
+    val docs = rows.toDF("doc_id", "text")
+    val fast = Dedup.exactFirstClusters(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // All-docs path: same LSH parameters over every copy.
+    val hpAll = docs.select(col("doc_id").as("id"),
+      graft.functions.Portable.tokenHashPairs(col("text")).as("_hp"))
+    val bucketsAll = Dedup.lshBuckets(Dedup.minhashFromHp(hpAll, 3, 8), 8, 4)
+    val slow = Dedup.connectedComponents(Dedup.clusterPairs(bucketsAll),
+      docs.select(col("doc_id").as("id")), "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(fast === slow)
+    // Sanity: exact copies really did cluster together.
+    assert(fast.count(_._3) < rows.length)
+  }
+
   test("connectedComponents: driver union-find agrees with the kernel") {
     val rnd = new scala.util.Random(7)
     val pairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
