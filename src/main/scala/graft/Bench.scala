@@ -29,7 +29,11 @@ object Bench {
     // Optional comma-separated subset for local iteration, e.g.
     // SPARK_GRAFT_ONLY=q_dedup_jaccard,q_recursion_closure
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.filter { case (name, _) =>
+    // Name-sorted execution: hash-map iteration order would silently
+    // reassign which query pays for shared checkpointed intermediates
+    // (docsHp, LSH buckets, the fixpoint cache) between runs, making
+    // per-query times incomparable across rounds.
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.contains(name))
     }
     val results = selected.map { case (name, fn) =>
@@ -39,7 +43,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
