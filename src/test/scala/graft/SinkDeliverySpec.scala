@@ -117,6 +117,71 @@ class SinkDeliverySpec extends AnyFunSuite {
     assert(got.toSeq === Seq((10L, Set((Seq[Any](1L), 10L, 1L)))))
   }
 
+  test("sink and drain paths agree for any plan and transaction history") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.model.Plan._
+    val genDatom: Gen[Datom] = for {
+      e <- Gen.choose(1L, 4L)
+      a <- Gen.oneOf(":sp/x", ":sp/y")
+      v <- Gen.choose(1L, 3L)
+      diff <- Gen.frequency(3 -> 1L, 1 -> -1L)
+    } yield Datom(e, a, Value.num(v), None, diff)
+    val genHistory: Gen[Seq[Seq[Datom]]] =
+      Gen.chooseNum(1, 3).flatMap(n =>
+        Gen.listOfN(n, Gen.nonEmptyListOf(genDatom).map(_.take(6))))
+    val plans: Seq[Seq[Rule]] = Seq(
+      Seq(Rule("query",
+        Join(Seq(0), matchA(0, ":sp/x", 1), matchA(0, ":sp/y", 2)))),
+      Seq(Rule("query",
+        Antijoin(Seq(0), matchA(0, ":sp/x", 1),
+          Project(Seq(0), matchA(0, ":sp/y", 2))))),
+      Seq(Rule("query",
+        Aggregate(Seq(0, 1), matchA(0, ":sp/x", 1),
+          Seq(AggregationFn.COUNT), Seq(0), Seq(1), Seq.empty))))
+
+    def run(rules: Seq[Rule], history: Seq[Seq[Datom]]): Unit = {
+      def mk(): Engine = {
+        val e = new Engine(spark)
+        Seq(":sp/x", ":sp/y").foreach(a =>
+          e.createAttribute(a, AttributeConfig(InputSemantics.Raw)))
+        rules.foreach(e.register)
+        e
+      }
+      val drainEng = mk(); drainEng.interest("query")
+      val sinkEng = mk()
+      val got = mutable.ArrayBuffer.empty[(Seq[Any], Long, Long)]
+      sinkEng.interestSink("query",
+        new ForeachFrameSink((_, _, df) => got ++= diffsOf(df)))
+      val want = mutable.ArrayBuffer.empty[(Seq[Any], Long, Long)]
+      history.zipWithIndex.foreach { case (tx, i) =>
+        drainEng.transact(tx); sinkEng.transact(tx)
+        drainEng.advance(i + 1L); sinkEng.advance(i + 1L)
+        want ++= drainEng.drain("query")
+      }
+      assert(got.sorted(TupleDiffOrd) == want.sorted(TupleDiffOrd),
+        s"\nsink:  ${got.toList}\ndrain: ${want.toList}\nhistory: $history")
+    }
+
+    val params = Gen.Parameters.default
+    for (rules <- plans; i <- 0 until 3) {
+      val history = genHistory(params, Seed(11L + i * 104729L)).getOrElse(Seq.empty)
+      run(rules, history)
+    }
+  }
+
+  private object TupleDiffOrd extends Ordering[(Seq[Any], Long, Long)] {
+    def compare(x: (Seq[Any], Long, Long), y: (Seq[Any], Long, Long)): Int = {
+      val c = x._1.map(String.valueOf).mkString("|")
+        .compareTo(y._1.map(String.valueOf).mkString("|"))
+      if (c != 0) c
+      else {
+        val ct = java.lang.Long.compare(x._2, y._2)
+        if (ct != 0) ct else java.lang.Long.compare(x._3, y._3)
+      }
+    }
+  }
+
   test("late sink subscriber receives accumulated state as initial diffs") {
     val eng = new Engine(spark)
     eng.createAttribute("sd/late", AttributeConfig(inputSemantics = InputSemantics.Raw))
