@@ -674,26 +674,41 @@ class Compiler(
         if (kHops <= 1) {
           it.flatMap { case (t, _) => expandOne(t).map((_, null)) }
         } else {
-          // Hop 1 is the rule's semantics and always runs in full; hops
-          // 2..k are prepayments gated by the work budget (checked per
-          // candidate, so a dense hop stops within `hopBudget` adds).
+          // Hop 1 is the rule's semantics and always runs in full —
+          // STREAMED into the shuffle writer in O(1) memory, exactly like
+          // the kHops=1 path (a dense round must never buffer its full
+          // candidate set on-heap). A budget-capped sample of its
+          // candidates doubles as the seed for hops 2..k, which are pure
+          // prepayments: anything the cap or mid-hop truncation skips
+          // lands in the next delta and is expanded then.
           val seen = new java.util.LinkedHashSet[Tup]()
-          var frontier: Array[Tup] =
-            it.flatMap { case (t, _) => expandOne(t) }
-              .filter(seen.add).toArray
-          var hop = 1
-          while (hop < kHops && frontier.nonEmpty && seen.size < hopBudget) {
-            val next = scala.collection.mutable.ArrayBuffer.empty[Tup]
-            val cs = frontier.iterator.flatMap(expandOne)
-            while (cs.hasNext && seen.size < hopBudget) {
-              val c = cs.next()
-              if (seen.add(c)) next += c
+          val hop1 = it.flatMap { case (t, _) =>
+            expandOne(t).map { c =>
+              if (seen.size < hopBudget) seen.add(c)
+              (c, null)
             }
-            frontier = next.toArray
-            hop += 1
           }
-          import scala.jdk.CollectionConverters._
-          seen.iterator.asScala.map((_, null))
+          // Iterator.++'s right side is by-name: this block runs only
+          // after hop 1 is exhausted (and `seen` is fully populated).
+          hop1 ++ locally {
+            val extra = scala.collection.mutable.ArrayBuffer.empty[Tup]
+            var frontier: Array[Tup] = {
+              import scala.jdk.CollectionConverters._
+              seen.iterator.asScala.toArray
+            }
+            var hop = 1
+            while (hop < kHops && frontier.nonEmpty && seen.size < hopBudget) {
+              val next = scala.collection.mutable.ArrayBuffer.empty[Tup]
+              val cs = frontier.iterator.flatMap(expandOne)
+              while (cs.hasNext && seen.size < hopBudget) {
+                val c = cs.next()
+                if (seen.add(c)) { next += c; extra += c }
+              }
+              frontier = next.toArray
+              hop += 1
+            }
+            extra.iterator.map((_, null))
+          }
         }
       }
       val fresh = graft.kernel.RddKernel.freshDelta(cand, part, parts)

@@ -172,6 +172,10 @@ object Dedup {
     val edgePairs: RDD[(Long, Long)] = pairs
       .select(col("a").cast("long"), col("b").cast("long")).rdd
       .map(r => (r.getLong(0), r.getLong(1)))
+      // Both the gate count and the consumer that follows it (driver
+      // collect OR kernel edge build) read this RDD — without caching, the
+      // full candidate-pair lineage would recompute for the second pass.
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = edgePairs.count()
     trace(s"edges counted n=$nEdges")
     val allIds = ids.select(col(idCol).cast("long").as("id"))
@@ -211,7 +215,9 @@ object Dedup {
         while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
         r
       }
-      edgePairs.collect().foreach { case (a, b) =>
+      val collected = edgePairs.collect()
+      edgePairs.unpersist(blocking = false)
+      collected.foreach { case (a, b) =>
         parent.putIfAbsent(a, a)
         parent.putIfAbsent(b, b)
         val ra = find(a)
@@ -233,7 +239,10 @@ object Dedup {
     }
 
     val userP = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val p = math.max(1L, math.min(userP.toLong, nEdges / 250000L + 1L)).toInt
+    // `-Dgraft.cc.partitions=N` forces the partition count (the multi-
+    // partition regression spec uses it on gate-sized graphs).
+    val p = sys.props.get("graft.cc.partitions").map(_.toInt).getOrElse(
+      math.max(1L, math.min(userP.toLong, nEdges / 250000L + 1L)).toInt)
     val part = new HashPartitioner(p)
     val edges = edgePairs
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
@@ -247,6 +256,9 @@ object Dedup {
       }, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var nTouched = labels.count()
+    // labels' count materialized (and cached) the symmetric edge RDD; the
+    // raw pair RDD is no longer read by anyone.
+    edgePairs.unpersist(blocking = false)
     trace(s"labels initialized")
     // Convergence = no label shrank this round. The changed-count
     // accumulator is exact (no floating sums, no overflow wrap) and its
@@ -259,8 +271,12 @@ object Dedup {
       rounds += 1
       val acc = sc.longAccumulator
       // Edge propagation: every edge forwards its source's label to its
-      // destination (min over neighbors).
-      val msgs = edges.zipPartitions(labels, preservesPartitioning = true) {
+      // destination (min over neighbors). The zip's OUTPUT is keyed by
+      // destination — a different key than the input partitioning — so it
+      // must NOT claim the parent's partitioner (a `true` here would make
+      // the following partitionBy a silent no-op and drop every
+      // cross-partition merge).
+      val msgs = edges.zipPartitions(labels, preservesPartitioning = false) {
         (eIt, lIt) =>
           val m = new java.util.HashMap[Long, Long]()
           lIt.foreach { case (id, l) => m.put(id, l) }
@@ -270,9 +286,10 @@ object Dedup {
       // label (label values are always touched-node ids, so the lookup
       // always hits). Each round the effective reach of a component's min
       // label doubles — this is what turns O(diameter) rounds into
-      // O(log diameter).
+      // O(log diameter). Same re-keying rule: the answer stream is keyed
+      // by the asking node, not the partitioned label key.
       val reqs = labels.map { case (id, l) => (l, id) }.partitionBy(part)
-      val jmsgs = reqs.zipPartitions(labels, preservesPartitioning = true) {
+      val jmsgs = reqs.zipPartitions(labels, preservesPartitioning = false) {
         (rIt, lIt) =>
           val m = new java.util.HashMap[Long, Long]()
           lIt.foreach { case (id, l) => m.put(id, l) }
@@ -334,10 +351,16 @@ object Dedup {
     val buckets = lshBuckets(minhashFromHp(hp, n, perms), perms, bands)
     val repClusters = connectedComponents(clusterPairs(buckets),
       groups.select(col("rep").as("id")), "id")
-    d.select(col("id"), md5(col("text")).as("digest"))
+    val expanded = d.select(col("id"), md5(col("text")).as("digest"))
       .join(groups.select(col("digest"), col("rep")), "digest")
       .join(repClusters.select(col("id").as("rep"), col("cluster")), "rep")
-      .select(col("id"), col("cluster"), (col("id") === col("cluster")).as("keep"))
+      .select(col("id"), col("cluster"))
+    // Null-text docs have a null digest, which no equi-join matches — keep
+    // the connectedComponents contract (every id present, own cluster)
+    // with the same allIds left join + coalesce.
+    d.select(col("id")).join(expanded, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"),
+        (col("id") === coalesce(col("cluster"), col("id"))).as("keep"))
   }
 
   /** Exact word n-gram Jaccard for given (a, b) candidate pairs, returned

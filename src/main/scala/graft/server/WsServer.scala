@@ -173,8 +173,12 @@ final class WsServer(engine: Engine, port: Int = 0,
       synchronized {
         clients.remove(id).foreach { case (_, names) =>
           names.foreach { name =>
-            if (!clients.values.exists(_._2.contains(name)))
+            if (!clients.values.exists(_._2.contains(name))) {
               try engine.uninterest(name) catch { case NonFatal(_) => () }
+              // Drop sink routing with the interest — a stale sink state
+              // would silently swallow a later client's plain Interest.
+              sinkStates -= name
+            }
           }
         }
       }
@@ -249,8 +253,10 @@ final class WsServer(engine: Engine, port: Int = 0,
       acc: Option[graft.sinks.AssocIn.Obj]) extends SinkState
   private val sinkStates = mutable.Map.empty[String, SinkState]
   /** Per-advance latency log of void-sinked interests, mirroring
-    * `Sink::TheVoid`'s ms-per-frontier log: (name, time, rows). */
+    * `Sink::TheVoid`'s ms-per-frontier log: (name, time, rows). In-memory
+    * copy is capped (long-lived servers log to the configured file). */
   val voidLog = mutable.ArrayBuffer.empty[(String, Long, Long)]
+  private val voidLogCap = 10000
 
   /** Drain every interested rule once and deliver its batch to all clients
     * interested in it. */
@@ -281,7 +287,7 @@ final class WsServer(engine: Engine, port: Int = 0,
   private def sinkVoid(name: String, v: VoidState,
       batch: Seq[(Seq[Value], Long, Long)]): Unit = {
     for ((t, rows) <- batch.groupBy(_._2).toSeq.sortBy(_._1)) {
-      voidLog += ((name, t, rows.length.toLong))
+      if (voidLog.length < voidLogCap) voidLog += ((name, t, rows.length.toLong))
       v.logPath.foreach { p =>
         val w = new java.io.FileWriter(p, true)
         try w.write(s"$name\t$t\t${rows.length}\n") finally w.close()

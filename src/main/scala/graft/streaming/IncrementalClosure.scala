@@ -68,8 +68,22 @@ class IncrementalClosure(
   def advanceRdd(newEdges: RDD[(Long, Long)], t: Long): DataFrame = {
     val known = sc.broadcast(edgeSet.toSet)
     val fresh =
-      try newEdges.distinct(partitions).filter(e => !known.value(e)).collect().toSeq
-      finally known.destroy()
+      try {
+        val deduped = newEdges.distinct(partitions)
+          .filter(e => !known.value(e))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          // Gate BEFORE collecting: the whole point of this path is that
+          // nothing unbounded ever lands on the driver — a batch of
+          // millions of genuinely fresh edges must fail loudly, not OOM
+          // the driver on the way to the failure.
+          val n = deduped.count()
+          require(edgeSet.size + n <= maxEdges,
+            s"edge relation exceeds the broadcast gate ($maxEdges); " +
+              "use the batch engine for edge sets this large")
+          deduped.collect().toSeq
+        } finally deduped.unpersist(blocking = false)
+      } finally known.destroy()
     advanceFresh(fresh, t)
   }
 
@@ -141,7 +155,9 @@ class IncrementalClosure(
         import org.apache.spark.sql.functions.col
         batch.persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          require(batch.where(col("diff") =!= 1L).isEmpty,
+          // Null-safe: a null diff must fail the guard, not slip through
+          // three-valued logic as "not =!= 1".
+          require(batch.where(!(col("diff") <=> 1L)).isEmpty,
             "IncrementalClosure maintains additions only; retract via the batch engine")
           val times = batch.select("t").distinct().collect().map(_.getLong(0)).sorted
           times.foreach { t =>

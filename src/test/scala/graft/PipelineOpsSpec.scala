@@ -96,6 +96,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fast === slow)
     // Sanity: exact copies really did cluster together.
     assert(fast.count(_._3) < rows.length)
+
+    // Null-text docs keep the connectedComponents contract: present in the
+    // output as their own singleton cluster, not silently dropped.
+    val withNull = docs.union(Seq((9999L, null: String)).toDF("doc_id", "text"))
+    val out = Dedup.exactFirstClusters(withNull, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out.contains((9999L, 9999L, true)))
+    assert(out.size === rows.length + 1)
+  }
+
+  test("connectedComponents: kernel is correct across multiple partitions") {
+    // Shuffle regression guard: with >=2 hash partitions, propagate and
+    // jump messages cross partition boundaries; if they are not actually
+    // re-shuffled to their destination partition (a claimed-partitioner
+    // no-op), components silently split. Force 4 partitions on a path
+    // graph whose nodes hash everywhere.
+    val d = 256
+    val pairs = (0 until d).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val ids = (0L to d.toLong).toDF("id")
+    sys.props("graft.cc.driver") = "off"
+    sys.props("graft.cc.partitions") = "4"
+    val got =
+      try Dedup.connectedComponents(pairs, ids)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally { sys.props -= "graft.cc.driver"; sys.props -= "graft.cc.partitions" }
+    assert(got == (0L to d.toLong).map(i => (i, 0L)).toSet)
   }
 
   test("connectedComponents: driver union-find agrees with the kernel") {
