@@ -18,7 +18,13 @@ import org.apache.spark.rdd.RDD
   *    persisted — without lineage truncation each round/batch stacks its
   *    shuffle dependencies on the last — and chain members are never
   *    manually unpersisted while any live RDD still references them
-  *    (checkpointed RDDs cannot recompute).
+  *    (checkpointed RDDs cannot recompute);
+  *  - an operator whose OUTPUT is keyed differently than its input must
+  *    never claim `preservesPartitioning = true`: the claimed partitioner
+  *    makes a later `partitionBy` on the same partitioner a silent no-op,
+  *    stranding records in the wrong partition (the connected-components
+  *    kernel shipped exactly this bug; every helper here keeps keys
+  *    unchanged, which is why their `true` claims are valid).
   */
 object RddKernel {
 
