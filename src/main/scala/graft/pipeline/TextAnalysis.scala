@@ -103,6 +103,39 @@ object TextAnalysis {
       benchmark.select(col(idCol).as("id"), tokenHashPairs(col(textCol)).as("_hp")),
       n)
 
+  /** EXACT-DEDUP-FIRST contamination scan: overlap depends only on text
+    * content, so shingle and join only DISTINCT texts (one representative
+    * per content digest, minimum id) and expand the rep-level pair table
+    * over both sides' digest groups. Output is identical to
+    * [[ngramOverlap]] row for row — a copy pair shares its reps' overlap —
+    * but the shingle join runs once per distinct (corpus text, bench
+    * text) pair: under d-fold duplication that is d² less join work, the
+    * same quadratic guard [[graft.pipeline.Dedup.exactFirstClusters]]
+    * gives clustering (SCALE_NOTES.md). */
+  def ngramOverlapExactFirst(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    def groups(df: DataFrame) = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("id")).as("rep"), first(col("text")).as("text"))
+    def members(df: DataFrame, as: String) = df
+      .select(col(idCol).cast("long").as(as), md5(col(textCol)).as("digest"))
+    val cg = groups(corpus).localCheckpoint(true)
+    val bg = groups(benchmark).localCheckpoint(true)
+    val repOverlap = ngramOverlapFromHp(
+      cg.select(col("rep").as("id"), tokenHashPairs(col("text")).as("_hp")),
+      bg.select(col("rep").as("id"), tokenHashPairs(col("text")).as("_hp")), n)
+      .withColumnRenamed("corpus_id", "crep")
+      .withColumnRenamed("bench_id", "brep")
+    members(corpus, "corpus_id")
+      .join(cg.select(col("digest"), col("rep").as("crep")), "digest")
+      .drop("digest")
+      .join(repOverlap, "crep")
+      .join(bg.select(col("digest"), col("rep").as("brep")), "brep")
+      .join(members(benchmark, "bench_id"), "digest")
+      .select(col("corpus_id"), col("bench_id"), col("shared"), col("corpus_sz"))
+  }
+
   /** [[ngramOverlap]] over prepared `(id, _hp)` token-hash-pair tables
     * (shared hash pass — see `Dedup.minhashFromHp`). */
   def ngramOverlapFromHp(corpusHp: DataFrame, benchHp: DataFrame,

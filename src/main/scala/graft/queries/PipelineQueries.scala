@@ -203,6 +203,17 @@ object PipelineQueries {
       longify(TextAnalysis.ngramOverlapFromHp(corpus, bench, 4))
     }),
 
+    "q_contamination_exact_first" -> ((s, dir) => {
+      // Same scan, exact-dedup-first: shingle/join only distinct texts,
+      // expand the rep-level pair table over digest groups — identical
+      // rows, d^2 less join work under d-fold duplication.
+      val d = docs(s, dir)
+      val bench = d.where(pmod(col("doc_id"), lit(20)) === 0)
+      val corpus = d.where(pmod(col("doc_id"), lit(20)) =!= 0)
+      longify(TextAnalysis.ngramOverlapExactFirst(
+        corpus, bench, "doc_id", "text", 4))
+    }),
+
     "q_embed_centroid" -> ((s, dir) =>
       Similarity.centroids(embeds(s, dir), "label")),
 
@@ -269,6 +280,19 @@ object PipelineQueries {
       s"SELECT id, $b AS band, ${h64Sql(parts)} AS bucket FROM sig"
     }.mkString(" UNION ALL ")
   }
+
+  private lazy val contaminationOracleSql =
+    s"""WITH shd AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, s
+                     FROM (SELECT doc_id,
+                                  unnest(${shingleHashPairsSql("text", 4)}) AS s
+                           FROM documents)),
+        c AS (SELECT * FROM shd WHERE id % 20 <> 0),
+        b AS (SELECT * FROM shd WHERE id % 20 = 0),
+        sz AS (SELECT id, CAST(count(*) AS BIGINT) AS corpus_sz FROM c GROUP BY 1)
+        SELECT c.id AS corpus_id, b.id AS bench_id,
+               CAST(count(*) AS BIGINT) AS shared, any_value(sz.corpus_sz) AS corpus_sz
+        FROM c JOIN b USING (s) JOIN sz ON sz.id = c.id
+        GROUP BY 1, 2"""
 
   private lazy val clustersOracleSql =
     s"""WITH RECURSIVE sig AS (${sigSql(MinhashPerms)}), bands AS ($bandsSql),
@@ -495,18 +519,11 @@ object PipelineQueries {
           WHERE ${h64Sql("doc_id")} % 1000 <
                 CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 100 ELSE 250 END""",
 
-    "q_contamination" ->
-      s"""WITH shd AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, s
-                       FROM (SELECT doc_id,
-                                    unnest(${shingleHashPairsSql("text", 4)}) AS s
-                             FROM documents)),
-          c AS (SELECT * FROM shd WHERE id % 20 <> 0),
-          b AS (SELECT * FROM shd WHERE id % 20 = 0),
-          sz AS (SELECT id, CAST(count(*) AS BIGINT) AS corpus_sz FROM c GROUP BY 1)
-          SELECT c.id AS corpus_id, b.id AS bench_id,
-                 CAST(count(*) AS BIGINT) AS shared, any_value(sz.corpus_sz) AS corpus_sz
-          FROM c JOIN b USING (s) JOIN sz ON sz.id = c.id
-          GROUP BY 1, 2""",
+    "q_contamination" -> contaminationOracleSql,
+
+    // The exact-first variant produces identical rows (overlap is a pure
+    // function of the two texts), so the direct oracle applies verbatim.
+    "q_contamination_exact_first" -> contaminationOracleSql,
 
     // list_distinct can't handle struct lists in DuckDB — compare windows
     // by their (s1, s2) pair rendered to one string (same identity).

@@ -106,6 +106,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.size === rows.length + 1)
   }
 
+  test("ngramOverlapExactFirst: identical rows to the direct scan under duplication") {
+    import graft.pipeline.TextAnalysis
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "alpha beta gamma delta epsilon zeta eta iota",
+      "one two three four five six seven eight nine",
+      "unrelated words that overlap with nothing else at all")
+    val rows = for {
+      (t, ti) <- base.zipWithIndex
+      copy <- 0 to (ti % 3)
+    } yield (ti * 10L + copy, t)
+    val docs = rows.toDF("doc_id", "text")
+    val bench = docs.where(col("doc_id") % 2 === 0)
+    val corpus = docs.where(col("doc_id") % 2 =!= 0)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val direct = rowsOf(TextAnalysis.ngramOverlap(corpus, bench, "doc_id", "text", 3)
+      .select(col("corpus_id").cast("long"), col("bench_id").cast("long"),
+        col("shared").cast("long"), col("corpus_sz").cast("long")))
+    val fast = rowsOf(TextAnalysis.ngramOverlapExactFirst(corpus, bench, "doc_id", "text", 3)
+      .select(col("corpus_id").cast("long"), col("bench_id").cast("long"),
+        col("shared").cast("long"), col("corpus_sz").cast("long")))
+    assert(direct.nonEmpty)
+    assert(fast === direct)
+  }
+
   test("connectedComponents: kernel is correct across multiple partitions") {
     // Shuffle regression guard: with >=2 hash partitions, propagate and
     // jump messages cross partition boundaries; if they are not actually
