@@ -51,6 +51,23 @@ class KernelFixpointSpec extends AnyFunSuite {
     try body finally sys.props.remove("graft.fixpoint.kernel")
   }
 
+  test("kernel closure is correct across multiple partitions") {
+    // 300 disjoint 11-node chains: 3000 edges exceed the 2000-row floor,
+    // so the kernel spreads across min(userPartitions, 16) partitions and
+    // candidates/deltas cross partition boundaries every round (the
+    // claimed-partitioner bug class the CC kernel shipped — see
+    // RddKernel's invariants). Expected closure is analytic: exactly the
+    // within-chain (i, j), i < j pairs.
+    val datoms = for {
+      c <- 0 until 300; i <- 0 until 10
+    } yield Datom.add((c * 11 + i).toLong, ":edge", Value.eid((c * 11 + i + 1).toLong))
+    val expected: Set[Seq[Any]] = (for {
+      c <- 0 until 300; i <- 0 to 10; j <- (i + 1) to 10
+    } yield Seq((c * 11 + i).toLong, (c * 11 + j).toLong): Seq[Any]).toSet
+    val got = runClosure(closureRules, datoms, "closure")
+    assert(got == expected)
+  }
+
   test("kernel and DataFrame loops agree on a random transitive closure") {
     val datoms = graphDatoms(60, seed = 7)
     val viaKernel = runClosure(closureRules, datoms, "closure")
