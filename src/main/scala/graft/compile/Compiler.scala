@@ -618,8 +618,69 @@ class Compiler(
       if (rows0 > 2000) math.max(pLoop, math.min(userPartitions, 16))
       else pLoop
     val part = new HashPartitioner(pKernel)
-    val bcMap = sc.broadcast(sMap)
     val nCols = template.vars.length
+
+    // ---- binary-long fast path ------------------------------------------
+    // The dominant recursion shape (transitive closure / reachability:
+    // binary long-keyed relations joined on one variable, no filters) runs
+    // the whole iteration over primitive (Long, Long) tuples — Tuple2 is
+    // @specialized on Long, so candidates, dedup sets, and shuffle keys
+    // carry ZERO boxed allocations, where the generic path boxes every
+    // field into an ArraySeq[Any] (at 100 TB the boxing, not the logic, is
+    // the memory-bandwidth bill). `-Dgraft.fixpoint.pairs=off` forces the
+    // generic path for A/B; nulls anywhere bail to it for exact Catalyst
+    // parity.
+    if (nCols == 2 && recVars.length == 2 && sVars.length == 2 &&
+        target.length == 1 && filterFns.isEmpty &&
+        (template.kinds ++ sRel.kinds).forall(longKind) &&
+        !sys.props.get("graft.fixpoint.pairs").contains("off") &&
+        !sArr.exists(r => r.isNullAt(0) || r.isNullAt(1)) &&
+        delta0.df.where(delta0.df.columns.take(2).map(col(_).isNull)
+          .reduce(_ || _)).isEmpty) {
+      val jR = keyIdxR(0)
+      val jS = keyIdxS(0)
+      val sOther = 1 - jS
+      // Output position codes: 0 -> rec._1, 1 -> rec._2, 2 -> static other
+      // (the static join-key position equals the rec key, so it maps back
+      // to the rec side).
+      val codes: Array[Int] = recipe.map {
+        case (true, idx)  => idx
+        case (false, idx) => if (idx == jS) jR else 2
+      }
+      val (code0, code1) = (codes(0), codes(1))
+      val pairMap = new java.util.HashMap[Long, Array[Long]]()
+      sArr.iterator.map(r => (r.getLong(jS), r.getLong(sOther)))
+        .toArray.groupBy(_._1)
+        .foreach { case (k, vs) => pairMap.put(k, vs.map(_._2)) }
+      val bcPairs = sc.broadcast(pairMap)
+      val d0p: RDD[((Long, Long), Null)] = delta0.df.rdd
+        .map(r => ((r.getLong(0), r.getLong(1)), null))
+        .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+      d0p.count()
+      val jRL = jR
+      val mkExpand: () => ((Long, Long)) => Iterator[(Long, Long)] = () => {
+        val m = bcPairs.value
+        (t: (Long, Long)) => {
+          val key = if (jRL == 0) t._1 else t._2
+          val arr = m.get(key)
+          if (arr == null) Iterator.empty
+          else arr.iterator.map { o =>
+            @inline def v(c: Int): Long =
+              if (c == 0) t._1 else if (c == 1) t._2 else o
+            (v(code0), v(code1))
+          }
+        }
+      }
+      val (parts, total) = kernelIterate(d0p, rows0, part, mkExpand, debugT0)
+      val schema = template.df.schema
+      val rows: RDD[Row] =
+        sc.union(parts.map(_.map(p => Row(p._1._1, p._1._2, 1L))))
+      val pOut = math.max(1L, math.min(pLoop.toLong, total / 500000L + 1L)).toInt
+      val df = spark.createDataFrame(rows, schema).coalesce(pOut)
+      return Some(template.copy(df = df, small = false))
+    }
+
+    val bcMap = sc.broadcast(sMap)
     val d0: RDD[(Tup, Null)] = delta0.df.rdd.map { r =>
       val a = new Array[Any](nCols); var i = 0
       while (i < nCols) { a(i) = r.get(i); i += 1 }
@@ -643,45 +704,76 @@ class Compiler(
     // prepayment. Fresh tuples found at hops < k get re-expanded once
     // more next round (subtracted away), a bounded ~2× on candidate
     // volume in exchange for k× fewer jobs where depth dominates.
+    val mkExpand: () => Tup => Iterator[Tup] = () => {
+      val m = bcMap.value
+      (t: Tup) => {
+        val key: Seq[Any] = ArraySeq.unsafeWrapArray(keyIdxRL.map(t(_)))
+        m.get(key) match {
+          case None => Iterator.empty
+          case Some(ms) => ms.iterator
+            .filter(s => filterFnsL.forall(f => f(t, s)))
+            .map { s =>
+              val out = new Array[Any](recipeL.length); var i = 0
+              while (i < recipeL.length) {
+                val (fromRec, idx) = recipeL(i)
+                out(i) = if (fromRec) t(idx) else s(idx)
+                i += 1
+              }
+              ArraySeq.unsafeWrapArray(out): Tup
+            }
+        }
+      }
+    }
+    val (parts, total) = kernelIterate(d0, rows0, part, mkExpand, debugT0)
+
+    // ---- back to a DataFrame --------------------------------------------
+    val schema = template.df.schema
+    val rows: RDD[Row] = sc.union(parts.map(_.map(p => Row.fromSeq(p._1 :+ 1L))))
+    val pOut = math.max(1L, math.min(pLoop.toLong, total / 500000L + 1L)).toInt
+    val df = spark.createDataFrame(rows, schema).coalesce(pOut)
+    Some(template.copy(df = df, small = false))
+  }
+
+  /** The shared semi-naive iteration, generic over the tuple key K (the
+    * boxed ArraySeq path and the primitive pair fast path run the SAME
+    * loop): expand the delta k-hop-batched, dedup/subtract via RddKernel,
+    * chain + compact, until no fresh tuples. `mkExpand` is invoked once
+    * per partition (it typically dereferences a broadcast); closures
+    * capture only params/locals, never `this`.
+    *
+    * K-hop round batching: the static side is a broadcast map, so a
+    * candidate can expand through it again WITHOUT a shuffle — each
+    * kernel job expands the delta up to k hops map-side before the one
+    * global dedup/subtract. On deep thin recursions jobs drop from
+    * O(depth) to O(depth/k). Hop 1 is the rule's semantics and always
+    * runs in full — STREAMED into the shuffle writer in O(1) memory; a
+    * budget-capped sample of its candidates seeds hops 2..k, which are
+    * pure prepayments: anything the cap or mid-hop truncation skips lands
+    * in the next delta and is expanded then (a bounded ~2× on candidate
+    * volume in exchange for k× fewer jobs where depth dominates). */
+  private def kernelIterate[K](
+      d0: org.apache.spark.rdd.RDD[(K, Null)], rows0: Long,
+      part: org.apache.spark.HashPartitioner,
+      mkExpand: () => K => Iterator[K],
+      debugT0: Long)(implicit ct: scala.reflect.ClassTag[K])
+      : (Vector[org.apache.spark.rdd.RDD[(K, Null)]], Long) = {
+    import org.apache.spark.rdd.RDD
+    val maxChain = 16
     val kHops = math.max(1, Integer.getInteger("graft.fixpoint.khop", 4))
     val hopBudget = 1 << 16
-    var parts = Vector[RDD[(Tup, Null)]](d0)
-    var delta: RDD[(Tup, Null)] = d0
+    var parts = Vector[RDD[(K, Null)]](d0)
+    var delta: RDD[(K, Null)] = d0
     var total = rows0
     var n = rows0
     var iter = 0
     while (n > 0 && iter < maxIterations) {
       iter += 1
-      val cand: RDD[(Tup, Null)] = delta.mapPartitions { it =>
-        val m = bcMap.value
-        def expandOne(t: Tup): Iterator[Tup] = {
-          val key: Seq[Any] = ArraySeq.unsafeWrapArray(keyIdxRL.map(t(_)))
-          m.get(key) match {
-            case None => Iterator.empty
-            case Some(ms) => ms.iterator
-              .filter(s => filterFnsL.forall(f => f(t, s)))
-              .map { s =>
-                val out = new Array[Any](recipeL.length); var i = 0
-                while (i < recipeL.length) {
-                  val (fromRec, idx) = recipeL(i)
-                  out(i) = if (fromRec) t(idx) else s(idx)
-                  i += 1
-                }
-                ArraySeq.unsafeWrapArray(out): Tup
-              }
-          }
-        }
+      val cand: RDD[(K, Null)] = delta.mapPartitions { it =>
+        val expandOne = mkExpand()
         if (kHops <= 1) {
           it.flatMap { case (t, _) => expandOne(t).map((_, null)) }
         } else {
-          // Hop 1 is the rule's semantics and always runs in full —
-          // STREAMED into the shuffle writer in O(1) memory, exactly like
-          // the kHops=1 path (a dense round must never buffer its full
-          // candidate set on-heap). A budget-capped sample of its
-          // candidates doubles as the seed for hops 2..k, which are pure
-          // prepayments: anything the cap or mid-hop truncation skips
-          // lands in the next delta and is expanded then.
-          val seen = new java.util.LinkedHashSet[Tup]()
+          val seen = new java.util.LinkedHashSet[K]()
           val hop1 = it.flatMap { case (t, _) =>
             expandOne(t).map { c =>
               if (seen.size < hopBudget) seen.add(c)
@@ -691,15 +783,15 @@ class Compiler(
           // Iterator.++'s right side is by-name: this block runs only
           // after hop 1 is exhausted (and `seen` is fully populated).
           hop1 ++ locally {
-            val extra = scala.collection.mutable.ArrayBuffer.empty[Tup]
-            var frontier: Array[Tup] = {
+            val extra = scala.collection.mutable.ArrayBuffer.empty[K]
+            var frontier: Array[K] = {
               import scala.jdk.CollectionConverters._
               seen.iterator.asScala.toArray
             }
             var hop = 1
             while (hop < kHops && frontier.nonEmpty && seen.size < hopBudget) {
-              val next = scala.collection.mutable.ArrayBuffer.empty[Tup]
-              val cs = frontier.iterator.flatMap(expandOne)
+              val next = scala.collection.mutable.ArrayBuffer.empty[K]
+              val cs = frontier.iterator.flatMap(expandOne(_))
               while (cs.hasNext && seen.size < hopBudget) {
                 val c = cs.next()
                 if (seen.add(c)) { next += c; extra += c }
@@ -724,13 +816,7 @@ class Compiler(
         s"[fixpoint] kernel iter=$iter delta=$n total=$total " +
           s"elapsedMs=${(System.nanoTime() - debugT0) / 1000000}")
     }
-
-    // ---- back to a DataFrame --------------------------------------------
-    val schema = template.df.schema
-    val rows: RDD[Row] = sc.union(parts.map(_.map(p => Row.fromSeq(p._1 :+ 1L))))
-    val pOut = math.max(1L, math.min(pLoop.toLong, total / 500000L + 1L)).toInt
-    val df = spark.createDataFrame(rows, schema).coalesce(pOut)
-    Some(template.copy(df = df, small = false))
+    (parts, total)
   }
 
   /** Order-independent content signature: (row count, sum of per-row

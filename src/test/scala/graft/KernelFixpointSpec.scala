@@ -74,6 +74,13 @@ class KernelFixpointSpec extends AnyFunSuite {
     val viaDataFrame = withKernelOff(runClosure(closureRules, datoms, "closure"))
     assert(viaKernel.nonEmpty)
     assert(viaKernel == viaDataFrame)
+    // The primitive-pair fast path (binary long shape) and the generic
+    // boxed path must be pure implementation swaps of each other.
+    sys.props("graft.fixpoint.pairs") = "off"
+    val viaGeneric =
+      try runClosure(closureRules, datoms, "closure")
+      finally sys.props.remove("graft.fixpoint.pairs")
+    assert(viaGeneric == viaKernel)
   }
 
   test("filtered linear recursion runs on the kernel with identical results") {
