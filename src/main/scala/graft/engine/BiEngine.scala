@@ -154,24 +154,29 @@ class BiEngine(val spark: SparkSession) {
 
     def collection(name: String): org.apache.spark.sql.DataFrame = {
       val st = attrs.getOrElse(name, sys.error(s"attribute $name does not exist"))
-      val visible = st.buffer.filter(d => dominates(t, d.t))
+      val visible = st.buffer.zipWithIndex.filter { case (d, _) => dominates(t, d.t) }
       val rows: Seq[(Any, Any)] = st.config.inputSemantics match {
         case InputSemantics.LastWriteWins =>
-          // Per entity: the lexicographically-latest visible addition wins
-          // (`last_write_wins.rs` ordering lifted to pair times).
-          visible.groupBy(_.e).flatMap { case (_, ds) =>
-            val last = ds.maxBy(_.t)
+          // Per entity: the lexicographically-latest visible event wins,
+          // ties on the pair time broken by TRANSACTION order — the
+          // reference LWW is a state machine applying same-time events in
+          // arrival order (`last_write_wins.rs:71-101`), so the last
+          // transacted add/retract at a time decides (matches the
+          // unitemporal Domain's (t desc, seq desc) window).
+          visible.groupBy(_._1.e).flatMap { case (_, ds) =>
+            val (last, _) = ds.maxBy { case (d, i) => (d.t, i) }
             if (last.diff > 0L) Some((last.e.native, last.v.native)) else None
           }.toSeq
         case InputSemantics.Distinct =>
-          visible.groupBy(d => (d.e, d.v))
-            .filter(_._2.map(_.diff).sum > 0L)
+          visible.groupBy { case (d, _) => (d.e, d.v) }
+            .filter(_._2.map(_._1.diff).sum > 0L)
             .keys.map { case (e, v) => (e.native, v.native) }.toSeq
         case InputSemantics.Raw =>
-          visible.groupBy(d => (d.e, d.v)).toSeq.flatMap { case ((e, v), ds) =>
-            val w = ds.map(_.diff).sum
-            Seq.fill(math.max(0L, w).toInt)((e.native, v.native))
-          }
+          visible.groupBy { case (d, _) => (d.e, d.v) }.toSeq
+            .flatMap { case ((e, v), ds) =>
+              val w = ds.map(_._1.diff).sum
+              Seq.fill(math.max(0L, w).toInt)((e.native, v.native))
+            }
       }
       val eKind = st.buffer.headOption.map(d => ValueKind.of(d.e))
         .getOrElse(ValueKind.KEid)
