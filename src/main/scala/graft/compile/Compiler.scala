@@ -528,7 +528,9 @@ class Compiler(
     if (sArr.length > maxStaticRows) return None
     val keyIdxS: Array[Int] = target.map(sVars.indexOf).toArray
     val keyIdxR: Array[Int] = target.map(recVars.indexOf).toArray
-    val sMap: Map[Seq[Any], Array[Array[Any]]] = {
+    // Lazy: only the generic boxed path reads this index; the binary-long
+    // fast path below builds its own primitive map from sArr directly.
+    lazy val sMap: Map[Seq[Any], Array[Array[Any]]] = {
       val full = sArr.map { row =>
         val a = new Array[Any](row.length); var i = 0
         while (i < row.length) { a(i) = row.get(i); i += 1 }
@@ -635,17 +637,21 @@ class Compiler(
         (template.kinds ++ sRel.kinds).forall(longKind) &&
         !sys.props.get("graft.fixpoint.pairs").contains("off") &&
         !sArr.exists(r => r.isNullAt(0) || r.isNullAt(1)) &&
-        delta0.df.where(delta0.df.columns.take(2).map(col(_).isNull)
-          .reduce(_ || _)).isEmpty) {
+        (delta0.df.schema.fields.take(2).forall(!_.nullable) ||
+          delta0.df.where(delta0.df.columns.take(2).map(col(_).isNull)
+            .reduce(_ || _)).isEmpty)) {
       val jR = keyIdxR(0)
       val jS = keyIdxS(0)
       val sOther = 1 - jS
-      // Output position codes: 0 -> rec._1, 1 -> rec._2, 2 -> static other
-      // (the static join-key position equals the rec key, so it maps back
-      // to the rec side).
+      // Output position codes: 0 -> rec._1, 1 -> rec._2, 2 -> static
+      // other. A static-side entry can only be the NON-key column: the
+      // join var is in target ⊆ recVars, so recipe always maps it to the
+      // rec side first.
       val codes: Array[Int] = recipe.map {
-        case (true, idx)  => idx
-        case (false, idx) => if (idx == jS) jR else 2
+        case (true, idx) => idx
+        case (false, idx) =>
+          require(idx != jS, "static join-key position must map to the rec side")
+          2
       }
       val (code0, code1) = (codes(0), codes(1))
       val pairMap = new java.util.HashMap[Long, Array[Long]]()
@@ -672,12 +678,8 @@ class Compiler(
         }
       }
       val (parts, total) = kernelIterate(d0p, rows0, part, mkExpand, debugT0)
-      val schema = template.df.schema
-      val rows: RDD[Row] =
-        sc.union(parts.map(_.map(p => Row(p._1._1, p._1._2, 1L))))
-      val pOut = math.max(1L, math.min(pLoop.toLong, total / 500000L + 1L)).toInt
-      val df = spark.createDataFrame(rows, schema).coalesce(pOut)
-      return Some(template.copy(df = df, small = false))
+      return Some(toTemplateDf(template,
+        sc.union(parts.map(_.map(p => Row(p._1._1, p._1._2, 1L)))), total, pLoop))
     }
 
     val bcMap = sc.broadcast(sMap)
@@ -725,13 +727,19 @@ class Compiler(
       }
     }
     val (parts, total) = kernelIterate(d0, rows0, part, mkExpand, debugT0)
+    Some(toTemplateDf(template,
+      sc.union(parts.map(_.map(p => Row.fromSeq(p._1 :+ 1L)))), total, pLoop))
+  }
 
-    // ---- back to a DataFrame --------------------------------------------
-    val schema = template.df.schema
-    val rows: RDD[Row] = sc.union(parts.map(_.map(p => Row.fromSeq(p._1 :+ 1L))))
+  /** Kernel output -> weighted DataFrame in the template's schema (shared
+    * by the primitive and boxed paths so they cannot diverge). */
+  private def toTemplateDf(template: Rel,
+      rows: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+      total: Long, pLoop: Int): Rel = {
     val pOut = math.max(1L, math.min(pLoop.toLong, total / 500000L + 1L)).toInt
-    val df = spark.createDataFrame(rows, schema).coalesce(pOut)
-    Some(template.copy(df = df, small = false))
+    val df = template.df.sparkSession
+      .createDataFrame(rows, template.df.schema).coalesce(pOut)
+    template.copy(df = df, small = false)
   }
 
   /** The shared semi-naive iteration, generic over the tuple key K (the

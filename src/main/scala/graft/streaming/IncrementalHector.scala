@@ -84,6 +84,12 @@ class IncrementalHector(
   /** Current consolidated state of binding `i` (tests / introspection). */
   def stateOf(i: Int): DataFrame = state(i)
 
+  /** Output schema (c0..cn, _w), from one compile against current state. */
+  private lazy val outputSchema: org.apache.spark.sql.types.StructType =
+    new Compiler(sourceFor(state), Map.empty).compile(plan, Map.empty)
+      .getOrElse(sys.error("hector compilation failed"))
+      .df.schema
+
   private def sourceFor(tableOf: Int => DataFrame): AttributeSource =
     new AttributeSource {
       private val byName: Map[String, Int] =
@@ -112,12 +118,19 @@ class IncrementalHector(
           val times = batch.select("t").distinct().collect().map(_.getLong(0)).sorted
           times.foreach { t =>
             val att = batch.where(col("t") === t)
+            // One checkpointed delta per DISTINCT attribute (several
+            // bindings usually scan one attribute), fanned out to binding
+            // indices; checkpointing also keeps the delivered diff frame
+            // valid after this micro-batch's source frame is released.
+            val byAttr: Map[String, DataFrame] =
+              attrBindings.map(_.a).distinct.flatMap { a =>
+                val d = att.where(col("a") === a)
+                  .select(col("e"), col("v"), col("diff"))
+                if (d.isEmpty) None else Some(a -> d.localCheckpoint(true))
+              }.toMap
             val deltas: Map[Int, DataFrame] =
               attrBindings.zipWithIndex.flatMap { case (b, i) =>
-                val d = att.where(col("a") === b.a).select(col("e"), col("v"), col("diff"))
-                // Checkpointed so the delivered diff frame stays valid
-                // after this micro-batch's source frame is released.
-                if (d.isEmpty) None else Some(i -> d.localCheckpoint(true))
+                byAttr.get(b.a).map(i -> _)
               }.toMap
             if (deltas.nonEmpty) onDiffs(t, advance(deltas))
           }
@@ -129,6 +142,10 @@ class IncrementalHector(
     * indices follow Attr-binding order) and return the EXACT output diffs
     * `(c0..cn, _w)` of the conjunction for this batch. */
   def advance(deltas: Map[Int, DataFrame]): DataFrame = {
+    require(deltas.keySet.subsetOf(attrBindings.indices.toSet),
+      s"delta keys ${deltas.keySet} must be Attr-binding indices " +
+        s"0..${attrBindings.length - 1} (Attr-binding order, " +
+        "not overall binding positions)")
     val deltaW: Map[Int, DataFrame] = deltas.map { case (i, df) =>
       i -> df.select(col("e"), col("v"), col("diff").cast("long").as("_w"))
     }
@@ -158,8 +175,7 @@ class IncrementalHector(
     val schema = (0 until n).map(Rel.c) :+ Rel.W
     terms match {
       case Seq() =>
-        val c = new Compiler(sourceFor(old), Map.empty)
-        c.compile(plan, Map.empty).get.df.limit(0)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outputSchema)
       case ts =>
         ts.map(_.toDF(schema: _*)).reduce(_ union _)
           .groupBy((0 until n).map(i => col(Rel.c(i))): _*)
