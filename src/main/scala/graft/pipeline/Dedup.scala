@@ -110,6 +110,25 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash Jaccard ESTIMATE for candidate pairs: the fraction of
+    * agreeing signature components estimates the true Jaccard (each
+    * min-hash agrees with probability J) — the cheap verifier real
+    * pipelines run before exact shingle-set Jaccard. Pure signature
+    * lookups: two broadcast-or-hash joins on the (typically tiny)
+    * candidate pair table, zero shingle work. Output: (a, b, agree,
+    * perms) as exact integers (consumer derives agree/perms). */
+  def minhashJaccardEstimate(sig: DataFrame, pairs: DataFrame,
+      perms: Int): DataFrame = {
+    val la = sig.toDF(("a" +: (0 until perms).map(j => s"_la$j")): _*)
+    val lb = sig.toDF(("b" +: (0 until perms).map(j => s"_lb$j")): _*)
+    val agree = (0 until perms)
+      .map(j => when(col(s"_la$j") === col(s"_lb$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs.join(la, "a").join(lb, "b")
+      .select(col("a"), col("b"), agree.as("agree"),
+        lit(perms.toLong).as("perms"))
+  }
+
   /** SimHash: `bits`-bit signature where bit b is set iff the (multiset)
     * majority of token hashes has bit b set. One explode + one groupBy. */
   def simhash(docs: DataFrame, idCol: String, textCol: String,

@@ -79,6 +79,13 @@ object PipelineQueries {
 
     "q_dedup_minhash_pairs" -> ((s, dir) => lshCandidatePairs(s, dir)),
 
+    "q_dedup_minhash_est" -> ((s, dir) =>
+      // Signature-agreement Jaccard estimate over the LSH candidate pairs
+      // — the cheap pre-verifier before exact shingle Jaccard.
+      Dedup.minhashJaccardEstimate(
+        Dedup.minhashFromHp(docsHp(s, dir), ShingleN, MinhashPerms),
+        lshCandidatePairs(s, dir), MinhashPerms)),
+
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text", SimhashBits)),
 
@@ -329,6 +336,19 @@ object PipelineQueries {
       s"""WITH sig AS (${sigSql(MinhashPerms)}), bands AS ($bandsSql)
           SELECT DISTINCT l.id AS a, r.id AS b
           FROM bands l JOIN bands r USING (band, bucket) WHERE l.id < r.id""",
+
+    "q_dedup_minhash_est" -> {
+      val agree = (0 until MinhashPerms)
+        .map(j => s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH sig AS (${sigSql(MinhashPerms)}), bands AS ($bandsSql),
+          pairs AS (SELECT DISTINCT l.id AS a, r.id AS b
+                    FROM bands l JOIN bands r USING (band, bucket)
+                    WHERE l.id < r.id)
+          SELECT p.a, p.b, CAST($agree AS BIGINT) AS agree,
+                 CAST($MinhashPerms AS BIGINT) AS perms
+          FROM pairs p JOIN sig sa ON sa.id = p.a JOIN sig sb ON sb.id = p.b"""
+    },
 
     "q_dedup_simhash" -> {
       val toks = s"SELECT doc_id, unnest(${tokensSql("text")}) AS t FROM documents"

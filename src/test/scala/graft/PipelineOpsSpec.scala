@@ -106,6 +106,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.size === rows.length + 1)
   }
 
+  test("minhashJaccardEstimate: full agreement on identical docs, partial on near-dups") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),   // exact copy of 1
+      (3L, "the quick brown fox jumps over the lazy cat today"),   // near-dup of 1
+      (4L, "completely different content with no shared shingles here")
+    ).toDF("doc_id", "text")
+    val hp = docs.select(col("doc_id").as("id"),
+      graft.functions.Portable.tokenHashPairs(col("text")).as("_hp"))
+    val sig = Dedup.minhashFromHp(hp, 3, 8)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val est = Dedup.minhashJaccardEstimate(sig, pairs, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(est((1L, 2L)) === 8L)     // identical docs agree everywhere
+    assert(est((1L, 4L)) === 0L)     // disjoint shingle sets share no min
+    // Near-dup agreement is in range but clumpy: the h1 + j*h2 family's
+    // argmins are correlated across j (the K-M double-hashing tradeoff),
+    // so a single changed window can flip many permutations at once —
+    // only the boundary cases are deterministic.
+    assert(est((1L, 3L)) >= 0L && est((1L, 3L)) <= 8L)
+  }
+
   test("ngramOverlapExactFirst: identical rows to the direct scan under duplication") {
     import graft.pipeline.TextAnalysis
     val base = Seq(
