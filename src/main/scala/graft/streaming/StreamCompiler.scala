@@ -47,8 +47,14 @@ final case class SUpd(key: String, tuple: Vector[Any], t: Long, diff: Long)
   * fixpoints) and Pull/PullAll/GraphQl — iteration and heterogeneous path
   * arity need the batch engine. Per-batch emissions are consolidated per
   * (tuple, time), so transient assert+retract pairs inside one batch
-  * cancel exactly as differential consolidates. (Rational outputs are
-  * terminal: don't key a downstream distinct/join on them.)
+  * cancel exactly as differential consolidates. When the engine splits
+  * one logical write across micro-batch triggers, diffs at one time can
+  * span batches as a net-zero assert/retract transient — sound for a diff
+  * stream; consumers wanting the reference's frontier-consolidated
+  * delivery consolidate per (tuple, time) at their step boundary (the
+  * reference's `relation.consolidate()` before delivery does the same).
+  * (Rational outputs are terminal: don't key a downstream distinct/join
+  * on them.)
   *
   * Sources are streaming DataFrames with columns `(e, v, t, diff)` — from
   * [[graft.sources.FileSources]], a Kafka reader, or a MemoryStream —

@@ -30,10 +30,23 @@ class StreamCompilerSpec extends AnyFunSuite {
       step()
       query.processAllAvailable()
       val rows = spark.table(table).collect().toSeq
-      out += rows.drop(seen).map { r =>
+      // Consolidate the step's delivery per (tuple, time): the running
+      // trigger can split one step's sources across several micro-batches
+      // (a race between addData calls and the continuous trigger), and
+      // diffs at one logical time then span batches as a net-zero
+      // assert/retract transient — semantically sound for an append-mode
+      // diff stream, but the reference's frontier consolidation would
+      // cancel them before delivery, so the comparison happens on the
+      // consolidated multiset exactly like a reference client sees it.
+      val stepDiffs = rows.drop(seen).map { r =>
         val n = r.length
         ((0 until n - 2).map(r.get), r.getLong(n - 2), r.getLong(n - 1))
-      }.toSet
+      }
+      out += stepDiffs
+        .groupBy { case (tuple, t, _) => (tuple, t) }
+        .map { case ((tuple, t), ds) => (tuple, t, ds.map(_._3).sum) }
+        .filter(_._3 != 0L)
+        .toSet
       seen = rows.length
     }
     out.toSeq
