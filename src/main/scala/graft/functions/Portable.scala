@@ -36,6 +36,16 @@ object Portable {
   def h64Sql(expr: String): String =
     s"CAST('0x' || substring(md5(CAST($expr AS VARCHAR)), 1, 15) AS BIGINT)"
 
+  /** Driver-side evaluation of [[h64]] for CONSTANT keys — e.g. building
+    * deterministic literal matrices (random projections) that both
+    * engines reproduce from the same formula. */
+  def h64Host(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** DuckDB SQL fragment equivalent to [[h64b]]. */
   def h64bSql(expr: String): String =
     s"CAST('0x' || substring(md5(CAST($expr AS VARCHAR)), 17, 14) AS BIGINT)"

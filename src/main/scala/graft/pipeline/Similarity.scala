@@ -84,6 +84,29 @@ object Similarity {
       .groupBy(col("label"), col("pos").cast("long").as("dim"))
       .agg(sum(col("col")).as("csum"), count(lit(1)).as("n"))
 
+  /** Deterministic ±1 random projection (Achlioptas-style) of quantized
+    * embeddings to `k` dimensions: `p_j = Σ_i sign(j,i) · qv_i`, the sign
+    * being the parity of the portable hash of `proj:j:i` — both engines
+    * derive the SAME matrix from the formula, so projections are
+    * integer-exact. The matrix rides as plan literals (no broadcast, no
+    * shuffle); projection is one per-row arithmetic expression, so at
+    * 100 TB this is a pure map over the scan. Dot products are preserved
+    * in expectation (Johnson-Lindenstrauss) at k/d the width — the
+    * standard pre-ANN dimensionality reduction. */
+  def randomProjection(vectors: DataFrame, k: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val signs: Array[Array[Long]] = Array.tabulate(k, dim) { (j, i) =>
+      if (graft.functions.Portable.h64Host(s"proj:$j:$i") % 2 == 0) 1L else -1L
+    }
+    val qv = quantize(col(vecCol))
+    val cols = (0 until k).map { j =>
+      val lits = array(signs(j).toIndexedSeq.map(lit): _*)
+      aggregate(zip_with(qv, lits, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as(s"p$j")
+    }
+    vectors.select(col(idCol).cast("long").as("id") +: cols: _*)
+  }
+
   /** Exact integer dot product of two quantized vectors — a native
     * codegen expression (see [[graft.functions.DotProduct]]); the composed
     * `aggregate(zip_with(...))` form allocates per evaluation, which

@@ -224,6 +224,11 @@ object PipelineQueries {
     "q_embed_centroid" -> ((s, dir) =>
       Similarity.centroids(embeds(s, dir), "label")),
 
+    "q_embed_project" -> ((s, dir) =>
+      // JL-style dimensionality reduction: 64 -> 8 dims via a
+      // deterministic portable-hash ±1 matrix; pure per-row map.
+      Similarity.randomProjection(embeds(s, dir), k = 8, dim = 64)),
+
     "q_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(docsHp(s, dir), ShingleN)),
 
@@ -564,6 +569,19 @@ object PipelineQueries {
                       unnest(generate_series(1, len(embedding))) AS i
                FROM embeddings)
          GROUP BY 1, 2""",
+
+    "q_embed_project" -> {
+      // Same ±1 matrix from the same portable-hash parity formula.
+      def proj(j: Int): String = {
+        val sign = s"CASE WHEN CAST('0x' || substring(md5('proj:$j:' || " +
+          s"CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END"
+        s"CAST(list_sum([($sign) * qv[i] for i in generate_series(1, len(qv))]) AS BIGINT) AS p$j"
+      }
+      val ps = (0 until 8).map(proj).mkString(",\n               ")
+      s"""SELECT CAST(vec_id AS BIGINT) AS id,
+               $ps
+          FROM (SELECT vec_id, $qvSql AS qv FROM embeddings)"""
+    },
 
     // Deterministic as-of semantics spelled out as a window sweep (rather
     // than DuckDB's ASOF JOIN, whose tie-breaking is unspecified): per

@@ -106,6 +106,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.size === rows.length + 1)
   }
 
+  test("h64Host matches the Column-form portable hash") {
+    // randomProjection's matrix derivation (and any future driver-side
+    // constant keyed on the portable hash) rests on this equivalence.
+    import graft.functions.Portable
+    val keys = Seq("proj:0:0", "proj:7:63", "x", "", "a b c")
+    val viaCol = keys.toDF("s")
+      .select(Portable.h64(col("s")).as("h")).collect().map(_.getLong(0))
+    assert(keys.map(Portable.h64Host).toSeq === viaCol.toSeq)
+  }
+
+  test("randomProjection: deterministic, integer-exact, row-per-vector") {
+    import graft.pipeline.Similarity
+    val vecs = Seq(
+      (1L, Array.tabulate(8)(i => i * 0.25f)),
+      (2L, Array.tabulate(8)(i => (7 - i) * 0.5f))).toDF("vec_id", "embedding")
+    val p1 = Similarity.randomProjection(vecs, k = 4, dim = 8).collect()
+      .map(r => (r.getLong(0), (1 to 4).map(r.getLong))).toMap
+    val p2 = Similarity.randomProjection(vecs, k = 4, dim = 8).collect()
+      .map(r => (r.getLong(0), (1 to 4).map(r.getLong))).toMap
+    assert(p1 === p2)             // same matrix every run
+    assert(p1.size === 2)
+    assert(p1(1L) !== p1(2L))     // distinct vectors project apart
+  }
+
   test("minhashJaccardEstimate: full agreement on identical docs, partial on near-dups") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
