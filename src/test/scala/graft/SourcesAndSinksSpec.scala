@@ -157,6 +157,26 @@ class SourcesAndSinksSpec extends AnyFunSuite {
     assert(sink.snapshot == """{"1":{}}""")
   }
 
+  test("AssocIn stateful granularity 2 reports changed sub-structures only") {
+    import Value._
+    val sink = new AssocIn.Stateful(granularity = 2)
+    val c1 = sink.merge(Seq(
+      (Seq[Value](VEid(1), VAid("name"), VString("alice")), 0L, 1L),
+      (Seq[Value](VEid(1), VAid("friend"), VEid(2), VAid("name"), VString("bob")), 0L, 1L)))
+    // Change keys truncate at depth 2; each carries the sub-structure
+    // rendered at that node, not the whole document.
+    assert(c1.toSet == Set(
+      Seq("1", "name") -> "\"alice\"",
+      Seq("1", "friend") -> """{"2":{"name":"bob"}}"""))
+
+    // A later change under one branch re-reports ONLY that branch.
+    val c2 = sink.merge(Seq(
+      (Seq[Value](VEid(1), VAid("friend"), VEid(2), VAid("age"), VNumber(7)), 1L, 1L)))
+    assert(c2 == Seq(Seq("1", "friend") -> """{"2":{"age":7,"name":"bob"}}"""))
+    assert(sink.snapshot ==
+      """{"1":{"friend":{"2":{"age":7,"name":"bob"}},"name":"alice"}}""")
+  }
+
   test("AssocIn folds a compiled pull-path frame end-to-end") {
     val engine = new graft.engine.Engine(spark)
     engine.createAttribute(":person/name", AttributeConfig(InputSemantics.Distinct))
