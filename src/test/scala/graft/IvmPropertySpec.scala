@@ -89,6 +89,35 @@ class IvmPropertySpec extends AnyFunSuite {
       s"\ndiff-sum:  $net\nrecompute: $recomputed\nhistory: $history")
   }
 
+  test("coarsened delivery == plain delivery with times mapped to bounds") {
+    // For any history and granularity g, draining with granularity must
+    // yield exactly the plain drain with t ↦ (t/g + 1)·g once the
+    // frontier has passed every bound — coarsening changes WHEN and AT
+    // WHICH TIME diffs deliver, never their content.
+    val params = Gen.Parameters.default
+    for (i <- 0 until 4; g <- Seq(2L, 10L)) {
+      val history = genHistory(params, Seed(77L + i * 524287L)).getOrElse(Seq.empty)
+      def run(granularity: Option[Long]): Seq[(Seq[Any], Long, Long)] = {
+        val e = new Engine(spark)
+        Seq(":p/x", ":p/y").foreach(a =>
+          e.createAttribute(a, AttributeConfig(InputSemantics.Raw)))
+        e.register(Rule("query", matchA(0, ":p/x", 1)))
+        e.interest("query", granularity)
+        history.zipWithIndex.foreach { case (tx, j) =>
+          e.transact(tx)
+          e.advance(j + 1L)
+        }
+        e.advance(1000L) // past every coarsen bound: everything released
+        e.drain("query")
+      }
+      val plain = run(None).map { case (tup, t, d) => (tup, (t / g + 1L) * g, d) }
+      val coarse = run(Some(g))
+      assert(coarse.groupBy(identity).view.mapValues(_.size).toMap ==
+        plain.groupBy(identity).view.mapValues(_.size).toMap,
+        s"g=$g history=$history")
+    }
+  }
+
   plans.foreach { case (name, rules) =>
     test(s"Σ diffs == recompute for '$name' under random histories") {
       // Deterministic seeds; each case runs several Spark jobs, so keep the
