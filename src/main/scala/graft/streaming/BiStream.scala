@@ -22,9 +22,13 @@ import graft.model.Value
   *
   * Batches are *transactions* — control-sized writes, collected like every
   * transact path; the distributed work is the per-time rule evaluation
-  * inside [[BiEngine]], which runs through the shared compiler.
+  * inside [[BiEngine]], which runs through the shared compiler. That
+  * contract is ENFORCED, not assumed: each batch is counted distributed
+  * and required under `maxTransaction` BEFORE anything lands on the
+  * driver (the [[IncrementalClosure.advanceRdd]] gate pattern), so a
+  * mis-routed data-sized stream fails loudly instead of OOMing.
   */
-class BiStream(val engine: BiEngine) {
+class BiStream(val engine: BiEngine, maxTransaction: Long = 100000L) {
 
   /** Drive `datoms` (columns e:long, a:string, v, sys:long, event:long,
     * diff:long) through the engine per micro-batch; after each batch the
@@ -36,7 +40,17 @@ class BiStream(val engine: BiEngine) {
       .outputMode("append")
       .queryName(queryName)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch.select("e", "a", "v", "sys", "event", "diff").collect()
+        val sel = batch.select("e", "a", "v", "sys", "event", "diff")
+        sel.persist()
+        val rows = try {
+          val n = sel.count()
+          require(n <= maxTransaction,
+            s"bitemporal micro-batch of $n datoms exceeds the transaction " +
+              s"gate ($maxTransaction); bitemporal streams carry " +
+              "control-sized transactions — route data-sized streams " +
+              "through the batch engine")
+          sel.collect()
+        } finally sel.unpersist()
         if (rows.nonEmpty) {
           val ds = rows.toSeq.map { r =>
             engine.BiDatom(Value.VEid(r.getLong(0)), r.getString(1),

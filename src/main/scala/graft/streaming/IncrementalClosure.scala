@@ -141,11 +141,17 @@ class IncrementalClosure(
     diffDf(out, t)
   }
 
+  // Processed-time frontier: a batch's diffs are computed against totals
+  // that absorbed every earlier time, so a regressing input time would
+  // stamp historically wrong diffs — fail loudly instead.
+  private var frontier: Long = Long.MinValue
+
   /** Structured Streaming integration: drain a `(src, dst, t, diff)` edge
     * stream through [[advanceRdd]] per micro-batch, handing each batch's
     * closure diffs to `onDiffs`. Additions only (diff must be +1 —
     * asserted distributed, never by collecting the batch: the raw batch
-    * may exceed driver limits; only its deduped fresh edges land there). */
+    * may exceed driver limits; only its deduped fresh edges land there).
+    * Times must advance strictly across the whole stream. */
   def attach(edges: DataFrame, queryName: String)(
       onDiffs: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     edges.writeStream
@@ -161,6 +167,11 @@ class IncrementalClosure(
             "IncrementalClosure maintains additions only; retract via the batch engine")
           val times = batch.select("t").distinct().collect().map(_.getLong(0)).sorted
           times.foreach { t =>
+            require(t > frontier,
+              s"input time $t does not advance the processed frontier " +
+                s"$frontier; diffs against already-advanced totals would " +
+                "be historically wrong")
+            frontier = t
             val es = batch.where(col("t") === t)
               .select("src", "dst").rdd.map(r => (r.getLong(0), r.getLong(1)))
             onDiffs(advanceRdd(es, t))

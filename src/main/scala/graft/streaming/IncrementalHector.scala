@@ -1,9 +1,12 @@
 package graft.streaming
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, sum}
+import org.apache.spark.sql.functions.{col, sum}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.compile.{Compiler, Rel}
@@ -34,10 +37,16 @@ import graft.model._
   * attribute are independent coordinates of the multilinear form, so they
   * are renamed apart (`attr#i`) before compilation.
   *
-  * Scale: per-batch work is Σ_i |ΔR_i ⋈ …| (delta-proportional); state is
-  * the consolidated inputs, partitioned by Spark like any attribute
-  * table. Retractions flow exactly (signed weights multiply through the
-  * joins); `Not` bindings are rejected — negation needs
+  * Scale: per-batch work is Σ_i |ΔR_i ⋈ …| (delta-proportional), and so
+  * are per-batch SHUFFLED bytes: each binding's state lives as a keyed
+  * RDD hash-partitioned on (e, v) once, and a batch's delta is reduced
+  * onto that same partitioner (the only shuffle in state maintenance)
+  * then merged partition-by-partition with `zipPartitions` — the
+  * [[graft.kernel.RddKernel]] co-partitioned-chain pattern. The state is
+  * scanned narrowly to rewrite it but never re-shuffled, which is the
+  * Spark analog of the arrangements the reference keeps for exactly this
+  * property. Retractions flow exactly (signed weights multiply through
+  * the joins); `Not` bindings are rejected — negation needs
   * delete-and-rederive, the batch engine's job.
   */
 class IncrementalHector(
@@ -68,18 +77,37 @@ class IncrementalHector(
   }
   private val plan = Plan.Hector(vars, renamedBindings)
 
-  private def emptyState(a: Binding.Attr): DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row],
-      StructType(Seq(
-        StructField("e", LongType, false),
-        StructField("v", kinds(a.a).dataType, true),
-        StructField("_w", LongType, false))))
+  // ---- Per-binding state: a weighted (e, v) -> w relation kept as a
+  // keyed RDD, hash-partitioned ONCE and merged co-partitioned per batch.
+  private type Key = (Long, Any)
+  private type KV = (Key, Long)
 
-  // Consolidated (e, v, _w) state per binding index; stable snapshots
-  // (localCheckpoint truncates lineage so batches never stack plans).
+  private val part = new HashPartitioner(
+    spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
+  private def emptyStateRdd: RDD[KV] =
+    spark.sparkContext.emptyRDD[KV].partitionBy(part)
+
+  // Keyed state per binding index; each checkpointed RDD shares `part`
+  // so the per-batch merge is narrow (see RddKernel's invariants).
+  private val stateRdds: mutable.ArrayBuffer[RDD[KV]] =
+    mutable.ArrayBuffer.from(attrBindings.map(_ => emptyStateRdd))
+
+  private def stateSchema(i: Int): StructType = StructType(Seq(
+    StructField("e", LongType, false),
+    StructField("v", kinds(attrBindings(i).a).dataType, true),
+    StructField("_w", LongType, false)))
+
+  /** DataFrame view over a keyed state/delta RDD — a pure per-row map the
+    * batch compiler consumes; no shuffle, no copy of the persisted state. */
+  private def dfView(i: Int, rdd: RDD[KV]): DataFrame =
+    spark.createDataFrame(
+      rdd.map { case ((e, v), w) => Row(e, v, w) }, stateSchema(i))
+
+  // DataFrame views kept in sync with stateRdds (compiler + tests).
   private val state: mutable.ArrayBuffer[DataFrame] =
-    mutable.ArrayBuffer.from(attrBindings.map(emptyState))
+    mutable.ArrayBuffer.from(
+      attrBindings.indices.map(i => dfView(i, stateRdds(i))))
 
   /** Current consolidated state of binding `i` (tests / introspection). */
   def stateOf(i: Int): DataFrame = state(i)
@@ -102,11 +130,37 @@ class IncrementalHector(
       override def version: (Long, Long) = (0L, Long.MaxValue)
     }
 
+  /** Co-partitioned state merge: the delta (already reduced onto `part`)
+    * zips against the state partition-by-partition — index alignment IS
+    * key alignment because both sides share one partitioner. Zero-weight
+    * results are dropped; lineage is truncated so batches never stack. */
+  private def merge(old: RDD[KV], delta: RDD[KV]): RDD[KV] =
+    old.zipPartitions(delta, preservesPartitioning = true) { (sIt, dIt) =>
+      val m = new java.util.HashMap[Key, java.lang.Long]()
+      dIt.foreach { case (k, w) => m.put(k, w) }
+      val survivors = sIt.flatMap { case (k, w) =>
+        val dw = m.remove(k)
+        val nw = if (dw == null) w else w + dw.longValue
+        if (nw == 0L) None else Some((k, nw))
+      }
+      // ++'s operand is by-name: the leftover (state-absent) delta keys
+      // are iterated only after every removal above has happened.
+      survivors ++ m.entrySet().iterator().asScala.collect {
+        case e if e.getValue.longValue != 0L => (e.getKey, e.getValue.longValue)
+      }
+    }.localCheckpoint()
+
+  // Processed-time frontier: per-time diffs are computed against state
+  // that has absorbed every earlier time, so a regressing input time
+  // would silently emit historically wrong diffs — fail loudly instead
+  // (the batch BiEngine makes the same check).
+  private var frontier: Long = Long.MinValue
+
   /** Structured Streaming integration: drain a datom stream (columns
     * `a: string, e: long, v, t: long, diff: long`) through [[advance]] per
     * completed time; every Attr binding scanning attribute `a` receives
-    * that attribute's delta. Each time's exact output diffs go to
-    * `onDiffs(t, frame)`. */
+    * that attribute's delta. Times must advance strictly across the whole
+    * stream. Each time's exact output diffs go to `onDiffs(t, frame)`. */
   def attach(datoms: DataFrame, queryName: String)(
       onDiffs: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     datoms.writeStream
@@ -117,6 +171,11 @@ class IncrementalHector(
         try {
           val times = batch.select("t").distinct().collect().map(_.getLong(0)).sorted
           times.foreach { t =>
+            require(t > frontier,
+              s"input time $t does not advance the processed frontier " +
+                s"$frontier; per-time diffs against already-advanced state " +
+                "would be historically wrong")
+            frontier = t
             val att = batch.where(col("t") === t)
             // One checkpointed delta per DISTINCT attribute (several
             // bindings usually scan one attribute), fanned out to binding
@@ -146,31 +205,47 @@ class IncrementalHector(
       s"delta keys ${deltas.keySet} must be Attr-binding indices " +
         s"0..${attrBindings.length - 1} (Attr-binding order, " +
         "not overall binding positions)")
-    val deltaW: Map[Int, DataFrame] = deltas.map { case (i, df) =>
-      i -> df.select(col("e"), col("v"), col("diff").cast("long").as("_w"))
+    // Reduce each delta onto the state partitioner — the ONLY shuffle in
+    // state maintenance, O(delta) bytes however large the state has grown
+    // — and pin it (delta terms and the merge both read it, and the
+    // delivered diffs must outlive the caller's source frame).
+    val deltaRdds: Map[Int, RDD[KV]] = deltas.map { case (i, df) =>
+      val r = df
+        .select(col("e"), col("v"), col("diff").cast("long").as("_w"))
+        .rdd.map(r => ((r.getLong(0), r.get(1)), r.getLong(2)))
+        .reduceByKey(part, _ + _)
+        .localCheckpoint()
+      r.count()
+      i -> r
     }
     val old: Seq[DataFrame] = state.toSeq
-    val updated: Seq[DataFrame] = attrBindings.indices.map { i =>
-      deltaW.get(i) match {
-        case None    => old(i)
+    val updatedRdds: Seq[RDD[KV]] = attrBindings.indices.map { i =>
+      deltaRdds.get(i) match {
+        case None    => stateRdds(i)
         case Some(d) =>
-          old(i).union(d)
-            .groupBy(col("e"), col("v")).agg(sum(col("_w")).as("_w"))
-            .where(col("_w") =!= 0L)
-            .localCheckpoint(true)
+          val m = merge(stateRdds(i), d)
+          m.count() // materialize the checkpoint: narrow scan, no shuffle
+          m
       }
     }
+    val updated: Seq[DataFrame] = attrBindings.indices.map { i =>
+      if (deltaRdds.contains(i)) dfView(i, updatedRdds(i)) else old(i)
+    }
     val terms: Seq[DataFrame] = attrBindings.indices.flatMap { i =>
-      deltaW.get(i).map { d =>
+      deltaRdds.get(i).map { d =>
+        val dDf = dfView(i, d)
         val src = sourceFor(j =>
-          if (j < i) updated(j) else if (j == i) d else old(j))
+          if (j < i) updated(j) else if (j == i) dDf else old(j))
         new Compiler(src, Map.empty).compile(plan, Map.empty) match {
           case Some(rel) => rel.df
           case None      => sys.error("hector compilation failed for delta term")
         }
       }
     }
-    attrBindings.indices.foreach(i => state(i) = updated(i))
+    attrBindings.indices.foreach { i =>
+      stateRdds(i) = updatedRdds(i)
+      state(i) = updated(i)
+    }
     val n = vars.length
     val schema = (0 until n).map(Rel.c) :+ Rel.W
     terms match {

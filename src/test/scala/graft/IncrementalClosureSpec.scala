@@ -87,6 +87,28 @@ class IncrementalClosureSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("attach rejects a time that regresses the processed frontier") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val edges = MemoryStream[(Long, Long, Long, Long)]
+    val inc = new IncrementalClosure(spark, partitions = 2)
+    val query = inc.attach(
+      edges.toDF.toDF("src", "dst", "t", "diff"), "inc-closure-frontier-spec") { _ => () }
+    try {
+      edges.addData((1L, 2L, 5L, 1L))
+      query.processAllAvailable()
+      edges.addData((2L, 3L, 3L, 1L)) // t=3 regresses past t=5
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t: Throwable)(_.getCause).takeWhile(_ != null).take(20).toSeq
+      assert(chain(ex).exists(c =>
+        c.getMessage != null && c.getMessage.contains("processed frontier")),
+        s"expected frontier violation, got: ${ex.getMessage}")
+    } finally query.stop()
+  }
+
   test("foreachBatch attachment streams closure diffs from a memory stream") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

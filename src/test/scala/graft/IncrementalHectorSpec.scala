@@ -98,6 +98,77 @@ class IncrementalHectorSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("state maintenance shuffles O(delta) records as state grows 100x") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val inc = new IncrementalHector(spark, Seq(0, 1),
+      Seq(Binding.attribute(0, ":ih/grow", 1)),
+      Map(":ih/grow" -> ValueKind.KNumber))
+    val records = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    // The listener bus is async: wait until the counter stops moving.
+    def settled(): Long = {
+      val deadline = System.nanoTime + 10_000_000_000L
+      var prev = -1L
+      var cur = records.get
+      while (prev != cur && System.nanoTime < deadline) {
+        prev = cur; Thread.sleep(200); cur = records.get
+      }
+      cur
+    }
+    def rows(from: Long, n: Long): Seq[(Long, Long, Long)] =
+      (from until from + n).map(i => (i, i, 1L))
+    def measuredBatch(batch: Seq[(Long, Long, Long)]): Long = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        records.set(0)
+        inc.advance(Map(0 -> deltaDf(batch))).collect()
+        settled()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    inc.advance(Map(0 -> deltaDf(rows(0, 100)))).collect()
+    val small = measuredBatch(rows(1_000_000, 10))
+    inc.advance(Map(0 -> deltaDf(rows(1_000, 10_000)))).collect()
+    val big = measuredBatch(rows(2_000_000, 10))
+    assert(inc.stateOf(0).count() == 100L + 10L + 10_000L + 10L)
+    // Two identical 10-row deltas, one against 110 rows of state and one
+    // against ~10k: shuffled records must not scale with the accumulated
+    // state (the old union + full groupBy re-shuffled all of it).
+    assert(big <= small + 500,
+      s"10-row batch shuffled $small records on small state but $big on 100x state")
+    assert(big < 2000, s"10-row batch shuffled $big records against ~10k-row state")
+  }
+
+  test("attach rejects a time that regresses the processed frontier") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val inc = new IncrementalHector(spark, Seq(0, 1),
+      Seq(Binding.attribute(0, ":ihf/x", 1)),
+      Map(":ihf/x" -> ValueKind.KNumber))
+    val in = MemoryStream[(String, Long, Long, Long, Long)]
+    val query = inc.attach(
+      in.toDF.toDF("a", "e", "v", "t", "diff"), "inc-hector-frontier") { (_, df) =>
+      df.collect(); ()
+    }
+    try {
+      in.addData((":ihf/x", 1L, 10L, 5L, 1L))
+      query.processAllAvailable()
+      in.addData((":ihf/x", 2L, 20L, 3L, 1L)) // t=3 regresses past t=5
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(20).toSeq
+      assert(chain(ex).exists(c =>
+        c.getMessage != null && c.getMessage.contains("processed frontier")),
+        s"expected frontier violation, got: ${ex.getMessage}")
+    } finally query.stop()
+  }
+
   test("predicate join maintenance equals batch recompute") {
     // q(0,1,2): r(0,1), s(0,2), 1 < 2
     val inc = new IncrementalHector(spark, Seq(0, 1, 2), Seq(
