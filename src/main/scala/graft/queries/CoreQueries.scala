@@ -75,20 +75,29 @@ object CoreQueries {
           Binding.binaryPredicate(Predicate.GT, 3, 2))),
         Seq("o", "c", "b", "tp"))),
     "q_hector_not" -> ((s, dir) =>
-      // negation binding: customers in segment BUILDING with no orders
+      // negation binding: customers in segment BUILDING with no activity
+      // events (every customer has orders in this data, so the anti-set
+      // must come from the sparser events.user relation to be non-empty)
       p(s, dir,
         q(Seq(0), Seq(
           Binding.attribute(0, ":customer/mktsegment", 1),
           Binding.constant(1, Value.str("BUILDING")),
-          Binding.not(2, ":orders/custkey", 0))),
+          Binding.not(2, ":events/user", 0))),
         Seq("c"))),
 
     // ---- antijoin / union / negate ----
     "q_antijoin" -> ((s, dir) =>
+      // customers with no single order above 300k (plain "no orders" is
+      // vacuous here: every customer has orders)
       p(s, dir,
         Antijoin(Seq(0),
           matchA(0, ":customer/name", 1),
-          Project(Seq(0), matchA(5, ":orders/custkey", 0))),
+          Project(Seq(0),
+            Filter(Seq(4), Predicate.GT,
+              q(Seq(0, 4), Seq(
+                Binding.attribute(5, ":orders/custkey", 0),
+                Binding.attribute(5, ":orders/totalprice", 4))),
+              Seq(None, Some(Value.VReal(300000.0)))))),
         Seq("c", "n"))),
     "q_union" -> ((s, dir) =>
       p(s, dir,
@@ -97,11 +106,13 @@ object CoreQueries {
           matchAV(0, ":customer/mktsegment", Value.str("MACHINERY")))),
         Seq("e"))),
     "q_negate_except" -> ((s, dir) =>
-      // set difference via Negate inside Union (distinct(A ⊎ −B))
+      // set difference via Negate inside Union (distinct(A ⊎ −B)):
+      // customers minus users with events (non-empty: event users are a
+      // small subset of custkeys)
       p(s, dir,
         Union(Seq(0), Seq(
           Project(Seq(0), matchA(0, ":customer/name", 1)),
-          Negate(Project(Seq(0), matchA(5, ":orders/custkey", 0))))),
+          Negate(Project(Seq(0), matchA(5, ":events/user", 0))))),
         Seq("c"))),
 
     // ---- filter ----
@@ -286,16 +297,18 @@ object CoreQueries {
     "q_hector_not" ->
       """SELECT c_custkey AS c FROM customer
          WHERE c_mktsegment = 'BUILDING'
-           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+           AND NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)""",
     "q_antijoin" ->
       """SELECT c_custkey AS c, c_name AS n FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_totalprice > 300000)""",
     "q_union" ->
       """SELECT DISTINCT c_custkey AS e FROM customer
          WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""",
     "q_negate_except" ->
       """SELECT c_custkey AS c FROM customer
-         EXCEPT SELECT o_custkey FROM orders""",
+         EXCEPT SELECT user_id FROM events""",
     "q_filter_const" ->
       "SELECT c_custkey AS e, c_acctbal AS bal FROM customer WHERE c_acctbal < 0",
     "q_join_binary" ->

@@ -114,7 +114,10 @@ object PipelineQueries {
         ShingleN, MinhashPerms, MinhashBands)),
 
     "q_embed_neardup" -> ((s, dir) =>
-      Similarity.quantizedNearDup(embeds(s, dir), "label", 95, 100)),
+      // τ = 0.35: the synthetic embeddings top out near cosine 0.5 within
+      // a label, so a "real" 0.9+ near-dup threshold matches nothing —
+      // the threshold is data-tuned to keep the pair path exercised.
+      Similarity.quantizedNearDup(embeds(s, dir), "label", 35, 100)),
 
     "q_ann_topk" -> ((s, dir) =>
       Similarity.quantizedTopK(embeds(s, dir), col("id") < 3, 5)),
@@ -124,7 +127,7 @@ object PipelineQueries {
       // self-join meets only inside hyperplane-signature buckets.
       val withBucket = embeds(s, dir).withColumn("_bkt",
         Similarity.lshBucketQ(Similarity.quantize(col("embedding")), dim = 64, bits = 8))
-      Similarity.quantizedNearDup(withBucket, "_bkt", 90, 100)
+      Similarity.quantizedNearDup(withBucket, "_bkt", 35, 100)
     }),
 
     "q_ann_ivf" -> ((s, dir) =>
@@ -400,7 +403,7 @@ object PipelineQueries {
             SELECT l.id AS a, r.id AS b, ${dotSql("l.qv", "r.qv")} AS dotq,
                    l.nrm AS na, r.nrm AS nb
             FROM n l JOIN n r ON l.label = r.label AND l.id < r.id)
-          WHERE dotq > 0 AND 10000 * dotq * dotq >= 9025 * na * nb""",
+          WHERE dotq > 0 AND 10000 * dotq * dotq >= 1225 * na * nb""",
 
     "q_ann_topk" ->
       s"""WITH s AS (SELECT CAST(vec_id AS BIGINT) AS id, $qvSql AS qv FROM embeddings),
@@ -434,7 +437,7 @@ object PipelineQueries {
             SELECT l.id AS a, r.id AS b, ${dotSql("l.qv", "r.qv")} AS dotq,
                    l.nrm AS na, r.nrm AS nb
             FROM n l JOIN n r ON l.bkt = r.bkt AND l.id < r.id)
-          WHERE dotq > 0 AND 10000 * dotq * dotq >= 8100 * na * nb"""
+          WHERE dotq > 0 AND 10000 * dotq * dotq >= 1225 * na * nb"""
     },
 
     "q_ann_ivf" ->
