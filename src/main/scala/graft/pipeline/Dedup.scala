@@ -364,20 +364,34 @@ object Dedup {
     // component minimum over representatives IS the minimum over all docs.
     val groups = d.groupBy(md5(col("text")).as("digest"))
       .agg(min(col("id")).as("rep"), first(col("text")).as("text"))
+      .select(col("digest"), col("rep"), tokenHashPairs(col("text")).as("_hp"))
       .localCheckpoint(true) // shared by the rep pipeline and the expansion
-    val hp = groups.select(col("rep").as("id"),
-      tokenHashPairs(col("text")).as("_hp"))
+    exactFirstClustersFromGroups(groups,
+      d.select(col("id"), md5(col("text")).as("digest")),
+      d.select(col("id")), n, perms, bands)
+  }
+
+  /** [[exactFirstClusters]] over prepared digest-group tables — `groups`
+    * is one row per distinct text `(digest, rep = min member id, _hp)`
+    * with the token-hash pairs ALREADY computed (each distinct text is
+    * md5-token-hashed exactly once for every exact-first consumer),
+    * `members` maps every doc `(id, digest)` — the cross-query artifact
+    * cache in PipelineQueries shares one checkpointed pair. */
+  def exactFirstClustersFromGroups(groups: DataFrame, members: DataFrame,
+      allIds: DataFrame, n: Int = 3, perms: Int = 8,
+      bands: Int = 4): DataFrame = {
+    val hp = groups.select(col("rep").as("id"), col("_hp"))
     val buckets = lshBuckets(minhashFromHp(hp, n, perms), perms, bands)
     val repClusters = connectedComponents(clusterPairs(buckets),
       groups.select(col("rep").as("id")), "id")
-    val expanded = d.select(col("id"), md5(col("text")).as("digest"))
+    val expanded = members
       .join(groups.select(col("digest"), col("rep")), "digest")
       .join(repClusters.select(col("id").as("rep"), col("cluster")), "rep")
       .select(col("id"), col("cluster"))
     // Null-text docs have a null digest, which no equi-join matches — keep
     // the connectedComponents contract (every id present, own cluster)
     // with the same allIds left join + coalesce.
-    d.select(col("id")).join(expanded, Seq("id"), "left")
+    allIds.join(expanded, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"),
         (col("id") === coalesce(col("cluster"), col("id"))).as("keep"))
   }

@@ -118,21 +118,35 @@ object TextAnalysis {
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .groupBy(md5(col("text")).as("digest"))
       .agg(min(col("id")).as("rep"), first(col("text")).as("text"))
-    def members(df: DataFrame, as: String) = df
-      .select(col(idCol).cast("long").as(as), md5(col(textCol)).as("digest"))
-    val cg = groups(corpus).localCheckpoint(true)
-    val bg = groups(benchmark).localCheckpoint(true)
+      .select(col("digest"), col("rep"), tokenHashPairs(col("text")).as("_hp"))
+    def members(df: DataFrame) = df
+      .select(col(idCol).cast("long").as("id"), md5(col(textCol)).as("digest"))
+    ngramOverlapExactFirstFromGroups(
+      groups(corpus).localCheckpoint(true), members(corpus),
+      groups(benchmark).localCheckpoint(true), members(benchmark), n)
+  }
+
+  /** [[ngramOverlapExactFirst]] over prepared digest-group tables —
+    * `cg`/`bg` are `(digest, rep, _hp)` rows (one per distinct text, token
+    * hashes precomputed), `corpusMembers`/`benchMembers` map docs
+    * `(id, digest)` — so the exact-first family shares one checkpointed
+    * token-hash pass (PipelineQueries' artifact cache). The rep ids only
+    * key the internal expansion joins, so a GLOBAL digest-group table
+    * works for both sides: restrict each side to its own digests and the
+    * output rows are unchanged. */
+  def ngramOverlapExactFirstFromGroups(cg: DataFrame, corpusMembers: DataFrame,
+      bg: DataFrame, benchMembers: DataFrame, n: Int): DataFrame = {
     val repOverlap = ngramOverlapFromHp(
-      cg.select(col("rep").as("id"), tokenHashPairs(col("text")).as("_hp")),
-      bg.select(col("rep").as("id"), tokenHashPairs(col("text")).as("_hp")), n)
+      cg.select(col("rep").as("id"), col("_hp")),
+      bg.select(col("rep").as("id"), col("_hp")), n)
       .withColumnRenamed("corpus_id", "crep")
       .withColumnRenamed("bench_id", "brep")
-    members(corpus, "corpus_id")
+    corpusMembers.toDF("corpus_id", "digest")
       .join(cg.select(col("digest"), col("rep").as("crep")), "digest")
       .drop("digest")
       .join(repOverlap, "crep")
       .join(bg.select(col("digest"), col("rep").as("brep")), "brep")
-      .join(members(benchmark, "bench_id"), "digest")
+      .join(benchMembers.toDF("bench_id", "digest"), "digest")
       .select(col("corpus_id"), col("bench_id"), col("shared"), col("corpus_sz"))
   }
 

@@ -42,6 +42,10 @@ object PipelineQueries {
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private val bucketsCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private val groupsCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private val membersCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
   // One md5 pass per token per document per (session, SF): every
   // shingle-based query (minhash/LSH pairs, jaccard, contamination) reads
@@ -68,6 +72,33 @@ object PipelineQueries {
     synchronized {
       pairsCache.getOrElseUpdate((s, dir),
         Dedup.candidatePairs(lshBucketTable(s, dir)).localCheckpoint(true))
+    }
+
+  // The exact-first family (q_dedup_exact_first, q_contamination_
+  // exact_first) shares ONE digest-group pass over the corpus: `groups`
+  // is one row per distinct text (digest, rep = min doc id, _hp) with
+  // the per-token md5 hash pairs ALREADY computed — each distinct text
+  // is token-hashed once for the whole family — and `members` maps
+  // every doc (id, digest).
+  private def digestGroups(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      groupsCache.getOrElseUpdate((s, dir),
+        docs(s, dir)
+          .select(col("doc_id").cast("long").as("id"), col("text"))
+          .groupBy(md5(col("text")).as("digest"))
+          .agg(min(col("id")).as("rep"), first(col("text")).as("text"))
+          .select(col("digest"), col("rep"),
+            Portable.tokenHashPairs(col("text")).as("_hp"))
+          .localCheckpoint(true))
+    }
+
+  private def digestMembers(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      membersCache.getOrElseUpdate((s, dir),
+        docs(s, dir)
+          .select(col("doc_id").cast("long").as("id"),
+            md5(col("text")).as("digest"))
+          .localCheckpoint(true))
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -109,8 +140,11 @@ object PipelineQueries {
       // Exact-dedup-first composition: shingle/LSH only distinct texts,
       // expand cluster labels over digest groups — identical labels to
       // q_dedup_clusters at shingling cost ∝ distinct texts (the 100 TB
-      // prescription of SCALE_NOTES.md).
-      Dedup.exactFirstClusters(docs(s, dir), "doc_id", "text",
+      // prescription of SCALE_NOTES.md). Groups/members come from the
+      // shared checkpoint (one md5 pass for the whole exact-first family).
+      Dedup.exactFirstClustersFromGroups(digestGroups(s, dir),
+        digestMembers(s, dir),
+        docs(s, dir).select(col("doc_id").cast("long").as("id")),
         ShingleN, MinhashPerms, MinhashBands)),
 
     "q_embed_neardup" -> ((s, dir) =>
@@ -216,12 +250,22 @@ object PipelineQueries {
     "q_contamination_exact_first" -> ((s, dir) => {
       // Same scan, exact-dedup-first: shingle/join only distinct texts,
       // expand the rep-level pair table over digest groups — identical
-      // rows, d^2 less join work under d-fold duplication.
-      val d = docs(s, dir)
-      val bench = d.where(pmod(col("doc_id"), lit(20)) === 0)
-      val corpus = d.where(pmod(col("doc_id"), lit(20)) =!= 0)
-      longify(TextAnalysis.ngramOverlapExactFirst(
-        corpus, bench, "doc_id", "text", 4))
+      // rows, d^2 less join work under d-fold duplication. Both sides
+      // restrict the SHARED global digest-group checkpoint (rep ids only
+      // key the internal expansion, so a global rep works for each side).
+      val g = digestGroups(s, dir)
+      val m = digestMembers(s, dir)
+      val corpusM = m.where(pmod(col("id"), lit(20)) =!= 0)
+      val benchM = m.where(pmod(col("id"), lit(20)) === 0)
+      // Corpus side uses the UNRESTRICTED global groups (it covers ~95%
+      // of digests; bench-only reps drop out in the expansion join, so
+      // rows are identical and the semi-join isn't worth its shuffle).
+      // The bench side IS restricted — it must stay dimension-sized so
+      // the rep-level overlap join broadcasts it.
+      val bg = g.join(benchM.select(col("digest")).distinct(),
+        Seq("digest"), "left_semi")
+      longify(TextAnalysis.ngramOverlapExactFirstFromGroups(
+        g, corpusM, bg, benchM, 4))
     }),
 
     "q_embed_centroid" -> ((s, dir) =>
