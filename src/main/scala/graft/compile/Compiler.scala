@@ -243,14 +243,7 @@ class Compiler(
       // spark.sql.autoBroadcastJoinThreshold — a bare row-count gate would
       // happily broadcast 5M wide tuples and OOM the driver (round-2
       // advice). Oversized sides fall back to shuffled plans.
-      val bcBytes: Long = {
-        val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-        try raw.toLong
-        catch {
-          case _: NumberFormatException =>
-            org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
-        }
-      }
+      val bcBytes: Long = graft.kernel.RddKernel.broadcastThresholdBytes(spark)
       def canBroadcast(rows: Long, cols: Int): Boolean =
         bcBytes > 0 && rows * (24L * cols + 8L) <= bcBytes
 

@@ -28,6 +28,19 @@ import org.apache.spark.rdd.RDD
   */
 object RddKernel {
 
+  /** The session's `autoBroadcastJoinThreshold` in bytes (accepts raw
+    * byte counts and size strings like "10MB") — the ONE byte gate every
+    * driver-landing/broadcast decision measures against (fixpoint loop,
+    * connected-components driver union-find). */
+  def broadcastThresholdBytes(spark: org.apache.spark.sql.SparkSession): Long = {
+    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try raw.toLong
+    catch {
+      case _: NumberFormatException =>
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+    }
+  }
+
   /** Hash-partition candidates and drop within-batch duplicates. */
   def dedup[K: ClassTag](cand: RDD[(K, Null)], part: Partitioner): RDD[(K, Null)] =
     cand.partitionBy(part).mapPartitions({ it =>

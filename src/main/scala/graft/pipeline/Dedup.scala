@@ -207,14 +207,7 @@ object Dedup {
     // decisions on estimated bytes vs the session's
     // autoBroadcastJoinThreshold (same byte gate as the fixpoint loop —
     // a bare row-count gate would admit arbitrarily wide rows).
-    val bcBytes: Long = {
-      val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-      try raw.toLong
-      catch {
-        case _: NumberFormatException =>
-          org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
-      }
-    }
+    val bcBytes: Long = graft.kernel.RddKernel.broadcastThresholdBytes(spark)
 
     // Gate-sized pair sets (the common case: candidate pairs are a tiny
     // fraction of the corpus) finish on the driver: union-find with
