@@ -92,6 +92,14 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     if (!domain.rules.contains(name))
       throw GraftError.notFound(s"unknown rule $name")
     interests += name
+    // Attaching a sink to a LIVE (already initialized) plain interest:
+    // the sink has no prevFrames baseline, so force re-initialization —
+    // the next advance replays the accumulated state into the sink as
+    // initial diffs (late-subscriber semantics, like the reference
+    // replaying the compacted trace into a newly built dataflow) instead
+    // of the first per-time diff re-delivering the entire snapshot as if
+    // it were change.
+    if (initialized(name) && !prevFrames.contains(name)) initialized -= name
     sinks(name) = sink
     granularity.foreach(g => granularities(name) = g)
   }

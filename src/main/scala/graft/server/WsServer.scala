@@ -128,7 +128,12 @@ final class WsServer(engine: Engine, port: Int = 0,
   def stop(): Unit = {
     running = false
     serverSocket.close()
-    synchronized { clients.values.foreach { case (out, _) => out.close() } }
+    synchronized {
+      clients.values.foreach { case (out, _) => out.close() }
+      voidWriters.values.foreach(w =>
+        try w.close() catch { case NonFatal(_) => () })
+      voidWriters.clear()
+    }
   }
 
   // ----------------------------------------------------------- connection
@@ -172,13 +177,13 @@ final class WsServer(engine: Engine, port: Int = 0,
       // (`server/src/main.rs:349-355`, `mod.rs:276-281`).
       synchronized {
         clients.remove(id).foreach { case (_, names) =>
+          // Drop this client's sink routing with its interests — a stale
+          // sink state would silently swallow a reconnecting client's
+          // plain delivery under a reused id.
+          sinkStates.filterInPlace { case ((cid, _), _) => cid != id }
           names.foreach { name =>
-            if (!clients.values.exists(_._2.contains(name))) {
+            if (!clients.values.exists(_._2.contains(name)))
               try engine.uninterest(name) catch { case NonFatal(_) => () }
-              // Drop sink routing with the interest — a stale sink state
-              // would silently swallow a later client's plain Interest.
-              sinkStates -= name
-            }
           }
         }
       }
@@ -203,12 +208,17 @@ final class WsServer(engine: Engine, port: Int = 0,
           clients(id)._2 += name
           // Sink routing (reference: `Interest.sink`, server/src/main.rs:
           // 494-520): diffs divert into the sink; AssocIn forwards its
-          // Output::Json stream to interested clients, TheVoid swallows.
-          sink.foreach {
-            case Request.SinkSpec.TheVoid(path) =>
-              sinkStates(name) = VoidState(path)
-            case Request.SinkSpec.AssocIn(stateful) =>
-              sinkStates(name) = AssocState(stateful,
+          // Output::Json stream to the owning client, TheVoid swallows.
+          // State is PER (client, name): one client's sink must never
+          // divert another client's plain QueryDiff delivery, and this
+          // client's later plain Interest restores direct delivery.
+          sink match {
+            case None =>
+              sinkStates -= ((id, name))
+            case Some(Request.SinkSpec.TheVoid(path)) =>
+              sinkStates((id, name)) = VoidState(path)
+            case Some(Request.SinkSpec.AssocIn(stateful)) =>
+              sinkStates((id, name)) = AssocState(stateful,
                 if (stateful.isDefined) Some(graft.sinks.AssocIn.Obj()) else None)
           }
         case Request.Subscribe(attr) =>
@@ -219,12 +229,11 @@ final class WsServer(engine: Engine, port: Int = 0,
           clients(id)._2 += ns
         case Request.Uninterest(name) =>
           clients(id)._2 -= name
+          sinkStates -= ((id, name))
           // Tear the dataflow down only when the LAST interested client
           // leaves (server/src/main.rs:276-281).
-          if (!clients.values.exists(_._2.contains(name))) {
+          if (!clients.values.exists(_._2.contains(name)))
             engine.uninterest(name)
-            sinkStates -= name
-          }
         case Request.Status =>
           // server/src/main.rs:605-614.
           clients.get(id).foreach { case (out, _) =>
@@ -246,20 +255,23 @@ final class WsServer(engine: Engine, port: Int = 0,
     }
   }
 
-  // Per-interest sink routing state (reference `Interest.sink`).
+  // Per-(client, interest) sink routing state (reference `Interest.sink`
+  // lives on each Interest request, i.e. per subscriber — a rule name is
+  // not a routing key on its own).
   private sealed trait SinkState
   private final case class VoidState(logPath: Option[String]) extends SinkState
   private final case class AssocState(stateful: Option[Int],
       acc: Option[graft.sinks.AssocIn.Obj]) extends SinkState
-  private val sinkStates = mutable.Map.empty[String, SinkState]
+  private val sinkStates = mutable.Map.empty[(Long, String), SinkState]
   /** Per-advance latency log of void-sinked interests, mirroring
     * `Sink::TheVoid`'s ms-per-frontier log: (name, time, rows). In-memory
     * copy is capped (long-lived servers log to the configured file). */
   val voidLog = mutable.ArrayBuffer.empty[(String, Long, Long)]
   private val voidLogCap = 10000
 
-  /** Drain every interested rule once and deliver its batch to all clients
-    * interested in it. */
+  /** Drain every interested rule once and deliver its batch to each
+    * interested client through THAT client's route: its sink if it
+    * registered one, a plain QueryDiff otherwise. */
   private def flushDiffs(): Unit = {
     for (name <- engine.interestNames) {
       val diffs = engine.drain(name)
@@ -270,17 +282,22 @@ final class WsServer(engine: Engine, port: Int = 0,
             asValue(v, kinds.flatMap(_.lift(i)))
           }, t, d)
         }
-        sinkStates.get(name) match {
-          case Some(v: VoidState)  => sinkVoid(name, v, batch)
-          case Some(a: AssocState) => sinkAssoc(name, a, batch)
-          case None =>
-            val msg = Wire.renderOutput(Output.QueryDiff(name, batch))
-            for ((out, names) <- clients.values if names.contains(name))
-              send(out, msg)
+        lazy val plainMsg = Wire.renderOutput(Output.QueryDiff(name, batch))
+        for ((cid, (out, names)) <- clients if names.contains(name)) {
+          sinkStates.get((cid, name)) match {
+            case Some(v: VoidState)  => sinkVoid(name, v, batch)
+            case Some(a: AssocState) => sinkAssoc(cid, name, a, batch)
+            case None                => send(out, plainMsg)
+          }
         }
       }
     }
   }
+
+  // One open writer per void-log path (reused across flushes); appends
+  // are best-effort like the reference's latency log — a bad path must
+  // not surface as a wire Error to whichever client triggered the flush.
+  private val voidWriters = mutable.Map.empty[String, java.io.Writer]
 
   /** `Sink::TheVoid` (`src/sinks/mod.rs:83-128`): swallow the batch, log
     * per-epoch volume (appended to the configured file when given). */
@@ -289,8 +306,14 @@ final class WsServer(engine: Engine, port: Int = 0,
     for ((t, rows) <- batch.groupBy(_._2).toSeq.sortBy(_._1)) {
       if (voidLog.length < voidLogCap) voidLog += ((name, t, rows.length.toLong))
       v.logPath.foreach { p =>
-        val w = new java.io.FileWriter(p, true)
-        try w.write(s"$name\t$t\t${rows.length}\n") finally w.close()
+        try {
+          val w = voidWriters.getOrElseUpdate(p, new java.io.FileWriter(p, true))
+          w.write(s"$name\t$t\t${rows.length}\n")
+          w.flush()
+        } catch {
+          case NonFatal(_) => voidWriters.remove(p).foreach(w =>
+            try w.close() catch { case NonFatal(_) => () })
+        }
       }
     }
   }
@@ -299,7 +322,7 @@ final class WsServer(engine: Engine, port: Int = 0,
     * into nested documents per completed time; stateless mode emits one
     * `Output::Json` per top-level key, stateful mode reports the changed
     * sub-structures at the configured granularity depth. */
-  private def sinkAssoc(name: String, a: AssocState,
+  private def sinkAssoc(cid: Long, name: String, a: AssocState,
       batch: Seq[(Seq[Value], Long, Long)]): Unit = {
     import graft.sinks.AssocIn
     for ((t, rows) <- batch.groupBy(_._2).toSeq.sortBy(_._1)) {
@@ -322,10 +345,10 @@ final class WsServer(engine: Engine, port: Int = 0,
             node.map(n => (keyPath.mkString("/"), AssocIn.render(n)))
           }
       }
-      for ((_, json) <- outputs) {
-        val msg = Wire.renderOutput(Output.Json(name, json, t, 1L))
-        for ((out, names) <- clients.values if names.contains(name))
-          send(out, msg)
+      // The folded Json stream goes to the OWNING client only — its
+      // AssocState (and stateful accumulator) belongs to its Interest.
+      for ((_, json) <- outputs; (out, _) <- clients.get(cid)) {
+        send(out, Wire.renderOutput(Output.Json(name, json, t, 1L)))
       }
     }
   }

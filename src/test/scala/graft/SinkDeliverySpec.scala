@@ -182,6 +182,27 @@ class SinkDeliverySpec extends AnyFunSuite {
     }
   }
 
+  test("attaching a sink to a live plain interest replays state, not double-delivery") {
+    val eng = new Engine(spark)
+    eng.createAttribute("sd/live", AttributeConfig(inputSemantics = InputSemantics.Raw))
+    eng.register(Rule("live", Plan.MatchEA(1, "sd/live", 0)))
+    eng.interest("live")
+    eng.transact(Seq(Datom.addAt(1, "sd/live", Value.VNumber(1), 0L)))
+    eng.advance(1L)
+    assert(eng.drain("live").nonEmpty) // already delivered driver-side
+
+    val got = mutable.ArrayBuffer.empty[Set[(Seq[Any], Long, Long)]]
+    eng.interestSink("live", new ForeachFrameSink((_, _, df) => got += diffsOf(df)))
+    eng.transact(Seq(Datom.addAt(1, "sd/live", Value.VNumber(2), 1L)))
+    eng.advance(2L)
+    // The sink is a NEW subscriber: it gets the accumulated state as a
+    // separate initial-replay frame, then the time's genuine diff — never
+    // one frame re-stating the whole snapshot as if it were change.
+    assert(got.toList === List(
+      Set((Seq[Any](1L), 1L, 1L)),  // replay of the pre-attach state
+      Set((Seq[Any](2L), 1L, 1L)))) // the new datom only
+  }
+
   test("late sink subscriber receives accumulated state as initial diffs") {
     val eng = new Engine(spark)
     eng.createAttribute("sd/late", AttributeConfig(inputSemantics = InputSemantics.Raw))

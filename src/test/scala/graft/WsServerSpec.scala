@@ -398,4 +398,54 @@ class WsServerSpec extends AnyFunSuite {
       assert(server.voidLog.toSeq == Seq(("vq", 0L, 1L)))
     }
   }
+
+  test("sink routing is per client: another client's plain delivery is untouched") {
+    withServer { (server, a) =>
+      val b = new Client(server.boundPort)
+      try {
+        a.send("""{"CreateAttribute":{"name":":pv","config":{"input_semantics":"Distinct"}}}""")
+        a.send("""{"Register":{"rules":[{"name":"pq","plan":
+          {"MatchA":[0,":pv",1]}}],"publish":["pq"]}}""")
+        // a sinks the rule into TheVoid; b holds a PLAIN interest on it.
+        a.send("""{"Interest":{"name":"pq","granularity":null,
+          "sink":{"TheVoid":null},"disable_logging":null}}""")
+        b.send("""{"Interest":{"name":"pq","granularity":null}}""")
+        // Status round-trip pins b's Interest as processed before the tx.
+        b.send("\"Status\"")
+        Wire.parseOutput(b.next()) match {
+          case Output.Message(_, _) => ()
+          case o                    => fail(s"expected Status reply, got $o")
+        }
+        a.send("""{"Transact":[[1,":pv",7,null,1]]}""")
+        a.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+        // b receives the plain QueryDiff even though a sinked the rule.
+        Wire.parseOutput(b.next()) match {
+          case Output.QueryDiff(name, batch) =>
+            assert(name == "pq")
+            assert(batch == Seq((Seq(Value.eid(1), Value.num(7)), 0L, 1L)))
+          case other => fail(s"expected plain QueryDiff for b, got $other")
+        }
+        // a's delivery went to the void (and logged its epoch)...
+        a.send("\"Status\"")
+        Wire.parseOutput(a.next()) match {
+          case Output.Message(_, json) => assert(json.contains("df/status"))
+          case other                   => fail(s"void sink leaked to a: $other")
+        }
+        assert(server.voidLog.toSeq == Seq(("pq", 0L, 1L)))
+        // ...and a's LATER PLAIN Interest restores its direct delivery.
+        a.send("""{"Interest":{"name":"pq","granularity":null}}""")
+        a.send("""{"Transact":[[2,":pv",9,null,1]]}""")
+        a.send("""{"AdvanceDomain":[null,{"TxId":2}]}""")
+        Wire.parseOutput(a.next()) match {
+          case Output.QueryDiff(name, batch) =>
+            assert(name == "pq")
+            assert(batch == Seq((Seq(Value.eid(2), Value.num(9)), 1L, 1L)))
+          case other =>
+            fail(s"expected direct delivery after plain re-Interest, got $other")
+        }
+      } finally {
+        try b.close() catch { case _: Throwable => () }
+      }
+    }
+  }
 }
