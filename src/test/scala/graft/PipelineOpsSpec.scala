@@ -106,6 +106,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.size === rows.length + 1)
   }
 
+  test("exactFirstClusters equals all-docs clustering on random corpora (property)") {
+    // Executable form of the equivalence proof in Dedup.exactFirstClusters'
+    // doc comment: for ANY corpus (random texts, token-level variants,
+    // exact copies), exact-first labels == direct clustering of the
+    // star-capped candidate pairs over all docs.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val genText: Gen[String] = for {
+      n <- Gen.choose(6, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val genCorpus: Gen[Seq[String]] = for {
+      bases <- Gen.choose(3, 6).flatMap(Gen.listOfN(_, genText))
+      variants <- Gen.sequence[List[String], String](bases.map(b =>
+        Gen.oneOf(b, b + " omega", b.replaceFirst("\\w+", "zulu"))))
+    } yield bases ++ variants
+    val params = Gen.Parameters.default
+    (0 until 4).foreach { seed =>
+      val texts = genCorpus(params, Seed(3301L * (seed + 1)))
+        .getOrElse(Seq("fallback doc"))
+      // i % 3 + 1 exact copies of each text under distinct ids.
+      val rows = texts.zipWithIndex.flatMap { case (t, i) =>
+        (0 to (i % 3)).map(c => (i * 10L + c, t))
+      }
+      val docs = rows.toDF("doc_id", "text")
+      def labels(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val fast = labels(Dedup.exactFirstClusters(docs, "doc_id", "text"))
+      val hpAll = docs.select(col("doc_id").as("id"),
+        graft.functions.Portable.tokenHashPairs(col("text")).as("_hp"))
+      val bucketsAll = Dedup.lshBuckets(Dedup.minhashFromHp(hpAll, 3, 8), 8, 4)
+      val slow = labels(Dedup.connectedComponents(
+        Dedup.clusterPairs(bucketsAll), docs.select(col("doc_id").as("id")), "id"))
+      assert(fast === slow, s"seed=$seed texts=$texts")
+    }
+  }
+
   test("h64Host matches the Column-form portable hash") {
     // randomProjection's matrix derivation (and any future driver-side
     // constant keyed on the portable hash) rests on this equivalence.
