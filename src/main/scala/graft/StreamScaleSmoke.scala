@@ -1,0 +1,164 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.engine.BiEngine
+import graft.model._
+import graft.streaming.{BiStream, IncrementalClosure, IncrementalHector}
+
+/** One-off streaming-scale smoke (SCALE_NOTES.md "streaming smoke"
+  * section): drives the three streaming engines with large micro-batches,
+  * records per-batch latency against accumulated state, and confirms the
+  * driver gates trip LOUDLY (a clean require, not an OOM) when fed a
+  * data-sized batch:
+  *
+  *  1. [[IncrementalClosure]] — per-batch closure maintenance latency as
+  *     totals grow; then a 2M-edge batch against a 1M gate.
+  *  2. [[IncrementalHector]] — per-batch latency AND shuffled records for
+  *     constant 5k-row deltas while binding state grows to ~1M rows (the
+  *     delta-proportional state maintenance property).
+  *  3. [[BiStream]] — control-sized transactions, then a 500k-datom batch
+  *     against the default 100k transaction gate.
+  *
+  * Prints `[scale] ...` lines consumed into SCALE_NOTES.md.
+  */
+object StreamScaleSmoke {
+
+  private def now(): Long = System.nanoTime()
+  private def secs(t0: Long): Double = (now() - t0) / 1e9
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-stream-scale-smoke")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---------------------------------------------------- 1. closure
+    {
+      val chains = 256
+      val batches = 50
+      val inc = new IncrementalClosure(spark, partitions = 32)
+      // Per batch: ONE new edge prepended at each chain's head — new
+      // closure tuples = chains × len (the engine's one-round regime, the
+      // shape a firehose of novel prefix facts takes).
+      var t = 0L
+      (1 to batches).foreach { b =>
+        val edges = (0 until chains).map { c =>
+          val base = c.toLong * 1000000L
+          (base + batches - b, base + batches - b + 1)
+        }
+        t += 1
+        val t0 = now()
+        val out = inc.advance(edges, t)
+        val fresh = out.count()
+        val dt = secs(t0)
+        if (b % 10 == 0 || b == 1)
+          println(f"[scale] closure batch=$b%d fresh=$fresh%d total=${inc.size}%d sec=$dt%.2f")
+      }
+      // Gate: a 2M-edge distinct batch against a 1M-edge broadcast gate
+      // must fail in the distributed count, before any driver collect.
+      val gated = new IncrementalClosure(spark, partitions = 32, maxEdges = 1000000L)
+      val fire = spark.range(2000000L).rdd.map(i => (i.toLong, i.toLong + 10000000L))
+      val t0 = now()
+      try {
+        gated.advanceRdd(fire, 1L)
+        println("[scale] closure-gate FAILED TO TRIP")
+      } catch {
+        case e: IllegalArgumentException =>
+          println(f"[scale] closure-gate tripped loudly in ${secs(t0)}%.2f s: " +
+            e.getMessage.linesIterator.next())
+      }
+    }
+
+    // ----------------------------------------------------- 2. hector
+    {
+      val inc = new IncrementalHector(spark, Seq(0, 1, 2), Seq(
+        Binding.attribute(0, ":sm/a", 1),
+        Binding.attribute(0, ":sm/b", 2)),
+        Map(":sm/a" -> ValueKind.KNumber, ":sm/b" -> ValueKind.KNumber))
+      val shuffled = new AtomicLong
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) shuffled.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def delta(from: Long, n: Long) =
+        spark.range(from, from + n).select(col("id").as("e"),
+          (col("id") * 3L).as("v"), org.apache.spark.sql.functions.lit(1L).as("diff"))
+      // Seed both bindings to 1M rows (unique entities: join fan-out 1).
+      var t0 = now()
+      val seeded = inc.advance(Map(0 -> delta(0L, 1000000L), 1 -> delta(0L, 1000000L)))
+      println(f"[scale] hector seed state=1000000x2 out=${seeded.count()}%d sec=${secs(t0)}%.1f")
+      (1 to 8).foreach { b =>
+        val from = 1000000L + b * 5000L
+        shuffled.set(0)
+        t0 = now()
+        val out = inc.advance(Map(0 -> delta(from, 5000L), 1 -> delta(from, 5000L)))
+        val n = out.count()
+        val dt = secs(t0)
+        Thread.sleep(500) // listener bus drain
+        println(f"[scale] hector batch=$b%d delta=5000x2 out=$n%d " +
+          f"state=${1000000L + b * 5000L}%d shuffleRecords=${shuffled.get}%d sec=$dt%.2f")
+      }
+      spark.sparkContext.removeSparkListener(listener)
+    }
+
+    // ---------------------------------------------------- 3. bistream
+    {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val engine = new BiEngine(spark)
+      engine.createAttribute(":sm/x", AttributeConfig(InputSemantics.LastWriteWins))
+      engine.register(Rule("q", Plan.MatchA(0, ":sm/x", 1)))
+      engine.interest("q")
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+        (Long, String, Long, Long, Long, Long)]
+      var delivered = 0L
+      val query = new BiStream(engine).attach(
+        in.toDF.toDF("e", "a", "v", "sys", "event", "diff"), "scale-smoke-bi") {
+        (_, diffs) => delivered += diffs.length
+      }
+      try {
+        (0 until 4).foreach { b =>
+          val t0 = now()
+          in.addData((0 until 2000).map(i =>
+            ((b * 2000 + i).toLong, ":sm/x", i.toLong, b.toLong, b.toLong, 1L)))
+          query.processAllAvailable()
+          println(f"[scale] bistream batch=$b%d tx=2000 delivered=$delivered%d sec=${secs(t0)}%.2f")
+        }
+        // Gate: a 500k-datom "transaction" against the 100k default gate.
+        in.addData((0 until 500000).map(i =>
+          ((1000000 + i).toLong, ":sm/x", i.toLong, 9L, 9L, 1L)))
+        val t0 = now()
+        try {
+          query.processAllAvailable()
+          println("[scale] bistream-gate FAILED TO TRIP")
+        } catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            val msg = Iterator.iterate(e: Throwable)(_.getCause)
+              .takeWhile(_ != null).take(20)
+              .map(c => String.valueOf(c.getMessage))
+              .find(_.contains("transaction gate")).getOrElse(e.getMessage)
+            println(f"[scale] bistream-gate tripped loudly in ${secs(t0)}%.2f s: " +
+              msg.linesIterator.next())
+        }
+      } finally query.stop()
+    }
+
+    println("[scale] smoke complete — no driver failure")
+    spark.stop()
+  }
+}

@@ -899,11 +899,11 @@ class Compiler(
       if (e == v) {
         Some(Rel(Seq(e), Seq(KEid),
           base.where(col("e") === col("v")).select(col("e").as(c(0)), col(W)),
-          unit = source.unit(a)))
+          unit = source.unit(a), small = source.small(a)))
       } else {
         Some(Rel(Seq(e, v), Seq(KEid, source.kind(a)),
           base.select(col("e").as(c(0)), col("v").as(c(1)), col(W)),
-          unit = source.unit(a)))
+          unit = source.unit(a), small = source.small(a)))
       }
 
     case P.MatchEA(eid, a, v) =>
@@ -1305,19 +1305,24 @@ class Compiler(
       constOf.get(a.v).foreach(v => df = df.where(col("v") === Value.asLiteral(v)))
       if (a.e == a.v)
         Rel(Seq(a.e), Seq(KEid), df.where(col("e") === col("v"))
-          .select(col("e").as(c(0)), col(W)), unit = source.unit(a.a))
+          .select(col("e").as(c(0)), col(W)), unit = source.unit(a.a),
+          small = source.small(a.a))
       else
         Rel(Seq(a.e, a.v), Seq(KEid, source.kind(a.a)),
           df.select(col("e").as(c(0)), col("v").as(c(1)), col(W)),
-          unit = source.unit(a.a))
+          unit = source.unit(a.a), small = source.small(a.a))
     }
 
     // Greedy binding order: most-constrained first (constants), then any
     // binding sharing a variable with the bound prefix (plan_order's
-    // reachability constraint, src/plan/hector.rs:209-309).
+    // reachability constraint, src/plan/hector.rs:209-309). Known-small
+    // bindings (streaming deltas) break ties first, so the delta anchors
+    // the join prefix and every state side streams through a broadcast
+    // join instead of re-shuffling per batch.
     def constrainedness(a: Binding.Attr): Int =
       Seq(a.e, a.v).count(constOf.contains)
-    val orderedStart = attrBs.sortBy(a => -constrainedness(a)).head
+    val orderedStart = attrBs
+      .sortBy(a => (-constrainedness(a), if (source.small(a.a)) 0 else 1)).head
     var rel = scan(orderedStart)
     var remaining = attrBs.filterNot(_ eq orderedStart)
     val appliedPreds = mutable.Set.empty[Binding.BinaryPred]

@@ -30,6 +30,13 @@ trait AttributeSource {
     * weight implied 1. */
   def relation(name: String): Option[(DataFrame, Seq[ValueKind])] = None
 
+  /** True when `collection` is KNOWN broadcast-small (e.g. a counted
+    * streaming delta behind the byte gate). RDD-backed frames carry no
+    * Catalyst stats, so without this hint a join against a huge state
+    * side picks a shuffle join and re-shuffles the state every batch —
+    * the source is the only layer that knows better. */
+  def small(name: String): Boolean = false
+
   /** (data epoch, as-of time) of the data this source exposes. Part of the
     * shared rule-result cache key, so a cached relation can never be read
     * against newer data or a different as-of view — staleness is

@@ -38,15 +38,22 @@ import graft.model._
   * are renamed apart (`attr#i`) before compilation.
   *
   * Scale: per-batch work is Σ_i |ΔR_i ⋈ …| (delta-proportional), and so
-  * are per-batch SHUFFLED bytes: each binding's state lives as a keyed
-  * RDD hash-partitioned on (e, v) once, and a batch's delta is reduced
-  * onto that same partitioner (the only shuffle in state maintenance)
-  * then merged partition-by-partition with `zipPartitions` — the
-  * [[graft.kernel.RddKernel]] co-partitioned-chain pattern. The state is
-  * scanned narrowly to rewrite it but never re-shuffled, which is the
-  * Spark analog of the arrangements the reference keeps for exactly this
-  * property. Retractions flow exactly (signed weights multiply through
-  * the joins); `Not` bindings are rejected — negation needs
+  * are per-batch SHUFFLED bytes, on both paths that could touch state:
+  *  - state maintenance: each binding's state lives as a keyed RDD
+  *    hash-partitioned on (e, v) once, and a batch's delta is reduced
+  *    onto that same partitioner (the only shuffle) then merged
+  *    partition-by-partition with `zipPartitions` — the
+  *    [[graft.kernel.RddKernel]] co-partitioned-chain pattern. State is
+  *    scanned narrowly to rewrite it, never re-shuffled.
+  *  - delta terms: RDD-backed frames carry no Catalyst stats, so the
+  *    source reports counted byte-gated deltas (and small states) as
+  *    `small` — the compiler's join-site broadcast then streams the big
+  *    state side through a broadcast hash join instead of re-shuffling
+  *    it every batch (streaming smoke: 2.0M → 15k shuffled records per
+  *    5k-row batch against 1M-row state, SCALE_NOTES.md).
+  * Together these are the Spark analog of the arrangements the
+  * reference keeps. Retractions flow exactly (signed weights multiply
+  * through the joins); `Not` bindings are rejected — negation needs
   * delete-and-rederive, the batch engine's job.
   */
 class IncrementalHector(
@@ -92,6 +99,18 @@ class IncrementalHector(
   // so the per-batch merge is narrow (see RddKernel's invariants).
   private val stateRdds: mutable.ArrayBuffer[RDD[KV]] =
     mutable.ArrayBuffer.from(attrBindings.map(_ => emptyStateRdd))
+  // Row counts alongside (the RDDs are materialized with count() anyway):
+  // RDD-backed frames carry no Catalyst stats, so these counts are the
+  // ONLY size signal the compiler gets for its join-site broadcasts.
+  private val stateCounts: mutable.ArrayBuffer[Long] =
+    mutable.ArrayBuffer.from(attrBindings.map(_ => 0L))
+
+  /** Shared byte gate: rows of a 3-column (e, v, _w) frame vs the
+    * session's autoBroadcastJoinThreshold (the fixpoint loop's estimate). */
+  private def broadcastable(rows: Long): Boolean = {
+    val bcBytes = graft.kernel.RddKernel.broadcastThresholdBytes(spark)
+    bcBytes > 0 && rows * (24L * 3 + 8L) <= bcBytes
+  }
 
   private def stateSchema(i: Int): StructType = StructType(Seq(
     StructField("e", LongType, false),
@@ -114,11 +133,13 @@ class IncrementalHector(
 
   /** Output schema (c0..cn, _w), from one compile against current state. */
   private lazy val outputSchema: org.apache.spark.sql.types.StructType =
-    new Compiler(sourceFor(state), Map.empty).compile(plan, Map.empty)
+    new Compiler(sourceFor(state, _ => false), Map.empty)
+      .compile(plan, Map.empty)
       .getOrElse(sys.error("hector compilation failed"))
       .df.schema
 
-  private def sourceFor(tableOf: Int => DataFrame): AttributeSource =
+  private def sourceFor(tableOf: Int => DataFrame,
+      smallOf: Int => Boolean): AttributeSource =
     new AttributeSource {
       private val byName: Map[String, Int] =
         attrBindings.zipWithIndex.map { case (a, i) => s"${a.a}#$i" -> i }.toMap
@@ -127,6 +148,10 @@ class IncrementalHector(
         kinds(name.substring(0, name.lastIndexOf('#')))
       def unit(name: String): Boolean = false // weighted Z-set state
       def collection(name: String): DataFrame = tableOf(byName(name))
+      // Counted frames behind the byte gate broadcast at join sites —
+      // without this a 5k delta joining 1M-row state re-shuffles the
+      // state every batch (RDD frames have no stats for Catalyst).
+      override def small(name: String): Boolean = smallOf(byName(name))
       override def version: (Long, Long) = (0L, Long.MaxValue)
     }
 
@@ -209,33 +234,43 @@ class IncrementalHector(
     // state maintenance, O(delta) bytes however large the state has grown
     // — and pin it (delta terms and the merge both read it, and the
     // delivered diffs must outlive the caller's source frame).
-    val deltaRdds: Map[Int, RDD[KV]] = deltas.map { case (i, df) =>
+    // Materialize each delta once (the count doubles as its size signal).
+    val deltaPairs: Map[Int, (RDD[KV], Long)] = deltas.map { case (i, df) =>
       val r = df
         .select(col("e"), col("v"), col("diff").cast("long").as("_w"))
         .rdd.map(r => ((r.getLong(0), r.get(1)), r.getLong(2)))
         .reduceByKey(part, _ + _)
         .localCheckpoint()
-      r.count()
-      i -> r
+      i -> (r, r.count())
     }
+    val deltaRdds: Map[Int, RDD[KV]] = deltaPairs.map { case (i, (r, _)) => i -> r }
+    val deltaCounts: Map[Int, Long] = deltaPairs.map { case (i, (_, n)) => i -> n }
     val old: Seq[DataFrame] = state.toSeq
-    val updatedRdds: Seq[RDD[KV]] = attrBindings.indices.map { i =>
+    val oldCounts: Seq[Long] = stateCounts.toSeq
+    val updatedPairs: Seq[(RDD[KV], Long)] = attrBindings.indices.map { i =>
       deltaRdds.get(i) match {
-        case None    => stateRdds(i)
+        case None    => (stateRdds(i), oldCounts(i))
         case Some(d) =>
           val m = merge(stateRdds(i), d)
-          m.count() // materialize the checkpoint: narrow scan, no shuffle
-          m
+          // The count materializes the checkpoint (narrow scan, no
+          // shuffle) and doubles as the new size signal.
+          (m, m.count())
       }
     }
+    val updatedRdds: Seq[RDD[KV]] = updatedPairs.map(_._1)
+    val updatedCounts: Seq[Long] = updatedPairs.map(_._2)
     val updated: Seq[DataFrame] = attrBindings.indices.map { i =>
       if (deltaRdds.contains(i)) dfView(i, updatedRdds(i)) else old(i)
     }
     val terms: Seq[DataFrame] = attrBindings.indices.flatMap { i =>
       deltaRdds.get(i).map { d =>
         val dDf = dfView(i, d)
-        val src = sourceFor(j =>
-          if (j < i) updated(j) else if (j == i) dDf else old(j))
+        val src = sourceFor(
+          j => if (j < i) updated(j) else if (j == i) dDf else old(j),
+          j => broadcastable(
+            if (j < i) updatedCounts(j)
+            else if (j == i) deltaCounts(i)
+            else oldCounts(j)))
         new Compiler(src, Map.empty).compile(plan, Map.empty) match {
           case Some(rel) => rel.df
           case None      => sys.error("hector compilation failed for delta term")
@@ -244,6 +279,7 @@ class IncrementalHector(
     }
     attrBindings.indices.foreach { i =>
       stateRdds(i) = updatedRdds(i)
+      stateCounts(i) = updatedCounts(i)
       state(i) = updated(i)
     }
     val n = vars.length

@@ -98,11 +98,16 @@ class IncrementalHectorSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
-  test("state maintenance shuffles O(delta) records as state grows 100x") {
+  test("per-batch shuffle is O(delta) as state grows 100x, join terms included") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-    val inc = new IncrementalHector(spark, Seq(0, 1),
-      Seq(Binding.attribute(0, ":ih/grow", 1)),
-      Map(":ih/grow" -> ValueKind.KNumber))
+    // TWO bindings joining on e: the delta term joins a tiny delta
+    // against the big opposite-binding state — the counted-small
+    // broadcast must keep the state side unshuffled, on top of the
+    // co-partitioned state merge.
+    val inc = new IncrementalHector(spark, Seq(0, 1, 2),
+      Seq(Binding.attribute(0, ":ihg/a", 1),
+        Binding.attribute(0, ":ihg/b", 2)),
+      Map(":ihg/a" -> ValueKind.KNumber, ":ihg/b" -> ValueKind.KNumber))
     val records = new java.util.concurrent.atomic.AtomicLong
     val listener = new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -126,18 +131,25 @@ class IncrementalHectorSpec extends AnyFunSuite {
       spark.sparkContext.addSparkListener(listener)
       try {
         records.set(0)
-        inc.advance(Map(0 -> deltaDf(batch))).collect()
+        val d = deltaDf(batch)
+        assert(inc.advance(Map(0 -> d, 1 -> d)).count() > 0)
         settled()
       } finally spark.sparkContext.removeSparkListener(listener)
     }
-    inc.advance(Map(0 -> deltaDf(rows(0, 100)))).collect()
+    def seed(batch: Seq[(Long, Long, Long)]): Unit = {
+      val d = deltaDf(batch)
+      inc.advance(Map(0 -> d, 1 -> d)).collect()
+    }
+    seed(rows(0, 100))
     val small = measuredBatch(rows(1_000_000, 10))
-    inc.advance(Map(0 -> deltaDf(rows(1_000, 10_000)))).collect()
+    seed(rows(1_000, 10_000))
     val big = measuredBatch(rows(2_000_000, 10))
     assert(inc.stateOf(0).count() == 100L + 10L + 10_000L + 10L)
     // Two identical 10-row deltas, one against 110 rows of state and one
     // against ~10k: shuffled records must not scale with the accumulated
-    // state (the old union + full groupBy re-shuffled all of it).
+    // state — neither in the state merge (the old union + full groupBy
+    // re-shuffled it) nor in the delta-term joins (an unhinted join
+    // would shuffle the 10k-row opposite binding twice per batch).
     assert(big <= small + 500,
       s"10-row batch shuffled $small records on small state but $big on 100x state")
     assert(big < 2000, s"10-row batch shuffled $big records against ~10k-row state")
