@@ -1313,6 +1313,61 @@ class Compiler(
           unit = source.unit(a.a), small = source.small(a.a))
     }
 
+    // ---- Co-located attribute fusion --------------------------------
+    // [?e :t/a ?x][?e :t/b ?y] is the EAV encoding of "read two columns
+    // of one row". When the source derives those attributes from a
+    // single one-row-per-entity table (AttributeSource.fused), the
+    // pairwise e-joins collapse into ONE multi-column scan — identical
+    // semantics (equijoins on a unique key between projections of the
+    // same row set), zero shuffles. At 100 TB that is one table scan
+    // instead of k scans plus k−1 shuffles of the fact table.
+    val clusters: Seq[Seq[Binding.Attr]] = {
+      val candidates = attrBs.filter(a => a.e != a.v && source.unit(a.a))
+      val fusedSets: Map[Int, Seq[Binding.Attr]] = candidates.groupBy(_.e)
+        .collect {
+          case (e, cl) if cl.lengthCompare(1) > 0 &&
+            source.fused(cl.map(_.a)).isDefined => e -> cl
+        }
+      val emitted = mutable.Set.empty[Int]
+      attrBs.flatMap { a =>
+        fusedSets.get(a.e) match {
+          case Some(cl) if cl.exists(_ eq a) =>
+            if (emitted.add(a.e)) Some(cl) else None
+          case _ => Some(Seq(a))
+        }
+      }
+    }
+
+    def scanCluster(cl: Seq[Binding.Attr]): Rel =
+      if (cl.lengthCompare(1) == 0) scan(cl.head)
+      else {
+        var df = source.fused(cl.map(_.a))
+          .getOrElse(sys.error("fused() vanished between planning and scan"))
+        constOf.get(cl.head.e).foreach(v =>
+          df = df.where(col("e") === Value.asLiteral(v)))
+        cl.zipWithIndex.foreach { case (a, i) =>
+          constOf.get(a.v).foreach(v =>
+            df = df.where(col(s"v$i") === Value.asLiteral(v)))
+        }
+        // A value var bound by TWO cluster members pins an equality
+        // filter and keeps one column (the join would equate them).
+        val keep = mutable.ArrayBuffer[(Int, String, ValueKind)](
+          (cl.head.e, "e", KEid))
+        cl.zipWithIndex.foreach { case (a, i) =>
+          keep.find(_._1 == a.v) match {
+            case Some((_, existing, _)) =>
+              df = df.where(col(s"v$i") === col(existing))
+            case None => keep += ((a.v, s"v$i", source.kind(a.a)))
+          }
+        }
+        Rel(keep.map(_._1).toSeq, keep.map(_._3).toSeq,
+          df.select(keep.toSeq.zipWithIndex.map { case ((_, src, _), j) =>
+            col(src).as(c(j))
+          } :+ lit(1L).as(W): _*),
+          unit = true,
+          small = cl.forall(a => source.small(a.a)))
+      }
+
     // Greedy binding order: most-constrained first (constants), then any
     // binding sharing a variable with the bound prefix (plan_order's
     // reachability constraint, src/plan/hector.rs:209-309). Known-small
@@ -1321,10 +1376,11 @@ class Compiler(
     // join instead of re-shuffling per batch.
     def constrainedness(a: Binding.Attr): Int =
       Seq(a.e, a.v).count(constOf.contains)
-    val orderedStart = attrBs
-      .sortBy(a => (-constrainedness(a), if (source.small(a.a)) 0 else 1)).head
-    var rel = scan(orderedStart)
-    var remaining = attrBs.filterNot(_ eq orderedStart)
+    val startCluster = clusters.sortBy(cl => (
+      -cl.map(constrainedness).max,
+      if (cl.forall(a => source.small(a.a))) 0 else 1)).head
+    var rel = scanCluster(startCluster)
+    var remaining = clusters.filterNot(_ eq startCluster)
     val appliedPreds = mutable.Set.empty[Binding.BinaryPred]
 
     def applyPreds(): Unit =
@@ -1354,10 +1410,11 @@ class Compiler(
     applyPreds()
     while (remaining.nonEmpty) {
       val next = remaining
-        .find(a => rel.vars.contains(a.e) || rel.vars.contains(a.v))
+        .find(_.exists(a => rel.vars.contains(a.e) || rel.vars.contains(a.v)))
         .getOrElse(remaining.head) // disconnected => cross product
-      val shared = Seq(next.e, next.v).filter(rel.vars.contains).distinct
-      rel = join(shared, rel, scan(next))
+      val nextRel = scanCluster(next)
+      val shared = nextRel.vars.filter(rel.vars.contains)
+      rel = join(shared, rel, nextRel)
       remaining = remaining.filterNot(_ eq next)
       applyPreds()
     }

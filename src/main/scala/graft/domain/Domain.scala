@@ -37,6 +37,16 @@ trait AttributeSource {
     * the source is the only layer that knows better. */
   def small(name: String): Boolean = false
 
+  /** Fused multi-attribute scan: when every named attribute derives from
+    * ONE one-row-per-entity table (`Domain.registerColocated`), return
+    * that table projected as `(e, v0 .. vk-1)` — the compiler collapses a
+    * conjunction of these attributes over a shared entity variable into
+    * this single scan instead of k−1 self-joins of 2-column projections
+    * (identical semantics on a unique key; at 100 TB the difference
+    * between one table scan and k scans plus k−1 shuffles). None when
+    * the attributes don't co-locate. */
+  def fused(names: Seq[String]): Option[DataFrame] = None
+
   /** (data epoch, as-of time) of the data this source exposes. Part of the
     * shared rule-result cache key, so a cached relation can never be read
     * against newer data or a different as-of view — staleness is
@@ -105,6 +115,25 @@ class Domain(val spark: SparkSession) extends Serializable {
     dataEpoch += 1
     attrs(name) = AttrState(AttributeConfig(), Some(kind), mutable.ArrayBuffer.empty, Some(df))
   }
+
+  // attribute name -> (colocation group, base table, entity col, value col)
+  private val colocatedMeta =
+    mutable.LinkedHashMap.empty[String, (String, DataFrame, org.apache.spark.sql.Column, org.apache.spark.sql.Column)]
+
+  /** Bulk path for a whole TABLE of attributes sharing one UNIQUE entity
+    * key (one row per entity — the caller's contract): each attribute
+    * registers as its own lazy 2-column projection (ADR 0002 stands, so
+    * scans stay pruned), and the compiler may FUSE a same-entity-variable
+    * conjunction of them back into one multi-column scan of `base`
+    * ([[AttributeSource.fused]]) — collapsing the EAV self-joins the
+    * normalized model would otherwise force. */
+  def registerColocated(group: String, base: DataFrame,
+      eCol: org.apache.spark.sql.Column,
+      attributes: Seq[(String, org.apache.spark.sql.Column, ValueKind)]): Unit =
+    attributes.foreach { case (name, vCol, kind) =>
+      registerStatic(name, base.select(eCol.cast("long").as("e"), vCol.as("v")), kind)
+      colocatedMeta(name) = (group, base, eCol, vCol)
+    }
 
   /** Register a static n-ary base relation (columns in positional order,
     * weight-1 rows), addressable from plans via `NameExpr`. */
@@ -190,6 +219,19 @@ class Domain(val spark: SparkSession) extends Serializable {
 
     override def relation(name: String): Option[(DataFrame, Seq[ValueKind])] =
       baseRelations.get(name)
+
+    override def fused(names: Seq[String]): Option[DataFrame] = {
+      val metas = names.flatMap(colocatedMeta.get)
+      if (metas.lengthCompare(names.length) != 0 ||
+        metas.map(_._1).distinct.lengthCompare(1) != 0) None
+      else {
+        val (_, base, eCol, _) = metas.head
+        Some(base.select(eCol.cast("long").as("e") +:
+          names.zipWithIndex.map { case (n, i) =>
+            colocatedMeta(n)._4.as(s"v$i")
+          }: _*))
+      }
+    }
 
     def unit(name: String): Boolean = attrs.get(name) match {
       // Derived attributes are distinct-ed views (weight-1 by construction).

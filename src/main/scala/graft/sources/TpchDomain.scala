@@ -32,14 +32,14 @@ object TpchDomain {
     def table(name: String): DataFrame =
       spark.read.parquet(s"$sfDir/$name.parquet")
 
+    // One colocation group per table (one row per entity key): every
+    // attribute still registers as its own pruned 2-column projection
+    // (ADR 0002), and the compiler fuses same-entity conjunctions of
+    // them back into a single multi-column scan of the table.
     def reg(tbl: String, ns: String, eCol: org.apache.spark.sql.Column,
         attrs: Seq[(String, org.apache.spark.sql.Column, ValueKind)]): Unit =
-      attrs.foreach { case (attr, vCol, kind) =>
-        domain.registerStatic(
-          s":$ns/$attr",
-          table(tbl).select(eCol.cast("long").as("e"), vCol.as("v")),
-          kind)
-      }
+      domain.registerColocated(tbl, table(tbl), eCol,
+        attrs.map { case (attr, vCol, kind) => (s":$ns/$attr", vCol, kind) })
 
     // Timestamps become ms-since-epoch longs (Value::Instant, src/lib.rs:98).
     // Parquet NTZ timestamps are interpreted in the session timezone (UTC).

@@ -38,6 +38,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"no shuffle join expected:\n$plan")
   }
 
+  test("same-entity attribute pairs fuse into one scan (no EAV self-join)") {
+    // q_hector_pred reads TWO orders attributes over one entity variable:
+    // colocation fusion must collapse them into a single orders scan, so
+    // the whole query is orders ⋈ customer — 2 scans, 1 join.
+    val plan = planOf("q_hector_pred")
+    def count(s: String, sub: String): Int = s.sliding(sub.length).count(_ == sub)
+    assert(count(plan, "Scan parquet") == 2,
+      s"expected exactly 2 parquet scans (fused orders + customer):\n$plan")
+    assert(count(plan, "HashJoin") == 1,
+      s"expected exactly 1 join after fusion:\n$plan")
+  }
+
   test("IVF assignment broadcasts the centroid table") {
     val plan = planOf("q_ann_ivf")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
