@@ -143,6 +143,49 @@ object Portable {
         FROM (SELECT $hp AS hp))"""
   }
 
+  /** Token-span hashes over a PRE-MATERIALIZED token-hash-pair column
+    * (see [[tokenHashPairs]]): one [[h64]] per window of `n` token hashes,
+    * the window rendered as the '_'-joined decimal `a`-components. Two
+    * regimes share the formula:
+    *
+    *  - `stride == 1`: SLIDING windows (exact-substring duplication à la
+    *    "Deduplicating Training Data Makes Language Models Better"),
+    *    windows of exactly `n` tokens, short texts collapse to one
+    *    whole-text window;
+    *  - `stride == n`: NON-OVERLAPPING blocks (the paragraph-unit analog
+    *    for corpora without structural separators), trailing partial
+    *    block included so every token is covered.
+    *
+    * Window hashes re-digest (one md5 per window) rather than combining
+    * token hashes arithmetically: the base-31 weighted-sum trick of
+    * [[shingleHashWindows]] overflows Long past n≈4 (31⁷·2⁴⁰ > 2⁶³), and
+    * DuckDB BIGINT overflow throws rather than wrapping, so the weighted
+    * form is not portable at span widths. */
+  def spanHashes(hp: Column, n: Int, stride: Int): Column = {
+    require(stride == 1 || stride == n, "stride must be 1 (sliding) or n (blocks)")
+    val last =
+      if (stride == 1) greatest(size(hp) - (n - 1), lit(1)) else size(hp)
+    transform(sequence(lit(1), last, lit(stride)), i =>
+      h64(array_join(
+        transform(slice(hp, i, lit(n)), h => h.getField("a").cast("string")),
+        "_")))
+  }
+
+  /** DuckDB SQL fragment equivalent to [[spanHashes]] (yields a
+    * LIST(BIGINT)). */
+  def spanHashesSql(expr: String, n: Int, stride: Int): String = {
+    require(stride == 1 || stride == n, "stride must be 1 (sliding) or n (blocks)")
+    val toks = tokensSql(expr)
+    val ha = s"""list_transform($toks, t ->
+      CAST('0x' || substring(md5(t), 1, 10) AS BIGINT))"""
+    val last = if (stride == 1) s"greatest(len(ha) - ${n - 1}, 1)" else "len(ha)"
+    val window = s"array_to_string(list_transform(ha[i:i+${n - 1}], " +
+      "x -> CAST(x AS VARCHAR)), '_')"
+    s"""(SELECT list_transform(generate_series(1, $last, $stride),
+          i -> ${h64Sql(window)})
+        FROM (SELECT $ha AS ha))"""
+  }
+
   /** Normalized text for fingerprinting: lowercase, alnum only. */
   def normalized(text: Column): Column =
     regexp_replace(lower(text), "[^a-z0-9]", "")

@@ -389,6 +389,112 @@ object Dedup {
         (col("id") === coalesce(col("cluster"), col("id"))).as("keep"))
   }
 
+  /** Cross-document duplication counts for pre-hashed text units (span
+    * windows, blocks, paragraphs): per document, the number of unit
+    * positions and how many of them carry a hash that also appears in at
+    * least one OTHER document. `units` must be `(id, h)` with one row per
+    * unit position.
+    *
+    * Plan shape: one groupBy on the unit hash (map-side partial agg
+    * collapses each partition to its distinct hashes before the shuffle),
+    * one hash-keyed join back, one groupBy on the doc id — work ∝ unit
+    * positions, shuffle keys are 64-bit hashes, no self-join. At 100 TB
+    * this is the same economics as the contamination scan: collisions pay,
+    * unique units ride the partial agg. */
+  private[graft] def unitDuplication(units: DataFrame,
+      totalCol: String, dupCol: String): DataFrame = {
+    val perHash = units.groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("_nd"))
+    units.join(perHash, Seq("h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as(totalCol),
+        sum(when(col("_nd") > 1, 1L).otherwise(0L)).as(dupCol))
+  }
+
+  /** EXACT-SUBSTRING duplication scan (sliding `n`-token windows) over a
+    * prepared `(id, _hp)` token-hash-pair table: per document, total span
+    * positions and positions whose span recurs in another document — the
+    * signal behind exact-substring dedup of training corpora (suffix-array
+    * style; the hash-window form trades the suffix array's exact maximal
+    * matches for embarrassingly parallel shuffles). Output: (id, nspans,
+    * ndup). */
+  def spanDuplicationFromHp(hp: DataFrame, n: Int): DataFrame =
+    unitDuplication(
+      hp.select(col("id"),
+        explode(spanHashes(col("_hp"), n, 1)).as("h")),
+      "nspans", "ndup")
+
+  /** PARAGRAPH-unit duplication for corpora WITHOUT structural separators:
+    * non-overlapping `n`-token blocks as the paragraph analog (trailing
+    * partial block included). For real corpora with separators, use
+    * [[paragraphDuplication]]. Output: (id, nblocks, ndup). */
+  def blockDuplicationFromHp(hp: DataFrame, n: Int): DataFrame =
+    unitDuplication(
+      hp.select(col("id"),
+        explode(spanHashes(col("_hp"), n, n)).as("h")),
+      "nblocks", "ndup")
+
+  /** C4-style paragraph-level duplication over raw text: split on
+    * `sepRegex` (default blank-line-or-newline), drop empty paragraphs,
+    * hash each, count cross-document recurrence per doc. Output: (id,
+    * nparas, ndup). Same one-shuffle economics as
+    * [[spanDuplicationFromHp]]. */
+  def paragraphDuplication(docs: DataFrame, idCol: String, textCol: String,
+      sepRegex: String = "\n+"): DataFrame =
+    unitDuplication(
+      docs.select(col(idCol).as("id"),
+          explode(split(col(textCol), sepRegex)).as("p"))
+        .where(trim(col("p")) =!= "")
+        .select(col("id"), h64(trim(col("p"))).as("h")),
+      "nparas", "ndup")
+
+  /** INCREMENTAL exact dedup: which `batch` documents already exist (by
+    * content digest) in `corpus`? Returns ONE ROW PER BATCH DOC —
+    * `(id, keeper)` with `keeper` = the minimum corpus doc id holding the
+    * same text, or -1 when the batch doc is new.
+    *
+    * The 100 TB shape: THE CORPUS NEVER SHUFFLES. The batch's distinct
+    * digests are corpus-independent and usually dimension-sized, so they
+    * broadcast; the corpus scan is filtered map-side and only matching
+    * digests (∝ duplicate mass) reach the min-keeper aggregation. Past the
+    * broadcast byte gate, an exact digest set no longer fits — a Bloom
+    * filter of the batch digests (~10 bits/digest vs ~72 bytes/digest for
+    * the broadcast hash set) takes its place as the map-side prefilter,
+    * and its false positives die in the exact digest join that follows, so
+    * the result stays exact while corpus-side shuffled bytes stay
+    * ∝ duplicates + FP·corpus. The bloom path is the only sketch-based
+    * operator in the pipeline; `-Dgraft.dedup.bloom=on` forces it (specs). */
+  def incrementalExact(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    val corpusD = corpus.select(col(idCol).cast("long").as("cid"),
+      md5(col(textCol)).as("digest"))
+    val batchD = batch.select(col(idCol).cast("long").as("id"),
+      md5(col(textCol)).as("digest"))
+      .localCheckpoint(true) // read by the digest-set build AND the final join
+    val nDigests = batchD.select(col("digest")).distinct().count()
+    val bcBytes = graft.kernel.RddKernel.broadcastThresholdBytes(spark)
+    // ~72 bytes per broadcast-hash-relation row of one 32-char digest.
+    val exactSetFits = bcBytes <= 0 || nDigests * 72L <= bcBytes
+    val matches =
+      if (exactSetFits && !sys.props.get("graft.dedup.bloom").contains("on")) {
+        corpusD.join(broadcast(batchD.select(col("digest")).distinct()),
+          Seq("digest"), "left_semi")
+      } else {
+        // Sketch path: bloom prefilter map-side, exactness restored by the
+        // digest equi-join below (FPs find no batch digest and drop out).
+        val bf = batchD.stat.bloomFilter(col("digest"),
+          math.max(nDigests, 1L), 0.01)
+        val bfBc = spark.sparkContext.broadcast(bf)
+        val might = udf((d: String) => bfBc.value.mightContainString(d))
+        corpusD.where(might(col("digest")))
+      }
+    val keepers = matches.groupBy(col("digest"))
+      .agg(min(col("cid")).as("keeper"))
+    batchD.join(keepers, Seq("digest"), "left")
+      .select(col("id"), coalesce(col("keeper"), lit(-1L)).as("keeper"))
+  }
+
   /** Exact word n-gram Jaccard for given (a, b) candidate pairs, returned
     * as exact integers (intersection, union) to stay float-free. Set sizes
     * come from a per-row array expression (no explode, no shuffle); the

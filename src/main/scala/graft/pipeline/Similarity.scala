@@ -225,6 +225,37 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** SEMANTIC DEDUP (SemDeDup-style): cluster the corpus by embedding,
+    * mark near-identical vectors within each cluster, keep one
+    * representative per semantic group. Composition of the pipeline's
+    * existing scale pieces:
+    *
+    *   1. coarse clustering — [[ivfAssign]] (broadcast centroids, map-side
+    *      assignment, no shuffle);
+    *   2. within-cell near-dup pairs — [[quantizedNearDup]] blocked on the
+    *      cell (the self-join meets only inside a cell, never all-pairs);
+    *   3. pair graph → groups — [[Dedup.connectedComponents]] (byte-gated
+    *      driver union-find / distributed pointer-jumping kernel).
+    *
+    * Output: (id, cluster, keep) — the [[Dedup.connectedComponents]]
+    * contract, every vector present. Cosine ≥ tauNum/tauDen is decided in
+    * exact integer arithmetic, so the DuckDB oracle reproduces the groups
+    * bit-for-bit. At 100 TB the cell count scales with the corpus (cells
+    * ≈ √n in IVF practice) keeping cells bounded; duplication-heavy cells
+    * are exactly the near-dup mass the operator exists to find. */
+  def semanticDedup(vectors: DataFrame, cells: Int, tauNum: Long,
+      tauDen: Long, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assign = ivfAssign(vectors, cells, idCol, vecCol)
+      .select(col("id").as("_aid"), col("cell"))
+    val withCell = vectors.join(assign,
+      col(idCol).cast("long") === col("_aid"))
+    val pairs = quantizedNearDup(withCell, "cell", tauNum, tauDen,
+      idCol, vecCol).select(col("a"), col("b"))
+    graft.pipeline.Dedup.connectedComponents(pairs,
+      vectors.select(col(idCol).cast("long").as("id")), "id")
+  }
+
   /** Random-hyperplane LSH bucket id (`bits`-bit signature) over the
     * quantized vector — integer dot products, so bucket assignment is
     * exact. Hyperplane component j,i is a deterministic pseudo-random

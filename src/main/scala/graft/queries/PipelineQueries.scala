@@ -147,6 +147,37 @@ object PipelineQueries {
         docs(s, dir).select(col("doc_id").cast("long").as("id")),
         ShingleN, MinhashPerms, MinhashBands)),
 
+    "q_dedup_spans" -> ((s, dir) =>
+      // Exact-substring duplication: sliding 8-token windows over the
+      // shared token-hash table; per doc, how many span positions recur in
+      // another document (the suffix-array dedup signal, hash-window form).
+      Dedup.spanDuplicationFromHp(docsHp(s, dir), 8)),
+
+    "q_dedup_paragraph" -> ((s, dir) =>
+      // Paragraph-unit duplication. The synthetic corpus has no structural
+      // separators (no newlines/punctuation), so the paragraph unit is the
+      // non-overlapping 16-token block; real corpora use
+      // Dedup.paragraphDuplication (separator split) — same counting core.
+      Dedup.blockDuplicationFromHp(docsHp(s, dir), 16)),
+
+    "q_dedup_incremental" -> ((s, dir) => {
+      // Incremental ingest dedup: even doc ids arrive as the "new batch",
+      // odd ids are the standing corpus. One row per batch doc; keeper =
+      // min corpus id with identical text, -1 if genuinely new. The corpus
+      // side never shuffles (broadcast digest set / bloom prefilter).
+      val d = docs(s, dir)
+      Dedup.incrementalExact(
+        d.where(pmod(col("doc_id"), lit(2)) =!= 0),
+        d.where(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text")
+    }),
+
+    "q_semdedup" -> ((s, dir) =>
+      // SemDeDup-style semantic dedup: IVF-cell blocking + exact
+      // integer-cosine near-dup pairs + connected components. Same τ as
+      // q_embed_neardup (the synthetic embeddings top out near cosine 0.5).
+      Similarity.semanticDedup(embeds(s, dir), cells = 8, 35, 100)),
+
     "q_embed_neardup" -> ((s, dir) =>
       // τ = 0.35: the synthetic embeddings top out near cosine 0.5 within
       // a label, so a "real" 0.9+ near-dup threshold matches nothing —
@@ -438,6 +469,58 @@ object PipelineQueries {
     // shares every band bucket with its digest representative), so the
     // all-docs reachability oracle applies verbatim.
     "q_dedup_exact_first" -> clustersOracleSql,
+
+    "q_dedup_spans" ->
+      s"""WITH sp AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                             unnest(${spanHashesSql("text", 8, 1)}) AS h
+                      FROM documents),
+          d AS (SELECT h, count(DISTINCT id) AS nd FROM sp GROUP BY 1)
+          SELECT id, CAST(count(*) AS BIGINT) AS nspans,
+                 CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS ndup
+          FROM sp JOIN d USING (h) GROUP BY 1""",
+
+    "q_dedup_paragraph" ->
+      s"""WITH sp AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                             unnest(${spanHashesSql("text", 16, 16)}) AS h
+                      FROM documents),
+          d AS (SELECT h, count(DISTINCT id) AS nd FROM sp GROUP BY 1)
+          SELECT id, CAST(count(*) AS BIGINT) AS nblocks,
+                 CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS ndup
+          FROM sp JOIN d USING (h) GROUP BY 1""",
+
+    "q_dedup_incremental" ->
+      """WITH b AS (SELECT CAST(doc_id AS BIGINT) AS id, md5(text) AS dg
+                    FROM documents WHERE doc_id % 2 = 0),
+         c AS (SELECT md5(text) AS dg, CAST(min(doc_id) AS BIGINT) AS keeper
+               FROM documents WHERE doc_id % 2 <> 0 GROUP BY 1)
+         SELECT b.id, CAST(COALESCE(c.keeper, -1) AS BIGINT) AS keeper
+         FROM b LEFT JOIN c USING (dg)""",
+
+    "q_semdedup" ->
+      s"""WITH RECURSIVE s AS (SELECT CAST(vec_id AS BIGINT) AS id, $qvSql AS qv
+                               FROM embeddings),
+          n AS (SELECT id, qv, ${dotSql("qv", "qv")} AS nrm FROM s),
+          c AS (SELECT id AS cell, qv AS cv FROM n WHERE id < 8),
+          asg AS (SELECT id, cell FROM (
+                    SELECT n.id, c.cell,
+                           ROW_NUMBER() OVER (PARTITION BY n.id
+                             ORDER BY ${dotSql("n.qv", "c.cv")} DESC, c.cell ASC) AS rn
+                    FROM n, c) WHERE rn = 1),
+          v AS (SELECT n.id, n.qv, n.nrm, asg.cell FROM n JOIN asg USING (id)),
+          pairs AS (SELECT a, b FROM (
+                      SELECT l.id AS a, r.id AS b,
+                             ${dotSql("l.qv", "r.qv")} AS dotq,
+                             l.nrm AS na, r.nrm AS nb
+                      FROM v l JOIN v r ON l.cell = r.cell AND l.id < r.id)
+                    WHERE dotq > 0 AND 10000 * dotq * dotq >= 1225 * na * nb),
+          edges AS (SELECT a AS s, b AS d FROM pairs
+                    UNION SELECT b, a FROM pairs),
+          reach(id, r) AS (
+            SELECT CAST(vec_id AS BIGINT), CAST(vec_id AS BIGINT) FROM embeddings
+            UNION
+            SELECT e.d, re.r FROM reach re JOIN edges e ON e.s = re.id)
+          SELECT id, MIN(r) AS cluster, (id = MIN(r)) AS keep
+          FROM reach GROUP BY id""",
 
     "q_embed_neardup" ->
       s"""WITH s AS (SELECT CAST(vec_id AS BIGINT) AS id, label, $qvSql AS qv

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Portable
+import graft.pipeline.{Dedup, Similarity}
+
+/** Unit coverage for the round-7 pipeline additions: span/block/paragraph
+  * duplication, incremental exact dedup (both the broadcast-set and the
+  * bloom-prefilter regimes), and semantic dedup over embeddings.
+  */
+class PipelineExtrasSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def hp(docs: Seq[(Long, String)]) =
+    docs.toDF("id", "text").select(col("id"),
+      Portable.tokenHashPairs(col("text")).as("_hp"))
+
+  test("spanHashes: sliding windows vs blocks vs short texts") {
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = hp(Seq((1L, ten), (2L, "a b")))
+      .select(col("id"),
+        org.apache.spark.sql.functions.size(
+          Portable.spanHashes(col("_hp"), 4, 1)).as("sliding"),
+        org.apache.spark.sql.functions.size(
+          Portable.spanHashes(col("_hp"), 4, 4)).as("blocks"))
+    val got = df.collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toMap
+    // 10 tokens: 7 sliding 4-windows; blocks at 1,5,9 (last partial).
+    assert(got(1L) == ((7, 3)))
+    // 2 tokens < n: one whole-text window either way.
+    assert(got(2L) == ((1, 1)))
+  }
+
+  test("spanDuplicationFromHp: shared runs found at different offsets") {
+    val d1 = "a b c d e f g h i j"           // windows [a..h] [b..i] [c..j]
+    val d2 = "z z a b c d e f g h w"         // shares [a..h] at offset 3
+    val d3 = "p q r s t u v w x y"           // unique
+    val got = Dedup.spanDuplicationFromHp(hp(Seq((1L, d1), (2L, d2), (3L, d3))), 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((3L, 1L)))
+    assert(got(2L) == ((4L, 1L)))
+    assert(got(3L) == ((3L, 0L)))
+  }
+
+  test("spanDuplication: within-doc repetition alone is not duplication") {
+    // Doc 1 repeats its own 4-token run twice; no other doc shares it.
+    val d1 = "a b c d a b c d"
+    val got = Dedup.spanDuplicationFromHp(hp(Seq((1L, d1), (2L, "x y z w"))), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got(1L) == 0L)
+    assert(got(2L) == 0L)
+  }
+
+  test("blockDuplicationFromHp: aligned blocks only") {
+    val d1 = "a b c d e f g h"   // blocks [a b c d] [e f g h]
+    val d2 = "a b c d x y z w"   // shares block 1 with d1
+    val d3 = "q a b c d e f g"   // shifted by one: NO aligned block shared
+    val got = Dedup.blockDuplicationFromHp(
+        hp(Seq((1L, d1), (2L, d2), (3L, d3))), 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((2L, 1L)))
+    assert(got(2L) == ((2L, 1L)))
+    assert(got(3L) == ((2L, 0L)))
+  }
+
+  test("paragraphDuplication: separator corpora") {
+    val docs = Seq(
+      (1L, "para one\npara two"),
+      (2L, "para two\npara three"),
+      (3L, "unique only\n\n")).toDF("doc_id", "text")
+    val got = Dedup.paragraphDuplication(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((2L, 1L)))
+    assert(got(2L) == ((2L, 1L)))
+    assert(got(3L) == ((1L, 0L)))
+  }
+
+  test("incrementalExact: broadcast path and forced bloom path agree") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "alpha"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha"), (11L, "fresh"), (12L, "beta"), (13L, "new"))
+      .toDF("doc_id", "text")
+    val want = Set((10L, 1L), (11L, -1L), (12L, 2L), (13L, -1L))
+    def run() = Dedup.incrementalExact(corpus, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run() == want)
+    sys.props("graft.dedup.bloom") = "on"
+    try assert(run() == want)
+    finally sys.props -= "graft.dedup.bloom"
+  }
+
+  test("semanticDedup: within-cell cosine groups, cross-cell isolation") {
+    // Centroids are ids 0 and 1. Cell 0 holds an exact dup (2) and a
+    // near-dup (3) of vector 0; cell 1 holds a dup (4) of vector 1 plus an
+    // anti-parallel vector (5) that passes no cosine threshold.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.99f, 0.01f)),
+      (4L, Array(0.0f, 1.0f)),
+      (5L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(vecs, cells = 2, 90, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val want = Set(
+      (0L, 0L, true), (2L, 0L, false), (3L, 0L, false),
+      (1L, 1L, true), (4L, 1L, false),
+      (5L, 5L, true))
+    assert(got == want)
+  }
+}
