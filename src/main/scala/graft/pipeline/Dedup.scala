@@ -389,6 +389,43 @@ object Dedup {
         (col("id") === coalesce(col("cluster"), col("id"))).as("keep"))
   }
 
+  /** SimHash near-dup candidate pairs with exact Hamming verification —
+    * the banding trick on bit RANGES: split the `bits`-bit signature into
+    * `bands` contiguous ranges; by pigeonhole, any pair within Hamming
+    * distance `maxDist < bands` agrees exactly on at least one whole band,
+    * so the band-value self-equijoin finds every such pair while work
+    * stays ∝ bucket sizes (the SimHash analog of MinHash LSH banding).
+    * Verification is one codegen'd `bit_count(a XOR b)` per candidate —
+    * no token re-reads. Input: `(id, simhash)` (see [[simhash]]); output:
+    * `(a, b, dist)` for pairs with dist ≤ maxDist. */
+  def simhashPairs(sig: DataFrame, bits: Int, bands: Int,
+      maxDist: Int): DataFrame = {
+    require(bits % bands == 0, "bands must divide the signature width")
+    require(maxDist < bands,
+      "pigeonhole guarantee needs maxDist < bands (more differing bits " +
+        "than bands could dodge every band)")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val mat = sig.localCheckpoint(true) // both join sides + the verify read it
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * w).bitwiseAND(mask).as("v"))
+    }
+    val banded = mat.select(col("id"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.v"))
+    val cand = banded.toDF("a", "band", "v")
+      .join(banded.toDF("b", "band", "v"), Seq("band", "v"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(mat.toDF("a", "sa"), "a")
+      .join(mat.toDF("b", "sb"), "b")
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   /** Cross-document duplication counts for pre-hashed text units (span
     * windows, blocks, paragraphs): per document, the number of unit
     * positions and how many of them carry a hash that also appears in at
@@ -403,12 +440,15 @@ object Dedup {
     * unique units ride the partial agg. */
   private[graft] def unitDuplication(units: DataFrame,
       totalCol: String, dupCol: String): DataFrame = {
+    // "≥2 distinct docs" needs only min≠max — constant-size partial-agg
+    // state where count_distinct would carry a per-hash id set through
+    // the shuffle.
     val perHash = units.groupBy(col("h"))
-      .agg(count_distinct(col("id")).as("_nd"))
+      .agg((min(col("id")) =!= max(col("id"))).as("_xdoc"))
     units.join(perHash, Seq("h"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as(totalCol),
-        sum(when(col("_nd") > 1, 1L).otherwise(0L)).as(dupCol))
+        sum(when(col("_xdoc"), 1L).otherwise(0L)).as(dupCol))
   }
 
   /** EXACT-SUBSTRING duplication scan (sliding `n`-token windows) over a

@@ -87,6 +87,72 @@ object TextAnalysis {
         (size(col("_w")) - size(array_distinct(col("_w")))).cast("long").as("nrepeated"))
   }
 
+  /** Top-k terms per document by integer tf-idf: rank key =
+    * `tf·10⁶ ÷ df` (integer division). The corpus size N scales every
+    * key by the same constant, so it drops out of the RANKING — keeping
+    * the key float-free and N-free (no extra count action / broadcast).
+    * Ties break by term text. Output: (id, term, tf, df, rank), rank ≤ k.
+    *
+    * Plan: explode → groupBy(id, term) [map-side combine collapses
+    * within-doc repeats before the shuffle] → term-keyed df aggregation
+    * over the tf table [∝ distinct doc-term pairs, NOT tokens] → join
+    * back by term → one windowed rank per doc. At 100 TB every shuffle
+    * carries (id, term, count) triples, never raw text. */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tf = docs.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds both the df agg and the final join
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // INTEGER division (div, not /): Column./ is double division, whose
+    // ordering near-ties would diverge from the oracle's integer `//`.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(expr("(tf * 1000000) div df").desc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("id"), col("term"), col("tf"), col("df"), col("rank"))
+  }
+
+  /** END-TO-END corpus cleaning verdict — the composition a training-data
+    * pipeline actually ships: one row per document with the individual
+    * filter verdicts and the final keep decision.
+    *
+    *  - `not_dup`: the doc is its exact-dedup group's keeper (minimum id
+    *    per content digest — drop all other copies);
+    *  - `len_ok`: token count within [minTokens, maxTokens];
+    *  - `rep_ok`: repeated word `n`-gram windows are less than a third of
+    *    all windows (degenerate/boilerplate filter);
+    *  - `kept` = conjunction.
+    *
+    * Every verdict is a pure function of (id, text): the digest groupBy is
+    * the only shuffle, everything else is per-row arithmetic — at 100 TB
+    * this is one pass over the corpus plus a digest-keyed exchange. */
+  def cleanVerdicts(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int, maxTokens: Int, ngramN: Int): DataFrame = {
+    val d = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val keepers = d.groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("id")).as("_keeper"))
+    // Bind the token-hash column BEFORE windowing — an inline
+    // tokenHashPairs inside the window lambdas would re-digest every
+    // token per window (O(len²) md5s per document).
+    d.select(col("id"), md5(col("text")).as("digest"),
+        tokenCount(col("text")).as("_nt"),
+        tokenHashPairs(col("text")).as("_hp"))
+      .select(col("id"), col("digest"), col("_nt"),
+        shingleHashWindows(col("_hp"), ngramN).as("_w"))
+      .join(keepers, "digest")
+      .select(col("id"),
+        (col("id") === col("_keeper")).as("not_dup"),
+        (col("_nt") >= minTokens && col("_nt") <= maxTokens).as("len_ok"),
+        ((size(col("_w")) - size(array_distinct(col("_w")))) * 3 <
+          size(col("_w"))).as("rep_ok"))
+      .withColumn("kept", col("not_dup") && col("len_ok") && col("rep_ok"))
+  }
+
   /** Benchmark-contamination scan: for every (corpus doc, benchmark doc)
     * pair sharing at least one word `n`-gram, the count of shared distinct
     * n-grams plus the corpus doc's n-gram total (the consumer derives the

@@ -147,6 +147,24 @@ object PipelineQueries {
         docs(s, dir).select(col("doc_id").cast("long").as("id")),
         ShingleN, MinhashPerms, MinhashBands)),
 
+    "q_dedup_simhash_pairs" -> ((s, dir) =>
+      // SimHash banding: contiguous 8-bit ranges of the 32-bit signature;
+      // pigeonhole guarantees every pair within Hamming distance 2 (< 4
+      // bands) agrees on a whole band. τ=2 keeps the verified set at the
+      // near-dup knee of the synthetic corpus (366 pairs at sf0.01).
+      Dedup.simhashPairs(
+        Dedup.simhash(docs(s, dir), "doc_id", "text", SimhashBits),
+        SimhashBits, bands = 4, maxDist = 2)),
+
+    "q_text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(docs(s, dir), "doc_id", "text", 3)),
+
+    "q_corpus_clean" -> ((s, dir) =>
+      // The end-to-end cleaning verdict: exact-dedup keeper + token-length
+      // band + within-doc repetition filter, one row per document.
+      TextAnalysis.cleanVerdicts(docs(s, dir), "doc_id", "text",
+        minTokens = 30, maxTokens = 80, ngramN = ShingleN)),
+
     "q_dedup_spans" -> ((s, dir) =>
       // Exact-substring duplication: sliding 8-token windows over the
       // shared token-hash table; per doc, how many span positions recur in
@@ -469,6 +487,58 @@ object PipelineQueries {
     // shares every band bucket with its digest representative), so the
     // all-docs reachability oracle applies verbatim.
     "q_dedup_exact_first" -> clustersOracleSql,
+
+    "q_dedup_simhash_pairs" -> {
+      val toks = s"SELECT doc_id, unnest(${tokensSql("text")}) AS t FROM documents"
+      s"""WITH tok AS (SELECT doc_id, ${h64Sql("t")} AS h FROM ($toks) WHERE t <> ''),
+          bits AS (SELECT doc_id, b,
+                     CASE WHEN SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                          THEN 1::BIGINT << b ELSE 0 END AS bit
+                   FROM tok, (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS b)
+                   GROUP BY 1, 2),
+          s AS (SELECT CAST(doc_id AS BIGINT) AS id, CAST(SUM(bit) AS BIGINT) AS sh
+                FROM bits GROUP BY 1),
+          banded AS (SELECT id, b AS band, (sh >> (b * 8)) & 255 AS v, sh
+                     FROM s, (SELECT unnest([0, 1, 2, 3]) AS b)),
+          cand AS (SELECT DISTINCT l.id AS a, r.id AS b, l.sh AS sa, r.sh AS sb
+                   FROM banded l JOIN banded r USING (band, v) WHERE l.id < r.id)
+          SELECT a, b, dist FROM (
+            SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS dist FROM cand)
+          WHERE dist <= 2"""
+    },
+
+    "q_text_tfidf" ->
+      s"""WITH tf AS (SELECT CAST(doc_id AS BIGINT) AS id, t AS term,
+                             CAST(count(*) AS BIGINT) AS tf
+                      FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS t
+                            FROM documents)
+                      WHERE t <> '' GROUP BY 1, 2),
+          dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+          SELECT id, term, tf, df, rank FROM (
+            SELECT id, term, tf, df,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY id
+                     ORDER BY (tf * 1000000) // df DESC, term ASC) AS BIGINT) AS rank
+            FROM tf JOIN dfx USING (term))
+          WHERE rank <= 3""",
+
+    "q_corpus_clean" ->
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+          k AS (SELECT md5(text) AS dg, min(id) AS keeper FROM d GROUP BY 1),
+          f AS (SELECT id, md5(text) AS dg,
+                       CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len(${tokensSql("text")}) END AS BIGINT) AS nt,
+                       ${shingleHashPairsSql("text", ShingleN)} AS w
+                FROM d)
+          SELECT id, (id = keeper) AS not_dup,
+                 (nt >= 30 AND nt <= 80) AS len_ok,
+                 ((len(w) - len(list_distinct(list_transform(w,
+                    x -> CAST(x.s1 AS VARCHAR) || ':' || CAST(x.s2 AS VARCHAR)))))
+                  * 3 < len(w)) AS rep_ok,
+                 ((id = keeper) AND (nt >= 30 AND nt <= 80) AND
+                  ((len(w) - len(list_distinct(list_transform(w,
+                     x -> CAST(x.s1 AS VARCHAR) || ':' || CAST(x.s2 AS VARCHAR)))))
+                   * 3 < len(w))) AS kept
+          FROM f JOIN k USING (dg)""",
 
     "q_dedup_spans" ->
       s"""WITH sp AS (SELECT CAST(doc_id AS BIGINT) AS id,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.Portable
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
 
 /** Unit coverage for the round-7 pipeline additions: span/block/paragraph
   * duplication, incremental exact dedup (both the broadcast-set and the
@@ -89,6 +89,55 @@ class PipelineExtrasSpec extends AnyFunSuite {
     sys.props("graft.dedup.bloom") = "on"
     try assert(run() == want)
     finally sys.props -= "graft.dedup.bloom"
+  }
+
+  test("simhashPairs: banding finds close pairs, Hamming filter verifies") {
+    // 32-bit signatures, 4 bands of 8 bits, maxDist 2.
+    val sig = Seq(
+      (1L, 0L),                  // base
+      (2L, 1L),                  // dist 1 from base (band 0 differs only)
+      (3L, 3L),                  // dist 2 from base, dist 1 from id 2
+      (4L, 7L),                  // dist 3 from base: candidate, filtered
+      (5L, 0xFFFFFFFFL)          // no band shared with anyone: no candidate
+    ).toDF("id", "simhash")
+    val got = Dedup.simhashPairs(sig, 32, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L),
+      (2L, 4L, 2L), (3L, 4L, 1L))
+    assert(got == want)
+  }
+
+  test("tfidfTopK: integer ranking with df weighting and term tie-break") {
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana cherry cherry date")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopK(docs, "doc_id", "text", 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(4)), r.getString(1))).toMap
+    // doc 1: apple key 2e6/1; banana and cherry tie at 5e5 → banana wins.
+    assert(got((1L, 1L)) == "apple" && got((1L, 2L)) == "banana")
+    // doc 2: cherry (2e6/2) ties date (1e6/1) at 1e6 → cherry first.
+    assert(got((2L, 1L)) == "cherry" && got((2L, 2L)) == "date")
+  }
+
+  test("cleanVerdicts: each filter fires independently") {
+    val docs = Seq(
+      (1L, "a b c d e"),          // clean: kept
+      (2L, "x y z w v"),          // keeper of the dup pair: kept
+      (3L, "x y z w v"),          // exact dup: dropped (not_dup=false)
+      (4L, "r r r r r r"),        // degenerate repetition: rep_ok=false
+      (5L, "short")               // 1 token < minTokens: len_ok=false
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.cleanVerdicts(docs, "doc_id", "text",
+        minTokens = 3, maxTokens = 10, ngramN = 3)
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))))
+      .toMap
+    assert(got(1L) == ((true, true, true, true)))
+    assert(got(2L) == ((true, true, true, true)))
+    assert(got(3L) == ((false, true, true, false)))
+    assert(got(4L) == ((true, true, false, false)))
+    assert(got(5L) == ((true, false, true, false)))
   }
 
   test("semanticDedup: within-cell cosine groups, cross-cell isolation") {
