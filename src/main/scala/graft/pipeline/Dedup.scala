@@ -440,12 +440,19 @@ object Dedup {
     * unique units ride the partial agg. */
   private[graft] def unitDuplication(units: DataFrame,
       totalCol: String, dupCol: String): DataFrame = {
+    // One EXPLICIT hash exchange feeds both consumers: without it, the
+    // groupBy branch puts a partial aggregate before its exchange while
+    // the join branch exchanges the raw units — different subplans, no
+    // exchange reuse, and the unit hashing (an md5 per window) runs
+    // TWICE. With it, both branches hang off the identical exchange and
+    // AQE's ReuseExchange computes the units once.
+    val mat = units.repartition(col("h"))
     // "≥2 distinct docs" needs only min≠max — constant-size partial-agg
     // state where count_distinct would carry a per-hash id set through
     // the shuffle.
-    val perHash = units.groupBy(col("h"))
+    val perHash = mat.groupBy(col("h"))
       .agg((min(col("id")) =!= max(col("id"))).as("_xdoc"))
-    units.join(perHash, Seq("h"))
+    mat.join(perHash, Seq("h"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as(totalCol),
         sum(when(col("_xdoc"), 1L).otherwise(0L)).as(dupCol))

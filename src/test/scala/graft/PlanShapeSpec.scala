@@ -109,6 +109,52 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly one key shuffle, got $exchanges:\n$plan")
   }
 
+  test("incremental dedup broadcasts the batch digest set over the corpus") {
+    // The 100 TB property: the corpus scan is filtered map-side by a
+    // broadcast semi-join — the corpus itself never shuffles.
+    val plan = planOf("q_dedup_incremental")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected a broadcast left-semi digest filter on the corpus:\n$plan")
+    assert(!plan.contains("ScalaUDF"),
+      s"the bloom UDF belongs to the past-gate path only:\n$plan")
+  }
+
+  test("span/block duplication computes the unit table once (reused exchange)") {
+    // The units subplan (explode + one md5 per window) feeds both the
+    // per-hash aggregate and the join-back. unitDuplication routes both
+    // through ONE explicit hash exchange so AQE reuses it — without that,
+    // each branch re-hashes every window. Runtime property: execute and
+    // check the final adaptive plan.
+    for (q <- Seq("q_dedup_spans", "q_dedup_paragraph")) {
+      val fn = (CoreQueries.queries ++ PipelineQueries.queries)(q)
+      val df = fn(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+        s"$q: no UDFs expected:\n$plan")
+      assert(plan.contains("ReusedExchange"),
+        s"$q: expected the unit-table exchange to be computed once and " +
+          s"reused:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: hash-keyed joins only:\n$plan")
+    }
+  }
+
+  test("semantic dedup broadcasts centroids; no cartesian pair join") {
+    val plan = planOf("q_semdedup")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected the centroid broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pairs must meet inside cells, never all-pairs:\n$plan")
+  }
+
+  test("tfidf aggregations are partial+final; ranking is integer division") {
+    val plan = planOf("q_text_tfidf")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected map-side combine before the term shuffle:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"no UDFs expected:\n$plan")
+  }
+
   test("aggregation uses map-side partial aggregation on the unit path") {
     val plan = planOf("q_agg_sum")
     // two HashAggregates (partial + final) around a single exchange
