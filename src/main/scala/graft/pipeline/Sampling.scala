@@ -32,6 +32,55 @@ object Sampling {
     df.where(pmod(h64(col(idCol)), lit(1000)) < rate)
   }
 
+  /** TOKEN-BUDGET selection per stratum — the data-mixture primitive
+    * "take the best documents from each source until its token budget is
+    * spent": within each stratum, rank by `order` descending (ties by
+    * `tie` ascending) and keep rows while the RUNNING token total stays
+    * within the stratum's budget. The running sum includes the current
+    * row, so a row that would overflow the budget is dropped (and so is
+    * everything ranked below it — deterministic, no knapsack fitting).
+    *
+    * One hash shuffle + one spillable per-partition sort (a single window
+    * sweep); budgets ride as plan literals. Output keeps the input
+    * columns plus `cumtokens`. */
+  def tokenBudgetPerStratum(df: DataFrame, stratumCol: String,
+      tokenCol: String, order: Column, tie: Column,
+      budgets: Map[String, Long], defaultBudget: Long): DataFrame = {
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (stratum, b)) =>
+        when(col(stratumCol) === stratum, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(order.desc, tie.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cumtokens", sum(col(tokenCol)).over(w))
+      .where(col("cumtokens") <= budget)
+  }
+
+  /** SEQUENCE PACKING: assign documents to fixed-capacity token bins —
+    * the "pack documents into context windows" step before tokenized
+    * training. Documents pack GREEDILY IN `tie` ORDER within each shard
+    * (stratum): bin = floor(running-total-before-doc / capacity), i.e. a
+    * new bin starts whenever the running total crosses a capacity
+    * boundary. Oversized documents (> capacity) occupy their span of
+    * bins; the next doc starts after them — deterministic streaming
+    * packing, no bin-fitting search, one window sweep per shard. At
+    * 100 TB the shard key bounds the sequential region (each shard packs
+    * independently in parallel); a global pack would serialize the
+    * corpus. Output: input columns + `bin` (0-based per shard). */
+  def packSequences(df: DataFrame, shardCol: String, tokenCol: String,
+      tie: Column, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(tie.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // INTEGER div (not Column./, which is double division and drifts from
+    // the oracle's // on large totals).
+    df.withColumn("_cum", sum(col(tokenCol)).over(w))
+      .withColumn("bin", expr(s"(_cum - $tokenCol) div ${capacity}L"))
+      .drop("_cum")
+  }
+
   /** Top `k` rows per group by `order` descending, ties broken by `tie`
     * ascending — one hash shuffle plus a per-partition sort. For the
     * rank-only selection this does, a window beats a groupBy+heap

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.Portable
 import graft.functions.Portable._
-import graft.pipeline.{Dedup, PortablePlanes, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, PortablePlanes, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline query surface: deduplication, similarity search,
   * text analysis — each with a DuckDB oracle that reproduces the result
@@ -285,6 +285,25 @@ object PipelineQueries {
       graft.pipeline.Sampling.stratified(docs(s, dir), "doc_id", "lang",
           Map("en" -> 500, "zh" -> 100), 250)
         .select(col("doc_id").cast("long").as("id"), col("lang"))),
+
+    "q_mix_budget" -> ((s, dir) =>
+      // Data-mixture primitive: longest documents first per source until
+      // each source's 700-token budget is spent (one window sweep).
+      Sampling.tokenBudgetPerStratum(
+        docs(s, dir).select(col("doc_id").as("id"), col("source").as("src"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nt")),
+        "src", "nt", order = col("nt"), tie = col("id"),
+        budgets = Map.empty, defaultBudget = 700L)),
+
+    "q_pack_sequences" -> ((s, dir) =>
+      // GPT-style sequence packing: concat docs per source shard in id
+      // order, chunk into 256-token context windows; bin = the window the
+      // doc starts in (docs may straddle boundaries — the tokenizer
+      // splits them downstream).
+      Sampling.packSequences(
+        docs(s, dir).select(col("doc_id").as("id"), col("source").as("src"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nt")),
+        "src", "nt", tie = col("id"), capacity = 256L)),
 
     "q_contamination" -> ((s, dir) => {
       // Benchmark-contamination scan: 4-gram overlap of the corpus against
@@ -743,6 +762,28 @@ object PipelineQueries {
       s"""SELECT CAST(doc_id AS BIGINT) AS id, lang FROM documents
           WHERE ${h64Sql("doc_id")} % 1000 <
                 CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 100 ELSE 250 END""",
+
+    "q_mix_budget" ->
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, source AS src,
+                            CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                                 ELSE len(${tokensSql("text")}) END AS BIGINT) AS nt
+                     FROM documents),
+          c AS (SELECT id, src, nt,
+                       CAST(SUM(nt) OVER (PARTITION BY src
+                         ORDER BY nt DESC, id ASC
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumtokens
+                FROM d)
+          SELECT id, src, nt, cumtokens FROM c WHERE cumtokens <= 700""",
+
+    "q_pack_sequences" ->
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, source AS src,
+                            CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                                 ELSE len(${tokensSql("text")}) END AS BIGINT) AS nt
+                     FROM documents)
+          SELECT id, src, nt,
+                 CAST((SUM(nt) OVER (PARTITION BY src ORDER BY id ASC
+                         ROWS UNBOUNDED PRECEDING) - nt) // 256 AS BIGINT) AS bin
+          FROM d""",
 
     "q_contamination" -> contaminationOracleSql,
 

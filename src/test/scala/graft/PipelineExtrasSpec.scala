@@ -140,6 +140,33 @@ class PipelineExtrasSpec extends AnyFunSuite {
     assert(got(5L) == ((true, false, true, false)))
   }
 
+  test("tokenBudgetPerStratum: monotone cut at the budget boundary") {
+    import graft.pipeline.Sampling
+    // src A (budget 10): nts 6,4,3 by desc order → cums 6,10,13: keep 2.
+    // src B (default budget 5): nts 9 → cum 9 > 5: keep none.
+    val d = Seq((1L, "A", 4L), (2L, "A", 6L), (3L, "A", 3L), (4L, "B", 9L))
+      .toDF("id", "src", "nt")
+    val got = Sampling.tokenBudgetPerStratum(d, "src", "nt",
+        order = col("nt"), tie = col("id"),
+        budgets = Map("A" -> 10L), defaultBudget = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(got == Set((2L, 6L), (1L, 10L)))
+  }
+
+  test("packSequences: bins by running start offset, oversized docs span") {
+    import graft.pipeline.Sampling
+    // Capacity 10, one shard, id order: nts 4,5,3,6,25,2 → starts
+    // 0,4,9,12,18,43 → bins 0,0,0,1,1,4 (the 25-token doc starts in bin 1
+    // and spans into 2..4; the next doc starts after it, in bin 4).
+    val d = Seq((1L, 4L), (2L, 5L), (3L, 3L), (4L, 6L), (5L, 25L), (6L, 2L))
+      .map { case (i, n) => (i, "S", n) }.toDF("id", "src", "nt")
+    val got = Sampling.packSequences(d, "src", "nt", tie = col("id"),
+        capacity = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L,
+      6L -> 4L))
+  }
+
   test("semanticDedup: within-cell cosine groups, cross-cell isolation") {
     // Centroids are ids 0 and 1. Cell 0 holds an exact dup (2) and a
     // near-dup (3) of vector 0; cell 1 holds a dup (4) of vector 1 plus an
