@@ -31,6 +31,14 @@ object Request {
       * sub-structures at granularity depth `g`; `None` folds each batch
       * into fresh documents. */
     final case class AssocIn(stateful: Option[Int]) extends SinkSpec
+    /** Local CSV file sink (`Sink::CsvFile`, `src/sinks/csv_file.rs:14-24`;
+      * declared upstream but disabled in the enabled enum — carried here
+      * for surface completeness): diffs append to `path` as delimited
+      * records, optional `c0..cn` header. `flexible` is accepted for wire
+      * fidelity (our tuples are fixed-width, so it never changes
+      * behavior). */
+    final case class CsvFile(path: String, hasHeaders: Boolean,
+        delimiter: Char, flexible: Boolean) extends SinkSpec
   }
   final case class Interest(name: String, granularity: Option[Long] = None,
       sink: Option[SinkSpec] = None, disableLogging: Option[Boolean] = None)
@@ -387,6 +395,14 @@ object Wire {
         case Vector(("AssocIn", ao: JObj)) =>
           Request.SinkSpec.AssocIn(
             ao.get("stateful").filter(_ != JNull).map(int))
+        case Vector(("CsvFile", co: JObj)) =>
+          // Reference field shape (src/sinks/csv_file.rs:14-24): path,
+          // has_headers, delimiter (a byte), flexible.
+          Request.SinkSpec.CsvFile(
+            str(co.get("path").getOrElse(sys.error("CsvFile sink needs a path"))),
+            co.get("has_headers").filter(_ != JNull).map(bool).getOrElse(true),
+            co.get("delimiter").filter(_ != JNull).map(int(_).toChar).getOrElse(','),
+            co.get("flexible").filter(_ != JNull).map(bool).getOrElse(false))
         case other => sys.error(s"unsupported sink: $other")
       }
     case other => sys.error(s"unsupported sink: $other")
@@ -397,6 +413,9 @@ object Wire {
       s"""{"TheVoid":${p.map(qs).getOrElse("null")}}"""
     case Request.SinkSpec.AssocIn(st) =>
       s"""{"AssocIn":{"stateful":${st.map(_.toString).getOrElse("null")}}}"""
+    case Request.SinkSpec.CsvFile(path, headers, delim, flex) =>
+      s"""{"CsvFile":{"path":${qs(path)},"has_headers":$headers,""" +
+        s""""delimiter":${delim.toInt},"flexible":$flex}}"""
   }
 
   def ruleOf(j: J): Rule = j match {

@@ -133,6 +133,9 @@ final class WsServer(engine: Engine, port: Int = 0,
       voidWriters.values.foreach(w =>
         try w.close() catch { case NonFatal(_) => () })
       voidWriters.clear()
+      csvWriters.values.foreach(w =>
+        try w.close() catch { case NonFatal(_) => () })
+      csvWriters.clear()
     }
   }
 
@@ -220,6 +223,8 @@ final class WsServer(engine: Engine, port: Int = 0,
             case Some(Request.SinkSpec.AssocIn(stateful)) =>
               sinkStates((id, name)) = AssocState(stateful,
                 if (stateful.isDefined) Some(graft.sinks.AssocIn.Obj()) else None)
+            case Some(Request.SinkSpec.CsvFile(path, headers, delim, _)) =>
+              sinkStates((id, name)) = CsvState(path, headers, delim)
           }
         case Request.Subscribe(attr) =>
           engine.handle(Request.Subscribe(attr))
@@ -262,6 +267,8 @@ final class WsServer(engine: Engine, port: Int = 0,
   private final case class VoidState(logPath: Option[String]) extends SinkState
   private final case class AssocState(stateful: Option[Int],
       acc: Option[graft.sinks.AssocIn.Obj]) extends SinkState
+  private final case class CsvState(path: String, hasHeaders: Boolean,
+      delimiter: Char) extends SinkState
   private val sinkStates = mutable.Map.empty[(Long, String), SinkState]
   /** Per-advance latency log of void-sinked interests, mirroring
     * `Sink::TheVoid`'s ms-per-frontier log: (name, time, rows). In-memory
@@ -287,6 +294,7 @@ final class WsServer(engine: Engine, port: Int = 0,
           sinkStates.get((cid, name)) match {
             case Some(v: VoidState)  => sinkVoid(name, v, batch)
             case Some(a: AssocState) => sinkAssoc(cid, name, a, batch)
+            case Some(c: CsvState)   => sinkCsv(c, batch)
             case None                => send(out, plainMsg)
           }
         }
@@ -315,6 +323,50 @@ final class WsServer(engine: Engine, port: Int = 0,
             try w.close() catch { case NonFatal(_) => () })
         }
       }
+    }
+  }
+
+  // One open writer per csv path, reused across flushes; true = the
+  // header (if requested) is still pending for that file.
+  private val csvWriters = mutable.Map.empty[String, java.io.Writer]
+  private val csvHeaderPending = mutable.Map.empty[String, Boolean]
+
+  /** `Sink::CsvFile` (`src/sinks/csv_file.rs:26-100`): append result
+    * tuples as delimited records, time-ordered per flush (the reference
+    * sorts its received batch before writing at each frontier close, and
+    * likewise writes the tuple only — diffs don't appear in the file).
+    * Best-effort like the void log: a bad path must not surface as a wire
+    * Error. */
+  private def sinkCsv(c: CsvState,
+      batch: Seq[(Seq[Value], Long, Long)]): Unit = {
+    def field(v: Value): String = {
+      val s = v match {
+        case Value.VRational(n, d) => s"$n/$d"
+        case other                 => String.valueOf(other.native)
+      }
+      if (s.exists(ch => ch == c.delimiter || ch == '"' || ch == '\n'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    }
+    try {
+      val w = csvWriters.getOrElseUpdate(c.path, {
+        csvHeaderPending(c.path) =
+          c.hasHeaders && !new java.io.File(c.path).exists()
+        new java.io.FileWriter(c.path, true)
+      })
+      for ((tuple, _, _) <- batch.sortBy(_._2)) {
+        if (csvHeaderPending.getOrElse(c.path, false)) {
+          w.write(tuple.indices.map(i => s"c$i").mkString(c.delimiter.toString))
+          w.write("\n")
+          csvHeaderPending(c.path) = false
+        }
+        w.write(tuple.map(field).mkString(c.delimiter.toString))
+        w.write("\n")
+      }
+      w.flush()
+    } catch {
+      case NonFatal(_) => csvWriters.remove(c.path).foreach(w =>
+        try w.close() catch { case NonFatal(_) => () })
     }
   }
 

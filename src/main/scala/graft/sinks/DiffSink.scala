@@ -34,6 +34,19 @@ final class ParquetDirSink(root: String) extends DiffSink {
     diffs.write.mode("append").partitionBy("_t").parquet(s"$root/$name")
 }
 
+/** CSV flavor of [[ParquetDirSink]] (the data-sized analog of the wire
+  * `Sink::CsvFile`): appends each advance's diffs under `root/<rule>/`
+  * as headered CSV, partitioned by emitted time. Distributed write —
+  * Spark's csv source handles quoting/escaping per the configured
+  * delimiter. */
+final class CsvDirSink(root: String, delimiter: Char = ',')
+    extends DiffSink {
+  def deliver(name: String, t: Long, diffs: DataFrame): Unit =
+    diffs.write.mode("append").partitionBy("_t")
+      .option("header", "true").option("sep", delimiter.toString)
+      .csv(s"$root/$name")
+}
+
 /** Hands each diff frame to `f` — for tests and embedded consumers that
   * want to aggregate or re-route without a filesystem round trip. */
 final class ForeachFrameSink(f: (String, Long, DataFrame) => Unit) extends DiffSink {

@@ -98,6 +98,15 @@ class SinkDeliverySpec extends AnyFunSuite {
     val back = spark.read.parquet(s"$dir/big")
     assert(back.count() === n)
     assert(back.agg(sum(col("c1"))).collect()(0).getLong(0) === agg.getLong(1))
+
+    // CSV delivery (the data-sized Sink::CsvFile analog): same frame,
+    // same checksum, headered distributed write.
+    val cdir = Files.createTempDirectory("graft-csv-sink").toString
+    new graft.sinks.CsvDirSink(cdir).deliver("big", 1L, df)
+    val cback = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(s"$cdir/big")
+    assert(cback.count() === n)
+    assert(cback.agg(sum(col("c1"))).collect()(0).getLong(0) === agg.getLong(1))
   }
 
   test("sink path honors delivery granularity: coarsened, held, then released") {

@@ -56,7 +56,10 @@ class WireSpec extends AnyFunSuite {
       Request.Interest("q", None,
         Some(Request.SinkSpec.AssocIn(Some(2))), None),
       Request.Interest("q", None,
-        Some(Request.SinkSpec.AssocIn(None)), None)
+        Some(Request.SinkSpec.AssocIn(None)), None),
+      Request.Interest("q", None,
+        Some(Request.SinkSpec.CsvFile("/tmp/out.csv", hasHeaders = true,
+          delimiter = ';', flexible = false)), None)
     ).foreach { r =>
       assert(Wire.parseRequests(Wire.renderRequest(r)) == Seq(r))
     }

@@ -379,6 +379,30 @@ class WsServerSpec extends AnyFunSuite {
     }
   }
 
+  test("Interest with a CsvFile sink appends delimited records") {
+    val path = java.nio.file.Files.createTempDirectory("graft-csv")
+      .resolve("out.csv").toString
+    withServer { (_, client) =>
+      client.send("""{"CreateAttribute":{"name":":cv","config":{"input_semantics":"Distinct"}}}""")
+      client.send("""{"Register":{"rules":[{"name":"cq","plan":
+        {"MatchA":[0,":cv",1]}}],"publish":["cq"]}}""")
+      client.send(s"""{"Interest":{"name":"cq","granularity":null,
+        "sink":{"CsvFile":{"path":"$path","has_headers":true,
+        "delimiter":59,"flexible":false}},"disable_logging":null}}""")
+      client.send("""{"Transact":[[1,":cv",7,null,1],[2,":cv",9,null,1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+      // No QueryDiff on the wire — Status answers first.
+      client.send(""""Status"""")
+      Wire.parseOutput(client.next()) match {
+        case Output.Message(_, json) => assert(json.contains("df/status"))
+        case other => fail(s"csv sink leaked output: $other")
+      }
+    }
+    val lines = scala.io.Source.fromFile(path).getLines().toSeq
+    assert(lines.head == "c0;c1")
+    assert(lines.tail.toSet == Set("1;7", "2;9"))
+  }
+
   test("Interest with a TheVoid sink swallows diffs and logs epochs") {
     withServer { (server, client) =>
       client.send("""{"CreateAttribute":{"name":":v","config":{"input_semantics":"Distinct"}}}""")
