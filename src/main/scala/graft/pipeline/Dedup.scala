@@ -426,6 +426,50 @@ object Dedup {
       .where(col("dist") <= maxDist)
   }
 
+  /** EXACT-DEDUP-FIRST [[simhashPairs]] — the duplication-heavy-corpus
+    * guard, same composition as [[exactFirstClusters]]: band and verify
+    * only DISTINCT texts (one representative per content digest), then
+    * expand the rep-level pair table over the digest groups. Identical
+    * texts have identical signatures, so the output is IDENTICAL row for
+    * row to running [[simhashPairs]] over all documents — rep pairs
+    * expand to every cross-group member pair at the rep distance, and
+    * same-digest members pair at distance 0 (they co-band trivially) —
+    * but the banded self-join and the two signature-lookup joins run at
+    * distinct-text size. The round-7 sf1 headroom run measured the
+    * difference: 10× replication grew the all-docs banded candidates
+    * 100× (156 s); rep-level banding holds at the distinct-text count.
+    */
+  def simhashPairsExactFirst(docs: DataFrame, idCol: String,
+      textCol: String, bits: Int, bands: Int, maxDist: Int): DataFrame = {
+    val d = docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("text"))
+    val groups = d.groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("id")).as("rep"), first(col("text")).as("text"))
+      .localCheckpoint(true) // feeds the signature pass AND the expansion
+    val repSig = simhash(groups, "rep", "text", bits)
+    val repPairs = simhashPairs(repSig, bits, bands, maxDist)
+    // id → rep for every doc (rep of its own digest group).
+    val gm = d.select(col("id"), md5(col("text")).as("digest"))
+      .join(groups.select(col("digest"), col("rep")), "digest")
+      .select(col("id"), col("rep"))
+      .localCheckpoint(true)
+    // Cross-group pairs: members of the a-side group × members of the
+    // b-side group, at the rep distance. Member ids need not order the
+    // way their reps do.
+    val cross = repPairs
+      .join(gm.toDF("ia", "ra"), col("a") === col("ra"))
+      .join(gm.toDF("ib", "rb"), col("b") === col("rb"))
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("dist"))
+    // Same-digest pairs: identical signatures, distance 0.
+    val l = gm.toDF("ia", "rep")
+    val r = gm.toDF("ib", "rep")
+    val intra = l.join(r, Seq("rep"))
+      .where(col("ia") < col("ib"))
+      .select(col("ia").as("a"), col("ib").as("b"), lit(0L).as("dist"))
+    cross.union(intra)
+  }
+
   /** Cross-document duplication counts for pre-hashed text units (span
     * windows, blocks, paragraphs): per document, the number of unit
     * positions and how many of them carry a hash that also appears in at

@@ -148,13 +148,15 @@ object PipelineQueries {
         ShingleN, MinhashPerms, MinhashBands)),
 
     "q_dedup_simhash_pairs" -> ((s, dir) =>
-      // SimHash banding: contiguous 8-bit ranges of the 32-bit signature;
-      // pigeonhole guarantees every pair within Hamming distance 2 (< 4
-      // bands) agrees on a whole band. τ=2 keeps the verified set at the
-      // near-dup knee of the synthetic corpus (366 pairs at sf0.01).
-      Dedup.simhashPairs(
-        Dedup.simhash(docs(s, dir), "doc_id", "text", SimhashBits),
-        SimhashBits, bands = 4, maxDist = 2)),
+      // SimHash Hamming near-dups, EXACT-FIRST (band only distinct texts,
+      // expand over digest groups — identical rows, the banded self-join
+      // at distinct-text size). 60-bit signature in 4 contiguous 15-bit
+      // bands: band width is the scale dial (15 bits discriminate ~32k·k
+      // distinct texts; widen signature/bands for bigger corpora), and
+      // pigeonhole guarantees every pair within Hamming distance 3 (< 4
+      // bands) agrees on one whole band.
+      Dedup.simhashPairsExactFirst(docs(s, dir), "doc_id", "text",
+        bits = 60, bands = 4, maxDist = 3)),
 
     "q_text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(docs(s, dir), "doc_id", "text", 3)),
@@ -507,23 +509,25 @@ object PipelineQueries {
     // all-docs reachability oracle applies verbatim.
     "q_dedup_exact_first" -> clustersOracleSql,
 
+    // Exact-first produces identical rows to the all-docs scan (identical
+    // texts have identical signatures), so the direct oracle applies.
     "q_dedup_simhash_pairs" -> {
       val toks = s"SELECT doc_id, unnest(${tokensSql("text")}) AS t FROM documents"
       s"""WITH tok AS (SELECT doc_id, ${h64Sql("t")} AS h FROM ($toks) WHERE t <> ''),
           bits AS (SELECT doc_id, b,
                      CASE WHEN SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
                           THEN 1::BIGINT << b ELSE 0 END AS bit
-                   FROM tok, (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS b)
+                   FROM tok, (SELECT unnest(generate_series(0, 59)) AS b)
                    GROUP BY 1, 2),
           s AS (SELECT CAST(doc_id AS BIGINT) AS id, CAST(SUM(bit) AS BIGINT) AS sh
                 FROM bits GROUP BY 1),
-          banded AS (SELECT id, b AS band, (sh >> (b * 8)) & 255 AS v, sh
+          banded AS (SELECT id, b AS band, (sh >> (b * 15)) & 32767 AS v, sh
                      FROM s, (SELECT unnest([0, 1, 2, 3]) AS b)),
           cand AS (SELECT DISTINCT l.id AS a, r.id AS b, l.sh AS sa, r.sh AS sb
                    FROM banded l JOIN banded r USING (band, v) WHERE l.id < r.id)
           SELECT a, b, dist FROM (
             SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS dist FROM cand)
-          WHERE dist <= 2"""
+          WHERE dist <= 3"""
     },
 
     "q_text_tfidf" ->

@@ -107,6 +107,30 @@ class PipelineExtrasSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("simhashPairsExactFirst: identical rows to the all-docs scan") {
+    // Near-dup base texts, each replicated 1-3x as exact copies — the
+    // regime where all-docs banding goes quadratic. The exact-first
+    // composition must reproduce the direct result row for row.
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "the quick brown fox jumps over the lazy dog near the river edge",
+      "the quick brown fox leaps over the lazy dog near the river bank",
+      "a completely different document about spark dataframes and shuffles",
+      "lorem ipsum dolor sit amet consectetur adipiscing elit sed do",
+      "totally unrelated text with its own unique vocabulary here today")
+    val docs = base.zipWithIndex.flatMap { case (t, i) =>
+      (0 to i % 3).map(r => (i * 10L + r, t))
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = rows(Dedup.simhashPairs(
+      Dedup.simhash(docs, "doc_id", "text", 60), 60, 4, 3))
+    val exactFirst = rows(Dedup.simhashPairsExactFirst(
+      docs, "doc_id", "text", 60, 4, 3))
+    assert(exactFirst == direct)
+    assert(direct.nonEmpty) // the dup replicas guarantee dist-0 pairs
+  }
+
   test("tfidfTopK: integer ranking with df weighting and term tie-break") {
     val docs = Seq(
       (1L, "apple banana apple cherry"),
