@@ -484,22 +484,21 @@ object Dedup {
     * unique units ride the partial agg. */
   private[graft] def unitDuplication(units: DataFrame,
       totalCol: String, dupCol: String): DataFrame = {
-    // One EXPLICIT hash exchange feeds both consumers: without it, the
-    // groupBy branch puts a partial aggregate before its exchange while
-    // the join branch exchanges the raw units — different subplans, no
-    // exchange reuse, and the unit hashing (an md5 per window) runs
-    // TWICE. With it, both branches hang off the identical exchange and
-    // AQE's ReuseExchange computes the units once.
-    val mat = units.repartition(col("h"))
-    // "≥2 distinct docs" needs only min≠max — constant-size partial-agg
-    // state where count_distinct would carry a per-hash id set through
-    // the shuffle.
-    val perHash = mat.groupBy(col("h"))
-      .agg((min(col("id")) =!= max(col("id"))).as("_xdoc"))
-    mat.join(perHash, Seq("h"))
+    // SINGLE-CONSUMER pipeline: one explicit exchange on the unit hash,
+    // then everything up to the per-doc aggregation runs partition-local —
+    // the (h, id) aggregate's clustering and the window's partitioning
+    // are both satisfied by hashpartitioning(h), so the unit table (an
+    // md5 per window position) is computed once and never re-shuffled or
+    // joined back. ("≥2 distinct docs" needs only min≠max over the
+    // partition — constant-size state, no distinct-set.)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    units.repartition(col("h"))
+      .groupBy(col("h"), col("id")).agg(count(lit(1)).as("_npos"))
+      .withColumn("_xdoc",
+        min(col("id")).over(w) =!= max(col("id")).over(w))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as(totalCol),
-        sum(when(col("_xdoc"), 1L).otherwise(0L)).as(dupCol))
+      .agg(sum(col("_npos")).as(totalCol),
+        sum(when(col("_xdoc"), col("_npos")).otherwise(0L)).as(dupCol))
   }
 
   /** EXACT-SUBSTRING duplication scan (sliding `n`-token windows) over a
@@ -514,6 +513,46 @@ object Dedup {
       hp.select(col("id"),
         explode(spanHashes(col("_hp"), n, 1)).as("h")),
       "nspans", "ndup")
+
+  /** EXACT-DEDUP-FIRST span duplication over prepared digest-group tables
+    * (`groups` = one row per distinct text `(digest, rep, _hp)`,
+    * `members` = `(id, digest)`): span totals are pure functions of the
+    * text, so they compute per REPRESENTATIVE and expand over the digest
+    * groups; the cross-document flag lifts exactly because group members
+    * contain a span iff their rep does —
+    *
+    *   distinct docs containing h  =  Σ over groups g containing h of |g|
+    *
+    * so `_xdoc(h) = that sum ≥ 2`, computed from the rep-level span table
+    * plus group sizes. Output is identical row for row to
+    * [[spanDuplicationFromHp]] over all documents, but the explode, both
+    * hash shuffles, and the per-hash aggregation run at DISTINCT-TEXT
+    * size — under d-fold duplication, d× less of everything (the same
+    * composition as [[exactFirstClusters]] / [[simhashPairsExactFirst]]).
+    */
+  def spanDuplicationFromGroups(groups: DataFrame, members: DataFrame,
+      n: Int, stride: Int, totalCol: String, dupCol: String): DataFrame = {
+    val gsz = members.groupBy(col("digest")).agg(count(lit(1)).as("_gsz"))
+    // Group size rides WITH the units (gsz joins the group table before
+    // the explode, 1:1), so the whole flag pipeline is the same
+    // single-consumer shape as unitDuplication: one exchange on h, the
+    // (h, rep) aggregate and the Σ|g| window both partition-local, then
+    // one rep-level aggregation.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val repCounts = groups.join(gsz, "digest")
+      .select(col("rep"), col("_gsz"),
+        explode(spanHashes(col("_hp"), n, stride)).as("h"))
+      .repartition(col("h"))
+      .groupBy(col("h"), col("rep"), col("_gsz"))
+      .agg(count(lit(1)).as("_npos"))
+      .withColumn("_xdoc", sum(col("_gsz")).over(w) >= 2)
+      .groupBy(col("rep"))
+      .agg(sum(col("_npos")).as(totalCol),
+        sum(when(col("_xdoc"), col("_npos")).otherwise(0L)).as(dupCol))
+    members.join(groups.select(col("digest"), col("rep")), "digest")
+      .join(repCounts, "rep")
+      .select(col("id"), col(totalCol), col(dupCol))
+  }
 
   /** PARAGRAPH-unit duplication for corpora WITHOUT structural separators:
     * non-overlapping `n`-token blocks as the paragraph analog (trailing

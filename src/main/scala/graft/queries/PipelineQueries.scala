@@ -168,10 +168,14 @@ object PipelineQueries {
         minTokens = 30, maxTokens = 80, ngramN = ShingleN)),
 
     "q_dedup_spans" -> ((s, dir) =>
-      // Exact-substring duplication: sliding 8-token windows over the
-      // shared token-hash table; per doc, how many span positions recur in
-      // another document (the suffix-array dedup signal, hash-window form).
-      Dedup.spanDuplicationFromHp(docsHp(s, dir), 8)),
+      // Exact-substring duplication (sliding 8-token windows): per doc,
+      // how many span positions recur in another document — the
+      // suffix-array dedup signal in hash-window form. EXACT-FIRST over
+      // the shared digest-group checkpoints: spans explode and aggregate
+      // at distinct-text size, counts expand over the groups (identical
+      // rows; Dedup.spanDuplicationFromHp is the direct form).
+      Dedup.spanDuplicationFromGroups(digestGroups(s, dir),
+        digestMembers(s, dir), 8, 1, "nspans", "ndup")),
 
     "q_dedup_paragraph" -> ((s, dir) =>
       // Paragraph-unit duplication. The synthetic corpus has no structural

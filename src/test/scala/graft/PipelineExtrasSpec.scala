@@ -44,6 +44,38 @@ class PipelineExtrasSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 0L)))
   }
 
+  test("spanDuplicationFromGroups: identical rows to the direct scan") {
+    // Replicated + near-dup corpus: replicas share every span (their
+    // group size lifts the cross-doc flag even for spans unique to the
+    // text); the shifted doc shares one 4-run with the base.
+    val base = Seq(
+      "a b c d e f",       // replicated 3x
+      "z z a b c d",       // shares the a-b-c-d run, replicated 2x
+      "p q r s t u")       // unique
+    val docs = base.zipWithIndex.flatMap { case (t, i) =>
+      (0 to (2 - i).max(0)).map(r => (i * 10L + r, t))
+    }.toDF("doc_id", "text")
+    val groups = docs
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+      .groupBy(org.apache.spark.sql.functions.md5(col("text")).as("digest"))
+      .agg(org.apache.spark.sql.functions.min(col("id")).as("rep"),
+        org.apache.spark.sql.functions.first(col("text")).as("text"))
+      .select(col("digest"), col("rep"),
+        Portable.tokenHashPairs(col("text")).as("_hp"))
+    val members = docs.select(col("doc_id").cast("long").as("id"),
+      org.apache.spark.sql.functions.md5(col("text")).as("digest"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = rows(Dedup.spanDuplicationFromHp(
+      hp(docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq), 4))
+    val exactFirst = rows(Dedup.spanDuplicationFromGroups(
+      groups, members, 4, 1, "nspans", "ndup"))
+    assert(exactFirst == direct)
+    // Replicated docs: every span cross-doc duplicated (ndup == nspans).
+    assert(direct.collect { case (id, ns, nd) if id < 10 => ns == nd }
+      .forall(identity))
+  }
+
   test("spanDuplication: within-doc repetition alone is not duplication") {
     // Doc 1 repeats its own 4-token run twice; no other doc shares it.
     val d1 = "a b c d a b c d"

@@ -119,25 +119,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the bloom UDF belongs to the past-gate path only:\n$plan")
   }
 
-  test("span/block duplication computes the unit table once (reused exchange)") {
-    // The units subplan (explode + one md5 per window) feeds both the
-    // per-hash aggregate and the join-back. unitDuplication routes both
-    // through ONE explicit hash exchange so AQE reuses it — without that,
-    // each branch re-hashes every window. Runtime property: execute and
-    // check the final adaptive plan.
-    for (q <- Seq("q_dedup_spans", "q_dedup_paragraph")) {
+  test("unit duplication is a single-consumer pipeline: one unit shuffle, no join-back") {
+    // unitDuplication computes the cross-doc flag with a WINDOW over the
+    // h-partitioned unit stream instead of a per-hash aggregate joined
+    // back — so the unit table (an md5 per window position) is exploded
+    // once, shuffled once, and never re-read. Runtime property on the
+    // final adaptive plan: the direct form has NO join operator at all
+    // and exactly two exchanges (unit hash, then doc id).
+    def finalPlan(q: String): String = {
       val fn = (CoreQueries.queries ++ PipelineQueries.queries)(q)
       val df = fn(spark, sf)
       df.collect()
-      val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
-        s"$q: no UDFs expected:\n$plan")
-      assert(plan.contains("ReusedExchange"),
-        s"$q: expected the unit-table exchange to be computed once and " +
-          s"reused:\n$plan")
-      assert(!plan.contains("CartesianProduct"),
-        s"$q: hash-keyed joins only:\n$plan")
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     }
+    val direct = finalPlan("q_dedup_paragraph")
+    assert(!direct.contains("ScalaUDF") && !direct.contains("Join"),
+      s"direct unit duplication must not join:\n$direct")
+    assert("Exchange hashpartitioning".r.findAllIn(direct).size == 2,
+      s"expected exactly 2 exchanges (h, id):\n$direct")
+    assert("md5\\(".r.findAllIn(direct).size <= 1,
+      s"expected one window-digest site:\n$direct")
+    // Exact-first spans add the digest-group expansion joins but keep the
+    // same single-consumer flag pipeline and one digest site.
+    val ef = finalPlan("q_dedup_spans")
+    assert(!ef.contains("ScalaUDF") && !ef.contains("CartesianProduct"),
+      s"exact-first spans: hash joins only:\n$ef")
+    assert("md5\\(".r.findAllIn(ef).size <= 1,
+      s"exact-first spans: spans hash once, at distinct-text size:\n$ef")
   }
 
   test("semantic dedup broadcasts centroids; no cartesian pair join") {
