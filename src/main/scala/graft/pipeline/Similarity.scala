@@ -256,6 +256,46 @@ object Similarity {
       vectors.select(col(idCol).cast("long").as("id")), "id")
   }
 
+  /** EXACT-DEDUP-FIRST [[semanticDedup]] — the duplication-heavy-corpus
+    * guard for embeddings, same composition as the text-side exact-first
+    * family: cluster only DISTINCT (quantized) vectors — one
+    * representative per quantized-vector group, the group-minimum id —
+    * then expand labels over the groups. All similarity decisions are
+    * pure functions of the quantized vector, so rep-level structure
+    * expands exactly: identical vectors share cells and pair distances.
+    *
+    * One subtlety keeps the output IDENTICAL row for row to the direct
+    * scan: same-group members glue to their representative only when the
+    * pair predicate would actually accept the identical pair — i.e. the
+    * group's squared norm is positive (an all-zero embedding has dot 0
+    * with its own copy, so `dotq > 0` rejects it and the direct scan
+    * leaves every copy a singleton) and tauNum ≤ tauDen. Under d-fold
+    * duplication the within-cell self-join runs at distinct-vector size —
+    * d² less pair work. */
+  def semanticDedupExactFirst(vectors: DataFrame, cells: Int, tauNum: Long,
+      tauDen: Long, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol)).as("qv"))
+    val groups = v.groupBy(col("qv")).agg(min(col("id")).as("rep"))
+      .localCheckpoint(true) // feeds the rep filter AND the expansion
+    val reps = vectors.join(groups.select(col("rep")),
+      col(idCol).cast("long") === col("rep"), "left_semi")
+    val repClusters = semanticDedup(reps, cells, tauNum, tauDen,
+      idCol, vecCol)
+    // Identical-pair glue: dot(x,x) = |x|² passes the threshold test iff
+    // |x|² > 0 (and tauNum ≤ tauDen, which the caller's threshold is).
+    val glue = dotQ(col("qv"), col("qv")) > 0 &&
+      lit(tauDen * tauDen) >= lit(tauNum * tauNum)
+    val expanded = v.join(groups, "qv")
+      .select(col("id"), col("rep"), glue.as("_glue"))
+      .join(repClusters.select(col("id").as("rep"), col("cluster")), "rep")
+      .select(col("id"),
+        when(col("_glue"), col("cluster")).otherwise(col("id")).as("cluster"))
+    expanded.select(col("id"), col("cluster"),
+      (col("id") === col("cluster")).as("keep"))
+  }
+
   /** Random-hyperplane LSH bucket id (`bits`-bit signature) over the
     * quantized vector — integer dot products, so bucket assignment is
     * exact. Hyperplane component j,i is a deterministic pseudo-random

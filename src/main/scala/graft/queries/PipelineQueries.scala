@@ -198,9 +198,12 @@ object PipelineQueries {
 
     "q_semdedup" -> ((s, dir) =>
       // SemDeDup-style semantic dedup: IVF-cell blocking + exact
-      // integer-cosine near-dup pairs + connected components. Same τ as
-      // q_embed_neardup (the synthetic embeddings top out near cosine 0.5).
-      Similarity.semanticDedup(embeds(s, dir), cells = 8, 35, 100)),
+      // integer-cosine near-dup pairs + connected components, EXACT-FIRST
+      // (cluster only distinct quantized vectors, expand over the groups —
+      // identical labels, within-cell pair work at distinct-vector size).
+      // Same τ as q_embed_neardup (the synthetic embeddings top out near
+      // cosine 0.5).
+      Similarity.semanticDedupExactFirst(embeds(s, dir), cells = 8, 35, 100)),
 
     "q_embed_neardup" -> ((s, dir) =>
       // τ = 0.35: the synthetic embeddings top out near cosine 0.5 within

@@ -223,6 +223,26 @@ class PipelineExtrasSpec extends AnyFunSuite {
       6L -> 4L))
   }
 
+  test("semanticDedupExactFirst: identical labels, zero-vector copies stay singletons") {
+    // Duplicated embeddings (the quadratic regime) plus a pair of
+    // IDENTICAL all-zero vectors: dot(0,0)=0 fails the dotq>0 predicate,
+    // so the direct scan leaves each copy a singleton — exact-first must
+    // not glue them through their shared group.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(1.0f, 0.0f)),
+      (4L, Array(0.99f, 0.01f)), (5L, Array(0.0f, 1.0f)),
+      (6L, Array(0.0f, 0.0f)), (7L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val direct = rows(Similarity.semanticDedup(vecs, cells = 2, 90, 100))
+    val ef = rows(Similarity.semanticDedupExactFirst(vecs, cells = 2, 90, 100))
+    assert(ef == direct)
+    assert(direct.contains((6L, 6L, true)) && direct.contains((7L, 7L, true)))
+    assert(direct.contains((2L, 0L, false)) && direct.contains((3L, 0L, false)))
+  }
+
   test("semanticDedup: within-cell cosine groups, cross-cell isolation") {
     // Centroids are ids 0 and 1. Cell 0 holds an exact dup (2) and a
     // near-dup (3) of vector 0; cell 1 holds a dup (4) of vector 1 plus an
