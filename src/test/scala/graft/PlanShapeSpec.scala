@@ -163,6 +163,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), s"no UDFs expected:\n$plan")
   }
 
+  test("mixture and packing are single window sweeps: one shuffle, no join") {
+    for (q <- Seq("q_mix_budget", "q_pack_sequences")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Join"), s"$q: window sweep, not a join:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1,
+        s"$q: expected exactly one stratum shuffle, got $exchanges:\n$plan")
+    }
+  }
+
   test("aggregation uses map-side partial aggregation on the unit path") {
     val plan = planOf("q_agg_sum")
     // two HashAggregates (partial + final) around a single exchange
