@@ -636,6 +636,44 @@ object Dedup {
       docs.select(col(idCol).as("id"), tokenHashPairs(col(textCol)).as("_hp")),
       pairs, n)
 
+  /** EXACT-DEDUP-FIRST LSH-candidate Jaccard verification over prepared
+    * digest-group tables — the same expansion argument as
+    * [[simhashPairsExactFirst]] applied to the MinHash path: identical
+    * texts have identical signatures, so the all-docs LSH candidate-pair
+    * set is exactly the expansion of the REP-level candidate set (cross-
+    * group pairs at the rep pair's intersection/union) plus all
+    * same-digest pairs (self-similarity: inter = uni = the text's
+    * distinct-shingle count, a per-row array expression — no explode).
+    * Output identical row for row to [[ngramJaccardFromHp]] over the
+    * all-docs candidate pairs; the shingle-collision join — the dominant
+    * cost, which the sf1 run showed growing with the SQUARE of the
+    * duplication factor — runs at distinct-text size. */
+  def ngramJaccardExactFirstFromGroups(groups: DataFrame, members: DataFrame,
+      n: Int = 3, perms: Int = 8, bands: Int = 4): DataFrame = {
+    val repHp = groups.select(col("rep").as("id"), col("_hp"))
+    val repPairs = candidatePairs(lshBuckets(minhashFromHp(repHp, n, perms),
+      perms, bands))
+    val repJac = ngramJaccardFromHp(repHp, repPairs, n)
+    val gm = members
+      .join(groups.select(col("digest"), col("rep")), "digest")
+      .select(col("id"), col("rep"), col("digest"))
+      .localCheckpoint(true) // read by the cross expansion AND intra pairs
+    val cross = repJac
+      .join(gm.select(col("id").as("ia"), col("rep").as("ra")), col("a") === col("ra"))
+      .join(gm.select(col("id").as("ib"), col("rep").as("rb")), col("b") === col("rb"))
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("inter"), col("uni"))
+    val sz = groups.select(col("digest"),
+      size(array_distinct(shingleHashWindows(col("_hp"), n))).cast("long").as("_sz"))
+    val intra = gm.select(col("id").as("ia"), col("digest"))
+      .join(gm.select(col("id").as("ib"), col("digest")), Seq("digest"))
+      .where(col("ia") < col("ib"))
+      .join(sz, "digest")
+      .select(col("ia").as("a"), col("ib").as("b"),
+        col("_sz").as("inter"), col("_sz").as("uni"))
+    cross.union(intra)
+  }
+
   /** [[ngramJaccard]] over a prepared `(id, _hp)` table (shared hash pass,
     * see [[minhashFromHp]]). */
   def ngramJaccardFromHp(hp: DataFrame, pairs: DataFrame,

@@ -121,11 +121,16 @@ object PipelineQueries {
       Dedup.simhash(docs(s, dir), "doc_id", "text", SimhashBits)),
 
     "q_dedup_jaccard" -> ((s, dir) =>
-      // Candidate pairs come from the LSH banding path (bucket-keyed
-      // self-join) — the scale-safe blocker. A length-equality blocker
-      // would make the biggest length bucket one task at 100×.
-      Dedup.ngramJaccardFromHp(docsHp(s, dir), lshCandidatePairs(s, dir),
-        ShingleN)),
+      // Candidate pairs from the LSH banding path (bucket-keyed
+      // self-join — a length-equality blocker would make the biggest
+      // length bucket one task at 100×), EXACT-FIRST: the shingle
+      // collision join — whose work the sf1 run showed growing with the
+      // square of the duplication factor — runs at distinct-text size,
+      // and the rep-level (inter, uni) table expands over digest groups
+      // (identical rows; same-digest pairs are inter = uni = shingle
+      // count).
+      Dedup.ngramJaccardExactFirstFromGroups(digestGroups(s, dir),
+        digestMembers(s, dir), ShingleN, MinhashPerms, MinhashBands)),
 
     "q_dedup_clusters" -> ((s, dir) =>
       // Pairwise LSH hits -> dedup groups: connected components with the

@@ -65,6 +65,23 @@ class ExactFirstPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("LSH jaccard: exact-first == direct on random replicated corpora") {
+    corpora(53L, 6).foreach { corpus =>
+      val docs = corpus.toDF("doc_id", "text")
+      val hp = docs.select(col("doc_id").cast("long").as("id"),
+        Portable.tokenHashPairs(col("text")).as("_hp"))
+      val (groups, members) = groupTables(docs)
+      def rows(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val direct = rows(Dedup.ngramJaccardFromHp(hp,
+        Dedup.candidatePairs(Dedup.lshBuckets(
+          Dedup.minhashFromHp(hp, 3, 8), 8, 4)), 3))
+      val ef = rows(Dedup.ngramJaccardExactFirstFromGroups(groups, members,
+        3, 8, 4))
+      assert(ef == direct, s"corpus: $corpus")
+    }
+  }
+
   test("simhash pairs: exact-first == direct on random replicated corpora") {
     corpora(43L, 6).foreach { corpus =>
       val docs = corpus.toDF("doc_id", "text")
