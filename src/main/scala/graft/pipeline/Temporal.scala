@@ -27,6 +27,28 @@ object Temporal {
       sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Rolling last-`n`-rows statistics per key: count, sum, min, max of
+    * `valCol` over the trailing `n` events ordered by (`tsCol`, `tieCol`).
+    *
+    * One hash shuffle by key, one sort, and all four aggregates share the
+    * same window frame, so Catalyst plans a single `WindowExec` sweep —
+    * the feature-engineering staple ("activity in the user's last 7
+    * events") at one exchange regardless of how many stats ride along.
+    * `valCol` should be integral (quantize floats first) so results are
+    * exact across engines. */
+  def rollingStats(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"rolling frame needs n >= 1, got $n")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(-(n - 1L), Window.currentRow)
+    events
+      .withColumn("rcount", count(lit(1)).over(w))
+      .withColumn("rsum", sum(col(valCol)).over(w))
+      .withColumn("rmin", min(col(valCol)).over(w))
+      .withColumn("rmax", max(col(valCol)).over(w))
+  }
+
   /** As-of join, implemented as union + one window — NOT a range join.
     *
     * A range join (`l.key = r.key AND r.ts <= l.ts`) explodes to one row

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.Portable
 import graft.functions.Portable._
-import graft.pipeline.{Dedup, PortablePlanes, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, PortablePlanes, Sampling, Similarity, Temporal, TextAnalysis}
 
 /** Training-data-pipeline query surface: deduplication, similarity search,
   * text analysis — each with a DuckDB oracle that reproduces the result
@@ -299,6 +299,17 @@ object PipelineQueries {
       graft.pipeline.Sampling.stratified(docs(s, dir), "doc_id", "lang",
           Map("en" -> 500, "zh" -> 100), 250)
         .select(col("doc_id").cast("long").as("id"), col("lang"))),
+
+    "q_rolling" -> ((s, dir) =>
+      // Trailing-7-event activity stats per user: one hash exchange, one
+      // sort, all four aggregates in a single WindowExec sweep. The value
+      // column is quantized to cents so the stats are exact integers.
+      Temporal.rollingStats(
+        Q.table(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts"), round(col("value") * 100).cast("long").as("cents")),
+        "user_id", "ts", "event_id", "cents", n = 7)
+        .select(col("event_id").as("eid"), col("user_id").as("u"),
+          col("rcount"), col("rsum"), col("rmin"), col("rmax"))),
 
     "q_mix_budget" -> ((s, dir) =>
       // Data-mixture primitive: longest documents first per source until
@@ -778,6 +789,17 @@ object PipelineQueries {
       s"""SELECT CAST(doc_id AS BIGINT) AS id, lang FROM documents
           WHERE ${h64Sql("doc_id")} % 1000 <
                 CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 100 ELSE 250 END""",
+
+    "q_rolling" ->
+      """SELECT CAST(event_id AS BIGINT) AS eid, CAST(user_id AS BIGINT) AS u,
+                CAST(COUNT(*) OVER w AS BIGINT) AS rcount,
+                CAST(SUM(cents) OVER w AS BIGINT) AS rsum,
+                CAST(MIN(cents) OVER w AS BIGINT) AS rmin,
+                CAST(MAX(cents) OVER w AS BIGINT) AS rmax
+         FROM (SELECT event_id, user_id, ts,
+                      CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
 
     "q_mix_budget" ->
       s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, source AS src,

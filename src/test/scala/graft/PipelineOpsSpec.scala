@@ -411,6 +411,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       (100L, 0L), (101L, 0L), (102L, 1L), (103L, 1L), (200L, 0L)))
   }
 
+  test("rollingStats: trailing-n frame per key, short prefixes, ties") {
+    import graft.pipeline.Temporal
+    // key 1: values 1,2,3,4 at ts 0,1,1,2 (tie at ts=1 ordered by id);
+    // rolling n=2 -> frames [1],[1,2],[2,3],[3,4]. key 2: single event.
+    val df = Seq(
+      (1L, 0L, 10L, 1L), (1L, 1L, 11L, 2L), (1L, 1L, 12L, 3L),
+      (1L, 2L, 13L, 4L), (2L, 9L, 20L, 7L)).toDF("k", "ts", "id", "v")
+    val got = Temporal.rollingStats(df, "k", "ts", "id", "v", n = 2)
+      .collect()
+      .map(r => (r.getLong(2), (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    assert(got(10L) == ((1L, 1L, 1L, 1L)))
+    assert(got(11L) == ((2L, 3L, 1L, 2L)))
+    assert(got(12L) == ((2L, 5L, 2L, 3L)))
+    assert(got(13L) == ((2L, 7L, 3L, 4L)))
+    assert(got(20L) == ((1L, 7L, 7L, 7L)))
+  }
+
   test("connectedComponents: empty pair set keeps every doc") {
     val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
     val ids = Seq(7L, 8L).toDF("id")

@@ -163,6 +163,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), s"no UDFs expected:\n$plan")
   }
 
+  test("rolling stats is one window sweep: one key exchange, one Window") {
+    val plan = planOf("q_rolling")
+    assert(!plan.contains("Join"), s"q_rolling: window sweep, not a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"q_rolling: expected exactly one key shuffle, got $exchanges:\n$plan")
+    // All four stats share one frame -> a single Window operator.
+    val windows = "\\bWindow\\b".r.findAllIn(plan).size
+    assert(windows == 1, s"q_rolling: expected one Window operator, got $windows:\n$plan")
+  }
+
   test("mixture and packing are single window sweeps: one shuffle, no join") {
     for (q <- Seq("q_mix_budget", "q_pack_sequences")) {
       val plan = planOf(q)
