@@ -225,6 +225,95 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  // ------------------------------------------------------ product quantization
+
+  /** Squared L2 distance between the `j`-th `d`-dim subvectors of two
+    * quantized arrays — `d` unrolled codegen terms, no higher-order calls. */
+  private def subL2(x: Column, y: Column, j: Int, d: Int): Column =
+    (1 to d).map { i =>
+      val diff = element_at(x, j * d + i) - element_at(y, j * d + i)
+      diff * diff
+    }.reduce(_ + _)
+
+  /** Dot product of the `j`-th `d`-dim subvectors. */
+  private def subDot(x: Column, y: Column, j: Int, d: Int): Column =
+    (1 to d).map(i => element_at(x, j * d + i) * element_at(y, j * d + i))
+      .reduce(_ + _)
+
+  /** The PQ codebook collapsed to ONE row: `cb` = the quantized vectors of
+    * the `ksub` lowest-id corpus vectors, in id order — the deterministic,
+    * oracle-portable stand-in for trained per-subspace k-means (swap in
+    * trained centroids by replacing this frame). One row broadcasts for
+    * free; no driver collect. */
+  private def codebookRow(q: DataFrame, ksub: Int): DataFrame =
+    q.where(col("id") < ksub)
+      .agg(array_sort(collect_list(struct(col("id"), col("qv")))).as("s"))
+      .select(transform(col("s"), e => e.getField("qv")).as("cb"))
+
+  /** PRODUCT-QUANTIZATION codes: split each quantized vector into `m`
+    * contiguous `dim/m`-dim subvectors and replace each with the id of its
+    * nearest codebook centroid (exact integer L2, ties to the lowest
+    * centroid id).
+    *
+    * This is the memory side of large-scale ANN: `m` small codes per
+    * vector instead of `dim` floats, so a cluster holds the whole index
+    * in RAM while [[pqTopK]] scans codes instead of vectors. Assignment
+    * here is SHUFFLE-FREE — the codebook collapses to a single broadcast
+    * row and the argmin is per-row expression arithmetic (an
+    * `array_min` over (distance, centroid) structs), so the corpus scan
+    * never exchanges. Output: (id, c0..c{m-1}). */
+  def pqCodes(vectors: DataFrame, m: Int, ksub: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subvectors")
+    val d = dim / m
+    val q = vectors.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol)).as("qv"))
+    def code(j: Int): Column = {
+      val scored = (0 until ksub).map { c =>
+        struct(subL2(col("qv"), element_at(col("cb"), c + 1), j, d).as("d2"),
+          lit(c.toLong).as("c"))
+      }
+      array_min(array(scored: _*)).getField("c")
+    }
+    q.crossJoin(broadcast(codebookRow(q, ksub)))
+      .select(col("id") +: (0 until m).map(j => code(j).as(s"c$j")): _*)
+  }
+
+  /** PQ SEARCH via asymmetric distance computation (ADC): queries keep
+    * their exact quantized vectors; the corpus is scanned as codes. Each
+    * query precomputes an m×ksub lookup table of subvector dot products
+    * against the codebook, and a candidate's approximate dot is m table
+    * lookups — no per-candidate vector arithmetic at all.
+    *
+    * Scale shape: the corpus-side work is a map-only scan of the code
+    * table against broadcast (query, LUT) rows; the ONLY exchange is the
+    * final per-query top-k window over scored candidates. Integer-exact
+    * end to end, so the oracle reproduces ranks bit-for-bit. Output:
+    * (q, nb, approx, rank ≤ k). */
+  def pqTopK(vectors: DataFrame, queryPred: Column, k: Int, m: Int,
+      ksub: Int, dim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % m == 0, s"dim $dim must split into $m subvectors")
+    val d = dim / m
+    val q = vectors.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol)).as("qv"))
+    val codes = pqCodes(vectors, m, ksub, dim, idCol, vecCol)
+    def lut(j: Int): Column = array((0 until ksub).map(c =>
+      subDot(col("qqv"), element_at(col("cb"), c + 1), j, d)): _*)
+    val queries = q.where(queryPred).toDF("q", "qqv")
+      .crossJoin(broadcast(codebookRow(q, ksub)))
+      .select(col("q") +: (0 until m).map(j => lut(j).as(s"lut$j")): _*)
+    val approx = (0 until m)
+      .map(j => element_at(col(s"lut$j"), (col(s"c$j") + 1).cast("int")))
+      .reduce(_ + _)
+    val scored = codes.join(broadcast(queries), col("q") =!= col("id"))
+      .select(col("q"), col("id").as("nb"), approx.as("approx"))
+    val w = Window.partitionBy(col("q")).orderBy(col("approx").desc, col("nb").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** SEMANTIC DEDUP (SemDeDup-style): cluster the corpus by embedding,
     * mark near-identical vectors within each cluster, keep one
     * representative per semantic group. Composition of the pipeline's

@@ -241,6 +241,18 @@ object PipelineQueries {
         Similarity.lshBucketQ(
           Similarity.quantize(col("embedding")), dim = 64, bits = 8).as("bucket"))),
 
+    "q_ann_pq" -> ((s, dir) =>
+      // Product-quantization codes: 8 one-byte codes replace 64 floats —
+      // the memory side of cluster-resident ANN. Assignment is shuffle-
+      // free (broadcast codebook row, per-row expression argmin).
+      Similarity.pqCodes(embeds(s, dir), m = 8, ksub = 16, dim = 64)),
+
+    "q_ann_pq_search" -> ((s, dir) =>
+      // ADC search over the code table: per-query LUT broadcast, corpus
+      // scanned as codes, approximate dot = 8 table lookups per candidate.
+      Similarity.pqTopK(embeds(s, dir), col("id") < 3, k = 5,
+        m = 8, ksub = 16, dim = 64)),
+
     "q_text_tokens" -> ((s, dir) => longify(
       docs(s, dir).select(col("doc_id").as("id"),
         TextAnalysis.tokenCount(col("text")).as("ntokens")))),
@@ -462,6 +474,29 @@ object PipelineQueries {
 
   private val qvSql =
     "list_transform(embedding, x -> CAST(round(x * 100) AS BIGINT))"
+
+  // Product-quantization layout shared by q_ann_pq / q_ann_pq_search:
+  // 64 dims split into PqM subvectors of PqD, PqKsub centroids per
+  // subspace (the quantized vectors of the 16 lowest ids, in id order).
+  private val PqM = 8
+  private val PqD = 8
+  private val PqKsub = 16
+
+  /** CTEs deriving the PQ code assignment (qv → cb → dist → best). */
+  private lazy val pqCodesCtes =
+    s"""qv AS (SELECT CAST(vec_id AS BIGINT) AS id, $qvSql AS qv
+                FROM embeddings),
+          cb AS (SELECT id AS c, qv AS cv FROM qv WHERE id < $PqKsub),
+          jj AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS j),
+          dist AS (SELECT s.id, jj.j, cb.c,
+                     list_sum([(s.qv[jj.j * $PqD + i] - cb.cv[jj.j * $PqD + i])
+                               * (s.qv[jj.j * $PqD + i] - cb.cv[jj.j * $PqD + i])
+                               for i in generate_series(1, $PqD)]) AS d2
+                   FROM qv s, jj, cb),
+          best AS (SELECT id, j, c,
+                     ROW_NUMBER() OVER (PARTITION BY id, j
+                       ORDER BY d2 ASC, c ASC) AS rn
+                   FROM dist)"""
   private def dotSql(a: String, b: String): String =
     s"CAST(list_sum([($a)[i] * ($b)[i] for i in generate_series(1, len($a))]) AS BIGINT)"
 
@@ -734,6 +769,32 @@ object PipelineQueries {
       s"""SELECT CAST(vec_id AS BIGINT) AS id, CAST($bits AS BIGINT) AS bucket
           FROM (SELECT vec_id, $qvSql AS qv FROM embeddings)"""
     },
+
+    "q_ann_pq" -> {
+      val cs = (0 until PqM).map(j =>
+        s"CAST(MAX(CASE WHEN j = $j THEN c END) AS BIGINT) AS c$j")
+        .mkString(",\n                 ")
+      s"""WITH $pqCodesCtes
+          SELECT id, $cs FROM best WHERE rn = 1 GROUP BY id"""
+    },
+
+    "q_ann_pq_search" ->
+      s"""WITH $pqCodesCtes,
+          codes AS (SELECT id, j, c FROM best WHERE rn = 1),
+          q AS (SELECT id AS qid, qv AS qqv FROM qv WHERE id < 3),
+          lut AS (SELECT q.qid, jj.j, cb.c,
+                    list_sum([q.qqv[jj.j * $PqD + i] * cb.cv[jj.j * $PqD + i]
+                              for i in generate_series(1, $PqD)]) AS dot
+                  FROM q, jj, cb),
+          score AS (SELECT l.qid AS q, cd.id AS nb,
+                      CAST(SUM(l.dot) AS BIGINT) AS approx
+                    FROM codes cd JOIN lut l ON l.j = cd.j AND l.c = cd.c
+                    WHERE l.qid <> cd.id GROUP BY 1, 2)
+          SELECT q, nb, approx, rank FROM (
+            SELECT q, nb, approx,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q
+                     ORDER BY approx DESC, nb ASC) AS BIGINT) AS rank
+            FROM score) WHERE rank <= 5""",
 
     "q_text_tokens" ->
       s"""SELECT CAST(doc_id AS BIGINT) AS id,

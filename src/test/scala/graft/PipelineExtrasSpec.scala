@@ -243,6 +243,37 @@ class PipelineExtrasSpec extends AnyFunSuite {
     assert(direct.contains((2L, 0L, false)) && direct.contains((3L, 0L, false)))
   }
 
+  test("pqCodes: nearest-centroid codes per subspace, ties to lowest id") {
+    // dim 4 split into 2 subspaces; centroids = vectors 0 and 1.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.0f, 0.0f, 0.9f)),   // near 0 in both subspaces
+      (3L, Array(0.0f, 0.8f, 0.9f, 0.0f))    // near 1 in both subspaces
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pqCodes(vecs, m = 2, ksub = 2, dim = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      0L -> ((0L, 0L)), 1L -> ((1L, 1L)),
+      2L -> ((0L, 0L)), 3L -> ((1L, 1L))))
+  }
+
+  test("pqTopK: ADC ranks by LUT sums with id tie-break") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.0f, 0.0f, 0.9f)),
+      (3L, Array(0.0f, 0.8f, 0.9f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(vecs, col("id") === 0, k = 2,
+      m = 2, ksub = 2, dim = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._3)
+    // nb=2 codes (0,0): approx = 100·100 + 100·100 = 20000;
+    // nb=1 and nb=3 code (1,1): approx = 0 — tie broken by id.
+    assert(got.toSeq == Seq((2L, 20000L, 1L), (1L, 0L, 2L)))
+  }
+
   test("semanticDedup: within-cell cosine groups, cross-cell isolation") {
     // Centroids are ids 0 and 1. Cell 0 holds an exact dup (2) and a
     // near-dup (3) of vector 0; cell 1 holds a dup (4) of vector 1 plus an

@@ -174,6 +174,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(windows == 1, s"q_rolling: expected one Window operator, got $windows:\n$plan")
   }
 
+  test("PQ code assignment never hash-shuffles the corpus") {
+    // The codebook collapses to one broadcast row; assignment is per-row
+    // expression arithmetic. Only the codebook's own SinglePartition
+    // collect appears — no hashpartitioning exchange anywhere.
+    val plan = planOf("q_ann_pq")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 0,
+      s"q_ann_pq: expected a shuffle-free code scan, got $exchanges exchanges:\n$plan")
+  }
+
+  test("PQ search shuffles only the per-query top-k window") {
+    val plan = planOf("q_ann_pq_search")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"q_ann_pq_search: expected one top-k exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q_ann_pq_search: candidate scoring must stay broadcast:\n$plan")
+  }
+
   test("mixture and packing are single window sweeps: one shuffle, no join") {
     for (q <- Seq("q_mix_budget", "q_pack_sequences")) {
       val plan = planOf(q)
