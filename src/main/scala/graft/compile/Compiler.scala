@@ -1029,6 +1029,46 @@ class Compiler(
         unit = pullAttrs.forall(source.unit)))
   }
 
+  /** pull_v2: per-path keyed output — one relation per
+    * `path_attributes :+ aid`, unmerged (`src/plan/pull_v2.rs:26-141`;
+    * PullAll `:146-227`). Each path stream's tuple is the input path tuple
+    * plus the pulled value, so every stream has a FIXED homogeneous schema
+    * — the Spark-native win of the v2 shape: plain typed DataFrames
+    * instead of v1's variant-packed union, and downstream consumers
+    * (json-doc assembly, per-path sinks) pick their paths without
+    * filtering a merged stream. */
+  def compilePullV2(p: Plan,
+      env: Map[String, Option[Rel]] = Map.empty): Seq[(Seq[String], Rel)] =
+    p match {
+      case P.Pull(_, paths) => paths.flatMap(compilePullV2(_, env))
+      case P.PullLevel(_, plan, pullVar, pullAttrs, pathAttrs, _) =>
+        require(pullAttrs.nonEmpty, "pull_v2 level needs pull attributes")
+        compile(plan, env).toSeq.flatMap { input =>
+          val eIdx = input.idx(pullVar)
+          val n = input.vars.length
+          pullAttrs.map { a =>
+            val attrDf = source.collection(a)
+              .select(col("e").as("_pe"), col("v").as("_pv"), col(W).as("_pw"))
+            val joined = input.df.join(attrDf, col(c(eIdx)) === col("_pe"))
+            val outCols = (0 until n).map(i => col(c(i))) :+ col("_pv").as(c(n))
+            val df = joined.select(outCols :+ (col(W) * col("_pw")).as(W): _*)
+            val rel = Rel((0 to n).map(i => -(i + 1)),
+              input.kinds :+ source.kind(a), df,
+              unit = input.unit && source.unit(a))
+            (pathAttrs :+ a, rel)
+          }
+        }
+      case P.PullAll(_, pullAttrs) =>
+        require(pullAttrs.nonEmpty, "pull_v2 PullAll needs pull attributes")
+        pullAttrs.map { a =>
+          val df = source.collection(a)
+            .select(col("e").as(c(0)), col("v").as(c(1)), col(W))
+          (Seq(a),
+            Rel(Seq(-1, -2), Seq(KEid, source.kind(a)), df, unit = source.unit(a)))
+        }
+      case other => sys.error(s"pull_v2 expects Pull/PullLevel/PullAll, got $other")
+    }
+
   // ---------------------------------------------------------------- helpers
 
   /** Multiset canonicalization (differential `consolidate()`). */

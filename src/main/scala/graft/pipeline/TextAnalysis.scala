@@ -32,6 +32,40 @@ object TextAnalysis {
       (length(t) - length(regexp_replace(t, "[0-9]", ""))).as("ndigits"))
   }
 
+  /** PII patterns, ordered most-specific-first so a match is consumed by
+    * its own category (an SSN never half-matches as a phone, an email's
+    * digits never match as a card number). Java-regex only — every rule
+    * compiles to a native codegen `RegExpReplace`, no UDFs. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("card", "\\b\\d(?:[ -]?\\d){12,15}\\b", "<CARD>"),
+    ("phone", "(?<![\\d-])(?:\\+?\\d{1,2}[ .-])?(?:\\(\\d{3}\\)[ .]?|\\d{3}[ .-])\\d{3}[ .-]\\d{4}\\b", "<PHONE>"),
+    ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"))
+
+  /** Redact PII in place: each category's matches are replaced with its
+    * placeholder token, in [[PiiPatterns]] order. A chain of five native
+    * `regexp_replace` expressions — one streaming pass per row inside
+    * whole-stage codegen, no shuffle, trivially 100 TB-parallel. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (_, re, token)) =>
+      regexp_replace(acc, re, token)
+    }
+
+  /** Per-document PII hit counts, one column per category (the audit side
+    * of [[redactPii]]: route documents to redaction/quarantine by count).
+    * Counted on the same progressively-redacted text the replacement
+    * chain sees, so categories never double-count each other's matches. */
+  def piiCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (cols, _) = PiiPatterns.foldLeft(
+      (Seq.empty[Column], col(textCol))) {
+      case ((acc, t), (name, re, token)) =>
+        (acc :+ regexp_count(t, lit(re)).cast("long").as(s"n_$name"),
+          regexp_replace(t, re, token))
+    }
+    docs.select(col(idCol).as("id") +: cols: _*)
+  }
+
   /** Stopword tables for the n-gram language heuristic. */
   val StopwordSets: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),

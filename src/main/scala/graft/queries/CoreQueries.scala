@@ -234,6 +234,18 @@ object CoreQueries {
         GraphQl.plan("{ :customer/name :customer/nationkey { :nation/name } }"),
         Seq("arr")))),
 
+    "q_graphql_flat" -> ((s, dir) => {
+      // GraphQL v2: the same document compiled per-path (pull_v2 —
+      // homogeneous typed frames keyed by path id) and assembled into
+      // flattened per-root JSON documents (graphql_v2.rs:355-374's
+      // [root_eid, last_aid] pointers). required_aids exercises the
+      // with_required_aids excision path.
+      graft.plans.GraphQlV2.flatDocuments(
+        graft.plans.GraphQlV2.pathRels(Q.compiler(s, dir),
+          "{ :customer/name :customer/nationkey { :nation/name } }"),
+        requiredAids = Seq(":customer/name"))
+    }),
+
     // ---- recursion + stratified aggregation (labelprop-style, the
     //      reference's second benchmark workload: experiments/labelprop.rs) ----
     "q_recursion_labelprop" -> ((s, dir) => {
@@ -388,6 +400,19 @@ object CoreQueries {
          SELECT CAST(c_custkey AS VARCHAR) || '|:customer/nationkey|db__id|' ||
                 CAST(CAST(c_nationkey AS BIGINT) AS VARCHAR)
          FROM customer""",
+    "q_graphql_flat" ->
+      """WITH e AS (
+           SELECT CAST(c_custkey AS VARCHAR) AS root, ':customer/name' AS aid,
+                  '"' || c_name || '"' AS v
+           FROM customer
+           UNION ALL
+           SELECT CAST(c.c_custkey AS VARCHAR), ':nation/name', '"' || n.n_name || '"'
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+         m AS (SELECT root, aid, MAX(v) AS v FROM e GROUP BY 1, 2)
+         SELECT root,
+                '{' || string_agg('"' || aid || '":' || v, ',' ORDER BY aid) || '}' AS doc
+         FROM m GROUP BY root""",
+
     "q_recursion_labelprop" ->
       """WITH RECURSIVE edges AS (
            SELECT DISTINCT l_partkey AS src, l_suppkey AS dst

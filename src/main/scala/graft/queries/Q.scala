@@ -44,6 +44,15 @@ object Q {
     rel.df.select(cols: _*)
   }
 
+  /** Compiler over the bulk-loaded domain — for query surfaces that need
+    * more than one compiled relation (e.g. pull_v2's per-path frames). */
+  def compiler(spark: SparkSession, sfDir: String,
+      rules: Seq[Rule] = Seq.empty): Compiler = {
+    val dom = domain(spark, sfDir)
+    new Compiler(dom.asOf(Long.MaxValue), rules.map(r => r.name -> r).toMap,
+      sharedCache = Some(dom.ruleResultCache))
+  }
+
   /** Raw table reader for the DataFrame-level (pipeline) queries. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")

@@ -243,6 +243,34 @@ class PipelineExtrasSpec extends AnyFunSuite {
     assert(direct.contains((2L, 0L, false)) && direct.contains((3L, 0L, false)))
   }
 
+  test("redactPii: each category redacts; specific categories win") {
+    val df = Seq(
+      (1L, "mail alice.smith+x@example.co.uk now"),
+      (2L, "ssn 123-45-6789 and phone 555-123-4567"),
+      (3L, "card 4111 1111 1111 1111 ip 192.168.0.1"),
+      (4L, "call (212) 555-0123 or +1 212-555-0123"),
+      (5L, "clean text with plain words 42")).toDF("id", "text")
+    val got = df.select(col("id"),
+      TextAnalysis.redactPii(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) == "mail <EMAIL> now")
+    assert(got(2L) == "ssn <SSN> and phone <PHONE>")
+    assert(got(3L) == "card <CARD> ip <IP>")
+    assert(got(4L) == "call <PHONE> or <PHONE>")
+    assert(got(5L) == "clean text with plain words 42")
+  }
+
+  test("piiCounts: per-category counts without double counting") {
+    val df = Seq(
+      (1L, "a@b.io and c@d.net, ssn 123-45-6789, ip 10.0.0.1")).toDF("id", "text")
+    val r = TextAnalysis.piiCounts(df, "id", "text").collect()(0)
+    assert(r.getLong(1) == 2L) // emails
+    assert(r.getLong(2) == 1L) // ssn
+    assert(r.getLong(3) == 0L) // card (ssn consumed its digits)
+    assert(r.getLong(4) == 0L) // phone
+    assert(r.getLong(5) == 1L) // ipv4
+  }
+
   test("pqCodes: nearest-centroid codes per subspace, ties to lowest id") {
     // dim 4 split into 2 subspaces; centroids = vectors 0 and 1.
     val vecs = Seq(
