@@ -49,6 +49,24 @@ object Temporal {
       .withColumn("rmax", max(col(valCol)).over(w))
   }
 
+  /** Time-based rolling statistics: count/sum/min/max of `valCol` over the
+    * trailing `window` time units (inclusive of both frame ends), per key.
+    * The range frame is defined by the `tsCol` VALUE, so no tie column is
+    * needed — equal timestamps are peers and always share a frame. Same
+    * single-sweep shape as [[rollingStats]]; the frame bound is the only
+    * difference (ROWS vs RANGE). */
+  def rollingStatsRange(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, window: Long): DataFrame = {
+    require(window >= 0, s"rolling range window must be >= 0, got $window")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc)
+      .rangeBetween(-window, Window.currentRow)
+    events
+      .withColumn("rcount", count(lit(1)).over(w))
+      .withColumn("rsum", sum(col(valCol)).over(w))
+      .withColumn("rmin", min(col(valCol)).over(w))
+      .withColumn("rmax", max(col(valCol)).over(w))
+  }
+
   /** As-of join, implemented as union + one window — NOT a range join.
     *
     * A range join (`l.key = r.key AND r.ts <= l.ts`) explodes to one row

@@ -323,6 +323,17 @@ object PipelineQueries {
         .select(col("event_id").as("eid"), col("user_id").as("u"),
           col("rcount"), col("rsum"), col("rmin"), col("rmax"))),
 
+    "q_rolling_time" -> ((s, dir) =>
+      // Trailing-1-hour activity stats per user (RANGE frame: the window
+      // is defined by the timestamp value, so no tie column — equal
+      // timestamps are peers). ts is nanoseconds in this table.
+      Temporal.rollingStatsRange(
+        Q.table(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts"), round(col("value") * 100).cast("long").as("cents")),
+        "user_id", "ts", "cents", window = 3600L * 1000 * 1000 * 1000)
+        .select(col("event_id").as("eid"), col("user_id").as("u"),
+          col("rcount"), col("rsum"), col("rmin"), col("rmax"))),
+
     "q_mix_budget" -> ((s, dir) =>
       // Data-mixture primitive: longest documents first per source until
       // each source's 700-token budget is spent (one window sweep).
@@ -861,6 +872,17 @@ object PipelineQueries {
                       CAST(round(value * 100) AS BIGINT) AS cents FROM events)
          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+
+    "q_rolling_time" ->
+      """SELECT CAST(event_id AS BIGINT) AS eid, CAST(user_id AS BIGINT) AS u,
+                CAST(COUNT(*) OVER w AS BIGINT) AS rcount,
+                CAST(SUM(cents) OVER w AS BIGINT) AS rsum,
+                CAST(MIN(cents) OVER w AS BIGINT) AS rmin,
+                CAST(MAX(cents) OVER w AS BIGINT) AS rmax
+         FROM (SELECT event_id, user_id, ts,
+                      CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC
+                      RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)""",
 
     "q_mix_budget" ->
       s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, source AS src,

@@ -429,6 +429,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(20L) == ((1L, 7L, 7L, 7L)))
   }
 
+  test("rollingStatsRange: value-defined frame, inclusive bound, ts peers") {
+    import graft.pipeline.Temporal
+    // key 1 at ts 0, 8, 10, 10, 25; window 10 (inclusive): frames
+    // t=0 -> {0}, t=8 -> {0,8}, t=10 -> {0,8,10,10} (peers share), t=25 -> {25}.
+    val df = Seq(
+      (1L, 0L, 1L), (1L, 8L, 2L), (1L, 10L, 3L), (1L, 10L, 4L),
+      (1L, 25L, 5L)).toDF("k", "ts", "v")
+    val got = Temporal.rollingStatsRange(df, "k", "ts", "v", window = 10L)
+      .collect()
+      .map(r => (r.getLong(2), (r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got(1L) == Set((1L, 1L)))
+    assert(got(2L) == Set((2L, 3L)))
+    // Both ts=10 rows see the identical 4-row frame (peers included).
+    assert(got(3L) == Set((4L, 10L)))
+    assert(got(4L) == Set((4L, 10L)))
+    assert(got(5L) == Set((1L, 5L)))
+  }
+
   test("connectedComponents: empty pair set keeps every doc") {
     val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
     val ids = Seq(7L, 8L).toDF("id")
