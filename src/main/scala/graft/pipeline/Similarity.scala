@@ -227,19 +227,6 @@ object Similarity {
 
   // ------------------------------------------------------ product quantization
 
-  /** Squared L2 distance between the `j`-th `d`-dim subvectors of two
-    * quantized arrays — `d` unrolled codegen terms, no higher-order calls. */
-  private def subL2(x: Column, y: Column, j: Int, d: Int): Column =
-    (1 to d).map { i =>
-      val diff = element_at(x, j * d + i) - element_at(y, j * d + i)
-      diff * diff
-    }.reduce(_ + _)
-
-  /** Dot product of the `j`-th `d`-dim subvectors. */
-  private def subDot(x: Column, y: Column, j: Int, d: Int): Column =
-    (1 to d).map(i => element_at(x, j * d + i) * element_at(y, j * d + i))
-      .reduce(_ + _)
-
   /** The PQ codebook collapsed to ONE row: `cb` = the quantized vectors of
     * the `ksub` lowest-id corpus vectors, in id order — the deterministic,
     * oracle-portable stand-in for trained per-subspace k-means (swap in
@@ -264,20 +251,31 @@ object Similarity {
     * never exchanges. Output: (id, c0..c{m-1}). */
   def pqCodes(vectors: DataFrame, m: Int, ksub: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(dim % m == 0, s"dim $dim must split into $m subvectors")
-    val d = dim / m
     val q = vectors.select(col(idCol).cast("long").as("id"),
       quantize(col(vecCol)).as("qv"))
-    def code(j: Int): Column = {
-      val scored = (0 until ksub).map { c =>
-        struct(subL2(col("qv"), element_at(col("cb"), c + 1), j, d).as("d2"),
-          lit(c.toLong).as("c"))
-      }
-      array_min(array(scored: _*)).getField("c")
-    }
-    q.crossJoin(broadcast(codebookRow(q, ksub)))
-      .select(col("id") +: (0 until m).map(j => code(j).as(s"c$j")): _*)
+    pqCodesFromQ(q, codebookRow(q, ksub), m, ksub, dim)
   }
+
+  /** [[pqCodes]] over a prepared `(id, qv)` table and codebook row, so
+    * [[pqTopK]] shares ONE corpus scan and ONE codebook aggregation
+    * between assignment and search. The assignment kernel is the native
+    * [[graft.functions.PqAssign]] expression — one tree node with a tight
+    * generated loop (the unrolled-`element_at` form was semantically
+    * identical but its several-thousand-node tree made Catalyst analysis
+    * the dominant query cost). */
+  private def pqCodesFromQ(q: DataFrame, cbRow: DataFrame, m: Int,
+      ksub: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subvectors")
+    withCodes(q, cbRow, m)
+      .select(col("id") +:
+        (0 until m).map(j => element_at(col("_codes"), j + 1).as(s"c$j")): _*)
+  }
+
+  /** `(id, qv, _codes)` — corpus rows with their PQ code array. */
+  private def withCodes(q: DataFrame, cbRow: DataFrame, m: Int): DataFrame =
+    q.crossJoin(broadcast(cbRow))
+      .withColumn("_codes",
+        graft.functions.Pq.assign(col("qv"), col("cb"), lit(m)))
 
   /** PQ SEARCH via asymmetric distance computation (ADC): queries keep
     * their exact quantized vectors; the corpus is scanned as codes. Each
@@ -295,20 +293,20 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(dim % m == 0, s"dim $dim must split into $m subvectors")
-    val d = dim / m
+    // One corpus scan and one codebook aggregation feed assignment, LUT
+    // build, and scoring (the ivfTopK sharing pattern).
     val q = vectors.select(col(idCol).cast("long").as("id"),
       quantize(col(vecCol)).as("qv"))
-    val codes = pqCodes(vectors, m, ksub, dim, idCol, vecCol)
-    def lut(j: Int): Column = array((0 until ksub).map(c =>
-      subDot(col("qqv"), element_at(col("cb"), c + 1), j, d)): _*)
+      .localCheckpoint(true)
+    val cbRow = codebookRow(q, ksub)
+    val codes = withCodes(q, cbRow, m).select(col("id"), col("_codes"))
     val queries = q.where(queryPred).toDF("q", "qqv")
-      .crossJoin(broadcast(codebookRow(q, ksub)))
-      .select(col("q") +: (0 until m).map(j => lut(j).as(s"lut$j")): _*)
-    val approx = (0 until m)
-      .map(j => element_at(col(s"lut$j"), (col(s"c$j") + 1).cast("int")))
-      .reduce(_ + _)
+      .crossJoin(broadcast(cbRow))
+      .select(col("q"),
+        graft.functions.Pq.luts(col("qqv"), col("cb"), lit(m)).as("_luts"))
     val scored = codes.join(broadcast(queries), col("q") =!= col("id"))
-      .select(col("q"), col("id").as("nb"), approx.as("approx"))
+      .select(col("q"), col("id").as("nb"),
+        graft.functions.Pq.lookup(col("_luts"), col("_codes")).as("approx"))
     val w = Window.partitionBy(col("q")).orderBy(col("approx").desc, col("nb").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
