@@ -312,6 +312,22 @@ object PipelineQueries {
           Map("en" -> 500, "zh" -> 100), 250)
         .select(col("doc_id").cast("long").as("id"), col("lang"))),
 
+    "q_agg_hll" -> ((s, dir) =>
+      // Deterministic HyperLogLog register table over document texts: the
+      // 100 TB COUNT(DISTINCT) primitive — per-partition state is a fixed
+      // 64-entry max table, registers merge by element-wise max across
+      // shards/streams. md5-portable hash + bin()-length rank, so the
+      // REGISTERS (not just the estimate) are oracle-exact.
+      graft.pipeline.Sketches.hllRegisters(docs(s, dir), col("text"))),
+
+    "q_agg_rollup" -> ((s, dir) =>
+      // Corpus stats at every (source, lang) grouping level in ONE pass —
+      // rollup's partial aggregates reuse the same map-side combine, where
+      // three separate groupBys would scan three times.
+      docs(s, dir).rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("toks"))),
+
     "q_rolling" -> ((s, dir) =>
       // Trailing-7-event activity stats per user: one hash exchange, one
       // sort, all four aggregates in a single WindowExec sweep. The value
@@ -861,6 +877,15 @@ object PipelineQueries {
       s"""SELECT CAST(doc_id AS BIGINT) AS id, lang FROM documents
           WHERE ${h64Sql("doc_id")} % 1000 <
                 CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 100 ELSE 250 END""",
+
+    "q_agg_hll" ->
+      graft.pipeline.Sketches.hllRegistersSql("text", "documents"),
+
+    "q_agg_rollup" ->
+      s"""SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(${tokensSql("text")}) END) AS BIGINT) AS toks
+          FROM documents GROUP BY ROLLUP (source, lang)""",
 
     "q_rolling" ->
       """SELECT CAST(event_id AS BIGINT) AS eid, CAST(user_id AS BIGINT) AS u,

@@ -243,6 +243,27 @@ class PipelineExtrasSpec extends AnyFunSuite {
     assert(direct.contains((2L, 0L, false)) && direct.contains((3L, 0L, false)))
   }
 
+  test("hllRegisters: mergeable by max, estimate tracks true cardinality") {
+    import graft.pipeline.Sketches
+    val vals = (1 to 2000).map(i => s"value-$i")
+    def regs(xs: Seq[String]): Map[Long, Long] =
+      Sketches.hllRegisters(xs.toDF("v"), col("v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = regs(vals)
+    // Shard-merge property: element-wise max of half-tables == whole table.
+    val (a, b) = vals.splitAt(900)
+    val mergedKeys = (regs(a).keySet ++ regs(b).keySet)
+    val merged = mergedKeys.map(k =>
+      k -> math.max(regs(a).getOrElse(k, 0L), regs(b).getOrElse(k, 0L))).toMap
+    assert(merged == whole)
+    // Duplicates don't move registers.
+    assert(regs(vals ++ vals.take(500)) == whole)
+    // Estimate within the expected HLL error band (~13% at 64 buckets;
+    // allow 3 sigma).
+    val est = Sketches.hllEstimate(whole.toSeq)
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.4, s"estimate $est vs 2000")
+  }
+
   test("redactPii: each category redacts; specific categories win") {
     val df = Seq(
       (1L, "mail alice.smith+x@example.co.uk now"),
