@@ -39,6 +39,13 @@ object Request {
       * behavior). */
     final case class CsvFile(path: String, hasHeaders: Boolean,
         delimiter: Char, flexible: Boolean) extends SinkSpec
+    /** GraphQL-v2-style flattened-document sink
+      * ([[graft.sinks.JsonDocSink]], mirroring
+      * `src/plan/graphql_v2.rs:395-498`): pull paths land at
+      * `[root, leaf_aid]`, and each advance emits full `Output::Json`
+      * snapshots of the roots that changed. Roots missing any of
+      * `requiredAids` are excised (`with_required_aids`). */
+    final case class JsonDoc(requiredAids: Seq[String]) extends SinkSpec
   }
   final case class Interest(name: String, granularity: Option[Long] = None,
       sink: Option[SinkSpec] = None, disableLogging: Option[Boolean] = None)
@@ -403,6 +410,13 @@ object Wire {
             co.get("has_headers").filter(_ != JNull).map(bool).getOrElse(true),
             co.get("delimiter").filter(_ != JNull).map(int(_).toChar).getOrElse(','),
             co.get("flexible").filter(_ != JNull).map(bool).getOrElse(false))
+        case Vector(("JsonDoc", JNull)) => Request.SinkSpec.JsonDoc(Seq.empty)
+        case Vector(("JsonDoc", jo: JObj)) =>
+          Request.SinkSpec.JsonDoc(
+            jo.get("required_aids").filter(_ != JNull) match {
+              case Some(JArr(items)) => items.map(str).toSeq
+              case _                 => Seq.empty
+            })
         case other => sys.error(s"unsupported sink: $other")
       }
     case other => sys.error(s"unsupported sink: $other")
@@ -629,7 +643,7 @@ object Wire {
   private def pair(j: J): Seq[Int] = vars(j)
   private def ints(vs: Seq[Int]): String = vs.mkString("[", ",", "]")
 
-  private def qs(s: String): String =
+  private[server] def qs(s: String): String =
     "\"" + s.flatMap {
       case '"'          => "\\\""
       case '\\'         => "\\\\"

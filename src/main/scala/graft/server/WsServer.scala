@@ -225,6 +225,9 @@ final class WsServer(engine: Engine, port: Int = 0,
                 if (stateful.isDefined) Some(graft.sinks.AssocIn.Obj()) else None)
             case Some(Request.SinkSpec.CsvFile(path, headers, delim, _)) =>
               sinkStates((id, name)) = CsvState(path, headers, delim)
+            case Some(Request.SinkSpec.JsonDoc(required)) =>
+              sinkStates((id, name)) =
+                JsonState(new graft.sinks.JsonDocSink(required))
           }
         case Request.Subscribe(attr) =>
           engine.handle(Request.Subscribe(attr))
@@ -269,6 +272,8 @@ final class WsServer(engine: Engine, port: Int = 0,
       acc: Option[graft.sinks.AssocIn.Obj]) extends SinkState
   private final case class CsvState(path: String, hasHeaders: Boolean,
       delimiter: Char) extends SinkState
+  private final case class JsonState(sink: graft.sinks.JsonDocSink)
+      extends SinkState
   private val sinkStates = mutable.Map.empty[(Long, String), SinkState]
   /** Per-advance latency log of void-sinked interests, mirroring
     * `Sink::TheVoid`'s ms-per-frontier log: (name, time, rows). In-memory
@@ -295,6 +300,7 @@ final class WsServer(engine: Engine, port: Int = 0,
             case Some(v: VoidState)  => sinkVoid(name, v, batch)
             case Some(a: AssocState) => sinkAssoc(cid, name, a, batch)
             case Some(c: CsvState)   => sinkCsv(c, batch)
+            case Some(j: JsonState)  => sinkJson(cid, name, j, batch)
             case None                => send(out, plainMsg)
           }
         }
@@ -401,6 +407,34 @@ final class WsServer(engine: Engine, port: Int = 0,
       // AssocState (and stateful accumulator) belongs to its Interest.
       for ((_, json) <- outputs; (out, _) <- clients.get(cid)) {
         send(out, Wire.renderOutput(Output.Json(name, json, t, 1L)))
+      }
+    }
+  }
+
+  /** GraphQL-v2-style document sink (`src/plan/graphql_v2.rs:395-498` via
+    * [[graft.sinks.JsonDocSink]]): pull-shaped tuples `[root, …, aid, v]`
+    * flatten to `[root, aid]`, each time's changed roots emit a FULL
+    * document snapshot as `Output::Json` to the owning client. Tuples that
+    * aren't pull-shaped (no leaf aid) key under the rule name, so plain
+    * `[e v]` relations still document-ize sensibly. */
+  private def sinkJson(cid: Long, name: String, j: JsonState,
+      batch: Seq[(Seq[Value], Long, Long)]): Unit = {
+    for ((t, rows) <- batch.groupBy(_._2).toSeq.sortBy(_._1)) {
+      // Within a timestamp retractions apply first (the AssocIn
+      // convention, `assoc_in.rs:169-172`) so a same-batch re-assertion
+      // wins deterministically — the reference's graphql_v2 ignores diff
+      // in arrival order, which is nondeterministic across workers.
+      val paths = rows.sortBy(_._3).map { case (tuple, _, _) =>
+        val aid = tuple.takeRight(2).head match {
+          case Value.VAid(a) if tuple.length >= 3 => a
+          case _                                  => name
+        }
+        (Seq(aid), Seq(tuple.head, tuple.last))
+      }
+      for ((root, json) <- j.sink.advance(paths);
+           (out, _) <- clients.get(cid)) {
+        send(out, Wire.renderOutput(
+          Output.Json(name, s"""{${Wire.qs(root)}:$json}""", t, 1L)))
       }
     }
   }

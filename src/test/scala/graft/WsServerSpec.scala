@@ -379,6 +379,33 @@ class WsServerSpec extends AnyFunSuite {
     }
   }
 
+  test("Interest with a JsonDoc sink emits flattened document snapshots") {
+    withServer { (_, client) =>
+      client.send("""{"CreateAttribute":{"name":":p/child","config":{"input_semantics":"Distinct"}}}""")
+      client.send("""{"CreateAttribute":{"name":":c/name","config":{"input_semantics":"Distinct"}}}""")
+      // Pull the child's name through the edge: tuples [parent, child, aid, name].
+      client.send("""{"Register":{"rules":[{"name":"fam","plan":
+        {"PullLevel":{"variables":[],"plan":{"MatchA":[0,":p/child",1]},
+          "pull_variable":1,"pull_attributes":[":c/name"],
+          "path_attributes":[":p/child"],"cardinality_many":true}}}],
+        "publish":["fam"]}}""")
+      client.send("""{"Interest":{"name":"fam","granularity":null,
+        "sink":{"JsonDoc":{"required_aids":[":c/name"]}},"disable_logging":null}}""")
+      client.send("""{"Transact":[[100,":p/child",{"Eid":200},null,1],
+        [200,":c/name","Alice",null,1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+      // Flattened doc: child's name lands on ROOT 100 under the leaf aid.
+      assert(Wire.parseOutput(client.next()) ==
+        Output.Json("fam", """{"100":{":c/name":"Alice"}}""", 0L, 1L))
+      // Rename: the changed root re-emits its FULL (single-key) document.
+      client.send("""{"Transact":[[200,":c/name","Alice",null,-1],
+        [200,":c/name","Alma",null,1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":2}]}""")
+      assert(Wire.parseOutput(client.next()) ==
+        Output.Json("fam", """{"100":{":c/name":"Alma"}}""", 1L, 1L))
+    }
+  }
+
   test("Interest with a CsvFile sink appends delimited records") {
     val path = java.nio.file.Files.createTempDirectory("graft-csv")
       .resolve("out.csv").toString
@@ -433,6 +460,13 @@ class WsServerSpec extends AnyFunSuite {
         // a sinks the rule into TheVoid; b holds a PLAIN interest on it.
         a.send("""{"Interest":{"name":"pq","granularity":null,
           "sink":{"TheVoid":null},"disable_logging":null}}""")
+        // Status round-trip pins a's Register as processed server-side
+        // before b's cross-connection Interest can race it.
+        a.send("\"Status\"")
+        Wire.parseOutput(a.next()) match {
+          case Output.Message(_, _) => ()
+          case o                    => fail(s"expected Status reply, got $o")
+        }
         b.send("""{"Interest":{"name":"pq","granularity":null}}""")
         // Status round-trip pins b's Interest as processed before the tx.
         b.send("\"Status\"")
