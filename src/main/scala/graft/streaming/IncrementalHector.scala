@@ -131,6 +131,15 @@ class IncrementalHector(
   /** Current consolidated state of binding `i` (tests / introspection). */
   def stateOf(i: Int): DataFrame = state(i)
 
+  /** Output (vars, kinds) of the maintained conjunction — the relation
+    * template composition layers ([[IncrementalQuery]]) bind deltas to. */
+  lazy val outputVarsKinds: (Seq[Int], Seq[ValueKind]) = {
+    val rel = new Compiler(sourceFor(state, _ => false), Map.empty)
+      .compile(plan, Map.empty)
+      .getOrElse(sys.error("hector compilation failed"))
+    (rel.vars, rel.kinds)
+  }
+
   /** Output schema (c0..cn, _w), from one compile against current state. */
   private lazy val outputSchema: org.apache.spark.sql.types.StructType =
     new Compiler(sourceFor(state, _ => false), Map.empty)

@@ -1,0 +1,572 @@
+package graft.streaming
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.Partitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.compile.{Compiler, Rel}
+import graft.domain.AttributeSource
+import graft.model._
+
+/** Incrementally maintained COMPOSED plans — the composition layer over
+  * the per-class maintainers, playing the role of the reference's whole
+  * dataflow construction (`src/lib.rs` `implement` + the per-plan-node
+  * `Implementable` impls, maintained by differential dataflow): one
+  * object that takes an arbitrary [[graft.model.Plan]] tree and a datom
+  * stream and emits the EXACT per-batch output diffs of the whole query.
+  *
+  * Architecture — each plan node falls in one of two worlds:
+  *
+  *  - '''Linear zones.''' `MatchA/EA/AV`, `Project`, `Filter`,
+  *    `Transform`, `Negate` are linear in their input Z-sets
+  *    (per-row, weight-preserving up to sign), so for any subtree built
+  *    only from them, `op(Δin) = Δop(in)`: the zone needs NO state and
+  *    is evaluated by the unmodified BATCH compiler, fed the batch's
+  *    per-attribute deltas through an [[AttributeSource]] (and stateful
+  *    children through `NameExpr` placeholders bound in the compile
+  *    env). Exactness is by linearity; every predicate/function/constant
+  *    rule of the batch engine applies verbatim — zero re-implementation.
+  *
+  *  - '''Stateful nodes''' at the non-linear operators, each keeping
+  *    co-partitioned keyed-RDD state merged with one O(delta) shuffle
+  *    per batch (the [[graft.kernel.RddKernel]] discipline; per-batch
+  *    shuffled bytes never grow with accumulated state):
+  *     - `Hector` (and `Join` of attribute patterns) → an
+  *       [[IncrementalHector]] child (state = input relations only);
+  *     - `Union` → its branches' projected deltas concatenated
+  *       (linear), then a support-count THRESHOLD node for the
+  *       reference's set semantics (`src/plan/union.rs:73-77`:
+  *       `concat.distinct()`), emitting ±1 exactly at support
+  *       zero-crossings — the differential `distinct` analog;
+  *     - `Aggregate` → grouped-aggregate state `((key, value) → w)`
+  *       partitioned by KEY (a key's whole support is co-resident), a
+  *       narrow merge + touched-key recompute per batch, mirroring the
+  *       batch compiler's multiset semantics bit-for-bit: COUNT/SUM in
+  *       the diff monoid (vanishing at net-zero weight), AVG/VARIANCE
+  *       as gcd-reduced rationals, MIN/MAX/MEDIAN over the positive-
+  *       support distinct set with the upper median
+  *       (`src/plan/aggregate_neu.rs:45-285`).
+  *
+  * Not maintained here (fail loudly at construction): `Antijoin` and
+  * `Not` bindings (negation needs delete-and-rederive — the batch
+  * engine's job, as for [[IncrementalHector]]), recursion via `NameExpr`
+  * ([[IncrementalClosure]]'s job), and the Pull family (point-lookup
+  * views the batch engine serves).
+  *
+  * Restrictions on `Aggregate` nodes (v1): single aggregation function,
+  * no `:with` variables, order statistics over long- or string-typed
+  * values, numeric aggregations over long-typed values.
+  */
+class IncrementalQuery(
+    spark: SparkSession,
+    plan: Plan,
+    kinds: Map[String, ValueKind]) {
+
+  import IncrementalQuery._
+  import Plan.{Var => PVar}
+
+  private val shufflePartitions: Int =
+    spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+  // ---- Node tree -----------------------------------------------------
+
+  private sealed trait Node {
+    def vars: Seq[PVar]
+    def nodeKinds: Seq[ValueKind]
+    /** Attributes whose deltas can change this subtree's output. */
+    def attrs: Set[String]
+    /** Exact output diffs (c0..cn, _w) for this batch's attr deltas. */
+    def advance(attrDeltas: Map[String, DataFrame]): DataFrame
+
+    final def schema: StructType = StructType(
+      nodeKinds.zipWithIndex.map { case (k, i) =>
+        StructField(Rel.c(i), k.dataType, true)
+      } :+ StructField(Rel.W, LongType, false))
+    final lazy val emptyDiff: DataFrame =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    final def touched(attrDeltas: Map[String, DataFrame]): Boolean =
+      attrs.exists(attrDeltas.contains)
+  }
+
+  /** Stateless linear subtree, evaluated by the batch compiler over the
+    * batch's deltas; stateful children appear as `NameExpr` placeholders
+    * resolved through the compile env. */
+  private final class Zone(
+      linearPlan: Plan, children: Map[String, Node]) extends Node {
+
+    val attrs: Set[String] =
+      referencedAttrs(linearPlan) ++ children.values.flatMap(_.attrs)
+
+    // One compile at construction (against empty deltas) derives the
+    // output template and validates the zone end-to-end before any
+    // batch arrives.
+    val (vars, nodeKinds): (Seq[PVar], Seq[ValueKind]) = {
+      val rel = compileWith(a => emptyAttrDelta(a),
+        children.map { case (n, c) => n -> c.emptyDiff })
+      (rel.vars, rel.kinds)
+    }
+
+    private def compileWith(
+        deltaOf: String => DataFrame,
+        childDiffs: Map[String, DataFrame]): Rel = {
+      val src = new AttributeSource {
+        def has(name: String): Boolean = kinds.contains(name)
+        def kind(name: String): ValueKind = kinds(name)
+        def unit(name: String): Boolean = false // signed deltas
+        def collection(name: String): DataFrame = deltaOf(name)
+        override def version: (Long, Long) = (0L, Long.MaxValue)
+      }
+      val env: Map[String, Option[Rel]] = children.map { case (name, c) =>
+        name -> Some(Rel(c.vars, c.nodeKinds, childDiffs(name)))
+      }
+      new Compiler(src, Map.empty).compile(linearPlan, env)
+        .getOrElse(sys.error(s"linear zone failed to compile: $linearPlan"))
+    }
+
+    def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
+      if (!touched(attrDeltas)) emptyDiff
+      else {
+        val childDiffs = children.map { case (name, c) =>
+          name -> c.advance(attrDeltas)
+        }
+        compileWith(
+          a => attrDeltas.getOrElse(a, emptyAttrDelta(a)), childDiffs).df
+      }
+  }
+
+  /** Conjunction node: state and delta rule live in IncrementalHector. */
+  private final class HectorNode(
+      targetVars: Seq[PVar], bindings: Seq[Binding]) extends Node {
+    private val attrBindings = bindings.collect { case a: Binding.Attr => a }
+    private val ih = new IncrementalHector(spark, targetVars, bindings,
+      kinds.filter { case (a, _) => attrBindings.exists(_.a == a) })
+    val attrs: Set[String] = attrBindings.map(_.a).toSet
+    val (vars, nodeKinds): (Seq[PVar], Seq[ValueKind]) = ih.outputVarsKinds
+
+    def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
+      if (!touched(attrDeltas)) emptyDiff
+      else {
+        val deltas: Map[Int, DataFrame] =
+          attrBindings.zipWithIndex.flatMap { case (b, i) =>
+            attrDeltas.get(b.a).map(d =>
+              i -> d.withColumnRenamed(Rel.W, "diff"))
+          }.toMap
+        ih.advance(deltas)
+      }
+  }
+
+  /** Support-count threshold (differential `distinct`): state = row →
+    * net weight, keyed by the full row, emitting ±1 exactly when a
+    * row's support crosses zero — `Union`'s set semantics. */
+  private final class ThresholdNode(inputs: Seq[Node]) extends Node {
+    val vars: Seq[PVar] = inputs.head.vars
+    val nodeKinds: Seq[ValueKind] = inputs.head.nodeKinds
+    val attrs: Set[String] = inputs.flatMap(_.attrs).toSet
+
+    private val part = new SeqKeyPartitioner(shufflePartitions)
+    private var state: RDD[(Seq[Any], Long)] =
+      spark.sparkContext.emptyRDD[(Seq[Any], Long)].partitionBy(part)
+
+    def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
+      if (!touched(attrDeltas)) emptyDiff
+      else {
+        val width = vars.length
+        val delta: RDD[(Seq[Any], Long)] = inputs
+          .map(_.advance(attrDeltas).rdd)
+          .reduce(_ union _)
+          .map(r => (rowKey(r, width), r.getLong(width)))
+          .reduceByKey(part, _ + _) // the only shuffle: O(delta)
+        val tagged = state.zipPartitions(delta, preservesPartitioning = true) {
+          (sIt, dIt) => thresholdMerge(sIt, dIt)
+        }.localCheckpoint()
+        tagged.count() // materialize before rebinding state
+        state = tagged.filter(_._1 == 0)
+          .mapPartitions(_.map { case (_, k, w) => (k, w) },
+            preservesPartitioning = true)
+        spark.createDataFrame(
+          tagged.filter(_._1 == 1)
+            .map { case (_, k, w) => Row.fromSeq(k :+ w) },
+          schema)
+      }
+  }
+
+  /** Grouped-aggregate node: state = ((key, value) → net weight)
+    * partitioned by KEY; batch-compiler-exact output rows (see class
+    * doc), retract/assert diffs for exactly the touched keys. */
+  private final class AggregateNode(
+      input: Node, outVars: Seq[PVar], fn: AggregationFn,
+      keyVars: Seq[PVar], aggVar: PVar) extends Node {
+    require(!keyVars.contains(aggVar),
+      "aggregation variable must not also be a key variable")
+
+    val vars: Seq[PVar] = outVars
+    val attrs: Set[String] = input.attrs
+
+    private val keyIdx: Seq[Int] = keyVars.map(input.vars.indexOf)
+    private val aggIdx: Int = input.vars.indexOf(aggVar)
+    require(keyIdx.forall(_ >= 0) && aggIdx >= 0,
+      s"aggregate key/value vars must be bound by the input ($outVars)")
+
+    private val valueKind: ValueKind = input.nodeKinds(aggIdx)
+    private val valueIsLong: Boolean = valueKind.dataType == LongType
+    private val numericFn = fn == AggregationFn.SUM ||
+      fn == AggregationFn.AVG || fn == AggregationFn.VARIANCE
+    private val orderFn = fn == AggregationFn.MIN ||
+      fn == AggregationFn.MAX || fn == AggregationFn.MEDIAN
+    require(!numericFn || valueIsLong,
+      s"numeric aggregation $fn needs long-typed values, got $valueKind")
+    require(!orderFn || valueIsLong || valueKind.dataType == StringType,
+      s"order statistics need long or string values, got $valueKind")
+
+    // Output slots: each outVar position carries either a key column
+    // (Left(position in keyVars)) or the aggregate (Right(())) —
+    // the batch compiler's output_offsets re-insertion, single-fn form.
+    private val slots: Seq[Either[Int, Unit]] = {
+      require(outVars.count(_ == aggVar) == 1 &&
+        keyVars.forall(k => outVars.count(_ == k) == 1) &&
+        outVars.toSet == (keyVars :+ aggVar).toSet,
+        s"aggregate output $outVars must be keys $keyVars plus $aggVar")
+      outVars.map(v =>
+        if (v == aggVar) Right(()) else Left(keyVars.indexOf(v)))
+    }
+
+    val nodeKinds: Seq[ValueKind] = {
+      import AggregationFn._
+      val aggKind = fn match {
+        case COUNT | SUM        => ValueKind.KNumber
+        case AVG | VARIANCE     => ValueKind.KRational
+        case MIN | MAX | MEDIAN => valueKind
+      }
+      slots.map {
+        case Left(ki) => input.nodeKinds(keyIdx(ki))
+        case Right(_) => aggKind
+      }
+    }
+
+    private val part = new SeqKeyPartitioner(shufflePartitions)
+    private var state: RDD[((Seq[Any], Any), Long)] =
+      spark.sparkContext.emptyRDD[((Seq[Any], Any), Long)].partitionBy(part)
+
+    def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
+      if (!touched(attrDeltas)) emptyDiff
+      else {
+        val (kIdx, aIdx) = (keyIdx, aggIdx)
+        val delta: RDD[((Seq[Any], Any), Long)] = input
+          .advance(attrDeltas).rdd
+          .map { r =>
+            ((kIdx.map(r.get): Seq[Any], r.get(aIdx)),
+              r.getLong(r.length - 1))
+          }
+          .reduceByKey(part, _ + _) // the only shuffle: O(delta)
+        val fnL = fn; val longVals = valueIsLong; val slotsL = slots
+        val tagged = state.zipPartitions(delta, preservesPartitioning = true) {
+          (sIt, dIt) => aggregateMerge(sIt, dIt, fnL, longVals, slotsL)
+        }.localCheckpoint()
+        tagged.count() // materialize before rebinding state
+        state = tagged.collect { case Left(kv) => kv }
+          .mapPartitions(identity, preservesPartitioning = true)
+        spark.createDataFrame(
+          tagged.collect { case Right(vals) => Row.fromSeq(vals) }, schema)
+      }
+  }
+
+  // ---- Plan → node tree ----------------------------------------------
+
+  /** Attributes scanned by the linear parts of a subtree. */
+  private def referencedAttrs(p: Plan): Set[String] = p match {
+    case Plan.MatchA(_, a, _)            => Set(a)
+    case Plan.MatchEA(_, a, _)           => Set(a)
+    case Plan.MatchAV(_, a, _)           => Set(a)
+    case Plan.Project(_, s)              => referencedAttrs(s)
+    case Plan.Filter(_, _, s, _)         => referencedAttrs(s)
+    case Plan.Transform(_, _, s, _, _)   => referencedAttrs(s)
+    case Plan.Negate(s)                  => referencedAttrs(s)
+    case Plan.NameExpr(_, _)             => Set.empty // placeholder
+    case other => sys.error(s"unexpected non-linear node $other in zone")
+  }
+
+  /** Build the stateful node for a non-linear operator. */
+  private def buildStateful(p: Plan): Node = p match {
+    case Plan.Hector(vs, bindings) =>
+      require(!bindings.exists(_.isInstanceOf[Binding.Not]),
+        "Not bindings need delete-and-rederive via the batch engine")
+      new HectorNode(vs, bindings)
+
+    case Plan.Join(vs, l, r) =>
+      // A join of attribute patterns IS a 2-binding conjunction; route it
+      // through the Hector delta rule (same results, one state class).
+      (l, r) match {
+        case (Plan.MatchA(le, la, lv), Plan.MatchA(re, ra, rv)) =>
+          val all = Plan.boundVariables(p, _ => Seq.empty)
+          new HectorNode(all, Seq(
+            Binding.Attr(le, la, lv), Binding.Attr(re, ra, rv)))
+        case _ => sys.error(
+          "incremental Join supports attribute patterns; compose " +
+            "general joins as Hector bindings")
+      }
+
+    case Plan.Union(vs, branches) =>
+      new ThresholdNode(branches.map(b => zoneOf(Plan.Project(vs, b))))
+
+    case Plan.Aggregate(vs, child, fns, keyVars, aggVars, withVars) =>
+      require(fns.length == 1 && withVars.isEmpty,
+        "incremental Aggregate v1: single function, no :with variables")
+      new AggregateNode(zoneOf(child), vs, fns.head, keyVars, aggVars.head)
+
+    case other => sys.error(s"plan node not incrementally maintainable " +
+      s"(batch engine's job): $other")
+  }
+
+  /** Split a subtree into its maximal linear zone over stateful children. */
+  private def zoneOf(p: Plan): Node = {
+    val children = mutable.LinkedHashMap.empty[String, Node]
+    def walk(q: Plan): Plan = q match {
+      case m @ (_: Plan.MatchA | _: Plan.MatchEA | _: Plan.MatchAV) => m
+      case Plan.Project(vs, s)        => Plan.Project(vs, walk(s))
+      case f: Plan.Filter             => f.copy(plan = walk(f.plan))
+      case t: Plan.Transform          => t.copy(plan = walk(t.plan))
+      case Plan.Negate(s)             => Plan.Negate(walk(s))
+      case stateful =>
+        val node = buildStateful(stateful)
+        val name = s"__node${children.size}"
+        children(name) = node
+        Plan.NameExpr(node.vars, name)
+    }
+    val linear = walk(p)
+    linear match {
+      // A trivial zone (the whole subtree is one stateful node) skips
+      // the per-batch rename-only compile.
+      case Plan.NameExpr(_, name) if children.size == 1 => children(name)
+      case _ => new Zone(linear, children.toMap)
+    }
+  }
+
+  private val root: Node = zoneOf(plan)
+
+  /** Output variables of the maintained query, in output order. */
+  def outputVars: Seq[PVar] = root.vars
+
+  private def emptyAttrDelta(a: String): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+      StructField("e", LongType, false),
+      StructField("v", kinds(a).dataType, true),
+      StructField(Rel.W, LongType, false))))
+
+  /** Apply one batch of signed per-attribute deltas (`e, v, diff` rows)
+    * and return the EXACT consolidated output diffs `(c0..cn, _w)` of
+    * the whole plan. */
+  def advance(deltas: Map[String, DataFrame]): DataFrame = {
+    val attrDeltas: Map[String, DataFrame] = deltas.flatMap { case (a, df) =>
+      require(kinds.contains(a), s"unknown attribute $a")
+      val d = df.select(col("e").cast("long"),
+        col("v").cast(kinds(a).dataType),
+        col("diff").cast("long").as(Rel.W)).localCheckpoint(true)
+      if (d.isEmpty) None else Some(a -> d)
+    }
+    if (attrDeltas.isEmpty) root.emptyDiff
+    else {
+      // Multiset canonicalization before delivery (differential's
+      // per-batch `consolidate()`): one O(output diff) shuffle.
+      val raw = root.advance(attrDeltas)
+      val cols = raw.columns.filter(_ != Rel.W).map(col).toIndexedSeq
+      raw.groupBy(cols: _*)
+        .agg(org.apache.spark.sql.functions.sum(col(Rel.W)).as(Rel.W))
+        .where(col(Rel.W) =!= 0L)
+    }
+  }
+
+  // Processed-time frontier (the shared streaming-maintenance
+  // discipline): regressing times would diff against state that already
+  // absorbed later deltas — fail loudly instead.
+  private var frontier: Long = Long.MinValue
+
+  /** Structured Streaming integration: drain a datom stream (columns
+    * `a: string, e: long, v, t: long, diff: long`) through [[advance]]
+    * per completed time, strictly advancing; each time's exact
+    * consolidated output diffs go to `onDiffs(t, frame)`. */
+  def attach(datoms: DataFrame, queryName: String)(
+      onDiffs: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    datoms.writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          val times = batch.select("t").distinct().collect()
+            .map(_.getLong(0)).sorted
+          times.foreach { t =>
+            require(t > frontier,
+              s"input time $t does not advance the processed frontier " +
+                s"$frontier; diffs against already-advanced state would " +
+                "be historically wrong")
+            frontier = t
+            val att = batch.where(col("t") === t)
+            val byAttr: Map[String, DataFrame] = root.attrs.flatMap { a =>
+              val d = att.where(col("a") === a)
+                .select(col("e"), col("v"), col("diff"))
+              if (d.isEmpty) None else Some(a -> d)
+            }.toMap
+            if (byAttr.nonEmpty) {
+              val diffs = advance(byAttr).localCheckpoint(true)
+              if (!diffs.isEmpty) onDiffs(t, diffs)
+            }
+          }
+        } finally batch.unpersist()
+      }
+      .start()
+}
+
+object IncrementalQuery {
+
+  /** Partition by the key's standard Seq hash. Top-level so tasks never
+    * drag a node (and its SparkSession) along. */
+  private final class SeqKeyPartitioner(n: Int) extends Partitioner {
+    def numPartitions: Int = n
+    def getPartition(key: Any): Int = {
+      val k = key match {
+        case (seq: Seq[_], _) => seq // aggregate state: partition by KEY
+        case seq              => seq
+      }
+      java.lang.Math.floorMod(k.hashCode, n)
+    }
+    override def equals(o: Any): Boolean = o match {
+      case p: SeqKeyPartitioner => p.numPartitions == n
+      case _                    => false
+    }
+    override def hashCode: Int = n
+  }
+
+  private def rowKey(r: Row, width: Int): Seq[Any] =
+    (0 until width).map(r.get).toIndexedSeq
+
+  /** Threshold merge for one partition: tag 0 = surviving state rows,
+    * tag 1 = output diffs at support zero-crossings (distinctify's
+    * `net weight > 0` rule, `Compiler.distinctify`). */
+  private def thresholdMerge(
+      sIt: Iterator[(Seq[Any], Long)],
+      dIt: Iterator[(Seq[Any], Long)]): Iterator[(Int, Seq[Any], Long)] = {
+    val dm = new java.util.HashMap[Seq[Any], java.lang.Long]()
+    dIt.foreach { case (k, w) => dm.put(k, w) }
+    val out = mutable.ArrayBuffer.empty[(Int, Seq[Any], Long)]
+    sIt.foreach { case (k, w) =>
+      val dw = dm.remove(k)
+      val nw = if (dw == null) w else w + dw.longValue
+      if (nw != 0L) out += ((0, k, nw))
+      if (w > 0 && nw <= 0) out += ((1, k, -1L))
+      else if (w <= 0 && nw > 0) out += ((1, k, 1L))
+    }
+    dm.entrySet().iterator().asScala.foreach { e =>
+      val w = e.getValue.longValue
+      if (w != 0L) out += ((0, e.getKey, w))
+      if (w > 0) out += ((1, e.getKey, 1L))
+    }
+    out.iterator
+  }
+
+  /** The batch compiler's rational normalization (gcd-reduced, positive
+    * denominator — `Compiler.rationalizeUdf`), as a task-side function. */
+  private def rational(num: Long, den: Long): Row = {
+    val sign = if (den < 0) -1L else 1L
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val g = gcd(math.abs(num), math.abs(den))
+    val gg = if (g == 0) 1L else g
+    Row(sign * num / gg, sign * den / gg)
+  }
+
+  /** A key's aggregate under the batch compiler's exact Z-set semantics
+    * (`Compiler.aggregate`, non-unit path, single fn): `None` = the key
+    * emits no row. Values carry their net weights (any sign). */
+  private def aggOf(
+      fn: AggregationFn, longVals: Boolean,
+      rows: Iterable[(Any, Long)]): Option[Any] = {
+    import AggregationFn._
+    val sup = rows.filter(_._2 > 0)
+    if (sup.isEmpty) return None
+    def wsum = rows.map(_._2).sum
+    def num(v: Any): Long = v.asInstanceOf[Long]
+    fn match {
+      case COUNT =>
+        val w = wsum; if (w == 0L) None else Some(w)
+      case SUM =>
+        if (wsum == 0L) None
+        else Some(rows.map { case (v, w) => num(v) * w }.sum)
+      case AVG =>
+        Some(rational(rows.map { case (v, w) => num(v) * w }.sum, wsum))
+      case VARIANCE =>
+        val ssq = rows.map { case (v, w) => num(v) * num(v) * w }.sum
+        val s = rows.map { case (v, w) => num(v) * w }.sum
+        val c = wsum
+        Some(rational(ssq * c - s * s, c * c))
+      case MIN | MAX | MEDIAN =>
+        val distinct = sup.map(_._1).toSeq.distinct
+        val sorted =
+          if (longVals) distinct.sortBy(_.asInstanceOf[Long])
+          else distinct.sortBy(_.asInstanceOf[String])
+        fn match {
+          case MIN    => Some(sorted.head)
+          case MAX    => Some(sorted.last)
+          case MEDIAN => Some(sorted(sorted.length / 2))
+          case _      => None // unreachable
+        }
+    }
+  }
+
+  /** Aggregate merge for one partition: Left = surviving state entries,
+    * Right = output diff rows (slot-arranged values :+ weight). A key's
+    * whole support is partition-local (keyed by KEY), so old/new
+    * aggregates recompute narrowly for exactly the touched keys. */
+  private def aggregateMerge(
+      sIt: Iterator[((Seq[Any], Any), Long)],
+      dIt: Iterator[((Seq[Any], Any), Long)],
+      fn: AggregationFn, longVals: Boolean,
+      slots: Seq[Either[Int, Unit]]): Iterator[Either[((Seq[Any], Any), Long), Seq[Any]]] = {
+    val dm = new java.util.HashMap[(Seq[Any], Any), java.lang.Long]()
+    dIt.foreach { case (k, w) => dm.put(k, w) }
+    val touchedKeys = new java.util.HashSet[Seq[Any]]()
+    dm.keySet().iterator().asScala.foreach(kv => touchedKeys.add(kv._1))
+    type Support = mutable.ArrayBuffer[(Any, Long)]
+    val oldRows = new java.util.HashMap[Seq[Any], Support]()
+    val newRows = new java.util.HashMap[Seq[Any], Support]()
+    def add(m: java.util.HashMap[Seq[Any], Support],
+        k: Seq[Any], v: Any, w: Long): Unit = {
+      var b = m.get(k)
+      if (b == null) { b = mutable.ArrayBuffer.empty; m.put(k, b) }
+      b += ((v, w))
+    }
+    val out = mutable.ArrayBuffer.empty[Either[((Seq[Any], Any), Long), Seq[Any]]]
+    sIt.foreach { case ((k, v), w) =>
+      if (!touchedKeys.contains(k)) out += Left(((k, v), w))
+      else {
+        add(oldRows, k, v, w)
+        val dw = dm.remove((k, v))
+        val nw = if (dw == null) w else w + dw.longValue
+        if (nw != 0L) { out += Left(((k, v), nw)); add(newRows, k, v, nw) }
+      }
+    }
+    dm.entrySet().iterator().asScala.foreach { e =>
+      val (k, v) = e.getKey
+      val w = e.getValue.longValue
+      if (w != 0L) { out += Left(((k, v), w)); add(newRows, k, v, w) }
+    }
+    def rowOf(k: Seq[Any], agg: Any, w: Long): Seq[Any] =
+      slots.map {
+        case Left(ki)  => k(ki)
+        case Right(()) => agg
+      } :+ w
+    touchedKeys.iterator().asScala.foreach { k =>
+      val o = Option(oldRows.get(k)).flatMap(aggOf(fn, longVals, _))
+      val n = Option(newRows.get(k)).flatMap(aggOf(fn, longVals, _))
+      if (o != n) {
+        o.foreach(a => out += Right(rowOf(k, a, -1L)))
+        n.foreach(a => out += Right(rowOf(k, a, 1L)))
+      }
+    }
+    out.iterator
+  }
+}

@@ -1,0 +1,180 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.compile.Compiler
+import graft.domain.AttributeSource
+import graft.model._
+import graft.model.ValueKind.{KEid, KNumber}
+import graft.streaming.IncrementalQuery
+
+/** Composed incremental maintenance: across ANY history of signed datom
+  * batches (including retractions below zero support — Z-set weights are
+  * unrestricted), the diffs emitted by [[IncrementalQuery]] must equal
+  * the snapshot-to-snapshot diffs of the BATCH compiler over the
+  * accumulated datoms, for linear zones, union set semantics, hector
+  * conjunctions, and every aggregation function. */
+class IncrementalQuerySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private val kinds: Map[String, ValueKind] = Map(
+    ":m" -> KNumber, ":ua" -> KNumber, ":ub" -> KNumber, ":uc" -> KNumber,
+    ":e1" -> KEid, ":e2" -> KEid)
+
+  private type Store = mutable.Map[String, mutable.Map[(Long, Long), Long]]
+  private def emptyStore: Store =
+    mutable.Map.empty[String, mutable.Map[(Long, Long), Long]]
+      .withDefault(_ => mutable.Map.empty)
+
+  private val evwSchema = StructType(Seq(
+    StructField("e", LongType, false), StructField("v", LongType, false),
+    StructField("_w", LongType, false)))
+
+  private def sourceOf(store: Store): AttributeSource = new AttributeSource {
+    def has(name: String): Boolean = kinds.contains(name)
+    def kind(name: String): ValueKind = kinds(name)
+    def unit(name: String): Boolean = false
+    def collection(name: String): DataFrame = {
+      val rows = store(name).toSeq.collect {
+        case ((e, v), w) if w != 0L => Row(e, v, w)
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), evwSchema)
+    }
+    override def version: (Long, Long) = (0L, Long.MaxValue)
+  }
+
+  /** Weighted multiset of a DataFrame's (c0..cn) rows. */
+  private def multiset(df: DataFrame): Map[Seq[Any], Long] =
+    df.collect().toSeq
+      .groupBy(r => r.toSeq.init)
+      .map { case (k, rs) => k -> rs.map(_.getLong(rs.head.length - 1)).sum }
+      .filter(_._2 != 0L)
+
+  private def snapshot(plan: Plan, store: Store): Map[Seq[Any], Long] =
+    new Compiler(sourceOf(store), Map.empty).compile(plan, Map.empty) match {
+      case Some(rel) => multiset(rel.df)
+      case None      => Map.empty
+    }
+
+  private def diffOf(before: Map[Seq[Any], Long],
+      after: Map[Seq[Any], Long]): Map[Seq[Any], Long] =
+    (before.keySet ++ after.keySet).iterator.map { k =>
+      k -> (after.getOrElse(k, 0L) - before.getOrElse(k, 0L))
+    }.filter(_._2 != 0L).toMap
+
+  /** Drive `plan` with `batches`, asserting the incremental diffs equal
+    * batch snapshot diffs after every batch. */
+  private def check(plan: Plan,
+      batches: Seq[Seq[(String, Long, Long, Long)]]): Unit = {
+    import spark.implicits._
+    val iq = new IncrementalQuery(spark, plan, kinds)
+    val store = emptyStore
+    var before = snapshot(plan, store)
+    assert(before.isEmpty, "plans must start empty")
+    batches.zipWithIndex.foreach { case (batch, i) =>
+      batch.foreach { case (a, e, v, d) =>
+        val m = store.getOrElseUpdate(a, mutable.Map.empty)
+        val w = m.getOrElse((e, v), 0L) + d
+        if (w == 0L) m.remove((e, v)) else m((e, v)) = w
+      }
+      val deltas = batch.groupBy(_._1).map { case (a, rows) =>
+        a -> rows.map { case (_, e, v, d) => (e, v, d) }
+          .toDF("e", "v", "diff")
+      }
+      val emitted = multiset(iq.advance(deltas))
+      val after = snapshot(plan, store)
+      assert(emitted == diffOf(before, after),
+        s"batch $i of ${batches.length}: $batch")
+      before = after
+    }
+  }
+
+  /** Deterministic signed batches over `attrs` — retractions are
+    * unconstrained (Z-set semantics must hold below zero support too). */
+  private def genBatches(seed: Long, attrs: Seq[String], n: Int,
+      rows: Int = 14, es: Int = 4, vs: Int = 6): Seq[Seq[(String, Long, Long, Long)]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(Seq.fill(rows)((
+      attrs(rnd.nextInt(attrs.length)),
+      rnd.nextInt(es).toLong, rnd.nextInt(vs).toLong,
+      if (rnd.nextInt(5) == 0) -1L else 1L)))
+  }
+
+  test("linear zone: transform over filter over match, stateless diffs") {
+    val plan = Plan.Transform(Seq(2), 3,
+      Plan.Filter(Seq(2), Predicate.GT,
+        Plan.MatchA(1, ":m", 2), Seq(None, Some(Value.VNumber(2)))),
+      Fn.ADD, Seq(Some(Value.VNumber(10))))
+    check(plan, genBatches(101, Seq(":m"), 4))
+  }
+
+  test("union set semantics incl. a negated branch") {
+    val plan = Plan.Union(Seq(1), Seq(
+      Plan.MatchA(1, ":ua", 2),
+      Plan.MatchA(1, ":ub", 2),
+      Plan.Negate(Plan.MatchA(1, ":uc", 2))))
+    check(plan, genBatches(202, Seq(":ua", ":ub", ":uc"), 5))
+  }
+
+  test("hector conjunction under a projection zone") {
+    val plan = Plan.Project(Seq(10, 12), Plan.Hector(Seq(10, 11, 12), Seq(
+      Binding.Attr(10, ":e1", 11), Binding.Attr(11, ":e2", 12))))
+    check(plan, genBatches(303, Seq(":e1", ":e2"), 4, es = 3, vs = 3))
+  }
+
+  test("every AggregationFn over a match, batch-exact incl. rationals") {
+    import AggregationFn._
+    for (fn <- Seq(COUNT, SUM, AVG, VARIANCE, MIN, MAX, MEDIAN)) {
+      val plan = Plan.Aggregate(Seq(1, 2), Plan.MatchA(1, ":m", 2),
+        Seq(fn), Seq(1), Seq(2), Seq.empty)
+      check(plan, genBatches(7919L * fn.hashCode, Seq(":m"), 3))
+    }
+  }
+
+  test("aggregate over a hector conjunction (composed stateful nodes)") {
+    import AggregationFn._
+    val hector = Plan.Hector(Seq(10, 11, 12), Seq(
+      Binding.Attr(10, ":e1", 11), Binding.Attr(11, ":e2", 12)))
+    for (fn <- Seq(COUNT, AVG)) {
+      val plan = Plan.Aggregate(Seq(10, 12), hector,
+        Seq(fn), Seq(10), Seq(12), Seq.empty)
+      check(plan, genBatches(505 + fn.hashCode, Seq(":e1", ":e2"), 3,
+        es = 3, vs = 3))
+    }
+  }
+
+  test("foreachBatch attachment delivers per-time consolidated diffs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val plan = Plan.Union(Seq(1), Seq(
+      Plan.MatchA(1, ":ua", 2), Plan.MatchA(1, ":ub", 2)))
+    val iq = new IncrementalQuery(spark, plan, kinds)
+    val in = MemoryStream[(String, Long, Long, Long, Long)]
+    val got = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val query = iq.attach(in.toDF.toDF("a", "e", "v", "t", "diff"), "inc-query-spec") {
+      (t, df) =>
+        got ++= df.collect().map(r => (t, r.getLong(0), r.getLong(1)))
+    }
+    try {
+      in.addData((":ua", 7L, 1L, 1L, 1L), (":ub", 7L, 2L, 1L, 1L))
+      query.processAllAvailable()
+      assert(got.toSet == Set((1L, 7L, 1L))) // one distinct entity, once
+      got.clear()
+      // Retract one support: still present via :ub — no diff; then the
+      // other: the entity vanishes with a single -1.
+      in.addData((":ua", 7L, 1L, 2L, -1L))
+      query.processAllAvailable()
+      assert(got.isEmpty)
+      in.addData((":ub", 7L, 2L, 3L, -1L))
+      query.processAllAvailable()
+      assert(got.toSet == Set((3L, 7L, -1L)))
+    } finally query.stop()
+  }
+}
