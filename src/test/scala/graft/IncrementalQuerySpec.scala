@@ -149,6 +149,50 @@ class IncrementalQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("threshold per-batch shuffle is O(delta) as union state grows 100x") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import spark.implicits._
+    val plan = Plan.Union(Seq(1), Seq(
+      Plan.MatchA(1, ":ua", 2), Plan.MatchA(1, ":ub", 2)))
+    val iq = new IncrementalQuery(spark, plan, kinds)
+    val records = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    def settled(): Long = {
+      val deadline = System.nanoTime + 10_000_000_000L
+      var prev = -1L
+      var cur = records.get
+      while (prev != cur && System.nanoTime < deadline) {
+        prev = cur; Thread.sleep(200); cur = records.get
+      }
+      cur
+    }
+    def deltas(from: Long, n: Long) = Map(
+      ":ua" -> (from until from + n).map(i => (i, i, 1L)).toDF("e", "v", "diff"))
+    def measured(from: Long): Long = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        records.set(0)
+        assert(iq.advance(deltas(from, 10)).count() > 0)
+        settled()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    iq.advance(deltas(0, 100)).count()
+    val small = measured(1_000_000)
+    iq.advance(deltas(1_000, 10_000)).count()
+    val big = measured(2_000_000)
+    // Identical 10-row deltas against 110-row and ~10k-row threshold
+    // state: the shuffle carries the delta (and its consolidated output
+    // diffs) only — the support-count state is merged narrowly.
+    assert(big <= small + 500,
+      s"10-row batch shuffled $small records on small state but $big on 100x state")
+    assert(big < 2000, s"10-row batch shuffled $big records against ~10k-row state")
+  }
+
   test("foreachBatch attachment delivers per-time consolidated diffs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
