@@ -186,6 +186,37 @@ class Domain(val spark: SparkSession) extends Serializable {
 
   def attributeNames: Seq[String] = attrs.keys.toSeq
 
+  /** Known scalar kind of every stored/static attribute (incremental
+    * maintenance builds its delta schemas from this). */
+  def knownKinds: Map[String, ValueKind] =
+    attrs.iterator.collect {
+      case (name, st) if st.kind.isDefined => name -> st.kind.get
+    }.toMap
+
+  /** Input semantics of a stored attribute (Raw when unknown/static). */
+  def semanticsOf(name: String): InputSemantics =
+    attrs.get(name).map(_.config.inputSemantics).getOrElse(InputSemantics.Raw)
+
+  /** Static bulk frame (e, v) of `name`, if registered static. */
+  def staticFrame(name: String): Option[DataFrame] =
+    attrs.get(name).flatMap(_.staticDf)
+
+  /** True when `name` is a derived (computed-view) attribute. */
+  def isDerived(name: String): Boolean = derivedAttrs.contains(name)
+
+  /** Consolidated signed (e, v, diff) rows of `name`'s stored datoms with
+    * time in [from, until) — the per-time delta feed of incremental
+    * maintenance. Driver-sized by the same contract as `transact`. */
+  def bufferedDeltas(name: String, from: Long, until: Long): Seq[(Long, Any, Long)] =
+    attrs.get(name).toSeq.flatMap { st =>
+      st.buffer.iterator
+        .filter(d => d._3 >= from && d._3 < until)
+        .toSeq.groupBy(d => (d._1, d._2))
+        .iterator.collect {
+          case ((e, v), ds) if ds.map(_._4).sum != 0L => (e, v, ds.map(_._4).sum)
+        }.toSeq
+    }
+
   def registerRule(rule: Rule): Unit = rulesCatalog(rule.name) = rule
   def rules: Map[String, Rule] = rulesCatalog.toMap
 

@@ -42,6 +42,15 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
   // Sink-delivered interests: diffs are computed as DataFrames (distributed
   // snapshot-vs-previous diff) and handed to the sink — never collected.
   private val sinks = mutable.Map.empty[String, DiffSink]
+  // Incrementally MAINTAINED interests (interestIncremental): per-advance
+  // work is delta-proportional instead of a full recompute — the engine's
+  // analog of the reference's standing dataflows.
+  private val incrementalMarked = mutable.Set.empty[String]
+  private val incrementalQs =
+    mutable.Map.empty[String, graft.streaming.IncrementalQuery]
+  // Static bulk attributes not yet fed into a maintained query's state
+  // (fed once, with the first processed batch).
+  private val staticsPending = mutable.Map.empty[String, Set[String]]
   private val prevFrames = mutable.Map.empty[String, DataFrame]
   private val pendingCoarseFrames =
     mutable.Map.empty[String, mutable.ArrayBuffer[(Long, DataFrame)]]
@@ -104,6 +113,32 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     granularity.foreach(g => granularities(name) = g)
   }
 
+  /** Express interest with INCREMENTAL maintenance: the rule's plan is
+    * compiled into a standing [[graft.streaming.IncrementalQuery]] at
+    * first advance, and each completed time feeds only that time's datom
+    * deltas through it — per-advance work (and shuffled bytes) are
+    * delta-proportional, never a recompute of accumulated state. This is
+    * the engine's analog of the reference's maintained dataflows
+    * (`src/server/mod.rs:225-530` + differential arrangements), vs the
+    * default snapshot-diff path.
+    *
+    * Requirements (fail loudly at first advance): the plan must lie in
+    * the incrementally maintainable fragment (see IncrementalQuery),
+    * every referenced attribute must be Raw-semantics or static (and
+    * registered before the first advance), and the engine must use
+    * multiset semantics. */
+  def interestIncremental(name: String, granularity: Option[Long] = None): Unit = {
+    if (setSemantics) throw GraftError.incorrect(
+      "incremental maintenance emits multiset diffs; set-semantics " +
+        "engines canonicalize with distinct — use the snapshot path")
+    if (!domain.rules.contains(name))
+      throw GraftError.notFound(s"unknown rule $name")
+    interests += name
+    incrementalMarked += name
+    granularity.foreach(g => granularities(name) = g)
+    outputs.getOrElseUpdate(name, mutable.ArrayBuffer.empty)
+  }
+
   /** Withdraw interest: stop tracking the rule and drop its buffered diffs
     * and snapshot state (the reference tears the dataflow down when the
     * last interested client leaves — `src/server/mod.rs:276-281`). */
@@ -117,6 +152,9 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     sinks -= name
     prevFrames -= name
     pendingCoarseFrames -= name
+    incrementalMarked -= name
+    incrementalQs -= name
+    staticsPending -= name
   }
 
   /** Dispatch a wire-format request (`Request`, `src/server/mod.rs:153-191`)
@@ -230,7 +268,8 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     // diffs — the reference replays the compacted trace into newly built
     // dataflows (`tests/registration_test.rs`).
     for (name <- interests if !initialized(name)) {
-      if (processedThrough > 0L) sinks.get(name) match {
+      if (incrementalMarked(name)) initIncremental(name)
+      else if (processedThrough > 0L) sinks.get(name) match {
         case Some(sink) =>
           val cur = frameSnapshot(name, processedThrough - 1)
           sink.deliver(name, frontier, frameDiff(cur, None, frontier))
@@ -251,7 +290,20 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
       // Coarsen, src/timestamp/mod.rs:151-154) — and hold them until the
       // frontier passes that bound.
       val coarse = granularities.get(name).map(g => (t / g + 1L) * g)
-      sinks.get(name) match {
+      if (incrementalQs.contains(name)) {
+        val deltas = incrementalDeltas(name, t, t + 1)
+        if (deltas.nonEmpty) {
+          val rows = collectDiffs(incrementalQs(name).advance(deltas))
+          if (rows.nonEmpty) {
+            val (tOut, buf) = coarse match {
+              case Some(c) =>
+                (c, pendingCoarse.getOrElseUpdate(name, mutable.ArrayBuffer.empty))
+              case None => (t, outputs(name))
+            }
+            rows.foreach { case (tuple, w) => buf += ((tuple, tOut, w)) }
+          }
+        }
+      } else sinks.get(name) match {
         case Some(sink) =>
           val cur = frameSnapshot(name, t)
           val diff = frameDiff(cur, prevFrames.get(name), coarse.getOrElse(t))
@@ -359,6 +411,84 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
           .where(col("_diff") =!= 0L)
     }
   }
+
+  /** Build the standing maintained query for an incremental interest and
+    * (late subscriber) replay accumulated history as initial diffs at the
+    * current frontier — the analog of the reference replaying the
+    * compacted trace into a newly built dataflow. */
+  private def initIncremental(name: String): Unit = {
+    val plan = domain.rules(name).plan
+    val attrs = graft.streaming.IncrementalQuery.planAttributes(plan)
+    attrs.foreach { a =>
+      if (domain.isDerived(a)) throw GraftError.incorrect(
+        s"incremental maintenance over derived attribute $a is not " +
+          "supported; use the snapshot path")
+      if (domain.staticFrame(a).isEmpty &&
+        domain.semanticsOf(a) != InputSemantics.Raw)
+        throw GraftError.incorrect(
+          s"incremental maintenance requires Raw input semantics on $a " +
+            "(Distinct/LastWriteWins need the snapshot path)")
+    }
+    val iq = new graft.streaming.IncrementalQuery(spark, plan, domain.knownKinds)
+    incrementalQs(name) = iq
+    resultKinds(name) = iq.outputKinds
+    staticsPending(name) =
+      iq.referencedAttributes.filter(a => domain.staticFrame(a).isDefined)
+    if (processedThrough > 0L) {
+      val deltas = incrementalDeltas(name, 0L, processedThrough)
+      if (deltas.nonEmpty) {
+        val rows = collectDiffs(iq.advance(deltas))
+        val buf = outputs(name)
+        rows.foreach { case (tuple, w) => buf += ((tuple, frontier, w)) }
+      }
+    }
+  }
+
+  /** Per-attribute delta frames for a maintained rule over datom times in
+    * [from, until); pending static bulk attributes ride along with the
+    * first batch that feeds them (weight-1 initial load). */
+  private def incrementalDeltas(
+      name: String, from: Long, until: Long): Map[String, DataFrame] = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val iq = incrementalQs(name)
+    val statics = staticsPending.getOrElse(name, Set.empty)
+    staticsPending(name) = Set.empty
+    val staticFeeds: Map[String, DataFrame] = statics.iterator.map { a =>
+      a -> domain.staticFrame(a).get
+        .select(col("e"), col("v"), lit(1L).as("diff"))
+    }.toMap
+    val bufferFeeds: Map[String, DataFrame] =
+      iq.referencedAttributes.iterator.flatMap { a =>
+        val ds = domain.bufferedDeltas(a, from, until)
+        if (ds.isEmpty) None
+        else {
+          val k = domain.knownKinds(a)
+          val schema = StructType(Seq(
+            StructField("e", LongType, false),
+            StructField("v", k.dataType, true),
+            StructField("diff", LongType, false)))
+          val rows = ds.map { case (e, v, d) => Row(e, v, d) }
+          Some(a -> spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema))
+        }
+      }.toMap
+    (staticFeeds.keySet ++ bufferFeeds.keySet).iterator.map { a =>
+      a -> ((staticFeeds.get(a), bufferFeeds.get(a)) match {
+        case (Some(s), Some(b)) => s.unionByName(b)
+        case (Some(s), None)    => s
+        case (None, Some(b))    => b
+        case (None, None)       => sys.error("unreachable")
+      })
+    }.toMap
+  }
+
+  /** Collect a maintained query's consolidated diff frame into drain
+    * tuples (same deepNative canonicalization as the snapshot path). */
+  private def collectDiffs(df: DataFrame): Seq[(Seq[Any], Long)] =
+    df.collect().iterator.map { row =>
+      val n = row.length - 1
+      ((0 until n).map(i => Engine.deepNative(row.get(i))), row.getLong(n))
+    }.toSeq
 
   private def snapshot(name: String, t: Long): Map[Seq[Any], Long] = {
     val compiler = new Compiler(domain.asOf(t), domain.rules,

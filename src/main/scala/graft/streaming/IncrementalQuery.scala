@@ -351,6 +351,12 @@ class IncrementalQuery(
   /** Output variables of the maintained query, in output order. */
   def outputVars: Seq[PVar] = root.vars
 
+  /** Output column kinds, in output order. */
+  def outputKinds: Seq[ValueKind] = root.nodeKinds
+
+  /** Attributes whose deltas can change this query's output. */
+  def referencedAttributes: Set[String] = root.attrs
+
   private def emptyAttrDelta(a: String): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
       StructField("e", LongType, false),
@@ -422,6 +428,29 @@ class IncrementalQuery(
 }
 
 object IncrementalQuery {
+
+  /** Every attribute scanned anywhere in a plan — a pre-construction
+    * check surface (construction itself validates maintainability). */
+  def planAttributes(p: Plan): Set[String] = p match {
+    case Plan.MatchA(_, a, _)  => Set(a)
+    case Plan.MatchEA(_, a, _) => Set(a)
+    case Plan.MatchAV(_, a, _) => Set(a)
+    case Plan.Project(_, s)    => planAttributes(s)
+    case Plan.Join(_, l, r)    => planAttributes(l) ++ planAttributes(r)
+    case Plan.Hector(_, bs) =>
+      bs.collect { case Binding.Attr(_, a, _) => a }.toSet
+    case Plan.Antijoin(_, l, r) => planAttributes(l) ++ planAttributes(r)
+    case Plan.Negate(s)         => planAttributes(s)
+    case Plan.Union(_, ps)      => ps.flatMap(planAttributes).toSet
+    case Plan.Filter(_, _, s, _)        => planAttributes(s)
+    case Plan.Transform(_, _, s, _, _)  => planAttributes(s)
+    case Plan.Aggregate(_, s, _, _, _, _) => planAttributes(s)
+    case Plan.NameExpr(_, _)    => Set.empty
+    case Plan.PullLevel(_, s, _, pullAttrs, _, _) =>
+      planAttributes(s) ++ pullAttrs
+    case Plan.Pull(_, paths)    => paths.flatMap(planAttributes).toSet
+    case Plan.PullAll(_, pullAttrs) => pullAttrs.toSet
+  }
 
   /** Partition by the key's standard Seq hash. Top-level so tasks never
     * drag a node (and its SparkSession) along. */

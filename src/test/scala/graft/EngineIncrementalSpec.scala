@@ -1,0 +1,151 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Engine
+import graft.model._
+import graft.model.Plan._
+
+/** `interestIncremental` — the maintained-dataflow serving path — must
+  * drain EXACTLY like the default snapshot-diff path: same tuples, same
+  * times, same weights, for any plan in the maintainable fragment and
+  * any transaction history (retractions included). The work profile
+  * differs (delta-proportional vs recompute); the observable stream must
+  * not. */
+class EngineIncrementalSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private val genDatom: Gen[Datom] = for {
+    e <- Gen.choose(1L, 4L)
+    a <- Gen.oneOf(":p/x", ":p/y")
+    v <- Gen.choose(1L, 3L)
+    diff <- Gen.frequency(3 -> 1L, 1 -> -1L)
+  } yield Datom(e, a, Value.num(v), None, diff)
+
+  private val genHistory: Gen[Seq[Seq[Datom]]] =
+    Gen.chooseNum(2, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.nonEmptyListOf(genDatom).map(_.take(6))))
+
+  // The maintainable fragment: linear zones, union (with negation),
+  // hector (with predicates), join-of-matches, aggregation over both.
+  private val plans: Seq[(String, Plan)] = Seq(
+    "scan" -> matchA(0, ":p/x", 1),
+    "linear" -> Transform(Seq(1), 3,
+      Filter(Seq(1), Predicate.GT, matchA(0, ":p/x", 1),
+        Seq(None, Some(Value.num(1)))),
+      Fn.ADD, Seq(Some(Value.num(5)))),
+    "union_negated" -> Union(Seq(0), Seq(
+      matchA(0, ":p/x", 1), Negate(matchA(0, ":p/y", 1)))),
+    "join" -> Join(Seq(0), matchA(0, ":p/x", 1), matchA(0, ":p/y", 2)),
+    "hector_pred" -> q(Seq(0, 1, 2), Seq(
+      Binding.attribute(0, ":p/x", 1),
+      Binding.attribute(0, ":p/y", 2),
+      Binding.binaryPredicate(Predicate.LTE, 1, 2))),
+    "agg_count" -> Aggregate(Seq(0, 1), matchA(0, ":p/x", 1),
+      Seq(AggregationFn.COUNT), Seq(0), Seq(1), Seq.empty),
+    "agg_avg_hector" -> Aggregate(Seq(0, 2),
+      Hector(Seq(0, 1, 2), Seq(
+        Binding.attribute(0, ":p/x", 1), Binding.attribute(1, ":p/y", 2))),
+      Seq(AggregationFn.AVG), Seq(0), Seq(2), Seq.empty))
+
+  private type Drained = Map[(Seq[Any], Long, Long), Int]
+  private def multiset(s: Seq[(Seq[Any], Long, Long)]): Drained =
+    s.groupBy(identity).view.mapValues(_.size).toMap
+
+  private def run(plan: Plan, history: Seq[Seq[Datom]],
+      incremental: Boolean): Seq[Drained] = {
+    val e = new Engine(spark)
+    Seq(":p/x", ":p/y").foreach(a =>
+      e.createAttribute(a, AttributeConfig(InputSemantics.Raw)))
+    e.register(Rule("query", plan))
+    if (incremental) e.interestIncremental("query") else e.interest("query")
+    history.zipWithIndex.map { case (tx, i) =>
+      e.transact(tx)
+      e.advance(i + 1L)
+      multiset(e.drain("query"))
+    }
+  }
+
+  test("incremental drains exactly like the snapshot path, per advance") {
+    val params = Gen.Parameters.default
+    for (((label, plan), i) <- plans.zipWithIndex) {
+      val history = genHistory(params, Seed(31L + i * 8191L)).getOrElse(Seq.empty)
+      val snap = run(plan, history, incremental = false)
+      val inc = run(plan, history, incremental = true)
+      assert(inc == snap, s"$label: history=$history")
+      assert(snap.exists(_.nonEmpty), s"$label produced no diffs at all")
+    }
+  }
+
+  test("late subscriber replays accumulated state at the current frontier") {
+    val history = Seq(
+      Seq(Datom(1, ":p/x", Value.num(1), None, 1),
+        Datom(2, ":p/x", Value.num(2), None, 1)),
+      Seq(Datom(1, ":p/x", Value.num(1), None, -1),
+        Datom(3, ":p/x", Value.num(3), None, 1)))
+    def late(incremental: Boolean): Drained = {
+      val e = new Engine(spark)
+      e.createAttribute(":p/x", AttributeConfig(InputSemantics.Raw))
+      e.register(Rule("query", matchA(0, ":p/x", 1)))
+      history.zipWithIndex.foreach { case (tx, i) =>
+        e.transact(tx); e.advance(i + 1L)
+      }
+      if (incremental) e.interestIncremental("query") else e.interest("query")
+      e.advance(3L)
+      multiset(e.drain("query"))
+    }
+    val snap = late(incremental = false)
+    assert(late(incremental = true) == snap)
+    assert(snap.nonEmpty)
+  }
+
+  test("static bulk attributes feed the maintained state once") {
+    import spark.implicits._
+    def run(incremental: Boolean): Seq[Drained] = {
+      val e = new Engine(spark)
+      e.domain.registerStatic(":s/dim",
+        Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("e", "v"),
+        ValueKind.KNumber)
+      e.createAttribute(":p/x", AttributeConfig(InputSemantics.Raw))
+      e.register(Rule("query", Hector(Seq(0, 1, 2), Seq(
+        Binding.attribute(0, ":p/x", 1), Binding.attribute(0, ":s/dim", 2)))))
+      if (incremental) e.interestIncremental("query") else e.interest("query")
+      Seq(
+        Seq(Datom(1, ":p/x", Value.num(7), None, 1)),
+        Seq(Datom(2, ":p/x", Value.num(8), None, 1),
+          Datom(1, ":p/x", Value.num(7), None, -1)))
+        .zipWithIndex.map { case (tx, i) =>
+          e.transact(tx); e.advance(i + 1L)
+          multiset(e.drain("query"))
+        }
+    }
+    val snap = run(incremental = false)
+    assert(run(incremental = true) == snap)
+    assert(snap.head.nonEmpty)
+  }
+
+  test("unsupported semantics and plans fail loudly") {
+    val e1 = new Engine(spark, setSemantics = true)
+    e1.register(Rule("q1", matchA(0, ":p/x", 1)))
+    intercept[GraftError](e1.interestIncremental("q1"))
+
+    val e2 = new Engine(spark)
+    e2.createAttribute(":d/x", AttributeConfig(InputSemantics.Distinct))
+    e2.register(Rule("q2", matchA(0, ":d/x", 1)))
+    e2.interestIncremental("q2")
+    e2.transact(Seq(Datom(1, ":d/x", Value.num(1), None, 1)))
+    intercept[GraftError](e2.advance(1L)) // Distinct semantics rejected
+
+    val e3 = new Engine(spark)
+    e3.createAttribute(":p/x", AttributeConfig(InputSemantics.Raw))
+    e3.createAttribute(":p/y", AttributeConfig(InputSemantics.Raw))
+    e3.register(Rule("q3",
+      Antijoin(Seq(0), matchA(0, ":p/x", 1), Project(Seq(0), matchA(0, ":p/y", 2)))))
+    e3.interestIncremental("q3")
+    e3.transact(Seq(Datom(1, ":p/x", Value.num(1), None, 1)))
+    intercept[RuntimeException](e3.advance(1L)) // outside the fragment
+  }
+}
