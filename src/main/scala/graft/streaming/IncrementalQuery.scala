@@ -52,9 +52,14 @@ import graft.model._
   *       support distinct set with the upper median
   *       (`src/plan/aggregate_neu.rs:45-285`).
   *
-  * Not maintained here (fail loudly at construction): `Antijoin` and
-  * `Not` bindings (negation needs delete-and-rederive — the batch
-  * engine's job, as for [[IncrementalHector]]), recursion via `NameExpr`
+  *     - `Antijoin` → two support-count tables (distinct left rows,
+  *       right keys) co-partitioned by the join key, recomputing each
+  *       touched key's old/new output partition-locally — including the
+  *       bulk retract/assert when a right key's presence flips.
+  *
+  * Not maintained here (fail loudly at construction): `Not` bindings
+  * inside Hector (delete-and-rederive — the batch engine's job, as for
+  * [[IncrementalHector]]), recursion via `NameExpr`
   * ([[IncrementalClosure]]'s job), and the Pull family (point-lookup
   * views the batch engine serves).
   *
@@ -195,6 +200,56 @@ class IncrementalQuery(
       }
   }
 
+  /** Antijoin node — the batch compiler's semantics
+    * (`Compiler.antijoin`, reference `src/plan/antijoin.rs:95-98`): both
+    * sides distinct-ed, output = distinct left rows whose key has no
+    * present right key, at weight 1. State = two support-count tables
+    * (left rows, right keys), BOTH partitioned by the key prefix, so a
+    * key's entire left support and right presence are co-resident: a
+    * batch recomputes the key's old/new output partition-locally for
+    * exactly the touched keys — including the bulk retract/assert when a
+    * right-key presence flips. One O(delta) shuffle per side per batch. */
+  private final class AntijoinNode(
+      left: Node, right: Node, keyLen: Int) extends Node {
+    val vars: Seq[PVar] = left.vars
+    val nodeKinds: Seq[ValueKind] = left.nodeKinds
+    val attrs: Set[String] = left.attrs ++ right.attrs
+
+    private val part = new PrefixPartitioner(shufflePartitions, keyLen)
+    private var lState: RDD[(Seq[Any], Long)] =
+      spark.sparkContext.emptyRDD[(Seq[Any], Long)].partitionBy(part)
+    private var rState: RDD[(Seq[Any], Long)] =
+      spark.sparkContext.emptyRDD[(Seq[Any], Long)].partitionBy(part)
+
+    def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
+      if (!touched(attrDeltas)) emptyDiff
+      else {
+        val width = vars.length
+        val kl = keyLen
+        val dL = left.advance(attrDeltas).rdd
+          .map(r => (rowKey(r, width), r.getLong(width)))
+          .reduceByKey(part, _ + _)
+        val dR = right.advance(attrDeltas).rdd
+          .map(r => (rowKey(r, kl), r.getLong(kl)))
+          .reduceByKey(part, _ + _)
+        val tagged = lState.zipPartitions(rState, dL, dR,
+          preservesPartitioning = true) { (lIt, rIt, dlIt, drIt) =>
+          antijoinMerge(kl, lIt, rIt, dlIt, drIt)
+        }.localCheckpoint()
+        tagged.count() // materialize before rebinding state
+        lState = tagged.filter(_._1 == 0)
+          .mapPartitions(_.map { case (_, row, w) => (row, w) },
+            preservesPartitioning = true)
+        rState = tagged.filter(_._1 == 1)
+          .mapPartitions(_.map { case (_, k, w) => (k, w) },
+            preservesPartitioning = true)
+        spark.createDataFrame(
+          tagged.filter(_._1 == 2)
+            .map { case (_, row, w) => Row.fromSeq(row :+ w) },
+          schema)
+      }
+  }
+
   /** Grouped-aggregate node: state = ((key, value) → net weight)
     * partitioned by KEY; batch-compiler-exact output rows (see class
     * doc), retract/assert diffs for exactly the touched keys. */
@@ -312,6 +367,13 @@ class IncrementalQuery(
 
     case Plan.Union(vs, branches) =>
       new ThresholdNode(branches.map(b => zoneOf(Plan.Project(vs, b))))
+
+    case Plan.Antijoin(vs, l, r) =>
+      val lRest = Plan.boundVariables(l, _ => Seq.empty)
+        .distinct.filterNot(vs.contains)
+      new AntijoinNode(
+        zoneOf(Plan.Project(vs ++ lRest, l)),
+        zoneOf(Plan.Project(vs, r)), vs.length)
 
     case Plan.Aggregate(vs, child, fns, keyVars, aggVars, withVars) =>
       require(fns.length == 1 && withVars.isEmpty,
@@ -472,6 +534,92 @@ object IncrementalQuery {
 
   private def rowKey(r: Row, width: Int): Seq[Any] =
     (0 until width).map(r.get).toIndexedSeq
+
+  /** Partition by the first `keyLen` values of a Seq key — left rows and
+    * right keys of an antijoin land where their key does. */
+  private final class PrefixPartitioner(n: Int, keyLen: Int) extends Partitioner {
+    def numPartitions: Int = n
+    def getPartition(key: Any): Int =
+      java.lang.Math.floorMod(
+        key.asInstanceOf[Seq[Any]].take(keyLen).hashCode, n)
+    override def equals(o: Any): Boolean = o match {
+      case p: PrefixPartitioner => p.numPartitions == n
+      case _                    => false
+    }
+    override def hashCode: Int = n
+  }
+
+  /** Antijoin merge for one partition: tag 0 = left-support state, tag 1
+    * = right-key state, tag 2 = output diffs. For each touched key the
+    * old and new output (distinct left rows iff no right key) are
+    * recomputed from co-resident support and set-diffed. */
+  private def antijoinMerge(
+      keyLen: Int,
+      lIt: Iterator[(Seq[Any], Long)], rIt: Iterator[(Seq[Any], Long)],
+      dlIt: Iterator[(Seq[Any], Long)], drIt: Iterator[(Seq[Any], Long)]): Iterator[(Int, Seq[Any], Long)] = {
+    val dl = new java.util.HashMap[Seq[Any], java.lang.Long]()
+    dlIt.foreach { case (row, w) => dl.put(row, w) }
+    val dr = new java.util.HashMap[Seq[Any], java.lang.Long]()
+    drIt.foreach { case (k, w) => dr.put(k, w) }
+    val touched = new java.util.HashSet[Seq[Any]]()
+    dl.keySet().iterator().asScala.foreach(row => touched.add(row.take(keyLen)))
+    dr.keySet().iterator().asScala.foreach(touched.add)
+
+    type Rows = mutable.ArrayBuffer[Seq[Any]]
+    val oldRows = new java.util.HashMap[Seq[Any], Rows]()
+    val newRows = new java.util.HashMap[Seq[Any], Rows]()
+    def add(m: java.util.HashMap[Seq[Any], Rows], k: Seq[Any], row: Seq[Any]): Unit = {
+      var b = m.get(k)
+      if (b == null) { b = mutable.ArrayBuffer.empty; m.put(k, b) }
+      b += row
+    }
+    val out = mutable.ArrayBuffer.empty[(Int, Seq[Any], Long)]
+    lIt.foreach { case (row, w) =>
+      val k = row.take(keyLen)
+      if (!touched.contains(k)) out += ((0, row, w))
+      else {
+        if (w > 0) add(oldRows, k, row)
+        val dw = dl.remove(row)
+        val nw = if (dw == null) w else w + dw.longValue
+        if (nw != 0L) out += ((0, row, nw))
+        if (nw > 0) add(newRows, k, row)
+      }
+    }
+    dl.entrySet().iterator().asScala.foreach { e =>
+      val row = e.getKey
+      val w = e.getValue.longValue
+      if (w != 0L) out += ((0, row, w))
+      if (w > 0) add(newRows, row.take(keyLen), row)
+    }
+    val oldPresent = new java.util.HashSet[Seq[Any]]()
+    val newPresent = new java.util.HashSet[Seq[Any]]()
+    rIt.foreach { case (k, w) =>
+      if (!touched.contains(k)) out += ((1, k, w))
+      else {
+        if (w > 0) oldPresent.add(k)
+        val dw = dr.remove(k)
+        val nw = if (dw == null) w else w + dw.longValue
+        if (nw != 0L) out += ((1, k, nw))
+        if (nw > 0) newPresent.add(k)
+      }
+    }
+    dr.entrySet().iterator().asScala.foreach { e =>
+      val w = e.getValue.longValue
+      if (w != 0L) out += ((1, e.getKey, w))
+      if (w > 0) newPresent.add(e.getKey)
+    }
+    touched.iterator().asScala.foreach { k =>
+      val were: Set[Seq[Any]] =
+        if (oldPresent.contains(k)) Set.empty
+        else Option(oldRows.get(k)).map(_.toSet).getOrElse(Set.empty)
+      val now: Set[Seq[Any]] =
+        if (newPresent.contains(k)) Set.empty
+        else Option(newRows.get(k)).map(_.toSet).getOrElse(Set.empty)
+      (were diff now).foreach(row => out += ((2, row, -1L)))
+      (now diff were).foreach(row => out += ((2, row, 1L)))
+    }
+    out.iterator
+  }
 
   /** Threshold merge for one partition: tag 0 = surviving state rows,
     * tag 1 = output diffs at support zero-crossings (distinctify's

@@ -40,6 +40,8 @@ class EngineIncrementalSpec extends AnyFunSuite {
     "union_negated" -> Union(Seq(0), Seq(
       matchA(0, ":p/x", 1), Negate(matchA(0, ":p/y", 1)))),
     "join" -> Join(Seq(0), matchA(0, ":p/x", 1), matchA(0, ":p/y", 2)),
+    "antijoin" -> Antijoin(Seq(0),
+      matchA(0, ":p/x", 1), Project(Seq(0), matchA(0, ":p/y", 2))),
     "hector_pred" -> q(Seq(0, 1, 2), Seq(
       Binding.attribute(0, ":p/x", 1),
       Binding.attribute(0, ":p/y", 2),
@@ -141,11 +143,10 @@ class EngineIncrementalSpec extends AnyFunSuite {
 
     val e3 = new Engine(spark)
     e3.createAttribute(":p/x", AttributeConfig(InputSemantics.Raw))
-    e3.createAttribute(":p/y", AttributeConfig(InputSemantics.Raw))
-    e3.register(Rule("q3",
-      Antijoin(Seq(0), matchA(0, ":p/x", 1), Project(Seq(0), matchA(0, ":p/y", 2)))))
+    e3.register(Rule("base", matchA(0, ":p/x", 1)))
+    e3.register(Rule("q3", NameExpr(Seq(0, 1), "base")))
     e3.interestIncremental("q3")
     e3.transact(Seq(Datom(1, ":p/x", Value.num(1), None, 1)))
-    intercept[RuntimeException](e3.advance(1L)) // outside the fragment
+    intercept[RuntimeException](e3.advance(1L)) // recursion/rules: outside the fragment
   }
 }

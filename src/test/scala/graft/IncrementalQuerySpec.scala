@@ -128,6 +128,13 @@ class IncrementalQuerySpec extends AnyFunSuite {
     check(plan, genBatches(303, Seq(":e1", ":e2"), 4, es = 3, vs = 3))
   }
 
+  test("antijoin: right-key presence flips bulk-retract left rows") {
+    val plan = Plan.Antijoin(Seq(1),
+      Plan.MatchA(1, ":ua", 2),
+      Plan.Project(Seq(1), Plan.MatchA(1, ":ub", 3)))
+    check(plan, genBatches(404, Seq(":ua", ":ub"), 5))
+  }
+
   test("every AggregationFn over a match, batch-exact incl. rationals") {
     import AggregationFn._
     for (fn <- Seq(COUNT, SUM, AVG, VARIANCE, MIN, MAX, MEDIAN)) {
