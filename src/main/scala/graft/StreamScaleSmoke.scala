@@ -158,6 +158,73 @@ object StreamScaleSmoke {
       } finally query.stop()
     }
 
+    // ------------------------------------- 4. composed IncrementalQuery
+    {
+      import graft.streaming.IncrementalQuery
+      val kinds = Map(":sm/a" -> ValueKind.KNumber, ":sm/b" -> ValueKind.KNumber)
+      val shuffled = new AtomicLong
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) shuffled.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        }
+      }
+      def delta(from: Long, n: Long, sign: Long = 1L) =
+        spark.range(from, from + n).select(col("id").as("e"),
+          (col("id") * 3L).as("v"), org.apache.spark.sql.functions.lit(sign).as("diff"))
+
+      // Aggregate over a conjunction — COUNT per entity, maintained
+      // through both state classes (hector inputs + keyed agg support).
+      val agg = new IncrementalQuery(spark,
+        Plan.Aggregate(Seq(0, 2), Plan.Hector(Seq(0, 1, 2), Seq(
+          Binding.attribute(0, ":sm/a", 1), Binding.attribute(0, ":sm/b", 2))),
+          Seq(AggregationFn.COUNT), Seq(0), Seq(2), Seq.empty), kinds)
+      var t0 = now()
+      val seeded = agg.advance(Map(
+        ":sm/a" -> delta(0L, 1000000L), ":sm/b" -> delta(0L, 1000000L)))
+      println(f"[scale] composed-agg seed state=1000000x2 out=${seeded.count()}%d sec=${secs(t0)}%.1f")
+      spark.sparkContext.addSparkListener(listener)
+      (1 to 6).foreach { b =>
+        val from = 1000000L + b * 5000L
+        shuffled.set(0)
+        t0 = now()
+        val out = agg.advance(Map(
+          ":sm/a" -> delta(from, 5000L), ":sm/b" -> delta(from, 5000L)))
+        val n = out.count()
+        val dt = secs(t0)
+        Thread.sleep(500) // listener bus drain
+        println(f"[scale] composed-agg batch=$b%d delta=5000x2 out=$n%d " +
+          f"state=${1000000L + b * 5000L}%d shuffleRecords=${shuffled.get}%d sec=$dt%.2f")
+      }
+      spark.sparkContext.removeSparkListener(listener)
+
+      // Antijoin — 1M distinct left rows, right-key flips bulk-retract
+      // and re-assert their co-partitioned left support.
+      val anti = new IncrementalQuery(spark,
+        Plan.Antijoin(Seq(0), Plan.MatchA(0, ":sm/a", 1),
+          Plan.Project(Seq(0), Plan.MatchA(0, ":sm/b", 2))), kinds)
+      t0 = now()
+      val aSeed = anti.advance(Map(":sm/a" -> delta(0L, 1000000L)))
+      println(f"[scale] antijoin seed left=1000000 out=${aSeed.count()}%d sec=${secs(t0)}%.1f")
+      spark.sparkContext.addSparkListener(listener)
+      (1 to 4).foreach { b =>
+        // 2k right keys flip in (bulk retract of their left rows), the
+        // previous batch's 2k flip back out (bulk re-assert).
+        val flipIn = delta(b * 2000L, 2000L)
+        val flipOut = delta((b - 1) * 2000L, 2000L, -1L)
+        shuffled.set(0)
+        t0 = now()
+        val out = anti.advance(Map(":sm/b" ->
+          (if (b == 1) flipIn else flipIn.unionByName(flipOut))))
+        val n = out.count()
+        val dt = secs(t0)
+        Thread.sleep(500)
+        println(f"[scale] antijoin batch=$b%d rightFlips=${if (b == 1) 2000 else 4000}%d " +
+          f"out=$n%d left=1000000 shuffleRecords=${shuffled.get}%d sec=$dt%.2f")
+      }
+      spark.sparkContext.removeSparkListener(listener)
+    }
+
     println("[scale] smoke complete — no driver failure")
     spark.stop()
   }
