@@ -126,7 +126,10 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     * the incrementally maintainable fragment (see IncrementalQuery),
     * every referenced attribute must be Raw-semantics or static (and
     * registered before the first advance), and the engine must use
-    * multiset semantics. */
+    * multiset semantics. Attributes whose value kind is not yet known
+    * (no datom or static registration) keep the rule on the snapshot
+    * path — delivery is identical — until the kinds appear, when the
+    * standing query takes over by replaying history into its state. */
   def interestIncremental(name: String, granularity: Option[Long] = None): Unit = {
     if (setSemantics) throw GraftError.incorrect(
       "incremental maintenance emits multiset diffs; set-semantics " +
@@ -267,9 +270,18 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     // already processed) receive the accumulated current state as initial
     // diffs — the reference replays the compacted trace into newly built
     // dataflows (`tests/registration_test.rs`).
+    // Incremental interests whose referenced attributes all have known
+    // kinds build (or convert to) their standing query now; the rest are
+    // served by the snapshot path until first datoms reveal the kinds.
+    for (name <- interests if incrementalMarked(name) &&
+        !incrementalQs.contains(name)) {
+      val deliver = !initialized(name) // conversion: already delivered via snapshots
+      if (tryInitIncremental(name, deliverReplay = deliver))
+        initialized += name
+    }
+
     for (name <- interests if !initialized(name)) {
-      if (incrementalMarked(name)) initIncremental(name)
-      else if (processedThrough > 0L) sinks.get(name) match {
+      if (processedThrough > 0L) sinks.get(name) match {
         case Some(sink) =>
           val cur = frameSnapshot(name, processedThrough - 1)
           sink.deliver(name, frontier, frameDiff(cur, None, frontier))
@@ -412,11 +424,15 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     }
   }
 
-  /** Build the standing maintained query for an incremental interest and
-    * (late subscriber) replay accumulated history as initial diffs at the
-    * current frontier — the analog of the reference replaying the
-    * compacted trace into a newly built dataflow. */
-  private def initIncremental(name: String): Unit = {
+  /** Build the standing maintained query for an incremental interest,
+    * replaying accumulated history into its state — as initial diffs at
+    * the current frontier when `deliverReplay` (a late subscriber, the
+    * analog of the reference replaying the compacted trace into a newly
+    * built dataflow), silently when converting a rule the snapshot path
+    * already delivered. Returns false — serve via snapshots for now —
+    * while a referenced attribute's kind is still unknown (no datom or
+    * static registration yet). */
+  private def tryInitIncremental(name: String, deliverReplay: Boolean): Boolean = {
     val plan = domain.rules(name).plan
     val attrs = graft.streaming.IncrementalQuery.planAttributes(plan)
     attrs.foreach { a =>
@@ -429,7 +445,9 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
           s"incremental maintenance requires Raw input semantics on $a " +
             "(Distinct/LastWriteWins need the snapshot path)")
     }
-    val iq = new graft.streaming.IncrementalQuery(spark, plan, domain.knownKinds)
+    val known = domain.knownKinds
+    if (!attrs.forall(known.contains)) return false
+    val iq = new graft.streaming.IncrementalQuery(spark, plan, known)
     incrementalQs(name) = iq
     resultKinds(name) = iq.outputKinds
     staticsPending(name) =
@@ -437,11 +455,19 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     if (processedThrough > 0L) {
       val deltas = incrementalDeltas(name, 0L, processedThrough)
       if (deltas.nonEmpty) {
-        val rows = collectDiffs(iq.advance(deltas))
-        val buf = outputs(name)
-        rows.foreach { case (tuple, w) => buf += ((tuple, frontier, w)) }
+        val diffs = iq.advance(deltas)
+        if (deliverReplay) {
+          val buf = outputs(name)
+          collectDiffs(diffs).foreach { case (tuple, w) =>
+            buf += ((tuple, frontier, w))
+          }
+        }
+        // else: state advanced; these times were already delivered as
+        // snapshot diffs — do not re-deliver.
       }
     }
+    prevSnapshots -= name
+    true
   }
 
   /** Per-attribute delta frames for a maintained rule over datom times in

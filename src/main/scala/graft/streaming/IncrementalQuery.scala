@@ -52,16 +52,18 @@ import graft.model._
   *       support distinct set with the upper median
   *       (`src/plan/aggregate_neu.rs:45-285`).
   *
-  *     - `Antijoin` → two support-count tables (distinct left rows,
-  *       right keys) co-partitioned by the join key, recomputing each
-  *       touched key's old/new output partition-locally — including the
-  *       bulk retract/assert when a right key's presence flips.
+  *     - `Antijoin` (and Hector `Not` bindings, lowered exactly as the
+  *       batch compiler lowers them: positive conjunction, then one
+  *       anti-join per Not on the shared variables) → two support-count
+  *       tables (left rows, right keys) co-partitioned by the join key,
+  *       recomputing each touched key's old/new output partition-locally
+  *       — including the bulk retract/assert when a right key's presence
+  *       flips. `Plan.Antijoin` uses the distinct-left form, Hector
+  *       `Not` the multiset left-anti form, both batch-exact.
   *
-  * Not maintained here (fail loudly at construction): `Not` bindings
-  * inside Hector (delete-and-rederive — the batch engine's job, as for
-  * [[IncrementalHector]]), recursion via `NameExpr`
-  * ([[IncrementalClosure]]'s job), and the Pull family (point-lookup
-  * views the batch engine serves).
+  * Not maintained here (fail loudly at construction): recursion via
+  * `NameExpr` ([[IncrementalClosure]]'s job) and the Pull family
+  * (point-lookup views the batch engine serves).
   *
   * Restrictions on `Aggregate` nodes (v1): single aggregation function,
   * no `:with` variables, order statistics over long- or string-typed
@@ -210,31 +212,35 @@ class IncrementalQuery(
     * exactly the touched keys — including the bulk retract/assert when a
     * right-key presence flips. One O(delta) shuffle per side per batch. */
   private final class AntijoinNode(
-      left: Node, right: Node, keyLen: Int) extends Node {
+      left: Node, right: Node, keyIdx: Seq[Int],
+      distinctLeft: Boolean) extends Node {
     val vars: Seq[PVar] = left.vars
     val nodeKinds: Seq[ValueKind] = left.nodeKinds
     val attrs: Set[String] = left.attrs ++ right.attrs
 
-    private val part = new PrefixPartitioner(shufflePartitions, keyLen)
+    private val lPart = new IndexKeyPartitioner(shufflePartitions, keyIdx)
+    private val rPart =
+      new IndexKeyPartitioner(shufflePartitions, keyIdx.indices)
     private var lState: RDD[(Seq[Any], Long)] =
-      spark.sparkContext.emptyRDD[(Seq[Any], Long)].partitionBy(part)
+      spark.sparkContext.emptyRDD[(Seq[Any], Long)].partitionBy(lPart)
     private var rState: RDD[(Seq[Any], Long)] =
-      spark.sparkContext.emptyRDD[(Seq[Any], Long)].partitionBy(part)
+      spark.sparkContext.emptyRDD[(Seq[Any], Long)].partitionBy(rPart)
 
     def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
       if (!touched(attrDeltas)) emptyDiff
       else {
         val width = vars.length
-        val kl = keyLen
+        val kl = keyIdx.length
         val dL = left.advance(attrDeltas).rdd
           .map(r => (rowKey(r, width), r.getLong(width)))
-          .reduceByKey(part, _ + _)
+          .reduceByKey(lPart, _ + _)
         val dR = right.advance(attrDeltas).rdd
           .map(r => (rowKey(r, kl), r.getLong(kl)))
-          .reduceByKey(part, _ + _)
+          .reduceByKey(rPart, _ + _)
+        val ki = keyIdx; val dl = distinctLeft
         val tagged = lState.zipPartitions(rState, dL, dR,
           preservesPartitioning = true) { (lIt, rIt, dlIt, drIt) =>
-          antijoinMerge(kl, lIt, rIt, dlIt, drIt)
+          antijoinMerge(ki, dl, lIt, rIt, dlIt, drIt)
         }.localCheckpoint()
         tagged.count() // materialize before rebinding state
         lState = tagged.filter(_._1 == 0)
@@ -347,10 +353,43 @@ class IncrementalQuery(
 
   /** Build the stateful node for a non-linear operator. */
   private def buildStateful(p: Plan): Node = p match {
-    case Plan.Hector(vs, bindings) =>
-      require(!bindings.exists(_.isInstanceOf[Binding.Not]),
-        "Not bindings need delete-and-rederive via the batch engine")
+    case Plan.Hector(vs, bindings)
+        if !bindings.exists(_.isInstanceOf[Binding.Not]) =>
       new HectorNode(vs, bindings)
+
+    case Plan.Hector(vs, bindings) =>
+      // Negation-as-antijoin, the batch compiler's lowering
+      // (`Compiler.hector`, reference AntijoinBinding,
+      // `src/plan/hector.rs:1494-1529`): the positive conjunction on its
+      // FULL variable set, one multiset anti-join per Not on the shared
+      // variables (const filters preserved in the not-scan), then the
+      // target projection.
+      val nots = bindings.collect { case Binding.Not(a: Binding.Attr) => a }
+      require(nots.lengthCompare(
+        bindings.count(_.isInstanceOf[Binding.Not])) == 0,
+        "Not bindings over non-attribute bindings are not executable")
+      val pos = bindings.filterNot(_.isInstanceOf[Binding.Not])
+      val attrVars = pos.collect { case a: Binding.Attr => a }
+        .flatMap(a => Seq(a.e, a.v))
+      val consts = pos.collect { case Binding.Const(x, v) => x -> v }.toMap
+      val allVars = (attrVars ++ consts.keys).distinct
+      var node: Node = new HectorNode(allVars, pos)
+      nots.foreach { nb =>
+        var notPlan: Plan = Plan.MatchA(nb.e, nb.a, nb.v)
+        consts.get(nb.e).foreach(cv => notPlan =
+          Plan.Filter(Seq(nb.e), Predicate.EQ, notPlan, Seq(None, Some(cv))))
+        consts.get(nb.v).foreach(cv => notPlan =
+          Plan.Filter(Seq(nb.v), Predicate.EQ, notPlan, Seq(None, Some(cv))))
+        val shared = Seq(nb.e, nb.v).distinct.filter(node.vars.contains)
+        require(shared.nonEmpty, "Not binding shares no variable with prefix")
+        node = new AntijoinNode(node,
+          zoneOf(Plan.Project(shared, notPlan)),
+          shared.map(node.vars.indexOf), distinctLeft = false)
+      }
+      if (node.vars == vs) node
+      else new Zone(
+        Plan.Project(vs, Plan.NameExpr(node.vars, "__notPrefix")),
+        Map("__notPrefix" -> node))
 
     case Plan.Join(vs, l, r) =>
       // A join of attribute patterns IS a 2-binding conjunction; route it
@@ -373,7 +412,8 @@ class IncrementalQuery(
         .distinct.filterNot(vs.contains)
       new AntijoinNode(
         zoneOf(Plan.Project(vs ++ lRest, l)),
-        zoneOf(Plan.Project(vs, r)), vs.length)
+        zoneOf(Plan.Project(vs, r)),
+        vs.indices, distinctLeft = true)
 
     case Plan.Aggregate(vs, child, fns, keyVars, aggVars, withVars) =>
       require(fns.length == 1 && withVars.isEmpty,
@@ -535,61 +575,74 @@ object IncrementalQuery {
   private def rowKey(r: Row, width: Int): Seq[Any] =
     (0 until width).map(r.get).toIndexedSeq
 
-  /** Partition by the first `keyLen` values of a Seq key — left rows and
-    * right keys of an antijoin land where their key does. */
-  private final class PrefixPartitioner(n: Int, keyLen: Int) extends Partitioner {
+  /** Partition a Seq key by the values at `keyIdx` — left rows (key
+    * embedded at those positions) and right keys (identity indices) of
+    * an antijoin land where their key does. */
+  private final class IndexKeyPartitioner(n: Int, keyIdx: Seq[Int]) extends Partitioner {
+    private val idx = keyIdx.toIndexedSeq
     def numPartitions: Int = n
-    def getPartition(key: Any): Int =
-      java.lang.Math.floorMod(
-        key.asInstanceOf[Seq[Any]].take(keyLen).hashCode, n)
-    override def equals(o: Any): Boolean = o match {
-      case p: PrefixPartitioner => p.numPartitions == n
-      case _                    => false
+    def getPartition(key: Any): Int = {
+      val s = key.asInstanceOf[Seq[Any]]
+      java.lang.Math.floorMod((idx.map(s.apply): Seq[Any]).hashCode, n)
     }
-    override def hashCode: Int = n
+    override def equals(o: Any): Boolean = o match {
+      case p: IndexKeyPartitioner => p.numPartitions == n && p.idx == idx
+      case _                      => false
+    }
+    override def hashCode: Int = n * 31 + idx.hashCode
   }
 
   /** Antijoin merge for one partition: tag 0 = left-support state, tag 1
     * = right-key state, tag 2 = output diffs. For each touched key the
-    * old and new output (distinct left rows iff no right key) are
-    * recomputed from co-resident support and set-diffed. */
+    * old and new output are recomputed from co-resident support and
+    * diffed. `distinctLeft` selects the Plan.Antijoin form (distinct
+    * left rows at ±1 — `Compiler.antijoin`) vs the Hector-Not form
+    * (multiset left-anti, weights pass through —
+    * `Compiler.hector` negation-as-antijoin). */
   private def antijoinMerge(
-      keyLen: Int,
+      keyIdx: Seq[Int], distinctLeft: Boolean,
       lIt: Iterator[(Seq[Any], Long)], rIt: Iterator[(Seq[Any], Long)],
       dlIt: Iterator[(Seq[Any], Long)], drIt: Iterator[(Seq[Any], Long)]): Iterator[(Int, Seq[Any], Long)] = {
+    def keyOf(row: Seq[Any]): Seq[Any] = keyIdx.map(row.apply)
+    // A left row's contribution to its key's output when no right key is
+    // present: set semantics (support indicator) or multiset (weight).
+    def contrib(w: Long): Long = if (distinctLeft) { if (w > 0) 1L else 0L } else w
     val dl = new java.util.HashMap[Seq[Any], java.lang.Long]()
     dlIt.foreach { case (row, w) => dl.put(row, w) }
     val dr = new java.util.HashMap[Seq[Any], java.lang.Long]()
     drIt.foreach { case (k, w) => dr.put(k, w) }
     val touched = new java.util.HashSet[Seq[Any]]()
-    dl.keySet().iterator().asScala.foreach(row => touched.add(row.take(keyLen)))
+    dl.keySet().iterator().asScala.foreach(row => touched.add(keyOf(row)))
     dr.keySet().iterator().asScala.foreach(touched.add)
 
-    type Rows = mutable.ArrayBuffer[Seq[Any]]
-    val oldRows = new java.util.HashMap[Seq[Any], Rows]()
-    val newRows = new java.util.HashMap[Seq[Any], Rows]()
-    def add(m: java.util.HashMap[Seq[Any], Rows], k: Seq[Any], row: Seq[Any]): Unit = {
-      var b = m.get(k)
-      if (b == null) { b = mutable.ArrayBuffer.empty; m.put(k, b) }
-      b += row
+    type Contribs = java.util.HashMap[Seq[Any], java.lang.Long]
+    val oldRows = new java.util.HashMap[Seq[Any], Contribs]()
+    val newRows = new java.util.HashMap[Seq[Any], Contribs]()
+    def add(m: java.util.HashMap[Seq[Any], Contribs],
+        k: Seq[Any], row: Seq[Any], c: Long): Unit = {
+      if (c != 0L) {
+        var b = m.get(k)
+        if (b == null) { b = new Contribs(); m.put(k, b) }
+        b.put(row, c)
+      }
     }
     val out = mutable.ArrayBuffer.empty[(Int, Seq[Any], Long)]
     lIt.foreach { case (row, w) =>
-      val k = row.take(keyLen)
+      val k = keyOf(row)
       if (!touched.contains(k)) out += ((0, row, w))
       else {
-        if (w > 0) add(oldRows, k, row)
+        add(oldRows, k, row, contrib(w))
         val dw = dl.remove(row)
         val nw = if (dw == null) w else w + dw.longValue
         if (nw != 0L) out += ((0, row, nw))
-        if (nw > 0) add(newRows, k, row)
+        add(newRows, k, row, contrib(nw))
       }
     }
     dl.entrySet().iterator().asScala.foreach { e =>
       val row = e.getKey
       val w = e.getValue.longValue
       if (w != 0L) out += ((0, row, w))
-      if (w > 0) add(newRows, row.take(keyLen), row)
+      add(newRows, keyOf(row), row, contrib(w))
     }
     val oldPresent = new java.util.HashSet[Seq[Any]]()
     val newPresent = new java.util.HashSet[Seq[Any]]()
@@ -609,14 +662,20 @@ object IncrementalQuery {
       if (w > 0) newPresent.add(e.getKey)
     }
     touched.iterator().asScala.foreach { k =>
-      val were: Set[Seq[Any]] =
-        if (oldPresent.contains(k)) Set.empty
-        else Option(oldRows.get(k)).map(_.toSet).getOrElse(Set.empty)
-      val now: Set[Seq[Any]] =
-        if (newPresent.contains(k)) Set.empty
-        else Option(newRows.get(k)).map(_.toSet).getOrElse(Set.empty)
-      (were diff now).foreach(row => out += ((2, row, -1L)))
-      (now diff were).foreach(row => out += ((2, row, 1L)))
+      val o = oldRows.get(k)
+      val n = newRows.get(k)
+      val rows = new java.util.HashSet[Seq[Any]]()
+      if (o != null) rows.addAll(o.keySet())
+      if (n != null) rows.addAll(n.keySet())
+      rows.iterator().asScala.foreach { row =>
+        val oc =
+          if (oldPresent.contains(k) || o == null) 0L
+          else Option(o.get(row)).map(_.longValue).getOrElse(0L)
+        val nc =
+          if (newPresent.contains(k) || n == null) 0L
+          else Option(n.get(row)).map(_.longValue).getOrElse(0L)
+        if (nc != oc) out += ((2, row, nc - oc))
+      }
     }
     out.iterator
   }

@@ -46,6 +46,9 @@ class EngineIncrementalSpec extends AnyFunSuite {
       Binding.attribute(0, ":p/x", 1),
       Binding.attribute(0, ":p/y", 2),
       Binding.binaryPredicate(Predicate.LTE, 1, 2))),
+    "hector_not" -> q(Seq(0, 1), Seq(
+      Binding.attribute(0, ":p/x", 1),
+      Binding.not(0, ":p/y", 2))),
     "agg_count" -> Aggregate(Seq(0, 1), matchA(0, ":p/x", 1),
       Seq(AggregationFn.COUNT), Seq(0), Seq(1), Seq.empty),
     "agg_avg_hector" -> Aggregate(Seq(0, 2),
@@ -74,11 +77,17 @@ class EngineIncrementalSpec extends AnyFunSuite {
   test("incremental drains exactly like the snapshot path, per advance") {
     val params = Gen.Parameters.default
     for (((label, plan), i) <- plans.zipWithIndex) {
-      val history = genHistory(params, Seed(31L + i * 8191L)).getOrElse(Seq.empty)
-      val snap = run(plan, history, incremental = false)
-      val inc = run(plan, history, incremental = true)
-      assert(inc == snap, s"$label: history=$history")
-      assert(snap.exists(_.nonEmpty), s"$label produced no diffs at all")
+      // Parity must hold on every history; at least one of the tried
+      // seeds must produce output (no vacuous green).
+      val nonVacuous = (0 until 3).map { s =>
+        val history =
+          genHistory(params, Seed(31L + i * 8191L + s * 131071L)).getOrElse(Seq.empty)
+        val snap = run(plan, history, incremental = false)
+        val inc = run(plan, history, incremental = true)
+        assert(inc == snap, s"$label: history=$history")
+        snap.exists(_.nonEmpty)
+      }
+      assert(nonVacuous.contains(true), s"$label produced no diffs at all")
     }
   }
 
@@ -127,6 +136,23 @@ class EngineIncrementalSpec extends AnyFunSuite {
     val snap = run(incremental = false)
     assert(run(incremental = true) == snap)
     assert(snap.head.nonEmpty)
+  }
+
+  test("late-revealed kinds: snapshot-served, then converted silently") {
+    // Batch 1 carries only :p/x datoms — :p/y's kind is unknown, so the
+    // rule is served by the snapshot path. Batch 2 reveals :p/y; the
+    // standing query takes over (replaying state, NOT re-delivering).
+    val plan = Join(Seq(0), matchA(0, ":p/x", 1), matchA(0, ":p/y", 2))
+    val history = Seq(
+      Seq(Datom(1, ":p/x", Value.num(1), None, 1),
+        Datom(2, ":p/x", Value.num(2), None, 1)),
+      Seq(Datom(1, ":p/y", Value.num(9), None, 1)),
+      Seq(Datom(1, ":p/x", Value.num(1), None, -1),
+        Datom(2, ":p/y", Value.num(8), None, 1)))
+    val snap = run(plan, history, incremental = false)
+    val inc = run(plan, history, incremental = true)
+    assert(inc == snap)
+    assert(snap.exists(_.nonEmpty))
   }
 
   test("unsupported semantics and plans fail loudly") {

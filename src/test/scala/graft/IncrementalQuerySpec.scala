@@ -135,6 +135,17 @@ class IncrementalQuerySpec extends AnyFunSuite {
     check(plan, genBatches(404, Seq(":ua", ":ub"), 5))
   }
 
+  test("hector Not bindings: multiset left-anti, batch-exact") {
+    // Negation on the entity var only (value var 3 is not shared) and
+    // on a shared value var — both lowered as the batch compiler does.
+    val entityOnly = Plan.Hector(Seq(1, 2), Seq(
+      Binding.Attr(1, ":ua", 2), Binding.Not(Binding.Attr(1, ":ub", 3))))
+    check(entityOnly, genBatches(606, Seq(":ua", ":ub"), 5))
+    val sharedValue = Plan.Hector(Seq(1, 2), Seq(
+      Binding.Attr(1, ":ua", 2), Binding.Not(Binding.Attr(1, ":ub", 2))))
+    check(sharedValue, genBatches(707, Seq(":ua", ":ub"), 5))
+  }
+
   test("every AggregationFn over a match, batch-exact incl. rationals") {
     import AggregationFn._
     for (fn <- Seq(COUNT, SUM, AVG, VARIANCE, MIN, MAX, MEDIAN)) {
