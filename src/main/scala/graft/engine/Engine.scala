@@ -142,6 +142,21 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     outputs.getOrElseUpdate(name, mutable.ArrayBuffer.empty)
   }
 
+  /** Incremental maintenance + sink delivery: the maintained diffs go to
+    * `sink` as DataFrames (data-sized results, never collected), computed
+    * from each advance's delta alone — the snapshot-sink path's full-outer
+    * diff join is replaced by the standing query's O(delta) work. Attach
+    * before the first advance: once the standing query has streamed
+    * diffs, a late sink would miss its baseline. */
+  def interestIncrementalSink(
+      name: String, sink: DiffSink, granularity: Option[Long] = None): Unit = {
+    if (initialized(name)) throw GraftError.incorrect(
+      s"attach the sink before the first advance of $name — the " +
+        "maintained state has already streamed its baseline")
+    interestIncremental(name, granularity)
+    sinks(name) = sink
+  }
+
   /** Withdraw interest: stop tracking the rule and drop its buffered diffs
     * and snapshot state (the reference tears the dataflow down when the
     * last interested client leaves — `src/server/mod.rs:276-281`). */
@@ -305,14 +320,29 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
       if (incrementalQs.contains(name)) {
         val deltas = incrementalDeltas(name, t, t + 1)
         if (deltas.nonEmpty) {
-          val rows = collectDiffs(incrementalQs(name).advance(deltas))
-          if (rows.nonEmpty) {
-            val (tOut, buf) = coarse match {
-              case Some(c) =>
-                (c, pendingCoarse.getOrElseUpdate(name, mutable.ArrayBuffer.empty))
-              case None => (t, outputs(name))
-            }
-            rows.foreach { case (tuple, w) => buf += ((tuple, tOut, w)) }
+          val diff = incrementalQs(name).advance(deltas)
+          sinks.get(name) match {
+            case Some(sink) =>
+              // Data-sized delivery: the maintained diffs go to the sink
+              // as a DataFrame — never collected, and (unlike the
+              // snapshot-sink path) computed from the delta alone.
+              val frame = sinkFrame(diff, coarse.getOrElse(t))
+              coarse match {
+                case Some(tOut) =>
+                  pendingCoarseFrames.getOrElseUpdate(
+                    name, mutable.ArrayBuffer.empty) += ((tOut, frame))
+                case None => sink.deliver(name, t, frame)
+              }
+            case None =>
+              val rows = collectDiffs(diff)
+              if (rows.nonEmpty) {
+                val (tOut, buf) = coarse match {
+                  case Some(c) =>
+                    (c, pendingCoarse.getOrElseUpdate(name, mutable.ArrayBuffer.empty))
+                  case None => (t, outputs(name))
+                }
+                rows.foreach { case (tuple, w) => buf += ((tuple, tOut, w)) }
+              }
           }
         }
       } else sinks.get(name) match {
@@ -434,7 +464,9 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     * static registration yet). */
   private def tryInitIncremental(name: String, deliverReplay: Boolean): Boolean = {
     val plan = domain.rules(name).plan
-    val attrs = graft.streaming.IncrementalQuery.planAttributes(plan)
+    val rulePlans: Map[String, Plan] =
+      domain.rules.map { case (n, r) => n -> r.plan }
+    val attrs = graft.streaming.IncrementalQuery.planAttributes(plan, rulePlans)
     attrs.foreach { a =>
       if (domain.isDerived(a)) throw GraftError.incorrect(
         s"incremental maintenance over derived attribute $a is not " +
@@ -447,7 +479,7 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     }
     val known = domain.knownKinds
     if (!attrs.forall(known.contains)) return false
-    val iq = new graft.streaming.IncrementalQuery(spark, plan, known)
+    val iq = new graft.streaming.IncrementalQuery(spark, plan, known, rulePlans)
     incrementalQs(name) = iq
     resultKinds(name) = iq.outputKinds
     staticsPending(name) =
@@ -456,18 +488,30 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
       val deltas = incrementalDeltas(name, 0L, processedThrough)
       if (deltas.nonEmpty) {
         val diffs = iq.advance(deltas)
-        if (deliverReplay) {
-          val buf = outputs(name)
-          collectDiffs(diffs).foreach { case (tuple, w) =>
-            buf += ((tuple, frontier, w))
-          }
+        if (deliverReplay) sinks.get(name) match {
+          case Some(sink) =>
+            sink.deliver(name, frontier, sinkFrame(diffs, frontier))
+          case None =>
+            val buf = outputs(name)
+            collectDiffs(diffs).foreach { case (tuple, w) =>
+              buf += ((tuple, frontier, w))
+            }
         }
         // else: state advanced; these times were already delivered as
         // snapshot diffs — do not re-deliver.
       }
     }
     prevSnapshots -= name
+    prevFrames -= name
     true
+  }
+
+  /** Shape a maintained diff frame for sink delivery: `(c0..cn, _t,
+    * _diff)`, the [[DiffSink]] contract. */
+  private def sinkFrame(diff: DataFrame, tOut: Long): DataFrame = {
+    val cols = diff.columns.dropRight(1)
+    diff.select(cols.map(col) :+ lit(tOut).as("_t") :+
+      col(Rel.W).as("_diff"): _*)
   }
 
   /** Per-attribute delta frames for a maintained rule over datom times in

@@ -61,9 +61,11 @@ import graft.model._
   *       flips. `Plan.Antijoin` uses the distinct-left form, Hector
   *       `Not` the multiset left-anti form, both batch-exact.
   *
-  * Not maintained here (fail loudly at construction): recursion via
-  * `NameExpr` ([[IncrementalClosure]]'s job) and the Pull family
-  * (point-lookup views the batch engine serves).
+  * Non-recursive `NameExpr` rule references are inlined (the batch
+  * compiler's compileRule + positional rename). Not maintained here
+  * (fail loudly at construction): RECURSIVE references
+  * ([[IncrementalClosure]]'s job) and the Pull family (point-lookup
+  * views the batch engine serves).
   *
   * Restrictions on `Aggregate` nodes (v1): single aggregation function,
   * no `:with` variables, order statistics over long- or string-typed
@@ -72,7 +74,8 @@ import graft.model._
 class IncrementalQuery(
     spark: SparkSession,
     plan: Plan,
-    kinds: Map[String, ValueKind]) {
+    kinds: Map[String, ValueKind],
+    rules: Map[String, Plan] = Map.empty) {
 
   import IncrementalQuery._
   import Plan.{Var => PVar}
@@ -420,8 +423,32 @@ class IncrementalQuery(
         "incremental Aggregate v1: single function, no :with variables")
       new AggregateNode(zoneOf(child), vs, fns.head, keyVars, aggVars.head)
 
+    case Plan.NameExpr(vs, rname) if rules.contains(rname) =>
+      // Non-recursive rule reference: inline the referenced plan (the
+      // batch compiler's compileRule + positional output rename).
+      require(!building.contains(rname),
+        s"rule $rname is recursive — incremental recursion is " +
+          "IncrementalClosure's job; use the batch engine")
+      building += rname
+      val inner = try zoneOf(rules(rname)) finally building -= rname
+      require(inner.vars.length == vs.length,
+        s"NameExpr($vs, $rname): arity mismatch with ${inner.vars}")
+      new RenameNode(inner, vs)
+
     case other => sys.error(s"plan node not incrementally maintainable " +
       s"(batch engine's job): $other")
+  }
+
+  // Rules currently being inlined (cycle = recursion = reject).
+  private val building = mutable.Set.empty[String]
+
+  /** Positional output relabeling (NameExpr): same diffs, new vars. */
+  private final class RenameNode(inner: Node, vs: Seq[PVar]) extends Node {
+    val vars: Seq[PVar] = vs
+    val nodeKinds: Seq[ValueKind] = inner.nodeKinds
+    val attrs: Set[String] = inner.attrs
+    def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
+      inner.advance(attrDeltas)
   }
 
   /** Split a subtree into its maximal linear zone over stateful children. */
@@ -530,6 +557,34 @@ class IncrementalQuery(
 }
 
 object IncrementalQuery {
+
+  /** Every attribute scanned anywhere in a plan, following (acyclic)
+    * rule references — a pre-construction check surface. */
+  def planAttributes(p: Plan, rules: Map[String, Plan]): Set[String] = {
+    val seen = mutable.Set.empty[String]
+    def expand(q: Plan): Set[String] =
+      planAttributes(q) ++ ruleRefs(q).flatMap { n =>
+        if (rules.contains(n) && seen.add(n)) expand(rules(n))
+        else Set.empty[String]
+      }
+    expand(p)
+  }
+
+  /** Rule names referenced anywhere in a plan. */
+  private def ruleRefs(p: Plan): Set[String] = p match {
+    case Plan.NameExpr(_, n)  => Set(n)
+    case Plan.Project(_, s)   => ruleRefs(s)
+    case Plan.Join(_, l, r)   => ruleRefs(l) ++ ruleRefs(r)
+    case Plan.Antijoin(_, l, r) => ruleRefs(l) ++ ruleRefs(r)
+    case Plan.Negate(s)       => ruleRefs(s)
+    case Plan.Union(_, ps)    => ps.flatMap(ruleRefs).toSet
+    case Plan.Filter(_, _, s, _)       => ruleRefs(s)
+    case Plan.Transform(_, _, s, _, _) => ruleRefs(s)
+    case Plan.Aggregate(_, s, _, _, _, _) => ruleRefs(s)
+    case Plan.PullLevel(_, s, _, _, _, _) => ruleRefs(s)
+    case Plan.Pull(_, paths)  => paths.flatMap(ruleRefs).toSet
+    case _ => Set.empty
+  }
 
   /** Every attribute scanned anywhere in a plan — a pre-construction
     * check surface (construction itself validates maintainability). */

@@ -138,6 +138,32 @@ class EngineIncrementalSpec extends AnyFunSuite {
     assert(snap.head.nonEmpty)
   }
 
+  test("non-recursive rule references inline into the standing query") {
+    val history = Seq(
+      Seq(Datom(1, ":p/x", Value.num(2), None, 1),
+        Datom(1, ":p/y", Value.num(3), None, 1)),
+      Seq(Datom(2, ":p/x", Value.num(1), None, 1),
+        Datom(1, ":p/x", Value.num(2), None, -1)))
+    def run2(incremental: Boolean): Seq[Drained] = {
+      val e = new Engine(spark)
+      Seq(":p/x", ":p/y").foreach(a =>
+        e.createAttribute(a, AttributeConfig(InputSemantics.Raw)))
+      e.register(Rule("pairs",
+        Join(Seq(0), matchA(0, ":p/x", 1), matchA(0, ":p/y", 2))))
+      e.register(Rule("query", Aggregate(Seq(0, 1),
+        NameExpr(Seq(0, 1, 2), "pairs"),
+        Seq(AggregationFn.COUNT), Seq(0), Seq(1), Seq.empty)))
+      if (incremental) e.interestIncremental("query") else e.interest("query")
+      history.zipWithIndex.map { case (tx, i) =>
+        e.transact(tx); e.advance(i + 1L)
+        multiset(e.drain("query"))
+      }
+    }
+    val snap = run2(incremental = false)
+    assert(run2(incremental = true) == snap)
+    assert(snap.exists(_.nonEmpty))
+  }
+
   test("late-revealed kinds: snapshot-served, then converted silently") {
     // Batch 1 carries only :p/x datoms — :p/y's kind is unknown, so the
     // rule is served by the snapshot path. Batch 2 reveals :p/y; the
@@ -155,6 +181,43 @@ class EngineIncrementalSpec extends AnyFunSuite {
     assert(snap.exists(_.nonEmpty))
   }
 
+  test("incremental sink delivery matches the incremental drain path") {
+    import graft.sinks.ForeachFrameSink
+    val history = Seq(
+      Seq(Datom(1, ":p/x", Value.num(1), None, 1),
+        Datom(1, ":p/y", Value.num(2), None, 1)),
+      Seq(Datom(2, ":p/x", Value.num(3), None, 1),
+        Datom(1, ":p/x", Value.num(1), None, -1)),
+      Seq(Datom(2, ":p/y", Value.num(4), None, 1)))
+    val plan = Join(Seq(0), matchA(0, ":p/x", 1), matchA(0, ":p/y", 2))
+    def fresh(): Engine = {
+      val e = new Engine(spark)
+      Seq(":p/x", ":p/y").foreach(a =>
+        e.createAttribute(a, AttributeConfig(InputSemantics.Raw)))
+      e.register(Rule("query", plan))
+      e
+    }
+    val drainEng = fresh()
+    drainEng.interestIncremental("query")
+    val sinkEng = fresh()
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Long, Long)]
+    sinkEng.interestIncrementalSink("query", new ForeachFrameSink((_, _, df) => {
+      val n = df.columns.length - 2
+      got ++= df.collect().iterator.map { row =>
+        ((0 until n).map(row.get), row.getLong(n), row.getLong(n + 1))
+      }
+    }))
+    var expected = Set.empty[(Seq[Any], Long, Long)]
+    history.zipWithIndex.foreach { case (tx, i) =>
+      drainEng.transact(tx); sinkEng.transact(tx)
+      drainEng.advance(i + 1L); sinkEng.advance(i + 1L)
+      expected ++= drainEng.drain("query")
+    }
+    assert(expected.exists(_._3 == -1L)) // retraction genuinely covered
+    assert(got.toSet == expected)
+    assert(sinkEng.drain("query").isEmpty) // nothing buffered driver-side
+  }
+
   test("unsupported semantics and plans fail loudly") {
     val e1 = new Engine(spark, setSemantics = true)
     e1.register(Rule("q1", matchA(0, ":p/x", 1)))
@@ -169,10 +232,12 @@ class EngineIncrementalSpec extends AnyFunSuite {
 
     val e3 = new Engine(spark)
     e3.createAttribute(":p/x", AttributeConfig(InputSemantics.Raw))
-    e3.register(Rule("base", matchA(0, ":p/x", 1)))
-    e3.register(Rule("q3", NameExpr(Seq(0, 1), "base")))
+    e3.register(Rule("q3", Union(Seq(0, 1), Seq(
+      matchA(0, ":p/x", 1),
+      Project(Seq(0, 1), Join(Seq(2),
+        NameExpr(Seq(0, 2), "q3"), matchA(2, ":p/x", 1)))))))
     e3.interestIncremental("q3")
     e3.transact(Seq(Datom(1, ":p/x", Value.num(1), None, 1)))
-    intercept[RuntimeException](e3.advance(1L)) // recursion/rules: outside the fragment
+    intercept[RuntimeException](e3.advance(1L)) // recursion: outside the fragment
   }
 }
