@@ -283,6 +283,35 @@ object CoreQueries {
               NameExpr(Seq(2, 1), "closure"))))))
       p(s, dir, NameExpr(Seq(0, 1), "closure"), Seq("src", "dst"),
         rules = Seq(edges, closure))
+    }),
+
+    // ---- incremental maintenance through the driver's oracle gate ----
+    "q_incremental_maintain" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{lit, pmod, sum}
+      // Orders arrive as four datom micro-batches through a STANDING
+      // maintained aggregate (order count per custkey); batch 4 also
+      // RETRACTS batch 1's datoms. Accumulating the emitted diffs —
+      // distributed, one union + one groupBy — must reproduce the plain
+      // batch aggregate over the surviving orders, which is the oracle.
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").cast("long").as("e"),
+          col("o_custkey").cast("long").as("v"))
+      val iq = new graft.streaming.IncrementalQuery(s,
+        Aggregate(Seq(1, 0), matchA(0, ":o/custkey", 1),
+          Seq(AggregationFn.COUNT), Seq(1), Seq(0), Seq.empty),
+        Map(":o/custkey" -> ValueKind.KEid))
+      def batch(m: Int, diff: Long) =
+        orders.where(pmod(col("e"), lit(4)) === m).withColumn("diff", lit(diff))
+      val diffs = Seq(
+        iq.advance(Map(":o/custkey" -> batch(0, 1L))),
+        iq.advance(Map(":o/custkey" -> batch(1, 1L))),
+        iq.advance(Map(":o/custkey" -> batch(2, 1L))),
+        iq.advance(Map(":o/custkey" ->
+          batch(3, 1L).unionByName(batch(0, -1L)))))
+      diffs.reduce(_ unionAll _)
+        .groupBy(col("c0"), col("c1")).agg(sum(col("_w")).as("w"))
+        .where(col("w") > 0)
+        .select(col("c0").as("custkey"), col("c1").as("order_count"))
     })
   )
 
@@ -431,6 +460,9 @@ object CoreQueries {
            SELECT src, dst FROM edges
            UNION
            SELECT e.src, c.dst FROM edges e JOIN closure c ON e.dst = c.src)
-         SELECT src, dst FROM closure"""
+         SELECT src, dst FROM closure""",
+    "q_incremental_maintain" ->
+      """SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders WHERE o_orderkey % 4 <> 0 GROUP BY 1"""
   )
 }
