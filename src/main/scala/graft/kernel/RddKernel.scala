@@ -60,6 +60,14 @@ object RddKernel {
       }
     }
 
+  /** Keep only the keys present somewhere in the co-partitioned chain —
+    * the complement of [[subtract]], built from it (cand ∩ chain =
+    * cand − (cand − chain)) so both directions share one membership
+    * implementation: two narrow passes, no shuffle. */
+  def retain[K: ClassTag](
+      cand: RDD[(K, Null)], chain: Seq[RDD[(K, Null)]]): RDD[(K, Null)] =
+    subtract(cand, Seq(subtract(cand, chain)))
+
   /** dedup + subtract + lineage-truncating checkpoint: the per-round step
     * of every semi-naive kernel. The caller's next action materializes it. */
   def freshDelta[K: ClassTag](cand: RDD[(K, Null)], part: Partitioner,

@@ -8,10 +8,12 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
+import graft.kernel.RddKernel
+
 /** Incrementally maintained transitive closure over a streamed edge
-  * attribute — the monotone-recursion slice of the reference's
-  * incrementally-maintained rules (differential's `iterate`), which the
-  * general [[StreamCompiler]] intentionally leaves to the batch engine.
+  * attribute — the recursion slice of the reference's incrementally-
+  * maintained rules (differential's `iterate`), which the general
+  * [[StreamCompiler]] intentionally leaves to the batch engine.
   *
   * Per micro-batch of edge ADDITIONS at time `t`, emits the exact closure
   * diffs `((src, dst), t, +1)` — precisely the tuples in
@@ -24,8 +26,32 @@ import org.apache.spark.storage.StorageLevel
   *                                    the UPDATED edge set)
   *
   * Sound for monotone programs: iteration starts from a post-fixpoint of
-  * the old rules below the new least fixpoint. Retractions are rejected —
-  * delete-and-rederive is the batch engine's job (snapshot diffing).
+  * the old rules below the new least fixpoint.
+  *
+  * Edge RETRACTIONS ([[advanceSigned]] / the ±1 stream path) run classic
+  * delete-and-rederive (DRed — the standard maintenance for recursion
+  * under deletion, the role differential's arrangement traces play in the
+  * reference):
+  *
+  *   O  = lfp of  Δd ∪ (Δd∘C) ∪ (E_old∘O)      (overdelete: every fact
+  *                                              with SOME derivation
+  *                                              through a deleted edge;
+  *                                              O ⊆ C automatically — a
+  *                                              C-fact prepended with an
+  *                                              old edge is a C-fact)
+  *   R  = lfp of  (O ∩ E') ∪ (O ∩ E'∘(C−O)) ∪ (O ∩ E'∘R)
+  *                                             (rederive what survives on
+  *                                              the updated edges)
+  *   closure(E') = (C − O) ∪ R;  emit (O − R) as −1 diffs.
+  *
+  * Every DRed step is work-proportional to the AFFECTED region (|O| ×
+  * degree per round, membership via co-partitioned narrow joins), plus
+  * exactly one narrow full-totals pass to split C into keep/overdeleted —
+  * the same cost class as the Δe∘C scan the addition path already pays.
+  * Within a signed batch, deletions apply first, then additions, and the
+  * two diff sets consolidate: a tuple DRed retracts but the batch's
+  * additions re-derive emits nothing (the exact net
+  * `closure(E ∪ Δ⁺ − Δ⁻) − closure(E)` semantics).
   *
   * State lives where the batch fixpoint kernel puts it: closure totals as
   * hash-partitioned, persisted RDDs (subtraction is a co-partitioned
@@ -57,7 +83,24 @@ class IncrementalClosure(
   /** Apply one batch of edge additions; returns the exact new closure
     * tuples as a DataFrame (src, dst, t, diff) — all diffs +1. */
   def advance(newEdges: Seq[(Long, Long)], t: Long): DataFrame =
-    advanceFresh(newEdges.distinct.filterNot(edgeSet), t)
+    diffDf(addFresh(newEdges.distinct.filterNot(edgeSet)), t, 1L)
+
+  /** Apply one batch of SIGNED edge deltas (diff ∈ {+1, −1}) at time `t`;
+    * returns the exact closure diffs (src, dst, t, diff), retractions
+    * included. Deltas consolidate per edge first (a delete+re-add nets to
+    * nothing); deletions run DRed, additions warm-start, and the two diff
+    * sets consolidate per tuple. Retracting an edge that is not present
+    * fails loudly (Z-set inputs are sets here, as in the engine's
+    * Distinct input semantics). */
+  def advanceSigned(deltas: Seq[((Long, Long), Long)], t: Long): DataFrame = {
+    deltas.foreach { case (e, w) =>
+      require(w == 1L || w == -1L, s"edge diff must be ±1, got $w for $e")
+    }
+    val net = deltas.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    val dels = net.collect { case (e, w) if w < 0 => e }.toSeq
+    val adds = net.collect { case (e, w) if w > 0 => e }.toSeq
+    applySigned(dels, adds, t)
+  }
 
   /** RDD-side variant for firehose ingest: the raw batch is deduped and
     * subtracted against the known edge set DISTRIBUTED (the known set
@@ -84,10 +127,65 @@ class IncrementalClosure(
           deduped.collect().toSeq
         } finally deduped.unpersist(blocking = false)
       } finally known.destroy()
-    advanceFresh(fresh, t)
+    diffDf(addFresh(fresh), t, 1L)
   }
 
-  private def advanceFresh(fresh: Seq[(Long, Long)], t: Long): DataFrame = {
+  /** RDD-side SIGNED variant, same firehose discipline as [[advanceRdd]]:
+    * the raw ±1 batch consolidates per edge DISTRIBUTED, splits into
+    * fresh additions (subtracted against the known set) and deletions
+    * (validated present — a retraction of an absent edge fails loudly,
+    * distributed), and only those gated survivors land on the driver. */
+  def advanceSignedRdd(deltas: RDD[((Long, Long), Long)], t: Long): DataFrame = {
+    val known = sc.broadcast(edgeSet.toSet)
+    try {
+      val net = deltas.reduceByKey(part, _ + _)
+        .filter(_._2 != 0L).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        net.foreach { case (e, w) =>
+          if (w != 1L && w != -1L)
+            throw new IllegalArgumentException(
+              s"consolidated edge diff must be ±1, got $w for $e")
+        }
+        val absent = net.filter { case (e, w) => w < 0 && !known.value(e) }
+        require(absent.isEmpty(),
+          "retraction of absent edges: " +
+            absent.take(5).map(_._1).mkString(", "))
+        val freshAdds = net.filter { case (e, w) => w > 0 && !known.value(e) }
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val n = freshAdds.count()
+          require(edgeSet.size + n <= maxEdges,
+            s"edge relation exceeds the broadcast gate ($maxEdges); " +
+              "use the batch engine for edge sets this large")
+          // Deletions are ⊆ the known set, already inside the gate.
+          val dels = net.filter(_._2 < 0).keys.collect().toSeq
+          applySigned(dels, freshAdds.keys.collect().toSeq, t)
+        } finally freshAdds.unpersist(blocking = false)
+      } finally net.unpersist(blocking = false)
+    } finally known.destroy()
+  }
+
+  /** Deletions first (DRed), then additions (warm-start), then per-tuple
+    * consolidation of the two diff sets. `dels` must be present edges;
+    * `adds` may contain known edges (dropped) and re-adds of this batch's
+    * own deletions (the edge comes back; its closure effect nets out). */
+  private def applySigned(dels: Seq[Tup], adds: Seq[Tup], t: Long): DataFrame = {
+    val missing = dels.filterNot(edgeSet)
+    require(missing.isEmpty,
+      s"retraction of absent edges: ${missing.take(5).mkString(", ")}")
+    val removed =
+      if (dels.isEmpty) emptyPart() else deleteEdges(dels)
+    // Fresh-filter AFTER deletions: a deleted-then-re-added edge is fresh.
+    val added = addFresh(adds.distinct.filterNot(edgeSet))
+    val retr = RddKernel.subtract(removed, Seq(added))
+    val asserted = RddKernel.subtract(added, Seq(removed))
+    diffDf(retr, t, -1L).union(diffDf(asserted, t, 1L))
+  }
+
+  /** Mutate state with genuinely fresh additions; return the new closure
+    * tuples, hash-partitioned by `part` (so callers can consolidate them
+    * against DRed retractions with narrow co-partitioned subtracts). */
+  private def addFresh(fresh: Seq[(Long, Long)]): RDD[(Tup, Null)] = {
     require(edgeSet.size + fresh.size <= maxEdges,
       s"edge relation exceeds the broadcast gate ($maxEdges); " +
         "use the batch engine for edge sets this large")
@@ -95,7 +193,7 @@ class IncrementalClosure(
       edgeSet += ((s, d))
       rev.getOrElseUpdate(d, mutable.ArrayBuffer.empty) += s
     }
-    if (fresh.isEmpty) return diffDf(sc.emptyRDD[(Tup, Null)], t)
+    if (fresh.isEmpty) return emptyPart()
 
     // D1 candidates: Δe itself, plus Δe entering existing paths
     // ((x,y) ∈ Δe, (y,z) ∈ C ⇒ (x,z)) — a narrow scan of the persisted
@@ -136,10 +234,135 @@ class IncrementalClosure(
     }
     if (totalParts.length > maxChain) compact()
 
-    val out = if (newParts.isEmpty) sc.emptyRDD[(Tup, Null)]
-    else sc.union(newParts)
-    diffDf(out, t)
+    if (newParts.isEmpty) emptyPart() else sc.union(newParts)
   }
+
+  /** DRed under edge deletions (`dels` present and already validated):
+    * overdelete every closure fact with some derivation through a deleted
+    * edge, rederive survivors against the updated edges, install
+    * `(C − O) ∪ R` as the new totals, and return the retracted tuples
+    * `O − R` (hash-partitioned by `part`). */
+  private def deleteEdges(dels: Seq[Tup]): RDD[(Tup, Null)] = {
+    // Overdeletion walks derivations of the OLD program: snapshot the
+    // adjacency before removing the deleted edges from it.
+    val oldRevBc = sc.broadcast(rev.view.mapValues(_.toArray).toMap)
+    dels.foreach { case (s, d) =>
+      edgeSet -= ((s, d))
+      rev.get(d).foreach { buf =>
+        val i = buf.indexOf(s)
+        if (i >= 0) buf.remove(i)
+        if (buf.isEmpty) rev -= d
+      }
+    }
+
+    // --- overdelete: O = lfp of Δd ∪ Δd∘C ∪ E_old∘O -------------------
+    // Candidates stay ⊆ C by construction (prepending an old edge to a
+    // C-fact lands in C), so no membership test against totals is needed.
+    val delByDst = sc.broadcast(dels.groupBy(_._2).map { case (y, es) =>
+      y -> es.map(_._1).toArray
+    })
+    val direct: RDD[(Tup, Null)] = if (totalParts.isEmpty) sc.emptyRDD
+    else sc.union(totalParts).mapPartitions { it =>
+      val m = delByDst.value
+      it.flatMap { case ((y, z), _) =>
+        m.get(y) match {
+          case None     => Iterator.empty
+          case Some(xs) => xs.iterator.map(x => ((x, z): Tup, null))
+        }
+      }
+    }
+    val cand0 = sc.parallelize(dels.map(e => (e: Tup, null)), 1).union(direct)
+    var oChain = Vector.empty[RDD[(Tup, Null)]]
+    var oDelta = RddKernel.freshDelta(cand0, part, oChain)
+    var n = oDelta.count()
+    while (n > 0) {
+      oChain = oChain :+ oDelta
+      val next = oDelta.mapPartitions { it =>
+        val m = oldRevBc.value
+        it.flatMap { case ((y, z), _) =>
+          m.get(y) match {
+            case None     => Iterator.empty
+            case Some(xs) => xs.iterator.map(x => ((x, z): Tup, null))
+          }
+        }
+      }
+      oDelta = RddKernel.freshDelta(next, part, oChain)
+      n = oDelta.count()
+    }
+    if (oChain.isEmpty) return emptyPart()
+
+    // Split totals once (narrow full pass — the deletion path's analog of
+    // the addition path's Δe∘C scan): keep = C − O.
+    val keep = RddKernel.subtract(
+      RddKernel.compact(totalParts), oChain).localCheckpoint()
+    keep.count()
+    val oAll = sc.union(oChain) // links are disjoint, partitioner preserved
+
+    // --- rederive: R = lfp of (O∩E') ∪ (O ∩ E'∘keep) ∪ (O ∩ E'∘R) -----
+    val newEdgeBc = sc.broadcast(edgeSet.toSet)
+    val newRevBc = sc.broadcast(rev.view.mapValues(_.toArray).toMap)
+    val fwdBc = sc.broadcast(edgeSet.groupBy(_._1).map { case (x, es) =>
+      x -> es.map(_._2).toArray
+    })
+    // Base: overdeleted facts that are themselves surviving edges.
+    val r0a = oAll.mapPartitions(
+      _.filter(p => newEdgeBc.value(p._1)), preservesPartitioning = true)
+    // One step through the kept region: (x,z) ∈ O with (x,y) ∈ E' and
+    // (y,z) ∈ keep — probe keys (y,z) carry their origin (x,z), looked up
+    // in keep with a co-partitioned narrow join (work ∝ |O| × degree,
+    // never ∝ |keep|).
+    val probes = oAll.flatMap { case ((x, z), _) =>
+      fwdBc.value.get(x) match {
+        case None     => Iterator.empty
+        case Some(ys) => ys.iterator.map(y => ((y, z): Tup, (x, z): Tup))
+      }
+    }
+    val r0b = lookupHits(probes, Seq(keep))
+    var rChain = Vector.empty[RDD[(Tup, Null)]]
+    var rDelta = RddKernel.freshDelta(r0a.union(r0b), part, rChain)
+    var rn = rDelta.count()
+    while (rn > 0) {
+      rChain = rChain :+ rDelta
+      // (y,z) newly rederived, (x,y) ∈ E', (x,z) still overdeleted.
+      val cand = rDelta.mapPartitions { it =>
+        val m = newRevBc.value
+        it.flatMap { case ((y, z), _) =>
+          m.get(y) match {
+            case None     => Iterator.empty
+            case Some(xs) => xs.iterator.map(x => ((x, z): Tup, null))
+          }
+        }
+      }
+      val inO = RddKernel.retain(RddKernel.dedup(cand, part), oChain)
+      rDelta = RddKernel.subtract(inO, rChain).localCheckpoint()
+      rn = rDelta.count()
+    }
+
+    val removed = RddKernel.subtract(oAll, rChain).localCheckpoint()
+    removed.count()
+    totalParts = Vector(keep) ++ rChain
+    removed
+  }
+
+  /** For probes (key → origin) emit (origin, null) for every probe whose
+    * key is present in the co-partitioned chain (links disjoint, so at
+    * most one hit per key). Output is keyed by origin — a DIFFERENT key —
+    * so partitioning is deliberately not claimed (RddKernel invariant). */
+  private def lookupHits(probes: RDD[(Tup, Tup)],
+      chain: Seq[RDD[(Tup, Null)]]): RDD[(Tup, Null)] = {
+    val p = probes.partitionBy(part)
+    val hits = chain.map { link =>
+      p.zipPartitions(link) { (a, b) =>
+        val seen = new java.util.HashSet[Tup]()
+        b.foreach(x => seen.add(x._1))
+        a.collect { case (k, v) if seen.contains(k) => (v: Tup, null) }
+      }
+    }
+    if (hits.isEmpty) sc.emptyRDD[(Tup, Null)] else sc.union(hits)
+  }
+
+  private def emptyPart(): RDD[(Tup, Null)] =
+    sc.emptyRDD[(Tup, Null)].partitionBy(part)
 
   // Processed-time frontier: a batch's diffs are computed against totals
   // that absorbed every earlier time, so a regressing input time would
@@ -147,11 +370,12 @@ class IncrementalClosure(
   private var frontier: Long = Long.MinValue
 
   /** Structured Streaming integration: drain a `(src, dst, t, diff)` edge
-    * stream through [[advanceRdd]] per micro-batch, handing each batch's
-    * closure diffs to `onDiffs`. Additions only (diff must be +1 —
-    * asserted distributed, never by collecting the batch: the raw batch
-    * may exceed driver limits; only its deduped fresh edges land there).
-    * Times must advance strictly across the whole stream. */
+    * stream through [[advanceSignedRdd]] per micro-batch, handing each
+    * batch's closure diffs to `onDiffs`. Diffs must be ±1 (asserted
+    * distributed, never by collecting the batch: the raw batch may exceed
+    * driver limits; only its consolidated, gated survivors land there) —
+    * additions warm-start, retractions delete-and-rederive. Times must
+    * advance strictly across the whole stream. */
   def attach(edges: DataFrame, queryName: String)(
       onDiffs: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     edges.writeStream
@@ -162,9 +386,10 @@ class IncrementalClosure(
         batch.persist(StorageLevel.MEMORY_AND_DISK)
         try {
           // Null-safe: a null diff must fail the guard, not slip through
-          // three-valued logic as "not =!= 1".
-          require(batch.where(!(col("diff") <=> 1L)).isEmpty,
-            "IncrementalClosure maintains additions only; retract via the batch engine")
+          // three-valued logic as "not =!= ±1".
+          require(
+            batch.where(!(col("diff") <=> 1L) && !(col("diff") <=> -1L)).isEmpty,
+            "edge diffs must be ±1")
           val times = batch.select("t").distinct().collect().map(_.getLong(0)).sorted
           times.foreach { t =>
             require(t > frontier,
@@ -173,8 +398,9 @@ class IncrementalClosure(
                 "be historically wrong")
             frontier = t
             val es = batch.where(col("t") === t)
-              .select("src", "dst").rdd.map(r => (r.getLong(0), r.getLong(1)))
-            onDiffs(advanceRdd(es, t))
+              .select("src", "dst", "diff").rdd
+              .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+            onDiffs(advanceSignedRdd(es, t))
           }
         } finally batch.unpersist()
       }
@@ -196,7 +422,7 @@ class IncrementalClosure(
     StructField("src", LongType), StructField("dst", LongType),
     StructField("t", LongType), StructField("diff", LongType)))
 
-  private def diffDf(rdd: RDD[(Tup, Null)], t: Long): DataFrame =
+  private def diffDf(rdd: RDD[(Tup, Null)], t: Long, diff: Long): DataFrame =
     spark.createDataFrame(
-      rdd.map { case ((s, d), _) => Row(s, d, t, 1L) }, schema)
+      rdd.map { case ((s, d), _) => Row(s, d, t, diff) }, schema)
 }
