@@ -312,6 +312,40 @@ object CoreQueries {
         .groupBy(col("c0"), col("c1")).agg(sum(col("_w")).as("w"))
         .where(col("w") > 0)
         .select(col("c0").as("custkey"), col("c1").as("order_count"))
+    }),
+
+    "q_closure_maintain" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{lit, pmod, sum}
+      // The q_recursion_closure edge relation streamed through the
+      // MAINTAINED closure in three signed micro-batches — batch 3
+      // RETRACTS the (src+dst)%3==0 edges asserted in batch 1, driving
+      // the DRed overdelete/rederive path. Accumulating the emitted
+      // diffs (distributed: one union + one groupBy) must reproduce the
+      // closure of the SURVIVING edges — the oracle's recursive CTE.
+      // Smaller edge bound than q_recursion_closure (60 vs 200): the
+      // maintained path pays THREE fixpoints (two adds + DRed) where the
+      // batch query pays one — same semantics, bounded bench cost.
+      // Materialize the edge relation once — every batch job below
+      // slices it, and without the persist each advance re-pays the
+      // lineitem scan + distinct shuffle.
+      val edges = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_partkey") <= 60)
+        .select(col("l_partkey").cast("long").as("src"),
+          col("l_suppkey").cast("long").as("dst")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m3 = pmod(col("src") + col("dst"), lit(3))
+      def batch(pred: Column, diff: Long) =
+        edges.where(pred).rdd.map(r => ((r.getLong(0), r.getLong(1)), diff))
+      val inc = new graft.streaming.IncrementalClosure(s,
+        partitions = 4, kHops = 16)
+      val diffs = Seq(
+        inc.advanceSignedRdd(batch(m3 < 2, 1L), 1L),
+        inc.advanceSignedRdd(batch(m3 === 2, 1L), 2L),
+        inc.advanceSignedRdd(batch(m3 === 0, -1L), 3L))
+      diffs.reduce(_ unionAll _)
+        .groupBy(col("src"), col("dst")).agg(sum(col("diff")).as("w"))
+        .where(col("w") > 0)
+        .select(col("src"), col("dst"))
     })
   )
 
@@ -463,6 +497,18 @@ object CoreQueries {
          SELECT src, dst FROM closure""",
     "q_incremental_maintain" ->
       """SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS order_count
-         FROM orders WHERE o_orderkey % 4 <> 0 GROUP BY 1"""
+         FROM orders WHERE o_orderkey % 4 <> 0 GROUP BY 1""",
+    "q_closure_maintain" ->
+      """WITH RECURSIVE edges AS (
+           SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+                  CAST(l_suppkey AS BIGINT) AS dst
+           FROM lineitem WHERE l_partkey <= 60),
+         surviving AS (
+           SELECT src, dst FROM edges WHERE (src + dst) % 3 <> 0),
+         closure AS (
+           SELECT src, dst FROM surviving
+           UNION
+           SELECT e.src, c.dst FROM surviving e JOIN closure c ON e.dst = c.src)
+         SELECT src, dst FROM closure"""
   )
 }

@@ -64,12 +64,20 @@ import graft.kernel.RddKernel
 class IncrementalClosure(
     spark: SparkSession,
     partitions: Int = 8,
-    maxEdges: Long = 5000000L) {
+    maxEdges: Long = 5000000L,
+    kHops: Int = math.max(1, Integer.getInteger("graft.fixpoint.khop", 4))) {
 
   private type Tup = (Long, Long)
   private val sc = spark.sparkContext
   private val part = new HashPartitioner(partitions)
   private val maxChain = 16
+
+  private val debug = sys.env.contains("GRAFT_CLOSURE_DEBUG")
+  private var debugT0 = System.nanoTime()
+  private def trace(msg: => String): Unit = if (debug) {
+    System.err.println(
+      f"[closure] +${(System.nanoTime() - debugT0) / 1e9}%.2fs $msg")
+  }
 
   private val edgeSet = mutable.Set.empty[Tup]
   // reverse adjacency: dst -> srcs (the semi-naive round joins
@@ -141,26 +149,31 @@ class IncrementalClosure(
       val net = deltas.reduceByKey(part, _ + _)
         .filter(_._2 != 0L).persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        net.foreach { case (e, w) =>
-          if (w != 1L && w != -1L)
-            throw new IllegalArgumentException(
-              s"consolidated edge diff must be ±1, got $w for $e")
-        }
-        val absent = net.filter { case (e, w) => w < 0 && !known.value(e) }
-        require(absent.isEmpty(),
-          "retraction of absent edges: " +
-            absent.take(5).map(_._1).mkString(", "))
-        val freshAdds = net.filter { case (e, w) => w > 0 && !known.value(e) }
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        try {
-          val n = freshAdds.count()
-          require(edgeSet.size + n <= maxEdges,
-            s"edge relation exceeds the broadcast gate ($maxEdges); " +
-              "use the batch engine for edge sets this large")
-          // Deletions are ⊆ the known set, already inside the gate.
-          val dels = net.filter(_._2 < 0).keys.collect().toSeq
-          applySigned(dels, freshAdds.keys.collect().toSeq, t)
-        } finally freshAdds.unpersist(blocking = false)
+        // ONE validation + sizing pass: ±1 check, absent-retraction
+        // check, and the fresh-addition count for the driver gate.
+        val freshAdds = net.mapPartitions { it =>
+          var fresh = 0L
+          it.foreach { case (e, w) =>
+            if (w != 1L && w != -1L)
+              throw new IllegalArgumentException(
+                s"consolidated edge diff must be ±1, got $w for $e")
+            if (w < 0 && !known.value(e))
+              throw new IllegalArgumentException(
+                s"retraction of absent edges: $e")
+            if (w > 0 && !known.value(e)) fresh += 1
+          }
+          Iterator.single(fresh)
+        }.fold(0L)(_ + _)
+        require(edgeSet.size + freshAdds <= maxEdges,
+          s"edge relation exceeds the broadcast gate ($maxEdges); " +
+            "use the batch engine for edge sets this large")
+        // Survivors are gated (deletions ⊆ the known set, fresh
+        // additions counted above): one collect, split driver-side.
+        val survivors = net
+          .filter { case (e, w) => w < 0 || !known.value(e) }.collect()
+        applySigned(
+          survivors.collect { case (e, w) if w < 0 => e }.toSeq,
+          survivors.collect { case (e, w) if w > 0 => e }.toSeq, t)
       } finally net.unpersist(blocking = false)
     } finally known.destroy()
   }
@@ -173,10 +186,13 @@ class IncrementalClosure(
     val missing = dels.filterNot(edgeSet)
     require(missing.isEmpty,
       s"retraction of absent edges: ${missing.take(5).mkString(", ")}")
+    trace(s"applySigned start dels=${dels.size} adds=${adds.size}")
     val removed =
       if (dels.isEmpty) emptyPart() else deleteEdges(dels)
+    trace("deleteEdges done")
     // Fresh-filter AFTER deletions: a deleted-then-re-added edge is fresh.
     val added = addFresh(adds.distinct.filterNot(edgeSet))
+    trace("addFresh done")
     val retr = RddKernel.subtract(removed, Seq(added))
     val asserted = RddKernel.subtract(added, Seq(removed))
     diffDf(retr, t, -1L).union(diffDf(asserted, t, 1L))
@@ -218,18 +234,10 @@ class IncrementalClosure(
     var delta = materializeFresh(cand0)
     var n = delta.count()
     while (n > 0) {
+      trace(s"addFresh round n=$n chain=${totalParts.length}")
       newParts = newParts :+ delta
       totalParts = totalParts :+ delta
-      val next = delta.mapPartitions { it =>
-        val m = revBc.value
-        it.flatMap { case ((y, z), _) =>
-          m.get(y) match {
-            case None     => Iterator.empty
-            case Some(xs) => xs.iterator.map(x => ((x, z): Tup, null))
-          }
-        }
-      }
-      delta = materializeFresh(next)
+      delta = materializeFresh(expand(delta, revBc))
       n = delta.count()
     }
     if (totalParts.length > maxChain) compact()
@@ -277,18 +285,10 @@ class IncrementalClosure(
     var n = oDelta.count()
     while (n > 0) {
       oChain = oChain :+ oDelta
-      val next = oDelta.mapPartitions { it =>
-        val m = oldRevBc.value
-        it.flatMap { case ((y, z), _) =>
-          m.get(y) match {
-            case None     => Iterator.empty
-            case Some(xs) => xs.iterator.map(x => ((x, z): Tup, null))
-          }
-        }
-      }
-      oDelta = RddKernel.freshDelta(next, part, oChain)
+      oDelta = RddKernel.freshDelta(expand(oDelta, oldRevBc), part, oChain)
       n = oDelta.count()
     }
+    trace(s"overdelete fixpoint done links=${oChain.length}")
     if (oChain.isEmpty) return emptyPart()
 
     // Split totals once (narrow full pass — the deletion path's analog of
@@ -296,6 +296,7 @@ class IncrementalClosure(
     val keep = RddKernel.subtract(
       RddKernel.compact(totalParts), oChain).localCheckpoint()
     keep.count()
+    trace("keep split done")
     val oAll = sc.union(oChain) // links are disjoint, partitioner preserved
 
     // --- rederive: R = lfp of (O∩E') ∪ (O ∩ E'∘keep) ∪ (O ∩ E'∘R) -----
@@ -321,27 +322,74 @@ class IncrementalClosure(
     var rChain = Vector.empty[RDD[(Tup, Null)]]
     var rDelta = RddKernel.freshDelta(r0a.union(r0b), part, rChain)
     var rn = rDelta.count()
+    trace(s"rederive r0 n=$rn")
     while (rn > 0) {
       rChain = rChain :+ rDelta
-      // (y,z) newly rederived, (x,y) ∈ E', (x,z) still overdeleted.
-      val cand = rDelta.mapPartitions { it =>
-        val m = newRevBc.value
-        it.flatMap { case ((y, z), _) =>
-          m.get(y) match {
-            case None     => Iterator.empty
-            case Some(xs) => xs.iterator.map(x => ((x, z): Tup, null))
-          }
-        }
-      }
-      val inO = RddKernel.retain(RddKernel.dedup(cand, part), oChain)
+      // (y,z) newly rederived, E'-path into x, (x,z) still overdeleted —
+      // every k-hop intermediate is itself in closure(E'), so retain(O)
+      // keeps exactly the rederived slice.
+      val inO = RddKernel.retain(
+        RddKernel.dedup(expand(rDelta, newRevBc), part), oChain)
       rDelta = RddKernel.subtract(inO, rChain).localCheckpoint()
       rn = rDelta.count()
     }
 
     val removed = RddKernel.subtract(oAll, rChain).localCheckpoint()
     removed.count()
+    trace("removed materialized")
     totalParts = Vector(keep) ++ rChain
     removed
+  }
+
+  /** One fixpoint round's candidate generation: expand a delta by up to
+    * `graft.fixpoint.khop` REVERSE hops within each task (the batch
+    * kernel's k-hop round batching, [[graft.compile.Compiler]]
+    * kernelIterate), deduping per partition under a hop budget — the
+    * fixpoint pays diameter/k rounds of job overhead instead of
+    * diameter. Sound for all three loops that use it: BFS emits every
+    * intermediate node it reaches, so no derivation step is skipped —
+    * downstream freshDelta/retain filters decide membership. */
+  private def expand(delta: RDD[(Tup, Null)],
+      revBc: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Long]]])
+      : RDD[(Tup, Null)] = {
+    val k = kHops
+    val hopBudget = 1 << 16
+    delta.mapPartitions { it =>
+      val m = revBc.value
+      val seen = new java.util.LinkedHashSet[Tup]()
+      val hop1 = it.flatMap { case ((y, z), _) =>
+        m.get(y) match {
+          case None => Iterator.empty
+          case Some(xs) => xs.iterator.map { x =>
+            val c = (x, z): Tup
+            if (seen.size < hopBudget) seen.add(c)
+            (c, null)
+          }
+        }
+      }
+      // Iterator.++'s right side is by-name: runs after hop 1 drains.
+      hop1 ++ locally {
+        val extra = mutable.ArrayBuffer.empty[Tup]
+        var frontier: Array[Tup] = {
+          import scala.jdk.CollectionConverters._
+          seen.iterator.asScala.toArray
+        }
+        var hop = 1
+        while (hop < k && frontier.nonEmpty && seen.size < hopBudget) {
+          val next = mutable.ArrayBuffer.empty[Tup]
+          val cs = frontier.iterator.flatMap { case (y, z) =>
+            m.getOrElse(y, Array.empty[Long]).iterator.map(x => (x, z): Tup)
+          }
+          while (cs.hasNext && seen.size < hopBudget) {
+            val c = cs.next()
+            if (seen.add(c)) { next += c; extra += c }
+          }
+          frontier = next.toArray
+          hop += 1
+        }
+        extra.iterator.map((_, null))
+      }
+    }
   }
 
   /** For probes (key → origin) emit (origin, null) for every probe whose
