@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -16,8 +17,11 @@ object Bench {
     // Warm the session first (codegen compilation, parquet footer reads,
     // broadcast machinery, domain-catalog load for the bench SF) so startup
     // cost isn't attributed to whichever query happens to run first.
-    SparkEntry.entry(spark).count()
-    SparkEntry.queries("q_match_ea")(spark, sfDir).count()
+    // Warmup failures must not kill the run — the measured loop records
+    // per-query errors; a broken warmup query will show up there.
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try SparkEntry.queries("q_match_ea")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     // Warm the bench-SF tables (parquet footers, scan codegen) so one-time
     // session costs aren't attributed to whichever query scans them first.
     Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")
@@ -36,15 +40,31 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.contains(name))
     }
+    // A failing query must be VISIBLE in the artifact: its queries entry
+    // goes negative (-1, unmistakable as a timing) and its exception
+    // message lands in a top-level "errors" object — a broken query can
+    // never masquerade as a fast one.
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+      val secs = if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0
+      (name, secs, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(m)) =>
+      s"\"" + k + "\":" + jstr(m.take(300)) }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -339,16 +339,21 @@ object PipelineQueries {
         .select(col("event_id").as("eid"), col("user_id").as("u"),
           col("rcount"), col("rsum"), col("rmin"), col("rmax"))),
 
-    "q_rolling_time" -> ((s, dir) =>
+    "q_rolling_time" -> ((s, dir) => {
       // Trailing-1-hour activity stats per user (RANGE frame: the window
       // is defined by the timestamp value, so no tie column — equal
-      // timestamps are peers). ts is nanoseconds in this table.
+      // timestamps are peers). ts is normalized to epoch-µs LONG at read
+      // so the BIGINT range frame is well-typed whatever parquet type the
+      // testdata shipped (timestamp[us] today, nanos-as-long before).
+      val ev = Q.table(s, dir, "events")
       Temporal.rollingStatsRange(
-        Q.table(s, dir, "events").select(col("event_id"), col("user_id"),
-          col("ts"), round(col("value") * 100).cast("long").as("cents")),
-        "user_id", "ts", "cents", window = 3600L * 1000 * 1000 * 1000)
+        ev.select(col("event_id"), col("user_id"),
+          Q.tsMicros(ev, "ts").as("ts"),
+          round(col("value") * 100).cast("long").as("cents")),
+        "user_id", "ts", "cents", window = 3600L * 1000 * 1000)
         .select(col("event_id").as("eid"), col("user_id").as("u"),
-          col("rcount"), col("rsum"), col("rmin"), col("rmax"))),
+          col("rcount"), col("rsum"), col("rmin"), col("rmax"))
+    }),
 
     "q_mix_budget" -> ((s, dir) =>
       // Data-mixture primitive: longest documents first per source until
@@ -430,12 +435,15 @@ object PipelineQueries {
 
     "q_sessionize" -> ((s, dir) => {
       // Gap-based sessions over the event stream: a >30-minute silence
-      // starts a new session (ts is nanoseconds in this table).
+      // starts a new session. ts normalized to epoch-µs LONG at read so
+      // the gap comparison is integer arithmetic whatever parquet type
+      // the testdata shipped.
       import graft.pipeline.Temporal
+      val ev = Q.table(s, dir, "events")
       Temporal.sessionize(
-        Q.table(s, dir, "events")
-          .select(col("event_id"), col("user_id"), col("ts")),
-        "user_id", "ts", "event_id", gap = 30L * 60 * 1000 * 1000 * 1000)
+        ev.select(col("event_id"), col("user_id"),
+          Q.tsMicros(ev, "ts").as("ts")),
+        "user_id", "ts", "event_id", gap = 30L * 60 * 1000 * 1000)
         .select(col("event_id").as("eid"), col("user_id").as("u"),
           col("session"))
     }),
@@ -898,16 +906,19 @@ object PipelineQueries {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
 
+    // Same epoch-µs integer arithmetic as the Spark side (tsMicros):
+    // DuckDB's epoch_us over the naive parquet timestamp equals Spark's
+    // unix_micros under the UTC session timezone.
     "q_rolling_time" ->
       """SELECT CAST(event_id AS BIGINT) AS eid, CAST(user_id AS BIGINT) AS u,
                 CAST(COUNT(*) OVER w AS BIGINT) AS rcount,
                 CAST(SUM(cents) OVER w AS BIGINT) AS rsum,
                 CAST(MIN(cents) OVER w AS BIGINT) AS rmin,
                 CAST(MAX(cents) OVER w AS BIGINT) AS rmax
-         FROM (SELECT event_id, user_id, ts,
+         FROM (SELECT event_id, user_id, epoch_us(ts) AS tsus,
                       CAST(round(value * 100) AS BIGINT) AS cents FROM events)
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC
-                      RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)""",
+         WINDOW w AS (PARTITION BY user_id ORDER BY tsus ASC
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
 
     "q_mix_budget" ->
       s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, source AS src,
@@ -993,16 +1004,17 @@ object PipelineQueries {
                 CAST(view_id AS BIGINT) AS view_id
          FROM swept WHERE side = 1""",
 
+    // Same epoch-µs integer gap arithmetic as the Spark side (tsMicros).
     "q_sessionize" ->
       """SELECT CAST(event_id AS BIGINT) AS eid, CAST(user_id AS BIGINT) AS u,
                 CAST(SUM(CASE WHEN prev IS NULL
-                          OR ts - prev <= INTERVAL '30 minutes' THEN 0
+                          OR tsus - prev <= 1800000000 THEN 0
                           ELSE 1 END)
-                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     OVER (PARTITION BY user_id ORDER BY tsus, event_id
                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
-         FROM (SELECT event_id, user_id, ts,
-                      LAG(ts) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS prev
+         FROM (SELECT event_id, user_id, epoch_us(ts) AS tsus,
+                      LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS prev
                FROM events)""",
 
     "q_lww_batch" ->

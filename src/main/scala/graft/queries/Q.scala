@@ -56,4 +56,27 @@ object Q {
   /** Raw table reader for the DataFrame-level (pipeline) queries. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Normalize a physical timestamp column to epoch MICROSECONDS as LONG,
+    * whatever type the parquet loaded it as. The testdata has shipped `ts`
+    * both as `timestamp[ns]` (loaded LONG under the `nanosAsLong` legacy
+    * flag) and as `timestamp[us]` (loaded TIMESTAMP / TIMESTAMP_NTZ) — a
+    * query doing timestamp arithmetic must not care which. NTZ is cast
+    * through TIMESTAMP (session timezone; Verify/Bench pin UTC), which
+    * matches DuckDB's `epoch_us` reading of the same naive parquet value.
+    * Integral `div` (not `/`) for the nanos path: epoch-nanos ≈ 1.7e18
+    * exceeds double's 53-bit mantissa, so float division would corrupt
+    * low-order digits. Fails loudly on any other type. */
+  def tsMicros(df: DataFrame, tsCol: String): Column = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.{expr, unix_micros}
+    df.schema(tsCol).dataType match {
+      case TimestampType    => unix_micros(col(tsCol))
+      case TimestampNTZType => unix_micros(col(tsCol).cast(TimestampType))
+      case LongType         => expr(s"`$tsCol` div 1000L")
+      case other => sys.error(
+        s"tsMicros: unsupported type $other for column `$tsCol` — " +
+          "expected TIMESTAMP, TIMESTAMP_NTZ, or LONG (legacy nanos)")
+    }
+  }
 }
