@@ -1271,13 +1271,28 @@ class Compiler(
         // over the positive-support set stay well-defined (Z-set {A:+1,
         // B:-1}: sup=1, wsum=0). Drop the whole row only when COUNT/SUM
         // are the only aggregates; with mixed functions, null out just the
-        // weight-sensitive outputs.
+        // weight-sensitive outputs. AVG/VARIANCE at net count 0 are
+        // UNDEFINED (the reference's Rational32 panics on a zero
+        // denominator) — fail loudly rather than ship a denominator-0
+        // rational; the maintained path (IncrementalQuery.aggOf) throws
+        // the same way.
         val wSensitive = fns.zipWithIndex.collect {
           case (f, i) if f == COUNT || f == SUM => i
         }
-        if (wSensitive.isEmpty) base
-        else if (wSensitive.length == fns.length) base.where(col("_wsum") =!= 0L)
-        else wSensitive.foldLeft(base) { (df, i) =>
+        val rationals = fns.zipWithIndex.collect {
+          case (f, i) if f == AVG || f == VARIANCE => i
+        }
+        val guarded = rationals.foldLeft(base) { (df, i) =>
+          df.withColumn(s"a$i", when(col("_wsum") =!= 0L, col(s"a$i"))
+            .otherwise(raise_error(concat(
+              lit(s"ill-formed Z-set history: ${fns(i)} support non-empty " +
+                "but net count 0 for key ("),
+              concat_ws(",", keyCols: _*), lit(")")))
+              .cast(df.schema(s"a$i").dataType)))
+        }
+        if (wSensitive.isEmpty) guarded
+        else if (wSensitive.length == fns.length) guarded.where(col("_wsum") =!= 0L)
+        else wSensitive.foldLeft(guarded) { (df, i) =>
           df.withColumn(s"a$i", when(col("_wsum") =!= 0L, col(s"a$i")))
         }
       }

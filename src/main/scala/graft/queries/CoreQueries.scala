@@ -342,6 +342,11 @@ object CoreQueries {
         inc.advanceSignedRdd(batch(m3 < 2, 1L), 1L),
         inc.advanceSignedRdd(batch(m3 === 2, 1L), 2L),
         inc.advanceSignedRdd(batch(m3 === 0, -1L), 3L))
+      // The advances consume `edges` eagerly (shuffle + gated collect
+      // inside advanceSignedRdd) and the emitted diffs derive from the
+      // closure's checkpointed state — drop the cache now instead of
+      // leaking it for the session lifetime.
+      edges.unpersist(blocking = false)
       diffs.reduce(_ unionAll _)
         .groupBy(col("src"), col("dst")).agg(sum(col("diff")).as("w"))
         .where(col("w") > 0)

@@ -772,8 +772,9 @@ object IncrementalQuery {
 
   /** A key's aggregate under the batch compiler's exact Z-set semantics
     * (`Compiler.aggregate`, non-unit path, single fn): `None` = the key
-    * emits no row. Values carry their net weights (any sign). */
-  private def aggOf(
+    * emits no row. Values carry their net weights (any sign).
+    * `private[graft]` so the spec can feed ill-formed histories. */
+  private[graft] def aggOf(
       fn: AggregationFn, longVals: Boolean,
       rows: Iterable[(Any, Long)]): Option[Any] = {
     import AggregationFn._
@@ -788,8 +789,15 @@ object IncrementalQuery {
         if (wsum == 0L) None
         else Some(rows.map { case (v, w) => num(v) * w }.sum)
       case AVG =>
+        // A present support with net count 0 is an ill-formed Z-set
+        // history (the engine's Distinct/LWW inputs can't produce it) —
+        // fail loudly rather than emit a denominator-0 "rational".
+        require(wsum != 0L,
+          s"ill-formed Z-set history: AVG support non-empty but net count 0 ($rows)")
         Some(rational(rows.map { case (v, w) => num(v) * w }.sum, wsum))
       case VARIANCE =>
+        require(wsum != 0L,
+          s"ill-formed Z-set history: VARIANCE support non-empty but net count 0 ($rows)")
         val ssq = rows.map { case (v, w) => num(v) * num(v) * w }.sum
         val s = rows.map { case (v, w) => num(v) * w }.sum
         val c = wsum

@@ -106,6 +106,25 @@ class IncrementalQuerySpec extends AnyFunSuite {
       if (rnd.nextInt(5) == 0) -1L else 1L)))
   }
 
+  /** Like [[genBatches]] but VALID: a datom is only retracted while its
+    * net weight is positive (the engine's Distinct/LWW input contract).
+    * AVG/VARIANCE use this — with nonneg net weights a key's support
+    * implies a positive net count, so the undefined net-count-0 average
+    * (which fails loudly in both compilers) is unreachable, exactly as it
+    * is from real engine inputs. */
+  private def genValidBatches(seed: Long, attrs: Seq[String], n: Int,
+      rows: Int = 14, es: Int = 4, vs: Int = 6): Seq[Seq[(String, Long, Long, Long)]] = {
+    val rnd = new scala.util.Random(seed)
+    val net = mutable.Map.empty[(String, Long, Long), Long].withDefaultValue(0L)
+    Seq.fill(n)(Seq.fill(rows) {
+      val k = (attrs(rnd.nextInt(attrs.length)),
+        rnd.nextInt(es).toLong, rnd.nextInt(vs).toLong)
+      val d = if (rnd.nextInt(5) == 0 && net(k) > 0L) -1L else 1L
+      net(k) += d
+      (k._1, k._2, k._3, d)
+    })
+  }
+
   test("linear zone: transform over filter over match, stateless diffs") {
     val plan = Plan.Transform(Seq(2), 3,
       Plan.Filter(Seq(2), Predicate.GT,
@@ -148,10 +167,18 @@ class IncrementalQuerySpec extends AnyFunSuite {
 
   test("every AggregationFn over a match, batch-exact incl. rationals") {
     import AggregationFn._
-    for (fn <- Seq(COUNT, SUM, AVG, VARIANCE, MIN, MAX, MEDIAN)) {
+    // AVG/VARIANCE are undefined at net count 0 (loud failure in both
+    // compilers — see the ill-formed-history test), so they get VALID
+    // histories; the rest keep unrestricted Z-set weights.
+    for (fn <- Seq(COUNT, SUM, MIN, MAX, MEDIAN)) {
       val plan = Plan.Aggregate(Seq(1, 2), Plan.MatchA(1, ":m", 2),
         Seq(fn), Seq(1), Seq(2), Seq.empty)
       check(plan, genBatches(7919L * fn.hashCode, Seq(":m"), 3))
+    }
+    for (fn <- Seq(AVG, VARIANCE)) {
+      val plan = Plan.Aggregate(Seq(1, 2), Plan.MatchA(1, ":m", 2),
+        Seq(fn), Seq(1), Seq(2), Seq.empty)
+      check(plan, genValidBatches(7919L * fn.hashCode, Seq(":m"), 3))
     }
   }
 
@@ -159,12 +186,16 @@ class IncrementalQuerySpec extends AnyFunSuite {
     import AggregationFn._
     val hector = Plan.Hector(Seq(10, 11, 12), Seq(
       Binding.Attr(10, ":e1", 11), Binding.Attr(11, ":e2", 12)))
-    for (fn <- Seq(COUNT, AVG)) {
-      val plan = Plan.Aggregate(Seq(10, 12), hector,
-        Seq(fn), Seq(10), Seq(12), Seq.empty)
-      check(plan, genBatches(505 + fn.hashCode, Seq(":e1", ":e2"), 3,
-        es = 3, vs = 3))
-    }
+    val countPlan = Plan.Aggregate(Seq(10, 12), hector,
+      Seq(AggregationFn.COUNT), Seq(10), Seq(12), Seq.empty)
+    check(countPlan, genBatches(505 + AggregationFn.COUNT.hashCode,
+      Seq(":e1", ":e2"), 3, es = 3, vs = 3))
+    // AVG gets valid histories: nonneg datom weights make hector product
+    // weights nonneg, so the undefined net-count-0 average can't arise.
+    val avgPlan = Plan.Aggregate(Seq(10, 12), hector,
+      Seq(AggregationFn.AVG), Seq(10), Seq(12), Seq.empty)
+    check(avgPlan, genValidBatches(505 + AggregationFn.AVG.hashCode,
+      Seq(":e1", ":e2"), 3, es = 3, vs = 3))
   }
 
   test("threshold per-batch shuffle is O(delta) as union state grows 100x") {
@@ -238,5 +269,25 @@ class IncrementalQuerySpec extends AnyFunSuite {
       query.processAllAvailable()
       assert(got.toSet == Set((3L, 7L, -1L)))
     } finally query.stop()
+  }
+
+  test("ill-formed Z-set history (support present, net count 0) fails loudly for AVG/VARIANCE") {
+    import graft.model.AggregationFn
+    // Support exists (a +1 row) but the net count cancels to 0 — no
+    // engine input path can produce this (Distinct/LWW inputs keep
+    // weights consistent), so the rational denominator guard must throw
+    // rather than emit a denominator-0 value.
+    val illFormed: Seq[(Any, Long)] = Seq((5L, 1L), (9L, -1L))
+    for (fn <- Seq(AggregationFn.AVG, AggregationFn.VARIANCE)) {
+      val e = intercept[IllegalArgumentException] {
+        IncrementalQuery.aggOf(fn, longVals = true, illFormed)
+      }
+      assert(e.getMessage.contains("ill-formed Z-set history"))
+    }
+    // Well-formed histories still work through the same entry point.
+    assert(IncrementalQuery.aggOf(
+      AggregationFn.COUNT, longVals = true, illFormed).isEmpty)
+    assert(IncrementalQuery.aggOf(
+      AggregationFn.AVG, longVals = true, Seq((5L, 1L), (9L, 1L))).isDefined)
   }
 }
