@@ -314,6 +314,40 @@ object CoreQueries {
         .select(col("c0").as("custkey"), col("c1").as("order_count"))
     }),
 
+    "q_incremental_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{lit, pmod, sum}
+      // The q_agg_stats shape MAINTAINED: five aggregation functions
+      // (MIN/MAX/MEDIAN/COUNT/SUM of orderkey per custkey, each result
+      // re-inserted at its output_offsets position) over the same four
+      // signed micro-batches as q_incremental_maintain — batch 4
+      // retracts batch 1. Accumulated diffs must reproduce the batch
+      // aggregate over the surviving orders (the oracle).
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").cast("long").as("e"),
+          col("o_custkey").cast("long").as("v"))
+      val iq = new graft.streaming.IncrementalQuery(s,
+        Aggregate(Seq(1, 0, 0, 0, 0, 0), matchA(0, ":o/custkey", 1),
+          Seq(AggregationFn.MIN, AggregationFn.MAX, AggregationFn.MEDIAN,
+            AggregationFn.COUNT, AggregationFn.SUM),
+          Seq(1), Seq(0, 0, 0, 0, 0), Seq.empty),
+        Map(":o/custkey" -> ValueKind.KEid))
+      def batch(m: Int, diff: Long) =
+        orders.where(pmod(col("e"), lit(4)) === m).withColumn("diff", lit(diff))
+      val diffs = Seq(
+        iq.advance(Map(":o/custkey" -> batch(0, 1L))),
+        iq.advance(Map(":o/custkey" -> batch(1, 1L))),
+        iq.advance(Map(":o/custkey" -> batch(2, 1L))),
+        iq.advance(Map(":o/custkey" ->
+          batch(3, 1L).unionByName(batch(0, -1L)))))
+      val cs = (0 to 5).map(i => col(s"c$i"))
+      diffs.reduce(_ unionAll _)
+        .groupBy(cs: _*).agg(sum(col("_w")).as("w"))
+        .where(col("w") > 0)
+        .select(col("c0").as("custkey"), col("c1").as("min_ok"),
+          col("c2").as("max_ok"), col("c3").as("med_ok"),
+          col("c4").as("n"), col("c5").as("sum_ok"))
+    }),
+
     "q_closure_maintain" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{lit, pmod, sum}
       // The q_recursion_closure edge relation streamed through the
@@ -503,6 +537,17 @@ object CoreQueries {
     "q_incremental_maintain" ->
       """SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS order_count
          FROM orders WHERE o_orderkey % 4 <> 0 GROUP BY 1""",
+    "q_incremental_stats" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey,
+                CAST(MIN(k) AS BIGINT) AS min_ok,
+                CAST(MAX(k) AS BIGINT) AS max_ok,
+                CAST((list_sort(list(DISTINCT k)))[len(list(DISTINCT k)) // 2 + 1]
+                     AS BIGINT) AS med_ok,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(k) AS BIGINT) AS sum_ok
+         FROM (SELECT o_custkey, CAST(o_orderkey AS BIGINT) AS k
+               FROM orders WHERE o_orderkey % 4 <> 0)
+         GROUP BY 1""",
     "q_closure_maintain" ->
       """WITH RECURSIVE edges AS (
            SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,

@@ -54,13 +54,6 @@ class IncrementalAggregate(spark: SparkSession, fn: AggregationFn) {
   private var stateRdd: RDD[KV] =
     spark.sparkContext.emptyRDD[KV].partitionBy(part)
 
-  /** (aggregate columns per fn) — AVG/VARIANCE emit exact accumulators. */
-  private val aggArity: Int = fn match {
-    case VARIANCE => 3
-    case AVG      => 2
-    case _        => 1
-  }
-
   private val diffSchema: StructType = StructType(
     StructField("k", LongType, false) +:
       (fn match {
@@ -83,7 +76,12 @@ class IncrementalAggregate(spark: SparkSession, fn: AggregationFn) {
   /** Apply one batch of signed `(k, v, diff)` deltas; returns the exact
     * output diffs (retraction of replaced aggregates at -1, new
     * aggregates at +1), consolidated (an untouched aggregate emits
-    * nothing; a key whose aggregate is unchanged emits nothing). */
+    * nothing; a key whose aggregate is unchanged emits nothing).
+    *
+    * The per-partition state discipline DELEGATES to the one shared
+    * merge ([[IncrementalQuery.aggregateMerge]]) — this class only
+    * supplies its accumulator-convention aggregate function and the
+    * non-negative-support input contract. */
   def advance(delta: DataFrame): DataFrame = {
     val fnLocal = fn
     val deltaRdd: RDD[KV] = delta
@@ -91,71 +89,26 @@ class IncrementalAggregate(spark: SparkSession, fn: AggregationFn) {
         col("diff").cast("long"))
       .rdd.map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
       .reduceByKey(part, _ + _) // map-side combine; the only shuffle
-    val aggOfF = IncrementalAggregate.aggOf _
 
     // One narrow co-partitioned pass: merge weights, recompute touched
-    // keys (their support is partition-local). Tagged output: tag 0 =
-    // new state row (k, v, 0, w); tag 1 = diff row (k, a0..a2, w).
-    val tagged: RDD[(Int, Long, Long, Long, Long, Long)] =
+    // keys (their support is partition-local). Left = new state rows,
+    // Right = diff rows (k, accumulators..., w).
+    val tagged: RDD[Either[KV, Seq[Any]]] =
       stateRdd.zipPartitions(deltaRdd, preservesPartitioning = true) {
         (sIt, dIt) =>
-          val dm = new java.util.HashMap[(Long, Long), java.lang.Long]()
-          dIt.foreach { case (kv, w) => dm.put(kv, w) }
-          val touched = new java.util.HashSet[java.lang.Long]()
-          dm.keySet().iterator().asScala.foreach(kv => touched.add(kv._1))
-          val oldRows = new java.util.HashMap[java.lang.Long, mutable.ArrayBuffer[(Long, Long)]]()
-          val newRows = new java.util.HashMap[java.lang.Long, mutable.ArrayBuffer[(Long, Long)]]()
-          def add(m: java.util.HashMap[java.lang.Long, mutable.ArrayBuffer[(Long, Long)]],
-              k: Long, v: Long, w: Long): Unit = {
-            var b = m.get(k)
-            if (b == null) { b = mutable.ArrayBuffer.empty; m.put(k, b) }
-            b += ((v, w))
-          }
-          val out = mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long, Long)]
-          sIt.foreach { case ((k, v), w) =>
-            if (!touched.contains(k)) out += ((0, k, v, 0L, 0L, w))
-            else {
-              add(oldRows, k, v, w)
-              val dw = dm.remove((k, v))
-              val nw = if (dw == null) w else w + dw.longValue
-              require(nw >= 0L,
-                s"retraction below zero support for key=$k value=$v ($nw)")
-              if (nw != 0L) { out += ((0, k, v, 0L, 0L, nw)); add(newRows, k, v, nw) }
-            }
-          }
-          dm.entrySet().iterator().asScala.foreach { e =>
-            val (k, v) = e.getKey
-            val w = e.getValue.longValue
-            require(w >= 0L,
-              s"retraction below zero support for key=$k value=$v ($w)")
-            if (w != 0L) { out += ((0, k, v, 0L, 0L, w)); add(newRows, k, v, w) }
-          }
-          touched.iterator().asScala.foreach { kBoxed =>
-            val k = kBoxed.longValue
-            val o = Option(oldRows.get(k)).flatMap(aggOfF(fnLocal, _))
-            val n = Option(newRows.get(k)).flatMap(aggOfF(fnLocal, _))
-            if (o != n) {
-              def pad(a: Seq[Long]) = a.padTo(3, 0L)
-              o.foreach(a => out += ((1, k, pad(a)(0), pad(a)(1), pad(a)(2), -1L)))
-              n.foreach(a => out += ((1, k, pad(a)(0), pad(a)(1), pad(a)(2), 1L)))
-            }
-          }
-          out.iterator
+          IncrementalQuery.aggregateMerge[Long, Long](
+            sIt, dIt, requireNonNeg = true,
+            (k, rows) => IncrementalAggregate.aggOf(fnLocal, rows)
+              .map(accs => k +: accs))
       }.localCheckpoint()
     tagged.count() // materialize before rebinding state
 
-    stateRdd = tagged.filter(_._1 == 0)
+    stateRdd = tagged.collect { case Left(kv) => kv }
       // Narrow rebind: rows never moved, so the key layout still matches
       // `part` — keep the claim so it stays zip-safe (and a partitionBy
       // with the same partitioner stays a no-op).
-      .mapPartitions(
-        _.map { case (_, k, v, _, _, w) => ((k, v), w) },
-        preservesPartitioning = true)
-    val arity = aggArity
-    val diffRows = tagged.filter(_._1 == 1).map {
-      case (_, k, a0, a1, a2, w) =>
-        Row.fromSeq(k +: Seq(a0, a1, a2).take(arity) :+ w)
-    }
+      .mapPartitions(identity, preservesPartitioning = true)
+    val diffRows = tagged.collect { case Right(vals) => Row.fromSeq(vals) }
     spark.createDataFrame(diffRows, diffSchema)
   }
 

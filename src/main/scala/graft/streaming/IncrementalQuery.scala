@@ -43,13 +43,16 @@ import graft.model._
   *       reference's set semantics (`src/plan/union.rs:73-77`:
   *       `concat.distinct()`), emitting ±1 exactly at support
   *       zero-crossings — the differential `distinct` analog;
-  *     - `Aggregate` → grouped-aggregate state `((key, value) → w)`
+  *     - `Aggregate` → grouped-aggregate state `((key, valueTuple) → w)`
   *       partitioned by KEY (a key's whole support is co-resident), a
   *       narrow merge + touched-key recompute per batch, mirroring the
   *       batch compiler's multiset semantics bit-for-bit: COUNT/SUM in
   *       the diff monoid (vanishing at net-zero weight), AVG/VARIANCE
-  *       as gcd-reduced rationals, MIN/MAX/MEDIAN over the positive-
-  *       support distinct set with the upper median
+  *       as gcd-reduced rationals (loud failure at undefined net count
+  *       0), MIN/MAX/MEDIAN over the positive-support distinct set with
+  *       the upper median — including MULTI-FUNCTION plans (each result
+  *       re-inserted at its output_offsets position) and `:with`
+  *       variables riding in the value tuple
   *       (`src/plan/aggregate_neu.rs:45-285`).
   *
   *     - `Antijoin` (and Hector `Not` bindings, lowered exactly as the
@@ -67,9 +70,9 @@ import graft.model._
   * ([[IncrementalClosure]]'s job) and the Pull family (point-lookup
   * views the batch engine serves).
   *
-  * Restrictions on `Aggregate` nodes (v1): single aggregation function,
-  * no `:with` variables, order statistics over long- or string-typed
-  * values, numeric aggregations over long-typed values.
+  * Restrictions on `Aggregate` nodes: numeric aggregations over
+  * long-typed values; order statistics (and `:with` variables) over
+  * long- or string-typed values.
   */
 class IncrementalQuery(
     spark: SparkSession,
@@ -259,77 +262,122 @@ class IncrementalQuery(
       }
   }
 
-  /** Grouped-aggregate node: state = ((key, value) → net weight)
-    * partitioned by KEY; batch-compiler-exact output rows (see class
-    * doc), retract/assert diffs for exactly the touched keys. */
+  /** Grouped-aggregate node: state = ((key, valueTuple) → net weight)
+    * partitioned by KEY, where valueTuple is the batch compiler's
+    * pre-aggregation projection (first-occurrence-deduped aggVars ++
+    * withVars minus keys — `:with` variables ride along so equal
+    * contributions from different provenance don't consolidate away,
+    * `src/plan/aggregate_neu.rs:130-143`). Emits batch-compiler-exact
+    * output rows with EVERY aggregation re-inserted at its find-clause
+    * position (output_offsets, `aggregate_neu.rs:247-285`):
+    * retract/assert diffs for exactly the touched keys. */
   private final class AggregateNode(
-      input: Node, outVars: Seq[PVar], fn: AggregationFn,
-      keyVars: Seq[PVar], aggVar: PVar) extends Node {
-    require(!keyVars.contains(aggVar),
-      "aggregation variable must not also be a key variable")
+      input: Node, outVars: Seq[PVar], fns: Seq[AggregationFn],
+      keyVars: Seq[PVar], aggVars: Seq[PVar], withVars: Seq[PVar]) extends Node {
+    import AggregationFn._
+    require(fns.nonEmpty && fns.length == aggVars.length,
+      s"one aggregation variable per function, got $fns over $aggVars")
 
     val vars: Seq[PVar] = outVars
     val attrs: Set[String] = input.attrs
 
     private val keyIdx: Seq[Int] = keyVars.map(input.vars.indexOf)
-    private val aggIdx: Int = input.vars.indexOf(aggVar)
-    require(keyIdx.forall(_ >= 0) && aggIdx >= 0,
-      s"aggregate key/value vars must be bound by the input ($outVars)")
+    require(keyIdx.forall(_ >= 0),
+      s"aggregate key vars $keyVars must be bound by the input (${input.vars})")
 
-    private val valueKind: ValueKind = input.nodeKinds(aggIdx)
-    private val valueIsLong: Boolean = valueKind.dataType == LongType
-    private val numericFn = fn == AggregationFn.SUM ||
-      fn == AggregationFn.AVG || fn == AggregationFn.VARIANCE
-    private val orderFn = fn == AggregationFn.MIN ||
-      fn == AggregationFn.MAX || fn == AggregationFn.MEDIAN
-    require(!numericFn || valueIsLong,
-      s"numeric aggregation $fn needs long-typed values, got $valueKind")
-    require(!orderFn || valueIsLong || valueKind.dataType == StringType,
-      s"order statistics need long or string values, got $valueKind")
+    // The value tuple: batch's valueVars = dedupFirst(aggVars ++ withVars)
+    // minus keys (Seq.distinct keeps first occurrences).
+    private val valueVars: Seq[PVar] =
+      (aggVars ++ withVars).distinct.filterNot(keyVars.contains)
+    private val valueIdx: Seq[Int] = valueVars.map(input.vars.indexOf)
+    require(valueIdx.forall(_ >= 0),
+      s"aggregate value/with vars $valueVars must be bound by the input (${input.vars})")
 
-    // Output slots: each outVar position carries either a key column
-    // (Left(position in keyVars)) or the aggregate (Right(())) —
-    // the batch compiler's output_offsets re-insertion, single-fn form.
-    private val slots: Seq[Either[Int, Unit]] = {
-      require(outVars.count(_ == aggVar) == 1 &&
-        keyVars.forall(k => outVars.count(_ == k) == 1) &&
-        outVars.toSet == (keyVars :+ aggVar).toSet,
-        s"aggregate output $outVars must be keys $keyVars plus $aggVar")
-      outVars.map(v =>
-        if (v == aggVar) Right(()) else Left(keyVars.indexOf(v)))
+    private def kindOfVar(v: PVar): ValueKind =
+      input.nodeKinds(input.vars.indexOf(v))
+
+    /** Read a variable at aggregate time: from the key tuple (it may BE a
+      * key var — the batch compiler allows aggregating a key) or the
+      * value tuple. */
+    private def accessor(v: PVar): Either[Int, Int] = {
+      val kp = keyVars.indexOf(v)
+      if (kp >= 0) Left(kp) else Right(valueVars.indexOf(v))
     }
 
-    val nodeKinds: Seq[ValueKind] = {
-      import AggregationFn._
-      val aggKind = fn match {
+    fns.zip(aggVars).foreach { case (f, v) =>
+      val k = kindOfVar(v)
+      val isLong = k.dataType == LongType
+      if (f == SUM || f == AVG || f == VARIANCE)
+        require(isLong, s"numeric aggregation $f needs long-typed values, got $k")
+      if (f == MIN || f == MAX || f == MEDIAN)
+        require(isLong || k.dataType == StringType,
+          s"order statistics need long or string values, got $k")
+    }
+    withVars.foreach { v =>
+      val k = kindOfVar(v)
+      require(k.dataType == LongType || k.dataType == StringType,
+        s"with variables must be long- or string-typed (median entry sort), got $k")
+    }
+
+    // Output slots — the batch compiler's output_offsets re-insertion:
+    // the i-th aggregation consumes the FIRST unconsumed occurrence of
+    // its variable; every remaining position must be a key column.
+    private val slots: Seq[Either[Int, Int]] = {
+      val work = mutable.ArrayBuffer(outVars.map(Option(_)): _*)
+      val posToAgg = mutable.Map.empty[Int, Int]
+      for (i <- fns.indices) {
+        val pos = work.indexOf(Some(aggVars(i)))
+        require(pos >= 0,
+          s"aggregation variable ${aggVars(i)} not in output $outVars")
+        work(pos) = None
+        posToAgg(pos) = i
+      }
+      outVars.indices.map { j =>
+        posToAgg.get(j) match {
+          case Some(i) => Right(i)
+          case None =>
+            val kp = keyVars.indexOf(outVars(j))
+            require(kp >= 0,
+              s"aggregate output var ${outVars(j)} is neither an " +
+                s"aggregation result nor a key ($keyVars)")
+            Left(kp)
+        }
+      }
+    }
+
+    val nodeKinds: Seq[ValueKind] = slots.map {
+      case Left(kp) => input.nodeKinds(keyIdx(kp))
+      case Right(i) => fns(i) match {
         case COUNT | SUM        => ValueKind.KNumber
         case AVG | VARIANCE     => ValueKind.KRational
-        case MIN | MAX | MEDIAN => valueKind
-      }
-      slots.map {
-        case Left(ki) => input.nodeKinds(keyIdx(ki))
-        case Right(_) => aggKind
+        case MIN | MAX | MEDIAN => kindOfVar(aggVars(i))
       }
     }
 
+    private val spec = AggSpec(fns, aggVars.map(accessor),
+      withVars.map(accessor), slots,
+      aggVars.map(v => kindOfVar(v).dataType == LongType))
+
     private val part = new SeqKeyPartitioner(shufflePartitions)
-    private var state: RDD[((Seq[Any], Any), Long)] =
-      spark.sparkContext.emptyRDD[((Seq[Any], Any), Long)].partitionBy(part)
+    private var state: RDD[((Seq[Any], Seq[Any]), Long)] =
+      spark.sparkContext.emptyRDD[((Seq[Any], Seq[Any]), Long)].partitionBy(part)
 
     def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
       if (!touched(attrDeltas)) emptyDiff
       else {
-        val (kIdx, aIdx) = (keyIdx, aggIdx)
-        val delta: RDD[((Seq[Any], Any), Long)] = input
+        val (kIdx, vIdx) = (keyIdx, valueIdx)
+        val delta: RDD[((Seq[Any], Seq[Any]), Long)] = input
           .advance(attrDeltas).rdd
           .map { r =>
-            ((kIdx.map(r.get): Seq[Any], r.get(aIdx)),
+            ((kIdx.map(r.get): Seq[Any], vIdx.map(r.get): Seq[Any]),
               r.getLong(r.length - 1))
           }
           .reduceByKey(part, _ + _) // the only shuffle: O(delta)
-        val fnL = fn; val longVals = valueIsLong; val slotsL = slots
+        val specL = spec
         val tagged = state.zipPartitions(delta, preservesPartitioning = true) {
-          (sIt, dIt) => aggregateMerge(sIt, dIt, fnL, longVals, slotsL)
+          (sIt, dIt) => aggregateMerge(sIt, dIt, requireNonNeg = false,
+            (k: Seq[Any], rows: Iterable[(Seq[Any], Long)]) =>
+              aggRowOf(specL, k, rows))
         }.localCheckpoint()
         tagged.count() // materialize before rebinding state
         state = tagged.collect { case Left(kv) => kv }
@@ -419,9 +467,7 @@ class IncrementalQuery(
         vs.indices, distinctLeft = true)
 
     case Plan.Aggregate(vs, child, fns, keyVars, aggVars, withVars) =>
-      require(fns.length == 1 && withVars.isEmpty,
-        "incremental Aggregate v1: single function, no :with variables")
-      new AggregateNode(zoneOf(child), vs, fns.head, keyVars, aggVars.head)
+      new AggregateNode(zoneOf(child), vs, fns, keyVars, aggVars, withVars)
 
     case Plan.NameExpr(vs, rname) if rules.contains(rname) =>
       // Non-recursive rule reference: inline the referenced plan (the
@@ -770,100 +816,153 @@ object IncrementalQuery {
     Row(sign * num / gg, sign * den / gg)
   }
 
-  /** A key's aggregate under the batch compiler's exact Z-set semantics
-    * (`Compiler.aggregate`, non-unit path, single fn): `None` = the key
-    * emits no row. Values carry their net weights (any sign).
-    * `private[graft]` so the spec can feed ill-formed histories. */
-  private[graft] def aggOf(
-      fn: AggregationFn, longVals: Boolean,
-      rows: Iterable[(Any, Long)]): Option[Any] = {
-    import AggregationFn._
-    val sup = rows.filter(_._2 > 0)
-    if (sup.isEmpty) return None
-    def wsum = rows.map(_._2).sum
-    def num(v: Any): Long = v.asInstanceOf[Long]
-    fn match {
-      case COUNT =>
-        val w = wsum; if (w == 0L) None else Some(w)
-      case SUM =>
-        if (wsum == 0L) None
-        else Some(rows.map { case (v, w) => num(v) * w }.sum)
-      case AVG =>
-        // A present support with net count 0 is an ill-formed Z-set
-        // history (the engine's Distinct/LWW inputs can't produce it) —
-        // fail loudly rather than emit a denominator-0 "rational".
-        require(wsum != 0L,
-          s"ill-formed Z-set history: AVG support non-empty but net count 0 ($rows)")
-        Some(rational(rows.map { case (v, w) => num(v) * w }.sum, wsum))
-      case VARIANCE =>
-        require(wsum != 0L,
-          s"ill-formed Z-set history: VARIANCE support non-empty but net count 0 ($rows)")
-        val ssq = rows.map { case (v, w) => num(v) * num(v) * w }.sum
-        val s = rows.map { case (v, w) => num(v) * w }.sum
-        val c = wsum
-        Some(rational(ssq * c - s * s, c * c))
-      case MIN | MAX | MEDIAN =>
-        val distinct = sup.map(_._1).toSeq.distinct
-        val sorted =
-          if (longVals) distinct.sortBy(_.asInstanceOf[Long])
-          else distinct.sortBy(_.asInstanceOf[String])
-        fn match {
-          case MIN    => Some(sorted.head)
-          case MAX    => Some(sorted.last)
-          case MEDIAN => Some(sorted(sorted.length / 2))
-          case _      => None // unreachable
+  /** How an [[AggregateNode]] reads and arranges values, captured as
+    * plain serializable data so the merge closure never drags a node
+    * (and its SparkSession) into tasks. Accessors are Left(position in
+    * key tuple) | Right(position in value tuple); slots are
+    * Left(key position) | Right(fn index). */
+  private[graft] final case class AggSpec(
+      fns: Seq[AggregationFn],
+      aggAcc: Seq[Either[Int, Int]],
+      withAcc: Seq[Either[Int, Int]],
+      slots: Seq[Either[Int, Int]],
+      aggLong: Seq[Boolean])
+
+  /** Lexicographic ordering over (value ++ withs) median entries — the
+    * field-by-field struct ordering Spark's sort_array applies to the
+    * batch compiler's collect_set entries. */
+  private val entryOrd: Ordering[Seq[Any]] = new Ordering[Seq[Any]] {
+    def compare(a: Seq[Any], b: Seq[Any]): Int = {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val c = (a(i), b(i)) match {
+          case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+          case (x: String, y: String) => x.compareTo(y)
+          case (x, y) => sys.error(s"unorderable median entry values: $x / $y")
         }
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
     }
   }
 
-  /** Aggregate merge for one partition: Left = surviving state entries,
-    * Right = output diff rows (slot-arranged values :+ weight). A key's
-    * whole support is partition-local (keyed by KEY), so old/new
-    * aggregates recompute narrowly for exactly the touched keys. */
-  private def aggregateMerge(
-      sIt: Iterator[((Seq[Any], Any), Long)],
-      dIt: Iterator[((Seq[Any], Any), Long)],
-      fn: AggregationFn, longVals: Boolean,
-      slots: Seq[Either[Int, Unit]]): Iterator[Either[((Seq[Any], Any), Long), Seq[Any]]] = {
-    val dm = new java.util.HashMap[(Seq[Any], Any), java.lang.Long]()
+  /** A key's full slot-arranged output row under the batch compiler's
+    * exact Z-set semantics (`Compiler.aggregate`, non-unit path, every
+    * fn re-inserted at its output_offsets position): `None` = the key
+    * emits no row. Values carry their net weights (any sign).
+    * `private[graft]` so the spec can feed ill-formed histories. */
+  private[graft] def aggRowOf(
+      spec: AggSpec, key: Seq[Any],
+      rows: Iterable[(Seq[Any], Long)]): Option[Seq[Any]] = {
+    import AggregationFn._
+    val sup = rows.filter(_._2 > 0)
+    if (sup.isEmpty) return None
+    val wsum = rows.map(_._2).sum
+    // All-weight-sensitive rows vanish at net count 0; mixed rows null
+    // out just the COUNT/SUM slots (the batch compiler's _wsum rule).
+    if (wsum == 0L && spec.fns.forall(f => f == COUNT || f == SUM))
+      return None
+    def read(acc: Either[Int, Int], vt: Seq[Any]): Any = acc match {
+      case Left(kp)  => key(kp)
+      case Right(vp) => vt(vp)
+    }
+    def num(a: Any): Long = a.asInstanceOf[Long]
+    val aggVals: Seq[Any] = spec.fns.zipWithIndex.map { case (f, i) =>
+      val acc = spec.aggAcc(i)
+      f match {
+        case COUNT => if (wsum == 0L) null else wsum
+        case SUM =>
+          if (wsum == 0L) null
+          else rows.map { case (vt, w) => num(read(acc, vt)) * w }.sum
+        case AVG =>
+          // Net count 0 with live support is division-by-zero-undefined
+          // — the batch compiler raises the same way.
+          require(wsum != 0L,
+            s"ill-formed Z-set history: AVG support non-empty but net count 0 ($rows)")
+          rational(rows.map { case (vt, w) => num(read(acc, vt)) * w }.sum, wsum)
+        case VARIANCE =>
+          require(wsum != 0L,
+            s"ill-formed Z-set history: VARIANCE support non-empty but net count 0 ($rows)")
+          val ssq = rows.map { case (vt, w) =>
+            val v = num(read(acc, vt)); v * v * w }.sum
+          val s = rows.map { case (vt, w) => num(read(acc, vt)) * w }.sum
+          rational(ssq * wsum - s * s, wsum * wsum)
+        case MIN | MAX =>
+          val vals = sup.map { case (vt, _) => read(acc, vt) }
+          if (spec.aggLong(i)) {
+            val ls = vals.map(num)
+            if (f == MIN) ls.min else ls.max
+          } else {
+            val ss = vals.map(_.asInstanceOf[String])
+            if (f == MIN) ss.min else ss.max
+          }
+        case MEDIAN =>
+          // Upper median over the DISTINCT (value ++ withs) entries of
+          // the positive support, sorted field-by-field — then project
+          // the value (`aggregate_neu.rs:157-164`).
+          val entries = sup.map { case (vt, _) =>
+            (read(acc, vt) +: spec.withAcc.map(read(_, vt))): Seq[Any]
+          }.toSeq.distinct.sorted(entryOrd)
+          entries(entries.length / 2).head
+      }
+    }
+    Some(spec.slots.map {
+      case Left(kp) => key(kp)
+      case Right(i) => aggVals(i)
+    })
+  }
+
+  /** THE grouped-aggregate merge for one partition — shared by
+    * [[IncrementalQuery]]'s AggregateNode and [[IncrementalAggregate]]
+    * (one code path for the state discipline): Left = surviving state
+    * entries, Right = output diff rows (`aggRowOf` values :+ weight). A
+    * key's whole support is partition-local (keyed by KEY), so old/new
+    * aggregates recompute narrowly for exactly the touched keys.
+    * `requireNonNeg` enforces the set-input contract (retraction below
+    * zero support fails loudly) for maintainers whose inputs promise it. */
+  private[streaming] def aggregateMerge[K, V](
+      sIt: Iterator[((K, V), Long)],
+      dIt: Iterator[((K, V), Long)],
+      requireNonNeg: Boolean,
+      aggRow: (K, Iterable[(V, Long)]) => Option[Seq[Any]]): Iterator[Either[((K, V), Long), Seq[Any]]] = {
+    val dm = new java.util.HashMap[(K, V), java.lang.Long]()
     dIt.foreach { case (k, w) => dm.put(k, w) }
-    val touchedKeys = new java.util.HashSet[Seq[Any]]()
+    val touchedKeys = new java.util.HashSet[K]()
     dm.keySet().iterator().asScala.foreach(kv => touchedKeys.add(kv._1))
-    type Support = mutable.ArrayBuffer[(Any, Long)]
-    val oldRows = new java.util.HashMap[Seq[Any], Support]()
-    val newRows = new java.util.HashMap[Seq[Any], Support]()
-    def add(m: java.util.HashMap[Seq[Any], Support],
-        k: Seq[Any], v: Any, w: Long): Unit = {
+    type Support = mutable.ArrayBuffer[(V, Long)]
+    val oldRows = new java.util.HashMap[K, Support]()
+    val newRows = new java.util.HashMap[K, Support]()
+    def add(m: java.util.HashMap[K, Support], k: K, v: V, w: Long): Unit = {
       var b = m.get(k)
       if (b == null) { b = mutable.ArrayBuffer.empty; m.put(k, b) }
       b += ((v, w))
     }
-    val out = mutable.ArrayBuffer.empty[Either[((Seq[Any], Any), Long), Seq[Any]]]
+    val out = mutable.ArrayBuffer.empty[Either[((K, V), Long), Seq[Any]]]
     sIt.foreach { case ((k, v), w) =>
       if (!touchedKeys.contains(k)) out += Left(((k, v), w))
       else {
         add(oldRows, k, v, w)
         val dw = dm.remove((k, v))
         val nw = if (dw == null) w else w + dw.longValue
+        if (requireNonNeg) require(nw >= 0L,
+          s"retraction below zero support for key=$k value=$v ($nw)")
         if (nw != 0L) { out += Left(((k, v), nw)); add(newRows, k, v, nw) }
       }
     }
     dm.entrySet().iterator().asScala.foreach { e =>
       val (k, v) = e.getKey
       val w = e.getValue.longValue
+      if (requireNonNeg) require(w >= 0L,
+        s"retraction below zero support for key=$k value=$v ($w)")
       if (w != 0L) { out += Left(((k, v), w)); add(newRows, k, v, w) }
     }
-    def rowOf(k: Seq[Any], agg: Any, w: Long): Seq[Any] =
-      slots.map {
-        case Left(ki)  => k(ki)
-        case Right(()) => agg
-      } :+ w
     touchedKeys.iterator().asScala.foreach { k =>
-      val o = Option(oldRows.get(k)).flatMap(aggOf(fn, longVals, _))
-      val n = Option(newRows.get(k)).flatMap(aggOf(fn, longVals, _))
+      val o = Option(oldRows.get(k)).flatMap(aggRow(k, _))
+      val n = Option(newRows.get(k)).flatMap(aggRow(k, _))
       if (o != n) {
-        o.foreach(a => out += Right(rowOf(k, a, -1L)))
-        n.foreach(a => out += Right(rowOf(k, a, 1L)))
+        o.foreach(a => out += Right(a :+ -1L))
+        n.foreach(a => out += Right(a :+ 1L))
       }
     }
     out.iterator

@@ -29,6 +29,23 @@ class EngineIncrementalSpec extends AnyFunSuite {
     Gen.chooseNum(2, 4).flatMap(n =>
       Gen.listOfN(n, Gen.nonEmptyListOf(genDatom).map(_.take(6))))
 
+  /** Clamp a history to the valid retract-only-what-exists contract
+    * (per-(e,a,v) net weight stays >= 0): AVG/VARIANCE are loudly
+    * UNDEFINED at net count 0 with live support (both compilers throw,
+    * as the reference's Rational32 panics), so their parity runs on
+    * histories that cannot reach that state — phantom retractions flip
+    * to additions. */
+  private def validHistory(h: Seq[Seq[Datom]]): Seq[Seq[Datom]] = {
+    val net = scala.collection.mutable.Map
+      .empty[(Long, String, Value), Long].withDefaultValue(0L)
+    h.map(_.map { d =>
+      val k = (d.e, d.a, d.v)
+      val dd = if (d.diff < 0 && net(k) <= 0) d.copy(diff = 1L) else d
+      net(k) += dd.diff
+      dd
+    })
+  }
+
   // The maintainable fragment: linear zones, union (with negation),
   // hector (with predicates), join-of-matches, aggregation over both.
   private val plans: Seq[(String, Plan)] = Seq(
@@ -80,8 +97,9 @@ class EngineIncrementalSpec extends AnyFunSuite {
       // Parity must hold on every history; at least one of the tried
       // seeds must produce output (no vacuous green).
       val nonVacuous = (0 until 3).map { s =>
-        val history =
+        val raw =
           genHistory(params, Seed(31L + i * 8191L + s * 131071L)).getOrElse(Seq.empty)
+        val history = if (label.contains("avg")) validHistory(raw) else raw
         val snap = run(plan, history, incremental = false)
         val inc = run(plan, history, incremental = true)
         assert(inc == snap, s"$label: history=$history")

@@ -182,6 +182,38 @@ class IncrementalQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-function aggregate (output_offsets re-insertion), batch-exact") {
+    import AggregationFn._
+    // Five functions over the same variable — outVars carries five
+    // occurrences of var 2, each consumed by one fn in order (the batch
+    // compiler's output_offsets rule). Unrestricted Z-set histories:
+    // MIN/MAX/MEDIAN stay defined at net-zero weight, COUNT/SUM null out.
+    val stats = Plan.Aggregate(Seq(1, 2, 2, 2, 2, 2), Plan.MatchA(1, ":m", 2),
+      Seq(MIN, MAX, MEDIAN, COUNT, SUM), Seq(1), Seq(2, 2, 2, 2, 2), Seq.empty)
+    check(stats, genBatches(8887, Seq(":m"), 3))
+    // Both rational functions together (valid histories: undefined at
+    // net count 0, where both compilers throw).
+    val rats = Plan.Aggregate(Seq(1, 2, 2), Plan.MatchA(1, ":m", 2),
+      Seq(AVG, VARIANCE), Seq(1), Seq(2, 2), Seq.empty)
+    check(rats, genValidBatches(9973, Seq(":m"), 3))
+    // Global multi-fn aggregation (no keys).
+    val global = Plan.Aggregate(Seq(2, 2), Plan.MatchA(1, ":m", 2),
+      Seq(COUNT, MAX), Seq.empty, Seq(2, 2), Seq.empty)
+    check(global, genBatches(6571, Seq(":m"), 3))
+  }
+
+  test("median with :with variables over a conjunction, batch-exact") {
+    // Datomic :with — the with-variable rides in the value tuple so the
+    // order statistic runs over distinct (value, with) pairs
+    // (src/plan/aggregate_neu.rs:130-143); here the provenance entity
+    // rides along under a MEDIAN keyed by the second attribute's value.
+    val hector = Plan.Hector(Seq(10, 11, 12), Seq(
+      Binding.Attr(10, ":e1", 11), Binding.Attr(10, ":e2", 12)))
+    val plan = Plan.Aggregate(Seq(12, 11), hector,
+      Seq(AggregationFn.MEDIAN), Seq(12), Seq(11), Seq(10))
+    check(plan, genBatches(4241, Seq(":e1", ":e2"), 3, es = 3, vs = 3))
+  }
+
   test("aggregate over a hector conjunction (composed stateful nodes)") {
     import AggregationFn._
     val hector = Plan.Hector(Seq(10, 11, 12), Seq(
@@ -273,21 +305,22 @@ class IncrementalQuerySpec extends AnyFunSuite {
 
   test("ill-formed Z-set history (support present, net count 0) fails loudly for AVG/VARIANCE") {
     import graft.model.AggregationFn
-    // Support exists (a +1 row) but the net count cancels to 0 — no
-    // engine input path can produce this (Distinct/LWW inputs keep
-    // weights consistent), so the rational denominator guard must throw
-    // rather than emit a denominator-0 value.
-    val illFormed: Seq[(Any, Long)] = Seq((5L, 1L), (9L, -1L))
+    def spec(fn: AggregationFn) = IncrementalQuery.AggSpec(
+      Seq(fn), Seq(Right(0)), Seq.empty, Seq(Right(0)), Seq(true))
+    def run(fn: AggregationFn, rows: Seq[(Long, Long)]) =
+      IncrementalQuery.aggRowOf(spec(fn), Seq.empty,
+        rows.map { case (v, w) => (Seq[Any](v), w) })
+    // Support exists (a +1 row) but the net count cancels to 0 — the
+    // average is division-by-zero-undefined, so the rational denominator
+    // guard must throw rather than emit a denominator-0 value.
+    val illFormed = Seq((5L, 1L), (9L, -1L))
     for (fn <- Seq(AggregationFn.AVG, AggregationFn.VARIANCE)) {
-      val e = intercept[IllegalArgumentException] {
-        IncrementalQuery.aggOf(fn, longVals = true, illFormed)
-      }
+      val e = intercept[IllegalArgumentException] { run(fn, illFormed) }
       assert(e.getMessage.contains("ill-formed Z-set history"))
     }
-    // Well-formed histories still work through the same entry point.
-    assert(IncrementalQuery.aggOf(
-      AggregationFn.COUNT, longVals = true, illFormed).isEmpty)
-    assert(IncrementalQuery.aggOf(
-      AggregationFn.AVG, longVals = true, Seq((5L, 1L), (9L, 1L))).isDefined)
+    // Well-formed histories still work through the same entry point, and
+    // COUNT vanishes (not throws) at net count 0.
+    assert(run(AggregationFn.COUNT, illFormed).isEmpty)
+    assert(run(AggregationFn.AVG, Seq((5L, 1L), (9L, 1L))).isDefined)
   }
 }
