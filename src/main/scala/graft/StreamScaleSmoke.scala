@@ -225,6 +225,65 @@ object StreamScaleSmoke {
       spark.sparkContext.removeSparkListener(listener)
     }
 
+    // --------------------------- 5. distributed-adjacency closure (>5M)
+    // The upgrade path past IncrementalClosure's 5M broadcast gate: the
+    // adjacency lives as co-partitioned RDD copies + per-batch partition
+    // indexes, so the edge relation has NO driver ceiling. Deterministic
+    // disjoint 3-edge chains make every expectation exact: 6 closure
+    // tuples per chain; deleting a chain's middle edge retracts exactly
+    // the 4 paths through it.
+    {
+      import graft.streaming.DistributedClosure
+      val dist = new DistributedClosure(spark, partitions = 32)
+      val edgesPerChain = 3
+      val bulkBatches = 5
+      val chainsPerBulk = 340000L
+      def chainEdges(c0: Long, n: Long) =
+        spark.sparkContext.range(c0, c0 + n, 1, 32).flatMap { c =>
+          val base = c * 10L
+          (0 until edgesPerChain).map(i => (base + i, base + i + 1))
+        }
+      var t = 0L
+      (0 until bulkBatches).foreach { b =>
+        t += 1
+        val t0 = now()
+        val out = dist.advanceRdd(chainEdges(b * chainsPerBulk, chainsPerBulk), t)
+        val n = out.count()
+        println(f"[scale] dist-closure bulk=$b%d edges=${dist.edgeSize}%d " +
+          f"fresh=$n%d sec=${secs(t0)}%.1f")
+      }
+      val gateNote =
+        if (dist.edgeSize > 5000000L) "PAST the sibling's 5M broadcast gate"
+        else "FAILED: below 5M"
+      println(s"[scale] dist-closure edges=${dist.edgeSize} ($gateNote) " +
+        s"closure=${dist.size}")
+      // Small batches against the >5M-edge state: per-batch latency must
+      // stay flat (narrow O(state/p) copy rebuild + O(delta) shuffles).
+      (1 to 5).foreach { b =>
+        t += 1
+        val c0 = bulkBatches * chainsPerBulk + b * 1000L
+        val t0 = now()
+        val out = dist.advanceRdd(chainEdges(c0, 300L), t)
+        val n = out.count()
+        val ok = if (n == 300L * 6) "" else " EXPECTED 1800 — FAILED"
+        println(f"[scale] dist-closure inc=$b%d newChains=300 out=$n%d " +
+          f"sec=${secs(t0)}%.1f$ok")
+      }
+      // DRed at scale: retract the middle edge of 1000 chains — exactly
+      // 4 retractions per chain ({a,b}×{c,d} paths), nothing rederived.
+      t += 1
+      val dels = spark.sparkContext.range(0L, 1000L, 1, 4)
+        .map(c => ((c * 10L + 1, c * 10L + 2), -1L))
+      val t0 = now()
+      val out = dist.advanceSignedRdd(dels, t)
+      val retr = out.where(col("diff") === -1L).count()
+      val asserted = out.where(col("diff") === 1L).count()
+      val ok = if (retr == 4000L && asserted == 0L) ""
+        else " EXPECTED retracted=4000 asserted=0 — FAILED"
+      println(f"[scale] dist-closure dred dels=1000 retracted=$retr%d " +
+        f"asserted=$asserted%d sec=${secs(t0)}%.1f$ok")
+    }
+
     println("[scale] smoke complete — no driver failure")
     spark.stop()
   }

@@ -58,8 +58,12 @@ import graft.kernel.RddKernel
   * narrow `zipPartitions` chain, compacted every `maxChain` batches), and
   * the adjacency as a broadcast reverse index, size-gated like the
   * kernel's static side (`maxEdges`). The one full-total scan per batch
-  * (Δe∘C) is narrow and partition-parallel; the arrangement-style upgrade
-  * if batches ever dominate is a second totals copy keyed by source.
+  * (Δe∘C) is narrow and partition-parallel. Past the `maxEdges` gate,
+  * use [[DistributedClosure]]: the same maintenance algebra with the
+  * adjacency as co-partitioned RDD copies (a second totals copy keyed by
+  * source, per-batch partition-local indexes) — no broadcast, no edge
+  * ceiling; this class stays the lower-latency choice under the gate
+  * (k-hop in-task expansion, no per-batch index fold).
   */
 class IncrementalClosure(
     spark: SparkSession,
