@@ -348,6 +348,45 @@ object CoreQueries {
           col("c4").as("n"), col("c5").as("sum_ok"))
     }),
 
+    "q_closure_rule_maintain" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{lit, pmod, sum}
+      // The closure RULE ITSELF — a recursive NameExpr — maintained
+      // through IncrementalQuery's recursion node (threshold + warm-start
+      // /DRed closure underneath): the same signed micro-batch schedule
+      // as q_closure_maintain (batch 3 retracts batch 1's (src+dst)%3==0
+      // edges), but fed as :cl/edge DATOMS through the standing rule.
+      // Accumulated diffs must equal the closure of the surviving edges
+      // — the recursive-CTE oracle.
+      val closureRule = Union(Seq(0, 1), Seq(
+        matchA(0, ":cl/edge", 1),
+        Project(Seq(0, 1), Join(Seq(2),
+          matchA(0, ":cl/edge", 2), NameExpr(Seq(2, 1), "closure")))))
+      val iq = new graft.streaming.IncrementalQuery(s,
+        NameExpr(Seq(0, 1), "closure"),
+        Map(":cl/edge" -> ValueKind.KEid),
+        Map("closure" -> closureRule))
+      val edges = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_partkey") <= 60)
+        .select(col("l_partkey").cast("long").as("e"),
+          col("l_suppkey").cast("long").as("v")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m3 = pmod(col("e") + col("v"), lit(3))
+      def batch(pred: Column, diff: Long) =
+        edges.where(pred).withColumn("diff", lit(diff))
+      val diffs = Seq(
+        iq.advance(Map(":cl/edge" -> batch(m3 < 2, 1L))),
+        iq.advance(Map(":cl/edge" -> batch(m3 === 2, 1L))),
+        iq.advance(Map(":cl/edge" -> batch(m3 === 0, -1L))))
+      // advance() checkpoints its deltas eagerly and the emitted diffs
+      // derive from the maintainers' checkpointed state — the cache can
+      // go now.
+      edges.unpersist(blocking = false)
+      diffs.reduce(_ unionAll _)
+        .groupBy(col("c0"), col("c1")).agg(sum(col("_w")).as("w"))
+        .where(col("w") > 0)
+        .select(col("c0").as("src"), col("c1").as("dst"))
+    }),
+
     "q_closure_maintain" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{lit, pmod, sum}
       // The q_recursion_closure edge relation streamed through the
@@ -548,6 +587,20 @@ object CoreQueries {
          FROM (SELECT o_custkey, CAST(o_orderkey AS BIGINT) AS k
                FROM orders WHERE o_orderkey % 4 <> 0)
          GROUP BY 1""",
+    // Same surviving-edge closure as q_closure_maintain: the maintained
+    // RULE must converge to the identical fixpoint.
+    "q_closure_rule_maintain" ->
+      """WITH RECURSIVE edges AS (
+           SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+                  CAST(l_suppkey AS BIGINT) AS dst
+           FROM lineitem WHERE l_partkey <= 60),
+         surviving AS (
+           SELECT src, dst FROM edges WHERE (src + dst) % 3 <> 0),
+         closure AS (
+           SELECT src, dst FROM surviving
+           UNION
+           SELECT e.src, c.dst FROM surviving e JOIN closure c ON e.dst = c.src)
+         SELECT src, dst FROM closure""",
     "q_closure_maintain" ->
       """WITH RECURSIVE edges AS (
            SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,

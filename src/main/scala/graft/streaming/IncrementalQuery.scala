@@ -65,10 +65,15 @@ import graft.model._
   *       `Not` the multiset left-anti form, both batch-exact.
   *
   * Non-recursive `NameExpr` rule references are inlined (the batch
-  * compiler's compileRule + positional rename). Not maintained here
-  * (fail loudly at construction): RECURSIVE references
-  * ([[IncrementalClosure]]'s job) and the Pull family (point-lookup
-  * views the batch engine serves).
+  * compiler's compileRule + positional rename). RECURSIVE references in
+  * the transitive-closure form (`r(x,z) := base ∪ edge∘r`, one edge
+  * relation — see `closureNodeOf`) are maintained through a ClosureNode:
+  * the edge subtree's diffs threshold to set transitions and drive the
+  * warm-start/DRed closure maintainer ([[IncrementalClosure]], or
+  * [[DistributedClosure]] under `-Dgraft.closure.distributed=true`).
+  * Not maintained here (fail loudly at construction): recursion outside
+  * that form and the Pull family (point-lookup views the batch engine
+  * serves).
   *
   * Restrictions on `Aggregate` nodes: numeric aggregations over
   * long-typed values; order statistics (and `:with` variables) over
@@ -387,6 +392,48 @@ class IncrementalQuery(
       }
   }
 
+  /** Transitive-closure node — maintained RECURSION for the TC-shaped
+    * rule fragment (see `closureNodeOf`): the edge subtree's Z-set diffs
+    * pass through a support-count THRESHOLD (so the closure sees exactly
+    * the ±1 SET transitions its edge relation makes — matching the batch
+    * compiler's set-semantic fixpoint over the Union-rooted rule), then
+    * drive the warm-start/DRed closure maintainer. The
+    * `graft.closure.distributed` system property selects
+    * [[DistributedClosure]] (no edge ceiling) over the default
+    * broadcast-gated [[IncrementalClosure]]. */
+  private final class ClosureNode(edgeNode: Node) extends Node {
+    require(edgeNode.vars.length == 2,
+      s"closure maintenance needs a binary edge relation, got ${edgeNode.vars}")
+    require(edgeNode.nodeKinds.forall(_.dataType == LongType),
+      s"closure maintenance needs long-typed node ids, got ${edgeNode.nodeKinds}")
+    val vars: Seq[PVar] = edgeNode.vars
+    val nodeKinds: Seq[ValueKind] = edgeNode.nodeKinds
+    val attrs: Set[String] = edgeNode.attrs
+
+    private val threshold = new ThresholdNode(Seq(edgeNode))
+    private val distributed = java.lang.Boolean.getBoolean("graft.closure.distributed")
+    private val broadcastCl =
+      if (distributed) None else Some(new IncrementalClosure(spark, shufflePartitions))
+    private val distributedCl =
+      if (distributed) Some(new DistributedClosure(spark, shufflePartitions)) else None
+    private var tick = 0L
+
+    def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
+      if (!touched(attrDeltas)) emptyDiff
+      else {
+        val ed = threshold.advance(attrDeltas)
+        if (ed.isEmpty) emptyDiff
+        else {
+          tick += 1
+          val rdd = ed.rdd.map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+          val out = broadcastCl.map(_.advanceSignedRdd(rdd, tick))
+            .getOrElse(distributedCl.get.advanceSignedRdd(rdd, tick))
+          out.select(col("src").as(Rel.c(0)), col("dst").as(Rel.c(1)),
+            col("diff").as(Rel.W))
+        }
+      }
+  }
+
   // ---- Plan → node tree ----------------------------------------------
 
   /** Attributes scanned by the linear parts of a subtree. */
@@ -470,19 +517,87 @@ class IncrementalQuery(
       new AggregateNode(zoneOf(child), vs, fns, keyVars, aggVars, withVars)
 
     case Plan.NameExpr(vs, rname) if rules.contains(rname) =>
-      // Non-recursive rule reference: inline the referenced plan (the
-      // batch compiler's compileRule + positional output rename).
-      require(!building.contains(rname),
-        s"rule $rname is recursive — incremental recursion is " +
-          "IncrementalClosure's job; use the batch engine")
-      building += rname
-      val inner = try zoneOf(rules(rname)) finally building -= rname
-      require(inner.vars.length == vs.length,
-        s"NameExpr($vs, $rname): arity mismatch with ${inner.vars}")
-      new RenameNode(inner, vs)
+      if (reachableFrom(rules(rname)).contains(rname)) {
+        // RECURSIVE rule reference: maintainable when the rule is in the
+        // transitive-closure form (the recursion slice the reference
+        // maintains through differential `iterate`); everything else
+        // stays the batch engine's job.
+        val inner = closureNodeOf(rname).getOrElse(sys.error(
+          s"recursive rule $rname is not in the maintainable " +
+            "transitive-closure form (base ∪ edge∘closure over one edge " +
+            "relation) — general incremental recursion is the batch " +
+            "engine's job, or drive IncrementalClosure directly"))
+        require(inner.vars.length == vs.length,
+          s"NameExpr($vs, $rname): arity mismatch with ${inner.vars}")
+        new RenameNode(inner, vs)
+      } else {
+        // Non-recursive rule reference: inline the referenced plan (the
+        // batch compiler's compileRule + positional output rename).
+        require(!building.contains(rname),
+          s"rule $rname re-entered while inlining — unreachable for " +
+            "non-recursive rules")
+        building += rname
+        val inner = try zoneOf(rules(rname)) finally building -= rname
+        require(inner.vars.length == vs.length,
+          s"NameExpr($vs, $rname): arity mismatch with ${inner.vars}")
+        new RenameNode(inner, vs)
+      }
 
     case other => sys.error(s"plan node not incrementally maintainable " +
       s"(batch engine's job): $other")
+  }
+
+  /** Rule names transitively reachable from a plan's references. */
+  private def reachableFrom(p: Plan): Set[String] = {
+    val seen = mutable.Set.empty[String]
+    def go(q: Plan): Unit = IncrementalQuery.ruleRefs(q).foreach { n =>
+      if (seen.add(n) && rules.contains(n)) go(rules(n))
+    }
+    go(p)
+    seen.toSet
+  }
+
+  /** Recognize the transitive-closure form of a directly-recursive rule
+    * and build its maintenance node:
+    *
+    *   rname(x, z) := Union( base(x, z),
+    *                         Project(x z, Join(y, edge(x, y),
+    *                                              rname(y, z))) )
+    *
+    * (branches in either order; the step also accepted right-linear as
+    * `Join(y, rname(x, y), edge(y, z))`). `base` and `edge` must be the
+    * SAME relation up to variable naming (α-canonical equality) and must
+    * not reach the recursive rule. Returns None when the shape doesn't
+    * match — the caller fails loudly with the scope message. */
+  private def closureNodeOf(rname: String): Option[Node] = rules(rname) match {
+    case Plan.Union(Seq(x, z), branches) if branches.length == 2 && x != z =>
+      def stepEdge(b: Plan): Option[Plan] = b match {
+        case Plan.Project(outs, Plan.Join(Seq(y), l, r))
+            if outs == Seq(x, z) && y != x && y != z =>
+          def bound(p: Plan): Seq[PVar] = Plan.boundVariables(p, _ => Seq.empty)
+          (l, r) match {
+            // left-linear: edge(x, y) ∘ closure(y, z)
+            case (e, Plan.NameExpr(rv, `rname`))
+                if rv == Seq(y, z) && bound(e) == Seq(x, y) &&
+                  !reachableFrom(e).contains(rname) => Some(e)
+            // right-linear: closure(x, y) ∘ edge(y, z)
+            case (Plan.NameExpr(lv, `rname`), e)
+                if lv == Seq(x, y) && bound(e) == Seq(y, z) &&
+                  !reachableFrom(e).contains(rname) => Some(e)
+            case _ => None
+          }
+        case _ => None
+      }
+      def isBase(b: Plan): Boolean =
+        Plan.boundVariables(b, _ => Seq.empty) == Seq(x, z) &&
+          !reachableFrom(b).contains(rname)
+      Seq((branches(0), branches(1)), (branches(1), branches(0)))
+        .collectFirst {
+          case (b, s) if isBase(b) && stepEdge(s).exists(e =>
+              IncrementalQuery.alphaCanon(e) == IncrementalQuery.alphaCanon(b)) =>
+            new ClosureNode(zoneOf(b))
+        }
+    case _ => None
   }
 
   // Rules currently being inlined (cycle = recursion = reject).
@@ -614,6 +729,45 @@ object IncrementalQuery {
         else Set.empty[String]
       }
     expand(p)
+  }
+
+  /** Rewrite every variable in a plan through `f` (structure unchanged). */
+  private def mapVars(p: Plan, f: Plan.Var => Plan.Var): Plan = p match {
+    case Plan.MatchA(e, a, v)  => Plan.MatchA(f(e), a, f(v))
+    case Plan.MatchEA(e, a, v) => Plan.MatchEA(e, a, f(v))
+    case Plan.MatchAV(e, a, v) => Plan.MatchAV(f(e), a, v)
+    case Plan.Project(vs, s)   => Plan.Project(vs.map(f), mapVars(s, f))
+    case Plan.Join(vs, l, r)   => Plan.Join(vs.map(f), mapVars(l, f), mapVars(r, f))
+    case Plan.Hector(vs, bs)   => Plan.Hector(vs.map(f), bs.map(mapBindingVars(_, f)))
+    case Plan.Antijoin(vs, l, r) =>
+      Plan.Antijoin(vs.map(f), mapVars(l, f), mapVars(r, f))
+    case Plan.Negate(s)        => Plan.Negate(mapVars(s, f))
+    case Plan.Union(vs, ps)    => Plan.Union(vs.map(f), ps.map(mapVars(_, f)))
+    case Plan.Filter(vs, pred, s, cs) =>
+      Plan.Filter(vs.map(f), pred, mapVars(s, f), cs)
+    case Plan.Transform(vs, rv, s, fn, cs) =>
+      Plan.Transform(vs.map(f), f(rv), mapVars(s, f), fn, cs)
+    case Plan.Aggregate(vs, s, fns, ks, as, ws) =>
+      Plan.Aggregate(vs.map(f), mapVars(s, f), fns, ks.map(f), as.map(f), ws.map(f))
+    case Plan.NameExpr(vs, n)  => Plan.NameExpr(vs.map(f), n)
+    case other => sys.error(s"mapVars: unsupported plan node $other")
+  }
+
+  private def mapBindingVars(b: Binding, f: Plan.Var => Plan.Var): Binding = b match {
+    case Binding.Attr(e, a, v)       => Binding.Attr(f(e), a, f(v))
+    case Binding.Const(x, v)         => Binding.Const(f(x), v)
+    case Binding.BinaryPred(x, y, p) => Binding.BinaryPred(f(x), f(y), p)
+    case Binding.Not(inner)          => Binding.Not(mapBindingVars(inner, f))
+  }
+
+  /** α-canonical form: variables renumbered densely by first occurrence
+    * in a fixed traversal order — two plans denote the same relation up
+    * to variable naming iff their canonical forms are equal. Used to
+    * recognize that a recursive rule's base branch and its step's edge
+    * operand scan the SAME relation. */
+  private[graft] def alphaCanon(p: Plan): Plan = {
+    val m = mutable.Map.empty[Plan.Var, Plan.Var]
+    mapVars(p, v => m.getOrElseUpdate(v, m.size))
   }
 
   /** Rule names referenced anywhere in a plan. */

@@ -56,8 +56,11 @@ class IncrementalQuerySpec extends AnyFunSuite {
       .map { case (k, rs) => k -> rs.map(_.getLong(rs.head.length - 1)).sum }
       .filter(_._2 != 0L)
 
-  private def snapshot(plan: Plan, store: Store): Map[Seq[Any], Long] =
-    new Compiler(sourceOf(store), Map.empty).compile(plan, Map.empty) match {
+  private def snapshot(plan: Plan, store: Store,
+      rules: Map[String, Plan] = Map.empty): Map[Seq[Any], Long] =
+    new Compiler(sourceOf(store),
+      rules.map { case (n, p) => n -> Rule(n, p) })
+      .compile(plan, Map.empty) match {
       case Some(rel) => multiset(rel.df)
       case None      => Map.empty
     }
@@ -71,11 +74,12 @@ class IncrementalQuerySpec extends AnyFunSuite {
   /** Drive `plan` with `batches`, asserting the incremental diffs equal
     * batch snapshot diffs after every batch. */
   private def check(plan: Plan,
-      batches: Seq[Seq[(String, Long, Long, Long)]]): Unit = {
+      batches: Seq[Seq[(String, Long, Long, Long)]],
+      rules: Map[String, Plan] = Map.empty): Unit = {
     import spark.implicits._
-    val iq = new IncrementalQuery(spark, plan, kinds)
+    val iq = new IncrementalQuery(spark, plan, kinds, rules)
     val store = emptyStore
-    var before = snapshot(plan, store)
+    var before = snapshot(plan, store, rules)
     assert(before.isEmpty, "plans must start empty")
     batches.zipWithIndex.foreach { case (batch, i) =>
       batch.foreach { case (a, e, v, d) =>
@@ -88,7 +92,7 @@ class IncrementalQuerySpec extends AnyFunSuite {
           .toDF("e", "v", "diff")
       }
       val emitted = multiset(iq.advance(deltas))
-      val after = snapshot(plan, store)
+      val after = snapshot(plan, store, rules)
       assert(emitted == diffOf(before, after),
         s"batch $i of ${batches.length}: $batch")
       before = after
@@ -180,6 +184,44 @@ class IncrementalQuerySpec extends AnyFunSuite {
         Seq(fn), Seq(1), Seq(2), Seq.empty)
       check(plan, genValidBatches(7919L * fn.hashCode, Seq(":m"), 3))
     }
+  }
+
+  test("transitive-closure recursive rule maintained, batch-exact incl. retractions") {
+    // The recursion fragment: closure(x,z) := edge(x,z) ∪ edge(x,y)∘closure(y,z),
+    // recognized at construction and maintained through the threshold +
+    // warm-start/DRed closure node. Unrestricted Z-set datom histories:
+    // the threshold converts arbitrary support wiggles into exactly the
+    // valid ±1 set transitions the closure maintainer requires. Small
+    // node space forces cycles and self-loops.
+    val closure = Plan.Union(Seq(0, 1), Seq(
+      Plan.MatchA(0, ":e1", 1),
+      Plan.Project(Seq(0, 1), Plan.Join(Seq(2),
+        Plan.MatchA(0, ":e1", 2), Plan.NameExpr(Seq(2, 1), "closure")))))
+    check(Plan.NameExpr(Seq(0, 1), "closure"),
+      genBatches(3671, Seq(":e1"), 4, es = 5, vs = 5),
+      Map("closure" -> closure))
+    // Right-linear form, same semantics.
+    val closureR = Plan.Union(Seq(0, 1), Seq(
+      Plan.MatchA(0, ":e1", 1),
+      Plan.Project(Seq(0, 1), Plan.Join(Seq(2),
+        Plan.NameExpr(Seq(0, 2), "closureR"), Plan.MatchA(2, ":e1", 1)))))
+    check(Plan.NameExpr(Seq(0, 1), "closureR"),
+      genBatches(9341, Seq(":e1"), 4, es = 5, vs = 5),
+      Map("closureR" -> closureR))
+  }
+
+  test("recursion outside the closure form still fails loudly") {
+    // Mutual recursion (not the TC shape) must be rejected with the
+    // scope message, not silently mis-maintained.
+    val a = Plan.Union(Seq(0, 1), Seq(
+      Plan.MatchA(0, ":e1", 1), Plan.NameExpr(Seq(0, 1), "b")))
+    val b = Plan.Union(Seq(0, 1), Seq(
+      Plan.MatchA(0, ":e2", 1), Plan.NameExpr(Seq(0, 1), "a")))
+    val e = intercept[RuntimeException] {
+      new IncrementalQuery(spark, Plan.NameExpr(Seq(0, 1), "a"),
+        kinds, Map("a" -> a, "b" -> b))
+    }
+    assert(e.getMessage.contains("transitive-closure form"))
   }
 
   test("multi-function aggregate (output_offsets re-insertion), batch-exact") {
