@@ -124,9 +124,11 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     *
     * Requirements (fail loudly at first advance): the plan must lie in
     * the incrementally maintainable fragment (see IncrementalQuery),
-    * every referenced attribute must be Raw-semantics or static (and
-    * registered before the first advance), and the engine must use
-    * multiset semantics. Attributes whose value kind is not yet known
+    * every referenced attribute must be Raw- or Distinct-semantics or
+    * static (LastWriteWins is order-dependent per entity and needs the
+    * snapshot path) and registered before the first advance, and the
+    * engine must use multiset semantics. Attributes whose value kind is
+    * not yet known
     * (no datom or static registration) keep the rule on the snapshot
     * path — delivery is identical — until the kinds appear, when the
     * standing query takes over by replaying history into its state. */
@@ -472,14 +474,21 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
         s"incremental maintenance over derived attribute $a is not " +
           "supported; use the snapshot path")
       if (domain.staticFrame(a).isEmpty &&
-        domain.semanticsOf(a) != InputSemantics.Raw)
+        domain.semanticsOf(a) == InputSemantics.LastWriteWins)
         throw GraftError.incorrect(
-          s"incremental maintenance requires Raw input semantics on $a " +
-            "(Distinct/LastWriteWins need the snapshot path)")
+          s"incremental maintenance requires Raw or Distinct input " +
+            s"semantics on $a (LastWriteWins is order-dependent per " +
+            "entity and needs the snapshot path)")
     }
+    // Distinct attributes pass a maintained per-attribute support
+    // threshold inside IncrementalQuery — the standing analog of the
+    // snapshot path's "net support > 0 -> weight 1" collection.
+    val distinctAttrs = attrs.filter(a => domain.staticFrame(a).isEmpty &&
+      domain.semanticsOf(a) == InputSemantics.Distinct)
     val known = domain.knownKinds
     if (!attrs.forall(known.contains)) return false
-    val iq = new graft.streaming.IncrementalQuery(spark, plan, known, rulePlans)
+    val iq = new graft.streaming.IncrementalQuery(spark, plan, known,
+      rulePlans, distinctAttrs)
     incrementalQs(name) = iq
     resultKinds(name) = iq.outputKinds
     staticsPending(name) =

@@ -83,7 +83,8 @@ class IncrementalQuery(
     spark: SparkSession,
     plan: Plan,
     kinds: Map[String, ValueKind],
-    rules: Map[String, Plan] = Map.empty) {
+    rules: Map[String, Plan] = Map.empty,
+    distinctAttrs: Set[String] = Set.empty) {
 
   import IncrementalQuery._
   import Plan.{Var => PVar}
@@ -502,6 +503,19 @@ class IncrementalQuery(
             "general joins as Hector bindings")
       }
 
+    case u @ Plan.Union(_, _)
+        if IncrementalQuery.ruleRefs(u).exists(n => rules.get(n).contains(u)) =>
+      // The plan IS a registered recursive rule's body (the engine hands
+      // interestIncremental the body directly, not a NameExpr to it):
+      // route through the same closure-form recognition.
+      val rname =
+        IncrementalQuery.ruleRefs(u).find(n => rules.get(n).contains(u)).get
+      closureNodeOf(rname).getOrElse(sys.error(
+        s"recursive rule $rname is not in the maintainable " +
+          "transitive-closure form (base ∪ edge∘closure over one edge " +
+          "relation) — general incremental recursion is the batch " +
+          "engine's job, or drive IncrementalClosure directly"))
+
     case Plan.Union(vs, branches) =>
       new ThresholdNode(branches.map(b => zoneOf(Plan.Project(vs, b))))
 
@@ -653,15 +667,54 @@ class IncrementalQuery(
       StructField("v", kinds(a).dataType, true),
       StructField(Rel.W, LongType, false))))
 
+  /** Per-attribute support-count threshold — DISTINCT input semantics
+    * maintained: the engine's Distinct collection is exactly "net datom
+    * support > 0 → weight 1" (`Domain.collectionStored`), so its diffs
+    * are the ±1 zero-crossing transitions of the raw (e,v) support
+    * Z-set. State keyed by (e,v), same merge as the Union threshold. */
+  private final class AttrThreshold(kind: ValueKind) {
+    private val part = new SeqKeyPartitioner(shufflePartitions)
+    private var state: RDD[(Seq[Any], Long)] =
+      spark.sparkContext.emptyRDD[(Seq[Any], Long)].partitionBy(part)
+    private val schema = StructType(Seq(
+      StructField("e", LongType, false),
+      StructField("v", kind.dataType, true),
+      StructField(Rel.W, LongType, false)))
+
+    def advance(delta: DataFrame): DataFrame = {
+      val d = delta.rdd
+        .map(r => (Seq(r.get(0), r.get(1)): Seq[Any], r.getLong(2)))
+        .reduceByKey(part, _ + _)
+      val tagged = state.zipPartitions(d, preservesPartitioning = true) {
+        (sIt, dIt) => thresholdMerge(sIt, dIt)
+      }.localCheckpoint()
+      tagged.count()
+      state = tagged.filter(_._1 == 0)
+        .mapPartitions(_.map { case (_, k, w) => (k, w) },
+          preservesPartitioning = true)
+      spark.createDataFrame(
+        tagged.filter(_._1 == 1).map { case (_, k, w) => Row(k(0), k(1), w) },
+        schema)
+    }
+  }
+
+  private val attrThresholds = mutable.Map.empty[String, AttrThreshold]
+
   /** Apply one batch of signed per-attribute deltas (`e, v, diff` rows)
     * and return the EXACT consolidated output diffs `(c0..cn, _w)` of
-    * the whole plan. */
+    * the whole plan. Deltas for `distinctAttrs` pass a per-attribute
+    * support threshold first, so the plan sees the Distinct-semantics
+    * relation's set transitions. */
   def advance(deltas: Map[String, DataFrame]): DataFrame = {
     val attrDeltas: Map[String, DataFrame] = deltas.flatMap { case (a, df) =>
       require(kinds.contains(a), s"unknown attribute $a")
-      val d = df.select(col("e").cast("long"),
+      val raw = df.select(col("e").cast("long"),
         col("v").cast(kinds(a).dataType),
         col("diff").cast("long").as(Rel.W)).localCheckpoint(true)
+      val d =
+        if (raw.isEmpty || !distinctAttrs(a)) raw
+        else attrThresholds.getOrElseUpdate(a, new AttrThreshold(kinds(a)))
+          .advance(raw)
       if (d.isEmpty) None else Some(a -> d)
     }
     if (attrDeltas.isEmpty) root.emptyDiff
@@ -795,7 +848,15 @@ object IncrementalQuery {
     case Plan.Project(_, s)    => planAttributes(s)
     case Plan.Join(_, l, r)    => planAttributes(l) ++ planAttributes(r)
     case Plan.Hector(_, bs) =>
-      bs.collect { case Binding.Attr(_, a, _) => a }.toSet
+      // Not-bound attributes count too: they feed the antijoin's right
+      // side, so input-semantics routing and kind checks must see them
+      // (mirrors Plan.dependencies' double-negation handling).
+      bs.flatMap {
+        case Binding.Attr(_, a, _)                           => Seq(a)
+        case Binding.Not(Binding.Attr(_, a, _))              => Seq(a)
+        case Binding.Not(Binding.Not(Binding.Attr(_, a, _))) => Seq(a)
+        case _                                               => Seq.empty
+      }.toSet
     case Plan.Antijoin(_, l, r) => planAttributes(l) ++ planAttributes(r)
     case Plan.Negate(s)         => planAttributes(s)
     case Plan.Union(_, ps)      => ps.flatMap(planAttributes).toSet

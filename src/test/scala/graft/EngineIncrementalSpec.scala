@@ -78,10 +78,11 @@ class EngineIncrementalSpec extends AnyFunSuite {
     s.groupBy(identity).view.mapValues(_.size).toMap
 
   private def run(plan: Plan, history: Seq[Seq[Datom]],
-      incremental: Boolean): Seq[Drained] = {
+      incremental: Boolean,
+      semantics: InputSemantics = InputSemantics.Raw): Seq[Drained] = {
     val e = new Engine(spark)
     Seq(":p/x", ":p/y").foreach(a =>
-      e.createAttribute(a, AttributeConfig(InputSemantics.Raw)))
+      e.createAttribute(a, AttributeConfig(semantics)))
     e.register(Rule("query", plan))
     if (incremental) e.interestIncremental("query") else e.interest("query")
     history.zipWithIndex.map { case (tx, i) =>
@@ -242,20 +243,69 @@ class EngineIncrementalSpec extends AnyFunSuite {
     intercept[GraftError](e1.interestIncremental("q1"))
 
     val e2 = new Engine(spark)
-    e2.createAttribute(":d/x", AttributeConfig(InputSemantics.Distinct))
-    e2.register(Rule("q2", matchA(0, ":d/x", 1)))
+    e2.createAttribute(":l/x", AttributeConfig(InputSemantics.LastWriteWins))
+    e2.register(Rule("q2", matchA(0, ":l/x", 1)))
     e2.interestIncremental("q2")
-    e2.transact(Seq(Datom(1, ":d/x", Value.num(1), None, 1)))
-    intercept[GraftError](e2.advance(1L)) // Distinct semantics rejected
+    e2.transact(Seq(Datom(1, ":l/x", Value.num(1), None, 1)))
+    intercept[GraftError](e2.advance(1L)) // LWW is order-dependent: rejected
 
     val e3 = new Engine(spark)
     e3.createAttribute(":p/x", AttributeConfig(InputSemantics.Raw))
+    e3.createAttribute(":p/y", AttributeConfig(InputSemantics.Raw))
+    // Nonlinear recursion (closure∘closure) is OUTSIDE the maintainable
+    // transitive-closure fragment.
     e3.register(Rule("q3", Union(Seq(0, 1), Seq(
       matchA(0, ":p/x", 1),
       Project(Seq(0, 1), Join(Seq(2),
-        NameExpr(Seq(0, 2), "q3"), matchA(2, ":p/x", 1)))))))
+        NameExpr(Seq(0, 2), "q3"), NameExpr(Seq(2, 1), "q3")))))))
     e3.interestIncremental("q3")
     e3.transact(Seq(Datom(1, ":p/x", Value.num(1), None, 1)))
-    intercept[RuntimeException](e3.advance(1L)) // recursion: outside the fragment
+    intercept[RuntimeException](e3.advance(1L)) // recursion outside the fragment
+  }
+
+  test("Distinct input semantics drain exactly like the snapshot path") {
+    // The maintained per-attribute support threshold must reproduce the
+    // snapshot path's "net support > 0 -> weight 1" collection for any
+    // raw history (duplicate asserts and phantom retractions included).
+    val params = Gen.Parameters.default
+    val covered = plans.filterNot { case (label, _) => label.contains("avg") }
+    for (((label, plan), i) <- covered.zipWithIndex) {
+      val nonVacuous = (0 until 2).map { s =>
+        val history =
+          genHistory(params, Seed(977L + i * 4099L + s * 65537L)).getOrElse(Seq.empty)
+        val snap = run(plan, history, incremental = false,
+          semantics = InputSemantics.Distinct)
+        val inc = run(plan, history, incremental = true,
+          semantics = InputSemantics.Distinct)
+        assert(inc == snap, s"distinct/$label: history=$history")
+        snap.exists(_.nonEmpty)
+      }
+      assert(nonVacuous.contains(true), s"distinct/$label produced no diffs")
+    }
+  }
+
+  test("transitive-closure rule maintained through the engine, snapshot-exact") {
+    val closure = Rule("closure", Union(Seq(0, 1), Seq(
+      matchA(0, ":p/x", 1),
+      Project(Seq(0, 1), Join(Seq(2),
+        matchA(0, ":p/x", 2), NameExpr(Seq(2, 1), "closure"))))))
+    def runRule(history: Seq[Seq[Datom]], incremental: Boolean): Seq[Drained] = {
+      val e = new Engine(spark)
+      e.createAttribute(":p/x", AttributeConfig(InputSemantics.Raw))
+      e.register(closure)
+      if (incremental) e.interestIncremental("closure") else e.interest("closure")
+      history.zipWithIndex.map { case (tx, i) =>
+        e.transact(tx)
+        e.advance(i + 1L)
+        multiset(e.drain("closure"))
+      }
+    }
+    val params = Gen.Parameters.default
+    val history =
+      genHistory(params, Seed(52361L)).getOrElse(Seq.empty)
+    val snap = runRule(history, incremental = false)
+    val inc = runRule(history, incremental = true)
+    assert(inc == snap, s"closure-rule: history=$history")
+    assert(snap.exists(_.nonEmpty), "closure rule produced no diffs")
   }
 }
