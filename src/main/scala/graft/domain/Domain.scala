@@ -217,6 +217,17 @@ class Domain(val spark: SparkSession) extends Serializable {
         }.toSeq
     }
 
+  /** RAW ordered events `(e, v, t, diff, seq)` of `name`'s stored datoms
+    * with time in [from, until) — unconsolidated, because LastWriteWins
+    * maintenance needs each event's `(t, seq)` transaction order, not
+    * net (e, v) weights. Driver-sized by the same contract as
+    * `transact`. */
+  def bufferedEvents(
+      name: String, from: Long, until: Long): Seq[(Long, Any, Long, Long, Long)] =
+    attrs.get(name).toSeq.flatMap { st =>
+      st.buffer.iterator.filter(d => d._3 >= from && d._3 < until).toSeq
+    }
+
   def registerRule(rule: Rule): Unit = rulesCatalog(rule.name) = rule
   def rules: Map[String, Rule] = rulesCatalog.toMap
 

@@ -123,12 +123,12 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     * default snapshot-diff path.
     *
     * Requirements (fail loudly at first advance): the plan must lie in
-    * the incrementally maintainable fragment (see IncrementalQuery),
-    * every referenced attribute must be Raw- or Distinct-semantics or
-    * static (LastWriteWins is order-dependent per entity and needs the
-    * snapshot path) and registered before the first advance, and the
-    * engine must use multiset semantics. Attributes whose value kind is
-    * not yet known
+    * the incrementally maintainable fragment (see IncrementalQuery) —
+    * all three input semantics (Raw, Distinct, LastWriteWins) are
+    * maintained, each through its per-attribute stateful view — every
+    * referenced attribute must be registered (not derived) before the
+    * first advance, and the engine must use multiset semantics.
+    * Attributes whose value kind is not yet known
     * (no datom or static registration) keep the rule on the snapshot
     * path — delivery is identical — until the kinds appear, when the
     * standing query takes over by replaying history into its state. */
@@ -473,22 +473,21 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
       if (domain.isDerived(a)) throw GraftError.incorrect(
         s"incremental maintenance over derived attribute $a is not " +
           "supported; use the snapshot path")
-      if (domain.staticFrame(a).isEmpty &&
-        domain.semanticsOf(a) == InputSemantics.LastWriteWins)
-        throw GraftError.incorrect(
-          s"incremental maintenance requires Raw or Distinct input " +
-            s"semantics on $a (LastWriteWins is order-dependent per " +
-            "entity and needs the snapshot path)")
     }
     // Distinct attributes pass a maintained per-attribute support
     // threshold inside IncrementalQuery — the standing analog of the
     // snapshot path's "net support > 0 -> weight 1" collection.
+    // LastWriteWins attributes pass a maintained per-entity latest-event
+    // view, fed raw ordered events (e, v, t, diff, seq) instead of
+    // consolidated weights.
     val distinctAttrs = attrs.filter(a => domain.staticFrame(a).isEmpty &&
       domain.semanticsOf(a) == InputSemantics.Distinct)
+    val lwwAttrs = attrs.filter(a => domain.staticFrame(a).isEmpty &&
+      domain.semanticsOf(a) == InputSemantics.LastWriteWins)
     val known = domain.knownKinds
     if (!attrs.forall(known.contains)) return false
     val iq = new graft.streaming.IncrementalQuery(spark, plan, known,
-      rulePlans, distinctAttrs)
+      rulePlans, distinctAttrs, lwwAttrs)
     incrementalQs(name) = iq
     resultKinds(name) = iq.outputKinds
     staticsPending(name) =
@@ -538,17 +537,38 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     }.toMap
     val bufferFeeds: Map[String, DataFrame] =
       iq.referencedAttributes.iterator.flatMap { a =>
-        val ds = domain.bufferedDeltas(a, from, until)
-        if (ds.isEmpty) None
-        else {
-          val k = domain.knownKinds(a)
-          val schema = StructType(Seq(
-            StructField("e", LongType, false),
-            StructField("v", k.dataType, true),
-            StructField("diff", LongType, false)))
-          val rows = ds.map { case (e, v, d) => Row(e, v, d) }
-          Some(a -> spark.createDataFrame(
-            spark.sparkContext.parallelize(rows, 1), schema))
+        val k = domain.knownKinds(a)
+        val isLww = domain.staticFrame(a).isEmpty &&
+          domain.semanticsOf(a) == InputSemantics.LastWriteWins
+        if (isLww) {
+          // LWW maintenance consumes raw ordered EVENTS — consolidating
+          // by (e, v) here would erase the (t, seq) transaction order
+          // the latest-wins view is defined over.
+          val evs = domain.bufferedEvents(a, from, until)
+          if (evs.isEmpty) None
+          else {
+            val schema = StructType(Seq(
+              StructField("e", LongType, false),
+              StructField("v", k.dataType, true),
+              StructField("t", LongType, false),
+              StructField("diff", LongType, false),
+              StructField("seq", LongType, false)))
+            val rows = evs.map { case (e, v, t, d, q) => Row(e, v, t, d, q) }
+            Some(a -> spark.createDataFrame(
+              spark.sparkContext.parallelize(rows, 1), schema))
+          }
+        } else {
+          val ds = domain.bufferedDeltas(a, from, until)
+          if (ds.isEmpty) None
+          else {
+            val schema = StructType(Seq(
+              StructField("e", LongType, false),
+              StructField("v", k.dataType, true),
+              StructField("diff", LongType, false)))
+            val rows = ds.map { case (e, v, d) => Row(e, v, d) }
+            Some(a -> spark.createDataFrame(
+              spark.sparkContext.parallelize(rows, 1), schema))
+          }
         }
       }.toMap
     (staticFeeds.keySet ++ bufferFeeds.keySet).iterator.map { a =>

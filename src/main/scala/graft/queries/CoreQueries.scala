@@ -348,6 +348,42 @@ object CoreQueries {
           col("c4").as("n"), col("c5").as("sum_ok"))
     }),
 
+    "q_lww_maintain" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{lit, pmod, sum}
+      // LastWriteWins input semantics MAINTAINED through a standing
+      // aggregate (order count per custkey): batch 1 asserts every
+      // order's custkey as an LWW event; batch 2 double-writes the
+      // %3==0 orders IN ONE BATCH (the per-entity arg-max must pick the
+      // higher-seq event) moving them to custkey+1000000; batch 3
+      // CLEARS the %5==0 orders with retraction events. Accumulated
+      // diffs must reproduce the batch LWW view's aggregate — the
+      // CASE/filter oracle.
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").cast("long").as("e"),
+          col("o_custkey").cast("long").as("v"))
+      val iq = new graft.streaming.IncrementalQuery(s,
+        Aggregate(Seq(1, 0), matchA(0, ":o/cust", 1),
+          Seq(AggregationFn.COUNT), Seq(1), Seq(0), Seq.empty),
+        Map(":o/cust" -> ValueKind.KEid),
+        lwwAttrs = Set(":o/cust"))
+      def ev(df: DataFrame, vCol: Column, t: Long, diff: Long, seq: Column) =
+        df.select(col("e"), vCol.as("v"), lit(t).as("t"),
+          lit(diff).as("diff"), seq.as("seq"))
+      val m3 = orders.where(pmod(col("e"), lit(3)) === 0)
+      val diffs = Seq(
+        iq.advance(Map(":o/cust" -> ev(orders, col("v"), 1L, 1L, col("e")))),
+        iq.advance(Map(":o/cust" ->
+          ev(m3, col("v") + 500000L, 2L, 1L, col("e") * 2)
+            .unionByName(ev(m3, col("v") + 1000000L, 2L, 1L, col("e") * 2 + 1)))),
+        iq.advance(Map(":o/cust" ->
+          ev(orders.where(pmod(col("e"), lit(5)) === 0),
+            col("v"), 3L, -1L, col("e") * 4))))
+      diffs.reduce(_ unionAll _)
+        .groupBy(col("c0"), col("c1")).agg(sum(col("_w")).as("w"))
+        .where(col("w") > 0)
+        .select(col("c0").as("custkey"), col("c1").as("n_orders"))
+    }),
+
     "q_closure_rule_maintain" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{lit, pmod, sum}
       // The closure RULE ITSELF — a recursive NameExpr — maintained
@@ -587,6 +623,16 @@ object CoreQueries {
          FROM (SELECT o_custkey, CAST(o_orderkey AS BIGINT) AS k
                FROM orders WHERE o_orderkey % 4 <> 0)
          GROUP BY 1""",
+    // The LWW winner per order: cleared if %5==0, else the batch-2
+    // overwrite if %3==0, else the original custkey.
+    "q_lww_maintain" ->
+      """SELECT custkey, CAST(count(*) AS BIGINT) AS n_orders FROM (
+           SELECT CASE WHEN o_orderkey % 3 = 0
+                       THEN CAST(o_custkey AS BIGINT) + 1000000
+                       ELSE CAST(o_custkey AS BIGINT) END AS custkey
+           FROM orders WHERE o_orderkey % 5 <> 0)
+         GROUP BY 1""",
+
     // Same surviving-edge closure as q_closure_maintain: the maintained
     // RULE must converge to the identical fixpoint.
     "q_closure_rule_maintain" ->

@@ -84,7 +84,8 @@ class IncrementalQuery(
     plan: Plan,
     kinds: Map[String, ValueKind],
     rules: Map[String, Plan] = Map.empty,
-    distinctAttrs: Set[String] = Set.empty) {
+    distinctAttrs: Set[String] = Set.empty,
+    lwwAttrs: Set[String] = Set.empty) {
 
   import IncrementalQuery._
   import Plan.{Var => PVar}
@@ -700,21 +701,79 @@ class IncrementalQuery(
 
   private val attrThresholds = mutable.Map.empty[String, AttrThreshold]
 
+  /** Per-attribute LastWriteWins view maintained — the engine's LWW
+    * collection is "latest event per entity wins; output its value iff
+    * that event was an add" (`Domain.collectionStored`, ref
+    * `src/operators/last_write_wins.rs:71-101`), a per-entity arg-max
+    * over transaction order `(t, seq)`. Because arg-max only ever moves
+    * FORWARD in `(t, seq)`, the winning event per entity is all the
+    * state needed, and it is exact under ANY batch arrival order: a
+    * batch's candidate (its max-(t, seq) event per entity) replaces the
+    * stored winner iff strictly newer; stale events change nothing.
+    * State keyed by entity, the delta reduce (max per entity, map-side
+    * combined) is the only shuffle — O(delta) per batch. */
+  private final class AttrLww(kind: ValueKind) {
+    private val part = new SeqKeyPartitioner(shufflePartitions)
+    // e -> (t, seq, v, isAdd) of the current winning event
+    private var state: RDD[(Long, (Long, Long, Any, Boolean))] =
+      spark.sparkContext
+        .emptyRDD[(Long, (Long, Long, Any, Boolean))].partitionBy(part)
+    private val schema = StructType(Seq(
+      StructField("e", LongType, false),
+      StructField("v", kind.dataType, true),
+      StructField(Rel.W, LongType, false)))
+
+    def advance(delta: DataFrame): DataFrame = {
+      // Batch winner per entity: the max-(t, seq) event. seq is the
+      // domain's global transaction counter, so this is total order.
+      val d = delta.rdd
+        .map(r => (r.getLong(0),
+          (r.getLong(2), r.getLong(4), r.get(1), r.getLong(3) > 0L)))
+        .reduceByKey(part, (a, b) =>
+          if (a._1 > b._1 || (a._1 == b._1 && a._2 > b._2)) a else b)
+      val tagged = state.zipPartitions(d, preservesPartitioning = true) {
+        (sIt, dIt) => lwwMerge(sIt, dIt)
+      }.localCheckpoint()
+      tagged.count()
+      state = tagged.collect { case Left(kv) => kv }
+        .mapPartitions(identity, preservesPartitioning = true)
+      spark.createDataFrame(
+        tagged.collect { case Right((e, v, w)) => Row(e, v, w) },
+        schema)
+    }
+  }
+
+  private val attrLwws = mutable.Map.empty[String, AttrLww]
+
   /** Apply one batch of signed per-attribute deltas (`e, v, diff` rows)
     * and return the EXACT consolidated output diffs `(c0..cn, _w)` of
     * the whole plan. Deltas for `distinctAttrs` pass a per-attribute
     * support threshold first, so the plan sees the Distinct-semantics
-    * relation's set transitions. */
+    * relation's set transitions; deltas for `lwwAttrs` must carry raw
+    * ordered EVENTS (`e, v, t, diff, seq` rows) and pass a per-attribute
+    * LastWriteWins view, so the plan sees the latest-event-wins
+    * relation's transitions. */
   def advance(deltas: Map[String, DataFrame]): DataFrame = {
     val attrDeltas: Map[String, DataFrame] = deltas.flatMap { case (a, df) =>
       require(kinds.contains(a), s"unknown attribute $a")
-      val raw = df.select(col("e").cast("long"),
-        col("v").cast(kinds(a).dataType),
-        col("diff").cast("long").as(Rel.W)).localCheckpoint(true)
-      val d =
+      val d = if (lwwAttrs(a)) {
+        require(df.columns.toSet == Set("e", "v", "t", "diff", "seq"),
+          s"LastWriteWins attribute $a needs raw ordered events " +
+            s"(e, v, t, diff, seq), got ${df.columns.mkString(", ")}")
+        val raw = df.select(col("e").cast("long"),
+          col("v").cast(kinds(a).dataType), col("t").cast("long"),
+          col("diff").cast("long"), col("seq").cast("long"))
+          .localCheckpoint(true)
+        if (raw.isEmpty) raw.limit(0)
+        else attrLwws.getOrElseUpdate(a, new AttrLww(kinds(a))).advance(raw)
+      } else {
+        val raw = df.select(col("e").cast("long"),
+          col("v").cast(kinds(a).dataType),
+          col("diff").cast("long").as(Rel.W)).localCheckpoint(true)
         if (raw.isEmpty || !distinctAttrs(a)) raw
         else attrThresholds.getOrElseUpdate(a, new AttrThreshold(kinds(a)))
           .advance(raw)
+      }
       if (d.isEmpty) None else Some(a -> d)
     }
     if (attrDeltas.isEmpty) root.emptyDiff
@@ -739,7 +798,11 @@ class IncrementalQuery(
     * per completed time, strictly advancing; each time's exact
     * consolidated output diffs go to `onDiffs(t, frame)`. */
   def attach(datoms: DataFrame, queryName: String)(
-      onDiffs: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      onDiffs: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(lwwAttrs.isEmpty,
+      "attach() drains (a, e, v, t, diff) datom streams, which carry no " +
+        "transaction-order seq — LastWriteWins attributes are maintained " +
+        "through the engine path (or graft.streaming.DatomStreams.lww)")
     datoms.writeStream
       .outputMode("append")
       .queryName(queryName)
@@ -768,6 +831,7 @@ class IncrementalQuery(
         } finally batch.unpersist()
       }
       .start()
+  }
 }
 
 object IncrementalQuery {
@@ -1016,6 +1080,43 @@ object IncrementalQuery {
       val w = e.getValue.longValue
       if (w != 0L) out += ((0, e.getKey, w))
       if (w > 0) out += ((1, e.getKey, 1L))
+    }
+    out.iterator
+  }
+
+  /** Partition-local LWW merge: Left = new state rows (winning event per
+    * entity), Right = output diffs (e, v, ±1). A batch candidate replaces
+    * the stored winner iff strictly newer in `(t, seq)`; the output diff
+    * is the old/new output transition (value iff the winner was an add).
+    * seq is globally unique, so "not newer" means stale — drop it. */
+  private def lwwMerge(
+      sIt: Iterator[(Long, (Long, Long, Any, Boolean))],
+      dIt: Iterator[(Long, (Long, Long, Any, Boolean))])
+    : Iterator[Either[(Long, (Long, Long, Any, Boolean)), (Long, Any, Long)]] = {
+    type Ev = (Long, Long, Any, Boolean)
+    val dm = new java.util.HashMap[java.lang.Long, Ev]()
+    dIt.foreach { case (e, c) => dm.put(e, c) }
+    val out = mutable.ArrayBuffer
+      .empty[Either[(Long, Ev), (Long, Any, Long)]]
+    sIt.foreach { case (e, s) =>
+      val c = dm.remove(e)
+      if (c == null || c._1 < s._1 || (c._1 == s._1 && c._2 <= s._2))
+        out += Left((e, s))
+      else {
+        out += Left((e, c))
+        val oldOut = if (s._4) Some(s._3) else None
+        val newOut = if (c._4) Some(c._3) else None
+        if (oldOut != newOut) {
+          oldOut.foreach(v => out += Right((e, v, -1L)))
+          newOut.foreach(v => out += Right((e, v, 1L)))
+        }
+      }
+    }
+    dm.entrySet().iterator().asScala.foreach { ent =>
+      val e = ent.getKey.longValue
+      val c = ent.getValue
+      out += Left((e, c))
+      if (c._4) out += Right((e, c._3, 1L))
     }
     out.iterator
   }

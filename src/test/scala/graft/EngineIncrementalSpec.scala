@@ -242,13 +242,6 @@ class EngineIncrementalSpec extends AnyFunSuite {
     e1.register(Rule("q1", matchA(0, ":p/x", 1)))
     intercept[GraftError](e1.interestIncremental("q1"))
 
-    val e2 = new Engine(spark)
-    e2.createAttribute(":l/x", AttributeConfig(InputSemantics.LastWriteWins))
-    e2.register(Rule("q2", matchA(0, ":l/x", 1)))
-    e2.interestIncremental("q2")
-    e2.transact(Seq(Datom(1, ":l/x", Value.num(1), None, 1)))
-    intercept[GraftError](e2.advance(1L)) // LWW is order-dependent: rejected
-
     val e3 = new Engine(spark)
     e3.createAttribute(":p/x", AttributeConfig(InputSemantics.Raw))
     e3.createAttribute(":p/y", AttributeConfig(InputSemantics.Raw))
@@ -282,6 +275,58 @@ class EngineIncrementalSpec extends AnyFunSuite {
       }
       assert(nonVacuous.contains(true), s"distinct/$label produced no diffs")
     }
+  }
+
+  test("LastWriteWins input semantics drain exactly like the snapshot path") {
+    // The maintained per-entity latest-event view must reproduce the
+    // snapshot path's "last event per entity wins; value iff it was an
+    // add" collection (row_number over (t desc, seq desc)) for any
+    // history — overwrites, clears (retraction events), and re-asserts
+    // included — across the whole maintainable fragment.
+    val params = Gen.Parameters.default
+    for (((label, plan), i) <- plans.zipWithIndex) {
+      val nonVacuous = (0 until 2).map { s =>
+        val history =
+          genHistory(params, Seed(8317L + i * 524287L + s * 131L)).getOrElse(Seq.empty)
+        val snap = run(plan, history, incremental = false,
+          semantics = InputSemantics.LastWriteWins)
+        val inc = run(plan, history, incremental = true,
+          semantics = InputSemantics.LastWriteWins)
+        assert(inc == snap, s"lww/$label: history=$history")
+        snap.exists(_.nonEmpty)
+      }
+      assert(nonVacuous.contains(true), s"lww/$label produced no diffs")
+    }
+    // History includes genuine clears (a retraction event arriving last
+    // for some entity) — otherwise the latest-wins semantics is untested.
+    val h = genHistory(params, Seed(8317L)).getOrElse(Seq.empty)
+    assert(h.flatten.exists(_.diff < 0), "no retraction events covered")
+  }
+
+  test("LWW late subscriber replays the latest-wins state exactly") {
+    // Replay feeds the WHOLE multi-time history as one advance — the
+    // per-entity arg-max over (t, seq) must still pick each entity's
+    // globally latest event, not a per-batch one.
+    val history = Seq(
+      Seq(Datom(1, ":l/x", Value.num(1), None, 1),
+        Datom(2, ":l/x", Value.num(5), None, 1)),
+      Seq(Datom(1, ":l/x", Value.num(2), None, 1)),  // overwrite e1
+      Seq(Datom(2, ":l/x", Value.num(5), None, -1))) // clear e2
+    def late(incremental: Boolean): Drained = {
+      val e = new Engine(spark)
+      e.createAttribute(":l/x", AttributeConfig(InputSemantics.LastWriteWins))
+      e.register(Rule("query", matchA(0, ":l/x", 1)))
+      history.zipWithIndex.foreach { case (tx, i) =>
+        e.transact(tx); e.advance(i + 1L)
+      }
+      if (incremental) e.interestIncremental("query") else e.interest("query")
+      e.advance(4L)
+      multiset(e.drain("query"))
+    }
+    val snap = late(incremental = false)
+    val inc = late(incremental = true)
+    assert(inc == snap)
+    assert(snap.nonEmpty)
   }
 
   test("transitive-closure rule maintained through the engine, snapshot-exact") {
