@@ -247,6 +247,65 @@ class Compiler(
       def canBroadcast(rows: Long, cols: Int): Boolean =
         bcBytes > 0 && rows * (24L * cols + 8L) <= bcBytes
 
+      // Set semantics inside the loop applies to the LEAVES too: a Z-set
+      // input tuple with NEGATIVE net support (possible on signed-delta
+      // sources; engine Distinct/LWW inputs never go negative) would
+      // otherwise enter the round bodies at its raw weight, and its
+      // negative join products cancel genuine derivations BEFORE
+      // distinctify nets candidate weights — dropping tuples the support
+      // set derives. So every in-loop evaluation runs through a child
+      // compiler whose source serves each referenced attribute as its
+      // materialized SUPPORT SET (net weight > 0 → weight 1): exact for
+      // the monotone bodies this branch requires (multiplicities cannot
+      // change a monotone body's support set), it defines the
+      // negative-support case correctly, and — as a side effect — each
+      // attribute is scanned once per FIXPOINT instead of once per
+      // round, with measured counts driving broadcast hints. Unit
+      // sources are already weight-1 and pass through untouched, so the
+      // engine's bulk path pays nothing. Non-recursive rule references
+      // are served from the parent-materialized results via the env,
+      // set-normalized under the same rule.
+      val scanAttrs: Set[String] = ordered.flatMap { r =>
+        P.dependencies(rules(r).plan)._1
+      }.toSet.filter(a => source.has(a) && !source.unit(a))
+      val normScans: Map[String, (DataFrame, Long)] = scanAttrs.map { a =>
+        val df = distinctify(source.collection(a)).localCheckpoint(false)
+        a -> ((df, df.count()))
+      }.toMap
+      val loopComp: Compiler =
+        if (scanAttrs.isEmpty) this
+        else {
+          val outer = source
+          val loopSource: AttributeSource = new AttributeSource {
+            def has(name: String): Boolean = outer.has(name)
+            def kind(name: String): ValueKind = outer.kind(name)
+            def unit(name: String): Boolean =
+              outer.unit(name) || normScans.contains(name)
+            def collection(name: String): DataFrame =
+              normScans.get(name).map(_._1).getOrElse(outer.collection(name))
+            override def version: (Long, Long) = outer.version
+            override def relation(name: String): Option[(DataFrame, Seq[ValueKind])] =
+              outer.relation(name)
+            override def small(name: String): Boolean =
+              normScans.get(name).map { case (_, n) => canBroadcast(n, 2) }
+                .getOrElse(outer.small(name))
+            override def fused(names: Seq[String]): Option[DataFrame] =
+              outer.fused(names)
+          }
+          // No shared cache: nothing may memoize set-normalized results
+          // under the raw source's cache key.
+          new Compiler(loopSource, rules, maxIterations, aggregateSetSemantics)
+        }
+      val depEnv: Map[String, Option[Rel]] =
+        ordered.flatMap(r => reachable(r)).distinct
+          .filterNot(cyclic).filter(rules.contains).map { dep =>
+            val rel = memo(dep)
+            val ndf =
+              if (rel.distinct || rel.unit) rel.df
+              else distinctify(rel.df).localCheckpoint(false)
+            dep -> (Some(rel.copy(df = ndf, distinct = true)): Option[Rel])
+          }.toMap
+
       // Per-round bodies are the DERIVATIVE of the rule: union branches
       // without the recursive reference are constants whose delta is empty,
       // so only the recursive branch is re-evaluated after round 0.
@@ -257,7 +316,8 @@ class Compiler(
       // the checkpoint and yields the row count (the eager-checkpoint-
       // then-count variant ran two jobs per rule per round).
       var delta: Map[String, Option[Rel]] = ordered.map { r =>
-        r -> compile(rules(r).plan, ordered.map(_ -> (None: Option[Rel])).toMap)
+        r -> loopComp.compile(rules(r).plan,
+            ordered.map(_ -> (None: Option[Rel])).toMap ++ depEnv)
           .map(rel => rel.copy(df =
             (if (rel.distinct) rel.df else distinctify(rel.df)).localCheckpoint(false)))
       }.toMap
@@ -298,7 +358,8 @@ class Compiler(
       if (ordered.lengthCompare(1) == 0 && changed &&
           !sys.props.get("graft.fixpoint.kernel").contains("off")) {
         val r = ordered.head
-        kernelLinear(spark, r, derived(r), template(r).get, delta(r).get,
+        loopComp.kernelLinear(spark, r, derived(r), depEnv,
+          template(r).get, delta(r).get,
           totalCount(r), pLoop, shufflePartitions, canBroadcast, debugT0) match {
           case Some(rel) =>
             memo(r) = rel
@@ -323,7 +384,7 @@ class Compiler(
         iter += 1
         val stepped = ordered.map { r =>
           val tPlan0 = if (fixpointDebug) System.nanoTime() else 0L
-          val cand = compile(derived(r), delta)
+          val cand = loopComp.compile(derived(r), delta ++ depEnv)
           val fresh: Option[Rel] = (cand, totalParts(r)) match {
             case (None, _) => None
             case (Some(c), parts) =>
@@ -440,6 +501,7 @@ class Compiler(
       spark: org.apache.spark.sql.SparkSession,
       name: String,
       derived: Plan,
+      env: Map[String, Option[Rel]],
       template: Rel,
       delta0: Rel,
       rows0: Long,
@@ -493,7 +555,7 @@ class Compiler(
     if (!target.forall(recVars.contains)) return None
 
     // ---- static side: compile once, size-gate, collect + broadcast -------
-    val sRel = compile(staticPlan, Map.empty).getOrElse(return None)
+    val sRel = compile(staticPlan, env).getOrElse(return None)
     val sVars = sRel.vars
     if (!sRel.kinds.forall(kernelKind)) return None
     if (sVars.distinct != sVars || !target.forall(sVars.contains)) return None

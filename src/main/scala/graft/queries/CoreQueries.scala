@@ -423,6 +423,53 @@ object CoreQueries {
         .select(col("c0").as("src"), col("c1").as("dst"))
     }),
 
+    "q_labelprop_maintain" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{lit, pmod, sum}
+      // GENERAL maintained recursion — a standing rule OUTSIDE the
+      // transitive-closure shape (the step joins edge(y, x) with
+      // reach(y, l) on the edge's SOURCE, propagating labels forward),
+      // served by the general clique node: delta-rule warm start for
+      // batches 1–2, textbook delete-and-rederive for batch 3, which
+      // retracts the (src+dst)%3==0 edges AND the node%4==0 seeds.
+      // Accumulated diffs must equal the label-propagation fixpoint
+      // over the surviving seeds and edges — the recursive-CTE oracle.
+      val reachRule = Union(Seq(0, 1), Seq(
+        matchA(0, ":lp/seed", 1),
+        Project(Seq(0, 1), Join(Seq(2),
+          matchA(2, ":lp/edge", 0), NameExpr(Seq(2, 1), "reach")))))
+      val iq = new graft.streaming.IncrementalQuery(s,
+        NameExpr(Seq(0, 1), "reach"),
+        Map(":lp/edge" -> ValueKind.KEid, ":lp/seed" -> ValueKind.KEid),
+        Map("reach" -> reachRule))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_partkey") <= 60)
+      val edges = li
+        .select(col("l_partkey").cast("long").as("e"),
+          col("l_suppkey").cast("long").as("v")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seeds = li
+        .select(col("l_partkey").cast("long").as("e"),
+          (col("l_partkey") % 7).cast("long").as("v")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m3 = pmod(col("e") + col("v"), lit(3))
+      def b(df: DataFrame, pred: Column, diff: Long) =
+        df.where(pred).withColumn("diff", lit(diff))
+      val diffs = Seq(
+        iq.advance(Map(
+          ":lp/seed" -> b(seeds, lit(true), 1L),
+          ":lp/edge" -> b(edges, m3 < 2, 1L))),
+        iq.advance(Map(":lp/edge" -> b(edges, m3 === 2, 1L))),
+        iq.advance(Map(
+          ":lp/edge" -> b(edges, m3 === 0, -1L),
+          ":lp/seed" -> b(seeds, pmod(col("e"), lit(4)) === 0, -1L))))
+      edges.unpersist(blocking = false)
+      seeds.unpersist(blocking = false)
+      diffs.reduce(_ unionAll _)
+        .groupBy(col("c0"), col("c1")).agg(sum(col("_w")).as("w"))
+        .where(col("w") > 0)
+        .select(col("c0").as("node"), col("c1").as("label"))
+    }),
+
     "q_closure_maintain" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{lit, pmod, sum}
       // The q_recursion_closure edge relation streamed through the
@@ -647,6 +694,25 @@ object CoreQueries {
            UNION
            SELECT e.src, c.dst FROM surviving e JOIN closure c ON e.dst = c.src)
          SELECT src, dst FROM closure""",
+    // Label propagation over the surviving seeds/edges: the generally-
+    // maintained (non-TC) rule must converge to the identical fixpoint.
+    "q_labelprop_maintain" ->
+      """WITH RECURSIVE edges AS (
+           SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+                  CAST(l_suppkey AS BIGINT) AS dst
+           FROM lineitem WHERE l_partkey <= 60),
+         surviving AS (
+           SELECT src, dst FROM edges WHERE (src + dst) % 3 <> 0),
+         seeds AS (
+           SELECT DISTINCT CAST(l_partkey AS BIGINT) AS node,
+                  CAST(l_partkey % 7 AS BIGINT) AS label
+           FROM lineitem WHERE l_partkey <= 60 AND l_partkey % 4 <> 0),
+         reach AS (
+           SELECT node, label FROM seeds
+           UNION
+           SELECT e.dst AS node, r.label
+           FROM surviving e JOIN reach r ON e.src = r.node)
+         SELECT node, label FROM reach""",
     "q_closure_maintain" ->
       """WITH RECURSIVE edges AS (
            SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,

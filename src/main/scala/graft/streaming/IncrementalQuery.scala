@@ -71,9 +71,12 @@ import graft.model._
   * the edge subtree's diffs threshold to set transitions and drive the
   * warm-start/DRed closure maintainer ([[IncrementalClosure]], or
   * [[DistributedClosure]] under `-Dgraft.closure.distributed=true`).
-  * Not maintained here (fail loudly at construction): recursion outside
-  * that form and the Pull family (point-lookup views the batch engine
-  * serves).
+  * Every OTHER monotone recursion — mutual cliques, non-linear bodies,
+  * label-propagation shapes — is maintained by the general
+  * [[RecursionNode]] (delta-rule warm start + delete-and-rederive, see
+  * [[generalRecursionNode]]). Not maintained here (fail loudly at
+  * construction): non-monotone recursion and the Pull family
+  * (point-lookup views the batch engine serves).
   *
   * Restrictions on `Aggregate` nodes: numeric aggregations over
   * long-typed values; order statistics (and `:with` variables) over
@@ -511,11 +514,7 @@ class IncrementalQuery(
       // route through the same closure-form recognition.
       val rname =
         IncrementalQuery.ruleRefs(u).find(n => rules.get(n).contains(u)).get
-      closureNodeOf(rname).getOrElse(sys.error(
-        s"recursive rule $rname is not in the maintainable " +
-          "transitive-closure form (base ∪ edge∘closure over one edge " +
-          "relation) — general incremental recursion is the batch " +
-          "engine's job, or drive IncrementalClosure directly"))
+      closureNodeOf(rname).getOrElse(generalRecursionNode(rname))
 
     case Plan.Union(vs, branches) =>
       new ThresholdNode(branches.map(b => zoneOf(Plan.Project(vs, b))))
@@ -533,15 +532,13 @@ class IncrementalQuery(
 
     case Plan.NameExpr(vs, rname) if rules.contains(rname) =>
       if (reachableFrom(rules(rname)).contains(rname)) {
-        // RECURSIVE rule reference: maintainable when the rule is in the
-        // transitive-closure form (the recursion slice the reference
-        // maintains through differential `iterate`); everything else
-        // stays the batch engine's job.
-        val inner = closureNodeOf(rname).getOrElse(sys.error(
-          s"recursive rule $rname is not in the maintainable " +
-            "transitive-closure form (base ∪ edge∘closure over one edge " +
-            "relation) — general incremental recursion is the batch " +
-            "engine's job, or drive IncrementalClosure directly"))
+        // RECURSIVE rule reference: the transitive-closure form takes
+        // the specialized warm-start/DRed closure fast path; every
+        // other monotone recursion (mutual, non-linear, label-prop
+        // shapes) is maintained by the general clique node — together,
+        // the recursion scope the reference maintains through
+        // differential `iterate`.
+        val inner = closureNodeOf(rname).getOrElse(generalRecursionNode(rname))
         require(inner.vars.length == vs.length,
           s"NameExpr($vs, $rname): arity mismatch with ${inner.vars}")
         new RenameNode(inner, vs)
@@ -613,6 +610,472 @@ class IncrementalQuery(
             new ClosureNode(zoneOf(b))
         }
     case _ => None
+  }
+
+  // ---- General maintained recursion (monotone rule cliques) ----------
+
+  /** Build the GENERAL recursion node for a recursive rule outside the
+    * transitive-closure fast path: the whole strongly-connected rule
+    * clique containing `rname` is maintained together — mutual and
+    * non-linear recursion included — the remainder of the reference's
+    * maintained iterative scope (`src/lib.rs:933-1023`, differential
+    * `iterate` closing every recursion variable under `distinct`).
+    *
+    * Algorithm (set semantics, exactly the batch fixpoint's):
+    *  - ADDITIONS warm-start the semi-naive iteration from the stored
+    *    fixpoint: round 0 evaluates each body's DELTA RULES w.r.t. the
+    *    batch's input additions (one occurrence-variant per leaf
+    *    reference, the added facts bound at that occurrence and
+    *    broadcast, current totals elsewhere); later rounds w.r.t. the
+    *    previous round's newly derived facts. Sound and exact for
+    *    monotone bodies: every genuinely new derivation uses at least
+    *    one new fact at some occurrence, and accumulated-set
+    *    subtraction removes the overcount.
+    *  - RETRACTIONS run textbook delete-and-rederive (DRed, the role
+    *    differential's arrangement traces play in the reference):
+    *    overdeletion iterates the same delta rules against the OLD
+    *    totals (a fact is overdeleted iff SOME derivation passes
+    *    through a deleted fact), then rederivation recovers overdeleted
+    *    facts that survive on the remaining database — costing one full
+    *    body evaluation per rule that lost facts (the textbook DRed
+    *    step; the addition path and overdeletion stay
+    *    delta-proportional) — then semi-naive rounds propagate the
+    *    recovered facts' consequences.
+    *
+    * Every body evaluation is delegated to the unmodified BATCH
+    * compiler over an env binding each leaf reference to a relation:
+    * delta relations are marked `small` (join sites broadcast them; the
+    * totals side is scanned narrow, never shuffled per round), totals
+    * live as hash-partitioned checkpointed RDD sets (the RddKernel
+    * state discipline; set algebra is per-partition streaming with
+    * delta-sized hash tables). Inputs — attribute leaves and
+    * references to rules OUTSIDE the clique (which may themselves be
+    * maintained recursions of a lower stratum) — are maintained as
+    * child nodes behind a support threshold, so the recursion sees
+    * exactly the ±1 SET transitions of its input relations
+    * (differential's `distinct` at the loop boundary).
+    *
+    * Maintainable bodies: monotone compositions of Match leaves,
+    * Project, Filter, Transform, Join, Union, and rule references.
+    * Negate/Antijoin/Aggregate/Hector inside a recursive body fail
+    * loudly (non-monotone — or, Hector, expressible as a Join tree);
+    * so do base-relation references. */
+  private def generalRecursionNode(rname: String): Node = {
+    val clique: Set[String] =
+      (reachableFrom(rules(rname)) + rname).filter { n =>
+        rules.contains(n) && reachableFrom(rules(n)).contains(rname) &&
+          (reachableFrom(rules(rname)) + rname).contains(n)
+      }
+
+    val inputNodes = mutable.LinkedHashMap.empty[String, Node]
+    // α-canonical leaf -> (input name, defining leaf's var → canon var)
+    val leafInputs =
+      mutable.LinkedHashMap.empty[Plan, (String, Map[PVar, PVar])]
+    val ruleInputs = mutable.LinkedHashMap.empty[String, String]
+
+    def canonWithMap(p: Plan): (Plan, Map[PVar, PVar]) = {
+      val m = mutable.LinkedHashMap.empty[PVar, PVar]
+      val cp = IncrementalQuery.mapVars(p, v => m.getOrElseUpdate(v, m.size))
+      (cp, m.toMap)
+    }
+
+    // Equal-up-to-renaming leaves share ONE input (one threshold, one
+    // state); each occurrence renames the shared node positionally.
+    def leafRef(leaf: Plan): Plan = {
+      val (canon, occMap) = canonWithMap(leaf)
+      val (name, defMap) = leafInputs.getOrElseUpdate(canon, {
+        val nm = s"@in${leafInputs.size}"
+        inputNodes(nm) = new ThresholdNode(Seq(zoneOf(leaf)))
+        (nm, occMap)
+      })
+      val occInv = occMap.map(_.swap)
+      Plan.NameExpr(inputNodes(name).vars.map(v => occInv(defMap(v))), name)
+    }
+
+    def ruleRef(vs: Seq[PVar], n: String): Plan = {
+      val name = ruleInputs.getOrElseUpdate(n, {
+        val nm = s"@rule:$n"
+        inputNodes(nm) = new ThresholdNode(Seq(zoneOf(Plan.NameExpr(vs, n))))
+        nm
+      })
+      require(inputNodes(name).vars.length == vs.length,
+        s"NameExpr($vs, $n): arity mismatch with ${inputNodes(name).vars}")
+      Plan.NameExpr(vs, name)
+    }
+
+    def rewrite(p: Plan): Plan = p match {
+      case m @ (_: Plan.MatchA | _: Plan.MatchEA | _: Plan.MatchAV) =>
+        leafRef(m)
+      case Plan.Project(vs, s) => Plan.Project(vs, rewrite(s))
+      case f: Plan.Filter      => f.copy(plan = rewrite(f.plan))
+      case t: Plan.Transform   => t.copy(plan = rewrite(t.plan))
+      case Plan.Join(vs, l, r) =>
+        val nl = rewrite(l); Plan.Join(vs, nl, rewrite(r))
+      case Plan.Union(vs, ps)  => Plan.Union(vs, ps.map(rewrite))
+      case Plan.NameExpr(vs, n) if clique(n) => Plan.NameExpr(vs, n)
+      case Plan.NameExpr(vs, n) if rules.contains(n) => ruleRef(vs, n)
+      case Plan.NameExpr(_, n) => sys.error(
+        s"recursive rule clique of $rname references base relation $n " +
+          "— not incrementally maintainable (batch engine's job)")
+      case other => sys.error(
+        "non-monotone operator inside recursive rule (general " +
+          "incremental recursion maintains the monotone fragment; " +
+          s"batch engine's job): $other")
+    }
+
+    val bodies: Map[String, Plan] =
+      clique.toSeq.sorted.map(r => r -> rewrite(rules(r))).toMap
+
+    // Per-rule output signature from a BATCH probe compile over empty
+    // inputs (the fixpoint on empty relations converges immediately) —
+    // vars/kinds authority without re-deriving inference rules.
+    val sig: Map[String, (Seq[PVar], Seq[ValueKind])] = {
+      val src = new AttributeSource {
+        def has(name: String): Boolean = kinds.contains(name)
+        def kind(name: String): ValueKind = kinds(name)
+        def unit(name: String): Boolean = false
+        def collection(name: String): DataFrame = emptyAttrDelta(name)
+        override def version: (Long, Long) = (0L, Long.MaxValue)
+      }
+      val comp = new Compiler(src, rules.map { case (n, p) => n -> Rule(n, p) })
+      clique.toSeq.sorted.map { r =>
+        val bv = rules(r) match {
+          case Plan.Union(vs, _) => vs
+          case b => Plan.boundVariables(b, _ => Seq.empty).distinct
+        }
+        val rel = comp.compile(Plan.NameExpr(bv, r), Map.empty)
+          .getOrElse(sys.error(s"recursive rule $r failed to compile"))
+        r -> ((rel.vars, rel.kinds))
+      }.toMap
+    }
+
+    new RecursionNode(rname, clique.toSeq.sorted, bodies,
+      inputNodes.toSeq, sig)
+  }
+
+  /** General maintained recursion — see [[generalRecursionNode]] for
+    * the algorithm; this class holds the state and the per-batch DRed +
+    * warm-start drive. */
+  private final class RecursionNode(
+      target: String,
+      clique: Seq[String],
+      bodies: Map[String, Plan],
+      inputs: Seq[(String, Node)],
+      sig: Map[String, (Seq[PVar], Seq[ValueKind])]) extends Node {
+
+    val vars: Seq[PVar] = sig(target)._1
+    val nodeKinds: Seq[ValueKind] = sig(target)._2
+    val attrs: Set[String] = inputs.flatMap(_._2.attrs).toSet
+
+    private val sc = spark.sparkContext
+    private val part = new SeqKeyPartitioner(shufflePartitions)
+    private type PSet = RDD[(Seq[Any], Null)]
+
+    private def emptySet: PSet =
+      sc.emptyRDD[(Seq[Any], Null)].partitionBy(part)
+
+    private val recState = mutable.Map.empty[String, PSet]
+    clique.foreach(r => recState(r) = emptySet)
+    private val inputState = mutable.Map.empty[String, PSet]
+    private val inputKinds: Map[String, Seq[ValueKind]] =
+      inputs.map { case (n, node) => n -> node.nodeKinds }.toMap
+    inputs.foreach { case (n, _) => inputState(n) = emptySet }
+
+    // ---- set algebra: every operand is partitioned by `part`; the
+    // delta-sized side is hash-built per partition, the other streams ----
+
+    private def checkpointed(s: PSet): PSet = {
+      val c = s.localCheckpoint(); c.count(); c
+    }
+
+    private def asSet(rows: RDD[Seq[Any]]): PSet =
+      rows.map(k => (k, null: Null)).reduceByKey(part, (a, _) => a)
+
+    /** a − b, hash-building a (pass the delta-sized side first). */
+    private def minus(a: PSet, b: PSet): PSet =
+      a.zipPartitions(b, preservesPartitioning = true) { (aIt, bIt) =>
+        val s = new java.util.LinkedHashMap[Seq[Any], Null]()
+        aIt.foreach { case (k, _) => s.put(k, null) }
+        bIt.foreach { case (k, _) => s.remove(k) }
+        s.keySet().iterator().asScala.map(k => (k, null: Null))
+      }
+
+    /** a ∩ b, hash-building a (pass the delta-sized side first). */
+    private def intersect(a: PSet, b: PSet): PSet =
+      a.zipPartitions(b, preservesPartitioning = true) { (aIt, bIt) =>
+        val s = new java.util.HashSet[Seq[Any]]()
+        aIt.foreach { case (k, _) => s.add(k) }
+        val out = mutable.ArrayBuffer.empty[(Seq[Any], Null)]
+        bIt.foreach { case (k, _) => if (s.remove(k)) out += ((k, null)) }
+        out.iterator
+      }
+
+    /** big − small, hash-building small, streaming big. */
+    private def without(big: PSet, small: PSet): PSet =
+      big.zipPartitions(small, preservesPartitioning = true) { (bIt, sIt) =>
+        val s = new java.util.HashSet[Seq[Any]]()
+        sIt.foreach { case (k, _) => s.add(k) }
+        bIt.filter { case (k, _) => !s.contains(k) }
+      }
+
+    /** Union of DISJOINT same-partitioner sets — partitioner-aware, no
+      * shuffle. */
+    private def disjointUnion(ss: Seq[PSet]): PSet =
+      if (ss.isEmpty) emptySet
+      else if (ss.lengthCompare(1) == 0) ss.head
+      else sc.union(ss)
+
+    private def dfOf(ks: Seq[ValueKind], ss: Seq[PSet]): DataFrame = {
+      val schema = StructType(ks.zipWithIndex.map { case (k, i) =>
+        StructField(Rel.c(i), k.dataType, true)
+      } :+ StructField(Rel.W, LongType, false))
+      spark.createDataFrame(
+        disjointUnion(ss).map { case (k, _) => Row.fromSeq(k :+ 1L) },
+        schema)
+    }
+
+    private def relOf(ks: Seq[ValueKind], ss: Seq[PSet], isSmall: Boolean): Rel =
+      Rel(ks.indices, ks, dfOf(ks, ss), small = isSmall,
+        unit = true, distinct = true)
+
+    /** Env over ALL leaf names a body can reference: each a totals
+      * relation of base state plus in-flight round parts. */
+    private def envOf(
+        inputParts: Map[String, Seq[PSet]],
+        recParts: Map[String, Seq[PSet]]): Map[String, Rel] =
+      inputs.map { case (n, _) =>
+        n -> relOf(inputKinds(n), inputParts(n), isSmall = false)
+      }.toMap ++ clique.map { r =>
+        r -> relOf(sig(r)._2, recParts(r), isSmall = false)
+      }
+
+    private val noAttrSrc = new AttributeSource {
+      def has(name: String): Boolean = false
+      def kind(name: String): ValueKind =
+        sys.error("rewritten recursion bodies reference no attributes")
+      def unit(name: String): Boolean = true
+      def collection(name: String): DataFrame =
+        sys.error("rewritten recursion bodies reference no attributes")
+      override def version: (Long, Long) = (0L, Long.MaxValue)
+    }
+
+    private def evalSet(p: Plan, env: Map[String, Rel]): RDD[Seq[Any]] =
+      new Compiler(noAttrSrc)
+        .compile(p, env.map { case (k, v) => k -> Some(v) }) match {
+        case Some(rel) =>
+          rel.df.rdd.flatMap { r =>
+            if (r.getLong(r.length - 1) > 0L) Some(rowKey(r, r.length - 1))
+            else None
+          }
+        case None => sc.emptyRDD[Seq[Any]]
+      }
+
+    private def occCount(p: Plan, name: String): Int = p match {
+      case Plan.NameExpr(_, `name`)      => 1
+      case Plan.Project(_, s)            => occCount(s, name)
+      case Plan.Filter(_, _, s, _)       => occCount(s, name)
+      case Plan.Transform(_, _, s, _, _) => occCount(s, name)
+      case Plan.Join(_, l, r) => occCount(l, name) + occCount(r, name)
+      case Plan.Union(_, ps)  => ps.map(occCount(_, name)).sum
+      case _                  => 0
+    }
+
+    private def replaceOcc(p: Plan, name: String, idx: Int): Plan = {
+      var seen = 0
+      def rw(q: Plan): Plan = q match {
+        case Plan.NameExpr(vs, `name`) =>
+          val i = seen; seen += 1
+          if (i == idx) Plan.NameExpr(vs, name + "@d") else q
+        case Plan.Project(vs, s) => Plan.Project(vs, rw(s))
+        case f: Plan.Filter      => f.copy(plan = rw(f.plan))
+        case t: Plan.Transform   => t.copy(plan = rw(t.plan))
+        case Plan.Join(vs, l, r) => val nl = rw(l); Plan.Join(vs, nl, rw(r))
+        case Plan.Union(vs, ps)  => Plan.Union(vs, ps.map(rw))
+        case other               => other
+      }
+      rw(p)
+    }
+
+    /** One delta-rule application: every occurrence variant of
+      * `deltaName` in `r`'s body, the delta bound (broadcast-small) at
+      * that occurrence, totals elsewhere. */
+    private def deltaStep(
+        r: String, deltaName: String, deltaKinds: Seq[ValueKind],
+        delta: PSet, env: Map[String, Rel]): Seq[RDD[Seq[Any]]] = {
+      val body = bodies(r)
+      val n = occCount(body, deltaName)
+      if (n == 0) Seq.empty
+      else {
+        val denv = env +
+          ((deltaName + "@d") -> relOf(deltaKinds, Seq(delta), isSmall = true))
+        (0 until n).map(i => evalSet(replaceOcc(body, deltaName, i), denv))
+      }
+    }
+
+    // Construction-time validation: each rewritten body compiles against
+    // empty inputs and reproduces the probe signature.
+    locally {
+      val env0 = envOf(
+        inputs.map { case (n, _) => n -> Seq(emptySet) }.toMap,
+        clique.map(r => r -> Seq(emptySet)).toMap)
+      clique.foreach { r =>
+        val rel = new Compiler(noAttrSrc)
+          .compile(bodies(r), env0.map { case (k, v) => k -> Some(v) })
+          .getOrElse(sys.error(s"rewritten recursive body failed to compile: $r"))
+        require(rel.vars == sig(r)._1 && rel.kinds == sig(r)._2,
+          s"rewritten body signature mismatch for $r: " +
+            s"(${rel.vars}, ${rel.kinds}) vs ${sig(r)}")
+      }
+    }
+
+    def advance(attrDeltas: Map[String, DataFrame]): DataFrame = {
+      if (!touched(attrDeltas)) return emptyDiff
+      // Input SET transitions (children threshold internally; their
+      // outputs derive from checkpointed state, so reading adds and dels
+      // re-reads the checkpoint, not the maintenance pass).
+      val trans = inputs.map { case (n, node) =>
+        val d = node.advance(attrDeltas)
+        val w = inputKinds(n).length
+        val rdd = d.rdd.map(r => (rowKey(r, w), r.getLong(w)))
+        val adds = checkpointed(asSet(rdd.filter(_._2 > 0L).keys))
+        val dels = checkpointed(asSet(rdd.filter(_._2 < 0L).keys))
+        (n, adds, dels, adds.count(), dels.count())
+      }
+      val anyAdd = trans.exists(_._4 > 0L)
+      val anyDel = trans.exists(_._5 > 0L)
+      if (!anyAdd && !anyDel) return emptyDiff
+
+      val emitted = mutable.ArrayBuffer.empty[RDD[(Seq[Any], Long)]]
+
+      // ---- deletions: delete-and-rederive ----
+      if (anyDel) {
+        val envOld = envOf(
+          inputs.map { case (n, _) => n -> Seq(inputState(n)) }.toMap,
+          clique.map(r => r -> Seq(recState(r))).toMap)
+        val over = mutable.Map.empty[String, Vector[PSet]]
+        clique.foreach(r => over(r) = Vector.empty)
+        var roundDeltas: Seq[(String, Seq[ValueKind], PSet)] =
+          trans.collect { case (n, _, dels, _, dc) if dc > 0L =>
+            (n, inputKinds(n), dels) }
+        while (roundDeltas.nonEmpty) {
+          roundDeltas = clique.flatMap { r =>
+            val cands = roundDeltas.flatMap { case (dn, dk, ds) =>
+              deltaStep(r, dn, dk, ds, envOld) }
+            if (cands.isEmpty) None
+            else {
+              var s = intersect(asSet(sc.union(cands)), recState(r))
+              over(r).foreach(o => s = minus(s, o))
+              val c = checkpointed(s)
+              if (c.count() == 0L) None
+              else { over(r) :+= c; Some((r, sig(r)._2, c)) }
+            }
+          }
+        }
+        trans.foreach { case (n, _, dels, _, dc) =>
+          if (dc > 0L)
+            inputState(n) = checkpointed(without(inputState(n), dels))
+        }
+        if (clique.exists(r => over(r).nonEmpty)) {
+          val overTotal: Map[String, PSet] = clique.map { r =>
+            r -> (if (over(r).isEmpty) emptySet
+                  else checkpointed(disjointUnion(over(r))))
+          }.toMap
+          val keep: Map[String, PSet] = clique.map { r =>
+            r -> checkpointed(without(recState(r), overTotal(r)))
+          }.toMap
+          val redv = mutable.Map.empty[String, Vector[PSet]]
+          clique.foreach(r => redv(r) = Vector.empty)
+          // Round 0: one full body evaluation per rule that lost facts —
+          // the textbook DRed rederivation cost.
+          val envKeep = envOf(
+            inputs.map { case (n, _) => n -> Seq(inputState(n)) }.toMap,
+            clique.map(r => r -> Seq(keep(r))).toMap)
+          var roundR: Seq[(String, Seq[ValueKind], PSet)] =
+            clique.flatMap { r =>
+              if (over(r).isEmpty) None
+              else {
+                val c = checkpointed(intersect(
+                  overTotal(r), asSet(evalSet(bodies(r), envKeep))))
+                if (c.count() == 0L) None
+                else { redv(r) :+= c; Some((r, sig(r)._2, c)) }
+              }
+            }
+          while (roundR.nonEmpty) {
+            val envK = envOf(
+              inputs.map { case (n, _) => n -> Seq(inputState(n)) }.toMap,
+              clique.map(r => r -> (keep(r) +: redv(r))).toMap)
+            roundR = clique.flatMap { r =>
+              val cands = roundR.flatMap { case (dn, dk, ds) =>
+                deltaStep(r, dn, dk, ds, envK) }
+              if (cands.isEmpty) None
+              else {
+                var s = intersect(asSet(sc.union(cands)), overTotal(r))
+                redv(r).foreach(o => s = minus(s, o))
+                val c = checkpointed(s)
+                if (c.count() == 0L) None
+                else { redv(r) :+= c; Some((r, sig(r)._2, c)) }
+              }
+            }
+          }
+          clique.foreach { r =>
+            var gone = overTotal(r)
+            redv(r).foreach(rr => gone = without(gone, rr))
+            val g = checkpointed(gone)
+            if (r == target && g.count() > 0L)
+              emitted += g.map { case (k, _) => (k, -1L) }
+            recState(r) = checkpointed(disjointUnion(keep(r) +: redv(r)))
+          }
+        }
+      }
+
+      // ---- additions: warm-started semi-naive ----
+      if (anyAdd) {
+        trans.foreach { case (n, adds, _, ac, _) =>
+          if (ac > 0L)
+            inputState(n) =
+              checkpointed(disjointUnion(Seq(inputState(n), adds)))
+        }
+        val newParts = mutable.Map.empty[String, Vector[PSet]]
+        clique.foreach(r => newParts(r) = Vector.empty)
+        var roundDeltas: Seq[(String, Seq[ValueKind], PSet)] =
+          trans.collect { case (n, adds, _, ac, _) if ac > 0L =>
+            (n, inputKinds(n), adds) }
+        while (roundDeltas.nonEmpty) {
+          val env = envOf(
+            inputs.map { case (n, _) => n -> Seq(inputState(n)) }.toMap,
+            clique.map(r => r -> (recState(r) +: newParts(r))).toMap)
+          roundDeltas = clique.flatMap { r =>
+            val cands = roundDeltas.flatMap { case (dn, dk, ds) =>
+              deltaStep(r, dn, dk, ds, env) }
+            if (cands.isEmpty) None
+            else {
+              var s = minus(asSet(sc.union(cands)), recState(r))
+              newParts(r).foreach(p2 => s = minus(s, p2))
+              val c = checkpointed(s)
+              if (c.count() == 0L) None
+              else { newParts(r) :+= c; Some((r, sig(r)._2, c)) }
+            }
+          }
+        }
+        clique.foreach { r =>
+          if (newParts(r).nonEmpty) {
+            if (r == target)
+              newParts(r).foreach(p2 =>
+                emitted += p2.map { case (k, _) => (k, 1L) })
+            recState(r) =
+              checkpointed(disjointUnion(recState(r) +: newParts(r)))
+          }
+        }
+      }
+
+      if (emitted.isEmpty) emptyDiff
+      else {
+        val net = sc.union(emitted.toSeq).reduceByKey(part, _ + _)
+          .filter(_._2 != 0L)
+        spark.createDataFrame(
+          net.map { case (k, w) => Row.fromSeq(k :+ w) }, schema)
+      }
+    }
   }
 
   // Rules currently being inlined (cycle = recursion = reject).

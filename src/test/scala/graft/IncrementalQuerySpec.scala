@@ -210,18 +210,66 @@ class IncrementalQuerySpec extends AnyFunSuite {
       Map("closureR" -> closureR))
   }
 
-  test("recursion outside the closure form still fails loudly") {
-    // Mutual recursion (not the TC shape) must be rejected with the
-    // scope message, not silently mis-maintained.
+  test("mutual recursion (general clique node), batch-exact incl. retractions") {
+    // Not the TC shape: a two-rule strongly-connected clique, maintained
+    // by the general recursion node (delta-rule warm start + DRed).
     val a = Plan.Union(Seq(0, 1), Seq(
       Plan.MatchA(0, ":e1", 1), Plan.NameExpr(Seq(0, 1), "b")))
     val b = Plan.Union(Seq(0, 1), Seq(
       Plan.MatchA(0, ":e2", 1), Plan.NameExpr(Seq(0, 1), "a")))
+    check(Plan.NameExpr(Seq(0, 1), "a"),
+      genBatches(5557, Seq(":e1", ":e2"), 4, es = 4, vs = 4),
+      Map("a" -> a, "b" -> b))
+    // Odd/even path lengths — genuinely mutually recursive derivations
+    // (each rule keeps a base branch, the batch fixpoint's contract).
+    val odd = Plan.Union(Seq(0, 1), Seq(
+      Plan.MatchA(0, ":e1", 1),
+      Plan.Project(Seq(0, 1), Plan.Join(Seq(2),
+        Plan.MatchA(0, ":e1", 2), Plan.NameExpr(Seq(2, 1), "even")))))
+    val even = Plan.Union(Seq(0, 1), Seq(
+      Plan.MatchA(0, ":e2", 1),
+      Plan.Project(Seq(0, 1), Plan.Join(Seq(2),
+        Plan.MatchA(0, ":e1", 2), Plan.NameExpr(Seq(2, 1), "odd")))))
+    check(Plan.NameExpr(Seq(0, 1), "odd"),
+      genBatches(7433, Seq(":e1"), 4, es = 4, vs = 4),
+      Map("odd" -> odd, "even" -> even))
+  }
+
+  test("label propagation recursion (non-TC shape), batch-exact incl. retractions") {
+    // reach(x, l) := seed(x, l) ∪ edge(y, x) ⋈ reach(y, l) — the step
+    // joins on a DIFFERENT var position than transitive closure, so the
+    // TC recognizer passes and the general clique node maintains it.
+    val reach = Plan.Union(Seq(0, 1), Seq(
+      Plan.MatchA(0, ":ua", 1),
+      Plan.Project(Seq(0, 1), Plan.Join(Seq(2),
+        Plan.MatchA(2, ":e1", 0), Plan.NameExpr(Seq(2, 1), "reach")))))
+    check(Plan.NameExpr(Seq(0, 1), "reach"),
+      genBatches(6073, Seq(":ua", ":e1"), 5, es = 4, vs = 4),
+      Map("reach" -> reach))
+  }
+
+  test("non-linear recursion (two recursive references), batch-exact") {
+    // r2(x, z) := edge(x, z) ∪ r2(x, y) ⋈ r2(y, z) — the doubling form
+    // of closure; the batch side solves it by naive recompute, the
+    // maintained side by delta rules over both occurrences.
+    val r2 = Plan.Union(Seq(0, 1), Seq(
+      Plan.MatchA(0, ":e1", 1),
+      Plan.Project(Seq(0, 1), Plan.Join(Seq(2),
+        Plan.NameExpr(Seq(0, 2), "r2"), Plan.NameExpr(Seq(2, 1), "r2")))))
+    check(Plan.NameExpr(Seq(0, 1), "r2"),
+      genBatches(8423, Seq(":e1"), 4, es = 5, vs = 5),
+      Map("r2" -> r2))
+  }
+
+  test("non-monotone recursion still fails loudly") {
+    val a = Plan.Union(Seq(0, 1), Seq(
+      Plan.MatchA(0, ":e1", 1),
+      Plan.Negate(Plan.NameExpr(Seq(0, 1), "a"))))
     val e = intercept[RuntimeException] {
       new IncrementalQuery(spark, Plan.NameExpr(Seq(0, 1), "a"),
-        kinds, Map("a" -> a, "b" -> b))
+        kinds, Map("a" -> a))
     }
-    assert(e.getMessage.contains("transitive-closure form"))
+    assert(e.getMessage.contains("monotone"))
   }
 
   test("multi-function aggregate (output_offsets re-insertion), batch-exact") {
