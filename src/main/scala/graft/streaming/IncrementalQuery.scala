@@ -818,6 +818,15 @@ class IncrementalQuery(
         bIt.filter { case (k, _) => !s.contains(k) }
       }
 
+    /** Compact a growing parts vector: past the chain bound, fold the
+      * DISJOINT parts into one checkpointed set (narrow,
+      * partitioner-aware) — otherwise every round's env plan and minus
+      * chain grows linearly with accumulated rounds and the advance
+      * goes quadratic in driver planning. */
+    private def compactedParts(parts: Vector[PSet]): Vector[PSet] =
+      if (parts.lengthCompare(8) <= 0) parts
+      else Vector(checkpointed(disjointUnion(parts)))
+
     /** Union of DISJOINT same-partitioner sets — partitioner-aware, no
       * shuffle. */
     private def disjointUnion(ss: Seq[PSet]): PSet =
@@ -859,8 +868,9 @@ class IncrementalQuery(
       override def version: (Long, Long) = (0L, Long.MaxValue)
     }
 
-    private def evalSet(p: Plan, env: Map[String, Rel]): RDD[Seq[Any]] =
-      new Compiler(noAttrSrc)
+    private def evalSet(p: Plan, env: Map[String, Rel]): RDD[Seq[Any]] = {
+      val t0 = System.nanoTime()
+      val out = new Compiler(noAttrSrc)
         .compile(p, env.map { case (k, v) => k -> Some(v) }) match {
         case Some(rel) =>
           rel.df.rdd.flatMap { r =>
@@ -869,6 +879,16 @@ class IncrementalQuery(
           }
         case None => sc.emptyRDD[Seq[Any]]
       }
+      rtrace(f"evalSet planMs=${(System.nanoTime() - t0) / 1000000}")
+      out
+    }
+
+    private def checkpointedT(s: PSet, what: String): PSet = {
+      val t0 = System.nanoTime()
+      val c = checkpointed(s)
+      rtrace(f"$what materializeMs=${(System.nanoTime() - t0) / 1000000}")
+      c
+    }
 
     private def occCount(p: Plan, name: String): Int = p match {
       case Plan.NameExpr(_, `name`)      => 1
@@ -896,19 +916,84 @@ class IncrementalQuery(
       rw(p)
     }
 
-    /** One delta-rule application: every occurrence variant of
-      * `deltaName` in `r`'s body, the delta bound (broadcast-small) at
-      * that occurrence, totals elsewhere. */
-    private def deltaStep(
-        r: String, deltaName: String, deltaKinds: Seq[ValueKind],
-        delta: PSet, env: Map[String, Rel]): Seq[RDD[Seq[Any]]] = {
+    // ---- k-hop plan composition (single-rule LINEAR cliques) --------
+    // The dominant per-round cost at small deltas is DRIVER work (one
+    // Catalyst plan + one job per round); for a linear self-recursive
+    // rule, k consecutive delta rounds compose into ONE plan — hop i's
+    // recursive occurrence holds hop i−1's plan (head renamed to the
+    // occurrence's vars, internal vars freshened against capture), the
+    // nested Union roots dedup each hop — so a length-d derivation
+    // chain costs ⌈d/k⌉ plans instead of d. Sound for every phase: for
+    // monotone programs hop outputs stay inside the relevant fixpoint,
+    // and the block-end subtract/intersect trims rediscoveries exactly
+    // as the per-round form does. Own dial (`graft.recursion.khop`),
+    // measured default 1: at k=4 the nested plan's Catalyst cost grew
+    // superlinearly (130 → 600+ ms per plan) and ate the 36→14 round
+    // reduction; composition stays available for deep-chain workloads
+    // where executor rounds, not driver planning, dominate.
+    private val kHop: Int =
+      math.max(1, Integer.getInteger("graft.recursion.khop", 1))
+    private val linearSingle: Boolean =
+      clique.lengthCompare(1) == 0 && occCount(bodies(target), target) == 1
+    private def allVars(p: Plan): Set[PVar] = {
+      val s = mutable.Set.empty[PVar]
+      IncrementalQuery.mapVars(p, v => { s += v; v })
+      s.toSet
+    }
+    private var freshBase: Int =
+      (bodies.values.flatMap(allVars) ++ sig.values.flatMap(_._1))
+        .foldLeft(0)(math.max) + 1
+
+    /** The target body with its single recursive occurrence replaced by
+      * `sub` — head vars renamed to the occurrence's vars, every other
+      * `sub` var freshened so nothing unifies with host-body vars. */
+    private def composeHop(sub: Plan): Plan = {
+      val hv = sig(target)._1
+      var done = false
+      def rw(q: Plan): Plan = q match {
+        case Plan.NameExpr(vs, n) if n == target && !done =>
+          done = true
+          val m = mutable.Map.empty[PVar, PVar] ++ hv.zip(vs)
+          IncrementalQuery.mapVars(sub, v => m.getOrElseUpdate(v,
+            { val f = freshBase; freshBase += 1; f }))
+        case Plan.Project(vs, s2) => Plan.Project(vs, rw(s2))
+        case f: Plan.Filter       => f.copy(plan = rw(f.plan))
+        case t: Plan.Transform    => t.copy(plan = rw(t.plan))
+        case Plan.Join(vs, l, r2) => val nl = rw(l); Plan.Join(vs, nl, rw(r2))
+        case Plan.Union(vs, ps)   => Plan.Union(vs, ps.map(rw))
+        case other                => other
+      }
+      rw(bodies(target))
+    }
+
+    /** ONE delta-rule plan for rule `r` over every (deltaName → delta)
+      * of the round: the union of all occurrence variants (the delta
+      * bound broadcast-small at the varied occurrence, totals
+      * elsewhere), compiled and planned ONCE — per-round Catalyst cost
+      * is per RULE, not per occurrence, and the Union root already
+      * set-distincts the candidates. Linear single-rule cliques batch
+      * `kHop` hops into the plan (see above). */
+    private def roundStep(
+        r: String,
+        deltas: Seq[(String, Seq[ValueKind], PSet)],
+        env: Map[String, Rel]): Option[RDD[Seq[Any]]] = {
       val body = bodies(r)
-      val n = occCount(body, deltaName)
-      if (n == 0) Seq.empty
+      val variants = deltas.flatMap { case (dn, _, _) =>
+        (0 until occCount(body, dn)).map(i => replaceOcc(body, dn, i))
+      }
+      if (variants.isEmpty) None
       else {
-        val denv = env +
-          ((deltaName + "@d") -> relOf(deltaKinds, Seq(delta), isSmall = true))
-        (0 until n).map(i => evalSet(replaceOcc(body, deltaName, i), denv))
+        val denv = env ++ deltas.map { case (dn, dk, ds) =>
+          (dn + "@d") -> relOf(dk, Seq(ds), isSmall = true)
+        }
+        val hop1 =
+          if (variants.lengthCompare(1) == 0) variants.head
+          else Plan.Union(sig(r)._1, variants)
+        val plan =
+          if (!linearSingle || kHop <= 1) hop1
+          else Plan.Union(sig(r)._1,
+            Iterator.iterate(hop1)(composeHop).take(kHop).toSeq)
+        Some(evalSet(plan, denv))
       }
     }
 
@@ -928,11 +1013,32 @@ class IncrementalQuery(
       }
     }
 
+    private val recDebug = sys.env.contains("GRAFT_REC_DEBUG")
+    private var recT0 = System.nanoTime()
+    private def rtrace(msg: => String): Unit = if (recDebug)
+      System.err.println(
+        f"[recursion] +${(System.nanoTime() - recT0) / 1e9}%.2fs $msg")
+
+    /** The batch fixpoint's per-round conf (thread-local, never session
+      * global): each round is a new SMALL plan, so adaptive re-planning,
+      * whole-stage codegen compilation, and constraint-propagation
+      * lineage walks cost more driver time than they save in executor
+      * time at per-round data sizes. */
+    private def tuned[T](f: => T): T = {
+      val c = org.apache.spark.sql.internal.SQLConf.get.clone()
+      c.setConfString("spark.sql.adaptive.enabled", "false")
+      c.setConfString("spark.sql.codegen.wholeStage", "false")
+      c.setConfString("spark.sql.constraintPropagation.enabled", "false")
+      org.apache.spark.sql.internal.SQLConf.withExistingConf(c)(f)
+    }
+
     def advance(attrDeltas: Map[String, DataFrame]): DataFrame = {
       if (!touched(attrDeltas)) return emptyDiff
       // Input SET transitions (children threshold internally; their
       // outputs derive from checkpointed state, so reading adds and dels
-      // re-reads the checkpoint, not the maintenance pass).
+      // re-reads the checkpoint, not the maintenance pass). Children run
+      // under the USER conf like every other node; only the recursion's
+      // internal round evaluations take the tuned conf.
       val trans = inputs.map { case (n, node) =>
         val d = node.advance(attrDeltas)
         val w = inputKinds(n).length
@@ -944,7 +1050,18 @@ class IncrementalQuery(
       val anyAdd = trans.exists(_._4 > 0L)
       val anyDel = trans.exists(_._5 > 0L)
       if (!anyAdd && !anyDel) return emptyDiff
+      tuned { advancePhases(trans, anyAdd, anyDel) }
+    }
 
+    // True once any batch has touched the fixpoint state — gates the
+    // bulk-delegation fast path without a per-advance emptiness job.
+    private var primed = false
+
+    private def advancePhases(
+        trans: Seq[(String, PSet, PSet, Long, Long)],
+        anyAdd: Boolean, anyDel: Boolean): DataFrame = {
+      val bulkEligible = !primed && !anyDel && anyAdd
+      primed = true
       val emitted = mutable.ArrayBuffer.empty[RDD[(Seq[Any], Long)]]
 
       // ---- deletions: delete-and-rederive ----
@@ -959,15 +1076,15 @@ class IncrementalQuery(
             (n, inputKinds(n), dels) }
         while (roundDeltas.nonEmpty) {
           roundDeltas = clique.flatMap { r =>
-            val cands = roundDeltas.flatMap { case (dn, dk, ds) =>
-              deltaStep(r, dn, dk, ds, envOld) }
-            if (cands.isEmpty) None
-            else {
-              var s = intersect(asSet(sc.union(cands)), recState(r))
+            roundStep(r, roundDeltas, envOld).flatMap { cand =>
+              var s = intersect(asSet(cand), recState(r))
               over(r).foreach(o => s = minus(s, o))
-              val c = checkpointed(s)
+              val c = checkpointedT(s, s"over:$r")
               if (c.count() == 0L) None
-              else { over(r) :+= c; Some((r, sig(r)._2, c)) }
+              else {
+                over(r) = compactedParts(over(r) :+ c)
+                Some((r, sig(r)._2, c))
+              }
             }
           }
         }
@@ -994,10 +1111,13 @@ class IncrementalQuery(
             clique.flatMap { r =>
               if (over(r).isEmpty) None
               else {
-                val c = checkpointed(intersect(
-                  overTotal(r), asSet(evalSet(bodies(r), envKeep))))
+                val c = checkpointedT(intersect(
+                  overTotal(r), asSet(evalSet(bodies(r), envKeep))), s"rederive0:$r")
                 if (c.count() == 0L) None
-                else { redv(r) :+= c; Some((r, sig(r)._2, c)) }
+                else {
+                  redv(r) = compactedParts(redv(r) :+ c)
+                  Some((r, sig(r)._2, c))
+                }
               }
             }
           while (roundR.nonEmpty) {
@@ -1005,15 +1125,15 @@ class IncrementalQuery(
               inputs.map { case (n, _) => n -> Seq(inputState(n)) }.toMap,
               clique.map(r => r -> (keep(r) +: redv(r))).toMap)
             roundR = clique.flatMap { r =>
-              val cands = roundR.flatMap { case (dn, dk, ds) =>
-                deltaStep(r, dn, dk, ds, envK) }
-              if (cands.isEmpty) None
-              else {
-                var s = intersect(asSet(sc.union(cands)), overTotal(r))
+              roundStep(r, roundR, envK).flatMap { cand =>
+                var s = intersect(asSet(cand), overTotal(r))
                 redv(r).foreach(o => s = minus(s, o))
-                val c = checkpointed(s)
+                val c = checkpointedT(s, s"rederive:$r")
                 if (c.count() == 0L) None
-                else { redv(r) :+= c; Some((r, sig(r)._2, c)) }
+                else {
+                  redv(r) = compactedParts(redv(r) :+ c)
+                  Some((r, sig(r)._2, c))
+                }
               }
             }
           }
@@ -1035,6 +1155,23 @@ class IncrementalQuery(
             inputState(n) =
               checkpointed(disjointUnion(Seq(inputState(n), adds)))
         }
+        // BULK first batch: with every fixpoint still empty and no
+        // deletions in flight, the answer IS the batch fixpoint over
+        // the current input sets — delegate to the batch compiler
+        // (semi-naive + its linear-recursion RDD kernel), which pays
+        // ONE fixpoint instead of per-round delta planning over the
+        // whole bulk load. Later batches carry genuine deltas and take
+        // the delta rounds below.
+        if (bulkEligible) {
+          val bulk = bulkFixpoint()
+          clique.foreach { r =>
+            val c = checkpointed(bulk(r))
+            if (r == target)
+              emitted += c.map { case (k, _) => (k, 1L) }
+            recState(r) = c
+          }
+          return emitResult(emitted)
+        }
         val newParts = mutable.Map.empty[String, Vector[PSet]]
         clique.foreach(r => newParts(r) = Vector.empty)
         var roundDeltas: Seq[(String, Seq[ValueKind], PSet)] =
@@ -1045,15 +1182,15 @@ class IncrementalQuery(
             inputs.map { case (n, _) => n -> Seq(inputState(n)) }.toMap,
             clique.map(r => r -> (recState(r) +: newParts(r))).toMap)
           roundDeltas = clique.flatMap { r =>
-            val cands = roundDeltas.flatMap { case (dn, dk, ds) =>
-              deltaStep(r, dn, dk, ds, env) }
-            if (cands.isEmpty) None
-            else {
-              var s = minus(asSet(sc.union(cands)), recState(r))
+            roundStep(r, roundDeltas, env).flatMap { cand =>
+              var s = minus(asSet(cand), recState(r))
               newParts(r).foreach(p2 => s = minus(s, p2))
-              val c = checkpointed(s)
+              val c = checkpointedT(s, s"add:$r")
               if (c.count() == 0L) None
-              else { newParts(r) :+= c; Some((r, sig(r)._2, c)) }
+              else {
+                newParts(r) = compactedParts(newParts(r) :+ c)
+                Some((r, sig(r)._2, c))
+              }
             }
           }
         }
@@ -1068,6 +1205,11 @@ class IncrementalQuery(
         }
       }
 
+      emitResult(emitted)
+    }
+
+    private def emitResult(
+        emitted: mutable.ArrayBuffer[RDD[(Seq[Any], Long)]]): DataFrame =
       if (emitted.isEmpty) emptyDiff
       else {
         val net = sc.union(emitted.toSeq).reduceByKey(part, _ + _)
@@ -1075,6 +1217,43 @@ class IncrementalQuery(
         spark.createDataFrame(
           net.map { case (k, w) => Row.fromSeq(k :+ w) }, schema)
       }
+
+    /** Batch fixpoint over the current input sets — the bulk path. The
+      * rewritten bodies become a rule group for a fresh batch compiler;
+      * the input sets are served as weight-1 base relations through
+      * `AttributeSource.relation`, so the batch machinery (semi-naive
+      * rounds, the linear-recursion RDD kernel) applies wholesale. */
+    private def bulkFixpoint(): Map[String, PSet] = {
+      val inputDfs: Map[String, (DataFrame, Seq[ValueKind])] =
+        inputs.map { case (n, _) =>
+          val ks = inputKinds(n)
+          val sch = StructType(ks.zipWithIndex.map { case (k, i) =>
+            StructField(Rel.c(i), k.dataType, true)
+          })
+          n -> ((spark.createDataFrame(
+            inputState(n).map { case (k, _) => Row.fromSeq(k) }, sch), ks))
+        }.toMap
+      val src = new AttributeSource {
+        def has(name: String): Boolean = false
+        def kind(name: String): ValueKind =
+          sys.error("rewritten recursion bodies reference no attributes")
+        def unit(name: String): Boolean = true
+        def collection(name: String): DataFrame =
+          sys.error("rewritten recursion bodies reference no attributes")
+        override def version: (Long, Long) = (0L, Long.MaxValue)
+        override def relation(name: String): Option[(DataFrame, Seq[ValueKind])] =
+          inputDfs.get(name)
+      }
+      val comp = new Compiler(src, bodies.map { case (n, p) => n -> Rule(n, p) })
+      clique.map { r =>
+        val rel = comp.compile(Plan.NameExpr(sig(r)._1, r), Map.empty)
+          .getOrElse(sys.error(s"bulk fixpoint failed for recursive rule $r"))
+        r -> asSet(rel.df.rdd.flatMap { row =>
+          if (row.getLong(row.length - 1) > 0L)
+            Some(rowKey(row, row.length - 1))
+          else None
+        })
+      }.toMap
     }
   }
 
