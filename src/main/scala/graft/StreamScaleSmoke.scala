@@ -284,6 +284,85 @@ object StreamScaleSmoke {
         f"asserted=$asserted%d sec=${secs(t0)}%.1f$ok")
     }
 
+    // ------------------- 6. general recursion node (non-TC labelprop)
+    // The general clique maintainer at 1M-fact state: disjoint 4-node
+    // chains with a seeded label at each head make every expectation
+    // exact — reach = 4 facts per chain; deleting a chain's MIDDLE edge
+    // retracts exactly the 2 facts below it (no rederivation paths).
+    // Bulk load takes the batch-fixpoint delegation; small delta batches
+    // take the per-round delta rules with shuffle records pinned.
+    {
+      import graft.streaming.IncrementalQuery
+      val kinds = Map(
+        ":sm/edge" -> ValueKind.KNumber, ":sm/seed" -> ValueKind.KNumber)
+      val reachRule = Plan.Union(Seq(0, 1), Seq(
+        Plan.MatchA(0, ":sm/seed", 1),
+        Plan.Project(Seq(0, 1), Plan.Join(Seq(2),
+          Plan.MatchA(2, ":sm/edge", 0), Plan.NameExpr(Seq(2, 1), "reach")))))
+      val iq = new IncrementalQuery(spark,
+        Plan.NameExpr(Seq(0, 1), "reach"), kinds,
+        Map("reach" -> reachRule))
+      val chainLen = 3 // edges per chain; reach facts per chain = 4
+      def chainDeltas(c0: Long, n: Long) = {
+        val edges = spark.range(c0, c0 + n)
+          .selectExpr("explode(sequence(0, 2)) as i", "id")
+          .select((col("id") * 10L + col("i")).as("e"),
+            (col("id") * 10L + col("i") + 1L).as("v"),
+            org.apache.spark.sql.functions.lit(1L).as("diff"))
+        val seeds = spark.range(c0, c0 + n)
+          .select((col("id") * 10L).as("e"),
+            (col("id") % 1000L).as("v"),
+            org.apache.spark.sql.functions.lit(1L).as("diff"))
+        Map(":sm/edge" -> edges, ":sm/seed" -> seeds)
+      }
+      val bulkChains = 250000L
+      var t0 = now()
+      val seeded = iq.advance(chainDeltas(0L, bulkChains))
+      val nSeed = seeded.count()
+      val okSeed = if (nSeed == bulkChains * (chainLen + 1)) ""
+        else f" EXPECTED ${bulkChains * (chainLen + 1)}%d — FAILED"
+      println(f"[scale] recursion bulk chains=$bulkChains%d reach=$nSeed%d " +
+        f"sec=${secs(t0)}%.1f (batch-fixpoint delegation)$okSeed")
+      val shuffled = new AtomicLong
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) shuffled.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      (1 to 4).foreach { b =>
+        val c0 = bulkChains + b * 1000L
+        shuffled.set(0)
+        t0 = now()
+        val out = iq.advance(chainDeltas(c0, 300L))
+        val n = out.count()
+        val dt = secs(t0)
+        Thread.sleep(500) // listener bus drain
+        val ok = if (n == 300L * (chainLen + 1)) "" else " EXPECTED 1200 — FAILED"
+        println(f"[scale] recursion inc=$b%d newChains=300 out=$n%d " +
+          f"state=${(bulkChains + b * 300L) * (chainLen + 1)}%d " +
+          f"shuffleRecords=${shuffled.get}%d sec=$dt%.2f$ok")
+      }
+      // DRed: retract the middle edge of 1000 chains — exactly the two
+      // below-the-cut facts per chain retract, nothing rederives.
+      shuffled.set(0)
+      t0 = now()
+      val dels = spark.range(0L, 1000L)
+        .select((col("id") * 10L + 1L).as("e"), (col("id") * 10L + 2L).as("v"),
+          org.apache.spark.sql.functions.lit(-1L).as("diff"))
+      val out = iq.advance(Map(":sm/edge" -> dels))
+      val retr = out.where(col("_w") < 0L).count()
+      val asserted = out.where(col("_w") > 0L).count()
+      Thread.sleep(500)
+      val ok = if (retr == 2000L && asserted == 0L) ""
+        else " EXPECTED retracted=2000 asserted=0 — FAILED"
+      println(f"[scale] recursion dred dels=1000 retracted=$retr%d " +
+        f"asserted=$asserted%d shuffleRecords=${shuffled.get}%d " +
+        f"sec=${secs(t0)}%.1f$ok")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+
     println("[scale] smoke complete — no driver failure")
     spark.stop()
   }

@@ -613,11 +613,21 @@ object Dedup {
       } else {
         // Sketch path: bloom prefilter map-side, exactness restored by the
         // digest equi-join below (FPs find no batch digest and drop out).
-        val bf = batchD.stat.bloomFilter(col("digest"),
-          math.max(nDigests, 1L), 0.01)
-        val bfBc = spark.sparkContext.broadcast(bf)
-        val might = udf((d: String) => bfBc.value.mightContainString(d))
-        corpusD.where(might(col("digest")))
+        // Built and probed with Catalyst's native bloom expressions
+        // (BloomFilterAggregate / BloomFilterMightContain over
+        // xxhash64 — both codegen'd; the same machinery Spark's injected
+        // runtime filters use), replacing what was the pipeline's last
+        // hot-path Scala UDF.
+        val spark2 = corpusD.sparkSession
+        graft.functions.NativeBloom.register(spark2)
+        val numBits = math.max(nDigests, 1L) * 10L // ~fpp 0.01
+        val bfBytes = batchD.select(call_function(
+            graft.functions.NativeBloom.aggName,
+            xxhash64(col("digest")), lit(math.max(nDigests, 1L)),
+            lit(numBits)).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        corpusD.where(call_function(graft.functions.NativeBloom.probeName,
+          lit(bfBytes), xxhash64(col("digest"))))
       }
     val keepers = matches.groupBy(col("digest"))
       .agg(min(col("cid")).as("keeper"))

@@ -966,20 +966,45 @@ class IncrementalQuery(
       rw(bodies(target))
     }
 
+    /** Drop Union branches that do not contain the varied occurrence —
+      * the batch fixpoint's `derivative` rule, applied per variant: a
+      * branch without the delta derives only facts derivable WITHOUT
+      * any delta fact (already in the accumulated set, or covered by
+      * the variant that holds the delta there), so evaluating it every
+      * round would shuffle full input relations for rows the subtract
+      * discards. Unions on join operands AWAY from the delta keep all
+      * branches (they are totals). */
+    private def pruneToDelta(p: Plan, taggedName: String): Plan = {
+      def has(q: Plan): Boolean = occCount(q, taggedName) > 0
+      def prune(q: Plan): Plan = q match {
+        case Plan.Union(vs, ps) if ps.exists(has) =>
+          Plan.Union(vs, ps.filter(has).map(prune))
+        case u: Plan.Union       => u
+        case Plan.Project(vs, s) => Plan.Project(vs, prune(s))
+        case f: Plan.Filter      => f.copy(plan = prune(f.plan))
+        case t: Plan.Transform   => t.copy(plan = prune(t.plan))
+        case Plan.Join(vs, l, r) => val nl = prune(l); Plan.Join(vs, nl, prune(r))
+        case other               => other
+      }
+      prune(p)
+    }
+
     /** ONE delta-rule plan for rule `r` over every (deltaName → delta)
       * of the round: the union of all occurrence variants (the delta
       * bound broadcast-small at the varied occurrence, totals
-      * elsewhere), compiled and planned ONCE — per-round Catalyst cost
-      * is per RULE, not per occurrence, and the Union root already
-      * set-distincts the candidates. Linear single-rule cliques batch
-      * `kHop` hops into the plan (see above). */
+      * elsewhere, non-delta union branches pruned), compiled and
+      * planned ONCE — per-round Catalyst cost is per RULE, not per
+      * occurrence, and the Union root already set-distincts the
+      * candidates. Linear single-rule cliques batch `kHop` hops into
+      * the plan (see above). */
     private def roundStep(
         r: String,
         deltas: Seq[(String, Seq[ValueKind], PSet)],
         env: Map[String, Rel]): Option[RDD[Seq[Any]]] = {
       val body = bodies(r)
       val variants = deltas.flatMap { case (dn, _, _) =>
-        (0 until occCount(body, dn)).map(i => replaceOcc(body, dn, i))
+        (0 until occCount(body, dn)).map(i =>
+          pruneToDelta(replaceOcc(body, dn, i), dn + "@d"))
       }
       if (variants.isEmpty) None
       else {
@@ -1111,8 +1136,19 @@ class IncrementalQuery(
             clique.flatMap { r =>
               if (over(r).isEmpty) None
               else {
+                // Full body evaluation (the textbook DRed rederivation
+                // cost), head-restricted to the overdeleted facts by an
+                // equijoin on every head var — the overdelete set is
+                // delta-sized and broadcast, so the restriction costs
+                // nothing and the downstream set ops see |O|, not
+                // |step(F)|, rows.
+                val hv = sig(r)._1
+                val restricted = Plan.Join(hv, bodies(r),
+                  Plan.NameExpr(hv, "@over"))
+                val envR = envKeep +
+                  ("@over" -> relOf(sig(r)._2, Seq(overTotal(r)), isSmall = true))
                 val c = checkpointedT(intersect(
-                  overTotal(r), asSet(evalSet(bodies(r), envKeep))), s"rederive0:$r")
+                  overTotal(r), asSet(evalSet(restricted, envR))), s"rederive0:$r")
                 if (c.count() == 0L) None
                 else {
                   redv(r) = compactedParts(redv(r) :+ c)
