@@ -72,6 +72,45 @@ object Compiler extends Serializable {
       val gg = if (g == 0) 1L else g
       (sign * num / gg, sign * den / gg)
     }
+
+  /** interleave(values, constants) — the pull path layout
+    * (`src/plan/pull.rs:53-79`). On the companion so the batch compile
+    * and the maintained PullLevel node share ONE decoration. */
+  private[graft] def pullInterleave(
+      cols: Seq[(Column, ValueKind)],
+      consts: Seq[String]): Seq[(Column, ValueKind)] =
+    if (cols.isEmpty || consts.isEmpty) cols
+    else {
+      val total = cols.size + consts.size
+      val out = mutable.ArrayBuffer.empty[(Column, ValueKind)]
+      var (nv, nc) = (0, 0)
+      (0 until total).foreach { i =>
+        if (i % 2 == 0) { out += cols(nv); nv += 1 }
+        else { out += ((lit(consts(nc)), KAid)); nc += 1 }
+      }
+      out.toSeq
+    }
+
+  /** Output columns of one pull-level branch over `inputCols`: an
+    * attribute branch (`attr = Some((name, kind, valueColumn))`) or the
+    * synthetic db__id branch retaining the child eid (`attr = None` —
+    * `src/plan/pull.rs:211-230`). */
+  private[graft] def pullBranchCols(
+      inputCols: Seq[(Column, ValueKind)], pathAttrs: Seq[String],
+      cardMany: Boolean,
+      attr: Option[(String, ValueKind, Column)]): Seq[(Column, ValueKind)] = {
+    val path = pullInterleave(inputCols, pathAttrs)
+    attr match {
+      case Some((a, kind, vCol)) =>
+        val base = if (pathAttrs.isEmpty || cardMany) path else path.dropRight(1)
+        base ++ Seq((lit(a), KAid), (Variant.encode(vCol, kind), KVariant))
+      case None =>
+        val base = path.dropRight(1)
+        val eidCol = path.last
+        base ++ Seq(
+          (lit("db__id"), KAid), (Variant.encode(eidCol._1, eidCol._2), KVariant))
+    }
+  }
 }
 
 /** Compiles the `Plan` algebra to DataFrames — the analog of the reference's
@@ -1573,25 +1612,11 @@ class Compiler(
     Some(projectTo(rel, target))
   }
 
-  /** Single pull level — `src/plan/pull.rs:94-237`. */
+  /** Single pull level — `src/plan/pull.rs:94-237`. Decoration shared
+    * with the maintained PullLevel node via `Compiler.pullBranchCols`. */
   private def pullLevel(
       input: Rel, pullVar: Int, pullAttrs: Seq[String],
       pathAttrs: Seq[String], cardMany: Boolean): Rel = {
-
-    // interleave(values, constants) — src/plan/pull.rs:53-79.
-    def interleave(
-        cols: Seq[(Column, ValueKind)], consts: Seq[String]): Seq[(Column, ValueKind)] =
-      if (cols.isEmpty || consts.isEmpty) cols
-      else {
-        val total = cols.size + consts.size
-        val out = mutable.ArrayBuffer.empty[(Column, ValueKind)]
-        var (nv, nc) = (0, 0)
-        (0 until total).foreach { i =>
-          if (i % 2 == 0) { out += cols(nv); nv += 1 }
-          else { out += ((lit(consts(nc)), KAid)); nc += 1 }
-        }
-        out.toSeq
-      }
 
     val inputCols: Seq[(Column, ValueKind)] =
       input.vars.indices.map(i => (col(c(i)), input.kinds(i)))
@@ -1599,7 +1624,7 @@ class Compiler(
     if (pullAttrs.isEmpty) {
       if (pathAttrs.isEmpty) input
       else {
-        val inter = interleave(inputCols, pathAttrs)
+        val inter = Compiler.pullInterleave(inputCols, pathAttrs)
         val df = input.df.select(
           inter.zipWithIndex.map { case ((cc, _), i) => cc.as(c(i)) } :+ col(W): _*)
         Rel(inter.indices.map(i => -(i + 1)), inter.map(_._2), df, unit = input.unit)
@@ -1610,11 +1635,8 @@ class Compiler(
         val attrDf = source.collection(a)
           .select(col("e").as("_pe"), col("v").as("_pv"), col(W).as("_pw"))
         val joined = input.df.join(attrDf, col(c(eIdx)) === col("_pe"))
-        val path = interleave(inputCols, pathAttrs)
-        val base = if (pathAttrs.isEmpty || cardMany) path else path.dropRight(1)
-        val outCols = base ++ Seq(
-          (lit(a), KAid),
-          (Variant.encode(col("_pv"), source.kind(a)), KVariant))
+        val outCols = Compiler.pullBranchCols(inputCols, pathAttrs, cardMany,
+          Some((a, source.kind(a), col("_pv"))))
         joined.select(
           outCols.zipWithIndex.map { case ((cc, _), i) => cc.as(c(i)) } :+
             (col(W) * col("_pw")).as(W): _*)
@@ -1623,24 +1645,15 @@ class Compiler(
       val withDbId: Seq[DataFrame] =
         if (pathAttrs.isEmpty || cardMany) branches
         else {
-          // Synthetic db__id rows retain the child eid — src/plan/pull.rs:211-230.
-          val path = interleave(inputCols, pathAttrs)
-          val base = path.dropRight(1)
-          val eidCol = path.last
-          val outCols = base ++ Seq(
-            (lit("db__id"), KAid),
-            (Variant.encode(eidCol._1, eidCol._2), KVariant))
+          val outCols = Compiler.pullBranchCols(inputCols, pathAttrs, cardMany, None)
           branches :+ input.df.select(
             outCols.zipWithIndex.map { case ((cc, _), i) => cc.as(c(i)) } :+ col(W): _*)
         }
 
       val unioned = withDbId.reduce(_ unionAll _)
       val arity = unioned.columns.length - 1
-      val pathKinds = {
-        val path = interleave(inputCols, pathAttrs)
-        val base = if (pathAttrs.isEmpty || cardMany) path else path.dropRight(1)
-        base.map(_._2) ++ Seq(KAid, KVariant)
-      }
+      val pathKinds = Compiler.pullBranchCols(inputCols, pathAttrs, cardMany,
+        Some((pullAttrs.head, source.kind(pullAttrs.head), lit(null)))).map(_._2)
       // Weight-1 input × weight-1 attributes ⇒ weight-1 paths.
       Rel((0 until arity).map(i => -(i + 1)), pathKinds, unioned,
         unit = input.unit && pullAttrs.forall(source.unit))

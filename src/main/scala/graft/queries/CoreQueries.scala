@@ -423,6 +423,45 @@ object CoreQueries {
         .select(col("c0").as("src"), col("c1").as("dst"))
     }),
 
+    "q_pull_maintain" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{lit, pmod, sum}
+      // The PULL family maintained: a standing document-projection
+      // (PullLevel over the entities holding :pm/name, pulling name +
+      // segment) fed three signed datom batches — batch 3 RETRACTS the
+      // custkey%5==0 names, which must remove BOTH of those entities'
+      // pull rows (the child relation shrinks, not just the name
+      // attribute). Accumulated diffs == the batch pull over survivors.
+      val pull = PullLevel(Seq.empty,
+        Project(Seq(0), matchA(0, ":pm/name", 1)),
+        pullVariable = 0, pullAttributes = Seq(":pm/name", ":pm/seg"),
+        pathAttributes = Seq.empty, cardinalityMany = false)
+      val iq = new graft.streaming.IncrementalQuery(s, pull,
+        Map(":pm/name" -> ValueKind.KString, ":pm/seg" -> ValueKind.KString))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").cast("long").as("e"),
+          col("c_name").as("name"), col("c_mktsegment").as("seg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def b(pred: Column, vCol: String, diff: Long) =
+        cust.where(pred).select(col("e"), col(vCol).as("v"),
+          lit(diff).as("diff"))
+      val m3 = pmod(col("e"), lit(3))
+      val diffs = Seq(
+        iq.advance(Map(
+          ":pm/name" -> b(m3 < 2, "name", 1L),
+          ":pm/seg" -> b(m3 < 2, "seg", 1L))),
+        iq.advance(Map(
+          ":pm/name" -> b(m3 === 2, "name", 1L),
+          ":pm/seg" -> b(m3 === 2, "seg", 1L))),
+        iq.advance(Map(
+          ":pm/name" -> b(pmod(col("e"), lit(5)) === 0, "name", -1L))))
+      cust.unpersist(blocking = false)
+      diffs.reduce(_ unionAll _)
+        .groupBy(col("c0"), col("c1"), col("c2")).agg(sum(col("_w")).as("w"))
+        .where(col("w") > 0)
+        .select(col("c0").as("e"), col("c1").as("a"),
+          col("c2").getField("s").as("v"))
+    }),
+
     "q_labelprop_maintain" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{lit, pmod, sum}
       // GENERAL maintained recursion — a standing rule OUTSIDE the
@@ -697,6 +736,15 @@ object CoreQueries {
            UNION
            SELECT e.src, c.dst FROM surviving e JOIN closure c ON e.dst = c.src)
          SELECT src, dst FROM closure""",
+    // The maintained pull over the SURVIVING entities (batch 3 retracts
+    // custkey%5==0 names, removing those entities' whole documents).
+    "q_pull_maintain" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS e, ':pm/name' AS a, c_name AS v
+         FROM customer WHERE c_custkey % 5 <> 0
+         UNION ALL
+         SELECT CAST(c_custkey AS BIGINT), ':pm/seg', c_mktsegment
+         FROM customer WHERE c_custkey % 5 <> 0""",
+
     // Label propagation over the surviving seeds/edges: the generally-
     // maintained (non-TC) rule must converge to the identical fixpoint.
     "q_labelprop_maintain" ->

@@ -5,8 +5,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.Partitioner
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{array, col, lit}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.compile.{Compiler, Rel}
@@ -74,9 +74,13 @@ import graft.model._
   * Every OTHER monotone recursion — mutual cliques, non-linear bodies,
   * label-propagation shapes — is maintained by the general
   * [[RecursionNode]] (delta-rule warm start + delete-and-rederive, see
-  * [[generalRecursionNode]]). Not maintained here (fail loudly at
-  * construction): non-monotone recursion and the Pull family
-  * (point-lookup views the batch engine serves).
+  * [[generalRecursionNode]]). The PULL family is maintained too:
+  * `PullAll` and attribute-less `PullLevel` are linear (zones);
+  * `PullLevel` with pull attributes is a [[PullLevelNode]] (bilinear
+  * join per attribute + the batch compiler's shared decoration);
+  * `Pull` packs per-path diffs into the array<variant> form
+  * ([[PullNode]]). Not maintained here (fail loudly at construction):
+  * non-monotone recursion.
   *
   * Restrictions on `Aggregate` nodes: numeric aggregations over
   * long-typed values; order statistics (and `:with` variables) over
@@ -439,6 +443,126 @@ class IncrementalQuery(
       }
   }
 
+  /** Maintained single pull level (`Plan.PullLevel` with pull
+    * attributes) — the document-projection operator maintained as a
+    * BILINEAR join per pulled attribute plus linear decoration:
+    * Δ(child ⋈ attr) diffs computed per TOUCHED entity from two support
+    * tables co-partitioned by the pull entity (the AntijoinNode state
+    * discipline — a batch recomputes the old/new products of exactly
+    * the entities it touches, partition-locally, one O(delta) shuffle
+    * per side), then the batch compiler's OWN decoration
+    * (`Compiler.pullBranchCols` — shared code, zero drift) applied
+    * per-row to the join diffs; the synthetic db__id branch is linear
+    * in the child. Output is the exact diff of the batch `pullLevel`
+    * relation (multiset: child weight × attribute weight). */
+  private final class PullLevelNode(
+      child: Node, pullVar: PVar, pullAttrs: Seq[String],
+      pathAttrs: Seq[String], cardMany: Boolean) extends Node {
+    private val eIdx = child.vars.indexOf(pullVar)
+    require(eIdx >= 0, s"pull variable $pullVar not bound by ${child.vars}")
+    pullAttrs.foreach(a =>
+      require(kinds.contains(a), s"unknown pull attribute $a"))
+
+    private val inputCols: Seq[(Column, ValueKind)] =
+      child.nodeKinds.zipWithIndex.map { case (k, i) => (col(Rel.c(i)), k) }
+    val nodeKinds: Seq[ValueKind] =
+      Compiler.pullBranchCols(inputCols, pathAttrs, cardMany,
+        Some((pullAttrs.head, kinds(pullAttrs.head), lit(null)))).map(_._2)
+    val vars: Seq[PVar] = nodeKinds.indices.map(i => -(i + 1))
+    val attrs: Set[String] = child.attrs ++ pullAttrs
+
+    private val sc = spark.sparkContext
+    private val childPart = new IndexKeyPartitioner(shufflePartitions, Seq(eIdx))
+    private val attrPart = new IndexKeyPartitioner(shufflePartitions, Seq(0))
+    private var childState: RDD[(Seq[Any], Long)] =
+      sc.emptyRDD[(Seq[Any], Long)].partitionBy(childPart)
+    private val attrState = mutable.Map[String, RDD[(Seq[Any], Long)]](
+      pullAttrs.map(a =>
+        a -> sc.emptyRDD[(Seq[Any], Long)].partitionBy(attrPart)): _*)
+
+    private def advanceState(
+        state: RDD[(Seq[Any], Long)],
+        delta: RDD[(Seq[Any], Long)]): RDD[(Seq[Any], Long)] = {
+      val merged = state
+        .zipPartitions(delta, preservesPartitioning = true)(
+          IncrementalQuery.weightMerge)
+        .localCheckpoint()
+      merged.count()
+      merged
+    }
+
+    private def childSchema: StructType = StructType(
+      child.nodeKinds.zipWithIndex.map { case (k, i) =>
+        StructField(Rel.c(i), k.dataType, true)
+      } :+ StructField(Rel.W, LongType, false))
+
+    def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
+      if (!touched(attrDeltas)) emptyDiff
+      else {
+        val width = child.vars.length
+        val dChild = child.advance(attrDeltas).rdd
+          .map(r => (rowKey(r, width), r.getLong(width)))
+          .reduceByKey(childPart, _ + _).filter(_._2 != 0L)
+          .localCheckpoint()
+        dChild.count()
+        val branches = mutable.ArrayBuffer.empty[DataFrame]
+        pullAttrs.foreach { a =>
+          val dAttr = attrDeltas.get(a)
+            .map(_.rdd.map(r => (Seq(r.get(0), r.get(1)): Seq[Any], r.getLong(2)))
+              .reduceByKey(attrPart, _ + _).filter(_._2 != 0L))
+            .getOrElse(sc.emptyRDD[(Seq[Any], Long)].partitionBy(attrPart))
+          val eIdxL = eIdx
+          val diffRows = childState.zipPartitions(
+            attrState(a), dChild, dAttr, preservesPartitioning = false)(
+            (cs, as2, dc2, da2) =>
+              IncrementalQuery.pullDiff(eIdxL, cs, as2, dc2, da2))
+          val schema = StructType(
+            child.nodeKinds.zipWithIndex.map { case (k, i) =>
+              StructField(Rel.c(i), k.dataType, true)
+            } ++ Seq(StructField("_pv", kinds(a).dataType, true),
+              StructField(Rel.W, LongType, false)))
+          val df = spark.createDataFrame(
+            diffRows.map { case (r, v, w) => Row.fromSeq((r :+ v) :+ w) }, schema)
+          val oc = Compiler.pullBranchCols(inputCols, pathAttrs, cardMany,
+            Some((a, kinds(a), col("_pv"))))
+          branches += df.select(
+            oc.zipWithIndex.map { case ((cc, _), i) => cc.as(Rel.c(i)) } :+
+              col(Rel.W): _*)
+          attrState(a) = advanceState(attrState(a), dAttr)
+        }
+        if (pathAttrs.nonEmpty && !cardMany) {
+          val oc = Compiler.pullBranchCols(inputCols, pathAttrs, cardMany, None)
+          val dcDf = spark.createDataFrame(
+            dChild.map { case (r, w) => Row.fromSeq(r :+ w) }, childSchema)
+          branches += dcDf.select(
+            oc.zipWithIndex.map { case ((cc, _), i) => cc.as(Rel.c(i)) } :+
+              col(Rel.W): _*)
+        }
+        childState = advanceState(childState, dChild)
+        branches.reduce(_ unionAll _)
+      }
+  }
+
+  /** Maintained multi-path Pull: per-path maintained relations, each
+    * batch diff packed into the batch compiler's array<variant> form
+    * (per-row linear — `Compiler.compile` Pull case) and unioned: the
+    * exact diff of `Plan.Pull`. */
+  private final class PullNode(paths: Seq[Node]) extends Node {
+    val vars: Seq[PVar] = Seq(-1)
+    val nodeKinds: Seq[ValueKind] = Seq(ValueKind.KVariant)
+    val attrs: Set[String] = paths.flatMap(_.attrs).toSet
+    def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
+      if (!touched(attrDeltas)) emptyDiff
+      else paths.map { p =>
+        val d = p.advance(attrDeltas)
+        val cols = p.nodeKinds.zipWithIndex.map { case (k, i) =>
+          val cc = col(Rel.c(i))
+          if (k == ValueKind.KVariant) cc else Variant.encode(cc, k)
+        }
+        d.select(array(cols: _*).as(Rel.c(0)), col(Rel.W))
+      }.reduce(_ unionAll _)
+  }
+
   // ---- Plan → node tree ----------------------------------------------
 
   /** Attributes scanned by the linear parts of a subtree. */
@@ -450,6 +574,8 @@ class IncrementalQuery(
     case Plan.Filter(_, _, s, _)         => referencedAttrs(s)
     case Plan.Transform(_, _, s, _, _)   => referencedAttrs(s)
     case Plan.Negate(s)                  => referencedAttrs(s)
+    case Plan.PullAll(_, pas)            => pas.toSet
+    case Plan.PullLevel(_, s, _, pas, _, _) => referencedAttrs(s) ++ pas
     case Plan.NameExpr(_, _)             => Set.empty // placeholder
     case other => sys.error(s"unexpected non-linear node $other in zone")
   }
@@ -529,6 +655,14 @@ class IncrementalQuery(
 
     case Plan.Aggregate(vs, child, fns, keyVars, aggVars, withVars) =>
       new AggregateNode(zoneOf(child), vs, fns, keyVars, aggVars, withVars)
+
+    case Plan.PullLevel(_, child, pv, pullAttrs, pathAttrs, cardMany) =>
+      // Only reached with pull attributes (the attribute-less form is
+      // linear and lives in zones).
+      new PullLevelNode(zoneOf(child), pv, pullAttrs, pathAttrs, cardMany)
+
+    case Plan.Pull(_, paths) =>
+      new PullNode(paths.map(zoneOf))
 
     case Plan.NameExpr(vs, rname) if rules.contains(rname) =>
       if (reachableFrom(rules(rname)).contains(rname)) {
@@ -1314,6 +1448,12 @@ class IncrementalQuery(
       case f: Plan.Filter             => f.copy(plan = walk(f.plan))
       case t: Plan.Transform          => t.copy(plan = walk(t.plan))
       case Plan.Negate(s)             => Plan.Negate(walk(s))
+      // PullAll and attribute-less PullLevel are LINEAR: per-attr scans /
+      // per-row path decoration, weight-preserving — the batch compiler
+      // evaluates their delta exactly.
+      case pa: Plan.PullAll           => pa
+      case pl: Plan.PullLevel if pl.pullAttributes.isEmpty =>
+        pl.copy(plan = walk(pl.plan))
       case stateful =>
         val node = buildStateful(stateful)
         val name = s"__node${children.size}"
@@ -1734,6 +1874,76 @@ object IncrementalQuery {
           else Option(n.get(row)).map(_.longValue).getOrElse(0L)
         if (nc != oc) out += ((2, row, nc - oc))
       }
+    }
+    out.iterator
+  }
+
+  /** Per-partition bilinear pull diff: for each entity the batch
+    * touches, diff the old/new products of co-resident child rows ×
+    * attribute values. Top-level so tasks never capture a node. Memory
+    * is bounded by the touched entities' support. */
+  private def pullDiff(
+      eIdx: Int,
+      csIt: Iterator[(Seq[Any], Long)], asIt: Iterator[(Seq[Any], Long)],
+      dcIt: Iterator[(Seq[Any], Long)], daIt: Iterator[(Seq[Any], Long)])
+    : Iterator[(Seq[Any], Any, Long)] = {
+    val dc = new java.util.HashMap[Seq[Any], java.lang.Long]()
+    dcIt.foreach { case (r, w) => dc.merge(r, w, (a, b) => a + b) }
+    val da = new java.util.HashMap[Seq[Any], java.lang.Long]()
+    daIt.foreach { case (r, w) => da.merge(r, w, (a, b) => a + b) }
+    if (dc.isEmpty && da.isEmpty) return Iterator.empty
+    val touched = new java.util.HashSet[Any]()
+    dc.keySet().iterator().asScala.foreach(r => touched.add(r(eIdx)))
+    da.keySet().iterator().asScala.foreach(r => touched.add(r.head))
+    // (old, new) weight per row, touched entities only.
+    val cW = new java.util.HashMap[Seq[Any], (Long, Long)]()
+    csIt.foreach { case (r, w) =>
+      if (touched.contains(r(eIdx))) cW.put(r, (w, w)) }
+    dc.entrySet().iterator().asScala.foreach { e =>
+      val p = cW.getOrDefault(e.getKey, (0L, 0L))
+      cW.put(e.getKey, (p._1, p._2 + e.getValue.longValue))
+    }
+    val aW = new java.util.HashMap[Seq[Any], (Long, Long)]()
+    asIt.foreach { case (r, w) =>
+      if (touched.contains(r.head)) aW.put(r, (w, w)) }
+    da.entrySet().iterator().asScala.foreach { e =>
+      val p = aW.getOrDefault(e.getKey, (0L, 0L))
+      aW.put(e.getKey, (p._1, p._2 + e.getValue.longValue))
+    }
+    val byEntC =
+      new java.util.HashMap[Any, mutable.ArrayBuffer[(Seq[Any], Long, Long)]]()
+    cW.entrySet().iterator().asScala.foreach { e =>
+      byEntC.computeIfAbsent(e.getKey()(eIdx), _ => mutable.ArrayBuffer.empty)
+        .append((e.getKey, e.getValue._1, e.getValue._2))
+    }
+    val out = mutable.ArrayBuffer.empty[(Seq[Any], Any, Long)]
+    aW.entrySet().iterator().asScala.foreach { e =>
+      val arow = e.getKey
+      val (ao, an) = e.getValue
+      val cs = byEntC.get(arow.head)
+      if (cs != null) cs.foreach { case (crow, co, cn) =>
+        val d = cn * an - co * ao
+        if (d != 0L) out.append((crow, arow(1), d))
+      }
+    }
+    out.iterator
+  }
+
+  /** State + consolidated delta, zeros dropped. Top-level for the same
+    * serialization reason. */
+  private def weightMerge(
+      sIt: Iterator[(Seq[Any], Long)],
+      dIt: Iterator[(Seq[Any], Long)]): Iterator[(Seq[Any], Long)] = {
+    val dm = new java.util.HashMap[Seq[Any], java.lang.Long]()
+    dIt.foreach { case (k, w) => dm.merge(k, w, (a, b) => a + b) }
+    val out = mutable.ArrayBuffer.empty[(Seq[Any], Long)]
+    sIt.foreach { case (k, w) =>
+      val dw = dm.remove(k)
+      val nw = if (dw == null) w else w + dw.longValue
+      if (nw != 0L) out += ((k, nw))
+    }
+    dm.entrySet().iterator().asScala.foreach { e =>
+      if (e.getValue.longValue != 0L) out += ((e.getKey, e.getValue.longValue))
     }
     out.iterator
   }

@@ -71,7 +71,11 @@ class EngineIncrementalSpec extends AnyFunSuite {
     "agg_avg_hector" -> Aggregate(Seq(0, 2),
       Hector(Seq(0, 1, 2), Seq(
         Binding.attribute(0, ":p/x", 1), Binding.attribute(1, ":p/y", 2))),
-      Seq(AggregationFn.AVG), Seq(0), Seq(2), Seq.empty))
+      Seq(AggregationFn.AVG), Seq(0), Seq(2), Seq.empty),
+    "pull_level" -> PullLevel(Seq.empty,
+      Project(Seq(1), matchA(0, ":p/x", 1)),
+      pullVariable = 1, pullAttributes = Seq(":p/y"),
+      pathAttributes = Seq.empty, cardinalityMany = false))
 
   private type Drained = Map[(Seq[Any], Long, Long), Int]
   private def multiset(s: Seq[(Seq[Any], Long, Long)]): Drained =

@@ -261,6 +261,36 @@ class IncrementalQuerySpec extends AnyFunSuite {
       Map("r2" -> r2))
   }
 
+  test("pull family maintained, batch-exact incl. retractions") {
+    // PullAll: linear (per-attr scans + variant decoration) — a zone.
+    check(Plan.PullAll(Seq.empty, Seq(":ua", ":ub")),
+      genBatches(2111, Seq(":ua", ":ub"), 4))
+    // PullLevel with pull attributes: the bilinear node — child rows ×
+    // attribute values per touched entity, db__id branch exercised by
+    // path attributes with cardinalityMany=false.
+    val plain = Plan.PullLevel(Seq.empty,
+      Plan.Project(Seq(2), Plan.MatchA(1, ":ua", 2)),
+      pullVariable = 2, pullAttributes = Seq(":ub", ":uc"),
+      pathAttributes = Seq.empty, cardinalityMany = false)
+    check(plain, genBatches(2221, Seq(":ua", ":ub", ":uc"), 5))
+    val withPath = Plan.PullLevel(Seq.empty,
+      Plan.MatchA(1, ":ua", 2),
+      pullVariable = 2, pullAttributes = Seq(":ub"),
+      pathAttributes = Seq(":ua"), cardinalityMany = false)
+    check(withPath, genBatches(2333, Seq(":ua", ":ub"), 5))
+    // Multi-path Pull: heterogeneous arity packed into array<variant>.
+    val root = Plan.PullLevel(Seq.empty,
+      Plan.Project(Seq(1), Plan.MatchA(1, ":ua", 2)),
+      pullVariable = 1, pullAttributes = Seq(":ub"),
+      pathAttributes = Seq.empty, cardinalityMany = false)
+    val nested = Plan.PullLevel(Seq.empty,
+      Plan.MatchA(1, ":ua", 2),
+      pullVariable = 2, pullAttributes = Seq(":uc"),
+      pathAttributes = Seq(":ua"), cardinalityMany = true)
+    check(Plan.Pull(Seq.empty, Seq(root, nested)),
+      genBatches(2447, Seq(":ua", ":ub", ":uc"), 4))
+  }
+
   test("non-monotone recursion still fails loudly") {
     val a = Plan.Union(Seq(0, 1), Seq(
       Plan.MatchA(0, ":e1", 1),
