@@ -125,17 +125,16 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     * Requirements (fail loudly at first advance): the plan must lie in
     * the incrementally maintainable fragment (see IncrementalQuery) —
     * all three input semantics (Raw, Distinct, LastWriteWins) are
-    * maintained, each through its per-attribute stateful view — every
-    * referenced attribute must be registered (not derived) before the
-    * first advance, and the engine must use multiset semantics.
+    * maintained, each through its per-attribute stateful view; BOTH
+    * result semantics are served (set-semantics engines get their
+    * delivery distinctify and distinct-input aggregation as maintained
+    * support thresholds); every referenced attribute must be registered
+    * (not derived) before the first advance.
     * Attributes whose value kind is not yet known
     * (no datom or static registration) keep the rule on the snapshot
     * path — delivery is identical — until the kinds appear, when the
     * standing query takes over by replaying history into its state. */
   def interestIncremental(name: String, granularity: Option[Long] = None): Unit = {
-    if (setSemantics) throw GraftError.incorrect(
-      "incremental maintenance emits multiset diffs; set-semantics " +
-        "engines canonicalize with distinct — use the snapshot path")
     if (!domain.rules.contains(name))
       throw GraftError.notFound(s"unknown rule $name")
     interests += name
@@ -487,7 +486,7 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     val known = domain.knownKinds
     if (!attrs.forall(known.contains)) return false
     val iq = new graft.streaming.IncrementalQuery(spark, plan, known,
-      rulePlans, distinctAttrs, lwwAttrs)
+      rulePlans, distinctAttrs, lwwAttrs, setSemantics = setSemantics)
     incrementalQs(name) = iq
     resultKinds(name) = iq.outputKinds
     staticsPending(name) =

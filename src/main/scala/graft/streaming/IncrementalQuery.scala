@@ -92,7 +92,13 @@ class IncrementalQuery(
     kinds: Map[String, ValueKind],
     rules: Map[String, Plan] = Map.empty,
     distinctAttrs: Set[String] = Set.empty,
-    lwwAttrs: Set[String] = Set.empty) {
+    lwwAttrs: Set[String] = Set.empty,
+    // Set-semantics engines: rule results canonicalize with distinct and
+    // aggregates consume the DISTINCT input relation (the batch
+    // compiler's aggregateSetSemantics + delivery distinctify) — the
+    // maintained analogs are a support threshold at the root and at each
+    // aggregate child.
+    setSemantics: Boolean = false) {
 
   import IncrementalQuery._
   import Plan.{Var => PVar}
@@ -654,7 +660,19 @@ class IncrementalQuery(
         vs.indices, distinctLeft = true)
 
     case Plan.Aggregate(vs, child, fns, keyVars, aggVars, withVars) =>
-      new AggregateNode(zoneOf(child), vs, fns, keyVars, aggVars, withVars)
+      // Set-semantics aggregation runs over the DISTINCT input relation,
+      // distinct-ed AFTER projecting to the aggregation tuple
+      // (`Compiler.aggregate`: projectTo(key ++ value ++ with) then
+      // distinctify — duplicate values across distinct wider rows dedup)
+      // — maintained as a support threshold over the same projection.
+      val aggChild =
+        if (setSemantics) {
+          val valueVars =
+            (aggVars ++ withVars).distinct.filterNot(keyVars.contains)
+          new ThresholdNode(Seq(zoneOf(
+            Plan.Project(keyVars ++ valueVars, child))))
+        } else zoneOf(child)
+      new AggregateNode(aggChild, vs, fns, keyVars, aggVars, withVars)
 
     case Plan.PullLevel(_, child, pv, pullAttrs, pathAttrs, cardMany) =>
       // Only reached with pull attributes (the attribute-less form is
@@ -1469,7 +1487,12 @@ class IncrementalQuery(
     }
   }
 
-  private val root: Node = zoneOf(plan)
+  private val root: Node = {
+    val r = zoneOf(plan)
+    // Set-semantics delivery canonicalization (the snapshot path's
+    // distinctify at delivery): emit the rule RESULT's set transitions.
+    if (setSemantics) new ThresholdNode(Seq(r)) else r
+  }
 
   /** Output variables of the maintained query, in output order. */
   def outputVars: Seq[PVar] = root.vars

@@ -83,8 +83,9 @@ class EngineIncrementalSpec extends AnyFunSuite {
 
   private def run(plan: Plan, history: Seq[Seq[Datom]],
       incremental: Boolean,
-      semantics: InputSemantics = InputSemantics.Raw): Seq[Drained] = {
-    val e = new Engine(spark)
+      semantics: InputSemantics = InputSemantics.Raw,
+      set: Boolean = false): Seq[Drained] = {
+    val e = new Engine(spark, setSemantics = set)
     Seq(":p/x", ":p/y").foreach(a =>
       e.createAttribute(a, AttributeConfig(semantics)))
     e.register(Rule("query", plan))
@@ -241,11 +242,25 @@ class EngineIncrementalSpec extends AnyFunSuite {
     assert(sinkEng.drain("query").isEmpty) // nothing buffered driver-side
   }
 
-  test("unsupported semantics and plans fail loudly") {
-    val e1 = new Engine(spark, setSemantics = true)
-    e1.register(Rule("q1", matchA(0, ":p/x", 1)))
-    intercept[GraftError](e1.interestIncremental("q1"))
+  test("set-semantics engines drain exactly like the snapshot path") {
+    // Result-set canonicalization and distinct-input aggregation, both
+    // as maintained support thresholds; parity across the plan zoo.
+    val params = Gen.Parameters.default
+    for (((label, plan), i) <- plans.zipWithIndex) {
+      val nonVacuous = (0 until 2).map { s =>
+        val raw = genHistory(params,
+          Seed(577L + i * 16381L + s * 262147L)).getOrElse(Seq.empty)
+        val history = if (label.contains("avg")) validHistory(raw) else raw
+        val snap = run(plan, history, incremental = false, set = true)
+        val inc = run(plan, history, incremental = true, set = true)
+        assert(inc == snap, s"set/$label: history=$history")
+        snap.exists(_.nonEmpty)
+      }
+      assert(nonVacuous.contains(true), s"set/$label produced no diffs")
+    }
+  }
 
+  test("unsupported semantics and plans fail loudly") {
     val e3 = new Engine(spark)
     e3.createAttribute(":p/x", AttributeConfig(InputSemantics.Raw))
     e3.createAttribute(":p/y", AttributeConfig(InputSemantics.Raw))
