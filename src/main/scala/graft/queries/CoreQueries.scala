@@ -299,7 +299,7 @@ object CoreQueries {
       val iq = new graft.streaming.IncrementalQuery(s,
         Aggregate(Seq(1, 0), matchA(0, ":o/custkey", 1),
           Seq(AggregationFn.COUNT), Seq(1), Seq(0), Seq.empty),
-        Map(":o/custkey" -> ValueKind.KEid))
+        Map(":o/custkey" -> ValueKind.KEid), partitions = 8)
       def batch(m: Int, diff: Long) =
         orders.where(pmod(col("e"), lit(4)) === m).withColumn("diff", lit(diff))
       val diffs = Seq(
@@ -330,7 +330,7 @@ object CoreQueries {
           Seq(AggregationFn.MIN, AggregationFn.MAX, AggregationFn.MEDIAN,
             AggregationFn.COUNT, AggregationFn.SUM),
           Seq(1), Seq(0, 0, 0, 0, 0), Seq.empty),
-        Map(":o/custkey" -> ValueKind.KEid))
+        Map(":o/custkey" -> ValueKind.KEid), partitions = 8)
       def batch(m: Int, diff: Long) =
         orders.where(pmod(col("e"), lit(4)) === m).withColumn("diff", lit(diff))
       val diffs = Seq(
@@ -365,7 +365,7 @@ object CoreQueries {
         Aggregate(Seq(1, 0), matchA(0, ":o/cust", 1),
           Seq(AggregationFn.COUNT), Seq(1), Seq(0), Seq.empty),
         Map(":o/cust" -> ValueKind.KEid),
-        lwwAttrs = Set(":o/cust"))
+        lwwAttrs = Set(":o/cust"), partitions = 8)
       def ev(df: DataFrame, vCol: Column, t: Long, diff: Long, seq: Column) =
         df.select(col("e"), vCol.as("v"), lit(t).as("t"),
           lit(diff).as("diff"), seq.as("seq"))
@@ -400,7 +400,7 @@ object CoreQueries {
       val iq = new graft.streaming.IncrementalQuery(s,
         NameExpr(Seq(0, 1), "closure"),
         Map(":cl/edge" -> ValueKind.KEid),
-        Map("closure" -> closureRule))
+        Map("closure" -> closureRule), partitions = 8)
       val edges = s.read.parquet(s"$dir/lineitem.parquet")
         .where(col("l_partkey") <= 60)
         .select(col("l_partkey").cast("long").as("e"),
@@ -436,7 +436,8 @@ object CoreQueries {
         pullVariable = 0, pullAttributes = Seq(":pm/name", ":pm/seg"),
         pathAttributes = Seq.empty, cardinalityMany = false)
       val iq = new graft.streaming.IncrementalQuery(s, pull,
-        Map(":pm/name" -> ValueKind.KString, ":pm/seg" -> ValueKind.KString))
+        Map(":pm/name" -> ValueKind.KString, ":pm/seg" -> ValueKind.KString),
+        partitions = 8)
       val cust = s.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey").cast("long").as("e"),
           col("c_name").as("name"), col("c_mktsegment").as("seg"))
@@ -479,7 +480,7 @@ object CoreQueries {
       val iq = new graft.streaming.IncrementalQuery(s,
         NameExpr(Seq(0, 1), "reach"),
         Map(":lp/edge" -> ValueKind.KEid, ":lp/seed" -> ValueKind.KEid),
-        Map("reach" -> reachRule))
+        Map("reach" -> reachRule), partitions = 8)
       // Edge bound 40 (vs the closure queries' 60): the general node
       // pays per-round driver planning where the TC fast path runs its
       // RDD kernel — same semantics, bounded bench cost.

@@ -98,13 +98,20 @@ class IncrementalQuery(
     // compiler's aggregateSetSemantics + delivery distinctify) — the
     // maintained analogs are a support threshold at the root and at each
     // aggregate child.
-    setSemantics: Boolean = false) {
+    setSemantics: Boolean = false,
+    // State partition count for every stateful node (0 = the session's
+    // spark.sql.shuffle.partitions). The scale dial: size to the
+    // MAINTAINED STATE, not the bulk data — oracle/bench-sized standing
+    // queries run leaner with fewer, data-sized states with more (the
+    // IncrementalClosure `partitions` precedent).
+    partitions: Int = 0) {
 
   import IncrementalQuery._
   import Plan.{Var => PVar}
 
   private val shufflePartitions: Int =
-    spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (partitions > 0) partitions
+    else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
   // ---- Node tree -----------------------------------------------------
 
