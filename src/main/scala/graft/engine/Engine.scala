@@ -128,8 +128,10 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     * maintained, each through its per-attribute stateful view; BOTH
     * result semantics are served (set-semantics engines get their
     * delivery distinctify and distinct-input aggregation as maintained
-    * support thresholds); every referenced attribute must be registered
-    * (not derived) before the first advance.
+    * support thresholds); derived-attribute `MatchA` scans inline into
+    * their defining view plans (other derived usages stay on the
+    * snapshot path, loudly); every referenced base attribute must be
+    * registered before the first advance.
     * Attributes whose value kind is not yet known
     * (no datom or static registration) keep the rule on the snapshot
     * path — delivery is identical — until the kinds appear, when the
@@ -239,7 +241,8 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
   /** Register a derived attribute whose (e, v, _w) view compiles `plan`
     * (expected binary: entity, value) at each as-of time. Weight-1 by
     * distinctify, so downstream MatchA treats it like a Distinct input. */
-  private def registerDerivedView(name: String, sourceAttr: String, plan: Plan): Unit =
+  private def registerDerivedView(name: String, sourceAttr: String, plan: Plan): Unit = {
+    derivedPlans(name) = plan
     domain.registerDerived(name,
       kind = () => domain.asOf(Long.MaxValue).kind(sourceAttr),
       build = { t =>
@@ -260,6 +263,73 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
               .select(col(Rel.c(0)).as("e"), col(Rel.c(1)).as("v"), col(Rel.W).as("_w"))
         }
       })
+  }
+
+  // Derived-attribute defining plans (binary: entity, value), recorded so
+  // the maintained path can INLINE derived scans — the snapshot path
+  // computes the view per as-of; a standing query replaces the scan with
+  // the view's plan instead.
+  private val derivedPlans =
+    scala.collection.mutable.Map.empty[String, Plan]
+
+  /** Inline derived-attribute `MatchA` scans into their defining plans:
+    * head renamed to the scan's vars, internal vars freshened above
+    * every var in sight, the result wrapped in a single-branch Union —
+    * the view's distinctify (weight-1) contract. Other derived usages
+    * (const-bound scans, Hector bindings, pull attributes) stay on the
+    * snapshot path, loudly. */
+  private def inlineDerived(plan: Plan, allPlans: Iterable[Plan]): Plan = {
+    if (derivedPlans.isEmpty) return plan
+    import graft.streaming.{IncrementalQuery => IQ}
+    var fresh = {
+      var mx = 0
+      (Seq(plan) ++ allPlans ++ derivedPlans.values).foreach { p =>
+        IQ.mapVars(p, v => { if (v > mx) mx = v; v })
+      }
+      mx + 1
+    }
+    def reject(a: String): Nothing = throw GraftError.incorrect(
+      s"incremental maintenance over derived attribute $a supports " +
+        "plain MatchA scans; use the snapshot path")
+    def rw(q: Plan): Plan = q match {
+      case Plan.MatchA(e, a, v) if derivedPlans.contains(a) =>
+        val dp = rw(derivedPlans(a))
+        val hv = Plan.boundVariables(dp, _ => Seq.empty)
+        require(hv.length == 2,
+          s"derived view $a must be binary (entity, value), got $hv")
+        val m = scala.collection.mutable.Map(hv(0) -> e, hv(1) -> v)
+        Plan.Union(Seq(e, v), Seq(IQ.mapVars(dp,
+          x => m.getOrElseUpdate(x, { val f = fresh; fresh += 1; f }))))
+      case Plan.MatchEA(_, a, _) if derivedPlans.contains(a) => reject(a)
+      case Plan.MatchAV(_, a, _) if derivedPlans.contains(a) => reject(a)
+      case h @ Plan.Hector(_, bs) =>
+        bs.foreach {
+          case Binding.Attr(_, a, _) if derivedPlans.contains(a) => reject(a)
+          case Binding.Not(Binding.Attr(_, a, _)) if derivedPlans.contains(a) =>
+            reject(a)
+          case _ => ()
+        }
+        h
+      case Plan.Project(vs, s2)   => Plan.Project(vs, rw(s2))
+      case f: Plan.Filter         => f.copy(plan = rw(f.plan))
+      case t: Plan.Transform      => t.copy(plan = rw(t.plan))
+      case Plan.Negate(s2)        => Plan.Negate(rw(s2))
+      case Plan.Join(vs, l, r)    => val nl = rw(l); Plan.Join(vs, nl, rw(r))
+      case Plan.Antijoin(vs, l, r) =>
+        val nl = rw(l); Plan.Antijoin(vs, nl, rw(r))
+      case Plan.Union(vs, ps)     => Plan.Union(vs, ps.map(rw))
+      case ag: Plan.Aggregate     => ag.copy(plan = rw(ag.plan))
+      case pl @ Plan.PullLevel(vs, s2, pv, pas, paths, cm) =>
+        pas.find(derivedPlans.contains).foreach(reject)
+        Plan.PullLevel(vs, rw(s2), pv, pas, paths, cm)
+      case Plan.Pull(vs, ps)      => Plan.Pull(vs, ps.map(rw))
+      case pa @ Plan.PullAll(_, pas) =>
+        pas.find(derivedPlans.contains).foreach(reject)
+        pa
+      case other => other
+    }
+    rw(plan)
+  }
 
   /** Datoms without an explicit time are stamped with the current epoch.
     * Explicit times below the advanced frontier are rejected loudly — the
@@ -464,15 +534,14 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     * while a referenced attribute's kind is still unknown (no datom or
     * static registration yet). */
   private def tryInitIncremental(name: String, deliverReplay: Boolean): Boolean = {
-    val plan = domain.rules(name).plan
-    val rulePlans: Map[String, Plan] =
+    // Derived-attribute scans inline into their defining plans, so the
+    // standing query maintains the VIEW's algebra over base attributes.
+    val rulePlans0: Map[String, Plan] =
       domain.rules.map { case (n, r) => n -> r.plan }
+    val plan = inlineDerived(domain.rules(name).plan, rulePlans0.values)
+    val rulePlans: Map[String, Plan] =
+      rulePlans0.map { case (n, p) => n -> inlineDerived(p, rulePlans0.values) }
     val attrs = graft.streaming.IncrementalQuery.planAttributes(plan, rulePlans)
-    attrs.foreach { a =>
-      if (domain.isDerived(a)) throw GraftError.incorrect(
-        s"incremental maintenance over derived attribute $a is not " +
-          "supported; use the snapshot path")
-    }
     // Distinct attributes pass a maintained per-attribute support
     // threshold inside IncrementalQuery — the standing analog of the
     // snapshot path's "net support > 0 -> weight 1" collection.

@@ -456,6 +456,79 @@ class IncrementalQuery(
       }
   }
 
+  /** General binary equijoin node — the batch `Compiler.join`
+    * semantics (join on the TARGET vars only; output = target ++ left
+    * rest ++ right rest; weights multiply) maintained from two support
+    * tables co-partitioned by the join key: a batch recomputes old/new
+    * products for exactly the keys it touches, partition-locally, one
+    * O(delta) shuffle per side. The fallback for `Plan.Join` operands
+    * that are not plain attribute patterns (those route through the
+    * leaner Hector delta rule) — e.g. joins against inlined derived
+    * views. */
+  private final class JoinNode(
+      left: Node, right: Node, target: Seq[PVar]) extends Node {
+    private val lKey = target.map(left.vars.indexOf)
+    private val rKey = target.map(right.vars.indexOf)
+    require(lKey.forall(_ >= 0) && rKey.forall(_ >= 0),
+      s"join vars $target not bound by ${left.vars} / ${right.vars}")
+    private def restIdx(vs: Seq[PVar]): Seq[Int] = {
+      val seen = mutable.Set.empty[PVar]
+      vs.zipWithIndex.collect {
+        case (v, i) if !target.contains(v) && seen.add(v) => i }
+    }
+    private val lRestIdx = restIdx(left.vars)
+    private val rRestIdx = restIdx(right.vars)
+    val vars: Seq[PVar] =
+      target ++ lRestIdx.map(left.vars) ++ rRestIdx.map(right.vars)
+    val nodeKinds: Seq[ValueKind] = lKey.map(left.nodeKinds) ++
+      lRestIdx.map(left.nodeKinds) ++ rRestIdx.map(right.nodeKinds)
+    val attrs: Set[String] = left.attrs ++ right.attrs
+
+    private val sc = spark.sparkContext
+    private val lPart = new IndexKeyPartitioner(shufflePartitions, lKey)
+    private val rPart = new IndexKeyPartitioner(shufflePartitions, rKey)
+    private var lState: RDD[(Seq[Any], Long)] =
+      sc.emptyRDD[(Seq[Any], Long)].partitionBy(lPart)
+    private var rState: RDD[(Seq[Any], Long)] =
+      sc.emptyRDD[(Seq[Any], Long)].partitionBy(rPart)
+
+    private def sideDelta(
+        node: Node, part: Partitioner,
+        attrDeltas: Map[String, DataFrame]): RDD[(Seq[Any], Long)] = {
+      val width = node.vars.length
+      val d = node.advance(attrDeltas).rdd
+        .map(r => (rowKey(r, width), r.getLong(width)))
+        .reduceByKey(part, _ + _).filter(_._2 != 0L)
+        .localCheckpoint()
+      d.count()
+      d
+    }
+
+    def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
+      if (!touched(attrDeltas)) emptyDiff
+      else {
+        val dL = sideDelta(left, lPart, attrDeltas)
+        val dR = sideDelta(right, rPart, attrDeltas)
+        val (lk, rk2, lri, rri) = (lKey, rKey, lRestIdx, rRestIdx)
+        val diffs = lState.zipPartitions(rState, dL, dR,
+          preservesPartitioning = false)(
+          (ls, rs2, dl2, dr2) =>
+            IncrementalQuery.joinDiff(lk, rk2, ls, rs2, dl2, dr2))
+        val rows = diffs.map { case (lrow, rrow, w) =>
+          Row.fromSeq((lk.map(lrow.apply) ++ lri.map(lrow.apply) ++
+            rri.map(rrow.apply)) :+ w)
+        }
+        val out = spark.createDataFrame(rows, schema)
+        lState = lState.zipPartitions(dL, preservesPartitioning = true)(
+          IncrementalQuery.weightMerge).localCheckpoint()
+        lState.count()
+        rState = rState.zipPartitions(dR, preservesPartitioning = true)(
+          IncrementalQuery.weightMerge).localCheckpoint()
+        rState.count()
+        out
+      }
+  }
+
   /** Maintained single pull level (`Plan.PullLevel` with pull
     * attributes) — the document-projection operator maintained as a
     * BILINEAR join per pulled attribute plus linear decoration:
@@ -528,7 +601,8 @@ class IncrementalQuery(
           val diffRows = childState.zipPartitions(
             attrState(a), dChild, dAttr, preservesPartitioning = false)(
             (cs, as2, dc2, da2) =>
-              IncrementalQuery.pullDiff(eIdxL, cs, as2, dc2, da2))
+              IncrementalQuery.joinDiff(Seq(eIdxL), Seq(0), cs, as2, dc2, da2)
+                .map { case (l, r, w) => (l, r(1), w) })
           val schema = StructType(
             child.nodeKinds.zipWithIndex.map { case (k, i) =>
               StructField(Rel.c(i), k.dataType, true)
@@ -636,14 +710,14 @@ class IncrementalQuery(
     case Plan.Join(vs, l, r) =>
       // A join of attribute patterns IS a 2-binding conjunction; route it
       // through the Hector delta rule (same results, one state class).
+      // Any other operand shape — inlined derived views, unions,
+      // pull levels — takes the general two-sided JoinNode.
       (l, r) match {
         case (Plan.MatchA(le, la, lv), Plan.MatchA(re, ra, rv)) =>
           val all = Plan.boundVariables(p, _ => Seq.empty)
           new HectorNode(all, Seq(
             Binding.Attr(le, la, lv), Binding.Attr(re, ra, rv)))
-        case _ => sys.error(
-          "incremental Join supports attribute patterns; compose " +
-            "general joins as Hector bindings")
+        case _ => new JoinNode(zoneOf(l), zoneOf(r), vs)
       }
 
     case u @ Plan.Union(_, _)
@@ -1696,8 +1770,10 @@ object IncrementalQuery {
     expand(p)
   }
 
-  /** Rewrite every variable in a plan through `f` (structure unchanged). */
-  private def mapVars(p: Plan, f: Plan.Var => Plan.Var): Plan = p match {
+  /** Rewrite every variable in a plan through `f` (structure unchanged).
+    * Package-visible: the engine's derived-scan inlining renames view
+    * plans with it. */
+  private[graft] def mapVars(p: Plan, f: Plan.Var => Plan.Var): Plan = p match {
     case Plan.MatchA(e, a, v)  => Plan.MatchA(f(e), a, f(v))
     case Plan.MatchEA(e, a, v) => Plan.MatchEA(e, a, f(v))
     case Plan.MatchAV(e, a, v) => Plan.MatchAV(f(e), a, v)
@@ -1715,7 +1791,10 @@ object IncrementalQuery {
     case Plan.Aggregate(vs, s, fns, ks, as, ws) =>
       Plan.Aggregate(vs.map(f), mapVars(s, f), fns, ks.map(f), as.map(f), ws.map(f))
     case Plan.NameExpr(vs, n)  => Plan.NameExpr(vs.map(f), n)
-    case other => sys.error(s"mapVars: unsupported plan node $other")
+    case Plan.PullLevel(vs, s, pv, pas, paths, cm) =>
+      Plan.PullLevel(vs.map(f), mapVars(s, f), f(pv), pas, paths, cm)
+    case Plan.Pull(vs, ps)     => Plan.Pull(vs.map(f), ps.map(mapVars(_, f)))
+    case Plan.PullAll(vs, pas) => Plan.PullAll(vs.map(f), pas)
   }
 
   private def mapBindingVars(b: Binding, f: Plan.Var => Plan.Var): Binding = b match {
@@ -1908,52 +1987,54 @@ object IncrementalQuery {
     out.iterator
   }
 
-  /** Per-partition bilinear pull diff: for each entity the batch
-    * touches, diff the old/new products of co-resident child rows ×
-    * attribute values. Top-level so tasks never capture a node. Memory
-    * is bounded by the touched entities' support. */
-  private def pullDiff(
-      eIdx: Int,
-      csIt: Iterator[(Seq[Any], Long)], asIt: Iterator[(Seq[Any], Long)],
-      dcIt: Iterator[(Seq[Any], Long)], daIt: Iterator[(Seq[Any], Long)])
-    : Iterator[(Seq[Any], Any, Long)] = {
-    val dc = new java.util.HashMap[Seq[Any], java.lang.Long]()
-    dcIt.foreach { case (r, w) => dc.merge(r, w, (a, b) => a + b) }
-    val da = new java.util.HashMap[Seq[Any], java.lang.Long]()
-    daIt.foreach { case (r, w) => da.merge(r, w, (a, b) => a + b) }
-    if (dc.isEmpty && da.isEmpty) return Iterator.empty
-    val touched = new java.util.HashSet[Any]()
-    dc.keySet().iterator().asScala.foreach(r => touched.add(r(eIdx)))
-    da.keySet().iterator().asScala.foreach(r => touched.add(r.head))
-    // (old, new) weight per row, touched entities only.
-    val cW = new java.util.HashMap[Seq[Any], (Long, Long)]()
-    csIt.foreach { case (r, w) =>
-      if (touched.contains(r(eIdx))) cW.put(r, (w, w)) }
-    dc.entrySet().iterator().asScala.foreach { e =>
-      val p = cW.getOrDefault(e.getKey, (0L, 0L))
-      cW.put(e.getKey, (p._1, p._2 + e.getValue.longValue))
+  /** Per-partition bilinear join diff: for each join KEY the batch
+    * touches, diff the old/new products of co-resident left × right
+    * rows. Top-level so tasks never capture a node. Memory is bounded
+    * by the touched keys' support. Shared by the general JoinNode and
+    * the PullLevelNode (a pull level is this with a one-var key and the
+    * attribute's (e, v) rows on the right). */
+  private def joinDiff(
+      lKey: Seq[Int], rKey: Seq[Int],
+      lsIt: Iterator[(Seq[Any], Long)], rsIt: Iterator[(Seq[Any], Long)],
+      dlIt: Iterator[(Seq[Any], Long)], drIt: Iterator[(Seq[Any], Long)])
+    : Iterator[(Seq[Any], Seq[Any], Long)] = {
+    def lk(r: Seq[Any]): Seq[Any] = lKey.map(r.apply)
+    def rk(r: Seq[Any]): Seq[Any] = rKey.map(r.apply)
+    val dl = new java.util.HashMap[Seq[Any], java.lang.Long]()
+    dlIt.foreach { case (r, w) => dl.merge(r, w, (a, b) => a + b) }
+    val dr = new java.util.HashMap[Seq[Any], java.lang.Long]()
+    drIt.foreach { case (r, w) => dr.merge(r, w, (a, b) => a + b) }
+    if (dl.isEmpty && dr.isEmpty) return Iterator.empty
+    val touched = new java.util.HashSet[Seq[Any]]()
+    dl.keySet().iterator().asScala.foreach(r => touched.add(lk(r)))
+    dr.keySet().iterator().asScala.foreach(r => touched.add(rk(r)))
+    // (old, new) weight per row, touched keys only.
+    val lW = new java.util.HashMap[Seq[Any], (Long, Long)]()
+    lsIt.foreach { case (r, w) => if (touched.contains(lk(r))) lW.put(r, (w, w)) }
+    dl.entrySet().iterator().asScala.foreach { e =>
+      val p = lW.getOrDefault(e.getKey, (0L, 0L))
+      lW.put(e.getKey, (p._1, p._2 + e.getValue.longValue))
     }
-    val aW = new java.util.HashMap[Seq[Any], (Long, Long)]()
-    asIt.foreach { case (r, w) =>
-      if (touched.contains(r.head)) aW.put(r, (w, w)) }
-    da.entrySet().iterator().asScala.foreach { e =>
-      val p = aW.getOrDefault(e.getKey, (0L, 0L))
-      aW.put(e.getKey, (p._1, p._2 + e.getValue.longValue))
+    val rW = new java.util.HashMap[Seq[Any], (Long, Long)]()
+    rsIt.foreach { case (r, w) => if (touched.contains(rk(r))) rW.put(r, (w, w)) }
+    dr.entrySet().iterator().asScala.foreach { e =>
+      val p = rW.getOrDefault(e.getKey, (0L, 0L))
+      rW.put(e.getKey, (p._1, p._2 + e.getValue.longValue))
     }
-    val byEntC =
-      new java.util.HashMap[Any, mutable.ArrayBuffer[(Seq[Any], Long, Long)]]()
-    cW.entrySet().iterator().asScala.foreach { e =>
-      byEntC.computeIfAbsent(e.getKey()(eIdx), _ => mutable.ArrayBuffer.empty)
+    val byKeyL =
+      new java.util.HashMap[Seq[Any], mutable.ArrayBuffer[(Seq[Any], Long, Long)]]()
+    lW.entrySet().iterator().asScala.foreach { e =>
+      byKeyL.computeIfAbsent(lk(e.getKey), _ => mutable.ArrayBuffer.empty)
         .append((e.getKey, e.getValue._1, e.getValue._2))
     }
-    val out = mutable.ArrayBuffer.empty[(Seq[Any], Any, Long)]
-    aW.entrySet().iterator().asScala.foreach { e =>
-      val arow = e.getKey
-      val (ao, an) = e.getValue
-      val cs = byEntC.get(arow.head)
-      if (cs != null) cs.foreach { case (crow, co, cn) =>
-        val d = cn * an - co * ao
-        if (d != 0L) out.append((crow, arow(1), d))
+    val out = mutable.ArrayBuffer.empty[(Seq[Any], Seq[Any], Long)]
+    rW.entrySet().iterator().asScala.foreach { e =>
+      val rrow = e.getKey
+      val (ro, rn) = e.getValue
+      val ls = byKeyL.get(rk(rrow))
+      if (ls != null) ls.foreach { case (lrow, lo, ln) =>
+        val d = ln * rn - lo * ro
+        if (d != 0L) out.append((lrow, rrow, d))
       }
     }
     out.iterator

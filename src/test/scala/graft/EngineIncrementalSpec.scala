@@ -242,6 +242,40 @@ class EngineIncrementalSpec extends AnyFunSuite {
     assert(sinkEng.drain("query").isEmpty) // nothing buffered driver-side
   }
 
+  test("derived attributes inline into the standing query") {
+    // The DeriveSpec scenario served INCREMENTALLY: a rule joining a
+    // GraphQL-derived attribute ("heroes/name") with a base attribute
+    // must drain exactly like the snapshot path — the maintained query
+    // inlines the derived view's plan over base datom deltas.
+    def run2(incremental: Boolean): Seq[Drained] = {
+      val e = new Engine(spark)
+      e.createAttribute("hero", AttributeConfig(InputSemantics.Distinct))
+      e.createAttribute("name", AttributeConfig(InputSemantics.Distinct))
+      e.createAttribute(":liked-by", AttributeConfig(InputSemantics.Distinct))
+      e.handle(graft.server.Request.Derive("heroes", "{ hero { name } }"))
+      e.register(Rule("fans", Join(Seq(0),
+        matchA(0, "heroes/name", 1), matchA(0, ":liked-by", 2))))
+      if (incremental) e.interestIncremental("fans") else e.interest("fans")
+      val history = Seq(
+        Seq(Datom.add(1L, "hero", Value.eid(7)),
+          Datom.add(7L, "name", Value.str("alice")),
+          Datom.add(2L, "hero", Value.eid(8)),
+          Datom.add(8L, "name", Value.str("bob")),
+          Datom.add(7L, ":liked-by", Value.eid(42))),
+        Seq(Datom.add(8L, ":liked-by", Value.eid(99))),
+        // Retract the hero link: child 7's derived name disappears, and
+        // with it the standing join's output row.
+        Seq(Datom.retract(1L, "hero", Value.eid(7))))
+      history.zipWithIndex.map { case (tx, i) =>
+        e.transact(tx); e.advance(i + 1L)
+        multiset(e.drain("fans"))
+      }
+    }
+    val snap = run2(incremental = false)
+    assert(run2(incremental = true) == snap)
+    assert(snap.head.nonEmpty && snap.last.nonEmpty)
+  }
+
   test("set-semantics engines drain exactly like the snapshot path") {
     // Result-set canonicalization and distinct-input aggregation, both
     // as maintained support thresholds; parity across the plan zoo.

@@ -261,6 +261,18 @@ class IncrementalQuerySpec extends AnyFunSuite {
       Map("r2" -> r2))
   }
 
+  test("general join node (non-pattern operands), batch-exact") {
+    // One side is a UNION — outside the MatchA×MatchA Hector fast path,
+    // exercising the general two-sided JoinNode (the path inlined
+    // derived views take).
+    val plan = Plan.Join(Seq(1),
+      Plan.Union(Seq(1), Seq(
+        Plan.Project(Seq(1), Plan.MatchA(0, ":ua", 1)),
+        Plan.Project(Seq(1), Plan.MatchA(0, ":ub", 1)))),
+      Plan.MatchA(1, ":uc", 2))
+    check(plan, genBatches(3011, Seq(":ua", ":ub", ":uc"), 5))
+  }
+
   test("pull family maintained, batch-exact incl. retractions") {
     // PullAll: linear (per-attr scans + variant decoration) — a zone.
     check(Plan.PullAll(Seq.empty, Seq(":ua", ":ub")),
