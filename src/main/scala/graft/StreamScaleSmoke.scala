@@ -363,6 +363,55 @@ object StreamScaleSmoke {
       spark.sparkContext.removeSparkListener(listener)
     }
 
+    // ---------------- 7. bilinear pull/join nodes at 1M-row state
+    // The two-sided support-table discipline (JoinNode / PullLevelNode):
+    // per-batch shuffle must stay O(delta) as both sides' states grow.
+    // Disjoint entities make expectations exact: each batch touches 500
+    // fresh entities with one child row and one attribute row each →
+    // exactly 500 pull rows (plus nothing from the 1M untouched).
+    {
+      import graft.streaming.IncrementalQuery
+      val kinds = Map(
+        ":pm/name" -> ValueKind.KNumber, ":pm/val" -> ValueKind.KNumber)
+      val pull = Plan.PullLevel(Seq.empty,
+        Plan.Project(Seq(0), Plan.MatchA(0, ":pm/name", 1)),
+        pullVariable = 0, pullAttributes = Seq(":pm/val"),
+        pathAttributes = Seq.empty, cardinalityMany = false)
+      val iq = new IncrementalQuery(spark, pull, kinds)
+      def delta(from: Long, n: Long) = Map(
+        ":pm/name" -> spark.range(from, from + n).select(col("id").as("e"),
+          (col("id") * 2L).as("v"),
+          org.apache.spark.sql.functions.lit(1L).as("diff")),
+        ":pm/val" -> spark.range(from, from + n).select(col("id").as("e"),
+          (col("id") * 3L).as("v"),
+          org.apache.spark.sql.functions.lit(1L).as("diff")))
+      var t0 = now()
+      val seeded = iq.advance(delta(0L, 1000000L))
+      println(f"[scale] pull-node seed state=1000000x2 out=${seeded.count()}%d " +
+        f"sec=${secs(t0)}%.1f")
+      val shuffled = new AtomicLong
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) shuffled.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      (1 to 4).foreach { b =>
+        val from = 1000000L + b * 500L
+        shuffled.set(0)
+        t0 = now()
+        val out = iq.advance(delta(from, 500L))
+        val n = out.count()
+        Thread.sleep(500)
+        val ok = if (n == 500L) "" else " EXPECTED 500 — FAILED"
+        println(f"[scale] pull-node batch=$b%d delta=500x2 out=$n%d " +
+          f"state=${1000000L + b * 500L}%d shuffleRecords=${shuffled.get}%d " +
+          f"sec=${secs(t0)}%.2f$ok")
+      }
+      spark.sparkContext.removeSparkListener(listener)
+    }
+
     println("[scale] smoke complete — no driver failure")
     spark.stop()
   }
