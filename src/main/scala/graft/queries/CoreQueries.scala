@@ -423,6 +423,62 @@ object CoreQueries {
         .select(col("c0").as("src"), col("c1").as("dst"))
     }),
 
+    "q_derive_maintain" -> ((s, dir) => {
+      // DERIVED attributes through the standing maintained path, end to
+      // end: a GraphQL Derive ("{ link { dname } }") republishes pulled
+      // paths as the derived attribute cust/dname (a JOIN view: link
+      // targets × their names); a rule joins that derived attribute
+      // with dbal and is served by interestIncremental — the derived
+      // scan INLINES into the standing query and the join against the
+      // inlined view runs on the general two-sided JoinNode. Batch 3
+      // retracts the custkey%5==0 LINK datoms: the derived rows (and
+      // with them the join rows) must collapse even though dname/dbal
+      // survive. Entity bound 2000 keeps the engine drains
+      // control-sized at every SF (the closure queries' bound
+      // discipline). Accumulated drains == SQL over the survivors.
+      import org.apache.spark.sql.functions.lit
+      val e = new graft.engine.Engine(s)
+      Seq("link" -> InputSemantics.Distinct, "dname" -> InputSemantics.Distinct,
+        "dbal" -> InputSemantics.Distinct).foreach { case (a, sem) =>
+        e.createAttribute(a, AttributeConfig(sem))
+      }
+      e.handle(graft.server.Request.Derive("cust", "{ link { dname } }"))
+      e.register(Rule("fans", Join(Seq(0),
+        matchA(0, "cust/dname", 1), matchA(0, "dbal", 2))))
+      e.interestIncremental("fans")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_custkey") <= 2000)
+        .select(col("c_custkey").cast("long").as("c"),
+          col("c_name").as("n"), col("c_acctbal").cast("double").as("b"))
+        .collect()
+      def datoms(pred: Long => Boolean, diff: Long, linkOnly: Boolean) =
+        cust.toSeq.filter(r => pred(r.getLong(0))).flatMap { r =>
+          val c = r.getLong(0)
+          val link = Datom(c, "link", Value.eid(c), None, diff)
+          if (linkOnly) Seq(link)
+          else Seq(link,
+            Datom(c, "dname", Value.str(r.getString(1)), None, diff),
+            Datom(c, "dbal", Value.VReal(r.getDouble(2)), None, diff))
+        }
+      val acc = scala.collection.mutable.Map
+        .empty[Seq[Any], Long].withDefaultValue(0L)
+      Seq(
+        datoms(c => c % 3 < 2, 1L, linkOnly = false),
+        datoms(c => c % 3 == 2, 1L, linkOnly = false),
+        datoms(c => c % 5 == 0, -1L, linkOnly = true)
+      ).zipWithIndex.foreach { case (tx, i) =>
+        e.transact(tx)
+        e.advance(i + 1L)
+        e.drain("fans").foreach { case (row, _, w) => acc(row) += w }
+      }
+      val rows = acc.toSeq.collect { case (r, w) if w > 0 =>
+        (r(0).asInstanceOf[Long], r(1).asInstanceOf[String],
+          r(2).asInstanceOf[Double])
+      }
+      import s.implicits._
+      rows.toDF("e", "name", "bal")
+    }),
+
     "q_pull_maintain" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{lit, pmod, sum}
       // The PULL family maintained: a standing document-projection
@@ -737,6 +793,14 @@ object CoreQueries {
            UNION
            SELECT e.src, c.dst FROM surviving e JOIN closure c ON e.dst = c.src)
          SELECT src, dst FROM closure""",
+    // The maintained derived-view join over the SURVIVING link targets
+    // (batch 3 retracts the custkey%5==0 links; dname/dbal survive but
+    // the derived rows collapse).
+    "q_derive_maintain" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS e, c_name AS name,
+                CAST(c_acctbal AS DOUBLE) AS bal
+         FROM customer WHERE c_custkey <= 2000 AND c_custkey % 5 <> 0""",
+
     // The maintained pull over the SURVIVING entities (batch 3 retracts
     // custkey%5==0 names, removing those entities' whole documents).
     "q_pull_maintain" ->
