@@ -303,6 +303,35 @@ class IncrementalQuerySpec extends AnyFunSuite {
       genBatches(2447, Seq(":ua", ":ub", ":uc"), 4))
   }
 
+  test("TC closure node on the distributed backend (graft.closure.distributed) stays batch-exact") {
+    // The ClosureNode's DistributedClosure backend (no broadcast edge
+    // ceiling) must emit identical diffs to the default broadcast-gated
+    // IncrementalClosure.
+    val closure = Plan.Union(Seq(0, 1), Seq(
+      Plan.MatchA(0, ":e1", 1),
+      Plan.Project(Seq(0, 1), Plan.Join(Seq(2),
+        Plan.MatchA(0, ":e1", 2), Plan.NameExpr(Seq(2, 1), "closure")))))
+    System.setProperty("graft.closure.distributed", "true")
+    try check(Plan.NameExpr(Seq(0, 1), "closure"),
+      genBatches(3671, Seq(":e1"), 4, es = 5, vs = 5),
+      Map("closure" -> closure))
+    finally System.clearProperty("graft.closure.distributed")
+  }
+
+  test("k-hop plan composition (graft.recursion.khop dial) stays batch-exact") {
+    // The measured default is 1; the dial composes k hops into one plan
+    // for linear single-rule cliques — must not change any result.
+    val reach = Plan.Union(Seq(0, 1), Seq(
+      Plan.MatchA(0, ":ua", 1),
+      Plan.Project(Seq(0, 1), Plan.Join(Seq(2),
+        Plan.MatchA(2, ":e1", 0), Plan.NameExpr(Seq(2, 1), "reach")))))
+    System.setProperty("graft.recursion.khop", "3")
+    try check(Plan.NameExpr(Seq(0, 1), "reach"),
+      genBatches(6733, Seq(":ua", ":e1"), 4, es = 4, vs = 4),
+      Map("reach" -> reach))
+    finally System.clearProperty("graft.recursion.khop")
+  }
+
   test("non-monotone recursion still fails loudly") {
     val a = Plan.Union(Seq(0, 1), Seq(
       Plan.MatchA(0, ":e1", 1),
