@@ -59,6 +59,56 @@ object Sketches {
     java.lang.Integer.numberOfTrailingZeros(buckets)
   }
 
+  /** Count-Min register table for token frequencies: `(seed, bucket,
+    * cnt)` rows — the 100 TB heavy-hitter screen. Per-partition state is
+    * at most depth × width counters (one map-side-combined shuffle of
+    * that many rows per partition), register tables merge by
+    * element-wise SUM — across shards, days, streams — and a term's
+    * estimate is the MIN over seeds of its bucket's counter: an upper
+    * bound on the true count, tight unless the term collides in every
+    * row. Hashing is the portable seeded md5 ([[Portable.h64Seeded]]'s
+    * formula with the seed as a column), so the REGISTERS — not just
+    * estimates — are oracle-exact. */
+  def cmRegisters(df: DataFrame, text: Column,
+      depth: Int = 4, width: Int = 256): DataFrame =
+    df.select(explode(Portable.tokens(text)).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("tok"),
+        explode(sequence(lit(0), lit(depth - 1))).as("seed"))
+      .select(col("seed").cast("long").as("seed"),
+        pmod(Portable.h64(
+            concat_ws(":", col("seed").cast("string"), col("tok"))),
+          lit(width.toLong)).as("bucket"))
+      .groupBy(col("seed"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** DuckDB SQL equivalent of [[cmRegisters]] over column `expr` of
+    * relation `from`. */
+  def cmRegistersSql(expr: String, from: String,
+      depth: Int = 4, width: Int = 256): String = {
+    val h = Portable.h64Sql("CAST(s.seed AS VARCHAR) || ':' || t.tok")
+    s"""SELECT CAST(s.seed AS BIGINT) AS seed,
+               CAST($h % $width AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(${Portable.tokensSql(expr)}) AS tok FROM $from) t,
+             (SELECT unnest(range($depth)) AS seed) s
+        WHERE t.tok <> ''
+        GROUP BY 1, 2"""
+  }
+
+  /** Point estimate for `term` from a collected register table: min over
+    * seeds — ≥ the true count, by the CM guarantee. Driver-side: the
+    * input is ≤ depth × width rows by construction. */
+  def cmEstimate(registers: Seq[(Long, Long, Long)], term: String,
+      depth: Int = 4, width: Int = 256): Long = {
+    val m = registers.map { case (s, b, c) => (s, b) -> c }.toMap
+    (0 until depth).map { s =>
+      val b = java.lang.Math.floorMod(
+        Portable.h64Host(s"$s:$term"), width.toLong)
+      m.getOrElse((s.toLong, b), 0L)
+    }.min
+  }
+
   /** Classic HLL estimate from a collected register table. Buckets absent
     * from `registers` count as empty (register 0). Driver-side: the input
     * is ≤ `buckets` rows by construction. */

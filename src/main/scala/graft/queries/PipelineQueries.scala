@@ -320,6 +320,15 @@ object PipelineQueries {
       // REGISTERS (not just the estimate) are oracle-exact.
       graft.pipeline.Sketches.hllRegisters(docs(s, dir), col("text"))),
 
+    "q_agg_cms" -> ((s, dir) =>
+      // Deterministic Count-Min register table over document tokens: the
+      // 100 TB heavy-hitter screen — per-partition state is a fixed
+      // depth x width counter table, registers merge by element-wise SUM
+      // across shards/streams, a term's estimate is min-over-seeds of
+      // its bucket. Portable seeded md5 hashing, so the REGISTERS are
+      // oracle-exact.
+      graft.pipeline.Sketches.cmRegisters(docs(s, dir), col("text"))),
+
     "q_agg_rollup" -> ((s, dir) =>
       // Corpus stats at every (source, lang) grouping level in ONE pass —
       // rollup's partial aggregates reuse the same map-side combine, where
@@ -888,6 +897,9 @@ object PipelineQueries {
 
     "q_agg_hll" ->
       graft.pipeline.Sketches.hllRegistersSql("text", "documents"),
+
+    "q_agg_cms" ->
+      graft.pipeline.Sketches.cmRegistersSql("text", "documents"),
 
     "q_agg_rollup" ->
       s"""SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,

@@ -342,4 +342,32 @@ class PipelineExtrasSpec extends AnyFunSuite {
       (5L, 5L, true))
     assert(got == want)
   }
+  test("count-min registers: merge by sum, estimates bound true counts") {
+    import graft.pipeline.Sketches
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana apple durian durian"),
+      (3L, "cherry apple banana apple"))
+    val truth = Map("apple" -> 5L, "banana" -> 3L, "cherry" -> 2L,
+      "durian" -> 2L)
+    val regs = Sketches.cmRegisters(docs.toDF("id", "text"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    truth.foreach { case (term, n) =>
+      val est = Sketches.cmEstimate(regs, term)
+      assert(est >= n, s"$term: CM estimate $est below true count $n")
+      // 4 tokens over 4x256 buckets: collisions are impossible at this
+      // size, so the bound is tight.
+      assert(est == n, s"$term: expected exact $n, got $est")
+    }
+    assert(Sketches.cmEstimate(regs, "absent-term") == 0L)
+    // Mergeability: registers of two shards sum element-wise to the
+    // whole corpus's registers.
+    val a = Sketches.cmRegisters(docs.take(2).toDF("id", "text"), col("text"))
+    val b = Sketches.cmRegisters(docs.drop(2).toDF("id", "text"), col("text"))
+    val merged = a.unionByName(b)
+      .groupBy(col("seed"), col("bucket"))
+      .agg(org.apache.spark.sql.functions.sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == regs.toSet)
+  }
 }
