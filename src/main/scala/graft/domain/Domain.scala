@@ -303,8 +303,10 @@ class Domain(val spark: SparkSession) extends Serializable {
           val rows = st.buffer.filter(_._3 <= t).map {
             case (e, v, tt, d, s) => Row(e, v, tt, d, s)
           }
+          val nPart = math.max(1, math.min(
+            spark.sparkContext.defaultParallelism, rows.size / 65536 + 1))
           val raw = spark.createDataFrame(
-            spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+            spark.sparkContext.parallelize(rows.toSeq, nPart), schema)
           st.config.inputSemantics match {
             case InputSemantics.Raw =>
               raw.groupBy(col("e"), col("v")).agg(sum(col("diff")).as("_w"))

@@ -145,6 +145,38 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     outputs.getOrElseUpdate(name, mutable.ArrayBuffer.empty)
   }
 
+  /** Wire-serving interest (the transport's entry point): PREFER the
+    * maintained path — a live client's standing query costs O(delta) per
+    * advance, the reference's `Interest` serving model
+    * (`src/server/mod.rs:299-321` → `implement`, `src/lib.rs:933-1023`) —
+    * and demote this rule to the snapshot path if its plan turns out to
+    * lie outside the maintainable fragment (delivery is identical either
+    * way; only the per-advance cost differs). The kind-pending fallback of
+    * [[interestIncremental]] applies unchanged: until every referenced
+    * attribute's kind is known the snapshot path serves, then the
+    * standing query takes over by replaying history. */
+  def interestMaintained(name: String, granularity: Option[Long] = None): Unit = {
+    interestIncremental(name, granularity)
+    bestEffortIncremental += name
+  }
+
+  // Rules whose incremental marking is best-effort (wire-served): a plan
+  // outside the maintainable fragment demotes to the snapshot path
+  // instead of failing the advance.
+  private val bestEffortIncremental = mutable.Set.empty[String]
+
+  /** True while `name` is served by a standing maintained query (false =
+    * snapshot path: not yet convertible, demoted, or plain interest). */
+  def servedIncrementally(name: String): Boolean = incrementalQs.contains(name)
+
+  /** How many full snapshot recomputes this rule has paid (0 for a rule
+    * that went maintained before any data was processed) — the observable
+    * the serving specs assert on. */
+  def snapshotRecomputeCount(name: String): Long = snapshotRecomputes(name)
+
+  private val snapshotRecomputes =
+    mutable.Map.empty[String, Long].withDefaultValue(0L)
+
   /** Incremental maintenance + sink delivery: the maintained diffs go to
     * `sink` as DataFrames (data-sized results, never collected), computed
     * from each advance's delta alone — the snapshot-sink path's full-outer
@@ -176,6 +208,8 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     incrementalMarked -= name
     incrementalQs -= name
     staticsPending -= name
+    bestEffortIncremental -= name
+    snapshotRecomputes -= name
   }
 
   /** Dispatch a wire-format request (`Request`, `src/server/mod.rs:153-191`)
@@ -205,12 +239,14 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
               val fresh = 999999
               val plan = Plan.Project(Seq(pullVar, fresh),
                 Plan.Join(Seq(pullVar), inner, Plan.MatchA(pullVar, a, fresh)))
-              registerDerivedView(s"$ns/$a", a, plan)
+              registerDerivedView(s"$ns/$a", a, plan,
+                head = Seq(pullVar, fresh))
             }
           case Plan.PullAll(_, pullAttrs) =>
             // Root level with no bindings: ns/attr is the attribute itself.
             pullAttrs.foreach { a =>
-              registerDerivedView(s"$ns/$a", a, Plan.MatchA(0, a, 1))
+              registerDerivedView(s"$ns/$a", a, Plan.MatchA(0, a, 1),
+                head = Seq(0, 1))
             }
           case _ => ()
         }
@@ -240,9 +276,16 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
 
   /** Register a derived attribute whose (e, v, _w) view compiles `plan`
     * (expected binary: entity, value) at each as-of time. Weight-1 by
-    * distinctify, so downstream MatchA treats it like a Distinct input. */
-  private def registerDerivedView(name: String, sourceAttr: String, plan: Plan): Unit = {
-    derivedPlans(name) = plan
+    * distinctify, so downstream MatchA treats it like a Distinct input.
+    * `head` DECLARES which plan variable is the entity and which the
+    * value — recorded alongside the plan so the maintained path's inline
+    * renames by variable identity instead of inferring the order from
+    * `boundVariables` (which could silently swap a (value, entity)
+    * shaped plan). */
+  private def registerDerivedView(name: String, sourceAttr: String,
+      plan: Plan, head: Seq[Int]): Unit = {
+    require(head.length == 2, s"derived view $name head must be binary: $head")
+    derivedPlans(name) = (plan, head)
     domain.registerDerived(name,
       kind = () => domain.asOf(Long.MaxValue).kind(sourceAttr),
       build = { t =>
@@ -270,7 +313,7 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
   // computes the view per as-of; a standing query replaces the scan with
   // the view's plan instead.
   private val derivedPlans =
-    scala.collection.mutable.Map.empty[String, Plan]
+    scala.collection.mutable.Map.empty[String, (Plan, Seq[Int])]
 
   /** Inline derived-attribute `MatchA` scans into their defining plans:
     * head renamed to the scan's vars, internal vars freshened above
@@ -283,7 +326,7 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     import graft.streaming.{IncrementalQuery => IQ}
     var fresh = {
       var mx = 0
-      (Seq(plan) ++ allPlans ++ derivedPlans.values).foreach { p =>
+      (Seq(plan) ++ allPlans ++ derivedPlans.values.map(_._1)).foreach { p =>
         IQ.mapVars(p, v => { if (v > mx) mx = v; v })
       }
       mx + 1
@@ -293,11 +336,17 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
         "plain MatchA scans; use the snapshot path")
     def rw(q: Plan): Plan = q match {
       case Plan.MatchA(e, a, v) if derivedPlans.contains(a) =>
-        val dp = rw(derivedPlans(a))
+        val (dp0, head) = derivedPlans(a)
+        val dp = rw(dp0)
+        // Rename by the DECLARED head (entity var, value var) — keyed on
+        // variable identity, so the plan's bound-variable ORDER is
+        // irrelevant and a (value, entity)-shaped plan cannot silently
+        // swap. The set check catches a head that drifted from the plan.
         val hv = Plan.boundVariables(dp, _ => Seq.empty)
-        require(hv.length == 2,
-          s"derived view $a must be binary (entity, value), got $hv")
-        val m = scala.collection.mutable.Map(hv(0) -> e, hv(1) -> v)
+        require(hv.length == 2 && hv.toSet == head.toSet,
+          s"derived view $a: declared head $head does not match the " +
+            s"plan's bound variables $hv")
+        val m = scala.collection.mutable.Map(head(0) -> e, head(1) -> v)
         Plan.Union(Seq(e, v), Seq(IQ.mapVars(dp,
           x => m.getOrElseUpdate(x, { val f = fresh; fresh += 1; f }))))
       case Plan.MatchEA(_, a, _) if derivedPlans.contains(a) => reject(a)
@@ -362,8 +411,20 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     for (name <- interests if incrementalMarked(name) &&
         !incrementalQs.contains(name)) {
       val deliver = !initialized(name) // conversion: already delivered via snapshots
-      if (tryInitIncremental(name, deliverReplay = deliver))
-        initialized += name
+      val built =
+        try tryInitIncremental(name, deliverReplay = deliver)
+        catch {
+          case scala.util.control.NonFatal(e) if bestEffortIncremental(name) =>
+            // Wire-served interest whose plan lies outside the maintainable
+            // fragment: demote to the (semantically identical) snapshot
+            // path permanently rather than failing the advance. Nothing
+            // was delivered — rejection precedes the replay's output.
+            incrementalMarked -= name
+            incrementalQs -= name
+            staticsPending -= name
+            false
+        }
+      if (built) initialized += name
     }
 
     for (name <- interests if !initialized(name)) {
@@ -491,6 +552,7 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     * frame (columns c0..cn + _w). Stable against later transacts — asOf
     * collections copy the datom buffer at build time. */
   private def frameSnapshot(name: String, t: Long): DataFrame = {
+    snapshotRecomputes(name) += 1L
     val compiler = new Compiler(domain.asOf(t), domain.rules,
       aggregateSetSemantics = setSemantics)
     val rel = canonicalize(compiler, compiler.compileRule(name))
@@ -590,6 +652,15 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
       col(Rel.W).as("_diff"): _*)
   }
 
+  /** Partition count for a driver-buffered datom feed: one partition per
+    * ~64k rows, capped at the cluster's default parallelism, so a
+    * data-sized transact through the wire fans out before its first
+    * shuffle instead of serializing on a single partition. */
+  private def feedPartitions(nRows: Int): Int = {
+    val byRows = nRows / 65536 + 1
+    math.max(1, math.min(spark.sparkContext.defaultParallelism, byRows))
+  }
+
   /** Per-attribute delta frames for a maintained rule over datom times in
     * [from, until); pending static bulk attributes ride along with the
     * first batch that feeds them (weight-1 initial load). */
@@ -623,7 +694,8 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
               StructField("seq", LongType, false)))
             val rows = evs.map { case (e, v, t, d, q) => Row(e, v, t, d, q) }
             Some(a -> spark.createDataFrame(
-              spark.sparkContext.parallelize(rows, 1), schema))
+              spark.sparkContext.parallelize(rows, feedPartitions(rows.size)),
+              schema))
           }
         } else {
           val ds = domain.bufferedDeltas(a, from, until)
@@ -635,7 +707,8 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
               StructField("diff", LongType, false)))
             val rows = ds.map { case (e, v, d) => Row(e, v, d) }
             Some(a -> spark.createDataFrame(
-              spark.sparkContext.parallelize(rows, 1), schema))
+              spark.sparkContext.parallelize(rows, feedPartitions(rows.size)),
+              schema))
           }
         }
       }.toMap
@@ -658,6 +731,7 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     }.toSeq
 
   private def snapshot(name: String, t: Long): Map[Seq[Any], Long] = {
+    snapshotRecomputes(name) += 1L
     val compiler = new Compiler(domain.asOf(t), domain.rules,
       aggregateSetSemantics = setSemantics)
     val rel = canonicalize(compiler, compiler.compileRule(name))

@@ -206,8 +206,13 @@ final class WsServer(engine: Engine, port: Int = 0,
       requests.foreach {
         case Request.Interest(name, g, sink, _) =>
           // Stream-served rules need no engine registration — the live
-          // query delivers; Interest only wires up this client.
-          if (!streamNames.contains(name)) engine.interest(name, g)
+          // query delivers; Interest only wires up this client. Engine-
+          // served rules go through the MAINTAINED path (the reference's
+          // Interest IS the standing dataflow, `src/server/mod.rs:299-321`):
+          // a live client's standing query costs O(delta) per advance,
+          // with the engine demoting to the snapshot path only for plans
+          // outside the maintainable fragment.
+          if (!streamNames.contains(name)) engine.interestMaintained(name, g)
           clients(id)._2 += name
           // Sink routing (reference: `Interest.sink`, server/src/main.rs:
           // 494-520): diffs divert into the sink; AssocIn forwards its

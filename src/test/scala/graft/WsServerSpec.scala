@@ -450,6 +450,103 @@ class WsServerSpec extends AnyFunSuite {
     }
   }
 
+  test("wire Interest is served through the maintained path, O(delta) per advance") {
+    // The reference's `Interest` IS the standing dataflow
+    // (`src/server/mod.rs:299-321`): a live client's standing query must
+    // cost O(delta) per advance — no per-epoch snapshot recompute.
+    val engine = new Engine(spark)
+    val server = new WsServer(engine).start()
+    val client = new Client(server.boundPort)
+    try {
+      client.send("""{"CreateAttribute":{"name":":m/name","config":{"input_semantics":"Distinct"}}}""")
+      client.send("""{"CreateAttribute":{"name":":m/age","config":{"input_semantics":"Distinct"}}}""")
+      client.send("""{"Register":{"rules":[{"name":"m_join","plan":
+        {"Join":{"variables":[0],
+                 "left_plan":{"MatchA":[0,":m/name",1]},
+                 "right_plan":{"MatchA":[0,":m/age",2]}}}}],"publish":["m_join"]}}""")
+      client.send("""{"Interest":{"name":"m_join","granularity":null}}""")
+      // First signed batch: pure additions.
+      client.send("""{"Transact":[[1,":m/name","Ada",null,1],[1,":m/age",36,null,1],
+        [2,":m/name","Bob",null,1],[2,":m/age",40,null,1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+      Wire.parseOutput(client.next()) match {
+        case Output.QueryDiff(name, batch) =>
+          assert(name == "m_join")
+          assert(batch.toSet == Set(
+            (Seq(Value.eid(1), Value.str("Ada"), Value.num(36)), 0L, 1L),
+            (Seq(Value.eid(2), Value.str("Bob"), Value.num(40)), 0L, 1L)))
+        case other => fail(s"expected a QueryDiff, got $other")
+      }
+      // Second signed batch: retraction + correction — exact diffs out.
+      client.send("""{"Transact":[[1,":m/age",36,null,-1],[1,":m/age",37,null,1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":2}]}""")
+      Wire.parseOutput(client.next()) match {
+        case Output.QueryDiff(name, batch) =>
+          assert(name == "m_join")
+          assert(batch.toSet == Set(
+            (Seq(Value.eid(1), Value.str("Ada"), Value.num(36)), 1L, -1L),
+            (Seq(Value.eid(1), Value.str("Ada"), Value.num(37)), 1L, 1L)))
+        case other => fail(s"expected a QueryDiff, got $other")
+      }
+      // The engine took the INCREMENTAL path: a standing maintained query
+      // serves the interest, and not one per-epoch snapshot was computed.
+      assert(engine.servedIncrementally("m_join"),
+        "wire interest should be served by a standing maintained query")
+      assert(engine.snapshotRecomputeCount("m_join") == 0L,
+        "maintained serving must not pay per-epoch snapshot recomputes")
+    } finally {
+      try client.close() catch { case _: Throwable => () }
+      server.stop()
+    }
+  }
+
+  test("wire Interest outside the maintainable fragment demotes to snapshots") {
+    // Non-monotone operator INSIDE a recursive clique body (antijoin in
+    // the base case) — outside the maintained-recursion scope. The wire
+    // path must demote this interest to the (semantically identical)
+    // snapshot path instead of failing the advance.
+    val engine = new Engine(spark)
+    val server = new WsServer(engine).start()
+    val client = new Client(server.boundPort)
+    try {
+      client.send("""{"CreateAttribute":{"name":":g/edge","config":{"input_semantics":"Distinct"}}}""")
+      client.send("""{"CreateAttribute":{"name":":g/blocked","config":{"input_semantics":"Distinct"}}}""")
+      // reach(x,y) := (edge(x,y) minus blocked(x)) ∪ reach(x,z)⋈edge(z,y)
+      client.send("""{"Register":{"rules":[{"name":"reach","plan":
+        {"Union":{"variables":[0,1],"plans":[
+          {"Antijoin":{"variables":[0],
+            "left_plan":{"MatchA":[0,":g/edge",1]},
+            "right_plan":{"Project":{"variables":[0],
+              "plan":{"MatchA":[0,":g/blocked",2]}}}}},
+          {"Project":{"variables":[0,1],
+            "plan":{"Join":{"variables":[2],
+              "left_plan":{"NameExpr":[[0,2],"reach"]},
+              "right_plan":{"MatchA":[2,":g/edge",1]}}}}}]}}}],
+        "publish":["reach"]}}""")
+      client.send("""{"Interest":{"name":"reach","granularity":null}}""")
+      client.send("""{"Transact":[[1,":g/edge",{"Eid":2},null,1],
+        [2,":g/edge",{"Eid":3},null,1],[5,":g/edge",{"Eid":6},null,1],
+        [5,":g/blocked",true,null,1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+      Wire.parseOutput(client.next()) match {
+        case Output.QueryDiff(name, batch) =>
+          assert(name == "reach")
+          // 5→6 is blocked at the source; 1 reaches 2 and (transitively) 3.
+          assert(batch.toSet == Set(
+            (Seq(Value.eid(1), Value.eid(2)), 0L, 1L),
+            (Seq(Value.eid(1), Value.eid(3)), 0L, 1L),
+            (Seq(Value.eid(2), Value.eid(3)), 0L, 1L)))
+        case other => fail(s"expected a QueryDiff, got $other")
+      }
+      assert(!engine.servedIncrementally("reach"),
+        "non-monotone recursion must demote to the snapshot path")
+      assert(engine.snapshotRecomputeCount("reach") >= 1L)
+    } finally {
+      try client.close() catch { case _: Throwable => () }
+      server.stop()
+    }
+  }
+
   test("sink routing is per client: another client's plain delivery is untouched") {
     withServer { (server, a) =>
       val b = new Client(server.boundPort)
