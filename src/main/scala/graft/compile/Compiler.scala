@@ -276,75 +276,77 @@ class Compiler(
     fpConf.setConfString(cpKey, "false")
     org.apache.spark.sql.internal.SQLConf.withExistingConf(fpConf) {
 
-    if (semiNaive) {
-      // Broadcast only what actually fits: estimated bytes (rows × a
-      // conservative per-column width) against
-      // spark.sql.autoBroadcastJoinThreshold — a bare row-count gate would
-      // happily broadcast 5M wide tuples and OOM the driver (round-2
-      // advice). Oversized sides fall back to shuffled plans.
-      val bcBytes: Long = graft.kernel.RddKernel.broadcastThresholdBytes(spark)
-      def canBroadcast(rows: Long, cols: Int): Boolean =
-        bcBytes > 0 && rows * (24L * cols + 8L) <= bcBytes
+    // Broadcast only what actually fits: estimated bytes (rows × a
+    // conservative per-column width) against
+    // spark.sql.autoBroadcastJoinThreshold — a bare row-count gate would
+    // happily broadcast 5M wide tuples and OOM the driver (round-2
+    // advice). Oversized sides fall back to shuffled plans.
+    val bcBytes: Long = graft.kernel.RddKernel.broadcastThresholdBytes(spark)
+    def canBroadcast(rows: Long, cols: Int): Boolean =
+      bcBytes > 0 && rows * (24L * cols + 8L) <= bcBytes
 
-      // Set semantics inside the loop applies to the LEAVES too: a Z-set
-      // input tuple with NEGATIVE net support (possible on signed-delta
-      // sources; engine Distinct/LWW inputs never go negative) would
-      // otherwise enter the round bodies at its raw weight, and its
-      // negative join products cancel genuine derivations BEFORE
-      // distinctify nets candidate weights — dropping tuples the support
-      // set derives. So every in-loop evaluation runs through a child
-      // compiler whose source serves each referenced attribute as its
-      // materialized SUPPORT SET (net weight > 0 → weight 1): exact for
-      // the monotone bodies this branch requires (multiplicities cannot
-      // change a monotone body's support set), it defines the
-      // negative-support case correctly, and — as a side effect — each
-      // attribute is scanned once per FIXPOINT instead of once per
-      // round, with measured counts driving broadcast hints. Unit
-      // sources are already weight-1 and pass through untouched, so the
-      // engine's bulk path pays nothing. Non-recursive rule references
-      // are served from the parent-materialized results via the env,
-      // set-normalized under the same rule.
-      val scanAttrs: Set[String] = ordered.flatMap { r =>
-        P.dependencies(rules(r).plan)._1
-      }.toSet.filter(a => source.has(a) && !source.unit(a))
-      val normScans: Map[String, (DataFrame, Long)] = scanAttrs.map { a =>
-        val df = distinctify(source.collection(a)).localCheckpoint(false)
-        a -> ((df, df.count()))
-      }.toMap
-      val loopComp: Compiler =
-        if (scanAttrs.isEmpty) this
-        else {
-          val outer = source
-          val loopSource: AttributeSource = new AttributeSource {
-            def has(name: String): Boolean = outer.has(name)
-            def kind(name: String): ValueKind = outer.kind(name)
-            def unit(name: String): Boolean =
-              outer.unit(name) || normScans.contains(name)
-            def collection(name: String): DataFrame =
-              normScans.get(name).map(_._1).getOrElse(outer.collection(name))
-            override def version: (Long, Long) = outer.version
-            override def relation(name: String): Option[(DataFrame, Seq[ValueKind])] =
-              outer.relation(name)
-            override def small(name: String): Boolean =
-              normScans.get(name).map { case (_, n) => canBroadcast(n, 2) }
-                .getOrElse(outer.small(name))
-            override def fused(names: Seq[String]): Option[DataFrame] =
-              outer.fused(names)
-          }
-          // No shared cache: nothing may memoize set-normalized results
-          // under the raw source's cache key.
-          new Compiler(loopSource, rules, maxIterations, aggregateSetSemantics)
+    // Set semantics inside the loop applies to the LEAVES too — in BOTH
+    // strategies: a Z-set input tuple with NEGATIVE net support (possible
+    // on signed-delta sources; engine Distinct/LWW inputs never go
+    // negative) would otherwise enter the round bodies at its raw weight,
+    // and its negative join products cancel genuine derivations BEFORE
+    // distinctify nets candidate weights — dropping tuples the support
+    // set derives (MutualFixpointRepro pins the linear case, its
+    // non-linear variant the naive-recompute case). So every in-loop
+    // evaluation runs through a child compiler whose source serves each
+    // referenced attribute as its materialized SUPPORT SET (net weight >
+    // 0 → weight 1): exact for monotone bodies (multiplicities cannot
+    // change a monotone body's support set), it defines the
+    // negative-support case correctly for the rest (recursion closes
+    // every round under distinct anyway), and — as a side effect — each
+    // attribute is scanned once per FIXPOINT instead of once per round,
+    // with measured counts driving broadcast hints. Unit sources are
+    // already weight-1 and pass through untouched, so the engine's bulk
+    // path pays nothing. Non-recursive rule references are served from
+    // the parent-materialized results via the env, set-normalized under
+    // the same rule.
+    val scanAttrs: Set[String] = ordered.flatMap { r =>
+      P.dependencies(rules(r).plan)._1
+    }.toSet.filter(a => source.has(a) && !source.unit(a))
+    val normScans: Map[String, (DataFrame, Long)] = scanAttrs.map { a =>
+      val df = distinctify(source.collection(a)).localCheckpoint(false)
+      a -> ((df, df.count()))
+    }.toMap
+    val loopComp: Compiler =
+      if (scanAttrs.isEmpty) this
+      else {
+        val outer = source
+        val loopSource: AttributeSource = new AttributeSource {
+          def has(name: String): Boolean = outer.has(name)
+          def kind(name: String): ValueKind = outer.kind(name)
+          def unit(name: String): Boolean =
+            outer.unit(name) || normScans.contains(name)
+          def collection(name: String): DataFrame =
+            normScans.get(name).map(_._1).getOrElse(outer.collection(name))
+          override def version: (Long, Long) = outer.version
+          override def relation(name: String): Option[(DataFrame, Seq[ValueKind])] =
+            outer.relation(name)
+          override def small(name: String): Boolean =
+            normScans.get(name).map { case (_, n) => canBroadcast(n, 2) }
+              .getOrElse(outer.small(name))
+          override def fused(names: Seq[String]): Option[DataFrame] =
+            outer.fused(names)
         }
-      val depEnv: Map[String, Option[Rel]] =
-        ordered.flatMap(r => reachable(r)).distinct
-          .filterNot(cyclic).filter(rules.contains).map { dep =>
-            val rel = memo(dep)
-            val ndf =
-              if (rel.distinct || rel.unit) rel.df
-              else distinctify(rel.df).localCheckpoint(false)
-            dep -> (Some(rel.copy(df = ndf, distinct = true)): Option[Rel])
-          }.toMap
+        // No shared cache: nothing may memoize set-normalized results
+        // under the raw source's cache key.
+        new Compiler(loopSource, rules, maxIterations, aggregateSetSemantics)
+      }
+    val depEnv: Map[String, Option[Rel]] =
+      ordered.flatMap(r => reachable(r)).distinct
+        .filterNot(cyclic).filter(rules.contains).map { dep =>
+          val rel = memo(dep)
+          val ndf =
+            if (rel.distinct || rel.unit) rel.df
+            else distinctify(rel.df).localCheckpoint(false)
+          dep -> (Some(rel.copy(df = ndf, distinct = true)): Option[Rel])
+        }.toMap
 
+    if (semiNaive) {
       // Per-round bodies are the DERIVATIVE of the rule: union branches
       // without the recursive reference are constants whose delta is empty,
       // so only the recursive branch is re-evaluated after round 0.
@@ -486,7 +488,11 @@ class Compiler(
       while (!stable && iter < maxIterations) {
         iter += 1
         val newEnv = ordered.map { r =>
-          r -> compile(rules(r).plan, env).map { rel =>
+          // Same leaf support-set compiler + set-normalized deps as the
+          // semi-naive branch: raw signed leaf weights must not cancel
+          // derivations here either (non-linear monotone cliques land in
+          // this branch — the non-linear MutualFixpointRepro variant).
+          r -> loopComp.compile(rules(r).plan, env ++ depEnv).map { rel =>
             // Lazy checkpoint: the signature aggregation below is the
             // materializing action (one job per rule-round, not two).
             rel.copy(df =

@@ -67,4 +67,51 @@ class MutualFixpointRepro extends AnyFunSuite {
     }
     assert(got == o, s"got ${got.toSeq.sorted} expected ${o.toSeq.sorted}")
   }
+
+  test("negative-support leaves cannot cancel NON-LINEAR fixpoint derivations") {
+    // The non-linear variant (>=2 recursive refs per body) routes through
+    // the NAIVE-RECOMPUTE branch — which must run its round bodies
+    // through the same leaf support-set compiler as the semi-naive
+    // branch: without it, the (2,3)/(1,3) net −1 edge rows join into
+    // `edge ⋈ tc` at weight −1 and cancel the same tuples derived via
+    // `tc ⋈ tc`, before distinctify nets candidate weights.
+    spark.range(1).count()
+    val edges = Seq((3L, 1L), (2L, 0L), (1L, 1L), (1L, 2L), (0L, 3L), (3L, 3L))
+    val schema = StructType(Seq(
+      StructField("e", LongType, false), StructField("v", LongType, false),
+      StructField("_w", LongType, false)))
+    val src = new AttributeSource {
+      def has(name: String): Boolean = name == ":e1"
+      def kind(name: String): ValueKind = KEid
+      def unit(name: String): Boolean = false
+      def collection(name: String): DataFrame = {
+        val rows = edges.map { case (a, b) => Row(a, b, 1L) } ++
+          Seq(Row(2L, 3L, -1L), Row(1L, 3L, -1L))
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      }
+      override def version: (Long, Long) = (0L, Long.MaxValue)
+    }
+    // tc := edge ∪ (edge ⋈ tc) ∪ (tc ⋈ tc): a leaf join AND a non-linear
+    // self-join in one clique body.
+    val tc = Plan.Union(Seq(0, 1), Seq(
+      Plan.MatchA(0, ":e1", 1),
+      Plan.Project(Seq(0, 1), Plan.Join(Seq(2),
+        Plan.MatchA(0, ":e1", 2), Plan.NameExpr(Seq(2, 1), "tc"))),
+      Plan.Project(Seq(0, 1), Plan.Join(Seq(2),
+        Plan.NameExpr(Seq(0, 2), "tc"), Plan.NameExpr(Seq(2, 1), "tc")))))
+    val comp = new Compiler(src, Map("tc" -> Rule("tc", tc)))
+    val res = comp.compile(Plan.NameExpr(Seq(0, 1), "tc"), Map.empty).get
+    val got = res.df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Brute-force transitive closure over the SUPPORT SET of the edges.
+    val support = edges.toSet
+    var cl = support
+    var stable = false
+    while (!stable) {
+      val next = cl ++
+        (for ((x, z) <- cl; (z2, y) <- cl if z2 == z) yield (x, y))
+      stable = next == cl
+      cl = next
+    }
+    assert(got == cl, s"got ${got.toSeq.sorted} expected ${cl.toSeq.sorted}")
+  }
 }
