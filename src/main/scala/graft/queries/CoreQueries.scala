@@ -537,11 +537,13 @@ object CoreQueries {
         NameExpr(Seq(0, 1), "reach"),
         Map(":lp/edge" -> ValueKind.KEid, ":lp/seed" -> ValueKind.KEid),
         Map("reach" -> reachRule), partitions = 8)
-      // Edge bound 40 (vs the closure queries' 60): the general node
-      // pays per-round driver planning where the TC fast path runs its
-      // RDD kernel — same semantics, bounded bench cost.
+      // Edge bound 60 — parity with the closure queries: the general
+      // node's LINEAR RDD kernel now serves the deep delta rounds
+      // (broadcast static side, map-side expansion, zero per-round
+      // Catalyst planning), so the labelprop shape pays the same
+      // per-round cost as the TC fast path.
       val li = s.read.parquet(s"$dir/lineitem.parquet")
-        .where(col("l_partkey") <= 40)
+        .where(col("l_partkey") <= 60)
       val edges = li
         .select(col("l_partkey").cast("long").as("e"),
           col("l_suppkey").cast("long").as("v")).distinct()
@@ -816,13 +818,13 @@ object CoreQueries {
       """WITH RECURSIVE edges AS (
            SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
                   CAST(l_suppkey AS BIGINT) AS dst
-           FROM lineitem WHERE l_partkey <= 40),
+           FROM lineitem WHERE l_partkey <= 60),
          surviving AS (
            SELECT src, dst FROM edges WHERE (src + dst) % 3 <> 0),
          seeds AS (
            SELECT DISTINCT CAST(l_partkey AS BIGINT) AS node,
                   CAST(l_partkey % 7 AS BIGINT) AS label
-           FROM lineitem WHERE l_partkey <= 40 AND l_partkey % 4 <> 0),
+           FROM lineitem WHERE l_partkey <= 60 AND l_partkey % 4 <> 0),
          reach AS (
            SELECT node, label FROM seeds
            UNION

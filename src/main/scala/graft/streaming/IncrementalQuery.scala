@@ -113,6 +113,13 @@ class IncrementalQuery(
     if (partitions > 0) partitions
     else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
+  /** Catalyst plans built inside recursion rounds (observable for the
+    * smoke specs): with the linear RDD kernel engaged, this stays O(1)
+    * per advance — first-round input variants plus static rebuilds —
+    * instead of growing with fixpoint depth. */
+  private[graft] val recursionPlanCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   // ---- Node tree -----------------------------------------------------
 
   private sealed trait Node {
@@ -1103,6 +1110,7 @@ class IncrementalQuery(
 
     private def evalSet(p: Plan, env: Map[String, Rel]): RDD[Seq[Any]] = {
       val t0 = System.nanoTime()
+      recursionPlanCount.incrementAndGet()
       val out = new Compiler(noAttrSrc)
         .compile(p, env.map { case (k, v) => k -> Some(v) }) match {
         case Some(rel) =>
@@ -1255,6 +1263,246 @@ class IncrementalQuery(
       }
     }
 
+    // ---- linear RDD kernel (general linear recursion) -----------------
+    // For a single-rule LINEAR clique whose delta rule reduces — modulo
+    // Project/Filter layers — to `static ⋈ Δrec` with the recursive
+    // reference a BARE NameExpr and `static` built purely from input
+    // relations, the DEEP delta rounds skip Catalyst entirely: the
+    // static side is evaluated once per phase (cached across advances,
+    // rebuilt only when an input feeding it changes), collected and
+    // broadcast (size-gated exactly like the batch fixpoint's kernel),
+    // and each round expands the delta map-side — per-round cost is one
+    // RDD job, independent of round count. This is the maintained analog
+    // of the batch `kernelLinear` for the labelprop/reachability/TC
+    // family (reference workload: `experiments/src/bin/labelprop.rs:
+    // 23-62`); only the FIRST round of a phase (input-delta variants)
+    // and non-matching shapes pay a Catalyst plan.
+    private final case class LinearShape(
+        keyIdxRec: Array[Int],         // join-key positions in the rec tuple
+        keyIdxStatic: Array[Int],      // join-key positions in a static row
+        recipe: Array[(Boolean, Int)], // output cols: (fromRec, position)
+        filterFns: Array[(Seq[Any], Array[Any]) => Boolean],
+        staticPlan: Plan,
+        staticCols: Int,
+        staticInputs: Set[String])     // input names feeding the static side
+
+    private val linearShape: Option[LinearShape] = detectLinearShape()
+
+    private def detectLinearShape(): Option[LinearShape] = {
+      if (!linearSingle) return None
+      val dn = target + "@d"
+      val variant = pruneToDelta(replaceOcc(bodies(target), target, 0), dn)
+      // roundStep evaluates exactly this single variant for deep rounds.
+      val (outVars, core) = variant match {
+        case Plan.Union(vs, Seq(b)) => (vs, b)
+        case _                      => return None
+      }
+      if (outVars != sig(target)._1) return None
+      var filters = List.empty[Plan.Filter]
+      def unwrap(p: Plan): Option[Plan.Join] = p match {
+        case j: Plan.Join       => Some(j)
+        case Plan.Project(_, x) => unwrap(x)
+        case f: Plan.Filter     => filters ::= f; unwrap(f.plan)
+        case _                  => None
+      }
+      val j = unwrap(core).getOrElse(return None)
+      val (recVars, staticPlan) = (j.leftPlan, j.rightPlan) match {
+        case (Plan.NameExpr(rv, `dn`), s) if occCount(s, dn) == 0 => (rv, s)
+        case (s, Plan.NameExpr(rv, `dn`)) if occCount(s, dn) == 0 => (rv, s)
+        case _ => return None
+      }
+      if (recVars.distinct != recVars) return None
+      val joinVars = j.variables
+      if (!joinVars.forall(recVars.contains)) return None
+      // Static-side signature from a probe compile over empty inputs.
+      val probeEnv = inputs.map { case (n, _) =>
+        n -> (Some(relOf(inputKinds(n), Seq(emptySet), isSmall = false))
+          : Option[Rel])
+      }.toMap
+      val sRel = new Compiler(noAttrSrc).compile(staticPlan, probeEnv)
+        .getOrElse(return None)
+      val sVars = sRel.vars
+      if (sVars.distinct != sVars || !joinVars.forall(sVars.contains))
+        return None
+      val recipe: Array[(Boolean, Int)] = outVars.map { v =>
+        val ri = recVars.indexOf(v)
+        if (ri >= 0) (true, ri)
+        else {
+          val si = sVars.indexOf(v)
+          if (si < 0) return None
+          (false, si)
+        }
+      }.toArray
+      // Filters compile to JVM predicates over (rec tuple, static row) —
+      // the batch kernel's gates: EQ/NEQ on any scalar (universal equals
+      // == Catalyst equality for scalars), ordering only on long-backed
+      // kinds so JVM comparison matches Catalyst's exactly.
+      import graft.model.{Predicate, Value}
+      def longKind(k: ValueKind): Boolean =
+        k == ValueKind.KNumber || k == ValueKind.KEid || k == ValueKind.KInstant
+      type Op = (Boolean, Int)
+      def operandOf(v: PVar): Option[Op] = {
+        val ri = recVars.indexOf(v)
+        if (ri >= 0) Some((true, ri))
+        else {
+          val si = sVars.indexOf(v)
+          if (si < 0) None else Some((false, si))
+        }
+      }
+      val recKinds = sig(target)._2
+      def kindOf(o: Op): ValueKind =
+        if (o._1) recKinds(o._2) else sRel.kinds(o._2)
+      def asLongK(x: Any): Long = x match {
+        case l: Long => l
+        case i: Int  => i.toLong
+        case other   => sys.error(s"kernel filter expected a long, got $other")
+      }
+      def check(pred: Predicate, a: Any, b: Any): Boolean =
+        // Catalyst three-valued logic: any null operand fails the filter.
+        if (a == null || b == null) false
+        else pred match {
+          case Predicate.EQ  => a == b
+          case Predicate.NEQ => a != b
+          case Predicate.LT  => asLongK(a) < asLongK(b)
+          case Predicate.LTE => asLongK(a) <= asLongK(b)
+          case Predicate.GT  => asLongK(a) > asLongK(b)
+          case Predicate.GTE => asLongK(a) >= asLongK(b)
+        }
+      def value(o: Op, t: Seq[Any], s: Array[Any]): Any =
+        if (o._1) t(o._2) else s(o._2)
+      val filterFns: Array[(Seq[Any], Array[Any]) => Boolean] =
+        filters.map { f =>
+          val ordering = f.predicate match {
+            case Predicate.EQ | Predicate.NEQ => false
+            case _                            => true
+          }
+          def constOk(k: Value): Boolean = !ordering ||
+            k.isInstanceOf[Value.VNumber] || k.isInstanceOf[Value.VEid] ||
+            k.isInstanceOf[Value.VInstant]
+          val o0 = operandOf(f.variables(0)).getOrElse(return None)
+          if (ordering && !longKind(kindOf(o0))) return None
+          val pred = f.predicate
+          (f.constants.lift(0).flatten, f.constants.lift(1).flatten) match {
+            case (Some(k), _) =>
+              if (!constOk(k)) return None
+              val kn = k.native
+              (t: Seq[Any], s: Array[Any]) => check(pred, kn, value(o0, t, s))
+            case (_, Some(k)) =>
+              if (!constOk(k)) return None
+              val kn = k.native
+              (t: Seq[Any], s: Array[Any]) => check(pred, value(o0, t, s), kn)
+            case _ =>
+              val o1 = operandOf(f.variables(1)).getOrElse(return None)
+              if (ordering && !longKind(kindOf(o1))) return None
+              (t: Seq[Any], s: Array[Any]) =>
+                check(pred, value(o0, t, s), value(o1, t, s))
+          }
+        }.toArray
+      Some(LinearShape(
+        joinVars.map(recVars.indexOf).toArray,
+        joinVars.map(sVars.indexOf).toArray,
+        recipe, filterFns, staticPlan, sVars.length,
+        IncrementalQuery.ruleRefs(staticPlan).toSet))
+    }
+
+    // Static-side broadcast, generation-keyed: `staticGen` bumps whenever
+    // the state of an input feeding the static side changes, so each
+    // phase's rounds see exactly the inputState the Catalyst path would.
+    // A None value at the current generation records a failed size gate
+    // (static too big to broadcast) — rounds fall back to the plan path.
+    private var staticGen = 0L
+    private var staticBcGen = -1L
+    private var staticBcVal: Option[org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[Seq[Any], Array[Array[Any]]]]] = None
+
+    private def noteInputChanged(n: String): Unit =
+      if (linearShape.exists(_.staticInputs(n))) staticGen += 1
+
+    private def kernelBroadcast(): Option[org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[Seq[Any], Array[Array[Any]]]]] = {
+      val sh = linearShape.get
+      if (staticBcGen == staticGen) return staticBcVal
+      staticBcVal.foreach(_.unpersist(blocking = false))
+      staticBcVal = None
+      staticBcGen = staticGen
+      val env = inputs.map { case (n, _) =>
+        n -> relOf(inputKinds(n), Seq(inputState(n)), isSmall = false)
+      }.toMap
+      val bcBytes = graft.kernel.RddKernel.broadcastThresholdBytes(spark)
+      val maxRows =
+        if (bcBytes <= 0) Long.MaxValue
+        else bcBytes / (24L * sh.staticCols + 8L)
+      if (maxRows <= 0L) return None
+      val cap = math.min(maxRows, Int.MaxValue.toLong - 1L).toInt
+      val taken = evalSet(sh.staticPlan, env).take(cap + 1)
+      if (taken.length > cap) return None
+      val m = new java.util.HashMap[Seq[Any], Array[Array[Any]]]()
+      val keyIdx = sh.keyIdxStatic
+      taken.groupBy { t =>
+        val k = new Array[Any](keyIdx.length); var i = 0
+        while (i < keyIdx.length) { k(i) = t(keyIdx(i)); i += 1 }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(k): Seq[Any]
+      }.foreach { case (k, vs) => m.put(k, vs.map(_.toArray).toArray) }
+      staticBcVal = Some(sc.broadcast(m))
+      rtrace(s"kernel static broadcast rows=${taken.length} gen=$staticGen")
+      staticBcVal
+    }
+
+    /** One kernel round: expand the target-relation delta through the
+      * broadcast static side entirely map-side — no Catalyst plan, no
+      * shuffle (the caller's dedup/subtract is the round's one shuffle,
+      * exactly as on the plan path). */
+    private def kernelExpand(sh: LinearShape, delta: PSet,
+        bc: org.apache.spark.broadcast.Broadcast[
+          java.util.HashMap[Seq[Any], Array[Array[Any]]]]): RDD[Seq[Any]] = {
+      val keyIdx = sh.keyIdxRec
+      val recipe = sh.recipe
+      val fns = sh.filterFns
+      delta.mapPartitions { it =>
+        val m = bc.value
+        it.flatMap { case (t, _) =>
+          val kArr = new Array[Any](keyIdx.length); var i = 0
+          while (i < keyIdx.length) { kArr(i) = t(keyIdx(i)); i += 1 }
+          val arr = m.get(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(kArr): Seq[Any])
+          if (arr == null) Iterator.empty
+          else arr.iterator
+            .filter { s =>
+              var ok = true; var fi = 0
+              while (ok && fi < fns.length) { ok = fns(fi)(t, s); fi += 1 }
+              ok
+            }
+            .map { s =>
+              val out = new Array[Any](recipe.length); var oi = 0
+              while (oi < recipe.length) {
+                val (fromRec, idx) = recipe(oi)
+                out(oi) = if (fromRec) t(idx) else s(idx)
+                oi += 1
+              }
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(out): Seq[Any]
+            }
+        }
+      }
+    }
+
+    /** Candidates for rule `r` this round: the linear kernel when the
+      * round delta IS the target relation (every deep round of a linear
+      * clique — zero Catalyst planning), the general delta-rule plan
+      * otherwise (the first round over input deltas, multi-rule cliques,
+      * or a static side past the broadcast gate). */
+    private def stepCandidates(
+        r: String,
+        roundDeltas: Seq[(String, Seq[ValueKind], PSet)],
+        env: => Map[String, Rel]): Option[RDD[Seq[Any]]] =
+      (linearShape, roundDeltas) match {
+        case (Some(sh), Seq((dn, _, d))) if dn == target && r == target =>
+          kernelBroadcast() match {
+            case Some(bc) => Some(kernelExpand(sh, d, bc))
+            case None     => roundStep(r, roundDeltas, env)
+          }
+        case _ => roundStep(r, roundDeltas, env)
+      }
+
     // Construction-time validation: each rewritten body compiles against
     // empty inputs and reproduces the probe signature.
     locally {
@@ -1334,7 +1582,7 @@ class IncrementalQuery(
             (n, inputKinds(n), dels) }
         while (roundDeltas.nonEmpty) {
           roundDeltas = clique.flatMap { r =>
-            roundStep(r, roundDeltas, envOld).flatMap { cand =>
+            stepCandidates(r, roundDeltas, envOld).flatMap { cand =>
               var s = intersect(asSet(cand), recState(r))
               over(r).foreach(o => s = minus(s, o))
               val c = checkpointedT(s, s"over:$r")
@@ -1347,8 +1595,10 @@ class IncrementalQuery(
           }
         }
         trans.foreach { case (n, _, dels, _, dc) =>
-          if (dc > 0L)
+          if (dc > 0L) {
             inputState(n) = checkpointed(without(inputState(n), dels))
+            noteInputChanged(n)
+          }
         }
         if (clique.exists(r => over(r).nonEmpty)) {
           val overTotal: Map[String, PSet] = clique.map { r =>
@@ -1390,11 +1640,12 @@ class IncrementalQuery(
               }
             }
           while (roundR.nonEmpty) {
-            val envK = envOf(
+            // By-name: kernel rounds never build the env (driver cost).
+            lazy val envK = envOf(
               inputs.map { case (n, _) => n -> Seq(inputState(n)) }.toMap,
               clique.map(r => r -> (keep(r) +: redv(r))).toMap)
             roundR = clique.flatMap { r =>
-              roundStep(r, roundR, envK).flatMap { cand =>
+              stepCandidates(r, roundR, envK).flatMap { cand =>
                 var s = intersect(asSet(cand), overTotal(r))
                 redv(r).foreach(o => s = minus(s, o))
                 val c = checkpointedT(s, s"rederive:$r")
@@ -1420,9 +1671,11 @@ class IncrementalQuery(
       // ---- additions: warm-started semi-naive ----
       if (anyAdd) {
         trans.foreach { case (n, adds, _, ac, _) =>
-          if (ac > 0L)
+          if (ac > 0L) {
             inputState(n) =
               checkpointed(disjointUnion(Seq(inputState(n), adds)))
+            noteInputChanged(n)
+          }
         }
         // BULK first batch: with every fixpoint still empty and no
         // deletions in flight, the answer IS the batch fixpoint over
@@ -1447,11 +1700,12 @@ class IncrementalQuery(
           trans.collect { case (n, adds, _, ac, _) if ac > 0L =>
             (n, inputKinds(n), adds) }
         while (roundDeltas.nonEmpty) {
-          val env = envOf(
+          // By-name: kernel rounds never build the env (driver cost).
+          lazy val env = envOf(
             inputs.map { case (n, _) => n -> Seq(inputState(n)) }.toMap,
             clique.map(r => r -> (recState(r) +: newParts(r))).toMap)
           roundDeltas = clique.flatMap { r =>
-            roundStep(r, roundDeltas, env).flatMap { cand =>
+            stepCandidates(r, roundDeltas, env).flatMap { cand =>
               var s = minus(asSet(cand), recState(r))
               newParts(r).foreach(p2 => s = minus(s, p2))
               val c = checkpointedT(s, s"add:$r")

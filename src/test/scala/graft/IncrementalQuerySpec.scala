@@ -332,6 +332,44 @@ class IncrementalQuerySpec extends AnyFunSuite {
     finally System.clearProperty("graft.recursion.khop")
   }
 
+  test("linear kernel: per-advance Catalyst planning independent of fixpoint depth") {
+    import spark.implicits._
+    // Labelprop shape over a CHAIN graph: extending the chain by m edges
+    // takes ~m delta rounds. With the linear RDD kernel, deep rounds are
+    // pure RDD jobs — the Catalyst plan count per advance stays O(1)
+    // (the first-round input variants plus one static rebuild), instead
+    // of one plan per round.
+    val reach = Plan.Union(Seq(0, 1), Seq(
+      Plan.MatchA(0, ":ua", 1),
+      Plan.Project(Seq(0, 1), Plan.Join(Seq(2),
+        Plan.MatchA(2, ":e1", 0), Plan.NameExpr(Seq(2, 1), "reach")))))
+    val iq = new IncrementalQuery(spark, Plan.NameExpr(Seq(0, 1), "reach"),
+      kinds, Map("reach" -> reach), partitions = 4)
+    def df(rows: Seq[(Long, Long, Long)]): DataFrame =
+      rows.toDF("e", "v", "diff")
+    // Bulk load: one seeded label, chain 0→1→…→10 (bulk path: the batch
+    // fixpoint, no delta rounds).
+    iq.advance(Map(
+      ":ua" -> df(Seq((0L, 7L, 1L))),
+      ":e1" -> df((0L until 10L).map(i => (i, i + 1, 1L)))))
+    // Extend the chain by 15 edges: ~15 propagation rounds.
+    val p0 = iq.recursionPlanCount.get
+    val d1rows = multiset(
+      iq.advance(Map(":e1" -> df((10L until 25L).map(i => (i, i + 1, 1L))))))
+    val plans1 = iq.recursionPlanCount.get - p0
+    assert(d1rows == (11L to 25L).map(n => Seq[Any](n, 7L) -> 1L).toMap,
+      s"kernel rounds must emit exactly the newly reached labels: $d1rows")
+    // Extend by 30 MORE edges: twice the rounds, same plan count.
+    val p1 = iq.recursionPlanCount.get
+    val d2rows = multiset(
+      iq.advance(Map(":e1" -> df((25L until 55L).map(i => (i, i + 1, 1L))))))
+    val plans2 = iq.recursionPlanCount.get - p1
+    assert(d2rows == (26L to 55L).map(n => Seq[Any](n, 7L) -> 1L).toMap)
+    assert(plans1 <= 4L, s"expected O(1) plans per advance, got $plans1")
+    assert(plans2 <= plans1,
+      s"plan count grew with fixpoint depth: $plans1 -> $plans2")
+  }
+
   test("non-monotone recursion still fails loudly") {
     val a = Plan.Union(Seq(0, 1), Seq(
       Plan.MatchA(0, ":e1", 1),
