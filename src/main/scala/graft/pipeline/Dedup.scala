@@ -621,11 +621,29 @@ object Dedup {
         val spark2 = corpusD.sparkSession
         graft.functions.NativeBloom.register(spark2)
         val numBits = math.max(nDigests, 1L) * 10L // ~fpp 0.01
-        val bfBytes = batchD.select(call_function(
-            graft.functions.NativeBloom.aggName,
-            xxhash64(col("digest")), lit(math.max(nDigests, 1L)),
-            lit(numBits)).as("bf"))
-          .head().getAs[Array[Byte]](0)
+        // BloomFilterAggregate silently clamps to the session's
+        // runtime.bloomFilter.maxNumItems/maxNumBits (defaults 4M / ~67M)
+        // — past ~4-6M digests the clamp would collapse the prefilter's
+        // selectivity (correctness is unaffected; the digest equi-join
+        // stays exact). Raise both caps THREAD-LOCALLY to the requested
+        // size for this build: SQLConf.withExistingConf scopes the
+        // override to this action (conf propagates to its tasks), leaving
+        // the session's runtime-filter settings untouched.
+        val bloomConf = org.apache.spark.sql.internal.SQLConf.get.clone()
+        bloomConf.setConfString(
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+          math.max(math.max(nDigests, 1L), 4000000L).toString)
+        bloomConf.setConfString(
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+          math.max(numBits, 67108864L).toString)
+        val bfBytes =
+          org.apache.spark.sql.internal.SQLConf.withExistingConf(bloomConf) {
+            batchD.select(call_function(
+                graft.functions.NativeBloom.aggName,
+                xxhash64(col("digest")), lit(math.max(nDigests, 1L)),
+                lit(numBits)).as("bf"))
+              .head().getAs[Array[Byte]](0)
+          }
         corpusD.where(call_function(graft.functions.NativeBloom.probeName,
           lit(bfBytes), xxhash64(col("digest"))))
       }
