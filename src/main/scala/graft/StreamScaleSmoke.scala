@@ -412,6 +412,55 @@ object StreamScaleSmoke {
       spark.sparkContext.removeSparkListener(listener)
     }
 
+    // --------------- 8. indexed state store: 1M → 10M flatness
+    // The StateCell contract at growth: constant 5k deltas while the
+    // aggregate and conjunction (general JoinNode) states grow 1M → 10M
+    // rows. Per-batch wall time AND narrow records READ (cached-block
+    // input + shuffle read) must stay flat — the former discipline
+    // re-read and re-checkpointed O(state/p) per advance, so its reads
+    // grew linearly with state.
+    {
+      import graft.streaming.IncrementalQuery
+      val kinds = Map(":ix/a" -> ValueKind.KNumber, ":ix/b" -> ValueKind.KNumber)
+      val readRecs = new AtomicLong
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) readRecs.addAndGet(m.inputMetrics.recordsRead +
+            m.shuffleReadMetrics.recordsRead)
+        }
+      }
+      def delta(from: Long, n: Long, mod: Long) =
+        spark.range(from, from + n).select(col("id").as("e"),
+          (col("id") % mod).as("v"), org.apache.spark.sql.functions.lit(1L).as("diff"))
+      val aggPlan = Plan.Aggregate(Seq(1, 2), Plan.MatchA(1, ":ix/a", 2),
+        Seq(AggregationFn.COUNT), Seq(1), Seq(2), Seq.empty)
+      val joinPlan = Plan.Join(Seq(1),
+        Plan.Union(Seq(1, 2), Seq(Plan.MatchA(1, ":ix/a", 2))),
+        Plan.MatchA(1, ":ix/b", 3))
+      for ((label, plan) <- Seq("idx-agg" -> aggPlan, "idx-join" -> joinPlan)) {
+        val iq = new IncrementalQuery(spark, plan, kinds)
+        def batch(from: Long, n: Long) = Map(
+          ":ix/a" -> delta(from, n, 97L), ":ix/b" -> delta(from, n, 89L))
+        var grown = 0L
+        for (step <- Seq(1000000L, 4000000L, 5000000L)) { // 1M → 5M → 10M
+          val t0 = now()
+          iq.advance(batch(grown, step)).count()
+          grown += step
+          println(f"[scale] $label%s grow to state=$grown%d sec=${secs(t0)}%.1f")
+          spark.sparkContext.addSparkListener(listener)
+          readRecs.set(0)
+          val tb = now()
+          val out = iq.advance(batch(20000000L + grown, 5000L)).count()
+          val dt = secs(tb)
+          Thread.sleep(500) // listener bus drain
+          println(f"[scale] $label%s batch delta=5000x2 out=$out%d " +
+            f"state=$grown%d readRecords=${readRecs.get}%d sec=$dt%.2f")
+          spark.sparkContext.removeSparkListener(listener)
+        }
+      }
+    }
+
     println("[scale] smoke complete — no driver failure")
     spark.stop()
   }

@@ -84,24 +84,28 @@ class IncrementalHector(
   }
   private val plan = Plan.Hector(vars, renamedBindings)
 
-  // ---- Per-binding state: a weighted (e, v) -> w relation kept as a
-  // keyed RDD, hash-partitioned ONCE and merged co-partitioned per batch.
+  // ---- Per-binding state: a weighted (e, v) -> w index kept as ONE
+  // immutable map per partition ([[StateCell]]): a batch's update is
+  // O(delta) structural sharing, never the former full zipPartitions
+  // rewrite. The delta terms still SCAN other bindings' states through
+  // the compiler's broadcast-delta joins (the disclosed stream-side
+  // read); the maintenance side no longer re-materializes state.
   private type Key = (Long, Any)
   private type KV = (Key, Long)
+  private type HMap = scala.collection.immutable.HashMap[Key, Long]
 
-  private val part = new HashPartitioner(
-    spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+  private val nPartitions =
+    spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+  private val part = new HashPartitioner(nPartitions)
 
-  private def emptyStateRdd: RDD[KV] =
-    spark.sparkContext.emptyRDD[KV].partitionBy(part)
-
-  // Keyed state per binding index; each checkpointed RDD shares `part`
-  // so the per-batch merge is narrow (see RddKernel's invariants).
-  private val stateRdds: mutable.ArrayBuffer[RDD[KV]] =
-    mutable.ArrayBuffer.from(attrBindings.map(_ => emptyStateRdd))
-  // Row counts alongside (the RDDs are materialized with count() anyway):
-  // RDD-backed frames carry no Catalyst stats, so these counts are the
-  // ONLY size signal the compiler gets for its join-site broadcasts.
+  // Indexed state per binding; sizes alongside (the advance returns the
+  // per-partition sizes): RDD-backed frames carry no Catalyst stats, so
+  // these counts are the ONLY size signal the compiler gets for its
+  // join-site broadcasts.
+  private val stateCells: Seq[StateCell[HMap]] =
+    attrBindings.map(_ => new StateCell[HMap](
+      spark.sparkContext, nPartitions,
+      () => scala.collection.immutable.HashMap.empty))
   private val stateCounts: mutable.ArrayBuffer[Long] =
     mutable.ArrayBuffer.from(attrBindings.map(_ => 0L))
 
@@ -123,10 +127,15 @@ class IncrementalHector(
     spark.createDataFrame(
       rdd.map { case ((e, v), w) => Row(e, v, w) }, stateSchema(i))
 
-  // DataFrame views kept in sync with stateRdds (compiler + tests).
+  /** DataFrame view over binding `i`'s CURRENT index — iterates the
+    * partition-resident maps lazily at each Catalyst scan; the view
+    * pins the underlying checkpoint blocks for as long as it lives. */
+  private def indexView(i: Int): DataFrame =
+    dfView(i, stateCells(i).rdd.flatMap(_.iterator))
+
+  // DataFrame views kept in sync with the cells (compiler + tests).
   private val state: mutable.ArrayBuffer[DataFrame] =
-    mutable.ArrayBuffer.from(
-      attrBindings.indices.map(i => dfView(i, stateRdds(i))))
+    mutable.ArrayBuffer.from(attrBindings.indices.map(indexView))
 
   /** Current consolidated state of binding `i` (tests / introspection). */
   def stateOf(i: Int): DataFrame = state(i)
@@ -164,25 +173,19 @@ class IncrementalHector(
       override def version: (Long, Long) = (0L, Long.MaxValue)
     }
 
-  /** Co-partitioned state merge: the delta (already reduced onto `part`)
-    * zips against the state partition-by-partition — index alignment IS
-    * key alignment because both sides share one partitioner. Zero-weight
-    * results are dropped; lineage is truncated so batches never stack. */
-  private def merge(old: RDD[KV], delta: RDD[KV]): RDD[KV] =
-    old.zipPartitions(delta, preservesPartitioning = true) { (sIt, dIt) =>
-      val m = new java.util.HashMap[Key, java.lang.Long]()
-      dIt.foreach { case (k, w) => m.put(k, w) }
-      val survivors = sIt.flatMap { case (k, w) =>
-        val dw = m.remove(k)
-        val nw = if (dw == null) w else w + dw.longValue
-        if (nw == 0L) None else Some((k, nw))
+  /** Indexed state merge: apply the co-partitioned delta to binding
+    * `i`'s partition-resident map (zero-weight entries dropped) and
+    * return the new TOTAL row count — the only per-batch state work is
+    * O(delta) structural sharing plus a constant-size checkpoint. */
+  private def mergeIdx(i: Int, delta: RDD[KV]): Long =
+    stateCells(i).advance1(delta) { (s: HMap, dIt: Iterator[KV]) =>
+      var m = s
+      dIt.foreach { case (k, dw) =>
+        val nw = m.getOrElse(k, 0L) + dw
+        if (nw == 0L) m -= k else m = m.updated(k, nw)
       }
-      // ++'s operand is by-name: the leftover (state-absent) delta keys
-      // are iterated only after every removal above has happened.
-      survivors ++ m.entrySet().iterator().asScala.collect {
-        case e if e.getValue.longValue != 0L => (e.getKey, e.getValue.longValue)
-      }
-    }.localCheckpoint()
+      (m, Array(m.size.toLong))
+    }.fold(0L)(_ + _)
 
   // Processed-time frontier: per-time diffs are computed against state
   // that has absorbed every earlier time, so a regressing input time
@@ -254,22 +257,19 @@ class IncrementalHector(
     }
     val deltaRdds: Map[Int, RDD[KV]] = deltaPairs.map { case (i, (r, _)) => i -> r }
     val deltaCounts: Map[Int, Long] = deltaPairs.map { case (i, (_, n)) => i -> n }
+    // Pre-update views first: they capture the cells' CURRENT checkpoint
+    // blocks, so they stay valid (and historically exact) after the
+    // indexed merges below rebind the cells.
     val old: Seq[DataFrame] = state.toSeq
     val oldCounts: Seq[Long] = stateCounts.toSeq
-    val updatedPairs: Seq[(RDD[KV], Long)] = attrBindings.indices.map { i =>
+    val updatedCounts: Seq[Long] = attrBindings.indices.map { i =>
       deltaRdds.get(i) match {
-        case None    => (stateRdds(i), oldCounts(i))
-        case Some(d) =>
-          val m = merge(stateRdds(i), d)
-          // The count materializes the checkpoint (narrow scan, no
-          // shuffle) and doubles as the new size signal.
-          (m, m.count())
+        case None    => oldCounts(i)
+        case Some(d) => mergeIdx(i, d) // O(delta) index update + new size
       }
     }
-    val updatedRdds: Seq[RDD[KV]] = updatedPairs.map(_._1)
-    val updatedCounts: Seq[Long] = updatedPairs.map(_._2)
     val updated: Seq[DataFrame] = attrBindings.indices.map { i =>
-      if (deltaRdds.contains(i)) dfView(i, updatedRdds(i)) else old(i)
+      if (deltaRdds.contains(i)) indexView(i) else old(i)
     }
     val terms: Seq[DataFrame] = attrBindings.indices.flatMap { i =>
       deltaRdds.get(i).map { d =>
@@ -287,7 +287,6 @@ class IncrementalHector(
       }
     }
     attrBindings.indices.foreach { i =>
-      stateRdds(i) = updatedRdds(i)
       stateCounts(i) = updatedCounts(i)
       state(i) = updated(i)
     }

@@ -216,8 +216,9 @@ class IncrementalQuery(
     val attrs: Set[String] = inputs.flatMap(_.attrs).toSet
 
     private val part = new SeqKeyPartitioner(shufflePartitions)
-    private var state: RDD[(Seq[Any], Long)] =
-      spark.sparkContext.emptyRDD[(Seq[Any], Long)].partitionBy(part)
+    private val cell = new StateCell[IncrementalQuery.WMap](
+      spark.sparkContext, shufflePartitions,
+      () => scala.collection.immutable.HashMap.empty)
 
     def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
       if (!touched(attrDeltas)) emptyDiff
@@ -228,17 +229,9 @@ class IncrementalQuery(
           .reduce(_ union _)
           .map(r => (rowKey(r, width), r.getLong(width)))
           .reduceByKey(part, _ + _) // the only shuffle: O(delta)
-        val tagged = state.zipPartitions(delta, preservesPartitioning = true) {
-          (sIt, dIt) => thresholdMerge(sIt, dIt)
-        }.localCheckpoint()
-        tagged.count() // materialize before rebinding state
-        state = tagged.filter(_._1 == 0)
-          .mapPartitions(_.map { case (_, k, w) => (k, w) },
-            preservesPartitioning = true)
+        val diffs = cell.advance1(delta)(thresholdAdvanceIdx)
         spark.createDataFrame(
-          tagged.filter(_._1 == 1)
-            .map { case (_, k, w) => Row.fromSeq(k :+ w) },
-          schema)
+          diffs.map { case (k, w) => Row.fromSeq(k :+ w) }, schema)
       }
   }
 
@@ -261,10 +254,11 @@ class IncrementalQuery(
     private val lPart = new IndexKeyPartitioner(shufflePartitions, keyIdx)
     private val rPart =
       new IndexKeyPartitioner(shufflePartitions, keyIdx.indices)
-    private var lState: RDD[(Seq[Any], Long)] =
-      spark.sparkContext.emptyRDD[(Seq[Any], Long)].partitionBy(lPart)
-    private var rState: RDD[(Seq[Any], Long)] =
-      spark.sparkContext.emptyRDD[(Seq[Any], Long)].partitionBy(rPart)
+    private val cell =
+      new StateCell[(IncrementalQuery.GMap, IncrementalQuery.WMap)](
+        spark.sparkContext, shufflePartitions,
+        () => (scala.collection.immutable.HashMap.empty,
+          scala.collection.immutable.HashMap.empty))
 
     def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
       if (!touched(attrDeltas)) emptyDiff
@@ -277,22 +271,12 @@ class IncrementalQuery(
         val dR = right.advance(attrDeltas).rdd
           .map(r => (rowKey(r, kl), r.getLong(kl)))
           .reduceByKey(rPart, _ + _)
-        val ki = keyIdx; val dl = distinctLeft
-        val tagged = lState.zipPartitions(rState, dL, dR,
-          preservesPartitioning = true) { (lIt, rIt, dlIt, drIt) =>
-          antijoinMerge(ki, dl, lIt, rIt, dlIt, drIt)
-        }.localCheckpoint()
-        tagged.count() // materialize before rebinding state
-        lState = tagged.filter(_._1 == 0)
-          .mapPartitions(_.map { case (_, row, w) => (row, w) },
-            preservesPartitioning = true)
-        rState = tagged.filter(_._1 == 1)
-          .mapPartitions(_.map { case (_, k, w) => (k, w) },
-            preservesPartitioning = true)
+        // Locals only: a field reference here would capture the node
+        // (and its SparkSession) into the task closure.
+        val ki = keyIdx; val dlf = distinctLeft
+        val diffs = cell.advance2(dL, dR)(antijoinAdvanceIdx(ki, dlf))
         spark.createDataFrame(
-          tagged.filter(_._1 == 2)
-            .map { case (_, row, w) => Row.fromSeq(row :+ w) },
-          schema)
+          diffs.map { case (row, w) => Row.fromSeq(row :+ w) }, schema)
       }
   }
 
@@ -393,8 +377,9 @@ class IncrementalQuery(
       aggVars.map(v => kindOfVar(v).dataType == LongType))
 
     private val part = new SeqKeyPartitioner(shufflePartitions)
-    private var state: RDD[((Seq[Any], Seq[Any]), Long)] =
-      spark.sparkContext.emptyRDD[((Seq[Any], Seq[Any]), Long)].partitionBy(part)
+    private val cell = new StateCell[IncrementalQuery.GMap](
+      spark.sparkContext, shufflePartitions,
+      () => scala.collection.immutable.HashMap.empty)
 
     def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
       if (!touched(attrDeltas)) emptyDiff
@@ -408,16 +393,11 @@ class IncrementalQuery(
           }
           .reduceByKey(part, _ + _) // the only shuffle: O(delta)
         val specL = spec
-        val tagged = state.zipPartitions(delta, preservesPartitioning = true) {
-          (sIt, dIt) => aggregateMerge(sIt, dIt, requireNonNeg = false,
-            (k: Seq[Any], rows: Iterable[(Seq[Any], Long)]) =>
-              aggRowOf(specL, k, rows))
-        }.localCheckpoint()
-        tagged.count() // materialize before rebinding state
-        state = tagged.collect { case Left(kv) => kv }
-          .mapPartitions(identity, preservesPartitioning = true)
-        spark.createDataFrame(
-          tagged.collect { case Right(vals) => Row.fromSeq(vals) }, schema)
+        val rows = cell.advance1(delta)(
+          aggregateAdvanceIdx(requireNonNeg = false,
+            (k: Seq[Any], rs: Iterable[(Seq[Any], Long)]) =>
+              aggRowOf(specL, k, rs)))
+        spark.createDataFrame(rows.map(Row.fromSeq), schema)
       }
   }
 
@@ -494,21 +474,21 @@ class IncrementalQuery(
     private val sc = spark.sparkContext
     private val lPart = new IndexKeyPartitioner(shufflePartitions, lKey)
     private val rPart = new IndexKeyPartitioner(shufflePartitions, rKey)
-    private var lState: RDD[(Seq[Any], Long)] =
-      sc.emptyRDD[(Seq[Any], Long)].partitionBy(lPart)
-    private var rState: RDD[(Seq[Any], Long)] =
-      sc.emptyRDD[(Seq[Any], Long)].partitionBy(rPart)
+    // Both partitioners hash the JOIN KEY columns, so one compound index
+    // per partition holds a key's entire left and right support.
+    private val cell =
+      new StateCell[(IncrementalQuery.GMap, IncrementalQuery.GMap)](
+        sc, shufflePartitions,
+        () => (scala.collection.immutable.HashMap.empty,
+          scala.collection.immutable.HashMap.empty))
 
     private def sideDelta(
         node: Node, part: Partitioner,
         attrDeltas: Map[String, DataFrame]): RDD[(Seq[Any], Long)] = {
       val width = node.vars.length
-      val d = node.advance(attrDeltas).rdd
+      node.advance(attrDeltas).rdd
         .map(r => (rowKey(r, width), r.getLong(width)))
         .reduceByKey(part, _ + _).filter(_._2 != 0L)
-        .localCheckpoint()
-      d.count()
-      d
     }
 
     def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
@@ -516,23 +496,16 @@ class IncrementalQuery(
       else {
         val dL = sideDelta(left, lPart, attrDeltas)
         val dR = sideDelta(right, rPart, attrDeltas)
+        // Locals only: a field reference in the curried call would
+        // capture the node (and its SparkSession) into the task closure.
         val (lk, rk2, lri, rri) = (lKey, rKey, lRestIdx, rRestIdx)
-        val diffs = lState.zipPartitions(rState, dL, dR,
-          preservesPartitioning = false)(
-          (ls, rs2, dl2, dr2) =>
-            IncrementalQuery.joinDiff(lk, rk2, ls, rs2, dl2, dr2))
+        val diffs = cell.advance2(dL, dR)(
+          IncrementalQuery.joinAdvanceIdx(lk, rk2))
         val rows = diffs.map { case (lrow, rrow, w) =>
           Row.fromSeq((lk.map(lrow.apply) ++ lri.map(lrow.apply) ++
             rri.map(rrow.apply)) :+ w)
         }
-        val out = spark.createDataFrame(rows, schema)
-        lState = lState.zipPartitions(dL, preservesPartitioning = true)(
-          IncrementalQuery.weightMerge).localCheckpoint()
-        lState.count()
-        rState = rState.zipPartitions(dR, preservesPartitioning = true)(
-          IncrementalQuery.weightMerge).localCheckpoint()
-        rState.count()
-        out
+        spark.createDataFrame(rows, schema)
       }
   }
 
@@ -567,22 +540,14 @@ class IncrementalQuery(
     private val sc = spark.sparkContext
     private val childPart = new IndexKeyPartitioner(shufflePartitions, Seq(eIdx))
     private val attrPart = new IndexKeyPartitioner(shufflePartitions, Seq(0))
-    private var childState: RDD[(Seq[Any], Long)] =
-      sc.emptyRDD[(Seq[Any], Long)].partitionBy(childPart)
-    private val attrState = mutable.Map[String, RDD[(Seq[Any], Long)]](
-      pullAttrs.map(a =>
-        a -> sc.emptyRDD[(Seq[Any], Long)].partitionBy(attrPart)): _*)
-
-    private def advanceState(
-        state: RDD[(Seq[Any], Long)],
-        delta: RDD[(Seq[Any], Long)]): RDD[(Seq[Any], Long)] = {
-      val merged = state
-        .zipPartitions(delta, preservesPartitioning = true)(
-          IncrementalQuery.weightMerge)
-        .localCheckpoint()
-      merged.count()
-      merged
-    }
+    // Child and attribute supports both hash the pull ENTITY, so each
+    // partition's indexes are co-resident for the bilinear diff.
+    private val childCell = new StateCell[IncrementalQuery.GMap](
+      sc, shufflePartitions, () => scala.collection.immutable.HashMap.empty)
+    private val attrCells: Map[String, StateCell[IncrementalQuery.GMap]] =
+      pullAttrs.map(a => a -> new StateCell[IncrementalQuery.GMap](
+        sc, shufflePartitions,
+        () => scala.collection.immutable.HashMap.empty)).toMap
 
     private def childSchema: StructType = StructType(
       child.nodeKinds.zipWithIndex.map { case (k, i) =>
@@ -605,11 +570,20 @@ class IncrementalQuery(
               .reduceByKey(attrPart, _ + _).filter(_._2 != 0L))
             .getOrElse(sc.emptyRDD[(Seq[Any], Long)].partitionBy(attrPart))
           val eIdxL = eIdx
-          val diffRows = childState.zipPartitions(
-            attrState(a), dChild, dAttr, preservesPartitioning = false)(
-            (cs, as2, dc2, da2) =>
-              IncrementalQuery.joinDiff(Seq(eIdxL), Seq(0), cs, as2, dc2, da2)
-                .map { case (l, r, w) => (l, r(1), w) })
+          val aCell = attrCells(a)
+          // One pass per attribute: the bilinear diff against the OLD
+          // child index (updated once, after the loop) with the attr
+          // index updated in place; the child component of the compound
+          // result is discarded.
+          val stepped = aCell.rdd.zipPartitions(childCell.rdd, dChild,
+            dAttr, preservesPartitioning = false) { (aIt, cIt, dcIt, daIt) =>
+            val ((_, newA), out) =
+              IncrementalQuery.joinAdvanceIdx(Seq(eIdxL), Seq(0))(
+                (cIt.next(), aIt.next()), dcIt, daIt)
+            Iterator.single((newA, out))
+          }
+          val diffRows = aCell.commit(stepped)
+            .map { case (l, r, w) => (l, r(1), w) }
           val schema = StructType(
             child.nodeKinds.zipWithIndex.map { case (k, i) =>
               StructField(Rel.c(i), k.dataType, true)
@@ -622,7 +596,6 @@ class IncrementalQuery(
           branches += df.select(
             oc.zipWithIndex.map { case ((cc, _), i) => cc.as(Rel.c(i)) } :+
               col(Rel.W): _*)
-          attrState(a) = advanceState(attrState(a), dAttr)
         }
         if (pathAttrs.nonEmpty && !cardMany) {
           val oc = Compiler.pullBranchCols(inputCols, pathAttrs, cardMany, None)
@@ -632,7 +605,9 @@ class IncrementalQuery(
             oc.zipWithIndex.map { case ((cc, _), i) => cc.as(Rel.c(i)) } :+
               col(Rel.W): _*)
         }
-        childState = advanceState(childState, dChild)
+        val eIdxK = Seq(eIdx) // local: no node capture in the closure
+        childCell.advance1(dChild)(
+          IncrementalQuery.supportAdvanceIdx(eIdxK))
         branches.reduce(_ unionAll _)
       }
   }
@@ -1851,8 +1826,9 @@ class IncrementalQuery(
     * Z-set. State keyed by (e,v), same merge as the Union threshold. */
   private final class AttrThreshold(kind: ValueKind) {
     private val part = new SeqKeyPartitioner(shufflePartitions)
-    private var state: RDD[(Seq[Any], Long)] =
-      spark.sparkContext.emptyRDD[(Seq[Any], Long)].partitionBy(part)
+    private val cell = new StateCell[IncrementalQuery.WMap](
+      spark.sparkContext, shufflePartitions,
+      () => scala.collection.immutable.HashMap.empty)
     private val schema = StructType(Seq(
       StructField("e", LongType, false),
       StructField("v", kind.dataType, true),
@@ -1862,16 +1838,9 @@ class IncrementalQuery(
       val d = delta.rdd
         .map(r => (Seq(r.get(0), r.get(1)): Seq[Any], r.getLong(2)))
         .reduceByKey(part, _ + _)
-      val tagged = state.zipPartitions(d, preservesPartitioning = true) {
-        (sIt, dIt) => thresholdMerge(sIt, dIt)
-      }.localCheckpoint()
-      tagged.count()
-      state = tagged.filter(_._1 == 0)
-        .mapPartitions(_.map { case (_, k, w) => (k, w) },
-          preservesPartitioning = true)
+      val diffs = cell.advance1(d)(IncrementalQuery.thresholdAdvanceIdx)
       spark.createDataFrame(
-        tagged.filter(_._1 == 1).map { case (_, k, w) => Row(k(0), k(1), w) },
-        schema)
+        diffs.map { case (k, w) => Row(k(0), k(1), w) }, schema)
     }
   }
 
@@ -1890,10 +1859,11 @@ class IncrementalQuery(
     * combined) is the only shuffle — O(delta) per batch. */
   private final class AttrLww(kind: ValueKind) {
     private val part = new SeqKeyPartitioner(shufflePartitions)
-    // e -> (t, seq, v, isAdd) of the current winning event
-    private var state: RDD[(Long, (Long, Long, Any, Boolean))] =
-      spark.sparkContext
-        .emptyRDD[(Long, (Long, Long, Any, Boolean))].partitionBy(part)
+    // index: e -> (t, seq, v, isAdd) of the current winning event
+    private val cell = new StateCell[
+        scala.collection.immutable.HashMap[Long, (Long, Long, Any, Boolean)]](
+      spark.sparkContext, shufflePartitions,
+      () => scala.collection.immutable.HashMap.empty)
     private val schema = StructType(Seq(
       StructField("e", LongType, false),
       StructField("v", kind.dataType, true),
@@ -1907,15 +1877,9 @@ class IncrementalQuery(
           (r.getLong(2), r.getLong(4), r.get(1), r.getLong(3) > 0L)))
         .reduceByKey(part, (a, b) =>
           if (a._1 > b._1 || (a._1 == b._1 && a._2 > b._2)) a else b)
-      val tagged = state.zipPartitions(d, preservesPartitioning = true) {
-        (sIt, dIt) => lwwMerge(sIt, dIt)
-      }.localCheckpoint()
-      tagged.count()
-      state = tagged.collect { case Left(kv) => kv }
-        .mapPartitions(identity, preservesPartitioning = true)
+      val diffs = cell.advance1(d)(IncrementalQuery.lwwAdvanceIdx)
       spark.createDataFrame(
-        tagged.collect { case Right((e, v, w)) => Row(e, v, w) },
-        schema)
+        diffs.map { case (e, v, w) => Row(e, v, w) }, schema)
     }
   }
 
@@ -2153,225 +2117,223 @@ object IncrementalQuery {
     override def hashCode: Int = n * 31 + idx.hashCode
   }
 
-  /** Antijoin merge for one partition: tag 0 = left-support state, tag 1
-    * = right-key state, tag 2 = output diffs. For each touched key the
-    * old and new output are recomputed from co-resident support and
-    * diffed. `distinctLeft` selects the Plan.Antijoin form (distinct
-    * left rows at ±1 — `Compiler.antijoin`) vs the Hector-Not form
-    * (multiset left-anti, weights pass through —
-    * `Compiler.hector` negation-as-antijoin). */
-  private def antijoinMerge(
-      keyIdx: Seq[Int], distinctLeft: Boolean,
-      lIt: Iterator[(Seq[Any], Long)], rIt: Iterator[(Seq[Any], Long)],
-      dlIt: Iterator[(Seq[Any], Long)], drIt: Iterator[(Seq[Any], Long)]): Iterator[(Int, Seq[Any], Long)] = {
-    def keyOf(row: Seq[Any]): Seq[Any] = keyIdx.map(row.apply)
-    // A left row's contribution to its key's output when no right key is
-    // present: set semantics (support indicator) or multiset (weight).
-    def contrib(w: Long): Long = if (distinctLeft) { if (w > 0) 1L else 0L } else w
-    val dl = new java.util.HashMap[Seq[Any], java.lang.Long]()
-    dlIt.foreach { case (row, w) => dl.put(row, w) }
-    val dr = new java.util.HashMap[Seq[Any], java.lang.Long]()
-    drIt.foreach { case (k, w) => dr.put(k, w) }
-    val touched = new java.util.HashSet[Seq[Any]]()
-    dl.keySet().iterator().asScala.foreach(row => touched.add(keyOf(row)))
-    dr.keySet().iterator().asScala.foreach(touched.add)
+  // ---- indexed (StateCell) advances: per-batch work strictly
+  // O(delta + touched keys) against partition-resident persistent maps
+  // (the arrangement-analog state store — see StateCell). Each function
+  // is the node's exact per-key semantics, re-expressed over an index
+  // instead of the former full state-partition scan-and-rewrite. ----
 
-    type Contribs = java.util.HashMap[Seq[Any], java.lang.Long]
-    val oldRows = new java.util.HashMap[Seq[Any], Contribs]()
-    val newRows = new java.util.HashMap[Seq[Any], Contribs]()
-    def add(m: java.util.HashMap[Seq[Any], Contribs],
-        k: Seq[Any], row: Seq[Any], c: Long): Unit = {
-      if (c != 0L) {
-        var b = m.get(k)
-        if (b == null) { b = new Contribs(); m.put(k, b) }
-        b.put(row, c)
+  private[streaming] type WMap = scala.collection.immutable.HashMap[Seq[Any], Long]
+  private[streaming] type GMap = scala.collection.immutable.HashMap[Seq[Any], WMap]
+  private val emptyW: WMap = scala.collection.immutable.HashMap.empty
+  private val emptyG: GMap = scala.collection.immutable.HashMap.empty
+
+  /** Indexed threshold: state = row → net weight (zeros dropped); emits
+    * ±1 exactly at support zero-crossings (`Compiler.distinctify`'s
+    * net-weight-positive rule). */
+  private def thresholdAdvanceIdx(
+      s: WMap, dIt: Iterator[(Seq[Any], Long)]): (WMap, Array[(Seq[Any], Long)]) = {
+    var m = s
+    val out = mutable.ArrayBuffer.empty[(Seq[Any], Long)]
+    dIt.foreach { case (k, dw) =>
+      if (dw != 0L) {
+        val w = m.getOrElse(k, 0L)
+        val nw = w + dw
+        if (nw == 0L) m -= k else m = m.updated(k, nw)
+        if (w > 0 && nw <= 0) out += ((k, -1L))
+        else if (w <= 0 && nw > 0) out += ((k, 1L))
       }
     }
-    val out = mutable.ArrayBuffer.empty[(Int, Seq[Any], Long)]
-    lIt.foreach { case (row, w) =>
-      val k = keyOf(row)
-      if (!touched.contains(k)) out += ((0, row, w))
-      else {
-        add(oldRows, k, row, contrib(w))
-        val dw = dl.remove(row)
-        val nw = if (dw == null) w else w + dw.longValue
-        if (nw != 0L) out += ((0, row, nw))
-        add(newRows, k, row, contrib(nw))
-      }
-    }
-    dl.entrySet().iterator().asScala.foreach { e =>
-      val row = e.getKey
-      val w = e.getValue.longValue
-      if (w != 0L) out += ((0, row, w))
-      add(newRows, keyOf(row), row, contrib(w))
-    }
-    val oldPresent = new java.util.HashSet[Seq[Any]]()
-    val newPresent = new java.util.HashSet[Seq[Any]]()
-    rIt.foreach { case (k, w) =>
-      if (!touched.contains(k)) out += ((1, k, w))
-      else {
-        if (w > 0) oldPresent.add(k)
-        val dw = dr.remove(k)
-        val nw = if (dw == null) w else w + dw.longValue
-        if (nw != 0L) out += ((1, k, nw))
-        if (nw > 0) newPresent.add(k)
-      }
-    }
-    dr.entrySet().iterator().asScala.foreach { e =>
-      val w = e.getValue.longValue
-      if (w != 0L) out += ((1, e.getKey, w))
-      if (w > 0) newPresent.add(e.getKey)
-    }
-    touched.iterator().asScala.foreach { k =>
-      val o = oldRows.get(k)
-      val n = newRows.get(k)
-      val rows = new java.util.HashSet[Seq[Any]]()
-      if (o != null) rows.addAll(o.keySet())
-      if (n != null) rows.addAll(n.keySet())
-      rows.iterator().asScala.foreach { row =>
-        val oc =
-          if (oldPresent.contains(k) || o == null) 0L
-          else Option(o.get(row)).map(_.longValue).getOrElse(0L)
-        val nc =
-          if (newPresent.contains(k) || n == null) 0L
-          else Option(n.get(row)).map(_.longValue).getOrElse(0L)
-        if (nc != oc) out += ((2, row, nc - oc))
-      }
-    }
-    out.iterator
+    (m, out.toArray)
   }
 
-  /** Per-partition bilinear join diff: for each join KEY the batch
-    * touches, diff the old/new products of co-resident left × right
-    * rows. Top-level so tasks never capture a node. Memory is bounded
-    * by the touched keys' support. Shared by the general JoinNode and
-    * the PullLevelNode (a pull level is this with a one-var key and the
-    * attribute's (e, v) rows on the right). */
-  private def joinDiff(
-      lKey: Seq[Int], rKey: Seq[Int],
-      lsIt: Iterator[(Seq[Any], Long)], rsIt: Iterator[(Seq[Any], Long)],
+  /** Indexed grouped aggregate: state = key → (valueTuple → net weight);
+    * recomputes old/new aggregate rows for exactly the touched keys
+    * (the streaming analog of `aggregateMerge`, which remains the
+    * iterator form for IncrementalAggregate). */
+  private[streaming] def aggregateAdvanceIdx(
+      requireNonNeg: Boolean,
+      aggRow: (Seq[Any], Iterable[(Seq[Any], Long)]) => Option[Seq[Any]])(
+      s: GMap, dIt: Iterator[((Seq[Any], Seq[Any]), Long)])
+    : (GMap, Array[Seq[Any]]) = {
+    val byKey =
+      mutable.LinkedHashMap.empty[Seq[Any], mutable.ArrayBuffer[(Seq[Any], Long)]]
+    dIt.foreach { case ((k, v), w) =>
+      byKey.getOrElseUpdate(k, mutable.ArrayBuffer.empty) += ((v, w))
+    }
+    var m = s
+    val out = mutable.ArrayBuffer.empty[Seq[Any]]
+    byKey.foreach { case (k, dvs) =>
+      val oldG = m.getOrElse(k, emptyW)
+      var g = oldG
+      dvs.foreach { case (v, dw) =>
+        val w = g.getOrElse(v, 0L)
+        val nw = w + dw
+        if (requireNonNeg) require(nw >= 0L,
+          s"retraction below zero support for key=$k value=$v ($nw)")
+        if (nw == 0L) g -= v else g = g.updated(v, nw)
+      }
+      val o = if (oldG.isEmpty) None else aggRow(k, oldG)
+      val n = if (g.isEmpty) None else aggRow(k, g)
+      if (o != n) {
+        o.foreach(a => out += (a :+ -1L))
+        n.foreach(a => out += (a :+ 1L))
+      }
+      if (g.isEmpty) m -= k else m = m.updated(k, g)
+    }
+    (m, out.toArray)
+  }
+
+  /** Indexed bilinear join: compound state = (key → left rows, key →
+    * right rows); per touched key the old/new products are diffed
+    * (`joinDiff`) and both sides' supports updated in one pass. */
+  private def joinAdvanceIdx(lKey: Seq[Int], rKey: Seq[Int])(
+      s: (GMap, GMap),
       dlIt: Iterator[(Seq[Any], Long)], drIt: Iterator[(Seq[Any], Long)])
-    : Iterator[(Seq[Any], Seq[Any], Long)] = {
+    : ((GMap, GMap), Array[(Seq[Any], Seq[Any], Long)]) = {
     def lk(r: Seq[Any]): Seq[Any] = lKey.map(r.apply)
     def rk(r: Seq[Any]): Seq[Any] = rKey.map(r.apply)
-    val dl = new java.util.HashMap[Seq[Any], java.lang.Long]()
-    dlIt.foreach { case (r, w) => dl.merge(r, w, (a, b) => a + b) }
-    val dr = new java.util.HashMap[Seq[Any], java.lang.Long]()
-    drIt.foreach { case (r, w) => dr.merge(r, w, (a, b) => a + b) }
-    if (dl.isEmpty && dr.isEmpty) return Iterator.empty
-    val touched = new java.util.HashSet[Seq[Any]]()
-    dl.keySet().iterator().asScala.foreach(r => touched.add(lk(r)))
-    dr.keySet().iterator().asScala.foreach(r => touched.add(rk(r)))
-    // (old, new) weight per row, touched keys only.
-    val lW = new java.util.HashMap[Seq[Any], (Long, Long)]()
-    lsIt.foreach { case (r, w) => if (touched.contains(lk(r))) lW.put(r, (w, w)) }
-    dl.entrySet().iterator().asScala.foreach { e =>
-      val p = lW.getOrDefault(e.getKey, (0L, 0L))
-      lW.put(e.getKey, (p._1, p._2 + e.getValue.longValue))
+    val dl = mutable.LinkedHashMap.empty[Seq[Any], Long]
+    dlIt.foreach { case (r, w) => dl(r) = dl.getOrElse(r, 0L) + w }
+    val dr = mutable.LinkedHashMap.empty[Seq[Any], Long]
+    drIt.foreach { case (r, w) => dr(r) = dr.getOrElse(r, 0L) + w }
+    var (lm, rm) = s
+    if (dl.isEmpty && dr.isEmpty)
+      return ((lm, rm), Array.empty[(Seq[Any], Seq[Any], Long)])
+    val dlByKey =
+      mutable.LinkedHashMap.empty[Seq[Any], mutable.ArrayBuffer[(Seq[Any], Long)]]
+    dl.foreach { case (r, w) =>
+      dlByKey.getOrElseUpdate(lk(r), mutable.ArrayBuffer.empty) += ((r, w))
     }
-    val rW = new java.util.HashMap[Seq[Any], (Long, Long)]()
-    rsIt.foreach { case (r, w) => if (touched.contains(rk(r))) rW.put(r, (w, w)) }
-    dr.entrySet().iterator().asScala.foreach { e =>
-      val p = rW.getOrDefault(e.getKey, (0L, 0L))
-      rW.put(e.getKey, (p._1, p._2 + e.getValue.longValue))
+    val drByKey =
+      mutable.LinkedHashMap.empty[Seq[Any], mutable.ArrayBuffer[(Seq[Any], Long)]]
+    dr.foreach { case (r, w) =>
+      drByKey.getOrElseUpdate(rk(r), mutable.ArrayBuffer.empty) += ((r, w))
     }
-    val byKeyL =
-      new java.util.HashMap[Seq[Any], mutable.ArrayBuffer[(Seq[Any], Long, Long)]]()
-    lW.entrySet().iterator().asScala.foreach { e =>
-      byKeyL.computeIfAbsent(lk(e.getKey), _ => mutable.ArrayBuffer.empty)
-        .append((e.getKey, e.getValue._1, e.getValue._2))
-    }
+    val touched = mutable.LinkedHashSet.empty[Seq[Any]]
+    touched ++= dlByKey.keys
+    touched ++= drByKey.keys
     val out = mutable.ArrayBuffer.empty[(Seq[Any], Seq[Any], Long)]
-    rW.entrySet().iterator().asScala.foreach { e =>
-      val rrow = e.getKey
-      val (ro, rn) = e.getValue
-      val ls = byKeyL.get(rk(rrow))
-      if (ls != null) ls.foreach { case (lrow, lo, ln) =>
-        val d = ln * rn - lo * ro
-        if (d != 0L) out.append((lrow, rrow, d))
-      }
-    }
-    out.iterator
-  }
-
-  /** State + consolidated delta, zeros dropped. Top-level for the same
-    * serialization reason. */
-  private def weightMerge(
-      sIt: Iterator[(Seq[Any], Long)],
-      dIt: Iterator[(Seq[Any], Long)]): Iterator[(Seq[Any], Long)] = {
-    val dm = new java.util.HashMap[Seq[Any], java.lang.Long]()
-    dIt.foreach { case (k, w) => dm.merge(k, w, (a, b) => a + b) }
-    val out = mutable.ArrayBuffer.empty[(Seq[Any], Long)]
-    sIt.foreach { case (k, w) =>
-      val dw = dm.remove(k)
-      val nw = if (dw == null) w else w + dw.longValue
-      if (nw != 0L) out += ((k, nw))
-    }
-    dm.entrySet().iterator().asScala.foreach { e =>
-      if (e.getValue.longValue != 0L) out += ((e.getKey, e.getValue.longValue))
-    }
-    out.iterator
-  }
-
-  /** Threshold merge for one partition: tag 0 = surviving state rows,
-    * tag 1 = output diffs at support zero-crossings (distinctify's
-    * `net weight > 0` rule, `Compiler.distinctify`). */
-  private def thresholdMerge(
-      sIt: Iterator[(Seq[Any], Long)],
-      dIt: Iterator[(Seq[Any], Long)]): Iterator[(Int, Seq[Any], Long)] = {
-    val dm = new java.util.HashMap[Seq[Any], java.lang.Long]()
-    dIt.foreach { case (k, w) => dm.put(k, w) }
-    val out = mutable.ArrayBuffer.empty[(Int, Seq[Any], Long)]
-    sIt.foreach { case (k, w) =>
-      val dw = dm.remove(k)
-      val nw = if (dw == null) w else w + dw.longValue
-      if (nw != 0L) out += ((0, k, nw))
-      if (w > 0 && nw <= 0) out += ((1, k, -1L))
-      else if (w <= 0 && nw > 0) out += ((1, k, 1L))
-    }
-    dm.entrySet().iterator().asScala.foreach { e =>
-      val w = e.getValue.longValue
-      if (w != 0L) out += ((0, e.getKey, w))
-      if (w > 0) out += ((1, e.getKey, 1L))
-    }
-    out.iterator
-  }
-
-  /** Partition-local LWW merge: Left = new state rows (winning event per
-    * entity), Right = output diffs (e, v, ±1). A batch candidate replaces
-    * the stored winner iff strictly newer in `(t, seq)`; the output diff
-    * is the old/new output transition (value iff the winner was an add).
-    * seq is globally unique, so "not newer" means stale — drop it. */
-  private def lwwMerge(
-      sIt: Iterator[(Long, (Long, Long, Any, Boolean))],
-      dIt: Iterator[(Long, (Long, Long, Any, Boolean))])
-    : Iterator[Either[(Long, (Long, Long, Any, Boolean)), (Long, Any, Long)]] = {
-    type Ev = (Long, Long, Any, Boolean)
-    val dm = new java.util.HashMap[java.lang.Long, Ev]()
-    dIt.foreach { case (e, c) => dm.put(e, c) }
-    val out = mutable.ArrayBuffer
-      .empty[Either[(Long, Ev), (Long, Any, Long)]]
-    sIt.foreach { case (e, s) =>
-      val c = dm.remove(e)
-      if (c == null || c._1 < s._1 || (c._1 == s._1 && c._2 <= s._2))
-        out += Left((e, s))
-      else {
-        out += Left((e, c))
-        val oldOut = if (s._4) Some(s._3) else None
-        val newOut = if (c._4) Some(c._3) else None
-        if (oldOut != newOut) {
-          oldOut.foreach(v => out += Right((e, v, -1L)))
-          newOut.foreach(v => out += Right((e, v, 1L)))
+    touched.foreach { k =>
+      val oldL = lm.getOrElse(k, emptyW)
+      var newL = oldL
+      dlByKey.get(k).foreach(_.foreach { case (r, dw) =>
+        val nw = newL.getOrElse(r, 0L) + dw
+        if (nw == 0L) newL -= r else newL = newL.updated(r, nw)
+      })
+      val oldR = rm.getOrElse(k, emptyW)
+      var newR = oldR
+      drByKey.get(k).foreach(_.foreach { case (r, dw) =>
+        val nw = newR.getOrElse(r, 0L) + dw
+        if (nw == 0L) newR -= r else newR = newR.updated(r, nw)
+      })
+      val lRows = if (newL eq oldL) oldL.keySet else oldL.keySet ++ newL.keySet
+      val rRows = if (newR eq oldR) oldR.keySet else oldR.keySet ++ newR.keySet
+      rRows.foreach { rrow =>
+        val ro = oldR.getOrElse(rrow, 0L)
+        val rn = newR.getOrElse(rrow, 0L)
+        lRows.foreach { lrow =>
+          val lo = oldL.getOrElse(lrow, 0L)
+          val ln = newL.getOrElse(lrow, 0L)
+          val d = ln * rn - lo * ro
+          if (d != 0L) out += ((lrow, rrow, d))
         }
       }
+      lm = if (newL.isEmpty) lm - k else lm.updated(k, newL)
+      rm = if (newR.isEmpty) rm - k else rm.updated(k, newR)
     }
-    dm.entrySet().iterator().asScala.foreach { ent =>
-      val e = ent.getKey.longValue
-      val c = ent.getValue
-      out += Left((e, c))
-      if (c._4) out += Right((e, c._3, 1L))
+    ((lm, rm), out.toArray)
+  }
+
+  /** Indexed LWW: index = entity → winning (t, seq, v, isAdd); a batch
+    * candidate replaces the stored winner iff strictly newer in
+    * `(t, seq)`, the output diff is the old/new output transition
+    * (ref `src/operators/last_write_wins.rs:71-101`). */
+  private def lwwAdvanceIdx(
+      s: scala.collection.immutable.HashMap[Long, (Long, Long, Any, Boolean)],
+      dIt: Iterator[(Long, (Long, Long, Any, Boolean))])
+    : (scala.collection.immutable.HashMap[Long, (Long, Long, Any, Boolean)],
+       Array[(Long, Any, Long)]) = {
+    var m = s
+    val out = mutable.ArrayBuffer.empty[(Long, Any, Long)]
+    dIt.foreach { case (e, c) =>
+      val st = m.get(e)
+      val newer = st.forall(w => c._1 > w._1 || (c._1 == w._1 && c._2 > w._2))
+      if (newer) {
+        val oldOut = st.collect { case w if w._4 => w._3 }
+        val newOut = if (c._4) Some(c._3) else None
+        if (oldOut != newOut) {
+          oldOut.foreach(v => out += ((e, v, -1L)))
+          newOut.foreach(v => out += ((e, v, 1L)))
+        }
+        m = m.updated(e, c)
+      } // else: stale — a globally-unique seq means "not newer" is stale
     }
-    out.iterator
+    (m, out.toArray)
+  }
+
+  /** Apply a consolidated row-delta to a key-grouped support index —
+    * the indexed replacement for a full-state weight-merge pass (no
+    * output). */
+  private def supportAdvanceIdx(keyIdx: Seq[Int])(
+      s: GMap, dIt: Iterator[(Seq[Any], Long)]): (GMap, Array[Int]) = {
+    var m = s
+    dIt.foreach { case (r, dw) =>
+      if (dw != 0L) {
+        val k = keyIdx.map(r.apply)
+        val g = m.getOrElse(k, emptyW)
+        val nw = g.getOrElse(r, 0L) + dw
+        val g2 = if (nw == 0L) g - r else g.updated(r, nw)
+        m = if (g2.isEmpty) m - k else m.updated(k, g2)
+      }
+    }
+    (m, Array.empty[Int])
+  }
+
+  /** Indexed antijoin: compound state = (key → left-row supports, right
+    * key → net weight); per touched key the old/new output recomputes
+    * from the index, including the bulk
+    * retract/assert when a right-key presence flips. */
+  private def antijoinAdvanceIdx(keyIdx: Seq[Int], distinctLeft: Boolean)(
+      s: (GMap, WMap),
+      dlIt: Iterator[(Seq[Any], Long)], drIt: Iterator[(Seq[Any], Long)])
+    : ((GMap, WMap), Array[(Seq[Any], Long)]) = {
+    def keyOf(row: Seq[Any]): Seq[Any] = keyIdx.map(row.apply)
+    def contrib(w: Long): Long =
+      if (distinctLeft) { if (w > 0) 1L else 0L } else w
+    val dlByKey =
+      mutable.LinkedHashMap.empty[Seq[Any], mutable.ArrayBuffer[(Seq[Any], Long)]]
+    dlIt.foreach { case (row, w) =>
+      dlByKey.getOrElseUpdate(keyOf(row), mutable.ArrayBuffer.empty) += ((row, w))
+    }
+    val dr = mutable.LinkedHashMap.empty[Seq[Any], Long]
+    drIt.foreach { case (k, w) => dr(k) = dr.getOrElse(k, 0L) + w }
+    var (lm, rm) = s
+    val touched = mutable.LinkedHashSet.empty[Seq[Any]]
+    touched ++= dlByKey.keys
+    touched ++= dr.keys
+    val out = mutable.ArrayBuffer.empty[(Seq[Any], Long)]
+    touched.foreach { k =>
+      val oldL = lm.getOrElse(k, emptyW)
+      var newL = oldL
+      dlByKey.get(k).foreach(_.foreach { case (row, dw) =>
+        val nw = newL.getOrElse(row, 0L) + dw
+        if (nw == 0L) newL -= row else newL = newL.updated(row, nw)
+      })
+      val oldRW = rm.getOrElse(k, 0L)
+      val newRW = oldRW + dr.getOrElse(k, 0L)
+      val oldPresent = oldRW > 0L
+      val newPresent = newRW > 0L
+      val rows = if (newL eq oldL) oldL.keySet else oldL.keySet ++ newL.keySet
+      rows.foreach { row =>
+        val oc = if (oldPresent) 0L else contrib(oldL.getOrElse(row, 0L))
+        val nc = if (newPresent) 0L else contrib(newL.getOrElse(row, 0L))
+        if (nc != oc) out += ((row, nc - oc))
+      }
+      lm = if (newL.isEmpty) lm - k else lm.updated(k, newL)
+      rm = if (newRW == 0L) rm - k else rm.updated(k, newRW)
+    }
+    ((lm, rm), out.toArray)
   }
 
   /** The batch compiler's rational normalization (gcd-reduced, positive

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import scala.reflect.ClassTag
+
+import org.apache.spark.SparkContext
+import org.apache.spark.rdd.RDD
+
+/** Arrangement-analog keyed state: ONE immutable index object per
+  * partition, resident in executor memory as a deserialized cached
+  * block. Each batch derives the next index by STRUCTURAL-SHARING
+  * updates — `immutable.HashMap.updated` touches O(log n) trie nodes
+  * per changed key — so per-batch narrow work (bytes read AND bytes
+  * written) is O(delta + touched keys), never a rewrite of accumulated
+  * state. This replaces the previous per-node discipline (a
+  * `zipPartitions` weight-merge re-materializing the FULL state through
+  * a fresh localCheckpoint every advance — an O(state/p) narrow rewrite
+  * per batch), closing the one disclosed gap against differential
+  * dataflow's arrangements (O(delta log state) against indexed traces;
+  * SURVEY.md §4.2).
+  *
+  * Mechanics: the state RDD holds exactly one `S` per partition.
+  * `advance*` zips it against co-partitioned delta RDDs, runs the
+  * node's merge once per partition, localCheckpoints the (newState,
+  * outputs) pairs — the checkpoint stores REFERENCES into the shared
+  * trie, not a copy — and rebinds. Cached blocks carry locality, so on
+  * a cluster the next batch's tasks schedule onto the executors holding
+  * the state; failure semantics match the rest of the streaming layer
+  * (localCheckpoint: lineage is cut, a lost executor fails the standing
+  * query rather than silently recomputing from nothing).
+  *
+  * Memory: a partition's index lives on-heap; the partition count (the
+  * `partitions` dial on [[IncrementalQuery]]) spreads the resident set,
+  * and MEMORY_AND_DISK spill serializes an index wholesale — the same
+  * resident-set economics as differential's arrangements. Superseded
+  * blocks are dropped by Spark's ContextCleaner when the previous
+  * batch's RDD becomes unreachable; the shared sub-structure stays
+  * alive exactly as long as the current index references it.
+  */
+private[streaming] final class StateCell[S <: AnyRef: ClassTag](
+    sc: SparkContext, numPartitions: Int, zero: () => S) {
+
+  private var cur: RDD[S] = {
+    val z = zero
+    val init = sc.parallelize(0 until numPartitions, numPartitions)
+      .mapPartitions(_ => Iterator.single(z()))
+      .localCheckpoint()
+    init.count()
+    init
+  }
+
+  /** The current state, one element per partition — for read-only
+    * composition (multi-cell zips driven by the owning node). */
+  def rdd: RDD[S] = cur
+
+  /** Commit a stepped (newState, outputs) pair RDD: materialize once
+    * (checkpoint), rebind the state to its first component, and return
+    * the outputs. Reading the outputs re-reads the cached block — an
+    * object-graph read, not a recompute. */
+  def commit[O: ClassTag](stepped: RDD[(S, Array[O])]): RDD[O] = {
+    val mat = stepped.localCheckpoint()
+    mat.count()
+    cur = mat.map(_._1)
+    mat.flatMap(_._2.iterator)
+  }
+
+  /** One batch against one co-partitioned delta: `f` runs once per
+    * partition over (index, delta iterator) and returns the new index
+    * plus the partition's output rows. `f` must capture only
+    * serializable locals — never a node or a SparkSession. */
+  def advance1[D: ClassTag, O: ClassTag](delta: RDD[D])(
+      f: (S, Iterator[D]) => (S, Array[O])): RDD[O] =
+    commit(cur.zipPartitions(delta, preservesPartitioning = false) {
+      (sIt, dIt) => Iterator.single(f(sIt.next(), dIt))
+    })
+
+  /** One batch against two co-partitioned deltas (two-sided nodes:
+    * join, antijoin — one compound index per partition). */
+  def advance2[D1: ClassTag, D2: ClassTag, O: ClassTag](
+      d1: RDD[D1], d2: RDD[D2])(
+      f: (S, Iterator[D1], Iterator[D2]) => (S, Array[O])): RDD[O] =
+    commit(cur.zipPartitions(d1, d2, preservesPartitioning = false) {
+      (sIt, aIt, bIt) => Iterator.single(f(sIt.next(), aIt, bIt))
+    })
+}

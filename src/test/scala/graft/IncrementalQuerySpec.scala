@@ -473,6 +473,61 @@ class IncrementalQuerySpec extends AnyFunSuite {
     assert(big < 2000, s"10-row batch shuffled $big records against ~10k-row state")
   }
 
+  test("indexed state: per-batch narrow reads stay flat as state grows 10x") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import org.apache.spark.sql.functions.{col, lit}
+    // The StateCell contract: per-batch records READ (cached-block input
+    // + shuffle) track the DELTA, not accumulated state — the previous
+    // discipline re-read and re-wrote O(state/p) per advance. Covers the
+    // aggregate class and the conjunction class (general JoinNode).
+    val aggPlan = Plan.Aggregate(Seq(1, 2), Plan.MatchA(1, ":ua", 2),
+      Seq(AggregationFn.COUNT), Seq(1), Seq(2), Seq.empty)
+    val joinPlan = Plan.Join(Seq(1),
+      Plan.Union(Seq(1, 2), Seq(Plan.MatchA(1, ":ua", 2))),
+      Plan.MatchA(1, ":ub", 3))
+    for ((label, plan) <- Seq("aggregate" -> aggPlan, "join" -> joinPlan)) {
+      val iq = new IncrementalQuery(spark, plan, kinds)
+      val reads = new java.util.concurrent.atomic.AtomicLong
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) reads.addAndGet(m.inputMetrics.recordsRead +
+            m.shuffleReadMetrics.recordsRead)
+        }
+      }
+      def batch(from: Long, n: Long): Map[String, DataFrame] = {
+        def side(mod: Int) = spark.range(from, from + n)
+          .select(col("id").as("e"), (col("id") % mod).as("v"),
+            lit(1L).as("diff"))
+        Map(":ua" -> side(97), ":ub" -> side(89))
+      }
+      def settled(): Long = {
+        val deadline = System.nanoTime + 10_000_000_000L
+        var prev = -1L
+        var cur = reads.get
+        while (prev != cur && System.nanoTime < deadline) {
+          prev = cur; Thread.sleep(200); cur = reads.get
+        }
+        cur
+      }
+      def measured(from: Long): Long = {
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          reads.set(0)
+          iq.advance(batch(from, 10)).count()
+          settled()
+        } finally spark.sparkContext.removeSparkListener(listener)
+      }
+      iq.advance(batch(0, 100_000)).count()
+      val small = measured(5_000_000)
+      iq.advance(batch(200_000, 900_000)).count() // state 100k → ~1M rows
+      val big = measured(6_000_000)
+      assert(big <= small * 2 + 1000,
+        s"$label: 10-row batch read $small records against 100k-row " +
+          s"state but $big against 1M-row state — state is being re-read")
+    }
+  }
+
   test("foreachBatch attachment delivers per-time consolidated diffs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
