@@ -271,15 +271,35 @@ object PipelineQueries {
       TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")),
 
     "q_multimodal_features" -> ((s, dir) => {
-      // Opaque-binary media plumbing (stub decoder — no codecs in this
-      // container): schema, repartition-by-id, per-partition decode. The
-      // stub is pure integer arithmetic (FNV-1a over UTF-8 bytes), so the
-      // DuckDB oracle reproduces it exactly (list_reduce fold below).
+      // REAL container-header decode over opaque binary media: each doc's
+      // text is wrapped in a genuine PNG / BMP / WAV container (dims and
+      // byte rate derived from doc columns), the payload crosses the
+      // pipeline as an opaque binary column, and HeaderDecoder sniffs the
+      // magic bytes and parses the actual header fields — big-endian
+      // IHDR, little-endian DIB, RIFF byte-rate duration. The oracle
+      // recomputes the expected decoded fields from the SAME doc columns,
+      // so any mis-parse (endianness, offset, chunk walk) mismatches.
       import graft.pipeline.Multimodal
-      val media = Multimodal.fromBinary(
-        docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("b")),
-        "doc_id", "b", "image", "application/octet-stream")
-      Multimodal.extractFeatures(media, partitions = Some(8)).toDF()
+      import s.implicits._
+      val rows = docs(s, dir)
+        .select(col("doc_id").cast("long").as("id"),
+          col("n_chars").cast("long").as("nc"), col("text"))
+        .as[(Long, Long, String)]
+        .map { case (id, nc, text) =>
+          val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val w = (nc % 1024 + 1).toInt
+          val h = (id % 512 + 1).toInt
+          val (modality, bytes) = (id % 3) match {
+            case 0 => ("image", Multimodal.Containers.png(w, h, payload))
+            case 1 => ("image", Multimodal.Containers.bmp(w, h, payload))
+            case _ => ("audio", Multimodal.Containers.wav(16000, payload))
+          }
+          Multimodal.MediaRow(id, modality, bytes, "application/octet-stream")
+        }
+      Multimodal.extractFeatures(rows, partitions = Some(8)).toDF()
+        .select(col("id"), col("modality"), col("format"),
+          col("byteLength").as("byte_length"), col("width"), col("height"),
+          col("durationMs").as("duration_ms"))
     }),
 
     "q_multimodal_frames" -> ((s, dir) => {
@@ -1047,33 +1067,27 @@ object PipelineQueries {
                         0, CAST(ceil(len(text) / 64.0) AS INTEGER) - 1, 2)) AS idx
                FROM documents)""",
 
-    // Reproduces Multimodal.StubDecoder exactly: FNV-1a (64-bit wraparound)
-    // over the text's UTF-8 bytes, via a list_reduce fold. Signed xor in
-    // BIGINT (two's complement, matches JVM Long ^), multiply in HUGEINT
-    // mod 2^64, then re-sign. Test data is ASCII so ascii(substr) == byte.
-    "q_multimodal_features" -> {
-      val unsigned =
-        "CASE WHEN xor(h,x) < 0 THEN CAST(xor(h,x) AS HUGEINT) + 18446744073709551616 " +
-          "ELSE CAST(xor(h,x) AS HUGEINT) END"
-      val mul = s"(($unsigned) * 1099511628211) % 18446744073709551616"
-      val step =
-        s"""(h, x) -> CAST(CASE WHEN $mul >= 9223372036854775808
-            THEN $mul - 18446744073709551616 ELSE $mul END AS BIGINT)"""
-      s"""WITH f AS (
-            SELECT CAST(doc_id AS BIGINT) AS id,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS n,
-                   list_reduce(
-                     list_prepend(CAST(1469598103934665603 AS BIGINT),
-                       list_transform(generate_series(1, len(text)),
-                                      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
-                     $step) AS cs
-            FROM documents)
-          SELECT id, 'image' AS modality, n AS "byteLength", cs AS checksum,
-                 CAST(1 + abs(cs % 4096) AS INTEGER) AS width,
-                 CAST(1 + abs((cs >> 12) % 4096) AS INTEGER) AS height,
-                 CAST(0 AS BIGINT) AS "durationMs",
-                 CAST(1 AS INTEGER) AS "frameCount"
-          FROM f"""
-    }
+    // The REAL-header-decode oracle: expected fields recomputed from the
+    // same doc columns the Spark side derives its synthesized containers
+    // from — doc_id%3 selects PNG (29 header bytes, big-endian dims) /
+    // BMP (26, little-endian) / WAV (44, duration = payload*1000/16000).
+    // A decoder mis-parse (endianness, offset, RIFF walk) mismatches.
+    "q_multimodal_features" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+                CASE CAST(doc_id AS BIGINT) % 3
+                  WHEN 2 THEN 'audio' ELSE 'image' END AS modality,
+                CASE CAST(doc_id AS BIGINT) % 3
+                  WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
+                CAST(CASE CAST(doc_id AS BIGINT) % 3
+                       WHEN 0 THEN 29 WHEN 1 THEN 26 ELSE 44 END
+                     + octet_length(encode(text)) AS BIGINT) AS byte_length,
+                CAST(CASE WHEN CAST(doc_id AS BIGINT) % 3 = 2 THEN 0
+                     ELSE CAST(n_chars AS BIGINT) % 1024 + 1 END AS INTEGER) AS width,
+                CAST(CASE WHEN CAST(doc_id AS BIGINT) % 3 = 2 THEN 0
+                     ELSE CAST(doc_id AS BIGINT) % 512 + 1 END AS INTEGER) AS height,
+                CAST(CASE WHEN CAST(doc_id AS BIGINT) % 3 = 2
+                     THEN octet_length(encode(text)) * 1000 // 16000
+                     ELSE 0 END AS BIGINT) AS duration_ms
+         FROM documents"""
   )
 }

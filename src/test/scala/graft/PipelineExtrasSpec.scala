@@ -370,4 +370,28 @@ class PipelineExtrasSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(merged == regs.toSet)
   }
+
+  test("Multimodal.HeaderDecoder round-trips every container encoder") {
+    import graft.pipeline.Multimodal.{Containers, HeaderDecoder}
+    val payload = Array.tabulate[Byte](100)(i => (i % 120).toByte)
+    // Each encoder wraps the payload in a genuine header; sniff must
+    // recover exactly the encoded fields (endianness per format).
+    assert(HeaderDecoder.sniff(Containers.png(640, 480, payload)) ==
+      (("png", 640, 480, 0L)))
+    assert(HeaderDecoder.sniff(Containers.bmp(13, 37, payload)) ==
+      (("bmp", 13, 37, 0L)))
+    assert(HeaderDecoder.sniff(Containers.gif(320, 200, payload)) ==
+      (("gif", 320, 200, 0L)))
+    assert(HeaderDecoder.sniff(Containers.jpeg(1920, 1080, payload)) ==
+      (("jpeg", 1920, 1080, 0L)))
+    assert(HeaderDecoder.sniff(Containers.wav(8000, payload)) ==
+      (("wav", 0, 0, payload.length * 1000L / 8000L)))
+    // Unknown and poisoned payloads: classified, never a throw.
+    assert(HeaderDecoder.sniff("garbage".getBytes)._1 == "unknown")
+    assert(HeaderDecoder.sniff(
+      Containers.png(1, 1, Array.emptyByteArray).take(10))._1 == "unknown")
+    assert(HeaderDecoder.sniff(Array(0xff.toByte, 0xd8.toByte)) ==
+      (("jpeg", 0, 0, 0L)))
+    assert(HeaderDecoder.sniff(Array.emptyByteArray)._1 == "unknown")
+  }
 }
