@@ -45,8 +45,13 @@ object StreamScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // Comma-separated subset for local iteration, e.g.
+    // GRAFT_SMOKE_ONLY=idx; unset runs every section.
+    val only = sys.env.get("GRAFT_SMOKE_ONLY").map(_.split(",").toSet)
+    def section(n: String): Boolean = only.forall(_.contains(n))
+
     // ---------------------------------------------------- 1. closure
-    {
+    if (section("closure")) {
       val chains = 256
       val batches = 50
       val inc = new IncrementalClosure(spark, partitions = 32)
@@ -83,7 +88,7 @@ object StreamScaleSmoke {
     }
 
     // ----------------------------------------------------- 2. hector
-    {
+    if (section("hector")) {
       val inc = new IncrementalHector(spark, Seq(0, 1, 2), Seq(
         Binding.attribute(0, ":sm/a", 1),
         Binding.attribute(0, ":sm/b", 2)),
@@ -118,7 +123,7 @@ object StreamScaleSmoke {
     }
 
     // ---------------------------------------------------- 3. bistream
-    {
+    if (section("bistream")) {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val engine = new BiEngine(spark)
       engine.createAttribute(":sm/x", AttributeConfig(InputSemantics.LastWriteWins))
@@ -159,7 +164,7 @@ object StreamScaleSmoke {
     }
 
     // ------------------------------------- 4. composed IncrementalQuery
-    {
+    if (section("composed")) {
       import graft.streaming.IncrementalQuery
       val kinds = Map(":sm/a" -> ValueKind.KNumber, ":sm/b" -> ValueKind.KNumber)
       val shuffled = new AtomicLong
@@ -232,7 +237,7 @@ object StreamScaleSmoke {
     // disjoint 3-edge chains make every expectation exact: 6 closure
     // tuples per chain; deleting a chain's middle edge retracts exactly
     // the 4 paths through it.
-    {
+    if (section("dist")) {
       import graft.streaming.DistributedClosure
       val dist = new DistributedClosure(spark, partitions = 32)
       val edgesPerChain = 3
@@ -291,7 +296,7 @@ object StreamScaleSmoke {
     // retracts exactly the 2 facts below it (no rederivation paths).
     // Bulk load takes the batch-fixpoint delegation; small delta batches
     // take the per-round delta rules with shuffle records pinned.
-    {
+    if (section("recursion")) {
       import graft.streaming.IncrementalQuery
       val kinds = Map(
         ":sm/edge" -> ValueKind.KNumber, ":sm/seed" -> ValueKind.KNumber)
@@ -369,7 +374,7 @@ object StreamScaleSmoke {
     // Disjoint entities make expectations exact: each batch touches 500
     // fresh entities with one child row and one attribute row each →
     // exactly 500 pull rows (plus nothing from the 1M untouched).
-    {
+    if (section("pull")) {
       import graft.streaming.IncrementalQuery
       val kinds = Map(
         ":pm/name" -> ValueKind.KNumber, ":pm/val" -> ValueKind.KNumber)
@@ -419,7 +424,12 @@ object StreamScaleSmoke {
     // input + shuffle read) must stay flat — the former discipline
     // re-read and re-checkpointed O(state/p) per advance, so its reads
     // grew linearly with state.
-    {
+    // Resident-set protocol: a commit transiently holds TWO state
+    // generations (the new one materializes before the superseded one
+    // drops), so the storage pool must fit ~2× the declared state bytes
+    // — run 10M-row sections with SPARK_DRIVER_MEM=24g; past the pool
+    // the store degrades to disk-serialized blocks (slow, not wrong).
+    if (section("idx")) {
       import graft.streaming.IncrementalQuery
       val kinds = Map(":ix/a" -> ValueKind.KNumber, ":ix/b" -> ValueKind.KNumber)
       val readRecs = new AtomicLong

@@ -236,9 +236,15 @@ final class WsServer(engine: Engine, port: Int = 0,
           }
         case Request.Subscribe(attr) =>
           engine.handle(Request.Subscribe(attr))
+          // A subscription is a standing query too (a MatchA rule):
+          // upgrade the plain interest to the maintained path.
+          engine.interestMaintained(attr)
           clients(id)._2 += attr
         case Request.Derive(ns, q) =>
           engine.handle(Request.Derive(ns, q))
+          // The registered pull plan is in the maintained fragment
+          // (pull family); a non-maintainable shape demotes gracefully.
+          engine.interestMaintained(ns)
           clients(id)._2 += ns
         case Request.Uninterest(name) =>
           clients(id)._2 -= name

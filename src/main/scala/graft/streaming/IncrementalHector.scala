@@ -39,12 +39,10 @@ import graft.model._
   *
   * Scale: per-batch work is Σ_i |ΔR_i ⋈ …| (delta-proportional), and so
   * are per-batch SHUFFLED bytes, on both paths that could touch state:
-  *  - state maintenance: each binding's state lives as a keyed RDD
-  *    hash-partitioned on (e, v) once, and a batch's delta is reduced
-  *    onto that same partitioner (the only shuffle) then merged
-  *    partition-by-partition with `zipPartitions` — the
-  *    [[graft.kernel.RddKernel]] co-partitioned-chain pattern. State is
-  *    scanned narrowly to rewrite it, never re-shuffled.
+  *  - state maintenance: each binding's state is an indexed
+  *    [[StateCell]] map hash-partitioned on (e, v); a batch's delta is
+  *    reduced onto that partitioner (the only shuffle) then applied as
+  *    O(delta) structural-sharing updates — no per-batch state rewrite.
   *  - delta terms: RDD-backed frames carry no Catalyst stats, so the
   *    source reports counted byte-gated deltas (and small states) as
   *    `small` — the compiler's join-site broadcast then streams the big
@@ -105,7 +103,7 @@ class IncrementalHector(
   private val stateCells: Seq[StateCell[HMap]] =
     attrBindings.map(_ => new StateCell[HMap](
       spark.sparkContext, nPartitions,
-      () => scala.collection.immutable.HashMap.empty))
+      () => scala.collection.immutable.HashMap.empty, _.size * 200L))
   private val stateCounts: mutable.ArrayBuffer[Long] =
     mutable.ArrayBuffer.from(attrBindings.map(_ => 0L))
 
@@ -257,27 +255,29 @@ class IncrementalHector(
     }
     val deltaRdds: Map[Int, RDD[KV]] = deltaPairs.map { case (i, (r, _)) => i -> r }
     val deltaCounts: Map[Int, Long] = deltaPairs.map { case (i, (_, n)) => i -> n }
-    // Pre-update views first: they capture the cells' CURRENT checkpoint
-    // blocks, so they stay valid (and historically exact) after the
-    // indexed merges below rebind the cells.
+    // Every term reads only the PRE-update generation: the delta rule's
+    // POST-update side for j < i is served as the multiset union
+    // `old(j) ⊎ Δ(j)` (weights sum; a +w/−w pair from a net-zero key
+    // cancels exactly through the joins), so the indexed merges can run
+    // AFTER the terms materialize — StateCell drops the superseded
+    // generation at its commit, and an un-materialized term reading a
+    // dropped block would fail.
     val old: Seq[DataFrame] = state.toSeq
     val oldCounts: Seq[Long] = stateCounts.toSeq
-    val updatedCounts: Seq[Long] = attrBindings.indices.map { i =>
-      deltaRdds.get(i) match {
-        case None    => oldCounts(i)
-        case Some(d) => mergeIdx(i, d) // O(delta) index update + new size
-      }
+    val deltaDfs: Map[Int, DataFrame] =
+      deltaRdds.map { case (i, d) => i -> dfView(i, d) }
+    val postView: Seq[DataFrame] = attrBindings.indices.map { i =>
+      deltaDfs.get(i).map(old(i).union).getOrElse(old(i))
     }
-    val updated: Seq[DataFrame] = attrBindings.indices.map { i =>
-      if (deltaRdds.contains(i)) indexView(i) else old(i)
+    val postCounts: Seq[Long] = attrBindings.indices.map { i =>
+      oldCounts(i) + deltaCounts.getOrElse(i, 0L)
     }
     val terms: Seq[DataFrame] = attrBindings.indices.flatMap { i =>
-      deltaRdds.get(i).map { d =>
-        val dDf = dfView(i, d)
+      deltaDfs.get(i).map { dDf =>
         val src = sourceFor(
-          j => if (j < i) updated(j) else if (j == i) dDf else old(j),
+          j => if (j < i) postView(j) else if (j == i) dDf else old(j),
           j => broadcastable(
-            if (j < i) updatedCounts(j)
+            if (j < i) postCounts(j)
             else if (j == i) deltaCounts(i)
             else oldCounts(j)))
         new Compiler(src, Map.empty).compile(plan, Map.empty) match {
@@ -286,20 +286,29 @@ class IncrementalHector(
         }
       }
     }
-    attrBindings.indices.foreach { i =>
-      stateCounts(i) = updatedCounts(i)
-      state(i) = updated(i)
-    }
     val n = vars.length
     val schema = (0 until n).map(Rel.c) :+ Rel.W
-    terms match {
+    val result = terms match {
       case Seq() =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outputSchema)
       case ts =>
+        // Materialize the (delta-sized) diffs eagerly BEFORE the merges:
+        // the checkpoint makes the delivered frame self-contained, so
+        // dropping the superseded state generation below is safe even
+        // while callers still hold earlier batches' diff frames.
         ts.map(_.toDF(schema: _*)).reduce(_ union _)
           .groupBy((0 until n).map(i => col(Rel.c(i))): _*)
           .agg(sum(col(Rel.W)).as(Rel.W))
           .where(col(Rel.W) =!= 0L)
+          .localCheckpoint(true)
     }
+    // O(delta) index merges; views and size signals follow.
+    attrBindings.indices.foreach { i =>
+      deltaRdds.get(i).foreach { d =>
+        stateCounts(i) = mergeIdx(i, d)
+        state(i) = indexView(i)
+      }
+    }
+    result
   }
 }

@@ -218,7 +218,7 @@ class IncrementalQuery(
     private val part = new SeqKeyPartitioner(shufflePartitions)
     private val cell = new StateCell[IncrementalQuery.WMap](
       spark.sparkContext, shufflePartitions,
-      () => scala.collection.immutable.HashMap.empty)
+      () => scala.collection.immutable.HashMap.empty, _.size * 200L)
 
     def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
       if (!touched(attrDeltas)) emptyDiff
@@ -258,7 +258,8 @@ class IncrementalQuery(
       new StateCell[(IncrementalQuery.GMap, IncrementalQuery.WMap)](
         spark.sparkContext, shufflePartitions,
         () => (scala.collection.immutable.HashMap.empty,
-          scala.collection.immutable.HashMap.empty))
+          scala.collection.immutable.HashMap.empty),
+        { case (l, r) => l.size * 240L + r.size * 200L })
 
     def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
       if (!touched(attrDeltas)) emptyDiff
@@ -379,7 +380,7 @@ class IncrementalQuery(
     private val part = new SeqKeyPartitioner(shufflePartitions)
     private val cell = new StateCell[IncrementalQuery.GMap](
       spark.sparkContext, shufflePartitions,
-      () => scala.collection.immutable.HashMap.empty)
+      () => scala.collection.immutable.HashMap.empty, _.size * 240L)
 
     def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
       if (!touched(attrDeltas)) emptyDiff
@@ -480,7 +481,8 @@ class IncrementalQuery(
       new StateCell[(IncrementalQuery.GMap, IncrementalQuery.GMap)](
         sc, shufflePartitions,
         () => (scala.collection.immutable.HashMap.empty,
-          scala.collection.immutable.HashMap.empty))
+          scala.collection.immutable.HashMap.empty),
+        { case (l, r) => (l.size + r.size) * 240L })
 
     private def sideDelta(
         node: Node, part: Partitioner,
@@ -543,11 +545,12 @@ class IncrementalQuery(
     // Child and attribute supports both hash the pull ENTITY, so each
     // partition's indexes are co-resident for the bilinear diff.
     private val childCell = new StateCell[IncrementalQuery.GMap](
-      sc, shufflePartitions, () => scala.collection.immutable.HashMap.empty)
+      sc, shufflePartitions, () => scala.collection.immutable.HashMap.empty,
+      _.size * 240L)
     private val attrCells: Map[String, StateCell[IncrementalQuery.GMap]] =
       pullAttrs.map(a => a -> new StateCell[IncrementalQuery.GMap](
         sc, shufflePartitions,
-        () => scala.collection.immutable.HashMap.empty)).toMap
+        () => scala.collection.immutable.HashMap.empty, _.size * 240L)).toMap
 
     private def childSchema: StructType = StructType(
       child.nodeKinds.zipWithIndex.map { case (k, i) =>
@@ -1828,7 +1831,7 @@ class IncrementalQuery(
     private val part = new SeqKeyPartitioner(shufflePartitions)
     private val cell = new StateCell[IncrementalQuery.WMap](
       spark.sparkContext, shufflePartitions,
-      () => scala.collection.immutable.HashMap.empty)
+      () => scala.collection.immutable.HashMap.empty, _.size * 200L)
     private val schema = StructType(Seq(
       StructField("e", LongType, false),
       StructField("v", kind.dataType, true),
@@ -1863,7 +1866,7 @@ class IncrementalQuery(
     private val cell = new StateCell[
         scala.collection.immutable.HashMap[Long, (Long, Long, Any, Boolean)]](
       spark.sparkContext, shufflePartitions,
-      () => scala.collection.immutable.HashMap.empty)
+      () => scala.collection.immutable.HashMap.empty, _.size * 200L)
     private val schema = StructType(Seq(
       StructField("e", LongType, false),
       StructField("v", kind.dataType, true),

@@ -37,30 +37,59 @@ import org.apache.spark.rdd.RDD
   * alive exactly as long as the current index references it.
   */
 private[streaming] final class StateCell[S <: AnyRef: ClassTag](
-    sc: SparkContext, numPartitions: Int, zero: () => S) {
+    sc: SparkContext, numPartitions: Int, zero: () => S,
+    // Declared byte estimate of an index (entry count × footprint, O(1)):
+    // cached via KnownSizeEstimation so the block store never
+    // reflectively walks the accumulated state graph on a per-batch put
+    // — that walk was an O(state) CPU tax per advance.
+    sizeOf: S => Long) {
 
-  private var cur: RDD[S] = {
+  import org.apache.spark.util.GraftSizedValue
+  private type W = GraftSizedValue[S]
+
+  private var prevGen: RDD[_] = null
+
+  private var cur: RDD[W] = {
     val z = zero
+    val sz = sizeOf
     val init = sc.parallelize(0 until numPartitions, numPartitions)
-      .mapPartitions(_ => Iterator.single(z()))
+      .mapPartitions { _ =>
+        val s = z(); Iterator.single(new GraftSizedValue(s, 64L + sz(s)))
+      }
       .localCheckpoint()
     init.count()
+    prevGen = init
     init
   }
 
   /** The current state, one element per partition — for read-only
     * composition (multi-cell zips driven by the owning node). */
-  def rdd: RDD[S] = cur
+  def rdd: RDD[S] = cur.map(_.value)
 
   /** Commit a stepped (newState, outputs) pair RDD: materialize once
-    * (checkpoint), rebind the state to its first component, and return
-    * the outputs. Reading the outputs re-reads the cached block — an
-    * object-graph read, not a recompute. */
+    * (checkpoint), copy the OUTPUTS into their own delta-sized
+    * checkpoint, rebind the state, and eagerly drop the superseded
+    * generation's block. The eager unpersist matters: the block store
+    * estimates each generation at its FULL reachable graph (structural
+    * sharing is invisible to SizeEstimator), so letting generations wait
+    * for the ContextCleaner stacks phantom gigabytes of accounting,
+    * evicts live blocks, and serializes whole state graphs to disk —
+    * measured as per-batch wall time growing with state while narrow
+    * reads stayed flat. With outputs checkpointed separately, nothing
+    * references the superseded generation, so dropping it is safe even
+    * while callers still hold earlier batches' diff frames. */
   def commit[O: ClassTag](stepped: RDD[(S, Array[O])]): RDD[O] = {
-    val mat = stepped.localCheckpoint()
+    val sz = sizeOf
+    val mat = stepped.mapPartitions(
+      _.map { case (s, o) => (new GraftSizedValue(s, 64L + sz(s)), o) },
+      preservesPartitioning = false).localCheckpoint()
     mat.count()
+    val out = mat.flatMap(_._2.iterator).localCheckpoint()
+    out.count()
     cur = mat.map(_._1)
-    mat.flatMap(_._2.iterator)
+    if (prevGen ne null) prevGen.unpersist(blocking = false)
+    prevGen = mat
+    out
   }
 
   /** One batch against one co-partitioned delta: `f` runs once per
@@ -70,7 +99,7 @@ private[streaming] final class StateCell[S <: AnyRef: ClassTag](
   def advance1[D: ClassTag, O: ClassTag](delta: RDD[D])(
       f: (S, Iterator[D]) => (S, Array[O])): RDD[O] =
     commit(cur.zipPartitions(delta, preservesPartitioning = false) {
-      (sIt, dIt) => Iterator.single(f(sIt.next(), dIt))
+      (sIt, dIt) => Iterator.single(f(sIt.next().value, dIt))
     })
 
   /** One batch against two co-partitioned deltas (two-sided nodes:
@@ -79,6 +108,6 @@ private[streaming] final class StateCell[S <: AnyRef: ClassTag](
       d1: RDD[D1], d2: RDD[D2])(
       f: (S, Iterator[D1], Iterator[D2]) => (S, Array[O])): RDD[O] =
     commit(cur.zipPartitions(d1, d2, preservesPartitioning = false) {
-      (sIt, aIt, bIt) => Iterator.single(f(sIt.next(), aIt, bIt))
+      (sIt, aIt, bIt) => Iterator.single(f(sIt.next().value, aIt, bIt))
     })
 }

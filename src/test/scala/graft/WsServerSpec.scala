@@ -500,6 +500,30 @@ class WsServerSpec extends AnyFunSuite {
     }
   }
 
+  test("Subscribe and Derive are served through the maintained path too") {
+    val engine = new Engine(spark)
+    val server = new WsServer(engine).start()
+    val client = new Client(server.boundPort)
+    try {
+      client.send("""{"CreateAttribute":{"name":":mt/tag","config":{"input_semantics":"Distinct"}}}""")
+      client.send("""{"Subscribe":":mt/tag"}""")
+      client.send("""{"Transact":[[1,":mt/tag","a",null,1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+      Wire.parseOutput(client.next()) match {
+        case Output.QueryDiff(name, batch) =>
+          assert(name == ":mt/tag")
+          assert(batch == Seq((Seq(Value.eid(1), Value.str("a")), 0L, 1L)))
+        case other => fail(s"expected a QueryDiff, got $other")
+      }
+      assert(engine.servedIncrementally(":mt/tag"),
+        "a subscription is a standing query — maintained path expected")
+      assert(engine.snapshotRecomputeCount(":mt/tag") == 0L)
+    } finally {
+      try client.close() catch { case _: Throwable => () }
+      server.stop()
+    }
+  }
+
   test("wire Interest outside the maintainable fragment demotes to snapshots") {
     // Non-monotone operator INSIDE a recursive clique body (antijoin in
     // the base case) — outside the maintained-recursion scope. The wire
