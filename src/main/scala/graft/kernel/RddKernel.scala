@@ -41,6 +41,27 @@ object RddKernel {
     }
   }
 
+  /** Assert `part` on an RDD whose records are ALREADY placed
+    * accordingly — e.g. derived narrowly (zipPartitions / per-partition
+    * flatMap) from a `part`-partitioned parent, where the
+    * transformation dropped the partitioner but not the placement.
+    * Restores partitioner-aware unions and narrow chain ops without the
+    * shuffle a `partitionBy` would re-pay. The caller GUARANTEES the
+    * placement invariant; asserting it falsely strands records in the
+    * wrong partition for every downstream narrow op. */
+  def assertPartitioned[T: ClassTag](rdd: RDD[T], part: Partitioner): RDD[T] =
+    new AssertPartitionedRdd(rdd, part)
+
+  private final class AssertPartitionedRdd[T: ClassTag](
+      parent: RDD[T], p: Partitioner) extends RDD[T](parent) {
+    override val partitioner: Option[Partitioner] = Some(p)
+    override protected def getPartitions: Array[org.apache.spark.Partition] =
+      firstParent[T].partitions
+    override def compute(split: org.apache.spark.Partition,
+        context: org.apache.spark.TaskContext): Iterator[T] =
+      firstParent[T].iterator(split, context)
+  }
+
   /** Hash-partition candidates and drop within-batch duplicates. */
   def dedup[K: ClassTag](cand: RDD[(K, Null)], part: Partitioner): RDD[(K, Null)] =
     cand.partitionBy(part).mapPartitions({ it =>

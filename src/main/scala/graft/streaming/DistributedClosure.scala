@@ -1,5 +1,6 @@
 package graft.streaming
 
+import scala.collection.immutable.{HashMap, HashSet}
 import scala.collection.mutable
 
 import org.apache.spark.{HashPartitioner, Partitioner}
@@ -18,57 +19,57 @@ import graft.kernel.RddKernel
   * for retractions — the differential `iterate` + arrangement analog,
   * reference `src/lib.rs:943-1022`), same exact per-batch diffs.
   *
-  * Where [[IncrementalClosure]] holds the adjacency as driver maps
-  * shipped by broadcast, this class keeps everything as co-partitioned
-  * persisted RDDs:
+  * State lives as MAINTAINED per-partition indexes ([[StateCell]] — the
+  * arrangement-analog store), updated by O(delta) structural sharing
+  * per batch, never rebuilt or rewritten:
   *
-  *  - `edges` `(src,dst)` keyed by TUPLE — membership (fresh-filter,
-  *    retraction validation) via the kernel's narrow subtract/retain;
-  *  - `revEdges` `(dst,src)` keyed by FIRST element — the reverse
-  *    adjacency the semi-naive rounds expand through;
-  *  - `fwdEdges` `(src,dst)` keyed by FIRST element — the forward
-  *    adjacency DRed's rederivation probes walk;
-  *  - closure totals as the usual tuple-hash chain PLUS one copy keyed
-  *    by SOURCE (`totalsBySrc`) — the "second totals copy" arrangement
-  *    that lets Δe∘C / Δd∘C run as a co-partitioned batch-side-hashed
-  *    scan instead of a broadcast probe.
-  *
-  * Once per advance, the first-keyed edge copies are folded into
-  * per-partition hash indexes (`indexOf`) probed by every fixpoint
-  * round — the RDD analog of differential's arrangements: built in one
-  * narrow O(|E|/p) pass per batch, probed at O(|frontier|) per round.
+  *  - `edgeCell`: edge membership set keyed by TUPLE hash — fresh
+  *    filters and retraction validation are per-delta probes;
+  *  - `revCell` / `fwdCell`: reverse and forward adjacency indexes
+  *    (`key → neighbors`) keyed by FIRST element — the fixpoint rounds
+  *    and DRed's rederivation probes walk them directly, no per-batch
+  *    index fold;
+  *  - `closureCell`: closure membership set keyed by tuple hash — each
+  *    round's dedup-against-totals is ONE insert-if-absent pass over
+  *    the candidates (the former totals-chain subtract re-read
+  *    O(C/p) per round);
+  *  - `srcCell`: the closure re-keyed by SOURCE — Δ∘C probes touch
+  *    O(batch × degree) entries (the former src-keyed totals copy was
+  *    scanned narrowly per batch).
   *
   * Cost shape per batch: shuffles are O(delta) for ingest plus
   * O(frontier) per fixpoint round (each round re-keys its frontier by
   * destination — the distributed expansion cannot k-hop-batch inside a
   * task the way the broadcast kernel can, so deep graphs pay diameter
-  * rounds); narrow work is O(state/p) per partition for the edge-copy
-  * rebuild and index fold — the same per-batch narrow state rewrite
-  * every RDD-backed maintainer here pays. Superseded state RDDs are
-  * unpersisted once their replacement is materialized (checkpointed
-  * replacements never re-read them).
+  * rounds); narrow work is O(delta + touched keys) — deletions
+  * additionally pay one O(C/p) pass to split keep/overdeleted, the
+  * textbook DRed cost. Resident-set economics follow the StateCell
+  * rule: a commit transiently holds two generations of an index.
   */
 class DistributedClosure(spark: SparkSession, partitions: Int = 32) {
 
   private type Tup = (Long, Long)
+  private type Adj = HashMap[Long, Array[Long]]
+  private type TSet = HashSet[Tup]
   private val sc = spark.sparkContext
   private val part = new HashPartitioner(partitions)
   private val firstPart = new DistributedClosure.FirstPartitioner(partitions)
-  private val maxChain = 16
 
-  private def empty(p: Partitioner): RDD[(Tup, Null)] =
-    sc.emptyRDD[(Tup, Null)].partitionBy(p)
+  private val edgeCell = new StateCell[TSet](
+    sc, partitions, () => HashSet.empty, _.size * 90L)
+  private val revCell = new StateCell[Adj](
+    sc, partitions, () => HashMap.empty, _.size * 150L)
+  private val fwdCell = new StateCell[Adj](
+    sc, partitions, () => HashMap.empty, _.size * 150L)
+  private val closureCell = new StateCell[TSet](
+    sc, partitions, () => HashSet.empty, _.size * 90L)
+  private val srcCell = new StateCell[Adj](
+    sc, partitions, () => HashMap.empty, _.size * 150L)
 
-  private var edges: RDD[(Tup, Null)] = empty(part)
-  private var revEdges: RDD[(Tup, Null)] = empty(firstPart)
-  private var fwdEdges: RDD[(Tup, Null)] = empty(firstPart)
   private var edgeCount = 0L
 
-  private var totalParts: Vector[RDD[(Tup, Null)]] = Vector.empty
-  private var totalsBySrc: RDD[(Tup, Null)] = empty(firstPart)
-
   /** Current closure size (tuples). */
-  def size: Long = totalParts.map(_.count()).sum
+  def size: Long = closureCell.rdd.map(_.size.toLong).fold(0L)(_ + _)
 
   /** Current edge-relation size. */
   def edgeSize: Long = edgeCount
@@ -78,9 +79,8 @@ class DistributedClosure(spark: SparkSession, partitions: Int = 32) {
   /** Apply one batch of edge additions; returns the exact new closure
     * tuples as a DataFrame (src, dst, t, diff) — all diffs +1. */
   def advanceRdd(newEdges: RDD[(Long, Long)], t: Long): DataFrame = {
-    val fresh = RddKernel.freshDelta(
-      newEdges.map(e => (e: Tup, null)), part, Seq(edges))
-    fresh.count()
+    val fresh = edgeProbeAbsent(
+      newEdges.map(e => (e: Tup, null: Null)).reduceByKey(part, (a, _) => a))
     diffDf(addFresh(fresh), t, 1L)
   }
 
@@ -105,17 +105,16 @@ class DistributedClosure(spark: SparkSession, partitions: Int = 32) {
         _.map { case (e, _) => (e, null: Null) }, preservesPartitioning = true)
       val adds = net.filter(_._2 > 0).mapPartitions(
         _.map { case (e, _) => (e, null: Null) }, preservesPartitioning = true)
-      val missing = RddKernel.subtract(dels, Seq(edges)).take(1)
+      val missing = edgeProbePresent(dels, invert = true).take(1)
       require(missing.isEmpty,
         s"retraction of absent edges: ${missing.map(_._1).mkString(", ")}")
 
       val delsM = dels.localCheckpoint()
       val hasDels = delsM.take(1).nonEmpty
-      val removed = if (!hasDels) empty(part) else deleteEdges(delsM)
+      val removed = if (!hasDels) emptyTup else deleteEdges(delsM)
       // Fresh-filter AFTER deletions: a deleted-then-re-added edge is
       // fresh again.
-      val fresh = RddKernel.subtract(adds, Seq(edges)).localCheckpoint()
-      fresh.count()
+      val fresh = edgeProbeAbsent(adds)
       val added = addFresh(fresh)
       val retr = RddKernel.subtract(removed, Seq(added))
       val asserted = RddKernel.subtract(added, Seq(removed))
@@ -127,40 +126,78 @@ class DistributedClosure(spark: SparkSession, partitions: Int = 32) {
   def advanceSigned(deltas: Seq[((Long, Long), Long)], t: Long): DataFrame =
     advanceSignedRdd(sc.parallelize(deltas, math.max(1, partitions / 4)), t)
 
+  // ---------------------------------------------------------- membership
+
+  private def emptyTup: RDD[(Tup, Null)] =
+    sc.emptyRDD[(Tup, Null)].partitionBy(part)
+
+  /** Deduped, `part`-keyed candidates NOT in the edge set (read-only
+    * probe; checkpointed so the caller can branch on it). */
+  private def edgeProbeAbsent(cand: RDD[(Tup, Null)]): RDD[(Tup, Null)] = {
+    val p = if (cand.partitioner.contains(part)) cand else cand.partitionBy(part)
+    val r = p.zipPartitions(edgeCell.rdd) { (cIt, sIt) =>
+      val s = sIt.next()
+      cIt.filterNot { case (e, _) => s.contains(e) }
+    }.localCheckpoint()
+    r.count()
+    r
+  }
+
+  /** `part`-keyed candidates present (or, inverted, absent) in the edge
+    * set — lazy, for loud validation takes. */
+  private def edgeProbePresent(
+      cand: RDD[(Tup, Null)], invert: Boolean): RDD[(Tup, Null)] =
+    cand.zipPartitions(edgeCell.rdd) { (cIt, sIt) =>
+      val s = sIt.next()
+      cIt.filter { case (e, _) => s.contains(e) != invert }
+    }
+
   // --------------------------------------------------------- additions
 
   /** Mutate state with genuinely fresh additions (deduped, tuple-keyed,
-    * materialized); return the new closure tuples, `part`-partitioned. */
+    * materialized); return the new closure tuples. */
   private def addFresh(fresh: RDD[(Tup, Null)]): RDD[(Tup, Null)] = {
     val nFresh = fresh.count()
-    if (nFresh == 0L) return empty(part)
-    edges = concat(edges, fresh, part)
-    val freshRev = fresh.map { case ((s, d), _) => ((d, s): Tup, null: Null) }
-    revEdges = concat(revEdges, freshRev, firstPart)
-    fwdEdges = concat(fwdEdges, fresh, firstPart)
+    if (nFresh == 0L) return emptyTup
+    val freshRev = fresh
+      .map { case ((s, d), _) => ((d, s): Tup, null: Null) }
+      .partitionBy(firstPart).localCheckpoint()
+    freshRev.count()
+    edgeCell.advance1(fresh)(DistributedClosure.setInsert)
+    revCell.advance1(freshRev)(DistributedClosure.adjInsert)
+    fwdCell.advance1(fresh.partitionBy(firstPart))(DistributedClosure.adjInsert)
     edgeCount += nFresh
 
-    val revIdx = indexOf(revEdges)
-    try {
-      // D1 = Δe ∪ Δe∘C: the src-keyed totals copy is scanned narrowly
-      // against the batch hashed per partition — no broadcast, co-located
-      // by the shared first-element partitioner.
-      val viaOld = composeWithTotals(freshRev.partitionBy(firstPart))
-      var newParts = Vector.empty[RDD[(Tup, Null)]]
-      var delta = RddKernel.freshDelta(fresh.union(viaOld), part, totalParts)
-      var n = delta.count()
-      while (n > 0) {
-        newParts = newParts :+ delta
-        totalParts = totalParts :+ delta
-        delta = RddKernel.freshDelta(expand(delta, revIdx), part, totalParts)
-        n = delta.count()
-      }
-      if (totalParts.length > maxChain)
-        totalParts = Vector(RddKernel.compact(totalParts))
-      if (newParts.nonEmpty)
-        totalsBySrc = concat(totalsBySrc, sc.union(newParts), firstPart)
-      if (newParts.isEmpty) empty(part) else sc.union(newParts)
-    } finally revIdx.unpersist(blocking = false)
+    // D1 = Δe ∪ Δe∘C: the src-keyed closure index is PROBED by the
+    // batch — O(batch × degree), no totals scan, no broadcast.
+    val viaOld = composeWithTotals(freshRev)
+    var newParts = Vector.empty[RDD[(Tup, Null)]]
+    var delta = insertClosure(fresh.union(viaOld))
+    var n = delta.count()
+    while (n > 0) {
+      newParts = newParts :+ delta
+      delta = insertClosure(expand(delta))
+      n = delta.count()
+    }
+    if (newParts.isEmpty) emptyTup
+    else {
+      val all = sc.union(newParts)
+      srcCell.advance1(all.partitionBy(firstPart))(DistributedClosure.adjInsert)
+      all
+    }
+  }
+
+  /** One insert-if-absent pass over round candidates: dedup against the
+    * maintained closure set AND install the survivors, emitting exactly
+    * the genuinely fresh tuples — the round's only shuffle is the
+    * candidates' own key consolidation. */
+  private def insertClosure(cand: RDD[(Tup, Null)]): RDD[(Tup, Null)] = {
+    val keyed = cand.reduceByKey(part, (a, _) => a)
+    val out = closureCell.advance1(keyed)(DistributedClosure.setInsertFresh)
+      .mapPartitions(_.map(t => (t, null: Null)))
+    // Records came out of `part`-keyed partitions untouched — assert the
+    // partitioner back so downstream unions/subtracts stay narrow.
+    RddKernel.assertPartitioned(out, part)
   }
 
   // --------------------------------------------------------- deletions
@@ -169,104 +206,89 @@ class DistributedClosure(spark: SparkSession, partitions: Int = 32) {
     * materialized): overdelete through the OLD adjacency, rederive
     * against the updated edges, install `(C − O) ∪ R`, return `O − R`. */
   private def deleteEdges(dels: RDD[(Tup, Null)]): RDD[(Tup, Null)] = {
-    // Overdeletion walks derivations of the OLD program: index the
-    // adjacency before removing the deleted edges.
-    val oldRevIdx = indexOf(revEdges)
-    val nDels = dels.count()
-    edges = subtractCk(edges, dels)
+    // --- overdelete: O = lfp of Δd ∪ Δd∘C ∪ E_old∘O -------------------
+    // Probes the CURRENT (pre-deletion) adjacency generation — index
+    // deletions apply only after this loop, exactly the old-program
+    // semantics DRed's overdeletion is defined over. Candidates stay
+    // ⊆ C by construction, so no closure membership test.
     val delsRev = dels.map { case ((s, d), _) => ((d, s): Tup, null: Null) }
       .partitionBy(firstPart).localCheckpoint()
     delsRev.count()
-    revEdges = subtractCk(revEdges, delsRev)
-    fwdEdges = subtractCk(fwdEdges, dels.partitionBy(firstPart))
-    edgeCount -= nDels
-
-    // --- overdelete: O = lfp of Δd ∪ Δd∘C ∪ E_old∘O -------------------
-    // Candidates stay ⊆ C by construction, so no totals membership test.
     val direct = composeWithTotals(delsRev)
     var oChain = Vector.empty[RDD[(Tup, Null)]]
     var oDelta = RddKernel.freshDelta(dels.union(direct), part, oChain)
     var n = oDelta.count()
     while (n > 0) {
       oChain = oChain :+ oDelta
-      oDelta = RddKernel.freshDelta(expand(oDelta, oldRevIdx), part, oChain)
+      oDelta = RddKernel.freshDelta(expand(oDelta), part, oChain)
       n = oDelta.count()
     }
-    oldRevIdx.unpersist(blocking = false)
-    if (oChain.isEmpty) return empty(part)
 
-    val keep = RddKernel.subtract(
-      RddKernel.compact(totalParts), oChain).localCheckpoint()
-    keep.count()
+    // Apply the edge deletions to the indexes (O(delta) each); the
+    // rederivation below probes the NEW program's adjacency.
+    val nDels = dels.count()
+    edgeCell.advance1(dels)(DistributedClosure.setRemove)
+    revCell.advance1(delsRev)(DistributedClosure.adjRemove)
+    fwdCell.advance1(dels.partitionBy(firstPart))(DistributedClosure.adjRemove)
+    edgeCount -= nDels
+    if (oChain.isEmpty) return emptyTup
+
+    // keep = C − O: one narrow O(C/p) pass (the DRed split cost).
     val oAll = sc.union(oChain)
+    val oByPart = oAll.partitionBy(part)
+    val keep = closureCell.rdd.zipPartitions(oByPart) { (sIt, oIt) =>
+      val o = new java.util.HashSet[Tup]()
+      oIt.foreach { case (e, _) => o.add(e) }
+      sIt.next().iterator.collect {
+        case e if !o.contains(e) => (e, null: Null)
+      }
+    }.localCheckpoint()
+    keep.count()
 
     // --- rederive: R = lfp of (O∩E') ∪ (O ∩ E'∘keep) ∪ (O ∩ E'∘R) -----
-    val newRevIdx = indexOf(revEdges)
-    val fwdIdx = indexOf(fwdEdges)
-    try {
-      // Base: overdeleted facts that are themselves surviving edges.
-      val r0a = RddKernel.retain(oAll, Seq(edges))
-      // One step through the kept region: (x,z) ∈ O re-keyed by x walks
-      // the forward index to probe keys (y,z), looked up in keep with a
-      // co-partitioned narrow join — work ∝ |O| × degree, never ∝ |keep|.
-      val probes = oAll.partitionBy(firstPart)
-        .zipPartitions(fwdIdx) { (oIt, mIt) =>
-          val m = mIt.next()
-          oIt.flatMap { case ((x, z), _) =>
-            m.get(x) match {
-              case None     => Iterator.empty
-              case Some(ys) => ys.iterator.map(y => ((y, z): Tup, (x, z): Tup))
-            }
+    // Base: overdeleted facts that are themselves surviving edges.
+    val r0a = edgeProbePresent(oByPart, invert = false)
+    // One step through the kept region: (x,z) ∈ O re-keyed by x walks
+    // the forward index to probe keys (y,z), looked up in keep with a
+    // co-partitioned narrow join — work ∝ |O| × degree, never ∝ |keep|.
+    val probes = oAll.partitionBy(firstPart)
+      .zipPartitions(fwdCell.rdd) { (oIt, mIt) =>
+        val m = mIt.next()
+        oIt.flatMap { case ((x, z), _) =>
+          m.get(x) match {
+            case None     => Iterator.empty
+            case Some(ys) => ys.iterator.map(y => ((y, z): Tup, (x, z): Tup))
           }
         }
-      val r0b = lookupHits(probes, Seq(keep))
-      var rChain = Vector.empty[RDD[(Tup, Null)]]
-      var rDelta = RddKernel.freshDelta(r0a.union(r0b), part, rChain)
-      var rn = rDelta.count()
-      while (rn > 0) {
-        rChain = rChain :+ rDelta
-        val inO = RddKernel.retain(
-          RddKernel.dedup(expand(rDelta, newRevIdx), part), oChain)
-        rDelta = RddKernel.subtract(inO, rChain).localCheckpoint()
-        rn = rDelta.count()
       }
-      val removed = RddKernel.subtract(oAll, rChain).localCheckpoint()
-      removed.count()
-      totalParts = Vector(keep) ++ rChain
-      // R ⊆ O ⊆ C: rederived tuples were already in the src-keyed copy —
-      // only the genuinely removed ones leave it.
-      totalsBySrc = subtractCk(totalsBySrc, removed.partitionBy(firstPart))
-      removed
-    } finally {
-      newRevIdx.unpersist(blocking = false)
-      fwdIdx.unpersist(blocking = false)
+    val r0b = lookupHits(probes, Seq(keep))
+    var rChain = Vector.empty[RDD[(Tup, Null)]]
+    var rDelta = RddKernel.freshDelta(r0a.union(r0b), part, rChain)
+    var rn = rDelta.count()
+    while (rn > 0) {
+      rChain = rChain :+ rDelta
+      val inO = RddKernel.retain(
+        RddKernel.dedup(expand(rDelta), part), oChain)
+      rDelta = RddKernel.subtract(inO, rChain).localCheckpoint()
+      rn = rDelta.count()
     }
+    val removed = RddKernel.subtract(oAll, rChain).localCheckpoint()
+    removed.count()
+    // Install C − removed: rederived tuples never left the sets.
+    val removedByPart = removed.partitionBy(part)
+    closureCell.advance1(removedByPart)(DistributedClosure.setRemove)
+    srcCell.advance1(removed.partitionBy(firstPart))(DistributedClosure.adjRemove)
+    removed
   }
 
   // ------------------------------------------------------------- steps
 
-  /** Per-partition adjacency index over a first-keyed edge copy — the
-    * arrangement the fixpoint rounds probe: one narrow O(|E|/p) fold per
-    * advance, O(1) lookups per frontier tuple per round. */
-  private def indexOf(byFirst: RDD[(Tup, Null)]): RDD[mutable.HashMap[Long, Array[Long]]] = {
-    val idx = byFirst.mapPartitions { it =>
-      val m = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
-      it.foreach { case ((a, b), _) =>
-        m.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b
-      }
-      Iterator.single(m.map { case (k, v) => (k, v.toArray) })
-    }.persist(StorageLevel.MEMORY_AND_DISK)
-    idx.count() // materialize once; rounds only probe
-    idx
-  }
-
   /** One semi-naive expansion round: re-key the frontier by destination
     * (one O(frontier) shuffle — `part` and `firstPart` disagree, so this
-    * is the price of the distributed adjacency) and probe the
+    * is the price of the distributed adjacency) and probe the MAINTAINED
     * per-partition reverse index: (y,z) → (x,z) for (x,y) ∈ E. */
-  private def expand(delta: RDD[(Tup, Null)],
-      revIdx: RDD[mutable.HashMap[Long, Array[Long]]]): RDD[(Tup, Null)] =
-    delta.partitionBy(firstPart).zipPartitions(revIdx) { (dIt, mIt) =>
+  private def expand(delta: RDD[(Tup, Null)]): RDD[(Tup, Null)] =
+    delta.partitionBy(firstPart).zipPartitions(revCell.rdd) { (dIt, mIt) =>
       val m = mIt.next()
       dIt.flatMap { case ((y, z), _) =>
         m.get(y) match {
@@ -276,20 +298,16 @@ class DistributedClosure(spark: SparkSession, partitions: Int = 32) {
       }
     }
 
-  /** (x,y) ∈ batch (as (y,x), first-keyed), (y,z) ∈ totalsBySrc →
-    * (x,z): hash the batch side per partition, scan the co-partitioned
-    * src-keyed totals copy narrowly — the Δ∘C step without a broadcast. */
+  /** (x,y) ∈ batch (as (y,x), first-keyed), (y,z) ∈ closure →
+    * (x,z): probe the src-keyed closure index per batch key —
+    * O(batch × degree), never a totals scan. */
   private def composeWithTotals(batchByDst: RDD[(Tup, Null)]): RDD[(Tup, Null)] =
-    batchByDst.zipPartitions(totalsBySrc) { (bIt, tIt) =>
-      val m = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
-      bIt.foreach { case ((y, x), _) =>
-        m.getOrElseUpdate(y, mutable.ArrayBuffer.empty) += x
-      }
-      if (m.isEmpty) Iterator.empty
-      else tIt.flatMap { case ((y, z), _) =>
+    batchByDst.zipPartitions(srcCell.rdd) { (bIt, sIt) =>
+      val m = sIt.next()
+      bIt.flatMap { case ((y, x), _) =>
         m.get(y) match {
           case None     => Iterator.empty
-          case Some(xs) => xs.iterator.map(x => ((x, z): Tup, null: Null))
+          case Some(zs) => zs.iterator.map(z => ((x, z): Tup, null: Null))
         }
       }
     }
@@ -308,28 +326,6 @@ class DistributedClosure(spark: SparkSession, partitions: Int = 32) {
       }
     }
     if (hits.isEmpty) sc.emptyRDD[(Tup, Null)] else sc.union(hits)
-  }
-
-  /** Narrow concat + checkpoint of a state copy; the superseded RDD is
-    * unpersisted once its replacement is materialized (the checkpointed
-    * replacement never re-reads it). */
-  private def concat(a: RDD[(Tup, Null)], b: RDD[(Tup, Null)],
-      p: Partitioner): RDD[(Tup, Null)] = {
-    val bb = if (b.partitioner.contains(p)) b else b.partitionBy(p)
-    val r = a.zipPartitions(bb, preservesPartitioning = true)(_ ++ _)
-      .localCheckpoint()
-    r.count()
-    a.unpersist(blocking = false)
-    r
-  }
-
-  /** Narrow subtract + checkpoint of a state copy, same lifecycle. */
-  private def subtractCk(a: RDD[(Tup, Null)],
-      b: RDD[(Tup, Null)]): RDD[(Tup, Null)] = {
-    val r = RddKernel.subtract(a, Seq(b)).localCheckpoint()
-    r.count()
-    a.unpersist(blocking = false)
-    r
   }
 
   // --------------------------------------------------------- streaming
@@ -379,6 +375,73 @@ class DistributedClosure(spark: SparkSession, partitions: Int = 32) {
 }
 
 object DistributedClosure {
+
+  private type Tup = (Long, Long)
+  private type Adj = HashMap[Long, Array[Long]]
+  private type TSet = HashSet[Tup]
+
+  // ---- index merges (top-level: tasks never capture the operator) ----
+
+  /** Insert deduped tuples into a membership set (no output). */
+  private def setInsert(s: TSet, dIt: Iterator[(Tup, Null)]): (TSet, Array[Int]) = {
+    var m = s
+    dIt.foreach { case (e, _) => m += e }
+    (m, Array.empty[Int])
+  }
+
+  /** Insert-if-absent over deduped candidates, emitting exactly the
+    * genuinely fresh tuples — dedup-against-totals and install in one
+    * pass. */
+  private def setInsertFresh(
+      s: TSet, dIt: Iterator[(Tup, Null)]): (TSet, Array[Tup]) = {
+    var m = s
+    val out = mutable.ArrayBuffer.empty[Tup]
+    dIt.foreach { case (e, _) =>
+      if (!m.contains(e)) { m += e; out += e }
+    }
+    (m, out.toArray)
+  }
+
+  /** Remove tuples from a membership set (no output). */
+  private def setRemove(s: TSet, dIt: Iterator[(Tup, Null)]): (TSet, Array[Int]) = {
+    var m = s
+    dIt.foreach { case (e, _) => m -= e }
+    (m, Array.empty[Int])
+  }
+
+  /** Append (k, v) pairs to an adjacency index — per-key batch grouping
+    * so a key's neighbor array copies once per batch, not per edge. */
+  private def adjInsert(s: Adj, dIt: Iterator[(Tup, Null)]): (Adj, Array[Int]) = {
+    val byKey = mutable.LinkedHashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    dIt.foreach { case ((k, v), _) =>
+      byKey.getOrElseUpdate(k, mutable.ArrayBuffer.empty) += v
+    }
+    var m = s
+    byKey.foreach { case (k, vs) =>
+      m = m.updated(k, m.get(k) match {
+        case None    => vs.toArray
+        case Some(a) => a ++ vs
+      })
+    }
+    (m, Array.empty[Int])
+  }
+
+  /** Remove (k, v) pairs from an adjacency index (edges are a set, so
+    * each (k, v) occurs at most once). */
+  private def adjRemove(s: Adj, dIt: Iterator[(Tup, Null)]): (Adj, Array[Int]) = {
+    val byKey = mutable.LinkedHashMap.empty[Long, mutable.HashSet[Long]]
+    dIt.foreach { case ((k, v), _) =>
+      byKey.getOrElseUpdate(k, mutable.HashSet.empty) += v
+    }
+    var m = s
+    byKey.foreach { case (k, vs) =>
+      m.get(k).foreach { a =>
+        val left = a.filterNot(vs.contains)
+        m = if (left.isEmpty) m - k else m.updated(k, left)
+      }
+    }
+    (m, Array.empty[Int])
+  }
 
   /** Partition a (Long, Long) key by its FIRST element — edge copies and
     * the src-keyed totals land where their join/probe key does. Top-level

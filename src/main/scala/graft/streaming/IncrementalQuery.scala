@@ -693,17 +693,14 @@ class IncrementalQuery(
         Map("__notPrefix" -> node))
 
     case Plan.Join(vs, l, r) =>
-      // A join of attribute patterns IS a 2-binding conjunction; route it
-      // through the Hector delta rule (same results, one state class).
-      // Any other operand shape — inlined derived views, unions,
-      // pull levels — takes the general two-sided JoinNode.
-      (l, r) match {
-        case (Plan.MatchA(le, la, lv), Plan.MatchA(re, ra, rv)) =>
-          val all = Plan.boundVariables(p, _ => Seq.empty)
-          new HectorNode(all, Seq(
-            Binding.Attr(le, la, lv), Binding.Attr(re, ra, rv)))
-        case _ => new JoinNode(zoneOf(l), zoneOf(r), vs)
-      }
+      // Every binary equijoin takes the general two-sided JoinNode: its
+      // indexed StateCell supports probe exactly the touched keys per
+      // batch, where the 2-binding Hector delta rule (the previous route
+      // for pattern×pattern operands) STREAMS the full other-side state
+      // through a broadcast join each batch. Same results — weights
+      // multiply, target-vars-only key — one state class fewer in the
+      // common path.
+      new JoinNode(zoneOf(l), zoneOf(r), vs)
 
     case u @ Plan.Union(_, _)
         if IncrementalQuery.ruleRefs(u).exists(n => rules.get(n).contains(u)) =>
