@@ -1426,16 +1426,31 @@ class IncrementalQuery(
     /** One kernel round: expand the target-relation delta through the
       * broadcast static side entirely map-side — no Catalyst plan, no
       * shuffle (the caller's dedup/subtract is the round's one shuffle,
-      * exactly as on the plan path). */
+      * exactly as on the plan path).
+      *
+      * K-HOP BATCHING (the batch kernel's trick): a kernel output tuple
+      * IS a target-relation tuple, so it can expand through the
+      * broadcast again WITHOUT leaving the task — each round prepays up
+      * to k hops map-side under a per-partition budget. Prepaid
+      * candidates are only that: anything truncated lands in the next
+      * round's delta and is expanded then; extras are subtracted by the
+      * caller (additions) or intersected with state (overdeletion —
+      * overdeleting a superset is DRed-safe, rederivation restores it).
+      * Deep thin recursions drop from O(depth) to O(depth/k) jobs. */
+    private val kernelHops: Int =
+      math.max(1, Integer.getInteger("graft.recursion.kernelhop", 4))
+
     private def kernelExpand(sh: LinearShape, delta: PSet,
         bc: org.apache.spark.broadcast.Broadcast[
           java.util.HashMap[Seq[Any], Array[Array[Any]]]]): RDD[Seq[Any]] = {
       val keyIdx = sh.keyIdxRec
       val recipe = sh.recipe
       val fns = sh.filterFns
+      val kHops = kernelHops
+      val hopBudget = 1 << 16
       delta.mapPartitions { it =>
         val m = bc.value
-        it.flatMap { case (t, _) =>
+        def expandOne(t: Seq[Any]): Iterator[Seq[Any]] = {
           val kArr = new Array[Any](keyIdx.length); var i = 0
           while (i < keyIdx.length) { kArr(i) = t(keyIdx(i)); i += 1 }
           val arr = m.get(
@@ -1456,6 +1471,38 @@ class IncrementalQuery(
               }
               scala.collection.immutable.ArraySeq.unsafeWrapArray(out): Seq[Any]
             }
+        }
+        if (kHops <= 1) it.flatMap { case (t, _) => expandOne(t) }
+        else {
+          // Hop 1 streams in O(1) memory; a budget-capped sample of its
+          // candidates seeds hops 2..k (Iterator.++'s right side is
+          // by-name: it runs only after hop 1 is exhausted).
+          val seen = new java.util.LinkedHashSet[Seq[Any]]()
+          val hop1 = it.flatMap { case (t, _) =>
+            expandOne(t).map { c =>
+              if (seen.size < hopBudget) seen.add(c)
+              c
+            }
+          }
+          hop1 ++ locally {
+            val extra = mutable.ArrayBuffer.empty[Seq[Any]]
+            var frontier: Array[Seq[Any]] = {
+              import scala.jdk.CollectionConverters._
+              seen.iterator.asScala.toArray
+            }
+            var hop = 1
+            while (hop < kHops && frontier.nonEmpty && seen.size < hopBudget) {
+              val next = mutable.ArrayBuffer.empty[Seq[Any]]
+              val cs = frontier.iterator.flatMap(expandOne)
+              while (cs.hasNext && seen.size < hopBudget) {
+                val c = cs.next()
+                if (seen.add(c)) { next += c; extra += c }
+              }
+              frontier = next.toArray
+              hop += 1
+            }
+            extra.iterator
+          }
         }
       }
     }
