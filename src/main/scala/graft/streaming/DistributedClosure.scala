@@ -172,12 +172,12 @@ class DistributedClosure(spark: SparkSession, partitions: Int = 32) {
     // batch — O(batch × degree), no totals scan, no broadcast.
     val viaOld = composeWithTotals(freshRev)
     var newParts = Vector.empty[RDD[(Tup, Null)]]
-    var delta = insertClosure(fresh.union(viaOld))
-    var n = delta.count()
+    var (delta, n) = insertClosure(fresh.union(viaOld))
     while (n > 0) {
       newParts = newParts :+ delta
-      delta = insertClosure(expand(delta))
-      n = delta.count()
+      val step = insertClosure(expand(delta))
+      delta = step._1
+      n = step._2
     }
     if (newParts.isEmpty) emptyTup
     else {
@@ -191,13 +191,14 @@ class DistributedClosure(spark: SparkSession, partitions: Int = 32) {
     * maintained closure set AND install the survivors, emitting exactly
     * the genuinely fresh tuples — the round's only shuffle is the
     * candidates' own key consolidation. */
-  private def insertClosure(cand: RDD[(Tup, Null)]): RDD[(Tup, Null)] = {
+  private def insertClosure(cand: RDD[(Tup, Null)]): (RDD[(Tup, Null)], Long) = {
     val keyed = cand.reduceByKey(part, (a, _) => a)
-    val out = closureCell.advance1(keyed)(DistributedClosure.setInsertFresh)
-      .mapPartitions(_.map(t => (t, null: Null)))
+    val (out, n) =
+      closureCell.advance1Counted(keyed)(DistributedClosure.setInsertFresh)
     // Records came out of `part`-keyed partitions untouched — assert the
     // partitioner back so downstream unions/subtracts stay narrow.
-    RddKernel.assertPartitioned(out, part)
+    (RddKernel.assertPartitioned(
+      out.mapPartitions(_.map(t => (t, null: Null))), part), n)
   }
 
   // --------------------------------------------------------- deletions
@@ -383,7 +384,7 @@ object DistributedClosure {
   // ---- index merges (top-level: tasks never capture the operator) ----
 
   /** Insert deduped tuples into a membership set (no output). */
-  private def setInsert(s: TSet, dIt: Iterator[(Tup, Null)]): (TSet, Array[Int]) = {
+  private[streaming] def setInsert(s: TSet, dIt: Iterator[(Tup, Null)]): (TSet, Array[Int]) = {
     var m = s
     dIt.foreach { case (e, _) => m += e }
     (m, Array.empty[Int])
@@ -392,7 +393,7 @@ object DistributedClosure {
   /** Insert-if-absent over deduped candidates, emitting exactly the
     * genuinely fresh tuples — dedup-against-totals and install in one
     * pass. */
-  private def setInsertFresh(
+  private[streaming] def setInsertFresh(
       s: TSet, dIt: Iterator[(Tup, Null)]): (TSet, Array[Tup]) = {
     var m = s
     val out = mutable.ArrayBuffer.empty[Tup]
@@ -403,7 +404,7 @@ object DistributedClosure {
   }
 
   /** Remove tuples from a membership set (no output). */
-  private def setRemove(s: TSet, dIt: Iterator[(Tup, Null)]): (TSet, Array[Int]) = {
+  private[streaming] def setRemove(s: TSet, dIt: Iterator[(Tup, Null)]): (TSet, Array[Int]) = {
     var m = s
     dIt.foreach { case (e, _) => m -= e }
     (m, Array.empty[Int])
@@ -411,7 +412,7 @@ object DistributedClosure {
 
   /** Append (k, v) pairs to an adjacency index — per-key batch grouping
     * so a key's neighbor array copies once per batch, not per edge. */
-  private def adjInsert(s: Adj, dIt: Iterator[(Tup, Null)]): (Adj, Array[Int]) = {
+  private[streaming] def adjInsert(s: Adj, dIt: Iterator[(Tup, Null)]): (Adj, Array[Int]) = {
     val byKey = mutable.LinkedHashMap.empty[Long, mutable.ArrayBuffer[Long]]
     dIt.foreach { case ((k, v), _) =>
       byKey.getOrElseUpdate(k, mutable.ArrayBuffer.empty) += v
@@ -428,7 +429,7 @@ object DistributedClosure {
 
   /** Remove (k, v) pairs from an adjacency index (edges are a set, so
     * each (k, v) occurs at most once). */
-  private def adjRemove(s: Adj, dIt: Iterator[(Tup, Null)]): (Adj, Array[Int]) = {
+  private[streaming] def adjRemove(s: Adj, dIt: Iterator[(Tup, Null)]): (Adj, Array[Int]) = {
     val byKey = mutable.LinkedHashMap.empty[Long, mutable.HashSet[Long]]
     dIt.foreach { case ((k, v), _) =>
       byKey.getOrElseUpdate(k, mutable.HashSet.empty) += v

@@ -53,9 +53,9 @@ import graft.kernel.RddKernel
   * additions re-derive emits nothing (the exact net
   * `closure(E ∪ Δ⁺ − Δ⁻) − closure(E)` semantics).
   *
-  * State lives where the batch fixpoint kernel puts it: closure totals as
-  * hash-partitioned, persisted RDDs (subtraction is a co-partitioned
-  * narrow `zipPartitions` chain, compacted every `maxChain` batches), and
+  * State: closure totals live in a maintained per-partition membership
+  * index ([[StateCell]] — each round's dedup-against-totals is one
+  * insert-if-absent pass, O(candidates), never a totals re-read), and
   * the adjacency as a broadcast reverse index, size-gated like the
   * kernel's static side (`maxEdges`). The one full-total scan per batch
   * (Δe∘C) is narrow and partition-parallel. Past the `maxEdges` gate,
@@ -74,7 +74,6 @@ class IncrementalClosure(
   private type Tup = (Long, Long)
   private val sc = spark.sparkContext
   private val part = new HashPartitioner(partitions)
-  private val maxChain = 16
 
   private val debug = sys.env.contains("GRAFT_CLOSURE_DEBUG")
   private var debugT0 = System.nanoTime()
@@ -87,10 +86,22 @@ class IncrementalClosure(
   // reverse adjacency: dst -> srcs (the semi-naive round joins
   // edges(x,y) with delta(y,z) on y)
   private val rev = mutable.Map.empty[Long, mutable.ArrayBuffer[Long]]
-  private var totalParts: Vector[RDD[(Tup, Null)]] = Vector.empty
+  // Closure totals as a maintained per-partition membership index
+  // ([[StateCell]]): each round's dedup-against-totals is one
+  // insert-if-absent pass emitting exactly the fresh tuples — the former
+  // totals-chain subtract re-read O(C/p) per round.
+  private val closureCell = new StateCell[scala.collection.immutable.HashSet[Tup]](
+    sc, partitions, () => scala.collection.immutable.HashSet.empty, _.size * 90L)
+
+  /** Lazy (Tup, Null) view over the closure index — the once-per-batch
+    * narrow Δ∘C scans read it; records are placed by `part`. */
+  private def totalsView: RDD[(Tup, Null)] =
+    RddKernel.assertPartitioned(
+      closureCell.rdd.mapPartitions(_.flatMap(_.iterator.map(e => (e, null: Null)))),
+      part)
 
   /** Current closure size (tuples). */
-  def size: Long = totalParts.map(_.count()).sum
+  def size: Long = closureCell.rdd.map(_.size.toLong).fold(0L)(_ + _)
 
   /** Apply one batch of edge additions; returns the exact new closure
     * tuples as a DataFrame (src, dst, t, diff) — all diffs +1. */
@@ -221,8 +232,7 @@ class IncrementalClosure(
     val dxBc = sc.broadcast(fresh.groupBy(_._2).map { case (y, es) =>
       y -> es.map(_._1).toArray
     })
-    val viaOld: RDD[(Tup, Null)] = if (totalParts.isEmpty) sc.emptyRDD
-    else sc.union(totalParts).mapPartitions { it =>
+    val viaOld: RDD[(Tup, Null)] = totalsView.mapPartitions { it =>
       val m = dxBc.value
       it.flatMap { case ((y, z), _) =>
         m.get(y) match {
@@ -235,16 +245,14 @@ class IncrementalClosure(
 
     val revBc = sc.broadcast(rev.view.mapValues(_.toArray).toMap)
     var newParts = Vector.empty[RDD[(Tup, Null)]]
-    var delta = materializeFresh(cand0)
-    var n = delta.count()
+    var (delta, n) = insertClosure(cand0)
     while (n > 0) {
-      trace(s"addFresh round n=$n chain=${totalParts.length}")
+      trace(s"addFresh round n=$n")
       newParts = newParts :+ delta
-      totalParts = totalParts :+ delta
-      delta = materializeFresh(expand(delta, revBc))
-      n = delta.count()
+      val step = insertClosure(expand(delta, revBc))
+      delta = step._1
+      n = step._2
     }
-    if (totalParts.length > maxChain) compact()
 
     if (newParts.isEmpty) emptyPart() else sc.union(newParts)
   }
@@ -273,8 +281,7 @@ class IncrementalClosure(
     val delByDst = sc.broadcast(dels.groupBy(_._2).map { case (y, es) =>
       y -> es.map(_._1).toArray
     })
-    val direct: RDD[(Tup, Null)] = if (totalParts.isEmpty) sc.emptyRDD
-    else sc.union(totalParts).mapPartitions { it =>
+    val direct: RDD[(Tup, Null)] = totalsView.mapPartitions { it =>
       val m = delByDst.value
       it.flatMap { case ((y, z), _) =>
         m.get(y) match {
@@ -297,8 +304,14 @@ class IncrementalClosure(
 
     // Split totals once (narrow full pass — the deletion path's analog of
     // the addition path's Δe∘C scan): keep = C − O.
-    val keep = RddKernel.subtract(
-      RddKernel.compact(totalParts), oChain).localCheckpoint()
+    val oByPart = sc.union(oChain).partitionBy(part)
+    val keep = closureCell.rdd.zipPartitions(oByPart) { (sIt, oIt) =>
+      val o = new java.util.HashSet[Tup]()
+      oIt.foreach { case (e, _) => o.add(e) }
+      sIt.next().iterator.collect {
+        case e if !o.contains(e) => (e, null: Null)
+      }
+    }.localCheckpoint()
     keep.count()
     trace("keep split done")
     val oAll = sc.union(oChain) // links are disjoint, partitioner preserved
@@ -341,7 +354,9 @@ class IncrementalClosure(
     val removed = RddKernel.subtract(oAll, rChain).localCheckpoint()
     removed.count()
     trace("removed materialized")
-    totalParts = Vector(keep) ++ rChain
+    // Install C − removed: rederived tuples never left the index.
+    closureCell.advance1(removed.partitionBy(part))(
+      DistributedClosure.setRemove)
     removed
   }
 
@@ -460,15 +475,17 @@ class IncrementalClosure(
 
   // ------------------------------------------------------------------ impl
 
-  /** Partition candidates by tuple hash, dedup within the batch, subtract
-    * everything already derived — the shared semi-naive step
-    * ([[graft.kernel.RddKernel]] holds the partitioning and
-    * lineage-truncation invariants). */
-  private def materializeFresh(cand: RDD[(Tup, Null)]): RDD[(Tup, Null)] =
-    graft.kernel.RddKernel.freshDelta(cand, part, totalParts)
-
-  private def compact(): Unit =
-    totalParts = Vector(graft.kernel.RddKernel.compact(totalParts))
+  /** One insert-if-absent pass over round candidates: dedup against the
+    * maintained closure index AND install the survivors, emitting
+    * exactly the genuinely fresh tuples (`part`-placed, partitioner
+    * asserted back for downstream narrow unions/subtracts). */
+  private def insertClosure(cand: RDD[(Tup, Null)]): (RDD[(Tup, Null)], Long) = {
+    val keyed = cand.reduceByKey(part, (a, _) => a)
+    val (out, n) =
+      closureCell.advance1Counted(keyed)(DistributedClosure.setInsertFresh)
+    (RddKernel.assertPartitioned(
+      out.mapPartitions(_.map(t => (t, null: Null))), part), n)
+  }
 
   private val schema = StructType(Seq(
     StructField("src", LongType), StructField("dst", LongType),

@@ -78,18 +78,25 @@ private[streaming] final class StateCell[S <: AnyRef: ClassTag](
     * reads stayed flat. With outputs checkpointed separately, nothing
     * references the superseded generation, so dropping it is safe even
     * while callers still hold earlier batches' diff frames. */
-  def commit[O: ClassTag](stepped: RDD[(S, Array[O])]): RDD[O] = {
+  def commit[O: ClassTag](stepped: RDD[(S, Array[O])]): RDD[O] =
+    commitCounted(stepped)._1
+
+  /** [[commit]] that also returns the output-row count — ONE job
+    * materializes both checkpoints (computing `out` computes and caches
+    * the state generation's partitions), so iterative callers get their
+    * per-round count for free. */
+  def commitCounted[O: ClassTag](
+      stepped: RDD[(S, Array[O])]): (RDD[O], Long) = {
     val sz = sizeOf
     val mat = stepped.mapPartitions(
       _.map { case (s, o) => (new GraftSizedValue(s, 64L + sz(s)), o) },
       preservesPartitioning = false).localCheckpoint()
-    mat.count()
     val out = mat.flatMap(_._2.iterator).localCheckpoint()
-    out.count()
+    val n = out.count()
     cur = mat.map(_._1)
     if (prevGen ne null) prevGen.unpersist(blocking = false)
     prevGen = mat
-    out
+    (out, n)
   }
 
   /** One batch against one co-partitioned delta: `f` runs once per
@@ -98,7 +105,12 @@ private[streaming] final class StateCell[S <: AnyRef: ClassTag](
     * serializable locals — never a node or a SparkSession. */
   def advance1[D: ClassTag, O: ClassTag](delta: RDD[D])(
       f: (S, Iterator[D]) => (S, Array[O])): RDD[O] =
-    commit(cur.zipPartitions(delta, preservesPartitioning = false) {
+    advance1Counted(delta)(f)._1
+
+  /** [[advance1]] returning the output count too (no extra job). */
+  def advance1Counted[D: ClassTag, O: ClassTag](delta: RDD[D])(
+      f: (S, Iterator[D]) => (S, Array[O])): (RDD[O], Long) =
+    commitCounted(cur.zipPartitions(delta, preservesPartitioning = false) {
       (sIt, dIt) => Iterator.single(f(sIt.next().value, dIt))
     })
 
