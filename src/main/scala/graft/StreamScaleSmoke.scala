@@ -104,12 +104,15 @@ object StreamScaleSmoke {
       def delta(from: Long, n: Long) =
         spark.range(from, from + n).select(col("id").as("e"),
           (col("id") * 3L).as("v"), org.apache.spark.sql.functions.lit(1L).as("diff"))
-      // Seed both bindings to 1M rows (unique entities: join fan-out 1).
+      // Seed both bindings (unique entities: join fan-out 1); override
+      // the seed size with GRAFT_SMOKE_HECTOR_SEED for growth A/Bs.
+      val seedN = sys.env.get("GRAFT_SMOKE_HECTOR_SEED").map(_.toLong)
+        .getOrElse(1000000L)
       var t0 = now()
-      val seeded = inc.advance(Map(0 -> delta(0L, 1000000L), 1 -> delta(0L, 1000000L)))
-      println(f"[scale] hector seed state=1000000x2 out=${seeded.count()}%d sec=${secs(t0)}%.1f")
+      val seeded = inc.advance(Map(0 -> delta(0L, seedN), 1 -> delta(0L, seedN)))
+      println(f"[scale] hector seed state=${seedN}%dx2 out=${seeded.count()}%d sec=${secs(t0)}%.1f")
       (1 to 8).foreach { b =>
-        val from = 1000000L + b * 5000L
+        val from = seedN + b * 5000L
         shuffled.set(0)
         t0 = now()
         val out = inc.advance(Map(0 -> delta(from, 5000L), 1 -> delta(from, 5000L)))
@@ -117,7 +120,7 @@ object StreamScaleSmoke {
         val dt = secs(t0)
         Thread.sleep(500) // listener bus drain
         println(f"[scale] hector batch=$b%d delta=5000x2 out=$n%d " +
-          f"state=${1000000L + b * 5000L}%d shuffleRecords=${shuffled.get}%d sec=$dt%.2f")
+          f"state=${seedN + b * 5000L}%d shuffleRecords=${shuffled.get}%d sec=$dt%.2f")
       }
       spark.sparkContext.removeSparkListener(listener)
     }

@@ -43,12 +43,17 @@ import graft.model._
   *    [[StateCell]] map hash-partitioned on (e, v); a batch's delta is
   *    reduced onto that partitioner (the only shuffle) then applied as
   *    O(delta) structural-sharing updates — no per-batch state rewrite.
-  *  - delta terms: RDD-backed frames carry no Catalyst stats, so the
-  *    source reports counted byte-gated deltas (and small states) as
-  *    `small` — the compiler's join-site broadcast then streams the big
-  *    state side through a broadcast hash join instead of re-shuffling
-  *    it every batch (streaming smoke: 2.0M → 15k shuffled records per
-  *    5k-row batch against 1M-row state, SCALE_NOTES.md).
+  *  - delta terms: probe-executable conjunctions (JVM-equality-safe
+  *    value kinds, connected binding graph, long-backed ordering
+  *    predicates) run as chains of PER-VARIABLE ARRANGEMENT probes —
+  *    seed = the delta, each step re-keys the intermediate by the
+  *    shared variable and extends through the next binding's e- or
+  *    v-keyed index, so per-batch state READS are O(delta × degree)
+  *    and stay flat as state grows (smoke: 2.0–3.2s/batch vs the
+  *    Catalyst stream path's 3.5–4.8s-and-rising at 8M-row state).
+  *    Everything else falls back per term to the batch Hector planner
+  *    against the index views (broadcast-delta plan, state streamed);
+  *    `-Dgraft.hector.probe=off` forces the fallback for A/B.
   * Together these are the Spark analog of the arrangements the
   * reference keeps. Retractions flow exactly (signed weights multiply
   * through the joins); `Not` bindings are rejected — negation needs
@@ -84,10 +89,7 @@ class IncrementalHector(
 
   // ---- Per-binding state: a weighted (e, v) -> w index kept as ONE
   // immutable map per partition ([[StateCell]]): a batch's update is
-  // O(delta) structural sharing, never the former full zipPartitions
-  // rewrite. The delta terms still SCAN other bindings' states through
-  // the compiler's broadcast-delta joins (the disclosed stream-side
-  // read); the maintenance side no longer re-materializes state.
+  // O(delta) structural sharing, never a full state rewrite.
   private type Key = (Long, Any)
   private type KV = (Key, Long)
   private type HMap = scala.collection.immutable.HashMap[Key, Long]
@@ -106,6 +108,23 @@ class IncrementalHector(
       () => scala.collection.immutable.HashMap.empty, _.size * 200L))
   private val stateCounts: mutable.ArrayBuffer[Long] =
     mutable.ArrayBuffer.from(attrBindings.map(_ => 0L))
+
+  // Per-variable ARRANGEMENTS for the probe executor: each binding's
+  // state re-keyed by e and by v (net weights, zeros dropped) — the
+  // delta terms walk them key-by-key instead of streaming the full
+  // state through a broadcast join. Maintained only when the
+  // conjunction's shape is probe-executable (see `probePlans`).
+  private type ByE = scala.collection.immutable.HashMap[Long, Array[(Any, Long)]]
+  private type ByV = scala.collection.immutable.HashMap[Any, Array[(Long, Long)]]
+  private val ePart = new HashPartitioner(nPartitions)
+  private lazy val byECells: Seq[StateCell[ByE]] =
+    attrBindings.map(_ => new StateCell[ByE](
+      spark.sparkContext, nPartitions,
+      () => scala.collection.immutable.HashMap.empty, _.size * 180L))
+  private lazy val byVCells: Seq[StateCell[ByV]] =
+    attrBindings.map(_ => new StateCell[ByV](
+      spark.sparkContext, nPartitions,
+      () => scala.collection.immutable.HashMap.empty, _.size * 180L))
 
   /** Shared byte gate: rows of a 3-column (e, v, _w) frame vs the
     * session's autoBroadcastJoinThreshold (the fixpoint loop's estimate). */
@@ -174,9 +193,11 @@ class IncrementalHector(
   /** Indexed state merge: apply the co-partitioned delta to binding
     * `i`'s partition-resident map (zero-weight entries dropped) and
     * return the new TOTAL row count — the only per-batch state work is
-    * O(delta) structural sharing plus a constant-size checkpoint. */
-  private def mergeIdx(i: Int, delta: RDD[KV]): Long =
-    stateCells(i).advance1(delta) { (s: HMap, dIt: Iterator[KV]) =>
+    * O(delta) structural sharing plus a constant-size checkpoint. Also
+    * maintains the per-variable arrangements when the probe executor is
+    * live (same O(delta) discipline, one re-key shuffle each). */
+  private def mergeIdx(i: Int, delta: RDD[KV]): Long = {
+    val n = stateCells(i).advance1(delta) { (s: HMap, dIt: Iterator[KV]) =>
       var m = s
       dIt.foreach { case (k, dw) =>
         val nw = m.getOrElse(k, 0L) + dw
@@ -184,6 +205,230 @@ class IncrementalHector(
       }
       (m, Array(m.size.toLong))
     }.fold(0L)(_ + _)
+    if (probeLive) {
+      byECells(i).advance1(
+        delta.map { case ((e, v), w) => (e, (v, w)) }.partitionBy(ePart))(
+        IncrementalHector.byEMerge)
+      byVCells(i).advance1(
+        delta.map { case ((e, v), w) => (v, (e, w)) }.partitionBy(ePart))(
+        IncrementalHector.byVMerge)
+    }
+    n
+  }
+
+  // ---- indexed probe execution for delta terms -----------------------
+  //
+  // For probe-executable conjunctions (every value kind JVM-equality-
+  // safe, every non-seed binding reachable through a shared variable,
+  // ordering predicates long-backed), the delta term for binding i runs
+  // as a chain of per-variable index probes: seed = Δi rows, each step
+  // re-keys the intermediate by the shared variable (one O(intermediate)
+  // shuffle) and extends through the next binding's arrangement —
+  // per-batch state READS are O(delta × degree), never a stream of the
+  // other bindings' full states. Falls back to the Catalyst term (with
+  // its broadcast-delta plan) whenever `probePlans(i)` is None.
+  // `-Dgraft.hector.probe=off` forces the Catalyst path for A/B.
+
+  import IncrementalHector.{ProbePlan, ProbeStep}
+
+  private def probeSafeKind(k: ValueKind): Boolean = k match {
+    case ValueKind.KNumber | ValueKind.KEid | ValueKind.KInstant |
+        ValueKind.KString | ValueKind.KUuid | ValueKind.KAid |
+        ValueKind.KBool => true
+    case _ => false // KReal/-0.0/NaN, rationals, variants: Catalyst only
+  }
+  private def longKind(k: ValueKind): Boolean = k match {
+    case ValueKind.KNumber | ValueKind.KEid | ValueKind.KInstant => true
+    case _ => false
+  }
+
+  // Variable kinds: e-positions are entity longs; v-positions carry the
+  // attribute's value kind. A var in both positions must be long.
+  private lazy val varKind: Map[Int, ValueKind] = {
+    val m = mutable.Map.empty[Int, ValueKind]
+    attrBindings.foreach { b =>
+      m(b.e) = ValueKind.KEid
+      val vk = kinds(b.a)
+      m(b.v) = m.get(b.v) match {
+        case Some(k0) if k0 != vk => ValueKind.KEid // join of e and v: long
+        case _                    => vk
+      }
+    }
+    bindings.foreach {
+      case Binding.Const(x, value) =>
+        m.getOrElseUpdate(x, ValueKind.of(value))
+      case _ => ()
+    }
+    m.toMap
+  }
+
+  private lazy val probeLive: Boolean =
+    !sys.props.get("graft.hector.probe").contains("off") &&
+      probePlans.exists(_.isDefined)
+
+  /** One probe plan per binding index (None = Catalyst fallback). */
+  private lazy val probePlans: Seq[Option[ProbePlan]] =
+    attrBindings.indices.map(buildProbePlan)
+
+  private def buildProbePlan(i: Int): Option[ProbePlan] = {
+    if (!attrBindings.forall(b => probeSafeKind(kinds(b.a)))) return None
+    val consts: Seq[(Int, Value)] =
+      bindings.collect { case Binding.Const(x, v) => x -> v }
+    if (!consts.forall { case (_, v) => probeSafeKind(ValueKind.of(v)) })
+      return None
+    val slotOf = mutable.LinkedHashMap.empty[Int, Int]
+    def slot(v: Int): Int = slotOf.getOrElseUpdate(v, slotOf.size)
+    val seed = attrBindings(i)
+    val seedE = slot(seed.e)
+    val seedV = slot(seed.v)
+    // Constants: a var already slotted (a seed var) becomes a seed-value
+    // check; otherwise the var's slot IS a prefilled const slot — a
+    // const-pinned binding var then counts as bound for probe keying.
+    val constSlots = mutable.ArrayBuffer.empty[(Int, Any)]
+    val seedChecks = mutable.ArrayBuffer.empty[(Int, Any)]
+    consts.foreach { case (x, value) =>
+      if (slotOf.contains(x)) seedChecks += ((slotOf(x), value.native))
+      else constSlots += ((slot(x), value.native))
+    }
+    // Greedy connected order over the remaining bindings.
+    val remaining = mutable.LinkedHashSet(
+      attrBindings.indices.filterNot(_ == i): _*)
+    val steps = mutable.ArrayBuffer.empty[ProbeStep]
+    while (remaining.nonEmpty) {
+      val next = remaining.find { j =>
+        val b = attrBindings(j)
+        slotOf.contains(b.e) || slotOf.contains(b.v)
+      }.getOrElse(return None) // disconnected: Catalyst's job
+      remaining -= next
+      val b = attrBindings(next)
+      val eB = slotOf.contains(b.e)
+      val vB = slotOf.contains(b.v)
+      if (!eB && b.e == b.v) return None
+      steps += ProbeStep(next, slot(b.e), slot(b.v), eB, vB, Array.empty)
+    }
+    // Attach each predicate to the earliest point where both operand
+    // slots are filled (seed slots and const slots fill at the seed).
+    def fillPoint(v: Int): Int = {
+      if (v == seed.e || v == seed.v) return -1
+      if (constSlots.exists(_._1 == slotOf.getOrElse(v, -2))) return -1
+      steps.indexWhere { s =>
+        val b = attrBindings(s.b)
+        (b.e == v && !s.eBound) || (b.v == v && !s.vBound)
+      }
+    }
+    val seedPreds = mutable.ArrayBuffer.empty[(Predicate, Int, Int)]
+    val stepPreds = Array.fill(steps.length)(
+      mutable.ArrayBuffer.empty[(Predicate, Int, Int)])
+    bindings.foreach {
+      case Binding.BinaryPred(x, y, p) =>
+        val ordering = p != Predicate.EQ && p != Predicate.NEQ
+        if (ordering &&
+            !(varKind.get(x).exists(longKind) && varKind.get(y).exists(longKind)))
+          return None
+        if (!slotOf.contains(x) || !slotOf.contains(y)) return None
+        val (fx, fy) = (fillPoint(x), fillPoint(y))
+        if (fx < -1 || fy < -1) return None // unreachable: be loud via fallback
+        val at = math.max(fx, fy)
+        val entry = (p, slotOf(x), slotOf(y))
+        if (at < 0) seedPreds += entry else stepPreds(at) += entry
+      case _ => ()
+    }
+    val withPreds = steps.zipWithIndex.map { case (s, k) =>
+      s.copy(preds = stepPreds(k).toArray)
+    }
+    // Output: every target var needs a slot (bound or const-pinned).
+    val outSlots = vars.map(v => slotOf.getOrElse(v, return None)).toArray
+    Some(ProbePlan(seedE, seedV, slotOf.size, constSlots.toArray,
+      seedChecks.toArray, seedPreds.toArray, withPreds.toArray, outSlots))
+  }
+
+  /** Execute binding `i`'s delta term through the arrangements; the
+    * result rows are exactly the Catalyst term's (modulo per-tuple
+    * multiplicity, consolidated by the caller). */
+  private def probeTerm(i: Int, plan: ProbePlan, dRdd: RDD[KV]): DataFrame = {
+    val pl = plan
+    var inter: RDD[(Array[Any], Long)] = dRdd.mapPartitions { it =>
+      val consts = pl.constSlots
+      val checks = pl.seedChecks
+      val preds = pl.seedPreds
+      it.flatMap { case ((e, v), w) =>
+        // Seed unification (Attr(x, a, x)): e and v share one slot.
+        if (pl.seedVSlot == pl.seedESlot && e != v) None
+        else {
+          val t = new Array[Any](pl.nSlots)
+          var ci = 0
+          while (ci < consts.length) {
+            t(consts(ci)._1) = consts(ci)._2; ci += 1
+          }
+          t(pl.seedESlot) = e
+          t(pl.seedVSlot) = v
+          val ok = checks.forall { case (sl, c) => t(sl) == c } &&
+            IncrementalHector.passAll(preds, t)
+          if (ok) Some((t, w)) else None
+        }
+      }
+    }
+    pl.steps.foreach { st =>
+      val cellPair = stateCells(st.b)
+      val cellE = byECells(st.b)
+      val cellV = byVCells(st.b)
+      val (eSlot, vSlot, preds) = (st.eSlot, st.vSlot, st.preds)
+      inter =
+        if (st.eBound && st.vBound) {
+          inter.map { case (t, w) => ((t(eSlot).asInstanceOf[Long], t(vSlot)), (t, w)) }
+            .partitionBy(part)
+            .zipPartitions(cellPair.rdd) { (iIt, sIt) =>
+              val m = sIt.next()
+              iIt.flatMap { case (k, (t, w)) =>
+                m.get(k) match {
+                  case Some(sw) if IncrementalHector.passAll(preds, t) =>
+                    Some((t, w * sw))
+                  case _ => None
+                }
+              }
+            }
+        } else if (st.eBound) {
+          inter.map { case (t, w) => (t(eSlot).asInstanceOf[Long], (t, w)) }
+            .partitionBy(ePart)
+            .zipPartitions(cellE.rdd) { (iIt, sIt) =>
+              val m = sIt.next()
+              iIt.flatMap { case (e, (t, w)) =>
+                m.get(e) match {
+                  case None => Iterator.empty
+                  case Some(vs) => vs.iterator.flatMap { case (v, sw) =>
+                    val t2 = t.clone(); t2(vSlot) = v
+                    if (IncrementalHector.passAll(preds, t2))
+                      Some((t2, w * sw))
+                    else None
+                  }
+                }
+              }
+            }
+        } else {
+          inter.map { case (t, w) => (t(vSlot), (t, w)) }
+            .partitionBy(ePart)
+            .zipPartitions(cellV.rdd) { (iIt, sIt) =>
+              val m = sIt.next()
+              iIt.flatMap { case (v, (t, w)) =>
+                m.get(v) match {
+                  case None => Iterator.empty
+                  case Some(es) => es.iterator.flatMap { case (e, sw) =>
+                    val t2 = t.clone(); t2(eSlot) = e
+                    if (IncrementalHector.passAll(preds, t2))
+                      Some((t2, w * sw))
+                    else None
+                  }
+                }
+              }
+            }
+        }
+    }
+    val outSlots = pl.outSlots
+    spark.createDataFrame(
+      inter.map { case (t, w) =>
+        Row.fromSeq(outSlots.map(t.apply).toSeq :+ w)
+      }, outputSchema)
+  }
 
   // Processed-time frontier: per-time diffs are computed against state
   // that has absorbed every earlier time, so a regressing input time
@@ -255,60 +500,141 @@ class IncrementalHector(
     }
     val deltaRdds: Map[Int, RDD[KV]] = deltaPairs.map { case (i, (r, _)) => i -> r }
     val deltaCounts: Map[Int, Long] = deltaPairs.map { case (i, (_, n)) => i -> n }
-    // Every term reads only the PRE-update generation: the delta rule's
-    // POST-update side for j < i is served as the multiset union
-    // `old(j) ⊎ Δ(j)` (weights sum; a +w/−w pair from a net-zero key
-    // cancels exactly through the joins), so the indexed merges can run
-    // AFTER the terms materialize — StateCell drops the superseded
-    // generation at its commit, and an un-materialized term reading a
-    // dropped block would fail.
-    val old: Seq[DataFrame] = state.toSeq
-    val oldCounts: Seq[Long] = stateCounts.toSeq
-    val deltaDfs: Map[Int, DataFrame] =
-      deltaRdds.map { case (i, d) => i -> dfView(i, d) }
-    val postView: Seq[DataFrame] = attrBindings.indices.map { i =>
-      deltaDfs.get(i).map(old(i).union).getOrElse(old(i))
-    }
-    val postCounts: Seq[Long] = attrBindings.indices.map { i =>
-      oldCounts(i) + deltaCounts.getOrElse(i, 0L)
-    }
-    val terms: Seq[DataFrame] = attrBindings.indices.flatMap { i =>
-      deltaDfs.get(i).map { dDf =>
-        val src = sourceFor(
-          j => if (j < i) postView(j) else if (j == i) dDf else old(j),
-          j => broadcastable(
-            if (j < i) postCounts(j)
-            else if (j == i) deltaCounts(i)
-            else oldCounts(j)))
-        new Compiler(src, Map.empty).compile(plan, Map.empty) match {
-          case Some(rel) => rel.df
-          case None      => sys.error("hector compilation failed for delta term")
-        }
-      }
-    }
+    // Interleaved delta-rule sequencing: term i evaluates against the
+    // CURRENT state (bindings < i already merged — their POST-update
+    // version — bindings ≥ i still PRE-update, with position i served
+    // by the delta), materializes eagerly (delta-sized), and ONLY THEN
+    // does binding i merge — so no term can read a state generation the
+    // StateCell has already dropped. Probe-executable terms walk the
+    // per-variable arrangements (O(delta × degree) state reads); the
+    // rest compile through the batch Hector planner against the index
+    // views (broadcast-delta plan, state streamed).
     val n = vars.length
     val schema = (0 until n).map(Rel.c) :+ Rel.W
-    val result = terms match {
-      case Seq() =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outputSchema)
-      case ts =>
-        // Materialize the (delta-sized) diffs eagerly BEFORE the merges:
-        // the checkpoint makes the delivered frame self-contained, so
-        // dropping the superseded state generation below is safe even
-        // while callers still hold earlier batches' diff frames.
-        ts.map(_.toDF(schema: _*)).reduce(_ union _)
-          .groupBy((0 until n).map(i => col(Rel.c(i))): _*)
-          .agg(sum(col(Rel.W)).as(Rel.W))
-          .where(col(Rel.W) =!= 0L)
-          .localCheckpoint(true)
-    }
-    // O(delta) index merges; views and size signals follow.
+    val termFrames = mutable.ArrayBuffer.empty[DataFrame]
     attrBindings.indices.foreach { i =>
       deltaRdds.get(i).foreach { d =>
+        val frame = probePlans(i) match {
+          case Some(pl) if probeLive => probeTerm(i, pl, d)
+          case _ =>
+            val dDf = dfView(i, d)
+            val src = sourceFor(
+              j => if (j == i) dDf else state(j),
+              j => broadcastable(
+                if (j == i) deltaCounts(i) else stateCounts(j)))
+            new Compiler(src, Map.empty).compile(plan, Map.empty) match {
+              case Some(rel) => rel.df.toDF(schema: _*)
+              case None => sys.error("hector compilation failed for delta term")
+            }
+        }
+        termFrames += frame.localCheckpoint(true)
         stateCounts(i) = mergeIdx(i, d)
         state(i) = indexView(i)
       }
     }
-    result
+    termFrames.toSeq match {
+      case Seq() =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outputSchema)
+      case ts =>
+        ts.map(_.toDF(schema: _*)).reduce(_ union _)
+          .groupBy((0 until n).map(i => col(Rel.c(i))): _*)
+          .agg(sum(col(Rel.W)).as(Rel.W))
+          .where(col(Rel.W) =!= 0L)
+    }
+  }
+}
+
+object IncrementalHector {
+
+  // Top-level (no $outer) so probe closures serialize cleanly.
+  private[streaming] final case class ProbeStep(
+      b: Int, eSlot: Int, vSlot: Int, eBound: Boolean, vBound: Boolean,
+      preds: Array[(Predicate, Int, Int)])
+
+  private[streaming] final case class ProbePlan(
+      seedESlot: Int, seedVSlot: Int, nSlots: Int,
+      constSlots: Array[(Int, Any)],      // prefilled const slots
+      seedChecks: Array[(Int, Any)],      // seed-var slot must equal value
+      seedPreds: Array[(Predicate, Int, Int)],
+      steps: Array[ProbeStep],
+      outSlots: Array[Int])
+
+  /** JVM-side predicate check over the slot tuple — matches Catalyst for
+    * the probe-safe kinds (universal equality for long/string/bool,
+    * long comparison for ordering; nulls never arise: state values come
+    * from non-null datom columns). Top-level so tasks capture only the
+    * compiled (predicate, slotX, slotY) arrays. */
+  private[streaming] def passAll(
+      preds: Array[(Predicate, Int, Int)], t: Array[Any]): Boolean = {
+    var i = 0
+    while (i < preds.length) {
+      val (p, xs, ys) = preds(i)
+      val a = t(xs); val b = t(ys)
+      def l(x: Any): Long = x match {
+        case n: Long => n
+        case n: Int  => n.toLong
+        case other   => sys.error(s"probe predicate expected a long, got $other")
+      }
+      val ok = p match {
+        case Predicate.EQ  => a == b
+        case Predicate.NEQ => a != b
+        case Predicate.LT  => l(a) < l(b)
+        case Predicate.LTE => l(a) <= l(b)
+        case Predicate.GT  => l(a) > l(b)
+        case Predicate.GTE => l(a) >= l(b)
+      }
+      if (!ok) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Merge (v, ±w) deltas into an e-keyed arrangement: per touched key
+    * the neighbor array rebuilds once (net weights, zeros dropped). */
+  private[streaming] def byEMerge(
+      s: scala.collection.immutable.HashMap[Long, Array[(Any, Long)]],
+      dIt: Iterator[(Long, (Any, Long))])
+    : (scala.collection.immutable.HashMap[Long, Array[(Any, Long)]], Array[Int]) = {
+    val byKey =
+      scala.collection.mutable.LinkedHashMap.empty[Long,
+        scala.collection.mutable.ArrayBuffer[(Any, Long)]]
+    dIt.foreach { case (e, vw) =>
+      byKey.getOrElseUpdate(e, scala.collection.mutable.ArrayBuffer.empty) += vw
+    }
+    var m = s
+    byKey.foreach { case (e, dvs) =>
+      val acc = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+      m.get(e).foreach(_.foreach { case (v, w) => acc(v) = w })
+      dvs.foreach { case (v, dw) =>
+        val nw = acc.getOrElse(v, 0L) + dw
+        if (nw == 0L) acc.remove(v) else acc(v) = nw
+      }
+      m = if (acc.isEmpty) m - e else m.updated(e, acc.toArray)
+    }
+    (m, Array.empty[Int])
+  }
+
+  /** Merge (e, ±w) deltas into a v-keyed arrangement (same discipline). */
+  private[streaming] def byVMerge(
+      s: scala.collection.immutable.HashMap[Any, Array[(Long, Long)]],
+      dIt: Iterator[(Any, (Long, Long))])
+    : (scala.collection.immutable.HashMap[Any, Array[(Long, Long)]], Array[Int]) = {
+    val byKey =
+      scala.collection.mutable.LinkedHashMap.empty[Any,
+        scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+    dIt.foreach { case (v, ew) =>
+      byKey.getOrElseUpdate(v, scala.collection.mutable.ArrayBuffer.empty) += ew
+    }
+    var m = s
+    byKey.foreach { case (v, des) =>
+      val acc = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+      m.get(v).foreach(_.foreach { case (e, w) => acc(e) = w })
+      des.foreach { case (e, dw) =>
+        val nw = acc.getOrElse(e, 0L) + dw
+        if (nw == 0L) acc.remove(e) else acc(e) = nw
+      }
+      m = if (acc.isEmpty) m - v else m.updated(v, acc.toArray)
+    }
+    (m, Array.empty[Int])
   }
 }
