@@ -348,6 +348,61 @@ object CoreQueries {
           col("c4").as("n"), col("c5").as("sum_ok"))
     }),
 
+    "q_bitemporal_maintain" -> ((s, dir) => {
+      // MAINTAINED BITEMPORAL serving (BiMaintained over Pair(sys, event),
+      // reference `src/timestamp/pair.rs`): LWW with CORRECTIONS —
+      // orderkey%3 picks the system batch, %7 the event time (so later
+      // system batches write EARLIER event times: genuine bitemporal
+      // late-writes), %11 marks retraction events. One representative
+      // datom per (cust, sys, event) — max orderkey — so the lattice
+      // winner is oracle-reproducible without transaction-order ties. A
+      // sentinel datom at the dominating time (3, 100) makes the
+      // accumulated drained diffs equal the LWW view over every visible
+      // fact (the BiPropertySpec invariant at a dominating processed
+      // time). Driver-side datom construction is gated
+      // (o_orderkey <= 60000) — the documented oracle-harness pattern.
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{row_number, when}
+      val reps = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderkey") <= 60000)
+        .select(col("o_custkey").cast("long").as("e"),
+          col("o_totalprice").cast("long").as("v"),
+          (col("o_orderkey") % 3).cast("long").as("sys"),
+          (col("o_orderkey") % 7).cast("long").as("event"),
+          col("o_orderkey").cast("long").as("ok"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("e"), col("sys"), col("event"))
+            .orderBy(col("ok").desc)))
+        .where(col("rn") === 1)
+        .select(col("e"), col("v"), col("sys"), col("event"),
+          when(col("ok") % 11 === 0, -1L).otherwise(1L).as("diff"))
+        .collect()
+      val bm = new graft.streaming.BiMaintained(s)
+      bm.createAttribute(":bt/price",
+        AttributeConfig(InputSemantics.LastWriteWins))
+      bm.register(Rule("bt", matchA(0, ":bt/price", 1)))
+      bm.interest("bt")
+      (0L to 2L).foreach { sys =>
+        val batch = reps.toSeq.filter(_.getLong(2) == sys).map { r =>
+          bm.BiDatom(Value.eid(r.getLong(0)), ":bt/price",
+            Value.num(r.getLong(1)), (sys, r.getLong(3)), r.getLong(4))
+        }
+        bm.transact(batch)
+        bm.advance(sys + 1L)
+      }
+      bm.transact(Seq(bm.BiDatom(
+        Value.eid(-1L), ":bt/price", Value.num(0L), (3L, 100L), 1L)))
+      bm.advance(4L)
+      val acc = scala.collection.mutable.Map.empty[Seq[Any], Long]
+      bm.drain("bt").foreach { case (tuple, _, w) =>
+        acc(tuple) = acc.getOrElse(tuple, 0L) + w
+      }
+      import s.implicits._
+      acc.iterator.collect {
+        case (Seq(e: Long, v: Long), w) if w > 0 && e >= 0 => (e, v)
+      }.toSeq.toDF("custkey", "price")
+    }),
+
     "q_lww_maintain" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{lit, pmod, sum}
       // LastWriteWins input semantics MAINTAINED through a standing
@@ -773,6 +828,28 @@ object CoreQueries {
          GROUP BY 1""",
     // The LWW winner per order: cleared if %5==0, else the batch-2
     // overwrite if %3==0, else the original custkey.
+    // The bitemporal lattice winner, reproduced relationally: per
+    // (cust, sys, event) the max-orderkey representative row, per cust
+    // the (sys DESC, event DESC) lattice-latest — kept iff its diff was
+    // an assertion. (DuckDB CAST(double AS BIGINT) rounds where Spark
+    // truncates — hence floor().)
+    "q_bitemporal_maintain" ->
+      """SELECT custkey, price FROM (
+           SELECT e AS custkey, v AS price, diff,
+                  row_number() OVER (PARTITION BY e
+                                     ORDER BY sys DESC, event DESC) AS rnw
+           FROM (
+             SELECT CAST(o_custkey AS BIGINT) AS e,
+                    CAST(floor(o_totalprice) AS BIGINT) AS v,
+                    o_orderkey % 3 AS sys, o_orderkey % 7 AS event,
+                    CASE WHEN o_orderkey % 11 = 0 THEN -1 ELSE 1 END AS diff,
+                    row_number() OVER (
+                      PARTITION BY o_custkey, o_orderkey % 3, o_orderkey % 7
+                      ORDER BY o_orderkey DESC) AS rn
+             FROM orders WHERE o_orderkey <= 60000)
+           WHERE rn = 1)
+         WHERE rnw = 1 AND diff = 1""",
+
     "q_lww_maintain" ->
       """SELECT custkey, CAST(count(*) AS BIGINT) AS n_orders FROM (
            SELECT CASE WHEN o_orderkey % 3 = 0
