@@ -414,11 +414,17 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
       val built =
         try tryInitIncremental(name, deliverReplay = deliver)
         catch {
-          case scala.util.control.NonFatal(e) if bestEffortIncremental(name) =>
+          case e: graft.streaming.UnmaintainablePlan
+              if bestEffortIncremental(name) =>
             // Wire-served interest whose plan lies outside the maintainable
             // fragment: demote to the (semantically identical) snapshot
             // path permanently rather than failing the advance. Nothing
-            // was delivered — rejection precedes the replay's output.
+            // was delivered — rejection precedes the replay's output. The
+            // catch is EXACTLY the typed rejection: a transient Spark /
+            // session failure during construction propagates instead of
+            // silently costing the O(delta) serving guarantee.
+            Engine.log.info(
+              s"interest '$name' demoted to snapshot serving: ${e.getMessage}")
             incrementalMarked -= name
             incrementalQs -= name
             staticsPending -= name
@@ -750,6 +756,8 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
 }
 
 object Engine {
+
+  private[engine] val log = org.slf4j.LoggerFactory.getLogger(classOf[Engine])
 
   /** Canonical driver-side form of a collected cell: variant structs decode
     * to their payload, rational structs to Seq(num, den), nested rows and

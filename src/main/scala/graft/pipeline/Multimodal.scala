@@ -98,15 +98,25 @@ object Multimodal {
       } else if (n >= 44 && ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) {
         // Walk RIFF chunks: byte rate from `fmt `, payload size from
         // `data`; duration = dataSize * 1000 / byteRate.
-        var i = 12
+        // Cursor and chunk size stay Long: a hostile 32-bit size near
+        // 2^32 would wrap an Int cursor negative (AIOOBE) or step zero
+        // (infinite loop). Bail on any non-advancing or out-of-range
+        // chunk — a poisoned asset must not kill the batch.
+        var i = 12L
         var byteRate = 0L
         var dataSize = -1L
-        while (i + 8 <= n && (byteRate == 0L || dataSize < 0L)) {
-          val sz = le32(b, i + 4).toLong & 0xffffffffL
-          if (ascii(b, i, "fmt ") && i + 16 + 8 <= n)
-            byteRate = le32(b, i + 16).toLong & 0xffffffffL
-          if (ascii(b, i, "data")) dataSize = sz
-          i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        var chunks = 0
+        var bad = false
+        while (!bad && i + 8 <= n && (byteRate == 0L || dataSize < 0L)) {
+          val ii = i.toInt
+          val sz = le32(b, ii + 4).toLong & 0xffffffffL
+          if (ascii(b, ii, "fmt ") && i + 16 + 8 <= n)
+            byteRate = le32(b, ii + 16).toLong & 0xffffffffL
+          if (ascii(b, ii, "data")) dataSize = sz
+          val next = i + 8L + sz + (sz & 1L) // chunks are word-aligned
+          chunks += 1
+          if (next <= i || next > n.toLong || chunks > 1024) bad = true
+          else i = next
         }
         val dur =
           if (byteRate > 0L && dataSize >= 0L) dataSize * 1000L / byteRate

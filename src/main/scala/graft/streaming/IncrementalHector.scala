@@ -145,8 +145,11 @@ class IncrementalHector(
       rdd.map { case ((e, v), w) => Row(e, v, w) }, stateSchema(i))
 
   /** DataFrame view over binding `i`'s CURRENT index — iterates the
-    * partition-resident maps lazily at each Catalyst scan; the view
-    * pins the underlying checkpoint blocks for as long as it lives. */
+    * partition-resident maps lazily at each Catalyst scan. Valid only
+    * until the NEXT `advance`: commits eagerly drop the superseded
+    * generation's blocks ([[StateCell]]), so a held view evaluates
+    * against missing checkpoint blocks afterwards — re-fetch via
+    * [[stateOf]] per batch instead of caching across advances. */
   private def indexView(i: Int): DataFrame =
     dfView(i, stateCells(i).rdd.flatMap(_.iterator))
 
@@ -154,7 +157,9 @@ class IncrementalHector(
   private val state: mutable.ArrayBuffer[DataFrame] =
     mutable.ArrayBuffer.from(attrBindings.indices.map(indexView))
 
-  /** Current consolidated state of binding `i` (tests / introspection). */
+  /** Current consolidated state of binding `i` (tests / introspection).
+    * The returned view is tied to the current generation — evaluate it
+    * before the next `advance` (see [[indexView]]). */
   def stateOf(i: Int): DataFrame = state(i)
 
   /** Output (vars, kinds) of the maintained conjunction — the relation

@@ -172,7 +172,7 @@ class IncrementalQuery(
         name -> Some(Rel(c.vars, c.nodeKinds, childDiffs(name)))
       }
       new Compiler(src, Map.empty).compile(linearPlan, env)
-        .getOrElse(sys.error(s"linear zone failed to compile: $linearPlan"))
+        .getOrElse(UnmaintainablePlan.reject(s"linear zone failed to compile: $linearPlan"))
     }
 
     def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
@@ -770,8 +770,8 @@ class IncrementalQuery(
         new RenameNode(inner, vs)
       }
 
-    case other => sys.error(s"plan node not incrementally maintainable " +
-      s"(batch engine's job): $other")
+    case other => UnmaintainablePlan.reject(s"plan node not incrementally " +
+      s"maintainable (batch engine's job): $other")
   }
 
   /** Rule names transitively reachable from a plan's references. */
@@ -929,10 +929,10 @@ class IncrementalQuery(
       case Plan.Union(vs, ps)  => Plan.Union(vs, ps.map(rewrite))
       case Plan.NameExpr(vs, n) if clique(n) => Plan.NameExpr(vs, n)
       case Plan.NameExpr(vs, n) if rules.contains(n) => ruleRef(vs, n)
-      case Plan.NameExpr(_, n) => sys.error(
+      case Plan.NameExpr(_, n) => UnmaintainablePlan.reject(
         s"recursive rule clique of $rname references base relation $n " +
           "— not incrementally maintainable (batch engine's job)")
-      case other => sys.error(
+      case other => UnmaintainablePlan.reject(
         "non-monotone operator inside recursive rule (general " +
           "incremental recursion maintains the monotone fragment; " +
           s"batch engine's job): $other")
@@ -959,7 +959,7 @@ class IncrementalQuery(
           case b => Plan.boundVariables(b, _ => Seq.empty).distinct
         }
         val rel = comp.compile(Plan.NameExpr(bv, r), Map.empty)
-          .getOrElse(sys.error(s"recursive rule $r failed to compile"))
+          .getOrElse(UnmaintainablePlan.reject(s"recursive rule $r failed to compile"))
         r -> ((rel.vars, rel.kinds))
       }.toMap
     }
@@ -1076,10 +1076,10 @@ class IncrementalQuery(
     private val noAttrSrc = new AttributeSource {
       def has(name: String): Boolean = false
       def kind(name: String): ValueKind =
-        sys.error("rewritten recursion bodies reference no attributes")
+        UnmaintainablePlan.reject("rewritten recursion bodies reference no attributes")
       def unit(name: String): Boolean = true
       def collection(name: String): DataFrame =
-        sys.error("rewritten recursion bodies reference no attributes")
+        UnmaintainablePlan.reject("rewritten recursion bodies reference no attributes")
       override def version: (Long, Long) = (0L, Long.MaxValue)
     }
 
@@ -1534,7 +1534,7 @@ class IncrementalQuery(
       clique.foreach { r =>
         val rel = new Compiler(noAttrSrc)
           .compile(bodies(r), env0.map { case (k, v) => k -> Some(v) })
-          .getOrElse(sys.error(s"rewritten recursive body failed to compile: $r"))
+          .getOrElse(UnmaintainablePlan.reject(s"rewritten recursive body failed to compile: $r"))
         require(rel.vars == sig(r)._1 && rel.kinds == sig(r)._2,
           s"rewritten body signature mismatch for $r: " +
             s"(${rel.vars}, ${rel.kinds}) vs ${sig(r)}")
@@ -1781,10 +1781,10 @@ class IncrementalQuery(
       val src = new AttributeSource {
         def has(name: String): Boolean = false
         def kind(name: String): ValueKind =
-          sys.error("rewritten recursion bodies reference no attributes")
+          UnmaintainablePlan.reject("rewritten recursion bodies reference no attributes")
         def unit(name: String): Boolean = true
         def collection(name: String): DataFrame =
-          sys.error("rewritten recursion bodies reference no attributes")
+          UnmaintainablePlan.reject("rewritten recursion bodies reference no attributes")
         override def version: (Long, Long) = (0L, Long.MaxValue)
         override def relation(name: String): Option[(DataFrame, Seq[ValueKind])] =
           inputDfs.get(name)

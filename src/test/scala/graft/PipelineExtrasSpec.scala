@@ -394,4 +394,31 @@ class PipelineExtrasSpec extends AnyFunSuite {
       (("jpeg", 0, 0, 0L)))
     assert(HeaderDecoder.sniff(Array.emptyByteArray)._1 == "unknown")
   }
+
+  test("HeaderDecoder survives hostile RIFF chunk sizes (no hang, no throw)") {
+    import graft.pipeline.Multimodal.{Containers, HeaderDecoder}
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def s(x: String) = x.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    // Chunk size 0xFFFFFFF8: with a truncated Int cursor the step would be
+    // zero (infinite loop). Size 0xFFFFFF00: the Int cursor would go
+    // negative (ArrayIndexOutOfBoundsException). Both must terminate and
+    // classify without killing the batch.
+    for (evil <- Seq(0xFFFFFFF8L, 0xFFFFFF00L, 0x80000000L)) {
+      val b = s("RIFF") ++ le32(36) ++ s("WAVE") ++
+        s("JUNK") ++ le32(evil) ++ Array.fill[Byte](32)(0)
+      val (fmt, _, _, dur) = HeaderDecoder.sniff(b)
+      assert(fmt == "wav" && dur == 0L)
+    }
+    // Zero-size chunks advance by 8 bytes each; the walk is bounded, so a
+    // long run of them terminates rather than scanning forever.
+    val zeros = s("RIFF") ++ le32(36) ++ s("WAVE") ++
+      Array.fill(64)(s("JUNK") ++ le32(0)).flatten
+    assert(HeaderDecoder.sniff(zeros)._1 == "wav")
+    // A well-formed WAV whose data chunk is truncated (header-only read)
+    // still reports the declared duration.
+    val full = Containers.wav(1000, Array.fill[Byte](500)(1))
+    assert(HeaderDecoder.sniff(full.take(44)) == (("wav", 0, 0, 500L)))
+  }
 }
