@@ -1,9 +1,9 @@
 package graft.streaming
 
+import scala.collection.immutable.TreeMap
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.engine.Engine
 import graft.model._
@@ -13,47 +13,82 @@ import graft.model._
   * `tests/input_semantics.rs:337-508`), composing the bitemporal
   * frontier rules with [[IncrementalQuery]]:
   *
-  *  - Visibility bookkeeping (which datoms product-dominate the processed
-  *    time) and per-attribute INPUT-SEMANTICS resolution (Raw clamp /
-  *    Distinct support / LastWriteWins lex-latest winner) are
-  *    control-plane-sized and live on the driver — the same split as the
-  *    reference, whose progress tracking is worker-local while the
-  *    dataflow is maintained.
-  *  - The QUERY is a standing [[IncrementalQuery]]: each newly completed
-  *    pair time feeds only the VISIBLE-VIEW TRANSITIONS of the referenced
-  *    attributes (signed `(e, v, ±1)` rows — LWW winner regressions
-  *    included, which the unitemporal forward-only LWW view could never
-  *    express), so per-time dataflow work is delta-proportional, never
-  *    the per-time snapshot recompute [[graft.engine.BiEngine]] pays.
-  *  - Delivery follows BiEngine's lattice rule exactly:
-  *    `diff(t) = R(t) − Σ_{s ≤ t} diff(s)` with `≤` the PRODUCT order —
-  *    `R` is accumulated from the standing query's diffs, the emitted
-  *    ledger is output-sized and driver-side.
+  *  - The DATOM HISTORY lives in a [[BiStore]]: driver-resident only
+  *    while under the broadcast byte gate, then migrated into a
+  *    [[StateCell]]-backed distributed store ([[CellBiStore]]) — one
+  *    [[BiVisibility]] index per partition, hash-partitioned by view
+  *    key. This matches the reference's split exactly: frontier
+  *    bookkeeping is control-plane-sized and worker-local, the datoms
+  *    live in distributed arrangements. `-Dgraft.bi.distributed=on|off`
+  *    forces either sibling (A/B and parity tests).
+  *  - Each newly completed pair time feeds only the VISIBLE-VIEW
+  *    TRANSITIONS of the referenced attributes, resolved INCREMENTALLY
+  *    from the store's time indexes — O(candidate keys of the toggled
+  *    time slabs), never the round-9 O(history) rescan per time. The
+  *    per-attribute input semantics (Raw clamp / Distinct support /
+  *    LastWriteWins lex-latest winner — including winner REGRESSIONS
+  *    the unitemporal forward-only LWW view could never express)
+  *    resolve inside the view layer.
+  *  - The QUERY is a standing [[IncrementalQuery]]; per-time dataflow
+  *    work is delta-proportional, never the per-time snapshot recompute
+  *    [[graft.engine.BiEngine]] pays.
+  *  - Delivery follows BiEngine's lattice rule exactly: `diff(t) = R(t)
+  *    − Σ_{s ≤ t} diff(s)` with `≤` the PRODUCT order. Because times
+  *    are processed in lex order, every ledger entry `s` emitted before
+  *    a query `t` already satisfies `s.sys ≤ t.sys`, so product-order
+  *    dominance over the ledger reduces to `s.event ≤ t.event` — the
+  *    ledger COMPACTS EXACTLY into an event-indexed map (entries at
+  *    equal event coordinates merge), and an accumulation is one range
+  *    scan of the entries at events ≤ t.event, not the round-9
+  *    O(processed times) full-ledger sweep.
+  *  - Optional COARSEN granularities (the reference's `Coarsen`,
+  *    `src/timestamp/mod.rs:144-184`) round each input time STRICTLY up
+  *    to the next `(sys, event)` window bound (`(t/w + 1)·w`, even at
+  *    exact multiples), bounding the time lattice, the ledger and the
+  *    delivery chatter on dense histories.
   *
-  * `BiPropertySpec`-style parity: for any signed bitemporal history and
-  * any advance schedule, `drain` equals BiEngine's drain multiset-exactly.
-  */
-class BiMaintained(val spark: SparkSession) {
+  * `BiMaintainedSpec`-pinned parity: for any signed bitemporal history
+  * and any advance schedule, `drain` equals BiEngine's drain
+  * multiset-exactly — on BOTH store siblings. */
+class BiMaintained(val spark: SparkSession, partitions: Int = 32,
+    coarsen: Option[(Long, Long)] = None) {
 
   type BiTime = (Long, Long)
 
   final case class BiDatom(e: Value, a: String, v: Value, t: BiTime, diff: Long)
 
-  private def dominates(t: BiTime, s: BiTime): Boolean =
-    s._1 <= t._1 && s._2 <= t._2
-
-  private case class AttrState(
-      config: AttributeConfig,
-      buffer: mutable.ArrayBuffer[BiDatom])
-
-  private val attrs = mutable.LinkedHashMap.empty[String, AttrState]
+  private val configs = mutable.LinkedHashMap.empty[String, AttributeConfig]
+  private val firstKind = mutable.Map.empty[String, ValueKind]
   private val rules = mutable.LinkedHashMap.empty[String, Rule]
   private val interests = mutable.LinkedHashSet.empty[String]
   private var sysFrontier: Long = 0L
-  private val processed = mutable.Set.empty[BiTime]
+  // Driver control plane: the UNPROCESSED time lattice (processed times
+  // leave it — transact rejects writes under the sys frontier, so a
+  // completed time can never recur) and the last processed time.
+  private val pendingTimes = mutable.SortedSet.empty[BiTime]
+  private var lastProcessed: Option[BiTime] = None
+  private var seqCounter: Long = 0L
+
+  /** The history store: driver-resident under the byte gate, then
+    * migrated distributed (sticky). `graft.bi.distributed=on` starts
+    * distributed; `off` pins the driver sibling. */
+  private var store: BiStore =
+    if (sys.props.get("graft.bi.distributed").contains("on"))
+      new CellBiStore(spark, partitions)
+    else new DriverBiStore(spark)
+
+  private def maybeMigrate(): Unit = store match {
+    case d: DriverBiStore
+        if !sys.props.get("graft.bi.distributed").contains("off") &&
+          d.estimatedBytes > graft.kernel.RddKernel.broadcastThresholdBytes(spark) =>
+      val cell = new CellBiStore(spark, partitions)
+      cell.plant(d.vis.split(partitions))
+      store = cell
+    case _ => ()
+  }
 
   def createAttribute(name: String, config: AttributeConfig = AttributeConfig()): Unit =
-    attrs(name) = AttrState(config, mutable.ArrayBuffer.empty)
+    configs(name) = config
 
   def register(rule: Rule): Unit = rules(rule.name) = rule
 
@@ -63,12 +98,40 @@ class BiMaintained(val spark: SparkSession) {
     standings.getOrElseUpdate(name, new Standing(name))
   }
 
-  def transact(datoms: Seq[BiDatom]): Unit = datoms.foreach { d =>
-    require(d.t._1 >= sysFrontier,
-      s"write at closed system time ${d.t._1}: frontier at $sysFrontier")
-    attrs.getOrElseUpdate(d.a,
-      AttrState(AttributeConfig(), mutable.ArrayBuffer.empty)).buffer += d
+  private def semanticsOf(a: String): InputSemantics =
+    configs.getOrElse(a, AttributeConfig()).inputSemantics
+
+  /** Reference `Coarsen` for one coordinate: strictly up to the next
+    * window bound — `(t/w + 1)·w` even at exact multiples. */
+  private def coarse(x: Long, w: Long): Long =
+    if (w <= 0L) x else (x / w + 1L) * w
+
+  private def coarseTime(t: BiTime): BiTime = coarsen match {
+    case None           => t
+    case Some((ws, we)) => (coarse(t._1, ws), coarse(t._2, we))
   }
+
+  def transact(datoms: Seq[BiDatom]): Unit = {
+    val recs = datoms.map { d =>
+      val ct = coarseTime(d.t)
+      require(ct._1 >= sysFrontier,
+        s"write at closed system time ${ct._1}: frontier at $sysFrontier")
+      configs.getOrElseUpdate(d.a, AttributeConfig())
+      if (!firstKind.contains(d.a)) firstKind(d.a) = ValueKind.of(d.v)
+      pendingTimes += ct
+      seqCounter += 1L
+      val lww = semanticsOf(d.a) == InputSemantics.LastWriteWins
+      val key =
+        if (lww) BiKey(d.a, d.e.native, null)
+        else BiKey(d.a, d.e.native, d.v.native)
+      (key, BiRec(ct._1, ct._2, seqCounter, d.diff,
+        if (lww) d.v.native else null))
+    }
+    if (recs.nonEmpty) { store.ingest(recs); maybeMigrate() }
+  }
+
+  private def kindOf(a: String): ValueKind =
+    firstKind.getOrElse(a, ValueKind.KString)
 
   // ---- per-interest standing state --------------------------------------
 
@@ -76,147 +139,101 @@ class BiMaintained(val spark: SparkSession) {
     private val plan = rules(name).plan
     private val rulePlans: Map[String, Plan] =
       rules.iterator.map { case (n, ru) => n -> ru.plan }.toMap
-    val refAttrs: Seq[String] =
-      IncrementalQuery.planAttributes(plan, rulePlans).toSeq.sorted
+    val refAttrs: Set[String] =
+      IncrementalQuery.planAttributes(plan, rulePlans)
     var iq: IncrementalQuery = null
     var kinds: Map[String, ValueKind] = Map.empty
-    // Per referenced attribute: the view multiset served at the last
-    // processed time — (e.native, v.native) -> multiplicity.
-    val prevView = mutable.Map.empty[String, Map[(Any, Any), Long]]
-      .withDefaultValue(Map.empty)
     // Accumulated standing-query result R(t) (output-sized).
     val r = mutable.Map.empty[Seq[Any], Long]
-    // Emitted ledger: (time, diff map) — BiEngine's accumulation input.
-    val ledger = mutable.ArrayBuffer.empty[(BiTime, Map[Seq[Any], Long])]
+    // Emitted ledger, compacted by EVENT coordinate (exact under lex
+    // processing — see class doc): event → summed diff map.
+    var ledger: TreeMap[Long, Map[Seq[Any], Long]] = TreeMap.empty
     val out = mutable.ArrayBuffer.empty[(Seq[Any], BiTime, Long)]
 
     /** Build — or REBUILD when a referenced attribute's first datom
-      * reveals a kind after the first build (BiEngine re-infers per
-      * evaluation; the standing query's schema is fixed at build, so a
-      * revealed kind replays the accumulated views into a fresh query,
-      * discarding the replay diffs — they are already in `r`). Kinds
-      * follow BiEngine's rule: first datom's value kind, KString until
-      * one exists. No view rows of the revealed attribute can have been
-      * fed yet — its view was empty while the kind was unknown. */
+      * reveals a kind after the first build (the standing query's
+      * schema is fixed at build). Called BEFORE the current time's
+      * transitions are applied, so the replayed dump is exactly the
+      * view through the previously processed time. A FIRST build after
+      * times were already processed (late interest) accumulates the
+      * replay diffs into `r` — they are this standing's R; a kind
+      * rebuild discards them — they are already in `r`. */
     def ensureBuilt(): Unit = {
-      val current: Map[String, ValueKind] = refAttrs.map { a =>
-        a -> attrs.get(a).flatMap(_.buffer.headOption)
-          .map(d => ValueKind.of(d.v)).getOrElse(ValueKind.KString)
-      }.toMap
+      val current: Map[String, ValueKind] =
+        refAttrs.iterator.map(a => a -> kindOf(a)).toMap
       if (iq == null) {
         kinds = current
-        // All semantics resolve in the VIEW layer: the standing query
-        // consumes plain signed Z-set transitions.
         iq = new IncrementalQuery(spark, plan, kinds, rulePlans)
+        val replay = store.dump(kindOf).view.filterKeys(refAttrs).toMap
+        if (replay.nonEmpty) accumulate(iq.advance(replay))
       } else if (kinds != current) {
         kinds = current
         iq = new IncrementalQuery(spark, plan, kinds, rulePlans)
-        val replay = refAttrs.flatMap { a =>
-          viewFrame(a, kinds(a), prevView(a).map { case (k, m) => k -> m })
-        }.toMap
-        if (replay.nonEmpty) iq.advance(replay).count() // state only; diffs ≡ r
+        val replay = store.dump(kindOf).view.filterKeys(refAttrs).toMap
+        if (replay.nonEmpty) { val _ = iq.advance(replay).count() }
       }
     }
 
-    /** Signed rows frame for a full view (replay) — None when empty. */
-    private def viewFrame(a: String, kind: ValueKind,
-        view: Map[(Any, Any), Long]): Option[(String, DataFrame)] =
-      if (view.isEmpty) None
-      else Some(a -> rowsFrame(kind,
-        view.iterator.map { case ((e, v), m) => Row(e, v, m) }.toSeq))
-  }
+    /** Fold a standing-diff frame into R (output-sized collect — the
+      * delivery edge). */
+    def accumulate(diffs: DataFrame): Unit =
+      diffs.collect().foreach { row =>
+        val n = row.length - 1
+        val tuple: Seq[Any] = (0 until n).map(i => Engine.deepNative(row.get(i)))
+        val w = r.getOrElse(tuple, 0L) + row.getLong(n)
+        if (w == 0L) r.remove(tuple) else r(tuple) = w
+      }
 
-  /** (e, v, diff) rows → DataFrame with the attribute's value kind. */
-  private def rowsFrame(kind: ValueKind, rows: Seq[Row]): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("e", LongType, false),
-      StructField("v", kind.dataType, true),
-      StructField("diff", LongType, false)))
-    val nPart = math.max(1, math.min(
-      spark.sparkContext.defaultParallelism, rows.size / 65536 + 1))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, nPart), schema)
+    /** Deliver time `t`: `diff(t) = R − Σ_{event ≤ t.event} ledger` —
+      * the product-order accumulation, reduced to one event-range scan
+      * (every prior entry's sys ≤ t.sys under lex processing). */
+    def deliver(t: BiTime): Unit = {
+      val acc = mutable.Map.empty[Seq[Any], Long]
+      ledger.rangeTo(t._2).valuesIterator.foreach(_.foreach { case (k, w) =>
+        val nw = acc.getOrElse(k, 0L) + w
+        if (nw == 0L) acc.remove(k) else acc(k) = nw
+      })
+      val diff = (r.keySet ++ acc.keySet).iterator.map { tuple =>
+        tuple -> (r.getOrElse(tuple, 0L) - acc.getOrElse(tuple, 0L))
+      }.filter(_._2 != 0L).toMap
+      if (diff.nonEmpty) {
+        val merged = diff.foldLeft(ledger.getOrElse(t._2, Map.empty)) {
+          case (m, (k, w)) =>
+            val nw = m.getOrElse(k, 0L) + w
+            if (nw == 0L) m.removed(k) else m.updated(k, nw)
+        }
+        ledger =
+          if (merged.isEmpty) ledger.removed(t._2)
+          else ledger.updated(t._2, merged)
+        diff.foreach { case (tuple, w) => out += ((tuple, t, w)) }
+      }
+    }
   }
 
   private val standings = mutable.Map.empty[String, Standing]
 
-  /** Attribute view multiset at pair time `t` — BiEngine's `asOfBi`
-    * semantics verbatim: Raw clamps net weight at ≥ 0, Distinct keeps
-    * support, LastWriteWins keeps the lexicographically-latest visible
-    * event's value iff it was an add (ties by transaction order). */
-  private def viewAt(a: String, t: BiTime): Map[(Any, Any), Long] =
-    attrs.get(a) match {
-      case None => Map.empty
-      case Some(st) =>
-        val visible = st.buffer.zipWithIndex
-          .filter { case (d, _) => dominates(t, d.t) }
-        st.config.inputSemantics match {
-          case InputSemantics.LastWriteWins =>
-            visible.groupBy(_._1.e).flatMap { case (_, ds) =>
-              val (last, _) = ds.maxBy { case (d, i) => (d.t, i) }
-              if (last.diff > 0L) Some((last.e.native, last.v.native) -> 1L)
-              else None
-            }.toMap
-          case InputSemantics.Distinct =>
-            visible.groupBy { case (d, _) => (d.e, d.v) }
-              .filter(_._2.map(_._1.diff).sum > 0L)
-              .keys.map { case (e, v) => (e.native, v.native) -> 1L }.toMap
-          case InputSemantics.Raw =>
-            visible.groupBy { case (d, _) => (d.e, d.v) }.iterator
-              .map { case ((e, v), ds) =>
-                (e.native, v.native) -> math.max(0L, ds.map(_._1.diff).sum)
-              }
-              .filter(_._2 > 0L).toMap
-        }
-    }
-
   /** Advance the system frontier: every input time with `sys < sysNext`
-    * completes; each is processed lex-ordered through the standing
-    * queries, diffs delivered under the product-order accumulation. */
+    * completes; each is processed lex-ordered — ONE shared visible-view
+    * transition per time feeds every standing query. */
   def advance(sysNext: Long): Unit = {
     require(sysNext > sysFrontier, s"cannot rewind from $sysFrontier to $sysNext")
-    val newTimes = attrs.valuesIterator.flatMap(_.buffer.iterator.map(_.t))
-      .filter(t => t._1 < sysNext && !processed(t))
-      .toSeq.distinct.sorted
-    for (t <- newTimes; name <- interests) {
-      val st = standings(name)
-      st.ensureBuilt()
-      // Visible-view transitions per referenced attribute.
-      val deltas: Map[String, DataFrame] = st.refAttrs.flatMap { a =>
-        val cur = viewAt(a, t)
-        val prev = st.prevView(a)
-        val rows = (cur.keySet ++ prev.keySet).iterator.flatMap { k =>
-          val d = cur.getOrElse(k, 0L) - prev.getOrElse(k, 0L)
-          if (d == 0L) None else Some(Row(k._1, k._2, d))
-        }.toSeq
-        st.prevView(a) = cur
-        if (rows.isEmpty) None
-        else Some(a -> rowsFrame(st.kinds(a), rows))
-      }.toMap
-      if (deltas.nonEmpty) {
-        // O(delta) dataflow work; R accumulates the standing diffs.
-        val d = st.iq.advance(deltas)
-        d.collect().foreach { row =>
-          val n = row.length - 1
-          val tuple: Seq[Any] = (0 until n).map(i => Engine.deepNative(row.get(i)))
-          val w = st.r.getOrElse(tuple, 0L) + row.getLong(n)
-          if (w == 0L) st.r.remove(tuple) else st.r(tuple) = w
-        }
-      }
-      // BiEngine's lattice delivery rule over the emitted ledger.
-      val acc = mutable.Map.empty[Seq[Any], Long]
-      st.ledger.foreach { case (s, diffMap) =>
-        if (dominates(t, s))
-          diffMap.foreach { case (k, w) => acc(k) = acc.getOrElse(k, 0L) + w }
-      }
-      val diff = (st.r.keySet ++ acc.keySet).iterator.map { tuple =>
-        tuple -> (st.r.getOrElse(tuple, 0L) - acc.getOrElse(tuple, 0L))
-      }.filter(_._2 != 0L).toMap
-      if (diff.nonEmpty) {
-        st.ledger += ((t, diff))
-        diff.foreach { case (tuple, w) => st.out += ((tuple, t, w)) }
+    val newTimes = pendingTimes.iterator.takeWhile(_._1 < sysNext).toSeq
+    val sem: Map[String, InputSemantics] = configs.iterator
+      .map { case (a, c) => a -> c.inputSemantics }.toMap
+      .withDefaultValue(InputSemantics.Raw)
+    for (t <- newTimes) {
+      // Standing queries (re)build against the PRE-transition view.
+      for (name <- interests) standings(name).ensureBuilt()
+      val deltas = store.transition(lastProcessed, t, sem, kindOf)
+      lastProcessed = Some(t)
+      for (name <- interests) {
+        val st = standings(name)
+        val sub = deltas.view.filterKeys(st.refAttrs).toMap
+        if (sub.nonEmpty) st.accumulate(st.iq.advance(sub))
+        st.deliver(t)
       }
     }
-    processed ++= newTimes
+    pendingTimes --= newTimes
     sysFrontier = sysNext
   }
 

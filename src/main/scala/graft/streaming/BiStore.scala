@@ -1,0 +1,156 @@
+package graft.streaming
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.model.ValueKind
+
+/** Storage seam for [[BiMaintained]]'s bitemporal datom history and its
+  * maintained visible views. Two siblings share the [[BiVisibility]]
+  * state machine:
+  *
+  *  - [[DriverBiStore]] — ONE instance driver-side, for histories under
+  *    the broadcast byte gate (the same small-side economics as the
+  *    closure maintainer's gated driver index). Transitions are
+  *    incremental here too — no O(history) rescan per completed time.
+  *  - [[CellBiStore]] — the history hash-partitioned by view key across
+  *    a [[StateCell]] (one [[BiVisibility]] per partition): ingest and
+  *    transitions are per-partition structural-sharing updates, the
+  *    driver holds only the time lattice — the reference's split, where
+  *    frontier bookkeeping is worker-local but datoms live in
+  *    distributed arrangements.
+  *
+  * A growing [[DriverBiStore]] migrates into a [[CellBiStore]] when its
+  * estimated bytes cross the gate ([[BiMaintained]] owns the flip);
+  * `-Dgraft.bi.distributed=on|off` forces either sibling for A/B.
+  */
+private[streaming] sealed trait BiStore {
+  /** Append one transact batch of keyed datom records. */
+  def ingest(recs: Seq[(BiKey, BiRec)]): Unit
+
+  /** Advance the visible view to completed time `t`, returning each
+    * attribute's signed view-transition frame `(e, v, diff)`. */
+  def transition(tPrev: Option[(Long, Long)], t: (Long, Long),
+      sem: BiVisibility.Sem, kindOf: String => ValueKind): Map[String, DataFrame]
+
+  /** Full emitted view per attribute — replay for late/rebuilt standing
+    * queries. */
+  def dump(kindOf: String => ValueKind): Map[String, DataFrame]
+
+  def estimatedBytes: Long
+}
+
+private[streaming] object BiStore {
+  /** `(e, v, diff)` schema of a view-transition frame. */
+  def schema(kind: ValueKind): StructType = StructType(Seq(
+    StructField("e", LongType, false),
+    StructField("v", kind.dataType, true),
+    StructField("diff", LongType, false)))
+
+  def frame(spark: SparkSession, kind: ValueKind,
+      rows: Seq[Row]): DataFrame = {
+    val nPart = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, rows.size / 65536 + 1))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, nPart), schema(kind))
+  }
+
+  /** Group driver-side transition rows into per-attribute frames. */
+  def framesOf(spark: SparkSession, rows: Iterable[(String, Any, Any, Long)],
+      kindOf: String => ValueKind): Map[String, DataFrame] =
+    rows.groupBy(_._1).map { case (a, rs) =>
+      a -> frame(spark, kindOf(a),
+        rs.iterator.map { case (_, e, v, w) => Row(e, v, w) }.toSeq)
+    }
+}
+
+/** Driver-resident sibling: the whole history in one [[BiVisibility]].
+  * Bounded by [[BiMaintained]]'s byte gate — past it the state migrates
+  * into the distributed sibling. */
+private[streaming] final class DriverBiStore(spark: SparkSession)
+    extends BiStore {
+  private[streaming] var vis: BiVisibility = BiVisibility.empty
+
+  def ingest(recs: Seq[(BiKey, BiRec)]): Unit = vis = vis.ingest(recs)
+
+  def transition(tPrev: Option[(Long, Long)], t: (Long, Long),
+      sem: BiVisibility.Sem,
+      kindOf: String => ValueKind): Map[String, DataFrame] = {
+    val (next, rows) = vis.transition(tPrev, t, sem)
+    vis = next
+    BiStore.framesOf(spark, rows, kindOf)
+  }
+
+  def dump(kindOf: String => ValueKind): Map[String, DataFrame] =
+    BiStore.framesOf(spark, vis.dumpEmitted.toSeq, kindOf)
+
+  def estimatedBytes: Long = vis.estimatedBytes
+}
+
+/** Distributed sibling: the history lives as one [[BiVisibility]] per
+  * partition inside a [[StateCell]] (hash-partitioned by view key).
+  * Per-batch narrow work is O(delta + touched keys); per-completed-time
+  * transition work is O(candidate keys of the toggled time slabs), and
+  * nothing data-sized ever lands on the driver — transition frames feed
+  * the standing queries directly as RDD-backed DataFrames. */
+private[streaming] final class CellBiStore(
+    spark: SparkSession, partitions: Int) extends BiStore {
+  private val sc = spark.sparkContext
+  private val part = new HashPartitioner(partitions)
+  private val cell = new StateCell[BiVisibility](
+    sc, partitions, () => BiVisibility.empty, _.estimatedBytes)
+  private var count = 0L
+
+  def ingest(recs: Seq[(BiKey, BiRec)]): Unit = {
+    count += recs.size
+    val delta = sc.parallelize(recs, math.max(1, partitions / 4))
+      .partitionBy(part)
+    val _ = cell.advance1(delta) { (vis, it) =>
+      (vis.ingest(it), Array.empty[Int])
+    }
+  }
+
+  /** Plant a split driver state into the cell partitions (gate flip). */
+  private[streaming] def plant(parts: IndexedSeq[BiVisibility]): Unit = {
+    require(parts.length == partitions)
+    count += parts.iterator.map(_.datomCount).sum
+    val delta = sc.parallelize(
+        parts.zipWithIndex.map { case (s, i) => (i, s) }, 1)
+      .partitionBy(new HashPartitioner(partitions)) // Int key i -> part i
+    val _ = cell.advance1(delta) { (_, it) =>
+      (it.toSeq.headOption.map(_._2).getOrElse(BiVisibility.empty),
+        Array.empty[Int])
+    }
+  }
+
+  def transition(tPrev: Option[(Long, Long)], t: (Long, Long),
+      sem: BiVisibility.Sem,
+      kindOf: String => ValueKind): Map[String, DataFrame] = {
+    val (out, n) = cell.advance1Counted(
+        sc.parallelize(Seq.empty[Int], partitions)) { (vis, _) =>
+      val (next, rows) = vis.transition(tPrev, t, sem)
+      (next, rows)
+    }
+    framesFrom(out, n, kindOf)
+  }
+
+  def dump(kindOf: String => ValueKind): Map[String, DataFrame] = {
+    val out = cell.rdd.flatMap(_.dumpEmitted).localCheckpoint()
+    framesFrom(out, out.count(), kindOf)
+  }
+
+  /** Per-attribute typed frames over a checkpointed (a, e, v, w) RDD —
+    * the only driver-sized read is the distinct attribute-name list. */
+  private def framesFrom(out: RDD[(String, Any, Any, Long)], n: Long,
+      kindOf: String => ValueKind): Map[String, DataFrame] =
+    if (n == 0L) Map.empty
+    else out.map(_._1).distinct().collect().iterator.map { a =>
+      a -> spark.createDataFrame(
+        out.filter(_._1 == a).map { case (_, e, v, w) => Row(e, v, w) },
+        BiStore.schema(kindOf(a)))
+    }.toMap
+
+  def estimatedBytes: Long = count * 220L
+}

@@ -11,10 +11,14 @@ import graft.streaming.BiMaintained
 /** Bitemporal × maintained composition parity: for any signed bitemporal
   * history, any advance schedule, any input semantics, and plans across
   * the maintained fragment, [[BiMaintained]] (standing query fed
-  * visible-view transitions) must drain EXACTLY the diffs of
+  * incremental visible-view transitions) must drain EXACTLY the diffs of
   * [[BiEngine]] (per-time snapshot recompute under the product-order
   * accumulation) — the reference's `Pair(sys, event)` semantics
-  * (`src/timestamp/pair.rs`, `tests/input_semantics.rs:337-508`). */
+  * (`src/timestamp/pair.rs`, `tests/input_semantics.rs:337-508`). The
+  * parity is pinned on BOTH store siblings (driver-resident under the
+  * byte gate, StateCell-distributed past it / under the
+  * `graft.bi.distributed=on` dial) and across a mid-history gate
+  * MIGRATION, plus the Coarsen delivery laws. */
 class BiMaintainedSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
@@ -35,35 +39,55 @@ class BiMaintainedSpec extends AnyFunSuite {
 
   private type Out = Map[(Seq[Any], (Long, Long), Long), Int]
 
+  private def ms(xs: Seq[(Seq[Any], (Long, Long), Long)]): Out =
+    xs.groupBy(identity).map { case (k, vs) => k -> vs.length }
+
+  /** Run one history through BiEngine (reference semantics) and
+    * BiMaintained; `distributed` pins the store dial for the run. */
   private def drive(
       history: Seq[BD], semantics: InputSemantics,
-      plan: Plan): (Out, Out) = {
+      plan: Plan, distributed: Boolean = false,
+      gateBytes: Option[String] = None): (Out, Out) = {
     val bySys = history.groupBy(_.sys).toSeq.sortBy(_._1)
 
-    val ref = new BiEngine(spark)
-    val got = new BiMaintained(spark)
-    Seq(":bm/x", ":bm/y").foreach { a =>
-      ref.createAttribute(a, AttributeConfig(semantics))
-      got.createAttribute(a, AttributeConfig(semantics))
+    val prevDial = sys.props.get("graft.bi.distributed")
+    val prevGate = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    if (distributed) sys.props("graft.bi.distributed") = "on"
+    else sys.props("graft.bi.distributed") = "off"
+    gateBytes.foreach { g =>
+      sys.props.remove("graft.bi.distributed") // auto mode: gate decides
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", g)
     }
-    ref.register(Rule("q", plan)); got.register(Rule("q", plan))
-    ref.interest("q"); got.interest("q")
+    try {
+      val ref = new BiEngine(spark)
+      val got = new BiMaintained(spark, partitions = 4)
+      Seq(":bm/x", ":bm/y").foreach { a =>
+        ref.createAttribute(a, AttributeConfig(semantics))
+        got.createAttribute(a, AttributeConfig(semantics))
+      }
+      ref.register(Rule("q", plan)); got.register(Rule("q", plan))
+      ref.interest("q"); got.interest("q")
 
-    val refOut = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], (Long, Long), Long)]
-    val gotOut = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], (Long, Long), Long)]
-    bySys.foreach { case (sys, ds) =>
-      ref.transact(ds.map(d => ref.BiDatom(
-        Value.eid(d.e), d.a, Value.num(d.v), (sys, d.event), d.diff)))
-      got.transact(ds.map(d => got.BiDatom(
-        Value.eid(d.e), d.a, Value.num(d.v), (sys, d.event), d.diff)))
-      ref.advance(sys + 1L)
-      got.advance(sys + 1L)
-      refOut ++= ref.drain("q")
-      gotOut ++= got.drain("q")
+      val refOut = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], (Long, Long), Long)]
+      val gotOut = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], (Long, Long), Long)]
+      bySys.foreach { case (sys, ds) =>
+        ref.transact(ds.map(d => ref.BiDatom(
+          Value.eid(d.e), d.a, Value.num(d.v), (sys, d.event), d.diff)))
+        got.transact(ds.map(d => got.BiDatom(
+          Value.eid(d.e), d.a, Value.num(d.v), (sys, d.event), d.diff)))
+        ref.advance(sys + 1L)
+        got.advance(sys + 1L)
+        refOut ++= ref.drain("q")
+        gotOut ++= got.drain("q")
+      }
+      (ms(refOut.toSeq), ms(gotOut.toSeq))
+    } finally {
+      prevDial match {
+        case Some(v) => sys.props("graft.bi.distributed") = v
+        case None    => sys.props.remove("graft.bi.distributed")
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevGate)
     }
-    def ms(xs: Seq[(Seq[Any], (Long, Long), Long)]): Out =
-      xs.groupBy(identity).map { case (k, vs) => k -> vs.length }
-    (ms(refOut.toSeq), ms(gotOut.toSeq))
   }
 
   private val plans: Seq[(String, Plan)] = Seq(
@@ -73,10 +97,11 @@ class BiMaintainedSpec extends AnyFunSuite {
     "union_set" -> Plan.Union(Seq(0), Seq(
       Plan.MatchA(0, ":bm/x", 1), Plan.MatchA(0, ":bm/y", 1))))
 
+  private val semanticsZoo = Seq(
+    InputSemantics.Raw, InputSemantics.Distinct, InputSemantics.LastWriteWins)
+
   test("maintained bitemporal drain == BiEngine drain (all semantics, plan zoo)") {
     val params = Gen.Parameters.default
-    val semanticsZoo = Seq(
-      InputSemantics.Raw, InputSemantics.Distinct, InputSemantics.LastWriteWins)
     for {
       (slabel, sem) <- semanticsZoo.zipWithIndex.map { case (s, i) => (s"sem$i", s) }
       ((plabel, plan), pi) <- plans.zipWithIndex
@@ -91,6 +116,39 @@ class BiMaintainedSpec extends AnyFunSuite {
         want.nonEmpty
       }
       assert(nonVacuous.contains(true), s"$slabel/$plabel produced no diffs")
+    }
+  }
+
+  test("distributed store sibling drains identically (dial forced on)") {
+    val params = Gen.Parameters.default
+    for {
+      (slabel, sem) <- semanticsZoo.zipWithIndex.map { case (s, i) => (s"sem$i", s) }
+      ((plabel, plan), pi) <- plans.zipWithIndex.take(2)
+    } {
+      val history = genHistory(params,
+        Seed(7001L + pi * 7919L + slabel.hashCode * 31L)).getOrElse(Seq.empty)
+      val (want, got) = drive(history, sem, plan, distributed = true)
+      assert(got == want,
+        s"dist $slabel/$plabel:\n want=$want\n got =$got\n history=$history")
+    }
+  }
+
+  test("driver store migrates to the distributed sibling mid-history at the byte gate") {
+    // Gate "1" flips on the first transact (nothing processed yet);
+    // gate "1500" flips mid-history, AFTER earlier times were processed
+    // — the planted partitions then carry live emitted views and time
+    // indexes. The drain must not notice either flip.
+    val params = Gen.Parameters.default
+    for {
+      (slabel, sem) <- semanticsZoo.zipWithIndex.map { case (s, i) => (s"sem$i", s) }
+      gate <- Seq("1", "1500")
+    } {
+      val history = genHistory(params, Seed(9102L + slabel.hashCode))
+        .getOrElse(Seq.empty)
+      val (want, got) =
+        drive(history, sem, plans.head._2, gateBytes = Some(gate))
+      assert(got == want,
+        s"migrate($gate) $slabel:\n want=$want\n got =$got\n history=$history")
     }
   }
 }
