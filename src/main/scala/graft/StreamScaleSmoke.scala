@@ -125,6 +125,66 @@ object StreamScaleSmoke {
       spark.sparkContext.removeSparkListener(listener)
     }
 
+    // ----------------- 2b. hector probe coverage extensions (hector2)
+    // Round-10 probe shapes at large state: a DISCONNECTED conjunction
+    // (2M-row connected component × a 4-row detached dimension — the
+    // scan step's cross is bounded by the small component) and a
+    // RATIONAL-kind equality join (values travel as canonicalized
+    // struct rows). Constant 5k deltas must stay flat as state grows —
+    // both shapes run on the arrangement-probe path (spec-asserted).
+    if (section("hector2")) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StructField => SF, _}
+      // -- disconnected: q(0,1,2,3): big(0,1) x dim(2,3)
+      val disc = new IncrementalHector(spark, Seq(0, 1, 2, 3), Seq(
+        Binding.attribute(0, ":h2/big", 1),
+        Binding.attribute(2, ":h2/dim", 3)),
+        Map(":h2/big" -> ValueKind.KNumber, ":h2/dim" -> ValueKind.KNumber))
+      def bigDelta(from: Long, n: Long) =
+        spark.range(from, from + n).select(col("id").as("e"),
+          (col("id") * 3L).as("v"),
+          org.apache.spark.sql.functions.lit(1L).as("diff"))
+      val dimRows = spark.range(0L, 4L).select(col("id").as("e"),
+        (col("id") + 100L).as("v"),
+        org.apache.spark.sql.functions.lit(1L).as("diff"))
+      var t0 = now()
+      val seeded2 = disc.advance(Map(0 -> bigDelta(0L, 2000000L), 1 -> dimRows))
+      println(f"[scale] hector2-disc seed state=2000000x4dim " +
+        f"out=${seeded2.count()}%d sec=${secs(t0)}%.1f")
+      (1 to 4).foreach { b =>
+        val from = 2000000L + b * 5000L
+        t0 = now()
+        val n = disc.advance(Map(0 -> bigDelta(from, 5000L))).count()
+        println(f"[scale] hector2-disc batch=$b%d delta=5000 out=$n%d " +
+          f"state=${from + 5000L}%d sec=${secs(t0)}%.2f")
+      }
+      // -- rational-kind equality join at 2M rows per side
+      val ratSchema = StructType(Seq(SF("e", LongType, false),
+        SF("v", ValueKind.KRational.dataType, false),
+        SF("diff", LongType, false)))
+      def ratDelta(from: Long, n: Long) = spark.createDataFrame(
+        spark.range(from, from + n).rdd.map { i =>
+          Row(i.toLong, Row(i % 1000000L, 7L), 1L)
+        }, ratSchema)
+      val rat = new IncrementalHector(spark, Seq(0, 1, 2), Seq(
+        Binding.attribute(0, ":h2/ra", 1),
+        Binding.attribute(2, ":h2/rb", 1)),
+        Map(":h2/ra" -> ValueKind.KRational, ":h2/rb" -> ValueKind.KRational))
+      t0 = now()
+      val seeded3 = rat.advance(Map(
+        0 -> ratDelta(0L, 2000000L), 1 -> ratDelta(0L, 2000000L)))
+      println(f"[scale] hector2-rational seed state=2000000x2 " +
+        f"out=${seeded3.count()}%d sec=${secs(t0)}%.1f")
+      (1 to 4).foreach { b =>
+        val from = 2000000L + b * 2500L
+        t0 = now()
+        val n = rat.advance(Map(
+          0 -> ratDelta(from, 2500L), 1 -> ratDelta(from, 2500L))).count()
+        println(f"[scale] hector2-rational batch=$b%d delta=2500x2 out=$n%d " +
+          f"state=${from + 2500L}%d sec=${secs(t0)}%.2f")
+      }
+    }
+
     // ---------------------------------------------------- 3. bistream
     if (section("bistream")) {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -471,6 +531,125 @@ object StreamScaleSmoke {
             f"state=$grown%d readRecords=${readRecs.get}%d sec=$dt%.2f")
           spark.sparkContext.removeSparkListener(listener)
         }
+      }
+    }
+
+    // --------------------- 7b. partitioned-arrangement recursion (arr)
+    // The linear kernel past its broadcast ceiling: a labelprop static
+    // side of 2M → 4M edges (the 10MB gate caps out near 131k rows), so
+    // deep delta rounds run on the partitioned arrangement — built once,
+    // then MAINTAINED by structural sharing as the edge input grows.
+    // Constant 300-chain increments must stay flat as the static side
+    // doubles; the spec-side planning test pins the zero-per-round
+    // Catalyst property.
+    if (section("arr")) {
+      import graft.streaming.IncrementalQuery
+      val kinds = Map(
+        ":ar/edge" -> ValueKind.KNumber, ":ar/seed" -> ValueKind.KNumber)
+      val reachRule = Plan.Union(Seq(0, 1), Seq(
+        Plan.MatchA(0, ":ar/seed", 1),
+        Plan.Project(Seq(0, 1), Plan.Join(Seq(2),
+          Plan.MatchA(2, ":ar/edge", 0), Plan.NameExpr(Seq(2, 1), "reach")))))
+      val iq = new IncrementalQuery(spark,
+        Plan.NameExpr(Seq(0, 1), "reach"), kinds,
+        Map("reach" -> reachRule))
+      def chainDeltas(c0: Long, n: Long) = {
+        val edges = spark.range(c0, c0 + n)
+          .selectExpr("explode(sequence(0, 2)) as i", "id")
+          .select((col("id") * 10L + col("i")).as("e"),
+            (col("id") * 10L + col("i") + 1L).as("v"),
+            org.apache.spark.sql.functions.lit(1L).as("diff"))
+        val seeds = spark.range(c0, c0 + n)
+          .select((col("id") * 10L).as("e"),
+            (col("id") % 1000L).as("v"),
+            org.apache.spark.sql.functions.lit(1L).as("diff"))
+        Map(":ar/edge" -> edges, ":ar/seed" -> seeds)
+      }
+      var base = 0L
+      for (phase <- 1 to 2) {
+        val bulk = 666667L // ~2M edges per bulk phase
+        var t0 = now()
+        val n0 = iq.advance(chainDeltas(base, bulk)).count()
+        base += bulk
+        println(f"[scale] arr bulk phase=$phase%d edges=${base * 3}%d " +
+          f"out=$n0%d sec=${secs(t0)}%.1f")
+        (1 to 3).foreach { b =>
+          t0 = now()
+          val out = iq.advance(chainDeltas(base, 300L)).count()
+          base += 300L
+          val ok = if (out == 1200L) "" else " EXPECTED 1200 — FAILED"
+          println(f"[scale] arr inc phase=$phase%d batch=$b%d newChains=300 " +
+            f"out=$out%d staticEdges=${base * 3}%d sec=${secs(t0)}%.2f$ok")
+        }
+      }
+      // DRed through the arrangement: retract the middle edge of 1000
+      // phase-1 chains — exactly two facts per chain retract.
+      val t0 = now()
+      val dels = spark.range(0L, 1000L)
+        .select((col("id") * 10L + 1L).as("e"), (col("id") * 10L + 2L).as("v"),
+          org.apache.spark.sql.functions.lit(-1L).as("diff"))
+      val out = iq.advance(Map(":ar/edge" -> dels))
+      val retr = out.where(col("_w") < 0L).count()
+      val asserted = out.where(col("_w") > 0L).count()
+      val ok = if (retr == 2000L && asserted == 0L) ""
+        else " EXPECTED retracted=2000 asserted=0 — FAILED"
+      println(f"[scale] arr dred dels=1000 retracted=$retr%d " +
+        f"asserted=$asserted%d sec=${secs(t0)}%.1f$ok")
+    }
+
+    // ------------------------------------------- 8. bitemporal (bi)
+    // Distributed bitemporal serving (BiMaintained on the CellBiStore
+    // sibling, dial forced): history grows 100k → ~10M datoms through
+    // constant-size advances; per-advance wall time must track the
+    // DELTA (flat for equal batches, small for the 5k probes against
+    // 10M accumulated state), and the driver control plane (time
+    // lattice + output-sized ledger/result) must stay constant-sized —
+    // the datoms live in the StateCell partitions.
+    if (section("bi")) {
+      import graft.streaming.BiMaintained
+      val prevDial = sys.props.get("graft.bi.distributed")
+      sys.props("graft.bi.distributed") = "on"
+      try {
+        val bm = new BiMaintained(spark, partitions = 32)
+        bm.createAttribute(":bi/x", AttributeConfig(InputSemantics.Raw))
+        // COUNT entities per value group (100 groups) — the standing
+        // query's OUTPUT stays control-sized, so the driver-side
+        // result/ledger stay flat while the dataflow digests the full
+        // per-advance delta.
+        bm.register(Rule("biq", Plan.Aggregate(Seq(2, 1),
+          Plan.MatchA(1, ":bi/x", 2),
+          Seq(AggregationFn.COUNT), Seq(2), Seq(1), Seq.empty)))
+        bm.interest("biq")
+        var total = 0L; var clock = 0L
+        def advanceBatch(n: Int, label: String): Unit = {
+          val base = total
+          val datoms = (0 until n).map { i =>
+            bm.BiDatom(Value.eid(base + i), ":bi/x",
+              Value.num((base + i) % 100L), (clock, clock), 1L)
+          }
+          total += n
+          val t0 = now()
+          bm.transact(datoms)
+          bm.advance(clock + 1L)
+          clock += 1L
+          val drained = bm.drain("biq").size
+          val dt = secs(t0) // BEFORE the GC probe — gc() over a growing
+          val cp = bm.controlPlaneStats // heap would read as advance drift
+          System.gc()
+          val rt = Runtime.getRuntime
+          val heapMB = (rt.totalMemory - rt.freeMemory) / (1024L * 1024L)
+          println(f"[scale] bi $label%s total=$total%d diffs=$drained%d " +
+            f"lattice=${cp("pendingTimes")}%d ledger=${cp("ledgerEntries")}%d " +
+            f"resultRows=${cp("resultRows")}%d sec=$dt%.2f heapMB=$heapMB%d")
+        }
+        advanceBatch(100000, "grow n=100k")
+        (1 to 9).foreach { _ =>
+          advanceBatch(1100000, "grow n=1.1M")
+          advanceBatch(5000, "probe n=5k")
+        }
+      } finally prevDial match {
+        case Some(v) => sys.props("graft.bi.distributed") = v
+        case None    => sys.props.remove("graft.bi.distributed")
       }
     }
 

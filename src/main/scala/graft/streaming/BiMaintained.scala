@@ -237,6 +237,15 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     sysFrontier = sysNext
   }
 
+  /** Driver-resident control-plane sizes — on the distributed store
+    * path this (plus the output-sized `r`/ledger/out buffers) is ALL
+    * the driver keeps; the datom history and visible views live in the
+    * [[StateCell]] partitions (scale-smoke evidence). */
+  def controlPlaneStats: Map[String, Long] = Map(
+    "pendingTimes" -> pendingTimes.size.toLong,
+    "ledgerEntries" -> standings.valuesIterator.map(_.ledger.size.toLong).sum,
+    "resultRows" -> standings.valuesIterator.map(_.r.size.toLong).sum)
+
   def drain(name: String): Seq[(Seq[Any], BiTime, Long)] = {
     val buf = standings(name).out
     val res = buf.toSeq

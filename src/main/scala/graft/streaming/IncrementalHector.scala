@@ -140,9 +140,15 @@ class IncrementalHector(
 
   /** DataFrame view over a keyed state/delta RDD — a pure per-row map the
     * batch compiler consumes; no shuffle, no copy of the persisted state. */
-  private def dfView(i: Int, rdd: RDD[KV]): DataFrame =
+  private def dfView(i: Int, rdd: RDD[KV]): DataFrame = {
+    val isReal = realBinding(i)
     spark.createDataFrame(
-      rdd.map { case ((e, v), w) => Row(e, v, w) }, stateSchema(i))
+      rdd.map { case ((e, v), w) =>
+        Row(e,
+          if (isReal) IncrementalHector.decReal(v.asInstanceOf[Long]) else v,
+          w)
+      }, stateSchema(i))
+  }
 
   /** DataFrame view over binding `i`'s CURRENT index — iterates the
     * partition-resident maps lazily at each Catalyst scan. Valid only
@@ -240,8 +246,26 @@ class IncrementalHector(
     case ValueKind.KNumber | ValueKind.KEid | ValueKind.KInstant |
         ValueKind.KString | ValueKind.KUuid | ValueKind.KAid |
         ValueKind.KBool => true
-    case _ => false // KReal/-0.0/NaN, rationals, variants: Catalyst only
+    // KReal (and real-carrying structs): JVM boxed equality diverges
+    // from Catalyst only at -0.0/NaN, which `canon` normalizes at every
+    // ingest point — after that, universal equality IS Catalyst
+    // equality. Rationals/variants are structural rows (normalized at
+    // construction), canonicalized recursively.
+    case ValueKind.KReal | ValueKind.KRational | ValueKind.KVariant => true
+    case _ => false
   }
+  /** Any binding kind needing value canonicalization before keys enter
+    * the arrangements / probe slots (skip the pass for the pure
+    * long/string hot path). */
+  private lazy val needsCanon: Boolean =
+    attrBindings.exists(b => kinds(b.a) match {
+      case ValueKind.KReal | ValueKind.KRational | ValueKind.KVariant => true
+      case _ => false
+    })
+  /** Per-binding: values travel as order-preserving encoded longs
+    * internally (see [[IncrementalHector.encReal]]). */
+  private def realBinding(i: Int): Boolean =
+    kinds(attrBindings(i).a) == ValueKind.KReal
   private def longKind(k: ValueKind): Boolean = k match {
     case ValueKind.KNumber | ValueKind.KEid | ValueKind.KInstant => true
     case _ => false
@@ -271,6 +295,10 @@ class IncrementalHector(
     !sys.props.get("graft.hector.probe").contains("off") &&
       probePlans.exists(_.isDefined)
 
+  /** Test hook: is the arrangement-probe executor live for this
+    * conjunction (vs the Catalyst fallback)? Forces plan construction. */
+  private[graft] def probeEnabled: Boolean = probeLive
+
   /** One probe plan per binding index (None = Catalyst fallback). */
   private lazy val probePlans: Seq[Option[ProbePlan]] =
     attrBindings.indices.map(buildProbePlan)
@@ -281,6 +309,17 @@ class IncrementalHector(
       bindings.collect { case Binding.Const(x, v) => x -> v }
     if (!consts.forall { case (_, v) => probeSafeKind(ValueKind.of(v)) })
       return None
+    // A var carrying a KReal binding value travels as the encoded long;
+    // a var MIXING real and non-real positions would compare encoded
+    // against raw — Catalyst's (casting) job, not the probe's.
+    attrBindings.foreach { b =>
+      if (kinds(b.a) == ValueKind.KReal &&
+          varKind.get(b.v) != Some(ValueKind.KReal)) return None
+    }
+    def native(v: Value): Any = v.native match {
+      case d: java.lang.Double => IncrementalHector.encReal(d.doubleValue())
+      case other               => IncrementalHector.canon(other)
+    }
     val slotOf = mutable.LinkedHashMap.empty[Int, Int]
     def slot(v: Int): Int = slotOf.getOrElseUpdate(v, slotOf.size)
     val seed = attrBindings(i)
@@ -292,10 +331,15 @@ class IncrementalHector(
     val constSlots = mutable.ArrayBuffer.empty[(Int, Any)]
     val seedChecks = mutable.ArrayBuffer.empty[(Int, Any)]
     consts.foreach { case (x, value) =>
-      if (slotOf.contains(x)) seedChecks += ((slotOf(x), value.native))
-      else constSlots += ((slot(x), value.native))
+      if (slotOf.contains(x)) seedChecks += ((slotOf(x), native(value)))
+      else constSlots += ((slot(x), native(value)))
     }
-    // Greedy connected order over the remaining bindings.
+    // Greedy connected order over the remaining bindings. A component
+    // DISCONNECTED from everything slotted so far starts with a SCAN
+    // step (both vars unbound — the executor cross-extends through the
+    // binding's full index, exactly the cartesian the conjunction's
+    // semantics demand and the Catalyst fallback would also pay); its
+    // remaining bindings then chain as ordinary probes.
     val remaining = mutable.LinkedHashSet(
       attrBindings.indices.filterNot(_ == i): _*)
     val steps = mutable.ArrayBuffer.empty[ProbeStep]
@@ -303,12 +347,11 @@ class IncrementalHector(
       val next = remaining.find { j =>
         val b = attrBindings(j)
         slotOf.contains(b.e) || slotOf.contains(b.v)
-      }.getOrElse(return None) // disconnected: Catalyst's job
+      }.getOrElse(remaining.head) // disconnected: seed a new component
       remaining -= next
       val b = attrBindings(next)
       val eB = slotOf.contains(b.e)
       val vB = slotOf.contains(b.v)
-      if (!eB && b.e == b.v) return None
       steps += ProbeStep(next, slot(b.e), slot(b.v), eB, vB, Array.empty)
     }
     // Attach each predicate to the earliest point where both operand
@@ -321,30 +364,56 @@ class IncrementalHector(
         (b.e == v && !s.eBound) || (b.v == v && !s.vBound)
       }
     }
-    val seedPreds = mutable.ArrayBuffer.empty[(Predicate, Int, Int)]
+    val seedPreds = mutable.ArrayBuffer.empty[(Predicate, Int, Int, Int)]
     val stepPreds = Array.fill(steps.length)(
-      mutable.ArrayBuffer.empty[(Predicate, Int, Int)])
+      mutable.ArrayBuffer.empty[(Predicate, Int, Int, Int)])
+    // Ordering comparator per operand kind-class; the JVM compare must
+    // match what the Catalyst fallback would produce exactly: signed
+    // longs, canonicalized doubles (NaN largest, no -0.0), UTF-8 BYTE
+    // order for strings (java String.compareTo is UTF-16 order, which
+    // DIVERGES above the BMP — Catalyst compares UTF8String bytes),
+    // false < true for booleans. Rational/variant ordering stays on the
+    // Catalyst path.
+    def cmpKindOf(x: Int, y: Int): Option[Int] = {
+      def cls(k: ValueKind): Int = k match {
+        case k0 if longKind(k0) => IncrementalHector.CmpLong
+        // KReal slots hold the order-preserving encoded long.
+        case ValueKind.KReal => IncrementalHector.CmpLong
+        case ValueKind.KString | ValueKind.KUuid | ValueKind.KAid =>
+          IncrementalHector.CmpUtf8
+        case ValueKind.KBool => IncrementalHector.CmpBool
+        case _ => -1
+      }
+      (varKind.get(x).map(cls), varKind.get(y).map(cls)) match {
+        case (Some(a), Some(b)) if a == b && a >= 0 => Some(a)
+        case _                                      => None
+      }
+    }
     bindings.foreach {
       case Binding.BinaryPred(x, y, p) =>
         val ordering = p != Predicate.EQ && p != Predicate.NEQ
-        if (ordering &&
-            !(varKind.get(x).exists(longKind) && varKind.get(y).exists(longKind)))
-          return None
+        val cmp =
+          if (!ordering) IncrementalHector.CmpLong
+          else cmpKindOf(x, y).getOrElse(return None)
         if (!slotOf.contains(x) || !slotOf.contains(y)) return None
         val (fx, fy) = (fillPoint(x), fillPoint(y))
         if (fx < -1 || fy < -1) return None // unreachable: be loud via fallback
         val at = math.max(fx, fy)
-        val entry = (p, slotOf(x), slotOf(y))
+        val entry = (p, slotOf(x), slotOf(y), cmp)
         if (at < 0) seedPreds += entry else stepPreds(at) += entry
       case _ => ()
     }
     val withPreds = steps.zipWithIndex.map { case (s, k) =>
       s.copy(preds = stepPreds(k).toArray)
     }
-    // Output: every target var needs a slot (bound or const-pinned).
+    // Output: every target var needs a slot (bound or const-pinned);
+    // KReal slots decode back to doubles at the frame boundary.
     val outSlots = vars.map(v => slotOf.getOrElse(v, return None)).toArray
+    val outReal = vars.map(v =>
+      varKind.get(v).contains(ValueKind.KReal)).toArray
     Some(ProbePlan(seedE, seedV, slotOf.size, constSlots.toArray,
-      seedChecks.toArray, seedPreds.toArray, withPreds.toArray, outSlots))
+      seedChecks.toArray, seedPreds.toArray, withPreds.toArray, outSlots,
+      outReal))
   }
 
   /** Execute binding `i`'s delta term through the arrangements; the
@@ -409,7 +478,7 @@ class IncrementalHector(
                 }
               }
             }
-        } else {
+        } else if (st.vBound) {
           inter.map { case (t, w) => (t(vSlot), (t, w)) }
             .partitionBy(ePart)
             .zipPartitions(cellV.rdd) { (iIt, sIt) =>
@@ -426,12 +495,39 @@ class IncrementalHector(
                 }
               }
             }
+        } else {
+          // Disconnected-component seed: NEITHER var bound — cross-extend
+          // through the binding's full index (the cartesian the
+          // conjunction's semantics demand; the Catalyst fallback streams
+          // the same product). Subsequent component bindings probe as
+          // usual once these slots fill.
+          val sameSlot = eSlot == vSlot
+          inter.cartesian(cellPair.rdd.flatMap(_.iterator))
+            .flatMap { case ((t, w), ((e, v), sw)) =>
+              if (sameSlot && e != v) None
+              else {
+                val t2 = t.clone()
+                t2(eSlot) = e; t2(vSlot) = v
+                if (IncrementalHector.passAll(preds, t2)) Some((t2, w * sw))
+                else None
+              }
+            }
         }
     }
     val outSlots = pl.outSlots
+    val outReal = pl.outReal
     spark.createDataFrame(
       inter.map { case (t, w) =>
-        Row.fromSeq(outSlots.map(t.apply).toSeq :+ w)
+        val cells = new Array[Any](outSlots.length)
+        var ci = 0
+        while (ci < outSlots.length) {
+          val v = t(outSlots(ci))
+          cells(ci) =
+            if (outReal(ci)) IncrementalHector.decReal(v.asInstanceOf[Long])
+            else v
+          ci += 1
+        }
+        Row.fromSeq(cells.toSeq :+ w)
       }, outputSchema)
   }
 
@@ -495,10 +591,20 @@ class IncrementalHector(
     // — and pin it (delta terms and the merge both read it, and the
     // delivered diffs must outlive the caller's source frame).
     // Materialize each delta once (the count doubles as its size signal).
+    val doCanon = needsCanon
     val deltaPairs: Map[Int, (RDD[KV], Long)] = deltas.map { case (i, df) =>
+      val isReal = realBinding(i)
       val r = df
         .select(col("e"), col("v"), col("diff").cast("long").as("_w"))
-        .rdd.map(r => ((r.getLong(0), r.get(1)), r.getLong(2)))
+        .rdd.map { r =>
+          val v0 = r.get(1)
+          val v =
+            if (isReal) IncrementalHector.encReal(
+              v0.asInstanceOf[Number].doubleValue()): java.lang.Long
+            else if (doCanon) IncrementalHector.canon(v0)
+            else v0
+          ((r.getLong(0), v), r.getLong(2))
+        }
         .reduceByKey(part, _ + _)
         .localCheckpoint()
       i -> (r, r.count())
@@ -552,41 +658,120 @@ class IncrementalHector(
 object IncrementalHector {
 
   // Top-level (no $outer) so probe closures serialize cleanly.
+  // Comparator classes for ordering predicates on the probe path; each
+  // must reproduce the Catalyst fallback's ordering exactly.
+  private[streaming] final val CmpLong = 0
+  private[streaming] final val CmpDouble = 1
+  private[streaming] final val CmpUtf8 = 2
+  private[streaming] final val CmpBool = 3
+
   private[streaming] final case class ProbeStep(
       b: Int, eSlot: Int, vSlot: Int, eBound: Boolean, vBound: Boolean,
-      preds: Array[(Predicate, Int, Int)])
+      preds: Array[(Predicate, Int, Int, Int)])
 
   private[streaming] final case class ProbePlan(
       seedESlot: Int, seedVSlot: Int, nSlots: Int,
       constSlots: Array[(Int, Any)],      // prefilled const slots
       seedChecks: Array[(Int, Any)],      // seed-var slot must equal value
-      seedPreds: Array[(Predicate, Int, Int)],
+      seedPreds: Array[(Predicate, Int, Int, Int)],
       steps: Array[ProbeStep],
-      outSlots: Array[Int])
+      outSlots: Array[Int],
+      outReal: Array[Boolean])
 
-  /** JVM-side predicate check over the slot tuple — matches Catalyst for
-    * the probe-safe kinds (universal equality for long/string/bool,
-    * long comparison for ordering; nulls never arise: state values come
-    * from non-null datom columns). Top-level so tasks capture only the
-    * compiled (predicate, slotX, slotY) arrays. */
-  private[streaming] def passAll(
-      preds: Array[(Predicate, Int, Int)], t: Array[Any]): Boolean = {
+  /** ORDER-PRESERVING long encoding for KReal probe values. Scala's
+    * `==` on boxed doubles is primitive comparison — NaN != NaN — so a
+    * NaN key is unfindable in every Scala map; SQL equality (and
+    * Catalyst joins/grouping) treat NaN = NaN and -0.0 = 0.0 as TRUE.
+    * Encoding the canonicalized bits into a sign-flipped long restores
+    * both: long equality == SQL double equality, and SIGNED long order
+    * == Catalyst double order (NaN largest — canonical NaN bits sit
+    * above +Inf). Values are encoded at the delta boundary and decoded
+    * at the frame boundaries ([[IncrementalHector]]'s `dfView` and the
+    * probe output). */
+  private[streaming] def encReal(d0: Double): Long = {
+    val d = if (java.lang.Double.isNaN(d0)) Double.NaN
+            else if (d0 == 0.0d) 0.0d else d0
+    val bits = java.lang.Double.doubleToLongBits(d)
+    if (bits >= 0L) bits else bits ^ 0x7fffffffffffffffL
+  }
+  private[streaming] def decReal(l: Long): Double =
+    java.lang.Double.longBitsToDouble(
+      if (l >= 0L) l else l ^ 0x7fffffffffffffffL)
+
+  /** Catalyst-equality canonicalization: -0.0 folds into 0.0 and NaN
+    * into the canonical NaN bit pattern (SQL equality and Spark's
+    * NormalizeFloatingNumbers agree), recursively through struct rows
+    * (rationals, variants — their nested reals carry the same hazard;
+    * Spark's `Row.equals` is NaN-safe, so canonical NaN payloads inside
+    * structs compare correctly). Everything else passes through. */
+  private[streaming] def canon(v: Any): Any = v match {
+    case d: java.lang.Double =>
+      val dd = d.doubleValue()
+      if (java.lang.Double.isNaN(dd)) java.lang.Double.valueOf(Double.NaN)
+      else if (dd == 0.0d) java.lang.Double.valueOf(0.0d)
+      else d
+    case f: java.lang.Float =>
+      val ff = f.floatValue()
+      if (java.lang.Float.isNaN(ff)) java.lang.Float.valueOf(Float.NaN)
+      else if (ff == 0.0f) java.lang.Float.valueOf(0.0f)
+      else f
+    case r: Row => Row.fromSeq(r.toSeq.map(canon))
+    case other  => other
+  }
+
+  /** UTF-8 byte order — what Catalyst's UTF8String comparison uses;
+    * java String.compareTo (UTF-16 code units) diverges above the BMP. */
+  private def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
-    while (i < preds.length) {
-      val (p, xs, ys) = preds(i)
-      val a = t(xs); val b = t(ys)
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private def compareK(cmp: Int, a: Any, b: Any): Int = cmp match {
+    case CmpLong =>
       def l(x: Any): Long = x match {
         case n: Long => n
         case n: Int  => n.toLong
         case other   => sys.error(s"probe predicate expected a long, got $other")
       }
+      java.lang.Long.compare(l(a), l(b))
+    case CmpDouble =>
+      // Canonicalized operands: -0.0 already folded; Double.compare puts
+      // NaN above everything, matching Catalyst's double ordering.
+      java.lang.Double.compare(
+        a.asInstanceOf[Number].doubleValue(),
+        b.asInstanceOf[Number].doubleValue())
+    case CmpUtf8 => utf8Compare(a.asInstanceOf[String], b.asInstanceOf[String])
+    case CmpBool => java.lang.Boolean.compare(
+      a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+  }
+
+  /** JVM-side predicate check over the slot tuple — matches Catalyst
+    * for the probe-safe kinds: universal equality over CANONICALIZED
+    * values, per-kind-class comparison for ordering (see [[compareK]]).
+    * Nulls never arise: state values come from non-null datom columns.
+    * Top-level so tasks capture only the compiled (predicate, slotX,
+    * slotY, cmpClass) arrays. */
+  private[streaming] def passAll(
+      preds: Array[(Predicate, Int, Int, Int)], t: Array[Any]): Boolean = {
+    var i = 0
+    while (i < preds.length) {
+      val (p, xs, ys, cmp) = preds(i)
+      val a = t(xs); val b = t(ys)
       val ok = p match {
         case Predicate.EQ  => a == b
         case Predicate.NEQ => a != b
-        case Predicate.LT  => l(a) < l(b)
-        case Predicate.LTE => l(a) <= l(b)
-        case Predicate.GT  => l(a) > l(b)
-        case Predicate.GTE => l(a) >= l(b)
+        case Predicate.LT  => compareK(cmp, a, b) < 0
+        case Predicate.LTE => compareK(cmp, a, b) <= 0
+        case Predicate.GT  => compareK(cmp, a, b) > 0
+        case Predicate.GTE => compareK(cmp, a, b) >= 0
       }
       if (!ok) return false
       i += 1

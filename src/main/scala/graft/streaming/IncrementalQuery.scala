@@ -1390,8 +1390,18 @@ class IncrementalQuery(
     private var staticBcVal: Option[org.apache.spark.broadcast.Broadcast[
       java.util.HashMap[Seq[Any], Array[Array[Any]]]]] = None
 
-    private def noteInputChanged(n: String): Unit =
-      if (linearShape.exists(_.staticInputs(n))) staticGen += 1
+    private def noteInputChanged(n: String, delta: PSet, isAdd: Boolean): Unit =
+      if (linearShape.exists(_.staticInputs(n))) {
+        staticGen += 1
+        // Bare-input static with a live arrangement: maintain it in
+        // place (O(delta + touched keys)) and keep the generation
+        // current; anything else leaves the arrangement stale for a
+        // per-generation rebuild at next use.
+        if (staticBareInput.contains(n) && staticArrVal.isDefined) {
+          maintainArr(delta, isAdd)
+          staticArrGen = staticGen
+        }
+      }
 
     private def kernelBroadcast(): Option[org.apache.spark.broadcast.Broadcast[
         java.util.HashMap[Seq[Any], Array[Array[Any]]]]] = {
@@ -1421,6 +1431,161 @@ class IncrementalQuery(
       staticBcVal = Some(sc.broadcast(m))
       rtrace(s"kernel static broadcast rows=${taken.length} gen=$staticGen")
       staticBcVal
+    }
+
+    // ---- partitioned static arrangement (static past the broadcast
+    // gate): the DistributedClosure-style sibling that removes the
+    // kernel's ceiling. The static join index lives as one immutable
+    // hash map per partition — join key → matching static rows, keyed
+    // under the same SeqKeyPartitioner as every PSet — wrapped in a
+    // declared-size [[GraftSizedValue]], localCheckpointed, and reused
+    // by EVERY deep round. A round re-keys its delta by the join key
+    // (one O(frontier) shuffle — the cost DistributedClosure documents
+    // for losing map-side k-hop batching) and probes partition-locally;
+    // no Catalyst plan, no state-sized work. When the static side is a
+    // BARE input reference (the labelprop/reachability family), input
+    // changes MAINTAIN the index by structural-sharing updates —
+    // O(delta + touched keys) per advance, the StateCell discipline —
+    // instead of invalidating it; derived static plans invalidate and
+    // rebuild once per changed generation.
+    // `-Dgraft.recursion.arrangement=off` forces the old Catalyst
+    // fallback for A/B.
+    import IncrementalQuery.{ArrIndex, sizedArr}
+    private type StaticArr = RDD[org.apache.spark.util.GraftSizedValue[ArrIndex]]
+    private var staticArrGen = -1L
+    private var staticArrVal: Option[StaticArr] = None
+    private var staticArrPrev: Option[StaticArr] = None
+
+    /** The input whose tuples ARE the static rows — Some iff the static
+      * plan is a bare `NameExpr` over one input (vars distinct was
+      * checked by the shape detector), enabling incremental index
+      * maintenance. */
+    private val staticBareInput: Option[String] = linearShape.flatMap {
+      sh => sh.staticPlan match {
+        case Plan.NameExpr(_, n) if inputs.exists(_._1 == n) => Some(n)
+        case _                                               => None
+      }
+    }
+
+    /** Re-key a tuple set by the static join key (the one O(delta) or
+      * O(frontier) shuffle of arrangement ops). */
+    private def keyedByStatic(keyIdx: Array[Int],
+        rows: RDD[Seq[Any]]): RDD[(Seq[Any], Seq[Any])] =
+      rows.map { t =>
+        val k = new Array[Any](keyIdx.length); var i = 0
+        while (i < keyIdx.length) { k(i) = t(keyIdx(i)); i += 1 }
+        (scala.collection.immutable.ArraySeq.unsafeWrapArray(k): Seq[Any], t)
+      }.partitionBy(part)
+
+    /** Commit a stepped arrangement generation: checkpoint, rebind,
+      * eagerly drop the superseded generation (the StateCell rule — a
+      * commit transiently holds two generations). */
+    private def commitArr(next: StaticArr): StaticArr = {
+      val mat = next.localCheckpoint()
+      mat.count()
+      staticArrPrev.foreach(_.unpersist(blocking = false))
+      staticArrPrev = Some(mat)
+      staticArrVal = Some(mat)
+      mat
+    }
+
+    private def kernelArrangement(): Option[StaticArr] = {
+      if (sys.props.get("graft.recursion.arrangement").contains("off"))
+        return None
+      val sh = linearShape.get
+      if (staticArrGen == staticGen) return staticArrVal
+      staticArrGen = staticGen
+      val env = inputs.map { case (n, _) =>
+        n -> relOf(inputKinds(n), Seq(inputState(n)), isSmall = false)
+      }.toMap
+      val cols = sh.staticCols
+      val keyed = keyedByStatic(sh.keyIdxStatic, evalSet(sh.staticPlan, env))
+      val arr: StaticArr = keyed.mapPartitions { it =>
+        val tmp = new java.util.HashMap[Seq[Any], mutable.ArrayBuffer[Array[Any]]]()
+        var n = 0L
+        it.foreach { case (k, row) =>
+          tmp.computeIfAbsent(k, _ => mutable.ArrayBuffer.empty) += row.toArray
+          n += 1
+        }
+        val b = scala.collection.immutable.HashMap
+          .newBuilder[Seq[Any], Array[Array[Any]]]
+        tmp.forEach((k, vs) => b += k -> vs.toArray)
+        Iterator.single(sizedArr(ArrIndex(b.result(), n), cols))
+      }
+      commitArr(arr)
+      rtrace(s"kernel static arrangement BUILT gen=$staticGen")
+      staticArrVal
+    }
+
+    /** Structural-sharing index maintenance for a bare-input static
+      * side: apply the input's add/delete set transition to the touched
+      * join keys only. Called from the SAME points that bump
+      * `staticGen`, so the arrangement tracks `inputState` exactly;
+      * `staticArrGen` follows, keeping [[kernelArrangement]] a no-op. */
+    private def maintainArr(delta: PSet, isAdd: Boolean): Unit = {
+      val arr = staticArrVal.getOrElse(return)
+      val sh = linearShape.get
+      val cols = sh.staticCols
+      val keyed = keyedByStatic(sh.keyIdxStatic, delta.keys)
+      val next: StaticArr =
+        arr.zipPartitions(keyed, preservesPartitioning = false) { (aIt, dIt) =>
+          val ix = aIt.next().value
+          var m = ix.m; var rows = ix.rows
+          dIt.foreach { case (k, t) =>
+            val row = t.toArray
+            val cur = m.getOrElse(k, null)
+            if (isAdd) {
+              m = m.updated(k,
+                if (cur == null) Array(row) else cur :+ row)
+              rows += 1
+            } else if (cur != null) {
+              val kept = cur.filterNot(_.sameElements(row))
+              rows -= (cur.length - kept.length)
+              m = if (kept.isEmpty) m.removed(k) else m.updated(k, kept)
+            }
+          }
+          Iterator.single(sizedArr(ArrIndex(m, rows), cols))
+        }
+      commitArr(next)
+      rtrace(s"kernel static arrangement maintained (+${if (isAdd) "adds" else "dels"})")
+    }
+
+    /** One arrangement round: re-key the delta by the join key and
+      * probe the co-partitioned static index in place. Semantics match
+      * [[kernelExpand]] hop 1 exactly (same filters, same recipe); the
+      * caller's dedup/subtract trims rediscoveries identically. */
+    private def arrExpand(sh: LinearShape, delta: PSet,
+        arr: StaticArr): RDD[Seq[Any]] = {
+      val keyIdx = sh.keyIdxRec
+      val recipe = sh.recipe
+      val fns = sh.filterFns
+      val keyed = delta.map { case (t, _) =>
+        val k = new Array[Any](keyIdx.length); var i = 0
+        while (i < keyIdx.length) { k(i) = t(keyIdx(i)); i += 1 }
+        (scala.collection.immutable.ArraySeq.unsafeWrapArray(k): Seq[Any], t)
+      }.partitionBy(part)
+      arr.zipPartitions(keyed, preservesPartitioning = false) { (mIt, dIt) =>
+        val m = mIt.next().value.m
+        dIt.flatMap { case (k, t) =>
+          val rows = m.getOrElse(k, null)
+          if (rows == null) Iterator.empty
+          else rows.iterator
+            .filter { s =>
+              var ok = true; var fi = 0
+              while (ok && fi < fns.length) { ok = fns(fi)(t, s); fi += 1 }
+              ok
+            }
+            .map { s =>
+              val out = new Array[Any](recipe.length); var oi = 0
+              while (oi < recipe.length) {
+                val (fromRec, idx) = recipe(oi)
+                out(oi) = if (fromRec) t(idx) else s(idx)
+                oi += 1
+              }
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(out): Seq[Any]
+            }
+        }
+      }
     }
 
     /** One kernel round: expand the target-relation delta through the
@@ -1509,9 +1674,10 @@ class IncrementalQuery(
 
     /** Candidates for rule `r` this round: the linear kernel when the
       * round delta IS the target relation (every deep round of a linear
-      * clique — zero Catalyst planning), the general delta-rule plan
-      * otherwise (the first round over input deltas, multi-rule cliques,
-      * or a static side past the broadcast gate). */
+      * clique — zero Catalyst planning): broadcast static under the byte
+      * gate, the partitioned arrangement past it (no ceiling); the
+      * general delta-rule plan otherwise (the first round over input
+      * deltas, multi-rule cliques, or `arrangement=off`). */
     private def stepCandidates(
         r: String,
         roundDeltas: Seq[(String, Seq[ValueKind], PSet)],
@@ -1520,7 +1686,10 @@ class IncrementalQuery(
         case (Some(sh), Seq((dn, _, d))) if dn == target && r == target =>
           kernelBroadcast() match {
             case Some(bc) => Some(kernelExpand(sh, d, bc))
-            case None     => roundStep(r, roundDeltas, env)
+            case None => kernelArrangement() match {
+              case Some(arr) => Some(arrExpand(sh, d, arr))
+              case None      => roundStep(r, roundDeltas, env)
+            }
           }
         case _ => roundStep(r, roundDeltas, env)
       }
@@ -1619,7 +1788,7 @@ class IncrementalQuery(
         trans.foreach { case (n, _, dels, _, dc) =>
           if (dc > 0L) {
             inputState(n) = checkpointed(without(inputState(n), dels))
-            noteInputChanged(n)
+            noteInputChanged(n, dels, isAdd = false)
           }
         }
         if (clique.exists(r => over(r).nonEmpty)) {
@@ -1696,7 +1865,7 @@ class IncrementalQuery(
           if (ac > 0L) {
             inputState(n) =
               checkpointed(disjointUnion(Seq(inputState(n), adds)))
-            noteInputChanged(n)
+            noteInputChanged(n, adds, isAdd = true)
           }
         }
         // BULK first batch: with every fixpoint still empty and no
@@ -2022,6 +2191,19 @@ class IncrementalQuery(
 }
 
 object IncrementalQuery {
+
+  /** Partitioned static-arrangement index of the linear-recursion
+    * kernel: join key → matching static rows (top-level so closures
+    * shipping it capture no node reference). */
+  private[streaming] final case class ArrIndex(
+      m: scala.collection.immutable.HashMap[Seq[Any], Array[Array[Any]]],
+      rows: Long)
+
+  private[streaming] def sizedArr(ix: ArrIndex, cols: Int)
+      : org.apache.spark.util.GraftSizedValue[ArrIndex] =
+    new org.apache.spark.util.GraftSizedValue(ix,
+      64L + ix.rows * (24L * cols + 48L) + ix.m.size.toLong * 120L)
+
 
   /** Every attribute scanned anywhere in a plan, following (acyclic)
     * rule references — a pre-construction check surface. */

@@ -217,4 +217,159 @@ class IncrementalHectorSpec extends AnyFunSuite {
     }
     assert(acc.nonEmpty)
   }
+
+  // ---- extended probe coverage (round-10): disconnected components,
+  // KReal/rational kinds, non-long ordering predicates — each shape
+  // driven through the SAME history on BOTH executors (arrangement
+  // probe vs `-Dgraft.hector.probe=off` Catalyst fallback); accumulated
+  // outputs must be identical, and the probe path must actually be live
+  // for the shape (the A/B dial assertion the round-9 VERDICT asked
+  // for).
+
+  private def withProbe[T](on: Boolean)(f: => T): T = {
+    val prev = sys.props.get("graft.hector.probe")
+    if (on) sys.props.remove("graft.hector.probe")
+    else sys.props("graft.hector.probe") = "off"
+    try f
+    finally prev match {
+      case Some(v) => sys.props("graft.hector.probe") = v
+      case None    => sys.props.remove("graft.hector.probe")
+    }
+  }
+
+  /** Drive `mk`'s conjunction through `batches` (binding-index -> delta
+    * frame builder), returning the accumulated output multiset. */
+  private def accumulated(
+      mk: () => IncrementalHector,
+      batches: Seq[Map[Int, org.apache.spark.sql.DataFrame]],
+      expectProbe: Option[Boolean]): Map[Seq[Any], Long] = {
+    val inc = mk()
+    expectProbe.foreach(e => assert(inc.probeEnabled == e,
+      s"probe executor expected live=$e for this shape"))
+    val acc = scala.collection.mutable.Map.empty[Seq[Any], Long]
+    // Scala == on boxed doubles is primitive (NaN != NaN), so NaN cells
+    // are bit-normalized for key comparison — SQL equality semantics.
+    def cell(v: Any): Any = v match {
+      case d: java.lang.Double => s"d:${java.lang.Double.doubleToLongBits(d)}"
+      case x                   => x
+    }
+    batches.foreach { deltas =>
+      inc.advance(deltas).collect().foreach { row =>
+        val n = row.length - 1
+        val k: Seq[Any] = (0 until n).map(i => cell(row.get(i)))
+        val w = acc.getOrElse(k, 0L) + row.getLong(n)
+        if (w == 0L) acc.remove(k) else acc(k) = w
+      }
+    }
+    acc.toMap
+  }
+
+  test("disconnected conjunction runs on the probe path and matches Catalyst") {
+    // q(0,1,2,3): r(0,1) x s(2,3) — no shared variable; the probe plan
+    // seeds the second component with a scan step (cross-extend).
+    def mk() = new IncrementalHector(spark, Seq(0, 1, 2, 3), Seq(
+      Binding.attribute(0, ":dx/r", 1),
+      Binding.attribute(2, ":dx/s", 3)),
+      Map(":dx/r" -> ValueKind.KNumber, ":dx/s" -> ValueKind.KNumber))
+    val batches = Seq(
+      Map(0 -> deltaDf(Seq((1L, 10L, 1L), (2L, 20L, 1L))),
+        1 -> deltaDf(Seq((7L, 70L, 1L)))),
+      Map(1 -> deltaDf(Seq((8L, 80L, 1L), (7L, 70L, -1L)))),
+      Map(0 -> deltaDf(Seq((1L, 10L, -1L), (3L, 30L, 1L)))))
+    val probe = withProbe(on = true)(
+      accumulated(mk, batches, expectProbe = Some(true)))
+    val cat = withProbe(on = false)(
+      accumulated(mk, batches, expectProbe = Some(false)))
+    assert(probe == cat && probe.nonEmpty, s"probe=$probe catalyst=$cat")
+    // Ground truth: surviving r-rows x surviving s-rows.
+    assert(probe == Map(
+      Seq[Any](2L, 20L, 8L, 80L) -> 1L, Seq[Any](3L, 30L, 8L, 80L) -> 1L))
+  }
+
+  test("KReal kind (incl. -0.0 and NaN) runs on the probe path and matches Catalyst") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("e", LongType, false),
+      StructField("v", DoubleType, false), StructField("diff", LongType, false)))
+    def dd(rows: Seq[(Long, Double, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 2),
+      schema)
+    // Join on the REAL value: q(0,1,2): r(0,1), s(2,1) with 1 a double
+    // var — -0.0 joins 0.0 and NaN joins NaN under SQL equality; the
+    // canonicalized probe keys must reproduce that.
+    def mk() = new IncrementalHector(spark, Seq(0, 1, 2), Seq(
+      Binding.attribute(0, ":dr/r", 1),
+      Binding.attribute(2, ":dr/s", 1)),
+      Map(":dr/r" -> ValueKind.KReal, ":dr/s" -> ValueKind.KReal))
+    val batches = Seq(
+      Map(0 -> dd(Seq((1L, -0.0d, 1L), (2L, 1.5d, 1L), (3L, Double.NaN, 1L))),
+        1 -> dd(Seq((10L, 0.0d, 1L), (30L, Double.NaN, 1L)))),
+      Map(1 -> dd(Seq((20L, 1.5d, 1L), (10L, 0.0d, -1L)))))
+    val probe = withProbe(on = true)(
+      accumulated(mk, batches, expectProbe = Some(true)))
+    val cat = withProbe(on = false)(
+      accumulated(mk, batches, expectProbe = Some(false)))
+    assert(probe == cat && probe.nonEmpty, s"probe=$probe catalyst=$cat")
+    assert(probe.keySet.map(k => (k(0), k(2))) ==
+      Set[(Any, Any)]((2L, 20L), (3L, 30L)),
+      s"-0.0/0.0 and NaN/NaN must join: $probe")
+  }
+
+  test("rational kind joins run on the probe path and match Catalyst") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val vt = ValueKind.KRational.dataType
+    val schema = StructType(Seq(StructField("e", LongType, false),
+      StructField("v", vt, false), StructField("diff", LongType, false)))
+    def rat(n: Long, d: Long) = Value.rational(n, d).native
+    def dd(rows: Seq[(Long, Any, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 2),
+      schema)
+    def mk() = new IncrementalHector(spark, Seq(0, 1, 2), Seq(
+      Binding.attribute(0, ":dq/r", 1),
+      Binding.attribute(2, ":dq/s", 1)),
+      Map(":dq/r" -> ValueKind.KRational, ":dq/s" -> ValueKind.KRational))
+    val batches = Seq(
+      Map(0 -> dd(Seq((1L, rat(1, 2), 1L), (2L, rat(3, 4), 1L))),
+        1 -> dd(Seq((10L, rat(1, 2), 1L)))),
+      Map(1 -> dd(Seq((20L, rat(3, 4), 1L), (10L, rat(1, 2), -1L)))))
+    val probe = withProbe(on = true)(
+      accumulated(mk, batches, expectProbe = Some(true)))
+    val cat = withProbe(on = false)(
+      accumulated(mk, batches, expectProbe = Some(false)))
+    assert(probe == cat && probe.nonEmpty, s"probe=$probe catalyst=$cat")
+    assert(probe.keySet.map(k => (k(0), k(2))) == Set[(Any, Any)]((2L, 20L)))
+  }
+
+  test("string ordering predicate matches Catalyst's UTF8 byte order on the probe path") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("e", LongType, false),
+      StructField("v", StringType, false), StructField("diff", LongType, false)))
+    def dd(rows: Seq[(Long, String, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 2),
+      schema)
+    // "\uFFFD" (BMP, high) vs an emoji (supplementary plane): java
+    // String.compareTo orders the emoji FIRST (surrogates < 0xFFFD) but
+    // UTF-8 bytes order it LAST — the probe comparator must agree with
+    // Catalyst, not with String.compareTo.
+    val hi = "\uFFFD"
+    val emoji = new String(Character.toChars(0x1F600))
+    def mk() = new IncrementalHector(spark, Seq(0, 1, 2), Seq(
+      Binding.attribute(0, ":ds/a", 1),
+      Binding.attribute(0, ":ds/b", 2),
+      Binding.binaryPredicate(Predicate.LT, 1, 2)),
+      Map(":ds/a" -> ValueKind.KString, ":ds/b" -> ValueKind.KString))
+    val batches = Seq(
+      Map(0 -> dd(Seq((1L, hi, 1L), (2L, "abc", 1L))),
+        1 -> dd(Seq((1L, emoji, 1L), (2L, "abd", 1L)))),
+      Map(1 -> dd(Seq((2L, "abb", 1L)))))
+    val probe = withProbe(on = true)(
+      accumulated(mk, batches, expectProbe = Some(true)))
+    val cat = withProbe(on = false)(
+      accumulated(mk, batches, expectProbe = Some(false)))
+    assert(probe == cat && probe.nonEmpty, s"probe=$probe catalyst=$cat")
+    // UTF-8 order: \uFFFD < emoji, so (1, hi, emoji) survives.
+    assert(probe.contains(Seq[Any](1L, hi, emoji)))
+  }
 }

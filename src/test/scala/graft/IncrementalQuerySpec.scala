@@ -370,6 +370,61 @@ class IncrementalQuerySpec extends AnyFunSuite {
       s"plan count grew with fixpoint depth: $plans1 -> $plans2")
   }
 
+  test("partitioned-arrangement kernel (static past the broadcast gate) stays batch-exact") {
+    // A 1-byte broadcast threshold fails the kernel's size gate on every
+    // static rebuild, routing deep delta rounds onto the partitioned
+    // arrangement (co-partitioned static index + delta re-keying) — the
+    // results must be identical, retractions included.
+    val reach = Plan.Union(Seq(0, 1), Seq(
+      Plan.MatchA(0, ":ua", 1),
+      Plan.Project(Seq(0, 1), Plan.Join(Seq(2),
+        Plan.MatchA(2, ":e1", 0), Plan.NameExpr(Seq(2, 1), "reach")))))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try check(Plan.NameExpr(Seq(0, 1), "reach"),
+      genBatches(6073, Seq(":ua", ":e1"), 5, es = 4, vs = 4),
+      Map("reach" -> reach))
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("partitioned arrangement: O(1) Catalyst plans per advance past the gate") {
+    import spark.implicits._
+    // Same chain workload as the kernel planning test, but with the
+    // broadcast gate forced shut: deep rounds must run on the
+    // arrangement (zero per-round Catalyst planning), with only the
+    // first-round variants plus ONE arrangement build per changed
+    // static generation paying a plan.
+    val reach = Plan.Union(Seq(0, 1), Seq(
+      Plan.MatchA(0, ":ua", 1),
+      Plan.Project(Seq(0, 1), Plan.Join(Seq(2),
+        Plan.MatchA(2, ":e1", 0), Plan.NameExpr(Seq(2, 1), "reach")))))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try {
+      val iq = new IncrementalQuery(spark, Plan.NameExpr(Seq(0, 1), "reach"),
+        kinds, Map("reach" -> reach), partitions = 4)
+      def df(rows: Seq[(Long, Long, Long)]): DataFrame =
+        rows.toDF("e", "v", "diff")
+      iq.advance(Map(
+        ":ua" -> df(Seq((0L, 7L, 1L))),
+        ":e1" -> df((0L until 10L).map(i => (i, i + 1, 1L)))))
+      val p0 = iq.recursionPlanCount.get
+      val d1rows = multiset(
+        iq.advance(Map(":e1" -> df((10L until 25L).map(i => (i, i + 1, 1L))))))
+      val plans1 = iq.recursionPlanCount.get - p0
+      assert(d1rows == (11L to 25L).map(n => Seq[Any](n, 7L) -> 1L).toMap,
+        s"arrangement rounds must emit exactly the newly reached labels: $d1rows")
+      val p1 = iq.recursionPlanCount.get
+      val d2rows = multiset(
+        iq.advance(Map(":e1" -> df((25L until 55L).map(i => (i, i + 1, 1L))))))
+      val plans2 = iq.recursionPlanCount.get - p1
+      assert(d2rows == (26L to 55L).map(n => Seq[Any](n, 7L) -> 1L).toMap)
+      assert(plans1 <= 5L, s"expected O(1) plans per advance, got $plans1")
+      assert(plans2 <= plans1,
+        s"plan count grew with fixpoint depth: $plans1 -> $plans2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("non-monotone recursion still fails loudly") {
     val a = Plan.Union(Seq(0, 1), Seq(
       Plan.MatchA(0, ":e1", 1),
