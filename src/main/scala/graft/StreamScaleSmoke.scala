@@ -123,6 +123,10 @@ object StreamScaleSmoke {
           f"state=${seedN + b * 5000L}%d shuffleRecords=${shuffled.get}%d sec=$dt%.2f")
       }
       spark.sparkContext.removeSparkListener(listener)
+      val resMB = (inc.stateIndexMeasuredBytes(0) +
+        inc.stateIndexMeasuredBytes(1)) / 1048576L
+      println(f"[scale] hector state residentMB=$resMB%d " +
+        f"(runs dial=${sys.props.getOrElse("graft.hector.runs", "on")}%s)")
     }
 
     // ----------------- 2b. hector probe coverage extensions (hector2)
@@ -595,6 +599,47 @@ object StreamScaleSmoke {
         else " EXPECTED retracted=2000 asserted=0 — FAILED"
       println(f"[scale] arr dred dels=1000 retracted=$retr%d " +
         f"asserted=$asserted%d sec=${secs(t0)}%.1f$ok")
+    }
+
+    // -------- 7c. packed-run support cells: 1M -> 10M resident A/B (idx2)
+    // The threshold/distinct support class on both state backends: the
+    // packed-run cells must measure ≥2x smaller than the boxed trie at
+    // identical per-batch wall time (VERDICT #4's bar; the raw ratio is
+    // nearer 8-10x). SizeEstimator walks are real measurements, run
+    // once per growth step.
+    if (section("idx2")) {
+      import graft.streaming.IncrementalQuery
+      val kinds2 = Map(":p2/a" -> ValueKind.KNumber)
+      val plan2 = Plan.Union(Seq(1, 2), Seq(Plan.MatchA(1, ":p2/a", 2)))
+      for (dial <- Seq("on", "off")) {
+        val prev = sys.props.get("graft.iq.runs")
+        if (dial == "off") sys.props("graft.iq.runs") = "off"
+        else sys.props.remove("graft.iq.runs")
+        try {
+          val iq = new IncrementalQuery(spark, plan2, kinds2)
+          def delta(from: Long, n: Long) =
+            spark.range(from, from + n).select(col("id").as("e"),
+              (col("id") * 7L).as("v"),
+              org.apache.spark.sql.functions.lit(1L).as("diff"))
+          var grown = 0L
+          for (step <- Seq(1000000L, 4000000L, 5000000L)) {
+            var t0 = now()
+            iq.advance(Map(":p2/a" -> delta(grown, step))).count()
+            grown += step
+            val gsec = secs(t0)
+            t0 = now()
+            val out = iq.advance(
+              Map(":p2/a" -> delta(30000000L + grown, 5000L))).count()
+            val bsec = secs(t0)
+            val mb = iq.supportStateMeasuredBytes / 1048576L
+            println(f"[scale] idx2-threshold dial=$dial%s state=$grown%d " +
+              f"growSec=$gsec%.1f batch5k=$bsec%.2f out=$out%d residentMB=$mb%d")
+          }
+        } finally prev match {
+          case Some(v) => sys.props("graft.iq.runs") = v
+          case None    => sys.props.remove("graft.iq.runs")
+        }
+      }
     }
 
     // ------------------------------------------- 8. bitemporal (bi)

@@ -126,6 +126,65 @@ class IncrementalHector(
       spark.sparkContext, nPartitions,
       () => scala.collection.immutable.HashMap.empty, _.size * 180L))
 
+  // ---- Compact sorted-run state for LONG-kinded bindings ------------
+  // When a binding's value kind is long-backed (KNumber/KEid/KInstant —
+  // or KReal, whose values already travel as order-preserving encoded
+  // longs), its state lives as packed [[LongRuns]] instead of the boxed
+  // hash trio: ONE store sorted by (e, v) and partitioned by e serves
+  // both pair lookups and e-prefix probes, a (v, e) sibling serves
+  // v-prefix probes — ~24 B/entry vs the trie's ~200–240 B (SCALE_NOTES)
+  // at unchanged per-batch cost (delta-run append + size-tiered merge is
+  // the same O(delta)-amortized discipline as structural sharing).
+  // `-Dgraft.hector.runs=off` forces the hash cells for A/B.
+  private lazy val runsLive: Boolean =
+    !sys.props.get("graft.hector.runs").contains("off")
+  private def runsBacked(i: Int): Boolean =
+    runsLive && (kinds(attrBindings(i).a) match {
+      case ValueKind.KNumber | ValueKind.KEid | ValueKind.KInstant |
+          ValueKind.KReal => true
+      case _ => false
+    })
+  private lazy val runsEVCells: Seq[StateCell[LongRuns]] =
+    attrBindings.map(_ => new StateCell[LongRuns](
+      spark.sparkContext, nPartitions, () => LongRuns.empty, _.bytes))
+  private lazy val runsVECells: Seq[StateCell[LongRuns]] =
+    attrBindings.map(_ => new StateCell[LongRuns](
+      spark.sparkContext, nPartitions, () => LongRuns.empty, _.bytes))
+
+  /** Test hook: MEASURED resident bytes of binding `i`'s state indexes
+    * (a real SizeEstimator walk over the partition objects). */
+  private[graft] def stateIndexMeasuredBytes(i: Int): Long = {
+    def m(o: AnyRef): Long = org.apache.spark.util.GraftSizeOf.estimate(o)
+    if (runsBacked(i))
+      runsEVCells(i).rdd.map(m).fold(0L)(_ + _) +
+        runsVECells(i).rdd.map(m).fold(0L)(_ + _)
+    else {
+      val pair = stateCells(i).rdd.map(m).fold(0L)(_ + _)
+      val arr =
+        if (probeLive)
+          byECells(i).rdd.map(m).fold(0L)(_ + _) +
+            byVCells(i).rdd.map(m).fold(0L)(_ + _)
+        else 0L
+      pair + arr
+    }
+  }
+
+  /** Test hook: resident-byte estimate of binding `i`'s state indexes
+    * (declared sizes — what the block store accounts). */
+  private[graft] def stateIndexBytes(i: Int): Long =
+    if (runsBacked(i))
+      runsEVCells(i).rdd.map(_.bytes).fold(0L)(_ + _) +
+        runsVECells(i).rdd.map(_.bytes).fold(0L)(_ + _)
+    else {
+      val pair = stateCells(i).rdd.map(_.size.toLong * 200L).fold(0L)(_ + _)
+      val arr =
+        if (probeLive)
+          byECells(i).rdd.map(_.size.toLong * 180L).fold(0L)(_ + _) +
+            byVCells(i).rdd.map(_.size.toLong * 180L).fold(0L)(_ + _)
+        else 0L
+      pair + arr
+    }
+
   /** Shared byte gate: rows of a 3-column (e, v, _w) frame vs the
     * session's autoBroadcastJoinThreshold (the fixpoint loop's estimate). */
   private def broadcastable(rows: Long): Boolean = {
@@ -157,7 +216,11 @@ class IncrementalHector(
     * against missing checkpoint blocks afterwards — re-fetch via
     * [[stateOf]] per batch instead of caching across advances. */
   private def indexView(i: Int): DataFrame =
-    dfView(i, stateCells(i).rdd.flatMap(_.iterator))
+    if (runsBacked(i))
+      dfView(i, runsEVCells(i).rdd.flatMap(_.iterator.map {
+        case ((e, v), w) => ((e, v: java.lang.Long): Key, w)
+      }))
+    else dfView(i, stateCells(i).rdd.flatMap(_.iterator))
 
   // DataFrame views kept in sync with the cells (compiler + tests).
   private val state: mutable.ArrayBuffer[DataFrame] =
@@ -208,6 +271,29 @@ class IncrementalHector(
     * maintains the per-variable arrangements when the probe executor is
     * live (same O(delta) discipline, one re-key shuffle each). */
   private def mergeIdx(i: Int, delta: RDD[KV]): Long = {
+    if (runsBacked(i)) {
+      // Packed-run path: (e,v)-sorted store keyed by e (pair lookups +
+      // e-prefix probes), (v,e)-sorted sibling keyed by v. The returned
+      // size signal is the packed-triple count — an upper bound on live
+      // keys (cancellations collapse at compaction), which only makes
+      // the broadcast gate more conservative.
+      val n = runsEVCells(i).advance1(
+          delta.map { case ((e, v), w) => (e, (v.asInstanceOf[Long], w)) }
+            .partitionBy(ePart)) { (s: LongRuns, dIt) =>
+        val buf = mutable.ArrayBuilder.make[Long]
+        dIt.foreach { case (e, (v, w)) => buf += e; buf += v; buf += w }
+        val ns = s.merged(buf.result())
+        (ns, Array(ns.packedCount))
+      }.fold(0L)(_ + _)
+      val _ = runsVECells(i).advance1(
+          delta.map { case ((e, v), w) => (v.asInstanceOf[Long], (e, w)) }
+            .partitionBy(ePart)) { (s: LongRuns, dIt) =>
+        val buf = mutable.ArrayBuilder.make[Long]
+        dIt.foreach { case (v, (e, w)) => buf += v; buf += e; buf += w }
+        (s.merged(buf.result()), Array.empty[Int])
+      }
+      return n
+    }
     val n = stateCells(i).advance1(delta) { (s: HMap, dIt: Iterator[KV]) =>
       var m = s
       dIt.foreach { case (k, dw) =>
@@ -443,11 +529,72 @@ class IncrementalHector(
       }
     }
     pl.steps.foreach { st =>
-      val cellPair = stateCells(st.b)
-      val cellE = byECells(st.b)
-      val cellV = byVCells(st.b)
+      val useRuns = runsBacked(st.b)
+      lazy val cellPair = stateCells(st.b)
+      lazy val cellE = byECells(st.b)
+      lazy val cellV = byVCells(st.b)
+      lazy val runsEV = runsEVCells(st.b)
+      lazy val runsVE = runsVECells(st.b)
       val (eSlot, vSlot, preds) = (st.eSlot, st.vSlot, st.preds)
       inter =
+        if (useRuns) {
+          // Packed-run probes: same shapes, primitive indexes. The pair
+          // lookup rides the e-keyed (e,v)-sorted store (one partitioner
+          // for both), values come back as boxed longs in the slots.
+          if (st.eBound && st.vBound) {
+            inter.map { case (t, w) => (t(eSlot).asInstanceOf[Long], (t, w)) }
+              .partitionBy(ePart)
+              .zipPartitions(runsEV.rdd) { (iIt, sIt) =>
+                val m = sIt.next()
+                iIt.flatMap { case (e, (t, w)) =>
+                  val sw = m.get(e, t(vSlot).asInstanceOf[Long])
+                  if (sw != 0L && IncrementalHector.passAll(preds, t))
+                    Some((t, w * sw))
+                  else None
+                }
+              }
+          } else if (st.eBound) {
+            inter.map { case (t, w) => (t(eSlot).asInstanceOf[Long], (t, w)) }
+              .partitionBy(ePart)
+              .zipPartitions(runsEV.rdd) { (iIt, sIt) =>
+                val m = sIt.next()
+                iIt.flatMap { case (e, (t, w)) =>
+                  m.prefix(e).flatMap { case (v, sw) =>
+                    val t2 = t.clone(); t2(vSlot) = v: java.lang.Long
+                    if (IncrementalHector.passAll(preds, t2))
+                      Some((t2, w * sw))
+                    else None
+                  }
+                }
+              }
+          } else if (st.vBound) {
+            inter.map { case (t, w) => (t(vSlot).asInstanceOf[Long], (t, w)) }
+              .partitionBy(ePart)
+              .zipPartitions(runsVE.rdd) { (iIt, sIt) =>
+                val m = sIt.next()
+                iIt.flatMap { case (v, (t, w)) =>
+                  m.prefix(v).flatMap { case (e, sw) =>
+                    val t2 = t.clone(); t2(eSlot) = e: java.lang.Long
+                    if (IncrementalHector.passAll(preds, t2))
+                      Some((t2, w * sw))
+                    else None
+                  }
+                }
+              }
+          } else {
+            val sameSlot = eSlot == vSlot
+            inter.cartesian(runsEV.rdd.flatMap(_.iterator))
+              .flatMap { case ((t, w), ((e, v), sw)) =>
+                if (sameSlot && e != v) None
+                else {
+                  val t2 = t.clone()
+                  t2(eSlot) = e: java.lang.Long; t2(vSlot) = v: java.lang.Long
+                  if (IncrementalHector.passAll(preds, t2)) Some((t2, w * sw))
+                  else None
+                }
+              }
+          }
+        } else
         if (st.eBound && st.vBound) {
           inter.map { case (t, w) => ((t(eSlot).asInstanceOf[Long], t(vSlot)), (t, w)) }
             .partitionBy(part)

@@ -207,6 +207,89 @@ class IncrementalQuery(
       }
   }
 
+  // Registry of support cells for scale evidence (measured resident
+  // bytes across every threshold-class state this query holds).
+  private val supportCells = mutable.ArrayBuffer.empty[SupportCell]
+
+  /** Test hook: MEASURED resident bytes across all threshold-class
+    * support cells (real SizeEstimator walk — smokes only). */
+  private[graft] def supportStateMeasuredBytes: Long =
+    supportCells.iterator.map(_.measuredBytes).sum
+
+  /** Support-count cell shared by the Union threshold and the
+    * Distinct-attribute threshold: row → net weight, emitting the ±1
+    * zero-crossing transitions. ALL-LONG rows pack into [[PackedRuns]]
+    * (~8·(width+1) B/entry against the boxed trie's measured ~200–240 B
+    * — the round-10 footprint cut); null-bearing rows (and non-long
+    * kinds) stay in a boxed side map, so packing is an optimization,
+    * never a semantics change. `-Dgraft.iq.runs=off` forces the boxed
+    * path for A/B. */
+  private final class SupportCell(kinds: Seq[ValueKind]) {
+    supportCells += this
+    private val packed = !sys.props.get("graft.iq.runs").contains("off") &&
+      kinds.nonEmpty && kinds.forall {
+        case ValueKind.KNumber | ValueKind.KEid | ValueKind.KInstant => true
+        case _ => false
+      }
+    private val width = kinds.length
+    private val wCell: StateCell[IncrementalQuery.WMap] =
+      if (packed) null
+      else new StateCell[IncrementalQuery.WMap](
+        spark.sparkContext, shufflePartitions,
+        () => scala.collection.immutable.HashMap.empty, _.size * 200L)
+    private val pCell: StateCell[(PackedRuns, IncrementalQuery.WMap)] =
+      if (!packed) null
+      else {
+        val w = width
+        new StateCell[(PackedRuns, IncrementalQuery.WMap)](
+          spark.sparkContext, shufflePartitions,
+          () => (PackedRuns.empty(w), scala.collection.immutable.HashMap.empty),
+          { case (p, m) => p.bytes + m.size * 200L })
+      }
+
+    /** One co-partitioned NETTED delta batch (unique keys) → the ±1
+      * zero-crossing diffs. */
+    def advance(delta: RDD[(Seq[Any], Long)]): RDD[(Seq[Any], Long)] =
+      if (!packed) wCell.advance1(delta)(thresholdAdvanceIdx)
+      else {
+        val w = width
+        pCell.advance1(delta) { case ((runs, nullM), dIt) =>
+          val buf = mutable.ArrayBuilder.make[Long]
+          val out = mutable.ArrayBuffer.empty[(Seq[Any], Long)]
+          var nm = nullM
+          dIt.foreach { case (k, dw) =>
+            if (dw != 0L) {
+              if (k.exists(_ == null)) {
+                val old = nm.getOrElse(k, 0L)
+                val nw = old + dw
+                if (nw == 0L) nm -= k else nm = nm.updated(k, nw)
+                if (old > 0 && nw <= 0) out += ((k, -1L))
+                else if (old <= 0 && nw > 0) out += ((k, 1L))
+              } else {
+                val key = new Array[Long](w)
+                var i = 0
+                while (i < w) { key(i) = k(i).asInstanceOf[Long]; i += 1 }
+                val old = runs.get(key)
+                val nw = old + dw
+                var j = 0
+                while (j < w) { buf += key(j); j += 1 }
+                buf += dw
+                if (old > 0 && nw <= 0) out += ((k, -1L))
+                else if (old <= 0 && nw > 0) out += ((k, 1L))
+              }
+            }
+          }
+          ((runs.merged(buf.result()), nm), out.toArray)
+        }
+      }
+
+    private[streaming] def measuredBytes: Long = {
+      def m(o: AnyRef): Long = org.apache.spark.util.GraftSizeOf.estimate(o)
+      if (packed) pCell.rdd.map(x => m(x._1) + m(x._2)).fold(0L)(_ + _)
+      else wCell.rdd.map(m).fold(0L)(_ + _)
+    }
+  }
+
   /** Support-count threshold (differential `distinct`): state = row →
     * net weight, keyed by the full row, emitting ±1 exactly when a
     * row's support crosses zero — `Union`'s set semantics. */
@@ -216,9 +299,7 @@ class IncrementalQuery(
     val attrs: Set[String] = inputs.flatMap(_.attrs).toSet
 
     private val part = new SeqKeyPartitioner(shufflePartitions)
-    private val cell = new StateCell[IncrementalQuery.WMap](
-      spark.sparkContext, shufflePartitions,
-      () => scala.collection.immutable.HashMap.empty, _.size * 200L)
+    private val cell = new SupportCell(nodeKinds)
 
     def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
       if (!touched(attrDeltas)) emptyDiff
@@ -229,7 +310,7 @@ class IncrementalQuery(
           .reduce(_ union _)
           .map(r => (rowKey(r, width), r.getLong(width)))
           .reduceByKey(part, _ + _) // the only shuffle: O(delta)
-        val diffs = cell.advance1(delta)(thresholdAdvanceIdx)
+        val diffs = cell.advance(delta)
         spark.createDataFrame(
           diffs.map { case (k, w) => Row.fromSeq(k :+ w) }, schema)
       }
@@ -2042,9 +2123,7 @@ class IncrementalQuery(
     * Z-set. State keyed by (e,v), same merge as the Union threshold. */
   private final class AttrThreshold(kind: ValueKind) {
     private val part = new SeqKeyPartitioner(shufflePartitions)
-    private val cell = new StateCell[IncrementalQuery.WMap](
-      spark.sparkContext, shufflePartitions,
-      () => scala.collection.immutable.HashMap.empty, _.size * 200L)
+    private val cell = new SupportCell(Seq(ValueKind.KEid, kind))
     private val schema = StructType(Seq(
       StructField("e", LongType, false),
       StructField("v", kind.dataType, true),
@@ -2054,7 +2133,7 @@ class IncrementalQuery(
       val d = delta.rdd
         .map(r => (Seq(r.get(0), r.get(1)): Seq[Any], r.getLong(2)))
         .reduceByKey(part, _ + _)
-      val diffs = cell.advance1(d)(IncrementalQuery.thresholdAdvanceIdx)
+      val diffs = cell.advance(d)
       spark.createDataFrame(
         diffs.map { case (k, w) => Row(k(0), k(1), w) }, schema)
     }

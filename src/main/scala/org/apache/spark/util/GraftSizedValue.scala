@@ -17,3 +17,10 @@ final class GraftSizedValue[T](val value: T, declaredSize: Long)
     extends KnownSizeEstimation with Serializable {
   override def estimatedSize: Long = declaredSize
 }
+
+/** Real resident-size measurement for scale evidence (the package shim
+  * exposes Spark's reflective `SizeEstimator` walk — used ONLY in
+  * tests/smokes; production paths declare sizes instead of walking). */
+object GraftSizeOf {
+  def estimate(o: AnyRef): Long = SizeEstimator.estimate(o)
+}

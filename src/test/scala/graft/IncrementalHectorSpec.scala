@@ -372,4 +372,67 @@ class IncrementalHectorSpec extends AnyFunSuite {
     // UTF-8 order: \uFFFD < emoji, so (1, hi, emoji) survives.
     assert(probe.contains(Seq[Any](1L, hi, emoji)))
   }
+
+  test("packed-run state (graft.hector.runs dial) matches hash cells and cuts resident bytes 2x+") {
+    def withRuns[T](on: Boolean)(f: => T): T = {
+      val prev = sys.props.get("graft.hector.runs")
+      if (on) sys.props.remove("graft.hector.runs")
+      else sys.props("graft.hector.runs") = "off"
+      try f
+      finally prev match {
+        case Some(v) => sys.props("graft.hector.runs") = v
+        case None    => sys.props.remove("graft.hector.runs")
+      }
+    }
+    import spark.implicits._
+    def mk() = new IncrementalHector(spark, Seq(0, 1, 2), Seq(
+      Binding.attribute(0, ":lr/a", 1),
+      Binding.attribute(0, ":lr/b", 2)),
+      Map(":lr/a" -> ValueKind.KNumber, ":lr/b" -> ValueKind.KNumber))
+    def delta(from: Long, n: Long, sign: Long = 1L) =
+      spark.range(from, from + n).select(
+        org.apache.spark.sql.functions.col("id").as("e"),
+        (org.apache.spark.sql.functions.col("id") * 3L).as("v"),
+        org.apache.spark.sql.functions.lit(sign).as("diff"))
+    val batches = Seq(
+      Map(0 -> delta(0L, 20000L), 1 -> delta(0L, 20000L)),
+      Map(0 -> delta(20000L, 3000L), 1 -> delta(20000L, 3000L)),
+      Map(0 -> delta(1000L, 500L, -1L)), // retraction wave
+      Map(1 -> delta(5000L, 500L, -1L)))
+    // Parity: identical accumulated diffs on both state backends.
+    var runsBytes = 0L
+    val onRuns = withRuns(on = true) {
+      val inc = mk()
+      val acc = scala.collection.mutable.Map.empty[Seq[Any], Long]
+      batches.foreach { d =>
+        inc.advance(d).collect().foreach { row =>
+          val k: Seq[Any] = (0 until 3).map(row.get)
+          val w = acc.getOrElse(k, 0L) + row.getLong(3)
+          if (w == 0L) acc.remove(k) else acc(k) = w
+        }
+      }
+      runsBytes = inc.stateIndexMeasuredBytes(0) + inc.stateIndexMeasuredBytes(1)
+      acc.toMap
+    }
+    var hashBytes = 0L
+    val onHash = withRuns(on = false) {
+      val inc = mk()
+      val acc = scala.collection.mutable.Map.empty[Seq[Any], Long]
+      batches.foreach { d =>
+        inc.advance(d).collect().foreach { row =>
+          val k: Seq[Any] = (0 until 3).map(row.get)
+          val w = acc.getOrElse(k, 0L) + row.getLong(3)
+          if (w == 0L) acc.remove(k) else acc(k) = w
+        }
+      }
+      hashBytes = inc.stateIndexMeasuredBytes(0) + inc.stateIndexMeasuredBytes(1)
+      acc.toMap
+    }
+    assert(onRuns == onHash && onRuns.nonEmpty)
+    // The packed runs must measure at LEAST 2x smaller than the boxed
+    // hash trio over the same ~22.5k-entry-per-binding state (the
+    // VERDICT #4 bar; the raw ratio is nearer 10x).
+    assert(runsBytes * 2 <= hashBytes,
+      s"expected >=2x cut: runs=$runsBytes hash=$hashBytes")
+  }
 }
