@@ -301,9 +301,28 @@ final class WsServer(engine: Engine, port: Int = 0,
       if (diffs.nonEmpty) {
         val kinds = engine.kindsFor(name)
         val batch = diffs.map { case (tuple, t, d) =>
-          (tuple.zipWithIndex.map { case (v, i) =>
-            asValue(v, kinds.flatMap(_.lift(i)))
-          }, t, d)
+          tuple match {
+            // Pull path-array tuples (single KVariant column): the cell
+            // IS the path — expand it, re-tagging keys by position (a
+            // pull path is root-eid, attribute aids, leaf value; the
+            // engine's native collection drops the variant tags, so
+            // positional tagging restores what AssocIn/clients need —
+            // the streaming route keeps exact tags via variant structs).
+            case Seq(cell: scala.collection.Seq[_])
+                if kinds.exists(_.headOption.contains(ValueKind.KVariant)) &&
+                  cell.length >= 2 =>
+              val vs = cell.toSeq
+              val keys = vs.init.map {
+                case n: Long   => Value.VEid(n)
+                case a: String => Value.VAid(a)
+                case other     => asValue(other, None)
+              }
+              ((keys :+ asValue(vs.last, None)).toSeq, t, d)
+            case _ =>
+              (tuple.zipWithIndex.map { case (v, i) =>
+                asValue(v, kinds.flatMap(_.lift(i)))
+              }, t, d)
+          }
         }
         lazy val plainMsg = Wire.renderOutput(Output.QueryDiff(name, batch))
         for ((cid, (out, names)) <- clients if names.contains(name)) {

@@ -209,6 +209,38 @@ class WsServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("cli end-to-end: reference example payloads through req/tx/gql") {
+    // The full reference CLI flow (cli/src/main.rs): schema via
+    // `req @file`, a GraphQl consumer via `gql` (Register + AssocIn
+    // Interest, exactly the reference's request pair), data via
+    // `tx @changes.json`, epoch via `req AdvanceDomain` — the consumer
+    // must receive the pretty-printed `diff@t` document.
+    val server = new WsServer(new Engine(spark)).start()
+    try {
+      val port = server.boundPort.toString
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      graft.server.Cli.run(Array("--port", port, "req",
+        "@/root/reference/cli/examples/schema.json"), out.add(_))
+      val docs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val consumer = new Thread(() =>
+        try graft.server.Cli.run(
+          Array("--port", port, "gql", "{ hero { name age } }"), docs.add(_),
+          maxMessages = 1)
+        catch { case e: Throwable => docs.add(s"CLI-EXCEPTION: $e") })
+      consumer.start()
+      Thread.sleep(1500) // let Register + Interest land
+      graft.server.Cli.run(Array("--port", port, "tx",
+        "@/root/reference/cli/examples/changes.json"), out.add(_))
+      graft.server.Cli.run(Array("--port", port, "req",
+        """[{"AdvanceDomain":[null,{"TxId":1}]}]"""), out.add(_))
+      consumer.join(30000)
+      assert(!consumer.isAlive, s"gql consumer got no document; one-shots=$out")
+      val doc = docs.asScala.mkString("\n")
+      assert(doc.contains("Peter") && doc.contains("43"), s"got $doc")
+      assert(doc.startsWith("1@"), s"expected diff@t pretty format, got $doc")
+    } finally server.stop()
+  }
+
   test("large fragmented transact payloads reassemble correctly") {
     withServer { (_, client) =>
       client.send(
