@@ -151,4 +151,66 @@ class BiMaintainedSpec extends AnyFunSuite {
         s"migrate($gate) $slabel:\n want=$want\n got =$got\n history=$history")
     }
   }
+
+  test("Coarsen delivery laws: bucketed diffs, additive bucket sums, dominating-time agreement") {
+    // The reference's Coarsen (src/timestamp/mod.rs:144-184) rounds each
+    // input time STRICTLY up to the next window bound. Three laws pin
+    // the composed behavior:
+    //  1. every coarsened delivery time lies on the coarse lattice;
+    //  2. for ADDITIVE semantics (Raw, additions only — no clamp ever
+    //     active) the coarse diffs are EXACTLY the fine diffs summed by
+    //     coarsened time: delta_c(T) == sum over coarsen(t)=T of
+    //     delta_f(t) (the Moebius-uniqueness argument — the lex
+    //     triangular system has one solution, so delta == per-time
+    //     input on both granularities);
+    //  3. for Distinct, accumulating BOTH drains to a time dominating
+    //     everything yields the same visible view.
+    val params = Gen.Parameters.default
+    val history = genHistory(params, Seed(31007L)).getOrElse(Seq.empty)
+    val adds = history.map(d => d.copy(diff = 1L)) // additive Raw law
+
+    def drain2(sem: InputSemantics, ds: Seq[BD],
+        coarsen: Option[(Long, Long)]): Seq[(Seq[Any], (Long, Long), Long)] = {
+      val bm = new BiMaintained(spark, partitions = 4, coarsen = coarsen)
+      Seq(":bm/x", ":bm/y").foreach(a =>
+        bm.createAttribute(a, AttributeConfig(sem)))
+      bm.register(Rule("q", Plan.MatchA(0, ":bm/x", 1)))
+      bm.interest("q")
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], (Long, Long), Long)]
+      ds.groupBy(_.sys).toSeq.sortBy(_._1).foreach { case (sys, batch) =>
+        bm.transact(batch.map(d => bm.BiDatom(
+          Value.eid(d.e), d.a, Value.num(d.v), (sys, d.event), d.diff)))
+        bm.advance(sys + 2L) // +2: coarsened sys (w=2) stays writable
+        out ++= bm.drain("q")
+      }
+      // Final advance completes any times coarsened past the last batch.
+      bm.advance(100L)
+      out ++= bm.drain("q")
+      out.toSeq
+    }
+
+    val w = (2L, 2L)
+    def coarse(t: (Long, Long)) = ((t._1 / 2 + 1) * 2, (t._2 / 2 + 1) * 2)
+
+    // Law 1 + 2 (additive Raw).
+    val fine = drain2(InputSemantics.Raw, adds, None)
+    val coarseOut = drain2(InputSemantics.Raw, adds, Some(w))
+    assert(coarseOut.nonEmpty && fine.nonEmpty)
+    coarseOut.foreach { case (_, (ty, te), _) =>
+      assert(ty % 2 == 0 && te % 2 == 0, s"off-lattice delivery at ($ty,$te)")
+    }
+    def sumBy[K](xs: Seq[(Seq[Any], (Long, Long), Long)], f: ((Long, Long)) => K) =
+      xs.groupBy { case (tuple, t, _) => (tuple, f(t)) }
+        .view.mapValues(_.map(_._3).sum).filter(_._2 != 0L).toMap
+    assert(sumBy(coarseOut, identity) == sumBy(fine, coarse),
+      "coarse diffs must equal fine diffs summed into their buckets")
+
+    // Law 3 (Distinct): dominating-time accumulation agrees.
+    val fd = drain2(InputSemantics.Distinct, history, None)
+    val cd = drain2(InputSemantics.Distinct, history, Some(w))
+    def acc(xs: Seq[(Seq[Any], (Long, Long), Long)]) =
+      xs.groupBy(_._1).view.mapValues(_.map(_._3).sum).filter(_._2 != 0L).toMap
+    assert(acc(fd) == acc(cd),
+      "accumulated Distinct views must agree at a dominating time")
+  }
 }
