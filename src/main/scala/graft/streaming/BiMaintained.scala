@@ -77,10 +77,21 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
       new CellBiStore(spark, partitions)
     else new DriverBiStore(spark)
 
+  /** Driver-store byte gate. Unlike the closure maintainer's driver
+    * index (which is BROADCAST — shipped to every executor per job),
+    * the driver bitemporal store is never shipped: only delta-sized
+    * transition frames leave it. The bound therefore prices driver
+    * HEAP, not broadcast traffic, and defaults to 64 MB
+    * (`-Dgraft.bi.driver.bytes` overrides; the `graft.bi.distributed`
+    * dial bypasses the gate in either direction). */
+  private def driverGateBytes: Long =
+    sys.props.get("graft.bi.driver.bytes").map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+
   private def maybeMigrate(): Unit = store match {
     case d: DriverBiStore
         if !sys.props.get("graft.bi.distributed").contains("off") &&
-          d.estimatedBytes > graft.kernel.RddKernel.broadcastThresholdBytes(spark) =>
+          d.estimatedBytes > driverGateBytes =>
       val cell = new CellBiStore(spark, partitions)
       cell.plant(d.vis.split(partitions))
       store = cell
@@ -215,6 +226,10 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
   /** Advance the system frontier: every input time with `sys < sysNext`
     * completes; each is processed lex-ordered — ONE shared visible-view
     * transition per time feeds every standing query. */
+  private val biDebug = sys.env.contains("GRAFT_BI_DEBUG")
+  private def btrace(msg: => String): Unit =
+    if (biDebug) System.err.println(s"[bi] $msg")
+
   def advance(sysNext: Long): Unit = {
     require(sysNext > sysFrontier, s"cannot rewind from $sysFrontier to $sysNext")
     val newTimes = pendingTimes.iterator.takeWhile(_._1 < sysNext).toSeq
@@ -222,16 +237,21 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
       .map { case (a, c) => a -> c.inputSemantics }.toMap
       .withDefaultValue(InputSemantics.Raw)
     for (t <- newTimes) {
+      val t0 = System.nanoTime()
       // Standing queries (re)build against the PRE-transition view.
       for (name <- interests) standings(name).ensureBuilt()
+      val t1 = System.nanoTime()
       val deltas = store.transition(lastProcessed, t, sem, kindOf)
       lastProcessed = Some(t)
+      val t2 = System.nanoTime()
       for (name <- interests) {
         val st = standings(name)
         val sub = deltas.view.filterKeys(st.refAttrs).toMap
         if (sub.nonEmpty) st.accumulate(st.iq.advance(sub))
         st.deliver(t)
       }
+      btrace(f"t=$t build=${(t1 - t0) / 1e6}%.0fms transition=${(t2 - t1) / 1e6}%.0fms " +
+        f"advance+deliver=${(System.nanoTime() - t2) / 1e6}%.0fms")
     }
     pendingTimes --= newTimes
     sysFrontier = sysNext

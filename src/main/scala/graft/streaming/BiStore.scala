@@ -78,9 +78,15 @@ private[streaming] final class DriverBiStore(spark: SparkSession)
   def transition(tPrev: Option[(Long, Long)], t: (Long, Long),
       sem: BiVisibility.Sem,
       kindOf: String => ValueKind): Map[String, DataFrame] = {
+    val t0 = System.nanoTime()
     val (next, rows) = vis.transition(tPrev, t, sem)
     vis = next
-    BiStore.framesOf(spark, rows, kindOf)
+    val t1 = System.nanoTime()
+    val out = BiStore.framesOf(spark, rows, kindOf)
+    if (sys.env.contains("GRAFT_BI_DEBUG"))
+      System.err.println(f"[bi-store] vis=${(t1 - t0) / 1e6}%.0fms " +
+        f"frames=${(System.nanoTime() - t1) / 1e6}%.0fms rows=${rows.length}%d")
+    out
   }
 
   def dump(kindOf: String => ValueKind): Map[String, DataFrame] =

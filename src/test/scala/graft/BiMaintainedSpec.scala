@@ -51,12 +51,12 @@ class BiMaintainedSpec extends AnyFunSuite {
     val bySys = history.groupBy(_.sys).toSeq.sortBy(_._1)
 
     val prevDial = sys.props.get("graft.bi.distributed")
-    val prevGate = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevGate = sys.props.get("graft.bi.driver.bytes")
     if (distributed) sys.props("graft.bi.distributed") = "on"
     else sys.props("graft.bi.distributed") = "off"
     gateBytes.foreach { g =>
       sys.props.remove("graft.bi.distributed") // auto mode: gate decides
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", g)
+      sys.props("graft.bi.driver.bytes") = g
     }
     try {
       val ref = new BiEngine(spark)
@@ -86,7 +86,10 @@ class BiMaintainedSpec extends AnyFunSuite {
         case Some(v) => sys.props("graft.bi.distributed") = v
         case None    => sys.props.remove("graft.bi.distributed")
       }
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevGate)
+      prevGate match {
+        case Some(v) => sys.props("graft.bi.driver.bytes") = v
+        case None    => sys.props.remove("graft.bi.driver.bytes")
+      }
     }
   }
 
