@@ -609,8 +609,16 @@ object StreamScaleSmoke {
     // once per growth step.
     if (section("idx2")) {
       import graft.streaming.IncrementalQuery
-      val kinds2 = Map(":p2/a" -> ValueKind.KNumber)
+      val kinds2 = Map(":p2/a" -> ValueKind.KNumber,
+        ":p2/b" -> ValueKind.KNumber)
       val plan2 = Plan.Union(Seq(1, 2), Seq(Plan.MatchA(1, ":p2/a", 2)))
+      // Aggregate + general-join shapes for the GROUP-INDEX cells
+      // (key-grouped supports: the remaining boxed class until round 10).
+      val aggPlan2 = Plan.Aggregate(Seq(2, 1), Plan.MatchA(1, ":p2/a", 2),
+        Seq(AggregationFn.COUNT), Seq(2), Seq(1), Seq.empty)
+      val joinPlan2 = Plan.Join(Seq(1),
+        Plan.Union(Seq(1, 2), Seq(Plan.MatchA(1, ":p2/a", 2))),
+        Plan.MatchA(1, ":p2/b", 3))
       for (dial <- Seq("on", "off")) {
         val prev = sys.props.get("graft.iq.runs")
         if (dial == "off") sys.props("graft.iq.runs") = "off"
@@ -634,6 +642,25 @@ object StreamScaleSmoke {
             val mb = iq.supportStateMeasuredBytes / 1048576L
             println(f"[scale] idx2-threshold dial=$dial%s state=$grown%d " +
               f"growSec=$gsec%.1f batch5k=$bsec%.2f out=$out%d residentMB=$mb%d")
+          }
+          // Group-index classes at 5M rows per side: same dial A/B.
+          for ((label, plan3) <- Seq(
+              "idx2-join" -> joinPlan2, "idx2-agg" -> aggPlan2)) {
+            val iq3 = new IncrementalQuery(spark, plan3, kinds2)
+            def deltas(from: Long, n: Long) = Map(
+              ":p2/a" -> delta(from, n),
+              ":p2/b" -> spark.range(from, from + n).select(col("id").as("e"),
+                (col("id") * 11L).as("v"),
+                org.apache.spark.sql.functions.lit(1L).as("diff")))
+            var t0 = now()
+            iq3.advance(deltas(0L, 5000000L)).count()
+            val gsec = secs(t0)
+            t0 = now()
+            val out3 = iq3.advance(deltas(40000000L, 5000L)).count()
+            val bsec = secs(t0)
+            val mb = iq3.groupStateMeasuredBytes / 1048576L
+            println(f"[scale] $label%s dial=$dial%s state=5000000 " +
+              f"growSec=$gsec%.1f batch5k=$bsec%.2f out=$out3%d residentMB=$mb%d")
           }
         } finally prev match {
           case Some(v) => sys.props("graft.iq.runs") = v

@@ -210,11 +210,20 @@ class IncrementalQuery(
   // Registry of support cells for scale evidence (measured resident
   // bytes across every threshold-class state this query holds).
   private val supportCells = mutable.ArrayBuffer.empty[SupportCell]
+  // Same for the group-index cells (join/antijoin/aggregate/pull).
+  private val groupCellMeters = mutable.ArrayBuffer.empty[() => Long]
 
   /** Test hook: MEASURED resident bytes across all threshold-class
     * support cells (real SizeEstimator walk — smokes only). */
   private[graft] def supportStateMeasuredBytes: Long =
     supportCells.iterator.map(_.measuredBytes).sum
+
+  /** Test hook: MEASURED resident bytes across all group-index cells
+    * (join / antijoin-left / aggregate / pull supports). */
+  private[graft] def groupStateMeasuredBytes: Long =
+    groupCellMeters.iterator.map(_()).sum
+
+
 
   /** Support-count cell shared by the Union threshold and the
     * Distinct-attribute threshold: row → net weight, emitting the ±1
@@ -335,12 +344,19 @@ class IncrementalQuery(
     private val lPart = new IndexKeyPartitioner(shufflePartitions, keyIdx)
     private val rPart =
       new IndexKeyPartitioner(shufflePartitions, keyIdx.indices)
-    private val cell =
-      new StateCell[(IncrementalQuery.GMap, IncrementalQuery.WMap)](
+    private val cell = {
+      val kk = keyIdx.map(left.nodeKinds)
+      val rk = left.nodeKinds
+      new StateCell[(GroupIndex, IncrementalQuery.WMap)](
         spark.sparkContext, shufflePartitions,
-        () => (scala.collection.immutable.HashMap.empty,
+        () => (GroupIndex.empty(kk, rk),
           scala.collection.immutable.HashMap.empty),
-        { case (l, r) => l.size * 240L + r.size * 200L })
+        { case (l, r) => l.bytes + r.size * 200L })
+    }
+    groupCellMeters += (() =>
+      cell.rdd.map { case (l, r) =>
+        IncrementalQuery.meterBytes(l) + IncrementalQuery.meterBytes(r) }
+        .fold(0L)(_ + _))
 
     def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
       if (!touched(attrDeltas)) emptyDiff
@@ -459,9 +475,15 @@ class IncrementalQuery(
       aggVars.map(v => kindOfVar(v).dataType == LongType))
 
     private val part = new SeqKeyPartitioner(shufflePartitions)
-    private val cell = new StateCell[IncrementalQuery.GMap](
+    private val cell = new StateCell[GroupIndex](
       spark.sparkContext, shufflePartitions,
-      () => scala.collection.immutable.HashMap.empty, _.size * 240L)
+      {
+        val kk = keyIdx.map(input.nodeKinds)
+        val vk = valueIdx.map(input.nodeKinds)
+        () => GroupIndex.empty(kk, vk)
+      }, _.bytes)
+    groupCellMeters += (() =>
+      cell.rdd.map(IncrementalQuery.meterBytes).fold(0L)(_ + _))
 
     def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
       if (!touched(attrDeltas)) emptyDiff
@@ -558,12 +580,19 @@ class IncrementalQuery(
     private val rPart = new IndexKeyPartitioner(shufflePartitions, rKey)
     // Both partitioners hash the JOIN KEY columns, so one compound index
     // per partition holds a key's entire left and right support.
-    private val cell =
-      new StateCell[(IncrementalQuery.GMap, IncrementalQuery.GMap)](
-        sc, shufflePartitions,
-        () => (scala.collection.immutable.HashMap.empty,
-          scala.collection.immutable.HashMap.empty),
-        { case (l, r) => (l.size + r.size) * 240L })
+    private val cell = {
+      val lz = { val kk = lKey.map(left.nodeKinds); val rk = left.nodeKinds
+        () => GroupIndex.empty(kk, rk) }
+      val rz = { val kk = rKey.map(right.nodeKinds); val rk = right.nodeKinds
+        () => GroupIndex.empty(kk, rk) }
+      new StateCell[(GroupIndex, GroupIndex)](
+        sc, shufflePartitions, () => (lz(), rz()),
+        { case (l, r) => l.bytes + r.bytes })
+    }
+    groupCellMeters += (() =>
+      cell.rdd.map { case (l, r) =>
+        IncrementalQuery.meterBytes(l) + IncrementalQuery.meterBytes(r) }
+        .fold(0L)(_ + _))
 
     private def sideDelta(
         node: Node, part: Partitioner,
@@ -625,13 +654,20 @@ class IncrementalQuery(
     private val attrPart = new IndexKeyPartitioner(shufflePartitions, Seq(0))
     // Child and attribute supports both hash the pull ENTITY, so each
     // partition's indexes are co-resident for the bilinear diff.
-    private val childCell = new StateCell[IncrementalQuery.GMap](
-      sc, shufflePartitions, () => scala.collection.immutable.HashMap.empty,
-      _.size * 240L)
-    private val attrCells: Map[String, StateCell[IncrementalQuery.GMap]] =
-      pullAttrs.map(a => a -> new StateCell[IncrementalQuery.GMap](
+    private val childCell = new StateCell[GroupIndex](
+      sc, shufflePartitions,
+      {
+        val ck = Seq(child.nodeKinds(eIdx))
+        val rk = child.nodeKinds
+        () => GroupIndex.empty(ck, rk)
+      }, _.bytes)
+    private val attrCells: Map[String, StateCell[GroupIndex]] =
+      pullAttrs.map(a => a -> new StateCell[GroupIndex](
         sc, shufflePartitions,
-        () => scala.collection.immutable.HashMap.empty, _.size * 240L)).toMap
+        {
+          val vk = Seq(graft.model.ValueKind.KEid, kinds(a))
+          () => GroupIndex.empty(Seq(graft.model.ValueKind.KEid), vk)
+        }, _.bytes)).toMap
 
     private def childSchema: StructType = StructType(
       child.nodeKinds.zipWithIndex.map { case (k, i) =>
@@ -2278,6 +2314,16 @@ object IncrementalQuery {
       m: scala.collection.immutable.HashMap[Seq[Any], Array[Array[Any]]],
       rows: Long)
 
+  /** Real resident measurement of one group-index partition object
+    * (top-level so meter closures capture nothing; smokes only). */
+  private[streaming] def meterBytes(o: AnyRef): Long = o match {
+    case PackedGroups(runs, _, _, side) =>
+      org.apache.spark.util.GraftSizeOf.estimate(runs) +
+        org.apache.spark.util.GraftSizeOf.estimate(side)
+    case BoxedGroups(m) => org.apache.spark.util.GraftSizeOf.estimate(m)
+    case other          => org.apache.spark.util.GraftSizeOf.estimate(other)
+  }
+
   private[streaming] def sizedArr(ix: ArrIndex, cols: Int)
       : org.apache.spark.util.GraftSizedValue[ArrIndex] =
     new org.apache.spark.util.GraftSizedValue(ix,
@@ -2462,17 +2508,18 @@ object IncrementalQuery {
   private[streaming] def aggregateAdvanceIdx(
       requireNonNeg: Boolean,
       aggRow: (Seq[Any], Iterable[(Seq[Any], Long)]) => Option[Seq[Any]])(
-      s: GMap, dIt: Iterator[((Seq[Any], Seq[Any]), Long)])
-    : (GMap, Array[Seq[Any]]) = {
+      s: GroupIndex, dIt: Iterator[((Seq[Any], Seq[Any]), Long)])
+    : (GroupIndex, Array[Seq[Any]]) = {
     val byKey =
       mutable.LinkedHashMap.empty[Seq[Any], mutable.ArrayBuffer[(Seq[Any], Long)]]
-    dIt.foreach { case ((k, v), w) =>
+    val deltas = mutable.ArrayBuffer.empty[((Seq[Any], Seq[Any]), Long)]
+    dIt.foreach { case kv @ ((k, v), w) =>
       byKey.getOrElseUpdate(k, mutable.ArrayBuffer.empty) += ((v, w))
+      deltas += kv
     }
-    var m = s
     val out = mutable.ArrayBuffer.empty[Seq[Any]]
     byKey.foreach { case (k, dvs) =>
-      val oldG = m.getOrElse(k, emptyW)
+      val oldG = s.group(k)
       var g = oldG
       dvs.foreach { case (v, dw) =>
         val w = g.getOrElse(v, 0L)
@@ -2487,25 +2534,24 @@ object IncrementalQuery {
         o.foreach(a => out += (a :+ -1L))
         n.foreach(a => out += (a :+ 1L))
       }
-      if (g.isEmpty) m -= k else m = m.updated(k, g)
     }
-    (m, out.toArray)
+    (s.merged(deltas), out.toArray)
   }
 
   /** Indexed bilinear join: compound state = (key → left rows, key →
     * right rows); per touched key the old/new products are diffed
     * (`joinDiff`) and both sides' supports updated in one pass. */
-  private def joinAdvanceIdx(lKey: Seq[Int], rKey: Seq[Int])(
-      s: (GMap, GMap),
+  private[streaming] def joinAdvanceIdx(lKey: Seq[Int], rKey: Seq[Int])(
+      s: (GroupIndex, GroupIndex),
       dlIt: Iterator[(Seq[Any], Long)], drIt: Iterator[(Seq[Any], Long)])
-    : ((GMap, GMap), Array[(Seq[Any], Seq[Any], Long)]) = {
+    : ((GroupIndex, GroupIndex), Array[(Seq[Any], Seq[Any], Long)]) = {
     def lk(r: Seq[Any]): Seq[Any] = lKey.map(r.apply)
     def rk(r: Seq[Any]): Seq[Any] = rKey.map(r.apply)
     val dl = mutable.LinkedHashMap.empty[Seq[Any], Long]
     dlIt.foreach { case (r, w) => dl(r) = dl.getOrElse(r, 0L) + w }
     val dr = mutable.LinkedHashMap.empty[Seq[Any], Long]
     drIt.foreach { case (r, w) => dr(r) = dr.getOrElse(r, 0L) + w }
-    var (lm, rm) = s
+    val (lm, rm) = s
     if (dl.isEmpty && dr.isEmpty)
       return ((lm, rm), Array.empty[(Seq[Any], Seq[Any], Long)])
     val dlByKey =
@@ -2523,13 +2569,13 @@ object IncrementalQuery {
     touched ++= drByKey.keys
     val out = mutable.ArrayBuffer.empty[(Seq[Any], Seq[Any], Long)]
     touched.foreach { k =>
-      val oldL = lm.getOrElse(k, emptyW)
+      val oldL = lm.group(k)
       var newL = oldL
       dlByKey.get(k).foreach(_.foreach { case (r, dw) =>
         val nw = newL.getOrElse(r, 0L) + dw
         if (nw == 0L) newL -= r else newL = newL.updated(r, nw)
       })
-      val oldR = rm.getOrElse(k, emptyW)
+      val oldR = rm.group(k)
       var newR = oldR
       drByKey.get(k).foreach(_.foreach { case (r, dw) =>
         val nw = newR.getOrElse(r, 0L) + dw
@@ -2547,10 +2593,10 @@ object IncrementalQuery {
           if (d != 0L) out += ((lrow, rrow, d))
         }
       }
-      lm = if (newL.isEmpty) lm - k else lm.updated(k, newL)
-      rm = if (newR.isEmpty) rm - k else rm.updated(k, newR)
     }
-    ((lm, rm), out.toArray)
+    val lmNext = lm.merged(dl.map { case (r, w) => ((lk(r), r), w) })
+    val rmNext = rm.merged(dr.map { case (r, w) => ((rk(r), r), w) })
+    ((lmNext, rmNext), out.toArray)
   }
 
   /** Indexed LWW: index = entity → winning (t, seq, v, isAdd); a batch
@@ -2583,29 +2629,20 @@ object IncrementalQuery {
   /** Apply a consolidated row-delta to a key-grouped support index —
     * the indexed replacement for a full-state weight-merge pass (no
     * output). */
-  private def supportAdvanceIdx(keyIdx: Seq[Int])(
-      s: GMap, dIt: Iterator[(Seq[Any], Long)]): (GMap, Array[Int]) = {
-    var m = s
-    dIt.foreach { case (r, dw) =>
-      if (dw != 0L) {
-        val k = keyIdx.map(r.apply)
-        val g = m.getOrElse(k, emptyW)
-        val nw = g.getOrElse(r, 0L) + dw
-        val g2 = if (nw == 0L) g - r else g.updated(r, nw)
-        m = if (g2.isEmpty) m - k else m.updated(k, g2)
-      }
-    }
-    (m, Array.empty[Int])
-  }
+  private[streaming] def supportAdvanceIdx(keyIdx: Seq[Int])(
+      s: GroupIndex, dIt: Iterator[(Seq[Any], Long)]): (GroupIndex, Array[Int]) =
+    (s.merged(dIt.map { case (r, dw) =>
+      ((keyIdx.map(r.apply): Seq[Any], r), dw)
+    }.toSeq), Array.empty[Int])
 
   /** Indexed antijoin: compound state = (key → left-row supports, right
     * key → net weight); per touched key the old/new output recomputes
     * from the index, including the bulk
     * retract/assert when a right-key presence flips. */
   private def antijoinAdvanceIdx(keyIdx: Seq[Int], distinctLeft: Boolean)(
-      s: (GMap, WMap),
+      s: (GroupIndex, WMap),
       dlIt: Iterator[(Seq[Any], Long)], drIt: Iterator[(Seq[Any], Long)])
-    : ((GMap, WMap), Array[(Seq[Any], Long)]) = {
+    : ((GroupIndex, WMap), Array[(Seq[Any], Long)]) = {
     def keyOf(row: Seq[Any]): Seq[Any] = keyIdx.map(row.apply)
     def contrib(w: Long): Long =
       if (distinctLeft) { if (w > 0) 1L else 0L } else w
@@ -2616,13 +2653,14 @@ object IncrementalQuery {
     }
     val dr = mutable.LinkedHashMap.empty[Seq[Any], Long]
     drIt.foreach { case (k, w) => dr(k) = dr.getOrElse(k, 0L) + w }
-    var (lm, rm) = s
+    val (lm, rm0) = s
+    var rm = rm0
     val touched = mutable.LinkedHashSet.empty[Seq[Any]]
     touched ++= dlByKey.keys
     touched ++= dr.keys
     val out = mutable.ArrayBuffer.empty[(Seq[Any], Long)]
     touched.foreach { k =>
-      val oldL = lm.getOrElse(k, emptyW)
+      val oldL = lm.group(k)
       var newL = oldL
       dlByKey.get(k).foreach(_.foreach { case (row, dw) =>
         val nw = newL.getOrElse(row, 0L) + dw
@@ -2638,10 +2676,12 @@ object IncrementalQuery {
         val nc = if (newPresent) 0L else contrib(newL.getOrElse(row, 0L))
         if (nc != oc) out += ((row, nc - oc))
       }
-      lm = if (newL.isEmpty) lm - k else lm.updated(k, newL)
       rm = if (newRW == 0L) rm - k else rm.updated(k, newRW)
     }
-    ((lm, rm), out.toArray)
+    val lmNext = lm.merged(dlByKey.iterator.flatMap { case (k, rows) =>
+      rows.iterator.map { case (row, dw) => ((k, row), dw) }
+    }.toSeq)
+    ((lmNext, rm), out.toArray)
   }
 
   /** The batch compiler's rational normalization (gcd-reduced, positive

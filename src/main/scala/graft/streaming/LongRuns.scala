@@ -142,28 +142,10 @@ final class LongRuns private (
 object LongRuns {
   val empty: LongRuns = new LongRuns(Vector.empty)
 
-  /** Sort packed triples by (k1, k2) — indices permuted, then repacked. */
-  private[streaming] def sortTriples(t: Array[Long]): Array[Long] = {
-    val n = t.length / 3
-    val idx = Array.range(0, n)
-    // Sort an index permutation (boxing-free comparator over the pack).
-    val boxed = idx.map(Integer.valueOf)
-    java.util.Arrays.sort(boxed, new java.util.Comparator[Integer] {
-      def compare(x: Integer, y: Integer): Int = {
-        val i = x.intValue() * 3; val j = y.intValue() * 3
-        val c = java.lang.Long.compare(t(i), t(j))
-        if (c != 0) c else java.lang.Long.compare(t(i + 1), t(j + 1))
-      }
-    })
-    val out = new Array[Long](t.length)
-    var k = 0
-    while (k < n) {
-      val i = boxed(k).intValue() * 3
-      out(k * 3) = t(i); out(k * 3 + 1) = t(i + 1); out(k * 3 + 2) = t(i + 2)
-      k += 1
-    }
-    out
-  }
+  /** Sort packed triples by (k1, k2) — delegates to the boxing-free
+    * in-place quicksort ([[PackedRuns.sortPacked]], width 2). */
+  private[streaming] def sortTriples(t: Array[Long]): Array[Long] =
+    PackedRuns.sortPacked(t, 2)
 
   /** Merge two sorted runs, summing equal keys, dropping zeros. */
   private[streaming] def mergeTwo(a: Array[Long], b: Array[Long]): Array[Long] = {

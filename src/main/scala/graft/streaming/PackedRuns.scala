@@ -52,6 +52,51 @@ final class PackedRuns private (
     w
   }
 
+  /** Net `(rest-columns, w)` entries whose first `key.length` columns
+    * equal `key` — the GROUP read of a key-first-packed index. `key`
+    * must be shorter than `width`; zero weights are dropped. */
+  def prefix(key: Array[Long]): Iterator[(scala.collection.immutable.ArraySeq[Long], Long)] = {
+    val kw = key.length
+    require(kw < width, s"prefix width $kw must be < record width $width")
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[scala.collection.immutable.ArraySeq[Long], Long]
+    var ri = 0
+    while (ri < runs.length) {
+      val r = runs(ri)
+      // lower bound over the key PREFIX only
+      var lo = 0
+      var hi = r.length / stride
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val i = mid * stride
+        var c = 0
+        var k = 0
+        while (c == 0 && k < kw) {
+          c = java.lang.Long.compare(r(i + k), key(k)); k += 1
+        }
+        if (c < 0) lo = mid + 1 else hi = mid
+      }
+      var i = lo * stride
+      def prefixEq(at: Int): Boolean = {
+        var k = 0
+        while (k < kw) {
+          if (r(at + k) != key(k)) return false
+          k += 1
+        }
+        true
+      }
+      while (i < r.length && prefixEq(i)) {
+        val rest = scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          java.util.Arrays.copyOfRange(r, i + kw, i + width))
+        val nw = acc.getOrElse(rest, 0L) + r(i + width)
+        if (nw == 0L) acc.remove(rest) else acc(rest) = nw
+        i += stride
+      }
+      ri += 1
+    }
+    acc.iterator
+  }
+
   /** All net entries (k-way merge, zeros dropped) as (packed key, w). */
   def iterator: Iterator[(Array[Long], Long)] = new Iterator[(Array[Long], Long)] {
     private val cursors = Array.fill(runs.length)(0)
@@ -118,21 +163,57 @@ object PackedRuns {
     0
   }
 
+  /** In-place primitive quicksort over packed records (median-of-three,
+    * insertion cutoff) — zero boxing; a comparator-based index sort
+    * allocated an Integer per record, which on data-sized delta batches
+    * (millions of records per advance) dominated the merge cost. The
+    * caller owns `t` (a fresh delta buffer), so sorting in place is
+    * safe. */
   private[streaming] def sortPacked(t: Array[Long], width: Int): Array[Long] = {
     val stride = width + 1
     val n = t.length / stride
-    val boxed = Array.range(0, n).map(Integer.valueOf)
-    java.util.Arrays.sort(boxed, new java.util.Comparator[Integer] {
-      def compare(x: Integer, y: Integer): Int =
-        cmpKeys(t, x.intValue() * stride, y.intValue() * stride, width)
-    })
-    val out = new Array[Long](t.length)
-    var k = 0
-    while (k < n) {
-      System.arraycopy(t, boxed(k).intValue() * stride, out, k * stride, stride)
-      k += 1
+    val tmp = new Array[Long](stride)
+    def cmp(i: Int, j: Int): Int = cmpKeys(t, i * stride, j * stride, width)
+    def swap(i: Int, j: Int): Unit = if (i != j) {
+      System.arraycopy(t, i * stride, tmp, 0, stride)
+      System.arraycopy(t, j * stride, t, i * stride, stride)
+      System.arraycopy(tmp, 0, t, j * stride, stride)
     }
-    out
+    def insertion(lo: Int, hi: Int): Unit = {
+      var i = lo + 1
+      while (i <= hi) {
+        var j = i
+        while (j > lo && cmp(j - 1, j) > 0) { swap(j - 1, j); j -= 1 }
+        i += 1
+      }
+    }
+    def qs(lo0: Int, hi0: Int): Unit = {
+      var lo = lo0; var hi = hi0
+      while (hi - lo > 16) {
+        val mid = (lo + hi) >>> 1
+        // median-of-three pivot to `mid`
+        if (cmp(lo, mid) > 0) swap(lo, mid)
+        if (cmp(mid, hi) > 0) { swap(mid, hi); if (cmp(lo, mid) > 0) swap(lo, mid) }
+        val pivot = mid
+        swap(pivot, hi - 1) // park pivot
+        val p = hi - 1
+        var i = lo; var j = p
+        while (i < j) {
+          i += 1
+          while (cmp(i, p) < 0) i += 1
+          j -= 1
+          while (j > lo && cmp(j, p) > 0) j -= 1
+          if (i < j) swap(i, j)
+        }
+        swap(i, p)
+        // recurse smaller half, loop larger
+        if (i - lo < hi - i) { qs(lo, i - 1); lo = i + 1 }
+        else { qs(i + 1, hi); hi = i - 1 }
+      }
+      insertion(lo, hi)
+    }
+    if (n > 1) qs(0, n - 1)
+    t
   }
 
   private[streaming] def mergeTwo(

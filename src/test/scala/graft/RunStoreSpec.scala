@@ -1,0 +1,98 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{LongRuns, PackedRuns}
+
+/** Model-based property coverage for the packed sorted-run stores: any
+  * sequence of netted delta batches must leave [[LongRuns]] /
+  * [[PackedRuns]] agreeing with a plain weight map on point lookups,
+  * prefix scans, and full iteration — across compactions, cancellations
+  * (zero weights vanish), duplicate re-insertions, and negative
+  * weights. */
+class RunStoreSpec extends AnyFunSuite {
+
+  private val genBatch: Gen[Seq[((Long, Long), Long)]] =
+    Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, for {
+      a <- Gen.chooseNum(-3L, 3L)
+      b <- Gen.chooseNum(-3L, 3L)
+      w <- Gen.oneOf(-2L, -1L, 1L, 2L)
+    } yield ((a, b), w))).map(
+      _.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .filter(_._2 != 0L).toSeq) // netted unique keys, like callers
+
+  test("LongRuns agrees with the model over arbitrary batch histories") {
+    val params = Gen.Parameters.default
+    (0 until 30).foreach { seed =>
+      var runs = LongRuns.empty
+      val model = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      (1 to 8).foreach { i =>
+        val batch = genBatch(params, Seed(seed * 7919L + i)).getOrElse(Seq.empty)
+        batch.foreach { case (k, w) =>
+          val nw = model.getOrElse(k, 0L) + w
+          if (nw == 0L) model.remove(k) else model(k) = nw
+        }
+        val packed = batch.flatMap { case ((a, b), w) => Seq(a, b, w) }.toArray
+        runs = runs.merged(packed)
+        // point lookups (present, cancelled, and absent keys)
+        for (a <- -3L to 3L; b <- -3L to 3L)
+          assert(runs.get(a, b) == model.getOrElse((a, b), 0L),
+            s"get($a,$b) seed=$seed batch=$i runs=${runs.runCount}")
+        // prefix scans
+        for (a <- -3L to 3L) {
+          val want = model.collect { case ((`a`, b), w) => b -> w }.toMap
+          assert(runs.prefix(a).toMap == want, s"prefix($a) seed=$seed batch=$i")
+        }
+        // full iteration nets to the model
+        assert(runs.iterator.toMap ==
+          model.map { case (k, w) => k -> w }.toMap,
+          s"iterator seed=$seed batch=$i")
+      }
+    }
+  }
+
+  test("PackedRuns agrees with the model at widths 1..4") {
+    val params = Gen.Parameters.default
+    for (width <- 1 to 4; seed <- 0 until 12) {
+      val genB: Gen[Seq[(Vector[Long], Long)]] =
+        Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, for {
+          ks <- Gen.listOfN(width, Gen.chooseNum(-2L, 2L))
+          w <- Gen.oneOf(-2L, -1L, 1L, 2L)
+        } yield (ks.toVector, w))).map(
+          _.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+            .filter(_._2 != 0L).toSeq)
+      var runs = PackedRuns.empty(width)
+      val model = scala.collection.mutable.Map.empty[Vector[Long], Long]
+      (1 to 6).foreach { i =>
+        val batch = genB(params, Seed(width * 104729L + seed * 7919L + i))
+          .getOrElse(Seq.empty)
+        batch.foreach { case (k, w) =>
+          val nw = model.getOrElse(k, 0L) + w
+          if (nw == 0L) model.remove(k) else model(k) = nw
+        }
+        val packed = batch.flatMap { case (ks, w) => ks :+ w }.toArray
+        runs = runs.merged(packed)
+        batch.foreach { case (k, _) =>
+          assert(runs.get(k.toArray) == model.getOrElse(k, 0L),
+            s"get($k) width=$width seed=$seed")
+        }
+        assert(runs.iterator.map { case (k, w) => k.toVector -> w }.toMap ==
+          model.toMap, s"iterator width=$width seed=$seed batch=$i")
+      }
+    }
+  }
+
+  test("size-tiered compaction bounds the run count logarithmically") {
+    var runs = LongRuns.empty
+    (0 until 200).foreach { i =>
+      val packed = (0 until 50).flatMap(j =>
+        Seq(i * 50L + j, j.toLong, 1L)).toArray
+      runs = runs.merged(packed)
+      assert(runs.runCount <= 20,
+        s"run count ${runs.runCount} after ${i + 1} batches")
+    }
+    assert(runs.packedCount == 200L * 50L)
+  }
+}
