@@ -151,24 +151,32 @@ object StreamScaleSmoke {
       val dimRows = spark.range(0L, 4L).select(col("id").as("e"),
         (col("id") + 100L).as("v"),
         org.apache.spark.sql.functions.lit(1L).as("diff"))
+      // Grow the connected side 2M -> 8M through bulk loads; constant 5k
+      // batches must stay flat at every size (the VERDICT #3 8M-state bar).
       var t0 = now()
-      val seeded2 = disc.advance(Map(0 -> bigDelta(0L, 2000000L), 1 -> dimRows))
-      println(f"[scale] hector2-disc seed state=2000000x4dim " +
-        f"out=${seeded2.count()}%d sec=${secs(t0)}%.1f")
-      (1 to 4).foreach { b =>
-        val from = 2000000L + b * 5000L
+      var base = 0L
+      for (bulk <- Seq(2000000L, 3000000L, 3000000L)) {
         t0 = now()
-        val n = disc.advance(Map(0 -> bigDelta(from, 5000L))).count()
-        println(f"[scale] hector2-disc batch=$b%d delta=5000 out=$n%d " +
-          f"state=${from + 5000L}%d sec=${secs(t0)}%.2f")
+        val n0 = disc.advance(Map(0 -> bigDelta(base, bulk)) ++
+          (if (base == 0L) Map(1 -> dimRows) else Map.empty)).count()
+        base += bulk
+        println(f"[scale] hector2-disc bulk state=${base}%dx4dim " +
+          f"out=$n0%d sec=${secs(t0)}%.1f")
+        (1 to 2).foreach { b =>
+          val from = 30000000L + base + b * 5000L
+          t0 = now()
+          val n = disc.advance(Map(0 -> bigDelta(from, 5000L))).count()
+          println(f"[scale] hector2-disc batch=$b%d delta=5000 out=$n%d " +
+            f"state=$base%d sec=${secs(t0)}%.2f")
+        }
       }
-      // -- rational-kind equality join at 2M rows per side
+      // -- rational-kind equality join at 4M rows per side (8M state)
       val ratSchema = StructType(Seq(SF("e", LongType, false),
         SF("v", ValueKind.KRational.dataType, false),
         SF("diff", LongType, false)))
       def ratDelta(from: Long, n: Long) = spark.createDataFrame(
         spark.range(from, from + n).rdd.map { i =>
-          Row(i.toLong, Row(i % 1000000L, 7L), 1L)
+          Row(i.toLong, Row(i % 2000000L, 7L), 1L)
         }, ratSchema)
       val rat = new IncrementalHector(spark, Seq(0, 1, 2), Seq(
         Binding.attribute(0, ":h2/ra", 1),
@@ -176,11 +184,11 @@ object StreamScaleSmoke {
         Map(":h2/ra" -> ValueKind.KRational, ":h2/rb" -> ValueKind.KRational))
       t0 = now()
       val seeded3 = rat.advance(Map(
-        0 -> ratDelta(0L, 2000000L), 1 -> ratDelta(0L, 2000000L)))
-      println(f"[scale] hector2-rational seed state=2000000x2 " +
+        0 -> ratDelta(0L, 4000000L), 1 -> ratDelta(0L, 4000000L)))
+      println(f"[scale] hector2-rational seed state=4000000x2 " +
         f"out=${seeded3.count()}%d sec=${secs(t0)}%.1f")
       (1 to 4).foreach { b =>
-        val from = 2000000L + b * 2500L
+        val from = 4000000L + b * 2500L
         t0 = now()
         val n = rat.advance(Map(
           0 -> ratDelta(from, 2500L), 1 -> ratDelta(from, 2500L))).count()
