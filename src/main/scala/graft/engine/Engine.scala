@@ -414,15 +414,19 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
       val built =
         try tryInitIncremental(name, deliverReplay = deliver)
         catch {
-          case e: graft.streaming.UnmaintainablePlan
+          // Plan-shape rejections: the typed UnmaintainablePlan, plus the
+          // `require`-based shape preconditions scattered through the
+          // maintained compiler (e.g. "numeric aggregation needs
+          // long-typed values") which surface as IllegalArgumentException.
+          // Both demote a wire-served interest to the (semantically
+          // identical) snapshot path, logged; anything else — Spark or
+          // session failures during standing-query construction —
+          // propagates instead of silently costing the O(delta) serving
+          // guarantee (round-9 ADVICE). Nothing was delivered: rejection
+          // precedes the replay's output.
+          case e @ (_: graft.streaming.UnmaintainablePlan |
+              _: IllegalArgumentException)
               if bestEffortIncremental(name) =>
-            // Wire-served interest whose plan lies outside the maintainable
-            // fragment: demote to the (semantically identical) snapshot
-            // path permanently rather than failing the advance. Nothing
-            // was delivered — rejection precedes the replay's output. The
-            // catch is EXACTLY the typed rejection: a transient Spark /
-            // session failure during construction propagates instead of
-            // silently costing the O(delta) serving guarantee.
             Engine.log.info(
               s"interest '$name' demoted to snapshot serving: ${e.getMessage}")
             incrementalMarked -= name

@@ -25,6 +25,14 @@ object ValueKind {
     * struct (mixed kinds, e.g. the `v` position of pull paths). */
   case object KVariant extends ValueKind(-1, Variant.schema)
 
+  /** Kinds whose native representation is a plain Long — the packing
+    * eligibility shared by every packed-run seam (the Hector cells
+    * additionally accept KReal via the order-preserving encoding). */
+  def longBacked(k: ValueKind): Boolean = k match {
+    case KNumber | KEid | KInstant => true
+    case _                         => false
+  }
+
   def of(v: Value): ValueKind = v match {
     case _: Value.VAid      => KAid
     case _: Value.VString   => KString

@@ -308,9 +308,14 @@ final class WsServer(engine: Engine, port: Int = 0,
             // engine's native collection drops the variant tags, so
             // positional tagging restores what AssocIn/clients need —
             // the streaming route keeps exact tags via variant structs).
+            // Guarded to length >= 3 with an aid string among the keys:
+            // a pull path is at least (entity, attribute, value), while a
+            // RATIONAL variant payload natively collects as Seq(num, den)
+            // — length 2, no string — and must stay a single cell.
             case Seq(cell: scala.collection.Seq[_])
                 if kinds.exists(_.headOption.contains(ValueKind.KVariant)) &&
-                  cell.length >= 2 =>
+                  cell.length >= 3 &&
+                  cell.init.exists(_.isInstanceOf[String]) =>
               val vs = cell.toSeq
               val keys = vs.init.map {
                 case n: Long   => Value.VEid(n)

@@ -33,19 +33,27 @@ sealed trait GroupIndex extends Serializable {
 }
 
 object GroupIndex {
-  private def longBacked(k: ValueKind): Boolean = k match {
-    case ValueKind.KNumber | ValueKind.KEid | ValueKind.KInstant => true
-    case _ => false
+  /** Backend factory, resolved ONCE on the DRIVER from the key/row
+    * column kinds and the `-Dgraft.iq.runs` dial. The returned thunk
+    * bakes the decision in: StateCell zero() closures execute inside
+    * executor tasks, where the driver's system properties are not
+    * visible — reading the dial there would silently ignore the A/B
+    * switch on any multi-JVM deployment. */
+  def maker(keyKinds: Seq[ValueKind], rowKinds: Seq[ValueKind]): () => GroupIndex = {
+    val packed = !sys.props.get("graft.iq.runs").contains("off") &&
+      rowKinds.nonEmpty && (keyKinds ++ rowKinds).forall(ValueKind.longBacked)
+    val kw = keyKinds.length
+    val rw = rowKinds.length
+    if (packed)
+      () => PackedGroups(PackedRuns.empty(kw + rw), kw, rw,
+        scala.collection.immutable.HashMap.empty)
+    else
+      () => BoxedGroups(scala.collection.immutable.HashMap.empty)
   }
 
-  /** Backend choice, once per node, from the key/row column kinds. */
+  /** Driver-side convenience (tests; production cells use [[maker]]). */
   def empty(keyKinds: Seq[ValueKind], rowKinds: Seq[ValueKind]): GroupIndex =
-    if (!sys.props.get("graft.iq.runs").contains("off") &&
-        rowKinds.nonEmpty && (keyKinds ++ rowKinds).forall(longBacked))
-      PackedGroups(PackedRuns.empty(keyKinds.length + rowKinds.length),
-        keyKinds.length, rowKinds.length,
-        scala.collection.immutable.HashMap.empty)
-    else BoxedGroups(scala.collection.immutable.HashMap.empty)
+    maker(keyKinds, rowKinds)()
 
   private[streaming] val emptyW: IncrementalQuery.WMap =
     scala.collection.immutable.HashMap.empty

@@ -402,9 +402,16 @@ class IncrementalHector(
       if (kinds(b.a) == ValueKind.KReal &&
           varKind.get(b.v) != Some(ValueKind.KReal)) return None
     }
-    def native(v: Value): Any = v.native match {
-      case d: java.lang.Double => IncrementalHector.encReal(d.doubleValue())
-      case other               => IncrementalHector.canon(other)
+    // A const's encoding follows the kind of the VAR it pins: a double
+    // const on a KReal var encodes; a double const on any other slot —
+    // or a non-double const on a KReal var — would compare encoded
+    // against raw, so those shapes stay on the Catalyst path (None).
+    def native(x: Int, v: Value): Option[Any] = (v.native, varKind.get(x)) match {
+      case (d: java.lang.Double, Some(ValueKind.KReal)) =>
+        Some(IncrementalHector.encReal(d.doubleValue()))
+      case (_: java.lang.Double, _)   => None
+      case (_, Some(ValueKind.KReal)) => None
+      case (other, _)                 => Some(IncrementalHector.canon(other))
     }
     val slotOf = mutable.LinkedHashMap.empty[Int, Int]
     def slot(v: Int): Int = slotOf.getOrElseUpdate(v, slotOf.size)
@@ -417,8 +424,9 @@ class IncrementalHector(
     val constSlots = mutable.ArrayBuffer.empty[(Int, Any)]
     val seedChecks = mutable.ArrayBuffer.empty[(Int, Any)]
     consts.foreach { case (x, value) =>
-      if (slotOf.contains(x)) seedChecks += ((slotOf(x), native(value)))
-      else constSlots += ((slot(x), native(value)))
+      val n = native(x, value).getOrElse(return None)
+      if (slotOf.contains(x)) seedChecks += ((slotOf(x), n))
+      else constSlots += ((slot(x), n))
     }
     // Greedy connected order over the remaining bindings. A component
     // DISCONNECTED from everything slotted so far starts with a SCAN
@@ -460,24 +468,39 @@ class IncrementalHector(
     // DIVERGES above the BMP — Catalyst compares UTF8String bytes),
     // false < true for booleans. Rational/variant ordering stays on the
     // Catalyst path.
-    def cmpKindOf(x: Int, y: Int): Option[Int] = {
-      def cls(k: ValueKind): Int = k match {
-        case k0 if longKind(k0) => IncrementalHector.CmpLong
-        // KReal slots hold the order-preserving encoded long.
-        case ValueKind.KReal => IncrementalHector.CmpLong
-        case ValueKind.KString | ValueKind.KUuid | ValueKind.KAid =>
-          IncrementalHector.CmpUtf8
-        case ValueKind.KBool => IncrementalHector.CmpBool
-        case _ => -1
-      }
-      (varKind.get(x).map(cls), varKind.get(y).map(cls)) match {
-        case (Some(a), Some(b)) if a == b && a >= 0 => Some(a)
-        case _                                      => None
-      }
+    // KReal slots hold the ENCODED long, raw long kinds the plain value:
+    // the two must never meet in one comparison (or equality) — encoded
+    // vs raw would be silently wrong. Each kind-class compares only with
+    // itself; KReal's class resolves to long comparison OVER THE ENCODING.
+    def kindClass(k: ValueKind): Int = k match {
+      case k0 if longKind(k0) => IncrementalHector.CmpLong
+      case ValueKind.KReal    => IncrementalHector.CmpEncReal
+      case ValueKind.KString | ValueKind.KUuid | ValueKind.KAid =>
+        IncrementalHector.CmpUtf8
+      case ValueKind.KBool => IncrementalHector.CmpBool
+      case _               => -1
     }
+    def cmpKindOf(x: Int, y: Int): Option[Int] =
+      (varKind.get(x).map(kindClass), varKind.get(y).map(kindClass)) match {
+        case (Some(a), Some(b)) if a == b && a >= 0 =>
+          // encoded reals order exactly like their longs
+          Some(if (a == IncrementalHector.CmpEncReal) IncrementalHector.CmpLong
+               else a)
+        case _ => None
+      }
     bindings.foreach {
       case Binding.BinaryPred(x, y, p) =>
         val ordering = p != Predicate.EQ && p != Predicate.NEQ
+        // Equality across kind classes is fine for identical JVM reps,
+        // but an ENCODED real slot must never meet a raw slot even
+        // under EQ/NEQ.
+        val mixesReal = {
+          val cx = varKind.get(x).map(kindClass)
+          val cy = varKind.get(y).map(kindClass)
+          (cx.contains(IncrementalHector.CmpEncReal) ||
+            cy.contains(IncrementalHector.CmpEncReal)) && cx != cy
+        }
+        if (mixesReal) return None
         val cmp =
           if (!ordering) IncrementalHector.CmpLong
           else cmpKindOf(x, y).getOrElse(return None)
@@ -811,6 +834,10 @@ object IncrementalHector {
   private[streaming] final val CmpDouble = 1
   private[streaming] final val CmpUtf8 = 2
   private[streaming] final val CmpBool = 3
+  /** Kind-CLASS marker only (never an executor comparator): encoded
+    * reals resolve to [[CmpLong]] over the encoding, but must not mix
+    * with raw long slots. */
+  private[streaming] final val CmpEncReal = 4
 
   private[streaming] final case class ProbeStep(
       b: Int, eSlot: Int, vSlot: Int, eBound: Boolean, vBound: Boolean,

@@ -236,10 +236,7 @@ class IncrementalQuery(
   private final class SupportCell(kinds: Seq[ValueKind]) {
     supportCells += this
     private val packed = !sys.props.get("graft.iq.runs").contains("off") &&
-      kinds.nonEmpty && kinds.forall {
-        case ValueKind.KNumber | ValueKind.KEid | ValueKind.KInstant => true
-        case _ => false
-      }
+      kinds.nonEmpty && kinds.forall(ValueKind.longBacked)
     private val width = kinds.length
     private val wCell: StateCell[IncrementalQuery.WMap] =
       if (packed) null
@@ -345,12 +342,10 @@ class IncrementalQuery(
     private val rPart =
       new IndexKeyPartitioner(shufflePartitions, keyIdx.indices)
     private val cell = {
-      val kk = keyIdx.map(left.nodeKinds)
-      val rk = left.nodeKinds
+      val mk = GroupIndex.maker(keyIdx.map(left.nodeKinds), left.nodeKinds)
       new StateCell[(GroupIndex, IncrementalQuery.WMap)](
         spark.sparkContext, shufflePartitions,
-        () => (GroupIndex.empty(kk, rk),
-          scala.collection.immutable.HashMap.empty),
+        () => (mk(), scala.collection.immutable.HashMap.empty),
         { case (l, r) => l.bytes + r.size * 200L })
     }
     groupCellMeters += (() =>
@@ -477,11 +472,8 @@ class IncrementalQuery(
     private val part = new SeqKeyPartitioner(shufflePartitions)
     private val cell = new StateCell[GroupIndex](
       spark.sparkContext, shufflePartitions,
-      {
-        val kk = keyIdx.map(input.nodeKinds)
-        val vk = valueIdx.map(input.nodeKinds)
-        () => GroupIndex.empty(kk, vk)
-      }, _.bytes)
+      GroupIndex.maker(keyIdx.map(input.nodeKinds),
+        valueIdx.map(input.nodeKinds)), _.bytes)
     groupCellMeters += (() =>
       cell.rdd.map(IncrementalQuery.meterBytes).fold(0L)(_ + _))
 
@@ -581,10 +573,8 @@ class IncrementalQuery(
     // Both partitioners hash the JOIN KEY columns, so one compound index
     // per partition holds a key's entire left and right support.
     private val cell = {
-      val lz = { val kk = lKey.map(left.nodeKinds); val rk = left.nodeKinds
-        () => GroupIndex.empty(kk, rk) }
-      val rz = { val kk = rKey.map(right.nodeKinds); val rk = right.nodeKinds
-        () => GroupIndex.empty(kk, rk) }
+      val lz = GroupIndex.maker(lKey.map(left.nodeKinds), left.nodeKinds)
+      val rz = GroupIndex.maker(rKey.map(right.nodeKinds), right.nodeKinds)
       new StateCell[(GroupIndex, GroupIndex)](
         sc, shufflePartitions, () => (lz(), rz()),
         { case (l, r) => l.bytes + r.bytes })
@@ -656,18 +646,12 @@ class IncrementalQuery(
     // partition's indexes are co-resident for the bilinear diff.
     private val childCell = new StateCell[GroupIndex](
       sc, shufflePartitions,
-      {
-        val ck = Seq(child.nodeKinds(eIdx))
-        val rk = child.nodeKinds
-        () => GroupIndex.empty(ck, rk)
-      }, _.bytes)
+      GroupIndex.maker(Seq(child.nodeKinds(eIdx)), child.nodeKinds), _.bytes)
     private val attrCells: Map[String, StateCell[GroupIndex]] =
       pullAttrs.map(a => a -> new StateCell[GroupIndex](
         sc, shufflePartitions,
-        {
-          val vk = Seq(graft.model.ValueKind.KEid, kinds(a))
-          () => GroupIndex.empty(Seq(graft.model.ValueKind.KEid), vk)
-        }, _.bytes)).toMap
+        GroupIndex.maker(Seq(graft.model.ValueKind.KEid),
+          Seq(graft.model.ValueKind.KEid, kinds(a))), _.bytes)).toMap
 
     private def childSchema: StructType = StructType(
       child.nodeKinds.zipWithIndex.map { case (k, i) =>

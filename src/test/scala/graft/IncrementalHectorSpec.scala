@@ -435,4 +435,42 @@ class IncrementalHectorSpec extends AnyFunSuite {
     assert(runsBytes * 2 <= hashBytes,
       s"expected >=2x cut: runs=$runsBytes hash=$hashBytes")
   }
+
+  test("mixed real/long operands reject probe execution (encoded-vs-raw guard)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def dd(schemaV: DataType, rows: Seq[(Long, Any, Long)]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 2),
+        StructType(Seq(StructField("e", LongType, false),
+          StructField("v", schemaV, false), StructField("diff", LongType, false))))
+    // q(0,1,2): r(0,1 real), n(0,2 long), 1 < 2 — an encoded real slot
+    // must never meet a raw long slot, so the shape must fall back to
+    // Catalyst ENTIRELY (probeEnabled false), and results must match
+    // the forced-off dial exactly.
+    def mk() = new IncrementalHector(spark, Seq(0, 1, 2), Seq(
+      Binding.attribute(0, ":mx/r", 1),
+      Binding.attribute(0, ":mx/n", 2),
+      Binding.binaryPredicate(Predicate.LT, 1, 2)),
+      Map(":mx/r" -> ValueKind.KReal, ":mx/n" -> ValueKind.KNumber))
+    val batches = Seq(
+      Map(0 -> dd(DoubleType, Seq((1L, 0.5d, 1L), (2L, 150.0d, 1L))),
+        1 -> dd(LongType, Seq((1L, 100L, 1L), (2L, 100L, 1L)))))
+    val probe = withProbe(on = true)(
+      accumulated(mk, batches, expectProbe = Some(false)))
+    val cat = withProbe(on = false)(
+      accumulated(mk, batches, expectProbe = Some(false)))
+    assert(probe == cat, s"probe=$probe catalyst=$cat")
+    // Ground truth: 0.5 < 100 passes, 150.0 < 100 fails.
+    assert(probe.keySet.map(_(0)) == Set[Any](1L), s"got $probe")
+
+    // A DOUBLE const pinned to a long var is the same hazard.
+    def mkc() = new IncrementalHector(spark, Seq(0, 1), Seq(
+      Binding.attribute(0, ":mx/n", 1),
+      Binding.constant(1, Value.VReal(100.0))),
+      Map(":mx/n" -> ValueKind.KNumber))
+    val inc = withProbe(on = true)(mkc())
+    assert(!inc.probeEnabled,
+      "double const on a long slot must reject probe execution")
+  }
 }

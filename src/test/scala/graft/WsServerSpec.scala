@@ -556,6 +556,41 @@ class WsServerSpec extends AnyFunSuite {
     }
   }
 
+  test("require-based shape rejections also demote (real-valued aggregation)") {
+    // SUM over a KReal attribute: the batch compiler supports it, the
+    // maintained compiler rejects it with a plain `require` (numeric
+    // aggregation needs long-typed values) — an IllegalArgumentException,
+    // not the typed UnmaintainablePlan. The wire path must still demote
+    // to snapshot serving instead of crashing the advance.
+    val engine = new Engine(spark)
+    val server = new WsServer(engine).start()
+    val client = new Client(server.boundPort)
+    try {
+      client.send("""{"CreateAttribute":{"name":":m/price","config":{"input_semantics":"Raw"}}}""")
+      client.send("""{"Register":{"rules":[{"name":"total","plan":
+        {"Aggregate":{"variables":[1],
+          "plan":{"MatchA":[0,":m/price",1]},
+          "aggregation_fns":["SUM"],"key_variables":[],
+          "aggregation_variables":[1],"with_variables":[]}}}],
+        "publish":["total"]}}""")
+      client.send("""{"Interest":{"name":"total","granularity":null}}""")
+      client.send("""{"Transact":[[1,":m/price",{"Real":1.5},null,1],
+        [2,":m/price",{"Real":2.25},null,1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+      Wire.parseOutput(client.next()) match {
+        case Output.QueryDiff(name, batch) =>
+          assert(name == "total")
+          assert(batch.map(_._1) == Seq(Seq(Value.VReal(3.75))), s"got $batch")
+        case other => fail(s"expected a QueryDiff, got $other")
+      }
+      assert(!engine.servedIncrementally("total"),
+        "real-valued aggregation must demote to the snapshot path")
+    } finally {
+      try client.close() catch { case _: Throwable => () }
+      server.stop()
+    }
+  }
+
   test("wire Interest outside the maintainable fragment demotes to snapshots") {
     // Non-monotone operator INSIDE a recursive clique body (antijoin in
     // the base case) — outside the maintained-recursion scope. The wire
