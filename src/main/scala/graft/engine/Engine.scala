@@ -58,6 +58,11 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
   // Column kinds of each rule's result (recorded at first snapshot) — lets
   // transports re-tag collected native values as wire `Value`s.
   private val resultKinds = mutable.Map.empty[String, Seq[ValueKind]]
+  // Rules whose single output column packs heterogeneous pull paths
+  // (batch `Rel.isPathArray` / maintained `outputIsPathArray`) — the
+  // explicit serde marker the wire layer consults instead of sniffing
+  // payload shape (round-10 ADVICE).
+  private val pathArrayResults = mutable.Set.empty[String]
 
   /** Rules currently under interest (transport fan-out reads this). */
   def interestNames: Seq[String] = interests.toSeq
@@ -68,6 +73,10 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
 
   /** Column kinds of a rule's result, once it has produced a snapshot. */
   def kindsFor(name: String): Option[Seq[ValueKind]] = resultKinds.get(name)
+
+  /** Whether `name`'s result tuples are packed pull paths (one
+    * array<variant> cell per row) that the wire layer should expand. */
+  def isPathArrayResult(name: String): Boolean = pathArrayResults.contains(name)
 
   def createAttribute(name: String, config: AttributeConfig = AttributeConfig()): Unit =
     domain.createAttribute(name, config)
@@ -414,18 +423,16 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
       val built =
         try tryInitIncremental(name, deliverReplay = deliver)
         catch {
-          // Plan-shape rejections: the typed UnmaintainablePlan, plus the
-          // `require`-based shape preconditions scattered through the
-          // maintained compiler (e.g. "numeric aggregation needs
-          // long-typed values") which surface as IllegalArgumentException.
-          // Both demote a wire-served interest to the (semantically
-          // identical) snapshot path, logged; anything else — Spark or
-          // session failures during standing-query construction —
-          // propagates instead of silently costing the O(delta) serving
-          // guarantee (round-9 ADVICE). Nothing was delivered: rejection
-          // precedes the replay's output.
-          case e @ (_: graft.streaming.UnmaintainablePlan |
-              _: IllegalArgumentException)
+          // Plan-shape rejections surface ONLY as the typed
+          // UnmaintainablePlan: the maintained compiler's shape
+          // preconditions (e.g. "numeric aggregation needs long-typed
+          // values") throw it via UnmaintainablePlan.require, so a
+          // demotion to the (semantically identical) snapshot path is
+          // never confused with a genuine Spark/session failure —
+          // IllegalArgumentException and everything else propagates,
+          // preserving the O(delta) serving guarantee (round-10 ADVICE).
+          // Nothing was delivered: rejection precedes the replay's output.
+          case e: graft.streaming.UnmaintainablePlan
               if bestEffortIncremental(name) =>
             Engine.log.info(
               s"interest '$name' demoted to snapshot serving: ${e.getMessage}")
@@ -568,6 +575,7 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     val rel = canonicalize(compiler, compiler.compileRule(name))
     resultKinds(name) =
       if (rel.isPathArray) Seq(ValueKind.KVariant) else rel.kinds
+    if (rel.isPathArray) pathArrayResults += name else pathArrayResults -= name
     rel.df
   }
 
@@ -630,6 +638,7 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
       rulePlans, distinctAttrs, lwwAttrs, setSemantics = setSemantics)
     incrementalQs(name) = iq
     resultKinds(name) = iq.outputKinds
+    if (iq.outputIsPathArray) pathArrayResults += name else pathArrayResults -= name
     staticsPending(name) =
       iq.referencedAttributes.filter(a => domain.staticFrame(a).isDefined)
     if (processedThrough > 0L) {
@@ -747,6 +756,7 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     val rel = canonicalize(compiler, compiler.compileRule(name))
     resultKinds(name) =
       if (rel.isPathArray) Seq(ValueKind.KVariant) else rel.kinds
+    if (rel.isPathArray) pathArrayResults += name else pathArrayResults -= name
     val n = rel.df.columns.length - 1 // tuple width without _w
     rel.df.collect().iterator.map { row =>
       // Pull results with heterogeneous arity arrive as one array<variant>

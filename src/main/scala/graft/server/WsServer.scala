@@ -300,6 +300,12 @@ final class WsServer(engine: Engine, port: Int = 0,
       val diffs = engine.drain(name)
       if (diffs.nonEmpty) {
         val kinds = engine.kindsFor(name)
+        // Explicit serde marker from the engine: the rule's result column
+        // packs heterogeneous pull paths (batch `Rel.isPathArray` /
+        // maintained `outputIsPathArray`) — never inferred from payload
+        // shape, so a genuine variant payload that happens to collect as
+        // a Seq is never misrendered (round-10 ADVICE).
+        val pathArray = engine.isPathArrayResult(name)
         val batch = diffs.map { case (tuple, t, d) =>
           tuple match {
             // Pull path-array tuples (single KVariant column): the cell
@@ -308,14 +314,7 @@ final class WsServer(engine: Engine, port: Int = 0,
             // engine's native collection drops the variant tags, so
             // positional tagging restores what AssocIn/clients need —
             // the streaming route keeps exact tags via variant structs).
-            // Guarded to length >= 3 with an aid string among the keys:
-            // a pull path is at least (entity, attribute, value), while a
-            // RATIONAL variant payload natively collects as Seq(num, den)
-            // — length 2, no string — and must stay a single cell.
-            case Seq(cell: scala.collection.Seq[_])
-                if kinds.exists(_.headOption.contains(ValueKind.KVariant)) &&
-                  cell.length >= 3 &&
-                  cell.init.exists(_.isInstanceOf[String]) =>
+            case Seq(cell: scala.collection.Seq[_]) if pathArray =>
               val vs = cell.toSeq
               val keys = vs.init.map {
                 case n: Long   => Value.VEid(n)

@@ -123,10 +123,16 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
   }
 
   def transact(datoms: Seq[BiDatom]): Unit = {
-    val recs = datoms.map { d =>
-      val ct = coarseTime(d.t)
+    // All-or-nothing: validate EVERY datom's (coarsened) system time
+    // against the frontier before touching any driver state, so a
+    // rejected batch leaves no phantom pending times, sequence numbers,
+    // or partially registered attribute kinds behind (round-10 ADVICE).
+    val coarsed = datoms.map(d => (d, coarseTime(d.t)))
+    coarsed.foreach { case (_, ct) =>
       require(ct._1 >= sysFrontier,
         s"write at closed system time ${ct._1}: frontier at $sysFrontier")
+    }
+    val recs = coarsed.map { case (d, ct) =>
       configs.getOrElseUpdate(d.a, AttributeConfig())
       if (!firstKind.contains(d.a)) firstKind(d.a) = ValueKind.of(d.v)
       pendingTimes += ct

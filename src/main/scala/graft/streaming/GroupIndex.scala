@@ -99,7 +99,7 @@ final case class PackedGroups(
   def group(k: Seq[Any]): IncrementalQuery.WMap = {
     val boxed = side.getOrElse(k, GroupIndex.emptyW)
     val keyArr = new Array[Long](kw)
-    if (!longsOf(k, keyArr, 0)) boxed
+    if (k.length != kw || !longsOf(k, keyArr, 0)) boxed
     else {
       var g = boxed
       runs.prefix(keyArr).foreach { case (rest, w) =>
@@ -116,7 +116,8 @@ final case class PackedGroups(
     val rec = new Array[Long](stride)
     deltas.foreach { case ((k, row), dw) =>
       if (dw != 0L) {
-        if (row.length == rw && longsOf(k, rec, 0) && longsOf(row, rec, kw)) {
+        if (k.length == kw && row.length == rw &&
+            longsOf(k, rec, 0) && longsOf(row, rec, kw)) {
           var i = 0
           while (i < stride) { buf += rec(i); i += 1 }
           buf += dw

@@ -65,13 +65,13 @@ class IncrementalHector(
     bindings: Seq[Binding],
     kinds: Map[String, ValueKind]) {
 
-  require(!bindings.exists(_.isInstanceOf[Binding.Not]),
+  UnmaintainablePlan.require(!bindings.exists(_.isInstanceOf[Binding.Not]),
     "IncrementalHector maintains the positive conjunctive core; " +
       "Not bindings need delete-and-rederive via the batch engine")
 
   private val attrBindings: Seq[Binding.Attr] =
     bindings.collect { case a: Binding.Attr => a }
-  require(attrBindings.nonEmpty, "need at least one Attr binding")
+  UnmaintainablePlan.require(attrBindings.nonEmpty, "need at least one Attr binding")
 
   // Bindings renamed apart: binding i over attribute a becomes `a#i`, so
   // each coordinate of the multilinear form has its own name even when
@@ -157,7 +157,7 @@ class IncrementalHector(
     def m(o: AnyRef): Long = org.apache.spark.util.GraftSizeOf.estimate(o)
     if (runsBacked(i))
       runsEVCells(i).rdd.map(m).fold(0L)(_ + _) +
-        runsVECells(i).rdd.map(m).fold(0L)(_ + _)
+        (if (probeLive) runsVECells(i).rdd.map(m).fold(0L)(_ + _) else 0L)
     else {
       val pair = stateCells(i).rdd.map(m).fold(0L)(_ + _)
       val arr =
@@ -174,7 +174,7 @@ class IncrementalHector(
   private[graft] def stateIndexBytes(i: Int): Long =
     if (runsBacked(i))
       runsEVCells(i).rdd.map(_.bytes).fold(0L)(_ + _) +
-        runsVECells(i).rdd.map(_.bytes).fold(0L)(_ + _)
+        (if (probeLive) runsVECells(i).rdd.map(_.bytes).fold(0L)(_ + _) else 0L)
     else {
       val pair = stateCells(i).rdd.map(_.size.toLong * 200L).fold(0L)(_ + _)
       val arr =
@@ -285,12 +285,18 @@ class IncrementalHector(
         val ns = s.merged(buf.result())
         (ns, Array(ns.packedCount))
       }.fold(0L)(_ + _)
-      val _ = runsVECells(i).advance1(
-          delta.map { case ((e, v), w) => (v.asInstanceOf[Long], (e, w)) }
-            .partitionBy(ePart)) { (s: LongRuns, dIt) =>
-        val buf = mutable.ArrayBuilder.make[Long]
-        dIt.foreach { case (v, (e, w)) => buf += v; buf += e; buf += w }
-        (s.merged(buf.result()), Array.empty[Int])
+      // The (v,e)-sorted sibling exists solely for probe execution —
+      // with the probe executor off nothing reads it, so don't pay its
+      // re-key shuffle, sort/merge, or residency (mirrors the boxed
+      // path's byECells/byVCells gating; round-10 ADVICE).
+      if (probeLive) {
+        val _ = runsVECells(i).advance1(
+            delta.map { case ((e, v), w) => (v.asInstanceOf[Long], (e, w)) }
+              .partitionBy(ePart)) { (s: LongRuns, dIt) =>
+          val buf = mutable.ArrayBuilder.make[Long]
+          dIt.foreach { case (v, (e, w)) => buf += v; buf += e; buf += w }
+          (s.merged(buf.result()), Array.empty[Int])
+        }
       }
       return n
     }

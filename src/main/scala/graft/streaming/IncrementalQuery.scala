@@ -129,6 +129,11 @@ class IncrementalQuery(
     def attrs: Set[String]
     /** Exact output diffs (c0..cn, _w) for this batch's attr deltas. */
     def advance(attrDeltas: Map[String, DataFrame]): DataFrame
+    /** Whether this node's single output column packs heterogeneous pull
+      * paths (the batch compiler's `Rel.isPathArray`) — an explicit
+      * serde marker for the wire layer, never inferred from payload
+      * shape (round-10 ADVICE). */
+    def pathArray: Boolean = false
 
     final def schema: StructType = StructType(
       nodeKinds.zipWithIndex.map { case (k, i) =>
@@ -303,6 +308,8 @@ class IncrementalQuery(
     val vars: Seq[PVar] = inputs.head.vars
     val nodeKinds: Seq[ValueKind] = inputs.head.nodeKinds
     val attrs: Set[String] = inputs.flatMap(_.attrs).toSet
+    override val pathArray: Boolean =
+      inputs.length == 1 && inputs.head.pathArray
 
     private val part = new SeqKeyPartitioner(shufflePartitions)
     private val cell = new SupportCell(nodeKinds)
@@ -386,14 +393,14 @@ class IncrementalQuery(
       input: Node, outVars: Seq[PVar], fns: Seq[AggregationFn],
       keyVars: Seq[PVar], aggVars: Seq[PVar], withVars: Seq[PVar]) extends Node {
     import AggregationFn._
-    require(fns.nonEmpty && fns.length == aggVars.length,
+    UnmaintainablePlan.require(fns.nonEmpty && fns.length == aggVars.length,
       s"one aggregation variable per function, got $fns over $aggVars")
 
     val vars: Seq[PVar] = outVars
     val attrs: Set[String] = input.attrs
 
     private val keyIdx: Seq[Int] = keyVars.map(input.vars.indexOf)
-    require(keyIdx.forall(_ >= 0),
+    UnmaintainablePlan.require(keyIdx.forall(_ >= 0),
       s"aggregate key vars $keyVars must be bound by the input (${input.vars})")
 
     // The value tuple: batch's valueVars = dedupFirst(aggVars ++ withVars)
@@ -401,7 +408,7 @@ class IncrementalQuery(
     private val valueVars: Seq[PVar] =
       (aggVars ++ withVars).distinct.filterNot(keyVars.contains)
     private val valueIdx: Seq[Int] = valueVars.map(input.vars.indexOf)
-    require(valueIdx.forall(_ >= 0),
+    UnmaintainablePlan.require(valueIdx.forall(_ >= 0),
       s"aggregate value/with vars $valueVars must be bound by the input (${input.vars})")
 
     private def kindOfVar(v: PVar): ValueKind =
@@ -419,14 +426,14 @@ class IncrementalQuery(
       val k = kindOfVar(v)
       val isLong = k.dataType == LongType
       if (f == SUM || f == AVG || f == VARIANCE)
-        require(isLong, s"numeric aggregation $f needs long-typed values, got $k")
+        UnmaintainablePlan.require(isLong, s"numeric aggregation $f needs long-typed values, got $k")
       if (f == MIN || f == MAX || f == MEDIAN)
-        require(isLong || k.dataType == StringType,
+        UnmaintainablePlan.require(isLong || k.dataType == StringType,
           s"order statistics need long or string values, got $k")
     }
     withVars.foreach { v =>
       val k = kindOfVar(v)
-      require(k.dataType == LongType || k.dataType == StringType,
+      UnmaintainablePlan.require(k.dataType == LongType || k.dataType == StringType,
         s"with variables must be long- or string-typed (median entry sort), got $k")
     }
 
@@ -438,7 +445,7 @@ class IncrementalQuery(
       val posToAgg = mutable.Map.empty[Int, Int]
       for (i <- fns.indices) {
         val pos = work.indexOf(Some(aggVars(i)))
-        require(pos >= 0,
+        UnmaintainablePlan.require(pos >= 0,
           s"aggregation variable ${aggVars(i)} not in output $outVars")
         work(pos) = None
         posToAgg(pos) = i
@@ -448,7 +455,7 @@ class IncrementalQuery(
           case Some(i) => Right(i)
           case None =>
             val kp = keyVars.indexOf(outVars(j))
-            require(kp >= 0,
+            UnmaintainablePlan.require(kp >= 0,
               s"aggregate output var ${outVars(j)} is neither an " +
                 s"aggregation result nor a key ($keyVars)")
             Left(kp)
@@ -507,9 +514,9 @@ class IncrementalQuery(
     * [[DistributedClosure]] (no edge ceiling) over the default
     * broadcast-gated [[IncrementalClosure]]. */
   private final class ClosureNode(edgeNode: Node) extends Node {
-    require(edgeNode.vars.length == 2,
+    UnmaintainablePlan.require(edgeNode.vars.length == 2,
       s"closure maintenance needs a binary edge relation, got ${edgeNode.vars}")
-    require(edgeNode.nodeKinds.forall(_.dataType == LongType),
+    UnmaintainablePlan.require(edgeNode.nodeKinds.forall(_.dataType == LongType),
       s"closure maintenance needs long-typed node ids, got ${edgeNode.nodeKinds}")
     val vars: Seq[PVar] = edgeNode.vars
     val nodeKinds: Seq[ValueKind] = edgeNode.nodeKinds
@@ -552,7 +559,7 @@ class IncrementalQuery(
       left: Node, right: Node, target: Seq[PVar]) extends Node {
     private val lKey = target.map(left.vars.indexOf)
     private val rKey = target.map(right.vars.indexOf)
-    require(lKey.forall(_ >= 0) && rKey.forall(_ >= 0),
+    UnmaintainablePlan.require(lKey.forall(_ >= 0) && rKey.forall(_ >= 0),
       s"join vars $target not bound by ${left.vars} / ${right.vars}")
     private def restIdx(vs: Seq[PVar]): Seq[Int] = {
       val seen = mutable.Set.empty[PVar]
@@ -627,9 +634,9 @@ class IncrementalQuery(
       child: Node, pullVar: PVar, pullAttrs: Seq[String],
       pathAttrs: Seq[String], cardMany: Boolean) extends Node {
     private val eIdx = child.vars.indexOf(pullVar)
-    require(eIdx >= 0, s"pull variable $pullVar not bound by ${child.vars}")
+    UnmaintainablePlan.require(eIdx >= 0, s"pull variable $pullVar not bound by ${child.vars}")
     pullAttrs.foreach(a =>
-      require(kinds.contains(a), s"unknown pull attribute $a"))
+      UnmaintainablePlan.require(kinds.contains(a), s"unknown pull attribute $a"))
 
     private val inputCols: Seq[(Column, ValueKind)] =
       child.nodeKinds.zipWithIndex.map { case (k, i) => (col(Rel.c(i)), k) }
@@ -723,6 +730,7 @@ class IncrementalQuery(
   private final class PullNode(paths: Seq[Node]) extends Node {
     val vars: Seq[PVar] = Seq(-1)
     val nodeKinds: Seq[ValueKind] = Seq(ValueKind.KVariant)
+    override val pathArray: Boolean = true
     val attrs: Set[String] = paths.flatMap(_.attrs).toSet
     def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
       if (!touched(attrDeltas)) emptyDiff
@@ -767,7 +775,7 @@ class IncrementalQuery(
       // variables (const filters preserved in the not-scan), then the
       // target projection.
       val nots = bindings.collect { case Binding.Not(a: Binding.Attr) => a }
-      require(nots.lengthCompare(
+      UnmaintainablePlan.require(nots.lengthCompare(
         bindings.count(_.isInstanceOf[Binding.Not])) == 0,
         "Not bindings over non-attribute bindings are not executable")
       val pos = bindings.filterNot(_.isInstanceOf[Binding.Not])
@@ -783,7 +791,7 @@ class IncrementalQuery(
         consts.get(nb.v).foreach(cv => notPlan =
           Plan.Filter(Seq(nb.v), Predicate.EQ, notPlan, Seq(None, Some(cv))))
         val shared = Seq(nb.e, nb.v).distinct.filter(node.vars.contains)
-        require(shared.nonEmpty, "Not binding shares no variable with prefix")
+        UnmaintainablePlan.require(shared.nonEmpty, "Not binding shares no variable with prefix")
         node = new AntijoinNode(node,
           zoneOf(Plan.Project(shared, notPlan)),
           shared.map(node.vars.indexOf), distinctLeft = false)
@@ -855,7 +863,7 @@ class IncrementalQuery(
         // the recursion scope the reference maintains through
         // differential `iterate`.
         val inner = closureNodeOf(rname).getOrElse(generalRecursionNode(rname))
-        require(inner.vars.length == vs.length,
+        UnmaintainablePlan.require(inner.vars.length == vs.length,
           s"NameExpr($vs, $rname): arity mismatch with ${inner.vars}")
         new RenameNode(inner, vs)
       } else {
@@ -866,7 +874,7 @@ class IncrementalQuery(
             "non-recursive rules")
         building += rname
         val inner = try zoneOf(rules(rname)) finally building -= rname
-        require(inner.vars.length == vs.length,
+        UnmaintainablePlan.require(inner.vars.length == vs.length,
           s"NameExpr($vs, $rname): arity mismatch with ${inner.vars}")
         new RenameNode(inner, vs)
       }
@@ -1014,7 +1022,7 @@ class IncrementalQuery(
         inputNodes(nm) = new ThresholdNode(Seq(zoneOf(Plan.NameExpr(vs, n))))
         nm
       })
-      require(inputNodes(name).vars.length == vs.length,
+      UnmaintainablePlan.require(inputNodes(name).vars.length == vs.length,
         s"NameExpr($vs, $n): arity mismatch with ${inputNodes(name).vars}")
       Plan.NameExpr(vs, name)
     }
@@ -2080,6 +2088,7 @@ class IncrementalQuery(
     val vars: Seq[PVar] = vs
     val nodeKinds: Seq[ValueKind] = inner.nodeKinds
     val attrs: Set[String] = inner.attrs
+    override val pathArray: Boolean = inner.pathArray
     def advance(attrDeltas: Map[String, DataFrame]): DataFrame =
       inner.advance(attrDeltas)
   }
@@ -2126,6 +2135,11 @@ class IncrementalQuery(
 
   /** Output column kinds, in output order. */
   def outputKinds: Seq[ValueKind] = root.nodeKinds
+
+  /** Whether the output column packs heterogeneous pull paths — the
+    * maintained analog of the batch `Rel.isPathArray`, carried to the
+    * wire layer as an explicit serde marker. */
+  def outputIsPathArray: Boolean = root.pathArray
 
   /** Attributes whose deltas can change this query's output. */
   def referencedAttributes: Set[String] = root.attrs

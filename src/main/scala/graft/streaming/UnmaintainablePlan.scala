@@ -13,4 +13,13 @@ object UnmaintainablePlan {
   /** Throw the typed rejection (drop-in for `sys.error` at plan-shape
     * rejection sites). */
   def reject(msg: String): Nothing = throw new UnmaintainablePlan(msg)
+
+  /** Shape precondition (drop-in for `require` at construction-time
+    * plan-shape checks): a failed condition means the plan lies outside
+    * the maintainable fragment, NOT that an invariant broke — so it
+    * throws the typed rejection the engine's demote path catches, never
+    * an IllegalArgumentException that could be confused with a genuine
+    * Spark/infra failure. */
+  def require(cond: Boolean, msg: => String): Unit =
+    if (!cond) throw new UnmaintainablePlan(msg)
 }

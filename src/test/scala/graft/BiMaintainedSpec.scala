@@ -216,4 +216,45 @@ class BiMaintainedSpec extends AnyFunSuite {
     assert(acc(fd) == acc(cd),
       "accumulated Distinct views must agree at a dominating time")
   }
+
+  test("transact is all-or-nothing: a rejected batch leaves no phantom state (r10 ADVICE)") {
+    // Two siblings: `bm` sees a mixed batch (one valid datom ordered
+    // BEFORE one at a closed system time) that must be rejected as a
+    // whole; `ref` never sees the bad batch. After identical valid
+    // traffic, their drains must agree exactly — phantom pending times
+    // or partially registered kinds from the rejected batch would show
+    // up as spurious empty transitions or a wrong schema rebuild.
+    def mk(): BiMaintained = {
+      val bm = new BiMaintained(spark, partitions = 4)
+      bm.createAttribute(":bm/x", AttributeConfig(InputSemantics.Raw))
+      bm.register(Rule("q", Plan.MatchA(0, ":bm/x", 1)))
+      bm.interest("q")
+      bm
+    }
+    val bm = mk()
+    val ref = mk()
+    def d(b: BiMaintained, e: Long, v: Long, sys: Long, ev: Long) =
+      b.BiDatom(Value.eid(e), ":bm/x", Value.num(v), (sys, ev), 1L)
+
+    Seq(bm, ref).foreach { b =>
+      b.transact(Seq(d(b, 1L, 10L, 0L, 0L)))
+      b.advance(2L)
+    }
+    // Mixed batch: valid (sys=5) first, stale (sys=0 < frontier 2) second
+    // — and a NEW attribute on the valid datom, so a partial apply would
+    // also leave a phantom kind registration.
+    val bad = intercept[IllegalArgumentException] {
+      bm.transact(Seq(
+        bm.BiDatom(Value.eid(9L), ":bm/new", Value.str("s"), (5L, 0L), 1L),
+        d(bm, 2L, 20L, 0L, 1L)))
+    }
+    assert(bad.getMessage.contains("closed system time"))
+
+    Seq(bm, ref).foreach { b =>
+      b.transact(Seq(d(b, 2L, 20L, 3L, 1L)))
+      b.advance(10L)
+    }
+    assert(bm.drain("q") == ref.drain("q"),
+      "rejected batch must leave the maintained state byte-identical")
+  }
 }

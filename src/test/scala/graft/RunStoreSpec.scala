@@ -95,4 +95,29 @@ class RunStoreSpec extends AnyFunSuite {
     }
     assert(runs.packedCount == 200L * 50L)
   }
+
+  test("PackedGroups routes arity-mismatched keys and rows to the boxed side (r10 ADVICE)") {
+    import graft.model.ValueKind
+    import graft.streaming.GroupIndex
+    // Declared shape: 2-long key, 1-long row. Irregular records — short
+    // key, long key, short row — must land in the boxed side map intact,
+    // never packed with stale/overflowing longs in the reused record
+    // buffer.
+    val g0 = GroupIndex.empty(
+      Seq(ValueKind.KNumber, ValueKind.KNumber), Seq(ValueKind.KNumber))
+    assert(g0.getClass.getSimpleName == "PackedGroups")
+    val g = g0.merged(Seq(
+      ((Seq[Any](1L, 2L), Seq[Any](10L)), 1L),      // regular → packed
+      ((Seq[Any](7L), Seq[Any](20L)), 1L),          // short key → boxed
+      ((Seq[Any](1L, 2L, 3L), Seq[Any](30L)), 1L),  // long key → boxed
+      ((Seq[Any](4L, 5L), Seq[Any](40L, 41L)), 1L)  // long row → boxed
+    ))
+    assert(g.group(Seq[Any](1L, 2L)) == Map(Seq[Any](10L) -> 1L))
+    assert(g.group(Seq[Any](7L)) == Map(Seq[Any](20L) -> 1L))
+    assert(g.group(Seq[Any](1L, 2L, 3L)) == Map(Seq[Any](30L) -> 1L))
+    assert(g.group(Seq[Any](4L, 5L)) == Map(Seq[Any](40L, 41L) -> 1L))
+    // A short key must NOT shadow or corrupt a packed group sharing its
+    // prefix longs (the latent stale-buffer bug the guard closes).
+    assert(g.group(Seq[Any](7L, 0L)).isEmpty)
+  }
 }

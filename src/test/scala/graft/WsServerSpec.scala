@@ -558,10 +558,11 @@ class WsServerSpec extends AnyFunSuite {
 
   test("require-based shape rejections also demote (real-valued aggregation)") {
     // SUM over a KReal attribute: the batch compiler supports it, the
-    // maintained compiler rejects it with a plain `require` (numeric
-    // aggregation needs long-typed values) — an IllegalArgumentException,
-    // not the typed UnmaintainablePlan. The wire path must still demote
-    // to snapshot serving instead of crashing the advance.
+    // maintained compiler rejects it with a shape precondition (numeric
+    // aggregation needs long-typed values) — since round 11 the typed
+    // UnmaintainablePlan via UnmaintainablePlan.require, the ONLY type
+    // the wire path demotes on. It must demote to snapshot serving
+    // instead of crashing the advance.
     val engine = new Engine(spark)
     val server = new WsServer(engine).start()
     val client = new Client(server.boundPort)
