@@ -116,25 +116,78 @@ object Similarity {
 
   /** Near-duplicate pairs with cosine ≥ tauNum/tauDen decided exactly:
     * dot > 0 ∧ tauDen²·dot² ≥ tauNum²·|a|²·|b|². Output columns
-    * (a, b, dotq, na, nb) are all exact integers. */
+    * (a, b, dotq, na, nb) are all exact integers.
+    *
+    * EXACT-FIRST under duplication (the text family / semdedup
+    * discipline): every similarity decision is a pure function of the
+    * quantized vector, so the blocked self-join runs over DISTINCT
+    * (block, qv) groups — one representative per group — and pairs
+    * expand back over the duplicate groups afterwards. Cross-group
+    * output pairs inherit the rep pair's accepted (dotq, norms),
+    * re-oriented to a < b; within-group (identical-vector) pairs pass
+    * exactly when the identical pair passes the threshold (|x|² > 0 and
+    * tauNum ≤ tauDen — an all-zero vector fails `dotq > 0` even against
+    * its own copy). Under d-fold duplication the dot-product and
+    * threshold work drops d²-fold; the expansion joins are
+    * output-proportional, never re-evaluating a dot product. */
   def quantizedNearDup(vectors: DataFrame, blockCol: String,
       tauNum: Long, tauDen: Long,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // Materialized once: both sides of the blocked self-join read the
-    // quantized+normed table instead of re-deriving it.
-    val q = vectors.select(col(blockCol).as("blk"), col(idCol).cast("long").as("id"),
-      quantize(col(vecCol)).as("qv"))
+    // ONE shuffle derives the whole duplicate-group structure: a window
+    // over (block, quantized vector) tags every row with its group
+    // representative (min id); the distinct-group table is the rep rows.
+    // Materialized once — feeds the rep self-join and both expansions.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk"), col("qv"))
+    val m = vectors.select(col(blockCol).as("blk"),
+        col(idCol).cast("long").as("id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("rep", min(col("id")).over(w))
       .withColumn("nrm", dotQ(col("qv"), col("qv")))
       .localCheckpoint(true)
-    val l = q.toDF("blk", "a", "av", "na")
-    val r = q.toDF("blk", "b", "bv", "nb")
-    l.join(r, Seq("blk"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"), dotQ(col("av"), col("bv")).as("dotq"),
-        col("na"), col("nb"))
+    val groups = m.where(col("id") === col("rep"))
+    val members = m.select(col("blk"), col("rep"), col("id"))
+
+    // Rep-level blocked self-join at distinct-vector size — the ONLY
+    // pairwise dot-product evaluations in the operator.
+    val l = groups.select(col("blk"), col("rep").as("ga"),
+      col("qv").as("av"), col("nrm").as("na"))
+    val r = groups.select(col("blk"), col("rep").as("gb"),
+      col("qv").as("bv"), col("nrm").as("nb"))
+    val repPairs = l.join(r, Seq("blk"))
+      .where(col("ga") < col("gb"))
+      .select(col("blk"), col("ga"), col("gb"),
+        dotQ(col("av"), col("bv")).as("dotq"), col("na"), col("nb"))
       .where(col("dotq") > 0 &&
         lit(tauDen * tauDen) * col("dotq") * col("dotq") >=
           lit(tauNum * tauNum) * col("na") * col("nb"))
+
+    // Cross-group expansion: every (x ∈ ga, y ∈ gb) member pair,
+    // re-oriented to a < b (the norms swap with the orientation; dotq is
+    // symmetric).
+    val cross = repPairs
+      .join(members.toDF("blk", "ga", "x"), Seq("blk", "ga"))
+      .join(members.toDF("blk", "gb", "y"), Seq("blk", "gb"))
+      .select(
+        least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"),
+        col("dotq"),
+        when(col("x") < col("y"), col("na")).otherwise(col("nb")).as("na"),
+        when(col("x") < col("y"), col("nb")).otherwise(col("na")).as("nb"))
+
+    // Within-group (identical-vector) pairs: dot(x,x) = |x|² passes the
+    // threshold iff |x|² > 0 and tauNum² ≤ tauDen² — the tau side is a
+    // driver-side constant, so the whole branch drops when false.
+    // Singleton groups vanish under x < y; no pair re-evaluates a dot.
+    if (tauNum * tauNum <= tauDen * tauDen) {
+      val within = m.select(col("blk"), col("rep"), col("id").as("x"),
+          col("nrm"))
+        .where(col("nrm") > 0L)
+        .join(members.toDF("blk", "rep", "y"), Seq("blk", "rep"))
+        .where(col("x") < col("y"))
+        .select(col("x").as("a"), col("y").as("b"), col("nrm").as("dotq"),
+          col("nrm").as("na"), col("nrm").as("nb"))
+      cross.unionAll(within)
+    } else cross
   }
 
   /** Exact brute-force top-k: rank key = trunc(10^6·dot²/(|a|²·|b|²)),
