@@ -727,6 +727,16 @@ object StreamScaleSmoke {
           advanceBatch(1100000, "grow n=1.1M")
           advanceBatch(5000, "probe n=5k")
         }
+        // Footprint audit at full history: MEASURED bytes/datom (real
+        // SizeEstimator walk over the cell partitions) vs the DECLARED
+        // estimate the gate and block-store accounting run on — the
+        // round-10 `weak` demanded measured ≤ ~150 B/datom packed and
+        // declared within 2× of measured.
+        val (declared, measured) = bm.storeBytes
+        println(f"[scale] bi footprint datoms=$total%d " +
+          f"declaredMB=${declared / 1048576}%d measuredMB=${measured / 1048576}%d " +
+          f"declaredBpd=${declared.toDouble / total}%.0f " +
+          f"measuredBpd=${measured.toDouble / total}%.0f")
       } finally prevDial match {
         case Some(v) => sys.props("graft.bi.distributed") = v
         case None    => sys.props.remove("graft.bi.distributed")

@@ -267,6 +267,12 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     * path this (plus the output-sized `r`/ledger/out buffers) is ALL
     * the driver keeps; the datom history and visible views live in the
     * [[StateCell]] partitions (scale-smoke evidence). */
+  /** Smoke/test hook: the store's (declared, measured) resident bytes —
+    * declared feeds the byte gate and StateCell's KnownSizeEstimation,
+    * measured is a real SizeEstimator walk verifying it. */
+  private[graft] def storeBytes: (Long, Long) =
+    (store.estimatedBytes, store.measuredResidentBytes)
+
   def controlPlaneStats: Map[String, Long] = Map(
     "pendingTimes" -> pendingTimes.size.toLong,
     "ledgerEntries" -> standings.valuesIterator.map(_.ledger.size.toLong).sum,

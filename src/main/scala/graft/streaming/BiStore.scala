@@ -40,6 +40,10 @@ private[streaming] sealed trait BiStore {
   def dump(kindOf: String => ValueKind): Map[String, DataFrame]
 
   def estimatedBytes: Long
+
+  /** MEASURED resident bytes — a real SizeEstimator walk over the state
+    * objects (smoke/test hook verifying the declared estimate). */
+  def measuredResidentBytes: Long
 }
 
 private[streaming] object BiStore {
@@ -71,7 +75,7 @@ private[streaming] object BiStore {
   * into the distributed sibling. */
 private[streaming] final class DriverBiStore(spark: SparkSession)
     extends BiStore {
-  private[streaming] var vis: BiVisibility = BiVisibility.empty
+  private[streaming] var vis: BiVis = BiVis.empty
 
   def ingest(recs: Seq[(BiKey, BiRec)]): Unit = vis = vis.ingest(recs)
 
@@ -93,6 +97,9 @@ private[streaming] final class DriverBiStore(spark: SparkSession)
     BiStore.framesOf(spark, vis.dumpEmitted.toSeq, kindOf)
 
   def estimatedBytes: Long = vis.estimatedBytes
+
+  def measuredResidentBytes: Long =
+    org.apache.spark.util.GraftSizeOf.estimate(vis)
 }
 
 /** Distributed sibling: the history lives as one [[BiVisibility]] per
@@ -105,30 +112,37 @@ private[streaming] final class CellBiStore(
     spark: SparkSession, partitions: Int) extends BiStore {
   private val sc = spark.sparkContext
   private val part = new HashPartitioner(partitions)
-  private val cell = new StateCell[BiVisibility](
-    sc, partitions, () => BiVisibility.empty, _.estimatedBytes)
+  private val cell = new StateCell[BiVis](
+    sc, partitions, BiVis.maker(), _.estimatedBytes)
   private var count = 0L
+  // MEASURED resident bytes, summed from the per-partition states'
+  // actual structure on every ingest (the round-10 accounting fix: no
+  // per-datom constant; transitions only grow the small emitted view,
+  // refreshed at the next ingest).
+  private var measuredBytes = 0L
 
   def ingest(recs: Seq[(BiKey, BiRec)]): Unit = {
     count += recs.size
     val delta = sc.parallelize(recs, math.max(1, partitions / 4))
       .partitionBy(part)
-    val _ = cell.advance1(delta) { (vis, it) =>
-      (vis.ingest(it), Array.empty[Int])
-    }
+    measuredBytes = cell.advance1(delta) { (vis, it) =>
+      val next = vis.ingest(it)
+      (next, Array(next.estimatedBytes))
+    }.fold(0L)(_ + _)
   }
 
   /** Plant a split driver state into the cell partitions (gate flip). */
-  private[streaming] def plant(parts: IndexedSeq[BiVisibility]): Unit = {
+  private[streaming] def plant(parts: IndexedSeq[BiVis]): Unit = {
     require(parts.length == partitions)
     count += parts.iterator.map(_.datomCount).sum
+    val maker = BiVis.maker()
     val delta = sc.parallelize(
         parts.zipWithIndex.map { case (s, i) => (i, s) }, 1)
       .partitionBy(new HashPartitioner(partitions)) // Int key i -> part i
-    val _ = cell.advance1(delta) { (_, it) =>
-      (it.toSeq.headOption.map(_._2).getOrElse(BiVisibility.empty),
-        Array.empty[Int])
-    }
+    measuredBytes = cell.advance1(delta) { (_, it) =>
+      val planted = it.toSeq.headOption.map(_._2).getOrElse(maker())
+      (planted, Array(planted.estimatedBytes))
+    }.fold(0L)(_ + _)
   }
 
   def transition(tPrev: Option[(Long, Long)], t: (Long, Long),
@@ -158,5 +172,9 @@ private[streaming] final class CellBiStore(
         BiStore.schema(kindOf(a)))
     }.toMap
 
-  def estimatedBytes: Long = count * 220L
+  def estimatedBytes: Long = measuredBytes
+
+  def measuredResidentBytes: Long =
+    cell.rdd.map(v => org.apache.spark.util.GraftSizeOf.estimate(v))
+      .fold(0L)(_ + _)
 }

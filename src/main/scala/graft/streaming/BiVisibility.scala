@@ -48,7 +48,7 @@ final class BiVisibility private (
     val bySys: TreeMap[Long, HashSet[BiKey]],
     val byEvent: TreeMap[Long, HashSet[BiKey]],
     val emitted: HashMap[BiKey, BiEmit],
-    val datomCount: Long) extends Serializable {
+    val datomCount: Long) extends BiVis {
 
   import BiVisibility.Sem
 
@@ -162,9 +162,13 @@ final class BiVisibility private (
     }
   }
 
-  /** Declared resident-byte estimate (KnownSizeEstimation input). */
+  /** Declared resident-byte estimate (KnownSizeEstimation input). The
+    * per-datom constant is the MEASURED SizeEstimator figure for this
+    * boxed layout (BiRec + List cons + two TreeMap/HashSet index
+    * entries ≈ 500 B/datom — round-10 VERDICT; the packed [[BiPacked]]
+    * sibling replaces the constant with actual array lengths). */
   def estimatedBytes: Long =
-    datomCount * 220L + emitted.size.toLong * 130L +
+    datomCount * 500L + emitted.size.toLong * 130L +
       (bySys.size + byEvent.size).toLong * 80L
 }
 

@@ -97,6 +97,27 @@ final class PackedRuns private (
     acc.iterator
   }
 
+  /** Entries whose FIRST column lies in `[lo, hi]`, streamed per run
+    * (duplicate keys across runs possible, weights NOT netted) — the
+    * index-scan read of a time-first-packed index, where the caller
+    * dedupes candidates anyway. Each run contributes one binary-search
+    * seek plus a contiguous scan of its in-range records. */
+  def rangeByFirst(lo: Long, hi: Long): Iterator[(Array[Long], Long)] =
+    runs.iterator.flatMap { r =>
+      var lb = 0
+      var ub = r.length / stride
+      while (lb < ub) {
+        val mid = (lb + ub) >>> 1
+        if (r(mid * stride) < lo) lb = mid + 1 else ub = mid
+      }
+      Iterator.unfold(lb * stride) { i =>
+        if (i < r.length && r(i) <= hi)
+          Some(((java.util.Arrays.copyOfRange(r, i, i + width), r(i + width)),
+            i + stride))
+        else None
+      }
+    }
+
   /** All net entries (k-way merge, zeros dropped) as (packed key, w). */
   def iterator: Iterator[(Array[Long], Long)] = new Iterator[(Array[Long], Long)] {
     private val cursors = Array.fill(runs.length)(0)

@@ -136,6 +136,40 @@ class BiMaintainedSpec extends AnyFunSuite {
     }
   }
 
+  test("boxed BiVisibility backend drains identically (graft.bi.packed=off)") {
+    // Cross-BACKEND parity: the packed sorted-run store (default) and
+    // the boxed reference implementation must produce multiset-equal
+    // drains against BiEngine, on BOTH store siblings, across the
+    // semantics zoo — the packing is a footprint change, never a
+    // semantics change.
+    val params = Gen.Parameters.default
+    val prev = sys.props.get("graft.bi.packed")
+    try {
+      for {
+        (slabel, sem) <- semanticsZoo.zipWithIndex.map { case (s, i) => (s"sem$i", s) }
+        distributed <- Seq(false, true)
+      } {
+        val history = genHistory(params,
+          Seed(42001L + slabel.hashCode * 31L + (if (distributed) 1 else 0)))
+          .getOrElse(Seq.empty)
+        sys.props("graft.bi.packed") = "off"
+        val (wantB, gotBoxed) = drive(history, sem, plans.head._2, distributed)
+        sys.props.remove("graft.bi.packed") // default: packed
+        val (wantP, gotPacked) = drive(history, sem, plans.head._2, distributed)
+        assert(wantB == wantP) // same BiEngine reference either way
+        assert(gotBoxed == wantB,
+          s"boxed $slabel dist=$distributed:\n want=$wantB\n got=$gotBoxed")
+        assert(gotPacked == wantB,
+          s"packed $slabel dist=$distributed:\n want=$wantB\n got=$gotPacked")
+      }
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.bi.packed") = v
+        case None    => sys.props.remove("graft.bi.packed")
+      }
+    }
+  }
+
   test("driver store migrates to the distributed sibling mid-history at the byte gate") {
     // Gate "1" flips on the first transact (nothing processed yet);
     // gate "1500" flips mid-history, AFTER earlier times were processed
