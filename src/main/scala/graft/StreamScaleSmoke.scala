@@ -685,6 +685,72 @@ object StreamScaleSmoke {
     // 10M accumulated state), and the driver control plane (time
     // lattice + output-sized ledger/result) must stay constant-sized —
     // the datoms live in the StateCell partitions.
+    // ------------- batch fixpoint past the broadcast gate (fixarr)
+    // The BATCH compiler's linear kernel loses its broadcast ceiling
+    // (round-10 VERDICT #3): a 6M-edge static side (~10× the broadcast
+    // row cap) must take the partitioned-arrangement path. The frontier
+    // is pinned to 1000 seeded chains, so ROUND work is flat while the
+    // static side doubles — totals should grow only with the one-time
+    // arrangement build (one shuffle of the static relation), never
+    // with per-round rescans. The final run A/Bs the Catalyst fallback
+    // (`graft.fixpoint.arrangement=off`) on the same data, same JVM.
+    if (section("fixarr")) {
+      import graft.compile.Compiler
+      import graft.domain.Domain
+      def run(chains: Long, len: Int, label: String): Double = {
+        val d = new Domain(spark)
+        // The static side is PARQUET-BACKED (written once per size) —
+        // the realistic 100 TB shape: a per-round Catalyst re-scan pays
+        // real IO/decode, where a range()-synthesized relation would be
+        // regenerated for free and flatter the fallback.
+        val path = s"/tmp/graft_fixarr_edges_${chains}_$len.parquet"
+        if (!new java.io.File(path).exists()) {
+          spark.range(0L, chains)
+            .selectExpr(s"explode(sequence(0, ${len - 1})) as i", "id")
+            .select((col("id") * 100L + col("i")).as("e"),
+              (col("id") * 100L + col("i") + 1L).as("v"))
+            .write.mode("overwrite").parquet(path)
+        }
+        val edges = spark.read.parquet(path)
+        val seeds = spark.range(0L, 1000L)
+          .select((col("id") * 100L).as("e"), (col("id") % 7L).as("v"))
+        d.registerStatic(":fx/edge", edges, ValueKind.KNumber)
+        d.registerStatic(":fx/seed", seeds, ValueKind.KNumber)
+        val reach = Rule("reach", Plan.Union(Seq(0, 1), Seq(
+          Plan.MatchA(0, ":fx/seed", 1),
+          Plan.Project(Seq(0, 1), Plan.Join(Seq(2),
+            Plan.MatchA(2, ":fx/edge", 0),
+            Plan.NameExpr(Seq(2, 1), "reach"))))))
+        val t0 = now()
+        val rel = new Compiler(d.asOf(0L), Map("reach" -> reach))
+          .compileRule("reach")
+        val n = rel.df.count()
+        val dt = secs(t0)
+        val want = 1000L * (len + 1)
+        val ok = if (n == want) "" else s" EXPECTED $want — FAILED"
+        println(f"[scale] fixarr $label%s chains=$chains%d len=$len%d " +
+          f"edges=${len * chains}%d out=$n%d sec=$dt%.1f$ok")
+        dt
+      }
+      // Flatness: per-round time (GRAFT_FIXPOINT_DEBUG) must stay flat
+      // as the static side doubles past the broadcast gate.
+      if (!sys.env.contains("GRAFT_FIXARR_DEEP_ONLY")) {
+        run(2000000L, 3, "arrangement")
+        run(4000000L, 3, "arrangement")
+      }
+      // Depth: 24 rounds over 24M static edges — the regime the
+      // arrangement exists for (the Catalyst fallback re-plans and
+      // re-scans per round; the arrangement pays one build, then
+      // frontier-sized rounds).
+      val tArr = run(1000000L, 24, "arrangement-deep")
+      sys.props("graft.fixpoint.arrangement") = "off"
+      try {
+        val tCat = run(1000000L, 24, "catalyst-deep")
+        println(f"[scale] fixarr DEEP A/B at 24M edges, 24 rounds: " +
+          f"arrangement=$tArr%.1fs catalyst=$tCat%.1fs (${tCat / tArr}%.1f×)")
+      } finally sys.props.remove("graft.fixpoint.arrangement")
+    }
+
     if (section("bi")) {
       import graft.streaming.BiMaintained
       val prevDial = sys.props.get("graft.bi.distributed")

@@ -624,20 +624,8 @@ class Compiler(
     }
     if (maxStaticRows <= 0) return None
     val sDf = (if (sRel.distinct) sRel.df else distinctify(sRel.df)).drop(W)
-    val sArr = sDf.limit(math.min(maxStaticRows + 1, Int.MaxValue.toLong).toInt).collect()
-    if (sArr.length > maxStaticRows) return None
     val keyIdxS: Array[Int] = target.map(sVars.indexOf).toArray
     val keyIdxR: Array[Int] = target.map(recVars.indexOf).toArray
-    // Lazy: only the generic boxed path reads this index; the binary-long
-    // fast path below builds its own primitive map from sArr directly.
-    lazy val sMap: Map[Seq[Any], Array[Array[Any]]] = {
-      val full = sArr.map { row =>
-        val a = new Array[Any](row.length); var i = 0
-        while (i < row.length) { a(i) = row.get(i); i += 1 }
-        a
-      }
-      full.groupBy(a => ArraySeq.unsafeWrapArray(keyIdxS.map(a(_))): Seq[Any])
-    }
     type Tup0 = ArraySeq[Any]
     def asLongK(x: Any): Long = x match {
       case l: Long => l
@@ -703,6 +691,288 @@ class Compiler(
             check(f.predicate, value(o0, t, s), value(o1, t, s))
       }
     }.toArray
+
+    // Cheap RAW-cardinality gate probe: the limit pushes into the scan
+    // (no distinct aggregate runs just to decide). raw ≤ cap ⇒ distinct
+    // ≤ cap, so the broadcast path is safe; raw > cap routes to the
+    // arrangement without a full distinct pass — at most conservative
+    // for duplicate-heavy statics whose distinct form would have fit.
+    val rawCap = math.min(maxStaticRows + 1, Int.MaxValue.toLong).toInt
+    val rawOverCap = sRel.df.limit(rawCap).count() > maxStaticRows
+    if (fixpointDebug) System.err.println(
+      s"[fixpoint] kernel gate rawOverCap=$rawOverCap cap=$maxStaticRows " +
+        s"distinct=${sRel.distinct} " +
+        s"elapsedMs=${(System.nanoTime() - debugT0) / 1000000}")
+    if (rawOverCap) {
+      // ---- partitioned static arrangement (static past the broadcast
+      // gate) — the batch sibling of the maintained kernel's
+      // arrangement (IncrementalQuery.kernelArrangement): instead of
+      // falling back to per-round Catalyst semi-naive plans, the static
+      // join index is built ONCE as one hash map per partition (keyed
+      // by the join columns under the loop's HashPartitioner) and
+      // reused by EVERY round; a round re-keys its delta by the join
+      // key (one O(frontier) shuffle — the documented cost of losing
+      // map-side k-hop batching) and probes partition-locally. Same
+      // filters, same recipe, same dedup/subtract loop as the broadcast
+      // path, so the two cannot diverge semantically.
+      // `-Dgraft.fixpoint.arrangement=off` forces the Catalyst fallback
+      // for A/B.
+      if (sys.props.get("graft.fixpoint.arrangement").contains("off"))
+        return None
+      // Duplicates in the static index are harmless — every round's
+      // candidates are deduped and subtracted — and monotone plans carry
+      // no negative weights, so their build skips the distinct pass
+      // entirely; non-monotone statics keep the set consolidation.
+      val sStatic =
+        if (sRel.distinct || isMonotone(staticPlan)) sRel.df.drop(W) else sDf
+      val sc = spark.sparkContext
+      val pArr = math.max(pLoop, math.min(userPartitions, 16))
+      val partA = new HashPartitioner(pArr)
+      val nColsA = template.vars.length
+      val keyIdxSL = keyIdxS
+      val keyIdxRL = keyIdxR
+      val recipeL = recipe
+      val filterFnsL = filterFns
+      // BOTH shuffles of the arrangement scheme run through Tungsten
+      // (`repartition(n, keyCols)` — the same deterministic
+      // HashPartitioning expression on the join-key columns on both
+      // sides, so zipPartitions alignment holds by construction) instead
+      // of an RDD partitionBy of boxed tuples: the static build is one
+      // columnar shuffle + a partition-local boxed index build, and each
+      // round's delta re-key is one frontier-sized columnar shuffle.
+      val sCols = sStatic.columns
+      val sKeyCols = keyIdxS.toIndexedSeq.map(i => col(sCols(i)))
+      val dSchemaP = org.apache.spark.sql.types.StructType(
+        template.df.schema.fields.take(nColsA))
+      val dKeyColsP = keyIdxR.toIndexedSeq.map(i => col(dSchemaP.fields(i).name))
+
+      // ---- primitive packed arrangement (the dominant ALL-LONG case:
+      // closure/reachability relations) — the static index per partition
+      // is ONE lex-sorted primitive long array (key columns first), built
+      // straight off the Tungsten shuffle's InternalRows with zero boxing
+      // (~10× the boxed HashMap build); probes are a binary search + a
+      // contiguous prefix scan. The null audit is FUSED into the build
+      // pass (a separate audit scan would re-pay the whole upstream
+      // distinct); any null bails to the boxed sibling, and a null-able
+      // round-0 delta is audited with one delta-sized scan like the
+      // binary fast path's.
+      val primOk = (template.kinds ++ sRel.kinds).forall(longKind) &&
+        !sys.props.get("graft.fixpoint.arrangement.packed").contains("off") &&
+        (delta0.df.schema.fields.take(nColsA).forall(!_.nullable) ||
+          delta0.df.where(delta0.df.columns.take(nColsA).toIndexedSeq
+            .map(col(_).isNull).reduce(_ || _)).isEmpty)
+      val primArr: Option[RDD[Array[Long]]] = if (!primOk) None else {
+        val sw = sVars.length
+        val restIdx = (0 until sw).filterNot(keyIdxS.contains).toArray
+        val colOrder: Array[Int] = keyIdxS ++ restIdx // packed pos -> orig col
+        val built: RDD[(Array[Long], Boolean)] =
+          sStatic.repartition(pArr, sKeyCols: _*)
+            .queryExecution.toRdd.mapPartitions({ it =>
+              val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+              var sawNull = false
+              it.foreach { r =>
+                var i = 0
+                while (i < sw) {
+                  if (r.isNullAt(colOrder(i))) sawNull = true
+                  buf += r.getLong(colOrder(i)); i += 1
+                }
+              }
+              Iterator.single((
+                graft.streaming.PackedRuns.sortRecords(buf.result(), sw),
+                sawNull))
+            }, preservesPartitioning = false)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        val (staticRows, anyNull) = built
+          .map(p => (p._1.length.toLong / sw, p._2))
+          .fold((0L, false))((a, b) => (a._1 + b._1, a._2 || b._2))
+        if (fixpointDebug) System.err.println(
+          s"[fixpoint] kernel static PACKED ARRANGEMENT rows=$staticRows " +
+            s"nulls=$anyNull partitions=$pArr filters=${filterFns.length} " +
+            s"elapsedMs=${(System.nanoTime() - debugT0) / 1000000}")
+        if (anyNull) { built.unpersist(blocking = false); None }
+        else Some(built.map(_._1)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      }
+      primArr.foreach { arrP =>
+        val sw = sVars.length
+        val kw = keyIdxS.length
+        val restIdx = (0 until sw).filterNot(keyIdxS.contains).toArray
+        val colOrder: Array[Int] = keyIdxS ++ restIdx
+        val posOf: Array[Int] = {
+          val pp = new Array[Int](sw)
+          var i = 0
+          while (i < sw) { pp(colOrder(i)) = i; i += 1 }
+          pp
+        }
+        val d0p: RDD[(Tup0, Null)] = delta0.df.rdd.map { r =>
+          val a = new Array[Any](nColsA); var i = 0
+          while (i < nColsA) { a(i) = r.get(i); i += 1 }
+          (ArraySeq.unsafeWrapArray(a): Tup0, null)
+        }.partitionBy(partA).persist(StorageLevel.MEMORY_AND_DISK)
+        d0p.count()
+        val keyIdxRL2 = keyIdxR
+        val recipeL2 = recipe
+        val filterFnsL2 = filterFns
+        val expandP: RDD[(Tup0, Null)] => RDD[(Tup0, Null)] = { delta =>
+          val deltaDf = spark.createDataFrame(
+            delta.map { case (t, _) => Row.fromSeq(t) }, dSchemaP)
+          val keyed = deltaDf.repartition(pArr, dKeyColsP: _*)
+            .queryExecution.toRdd
+          arrP.zipPartitions(keyed, preservesPartitioning = false) { (aIt, dIt) =>
+            val tArr = aIt.next()
+            val nRec = tArr.length / sw
+            val key = new Array[Long](kw)
+            dIt.flatMap { r =>
+              val t = new Array[Any](nColsA); var i = 0
+              while (i < nColsA) { t(i) = r.getLong(i); i += 1 }
+              val tSeq: Tup0 = ArraySeq.unsafeWrapArray(t)
+              var j = 0
+              while (j < kw) { key(j) = r.getLong(keyIdxRL2(j)); j += 1 }
+              var lb = 0; var ub = nRec
+              while (lb < ub) {
+                val mid = (lb + ub) >>> 1
+                val o = mid * sw
+                var c = 0; var k = 0
+                while (c == 0 && k < kw) {
+                  c = java.lang.Long.compare(tArr(o + k), key(k)); k += 1
+                }
+                if (c < 0) lb = mid + 1 else ub = mid
+              }
+              val startKey = key.clone() // detach from the shared scratch
+              new scala.collection.AbstractIterator[(Tup0, Null)] {
+                private var off = lb * sw
+                private var ready: (Tup0, Null) = _
+                private def prefixOk(o: Int): Boolean = {
+                  var k = 0
+                  while (k < kw) {
+                    if (tArr(o + k) != startKey(k)) return false
+                    k += 1
+                  }
+                  true
+                }
+                private def step(): Unit = {
+                  ready = null
+                  while (ready == null && off < tArr.length && prefixOk(off)) {
+                    val pass = filterFnsL2.isEmpty || {
+                      val sBox = new Array[Any](sw); var i2 = 0
+                      while (i2 < sw) {
+                        sBox(colOrder(i2)) = tArr(off + i2); i2 += 1
+                      }
+                      var ok = true; var fi = 0
+                      while (ok && fi < filterFnsL2.length) {
+                        ok = filterFnsL2(fi)(tSeq, sBox); fi += 1
+                      }
+                      ok
+                    }
+                    if (pass) {
+                      val out = new Array[Any](recipeL2.length); var oi = 0
+                      while (oi < recipeL2.length) {
+                        val (fromRec, idx) = recipeL2(oi)
+                        out(oi) =
+                          if (fromRec) tSeq(idx)
+                          else (tArr(off + posOf(idx)): Any)
+                        oi += 1
+                      }
+                      ready = ((ArraySeq.unsafeWrapArray(out): Tup0), null)
+                    }
+                    off += sw
+                  }
+                }
+                step()
+                def hasNext: Boolean = ready != null
+                def next(): (Tup0, Null) = { val o = ready; step(); o }
+              }
+            }
+          }
+        }
+        val (parts, total) = kernelIterateRdd(d0p, rows0, partA, expandP, debugT0)
+        arrP.unpersist(blocking = false)
+        return Some(toTemplateDf(template,
+          sc.union(parts.map(_.map(p => Row.fromSeq(p._1 :+ 1L)))), total, pLoop))
+      }
+
+      val arr: RDD[java.util.HashMap[Seq[Any], Array[Array[Any]]]] =
+        sStatic.repartition(pArr, sKeyCols: _*).rdd.mapPartitions({ it =>
+          val m = new java.util.HashMap[Seq[Any], Array[Array[Any]]]()
+          val tmp = new java.util.HashMap[Seq[Any],
+            scala.collection.mutable.ArrayBuffer[Array[Any]]]()
+          it.foreach { r =>
+            val a = new Array[Any](r.length); var i = 0
+            while (i < r.length) { a(i) = r.get(i); i += 1 }
+            val k: Seq[Any] = ArraySeq.unsafeWrapArray(keyIdxSL.map(a(_)))
+            tmp.computeIfAbsent(k,
+              _ => scala.collection.mutable.ArrayBuffer.empty) += a
+          }
+          tmp.forEach((k, vs) => m.put(k, vs.toArray))
+          Iterator.single(m)
+        }, preservesPartitioning = false)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      val staticKeys = arr.map(_.size.toLong).fold(0L)(_ + _)
+      if (fixpointDebug) System.err.println(
+        s"[fixpoint] kernel static ARRANGEMENT keys=$staticKeys " +
+          s"partitions=$pArr filters=${filterFns.length} " +
+          s"elapsedMs=${(System.nanoTime() - debugT0) / 1000000}")
+      val dSchema = org.apache.spark.sql.types.StructType(
+        template.df.schema.fields.take(nColsA))
+      val dKeyCols = keyIdxR.toIndexedSeq.map(i => col(dSchema.fields(i).name))
+      val d0a: RDD[(Tup0, Null)] = delta0.df.rdd.map { r =>
+        val a = new Array[Any](nColsA); var i = 0
+        while (i < nColsA) { a(i) = r.get(i); i += 1 }
+        (ArraySeq.unsafeWrapArray(a): Tup0, null)
+      }.partitionBy(partA).persist(StorageLevel.MEMORY_AND_DISK)
+      d0a.count()
+      val expand: RDD[(Tup0, Null)] => RDD[(Tup0, Null)] = { delta =>
+        val deltaDf = spark.createDataFrame(
+          delta.map { case (t, _) => Row.fromSeq(t) }, dSchema)
+        val keyed = deltaDf.repartition(pArr, dKeyCols: _*).rdd
+        arr.zipPartitions(keyed, preservesPartitioning = false) { (mIt, dIt) =>
+          val m = mIt.next()
+          dIt.flatMap { r =>
+            val t0arr = new Array[Any](nColsA); var i = 0
+            while (i < nColsA) { t0arr(i) = r.get(i); i += 1 }
+            val t: Tup0 = ArraySeq.unsafeWrapArray(t0arr)
+            val rows = m.get(
+              ArraySeq.unsafeWrapArray(keyIdxRL.map(t0arr(_))): Seq[Any])
+            if (rows == null) Iterator.empty
+            else rows.iterator
+              .filter { v =>
+                var ok = true; var fi = 0
+                while (ok && fi < filterFnsL.length) {
+                  ok = filterFnsL(fi)(t, v); fi += 1
+                }
+                ok
+              }
+              .map { v =>
+                val out = new Array[Any](recipeL.length); var oi = 0
+                while (oi < recipeL.length) {
+                  val (fromRec, idx) = recipeL(oi)
+                  out(oi) = if (fromRec) t(idx) else v(idx)
+                  oi += 1
+                }
+                (ArraySeq.unsafeWrapArray(out): Tup0, null)
+              }
+          }
+        }
+      }
+      val (parts, total) = kernelIterateRdd(d0a, rows0, partA, expand, debugT0)
+      // Every chain member is localCheckpoint-materialized by the loop,
+      // so dropping the arrangement cannot strand a recomputation.
+      arr.unpersist(blocking = false)
+      return Some(toTemplateDf(template,
+        sc.union(parts.map(_.map(p => Row.fromSeq(p._1 :+ 1L)))), total, pLoop))
+    }
+    val sArr = sDf.limit(rawCap).collect()
+    if (sArr.length > maxStaticRows) return None // arrangement dialled off
+    // Lazy: only the generic boxed path reads this index; the binary-long
+    // fast path below builds its own primitive map from sArr directly.
+    lazy val sMap: Map[Seq[Any], Array[Array[Any]]] = {
+      val full = sArr.map { row =>
+        val a = new Array[Any](row.length); var i = 0
+        while (i < row.length) { a(i) = row.get(i); i += 1 }
+        a
+      }
+      full.groupBy(a => ArraySeq.unsafeWrapArray(keyIdxS.map(a(_))): Seq[Any])
+    }
 
     if (fixpointDebug) System.err.println(
       s"[fixpoint] kernel static=${sArr.length} rows filters=${filterFns.length} " +
@@ -865,18 +1135,11 @@ class Compiler(
       mkExpand: () => K => Iterator[K],
       debugT0: Long)(implicit ct: scala.reflect.ClassTag[K])
       : (Vector[org.apache.spark.rdd.RDD[(K, Null)]], Long) = {
-    import org.apache.spark.rdd.RDD
-    val maxChain = 16
     val kHops = math.max(1, Integer.getInteger("graft.fixpoint.khop", 4))
     val hopBudget = 1 << 16
-    var parts = Vector[RDD[(K, Null)]](d0)
-    var delta: RDD[(K, Null)] = d0
-    var total = rows0
-    var n = rows0
-    var iter = 0
-    while (n > 0 && iter < maxIterations) {
-      iter += 1
-      val cand: RDD[(K, Null)] = delta.mapPartitions { it =>
+    val expand: org.apache.spark.rdd.RDD[(K, Null)] =>
+        org.apache.spark.rdd.RDD[(K, Null)] = { delta =>
+      delta.mapPartitions { it =>
         val expandOne = mkExpand()
         if (kHops <= 1) {
           it.flatMap { case (t, _) => expandOne(t).map((_, null)) }
@@ -911,6 +1174,32 @@ class Compiler(
           }
         }
       }
+    }
+    kernelIterateRdd(d0, rows0, part, expand, debugT0)
+  }
+
+  /** The shared semi-naive loop over an RDD-level expand step — the
+    * broadcast kernel passes a map-side (k-hop-batched) expansion, the
+    * past-the-gate arrangement kernel passes a re-key + co-partitioned
+    * probe: dedup/subtract via RddKernel, chain + compact, until no
+    * fresh tuples. */
+  private def kernelIterateRdd[K](
+      d0: org.apache.spark.rdd.RDD[(K, Null)], rows0: Long,
+      part: org.apache.spark.HashPartitioner,
+      expand: org.apache.spark.rdd.RDD[(K, Null)] =>
+        org.apache.spark.rdd.RDD[(K, Null)],
+      debugT0: Long)(implicit ct: scala.reflect.ClassTag[K])
+      : (Vector[org.apache.spark.rdd.RDD[(K, Null)]], Long) = {
+    import org.apache.spark.rdd.RDD
+    val maxChain = 16
+    var parts = Vector[RDD[(K, Null)]](d0)
+    var delta: RDD[(K, Null)] = d0
+    var total = rows0
+    var n = rows0
+    var iter = 0
+    while (n > 0 && iter < maxIterations) {
+      iter += 1
+      val cand: RDD[(K, Null)] = expand(delta)
       val fresh = graft.kernel.RddKernel.freshDelta(cand, part, parts)
       n = fresh.count()
       if (n > 0) {

@@ -182,8 +182,10 @@ final class WsServer(engine: Engine, port: Int = 0,
         clients.remove(id).foreach { case (_, names) =>
           // Drop this client's sink routing with its interests — a stale
           // sink state would silently swallow a reconnecting client's
-          // plain delivery under a reused id.
+          // plain delivery under a reused id — and its granularity state.
           sinkStates.filterInPlace { case ((cid, _), _) => cid != id }
+          clientGrain.filterInPlace { case ((cid, _), _) => cid != id }
+          heldCoarse.filterInPlace { case ((cid, _), _) => cid != id }
           names.foreach { name =>
             if (!clients.values.exists(_._2.contains(name)))
               try engine.uninterest(name) catch { case NonFatal(_) => () }
@@ -211,8 +213,16 @@ final class WsServer(engine: Engine, port: Int = 0,
           // Interest IS the standing dataflow, `src/server/mod.rs:299-321`):
           // a live client's standing query costs O(delta) per advance,
           // with the engine demoting to the snapshot path only for plans
-          // outside the maintainable fragment.
-          if (!streamNames.contains(name)) engine.interestMaintained(name, g)
+          // outside the maintainable fragment. Granularity is PER
+          // (client, interest) — applied at this delivery layer, never
+          // on the shared engine dataflow, so two clients at different
+          // granularities over one rule each get their own Coarsen.
+          if (!streamNames.contains(name)) engine.interestMaintained(name)
+          g match {
+            case Some(gr) => clientGrain((id, name)) = gr
+            case None     => clientGrain -= ((id, name))
+              heldCoarse -= ((id, name))
+          }
           clients(id)._2 += name
           // Sink routing (reference: `Interest.sink`, server/src/main.rs:
           // 494-520): diffs divert into the sink; AssocIn forwards its
@@ -249,6 +259,8 @@ final class WsServer(engine: Engine, port: Int = 0,
         case Request.Uninterest(name) =>
           clients(id)._2 -= name
           sinkStates -= ((id, name))
+          clientGrain -= ((id, name))
+          heldCoarse -= ((id, name))
           // Tear the dataflow down only when the LAST interested client
           // leaves (server/src/main.rs:276-281).
           if (!clients.values.exists(_._2.contains(name)))
@@ -286,6 +298,17 @@ final class WsServer(engine: Engine, port: Int = 0,
   private final case class JsonState(sink: graft.sinks.JsonDocSink)
       extends SinkState
   private val sinkStates = mutable.Map.empty[(Long, String), SinkState]
+  // PER-INTEREST delivery granularity (`Interest.granularity`,
+  // `src/server/mod.rs:110-119` — each subscriber requests its OWN
+  // Coarsen): the engine serves every rule at fine times; this layer
+  // coarsens each (client, rule)'s delivery independently — times round
+  // STRICTLY up to the next bound ((t/g + 1)·g, the reference Coarsen,
+  // `src/timestamp/mod.rs:151-154`) and are held until the frontier
+  // passes the bound. Two clients at different granularities over one
+  // rule each get their own coarsened lattice.
+  private val clientGrain = mutable.Map.empty[(Long, String), Long]
+  private val heldCoarse =
+    mutable.Map.empty[(Long, String), mutable.ArrayBuffer[(Seq[Value], Long, Long)]]
   /** Per-advance latency log of void-sinked interests, mirroring
     * `Sink::TheVoid`'s ms-per-frontier log: (name, time, rows). In-memory
     * copy is capped (long-lived servers log to the configured file). */
@@ -330,17 +353,55 @@ final class WsServer(engine: Engine, port: Int = 0,
         }
         lazy val plainMsg = Wire.renderOutput(Output.QueryDiff(name, batch))
         for ((cid, (out, names)) <- clients if names.contains(name)) {
-          sinkStates.get((cid, name)) match {
-            case Some(v: VoidState)  => sinkVoid(name, v, batch)
-            case Some(a: AssocState) => sinkAssoc(cid, name, a, batch)
-            case Some(c: CsvState)   => sinkCsv(c, batch)
-            case Some(j: JsonState)  => sinkJson(cid, name, j, batch)
-            case None                => send(out, plainMsg)
+          val cBatch = coarsened(cid, name, batch)
+          if (cBatch.nonEmpty) sinkStates.get((cid, name)) match {
+            case Some(v: VoidState)  => sinkVoid(name, v, cBatch)
+            case Some(a: AssocState) => sinkAssoc(cid, name, a, cBatch)
+            case Some(c: CsvState)   => sinkCsv(c, cBatch)
+            case Some(j: JsonState)  => sinkJson(cid, name, j, cBatch)
+            case None => send(out,
+              if (cBatch eq batch) plainMsg
+              else Wire.renderOutput(Output.QueryDiff(name, cBatch)))
+          }
+        }
+      } else {
+        // No fresh diffs, but a frontier advance may have completed a
+        // held coarse bound for some subscriber — release independently.
+        for ((cid, (out, names)) <- clients if names.contains(name)
+            if clientGrain.contains((cid, name))) {
+          val cBatch = coarsened(cid, name, Seq.empty)
+          if (cBatch.nonEmpty) sinkStates.get((cid, name)) match {
+            case Some(v: VoidState)  => sinkVoid(name, v, cBatch)
+            case Some(a: AssocState) => sinkAssoc(cid, name, a, cBatch)
+            case Some(c: CsvState)   => sinkCsv(c, cBatch)
+            case Some(j: JsonState)  => sinkJson(cid, name, j, cBatch)
+            case None => send(out,
+              Wire.renderOutput(Output.QueryDiff(name, cBatch)))
           }
         }
       }
     }
   }
+
+  /** Apply (client, rule)'s delivery granularity: bucket fresh diffs to
+    * their coarse bounds, hold, and release exactly the buckets the
+    * frontier has passed. Identity (same Seq) when the client asked for
+    * fine delivery. */
+  private def coarsened(cid: Long, name: String,
+      batch: Seq[(Seq[Value], Long, Long)]): Seq[(Seq[Value], Long, Long)] =
+    clientGrain.get((cid, name)) match {
+      case None => batch
+      case Some(g) =>
+        val held = heldCoarse.getOrElseUpdate((cid, name),
+          mutable.ArrayBuffer.empty)
+        batch.foreach { case (tuple, t, d) =>
+          held += ((tuple, (t / g + 1L) * g, d))
+        }
+        val frontier = engine.currentFrontier
+        val (ready, keep) = held.partition(_._2 < frontier)
+        held.clear(); held ++= keep
+        ready.toSeq
+    }
 
   // One open writer per void-log path (reused across flushes); appends
   // are best-effort like the reference's latency log — a bad path must

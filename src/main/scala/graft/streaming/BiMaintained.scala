@@ -62,20 +62,7 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
   private val rules = mutable.LinkedHashMap.empty[String, Rule]
   private val interests = mutable.LinkedHashSet.empty[String]
   private var sysFrontier: Long = 0L
-  // Driver control plane: the UNPROCESSED time lattice (processed times
-  // leave it — transact rejects writes under the sys frontier, so a
-  // completed time can never recur) and the last processed time.
-  private val pendingTimes = mutable.SortedSet.empty[BiTime]
-  private var lastProcessed: Option[BiTime] = None
   private var seqCounter: Long = 0L
-
-  /** The history store: driver-resident under the byte gate, then
-    * migrated distributed (sticky). `graft.bi.distributed=on` starts
-    * distributed; `off` pins the driver sibling. */
-  private var store: BiStore =
-    if (sys.props.get("graft.bi.distributed").contains("on"))
-      new CellBiStore(spark, partitions)
-    else new DriverBiStore(spark)
 
   /** Driver-store byte gate. Unlike the closure maintainer's driver
     * index (which is BROADCAST — shipped to every executor per job),
@@ -88,25 +75,78 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     sys.props.get("graft.bi.driver.bytes").map(_.toLong)
       .getOrElse(64L * 1024 * 1024)
 
-  private def maybeMigrate(): Unit = store match {
-    case d: DriverBiStore
-        if !sys.props.get("graft.bi.distributed").contains("off") &&
-          d.estimatedBytes > driverGateBytes =>
-      val cell = new CellBiStore(spark, partitions)
-      cell.plant(d.vis.split(partitions))
-      store = cell
-    case _ => ()
+  /** One Coarsen LANE per distinct delivery granularity in use — the
+    * reference lets every Interest request its own granularity
+    * (`Interest.granularity`, `src/server/mod.rs:110-119`) and applies
+    * `Coarsen` to that interest's own dataflow; here each lane keeps
+    * its own coarsened history store, unprocessed time lattice, and
+    * last processed time, and standings attach to the lane of THEIR
+    * granularity. Lanes must exist before the first transact (a lane
+    * created later would miss ingested history — the engine-level
+    * replay the reference gets from its compacted traces). */
+  private final class Lane(val win: Option[(Long, Long)]) {
+    /** The history store: driver-resident under the byte gate, then
+      * migrated distributed (sticky). `graft.bi.distributed=on` starts
+      * distributed; `off` pins the driver sibling. */
+    var store: BiStore =
+      if (sys.props.get("graft.bi.distributed").contains("on"))
+        new CellBiStore(spark, partitions)
+      else new DriverBiStore(spark)
+    // Driver control plane: the UNPROCESSED time lattice (processed
+    // times leave it — transact rejects writes under the sys frontier,
+    // so a completed time can never recur) and the last processed time.
+    val pendingTimes = mutable.SortedSet.empty[BiTime]
+    var lastProcessed: Option[BiTime] = None
+    val members = mutable.LinkedHashSet.empty[String]
+
+    def coarseTime(t: BiTime): BiTime = win match {
+      case None           => t
+      case Some((ws, we)) => (coarse(t._1, ws), coarse(t._2, we))
+    }
+
+    def maybeMigrate(): Unit = store match {
+      case d: DriverBiStore
+          if !sys.props.get("graft.bi.distributed").contains("off") &&
+            d.estimatedBytes > driverGateBytes =>
+        val cell = new CellBiStore(spark, partitions)
+        cell.plant(d.vis.split(partitions))
+        store = cell
+      case _ => ()
+    }
   }
+  private val lanes = mutable.LinkedHashMap.empty[Option[(Long, Long)], Lane]
+  private def laneOf(win: Option[(Long, Long)]): Lane =
+    lanes.getOrElseUpdate(win, new Lane(win))
 
   def createAttribute(name: String, config: AttributeConfig = AttributeConfig()): Unit =
     configs(name) = config
 
   def register(rule: Rule): Unit = rules(rule.name) = rule
 
-  def interest(name: String): Unit = {
+  /** Express interest at the instance default granularity. */
+  def interest(name: String): Unit = interest(name, coarsen)
+
+  /** Express interest with a PER-INTEREST delivery granularity
+    * (`Interest.granularity`): the standing attaches to the Coarsen
+    * lane of `granularity`, independent of every other interest's —
+    * two rules (or two subscribers via distinct rule names) at
+    * different granularities each get their own coarsened lattice. */
+  def interest(name: String, granularity: Option[(Long, Long)]): Unit = {
     require(rules.contains(name), s"unknown rule $name")
+    require(seqCounter == 0L || lanes.contains(granularity),
+      s"granularity $granularity has no lane: declare an interest at it " +
+        "before the first transact (late lanes would miss history)")
+    val lane = laneOf(granularity)
+    standings.get(name) match {
+      case Some(st) =>
+        require(st.lane eq lane,
+          s"interest '$name' is already attached to granularity ${st.lane.win}")
+      case None =>
+        val st = new Standing(name, lane)
+        standings(name) = st
+        lane.members += name
+    }
     interests += name
-    standings.getOrElseUpdate(name, new Standing(name))
   }
 
   private def semanticsOf(a: String): InputSemantics =
@@ -117,34 +157,41 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
   private def coarse(x: Long, w: Long): Long =
     if (w <= 0L) x else (x / w + 1L) * w
 
-  private def coarseTime(t: BiTime): BiTime = coarsen match {
-    case None           => t
-    case Some((ws, we)) => (coarse(t._1, ws), coarse(t._2, we))
-  }
-
   def transact(datoms: Seq[BiDatom]): Unit = {
     // All-or-nothing: validate EVERY datom's (coarsened) system time
-    // against the frontier before touching any driver state, so a
-    // rejected batch leaves no phantom pending times, sequence numbers,
-    // or partially registered attribute kinds behind (round-10 ADVICE).
-    val coarsed = datoms.map(d => (d, coarseTime(d.t)))
-    coarsed.foreach { case (_, ct) =>
+    // against the frontier — on EVERY lane — before touching any driver
+    // state, so a rejected batch leaves no phantom pending times,
+    // sequence numbers, or partially registered attribute kinds behind
+    // (round-10 ADVICE). Ingest defaults to the instance lane when no
+    // interest has declared one yet.
+    if (lanes.isEmpty) { val _ = laneOf(coarsen) }
+    val laneSeq = lanes.valuesIterator.toSeq
+    for (d <- datoms; lane <- laneSeq) {
+      val ct = lane.coarseTime(d.t)
       require(ct._1 >= sysFrontier,
         s"write at closed system time ${ct._1}: frontier at $sysFrontier")
     }
-    val recs = coarsed.map { case (d, ct) =>
+    val seq0 = seqCounter
+    datoms.foreach { d =>
       configs.getOrElseUpdate(d.a, AttributeConfig())
       if (!firstKind.contains(d.a)) firstKind(d.a) = ValueKind.of(d.v)
-      pendingTimes += ct
       seqCounter += 1L
-      val lww = semanticsOf(d.a) == InputSemantics.LastWriteWins
-      val key =
-        if (lww) BiKey(d.a, d.e.native, null)
-        else BiKey(d.a, d.e.native, d.v.native)
-      (key, BiRec(ct._1, ct._2, seqCounter, d.diff,
-        if (lww) d.v.native else null))
     }
-    if (recs.nonEmpty) { store.ingest(recs); maybeMigrate() }
+    for (lane <- laneSeq) {
+      var seq = seq0
+      val recs = datoms.map { d =>
+        val ct = lane.coarseTime(d.t)
+        lane.pendingTimes += ct
+        seq += 1L
+        val lww = semanticsOf(d.a) == InputSemantics.LastWriteWins
+        val key =
+          if (lww) BiKey(d.a, d.e.native, null)
+          else BiKey(d.a, d.e.native, d.v.native)
+        (key, BiRec(ct._1, ct._2, seq, d.diff,
+          if (lww) d.v.native else null))
+      }
+      if (recs.nonEmpty) { lane.store.ingest(recs); lane.maybeMigrate() }
+    }
   }
 
   private def kindOf(a: String): ValueKind =
@@ -152,7 +199,7 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
 
   // ---- per-interest standing state --------------------------------------
 
-  private final class Standing(name: String) {
+  private final class Standing(name: String, val lane: Lane) {
     private val plan = rules(name).plan
     private val rulePlans: Map[String, Plan] =
       rules.iterator.map { case (n, ru) => n -> ru.plan }.toMap
@@ -181,12 +228,12 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
       if (iq == null) {
         kinds = current
         iq = new IncrementalQuery(spark, plan, kinds, rulePlans)
-        val replay = store.dump(kindOf).view.filterKeys(refAttrs).toMap
+        val replay = lane.store.dump(kindOf).view.filterKeys(refAttrs).toMap
         if (replay.nonEmpty) accumulate(iq.advance(replay))
       } else if (kinds != current) {
         kinds = current
         iq = new IncrementalQuery(spark, plan, kinds, rulePlans)
-        val replay = store.dump(kindOf).view.filterKeys(refAttrs).toMap
+        val replay = lane.store.dump(kindOf).view.filterKeys(refAttrs).toMap
         if (replay.nonEmpty) { val _ = iq.advance(replay).count() }
       }
     }
@@ -238,28 +285,32 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
 
   def advance(sysNext: Long): Unit = {
     require(sysNext > sysFrontier, s"cannot rewind from $sysFrontier to $sysNext")
-    val newTimes = pendingTimes.iterator.takeWhile(_._1 < sysNext).toSeq
     val sem: Map[String, InputSemantics] = configs.iterator
       .map { case (a, c) => a -> c.inputSemantics }.toMap
       .withDefaultValue(InputSemantics.Raw)
-    for (t <- newTimes) {
-      val t0 = System.nanoTime()
-      // Standing queries (re)build against the PRE-transition view.
-      for (name <- interests) standings(name).ensureBuilt()
-      val t1 = System.nanoTime()
-      val deltas = store.transition(lastProcessed, t, sem, kindOf)
-      lastProcessed = Some(t)
-      val t2 = System.nanoTime()
-      for (name <- interests) {
-        val st = standings(name)
-        val sub = deltas.view.filterKeys(st.refAttrs).toMap
-        if (sub.nonEmpty) st.accumulate(st.iq.advance(sub))
-        st.deliver(t)
+    for (lane <- lanes.valuesIterator) {
+      val newTimes = lane.pendingTimes.iterator.takeWhile(_._1 < sysNext).toSeq
+      val laneInterests = interests.filter(lane.members.contains)
+      for (t <- newTimes) {
+        val t0 = System.nanoTime()
+        // Standing queries (re)build against the PRE-transition view.
+        for (name <- laneInterests) standings(name).ensureBuilt()
+        val t1 = System.nanoTime()
+        val deltas = lane.store.transition(lane.lastProcessed, t, sem, kindOf)
+        lane.lastProcessed = Some(t)
+        val t2 = System.nanoTime()
+        for (name <- laneInterests) {
+          val st = standings(name)
+          val sub = deltas.view.filterKeys(st.refAttrs).toMap
+          if (sub.nonEmpty) st.accumulate(st.iq.advance(sub))
+          st.deliver(t)
+        }
+        btrace(f"lane=${lane.win} t=$t build=${(t1 - t0) / 1e6}%.0fms " +
+          f"transition=${(t2 - t1) / 1e6}%.0fms " +
+          f"advance+deliver=${(System.nanoTime() - t2) / 1e6}%.0fms")
       }
-      btrace(f"t=$t build=${(t1 - t0) / 1e6}%.0fms transition=${(t2 - t1) / 1e6}%.0fms " +
-        f"advance+deliver=${(System.nanoTime() - t2) / 1e6}%.0fms")
+      lane.pendingTimes --= newTimes
     }
-    pendingTimes --= newTimes
     sysFrontier = sysNext
   }
 
@@ -271,10 +322,11 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     * declared feeds the byte gate and StateCell's KnownSizeEstimation,
     * measured is a real SizeEstimator walk verifying it. */
   private[graft] def storeBytes: (Long, Long) =
-    (store.estimatedBytes, store.measuredResidentBytes)
+    (lanes.valuesIterator.map(_.store.estimatedBytes).sum,
+      lanes.valuesIterator.map(_.store.measuredResidentBytes).sum)
 
   def controlPlaneStats: Map[String, Long] = Map(
-    "pendingTimes" -> pendingTimes.size.toLong,
+    "pendingTimes" -> lanes.valuesIterator.map(_.pendingTimes.size.toLong).sum,
     "ledgerEntries" -> standings.valuesIterator.map(_.ledger.size.toLong).sum,
     "resultRows" -> standings.valuesIterator.map(_.r.size.toLong).sum)
 

@@ -119,11 +119,29 @@ final class BiPacked private (
     // Candidate keys: exactly the boxed sibling's slab rule — sys slab
     // (py, ty] union event slab (min(pe,te), max(pe,te)]; first
     // transition scans everything with a datom at sys ≤ ty.
+    //
+    // The sys index is PRUNED as it is scanned: times process in lex
+    // order so the processed sys coordinate only advances, transact
+    // rejects writes at or under the frontier (every new datom's sys is
+    // strictly above the last processed sys), and future slabs
+    // (py', ty'] have py' ≥ ty — a scanned entry can never be queried
+    // again. Appending the exact negative counts cancels the entries at
+    // the next run merge, so the RESIDENT sys index holds only
+    // not-yet-visible datoms (~0 in steady state) instead of the full
+    // history's 40 B/datom. The event index cannot be pruned the same
+    // way (event slabs move in both directions).
+    val sysPrune = mutable.ArrayBuilder.make[Long]
+    def pruning(it: Iterator[(Array[Long], Long)]) = it.map { e =>
+      sysPrune += e._1(0); sysPrune += e._1(1); sysPrune += e._1(2)
+      sysPrune += e._1(3); sysPrune += -e._2
+      e
+    }
     val cands: Iterator[(Array[Long], Long)] = tPrev match {
-      case None => bySys.rangeByFirst(Long.MinValue, ty)
+      case None => pruning(bySys.rangeByFirst(Long.MinValue, ty))
       case Some((py, pe)) =>
         val sysSlab =
-          if (ty > py) bySys.rangeByFirst(py + 1, ty) else Iterator.empty
+          if (ty > py) pruning(bySys.rangeByFirst(py + 1, ty))
+          else Iterator.empty
         val lo = math.min(pe, te); val hi = math.max(pe, te)
         val evSlab =
           if (hi > lo) byEvent.rangeByFirst(lo + 1, hi) else Iterator.empty
@@ -158,7 +176,8 @@ final class BiPacked private (
       }
     }
     (new BiPacked(attrNames, attrIds, dictVals, dictIds, dictBytes,
-      recs, bySys, byEvent, emitted.merged(ed.result()), datomCount),
+      recs, bySys.merged(sysPrune.result()), byEvent,
+      emitted.merged(ed.result()), datomCount),
       out.toArray)
   }
 

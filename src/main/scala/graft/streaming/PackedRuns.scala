@@ -237,6 +237,60 @@ object PackedRuns {
     t
   }
 
+  /** In-place primitive sort of weightless stride records (compares the
+    * FULL `stride` longs of each record) — the arrangement-index sibling
+    * of [[sortPacked]] for packed tables that carry no weight column. */
+  def sortRecords(t: Array[Long], stride: Int): Array[Long] = {
+    val n = t.length / stride
+    val tmp = new Array[Long](stride)
+    def cmp(i: Int, j: Int): Int = {
+      var k = 0
+      while (k < stride) {
+        val c = java.lang.Long.compare(t(i * stride + k), t(j * stride + k))
+        if (c != 0) return c
+        k += 1
+      }
+      0
+    }
+    def swap(i: Int, j: Int): Unit = if (i != j) {
+      System.arraycopy(t, i * stride, tmp, 0, stride)
+      System.arraycopy(t, j * stride, t, i * stride, stride)
+      System.arraycopy(tmp, 0, t, j * stride, stride)
+    }
+    def insertion(lo: Int, hi: Int): Unit = {
+      var i = lo + 1
+      while (i <= hi) {
+        var j = i
+        while (j > lo && cmp(j - 1, j) > 0) { swap(j - 1, j); j -= 1 }
+        i += 1
+      }
+    }
+    def qs(lo0: Int, hi0: Int): Unit = {
+      var lo = lo0; var hi = hi0
+      while (hi - lo > 16) {
+        val mid = (lo + hi) >>> 1
+        if (cmp(lo, mid) > 0) swap(lo, mid)
+        if (cmp(mid, hi) > 0) { swap(mid, hi); if (cmp(lo, mid) > 0) swap(lo, mid) }
+        swap(mid, hi - 1)
+        val p = hi - 1
+        var i = lo; var j = p
+        while (i < j) {
+          i += 1
+          while (cmp(i, p) < 0) i += 1
+          j -= 1
+          while (j > lo && cmp(j, p) > 0) j -= 1
+          if (i < j) swap(i, j)
+        }
+        swap(i, p)
+        if (i - lo < hi - i) { qs(lo, i - 1); lo = i + 1 }
+        else { qs(i + 1, hi); hi = i - 1 }
+      }
+      insertion(lo, hi)
+    }
+    if (n > 1) qs(0, n - 1)
+    t
+  }
+
   private[streaming] def mergeTwo(
       a: Array[Long], b: Array[Long], width: Int): Array[Long] = {
     val stride = width + 1

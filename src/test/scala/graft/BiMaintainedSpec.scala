@@ -251,6 +251,63 @@ class BiMaintainedSpec extends AnyFunSuite {
       "accumulated Distinct views must agree at a dominating time")
   }
 
+  test("per-interest Coarsen lanes: mixed granularities in ONE instance match dedicated instances") {
+    // Three interests at granularities fine / (2,2) / (3,2) inside one
+    // BiMaintained must drain EXACTLY what three dedicated instances
+    // (each constructed at that coarsen) drain — per-interest Coarsen
+    // is the reference's Interest.granularity (src/server/mod.rs:110-119).
+    val params = Gen.Parameters.default
+    val history = genHistory(params, Seed(51007L)).getOrElse(Seq.empty)
+      .map(d => d.copy(diff = 1L))
+    val grains: Seq[(String, Option[(Long, Long)])] = Seq(
+      "q_fine" -> None, "q_w22" -> Some((2L, 2L)), "q_w32" -> Some((3L, 2L)))
+
+    def driveCombined(): Map[String, Out] = {
+      val bm = new BiMaintained(spark, partitions = 4)
+      bm.createAttribute(":bm/x", AttributeConfig(InputSemantics.Raw))
+      grains.foreach { case (n, _) =>
+        bm.register(Rule(n, Plan.MatchA(0, ":bm/x", 1))) }
+      grains.foreach { case (n, g) => bm.interest(n, g) }
+      val outs = grains.map { case (n, _) =>
+        n -> scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], (Long, Long), Long)]
+      }.toMap
+      history.groupBy(_.sys).toSeq.sortBy(_._1).foreach { case (sys, ds) =>
+        bm.transact(ds.map(d => bm.BiDatom(
+          Value.eid(d.e), d.a, Value.num(d.v), (sys, d.event), d.diff)))
+        bm.advance(sys + 1L)
+        grains.foreach { case (n, _) => outs(n) ++= bm.drain(n) }
+      }
+      bm.advance(100L)
+      grains.foreach { case (n, _) => outs(n) ++= bm.drain(n) }
+      outs.view.mapValues(b => ms(b.toSeq)).toMap
+    }
+
+    def driveDedicated(g: Option[(Long, Long)]): Out = {
+      val bm = new BiMaintained(spark, partitions = 4, coarsen = g)
+      bm.createAttribute(":bm/x", AttributeConfig(InputSemantics.Raw))
+      bm.register(Rule("q", Plan.MatchA(0, ":bm/x", 1)))
+      bm.interest("q")
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], (Long, Long), Long)]
+      history.groupBy(_.sys).toSeq.sortBy(_._1).foreach { case (sys, ds) =>
+        bm.transact(ds.map(d => bm.BiDatom(
+          Value.eid(d.e), d.a, Value.num(d.v), (sys, d.event), d.diff)))
+        bm.advance(sys + 1L)
+        out ++= bm.drain("q")
+      }
+      bm.advance(100L)
+      out ++= bm.drain("q")
+      ms(out.toSeq)
+    }
+
+    val combined = driveCombined()
+    grains.foreach { case (n, g) =>
+      val want = driveDedicated(g)
+      assert(combined(n) == want,
+        s"lane $g:\n want=$want\n got =${combined(n)}")
+      assert(want.nonEmpty, s"lane $g produced no diffs (vacuous)")
+    }
+  }
+
   test("transact is all-or-nothing: a rejected batch leaves no phantom state (r10 ADVICE)") {
     // Two siblings: `bm` sees a mixed batch (one valid datom ordered
     // BEFORE one at a closed system time) that must be rejected as a

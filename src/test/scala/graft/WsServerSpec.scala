@@ -695,4 +695,43 @@ class WsServerSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("two clients at different granularities over ONE rule get their own coarsened lattices") {
+    // The reference's `Interest.granularity` is PER SUBSCRIBER
+    // (src/server/mod.rs:110-119): each interest's dataflow gets its
+    // own Coarsen. Client a coarsens to window 2, client b to window 3,
+    // over the SAME rule: each must see times rounded STRICTLY up to
+    // ITS bounds ((t/g + 1)·g) and held until the frontier passes them.
+    withServer { (server, a) =>
+      val b = new Client(server.boundPort)
+      try {
+        a.send("""{"CreateAttribute":{"name":":cg/x","config":{"input_semantics":"Raw"}}}""")
+        a.send("""{"Register":{"rules":[{"name":"cq","plan":{"MatchA":[0,":cg/x",1]}}],"publish":["cq"]}}""")
+        a.send("""{"Interest":{"name":"cq","granularity":{"TxId":2}}}""")
+        b.send("""{"Interest":{"name":"cq","granularity":{"TxId":3}}}""")
+        // t=0 datom: a's bucket = (0/2+1)*2 = 2, b's = (0/3+1)*3 = 3.
+        a.send("""{"Transact":[[1,":cg/x",10,null,1]]}""")
+        // Frontier 3 > a's bound 2: a releases; b's bound 3 is NOT past.
+        a.send("""{"AdvanceDomain":[null,{"TxId":3}]}""")
+        Wire.parseOutput(a.next()) match {
+          case Output.QueryDiff(name, batch) =>
+            assert(name == "cq")
+            assert(batch == Seq((Seq(Value.eid(1), Value.num(10)), 2L, 1L)),
+              s"a (g=2) must see t=0 coarsened to 2, got $batch")
+          case other => fail(s"expected a's coarsened QueryDiff, got $other")
+        }
+        // Frontier 4 > b's bound 3: b releases at ITS lattice time.
+        a.send("""{"AdvanceDomain":[null,{"TxId":4}]}""")
+        Wire.parseOutput(b.next()) match {
+          case Output.QueryDiff(name, batch) =>
+            assert(name == "cq")
+            assert(batch == Seq((Seq(Value.eid(1), Value.num(10)), 3L, 1L)),
+              s"b (g=3) must see t=0 coarsened to 3, got $batch")
+          case other => fail(s"expected b's coarsened QueryDiff, got $other")
+        }
+      } finally {
+        try b.close() catch { case _: Throwable => () }
+      }
+    }
+  }
 }
