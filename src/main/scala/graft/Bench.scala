@@ -64,7 +64,28 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) =>
       s"\"" + k + "\":" + jstr(m.take(300)) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    // Full-precision line first — the per-round capture files keep whole
+    // stdout, so this is the builder/judge A/B record.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // The driver keeps only the LAST 2000 chars of stdout and parses a
+    // JSON line out of that tail; at 85 queries the full-precision line
+    // is ~3.3k chars, so every round's parsed field came back null. Emit
+    // a final COMPACT line (adaptive precision, trailing zeros stripped)
+    // sized to fit the tail window — the truncated full line above can't
+    // parse, so any line-scanning parser lands on this one.
+    def fmt(v: Double, p: Int): String = {
+      val s = s"%.${p}f".format(v).reverse.dropWhile(_ == '0').reverse
+      if (s.endsWith(".")) s.dropRight(1) else s
+    }
+    def compact(p: Int): String = {
+      val cqs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v, p) }
+        .mkString("{", ",", "}")
+      val cerrs = results.collect { case (k, _, Some(m)) =>
+        s"\"" + k + "\":" + jstr(m.take(60)) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, p)},"unit":"sec","queries":$cqs,"errors":$cerrs,"sf":"$sfDir"}"""
+    }
+    println(Iterator(3, 2, 1).map(compact).find(_.length <= 1900)
+      .getOrElse(compact(1)))
     spark.stop()
   }
 }

@@ -670,6 +670,41 @@ object StreamScaleSmoke {
             println(f"[scale] $label%s dial=$dial%s state=5000000 " +
               f"growSec=$gsec%.1f batch5k=$bsec%.2f out=$out3%d residentMB=$mb%d")
           }
+          // STRING-KEYED cells (round-11: dictionary-encoded packed
+          // columns) — a COUNT keyed by a string value and a pull over
+          // a string attribute, 5M rows each at ~1000 distinct strings:
+          // the packed side holds 8-byte codes + a 1000-entry
+          // dictionary where the boxed trie holds 5M string-bearing
+          // map entries.
+          val kindsS = Map(":p2/s" -> ValueKind.KString,
+            ":p2/n" -> ValueKind.KNumber)
+          def strDelta(from: Long, n: Long) = Map(
+            ":p2/s" -> spark.range(from, from + n).select(col("id").as("e"),
+              org.apache.spark.sql.functions
+                .concat_ws("-", org.apache.spark.sql.functions.lit("grp"),
+                  (col("id") % 1000L)).as("v"),
+              org.apache.spark.sql.functions.lit(1L).as("diff")),
+            ":p2/n" -> delta(from, n))
+          val aggPlanS = Plan.Aggregate(Seq(2, 1), Plan.MatchA(1, ":p2/s", 2),
+            Seq(AggregationFn.COUNT), Seq(2), Seq(1), Seq.empty)
+          val pullPlanS = Plan.PullLevel(Seq.empty,
+            Plan.Project(Seq(0), Plan.MatchA(0, ":p2/n", 1)),
+            pullVariable = 0, pullAttributes = Seq(":p2/s"),
+            pathAttributes = Seq.empty, cardinalityMany = false)
+          for ((label, planS) <- Seq(
+              "idx2-stragg" -> aggPlanS, "idx2-strpull" -> pullPlanS)) {
+            val iqS = new IncrementalQuery(spark, planS, kindsS)
+            var t0 = now()
+            iqS.advance(strDelta(0L, 5000000L)).count()
+            val gsec = secs(t0)
+            t0 = now()
+            val outS = iqS.advance(strDelta(40000000L, 5000L)).count()
+            val bsec = secs(t0)
+            val mb = (iqS.groupStateMeasuredBytes +
+              iqS.supportStateMeasuredBytes) / 1048576L
+            println(f"[scale] $label%s dial=$dial%s state=5000000 " +
+              f"growSec=$gsec%.1f batch5k=$bsec%.2f out=$outS%d residentMB=$mb%d")
+          }
         } finally prev match {
           case Some(v) => sys.props("graft.iq.runs") = v
           case None    => sys.props.remove("graft.iq.runs")

@@ -472,8 +472,8 @@ class IncrementalHector(
     // longs, canonicalized doubles (NaN largest, no -0.0), UTF-8 BYTE
     // order for strings (java String.compareTo is UTF-16 order, which
     // DIVERGES above the BMP — Catalyst compares UTF8String bytes),
-    // false < true for booleans. Rational/variant ordering stays on the
-    // Catalyst path.
+    // false < true for booleans, field-by-field Catalyst struct order
+    // for rationals and variants (nulls first within a field).
     // KReal slots hold the ENCODED long, raw long kinds the plain value:
     // the two must never meet in one comparison (or equality) — encoded
     // vs raw would be silently wrong. Each kind-class compares only with
@@ -483,8 +483,10 @@ class IncrementalHector(
       case ValueKind.KReal    => IncrementalHector.CmpEncReal
       case ValueKind.KString | ValueKind.KUuid | ValueKind.KAid =>
         IncrementalHector.CmpUtf8
-      case ValueKind.KBool => IncrementalHector.CmpBool
-      case _               => -1
+      case ValueKind.KBool     => IncrementalHector.CmpBool
+      case ValueKind.KRational => IncrementalHector.CmpRational
+      case ValueKind.KVariant  => IncrementalHector.CmpVariant
+      case _                   => -1
     }
     def cmpKindOf(x: Int, y: Int): Option[Int] =
       (varKind.get(x).map(kindClass), varKind.get(y).map(kindClass)) match {
@@ -844,6 +846,11 @@ object IncrementalHector {
     * reals resolve to [[CmpLong]] over the encoding, but must not mix
     * with raw long slots. */
   private[streaming] final val CmpEncReal = 4
+  /** Rational structs: Catalyst struct ordering over (num, den). */
+  private[streaming] final val CmpRational = 5
+  /** Variant structs: Catalyst struct ordering over the full layout
+    * (tag, s, n, b, d, rn, rd) — field by field, nulls first. */
+  private[streaming] final val CmpVariant = 6
 
   private[streaming] final case class ProbeStep(
       b: Int, eSlot: Int, vSlot: Int, eBound: Boolean, vBound: Boolean,
@@ -931,6 +938,42 @@ object IncrementalHector {
     case CmpUtf8 => utf8Compare(a.asInstanceOf[String], b.asInstanceOf[String])
     case CmpBool => java.lang.Boolean.compare(
       a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+    case CmpRational =>
+      // Catalyst struct ordering: field by field over (num, den) —
+      // rationals are constructed normalized (gcd-reduced, positive
+      // denominator), and this matches exactly what the Catalyst
+      // fallback's struct comparison produces.
+      val ra = a.asInstanceOf[Row]; val rb = b.asInstanceOf[Row]
+      val c = java.lang.Long.compare(ra.getLong(0), rb.getLong(0))
+      if (c != 0) c else java.lang.Long.compare(ra.getLong(1), rb.getLong(1))
+    case CmpVariant =>
+      // Catalyst struct ordering over the variant layout (tag, s, n, b,
+      // d, rn, rd): field by field, null fields FIRST (Catalyst's
+      // per-field ascending-nulls-first rule inside struct comparison),
+      // strings in UTF-8 byte order, doubles canonicalized +
+      // Double.compare (NaN largest — Catalyst's double order).
+      val ra = a.asInstanceOf[Row]; val rb = b.asInstanceOf[Row]
+      def fieldCmp(i: Int, f: (Any, Any) => Int): Int = {
+        val x = ra.get(i); val y = rb.get(i)
+        if (x == null && y == null) 0
+        else if (x == null) -1
+        else if (y == null) 1
+        else f(x, y)
+      }
+      var c = java.lang.Integer.compare(ra.getInt(0), rb.getInt(0))
+      if (c == 0) c = fieldCmp(1,
+        (x, y) => utf8Compare(x.asInstanceOf[String], y.asInstanceOf[String]))
+      if (c == 0) c = fieldCmp(2,
+        (x, y) => java.lang.Long.compare(x.asInstanceOf[Long], y.asInstanceOf[Long]))
+      if (c == 0) c = fieldCmp(3,
+        (x, y) => java.lang.Boolean.compare(x.asInstanceOf[Boolean], y.asInstanceOf[Boolean]))
+      if (c == 0) c = fieldCmp(4,
+        (x, y) => java.lang.Double.compare(x.asInstanceOf[Double], y.asInstanceOf[Double]))
+      if (c == 0) c = fieldCmp(5,
+        (x, y) => java.lang.Long.compare(x.asInstanceOf[Long], y.asInstanceOf[Long]))
+      if (c == 0) c = fieldCmp(6,
+        (x, y) => java.lang.Long.compare(x.asInstanceOf[Long], y.asInstanceOf[Long]))
+      c
   }
 
   /** JVM-side predicate check over the slot tuple — matches Catalyst

@@ -659,6 +659,9 @@ class IncrementalQuery(
         sc, shufflePartitions,
         GroupIndex.maker(Seq(graft.model.ValueKind.KEid),
           Seq(graft.model.ValueKind.KEid, kinds(a))), _.bytes)).toMap
+    groupCellMeters += (() =>
+      (childCell.rdd +: attrCells.valuesIterator.map(_.rdd).toSeq)
+        .map(_.map(IncrementalQuery.meterBytes).fold(0L)(_ + _)).sum)
 
     private def childSchema: StructType = StructType(
       child.nodeKinds.zipWithIndex.map { case (k, i) =>
@@ -2262,24 +2265,48 @@ class IncrementalQuery(
   // absorbed later deltas — fail loudly instead.
   private var frontier: Long = Long.MinValue
 
+  // Transaction-order sequence base for streamed LWW datoms: each
+  // micro-batch frame's rows get `seqBase + frame position` (the
+  // streaming analog of the domain's per-datom transaction counter —
+  // a datom's order within the frame IS its transaction order, like
+  // the reference's per-transaction positions), and the base advances
+  // past the frame so later frames always order after earlier ones.
+  private var streamSeqBase: Long = 0L
+
   /** Structured Streaming integration: drain a datom stream (columns
     * `a: string, e: long, v, t: long, diff: long`) through [[advance]]
     * per completed time, strictly advancing; each time's exact
-    * consolidated output diffs go to `onDiffs(t, frame)`. */
+    * consolidated output diffs go to `onDiffs(t, frame)`. LastWriteWins
+    * attributes ride too: the wire frame carries no transaction-order
+    * seq, so one is synthesized per micro-batch (frame position on a
+    * strictly advancing base) before the per-attribute LWW views. */
   def attach(datoms: DataFrame, queryName: String)(
       onDiffs: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    require(lwwAttrs.isEmpty,
-      "attach() drains (a, e, v, t, diff) datom streams, which carry no " +
-        "transaction-order seq — LastWriteWins attributes are maintained " +
-        "through the engine path (or graft.streaming.DatomStreams.lww)")
     datoms.writeStream
       .outputMode("append")
       .queryName(queryName)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        // Frame-position sequence (deterministic partition-ordered
+        // zipWithIndex) — only materialized when an LWW attribute needs
+        // transaction order.
+        val batch =
+          if (lwwAttrs.isEmpty) batch0
+          else {
+            val base = streamSeqBase
+            val sch = org.apache.spark.sql.types.StructType(
+              batch0.schema.fields :+ org.apache.spark.sql.types.StructField(
+                "seq", org.apache.spark.sql.types.LongType, false))
+            val withSeq = spark.createDataFrame(
+              batch0.rdd.zipWithIndex.map { case (r, i) =>
+                Row.fromSeq(r.toSeq :+ (base + i)) }, sch)
+            withSeq
+          }
         batch.persist()
         try {
           val times = batch.select("t").distinct().collect()
             .map(_.getLong(0)).sorted
+          if (lwwAttrs.nonEmpty)
+            streamSeqBase += batch.count()
           times.foreach { t =>
             require(t > frontier,
               s"input time $t does not advance the processed frontier " +
@@ -2288,8 +2315,13 @@ class IncrementalQuery(
             frontier = t
             val att = batch.where(col("t") === t)
             val byAttr: Map[String, DataFrame] = root.attrs.flatMap { a =>
-              val d = att.where(col("a") === a)
-                .select(col("e"), col("v"), col("diff"))
+              val d =
+                if (lwwAttrs(a))
+                  att.where(col("a") === a)
+                    .select(col("e"), col("v"), col("t"), col("diff"),
+                      col("seq"))
+                else att.where(col("a") === a)
+                  .select(col("e"), col("v"), col("diff"))
               if (d.isEmpty) None else Some(a -> d)
             }.toMap
             if (byAttr.nonEmpty) {
@@ -2315,9 +2347,11 @@ object IncrementalQuery {
   /** Real resident measurement of one group-index partition object
     * (top-level so meter closures capture nothing; smokes only). */
   private[streaming] def meterBytes(o: AnyRef): Long = o match {
-    case PackedGroups(runs, _, _, side) =>
+    case PackedGroups(runs, _, _, side, dictVals, dictIds, _) =>
       org.apache.spark.util.GraftSizeOf.estimate(runs) +
-        org.apache.spark.util.GraftSizeOf.estimate(side)
+        org.apache.spark.util.GraftSizeOf.estimate(side) +
+        org.apache.spark.util.GraftSizeOf.estimate(dictVals) +
+        org.apache.spark.util.GraftSizeOf.estimate(dictIds)
     case BoxedGroups(m) => org.apache.spark.util.GraftSizeOf.estimate(m)
     case other          => org.apache.spark.util.GraftSizeOf.estimate(other)
   }

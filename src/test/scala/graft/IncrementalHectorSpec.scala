@@ -341,6 +341,76 @@ class IncrementalHectorSpec extends AnyFunSuite {
     assert(probe.keySet.map(k => (k(0), k(2))) == Set[(Any, Any)]((2L, 20L)))
   }
 
+  test("rational ORDERING predicates run on the probe path and match Catalyst (r11)") {
+    // q(0,1,3): r(0,1), s(0,3), 1 < 3 — ordering on RATIONAL structs,
+    // previously an automatic Catalyst fallback (equality-only canon);
+    // the probe comparator is Catalyst struct order over (num, den).
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val vt = ValueKind.KRational.dataType
+    val schema = StructType(Seq(StructField("e", LongType, false),
+      StructField("v", vt, false), StructField("diff", LongType, false)))
+    def rat(n: Long, d: Long) = Value.rational(n, d).native
+    def dd(rows: Seq[(Long, Any, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 2),
+      schema)
+    def mk() = new IncrementalHector(spark, Seq(0, 1, 3), Seq(
+      Binding.attribute(0, ":dp/r", 1),
+      Binding.attribute(0, ":dp/s", 3),
+      Binding.binaryPredicate(Predicate.LT, 1, 3)),
+      Map(":dp/r" -> ValueKind.KRational, ":dp/s" -> ValueKind.KRational))
+    // Struct order: (1,2) < (1,3) < (3,4) — field-by-field, exactly
+    // Catalyst's struct comparison (NOT numeric order: 1/2 > 1/3).
+    val batches = Seq(
+      Map(0 -> dd(Seq((1L, rat(1, 2), 1L), (2L, rat(3, 4), 1L))),
+        1 -> dd(Seq((1L, rat(1, 3), 1L), (2L, rat(3, 4), 1L)))),
+      Map(1 -> dd(Seq((1L, rat(1, 3), -1L), (1L, rat(3, 4), 1L)))))
+    val probe = withProbe(on = true)(
+      accumulated(mk, batches, expectProbe = Some(true)))
+    val cat = withProbe(on = false)(
+      accumulated(mk, batches, expectProbe = Some(false)))
+    assert(probe == cat && probe.nonEmpty, s"probe=$probe catalyst=$cat")
+    assert(probe.keySet.map(k => (k(0), k(1), k(2))) ==
+      Set[(Any, Any, Any)]((1L, rat(1, 2), rat(3, 4))),
+      s"surviving pairs wrong: $probe")
+  }
+
+  test("variant ORDERING predicates run on the probe path and match Catalyst (r11)") {
+    // Ordering on VARIANT structs: tag first (the reference's cross-type
+    // Ord), then per-field Catalyst order with nulls first.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val vt = ValueKind.KVariant.dataType
+    val schema = StructType(Seq(StructField("e", LongType, false),
+      StructField("v", vt, true), StructField("diff", LongType, false)))
+    def vStr(x: String) = Row(1, x, null, null, null, null, null)
+    def vNum(n: Long) = Row(3, null, n, null, null, null, null)
+    def dd(rows: Seq[(Long, Any, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 2),
+      schema)
+    def mk() = new IncrementalHector(spark, Seq(0, 1, 3), Seq(
+      Binding.attribute(0, ":dv/r", 1),
+      Binding.attribute(0, ":dv/s", 3),
+      Binding.binaryPredicate(Predicate.LT, 1, 3)),
+      Map(":dv/r" -> ValueKind.KVariant, ":dv/s" -> ValueKind.KVariant))
+    // tag order: String(1) < Number(3); within strings: "a" < "b".
+    val batches = Seq(
+      Map(0 -> dd(Seq((1L, vStr("a"), 1L), (2L, vNum(9L), 1L))),
+        1 -> dd(Seq((1L, vNum(5L), 1L), (2L, vStr("a"), 1L),
+          (1L, vStr("b"), 1L)))))
+    val probe = withProbe(on = true)(
+      accumulated(mk, batches, expectProbe = Some(true)))
+    val cat = withProbe(on = false)(
+      accumulated(mk, batches, expectProbe = Some(false)))
+    assert(probe == cat && probe.nonEmpty, s"probe=$probe catalyst=$cat")
+    // e=1: "a" < Number(5) (tag), "a" < "b" (string order); e=2:
+    // Number(9) < String("a") is FALSE (tag 3 > 1).
+    assert(probe.keySet.map(k => (k(0), k(1), k(2))) ==
+      Set[(Any, Any, Any)]((1L, vStr("a"), vNum(5L)),
+        (1L, vStr("a"), vStr("b"))),
+      s"surviving pairs wrong: $probe")
+  }
+
   test("string ordering predicate matches Catalyst's UTF8 byte order on the probe path") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -612,6 +612,41 @@ class IncrementalQuerySpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("LastWriteWins attributes ride attach(): per-frame synthesized transaction order (r10 #8)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val iq = new IncrementalQuery(spark, Plan.MatchA(1, ":lw", 2),
+      Map(":lw" -> graft.model.ValueKind.KNumber),
+      lwwAttrs = Set(":lw"))
+    val in = MemoryStream[(String, Long, Long, Long, Long)]
+    val got = mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val query = iq.attach(in.toDF.toDF("a", "e", "v", "t", "diff"),
+      "inc-query-lww-attach") { (t, df) =>
+      got ++= df.collect().map(r => (t, r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    try {
+      // Two writes to one entity in ONE frame at one time: the LATER
+      // frame position wins (frame order IS transaction order — the
+      // synthesized seq).
+      in.addData((":lw", 7L, 10L, 1L, 1L), (":lw", 7L, 20L, 1L, 1L))
+      query.processAllAvailable()
+      assert(got.toSet == Set((1L, 7L, 20L, 1L)), s"got $got")
+      got.clear()
+      // A later-time write across frames regresses the old winner and
+      // asserts the new one.
+      in.addData((":lw", 7L, 30L, 2L, 1L))
+      query.processAllAvailable()
+      assert(got.toSet == Set((2L, 7L, 20L, -1L), (2L, 7L, 30L, 1L)),
+        s"got $got")
+      got.clear()
+      // Retracting the latest write empties the entity's view.
+      in.addData((":lw", 7L, 30L, 3L, -1L))
+      query.processAllAvailable()
+      assert(got.toSet == Set((3L, 7L, 30L, -1L)), s"got $got")
+    } finally query.stop()
+  }
+
   test("ill-formed Z-set history (support present, net count 0) fails loudly for AVG/VARIANCE") {
     import graft.model.AggregationFn
     def spec(fn: AggregationFn) = IncrementalQuery.AggSpec(

@@ -96,6 +96,39 @@ class RunStoreSpec extends AnyFunSuite {
     assert(runs.packedCount == 200L * 50L)
   }
 
+  test("dictionary-encoded PackedGroups agrees with BoxedGroups over mixed-kind histories") {
+    // Strings, doubles, nulls, inline longs, and an overflow long that
+    // cannot inline — all through the interning dictionary — must make
+    // the packed backend byte-identical to the boxed trie on group
+    // reads across cancellations and re-insertions.
+    import graft.model.ValueKind
+    import graft.streaming.{BoxedGroups, GroupIndex}
+    val vals: Seq[Any] = Seq("a", "bb", 7L, -3L, 2.5, null, "a",
+      Long.MaxValue - 1L, 0.0, "ccc")
+    val rnd = new scala.util.Random(7)
+    var packed = GroupIndex.empty(
+      Seq(ValueKind.KString, ValueKind.KNumber), Seq(ValueKind.KString))
+    assert(packed.getClass.getSimpleName == "PackedGroups",
+      "string-kinded cells must take the packed backend now")
+    var boxed: GroupIndex = BoxedGroups(scala.collection.immutable.HashMap.empty)
+    val keys = scala.collection.mutable.Set.empty[Seq[Any]]
+    (0 until 40).foreach { _ =>
+      val batch = (0 until 30).map { _ =>
+        val k = Seq(vals(rnd.nextInt(vals.length)), rnd.nextInt(3).toLong: Any)
+        val row = Seq(vals(rnd.nextInt(vals.length)))
+        keys += k
+        ((k, row), (rnd.nextInt(5) - 2).toLong)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .filter(_._2 != 0L).toSeq // netted, like the callers
+      packed = packed.merged(batch)
+      boxed = boxed.merged(batch)
+      keys.foreach { k =>
+        assert(packed.group(k) == boxed.group(k), s"group($k) diverged")
+      }
+      assert(packed.group(Seq("absent", 99L)).isEmpty)
+    }
+  }
+
   test("PackedGroups routes arity-mismatched keys and rows to the boxed side (r10 ADVICE)") {
     import graft.model.ValueKind
     import graft.streaming.GroupIndex
