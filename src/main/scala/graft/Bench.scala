@@ -78,7 +78,13 @@ object Bench {
       if (s.endsWith(".")) s.dropRight(1) else s
     }
     def compact(p: Int): String = {
-      val cqs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v, p) }
+      // A positive sub-resolution value must not render as "0" (it would
+      // read as an instant query) — give those two decimals.
+      def vfmt(v: Double): String = {
+        val s = fmt(v, p)
+        if (s == "0" && v > 0) fmt(v, 2) else s
+      }
+      val cqs = results.map { case (k, v, _) => s"\"" + k + "\":" + vfmt(v) }
         .mkString("{", ",", "}")
       val cerrs = results.collect { case (k, _, Some(m)) =>
         s"\"" + k + "\":" + jstr(m.take(60)) }.mkString("{", ",", "}")
