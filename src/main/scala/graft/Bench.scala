@@ -74,15 +74,21 @@ object Bench {
     // sized to fit the tail window — the truncated full line above can't
     // parse, so any line-scanning parser lands on this one.
     def fmt(v: Double, p: Int): String = {
-      val s = s"%.${p}f".format(v).reverse.dropWhile(_ == '0').reverse
+      // Locale.ROOT: a default locale with comma decimal separators
+      // would make the JSON line unparseable.
+      val s = String.format(java.util.Locale.ROOT, s"%.${p}f", v: java.lang.Double)
+        .reverse.dropWhile(_ == '0').reverse
       if (s.endsWith(".")) s.dropRight(1) else s
     }
     def compact(p: Int): String = {
       // A positive sub-resolution value must not render as "0" (it would
-      // read as an instant query) — give those two decimals.
+      // read as an instant query) — raise its precision until a digit
+      // survives (1 ms floor).
       def vfmt(v: Double): String = {
         val s = fmt(v, p)
-        if (s == "0" && v > 0) fmt(v, 2) else s
+        if (s == "0" && v > 0)
+          Iterator(2, 3).map(fmt(v, _)).find(_ != "0").getOrElse("0.001")
+        else s
       }
       val cqs = results.map { case (k, v, _) => s"\"" + k + "\":" + vfmt(v) }
         .mkString("{", ",", "}")

@@ -720,11 +720,16 @@ class Compiler(
       if (sys.props.get("graft.fixpoint.arrangement").contains("off"))
         return None
       // Duplicates in the static index are harmless — every round's
-      // candidates are deduped and subtracted — and monotone plans carry
-      // no negative weights, so their build skips the distinct pass
-      // entirely; non-monotone statics keep the set consolidation.
+      // candidates are deduped and subtracted — and positive-weight plans
+      // skip the distinct pass entirely; anything that can emit negative
+      // or net-cancelling weights keeps the set consolidation. NOT
+      // isMonotone: that predicate treats NameExpr as an opaque constant
+      // (correct for the semi-naive distribution property), but here a
+      // rule reference whose BODY negates would surface retracted rows
+      // into the index, so the check must recurse through rule plans.
       val sStatic =
-        if (sRel.distinct || isMonotone(staticPlan)) sRel.df.drop(W) else sDf
+        if (sRel.distinct || positiveWeights(staticPlan)) sRel.df.drop(W)
+        else sDf
       val sc = spark.sparkContext
       val pArr = math.max(pLoop, math.min(userPartitions, 16))
       val partA = new HashPartitioner(pArr)
@@ -790,8 +795,15 @@ class Compiler(
             s"nulls=$anyNull partitions=$pArr filters=${filterFns.length} " +
             s"elapsedMs=${(System.nanoTime() - debugT0) / 1000000}")
         if (anyNull) { built.unpersist(blocking = false); None }
-        else Some(built.map(_._1)
-          .persist(StorageLevel.MEMORY_AND_DISK))
+        else {
+          val arrP = built.map(_._1).persist(StorageLevel.MEMORY_AND_DISK)
+          // Materialize off the cached build, then drop the build copy —
+          // leaving it persisted would keep the packed static resident
+          // TWICE for the whole loop (and leak it past this compile).
+          arrP.count()
+          built.unpersist(blocking = false)
+          Some(arrP)
+        }
       }
       primArr.foreach { arrP =>
         val sw = sVars.length
@@ -1241,6 +1253,31 @@ class Compiler(
     case P.Transform(_, _, x, _, _)   => isMonotone(x)
     case P.PullLevel(_, x, _, _, _, _) => isMonotone(x)
     case P.Pull(_, ps)                => ps.forall(isMonotone)
+    case _: P.Negate | _: P.Antijoin | _: P.Aggregate => false
+  }
+
+  /** Weight-positivity of the COMPILED relation — the arrangement-build
+    * precondition at the kernel gate. Unlike [[isMonotone]] (where a rule
+    * reference is an opaque constant of the recursion), a NameExpr here
+    * must recurse into the referenced rule's plan: a body containing
+    * Negate compiles to a Rel whose rows can carry negative weights or
+    * net to zero, which the broadcast path consolidates away
+    * (`distinctify`) and the arrangement must too. Base-relation
+    * references are unit-weighted data; cyclic rules resolve through the
+    * fixpoint, whose accumulated result is W=1 rows (positive). */
+  private def positiveWeights(p: Plan, seen: Set[String] = Set.empty): Boolean = p match {
+    case P.NameExpr(_, n) =>
+      !rules.contains(n) || seen.contains(n) ||
+        positiveWeights(rules(n).plan, seen + n)
+    case _: P.MatchA | _: P.MatchEA | _: P.MatchAV | _: P.PullAll => true
+    case P.Project(_, x)              => positiveWeights(x, seen)
+    case P.Join(_, l, r) => positiveWeights(l, seen) && positiveWeights(r, seen)
+    case P.Hector(_, bs)              => !bs.exists(_.isInstanceOf[Binding.Not])
+    case P.Union(_, ps)               => ps.forall(positiveWeights(_, seen))
+    case P.Filter(_, _, x, _)         => positiveWeights(x, seen)
+    case P.Transform(_, _, x, _, _)   => positiveWeights(x, seen)
+    case P.PullLevel(_, x, _, _, _, _) => positiveWeights(x, seen)
+    case P.Pull(_, ps)                => ps.forall(positiveWeights(_, seen))
     case _: P.Negate | _: P.Antijoin | _: P.Aggregate => false
   }
 

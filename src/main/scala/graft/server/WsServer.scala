@@ -218,10 +218,23 @@ final class WsServer(engine: Engine, port: Int = 0,
           // on the shared engine dataflow, so two clients at different
           // granularities over one rule each get their own Coarsen.
           if (!streamNames.contains(name)) engine.interestMaintained(name)
+          // A granularity SWITCH (including removal) closes the old
+          // coarse lattice: any held-but-undelivered buckets flush to
+          // the client at their recorded bounds through the OLD route —
+          // pending diffs are never silently dropped, and a later bound
+          // on the new lattice can only ADD diffs, never lose them.
+          // Re-sending the same granularity is idempotent (buckets keep
+          // accumulating).
+          if (clientGrain.get((id, name)) != g) {
+            heldCoarse.remove((id, name)).foreach { held =>
+              if (held.nonEmpty) clients.get(id).foreach { case (out, _) =>
+                route(id, name, out, held.toSeq)
+              }
+            }
+          }
           g match {
             case Some(gr) => clientGrain((id, name)) = gr
             case None     => clientGrain -= ((id, name))
-              heldCoarse -= ((id, name))
           }
           clients(id)._2 += name
           // Sink routing (reference: `Interest.sink`, server/src/main.rs:
@@ -355,13 +368,8 @@ final class WsServer(engine: Engine, port: Int = 0,
         for ((cid, (out, names)) <- clients if names.contains(name)) {
           val cBatch = coarsened(cid, name, batch)
           if (cBatch.nonEmpty) sinkStates.get((cid, name)) match {
-            case Some(v: VoidState)  => sinkVoid(name, v, cBatch)
-            case Some(a: AssocState) => sinkAssoc(cid, name, a, cBatch)
-            case Some(c: CsvState)   => sinkCsv(c, cBatch)
-            case Some(j: JsonState)  => sinkJson(cid, name, j, cBatch)
-            case None => send(out,
-              if (cBatch eq batch) plainMsg
-              else Wire.renderOutput(Output.QueryDiff(name, cBatch)))
+            case None if cBatch eq batch => send(out, plainMsg)
+            case _                       => route(cid, name, out, cBatch)
           }
         }
       } else {
@@ -370,18 +378,23 @@ final class WsServer(engine: Engine, port: Int = 0,
         for ((cid, (out, names)) <- clients if names.contains(name)
             if clientGrain.contains((cid, name))) {
           val cBatch = coarsened(cid, name, Seq.empty)
-          if (cBatch.nonEmpty) sinkStates.get((cid, name)) match {
-            case Some(v: VoidState)  => sinkVoid(name, v, cBatch)
-            case Some(a: AssocState) => sinkAssoc(cid, name, a, cBatch)
-            case Some(c: CsvState)   => sinkCsv(c, cBatch)
-            case Some(j: JsonState)  => sinkJson(cid, name, j, cBatch)
-            case None => send(out,
-              Wire.renderOutput(Output.QueryDiff(name, cBatch)))
-          }
+          if (cBatch.nonEmpty) route(cid, name, out, cBatch)
         }
       }
     }
   }
+
+  /** Deliver one (client, rule) batch through that client's route: its
+    * registered sink, or a plain QueryDiff. */
+  private def route(cid: Long, name: String, out: DataOutputStream,
+      cBatch: Seq[(Seq[Value], Long, Long)]): Unit =
+    sinkStates.get((cid, name)) match {
+      case Some(v: VoidState)  => sinkVoid(name, v, cBatch)
+      case Some(a: AssocState) => sinkAssoc(cid, name, a, cBatch)
+      case Some(c: CsvState)   => sinkCsv(c, cBatch)
+      case Some(j: JsonState)  => sinkJson(cid, name, j, cBatch)
+      case None => send(out, Wire.renderOutput(Output.QueryDiff(name, cBatch)))
+    }
 
   /** Apply (client, rule)'s delivery granularity: bucket fresh diffs to
     * their coarse bounds, hold, and release exactly the buckets the

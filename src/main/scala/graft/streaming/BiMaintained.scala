@@ -109,7 +109,7 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
           if !sys.props.get("graft.bi.distributed").contains("off") &&
             d.estimatedBytes > driverGateBytes =>
         val cell = new CellBiStore(spark, partitions)
-        cell.plant(d.vis.split(partitions))
+        cell.plant(d.vis.split(partitions, lastProcessed.map(_._1)))
         store = cell
       case _ => ()
     }
@@ -133,15 +133,19 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     * different granularities each get their own coarsened lattice. */
   def interest(name: String, granularity: Option[(Long, Long)]): Unit = {
     require(rules.contains(name), s"unknown rule $name")
-    require(seqCounter == 0L || lanes.contains(granularity),
-      s"granularity $granularity has no lane: declare an interest at it " +
-        "before the first transact (late lanes would miss history)")
-    val lane = laneOf(granularity)
+    // Validate BEFORE laneOf: a failed call must not leave an orphan
+    // lane behind (a memberless lane would still ingest every future
+    // transact — duplicate full history — and tighten transact's
+    // frontier validation with its own uncoarsened lattice).
     standings.get(name) match {
       case Some(st) =>
-        require(st.lane eq lane,
+        require(st.lane.win == granularity,
           s"interest '$name' is already attached to granularity ${st.lane.win}")
       case None =>
+        require(seqCounter == 0L || lanes.contains(granularity),
+          s"granularity $granularity has no lane: declare an interest at it " +
+            "before the first transact (late lanes would miss history)")
+        val lane = laneOf(granularity)
         val st = new Standing(name, lane)
         standings(name) = st
         lane.members += name

@@ -226,7 +226,7 @@ final class BiPacked private (
       (attrNames(k(0).toInt), decode(k(1)), decode(k(3)), w)
     }
 
-  def split(p: Int): IndexedSeq[BiVis] = {
+  def split(p: Int, processedSys: Option[Long]): IndexedSeq[BiVis] = {
     // One-time migration (gate flip): decode, route by the SAME BiKey
     // hash the CellBiStore's HashPartitioner uses, rebuild per-partition
     // packed states with partition-local dictionaries.
@@ -246,8 +246,32 @@ final class BiPacked private (
     }
     (0 until p).map { i =>
       BiPacked.empty.ingest(datomBuf(i)).plantEmitted(emitBuf(i))
+        .pruneSysThrough(processedSys)
     }
   }
+
+  /** Cancel every sys-index entry at or under `sy` (one range scan +
+    * negative-count merge). Migration-time counterpart of the
+    * transition-time scan-prune: ingest() re-derived sys entries for
+    * already-processed datoms, which future slabs (strictly above the
+    * processed sys) would never scan — without this they would stay
+    * resident forever. */
+  private def pruneSysThrough(processedSys: Option[Long]): BiPacked =
+    processedSys match {
+      case None => this
+      case Some(sy) =>
+        // REBUILD (netted, single run) rather than appending negative
+        // cancels: a migration is one-time, and an appended cancel run
+        // would leave the dead entries resident until a later tier
+        // merge — the opposite of the point.
+        val b = mutable.ArrayBuilder.make[Long]
+        bySys.iterator.foreach { case (e, c) =>
+          if (e(0) > sy) { b += e(0); b += e(1); b += e(2); b += e(3); b += c }
+        }
+        new BiPacked(attrNames, attrIds, dictVals, dictIds, dictBytes,
+          recs, PackedRuns.empty(4).merged(b.result()), byEvent, emitted,
+          datomCount)
+    }
 
   /** Plant an emitted view wholesale (migration only). */
   private def plantEmitted(rows: Iterable[(BiKey, Any, Long)]): BiPacked = {

@@ -31,8 +31,13 @@ private[streaming] trait BiVis extends Serializable {
   def dumpEmitted: Iterator[(String, Any, Any, Long)]
 
   /** Split by the [[org.apache.spark.HashPartitioner]] BiKey routing
-    * into `p` per-partition states (driver → distributed migration). */
-  def split(p: Int): IndexedSeq[BiVis]
+    * into `p` per-partition states (driver → distributed migration).
+    * `processedSys` is the last processed system-time coordinate: sys
+    * index entries at or under it can never be scanned again (future
+    * slabs are `(py+1, ty]` and the processed sys only advances), so
+    * the split drops them — without this, a migration would plant a
+    * permanently-resident full-history sys index in every partition. */
+  def split(p: Int, processedSys: Option[Long]): IndexedSeq[BiVis]
 
   /** Declared resident-byte estimate (KnownSizeEstimation input). */
   def estimatedBytes: Long

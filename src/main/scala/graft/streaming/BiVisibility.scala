@@ -145,7 +145,7 @@ final class BiVisibility private (
   /** Split by the [[org.apache.spark.HashPartitioner]] key routing into
     * `p` per-partition states — the one-time driver → distributed
     * migration when a growing history crosses the byte gate. */
-  def split(p: Int): IndexedSeq[BiVisibility] = {
+  def split(p: Int, processedSys: Option[Long]): IndexedSeq[BiVisibility] = {
     def slot(k: BiKey): Int = {
       val h = k.hashCode % p; if (h < 0) h + p else h
     }
@@ -156,7 +156,14 @@ final class BiVisibility private (
         idx.iterator.map { case (c, ks) => c -> ks.filter(keep) }
           .filter(_._2.nonEmpty)
           .foldLeft(TreeMap.empty[Long, HashSet[BiKey]])(_ + _)
-      new BiVisibility(d, prune(bySys), prune(byEvent),
+      // Sys entries at or under the processed frontier can never be
+      // scanned again (slabs are (py+1, ty], processed sys only
+      // advances) — drop them instead of planting dead index weight.
+      val sysKept = processedSys match {
+        case None     => prune(bySys)
+        case Some(sy) => prune(bySys.rangeFrom(sy + 1))
+      }
+      new BiVisibility(d, sysKept, prune(byEvent),
         emitted.filter { case (k, _) => slot(k) == i },
         d.valuesIterator.map(_.size.toLong).sum)
     }

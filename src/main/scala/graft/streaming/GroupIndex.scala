@@ -186,6 +186,51 @@ final case class PackedGroups(
       }
     }
     PackedGroups(runs.merged(buf.result()), kw, rw, sd, vals, ids, dBytes)
+      .maybeCompactDict()
+  }
+
+  /** Amortized dictionary compaction. The interning dictionary is
+    * append-only across merges, so a CHURNING value column (every
+    * update retracts one distinct value and asserts a fresh one) would
+    * otherwise accumulate dead entries without bound — unlike the boxed
+    * trie, which frees values with their records. Live records can
+    * reference at most stride·records distinct values; once the
+    * dictionary provably exceeds twice that, re-encode the store
+    * through a fresh dictionary. Post-compaction the dictionary is
+    * ≤ stride·records, so the next trigger needs it to double again —
+    * amortized O(1) per merged record. */
+  private def maybeCompactDict(): PackedGroups = {
+    val stride = kw + rw
+    val n = runs.packedCount // raw (pre-net) records: a conservative bound
+    if (dictVals.length <= 64 || dictVals.length.toLong <= 2L * n * stride)
+      this
+    else {
+      var vals = Vector.empty[Any]
+      var ids = HashMap.empty[Any, Long]
+      var dBytes = 0L
+      def recode(c: Long): Long = (c & 3L) match {
+        case TagInline | TagNull => c
+        case _ =>
+          val x = dictVals((c >>> 2).toInt)
+          ids.get(x) match {
+            case Some(id) => id << 2
+            case None =>
+              val id = vals.length.toLong
+              vals = vals :+ x
+              ids = ids.updated(x, id)
+              dBytes += valBytes(x)
+              id << 2
+          }
+      }
+      val buf = mutable.ArrayBuilder.make[Long]
+      runs.iterator.foreach { case (rec, w) =>
+        var i = 0
+        while (i < stride) { buf += recode(rec(i)); i += 1 }
+        buf += w
+      }
+      PackedGroups(PackedRuns.empty(stride).merged(buf.result()), kw, rw,
+        side, vals, ids, dBytes)
+    }
   }
 
   def bytes: Long = runs.bytes + side.size * 240L + dictBytes

@@ -131,4 +131,53 @@ class KernelFixpointSpec extends AnyFunSuite {
     assert(viaKernel.nonEmpty)
     assert(viaKernel == viaDataFrame)
   }
+
+  test("arrangement consolidates a negating NameExpr static (r11 review)") {
+    // The static side references a RULE whose compiled Z-set carries
+    // negative weights (a bare Negate body — distinct=false, W=-1).
+    // Past the broadcast gate the arrangement must consolidate it the
+    // way the broadcast path does (distinctify → empty static here);
+    // treating the rule reference as unit-weighted would surface the
+    // negated edges into the static index and derive through them.
+    // Today TWO layers guarantee this: depEnv pre-distinctifies every
+    // external rule dependency before the kernel compiles the static,
+    // and the gate's positiveWeights recurses through rule bodies
+    // (defense in depth if a future call path skips depEnv) — this
+    // test pins the end-to-end behavior against both regressing.
+    val rules = Seq(
+      Rule("edges0", matchA(0, ":edge", 1)),
+      Rule("dead", matchA(0, ":dead", 1)),
+      Rule("neg_dead", Negate(NameExpr(Seq(0, 1), "dead"))),
+      Rule("closure", Union(Seq(0, 1), Seq(
+        NameExpr(Seq(0, 1), "edges0"),
+        Project(Seq(0, 1), Join(Seq(2),
+          NameExpr(Seq(0, 2), "neg_dead"),
+          NameExpr(Seq(2, 1), "closure")))))))
+    val datoms = Seq(
+      Datom.add(0L, ":edge", Value.eid(1L)),
+      Datom.add(1L, ":edge", Value.eid(2L)),
+      Datom.add(10L, ":dead", Value.eid(0L)),
+      Datom.add(11L, ":dead", Value.eid(0L)))
+    def run(): Set[Seq[Any]] = {
+      val engine = new Engine(spark)
+      engine.createAttribute(":edge", AttributeConfig(InputSemantics.Distinct))
+      engine.createAttribute(":dead", AttributeConfig(InputSemantics.Distinct))
+      rules.foreach(engine.register)
+      engine.interest("closure")
+      engine.transact(datoms)
+      engine.advance(1)
+      engine.drain("closure").map(_._1).toSet
+    }
+    // Threshold 60 ⇒ maxStaticRows = 1 at arity 2, so the 2-row static
+    // routes through the partitioned arrangement, not the broadcast.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "60")
+    try {
+      val arranged = run()
+      val reference = withKernelOff(run())
+      assert(arranged == reference, s"arranged=$arranged reference=$reference")
+      assert(arranged == Set(Seq(0L, 1L), Seq(1L, 2L)),
+        s"negated static must contribute NOTHING, got $arranged")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

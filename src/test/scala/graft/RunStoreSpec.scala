@@ -153,4 +153,33 @@ class RunStoreSpec extends AnyFunSuite {
     // prefix longs (the latent stale-buffer bug the guard closes).
     assert(g.group(Seq[Any](7L, 0L)).isEmpty)
   }
+
+  test("PackedGroups compacts its interning dictionary under value churn (r11 review)") {
+    // A churning string column — every batch retracts the previous
+    // distinct value and asserts a fresh one — must NOT grow the
+    // interning dictionary with the total HISTORICAL distinct count:
+    // once the dictionary provably exceeds what live records can
+    // reference, the store re-encodes through a fresh one. The boxed
+    // trie frees values with their records; the packed backend must
+    // stay in the same live-sized class.
+    import graft.model.ValueKind
+    import graft.streaming.{GroupIndex, PackedGroups}
+    var g = GroupIndex.empty(Seq(ValueKind.KEid), Seq(ValueKind.KString))
+    var prev: Option[String] = None
+    (0 until 400).foreach { i =>
+      val v = s"val-$i"
+      val batch: Seq[((Seq[Any], Seq[Any]), Long)] =
+        Seq(((Seq[Any](1L), Seq[Any](v)), 1L)) ++
+          prev.map(p => ((Seq[Any](1L), Seq[Any](p)), -1L))
+      g = g.merged(batch)
+      prev = Some(v)
+    }
+    val pg = g.asInstanceOf[PackedGroups]
+    assert(pg.dictVals.length < 200,
+      s"dictionary holds ${pg.dictVals.length} of 400 historical values " +
+        "— churn compaction did not trigger")
+    // Reads stay exact through compactions: only the live value remains.
+    assert(g.group(Seq[Any](1L)) == Map(Seq[Any]("val-399") -> 1L))
+    assert(g.group(Seq[Any](2L)).isEmpty)
+  }
 }

@@ -708,7 +708,15 @@ class WsServerSpec extends AnyFunSuite {
         a.send("""{"CreateAttribute":{"name":":cg/x","config":{"input_semantics":"Raw"}}}""")
         a.send("""{"Register":{"rules":[{"name":"cq","plan":{"MatchA":[0,":cg/x",1]}}],"publish":["cq"]}}""")
         a.send("""{"Interest":{"name":"cq","granularity":{"TxId":2}}}""")
+        // Cross-connection ordering is NOT guaranteed (each socket has
+        // its own reader thread): barrier on a Status round-trip so b's
+        // Interest cannot race ahead of a's Register, and b's Interest
+        // is processed before the transact.
+        a.send("\"Status\"")
+        assert(a.next().contains("df/status"))
         b.send("""{"Interest":{"name":"cq","granularity":{"TxId":3}}}""")
+        b.send("\"Status\"")
+        assert(b.next().contains("df/status"))
         // t=0 datom: a's bucket = (0/2+1)*2 = 2, b's = (0/3+1)*3 = 3.
         a.send("""{"Transact":[[1,":cg/x",10,null,1]]}""")
         // Frontier 3 > a's bound 2: a releases; b's bound 3 is NOT past.
@@ -731,6 +739,43 @@ class WsServerSpec extends AnyFunSuite {
         }
       } finally {
         try b.close() catch { case _: Throwable => () }
+      }
+    }
+  }
+
+  test("a granularity switch flushes held coarse buckets instead of dropping them (r11 review)") {
+    // A client holding coarse-bucketed diffs (already drained from the
+    // engine) re-sends Interest at a different granularity: the held
+    // buckets must FLUSH at their recorded bounds — the diffs exist
+    // nowhere else, so dropping them would lose updates forever.
+    withServer { (server, a) =>
+      a.send("""{"CreateAttribute":{"name":":sw/x","config":{"input_semantics":"Raw"}}}""")
+      a.send("""{"Register":{"rules":[{"name":"sq","plan":{"MatchA":[0,":sw/x",1]}}],"publish":["sq"]}}""")
+      a.send("""{"Interest":{"name":"sq","granularity":{"TxId":5}}}""")
+      // t=0 datom buckets to (0/5+1)*5 = 5; frontier 2 < 5: held.
+      a.send("""{"Transact":[[1,":sw/x",10,null,1]]}""")
+      a.send("""{"AdvanceDomain":[null,{"TxId":2}]}""")
+      // Switch to FINE delivery: the held bucket flushes at bound 5.
+      a.send("""{"Interest":{"name":"sq","granularity":null}}""")
+      Wire.parseOutput(a.next()) match {
+        case Output.QueryDiff(name, batch) =>
+          assert(name == "sq")
+          assert(batch == Seq((Seq(Value.eid(1), Value.num(10)), 5L, 1L)),
+            s"held bucket must flush at its recorded bound, got $batch")
+        case other => fail(s"expected the flushed held bucket, got $other")
+      }
+      // Fine delivery is live from here: a new datom arrives at its raw
+      // time, no holding.
+      a.send("""{"Transact":[[2,":sw/x",20,null,1]]}""")
+      a.send("""{"AdvanceDomain":[null,{"TxId":9}]}""")
+      Wire.parseOutput(a.next()) match {
+        case Output.QueryDiff(name, batch) =>
+          assert(name == "sq")
+          assert(batch.map(r => (r._1, r._3)) ==
+            Seq((Seq(Value.eid(2), Value.num(20)), 1L)),
+            s"fine delivery after the switch, got $batch")
+          assert(batch.head._2 < 9L, s"fine time must be raw, got ${batch.head._2}")
+        case other => fail(s"expected the fine diff, got $other")
       }
     }
   }
