@@ -844,6 +844,74 @@ object StreamScaleSmoke {
       }
     }
 
+    // ------------------------------------------- 8b. bi Coarsen lanes
+    // Multi-granularity residency: THREE granularities (fine, (2,2),
+    // (4,4)) over ONE BiMaintained at 1M+ datoms. The history store is
+    // SHARED — per-lane cost is the coarse lattice plus an output-sized
+    // emitted view, so resident bytes/datom must stay in the
+    // single-lane band (~144 B/datom packed), not 3×. A FOURTH
+    // granularity then attaches LATE and replays the completed history
+    // (the reference's any-time Interest.granularity).
+    if (section("bilanes")) {
+      import graft.streaming.BiMaintained
+      val prevDial = sys.props.get("graft.bi.distributed")
+      sys.props("graft.bi.distributed") = "on"
+      try {
+        val bm = new BiMaintained(spark, partitions = 32)
+        bm.createAttribute(":bi/x", AttributeConfig(InputSemantics.Raw))
+        val grains: Seq[(String, Option[(Long, Long)])] = Seq(
+          "bl_fine" -> None, "bl_w2" -> Some((2L, 2L)), "bl_w4" -> Some((4L, 4L)))
+        val agg = Plan.Aggregate(Seq(2, 1), Plan.MatchA(1, ":bi/x", 2),
+          Seq(AggregationFn.COUNT), Seq(2), Seq(1), Seq.empty)
+        (grains :+ ("bl_late" -> Option((8L, 8L)))).foreach { case (n, _) =>
+          bm.register(Rule(n, agg)) }
+        grains.foreach { case (n, g) => bm.interest(n, g) }
+        var total = 0L; var clock = 0L
+        (1 to 6).foreach { _ =>
+          val n = 200000
+          // Entities repeat across batches (300k distinct): the emitted
+          // views stay KEY-sized while the history grows per-datom — the
+          // split that separates shared-store from per-lane-copy costs.
+          val datoms = (0 until n).map { i =>
+            val e = (total + i) % 300000L
+            bm.BiDatom(Value.eid(e), ":bi/x",
+              Value.num(e % 100L), (clock, clock), 1L)
+          }
+          total += n
+          val t0 = now()
+          bm.transact(datoms)
+          bm.advance(clock + 1L)
+          clock += 1L
+          val drained = grains.map { case (n2, _) => bm.drain(n2).size }.sum
+          println(f"[scale] bilanes grow total=$total%d lanes=3 " +
+            f"diffs=$drained%d sec=${secs(t0)}%.2f")
+        }
+        // Flush the coarse lattices past the last window bound.
+        bm.advance(100L)
+        val tail = grains.map { case (n2, _) => bm.drain(n2).size }.sum
+        val (declared, measured) = bm.storeBytes
+        val bpd = measured.toDouble / total
+        println(f"[scale] bilanes footprint datoms=$total%d lanes=3 tail=$tail%d " +
+          f"declaredMB=${declared / 1048576}%d measuredMB=${measured / 1048576}%d " +
+          f"measuredBpd=$bpd%.0f")
+        // Shared-store pin: 3 lanes must NOT triple the per-datom cost.
+        // Expected ≈ recs 64 + event index 40 + 3 output-sized emitted
+        // views (key-sized: 300k × 48 B = 12 B/datom each) ≈ 140
+        // B/datom; per-lane HISTORY copies would read 330+ B/datom.
+        assert(bpd < 280.0,
+          f"multi-lane residency $bpd%.0f B/datom — history duplicated per lane?")
+        val tL = now()
+        bm.interest("bl_late", Some((8L, 8L)))
+        val lateDiffs = bm.drain("bl_late").size
+        println(f"[scale] bilanes late-attach w=(8,8) replayDiffs=$lateDiffs%d " +
+          f"sec=${secs(tL)}%.2f")
+        assert(lateDiffs > 0, "late lane replay produced no diffs")
+      } finally prevDial match {
+        case Some(v) => sys.props("graft.bi.distributed") = v
+        case None    => sys.props.remove("graft.bi.distributed")
+      }
+    }
+
     println("[scale] smoke complete — no driver failure")
     spark.stop()
   }

@@ -1,5 +1,7 @@
 package graft.compile
 
+import graft.kernel.Ckpt._
+
 import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, DataFrame}
@@ -241,7 +243,7 @@ class Compiler(
     ordered.flatMap(r => reachable(r)).distinct
       .filterNot(cyclic).filter(rules.contains).foreach { dep =>
         val rel = compileRule(dep)
-        val chk = rel.df.localCheckpoint(false)
+        val chk = rel.df.graftCheckpoint(false)
         memo(dep) = rel.copy(df = compacted(chk, chk.count()))
         if (fixpointDebug) System.err.println(
           s"[fixpoint] dep $dep materializedMs=${(System.nanoTime() - debugT0) / 1000000}")
@@ -309,7 +311,7 @@ class Compiler(
       P.dependencies(rules(r).plan)._1
     }.toSet.filter(a => source.has(a) && !source.unit(a))
     val normScans: Map[String, (DataFrame, Long)] = scanAttrs.map { a =>
-      val df = distinctify(source.collection(a)).localCheckpoint(false)
+      val df = distinctify(source.collection(a)).graftCheckpoint(false)
       a -> ((df, df.count()))
     }.toMap
     val loopComp: Compiler =
@@ -342,7 +344,7 @@ class Compiler(
           val rel = memo(dep)
           val ndf =
             if (rel.distinct || rel.unit) rel.df
-            else distinctify(rel.df).localCheckpoint(false)
+            else distinctify(rel.df).graftCheckpoint(false)
           dep -> (Some(rel.copy(df = ndf, distinct = true)): Option[Rel])
         }.toMap
 
@@ -360,7 +362,7 @@ class Compiler(
         r -> loopComp.compile(rules(r).plan,
             ordered.map(_ -> (None: Option[Rel])).toMap ++ depEnv)
           .map(rel => rel.copy(df =
-            (if (rel.distinct) rel.df else distinctify(rel.df)).localCheckpoint(false)))
+            (if (rel.distinct) rel.df else distinctify(rel.df)).graftCheckpoint(false)))
       }.toMap
       var totalCount: Map[String, Long] =
         ordered.map(r => r -> delta(r).map(_.df.count()).getOrElse(0L)).toMap
@@ -413,7 +415,7 @@ class Compiler(
       // (co-partitioned); compacted into one frame when the chain grows.
       var totalParts: Map[String, Vector[DataFrame]] = ordered.map { r =>
         r -> delta(r).map(rel =>
-          Vector(repart(rel.df).localCheckpoint(false))).getOrElse(Vector.empty)
+          Vector(repart(rel.df).graftCheckpoint(false))).getOrElse(Vector.empty)
       }.toMap
       val maxChain = 16
       delta = ordered.map { r =>
@@ -437,7 +439,7 @@ class Compiler(
                 (acc, d) => acc.join(d.drop(W), dataCols, "left_anti"))
               Some(c.copy(df = minus.withColumn(W, lit(1L))))
           }
-          val freshChk = fresh.map(rel => rel.copy(df = rel.df.localCheckpoint(false)))
+          val freshChk = fresh.map(rel => rel.copy(df = rel.df.graftCheckpoint(false)))
           val tCount0 = if (fixpointDebug) System.nanoTime() else 0L
           val n = freshChk.map(_.df.count()).getOrElse(0L)
           if (fixpointDebug) System.err.println(
@@ -464,7 +466,7 @@ class Compiler(
               // One shuffle of the total every maxChain rounds keeps both
               // the chain length and the plan-analysis cost bounded in
               // deep fixpoints.
-              else Vector(repart(grown.reduce(_ unionAll _)).localCheckpoint(false))
+              else Vector(repart(grown.reduce(_ unionAll _)).graftCheckpoint(false))
           })
         }.toMap
         totalCount = ordered.map(r => r -> (totalCount(r) + stepped(r)._2)).toMap
@@ -497,7 +499,7 @@ class Compiler(
             // materializing action (one job per rule-round, not two).
             rel.copy(df =
               (if (rel.distinct) rel.df else distinctify(rel.df))
-                .localCheckpoint(false))
+                .graftCheckpoint(false))
           }
         }.toMap
         val newSigs = ordered.map { r =>

@@ -1,5 +1,7 @@
 package graft.kernel
 
+import graft.kernel.Ckpt._
+
 import scala.reflect.ClassTag
 
 import org.apache.spark.Partitioner
@@ -93,13 +95,13 @@ object RddKernel {
     * of every semi-naive kernel. The caller's next action materializes it. */
   def freshDelta[K: ClassTag](cand: RDD[(K, Null)], part: Partitioner,
       chain: Seq[RDD[(K, Null)]]): RDD[(K, Null)] =
-    subtract(dedup(cand, part), chain).localCheckpoint()
+    subtract(dedup(cand, part), chain).graftCheckpoint()
 
   /** Collapse a chain into one materialized frame (narrow concat). */
   def compact[K: ClassTag](chain: Seq[RDD[(K, Null)]]): RDD[(K, Null)] = {
     val comp = chain.reduce((a, b) =>
       a.zipPartitions(b, preservesPartitioning = true)(_ ++ _))
-      .localCheckpoint()
+      .graftCheckpoint()
     comp.count()
     comp
   }

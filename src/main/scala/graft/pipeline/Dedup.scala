@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import graft.kernel.Ckpt._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -80,7 +82,7 @@ object Dedup {
     * self-join's two sides share one computation instead of re-hashing
     * every shingle twice. */
   def candidatePairs(buckets: DataFrame): DataFrame = {
-    val mat = buckets.localCheckpoint(true)
+    val mat = buckets.graftCheckpoint(true)
     val l = mat.toDF("a", "band", "bucket")
     val r = mat.toDF("b", "band", "bucket")
     l.join(r, Seq("band", "bucket"))
@@ -318,7 +320,7 @@ object Dedup {
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         m.forEach { (k, v) => out += ((k, v)) }
         out.iterator
-      }.localCheckpoint() // truncate lineage: rounds must not stack shuffles
+      }.graftCheckpoint() // truncate lineage: rounds must not stack shuffles
       nTouched = next.count()
       labels = next
       changed = acc.value
@@ -358,7 +360,7 @@ object Dedup {
     val groups = d.groupBy(md5(col("text")).as("digest"))
       .agg(min(col("id")).as("rep"), first(col("text")).as("text"))
       .select(col("digest"), col("rep"), tokenHashPairs(col("text")).as("_hp"))
-      .localCheckpoint(true) // shared by the rep pipeline and the expansion
+      .graftCheckpoint(true) // shared by the rep pipeline and the expansion
     exactFirstClustersFromGroups(groups,
       d.select(col("id"), md5(col("text")).as("digest")),
       d.select(col("id")), n, perms, bands)
@@ -406,7 +408,7 @@ object Dedup {
         "than bands could dodge every band)")
     val w = bits / bands
     val mask = (1L << w) - 1
-    val mat = sig.localCheckpoint(true) // both join sides + the verify read it
+    val mat = sig.graftCheckpoint(true) // both join sides + the verify read it
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * w).bitwiseAND(mask).as("v"))
@@ -445,14 +447,14 @@ object Dedup {
       col(textCol).as("text"))
     val groups = d.groupBy(md5(col("text")).as("digest"))
       .agg(min(col("id")).as("rep"), first(col("text")).as("text"))
-      .localCheckpoint(true) // feeds the signature pass AND the expansion
+      .graftCheckpoint(true) // feeds the signature pass AND the expansion
     val repSig = simhash(groups, "rep", "text", bits)
     val repPairs = simhashPairs(repSig, bits, bands, maxDist)
     // id → rep for every doc (rep of its own digest group).
     val gm = d.select(col("id"), md5(col("text")).as("digest"))
       .join(groups.select(col("digest"), col("rep")), "digest")
       .select(col("id"), col("rep"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     // Cross-group pairs: members of the a-side group × members of the
     // b-side group, at the rep distance. Member ids need not order the
     // way their reps do.
@@ -601,7 +603,7 @@ object Dedup {
       md5(col(textCol)).as("digest"))
     val batchD = batch.select(col(idCol).cast("long").as("id"),
       md5(col(textCol)).as("digest"))
-      .localCheckpoint(true) // read by the digest-set build AND the final join
+      .graftCheckpoint(true) // read by the digest-set build AND the final join
     val nDigests = batchD.select(col("digest")).distinct().count()
     val bcBytes = graft.kernel.RddKernel.broadcastThresholdBytes(spark)
     // ~72 bytes per broadcast-hash-relation row of one 32-char digest.
@@ -685,7 +687,7 @@ object Dedup {
     val gm = members
       .join(groups.select(col("digest"), col("rep")), "digest")
       .select(col("id"), col("rep"), col("digest"))
-      .localCheckpoint(true) // read by the cross expansion AND intra pairs
+      .graftCheckpoint(true) // read by the cross expansion AND intra pairs
     val cross = repJac
       .join(gm.select(col("id").as("ia"), col("rep").as("ra")), col("a") === col("ra"))
       .join(gm.select(col("id").as("ib"), col("rep").as("rb")), col("b") === col("rb"))
@@ -712,7 +714,7 @@ object Dedup {
     val sh = hp
       .select(col("id"), explode(array_distinct(
         shingleHashWindows(col("_hp"), n))).as("s"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val a = sh.toDF("a", "s")
     val b = sh.toDF("b", "s")
     // Distinct-shingle set sizes from the materialized table (one cheap

@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import graft.kernel.Ckpt._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -143,7 +145,7 @@ object Similarity {
         col(idCol).cast("long").as("id"), quantize(col(vecCol)).as("qv"))
       .withColumn("rep", min(col("id")).over(w))
       .withColumn("nrm", dotQ(col("qv"), col("qv")))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val groups = m.where(col("id") === col("rep"))
     val members = m.select(col("blk"), col("rep"), col("id"))
 
@@ -210,25 +212,63 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** `(id, qv, extra..., rep)` with `rep` = the group-minimum id of each
+    * DISTINCT quantized vector — ONE window pass, the exact-first
+    * blocking structure shared by the whole similarity family (the
+    * [[quantizedNearDup]] pattern). Materialized: feeds both the
+    * rep-only compute and the expansion join. */
+  private def withRep(q: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qv"))
+    q.withColumn("rep", min(col("id")).over(w)).graftCheckpoint(true)
+  }
+
+  /** EXACT-FIRST centroid assignment: the centroids collapse to ONE
+    * broadcast array row, the argmax-by-dot is a per-row expression
+    * (transform to (dot, cell) structs, fold to the best — ties to the
+    * lowest cell) GUARDED to the rep rows (`when` short-circuits in
+    * codegen), and the result propagates to the duplicate group through
+    * `first(ignoreNulls)` over the SAME qv partitioning the rep window
+    * installed — so under d-fold duplication the k dot products run
+    * d-fold fewer times and NO shuffle is added beyond [[withRep]]'s
+    * window pass (no per-row k-way expansion, no ranking window, no
+    * expansion join). Returns `m.columns + (cell, dotq)`. */
+  private def assignCells(m: DataFrame, cents: DataFrame): DataFrame = {
+    val ca = cents
+      .agg(array_sort(collect_list(struct(
+        col("cell").cast("long").as("cell"), col("cv").as("cv")))).as("_ca"))
+    val best = aggregate(
+      transform(col("_ca"), s => struct(
+        dotQ(col("qv"), s.getField("cv")).as("d"),
+        s.getField("cell").as("c"))),
+      struct(lit(null).cast("long").as("d"), lit(null).cast("long").as("c")),
+      (acc, s) => when(acc.getField("d").isNull ||
+          s.getField("d") > acc.getField("d"), s).otherwise(acc))
+    m.crossJoin(org.apache.spark.sql.functions.broadcast(ca))
+      .withColumn("_best", when(col("id") === col("rep"), best))
+      .withColumn("_best", first(col("_best"), ignoreNulls = true).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qv"))))
+      .withColumn("cell", col("_best").getField("c"))
+      .withColumn("dotq", col("_best").getField("d"))
+      .drop("_best", "_ca")
+  }
+
   /** IVF-style coarse quantization: assign every vector to its
     * nearest-by-dot-product centroid cell; at scale, ANN search probes only
     * the query's cell(s) instead of the full corpus. Centroids here are the
     * quantized vectors of the `k` lowest ids — a deterministic, oracle-
     * portable stand-in for trained k-means centroids (swap in real ones by
-    * replacing `cents`); they broadcast to every executor, so assignment is
-    * a map-side cross product with no shuffle. Output: (id, cell, dotq). */
+    * replacing `cents`); they broadcast to every executor. Assignment is
+    * EXACT-FIRST: the argmin runs per DISTINCT quantized vector and
+    * expands over the duplicate groups ([[assignCells]]).
+    * Output: (id, cell, dotq). */
   def ivfAssign(vectors: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = vectors.select(col(idCol).cast("long").as("id"),
       quantize(col(vecCol)).as("qv"))
-    val cents = q.where(col("id") < k).select(col("id").as("cell"), col("qv").as("cv"))
-    val scored = q.join(org.apache.spark.sql.functions.broadcast(cents))
-      .select(col("id"), col("cell"), dotQ(col("qv"), col("cv")).as("dotq"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("dotq").desc, col("cell").asc)
-    scored.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .select(col("id"), col("cell"), col("dotq"))
+    val m = withRep(q)
+    val cents = m.where(col("id") < k)
+      .select(col("id").as("cell"), col("qv").as("cv"))
+    assignCells(m, cents).select(col("id"), col("cell"), col("dotq"))
   }
 
   /** IVF SEARCH (the scale path [[quantizedTopK]] is the exact baseline
@@ -244,23 +284,21 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.broadcast
-    val q = vectors.select(col(idCol).cast("long").as("id"),
+    // One corpus scan feeds assignment, probing, and scoring; the
+    // rep-tagging window makes the cell assignment EXACT-FIRST
+    // ([[assignCells]] — argmin per DISTINCT vector, expand by rep).
+    val m = withRep(vectors.select(col(idCol).cast("long").as("id"),
       quantize(col(vecCol)).as("qv"))
-      .withColumn("nrm", dotQ(col("qv"), col("qv")))
-      .localCheckpoint(true) // shared by assignment, probing, and scoring
-    val cents = q.where(col("id") < cells)
+      .withColumn("nrm", dotQ(col("qv"), col("qv"))))
+    val cents = m.where(col("id") < cells)
       .select(col("id").as("cell"), col("qv").as("cv"))
-    val wId = Window.partitionBy(col("id"))
-      .orderBy(col("dotc").desc, col("cell").asc)
-    val corpus = q.join(broadcast(cents))
-      .select(col("id"), col("qv"), col("nrm"), col("cell"),
-        dotQ(col("qv"), col("cv")).as("dotc"))
-      .withColumn("_rn", row_number().over(wId)).where(col("_rn") === 1)
+    val corpus = assignCells(m, cents)
       .select(col("cell"), col("id").as("nb"), col("qv").as("nv"),
         col("nrm").as("nn"))
     val wQ = Window.partitionBy(col("q"))
       .orderBy(col("dotc").desc, col("cell").asc)
-    val probed = q.where(queryPred).toDF("q", "qqv", "nq")
+    val probed = m.where(queryPred)
+      .select(col("id").as("q"), col("qv").as("qqv"), col("nrm").as("nq"))
       .join(broadcast(cents))
       .select(col("q"), col("qqv"), col("nq"), col("cell"),
         dotQ(col("qqv"), col("cv")).as("dotc"))
@@ -324,11 +362,19 @@ object Similarity {
         (0 until m).map(j => element_at(col("_codes"), j + 1).as(s"c$j")): _*)
   }
 
-  /** `(id, qv, _codes)` — corpus rows with their PQ code array. */
+  /** `(id, qv, ..., _codes)` — corpus rows with their PQ code array.
+    * EXACT-FIRST: the native [[graft.functions.PqAssign]] argmin runs
+    * only on the rep row of each distinct quantized vector (`when`
+    * short-circuits in codegen) and propagates to the duplicate group
+    * through `first(ignoreNulls)` over the SAME qv partitioning
+    * [[withRep]]'s window installed — d-fold less assignment work under
+    * d-fold duplication, no added shuffle. */
   private def withCodes(q: DataFrame, cbRow: DataFrame, m: Int): DataFrame =
-    q.crossJoin(broadcast(cbRow))
-      .withColumn("_codes",
-        graft.functions.Pq.assign(col("qv"), col("cb"), lit(m)))
+    withRep(q).crossJoin(broadcast(cbRow))
+      .withColumn("_codes", when(col("id") === col("rep"),
+        graft.functions.Pq.assign(col("qv"), col("cb"), lit(m))))
+      .withColumn("_codes", first(col("_codes"), ignoreNulls = true).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qv"))))
 
   /** PQ SEARCH via asymmetric distance computation (ADC): queries keep
     * their exact quantized vectors; the corpus is scanned as codes. Each
@@ -350,7 +396,7 @@ object Similarity {
     // build, and scoring (the ivfTopK sharing pattern).
     val q = vectors.select(col(idCol).cast("long").as("id"),
       quantize(col(vecCol)).as("qv"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val cbRow = codebookRow(q, ksub)
     val codes = withCodes(q, cbRow, m).select(col("id"), col("_codes"))
     val queries = q.where(queryPred).toDF("q", "qqv")
@@ -418,7 +464,7 @@ object Similarity {
     val v = vectors.select(col(idCol).cast("long").as("id"),
       quantize(col(vecCol)).as("qv"))
     val groups = v.groupBy(col("qv")).agg(min(col("id")).as("rep"))
-      .localCheckpoint(true) // feeds the rep filter AND the expansion
+      .graftCheckpoint(true) // feeds the rep filter AND the expansion
     val reps = vectors.join(groups.select(col("rep")),
       col(idCol).cast("long") === col("rep"), "left_semi")
     val repClusters = semanticDedup(reps, cells, tauNum, tauDen,

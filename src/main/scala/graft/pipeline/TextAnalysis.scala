@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import graft.kernel.Ckpt._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -138,7 +140,7 @@ object TextAnalysis {
         explode(tokens(col(textCol))).as("term"))
       .where(col("term") =!= "")
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // feeds both the df agg and the final join
+      .graftCheckpoint(true) // feeds both the df agg and the final join
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // INTEGER division (div, not /): Column./ is double division, whose
     // ordering near-ties would diverge from the oracle's integer `//`.
@@ -222,8 +224,8 @@ object TextAnalysis {
     def members(df: DataFrame) = df
       .select(col(idCol).cast("long").as("id"), md5(col(textCol)).as("digest"))
     ngramOverlapExactFirstFromGroups(
-      groups(corpus).localCheckpoint(true), members(corpus),
-      groups(benchmark).localCheckpoint(true), members(benchmark), n)
+      groups(corpus).graftCheckpoint(true), members(corpus),
+      groups(benchmark).graftCheckpoint(true), members(benchmark), n)
   }
 
   /** [[ngramOverlapExactFirst]] over prepared digest-group tables —
@@ -257,7 +259,7 @@ object TextAnalysis {
     def shingleSet(hp: DataFrame, as: String): DataFrame = hp
       .select(col("id").as(as), explode(array_distinct(
         shingleHashWindows(col("_hp"), n))).as("s"))
-    val c = shingleSet(corpusHp, "corpus_id").localCheckpoint(true)
+    val c = shingleSet(corpusHp, "corpus_id").graftCheckpoint(true)
     val b = shingleSet(benchHp, "bench_id")
     val sizes = c.groupBy(col("corpus_id")).agg(count(lit(1)).as("corpus_sz"))
     c.join(b, Seq("s"))

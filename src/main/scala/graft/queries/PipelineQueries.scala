@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.kernel.Ckpt._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -54,7 +56,7 @@ object PipelineQueries {
     synchronized {
       hpCache.getOrElseUpdate((s, dir),
         docs(s, dir).select(col("doc_id").as("id"),
-          Portable.tokenHashPairs(col("text")).as("_hp")).localCheckpoint(true))
+          Portable.tokenHashPairs(col("text")).as("_hp")).graftCheckpoint(true))
     }
 
   // The LSH bucket table feeds two pair shapes: full pairs for pairwise
@@ -65,13 +67,13 @@ object PipelineQueries {
       bucketsCache.getOrElseUpdate((s, dir),
         Dedup.lshBuckets(
           Dedup.minhashFromHp(docsHp(s, dir), ShingleN, MinhashPerms),
-          MinhashPerms, MinhashBands).localCheckpoint(true))
+          MinhashPerms, MinhashBands).graftCheckpoint(true))
     }
 
   private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
     synchronized {
       pairsCache.getOrElseUpdate((s, dir),
-        Dedup.candidatePairs(lshBucketTable(s, dir)).localCheckpoint(true))
+        Dedup.candidatePairs(lshBucketTable(s, dir)).graftCheckpoint(true))
     }
 
   // The exact-first family (q_dedup_exact_first, q_contamination_
@@ -89,7 +91,7 @@ object PipelineQueries {
           .agg(min(col("id")).as("rep"), first(col("text")).as("text"))
           .select(col("digest"), col("rep"),
             Portable.tokenHashPairs(col("text")).as("_hp"))
-          .localCheckpoint(true))
+          .graftCheckpoint(true))
     }
 
   private def digestMembers(s: SparkSession, dir: String): DataFrame =
@@ -98,7 +100,7 @@ object PipelineQueries {
         docs(s, dir)
           .select(col("doc_id").cast("long").as("id"),
             md5(col("text")).as("digest"))
-          .localCheckpoint(true))
+          .graftCheckpoint(true))
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

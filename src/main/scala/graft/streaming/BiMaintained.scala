@@ -13,14 +13,15 @@ import graft.model._
   * `tests/input_semantics.rs:337-508`), composing the bitemporal
   * frontier rules with [[IncrementalQuery]]:
   *
-  *  - The DATOM HISTORY lives in a [[BiStore]]: driver-resident only
-  *    while under the broadcast byte gate, then migrated into a
-  *    [[StateCell]]-backed distributed store ([[CellBiStore]]) — one
-  *    [[BiVisibility]] index per partition, hash-partitioned by view
-  *    key. This matches the reference's split exactly: frontier
-  *    bookkeeping is control-plane-sized and worker-local, the datoms
-  *    live in distributed arrangements. `-Dgraft.bi.distributed=on|off`
-  *    forces either sibling (A/B and parity tests).
+  *  - The DATOM HISTORY lives ONCE, at FINE times, in a [[BiStore]]:
+  *    driver-resident only while under the broadcast byte gate, then
+  *    migrated into a [[StateCell]]-backed distributed store
+  *    ([[CellBiStore]]) — one [[BiVis]] index per partition,
+  *    hash-partitioned by view key. This matches the reference's split
+  *    exactly: frontier bookkeeping is control-plane-sized and
+  *    worker-local, the datoms live in distributed arrangements.
+  *    `-Dgraft.bi.distributed=on|off` forces either sibling (A/B and
+  *    parity tests).
   *  - Each newly completed pair time feeds only the VISIBLE-VIEW
   *    TRANSITIONS of the referenced attributes, resolved INCREMENTALLY
   *    from the store's time indexes — O(candidate keys of the toggled
@@ -45,7 +46,17 @@ import graft.model._
   *    `src/timestamp/mod.rs:144-184`) round each input time STRICTLY up
   *    to the next `(sys, event)` window bound (`(t/w + 1)·w`, even at
   *    exact multiples), bounding the time lattice, the ledger and the
-  *    delivery chatter on dense histories.
+  *    delivery chatter on dense histories. Every granularity in use is
+  *    a LANE over the ONE shared store — per-lane state is only the
+  *    coarse time lattice, the last processed time, and an output-sized
+  *    emitted view inside the store; a lane's transition at coarse `T`
+  *    evaluates the shared fine history at `T` (the visible aggregate
+  *    is a pure function of the history and the query time). That is
+  *    the reference's shape — `Interest.granularity` coarsens each
+  *    interest's DELIVERY over one shared domain trace
+  *    (`server/src/main.rs:455-462`) — and it lets a NEW granularity
+  *    attach at ANY time: a late lane reconstructs its lattice from the
+  *    history and replays the already-completed times.
   *
   * `BiMaintainedSpec`-pinned parity: for any signed bitemporal history
   * and any advance schedule, `drain` equals BiEngine's drain
@@ -53,9 +64,9 @@ import graft.model._
 class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     coarsen: Option[(Long, Long)] = None) {
 
-  type BiTime = (Long, Long)
+  type BiTimePair = (Long, Long)
 
-  final case class BiDatom(e: Value, a: String, v: Value, t: BiTime, diff: Long)
+  final case class BiDatom(e: Value, a: String, v: Value, t: BiTimePair, diff: Long)
 
   private val configs = mutable.LinkedHashMap.empty[String, AttributeConfig]
   private val firstKind = mutable.Map.empty[String, ValueKind]
@@ -75,48 +86,54 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     sys.props.get("graft.bi.driver.bytes").map(_.toLong)
       .getOrElse(64L * 1024 * 1024)
 
+  /** THE history store — one fine-grained copy shared by every lane:
+    * driver-resident under the byte gate, then migrated distributed
+    * (sticky). `graft.bi.distributed=on` starts distributed; `off`
+    * pins the driver sibling. */
+  private var store: BiStore =
+    if (sys.props.get("graft.bi.distributed").contains("on"))
+      new CellBiStore(spark, partitions)
+    else new DriverBiStore(spark)
+
+  private def maybeMigrate(): Unit = store match {
+    case d: DriverBiStore
+        if !sys.props.get("graft.bi.distributed").contains("off") &&
+          d.estimatedBytes > driverGateBytes =>
+      val cell = new CellBiStore(spark, partitions)
+      cell.plant(d.vis.split(partitions))
+      store = cell
+    case _ => ()
+  }
+
   /** One Coarsen LANE per distinct delivery granularity in use — the
     * reference lets every Interest request its own granularity
     * (`Interest.granularity`, `src/server/mod.rs:110-119`) and applies
-    * `Coarsen` to that interest's own dataflow; here each lane keeps
-    * its own coarsened history store, unprocessed time lattice, and
-    * last processed time, and standings attach to the lane of THEIR
-    * granularity. Lanes must exist before the first transact (a lane
-    * created later would miss ingested history — the engine-level
-    * replay the reference gets from its compacted traces). */
-  private final class Lane(val win: Option[(Long, Long)]) {
-    /** The history store: driver-resident under the byte gate, then
-      * migrated distributed (sticky). `graft.bi.distributed=on` starts
-      * distributed; `off` pins the driver sibling. */
-    var store: BiStore =
-      if (sys.props.get("graft.bi.distributed").contains("on"))
-        new CellBiStore(spark, partitions)
-      else new DriverBiStore(spark)
-    // Driver control plane: the UNPROCESSED time lattice (processed
-    // times leave it — transact rejects writes under the sys frontier,
-    // so a completed time can never recur) and the last processed time.
-    val pendingTimes = mutable.SortedSet.empty[BiTime]
-    var lastProcessed: Option[BiTime] = None
+    * `Coarsen` to that interest's own delivery over the shared trace.
+    * A lane is CONTROL-PLANE state only: its coarse unprocessed time
+    * lattice (processed times leave it — transact rejects writes under
+    * the sys frontier, so a completed time can never recur) and the
+    * last processed time; the datom history is never duplicated. */
+  private final class Lane(val id: Int, val win: Option[(Long, Long)]) {
+    val pendingTimes = mutable.SortedSet.empty[BiTimePair]
+    var lastProcessed: Option[BiTimePair] = None
     val members = mutable.LinkedHashSet.empty[String]
 
-    def coarseTime(t: BiTime): BiTime = win match {
+    def winSys: Long = win.map(_._1).getOrElse(0L)
+
+    def coarseTime(t: BiTimePair): BiTimePair = win match {
       case None           => t
-      case Some((ws, we)) => (coarse(t._1, ws), coarse(t._2, we))
+      case Some((ws, we)) => (BiTime.coarse(t._1, ws), BiTime.coarse(t._2, we))
     }
 
-    def maybeMigrate(): Unit = store match {
-      case d: DriverBiStore
-          if !sys.props.get("graft.bi.distributed").contains("off") &&
-            d.estimatedBytes > driverGateBytes =>
-        val cell = new CellBiStore(spark, partitions)
-        cell.plant(d.vis.split(partitions, lastProcessed.map(_._1)))
-        store = cell
-      case _ => ()
-    }
+    /** Last processed FINE sys bound — the lane's next sys slab starts
+      * strictly above it; MinValue before the first processed time. */
+    def processedBound: Long =
+      lastProcessed.map(lp => BiTime.visBound(lp._1, winSys))
+        .getOrElse(Long.MinValue)
   }
   private val lanes = mutable.LinkedHashMap.empty[Option[(Long, Long)], Lane]
   private def laneOf(win: Option[(Long, Long)]): Lane =
-    lanes.getOrElseUpdate(win, new Lane(win))
+    lanes.getOrElseUpdate(win, new Lane(lanes.size, win))
 
   def createAttribute(name: String, config: AttributeConfig = AttributeConfig()): Unit =
     configs(name) = config
@@ -130,25 +147,34 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     * (`Interest.granularity`): the standing attaches to the Coarsen
     * lane of `granularity`, independent of every other interest's —
     * two rules (or two subscribers via distinct rule names) at
-    * different granularities each get their own coarsened lattice. */
+    * different granularities each get their own coarsened lattice. A
+    * granularity NEW to the instance may attach at ANY time: its lane
+    * reconstructs the coarse lattice from the shared history and
+    * replays the already-completed times, draining exactly what an
+    * up-front lane would have (the reference's late-interest replay
+    * over its shared traces). */
   def interest(name: String, granularity: Option[(Long, Long)]): Unit = {
     require(rules.contains(name), s"unknown rule $name")
-    // Validate BEFORE laneOf: a failed call must not leave an orphan
-    // lane behind (a memberless lane would still ingest every future
-    // transact — duplicate full history — and tighten transact's
-    // frontier validation with its own uncoarsened lattice).
     standings.get(name) match {
       case Some(st) =>
         require(st.lane.win == granularity,
           s"interest '$name' is already attached to granularity ${st.lane.win}")
       case None =>
-        require(seqCounter == 0L || lanes.contains(granularity),
-          s"granularity $granularity has no lane: declare an interest at it " +
-            "before the first transact (late lanes would miss history)")
+        val isNewLane = !lanes.contains(granularity)
         val lane = laneOf(granularity)
         val st = new Standing(name, lane)
         standings(name) = st
         lane.members += name
+        if (isNewLane && seqCounter > 0L) {
+          // Late lane: rebuild its lattice from the shared history and
+          // replay the times the frontier has already completed, in lex
+          // order — byte-identical to an up-front lane's drains.
+          lane.pendingTimes ++= store.coarseTimes(granularity)
+          val done = lane.pendingTimes.iterator
+            .takeWhile(_._1 < sysFrontier).toSeq
+          for (t <- done) processTime(lane, t, semResolver, Seq(name))
+          lane.pendingTimes --= done
+        }
     }
     interests += name
   }
@@ -156,10 +182,11 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
   private def semanticsOf(a: String): InputSemantics =
     configs.getOrElse(a, AttributeConfig()).inputSemantics
 
-  /** Reference `Coarsen` for one coordinate: strictly up to the next
-    * window bound — `(t/w + 1)·w` even at exact multiples. */
-  private def coarse(x: Long, w: Long): Long =
-    if (w <= 0L) x else (x / w + 1L) * w
+  private def semResolver: BiVisibility.Sem = {
+    val m: Map[String, InputSemantics] = configs.iterator
+      .map { case (a, c) => a -> c.inputSemantics }.toMap
+    a => m.getOrElse(a, InputSemantics.Raw)
+  }
 
   def transact(datoms: Seq[BiDatom]): Unit = {
     // All-or-nothing: validate EVERY datom's (coarsened) system time
@@ -175,27 +202,19 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
       require(ct._1 >= sysFrontier,
         s"write at closed system time ${ct._1}: frontier at $sysFrontier")
     }
-    val seq0 = seqCounter
-    datoms.foreach { d =>
+    val recs = datoms.map { d =>
       configs.getOrElseUpdate(d.a, AttributeConfig())
       if (!firstKind.contains(d.a)) firstKind(d.a) = ValueKind.of(d.v)
       seqCounter += 1L
+      val lww = semanticsOf(d.a) == InputSemantics.LastWriteWins
+      val key =
+        if (lww) BiKey(d.a, d.e.native, null)
+        else BiKey(d.a, d.e.native, d.v.native)
+      (key, BiRec(d.t._1, d.t._2, seqCounter, d.diff,
+        if (lww) d.v.native else null))
     }
-    for (lane <- laneSeq) {
-      var seq = seq0
-      val recs = datoms.map { d =>
-        val ct = lane.coarseTime(d.t)
-        lane.pendingTimes += ct
-        seq += 1L
-        val lww = semanticsOf(d.a) == InputSemantics.LastWriteWins
-        val key =
-          if (lww) BiKey(d.a, d.e.native, null)
-          else BiKey(d.a, d.e.native, d.v.native)
-        (key, BiRec(ct._1, ct._2, seq, d.diff,
-          if (lww) d.v.native else null))
-      }
-      if (recs.nonEmpty) { lane.store.ingest(recs); lane.maybeMigrate() }
-    }
+    for (lane <- laneSeq; d <- datoms) lane.pendingTimes += lane.coarseTime(d.t)
+    if (recs.nonEmpty) { store.ingest(recs); maybeMigrate() }
   }
 
   private def kindOf(a: String): ValueKind =
@@ -216,28 +235,29 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     // Emitted ledger, compacted by EVENT coordinate (exact under lex
     // processing — see class doc): event → summed diff map.
     var ledger: TreeMap[Long, Map[Seq[Any], Long]] = TreeMap.empty
-    val out = mutable.ArrayBuffer.empty[(Seq[Any], BiTime, Long)]
+    val out = mutable.ArrayBuffer.empty[(Seq[Any], BiTimePair, Long)]
 
     /** Build — or REBUILD when a referenced attribute's first datom
       * reveals a kind after the first build (the standing query's
       * schema is fixed at build). Called BEFORE the current time's
       * transitions are applied, so the replayed dump is exactly the
-      * view through the previously processed time. A FIRST build after
-      * times were already processed (late interest) accumulates the
-      * replay diffs into `r` — they are this standing's R; a kind
-      * rebuild discards them — they are already in `r`. */
+      * lane's view through the previously processed time. A FIRST build
+      * after times were already processed (late interest on an existing
+      * lane) accumulates the replay diffs into `r` — they are this
+      * standing's R; a kind rebuild discards them — they are already in
+      * `r`. */
     def ensureBuilt(): Unit = {
       val current: Map[String, ValueKind] =
         refAttrs.iterator.map(a => a -> kindOf(a)).toMap
       if (iq == null) {
         kinds = current
         iq = new IncrementalQuery(spark, plan, kinds, rulePlans)
-        val replay = lane.store.dump(kindOf).view.filterKeys(refAttrs).toMap
+        val replay = store.dump(lane.id, kindOf).view.filterKeys(refAttrs).toMap
         if (replay.nonEmpty) accumulate(iq.advance(replay))
       } else if (kinds != current) {
         kinds = current
         iq = new IncrementalQuery(spark, plan, kinds, rulePlans)
-        val replay = lane.store.dump(kindOf).view.filterKeys(refAttrs).toMap
+        val replay = store.dump(lane.id, kindOf).view.filterKeys(refAttrs).toMap
         if (replay.nonEmpty) { val _ = iq.advance(replay).count() }
       }
     }
@@ -255,7 +275,7 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     /** Deliver time `t`: `diff(t) = R − Σ_{event ≤ t.event} ledger` —
       * the product-order accumulation, reduced to one event-range scan
       * (every prior entry's sys ≤ t.sys under lex processing). */
-    def deliver(t: BiTime): Unit = {
+    def deliver(t: BiTimePair): Unit = {
       val acc = mutable.Map.empty[Seq[Any], Long]
       ledger.rangeTo(t._2).valuesIterator.foreach(_.foreach { case (k, w) =>
         val nw = acc.getOrElse(k, 0L) + w
@@ -280,61 +300,72 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
 
   private val standings = mutable.Map.empty[String, Standing]
 
-  /** Advance the system frontier: every input time with `sys < sysNext`
-    * completes; each is processed lex-ordered — ONE shared visible-view
-    * transition per time feeds every standing query. */
   private val biDebug = sys.env.contains("GRAFT_BI_DEBUG")
   private def btrace(msg: => String): Unit =
     if (biDebug) System.err.println(s"[bi] $msg")
 
+  /** Process ONE completed coarse time of `lane`: one shared
+    * visible-view transition against the fine store feeds every
+    * attached standing query. Sys-index entries dead for EVERY lane
+    * (at or under the min processed bound) are pruned en route. */
+  private def processTime(lane: Lane, t: BiTimePair,
+      sem: BiVisibility.Sem, laneInterests: Iterable[String]): Unit = {
+    val t0 = System.nanoTime()
+    // Standing queries (re)build against the PRE-transition view.
+    for (name <- laneInterests) standings(name).ensureBuilt()
+    val t1 = System.nanoTime()
+    val newBound = BiTime.visBound(t._1, lane.winSys)
+    val pruneUpTo = lanes.valuesIterator.map { l =>
+      if (l eq lane) newBound else l.processedBound
+    }.min
+    val deltas = store.transition(
+      lane.id, lane.win, lane.lastProcessed, t, sem, pruneUpTo, kindOf)
+    lane.lastProcessed = Some(t)
+    val t2 = System.nanoTime()
+    for (name <- laneInterests) {
+      val st = standings(name)
+      val sub = deltas.view.filterKeys(st.refAttrs).toMap
+      if (sub.nonEmpty) st.accumulate(st.iq.advance(sub))
+      st.deliver(t)
+    }
+    btrace(f"lane=${lane.win} t=$t build=${(t1 - t0) / 1e6}%.0fms " +
+      f"transition=${(t2 - t1) / 1e6}%.0fms " +
+      f"advance+deliver=${(System.nanoTime() - t2) / 1e6}%.0fms")
+  }
+
+  /** Advance the system frontier: every input time with `sys < sysNext`
+    * completes; each lane's completed coarse times are processed
+    * lex-ordered — ONE shared visible-view transition per (lane, time)
+    * feeds every standing query attached there. */
   def advance(sysNext: Long): Unit = {
     require(sysNext > sysFrontier, s"cannot rewind from $sysFrontier to $sysNext")
-    val sem: Map[String, InputSemantics] = configs.iterator
-      .map { case (a, c) => a -> c.inputSemantics }.toMap
-      .withDefaultValue(InputSemantics.Raw)
+    val sem = semResolver
     for (lane <- lanes.valuesIterator) {
       val newTimes = lane.pendingTimes.iterator.takeWhile(_._1 < sysNext).toSeq
       val laneInterests = interests.filter(lane.members.contains)
-      for (t <- newTimes) {
-        val t0 = System.nanoTime()
-        // Standing queries (re)build against the PRE-transition view.
-        for (name <- laneInterests) standings(name).ensureBuilt()
-        val t1 = System.nanoTime()
-        val deltas = lane.store.transition(lane.lastProcessed, t, sem, kindOf)
-        lane.lastProcessed = Some(t)
-        val t2 = System.nanoTime()
-        for (name <- laneInterests) {
-          val st = standings(name)
-          val sub = deltas.view.filterKeys(st.refAttrs).toMap
-          if (sub.nonEmpty) st.accumulate(st.iq.advance(sub))
-          st.deliver(t)
-        }
-        btrace(f"lane=${lane.win} t=$t build=${(t1 - t0) / 1e6}%.0fms " +
-          f"transition=${(t2 - t1) / 1e6}%.0fms " +
-          f"advance+deliver=${(System.nanoTime() - t2) / 1e6}%.0fms")
-      }
+      for (t <- newTimes) processTime(lane, t, sem, laneInterests)
       lane.pendingTimes --= newTimes
     }
     sysFrontier = sysNext
   }
 
-  /** Driver-resident control-plane sizes — on the distributed store
-    * path this (plus the output-sized `r`/ledger/out buffers) is ALL
-    * the driver keeps; the datom history and visible views live in the
-    * [[StateCell]] partitions (scale-smoke evidence). */
   /** Smoke/test hook: the store's (declared, measured) resident bytes —
     * declared feeds the byte gate and StateCell's KnownSizeEstimation,
-    * measured is a real SizeEstimator walk verifying it. */
+    * measured is a real SizeEstimator walk verifying it. On the
+    * distributed path this (plus the output-sized `r`/ledger/out
+    * buffers and the lanes' lattices) is ALL the driver keeps; the
+    * datom history and visible views live in the [[StateCell]]
+    * partitions (scale-smoke evidence). The history is resident ONCE
+    * regardless of how many Coarsen lanes are active. */
   private[graft] def storeBytes: (Long, Long) =
-    (lanes.valuesIterator.map(_.store.estimatedBytes).sum,
-      lanes.valuesIterator.map(_.store.measuredResidentBytes).sum)
+    (store.estimatedBytes, store.measuredResidentBytes)
 
   def controlPlaneStats: Map[String, Long] = Map(
     "pendingTimes" -> lanes.valuesIterator.map(_.pendingTimes.size.toLong).sum,
     "ledgerEntries" -> standings.valuesIterator.map(_.ledger.size.toLong).sum,
     "resultRows" -> standings.valuesIterator.map(_.r.size.toLong).sum)
 
-  def drain(name: String): Seq[(Seq[Any], BiTime, Long)] = {
+  def drain(name: String): Seq[(Seq[Any], BiTimePair, Long)] = {
     val buf = standings(name).out
     val res = buf.toSeq
     buf.clear()

@@ -10,18 +10,19 @@ import graft.model.InputSemantics
   * sibling's ~500 B/datom residency (round-10 VERDICT #1):
   *
   *  - DATOMS: one [[PackedRuns]] of 8-long stride records
-  *    `[aid, e, v, sys, event, seq, vRec] → diff`, lex-sorted — a key's
-  *    history is one prefix scan, already (sys, event, seq)-ordered for
-  *    the LWW winner rule. `seq` is globally unique, so records never
-  *    collide or cancel in the run merges.
+  *    `[aid, e, v, sys, event, seq, vRec] → diff` at FINE times,
+  *    lex-sorted — a key's history is one prefix scan. SHARED by every
+  *    Coarsen lane: lanes are view dimensions, never history copies.
   *  - TIME INDEXES: `bySys [sys, aid, e, v] → count` and
-  *    `byEvent [event, aid, e, v] → count` packed runs — a transition's
-  *    candidate keys are two first-column range scans
-  *    ([[PackedRuns.rangeByFirst]]); duplicate (time, key) entries
-  *    collapse to counts at compaction.
-  *  - EMITTED VIEW: `[aid, e, v, vEmit] → w` packed runs, updated with
-  *    exact retract/assert deltas per transition (nets to ≤ 1 surviving
-  *    record per key).
+  *    `byEvent [event, aid, e, v] → count` packed runs over the FINE
+  *    coordinates — a lane's transition resolves candidate keys with
+  *    two first-column range scans over its TRANSLATED fine slabs
+  *    ([[BiTime.visBound]]); duplicate (time, key) entries collapse to
+  *    counts at compaction.
+  *  - EMITTED VIEWS: `[lane, aid, e, v, vEmit] → w` packed runs — ONE
+  *    output-sized view per Coarsen lane, updated with exact
+  *    retract/assert deltas per transition (nets to ≤ 1 surviving
+  *    record per (lane, key)).
   *  - VALUES: attribute names through a per-instance dictionary (aid);
   *    e/v/vRec natives through a kind-aware long code — 2-bit tag:
   *    inline long (covers KEid/KNumber/KInstant and anything else
@@ -49,6 +50,7 @@ final class BiPacked private (
     bySys: PackedRuns,
     byEvent: PackedRuns,
     emitted: PackedRuns,
+    prunedThrough: Long,
     val datomCount: Long) extends BiVis {
 
   import BiPacked._
@@ -110,58 +112,99 @@ final class BiPacked private (
     }
     new BiPacked(names, ids, enc.vals, enc.ids, enc.bytes,
       recs.merged(rb.result()), bySys.merged(sb.result()),
-      byEvent.merged(eb.result()), emitted, n)
+      byEvent.merged(eb.result()), emitted, prunedThrough, n)
   }
 
-  def transition(tPrev: Option[(Long, Long)], t: (Long, Long),
-      sem: BiVisibility.Sem): (BiVis, Array[(String, Any, Any, Long)]) = {
-    val (ty, te) = t
-    // Candidate keys: exactly the boxed sibling's slab rule — sys slab
-    // (py, ty] union event slab (min(pe,te), max(pe,te)]; first
-    // transition scans everything with a datom at sys ≤ ty.
+  def transition(lane: Int, win: Option[(Long, Long)],
+      tPrev: Option[(Long, Long)], t: (Long, Long),
+      sem: BiVisibility.Sem,
+      pruneUpTo: Long): (BiVis, Array[(String, Any, Any, Long)]) = {
+    val (ws, we) = win.getOrElse((0L, 0L))
+    val sy = BiTime.visBound(t._1, ws)
+    val ev = BiTime.visBound(t._2, we)
+    val needLow: Long = tPrev match {
+      case None          => Long.MinValue
+      case Some((py, _)) => BiTime.visBound(py, ws) + 1L
+    }
+    // Candidate keys: the boxed sibling's slab rule over the TRANSLATED
+    // fine bounds — sys slab (visBound(py), visBound(ty)] union event
+    // slab between the translated event bounds; a lane's first
+    // transition scans everything with a datom at fine sys ≤ bound.
     //
-    // The sys index is PRUNED as it is scanned: times process in lex
-    // order so the processed sys coordinate only advances, transact
-    // rejects writes at or under the frontier (every new datom's sys is
-    // strictly above the last processed sys), and future slabs
-    // (py', ty'] have py' ≥ ty — a scanned entry can never be queried
-    // again. Appending the exact negative counts cancels the entries at
-    // the next run merge, so the RESIDENT sys index holds only
-    // not-yet-visible datoms (~0 in steady state) instead of the full
-    // history's 40 B/datom. The event index cannot be pruned the same
-    // way (event slabs move in both directions).
+    // The sys index is PRUNED as it is scanned, but only entries at or
+    // under `pruneUpTo` — the min processed bound across ALL lanes
+    // (every CURRENT lane's future slabs sit strictly above it; a lane
+    // attached later replays through the all-keys fallback below).
+    // Appending the exact negative counts cancels the entries at the
+    // next run merge, so in the single-lane steady state the RESIDENT
+    // sys index holds only not-yet-visible datoms (~0) instead of the
+    // full history's 40 B/datom. The event index cannot be pruned the
+    // same way (event slabs move in both directions).
     val sysPrune = mutable.ArrayBuilder.make[Long]
     def pruning(it: Iterator[(Array[Long], Long)]) = it.map { e =>
-      sysPrune += e._1(0); sysPrune += e._1(1); sysPrune += e._1(2)
-      sysPrune += e._1(3); sysPrune += -e._2
+      if (e._1(0) <= pruneUpTo) {
+        sysPrune += e._1(0); sysPrune += e._1(1); sysPrune += e._1(2)
+        sysPrune += e._1(3); sysPrune += -e._2
+      }
       e
     }
-    val cands: Iterator[(Array[Long], Long)] = tPrev match {
-      case None => pruning(bySys.rangeByFirst(Long.MinValue, ty))
-      case Some((py, pe)) =>
-        val sysSlab =
-          if (ty > py) pruning(bySys.rangeByFirst(py + 1, ty))
-          else Iterator.empty
-        val lo = math.min(pe, te); val hi = math.max(pe, te)
-        val evSlab =
-          if (hi > lo) byEvent.rangeByFirst(lo + 1, hi) else Iterator.empty
-        sysSlab ++ evSlab
-    }
+    val useFallback =
+      prunedThrough > Long.MinValue && needLow <= prunedThrough
+    val cands: Iterator[(Long, Long, Long)] =
+      if (useFallback) {
+        // Late-lane replay: the needed sys range reaches into the
+        // pruned region — stream the DISTINCT key prefixes of the
+        // (lex-sorted, netted) datom runs instead of the index.
+        new Iterator[(Long, Long, Long)] {
+          private val it = recs.iterator
+          private var last: (Long, Long, Long) = null
+          private var nextK: (Long, Long, Long) = null
+          advance()
+          private def advance(): Unit = {
+            nextK = null
+            while (nextK == null && it.hasNext) {
+              val (k, _) = it.next()
+              val cand = (k(0), k(1), k(2))
+              if (cand != last) { last = cand; nextK = cand }
+            }
+          }
+          def hasNext: Boolean = nextK != null
+          def next(): (Long, Long, Long) = { val o = nextK; advance(); o }
+        }
+      } else {
+        val raw: Iterator[(Array[Long], Long)] = tPrev match {
+          case None => pruning(bySys.rangeByFirst(Long.MinValue, sy))
+          case Some((py, pe)) =>
+            val psy = BiTime.visBound(py, ws)
+            val sysSlab =
+              if (sy > psy) pruning(bySys.rangeByFirst(psy + 1, sy))
+              else Iterator.empty
+            val pev = BiTime.visBound(pe, we)
+            val lo = math.min(pev, ev); val hi = math.max(pev, ev)
+            val evSlab =
+              if (hi > lo) byEvent.rangeByFirst(lo + 1, hi)
+              else Iterator.empty
+            sysSlab ++ evSlab
+        }
+        raw.map { case (entry, _) => (entry(1), entry(2), entry(3)) }
+      }
     val seen = mutable.HashSet.empty[(Long, Long, Long)]
     val out = mutable.ArrayBuffer.empty[(String, Any, Any, Long)]
     val ed = mutable.ArrayBuilder.make[Long]
     val key = new Array[Long](3)
-    cands.foreach { case (entry, _) =>
-      val ai = entry(1); val ec = entry(2); val vc = entry(3)
-      if (seen.add((ai, ec, vc))) {
+    val eKey = new Array[Long](4)
+    cands.foreach { case cand @ (ai, ec, vc) =>
+      if (seen.add(cand)) {
         key(0) = ai; key(1) = ec; key(2) = vc
         val aName = attrNames(ai.toInt)
-        val cur = aggregate(key, ty, te, sem(aName))
-        val prev = emittedOf(key)
+        val cur = aggregate(key, sy, ev, win, sem(aName))
+        eKey(0) = lane.toLong; eKey(1) = ai; eKey(2) = ec; eKey(3) = vc
+        val prev = emittedOf(eKey)
         if (cur != prev) {
           def emit(vEmit: Long, dw: Long): Unit = {
             out += ((aName, decode(ec), decode(vEmit), dw))
-            ed += ai; ed += ec; ed += vc; ed += vEmit; ed += dw
+            ed += lane.toLong; ed += ai; ed += ec; ed += vc
+            ed += vEmit; ed += dw
           }
           (prev, cur) match {
             // Weight change on the same value: one signed delta; an LWW
@@ -175,30 +218,35 @@ final class BiPacked private (
         }
       }
     }
+    val prunedNext =
+      if (!useFallback && pruneUpTo > prunedThrough) pruneUpTo
+      else prunedThrough
     (new BiPacked(attrNames, attrIds, dictVals, dictIds, dictBytes,
       recs, bySys.merged(sysPrune.result()), byEvent,
-      emitted.merged(ed.result()), datomCount),
+      emitted.merged(ed.result()), prunedNext, datomCount),
       out.toArray)
   }
 
-  /** Visible aggregate of the encoded key at `(ty, te)` as
-    * `(vEmit code, w)` — the packed mirror of the boxed `aggregate`
-    * (BiEngine's `asOfBi` rules verbatim). */
-  private def aggregate(key: Array[Long], ty: Long, te: Long,
+  /** Visible aggregate of the encoded key at the TRANSLATED fine bounds
+    * `(sy, ev)` as `(vEmit code, w)` — the packed mirror of the boxed
+    * `aggregate` (BiEngine's `asOfBi` rules verbatim); the LWW winner
+    * compares the lane's COARSE coordinates. */
+  private def aggregate(key: Array[Long], sy: Long, ev: Long,
+      win: Option[(Long, Long)],
       semantics: InputSemantics): Option[(Long, Long)] = {
     var sum = 0L
     var any = false
-    var bSys = Long.MinValue; var bEv = Long.MinValue; var bSeq = Long.MinValue
+    var bSys = 0L; var bEv = 0L; var bSeq = 0L
     var bV = 0L; var bDiff = 0L
     recs.prefix(key).foreach { case (rest, diff) =>
-      val s = rest(0); val ev = rest(1)
-      if (s <= ty && ev <= te) {
-        any = true
+      val s = rest(0); val e = rest(1)
+      if (s <= sy && e <= ev) {
         sum += diff
         val seq = rest(2)
-        if (s > bSys || (s == bSys && (ev > bEv || (ev == bEv && seq > bSeq)))) {
-          bSys = s; bEv = ev; bSeq = seq; bV = rest(3); bDiff = diff
+        if (!any || BiTime.lwwGreater(win, s, e, seq, bSys, bEv, bSeq)) {
+          bSys = s; bEv = e; bSeq = seq; bV = rest(3); bDiff = diff
         }
+        any = true
       }
     }
     if (!any) None
@@ -213,23 +261,35 @@ final class BiPacked private (
     }
   }
 
-  /** Current emitted record of the encoded key (≤ 1 by construction —
-    * every transition retracts exactly before asserting). */
-  private def emittedOf(key: Array[Long]): Option[(Long, Long)] = {
-    val it = emitted.prefix(key)
+  /** Current emitted record of (lane, encoded key) (≤ 1 by construction
+    * — every transition retracts exactly before asserting). */
+  private def emittedOf(eKey: Array[Long]): Option[(Long, Long)] = {
+    val it = emitted.prefix(eKey)
     if (it.hasNext) { val (rest, w) = it.next(); Some((rest(0), w)) }
     else None
   }
 
-  def dumpEmitted: Iterator[(String, Any, Any, Long)] =
-    emitted.iterator.map { case (k, w) =>
-      (attrNames(k(0).toInt), decode(k(1)), decode(k(3)), w)
+  def dumpEmitted(lane: Int): Iterator[(String, Any, Any, Long)] =
+    emitted.prefix(Array(lane.toLong)).map { case (rest, w) =>
+      (attrNames(rest(0).toInt), decode(rest(1)), decode(rest(3)), w)
     }
 
-  def split(p: Int, processedSys: Option[Long]): IndexedSeq[BiVis] = {
+  def coarseTimes(win: Option[(Long, Long)]): Iterator[(Long, Long)] = {
+    val (ws, we) = win.getOrElse((0L, 0L))
+    val seen = mutable.HashSet.empty[(Long, Long)]
+    recs.iterator.foreach { case (k, _) =>
+      seen += ((BiTime.coarse(k(3), ws), BiTime.coarse(k(4), we)))
+    }
+    seen.iterator
+  }
+
+  def split(p: Int): IndexedSeq[BiVis] = {
     // One-time migration (gate flip): decode, route by the SAME BiKey
     // hash the CellBiStore's HashPartitioner uses, rebuild per-partition
-    // packed states with partition-local dictionaries.
+    // packed states with partition-local dictionaries. The rebuild
+    // re-derives sys entries for already-processed datoms — prune the
+    // rebuilt index through the pruned watermark, which rides along so
+    // the children keep the fallback boundary.
     def slot(k: BiKey): Int = {
       val h = k.hashCode % p; if (h < 0) h + p else h
     }
@@ -239,42 +299,41 @@ final class BiPacked private (
       datomBuf(slot(k)) += ((k,
         BiRec(rk(3), rk(4), rk(5), diff, decode(rk(6)))))
     }
-    val emitBuf = Array.fill(p)(mutable.ArrayBuffer.empty[(BiKey, Any, Long)])
+    val emitBuf = Array.fill(p)(mutable.ArrayBuffer.empty[(Int, BiKey, Any, Long)])
     emitted.iterator.foreach { case (ek, w) =>
-      val k = BiKey(attrNames(ek(0).toInt), decode(ek(1)), decode(ek(2)))
-      emitBuf(slot(k)) += ((k, decode(ek(3)), w))
+      val k = BiKey(attrNames(ek(1).toInt), decode(ek(2)), decode(ek(3)))
+      emitBuf(slot(k)) += ((ek(0).toInt, k, decode(ek(4)), w))
     }
     (0 until p).map { i =>
       BiPacked.empty.ingest(datomBuf(i)).plantEmitted(emitBuf(i))
-        .pruneSysThrough(processedSys)
+        .pruneSysThrough(prunedThrough)
     }
   }
 
-  /** Cancel every sys-index entry at or under `sy` (one range scan +
-    * negative-count merge). Migration-time counterpart of the
-    * transition-time scan-prune: ingest() re-derived sys entries for
-    * already-processed datoms, which future slabs (strictly above the
-    * processed sys) would never scan — without this they would stay
-    * resident forever. */
-  private def pruneSysThrough(processedSys: Option[Long]): BiPacked =
-    processedSys match {
-      case None => this
-      case Some(sy) =>
-        // REBUILD (netted, single run) rather than appending negative
-        // cancels: a migration is one-time, and an appended cancel run
-        // would leave the dead entries resident until a later tier
-        // merge — the opposite of the point.
-        val b = mutable.ArrayBuilder.make[Long]
-        bySys.iterator.foreach { case (e, c) =>
-          if (e(0) > sy) { b += e(0); b += e(1); b += e(2); b += e(3); b += c }
-        }
-        new BiPacked(attrNames, attrIds, dictVals, dictIds, dictBytes,
-          recs, PackedRuns.empty(4).merged(b.result()), byEvent, emitted,
-          datomCount)
+  /** Rebuild the sys index without entries at or under `sy` (one range
+    * scan into a single netted run) and stamp the pruned watermark.
+    * Migration-time counterpart of the transition-time scan-prune:
+    * ingest() re-derived sys entries for already-processed datoms,
+    * which future slabs (strictly above the processed sys) would never
+    * scan — without this they would stay resident forever. */
+  private def pruneSysThrough(sy: Long): BiPacked =
+    if (sy == Long.MinValue) this
+    else {
+      // REBUILD (netted, single run) rather than appending negative
+      // cancels: a migration is one-time, and an appended cancel run
+      // would leave the dead entries resident until a later tier
+      // merge — the opposite of the point.
+      val b = mutable.ArrayBuilder.make[Long]
+      bySys.iterator.foreach { case (e, c) =>
+        if (e(0) > sy) { b += e(0); b += e(1); b += e(2); b += e(3); b += c }
+      }
+      new BiPacked(attrNames, attrIds, dictVals, dictIds, dictBytes,
+        recs, PackedRuns.empty(4).merged(b.result()), byEvent, emitted,
+        sy, datomCount)
     }
 
-  /** Plant an emitted view wholesale (migration only). */
-  private def plantEmitted(rows: Iterable[(BiKey, Any, Long)]): BiPacked = {
+  /** Plant per-lane emitted views wholesale (migration only). */
+  private def plantEmitted(rows: Iterable[(Int, BiKey, Any, Long)]): BiPacked = {
     val enc = new Enc
     var names = attrNames
     var ids = attrIds
@@ -285,12 +344,13 @@ final class BiPacked private (
         names = names :+ a; ids = ids.updated(a, i); i
     }
     val ed = mutable.ArrayBuilder.make[Long]
-    rows.foreach { case (k, vEmit, w) =>
-      ed += aid(k.a); ed += enc.code(k.e); ed += enc.code(k.v)
-      ed += enc.code(vEmit); ed += w
+    rows.foreach { case (lane, k, vEmit, w) =>
+      ed += lane.toLong; ed += aid(k.a); ed += enc.code(k.e)
+      ed += enc.code(k.v); ed += enc.code(vEmit); ed += w
     }
     new BiPacked(names, ids, enc.vals, enc.ids, enc.bytes,
-      recs, bySys, byEvent, emitted.merged(ed.result()), datomCount)
+      recs, bySys, byEvent, emitted.merged(ed.result()), prunedThrough,
+      datomCount)
   }
 
   /** Resident bytes from the ACTUAL packed array lengths plus the
@@ -316,5 +376,5 @@ object BiPacked {
   def empty: BiPacked = new BiPacked(Vector.empty, Map.empty,
     Vector.empty, HashMap.empty, 0L,
     PackedRuns.empty(7), PackedRuns.empty(4), PackedRuns.empty(4),
-    PackedRuns.empty(4), 0L)
+    PackedRuns.empty(5), Long.MinValue, 0L)
 }

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.kernel.Ckpt._
+
 import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -8,18 +10,20 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.model.ValueKind
 
 /** Storage seam for [[BiMaintained]]'s bitemporal datom history and its
-  * maintained visible views. Two siblings share the [[BiVisibility]]
-  * state machine:
+  * maintained visible views. ONE store instance holds the FINE-grained
+  * history shared by every Coarsen lane (lanes are view dimensions —
+  * `transition`/`dump` take the lane id and window). Two siblings share
+  * the [[BiVis]] state machine:
   *
   *  - [[DriverBiStore]] — ONE instance driver-side, for histories under
   *    the broadcast byte gate (the same small-side economics as the
   *    closure maintainer's gated driver index). Transitions are
   *    incremental here too — no O(history) rescan per completed time.
   *  - [[CellBiStore]] — the history hash-partitioned by view key across
-  *    a [[StateCell]] (one [[BiVisibility]] per partition): ingest and
+  *    a [[StateCell]] (one [[BiVis]] per partition): ingest and
   *    transitions are per-partition structural-sharing updates, the
-  *    driver holds only the time lattice — the reference's split, where
-  *    frontier bookkeeping is worker-local but datoms live in
+  *    driver holds only the time lattices — the reference's split,
+  *    where frontier bookkeeping is worker-local but datoms live in
   *    distributed arrangements.
   *
   * A growing [[DriverBiStore]] migrates into a [[CellBiStore]] when its
@@ -27,17 +31,26 @@ import graft.model.ValueKind
   * `-Dgraft.bi.distributed=on|off` forces either sibling for A/B.
   */
 private[streaming] sealed trait BiStore {
-  /** Append one transact batch of keyed datom records. */
+  /** Append one transact batch of keyed datom records (FINE times). */
   def ingest(recs: Seq[(BiKey, BiRec)]): Unit
 
-  /** Advance the visible view to completed time `t`, returning each
-    * attribute's signed view-transition frame `(e, v, diff)`. */
-  def transition(tPrev: Option[(Long, Long)], t: (Long, Long),
-      sem: BiVisibility.Sem, kindOf: String => ValueKind): Map[String, DataFrame]
+  /** Advance lane `lane`'s visible view to its completed coarse time
+    * `t`, returning each attribute's signed view-transition frame
+    * `(e, v, diff)`. `pruneUpTo` is the min processed bound across all
+    * lanes — sys-index entries at or under it are dead for every
+    * current lane. */
+  def transition(lane: Int, win: Option[(Long, Long)],
+      tPrev: Option[(Long, Long)], t: (Long, Long),
+      sem: BiVisibility.Sem, pruneUpTo: Long,
+      kindOf: String => ValueKind): Map[String, DataFrame]
 
-  /** Full emitted view per attribute — replay for late/rebuilt standing
-    * queries. */
-  def dump(kindOf: String => ValueKind): Map[String, DataFrame]
+  /** Lane `lane`'s full emitted view per attribute — replay for
+    * late/rebuilt standing queries. */
+  def dump(lane: Int, kindOf: String => ValueKind): Map[String, DataFrame]
+
+  /** Distinct coarse times of the ingested history under `win` —
+    * lattice reconstruction for a lane attached after transacts. */
+  def coarseTimes(win: Option[(Long, Long)]): Seq[(Long, Long)]
 
   def estimatedBytes: Long
 
@@ -70,7 +83,7 @@ private[streaming] object BiStore {
     }
 }
 
-/** Driver-resident sibling: the whole history in one [[BiVisibility]].
+/** Driver-resident sibling: the whole history in one [[BiVis]].
   * Bounded by [[BiMaintained]]'s byte gate — past it the state migrates
   * into the distributed sibling. */
 private[streaming] final class DriverBiStore(spark: SparkSession)
@@ -79,11 +92,12 @@ private[streaming] final class DriverBiStore(spark: SparkSession)
 
   def ingest(recs: Seq[(BiKey, BiRec)]): Unit = vis = vis.ingest(recs)
 
-  def transition(tPrev: Option[(Long, Long)], t: (Long, Long),
-      sem: BiVisibility.Sem,
+  def transition(lane: Int, win: Option[(Long, Long)],
+      tPrev: Option[(Long, Long)], t: (Long, Long),
+      sem: BiVisibility.Sem, pruneUpTo: Long,
       kindOf: String => ValueKind): Map[String, DataFrame] = {
     val t0 = System.nanoTime()
-    val (next, rows) = vis.transition(tPrev, t, sem)
+    val (next, rows) = vis.transition(lane, win, tPrev, t, sem, pruneUpTo)
     vis = next
     val t1 = System.nanoTime()
     val out = BiStore.framesOf(spark, rows, kindOf)
@@ -93,8 +107,11 @@ private[streaming] final class DriverBiStore(spark: SparkSession)
     out
   }
 
-  def dump(kindOf: String => ValueKind): Map[String, DataFrame] =
-    BiStore.framesOf(spark, vis.dumpEmitted.toSeq, kindOf)
+  def dump(lane: Int, kindOf: String => ValueKind): Map[String, DataFrame] =
+    BiStore.framesOf(spark, vis.dumpEmitted(lane).toSeq, kindOf)
+
+  def coarseTimes(win: Option[(Long, Long)]): Seq[(Long, Long)] =
+    vis.coarseTimes(win).toSeq
 
   def estimatedBytes: Long = vis.estimatedBytes
 
@@ -102,7 +119,7 @@ private[streaming] final class DriverBiStore(spark: SparkSession)
     org.apache.spark.util.GraftSizeOf.estimate(vis)
 }
 
-/** Distributed sibling: the history lives as one [[BiVisibility]] per
+/** Distributed sibling: the history lives as one [[BiVis]] per
   * partition inside a [[StateCell]] (hash-partitioned by view key).
   * Per-batch narrow work is O(delta + touched keys); per-completed-time
   * transition work is O(candidate keys of the toggled time slabs), and
@@ -145,21 +162,25 @@ private[streaming] final class CellBiStore(
     }.fold(0L)(_ + _)
   }
 
-  def transition(tPrev: Option[(Long, Long)], t: (Long, Long),
-      sem: BiVisibility.Sem,
+  def transition(lane: Int, win: Option[(Long, Long)],
+      tPrev: Option[(Long, Long)], t: (Long, Long),
+      sem: BiVisibility.Sem, pruneUpTo: Long,
       kindOf: String => ValueKind): Map[String, DataFrame] = {
     val (out, n) = cell.advance1Counted(
         sc.parallelize(Seq.empty[Int], partitions)) { (vis, _) =>
-      val (next, rows) = vis.transition(tPrev, t, sem)
+      val (next, rows) = vis.transition(lane, win, tPrev, t, sem, pruneUpTo)
       (next, rows)
     }
     framesFrom(out, n, kindOf)
   }
 
-  def dump(kindOf: String => ValueKind): Map[String, DataFrame] = {
-    val out = cell.rdd.flatMap(_.dumpEmitted).localCheckpoint()
+  def dump(lane: Int, kindOf: String => ValueKind): Map[String, DataFrame] = {
+    val out = cell.rdd.flatMap(_.dumpEmitted(lane)).graftCheckpoint()
     framesFrom(out, out.count(), kindOf)
   }
+
+  def coarseTimes(win: Option[(Long, Long)]): Seq[(Long, Long)] =
+    cell.rdd.flatMap(_.coarseTimes(win)).distinct().collect().toSeq
 
   /** Per-attribute typed frames over a checkpointed (a, e, v, w) RDD —
     * the only driver-sized read is the distinct attribute-name list. */

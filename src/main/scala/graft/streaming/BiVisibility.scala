@@ -12,9 +12,10 @@ import graft.model.InputSemantics
   * ([[graft.model.Value.native]]), hash-stable across JVMs. */
 final case class BiKey(a: String, e: Any, v: Any)
 
-/** One bitemporal datom occurrence under its key: `Pair(sys, event)`
-  * coordinates, the global transaction sequence (LWW tie-break), the
-  * signed input diff, and — for LWW keys only — the written value. */
+/** One bitemporal datom occurrence under its key: FINE `Pair(sys,
+  * event)` coordinates, the global transaction sequence (LWW
+  * tie-break), the signed input diff, and — for LWW keys only — the
+  * written value. */
 final case class BiRec(sys: Long, event: Long, seq: Long, diff: Long, v: Any)
 
 /** Per-key emitted view record: the value column and its served weight
@@ -30,16 +31,23 @@ final case class BiEmit(v: Any, w: Long)
   * in (`src/domain/mod.rs` arrangements over `Pair(sys, event)`,
   * `src/timestamp/pair.rs`).
   *
-  * Structure: per-key datom lists plus two one-dimensional time indexes
-  * (`bySys`, `byEvent`: time coordinate → keys with a datom there). A
-  * transition from processed time `tPrev` to the next lex time `t`
-  * resolves the keys whose visibility can change from the indexes —
-  * visible(t) Δ visible(tPrev) lies inside the sys-slab `(tPrev.sys,
-  * t.sys]` union the event-slab `(min(e), max(e)]`, so candidates are
-  * the index entries of those ranges, a superset of the true toggled
-  * keys — then re-aggregates JUST those keys against `t` and emits the
-  * signed difference vs the emitted view. All collections are immutable
-  * with structural-sharing updates: inside a StateCell each generation
+  * Structure: per-key datom lists plus two one-dimensional FINE time
+  * indexes (`bySys`, `byEvent`: time coordinate → keys with a datom
+  * there), SHARED by every Coarsen lane, plus one EMITTED VIEW per lane
+  * (output-sized). A lane's transition from processed coarse time
+  * `tPrev` to the next lex coarse time `t` resolves the keys whose
+  * visibility can change from the indexes — a fine datom is visible at
+  * coarse `t` iff its fine coordinates are at or under
+  * [[BiTime.visBound]] of each, so visible(t) Δ visible(tPrev) lies
+  * inside the translated fine sys/event slabs; candidates are the index
+  * entries of those ranges, a superset of the true toggled keys — then
+  * re-aggregates JUST those keys against `t` (LWW winners compared in
+  * the lane's COARSE order) and emits the signed difference vs the
+  * lane's emitted view. Scanned sys entries at or under `pruneUpTo`
+  * (the min across lanes) are dropped; a transition reaching into the
+  * pruned region (a late lane's replay) falls back to an all-keys
+  * candidate scan. All collections are immutable with
+  * structural-sharing updates: inside a StateCell each generation
   * shares unchanged sub-trees with its predecessor (the [[StateCell]]
   * O(delta + touched keys) discipline).
   */
@@ -47,7 +55,8 @@ final class BiVisibility private (
     val datoms: HashMap[BiKey, List[BiRec]],
     val bySys: TreeMap[Long, HashSet[BiKey]],
     val byEvent: TreeMap[Long, HashSet[BiKey]],
-    val emitted: HashMap[BiKey, BiEmit],
+    val emitted: HashMap[Int, HashMap[BiKey, BiEmit]],
+    val prunedThrough: Long,
     val datomCount: Long) extends BiVis {
 
   import BiVisibility.Sem
@@ -61,38 +70,51 @@ final class BiVisibility private (
       e = e.updated(r.event, e.getOrElse(r.event, HashSet.empty) + k)
       n += 1
     }
-    new BiVisibility(d, s, e, emitted, n)
+    new BiVisibility(d, s, e, emitted, prunedThrough, n)
   }
 
-  /** Advance the visible view from `tPrev` (the last processed pair
-    * time, None before the first) to `t`, the next lex-ordered
-    * completed time. Returns the successor state and the signed view
-    * transitions `(attribute, e, v, ±w)` — exactly the rows the
-    * standing queries consume. `sem` resolves each attribute's input
-    * semantics (Raw clamp / Distinct support / LWW lex-latest winner —
-    * BiEngine's `asOfBi` rules verbatim). */
-  def transition(tPrev: Option[(Long, Long)], t: (Long, Long),
-      sem: Sem): (BiVisibility, Array[(String, Any, Any, Long)]) = {
-    val (ty, te) = t
-    val cands: Iterator[BiKey] = tPrev match {
-      case None =>
-        bySys.rangeTo(ty).valuesIterator.flatten
-      case Some((py, pe)) =>
-        val sysSlab =
-          if (ty > py) bySys.range(py + 1, ty + 1).valuesIterator.flatten
-          else Iterator.empty
-        val lo = math.min(pe, te); val hi = math.max(pe, te)
-        val evSlab =
-          if (hi > lo) byEvent.range(lo + 1, hi + 1).valuesIterator.flatten
-          else Iterator.empty
-        sysSlab ++ evSlab
+  /** Advance lane `lane`'s visible view from `tPrev` (the last
+    * processed coarse pair time, None before the first) to `t`, its
+    * next lex-ordered completed coarse time. Returns the successor
+    * state and the signed view transitions `(attribute, e, v, ±w)` —
+    * exactly the rows the standing queries consume. `sem` resolves each
+    * attribute's input semantics (Raw clamp / Distinct support / LWW
+    * coarse-lex-latest winner — BiEngine's `asOfBi` rules verbatim). */
+  def transition(lane: Int, win: Option[(Long, Long)],
+      tPrev: Option[(Long, Long)], t: (Long, Long), sem: Sem,
+      pruneUpTo: Long): (BiVisibility, Array[(String, Any, Any, Long)]) = {
+    val (ws, we) = win.getOrElse((0L, 0L))
+    val sy = BiTime.visBound(t._1, ws)
+    val ev = BiTime.visBound(t._2, we)
+    val needLow: Long = tPrev match {
+      case None          => Long.MinValue
+      case Some((py, _)) => BiTime.visBound(py, ws) + 1L
     }
+    val cands: Iterator[BiKey] =
+      // Slab reaches into the pruned region (late-lane replay): all-keys.
+      if (prunedThrough > Long.MinValue && needLow <= prunedThrough)
+        datoms.keysIterator
+      else tPrev match {
+        case None =>
+          bySys.rangeTo(sy).valuesIterator.flatten
+        case Some((py, pe)) =>
+          val psy = BiTime.visBound(py, ws)
+          val sysSlab =
+            if (sy > psy) bySys.range(psy + 1, sy + 1).valuesIterator.flatten
+            else Iterator.empty
+          val pev = BiTime.visBound(pe, we)
+          val lo = math.min(pev, ev); val hi = math.max(pev, ev)
+          val evSlab =
+            if (hi > lo) byEvent.range(lo + 1, hi + 1).valuesIterator.flatten
+            else Iterator.empty
+          sysSlab ++ evSlab
+      }
     val seen = mutable.HashSet.empty[BiKey]
     val out = mutable.ArrayBuffer.empty[(String, Any, Any, Long)]
-    var em = emitted
+    var em = emitted.getOrElse(lane, HashMap.empty)
     cands.foreach { k =>
       if (seen.add(k)) {
-        val cur = aggregate(k, ty, te, sem(k.a))
+        val cur = aggregate(k, sy, ev, win, sem(k.a))
         val prev = em.get(k)
         (prev, cur) match {
           case (None, None) => ()
@@ -115,19 +137,32 @@ final class BiVisibility private (
         }
       }
     }
-    (new BiVisibility(datoms, bySys, byEvent, em, datomCount), out.toArray)
+    // Self-prune: entries at or under the min-across-lanes processed
+    // bound can never be scanned again (slabs are (prev, cur] and every
+    // lane's bound only advances); late lanes replay via the all-keys
+    // fallback above.
+    val (sysKept, pruned) =
+      if (pruneUpTo > prunedThrough) (bySys.rangeFrom(pruneUpTo + 1L), pruneUpTo)
+      else (bySys, prunedThrough)
+    (new BiVisibility(datoms, sysKept, byEvent,
+      emitted.updated(lane, em), pruned, datomCount), out.toArray)
   }
 
-  /** Visible aggregate of key `k` at pair time `(ty, te)` — None when
-    * the key serves nothing there. */
-  private def aggregate(k: BiKey, ty: Long, te: Long,
+  /** Visible aggregate of key `k` at the TRANSLATED fine bounds
+    * `(sy, ev)` — None when the key serves nothing there. The LWW
+    * winner compares the lane's COARSE coordinates. */
+  private def aggregate(k: BiKey, sy: Long, ev: Long,
+      win: Option[(Long, Long)],
       semantics: InputSemantics): Option[BiEmit] = {
     val visible = datoms.getOrElse(k, Nil)
-      .filter(r => r.sys <= ty && r.event <= te)
+      .filter(r => r.sys <= sy && r.event <= ev)
     if (visible.isEmpty) None
     else semantics match {
       case InputSemantics.LastWriteWins =>
-        val last = visible.maxBy(r => (r.sys, r.event, r.seq))
+        val last = visible.reduceLeft { (a, b) =>
+          if (BiTime.lwwGreater(win, b.sys, b.event, b.seq,
+            a.sys, a.event, a.seq)) b else a
+        }
         if (last.diff > 0L) Some(BiEmit(last.v, 1L)) else None
       case InputSemantics.Distinct =>
         if (visible.map(_.diff).sum > 0L) Some(BiEmit(k.v, 1L)) else None
@@ -137,15 +172,29 @@ final class BiVisibility private (
     }
   }
 
-  /** The full emitted view — replay feed for a standing query built (or
-    * rebuilt on a revealed kind) after times were already processed. */
-  def dumpEmitted: Iterator[(String, Any, Any, Long)] =
-    emitted.iterator.map { case (k, e) => (k.a, k.e, e.v, e.w) }
+  /** Lane `lane`'s full emitted view — replay feed for a standing query
+    * built (or rebuilt on a revealed kind) after times were already
+    * processed. */
+  def dumpEmitted(lane: Int): Iterator[(String, Any, Any, Long)] =
+    emitted.getOrElse(lane, HashMap.empty[BiKey, BiEmit])
+      .iterator.map { case (k, e) => (k.a, k.e, e.v, e.w) }
+
+  /** Distinct coarse times of the history under `win` (late-lane
+    * lattice reconstruction; lattice-sized output). */
+  def coarseTimes(win: Option[(Long, Long)]): Iterator[(Long, Long)] = {
+    val (ws, we) = win.getOrElse((0L, 0L))
+    val seen = mutable.HashSet.empty[(Long, Long)]
+    datoms.valuesIterator.flatten.foreach { r =>
+      seen += ((BiTime.coarse(r.sys, ws), BiTime.coarse(r.event, we)))
+    }
+    seen.iterator
+  }
 
   /** Split by the [[org.apache.spark.HashPartitioner]] key routing into
     * `p` per-partition states — the one-time driver → distributed
-    * migration when a growing history crosses the byte gate. */
-  def split(p: Int, processedSys: Option[Long]): IndexedSeq[BiVisibility] = {
+    * migration when a growing history crosses the byte gate. The
+    * already-pruned sys watermark rides along. */
+  def split(p: Int): IndexedSeq[BiVisibility] = {
     def slot(k: BiKey): Int = {
       val h = k.hashCode % p; if (h < 0) h + p else h
     }
@@ -156,15 +205,12 @@ final class BiVisibility private (
         idx.iterator.map { case (c, ks) => c -> ks.filter(keep) }
           .filter(_._2.nonEmpty)
           .foldLeft(TreeMap.empty[Long, HashSet[BiKey]])(_ + _)
-      // Sys entries at or under the processed frontier can never be
-      // scanned again (slabs are (py+1, ty], processed sys only
-      // advances) — drop them instead of planting dead index weight.
-      val sysKept = processedSys match {
-        case None     => prune(bySys)
-        case Some(sy) => prune(bySys.rangeFrom(sy + 1))
-      }
-      new BiVisibility(d, sysKept, prune(byEvent),
-        emitted.filter { case (k, _) => slot(k) == i },
+      new BiVisibility(d, prune(bySys), prune(byEvent),
+        emitted.iterator.map { case (lane, em) =>
+          lane -> em.filter { case (k, _) => slot(k) == i }
+        }.filter(_._2.nonEmpty)
+          .foldLeft(HashMap.empty[Int, HashMap[BiKey, BiEmit]])(_ + _),
+        prunedThrough,
         d.valuesIterator.map(_.size.toLong).sum)
     }
   }
@@ -175,7 +221,8 @@ final class BiVisibility private (
     * entries ≈ 500 B/datom — round-10 VERDICT; the packed [[BiPacked]]
     * sibling replaces the constant with actual array lengths). */
   def estimatedBytes: Long =
-    datomCount * 500L + emitted.size.toLong * 130L +
+    datomCount * 500L +
+      emitted.valuesIterator.map(_.size.toLong).sum * 130L +
       (bySys.size + byEvent.size).toLong * 80L
 }
 
@@ -184,5 +231,6 @@ object BiVisibility {
   type Sem = String => InputSemantics
 
   def empty: BiVisibility = new BiVisibility(
-    HashMap.empty, TreeMap.empty, TreeMap.empty, HashMap.empty, 0L)
+    HashMap.empty, TreeMap.empty, TreeMap.empty, HashMap.empty,
+    Long.MinValue, 0L)
 }

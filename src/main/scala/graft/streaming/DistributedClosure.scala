@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.kernel.Ckpt._
+
 import scala.collection.immutable.{HashMap, HashSet}
 import scala.collection.mutable
 
@@ -109,7 +111,7 @@ class DistributedClosure(spark: SparkSession, partitions: Int = 32) {
       require(missing.isEmpty,
         s"retraction of absent edges: ${missing.map(_._1).mkString(", ")}")
 
-      val delsM = dels.localCheckpoint()
+      val delsM = dels.graftCheckpoint()
       val hasDels = delsM.take(1).nonEmpty
       val removed = if (!hasDels) emptyTup else deleteEdges(delsM)
       // Fresh-filter AFTER deletions: a deleted-then-re-added edge is
@@ -138,7 +140,7 @@ class DistributedClosure(spark: SparkSession, partitions: Int = 32) {
     val r = p.zipPartitions(edgeCell.rdd) { (cIt, sIt) =>
       val s = sIt.next()
       cIt.filterNot { case (e, _) => s.contains(e) }
-    }.localCheckpoint()
+    }.graftCheckpoint()
     r.count()
     r
   }
@@ -161,7 +163,7 @@ class DistributedClosure(spark: SparkSession, partitions: Int = 32) {
     if (nFresh == 0L) return emptyTup
     val freshRev = fresh
       .map { case ((s, d), _) => ((d, s): Tup, null: Null) }
-      .partitionBy(firstPart).localCheckpoint()
+      .partitionBy(firstPart).graftCheckpoint()
     freshRev.count()
     edgeCell.advance1(fresh)(DistributedClosure.setInsert)
     revCell.advance1(freshRev)(DistributedClosure.adjInsert)
@@ -213,7 +215,7 @@ class DistributedClosure(spark: SparkSession, partitions: Int = 32) {
     // semantics DRed's overdeletion is defined over. Candidates stay
     // ⊆ C by construction, so no closure membership test.
     val delsRev = dels.map { case ((s, d), _) => ((d, s): Tup, null: Null) }
-      .partitionBy(firstPart).localCheckpoint()
+      .partitionBy(firstPart).graftCheckpoint()
     delsRev.count()
     val direct = composeWithTotals(delsRev)
     var oChain = Vector.empty[RDD[(Tup, Null)]]
@@ -243,7 +245,7 @@ class DistributedClosure(spark: SparkSession, partitions: Int = 32) {
       sIt.next().iterator.collect {
         case e if !o.contains(e) => (e, null: Null)
       }
-    }.localCheckpoint()
+    }.graftCheckpoint()
     keep.count()
 
     // --- rederive: R = lfp of (O∩E') ∪ (O ∩ E'∘keep) ∪ (O ∩ E'∘R) -----
@@ -270,10 +272,10 @@ class DistributedClosure(spark: SparkSession, partitions: Int = 32) {
       rChain = rChain :+ rDelta
       val inO = RddKernel.retain(
         RddKernel.dedup(expand(rDelta), part), oChain)
-      rDelta = RddKernel.subtract(inO, rChain).localCheckpoint()
+      rDelta = RddKernel.subtract(inO, rChain).graftCheckpoint()
       rn = rDelta.count()
     }
-    val removed = RddKernel.subtract(oAll, rChain).localCheckpoint()
+    val removed = RddKernel.subtract(oAll, rChain).graftCheckpoint()
     removed.count()
     // Install C − removed: rederived tuples never left the sets.
     val removedByPart = removed.partitionBy(part)

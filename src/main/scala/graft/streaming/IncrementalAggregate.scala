@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.kernel.Ckpt._
+
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
@@ -100,7 +102,7 @@ class IncrementalAggregate(spark: SparkSession, fn: AggregationFn) {
             sIt, dIt, requireNonNeg = true,
             (k, rows) => IncrementalAggregate.aggOf(fnLocal, rows)
               .map(accs => k +: accs))
-      }.localCheckpoint()
+      }.graftCheckpoint()
     tagged.count() // materialize before rebinding state
 
     stateRdd = tagged.collect { case Left(kv) => kv }

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.kernel.Ckpt._
+
 import scala.collection.mutable
 
 import org.apache.spark.HashPartitioner
@@ -311,7 +313,7 @@ class IncrementalClosure(
       sIt.next().iterator.collect {
         case e if !o.contains(e) => (e, null: Null)
       }
-    }.localCheckpoint()
+    }.graftCheckpoint()
     keep.count()
     trace("keep split done")
     val oAll = sc.union(oChain) // links are disjoint, partitioner preserved
@@ -347,11 +349,11 @@ class IncrementalClosure(
       // keeps exactly the rederived slice.
       val inO = RddKernel.retain(
         RddKernel.dedup(expand(rDelta, newRevBc), part), oChain)
-      rDelta = RddKernel.subtract(inO, rChain).localCheckpoint()
+      rDelta = RddKernel.subtract(inO, rChain).graftCheckpoint()
       rn = rDelta.count()
     }
 
-    val removed = RddKernel.subtract(oAll, rChain).localCheckpoint()
+    val removed = RddKernel.subtract(oAll, rChain).graftCheckpoint()
     removed.count()
     trace("removed materialized")
     // Install C − removed: rederived tuples never left the index.

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.kernel.Ckpt._
+
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
@@ -393,20 +395,31 @@ class IncrementalHector(
 
   /** One probe plan per binding index (None = Catalyst fallback). */
   private lazy val probePlans: Seq[Option[ProbePlan]] =
+    probeOutcomes.map(_.toOption)
+
+  /** One outcome per binding index: Right(plan), or Left(REASON) naming
+    * exactly why the term stays on the Catalyst fallback. The reason
+    * vocabulary is CLOSED and spec-pinned (`ProbeFallbackSpec`): a
+    * future kind or predicate addition that silently regresses a
+    * probe-able shape to the streaming path shows up as an unexpected
+    * reason (or an unexpected fallback) and fails CI. */
+  private[graft] lazy val probeOutcomes: Seq[Either[String, ProbePlan]] =
     attrBindings.indices.map(buildProbePlan)
 
-  private def buildProbePlan(i: Int): Option[ProbePlan] = {
-    if (!attrBindings.forall(b => probeSafeKind(kinds(b.a)))) return None
+  private def buildProbePlan(i: Int): Either[String, ProbePlan] = {
+    if (!attrBindings.forall(b => probeSafeKind(kinds(b.a))))
+      return Left(IncrementalHector.FbAttrKind)
     val consts: Seq[(Int, Value)] =
       bindings.collect { case Binding.Const(x, v) => x -> v }
     if (!consts.forall { case (_, v) => probeSafeKind(ValueKind.of(v)) })
-      return None
+      return Left(IncrementalHector.FbConstKind)
     // A var carrying a KReal binding value travels as the encoded long;
     // a var MIXING real and non-real positions would compare encoded
     // against raw — Catalyst's (casting) job, not the probe's.
     attrBindings.foreach { b =>
       if (kinds(b.a) == ValueKind.KReal &&
-          varKind.get(b.v) != Some(ValueKind.KReal)) return None
+          varKind.get(b.v) != Some(ValueKind.KReal))
+        return Left(IncrementalHector.FbRealVarMix)
     }
     // A const's encoding follows the kind of the VAR it pins: a double
     // const on a KReal var encodes; a double const on any other slot —
@@ -430,7 +443,8 @@ class IncrementalHector(
     val constSlots = mutable.ArrayBuffer.empty[(Int, Any)]
     val seedChecks = mutable.ArrayBuffer.empty[(Int, Any)]
     consts.foreach { case (x, value) =>
-      val n = native(x, value).getOrElse(return None)
+      val n = native(x, value)
+        .getOrElse(return Left(IncrementalHector.FbConstEncoding))
       if (slotOf.contains(x)) seedChecks += ((slotOf(x), n))
       else constSlots += ((slot(x), n))
     }
@@ -508,13 +522,16 @@ class IncrementalHector(
           (cx.contains(IncrementalHector.CmpEncReal) ||
             cy.contains(IncrementalHector.CmpEncReal)) && cx != cy
         }
-        if (mixesReal) return None
+        if (mixesReal) return Left(IncrementalHector.FbPredMixesReal)
         val cmp =
           if (!ordering) IncrementalHector.CmpLong
-          else cmpKindOf(x, y).getOrElse(return None)
-        if (!slotOf.contains(x) || !slotOf.contains(y)) return None
+          else cmpKindOf(x, y)
+            .getOrElse(return Left(IncrementalHector.FbPredOrderingKind))
+        if (!slotOf.contains(x) || !slotOf.contains(y))
+          return Left(IncrementalHector.FbPredUnslotted)
         val (fx, fy) = (fillPoint(x), fillPoint(y))
-        if (fx < -1 || fy < -1) return None // unreachable: be loud via fallback
+        if (fx < -1 || fy < -1) // unreachable: be loud via fallback
+          return Left(IncrementalHector.FbPredFillPoint)
         val at = math.max(fx, fy)
         val entry = (p, slotOf(x), slotOf(y), cmp)
         if (at < 0) seedPreds += entry else stepPreds(at) += entry
@@ -525,10 +542,11 @@ class IncrementalHector(
     }
     // Output: every target var needs a slot (bound or const-pinned);
     // KReal slots decode back to doubles at the frame boundary.
-    val outSlots = vars.map(v => slotOf.getOrElse(v, return None)).toArray
+    val outSlots = vars.map(v => slotOf.getOrElse(v,
+      return Left(IncrementalHector.FbOutputUnslotted))).toArray
     val outReal = vars.map(v =>
       varKind.get(v).contains(ValueKind.KReal)).toArray
-    Some(ProbePlan(seedE, seedV, slotOf.size, constSlots.toArray,
+    Right(ProbePlan(seedE, seedV, slotOf.size, constSlots.toArray,
       seedChecks.toArray, seedPreds.toArray, withPreds.toArray, outSlots,
       outReal))
   }
@@ -744,7 +762,7 @@ class IncrementalHector(
               attrBindings.map(_.a).distinct.flatMap { a =>
                 val d = att.where(col("a") === a)
                   .select(col("e"), col("v"), col("diff"))
-                if (d.isEmpty) None else Some(a -> d.localCheckpoint(true))
+                if (d.isEmpty) None else Some(a -> d.graftCheckpoint(true))
               }.toMap
             val deltas: Map[Int, DataFrame] =
               attrBindings.zipWithIndex.flatMap { case (b, i) =>
@@ -784,7 +802,7 @@ class IncrementalHector(
           ((r.getLong(0), v), r.getLong(2))
         }
         .reduceByKey(part, _ + _)
-        .localCheckpoint()
+        .graftCheckpoint()
       i -> (r, r.count())
     }
     val deltaRdds: Map[Int, RDD[KV]] = deltaPairs.map { case (i, (r, _)) => i -> r }
@@ -816,7 +834,7 @@ class IncrementalHector(
               case None => sys.error("hector compilation failed for delta term")
             }
         }
-        termFrames += frame.localCheckpoint(true)
+        termFrames += frame.graftCheckpoint(true)
         stateCounts(i) = mergeIdx(i, d)
         state(i) = indexView(i)
       }
@@ -834,6 +852,23 @@ class IncrementalHector(
 }
 
 object IncrementalHector {
+
+  // The CLOSED probe-fallback reason vocabulary (`ProbeFallbackSpec`
+  // enumerates it over the property corpus and fails CI on any reason
+  // outside this set — or on a fallback where a probe plan is expected).
+  private[graft] final val FbAttrKind = "attr-kind-not-probe-safe"
+  private[graft] final val FbConstKind = "const-kind-not-probe-safe"
+  private[graft] final val FbRealVarMix = "real-var-kind-mix"
+  private[graft] final val FbConstEncoding = "const-encoding-mismatch"
+  private[graft] final val FbPredMixesReal = "pred-mixes-encoded-real"
+  private[graft] final val FbPredOrderingKind = "pred-ordering-kind-mismatch"
+  private[graft] final val FbPredUnslotted = "pred-operand-unslotted"
+  private[graft] final val FbPredFillPoint = "pred-fillpoint-invalid"
+  private[graft] final val FbOutputUnslotted = "output-var-unslotted"
+  private[graft] val FallbackReasons: Set[String] = Set(
+    FbAttrKind, FbConstKind, FbRealVarMix, FbConstEncoding,
+    FbPredMixesReal, FbPredOrderingKind, FbPredUnslotted, FbPredFillPoint,
+    FbOutputUnslotted)
 
   // Top-level (no $outer) so probe closures serialize cleanly.
   // Comparator classes for ordering predicates on the probe path; each

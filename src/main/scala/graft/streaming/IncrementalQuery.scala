@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.kernel.Ckpt._
+
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
@@ -675,7 +677,7 @@ class IncrementalQuery(
         val dChild = child.advance(attrDeltas).rdd
           .map(r => (rowKey(r, width), r.getLong(width)))
           .reduceByKey(childPart, _ + _).filter(_._2 != 0L)
-          .localCheckpoint()
+          .graftCheckpoint()
         dChild.count()
         val branches = mutable.ArrayBuffer.empty[DataFrame]
         pullAttrs.foreach { a =>
@@ -1112,7 +1114,7 @@ class IncrementalQuery(
     // delta-sized side is hash-built per partition, the other streams ----
 
     private def checkpointed(s: PSet): PSet = {
-      val c = s.localCheckpoint(); c.count(); c
+      val c = s.graftCheckpoint(); c.count(); c
     }
 
     private def asSet(rows: RDD[Seq[Any]]): PSet =
@@ -1593,7 +1595,7 @@ class IncrementalQuery(
       * eagerly drop the superseded generation (the StateCell rule — a
       * commit transiently holds two generations). */
     private def commitArr(next: StaticArr): StaticArr = {
-      val mat = next.localCheckpoint()
+      val mat = next.graftCheckpoint()
       mat.count()
       staticArrPrev.foreach(_.unpersist(blocking = false))
       staticArrPrev = Some(mat)
@@ -2235,13 +2237,13 @@ class IncrementalQuery(
         val raw = df.select(col("e").cast("long"),
           col("v").cast(kinds(a).dataType), col("t").cast("long"),
           col("diff").cast("long"), col("seq").cast("long"))
-          .localCheckpoint(true)
+          .graftCheckpoint(true)
         if (raw.isEmpty) raw.limit(0)
         else attrLwws.getOrElseUpdate(a, new AttrLww(kinds(a))).advance(raw)
       } else {
         val raw = df.select(col("e").cast("long"),
           col("v").cast(kinds(a).dataType),
-          col("diff").cast("long").as(Rel.W)).localCheckpoint(true)
+          col("diff").cast("long").as(Rel.W)).graftCheckpoint(true)
         if (raw.isEmpty || !distinctAttrs(a)) raw
         else attrThresholds.getOrElseUpdate(a, new AttrThreshold(kinds(a)))
           .advance(raw)
@@ -2325,7 +2327,7 @@ class IncrementalQuery(
               if (d.isEmpty) None else Some(a -> d)
             }.toMap
             if (byAttr.nonEmpty) {
-              val diffs = advance(byAttr).localCheckpoint(true)
+              val diffs = advance(byAttr).graftCheckpoint(true)
               if (!diffs.isEmpty) onDiffs(t, diffs)
             }
           }

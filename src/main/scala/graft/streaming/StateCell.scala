@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.kernel.Ckpt._
+
 import scala.reflect.ClassTag
 
 import org.apache.spark.SparkContext
@@ -56,7 +58,7 @@ private[streaming] final class StateCell[S <: AnyRef: ClassTag](
       .mapPartitions { _ =>
         val s = z(); Iterator.single(new GraftSizedValue(s, 64L + sz(s)))
       }
-      .localCheckpoint()
+      .graftCheckpoint()
     init.count()
     prevGen = init
     init
@@ -90,8 +92,8 @@ private[streaming] final class StateCell[S <: AnyRef: ClassTag](
     val sz = sizeOf
     val mat = stepped.mapPartitions(
       _.map { case (s, o) => (new GraftSizedValue(s, 64L + sz(s)), o) },
-      preservesPartitioning = false).localCheckpoint()
-    val out = mat.flatMap(_._2.iterator).localCheckpoint()
+      preservesPartitioning = false).graftCheckpoint()
+    val out = mat.flatMap(_._2.iterator).graftCheckpoint()
     val n = out.count()
     cur = mat.map(_._1)
     if (prevGen ne null) prevGen.unpersist(blocking = false)

@@ -308,6 +308,56 @@ class BiMaintainedSpec extends AnyFunSuite {
     }
   }
 
+  test("a NEW granularity attaches AFTER transacts and drains byte-identically (late lane replay)") {
+    // The reference lets an Interest request any granularity at ANY
+    // time (src/server/mod.rs:110-119): its Coarsen wraps the
+    // interest's delivery over the domain's ONE shared trace, so a late
+    // interest replays the full history. Here: declare `q_late` at a
+    // granularity NEW to the instance only after several transact +
+    // advance rounds — its drain must equal an up-front lane's, and the
+    // shared store must not have grown a second history copy.
+    val params = Gen.Parameters.default
+    val history = genHistory(params, Seed(61007L)).getOrElse(Seq.empty)
+    val grains: Seq[(String, Option[(Long, Long)])] = Seq(
+      "q_fine" -> None, "q_w22" -> Some((2L, 2L)))
+    val lateGrain: Option[(Long, Long)] = Some((3L, 2L))
+
+    def run(lateAttach: Boolean): (Out, Long) = {
+      val bm = new BiMaintained(spark, partitions = 4)
+      bm.createAttribute(":bm/x", AttributeConfig(InputSemantics.Raw))
+      (grains :+ ("q_late" -> lateGrain)).foreach { case (n, _) =>
+        bm.register(Rule(n, Plan.MatchA(0, ":bm/x", 1))) }
+      grains.foreach { case (n, g) => bm.interest(n, g) }
+      if (!lateAttach) bm.interest("q_late", lateGrain)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], (Long, Long), Long)]
+      val batches = history.groupBy(_.sys).toSeq.sortBy(_._1)
+      var attached = !lateAttach
+      batches.zipWithIndex.foreach { case ((sys, ds), i) =>
+        bm.transact(ds.map(d => bm.BiDatom(
+          Value.eid(d.e), d.a, Value.num(d.v), (sys, d.event), d.diff)))
+        bm.advance(sys + 1L)
+        // Attach mid-history, after at least one advance completed times.
+        if (lateAttach && i == batches.length - 1) {
+          bm.interest("q_late", lateGrain); attached = true
+        }
+        if (attached) out ++= bm.drain("q_late")
+      }
+      bm.advance(100L)
+      out ++= bm.drain("q_late")
+      (ms(out.toSeq), bm.storeBytes._1)
+    }
+
+    val (upfront, bytesUp) = run(lateAttach = false)
+    val (late, bytesLate) = run(lateAttach = true)
+    assert(late == upfront,
+      s"late lane drain diverged:\n want=$upfront\n got =$late\n history=$history")
+    assert(upfront.nonEmpty, "late-lane case produced no diffs (vacuous)")
+    // Shared store: a third granularity must not change history residency
+    // materially (per-lane cost is the output-sized emitted view only).
+    assert(bytesLate <= bytesUp * 2,
+      s"late attach grew the store: up-front=$bytesUp late=$bytesLate")
+  }
+
   test("transact is all-or-nothing: a rejected batch leaves no phantom state (r10 ADVICE)") {
     // Two siblings: `bm` sees a mixed batch (one valid datom ordered
     // BEFORE one at a closed system time) that must be rejected as a

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.kernel.Ckpt._
+
+/** The reliable-checkpoint dial (`-Dgraft.checkpoint.dir`): every
+  * lineage cut in the engine goes through `graftCheckpoint`, which is
+  * `localCheckpoint` by default (fast, executor-local — a lost executor
+  * on a real cluster fails the computation) and RELIABLE `checkpoint()`
+  * into the dial's directory when set (recoverable; the trade is the
+  * DFS write per cut). Pins: (1) the dial actually routes cuts into the
+  * directory; (2) a maintained workload (DRed closure — StateCell
+  * generations, fixpoint rounds, RddKernel cuts) produces IDENTICAL
+  * results under either mode, i.e. the truncation points do not move. */
+class CheckpointDialSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def withDial[A](dir: Path)(body: => A): A = {
+    val prev = sys.props.get("graft.checkpoint.dir")
+    sys.props("graft.checkpoint.dir") = dir.toString
+    try body
+    finally prev match {
+      case Some(v) => sys.props("graft.checkpoint.dir") = v
+      case None    => sys.props.remove("graft.checkpoint.dir")
+    }
+  }
+
+  private def fileCount(dir: Path): Long = {
+    val s = Files.walk(dir)
+    try s.filter(Files.isRegularFile(_)).count()
+    finally s.close()
+  }
+
+  test("dataset and rdd cuts route into the reliable dir under the dial") {
+    val dir = Files.createTempDirectory("graft-ckpt")
+    withDial(dir) {
+      import spark.implicits._
+      val df = Seq(1L, 2L, 3L).toDF("x").graftCheckpoint(true)
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+      val rdd = spark.sparkContext.parallelize(Seq(4L, 5L), 2).graftCheckpoint()
+      assert(rdd.collect().sorted.toSeq == Seq(4L, 5L))
+      assert(rdd.isCheckpointed, "RDD must be reliably checkpointed")
+      assert(fileCount(dir) > 0, s"no checkpoint files written under $dir")
+    }
+  }
+
+  test("maintained closure drains identically with the dial on (plans unchanged)") {
+    def run(): Seq[(Long, Long, Long)] = {
+      val inc = new IncrementalClosure(spark, partitions = 2)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      def drainOf(df: org.apache.spark.sql.DataFrame): Unit =
+        out ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      drainOf(inc.advance(Seq((1L, 2L), (2L, 3L)), 0L))
+      drainOf(inc.advance(Seq((3L, 4L)), 1L))
+      drainOf(inc.advanceSigned(Seq(((2L, 3L), -1L)), 2L))
+      out.toSeq.sorted
+    }
+    val base = run()
+    val dir = Files.createTempDirectory("graft-ckpt-wl")
+    val dialed = withDial(dir) { run() }
+    assert(dialed == base,
+      s"dial changed the maintained drain:\n off=$base\n on =$dialed")
+    assert(base.nonEmpty)
+    assert(fileCount(dir) > 0,
+      "maintained workload wrote no reliable checkpoints under the dial")
+  }
+}
