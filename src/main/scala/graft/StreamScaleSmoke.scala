@@ -912,6 +912,70 @@ object StreamScaleSmoke {
       }
     }
 
+    // ------------------------------------------- 8c. bi trace compaction
+    // History boundedness under the slack dial: continuous ingest with
+    // BOUNDED live structure (entities cycle over 100k, events over 8 —
+    // the recent-window-update shape) must PLATEAU in resident bytes,
+    // where the dial off grows linearly forever. Reference:
+    // advance_traces under trace_slack (src/domain/mod.rs:291-341).
+    if (section("bicompact")) {
+      import graft.streaming.BiMaintained
+      val prevDial = sys.props.get("graft.bi.distributed")
+      val prevSlack = sys.props.get("graft.bi.slack")
+      sys.props("graft.bi.distributed") = "on"
+      sys.props("graft.bi.slack") = "2"
+      try {
+        val bm = new BiMaintained(spark, partitions = 32)
+        bm.createAttribute(":bc/x", AttributeConfig(InputSemantics.Raw))
+        bm.register(Rule("bcq", Plan.Aggregate(Seq(2, 1),
+          Plan.MatchA(1, ":bc/x", 2),
+          Seq(AggregationFn.COUNT), Seq(2), Seq(1), Seq.empty)))
+        bm.interest("bcq")
+        var total = 0L; var clock = 0L
+        val resident = scala.collection.mutable.ArrayBuffer.empty[Long]
+        (1 to 20).foreach { _ =>
+          val n = 200000
+          val datoms = (0 until n).map { i =>
+            val e = (total + i) % 100000L
+            bm.BiDatom(Value.eid(e), ":bc/x",
+              Value.num(e % 100L), (clock, clock % 8L), 1L)
+          }
+          total += n
+          val t0 = now()
+          bm.transact(datoms)
+          bm.advance(clock + 1L)
+          clock += 1L
+          val drained = bm.drain("bcq").size
+          val (declared, _) = bm.storeBytes
+          resident += declared
+          println(f"[scale] bicompact total=$total%d diffs=$drained%d " +
+            f"residentMB=${declared / 1048576}%d sec=${secs(t0)}%.2f")
+        }
+        val (endBytes, measured) = bm.storeBytes
+        println(f"[scale] bicompact END ingested=$total%d " +
+          f"residentMB=${endBytes / 1048576}%d measuredMB=${measured / 1048576}%d " +
+          f"bytesPerINGESTED=${endBytes.toDouble / total}%.0f")
+        // Plateau pin: ingest DOUBLES from batch 10 → 20 while the
+        // sawtooth PEAK must stay flat — max resident over the second
+        // half within 1.35× of the first half's (compaction bounds
+        // resident at live (key, event) structure + slack tail + the
+        // 25% amortization headroom, independent of total ingest).
+        val firstPeak = resident.take(10).max
+        val secondPeak = resident.drop(10).max
+        assert(secondPeak <= (firstPeak * 1.35).toLong,
+          s"no plateau: firstPeak=$firstPeak secondPeak=$secondPeak")
+      } finally {
+        prevDial match {
+          case Some(v) => sys.props("graft.bi.distributed") = v
+          case None    => sys.props.remove("graft.bi.distributed")
+        }
+        prevSlack match {
+          case Some(v) => sys.props("graft.bi.slack") = v
+          case None    => sys.props.remove("graft.bi.slack")
+        }
+      }
+    }
+
     println("[scale] smoke complete — no driver failure")
     spark.stop()
   }

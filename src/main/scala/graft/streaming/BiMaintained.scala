@@ -347,7 +347,37 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
       lane.pendingTimes --= newTimes
     }
     sysFrontier = sysNext
+    maybeCompact(sem)
   }
+
+  // ---- trace compaction (reference `advance_traces` under trace_slack,
+  // `src/domain/mod.rs:291-341`, `src/lib.rs:396`) ----------------------
+  private var lastCompactBound: Long = Long.MinValue
+  private var lastCompactCount: Long = 0L
+
+  /** Under `-Dgraft.bi.slack=<n>`: once EVERY lane's processed fine-sys
+    * bound passed `bound = min − slack`, consolidate the history behind
+    * it ([[BiVis.compact]] — per-event nets for Raw/Distinct, winner
+    * staircases over the registered windows for LWW). Amortized: runs
+    * when the resident record count grew ≥ 25% past the last
+    * post-compaction count, so the O(resident) rewrite costs ≤ 4
+    * record-rewrites per ingested datom and resident bytes PLATEAU in a
+    * tight sawtooth under continuous ingest with bounded live
+    * (key, event) structure. Dial unset (default): never — history is
+    * immortal, exactly the pre-compaction behavior. */
+  private def maybeCompact(sem: BiVisibility.Sem): Unit =
+    sys.props.get("graft.bi.slack").map(_.toLong).foreach { slack =>
+      val minB =
+        if (lanes.isEmpty) Long.MinValue
+        else lanes.valuesIterator.map(_.processedBound).min
+      if (minB != Long.MinValue && minB - slack > lastCompactBound &&
+          store.datomCount * 4L >= 5L * lastCompactCount) {
+        val bound = minB - slack
+        store.compact(bound, lanes.keysIterator.toSeq, sem)
+        lastCompactBound = bound
+        lastCompactCount = store.datomCount
+      }
+    }
 
   /** Smoke/test hook: the store's (declared, measured) resident bytes —
     * declared feeds the byte gate and StateCell's KnownSizeEstimation,

@@ -310,6 +310,58 @@ final class BiPacked private (
     }
   }
 
+  /** Trace compaction — see [[BiVis.compact]]. Streams the lex-sorted
+    * datom runs key-group by key-group (per-event nets for
+    * Raw/Distinct, registered-window winner staircases for LWW), then
+    * rebuilds a FRESH packed instance from the survivors — which also
+    * re-encodes the interning dictionaries (append-only until now: only
+    * values still referenced by a surviving record or an emitted view
+    * entry are re-interned) and rewrites the event index to the
+    * survivors. One O(resident) pass; the caller amortizes the trigger. */
+  def compact(bound: Long, wins: Seq[Option[(Long, Long)]],
+      sem: BiVisibility.Sem): BiPacked = {
+    val out = mutable.ArrayBuffer.empty[(BiKey, BiRec)]
+    val pend = mutable.ArrayBuffer.empty[BiRec]
+    var k: BiKey = null
+    var kc: (Long, Long, Long) = null
+    def flush(): Unit = if (k != null && pend.nonEmpty) {
+      val (old, recent) = pend.partition(_.sys <= bound)
+      if (old.isEmpty) out ++= pend.iterator.map(k -> _)
+      else {
+        out ++= recent.iterator.map(k -> _)
+        sem(k.a) match {
+          case InputSemantics.LastWriteWins =>
+            val arr = old.toIndexedSeq
+            val keepIdx = BiTime.lwwStaircase(
+              arr.map(r => (r.sys, r.event, r.seq)), wins)
+            out ++= keepIdx.toSeq.sorted.iterator.map(i => k -> arr(i))
+          case _ =>
+            out ++= old.groupBy(_.event).iterator.collect {
+              case (e, grp) if grp.map(_.diff).sum != 0L =>
+                k -> BiRec(bound, e, grp.map(_.seq).max,
+                  grp.map(_.diff).sum, null)
+            }
+        }
+      }
+      pend.clear()
+    }
+    recs.iterator.foreach { case (rk, diff) =>
+      val kc2 = (rk(0), rk(1), rk(2))
+      if (kc2 != kc) {
+        flush(); kc = kc2
+        k = BiKey(attrNames(rk(0).toInt), decode(rk(1)), decode(rk(2)))
+      }
+      pend += BiRec(rk(3), rk(4), rk(5), diff, decode(rk(6)))
+    }
+    flush()
+    val emits = emitted.iterator.map { case (ek, w) =>
+      (ek(0).toInt, BiKey(attrNames(ek(1).toInt), decode(ek(2)), decode(ek(3))),
+        decode(ek(4)), w)
+    }.toSeq
+    BiPacked.empty.ingest(out).plantEmitted(emits)
+      .pruneSysThrough(prunedThrough)
+  }
+
   /** Rebuild the sys index without entries at or under `sy` (one range
     * scan into a single netted run) and stamp the pruned watermark.
     * Migration-time counterpart of the transition-time scan-prune:

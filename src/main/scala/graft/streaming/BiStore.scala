@@ -52,6 +52,13 @@ private[streaming] sealed trait BiStore {
     * lattice reconstruction for a lane attached after transacts. */
   def coarseTimes(win: Option[(Long, Long)]): Seq[(Long, Long)]
 
+  /** Trace compaction behind `bound` — see [[BiVis.compact]]. */
+  def compact(bound: Long, wins: Seq[Option[(Long, Long)]],
+      sem: BiVisibility.Sem): Unit
+
+  /** Resident datom records (shrinks at compaction). */
+  def datomCount: Long
+
   def estimatedBytes: Long
 
   /** MEASURED resident bytes — a real SizeEstimator walk over the state
@@ -112,6 +119,11 @@ private[streaming] final class DriverBiStore(spark: SparkSession)
 
   def coarseTimes(win: Option[(Long, Long)]): Seq[(Long, Long)] =
     vis.coarseTimes(win).toSeq
+
+  def compact(bound: Long, wins: Seq[Option[(Long, Long)]],
+      sem: BiVisibility.Sem): Unit = vis = vis.compact(bound, wins, sem)
+
+  def datomCount: Long = vis.datomCount
 
   def estimatedBytes: Long = vis.estimatedBytes
 
@@ -181,6 +193,19 @@ private[streaming] final class CellBiStore(
 
   def coarseTimes(win: Option[(Long, Long)]): Seq[(Long, Long)] =
     cell.rdd.flatMap(_.coarseTimes(win)).distinct().collect().toSeq
+
+  def compact(bound: Long, wins: Seq[Option[(Long, Long)]],
+      sem: BiVisibility.Sem): Unit = {
+    val stats = cell.advance1(
+        sc.parallelize(Seq.empty[Int], partitions)) { (vis, _) =>
+      val next = vis.compact(bound, wins, sem)
+      (next, Array((next.estimatedBytes, next.datomCount)))
+    }.fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+    measuredBytes = stats._1
+    count = stats._2
+  }
+
+  def datomCount: Long = count
 
   /** Per-attribute typed frames over a checkpointed (a, e, v, w) RDD —
     * the only driver-sized read is the distinct attribute-name list. */

@@ -63,6 +63,31 @@ private[streaming] trait BiVis extends Serializable {
     * sys index weight in every partition. */
   def split(p: Int): IndexedSeq[BiVis]
 
+  /** TRACE COMPACTION (the reference's `advance_traces`,
+    * `src/domain/mod.rs:291-341`, driven by `trace_slack`): datoms at
+    * `sys ≤ bound` — behind EVERY registered lane's processed bound
+    * minus the declared slack — can never again be distinguished by
+    * their sys coordinate at any admissible future query time, so:
+    *
+    *  - Raw/Distinct keys consolidate per `(key, event)`: the net diff
+    *    at each event coordinate (the event-CDF is the ONLY thing a
+    *    future aggregate reads from them) — one surviving record per
+    *    live (key, event), EXACT for every present and future lane;
+    *  - LastWriteWins keys keep the UNION over the registered windows
+    *    `wins` of the winner STAIRCASES (the records that are the
+    *    running `(coarse sys, coarse event, seq)` maximum as the event
+    *    bound sweeps upward) — verbatim, original coordinates — and
+    *    drop everything else: a dropped record is beaten by a kept one
+    *    at every event bound where it is visible, for every registered
+    *    window. EXACT for the registered lanes; a lane registered at a
+    *    NEW granularity after a compaction replays the COMPACTED trace
+    *    (the reference's late-interest-over-advanced-trace semantics).
+    *
+    * The event index rewrites to the survivors and the interning
+    * dictionaries re-encode (both were append-only before this). */
+  def compact(bound: Long, wins: Seq[Option[(Long, Long)]],
+      sem: BiVisibility.Sem): BiVis
+
   /** Declared resident-byte estimate (KnownSizeEstimation input). */
   def estimatedBytes: Long
 
@@ -106,5 +131,30 @@ private[streaming] object BiTime {
     val ce1 = coarse(e1, we); val ce2 = coarse(e2, we)
     if (ce1 != ce2) return ce1 > ce2
     q1 > q2
+  }
+
+  /** Indices into `recs` (one key's (sys, event, seq) triples) kept by
+    * trace compaction for LWW: the UNION over `wins` of the winner
+    * staircases — sweep the event bound upward; at each event
+    * coordinate, the window's best record there either beats the
+    * running winner (→ kept, new running winner) or never wins at any
+    * future bound (visible only when the running winner also is).
+    * Everything outside the union is beaten at every admissible bound
+    * for every registered window. */
+  def lwwStaircase(recs: IndexedSeq[(Long, Long, Long)],
+      wins: Seq[Option[(Long, Long)]]): Set[Int] = {
+    val keep = scala.collection.mutable.Set.empty[Int]
+    val byEvent = recs.indices.groupBy(i => recs(i)._2).toSeq.sortBy(_._1)
+    wins.foreach { win =>
+      def beats(i: Int, j: Int): Boolean =
+        lwwGreater(win, recs(i)._1, recs(i)._2, recs(i)._3,
+          recs(j)._1, recs(j)._2, recs(j)._3)
+      var best = -1
+      byEvent.foreach { case (_, idx) =>
+        val cand = idx.reduceLeft((a, b) => if (beats(b, a)) b else a)
+        if (best < 0 || beats(cand, best)) { best = cand; keep += cand }
+      }
+    }
+    keep.toSet
   }
 }

@@ -215,6 +215,49 @@ final class BiVisibility private (
     }
   }
 
+  /** Trace compaction — see [[BiVis.compact]]. Consolidates the
+    * `sys ≤ bound` portion of every key's history (per-event nets for
+    * Raw/Distinct, registered-window winner staircases for LWW) and
+    * rebuilds both time indexes to the survivors. */
+  def compact(bound: Long, wins: Seq[Option[(Long, Long)]],
+      sem: Sem): BiVisibility = {
+    var d = HashMap.empty[BiKey, List[BiRec]]
+    var n = 0L
+    datoms.foreach { case (k, rs) =>
+      val (old, recent) = rs.partition(_.sys <= bound)
+      val kept: List[BiRec] =
+        if (old.isEmpty) rs
+        else sem(k.a) match {
+          case InputSemantics.LastWriteWins =>
+            val arr = old.toIndexedSeq
+            val keepIdx = BiTime.lwwStaircase(
+              arr.map(r => (r.sys, r.event, r.seq)), wins)
+            recent ++ keepIdx.toSeq.sorted.map(arr)
+          case _ =>
+            // Per-event net: the event-CDF is everything a future
+            // aggregate reads from the compacted region. The surviving
+            // record's sys collapses to the bound (visible at every
+            // admissible future time); seq keeps the group max
+            // (uniqueness across groups for the packed sibling's runs).
+            recent ++ old.groupBy(_.event).toList.collect {
+              case (e, grp) if grp.map(_.diff).sum != 0L =>
+                BiRec(bound, e, grp.map(_.seq).max, grp.map(_.diff).sum, null)
+            }
+        }
+      if (kept.nonEmpty) { d = d.updated(k, kept); n += kept.size }
+    }
+    var s = TreeMap.empty[Long, HashSet[BiKey]]
+    var e = TreeMap.empty[Long, HashSet[BiKey]]
+    d.foreach { case (k, rs) =>
+      rs.foreach { r =>
+        if (r.sys > prunedThrough)
+          s = s.updated(r.sys, s.getOrElse(r.sys, HashSet.empty) + k)
+        e = e.updated(r.event, e.getOrElse(r.event, HashSet.empty) + k)
+      }
+    }
+    new BiVisibility(d, s, e, emitted, prunedThrough, n)
+  }
+
   /** Declared resident-byte estimate (KnownSizeEstimation input). The
     * per-datom constant is the MEASURED SizeEstimator figure for this
     * boxed layout (BiRec + List cons + two TreeMap/HashSet index

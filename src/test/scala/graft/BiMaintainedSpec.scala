@@ -308,6 +308,85 @@ class BiMaintainedSpec extends AnyFunSuite {
     }
   }
 
+  test("trace compaction (graft.bi.slack) leaves drains byte-identical (all semantics, both backends)") {
+    // The reference bounds history via advance_traces under trace_slack
+    // (src/domain/mod.rs:291-341). Compaction consolidates the region
+    // behind every lane's processed bound minus the slack — per-event
+    // nets for Raw/Distinct, registered-window winner staircases for
+    // LWW — and must be INVISIBLE to every drain: same histories, same
+    // advance schedule, dial on vs off, multiset-equal against BiEngine.
+    val params = Gen.Parameters.default
+    val prevSlack = sys.props.get("graft.bi.slack")
+    val prevPacked = sys.props.get("graft.bi.packed")
+    try {
+      for {
+        (slabel, sem) <- semanticsZoo.zipWithIndex.map { case (s, i) => (s"sem$i", s) }
+        packed <- Seq(true, false)
+        slack <- Seq(0L, 1L)
+      } {
+        val history = genHistory(params,
+          Seed(71009L + slabel.hashCode * 31L + slack)).getOrElse(Seq.empty)
+        if (packed) sys.props.remove("graft.bi.packed")
+        else sys.props("graft.bi.packed") = "off"
+        sys.props.remove("graft.bi.slack")
+        val (wantOff, gotOff) = drive(history, sem, plans.head._2)
+        sys.props("graft.bi.slack") = slack.toString
+        val (wantOn, gotOn) = drive(history, sem, plans.head._2)
+        assert(wantOff == wantOn)
+        assert(gotOff == wantOff)
+        assert(gotOn == wantOff,
+          s"compaction changed the drain ($slabel packed=$packed slack=$slack):" +
+            s"\n want=$wantOff\n got =$gotOn\n history=$history")
+      }
+    } finally {
+      prevSlack match {
+        case Some(v) => sys.props("graft.bi.slack") = v
+        case None    => sys.props.remove("graft.bi.slack")
+      }
+      prevPacked match {
+        case Some(v) => sys.props("graft.bi.packed") = v
+        case None    => sys.props.remove("graft.bi.packed")
+      }
+    }
+  }
+
+  test("trace compaction under a Coarsen lane keeps the coarse drain exact") {
+    val params = Gen.Parameters.default
+    val prevSlack = sys.props.get("graft.bi.slack")
+    try {
+      for ((slabel, sem) <- semanticsZoo.zipWithIndex.map { case (s, i) => (s"sem$i", s) }) {
+        val history = genHistory(params, Seed(81013L + slabel.hashCode))
+          .getOrElse(Seq.empty)
+        def run(): Seq[(Seq[Any], (Long, Long), Long)] = {
+          val bm = new BiMaintained(spark, partitions = 4, coarsen = Some((2L, 2L)))
+          Seq(":bm/x", ":bm/y").foreach(a =>
+            bm.createAttribute(a, AttributeConfig(sem)))
+          bm.register(Rule("q", Plan.MatchA(0, ":bm/x", 1)))
+          bm.interest("q")
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], (Long, Long), Long)]
+          history.groupBy(_.sys).toSeq.sortBy(_._1).foreach { case (sys, ds) =>
+            bm.transact(ds.map(d => bm.BiDatom(
+              Value.eid(d.e), d.a, Value.num(d.v), (sys, d.event), d.diff)))
+            bm.advance(sys + 2L)
+            out ++= bm.drain("q")
+          }
+          bm.advance(100L)
+          out ++= bm.drain("q")
+          out.toSeq
+        }
+        sys.props.remove("graft.bi.slack")
+        val off = run()
+        sys.props("graft.bi.slack") = "0"
+        val on = run()
+        assert(ms(on) == ms(off),
+          s"coarse-lane compaction diverged ($slabel):\n off=$off\n on =$on")
+      }
+    } finally prevSlack match {
+      case Some(v) => sys.props("graft.bi.slack") = v
+      case None    => sys.props.remove("graft.bi.slack")
+    }
+  }
+
   test("a NEW granularity attaches AFTER transacts and drains byte-identically (late lane replay)") {
     // The reference lets an Interest request any granularity at ANY
     // time (src/server/mod.rs:110-119): its Coarsen wraps the
