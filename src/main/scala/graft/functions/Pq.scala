@@ -41,6 +41,9 @@ object Pq {
       reg.registerFunction(FunctionIdentifier("graft_pq_lookup"),
         new ExpressionInfo(classOf[PqLookup].getName, "graft_pq_lookup"),
         (c: Seq[Expression]) => PqLookup(c(0), c(1)))
+      reg.registerFunction(FunctionIdentifier("graft_dot_argmax"),
+        new ExpressionInfo(classOf[DotArgmax].getName, "graft_dot_argmax"),
+        (c: Seq[Expression]) => DotArgmax(c(0), c(1)))
     }
 
   private def withReg(name: String, cols: Column*): Column = {
@@ -59,6 +62,11 @@ object Pq {
   /** Σ_j luts(j)(codes(j)) — the ADC approximate dot. */
   def lookup(luts: Column, codes: Column): Column =
     withReg("graft_pq_lookup", luts, codes)
+
+  /** struct(d, i): the max dot of `vec` against `cands(i)` and its index
+    * (ties to the lowest index) — the IVF coarse-assignment kernel. */
+  def argmaxDot(vec: Column, cands: Column): Column =
+    withReg("graft_dot_argmax", vec, cands)
 
   private[functions] def checkVecCb(prettyName: String, vec: Expression,
       cb: Expression, m: Expression): TypeCheckResult = {
@@ -150,6 +158,90 @@ case class PqAssign(vec: Expression, cb: Expression, m: Expression)
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): PqAssign =
     copy(vec = f, cb = s, m = t)
+}
+
+/** IVF coarse assignment: argmax-by-dot of one quantized vector against
+  * a broadcast candidate array — ONE tree node with a tight generated
+  * loop, returning `struct(d: bigint, i: int)` (max dot, its index, ties
+  * to the lowest index). The higher-order-function form
+  * (`aggregate(transform(...))`) is semantically identical but
+  * evaluates its lambdas interpreted and allocates a struct array per
+  * row — measured ~10% slower end-to-end on the IVF search cell. */
+case class DotArgmax(vec: Expression, cands: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = cands
+  override def prettyName: String = "graft_dot_argmax"
+
+  /** EVALUATE-ONCE pin, not actual nondeterminism: the kernel is a pure
+    * function, but alias substitution (predicate pushdown of
+    * constraint-inferred filters, project collapse) happily duplicates
+    * the k·dim-multiply loop into join conditions — measured 3
+    * evaluations per corpus row in the IVF search plan. Declaring it
+    * nondeterministic forbids substitution, so the argmax materializes
+    * exactly once per row and downstream predicates read the column. */
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", LongType, false), StructField("i", IntegerType, false)))
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (vec.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }) && (cands.dataType match {
+      case ArrayType(ArrayType(LongType, _), _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, array<array<bigint>>)")
+  }
+
+  override def nullSafeEval(v: Any, c: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val cands = c.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    var best = 0L; var bestI = -1
+    var ci = 0
+    val k = cands.numElements()
+    while (ci < k) {
+      val cent = cands.getArray(ci)
+      var s = 0L
+      var i = 0
+      while (i < n) { s += vec.getLong(i) * cent.getLong(i); i += 1 }
+      if (bestI < 0 || s > best) { best = s; bestI = ci }
+      ci += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(best, bestI)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      val ci = ctx.freshName("ci"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val k = ctx.freshName("k")
+      val s = ctx.freshName("s"); val best = ctx.freshName("best")
+      val bestI = ctx.freshName("bestI"); val cent = ctx.freshName("cent")
+      s"""
+         |int $n = $v.numElements();
+         |int $k = $c.numElements();
+         |long $best = 0L; int $bestI = -1;
+         |for (int $ci = 0; $ci < $k; $ci++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cent = $c.getArray($ci);
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $v.getLong($i) * $cent.getLong($i);
+         |  }
+         |  if ($bestI < 0 || $s > $best) { $best = $s; $bestI = $ci; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { java.lang.Long.valueOf($best),
+         |    java.lang.Integer.valueOf($bestI) });
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotArgmax =
+    copy(vec = newLeft, cands = newRight)
 }
 
 /** Per-query ADC lookup tables: `array<array<long>>`, luts(j)(c) =

@@ -212,44 +212,37 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** `(id, qv, extra..., rep)` with `rep` = the group-minimum id of each
-    * DISTINCT quantized vector — ONE window pass, the exact-first
-    * blocking structure shared by the whole similarity family (the
-    * [[quantizedNearDup]] pattern). Materialized: feeds both the
-    * rep-only compute and the expansion join. */
-  private def withRep(q: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qv"))
-    q.withColumn("rep", min(col("id")).over(w)).graftCheckpoint(true)
-  }
-
-  /** EXACT-FIRST centroid assignment: the centroids collapse to ONE
-    * broadcast array row, the argmax-by-dot is a per-row expression
-    * (transform to (dot, cell) structs, fold to the best — ties to the
-    * lowest cell) GUARDED to the rep rows (`when` short-circuits in
-    * codegen), and the result propagates to the duplicate group through
-    * `first(ignoreNulls)` over the SAME qv partitioning the rep window
-    * installed — so under d-fold duplication the k dot products run
-    * d-fold fewer times and NO shuffle is added beyond [[withRep]]'s
-    * window pass (no per-row k-way expansion, no ranking window, no
-    * expansion join). Returns `m.columns + (cell, dotq)`. */
+  /** SHUFFLE-FREE centroid assignment: the centroids collapse to ONE
+    * broadcast array row and the argmax-by-dot is a per-row expression —
+    * transform to (dot, cell) structs, fold to the best, ties to the
+    * lowest cell (the sort order of the collapsed row). No per-row k-way
+    * expansion, no ranking window, no exchange of any kind: assignment
+    * is a pure map over the scan, the shape that survives 100 TB.
+    *
+    * MEASURED AND REJECTED (round 12): the exact-first variant — argmax
+    * once per DISTINCT quantized vector via a rep-tagging window, result
+    * propagated through first(ignoreNulls) over the same partitioning —
+    * was built and A/B'd on the 10× duplicate-replicated sf1 corpus:
+    * q_ann_pq 0.37s → 1.21s (3.3×), q_ann_ivf 2.23s → 2.79s, q_semdedup
+    * 4.42s → 4.74s. Shuffling a 64-long vector by the wide qv key costs
+    * more than the ~1k integer ops of redundant argmin it saves, at
+    * every scale — the window is only free where pair semantics already
+    * demand it ([[quantizedNearDup]]). Returns `m.columns + (cell,
+    * dotq)`. */
   private def assignCells(m: DataFrame, cents: DataFrame): DataFrame = {
     val ca = cents
       .agg(array_sort(collect_list(struct(
-        col("cell").cast("long").as("cell"), col("cv").as("cv")))).as("_ca"))
-    val best = aggregate(
-      transform(col("_ca"), s => struct(
-        dotQ(col("qv"), s.getField("cv")).as("d"),
-        s.getField("cell").as("c"))),
-      struct(lit(null).cast("long").as("d"), lit(null).cast("long").as("c")),
-      (acc, s) => when(acc.getField("d").isNull ||
-          s.getField("d") > acc.getField("d"), s).otherwise(acc))
+        col("cell").cast("long").as("cell"), col("cv").as("cv")))).as("_s"))
+      .select(
+        transform(col("_s"), e => e.getField("cell")).as("_cells"),
+        transform(col("_s"), e => e.getField("cv")).as("_cvs"))
     m.crossJoin(org.apache.spark.sql.functions.broadcast(ca))
-      .withColumn("_best", when(col("id") === col("rep"), best))
-      .withColumn("_best", first(col("_best"), ignoreNulls = true).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("qv"))))
-      .withColumn("cell", col("_best").getField("c"))
+      .withColumn("_best",
+        graft.functions.Pq.argmaxDot(col("qv"), col("_cvs")))
+      .withColumn("cell",
+        element_at(col("_cells"), col("_best").getField("i") + 1))
       .withColumn("dotq", col("_best").getField("d"))
-      .drop("_best", "_ca")
+      .drop("_best", "_cells", "_cvs")
   }
 
   /** IVF-style coarse quantization: assign every vector to its
@@ -258,17 +251,16 @@ object Similarity {
     * quantized vectors of the `k` lowest ids — a deterministic, oracle-
     * portable stand-in for trained k-means centroids (swap in real ones by
     * replacing `cents`); they broadcast to every executor. Assignment is
-    * EXACT-FIRST: the argmin runs per DISTINCT quantized vector and
-    * expands over the duplicate groups ([[assignCells]]).
+    * a SHUFFLE-FREE per-row expression argmax over the collapsed
+    * centroid row ([[assignCells]] — no ranking window, no exchange).
     * Output: (id, cell, dotq). */
   def ivfAssign(vectors: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = vectors.select(col(idCol).cast("long").as("id"),
       quantize(col(vecCol)).as("qv"))
-    val m = withRep(q)
-    val cents = m.where(col("id") < k)
+    val cents = q.where(col("id") < k)
       .select(col("id").as("cell"), col("qv").as("cv"))
-    assignCells(m, cents).select(col("id"), col("cell"), col("dotq"))
+    assignCells(q, cents).select(col("id"), col("cell"), col("dotq"))
   }
 
   /** IVF SEARCH (the scale path [[quantizedTopK]] is the exact baseline
@@ -284,12 +276,12 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.broadcast
-    // One corpus scan feeds assignment, probing, and scoring; the
-    // rep-tagging window makes the cell assignment EXACT-FIRST
-    // ([[assignCells]] — argmin per DISTINCT vector, expand by rep).
-    val m = withRep(vectors.select(col(idCol).cast("long").as("id"),
+    // One corpus scan feeds assignment, probing, and scoring; the cell
+    // assignment is the shuffle-free expression argmax ([[assignCells]]).
+    val m = vectors.select(col(idCol).cast("long").as("id"),
       quantize(col(vecCol)).as("qv"))
-      .withColumn("nrm", dotQ(col("qv"), col("qv"))))
+      .withColumn("nrm", dotQ(col("qv"), col("qv")))
+      .graftCheckpoint(true) // shared by assignment, probing, and scoring
     val cents = m.where(col("id") < cells)
       .select(col("id").as("cell"), col("qv").as("cv"))
     val corpus = assignCells(m, cents)
@@ -362,19 +354,15 @@ object Similarity {
         (0 until m).map(j => element_at(col("_codes"), j + 1).as(s"c$j")): _*)
   }
 
-  /** `(id, qv, ..., _codes)` — corpus rows with their PQ code array.
-    * EXACT-FIRST: the native [[graft.functions.PqAssign]] argmin runs
-    * only on the rep row of each distinct quantized vector (`when`
-    * short-circuits in codegen) and propagates to the duplicate group
-    * through `first(ignoreNulls)` over the SAME qv partitioning
-    * [[withRep]]'s window installed — d-fold less assignment work under
-    * d-fold duplication, no added shuffle. */
+  /** `(id, qv, ..., _codes)` — corpus rows with their PQ code array:
+    * one broadcast codebook row, one native [[graft.functions.PqAssign]]
+    * expression per row — a pure map over the scan, no exchange (the
+    * exact-first window variant was measured 3.3× slower even on the
+    * duplicate-replicated sf1 corpus — see [[assignCells]]). */
   private def withCodes(q: DataFrame, cbRow: DataFrame, m: Int): DataFrame =
-    withRep(q).crossJoin(broadcast(cbRow))
-      .withColumn("_codes", when(col("id") === col("rep"),
-        graft.functions.Pq.assign(col("qv"), col("cb"), lit(m))))
-      .withColumn("_codes", first(col("_codes"), ignoreNulls = true).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("qv"))))
+    q.crossJoin(broadcast(cbRow))
+      .withColumn("_codes",
+        graft.functions.Pq.assign(col("qv"), col("cb"), lit(m)))
 
   /** PQ SEARCH via asymmetric distance computation (ADC): queries keep
     * their exact quantized vectors; the corpus is scanned as codes. Each

@@ -174,29 +174,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(windows == 1, s"q_rolling: expected one Window operator, got $windows:\n$plan")
   }
 
-  test("PQ code assignment shuffles ONLY the exact-first rep window") {
-    // The codebook collapses to one broadcast row; the native argmin is
-    // per-row expression arithmetic GUARDED to one rep row per DISTINCT
-    // quantized vector, propagated to duplicates through the SAME qv
-    // window exchange the rep tag installed (round-11 VERDICT #6). So:
-    // exactly ONE hashpartitioning exchange (the qv window), and the
-    // assignment expression sits under a CASE WHEN rep guard.
+  test("PQ code assignment never hash-shuffles the corpus") {
+    // The codebook collapses to one broadcast row; assignment is per-row
+    // native expression arithmetic. Only the codebook's own
+    // SinglePartition collect appears — no hashpartitioning exchange
+    // anywhere. (The exact-first rep-window variant was measured 3.3×
+    // slower even on the duplicate-replicated sf1 corpus and rejected —
+    // Similarity.assignCells doc.)
     val plan = planOf("q_ann_pq")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges == 1,
-      s"q_ann_pq: expected only the rep-window exchange, got $exchanges:\n$plan")
+    assert(exchanges == 0,
+      s"q_ann_pq: expected a shuffle-free code scan, got $exchanges exchanges:\n$plan")
     assert(plan.contains("graft_pq_assign"), s"q_ann_pq: native assign missing:\n$plan")
-    assert("CASE WHEN .* THEN graft_pq_assign".r.findFirstIn(plan).isDefined,
-      s"q_ann_pq: assignment must be rep-guarded (exact-first):\n$plan")
   }
 
-  test("PQ search shuffles only the rep window and the per-query top-k window") {
+  test("PQ search shuffles only the per-query top-k window") {
     val plan = planOf("q_ann_pq_search")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges == 2,
-      s"q_ann_pq_search: expected rep-window + top-k exchanges, got $exchanges:\n$plan")
+    assert(exchanges == 1,
+      s"q_ann_pq_search: expected one top-k exchange, got $exchanges:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"q_ann_pq_search: candidate scoring must stay broadcast:\n$plan")
+  }
+
+  test("IVF assignment is a shuffle-free expression argmax (no ranking window)") {
+    // Round 12: the per-row k-way broadcast-join + ranking-window
+    // assignment (one n×k exchange) is replaced by a fold over the
+    // collapsed centroid row — assignment must carry NO hashpartitioning
+    // exchange and NO Window operator at all.
+    val plan = planOf("q_ann_ivf")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 0,
+      s"q_ann_ivf: expected shuffle-free assignment, got $exchanges exchanges:\n$plan")
+    assert(!"\\bWindow\\b".r.findFirstIn(plan).isDefined,
+      s"q_ann_ivf: no ranking window expected:\n$plan")
   }
 
   test("mixture and packing are single window sweeps: one shuffle, no join") {
