@@ -437,6 +437,64 @@ class BiMaintainedSpec extends AnyFunSuite {
       s"late attach grew the store: up-front=$bytesUp late=$bytesLate")
   }
 
+  test("late attach AFTER compaction replays the compacted trace: accumulated views agree") {
+    // Composition of the two round-12 features: with the slack dial on,
+    // a granularity attached after compaction rebuilds its lattice from
+    // the COMPACTED history (consolidated datoms carry the compaction
+    // bound as their sys — the replay lattice collapses, which is the
+    // point: bounded replay cost). Per-time drains therefore differ
+    // from an up-front lane's, but for Raw/Distinct the ACCUMULATED
+    // view at a dominating time must agree exactly — per-(key, event)
+    // nets are window-independent. (LastWriteWins is deliberately
+    // EXCLUDED: compaction keeps winner staircases for the windows
+    // REGISTERED at compaction time, so a NEW granularity attached
+    // later reads the compacted-trace approximation — the reference's
+    // late-interest-over-advanced-trace semantics, documented in
+    // BiVis.compact.)
+    val params = Gen.Parameters.default
+    val prevSlack = sys.props.get("graft.bi.slack")
+    try {
+      sys.props("graft.bi.slack") = "0"
+      for ((slabel, sem) <- Seq(InputSemantics.Raw, InputSemantics.Distinct)
+          .zipWithIndex.map { case (s, i) => (s"sem$i", s) }) {
+        val history = genHistory(params, Seed(91019L + slabel.hashCode))
+          .getOrElse(Seq.empty)
+        val lateGrain: Option[(Long, Long)] = Some((3L, 2L))
+        def run(lateAttach: Boolean): Map[Seq[Any], Long] = {
+          val bm = new BiMaintained(spark, partitions = 4)
+          Seq(":bm/x", ":bm/y").foreach(a =>
+            bm.createAttribute(a, AttributeConfig(sem)))
+          bm.register(Rule("q", Plan.MatchA(0, ":bm/x", 1)))
+          bm.register(Rule("q_late", Plan.MatchA(0, ":bm/x", 1)))
+          bm.interest("q") // fine lane drives processing (and compaction)
+          if (!lateAttach) bm.interest("q_late", lateGrain)
+          history.groupBy(_.sys).toSeq.sortBy(_._1).foreach { case (sys, ds) =>
+            bm.transact(ds.map(d => bm.BiDatom(
+              Value.eid(d.e), d.a, Value.num(d.v), (sys, d.event), d.diff)))
+            bm.advance(sys + 1L)
+          }
+          if (lateAttach) bm.interest("q_late", lateGrain)
+          bm.advance(100L)
+          bm.drain("q") // discard
+          // Accumulate the late rule's full drain at a dominating time.
+          bm.drain("q_late").groupBy(_._1).view
+            .mapValues(_.map(_._3).sum).filter(_._2 != 0L).toMap
+        }
+        // lateAttach drains only AFTER attach; an up-front lane drains
+        // everything — accumulate BOTH runs' q_late over the whole run.
+        def runAccum(late: Boolean): Map[Seq[Any], Long] = run(late)
+        val up = runAccum(false)
+        val lt = runAccum(true)
+        assert(lt == up,
+          s"late-after-compaction accumulation diverged ($slabel):\n" +
+            s" upfront=$up\n late  =$lt\n history=$history")
+      }
+    } finally prevSlack match {
+      case Some(v) => sys.props("graft.bi.slack") = v
+      case None    => sys.props.remove("graft.bi.slack")
+    }
+  }
+
   test("transact is all-or-nothing: a rejected batch leaves no phantom state (r10 ADVICE)") {
     // Two siblings: `bm` sees a mixed batch (one valid datom ordered
     // BEFORE one at a closed system time) that must be rejected as a
