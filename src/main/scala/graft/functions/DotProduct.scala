@@ -38,6 +38,19 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_dotq"
 
+  /** EVALUATE-ONCE pin, not actual nondeterminism (the kernel is a pure
+    * function): alias substitution duplicated the multiply-accumulate
+    * loop wherever a dotq-threshold predicate could be folded into a
+    * join condition — the embedding near-dup rep join evaluated the
+    * SAME pair dot FOUR times per candidate (once in the project, once
+    * for `dotq > 0`, twice for `dotq·dotq ≥ τ²·na·nb`). Declaring the
+    * expression nondeterministic forbids substitution: the dot
+    * materializes once per row and every predicate reads the column —
+    * same fused whole-stage-codegen pipeline, no extra materialization
+    * (the predicates could never push past the pair join anyway, since
+    * they reference both sides). Same pin as [[DotArgmax]]. */
+  override lazy val deterministic: Boolean = false
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]

@@ -170,15 +170,20 @@ object TextAnalysis {
   def cleanVerdicts(docs: DataFrame, idCol: String, textCol: String,
       minTokens: Int, maxTokens: Int, ngramN: Int): DataFrame = {
     val d = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-    val keepers = d.groupBy(md5(col("text")).as("digest"))
-      .agg(min(col("id")).as("_keeper"))
-    // Bind the token-hash column BEFORE windowing — an inline
-    // tokenHashPairs inside the window lambdas would re-digest every
-    // token per window (O(len²) md5s per document).
-    d.select(col("id"), md5(col("text")).as("digest"),
+    // ONE materialized digest/token pass shared by the keeper aggregate
+    // and the verdict row: without the cut, the keeper branch re-scans
+    // the corpus and re-digests every text, and the digest equi-join's
+    // inferred isnotnull(digest) substitutes the md5 back into the scan
+    // filter — ~3 full-text digests per row per branch (round-12 plan
+    // audit). Bind the token-hash column BEFORE windowing too — an
+    // inline tokenHashPairs inside the window lambdas would re-digest
+    // every token per window (O(len²) md5s per document).
+    val m = d.select(col("id"), md5(col("text")).as("digest"),
         tokenCount(col("text")).as("_nt"),
         tokenHashPairs(col("text")).as("_hp"))
-      .select(col("id"), col("digest"), col("_nt"),
+      .graftCheckpoint(true)
+    val keepers = m.groupBy(col("digest")).agg(min(col("id")).as("_keeper"))
+    m.select(col("id"), col("digest"), col("_nt"),
         shingleHashWindows(col("_hp"), ngramN).as("_w"))
       .join(keepers, "digest")
       .select(col("id"),
