@@ -170,22 +170,24 @@ object TextAnalysis {
   def cleanVerdicts(docs: DataFrame, idCol: String, textCol: String,
       minTokens: Int, maxTokens: Int, ngramN: Int): DataFrame = {
     val d = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-    // ONE materialized digest/token pass shared by the keeper aggregate
-    // and the verdict row: without the cut, the keeper branch re-scans
-    // the corpus and re-digests every text, and the digest equi-join's
-    // inferred isnotnull(digest) substitutes the md5 back into the scan
-    // filter — ~3 full-text digests per row per branch (round-12 plan
-    // audit). Bind the token-hash column BEFORE windowing too — an
-    // inline tokenHashPairs inside the window lambdas would re-digest
-    // every token per window (O(len²) md5s per document).
-    val m = d.select(col("id"), md5(col("text")).as("digest"),
+    // The keeper (min id per content digest) is ONE window over the
+    // digest column — not a groupBy + self-join, which re-scanned the
+    // corpus, re-digested every text on the keeper branch, AND let the
+    // digest equi-join's inferred isnotnull(digest) substitute the md5
+    // back into both scan filters (~3 full-text digests per row per
+    // branch — round-12 plan audit; a shared-checkpoint variant was
+    // measured 2× slower: materializing the token-hash arrays costs
+    // more than the digests save). One scan, one exchange, one md5 per
+    // row. Bind the token-hash column BEFORE windowing — an inline
+    // tokenHashPairs inside the window lambdas would re-digest every
+    // token per window (O(len²) md5s per document).
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))
+    d.select(col("id"), md5(col("text")).as("digest"),
         tokenCount(col("text")).as("_nt"),
         tokenHashPairs(col("text")).as("_hp"))
-      .graftCheckpoint(true)
-    val keepers = m.groupBy(col("digest")).agg(min(col("id")).as("_keeper"))
-    m.select(col("id"), col("digest"), col("_nt"),
+      .select(col("id"), col("digest"), col("_nt"),
         shingleHashWindows(col("_hp"), ngramN).as("_w"))
-      .join(keepers, "digest")
+      .withColumn("_keeper", min(col("id")).over(wd))
       .select(col("id"),
         (col("id") === col("_keeper")).as("not_dup"),
         (col("_nt") >= minTokens && col("_nt") <= maxTokens).as("len_ok"),
