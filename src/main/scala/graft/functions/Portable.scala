@@ -91,9 +91,15 @@ object Portable {
     * keep every combination (31²·2^40 ≈ 2^50, plus 7× in the seeded
     * family) far from Long overflow in both engines. */
   def tokenHashPairs(text: Column): Column =
-    transform(tokens(text), t => struct(
-      conv(substring(md5(t), 1, 10), 16, 10).cast("long").as("a"),
-      conv(substring(md5(t), 17, 10), 16, 10).cast("long").as("b")))
+    // Two passes so each token is DIGESTED ONCE: higher-order-function
+    // lambdas evaluate interpreted with no common-subexpression
+    // elimination, so the one-pass form (`struct(f(md5(t)), g(md5(t)))`)
+    // ran md5 twice per token — across the whole text/dedup family
+    // (round-12 plan audit). The inner transform materializes the hex
+    // digests; the outer slices both halves from the bound element.
+    transform(transform(tokens(text), t => md5(t)), h => struct(
+      conv(substring(h, 1, 10), 16, 10).cast("long").as("a"),
+      conv(substring(h, 17, 10), 16, 10).cast("long").as("b")))
 
   /** Word n-gram shingle hash pairs (`array<struct<s1,s2>>`) from a
     * PRE-MATERIALIZED token-hash-pair column (see [[tokenHashPairs]]):
