@@ -599,8 +599,18 @@ object Dedup {
   def incrementalExact(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val spark = corpus.sparkSession
-    val corpusD = corpus.select(col(idCol).cast("long").as("cid"),
-      md5(col(textCol)).as("digest"))
+    // PROVABLY NON-NULL digest on the corpus side: the semi-join infers
+    // isnotnull(digest) and alias substitution would push the md5 into
+    // the corpus scan filter — two full-text digests per corpus row
+    // (round-12 plan audit; constraint inference is not function-aware,
+    // so an explicit isnotnull(text) does not cancel it). coalesce with
+    // a literal makes the attribute non-nullable, so the constraint is
+    // never generated and the digest evaluates once. The coalesce arm is
+    // dead under the not-null text filter (null text never matches a
+    // batch digest anyway — semantics unchanged).
+    val corpusD = corpus.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("cid"),
+        coalesce(md5(col(textCol)), lit("")).as("digest"))
     val batchD = batch.select(col(idCol).cast("long").as("id"),
       md5(col(textCol)).as("digest"))
       .graftCheckpoint(true) // read by the digest-set build AND the final join
