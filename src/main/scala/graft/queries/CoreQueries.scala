@@ -363,8 +363,9 @@ object CoreQueries {
       // (o_orderkey <= 60000) — the documented oracle-harness pattern.
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions.{row_number, when}
+      val btGate = sys.props.get("graft.bt.gate").map(_.toLong).getOrElse(60000L)
       val reps = s.read.parquet(s"$dir/orders.parquet")
-        .where(col("o_orderkey") <= 60000)
+        .where(col("o_orderkey") <= btGate)
         .select(col("o_custkey").cast("long").as("e"),
           col("o_totalprice").cast("long").as("v"),
           (col("o_orderkey") % 3).cast("long").as("sys"),
@@ -401,6 +402,34 @@ object CoreQueries {
       acc.iterator.collect {
         case (Seq(e: Long, v: Long), w) if w > 0 && e >= 0 => (e, v)
       }.toSeq.toDF("custkey", "price")
+    }),
+
+    "q_bitemporal_compacted" -> ((s, dir) => {
+      // The q_bitemporal_maintain computation with TRACE COMPACTION ON
+      // (graft.bi.slack=0, the round-12 advance_traces analog): after
+      // every advance the history behind the processed bound
+      // consolidates — per-event nets for Raw/Distinct, the registered
+      // fine lane's LWW winner staircase here — and the drain must be
+      // byte-identical to the uncompacted twin against the same-shape
+      // oracle. Puts compaction on the driver's per-round correctness
+      // surface (the round-11 lesson: features outside the oracle
+      // surface can hide design flaws). Smaller gate (30000) keeps the
+      // bench cost of the twin modest.
+      val prev = sys.props.get("graft.bi.slack")
+      val prevGate = sys.props.get("graft.bt.gate")
+      sys.props("graft.bi.slack") = "0"
+      sys.props("graft.bt.gate") = "30000"
+      try queries("q_bitemporal_maintain")(s, dir)
+      finally {
+        prev match {
+          case Some(v) => sys.props("graft.bi.slack") = v
+          case None    => sys.props.remove("graft.bi.slack")
+        }
+        prevGate match {
+          case Some(v) => sys.props("graft.bt.gate") = v
+          case None    => sys.props.remove("graft.bt.gate")
+        }
+      }
     }),
 
     "q_lww_maintain" -> ((s, dir) => {
@@ -847,6 +876,23 @@ object CoreQueries {
                       PARTITION BY o_custkey, o_orderkey % 3, o_orderkey % 7
                       ORDER BY o_orderkey DESC) AS rn
              FROM orders WHERE o_orderkey <= 60000)
+           WHERE rn = 1)
+         WHERE rnw = 1 AND diff = 1""",
+
+    "q_bitemporal_compacted" ->
+      """SELECT custkey, price FROM (
+           SELECT e AS custkey, v AS price, diff,
+                  row_number() OVER (PARTITION BY e
+                                     ORDER BY sys DESC, event DESC) AS rnw
+           FROM (
+             SELECT CAST(o_custkey AS BIGINT) AS e,
+                    CAST(floor(o_totalprice) AS BIGINT) AS v,
+                    o_orderkey % 3 AS sys, o_orderkey % 7 AS event,
+                    CASE WHEN o_orderkey % 11 = 0 THEN -1 ELSE 1 END AS diff,
+                    row_number() OVER (
+                      PARTITION BY o_custkey, o_orderkey % 3, o_orderkey % 7
+                      ORDER BY o_orderkey DESC) AS rn
+             FROM orders WHERE o_orderkey <= 30000)
            WHERE rn = 1)
          WHERE rnw = 1 AND diff = 1""",
 
