@@ -112,7 +112,11 @@ object Similarity {
   /** Exact integer dot product of two quantized vectors — a native
     * codegen expression (see [[graft.functions.DotProduct]]); the composed
     * `aggregate(zip_with(...))` form allocates per evaluation, which
-    * dominates when the dot runs once per candidate pair. */
+    * dominates when the dot runs once per candidate pair. The expression
+    * carries an EVALUATE-ONCE pin (declared nondeterministic so alias
+    * substitution cannot duplicate the loop into join conditions) —
+    * consequently bind it to a column (`.as(...)`/`withColumn`) before
+    * using the result as a join/grouping/sort key. */
   def dotQ(a: Column, b: Column): Column =
     graft.functions.DotProduct(a, b)
 
