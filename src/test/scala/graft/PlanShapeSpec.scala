@@ -228,4 +228,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
       s"expected exactly one shuffle:\n$plan")
   }
+
+  test("GLOBAL sweep: no UDFs, no cartesian products, anywhere in the query surface") {
+    // Engine-wide guarantee, not per-query: every driver query's
+    // physical plan is UDF-free (whole-stage-codegen expressions only)
+    // and never degrades to an unbroadcast cartesian. Building every
+    // query executes the maintained-oracle engines at sf0.001 — cheap,
+    // and exactly what Verify does per round.
+    val qs = CoreQueries.queries ++ PipelineQueries.queries
+    val offenders = qs.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      val bad = Seq("ScalaUDF", "BatchEvalPython", "CartesianProduct")
+        .filter(plan.contains)
+      if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(",")}")
+    }
+    assert(offenders.isEmpty, s"plan offenders:\n${offenders.mkString("\n")}")
+  }
 }
