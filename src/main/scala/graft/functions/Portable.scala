@@ -50,6 +50,14 @@ object Portable {
   def h64bSql(expr: String): String =
     s"CAST('0x' || substring(md5(CAST($expr AS VARCHAR)), 17, 14) AS BIGINT)"
 
+  /** Driver-side evaluation of [[h64b]] for CONSTANT keys. */
+  def h64bHost(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(16, 30), 16)
+  }
+
   /** DuckDB SQL fragment equivalent to [[h64Seeded]]. */
   def h64SeededSql(seed: Int, expr: String): String =
     h64Sql(s"'$seed' || ':' || ($expr)")

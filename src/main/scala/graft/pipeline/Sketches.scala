@@ -66,18 +66,26 @@ object Sketches {
     * element-wise SUM — across shards, days, streams — and a term's
     * estimate is the MIN over seeds of its bucket's counter: an upper
     * bound on the true count, tight unless the term collides in every
-    * row. Hashing is the portable seeded md5 ([[Portable.h64Seeded]]'s
-    * formula with the seed as a column), so the REGISTERS — not just
-    * estimates — are oracle-exact. */
+    * row. The seed family is Kirsch-Mitzenmacher double hashing over
+    * ONE portable md5 per token — `g_j(tok) = (h64 + j·h64b) mod width`
+    * (the same one-digest family MinHash uses; the CM guarantee holds
+    * under KM 2006) — replacing the per-seed digests (depth md5s per
+    * token, round-12 audit). h64 < 2⁶⁰ and (depth−1)·h64b < 2⁵⁹, so the
+    * combination never overflows in either engine and the REGISTERS —
+    * not just estimates — stay oracle-exact. */
   def cmRegisters(df: DataFrame, text: Column,
       depth: Int = 4, width: Int = 256): DataFrame =
     df.select(explode(Portable.tokens(text)).as("tok"))
       .where(col("tok") =!= "")
-      .select(col("tok"),
+      // One Project computes both digest halves (whole-stage codegen
+      // dedupes the shared md5); the Generate boundary below keeps the
+      // digest from being re-inlined per seed row.
+      .select(Portable.h64(col("tok")).as("h1"),
+        Portable.h64b(col("tok")).as("h2"))
+      .select(col("h1"), col("h2"),
         explode(sequence(lit(0), lit(depth - 1))).as("seed"))
       .select(col("seed").cast("long").as("seed"),
-        pmod(Portable.h64(
-            concat_ws(":", col("seed").cast("string"), col("tok"))),
+        pmod(col("h1") + col("seed") * col("h2"),
           lit(width.toLong)).as("bucket"))
       .groupBy(col("seed"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -86,9 +94,10 @@ object Sketches {
     * relation `from`. */
   def cmRegistersSql(expr: String, from: String,
       depth: Int = 4, width: Int = 256): String = {
-    val h = Portable.h64Sql("CAST(s.seed AS VARCHAR) || ':' || t.tok")
+    val h1 = Portable.h64Sql("t.tok")
+    val h2 = Portable.h64bSql("t.tok")
     s"""SELECT CAST(s.seed AS BIGINT) AS seed,
-               CAST($h % $width AS BIGINT) AS bucket,
+               CAST(($h1 + s.seed * $h2) % $width AS BIGINT) AS bucket,
                CAST(COUNT(*) AS BIGINT) AS cnt
         FROM (SELECT unnest(${Portable.tokensSql(expr)}) AS tok FROM $from) t,
              (SELECT unnest(range($depth)) AS seed) s
@@ -102,9 +111,10 @@ object Sketches {
   def cmEstimate(registers: Seq[(Long, Long, Long)], term: String,
       depth: Int = 4, width: Int = 256): Long = {
     val m = registers.map { case (s, b, c) => (s, b) -> c }.toMap
+    val h1 = Portable.h64Host(term)
+    val h2 = Portable.h64bHost(term)
     (0 until depth).map { s =>
-      val b = java.lang.Math.floorMod(
-        Portable.h64Host(s"$s:$term"), width.toLong)
+      val b = java.lang.Math.floorMod(h1 + s * h2, width.toLong)
       m.getOrElse((s.toLong, b), 0L)
     }.min
   }
