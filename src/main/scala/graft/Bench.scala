@@ -12,6 +12,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // GC-clean reliable checkpoint files under -Dgraft.checkpoint.dir
+      // (must be set at SparkContext construction; see kernel.Ckpt).
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session first (codegen compilation, parquet footer reads,

@@ -40,6 +40,9 @@ object StreamScaleSmoke {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // GC-clean reliable checkpoint files under -Dgraft.checkpoint.dir
+      // (must be set at SparkContext construction; see kernel.Ckpt).
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

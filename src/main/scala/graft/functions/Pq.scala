@@ -177,10 +177,16 @@ case class DotArgmax(vec: Expression, cands: Expression)
   /** EVALUATE-ONCE pin, not actual nondeterminism: the kernel is a pure
     * function, but alias substitution (predicate pushdown of
     * constraint-inferred filters, project collapse) happily duplicates
-    * the k·dim-multiply loop into join conditions — measured 3
-    * evaluations per corpus row in the IVF search plan. Declaring it
-    * nondeterministic forbids substitution, so the argmax materializes
-    * exactly once per row and downstream predicates read the column. */
+    * the k·dim-multiply loop into join conditions — re-measured round 13:
+    * flipping this to `true` puts FIVE argmax evaluations per corpus row
+    * in the IVF search plan (constraint-inferred isnotnull/range filters
+    * substitute the loop), vs exactly one pinned. The pin is load-bearing
+    * and scoped by CONSUMER CONTRACT instead: every caller must bind the
+    * result through a projection (`withColumn`/`select` alias) and have
+    * downstream predicates read the COLUMN — never place this expression
+    * directly in a join condition, window order, or aggregate, where
+    * CheckAnalysis rejects nondeterminism loudly. `PlanShapeSpec` pins
+    * the single-evaluation plan shape for each shipped consumer. */
   override lazy val deterministic: Boolean = false
   override def dataType: DataType = StructType(Seq(
     StructField("d", LongType, false), StructField("i", IntegerType, false)))

@@ -25,6 +25,25 @@ import org.apache.spark.storage.StorageLevel
   *    MEMORY_AND_DISK first so the checkpoint job re-reads the computed
   *    partitions rather than recomputing the lineage.
   *
+  * RETENTION under the dial: Spark never deletes reliable checkpoint
+  * files on its own unless `spark.cleaner.referenceTracking
+  * .cleanCheckpoints=true` (read by the ContextCleaner at
+  * SparkContext CONSTRUCTION — setting it later is a no-op), and even
+  * then only when the GC collects the RDD reference. A multi-hour
+  * standing job — exactly the dial's target workload — cuts a lineage
+  * per StateCell generation and per fixpoint round, so relying on GC
+  * alone grows the directory without bound. Two-layer policy:
+  *  - DETERMINISTIC: superseded state generations are deleted
+  *    explicitly ([[dropCheckpoint]], called by [[graft.streaming
+  *    .StateCell]] at the same point it unpersists the previous
+  *    generation — nothing references a superseded generation's files).
+  *  - GC-DRIVEN: delta-sized output cuts are held by caller diff
+  *    frames, so they can only be reclaimed by reference tracking;
+  *    every session the repo builds sets
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` at
+  *    construction, and embedders enabling the dial should do the
+  *    same.
+  *
   * The checkpoint dir is installed on the SparkContext lazily, once. */
 object Ckpt {
   @volatile private var installedFor: String = null
@@ -50,6 +69,21 @@ object Ckpt {
       case None => ds.localCheckpoint(eager)
     }
   }
+
+  /** Delete a SUPERSEDED RDD's reliable checkpoint files (no-op when
+    * the dial is off or the RDD never reliably checkpointed). Call only
+    * once nothing can read the files again: a reliably checkpointed
+    * RDD reads exclusively its own files, so any DERIVED checkpoint is
+    * self-contained and safe to keep. */
+  def dropCheckpoint(r: RDD[_]): Unit =
+    if (reliableDir.nonEmpty) r.getCheckpointFile.foreach { f =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        val fs = p.getFileSystem(r.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        ()
+      } catch { case _: java.io.IOException => () } // best-effort cleanup
+    }
 
   implicit final class RddCkpt[T](private val r: RDD[T]) extends AnyVal {
     /** Reliable `checkpoint()` under the dial (persisted first so the

@@ -243,8 +243,14 @@ object Similarity {
     m.crossJoin(org.apache.spark.sql.functions.broadcast(ca))
       .withColumn("_best",
         graft.functions.Pq.argmaxDot(col("qv"), col("_cvs")))
+      // Empty centroid set (empty corpus or cells<=0): argmax yields
+      // i = -1 — emit no assignment for the row (the pre-argmax
+      // broadcast-join contract: empty centroids => empty result)
+      // instead of tripping element_at's 1-based bounds check.
       .withColumn("cell",
-        element_at(col("_cells"), col("_best").getField("i") + 1))
+        when(col("_best").getField("i") >= 0L,
+          element_at(col("_cells"), col("_best").getField("i") + 1)))
+      .where(col("cell").isNotNull)
       .withColumn("dotq", col("_best").getField("d"))
       .drop("_best", "_cells", "_cvs")
   }
@@ -282,6 +288,10 @@ object Similarity {
     import org.apache.spark.sql.functions.broadcast
     // One corpus scan feeds assignment, probing, and scoring; the cell
     // assignment is the shuffle-free expression argmax ([[assignCells]]).
+    // The eager checkpoint beats recompute-per-consumer: the no-ckpt
+    // variant re-derived the quantized corpus under each broadcast
+    // subtree and measured 1.25-1.3x slower at sf0.1 across a
+    // same-session triple run (round-13 A/B).
     val m = vectors.select(col(idCol).cast("long").as("id"),
       quantize(col(vecCol)).as("qv"))
       .withColumn("nrm", dotQ(col("qv"), col("qv")))

@@ -34,6 +34,65 @@ object CoreQueries {
     df.select(concat_ws("|", transform(col("arr"), asString)).as("path"))
   }
 
+  /** MAINTAINED BITEMPORAL serving (BiMaintained over Pair(sys, event),
+    * reference `src/timestamp/pair.rs`): LWW with CORRECTIONS —
+    * orderkey%3 picks the system batch, %7 the event time (so later
+    * system batches write EARLIER event times: genuine bitemporal
+    * late-writes), %11 marks retraction events. One representative
+    * datom per (cust, sys, event) — max orderkey — so the lattice
+    * winner is oracle-reproducible without transaction-order ties. A
+    * sentinel datom at the dominating time (3, 100) makes the
+    * accumulated drained diffs equal the LWW view over every visible
+    * fact (the BiPropertySpec invariant at a dominating processed
+    * time). Driver-side datom construction is gated
+    * (`o_orderkey <= gate`) — the documented oracle-harness pattern.
+    * `gate` and `slack` are EXPLICIT: a caller with a non-default gate
+    * owns supplying a matching oracle (the served entries pin 60000
+    * uncompacted / 30000 with slack=0). */
+  private def bitemporalMaintainQ(s: SparkSession, dir: String,
+      gate: Long, slack: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{row_number, when}
+    val reps = s.read.parquet(s"$dir/orders.parquet")
+      .where(col("o_orderkey") <= gate)
+      .select(col("o_custkey").cast("long").as("e"),
+        col("o_totalprice").cast("long").as("v"),
+        (col("o_orderkey") % 3).cast("long").as("sys"),
+        (col("o_orderkey") % 7).cast("long").as("event"),
+        col("o_orderkey").cast("long").as("ok"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("e"), col("sys"), col("event"))
+          .orderBy(col("ok").desc)))
+      .where(col("rn") === 1)
+      .select(col("e"), col("v"), col("sys"), col("event"),
+        when(col("ok") % 11 === 0, -1L).otherwise(1L).as("diff"))
+      .collect()
+    val bm = new graft.streaming.BiMaintained(s, slack = slack)
+    bm.createAttribute(":bt/price",
+      AttributeConfig(InputSemantics.LastWriteWins))
+    bm.register(Rule("bt", matchA(0, ":bt/price", 1)))
+    bm.interest("bt")
+    (0L to 2L).foreach { sys =>
+      val batch = reps.toSeq.filter(_.getLong(2) == sys).map { r =>
+        bm.BiDatom(Value.eid(r.getLong(0)), ":bt/price",
+          Value.num(r.getLong(1)), (sys, r.getLong(3)), r.getLong(4))
+      }
+      bm.transact(batch)
+      bm.advance(sys + 1L)
+    }
+    bm.transact(Seq(bm.BiDatom(
+      Value.eid(-1L), ":bt/price", Value.num(0L), (3L, 100L), 1L)))
+    bm.advance(4L)
+    val acc = scala.collection.mutable.Map.empty[Seq[Any], Long]
+    bm.drain("bt").foreach { case (tuple, _, w) =>
+      acc(tuple) = acc.getOrElse(tuple, 0L) + w
+    }
+    import s.implicits._
+    acc.iterator.collect {
+      case (Seq(e: Long, v: Long), w) if w > 0 && e >= 0 => (e, v)
+    }.toSeq.toDF("custkey", "price")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans (MatchA / MatchEA / MatchAV) ----
     "q_match_a" -> ((s, dir) =>
@@ -349,88 +408,30 @@ object CoreQueries {
     }),
 
     "q_bitemporal_maintain" -> ((s, dir) => {
-      // MAINTAINED BITEMPORAL serving (BiMaintained over Pair(sys, event),
-      // reference `src/timestamp/pair.rs`): LWW with CORRECTIONS —
-      // orderkey%3 picks the system batch, %7 the event time (so later
-      // system batches write EARLIER event times: genuine bitemporal
-      // late-writes), %11 marks retraction events. One representative
-      // datom per (cust, sys, event) — max orderkey — so the lattice
-      // winner is oracle-reproducible without transaction-order ties. A
-      // sentinel datom at the dominating time (3, 100) makes the
-      // accumulated drained diffs equal the LWW view over every visible
-      // fact (the BiPropertySpec invariant at a dominating processed
-      // time). Driver-side datom construction is gated
-      // (o_orderkey <= 60000) — the documented oracle-harness pattern.
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions.{row_number, when}
-      val btGate = sys.props.get("graft.bt.gate").map(_.toLong).getOrElse(60000L)
-      val reps = s.read.parquet(s"$dir/orders.parquet")
-        .where(col("o_orderkey") <= btGate)
-        .select(col("o_custkey").cast("long").as("e"),
-          col("o_totalprice").cast("long").as("v"),
-          (col("o_orderkey") % 3).cast("long").as("sys"),
-          (col("o_orderkey") % 7).cast("long").as("event"),
-          col("o_orderkey").cast("long").as("ok"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("e"), col("sys"), col("event"))
-            .orderBy(col("ok").desc)))
-        .where(col("rn") === 1)
-        .select(col("e"), col("v"), col("sys"), col("event"),
-          when(col("ok") % 11 === 0, -1L).otherwise(1L).as("diff"))
-        .collect()
-      val bm = new graft.streaming.BiMaintained(s)
-      bm.createAttribute(":bt/price",
-        AttributeConfig(InputSemantics.LastWriteWins))
-      bm.register(Rule("bt", matchA(0, ":bt/price", 1)))
-      bm.interest("bt")
-      (0L to 2L).foreach { sys =>
-        val batch = reps.toSeq.filter(_.getLong(2) == sys).map { r =>
-          bm.BiDatom(Value.eid(r.getLong(0)), ":bt/price",
-            Value.num(r.getLong(1)), (sys, r.getLong(3)), r.getLong(4))
-        }
-        bm.transact(batch)
-        bm.advance(sys + 1L)
-      }
-      bm.transact(Seq(bm.BiDatom(
-        Value.eid(-1L), ":bt/price", Value.num(0L), (3L, 100L), 1L)))
-      bm.advance(4L)
-      val acc = scala.collection.mutable.Map.empty[Seq[Any], Long]
-      bm.drain("bt").foreach { case (tuple, _, w) =>
-        acc(tuple) = acc.getOrElse(tuple, 0L) + w
-      }
-      import s.implicits._
-      acc.iterator.collect {
-        case (Seq(e: Long, v: Long), w) if w > 0 && e >= 0 => (e, v)
-      }.toSeq.toDF("custkey", "price")
+      // DuckDB oracle SQL below is pinned at gate 60000 — fail loudly if
+      // the legacy dial disagrees instead of silently diverging engine
+      // vs oracle (round-12 ADVICE); other gates go through
+      // bitemporalMaintainQ directly with a matching oracle.
+      sys.props.get("graft.bt.gate").foreach(g => require(g.toLong == 60000L,
+        s"q_bitemporal_maintain's oracle is pinned at gate 60000 (got $g); " +
+          "call bitemporalMaintainQ(gate) for other gates"))
+      bitemporalMaintainQ(s, dir, gate = 60000L, slack = None)
     }),
 
-    "q_bitemporal_compacted" -> ((s, dir) => {
+    "q_bitemporal_compacted" -> ((s, dir) =>
       // The q_bitemporal_maintain computation with TRACE COMPACTION ON
-      // (graft.bi.slack=0, the round-12 advance_traces analog): after
-      // every advance the history behind the processed bound
-      // consolidates — per-event nets for Raw/Distinct, the registered
-      // fine lane's LWW winner staircase here — and the drain must be
-      // byte-identical to the uncompacted twin against the same-shape
-      // oracle. Puts compaction on the driver's per-round correctness
-      // surface (the round-11 lesson: features outside the oracle
-      // surface can hide design flaws). Smaller gate (30000) keeps the
-      // bench cost of the twin modest.
-      val prev = sys.props.get("graft.bi.slack")
-      val prevGate = sys.props.get("graft.bt.gate")
-      sys.props("graft.bi.slack") = "0"
-      sys.props("graft.bt.gate") = "30000"
-      try queries("q_bitemporal_maintain")(s, dir)
-      finally {
-        prev match {
-          case Some(v) => sys.props("graft.bi.slack") = v
-          case None    => sys.props.remove("graft.bi.slack")
-        }
-        prevGate match {
-          case Some(v) => sys.props("graft.bt.gate") = v
-          case None    => sys.props.remove("graft.bt.gate")
-        }
-      }
-    }),
+      // (slack=0, the round-12 advance_traces analog): after every
+      // advance the history behind the processed bound consolidates —
+      // per-event nets for Raw/Distinct, the registered fine lane's LWW
+      // winner staircase here — and the drain must be byte-identical to
+      // the uncompacted twin against the same-shape oracle. Puts
+      // compaction on the driver's per-round correctness surface (the
+      // round-11 lesson: features outside the oracle surface can hide
+      // design flaws). Smaller gate (30000) keeps the twin's bench cost
+      // modest. Gate and slack are EXPLICIT parameters — no global
+      // sys.props mutation (round-12 ADVICE: the old prop juggling was
+      // non-atomic under concurrent queries).
+      bitemporalMaintainQ(s, dir, gate = 30000L, slack = Some(0L))),
 
     "q_lww_maintain" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{lit, pmod, sum}

@@ -62,7 +62,11 @@ import graft.model._
   * and any advance schedule, `drain` equals BiEngine's drain
   * multiset-exactly — on BOTH store siblings. */
 class BiMaintained(val spark: SparkSession, partitions: Int = 32,
-    coarsen: Option[(Long, Long)] = None) {
+    coarsen: Option[(Long, Long)] = None,
+    // Trace-compaction slack (reference trace_slack): explicit per
+    // instance, falling back to the global `-Dgraft.bi.slack` dial when
+    // unset. None on both = never compact (history immortal).
+    slack: Option[Long] = None) {
 
   type BiTimePair = (Long, Long)
 
@@ -366,13 +370,13 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     * (key, event) structure. Dial unset (default): never — history is
     * immortal, exactly the pre-compaction behavior. */
   private def maybeCompact(sem: BiVisibility.Sem): Unit =
-    sys.props.get("graft.bi.slack").map(_.toLong).foreach { slack =>
+    slack.orElse(sys.props.get("graft.bi.slack").map(_.toLong)).foreach { sl =>
       val minB =
         if (lanes.isEmpty) Long.MinValue
         else lanes.valuesIterator.map(_.processedBound).min
-      if (minB != Long.MinValue && minB - slack > lastCompactBound &&
+      if (minB != Long.MinValue && minB - sl > lastCompactBound &&
           store.datomCount * 4L >= 5L * lastCompactCount) {
-        val bound = minB - slack
+        val bound = minB - sl
         store.compact(bound, lanes.keysIterator.toSeq, sem)
         lastCompactBound = bound
         lastCompactCount = store.datomCount

@@ -96,7 +96,15 @@ private[streaming] final class StateCell[S <: AnyRef: ClassTag](
     val out = mat.flatMap(_._2.iterator).graftCheckpoint()
     val n = out.count()
     cur = mat.map(_._1)
-    if (prevGen ne null) prevGen.unpersist(blocking = false)
+    if (prevGen ne null) {
+      prevGen.unpersist(blocking = false)
+      // Under the reliable-checkpoint dial the superseded generation's
+      // files would otherwise live until the DFS fills (Spark only
+      // GC-cleans them, and only with cleanCheckpoints=true) — delete
+      // them at the same supersede point; the outputs were checkpointed
+      // separately so nothing reads these files again (Ckpt scaladoc).
+      graft.kernel.Ckpt.dropCheckpoint(prevGen)
+    }
     prevGen = mat
     (out, n)
   }

@@ -169,6 +169,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(p1(1L) !== p1(2L))     // distinct vectors project apart
   }
 
+  test("ivfAssign: empty centroid set yields empty assignment, not a bounds error") {
+    import graft.pipeline.Similarity
+    val vecs = Seq(
+      (10L, Array.tabulate(8)(i => i * 0.25f)),
+      (11L, Array.tabulate(8)(i => (7 - i) * 0.5f))).toDF("vec_id", "embedding")
+    // cells = 0 selects no centroids (id < 0): the broadcast-join-era
+    // contract was an empty result; the argmax path must match instead
+    // of tripping element_at's 1-based bounds check (round-12 ADVICE).
+    assert(Similarity.ivfAssign(vecs, k = 0).count() === 0L)
+    val empty = vecs.where(col("vec_id") < 0L)
+    assert(Similarity.ivfAssign(empty, k = 4).count() === 0L)
+  }
+
   test("minhashJaccardEstimate: full agreement on identical docs, partial on near-dups") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),

@@ -210,6 +210,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q_ann_ivf: no ranking window expected:\n$plan")
   }
 
+  test("argmax evaluate-once pin holds in every shipped consumer plan") {
+    // DotArgmax declares deterministic=false as an EVALUATE-ONCE pin
+    // (Pq.scala): alias substitution would otherwise duplicate the
+    // k·dim-multiply loop into constraint-inferred filters — measured
+    // FIVE evaluations per corpus row in the IVF search plan with the
+    // pin off (round 13). The pin's contract is per-consumer: the
+    // argmax appears EXACTLY ONCE in each consumer's executed plan, and
+    // downstream predicates read the aliased column.
+    // (q_semdedup's assignment runs behind connectedComponents'
+    // checkpoint, so its top-level plan shows no argmax to count.)
+    for ((q, n) <- Seq("q_ann_ivf" -> 1, "q_ann_ivf_search" -> 1)) {
+      val plan = planOf(q)
+      val evals = "graft_dot_argmax".r.findAllIn(plan).size
+      assert(evals == n,
+        s"$q: expected $n graft_dot_argmax evaluation(s), got $evals:\n$plan")
+    }
+  }
+
   test("mixture and packing are single window sweeps: one shuffle, no join") {
     for (q <- Seq("q_mix_budget", "q_pack_sequences")) {
       val plan = planOf(q)

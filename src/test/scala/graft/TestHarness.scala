@@ -17,6 +17,9 @@ object TestSpark {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // GC-clean reliable checkpoint files under -Dgraft.checkpoint.dir
+      // (must be set at SparkContext construction; see kernel.Ckpt).
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

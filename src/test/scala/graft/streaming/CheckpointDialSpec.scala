@@ -69,4 +69,36 @@ class CheckpointDialSpec extends AnyFunSuite {
     assert(fileCount(dir) > 0,
       "maintained workload wrote no reliable checkpoints under the dial")
   }
+
+  private def rddDirCount(dir: Path): Long = {
+    val s = Files.walk(dir)
+    try s.filter(p => Files.isDirectory(p) &&
+      p.getFileName.toString.startsWith("rdd-")).count()
+    finally s.close()
+  }
+
+  test("superseded state generations are deleted under the dial (bounded dir)") {
+    val dir = Files.createTempDirectory("graft-ckpt-gc")
+    withDial(dir) {
+      val sc = spark.sparkContext
+      val cell = new StateCell[Map[Long, Long]](
+        sc, 2, () => Map.empty, m => 64L * (1L + m.size))
+      val advances = 6
+      for (i <- 1 to advances) {
+        val delta = sc.parallelize(Seq(i.toLong, i.toLong + 100L), 2)
+        cell.advance1[Long, Long](delta) { (s, it) =>
+          (it.foldLeft(s)((m, k) => m.updated(k, m.getOrElse(k, 0L) + 1L)),
+            Array.empty[Long])
+        }
+      }
+      // Retained checkpoint dirs = the LIVE generation + the per-advance
+      // delta-output cuts (caller-held, GC-cleaned) + the initial zero
+      // gen's slack; every superseded generation's dir must be gone.
+      // Without the explicit dropCheckpoint this reads 2*advances + 1.
+      val dirs = rddDirCount(dir)
+      assert(dirs <= advances + 2,
+        s"checkpoint dir grew unboundedly: $dirs rdd-* dirs after " +
+          s"$advances advances (superseded generations not deleted)")
+    }
+  }
 }
