@@ -979,6 +979,61 @@ object StreamScaleSmoke {
       }
     }
 
+    // ------------------------------------------- 8d. bi SINK delivery
+    // DATA-SIZED standing bitemporal result through the distributed
+    // delivery edge (round-13 `interestSink`, closing the round-12
+    // driver-ceiling `weak`): a plain MatchA view — result rows ∝
+    // datoms — over millions of datoms, R(t) and the product-order
+    // ledger as checkpointed frames, every time's diffs flowing to a
+    // DiffSink as DataFrames. Pins: delivered rows == ingested assert
+    // rows (distributed count), controlPlaneStats all ZERO (the driver
+    // holds frontier bookkeeping only), per-advance time flat-ish while
+    // the standing result grows, and `uninterest` at the end tears the
+    // lane down (lanes == 0).
+    if (section("bisink")) {
+      import graft.streaming.BiMaintained
+      val prevDial = sys.props.get("graft.bi.distributed")
+      sys.props("graft.bi.distributed") = "on"
+      try {
+        val bm = new BiMaintained(spark, partitions = 32)
+        bm.createAttribute(":bs/x", AttributeConfig(InputSemantics.Raw))
+        bm.register(Rule("bsq", Plan.MatchA(1, ":bs/x", 2)))
+        var delivered = 0L
+        bm.interestSink("bsq", new graft.sinks.ForeachFrameSink(
+          (_, _, df) => delivered += df.count()))
+        var total = 0L; var clock = 0L
+        (1 to 8).foreach { _ =>
+          val n = 500000
+          val datoms = (0 until n).map { i =>
+            bm.BiDatom(Value.eid(total + i), ":bs/x",
+              Value.num((total + i) % 1000L), (clock, clock), 1L)
+          }
+          total += n
+          val t0 = now()
+          bm.transact(datoms)
+          bm.advance(clock + 1L)
+          clock += 1L
+          val cp = bm.controlPlaneStats
+          println(f"[scale] bisink total=$total%d delivered=$delivered%d " +
+            f"driverResultRows=${cp("resultRows")}%d " +
+            f"driverLedger=${cp("ledgerEntries")}%d sec=${secs(t0)}%.2f")
+        }
+        assert(delivered == total,
+          s"sink must receive every standing diff: $delivered of $total")
+        val cp = bm.controlPlaneStats
+        assert(cp("resultRows") == 0L && cp("ledgerEntries") == 0L &&
+          cp("outRows") == 0L, s"driver must stay control-plane: $cp")
+        bm.uninterest("bsq")
+        assert(bm.controlPlaneStats("lanes") == 0L,
+          "uninterest must tear the lane down")
+        println(f"[scale] bisink END total=$total%d delivered=$delivered%d " +
+          "driver=control-plane lanes=0 (sink-delivered MatchA at 4M rows)")
+      } finally prevDial match {
+        case Some(v) => sys.props("graft.bi.distributed") = v
+        case None    => sys.props.remove("graft.bi.distributed")
+      }
+    }
+
     println("[scale] smoke complete — no driver failure")
     spark.stop()
   }

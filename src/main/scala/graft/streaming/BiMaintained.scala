@@ -42,6 +42,20 @@ import graft.model._
   *    equal event coordinates merge), and an accumulation is one range
   *    scan of the entries at events ≤ t.event, not the round-9
   *    O(processed times) full-ledger sweep.
+  *  - TWO delivery edges, chosen per interest (the unitemporal engine's
+  *    split): [[interest]] accumulates R/ledger as driver maps and
+  *    buffers drains — right for control-plane-sized results, capped
+  *    loudly (`graft.bi.out.cap`); [[interestSink]] keeps R and the
+  *    ledger as DISTRIBUTED checkpointed frames, runs the same lattice
+  *    rule as a full-outer merge per time, and streams each time's
+  *    diffs to a [[graft.sinks.DiffSink]] — nothing result-sized ever
+  *    lands on the driver (`BiSinkDeliverySpec`: 1.2M-row standing with
+  *    a control-plane driver, multiset parity with the collected path).
+  *  - [[uninterest]] tears a standing down; a lane whose last member
+  *    leaves is GC'd — emitted view freed in the store, lattice
+  *    dropped, pruning/compaction bounds released (`BiTeardownSpec`).
+  *    Memberless lanes (the first-transact ingest default) are GC'd at
+  *    advance and never pin compaction at Long.MinValue.
   *  - Optional COARSEN granularities (the reference's `Coarsen`,
   *    `src/timestamp/mod.rs:144-184`) round each input time STRICTLY up
   *    to the next `(sys, event)` window bound (`(t/w + 1)·w`, even at
@@ -136,8 +150,15 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
         .getOrElse(Long.MinValue)
   }
   private val lanes = mutable.LinkedHashMap.empty[Option[(Long, Long)], Lane]
+  // Monotonic lane ids: a GC'd lane's id is NEVER reused, so a stale
+  // emitted view (had dropLane raced or failed) can never leak into a
+  // fresh lane's replay dump.
+  private var laneIdCounter: Int = 0
   private def laneOf(win: Option[(Long, Long)]): Lane =
-    lanes.getOrElseUpdate(win, new Lane(lanes.size, win))
+    lanes.getOrElseUpdate(win, {
+      laneIdCounter += 1
+      new Lane(laneIdCounter - 1, win)
+    })
 
   def createAttribute(name: String, config: AttributeConfig = AttributeConfig()): Unit =
     configs(name) = config
@@ -157,22 +178,55 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     * replays the already-completed times, draining exactly what an
     * up-front lane would have (the reference's late-interest replay
     * over its shared traces). */
-  def interest(name: String, granularity: Option[(Long, Long)]): Unit = {
+  def interest(name: String, granularity: Option[(Long, Long)]): Unit =
+    attach(name, granularity, None)
+
+  /** Express interest with DataFrame delivery to `sink` — the
+    * DATA-SIZED standing-result path (mirror of the unitemporal
+    * `Engine.interestIncrementalSink`): the accumulated result R(t) and
+    * the product-order delivery ledger live as DISTRIBUTED frames
+    * (checkpointed per advance), the lattice accumulation
+    * `diff(t) = R − Σ_{event ≤ t.event} ledger` runs as one distributed
+    * merge per processed time, and each time's diffs reach the sink as
+    * a DataFrame with columns `c0..cn, _t (sys), _event, _diff` —
+    * nothing result-sized is ever collected on the driver. `drain`
+    * stays empty for sink-delivered standings. Per-time cost is
+    * O(|R| + |ledger|) NARROW distributed work (full-outer merge on the
+    * tuple columns) — the same asymptotic sweep the collected path does
+    * driver-side, relocated to where a 100 TB result fits. */
+  def interestSink(name: String, sink: graft.sinks.DiffSink,
+      granularity: Option[(Long, Long)]): Unit =
+    attach(name, granularity, Some(sink))
+
+  def interestSink(name: String, sink: graft.sinks.DiffSink): Unit =
+    interestSink(name, sink, coarsen)
+
+  private def attach(name: String, granularity: Option[(Long, Long)],
+      sink: Option[graft.sinks.DiffSink]): Unit = {
     require(rules.contains(name), s"unknown rule $name")
     standings.get(name) match {
       case Some(st) =>
         require(st.lane.win == granularity,
           s"interest '$name' is already attached to granularity ${st.lane.win}")
+        require(st.sink == sink,
+          s"interest '$name' is already attached with a different sink")
       case None =>
-        val isNewLane = !lanes.contains(granularity)
+        // A lane is FRESH for replay purposes when it is new to the
+        // instance OR exists memberless (the ingest-validation default a
+        // transact just created): memberless lanes never process times
+        // (advance GCs them), so their lattice covers only the latest
+        // unadvanced batch — the first member must rebuild it from the
+        // shared history and replay the already-completed times.
+        val isFreshLane = lanes.get(granularity).forall(_.members.isEmpty)
         val lane = laneOf(granularity)
-        val st = new Standing(name, lane)
+        val st = new Standing(name, lane, sink)
         standings(name) = st
         lane.members += name
-        if (isNewLane && seqCounter > 0L) {
+        if (isFreshLane && seqCounter > 0L) {
           // Late lane: rebuild its lattice from the shared history and
           // replay the times the frontier has already completed, in lex
           // order — byte-identical to an up-front lane's drains.
+          lane.pendingTimes.clear()
           lane.pendingTimes ++= store.coarseTimes(granularity)
           val done = lane.pendingTimes.iterator
             .takeWhile(_._1 < sysFrontier).toSeq
@@ -182,6 +236,30 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     }
     interests += name
   }
+
+  /** Withdraw a standing's interest (reference teardown when the last
+    * client leaves, `src/server/mod.rs:276-281` / ShutdownHandle
+    * `src/lib.rs:287-337`; the unitemporal mirror is
+    * `Engine.uninterest`): the standing's query state, result frames,
+    * and buffered deliveries drop, and when the LAST member leaves a
+    * lane the lane itself is torn down — its emitted view frees in the
+    * shared store ([[BiStore.dropLane]]), its pending-time lattice
+    * vanishes, and it stops pinning sys-index pruning and trace
+    * compaction ([[maybeCompact]] reads only live member lanes). A
+    * later `interest` at the same granularity reconstructs the lattice
+    * from the shared history and replays (the late-attach path). The
+    * wire layer serves the unitemporal engine only, so bi teardown is
+    * this API call. */
+  def uninterest(name: String): Unit =
+    standings.remove(name).foreach { st =>
+      interests -= name
+      val lane = st.lane
+      lane.members -= name
+      if (lane.members.isEmpty) {
+        lanes.remove(lane.win)
+        if (lane.lastProcessed.nonEmpty) store.dropLane(lane.id)
+      }
+    }
 
   private def semanticsOf(a: String): InputSemantics =
     configs.getOrElse(a, AttributeConfig()).inputSemantics
@@ -226,7 +304,8 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
 
   // ---- per-interest standing state --------------------------------------
 
-  private final class Standing(name: String, val lane: Lane) {
+  private final class Standing(name: String, val lane: Lane,
+      val sink: Option[graft.sinks.DiffSink]) {
     private val plan = rules(name).plan
     private val rulePlans: Map[String, Plan] =
       rules.iterator.map { case (n, ru) => n -> ru.plan }.toMap
@@ -234,12 +313,21 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
       IncrementalQuery.planAttributes(plan, rulePlans)
     var iq: IncrementalQuery = null
     var kinds: Map[String, ValueKind] = Map.empty
+    // ---- collected delivery state (sink = None): output-sized driver
+    // maps, capped loudly (`graft.bi.out.cap`) ----------------------------
     // Accumulated standing-query result R(t) (output-sized).
     val r = mutable.Map.empty[Seq[Any], Long]
     // Emitted ledger, compacted by EVENT coordinate (exact under lex
     // processing — see class doc): event → summed diff map.
     var ledger: TreeMap[Long, Map[Seq[Any], Long]] = TreeMap.empty
     val out = mutable.ArrayBuffer.empty[(Seq[Any], BiTimePair, Long)]
+    // ---- distributed delivery state (sink = Some): R and the ledger as
+    // checkpointed frames, never collected --------------------------------
+    // (cols c0..cn, _w) — the accumulated result R(t).
+    var rFrame: DataFrame = null
+    // (cols c0..cn, _event, _w) — delivered diffs netted by EVENT
+    // coordinate (the same exact compaction the driver TreeMap does).
+    var ledgerFrame: DataFrame = null
 
     /** Build — or REBUILD when a referenced attribute's first datom
       * reveals a kind after the first build (the standing query's
@@ -266,38 +354,113 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
       }
     }
 
-    /** Fold a standing-diff frame into R (output-sized collect — the
-      * delivery edge). */
-    def accumulate(diffs: DataFrame): Unit =
-      diffs.collect().foreach { row =>
-        val n = row.length - 1
-        val tuple: Seq[Any] = (0 until n).map(i => Engine.deepNative(row.get(i)))
-        val w = r.getOrElse(tuple, 0L) + row.getLong(n)
-        if (w == 0L) r.remove(tuple) else r(tuple) = w
+    /** Fold a standing-diff frame into R. Collected path: output-sized
+      * driver fold (the delivery edge — capped). Sink path: one
+      * distributed union+net into the checkpointed `rFrame`; nothing
+      * lands on the driver. */
+    def accumulate(diffs: DataFrame): Unit = sink match {
+      case Some(_) => accumulateFrame(diffs)
+      case None =>
+        diffs.collect().foreach { row =>
+          val n = row.length - 1
+          val tuple: Seq[Any] = (0 until n).map(i => Engine.deepNative(row.get(i)))
+          val w = r.getOrElse(tuple, 0L) + row.getLong(n)
+          if (w == 0L) r.remove(tuple) else r(tuple) = w
+        }
+    }
+
+    private def accumulateFrame(diffs: DataFrame): Unit = {
+      import org.apache.spark.sql.functions.{col, sum}
+      import graft.kernel.Ckpt._
+      val cols = diffs.columns.dropRight(1).toSeq // c0..cn (last is _w)
+      val staged = rFrame match {
+        case null => diffs
+        case prev => prev.unionByName(diffs)
       }
+      rFrame = staged.groupBy(cols.map(col): _*)
+        .agg(sum(col("_w")).as("_w")).where(col("_w") =!= 0L)
+        .graftCheckpoint(true)
+    }
 
     /** Deliver time `t`: `diff(t) = R − Σ_{event ≤ t.event} ledger` —
       * the product-order accumulation, reduced to one event-range scan
-      * (every prior entry's sys ≤ t.sys under lex processing). */
-    def deliver(t: BiTimePair): Unit = {
-      val acc = mutable.Map.empty[Seq[Any], Long]
-      ledger.rangeTo(t._2).valuesIterator.foreach(_.foreach { case (k, w) =>
-        val nw = acc.getOrElse(k, 0L) + w
-        if (nw == 0L) acc.remove(k) else acc(k) = nw
-      })
-      val diff = (r.keySet ++ acc.keySet).iterator.map { tuple =>
-        tuple -> (r.getOrElse(tuple, 0L) - acc.getOrElse(tuple, 0L))
-      }.filter(_._2 != 0L).toMap
-      if (diff.nonEmpty) {
-        val merged = diff.foldLeft(ledger.getOrElse(t._2, Map.empty)) {
-          case (m, (k, w)) =>
-            val nw = m.getOrElse(k, 0L) + w
-            if (nw == 0L) m.removed(k) else m.updated(k, nw)
+      * (every prior entry's sys ≤ t.sys under lex processing). Sink
+      * path: the same lattice rule as ONE distributed full-outer merge
+      * on the tuple columns; the diff frame goes to the sink and nets
+      * into the distributed ledger at `t.event`. */
+    def deliver(t: BiTimePair): Unit = sink match {
+      case Some(s) => deliverFrame(t, s)
+      case None =>
+        val acc = mutable.Map.empty[Seq[Any], Long]
+        ledger.rangeTo(t._2).valuesIterator.foreach(_.foreach { case (k, w) =>
+          val nw = acc.getOrElse(k, 0L) + w
+          if (nw == 0L) acc.remove(k) else acc(k) = nw
+        })
+        val diff = (r.keySet ++ acc.keySet).iterator.map { tuple =>
+          tuple -> (r.getOrElse(tuple, 0L) - acc.getOrElse(tuple, 0L))
+        }.filter(_._2 != 0L).toMap
+        if (diff.nonEmpty) {
+          val merged = diff.foldLeft(ledger.getOrElse(t._2, Map.empty)) {
+            case (m, (k, w)) =>
+              val nw = m.getOrElse(k, 0L) + w
+              if (nw == 0L) m.removed(k) else m.updated(k, nw)
+          }
+          ledger =
+            if (merged.isEmpty) ledger.removed(t._2)
+            else ledger.updated(t._2, merged)
+          diff.foreach { case (tuple, w) => out += ((tuple, t, w)) }
+          // Spill guard on the drain buffer: `out` holds deliveries
+          // until `drain`, so an undrained data-sized standing would
+          // otherwise grow the driver unboundedly — fail loudly with
+          // the fix (drain more often, or attach a DiffSink).
+          val cap = sys.props.get("graft.bi.out.cap").map(_.toLong)
+            .getOrElse(4000000L)
+          if (out.size > cap) throw GraftError.incorrect(
+            s"standing '$name' holds ${out.size} undrained diffs " +
+              s"(cap $cap, -Dgraft.bi.out.cap): drain() more often or " +
+              "register the interest with interestSink for data-sized " +
+              "results")
         }
-        ledger =
-          if (merged.isEmpty) ledger.removed(t._2)
-          else ledger.updated(t._2, merged)
-        diff.foreach { case (tuple, w) => out += ((tuple, t, w)) }
+    }
+
+    private def deliverFrame(t: BiTimePair, s: graft.sinks.DiffSink): Unit = {
+      import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
+      import graft.kernel.Ckpt._
+      // The ledger only ever grows from delivered diffs, which require
+      // an accumulated R first — so rFrame == null means nothing can
+      // differ from the (empty) delivered state yet.
+      if (rFrame == null) return
+      val base = rFrame
+      val cols = base.columns.dropRight(1).toSeq
+      val diff0 = ledgerFrame match {
+        case null => base.withColumnRenamed("_w", "_diff")
+        case l =>
+          val acc = l.where(col("_event") <= t._2)
+            .groupBy(cols.map(col): _*).agg(sum(col("_w")).as("_acc"))
+          // Null-safe full-outer merge: tuples present on either side,
+          // weight = R − accumulated-delivered. Explicit aliases — the
+          // ledger's lineage passes through R, so unqualified columns
+          // would be ambiguous self-join attributes.
+          val cond = cols.map(c => col(s"r.$c") <=> col(s"a.$c"))
+            .reduce(_ && _)
+          base.as("r").join(acc.as("a"), cond, "full_outer").select(
+            cols.map(c => coalesce(col(s"r.$c"), col(s"a.$c")).as(c)) :+
+              (coalesce(col("r._w"), lit(0L)) -
+                coalesce(col("a._acc"), lit(0L))).as("_diff"): _*)
+      }
+      val diff = diff0.where(col("_diff") =!= 0L).graftCheckpoint(true)
+      if (diff.count() > 0L) {
+        val entry = diff.select(cols.map(col) :+ lit(t._2).as("_event") :+
+          col("_diff").as("_w"): _*)
+        ledgerFrame = (ledgerFrame match {
+          case null => entry
+          case l => l.unionByName(entry)
+            .groupBy((cols :+ "_event").map(col): _*)
+            .agg(sum(col("_w")).as("_w")).where(col("_w") =!= 0L)
+        }).graftCheckpoint(true)
+        s.deliver(name, t._1, diff.select(
+          cols.map(col) :+ lit(t._1).as("_t") :+ lit(t._2).as("_event") :+
+            col("_diff"): _*))
       }
     }
   }
@@ -344,7 +507,18 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
   def advance(sysNext: Long): Unit = {
     require(sysNext > sysFrontier, s"cannot rewind from $sysFrontier to $sysNext")
     val sem = semResolver
-    for (lane <- lanes.valuesIterator) {
+    // GC memberless lanes FIRST (the first-transact ingest-validation
+    // default, or a granularity whose last interest left between
+    // advances): no consumers → no transitions to run, no emitted view
+    // to maintain, and a memberless lane must not pin sys-index pruning
+    // or compaction at Long.MinValue (the round-12 idle-lane finding).
+    // A later interest at the granularity reconstructs its lattice from
+    // the shared history and replays (late-attach).
+    for (lane <- lanes.valuesIterator.toSeq if lane.members.isEmpty) {
+      lanes.remove(lane.win)
+      if (lane.lastProcessed.nonEmpty) store.dropLane(lane.id)
+    }
+    for (lane <- lanes.valuesIterator.toSeq) {
       val newTimes = lane.pendingTimes.iterator.takeWhile(_._1 < sysNext).toSeq
       val laneInterests = interests.filter(lane.members.contains)
       for (t <- newTimes) processTime(lane, t, sem, laneInterests)
@@ -394,10 +568,15 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
   private[graft] def storeBytes: (Long, Long) =
     (store.estimatedBytes, store.measuredResidentBytes)
 
+  /** Test hook: resident datom records (shrinks under compaction). */
+  private[graft] def datomCountProbe: Long = store.datomCount
+
   def controlPlaneStats: Map[String, Long] = Map(
+    "lanes" -> lanes.size.toLong,
     "pendingTimes" -> lanes.valuesIterator.map(_.pendingTimes.size.toLong).sum,
     "ledgerEntries" -> standings.valuesIterator.map(_.ledger.size.toLong).sum,
-    "resultRows" -> standings.valuesIterator.map(_.r.size.toLong).sum)
+    "resultRows" -> standings.valuesIterator.map(_.r.size.toLong).sum,
+    "outRows" -> standings.valuesIterator.map(_.out.size.toLong).sum)
 
   def drain(name: String): Seq[(Seq[Any], BiTimePair, Long)] = {
     val buf = standings(name).out

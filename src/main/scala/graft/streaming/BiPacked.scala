@@ -274,6 +274,19 @@ final class BiPacked private (
       (attrNames(rest(0).toInt), decode(rest(1)), decode(rest(3)), w)
     }
 
+  /** Drop lane `lane`'s emitted view (teardown): append the exact
+    * negative weights; the run merge nets the entries away. */
+  def dropLane(lane: Int): BiPacked = {
+    val ed = mutable.ArrayBuilder.make[Long]
+    emitted.prefix(Array(lane.toLong)).foreach { case (rest, w) =>
+      ed += lane.toLong; ed += rest(0); ed += rest(1); ed += rest(2)
+      ed += rest(3); ed += -w
+    }
+    new BiPacked(attrNames, attrIds, dictVals, dictIds, dictBytes,
+      recs, bySys, byEvent, emitted.merged(ed.result()), prunedThrough,
+      datomCount)
+  }
+
   def coarseTimes(win: Option[(Long, Long)]): Iterator[(Long, Long)] = {
     val (ws, we) = win.getOrElse((0L, 0L))
     val seen = mutable.HashSet.empty[(Long, Long)]

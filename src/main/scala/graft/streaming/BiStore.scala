@@ -48,6 +48,10 @@ private[streaming] sealed trait BiStore {
     * late/rebuilt standing queries. */
   def dump(lane: Int, kindOf: String => ValueKind): Map[String, DataFrame]
 
+  /** Drop lane `lane`'s emitted view (lane teardown — its last interest
+    * left). The shared history is untouched. */
+  def dropLane(lane: Int): Unit
+
   /** Distinct coarse times of the ingested history under `win` —
     * lattice reconstruction for a lane attached after transacts. */
   def coarseTimes(win: Option[(Long, Long)]): Seq[(Long, Long)]
@@ -116,6 +120,8 @@ private[streaming] final class DriverBiStore(spark: SparkSession)
 
   def dump(lane: Int, kindOf: String => ValueKind): Map[String, DataFrame] =
     BiStore.framesOf(spark, vis.dumpEmitted(lane).toSeq, kindOf)
+
+  def dropLane(lane: Int): Unit = vis = vis.dropLane(lane)
 
   def coarseTimes(win: Option[(Long, Long)]): Seq[(Long, Long)] =
     vis.coarseTimes(win).toSeq
@@ -190,6 +196,13 @@ private[streaming] final class CellBiStore(
     val out = cell.rdd.flatMap(_.dumpEmitted(lane)).graftCheckpoint()
     framesFrom(out, out.count(), kindOf)
   }
+
+  def dropLane(lane: Int): Unit =
+    measuredBytes = cell.advance1(
+        sc.parallelize(Seq.empty[Int], partitions)) { (vis, _) =>
+      val next = vis.dropLane(lane)
+      (next, Array(next.estimatedBytes))
+    }.fold(0L)(_ + _)
 
   def coarseTimes(win: Option[(Long, Long)]): Seq[(Long, Long)] =
     cell.rdd.flatMap(_.coarseTimes(win)).distinct().collect().toSeq

@@ -51,6 +51,11 @@ private[streaming] trait BiVis extends Serializable {
     * standing queries on that lane. */
   def dumpEmitted(lane: Int): Iterator[(String, Any, Any, Long)]
 
+  /** Drop lane `lane`'s emitted view (teardown — the lane's last
+    * interest left). The shared datom history is untouched; only the
+    * lane's output-sized view frees. */
+  def dropLane(lane: Int): BiVis
+
   /** Distinct COARSE times of the ingested history under `win` —
     * lattice reconstruction for a lane attached AFTER transacts (one
     * O(history) scan returning a lattice-sized set). */

@@ -179,6 +179,11 @@ final class BiVisibility private (
     emitted.getOrElse(lane, HashMap.empty[BiKey, BiEmit])
       .iterator.map { case (k, e) => (k.a, k.e, e.v, e.w) }
 
+  /** Drop lane `lane`'s emitted view (teardown). */
+  def dropLane(lane: Int): BiVisibility =
+    new BiVisibility(datoms, bySys, byEvent, emitted.removed(lane),
+      prunedThrough, datomCount)
+
   /** Distinct coarse times of the history under `win` (late-lane
     * lattice reconstruction; lattice-sized output). */
   def coarseTimes(win: Option[(Long, Long)]): Iterator[(Long, Long)] = {
