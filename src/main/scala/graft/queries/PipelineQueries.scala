@@ -103,6 +103,30 @@ object PipelineQueries {
           .graftCheckpoint(true))
     }
 
+  /** Exact-dedup-first contamination scan: shingle/join only distinct
+    * texts, expand the rep-level pair table over digest groups —
+    * identical rows to the direct scan, d² less join work under d-fold
+    * duplication. Both sides restrict the SHARED global digest-group
+    * checkpoint (rep ids only key the internal expansion, so a global
+    * rep works for each side). The SERVED q_contamination plan since
+    * round 13; q_contamination_exact_first remains as the named twin
+    * keeping the row-identity claim on the oracle surface. */
+  private def contaminationExactFirst(s: SparkSession, dir: String): DataFrame = {
+    val g = digestGroups(s, dir)
+    val m = digestMembers(s, dir)
+    val corpusM = m.where(pmod(col("id"), lit(20)) =!= 0)
+    val benchM = m.where(pmod(col("id"), lit(20)) === 0)
+    // Corpus side uses the UNRESTRICTED global groups (it covers ~95%
+    // of digests; bench-only reps drop out in the expansion join, so
+    // rows are identical and the semi-join isn't worth its shuffle).
+    // The bench side IS restricted — it must stay dimension-sized so
+    // the rep-level overlap join broadcasts it.
+    val bg = g.join(benchM.select(col("digest")).distinct(),
+      Seq("digest"), "left_semi")
+    longify(TextAnalysis.ngramOverlapExactFirstFromGroups(
+      g, corpusM, bg, benchM, 4))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
@@ -405,36 +429,23 @@ object PipelineQueries {
           TextAnalysis.tokenCount(col("text")).cast("long").as("nt")),
         "src", "nt", tie = col("id"), capacity = 256L)),
 
-    "q_contamination" -> ((s, dir) => {
+    "q_contamination" -> ((s, dir) =>
       // Benchmark-contamination scan: 4-gram overlap of the corpus against
       // a held-out benchmark slice (doc_id % 20 == 0), keyed by n-gram
-      // hash (work ∝ collisions, never corpus × benchmark).
-      val hp = docsHp(s, dir)
-      val bench = hp.where(pmod(col("id"), lit(20)) === 0)
-      val corpus = hp.where(pmod(col("id"), lit(20)) =!= 0)
-      longify(TextAnalysis.ngramOverlapFromHp(corpus, bench, 4))
-    }),
+      // hash (work ∝ collisions, never corpus × benchmark). SERVED plan
+      // is EXACT-FIRST since round 13 (the direct scan was the worst
+      // non-stale sf1 ratio at 6.3× — its n-gram collision mass grows
+      // with duplication, which exact-first removes up front; rows are
+      // identical, `ExactFirstPropertySpec`). The direct scan stays
+      // behind `-Dgraft.contamination.naive` for A/B.
+      if (sys.props.contains("graft.contamination.naive")) {
+        val hp = docsHp(s, dir)
+        val bench = hp.where(pmod(col("id"), lit(20)) === 0)
+        val corpus = hp.where(pmod(col("id"), lit(20)) =!= 0)
+        longify(TextAnalysis.ngramOverlapFromHp(corpus, bench, 4))
+      } else contaminationExactFirst(s, dir)),
 
-    "q_contamination_exact_first" -> ((s, dir) => {
-      // Same scan, exact-dedup-first: shingle/join only distinct texts,
-      // expand the rep-level pair table over digest groups — identical
-      // rows, d^2 less join work under d-fold duplication. Both sides
-      // restrict the SHARED global digest-group checkpoint (rep ids only
-      // key the internal expansion, so a global rep works for each side).
-      val g = digestGroups(s, dir)
-      val m = digestMembers(s, dir)
-      val corpusM = m.where(pmod(col("id"), lit(20)) =!= 0)
-      val benchM = m.where(pmod(col("id"), lit(20)) === 0)
-      // Corpus side uses the UNRESTRICTED global groups (it covers ~95%
-      // of digests; bench-only reps drop out in the expansion join, so
-      // rows are identical and the semi-join isn't worth its shuffle).
-      // The bench side IS restricted — it must stay dimension-sized so
-      // the rep-level overlap join broadcasts it.
-      val bg = g.join(benchM.select(col("digest")).distinct(),
-        Seq("digest"), "left_semi")
-      longify(TextAnalysis.ngramOverlapExactFirstFromGroups(
-        g, corpusM, bg, benchM, 4))
-    }),
+    "q_contamination_exact_first" -> (contaminationExactFirst(_, _)),
 
     "q_embed_centroid" -> ((s, dir) =>
       Similarity.centroids(embeds(s, dir), "label")),
