@@ -243,14 +243,16 @@ object Similarity {
     m.crossJoin(org.apache.spark.sql.functions.broadcast(ca))
       .withColumn("_best",
         graft.functions.Pq.argmaxDot(col("qv"), col("_cvs")))
-      // Empty centroid set (empty corpus or cells<=0): argmax yields
-      // i = -1 — emit no assignment for the row (the pre-argmax
-      // broadcast-join contract: empty centroids => empty result)
-      // instead of tripping element_at's 1-based bounds check.
+      // Empty centroid set (empty corpus or cells<=0): the argmax is
+      // NULL — emit no assignment for the row (the pre-argmax
+      // broadcast-join contract: empty centroids => empty result).
+      // Filter on the MATERIALIZED column: the evaluate-once pin
+      // forbids substituting this predicate below the project, so the
+      // guard is one null check per row, not a re-derivation of the
+      // assignment inside constraint-inferred filter copies.
+      .where(col("_best").isNotNull)
       .withColumn("cell",
-        when(col("_best").getField("i") >= 0L,
-          element_at(col("_cells"), col("_best").getField("i") + 1)))
-      .where(col("cell").isNotNull)
+        element_at(col("_cells"), col("_best").getField("i") + 1))
       .withColumn("dotq", col("_best").getField("d"))
       .drop("_best", "_cells", "_cvs")
   }
