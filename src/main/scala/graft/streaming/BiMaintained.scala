@@ -328,6 +328,16 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     // (cols c0..cn, _event, _w) — delivered diffs netted by EVENT
     // coordinate (the same exact compaction the driver TreeMap does).
     var ledgerFrame: DataFrame = null
+    // Empty-delivery short-circuit state (driver scalars): `dirty` —
+    // a delta frame was accumulated since the last deliver;
+    // `ledgerMaxEvent` — the highest event coordinate with ledger
+    // entries; `fullyDelivered` — R == Σ_all ledger held after the
+    // last deliver (its accumulation covered every entry). When
+    // !dirty && fullyDelivered && t.event ≥ ledgerMaxEvent, then
+    // acc(t) = Σ_all = R, so diff(t) = 0 — skip both distributed jobs.
+    private var dirty = false
+    private var ledgerMaxEvent = Long.MinValue
+    private var fullyDelivered = false
 
     /** Build — or REBUILD when a referenced attribute's first datom
       * reveals a kind after the first build (the standing query's
@@ -380,6 +390,7 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
       rFrame = staged.groupBy(cols.map(col): _*)
         .agg(sum(col("_w")).as("_w")).where(col("_w") =!= 0L)
         .graftCheckpoint(true)
+      dirty = true
     }
 
     /** Deliver time `t`: `diff(t) = R − Σ_{event ≤ t.event} ledger` —
@@ -430,6 +441,12 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
       // an accumulated R first — so rFrame == null means nothing can
       // differ from the (empty) delivered state yet.
       if (rFrame == null) return
+      // Provably-empty delivery: with no delta since the last deliver
+      // and the ledger fully covered at this event bound,
+      // acc(t) = Σ_all ledger = R and diff(t) = 0 — no jobs to run.
+      // (A standing whose referenced attributes saw no transition this
+      // time, on a monotone event schedule, pays nothing.)
+      if (!dirty && fullyDelivered && t._2 >= ledgerMaxEvent) return
       val base = rFrame
       val cols = base.columns.dropRight(1).toSeq
       val diff0 = ledgerFrame match {
@@ -458,10 +475,17 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
             .groupBy((cols :+ "_event").map(col): _*)
             .agg(sum(col("_w")).as("_w")).where(col("_w") =!= 0L)
         }).graftCheckpoint(true)
+        ledgerMaxEvent = math.max(ledgerMaxEvent, t._2)
         s.deliver(name, t._1, diff.select(
           cols.map(col) :+ lit(t._1).as("_t") :+ lit(t._2).as("_event") :+
             col("_diff"): _*))
       }
+      // After a deliver whose accumulation covered the WHOLE ledger,
+      // Σ_all ledger == R (diff closed the gap); entries above t.event
+      // (impossible here since the merge bound max at t._2 when it was
+      // covering) would break the invariant — tracked via the bound.
+      dirty = false
+      fullyDelivered = t._2 >= ledgerMaxEvent
     }
   }
 

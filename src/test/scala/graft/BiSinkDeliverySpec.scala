@@ -91,6 +91,45 @@ class BiSinkDeliverySpec extends AnyFunSuite {
     }
   }
 
+  test("untouched-attribute advances skip cleanly (monotone events, two standings)") {
+    // Batches alternate attributes on a MONOTONE event schedule: the
+    // standing whose attribute a time does NOT touch hits the
+    // provably-empty fast path (no delta + fully-covered ledger) —
+    // output must still match the collected twin exactly.
+    def drive(sinkSide: Boolean): Map[String, Out] = {
+      val bm = new BiMaintained(spark, partitions = 4)
+      Seq(":sk2/x", ":sk2/y").foreach(a =>
+        bm.createAttribute(a, AttributeConfig(InputSemantics.Raw)))
+      bm.register(Rule("qx", Plan.MatchA(0, ":sk2/x", 1)))
+      bm.register(Rule("qy", Plan.MatchA(0, ":sk2/y", 1)))
+      val got = Map("qx" -> scala.collection.mutable.ArrayBuffer
+        .empty[(Seq[Any], (Long, Long), Long)],
+        "qy" -> scala.collection.mutable.ArrayBuffer
+          .empty[(Seq[Any], (Long, Long), Long)])
+      if (sinkSide) {
+        val sink = new ForeachFrameSink((nm, _, df) => {
+          val n = df.columns.length - 3
+          df.collect().foreach { row =>
+            got(nm) += (((0 until n).map(i => Engine.deepNative(row.get(i))),
+              (row.getLong(n), row.getLong(n + 1)), row.getLong(n + 2)))
+          }
+        })
+        bm.interestSink("qx", sink); bm.interestSink("qy", sink)
+      } else { bm.interest("qx"); bm.interest("qy") }
+      (0L to 3L).foreach { s =>
+        val a = if (s % 2 == 0) ":sk2/x" else ":sk2/y"
+        bm.transact(Seq(bm.BiDatom(Value.eid(1L), a, Value.num(s), (s, s), 1L)))
+        bm.advance(s + 1L)
+        if (!sinkSide) Seq("qx", "qy").foreach(n => got(n) ++= bm.drain(n))
+      }
+      got.view.mapValues(b => ms(b.toSeq)).toMap
+    }
+    val want = drive(sinkSide = false)
+    val gotS = drive(sinkSide = true)
+    assert(gotS == want, s"skip path diverged:\n want=$want\n got =$gotS")
+    assert(want("qx").nonEmpty && want("qy").nonEmpty)
+  }
+
   test("data-sized standing MatchA delivers 1M+ rows with a control-plane driver") {
     val n = 600000
     val bm = new BiMaintained(spark, partitions = 8)
