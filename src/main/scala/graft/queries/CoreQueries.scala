@@ -50,15 +50,31 @@ object CoreQueries {
     * owns supplying a matching oracle (the served entries pin 60000
     * uncompacted / 30000 with slack=0). */
   private def bitemporalMaintainQ(s: SparkSession, dir: String,
-      gate: Long, slack: Option[Long]): DataFrame = {
+      gate: Long, slack: Option[Long],
+      // sinkDelivery = true routes the standing through `interestSink`
+      // (the round-13 DISTRIBUTED delivery edge: R + product-order
+      // ledger as checkpointed frames, diffs streamed to a DiffSink) —
+      // the oracle-harness sink folds the delivered frames back into
+      // the same accumulated view, so the SAME relational oracle gates
+      // the distributed path every round.
+      sinkDelivery: Boolean = false,
+      // Event-coordinate shape: ok % 7 by default; the sink twin uses
+      // (ok div 3) % 2 — a 2-point event axis (6 lattice times instead
+      // of 21, still independent of sys so late writes exist), because
+      // the distributed delivery edge pays per-TIME Spark jobs and the
+      // oracle cell prices correctness, not lattice width.
+      compactEvents: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{row_number, when}
+    import org.apache.spark.sql.functions.{expr, row_number, when}
+    val eventCol =
+      if (compactEvents) expr("pmod(CAST(o_orderkey AS BIGINT) div 3, 2)")
+      else col("o_orderkey") % 7
     val reps = s.read.parquet(s"$dir/orders.parquet")
       .where(col("o_orderkey") <= gate)
       .select(col("o_custkey").cast("long").as("e"),
         col("o_totalprice").cast("long").as("v"),
         (col("o_orderkey") % 3).cast("long").as("sys"),
-        (col("o_orderkey") % 7).cast("long").as("event"),
+        eventCol.cast("long").as("event"),
         col("o_orderkey").cast("long").as("ok"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("e"), col("sys"), col("event"))
@@ -71,7 +87,21 @@ object CoreQueries {
     bm.createAttribute(":bt/price",
       AttributeConfig(InputSemantics.LastWriteWins))
     bm.register(Rule("bt", matchA(0, ":bt/price", 1)))
-    bm.interest("bt")
+    val acc = scala.collection.mutable.Map.empty[Seq[Any], Long]
+    if (sinkDelivery)
+      bm.interestSink("bt", new graft.sinks.ForeachFrameSink((_, _, df) => {
+        // Oracle-harness accumulation: collect here is OUTPUT-sized and
+        // belongs to the harness, not the engine — the engine-side
+        // computation of these frames never collects (BiSinkDeliverySpec
+        // pins the control-plane driver at 1.2M rows).
+        val n = df.columns.length - 3 // c0..cn, _t, _event, _diff
+        df.collect().foreach { row =>
+          val tuple: Seq[Any] =
+            (0 until n).map(i => graft.engine.Engine.deepNative(row.get(i)))
+          acc(tuple) = acc.getOrElse(tuple, 0L) + row.getLong(n + 2)
+        }
+      }))
+    else bm.interest("bt")
     (0L to 2L).foreach { sys =>
       val batch = reps.toSeq.filter(_.getLong(2) == sys).map { r =>
         bm.BiDatom(Value.eid(r.getLong(0)), ":bt/price",
@@ -83,8 +113,7 @@ object CoreQueries {
     bm.transact(Seq(bm.BiDatom(
       Value.eid(-1L), ":bt/price", Value.num(0L), (3L, 100L), 1L)))
     bm.advance(4L)
-    val acc = scala.collection.mutable.Map.empty[Seq[Any], Long]
-    bm.drain("bt").foreach { case (tuple, _, w) =>
+    if (!sinkDelivery) bm.drain("bt").foreach { case (tuple, _, w) =>
       acc(tuple) = acc.getOrElse(tuple, 0L) + w
     }
     import s.implicits._
@@ -432,6 +461,22 @@ object CoreQueries {
       // sys.props mutation (round-12 ADVICE: the old prop juggling was
       // non-atomic under concurrent queries).
       bitemporalMaintainQ(s, dir, gate = 30000L, slack = Some(0L))),
+
+    "q_bitemporal_sink" -> ((s, dir) =>
+      // The q_bitemporal_maintain computation through the DISTRIBUTED
+      // delivery edge (`interestSink`, round 13): R(t) and the
+      // product-order ledger live as checkpointed frames, each time's
+      // diffs reach a DiffSink as DataFrames, and the oracle-harness
+      // sink folds them back into the accumulated view — hash-exact
+      // against the SAME relational lattice-winner oracle. Puts the new
+      // edge on the driver's per-round correctness surface (the
+      // q_bitemporal_compacted lesson). Gate 3000 + the compact 3-point
+      // event axis keep the cell's bench cost modest — the edge pays
+      // per-TIME distributed jobs, so the oracle cell prices
+      // correctness on a 10-time lattice; BiSinkDeliverySpec and the
+      // bisink smoke price scale.
+      bitemporalMaintainQ(s, dir, gate = 3000L, slack = None,
+        sinkDelivery = true, compactEvents = true)),
 
     "q_lww_maintain" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{lit, pmod, sum}
@@ -894,6 +939,28 @@ object CoreQueries {
                       PARTITION BY o_custkey, o_orderkey % 3, o_orderkey % 7
                       ORDER BY o_orderkey DESC) AS rn
              FROM orders WHERE o_orderkey <= 30000)
+           WHERE rn = 1)
+         WHERE rnw = 1 AND diff = 1""",
+
+    // Same lattice-winner shape as the maintain twin, on the sink
+    // cell's gate-3000 / 3-point-event lattice — the distributed sink
+    // edge must reproduce it exactly.
+    "q_bitemporal_sink" ->
+      """SELECT custkey, price FROM (
+           SELECT e AS custkey, v AS price, diff,
+                  row_number() OVER (PARTITION BY e
+                                     ORDER BY sys DESC, event DESC) AS rnw
+           FROM (
+             SELECT CAST(o_custkey AS BIGINT) AS e,
+                    CAST(floor(o_totalprice) AS BIGINT) AS v,
+                    o_orderkey % 3 AS sys,
+                    (CAST(o_orderkey AS BIGINT) // 3) % 2 AS event,
+                    CASE WHEN o_orderkey % 11 = 0 THEN -1 ELSE 1 END AS diff,
+                    row_number() OVER (
+                      PARTITION BY o_custkey, o_orderkey % 3,
+                                   (CAST(o_orderkey AS BIGINT) // 3) % 2
+                      ORDER BY o_orderkey DESC) AS rn
+             FROM orders WHERE o_orderkey <= 3000)
            WHERE rn = 1)
          WHERE rnw = 1 AND diff = 1""",
 

@@ -387,9 +387,13 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
         case null => diffs
         case prev => prev.unionByName(diffs)
       }
+      // LAZY cut: the frame materializes inside the next consumer's job
+      // (the deliver merge) instead of paying its own eager job per
+      // advance — at 10+ lattice times per bitemporal batch the
+      // per-time job count is the dominant cost on small deltas.
       rFrame = staged.groupBy(cols.map(col): _*)
         .agg(sum(col("_w")).as("_w")).where(col("_w") =!= 0L)
-        .graftCheckpoint(true)
+        .graftCheckpoint(false)
       dirty = true
     }
 
@@ -474,7 +478,7 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
           case l => l.unionByName(entry)
             .groupBy((cols :+ "_event").map(col): _*)
             .agg(sum(col("_w")).as("_w")).where(col("_w") =!= 0L)
-        }).graftCheckpoint(true)
+        }).graftCheckpoint(false) // lazy — materializes at the next deliver
         ledgerMaxEvent = math.max(ledgerMaxEvent, t._2)
         s.deliver(name, t._1, diff.select(
           cols.map(col) :+ lit(t._1).as("_t") :+ lit(t._2).as("_event") :+
