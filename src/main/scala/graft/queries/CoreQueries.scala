@@ -470,10 +470,10 @@ object CoreQueries {
       // sink folds them back into the accumulated view — hash-exact
       // against the SAME relational lattice-winner oracle. Puts the new
       // edge on the driver's per-round correctness surface (the
-      // q_bitemporal_compacted lesson). Gate 3000 + the compact 3-point
+      // q_bitemporal_compacted lesson). Gate 3000 + the compact 2-point
       // event axis keep the cell's bench cost modest — the edge pays
       // per-TIME distributed jobs, so the oracle cell prices
-      // correctness on a 10-time lattice; BiSinkDeliverySpec and the
+      // correctness on a 6-time lattice (plus the drain sentinel); BiSinkDeliverySpec and the
       // bisink smoke price scale.
       bitemporalMaintainQ(s, dir, gate = 3000L, slack = None,
         sinkDelivery = true, compactEvents = true)),
@@ -943,7 +943,7 @@ object CoreQueries {
          WHERE rnw = 1 AND diff = 1""",
 
     // Same lattice-winner shape as the maintain twin, on the sink
-    // cell's gate-3000 / 3-point-event lattice — the distributed sink
+    // cell's gate-3000 / 2-point-event lattice — the distributed sink
     // edge must reproduce it exactly.
     "q_bitemporal_sink" ->
       """SELECT custkey, price FROM (

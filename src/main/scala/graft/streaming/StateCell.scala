@@ -68,6 +68,11 @@ private[streaming] final class StateCell[S <: AnyRef: ClassTag](
     * composition (multi-cell zips driven by the owning node). */
   def rdd: RDD[S] = cur.map(_.value)
 
+  /** Spec probe: the live generation's materialized RDD (the thing the
+    * recoverability invariant is about — under the reliable dial it
+    * must be checkpointed before its predecessor's files are dropped). */
+  private[streaming] def liveGeneration: RDD[_] = prevGen
+
   /** Commit a stepped (newState, outputs) pair RDD: materialize once
     * (checkpoint), copy the OUTPUTS into their own delta-sized
     * checkpoint, rebind the state, and eagerly drop the superseded
@@ -90,20 +95,37 @@ private[streaming] final class StateCell[S <: AnyRef: ClassTag](
   def commitCounted[O: ClassTag](
       stepped: RDD[(S, Array[O])]): (RDD[O], Long) = {
     val sz = sizeOf
-    val mat = stepped.mapPartitions(
-      _.map { case (s, o) => (new GraftSizedValue(s, 64L + sz(s)), o) },
-      preservesPartitioning = false).graftCheckpoint()
-    val out = mat.flatMap(_._2.iterator).graftCheckpoint()
-    val n = out.count()
+    // Spark materializes only the job's LAST marked RDD at checkpoint
+    // time, so without this property `mat` (the state generation) never
+    // writes reliable files — every generation's lineage would bottom
+    // out at the init files, and deleting those below strands recovery
+    // at the first executor loss. The property is thread-scoped AND
+    // captured at RDD CONSTRUCTION (a private val in Spark's RDD), so
+    // it must wrap the RDD builds, not just the count; with it the one
+    // count job checkpoints BOTH cuts (`out` as the job RDD, `mat` as
+    // its marked ancestor).
+    val sc0 = stepped.sparkContext
+    val ancestorsKey = "spark.checkpoint.checkpointAllMarkedAncestors"
+    val prevProp = sc0.getLocalProperty(ancestorsKey)
+    sc0.setLocalProperty(ancestorsKey, "true")
+    val (mat, out, n) = try {
+      val mat = stepped.mapPartitions(
+        _.map { case (s, o) => (new GraftSizedValue(s, 64L + sz(s)), o) },
+        preservesPartitioning = false).graftCheckpoint()
+      val out = mat.flatMap(_._2.iterator).graftCheckpoint()
+      (mat, out, out.count())
+    } finally sc0.setLocalProperty(ancestorsKey, prevProp)
     cur = mat.map(_._1)
     if (prevGen ne null) {
       prevGen.unpersist(blocking = false)
       // Under the reliable-checkpoint dial the superseded generation's
       // files would otherwise live until the DFS fills (Spark only
       // GC-cleans them, and only with cleanCheckpoints=true) — delete
-      // them at the same supersede point; the outputs were checkpointed
-      // separately so nothing reads these files again (Ckpt scaladoc).
-      graft.kernel.Ckpt.dropCheckpoint(prevGen)
+      // them at the same supersede point, but ONLY once the new
+      // generation is self-contained on reliable storage (its own
+      // checkpoint landed); if it did not land, recovery still walks
+      // the lineage through the superseded files, so keep them.
+      if (mat.isCheckpointed) graft.kernel.Ckpt.dropCheckpoint(prevGen)
     }
     prevGen = mat
     (out, n)

@@ -77,7 +77,7 @@ class CheckpointDialSpec extends AnyFunSuite {
     finally s.close()
   }
 
-  test("superseded state generations are deleted under the dial (bounded dir)") {
+  test("state generations are recoverable AND superseded ones deleted under the dial") {
     val dir = Files.createTempDirectory("graft-ckpt-gc")
     withDial(dir) {
       val sc = spark.sparkContext
@@ -90,11 +90,27 @@ class CheckpointDialSpec extends AnyFunSuite {
           (it.foldLeft(s)((m, k) => m.updated(k, m.getOrElse(k, 0L) + 1L)),
             Array.empty[Long])
         }
+        // The recoverability invariant the delete below relies on: the
+        // LIVE generation must itself be reliably checkpointed (Spark
+        // only checkpoints the job's last marked RDD — the ancestors
+        // property in StateCell.commitCounted makes the generation
+        // checkpoint too) before its predecessor's files are dropped.
+        assert(cell.liveGeneration.isCheckpointed,
+          s"live generation not reliably checkpointed after advance $i — " +
+            "deleting superseded files would strand recovery")
       }
+      // Executor-loss drill: wipe the live generation's cached blocks.
+      // Recompute must come from its OWN reliable files — the superseded
+      // generations' files (its old lineage) are deleted below/already.
+      cell.liveGeneration.unpersist(blocking = true)
+      val recovered = cell.rdd.collect()
+      assert(recovered.map(_.size).sum == 2 * advances,
+        s"state lost after cache wipe: ${recovered.toSeq}")
       // Retained checkpoint dirs = the LIVE generation + the per-advance
-      // delta-output cuts (caller-held, GC-cleaned) + the initial zero
-      // gen's slack; every superseded generation's dir must be gone.
-      // Without the explicit dropCheckpoint this reads 2*advances + 1.
+      // delta-output cuts (caller-held, GC-cleaned) + slack; every
+      // superseded generation's dir must be gone. Without the explicit
+      // dropCheckpoint this reads 2*advances + 1 (each advance leaves a
+      // generation dir AND an output dir).
       val dirs = rddDirCount(dir)
       assert(dirs <= advances + 2,
         s"checkpoint dir grew unboundedly: $dirs rdd-* dirs after " +
