@@ -63,13 +63,21 @@ object CoreQueries {
       // of 21, still independent of sys so late writes exist), because
       // the distributed delivery edge pays per-TIME Spark jobs and the
       // oracle cell prices correctness, not lattice width.
-      compactEvents: Boolean = false): DataFrame = {
+      compactEvents: Boolean = false,
+      // frameIngest = true routes every transact through
+      // `BiMaintained.transactFrame` (the round-14 DATA-SIZED ingest
+      // edge): the datom batches stay DataFrames end to end — never a
+      // driver Seq — entering the distributed store via one shuffle
+      // with distributed key-building and per-partition sequence
+      // numbering. Combined with sinkDelivery, the oracle then gates
+      // the fully distributed bi path: ingest → store → delivery.
+      frameIngest: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{expr, row_number, when}
+    import org.apache.spark.sql.functions.{expr, lit, row_number, when}
     val eventCol =
       if (compactEvents) expr("pmod(CAST(o_orderkey AS BIGINT) div 3, 2)")
       else col("o_orderkey") % 7
-    val reps = s.read.parquet(s"$dir/orders.parquet")
+    val repsDf = s.read.parquet(s"$dir/orders.parquet")
       .where(col("o_orderkey") <= gate)
       .select(col("o_custkey").cast("long").as("e"),
         col("o_totalprice").cast("long").as("v"),
@@ -82,7 +90,6 @@ object CoreQueries {
       .where(col("rn") === 1)
       .select(col("e"), col("v"), col("sys"), col("event"),
         when(col("ok") % 11 === 0, -1L).otherwise(1L).as("diff"))
-      .collect()
     val bm = new graft.streaming.BiMaintained(s, slack = slack)
     bm.createAttribute(":bt/price",
       AttributeConfig(InputSemantics.LastWriteWins))
@@ -102,17 +109,34 @@ object CoreQueries {
         }
       }))
     else bm.interest("bt")
-    (0L to 2L).foreach { sys =>
-      val batch = reps.toSeq.filter(_.getLong(2) == sys).map { r =>
-        bm.BiDatom(Value.eid(r.getLong(0)), ":bt/price",
-          Value.num(r.getLong(1)), (sys, r.getLong(3)), r.getLong(4))
+    if (frameIngest) {
+      // The data-sized edge: each system batch stays a DataFrame all
+      // the way into the distributed store — no driver Seq exists.
+      val history = repsDf.withColumn("a", lit(":bt/price"))
+        .select("e", "a", "v", "sys", "event", "diff").persist()
+      (0L to 2L).foreach { sysT =>
+        bm.transactFrame(history.where(col("sys") === sysT))
+        bm.advance(sysT + 1L)
       }
-      bm.transact(batch)
-      bm.advance(sys + 1L)
+      val _ = history.unpersist(blocking = false)
+      import s.implicits._
+      bm.transactFrame(Seq((-1L, ":bt/price", 0L, 3L, 100L, 1L))
+        .toDF("e", "a", "v", "sys", "event", "diff"))
+      bm.advance(4L)
+    } else {
+      val reps = repsDf.collect()
+      (0L to 2L).foreach { sys =>
+        val batch = reps.toSeq.filter(_.getLong(2) == sys).map { r =>
+          bm.BiDatom(Value.eid(r.getLong(0)), ":bt/price",
+            Value.num(r.getLong(1)), (sys, r.getLong(3)), r.getLong(4))
+        }
+        bm.transact(batch)
+        bm.advance(sys + 1L)
+      }
+      bm.transact(Seq(bm.BiDatom(
+        Value.eid(-1L), ":bt/price", Value.num(0L), (3L, 100L), 1L)))
+      bm.advance(4L)
     }
-    bm.transact(Seq(bm.BiDatom(
-      Value.eid(-1L), ":bt/price", Value.num(0L), (3L, 100L), 1L)))
-    bm.advance(4L)
     if (!sinkDelivery) bm.drain("bt").foreach { case (tuple, _, w) =>
       acc(tuple) = acc.getOrElse(tuple, 0L) + w
     }
@@ -477,6 +501,20 @@ object CoreQueries {
       // bisink smoke price scale.
       bitemporalMaintainQ(s, dir, gate = 3000L, slack = None,
         sinkDelivery = true, compactEvents = true)),
+
+    "q_bitemporal_frame" -> ((s, dir) =>
+      // The q_bitemporal_sink computation with the DATA-SIZED INGEST
+      // edge too (`transactFrame`, round 14): the datom batches stay
+      // DataFrames end to end — distributed key-building, per-partition
+      // sequence numbering, frontier validation off the distributed
+      // coarse lattice, one shuffle into the CellBiStore partitions —
+      // and delivery streams through `interestSink`. The FULLY
+      // distributed bi path (ingest → store → delivery) gated every
+      // round by the same relational lattice-winner oracle.
+      // BiFrameIngestSpec pins the zero-driver-materialization claim at
+      // 1M datoms; this cell pins hash-exactness.
+      bitemporalMaintainQ(s, dir, gate = 3000L, slack = None,
+        sinkDelivery = true, compactEvents = true, frameIngest = true)),
 
     "q_lww_maintain" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{lit, pmod, sum}
@@ -946,6 +984,28 @@ object CoreQueries {
     // cell's gate-3000 / 2-point-event lattice — the distributed sink
     // edge must reproduce it exactly.
     "q_bitemporal_sink" ->
+      """SELECT custkey, price FROM (
+           SELECT e AS custkey, v AS price, diff,
+                  row_number() OVER (PARTITION BY e
+                                     ORDER BY sys DESC, event DESC) AS rnw
+           FROM (
+             SELECT CAST(o_custkey AS BIGINT) AS e,
+                    CAST(floor(o_totalprice) AS BIGINT) AS v,
+                    o_orderkey % 3 AS sys,
+                    (CAST(o_orderkey AS BIGINT) // 3) % 2 AS event,
+                    CASE WHEN o_orderkey % 11 = 0 THEN -1 ELSE 1 END AS diff,
+                    row_number() OVER (
+                      PARTITION BY o_custkey, o_orderkey % 3,
+                                   (CAST(o_orderkey AS BIGINT) // 3) % 2
+                      ORDER BY o_orderkey DESC) AS rn
+             FROM orders WHERE o_orderkey <= 3000)
+           WHERE rn = 1)
+         WHERE rnw = 1 AND diff = 1""",
+
+    // The same lattice winner again for the frame-ingest twin: the
+    // fully distributed path (transactFrame ingest → CellBiStore →
+    // interestSink delivery) must be indistinguishable from it.
+    "q_bitemporal_frame" ->
       """SELECT custkey, price FROM (
            SELECT e AS custkey, v AS price, diff,
                   row_number() OVER (PARTITION BY e

@@ -302,6 +302,154 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
   private def kindOf(a: String): ValueKind =
     firstKind.getOrElse(a, ValueKind.KString)
 
+  /** Bulk DATA-SIZED bitemporal ingest of ONE attribute's versioned
+    * history — the bitemporal analog of [[graft.domain.Domain]]'s
+    * `registerStatic` bulk path, and the maintained mirror of the
+    * reference's sources feeding attribute streams into the dataflow
+    * without a client round-trip (`src/sources/mod.rs:47-64`). `df` has
+    * columns `(e LONG, v <attr type>, sys LONG, event LONG, diff
+    * LONG)`. See [[transactFrame]] for the execution shape. */
+  def registerHistory(a: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    transactFrame(df.select(col("e"), lit(a).as("a"), col("v"),
+      col("sys"), col("event"), col("diff")))
+  }
+
+  /** Bulk DATA-SIZED bitemporal ingest: one transact whose datom batch
+    * is a DataFrame `(e LONG, a STRING, v <type>, sys LONG, event LONG,
+    * diff LONG)` — a 100 TB versioned-fact backfill enters the
+    * distributed store WITHOUT ever serializing through a driver `Seq`.
+    * Execution shape (nothing data-sized on the driver):
+    *
+    *  - CONTROL-PLANE passes: the distinct attribute list (bounded by
+    *    the schema) and, per Coarsen lane, the distinct COARSE time
+    *    lattice — computed distributed ([[BiTime.coarse]] inside the
+    *    map) and collected only at lattice size. Frontier validation is
+    *    the lattice's min coarse sys against `sysFrontier`, checked
+    *    BEFORE any state mutates (the all-or-nothing transact rule). A
+    *    windowless lane's lattice is the distinct FINE times — capped
+    *    loudly (`-Dgraft.bi.lattice.cap`, default 1M): a dense history
+    *    needs a Coarsen granularity, which is exactly what the
+    *    reference's `Coarsen` exists for.
+    *  - SEQUENCE NUMBERS ride `zipWithIndex` (per-partition numbering +
+    *    the batch's base offset — distributed, deterministic). Within
+    *    one frame, LWW ties at an identical fine `(sys, event)` resolve
+    *    by that frame order — deterministic but unspecified; real
+    *    backfills carry distinct times per key.
+    *  - INGEST is one shuffle onto the store's view-key partitioning
+    *    ([[CellBiStore.ingestRdd]]); a driver-resident store migrates
+    *    distributed FIRST (a bulk frame declares data-sized intent —
+    *    the byte gate exists to bound driver heap, which a frame-sized
+    *    history would blow through anyway).
+    *
+    * Cost: 2 narrow scans of `df` (lattice, zip sizing) + 1 scan into
+    * the ingest shuffle; per-partition ingest work is the same
+    * structural-sharing [[BiVis.ingest]] every transact runs. Drain
+    * parity with the `Seq` path is `BiFrameIngestSpec`-pinned across
+    * the semantics × plan zoo. */
+  def transactFrame(df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val need = Seq("e", "a", "v", "sys", "event", "diff")
+    require(need.forall(df.columns.contains),
+      s"transactFrame needs columns $need, got ${df.columns.toSeq}")
+    val frame = df.select(need.map(col): _*)
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType}
+    for (c <- Seq("e", "sys", "event", "diff"))
+      require(frame.schema(c).dataType == LongType,
+        s"transactFrame column $c must be LONG, got ${frame.schema(c).dataType}")
+    require(frame.schema("a").dataType == StringType,
+      s"transactFrame column a must be STRING")
+    val vType = frame.schema("v").dataType
+    val vKind = vType match {
+      case LongType    => ValueKind.KNumber
+      case StringType  => ValueKind.KString
+      case BooleanType => ValueKind.KBool
+      case DoubleType  => ValueKind.KReal
+      case other => throw new IllegalArgumentException(
+        s"transactFrame v type $other is not a bitemporal scalar kind")
+    }
+    if (lanes.isEmpty) { val _ = laneOf(coarsen) }
+    val laneSeq = lanes.valuesIterator.toSeq
+
+    // Per-lane coarse lattices (distributed; collected at lattice size)
+    // — also the frontier validation input, so it runs before ANY
+    // driver state mutates.
+    val latticeCap = sys.props.get("graft.bi.lattice.cap").map(_.toLong)
+      .getOrElse(1000000L)
+    val fineTimes = frame.select("sys", "event").rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val laneTimes: Seq[(Lane, Array[(Long, Long)])] = laneSeq.map { lane =>
+      val w = lane.win
+      val lat = (w match {
+        case None => fineTimes
+        case Some((ws, we)) =>
+          fineTimes.map(t => (BiTime.coarse(t._1, ws), BiTime.coarse(t._2, we)))
+      }).distinct()
+      lat.persist()
+      try {
+        val cnt = lat.count()
+        require(cnt <= latticeCap,
+          s"bulk-ingest time lattice has $cnt distinct coarse times on " +
+            s"lane $w (cap $latticeCap, -Dgraft.bi.lattice.cap): a dense " +
+            "history needs a Coarsen granularity to bound the lattice")
+        lane -> lat.collect()
+      } finally { val _ = lat.unpersist(blocking = false) }
+    }
+    if (laneTimes.headOption.forall(_._2.isEmpty)) return // empty frame
+    for ((lane, times) <- laneTimes) {
+      val minSys = times.iterator.map(_._1).min
+      require(minSys >= sysFrontier,
+        s"write at closed system time $minSys: frontier at $sysFrontier")
+    }
+
+    // Attribute registration (distinct list — bounded by the schema).
+    val attrs = frame.select("a").distinct().rdd.map(_.getString(0)).collect()
+    for (a <- attrs) {
+      configs.getOrElseUpdate(a, AttributeConfig())
+      firstKind.get(a) match {
+        case Some(k) => require(k.dataType == vType,
+          s"attribute $a already registered with kind $k; frame carries $vType")
+        case None => firstKind(a) = vKind
+      }
+    }
+
+    // A bulk frame is data-sized by declaration: route through the
+    // distributed store, migrating a driver-resident history first.
+    store match {
+      case d: DriverBiStore =>
+        val cellS = new CellBiStore(spark, partitions)
+        cellS.plant(d.vis.split(partitions))
+        store = cellS
+      case _ => ()
+    }
+    val cellS = store.asInstanceOf[CellBiStore]
+    val lwwAttrs: Set[String] = attrs.iterator
+      .filter(a => semanticsOf(a) == InputSemantics.LastWriteWins).toSet
+    val base = seqCounter
+    val recs = frame.rdd.zipWithIndex().map { case (row, i) =>
+      val a = row.getString(1)
+      val e = row.getLong(0)
+      val v = row.get(2)
+      val lww = lwwAttrs.contains(a)
+      val key = if (lww) BiKey(a, e, null) else BiKey(a, e, v)
+      (key, BiRec(row.getLong(3), row.getLong(4), base + 1L + i,
+        row.getLong(5), if (lww) v else null))
+    }
+    val n = cellS.ingestRdd(recs)
+    seqCounter += n
+    for ((lane, times) <- laneTimes) lane.pendingTimes ++= times
+    frameIngestProbe = Map(
+      "datoms" -> n,
+      "driverLatticeRows" -> laneTimes.iterator.map(_._2.length.toLong).sum,
+      "driverAttrRows" -> attrs.length.toLong)
+  }
+
+  /** Spec probe: the last [[transactFrame]]'s ingested datom count vs
+    * what actually landed on the driver (per-lane coarse-lattice rows +
+    * the distinct attribute list) — pins the zero-driver-
+    * materialization claim for the bulk edge. */
+  private[graft] var frameIngestProbe: Map[String, Long] = Map.empty
+
   // ---- per-interest standing state --------------------------------------
 
   private final class Standing(name: String, val lane: Lane,

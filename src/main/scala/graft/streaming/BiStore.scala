@@ -157,13 +157,24 @@ private[streaming] final class CellBiStore(
   private var measuredBytes = 0L
 
   def ingest(recs: Seq[(BiKey, BiRec)]): Unit = {
-    count += recs.size
-    val delta = sc.parallelize(recs, math.max(1, partitions / 4))
-      .partitionBy(part)
-    measuredBytes = cell.advance1(delta) { (vis, it) =>
-      val next = vis.ingest(it)
-      (next, Array(next.estimatedBytes))
-    }.fold(0L)(_ + _)
+    val _ = ingestRdd(sc.parallelize(recs, math.max(1, partitions / 4)))
+  }
+
+  /** DATA-SIZED ingest: one shuffle onto the view-key partitioning, then
+    * the same per-partition structural-sharing [[BiVis.ingest]] the
+    * control-sized path runs — the batch never exists on the driver.
+    * Returns the ingested record count (summed from the partitions, no
+    * extra job — it rides the advance's output channel). */
+  private[streaming] def ingestRdd(recs: RDD[(BiKey, BiRec)]): Long = {
+    val delta = recs.partitionBy(part)
+    val stats = cell.advance1(delta) { (vis, it) =>
+      var n = 0L
+      val next = vis.ingest(it.map { r => n += 1L; r })
+      (next, Array((next.estimatedBytes, n)))
+    }.fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+    measuredBytes = stats._1
+    count += stats._2
+    stats._2
   }
 
   /** Plant a split driver state into the cell partitions (gate flip). */

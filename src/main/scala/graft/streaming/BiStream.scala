@@ -47,8 +47,9 @@ class BiStream(val engine: BiEngine, maxTransaction: Long = 100000L) {
           require(n <= maxTransaction,
             s"bitemporal micro-batch of $n datoms exceeds the transaction " +
               s"gate ($maxTransaction); bitemporal streams carry " +
-              "control-sized transactions — route data-sized streams " +
-              "through the batch engine")
+              "control-sized transactions — route data-sized batches " +
+              "through BiMaintained.transactFrame (the distributed " +
+              "bulk-ingest edge) or the batch engine")
           sel.collect()
         } finally sel.unpersist()
         if (rows.nonEmpty) {

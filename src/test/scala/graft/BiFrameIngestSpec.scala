@@ -1,0 +1,200 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit, pmod}
+
+import graft.engine.Engine
+import graft.model._
+import graft.sinks.ForeachFrameSink
+import graft.streaming.BiMaintained
+
+/** DATA-SIZED bitemporal ingest (the round-13 `weak`, closing the last
+  * driver-bounded edge on the bi path): [[BiMaintained.transactFrame]] /
+  * [[BiMaintained.registerHistory]] ingest a DataFrame of versioned
+  * facts `(e, a, v, sys, event, diff)` straight into the distributed
+  * store's partitions — distributed key-building, per-partition
+  * sequence numbering + batch offset, frontier validation off the
+  * distributed coarse lattice — so a versioned-fact backfill never
+  * serializes through a driver `Seq` (reference analog: sources feed
+  * attribute streams without a client round-trip,
+  * `src/sources/mod.rs:47-64`).
+  *
+  * Pins: (1) multiset drain PARITY with the `Seq`-transact path across
+  * the semantics × plan zoo (late event writes, retractions, LWW
+  * rewrites, the mid-history driver→distributed migration the bulk
+  * frame forces); (2) a ≥1M-datom frame ingests with the driver seeing
+  * only control-plane rows (the `frameIngestProbe` lattice/attr
+  * counts), delivered through the sink edge with all-zero
+  * `controlPlaneStats`; (3) the all-or-nothing transact rule holds
+  * (closed-time frames reject without mutating state); (4) a dense
+  * windowless history trips the lattice cap loudly instead of
+  * collecting a data-sized lattice. */
+object BiFrameIngestSpec {
+  // Top-level so Spark can derive an encoder for toDF (inner case
+  // classes need the defining instance's scope).
+  final case class BD(e: Long, a: String, v: Long, sys: Long, event: Long, diff: Long)
+}
+
+class BiFrameIngestSpec extends AnyFunSuite {
+  import BiFrameIngestSpec.BD
+
+  private lazy val spark = TestSpark.spark
+
+  // The BiSinkDeliverySpec zoo: late event-time writes, retractions,
+  // same-key rewrites — everything the product-order ledger fears.
+  private val zoo: Seq[BD] = Seq(
+    BD(1, ":fr/x", 10, 0, 2, 1), BD(2, ":fr/x", 20, 0, 0, 1),
+    BD(1, ":fr/y", 5, 0, 1, 1),
+    BD(1, ":fr/x", 11, 1, 0, 1),
+    BD(2, ":fr/x", 20, 1, 0, -1),
+    BD(2, ":fr/y", 7, 1, 3, 1),
+    BD(1, ":fr/x", 12, 2, 1, 1), BD(1, ":fr/x", 10, 2, 2, -1),
+    BD(2, ":fr/x", 21, 2, 2, 1))
+
+  private val plans: Seq[(String, Plan)] = Seq(
+    "scan" -> Plan.MatchA(0, ":fr/x", 1),
+    "join" -> Plan.Join(Seq(0),
+      Plan.MatchA(0, ":fr/x", 1), Plan.MatchA(0, ":fr/y", 2)))
+
+  private type Out = Map[(Seq[Any], (Long, Long), Long), Int]
+  private def ms(xs: Seq[(Seq[Any], (Long, Long), Long)]): Out =
+    xs.groupBy(identity).map { case (k, vs) => k -> vs.length }
+
+  private def frameOf(ds: Seq[BD]): DataFrame = {
+    import spark.implicits._
+    ds.toDF()
+  }
+
+  /** Drive the zoo through one of three ingest shapes. */
+  private def run(sem: InputSemantics, plan: Plan, shape: String): Out = {
+    val bm = new BiMaintained(spark, partitions = 4)
+    Seq(":fr/x", ":fr/y").foreach(a =>
+      bm.createAttribute(a, AttributeConfig(sem)))
+    bm.register(Rule("q", plan))
+    bm.interest("q")
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[Any], (Long, Long), Long)]
+    zoo.groupBy(_.sys).toSeq.sortBy(_._1).foreach { case (s, ds) =>
+      shape match {
+        case "seq" => bm.transact(ds.map(d => bm.BiDatom(
+          Value.eid(d.e), d.a, Value.num(d.v), (s, d.event), d.diff)))
+        case "frame" => bm.transactFrame(frameOf(ds))
+        case "history" => // per-attribute registerHistory form
+          ds.groupBy(_.a).toSeq.sortBy(_._1).foreach { case (a, as) =>
+            bm.registerHistory(a, frameOf(as).drop("a"))
+          }
+      }
+      bm.advance(s + 1L)
+      got ++= bm.drain("q")
+    }
+    got ++= bm.drain("q")
+    ms(got.toSeq)
+  }
+
+  test("frame-ingest drain == Seq-transact drain (semantics x plan zoo)") {
+    for {
+      sem <- Seq(InputSemantics.Raw, InputSemantics.Distinct,
+        InputSemantics.LastWriteWins)
+      (label, plan) <- plans
+      shape <- Seq("frame", "history")
+    } {
+      val want = run(sem, plan, "seq")
+      val got = run(sem, plan, shape)
+      assert(got == want, s"$sem/$label/$shape:\n want=$want\n got =$got")
+      assert(want.nonEmpty, s"$sem/$label produced no diffs (vacuous)")
+    }
+  }
+
+  test("mixed Seq + frame transacts agree with all-Seq (mid-history migration)") {
+    def drive(frameAt: Set[Long]): Out = {
+      val bm = new BiMaintained(spark, partitions = 4)
+      Seq(":fr/x", ":fr/y").foreach(a =>
+        bm.createAttribute(a, AttributeConfig(InputSemantics.Raw)))
+      bm.register(Rule("q", Plan.MatchA(0, ":fr/x", 1)))
+      bm.interest("q")
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(Seq[Any], (Long, Long), Long)]
+      zoo.groupBy(_.sys).toSeq.sortBy(_._1).foreach { case (s, ds) =>
+        if (frameAt(s)) bm.transactFrame(frameOf(ds))
+        else bm.transact(ds.map(d => bm.BiDatom(
+          Value.eid(d.e), d.a, Value.num(d.v), (s, d.event), d.diff)))
+        bm.advance(s + 1L)
+        got ++= bm.drain("q")
+      }
+      ms(got.toSeq)
+    }
+    val want = drive(Set.empty)
+    // Frame at sys=1 forces the driver→distributed migration mid-history;
+    // the sys=2 Seq transact then lands on the migrated store.
+    val got = drive(Set(1L))
+    assert(got == want, s"mixed ingest diverged:\n want=$want\n got =$got")
+    assert(want.nonEmpty)
+  }
+
+  test("1M-datom frame ingests with zero driver materialization of the batch") {
+    val n = 1000000L
+    val bm = new BiMaintained(spark, partitions = 8)
+    bm.createAttribute(":bulk/x", AttributeConfig(InputSemantics.Raw))
+    bm.register(Rule("bulk", Plan.MatchA(0, ":bulk/x", 1)))
+    var delivered = 0L
+    val sink = new ForeachFrameSink((_, _, df) => {
+      delivered += df.count() // distributed count — rows never collected
+    })
+    bm.interestSink("bulk", sink)
+    // The backfill: 1M versioned facts built lazily from range() — no
+    // driver Seq exists at any point. 4 distinct event coordinates.
+    val df = spark.range(n).select(
+      col("id").as("e"), lit(":bulk/x").as("a"),
+      pmod(col("id"), lit(1000L)).as("v"),
+      lit(0L).as("sys"), pmod(col("id"), lit(4L)).as("event"),
+      lit(1L).as("diff"))
+    bm.transactFrame(df)
+    val probe = bm.frameIngestProbe
+    assert(probe("datoms") == n, s"ingested ${probe("datoms")} of $n")
+    assert(probe("driverLatticeRows") <= 8L && probe("driverAttrRows") == 1L,
+      s"driver saw more than control-plane rows: $probe")
+    assert(bm.datomCountProbe == n)
+    bm.advance(1L)
+    assert(delivered == n,
+      s"expected $n delivered diff rows through the sink, got $delivered")
+    val cp = bm.controlPlaneStats
+    assert(cp("resultRows") == 0L && cp("ledgerEntries") == 0L &&
+      cp("outRows") == 0L,
+      s"driver must hold only control-plane state, got $cp")
+  }
+
+  test("closed-time frames reject all-or-nothing; dense lattices trip the cap") {
+    val bm = new BiMaintained(spark, partitions = 4)
+    bm.createAttribute(":fr2/x", AttributeConfig(InputSemantics.Raw))
+    bm.register(Rule("q", Plan.MatchA(0, ":fr2/x", 1)))
+    bm.interest("q")
+    bm.transactFrame(frameOf(Seq(BD(1, ":fr2/x", 1, 0, 0, 1))))
+    bm.advance(1L)
+    val before = bm.controlPlaneStats
+    // sys=0 is now closed: the whole frame must reject, leaving no
+    // phantom pending times or sequence numbers behind.
+    intercept[IllegalArgumentException] {
+      bm.transactFrame(frameOf(
+        Seq(BD(2, ":fr2/x", 2, 1, 0, 1), BD(3, ":fr2/x", 3, 0, 0, 1))))
+    }
+    assert(bm.controlPlaneStats == before)
+    assert(bm.datomCountProbe == 1L)
+    // A dense windowless history must fail loudly at the lattice cap,
+    // not collect a data-sized driver lattice.
+    val prev = sys.props.put("graft.bi.lattice.cap", "100")
+    try {
+      val dense = spark.range(1000L).select(
+        col("id").as("e"), lit(":fr2/x").as("a"), col("id").as("v"),
+        (col("id") + 1L).as("sys"), col("id").as("event"), lit(1L).as("diff"))
+      val ex = intercept[IllegalArgumentException] { bm.transactFrame(dense) }
+      assert(ex.getMessage.contains("Coarsen"), ex.getMessage)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.bi.lattice.cap") = v
+        case None    => sys.props.remove("graft.bi.lattice.cap")
+      }
+    }
+  }
+}
