@@ -190,10 +190,14 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     * merge per processed time, and each time's diffs reach the sink as
     * a DataFrame with columns `c0..cn, _t (sys), _event, _diff` —
     * nothing result-sized is ever collected on the driver. `drain`
-    * stays empty for sink-delivered standings. Per-time cost is
-    * O(|R| + |ledger|) NARROW distributed work (full-outer merge on the
-    * tuple columns) — the same asymptotic sweep the collected path does
-    * driver-side, relocated to where a 100 TB result fits. */
+    * stays empty for sink-delivered standings. Per-time cost: on a
+    * MONOTONE event schedule (each delivered time's event covers the
+    * ledger) diff(t) reduces to the deltas accumulated since the last
+    * deliver, so the fast path delivers O(delta) directly — the
+    * O(|R| + |ledger|) full-outer merge runs only at the first deliver,
+    * at genuine product-order regressions (a processed time whose event
+    * undercuts a delivered one), and as an amortized segment fold every
+    * `graft.bi.sink.segcap` fast delivers. */
   def interestSink(name: String, sink: graft.sinks.DiffSink,
       granularity: Option[(Long, Long)]): Unit =
     attach(name, granularity, Some(sink))
@@ -471,11 +475,24 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     val out = mutable.ArrayBuffer.empty[(Seq[Any], BiTimePair, Long)]
     // ---- distributed delivery state (sink = Some): R and the ledger as
     // checkpointed frames, never collected --------------------------------
-    // (cols c0..cn, _w) — the accumulated result R(t).
+    // (cols c0..cn, _w) — the accumulated result R as of the last
+    // CONSOLIDATION point (full merge or segment-cap fold); null=empty.
     var rFrame: DataFrame = null
     // (cols c0..cn, _event, _w) — delivered diffs netted by EVENT
-    // coordinate (the same exact compaction the driver TreeMap does).
+    // coordinate (the same exact compaction the driver TreeMap does),
+    // as of the last consolidation point; null = empty.
     var ledgerFrame: DataFrame = null
+    // Diffs DELIVERED since the last consolidation, one (event, frame)
+    // per delivered time — each frame is already eagerly checkpointed
+    // (the deliver materialized it), so holding them is file references,
+    // not lineage. On the monotone fast path NEITHER rFrame nor
+    // ledgerFrame is touched per time: R(now) ≡ rFrame + Σ segments +
+    // pendingDelta and ledger(now) ≡ ledgerFrame + segments, both
+    // reconstructed only when a full merge or consolidation needs them.
+    val segments = mutable.ArrayBuffer.empty[(Long, DataFrame)]
+    // (cols c0..cn, _w) — deltas accumulated since the last deliver,
+    // netted lazily; the monotone fast path delivers exactly this.
+    var pendingDelta: DataFrame = null
     // Empty-delivery short-circuit state (driver scalars): `dirty` —
     // a delta frame was accumulated since the last deliver;
     // `ledgerMaxEvent` — the highest event coordinate with ledger
@@ -531,15 +548,17 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
       import org.apache.spark.sql.functions.{col, sum}
       import graft.kernel.Ckpt._
       val cols = diffs.columns.dropRight(1).toSeq // c0..cn (last is _w)
-      val staged = rFrame match {
+      val staged = pendingDelta match {
         case null => diffs
         case prev => prev.unionByName(diffs)
       }
       // LAZY cut: the frame materializes inside the next consumer's job
-      // (the deliver merge) instead of paying its own eager job per
-      // advance — at 10+ lattice times per bitemporal batch the
-      // per-time job count is the dominant cost on small deltas.
-      rFrame = staged.groupBy(cols.map(col): _*)
+      // (the deliver) instead of paying its own eager job per advance —
+      // at 10+ lattice times per bitemporal batch the per-time job
+      // count is the dominant cost on small deltas. Only the DELTA is
+      // staged: R itself is untouched until a full merge or
+      // consolidation needs it (the O(delta) fast-path contract).
+      pendingDelta = staged.groupBy(cols.map(col): _*)
         .agg(sum(col("_w")).as("_w")).where(col("_w") =!= 0L)
         .graftCheckpoint(false)
       dirty = true
@@ -586,22 +605,110 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
         }
     }
 
+    /** Net a union of already-checkpointed frames on `by` (null inputs
+      * skipped; null when all are). */
+    private def netUnion(frames: Seq[DataFrame], by: Seq[String]): DataFrame = {
+      import org.apache.spark.sql.functions.{col, sum}
+      frames.filter(_ ne null) match {
+        case Seq()  => null
+        case Seq(f) => f
+        case fs => fs.reduce(_ unionByName _).groupBy(by.map(col): _*)
+          .agg(sum(col("_w")).as("_w")).where(col("_w") =!= 0L)
+      }
+    }
+
+    private def segFrames(withEvent: Boolean): Seq[DataFrame] = {
+      import org.apache.spark.sql.functions.{col, lit}
+      segments.toSeq.map { case (ev, f) =>
+        val cols = f.columns.dropRight(1).toSeq
+        if (withEvent)
+          f.select(cols.map(col) :+ lit(ev).as("_event") :+
+            col("_diff").as("_w"): _*)
+        else f.withColumnRenamed("_diff", "_w")
+      }
+    }
+
+    /** Fold the delivered segments into the consolidated R/ledger
+      * frames once their count crosses the cap — bounds the union
+      * fan-in (plan size) of the eventual full merge while keeping the
+      * per-time fast path O(delta). Amortized: one O(|R| + |ledger|)
+      * fold per `graft.bi.sink.segcap` (default 32) fast delivers.
+      * EAGER cuts — a lazily stacked consolidation would re-grow the
+      * lineage the segment discipline exists to bound. */
+    private def maybeConsolidate(): Unit = {
+      import graft.kernel.Ckpt._
+      val cap = sys.props.get("graft.bi.sink.segcap").map(_.toInt).getOrElse(32)
+      if (segments.size >= cap) {
+        val cols = segments.head._2.columns.dropRight(1).toSeq
+        rFrame = netUnion(rFrame +: segFrames(withEvent = false), cols) match {
+          case null => null
+          case f => val c = f.graftCheckpoint(true); c.count(); c
+        }
+        ledgerFrame =
+          netUnion(ledgerFrame +: segFrames(withEvent = true),
+            cols :+ "_event") match {
+            case null => null
+            case f => val c = f.graftCheckpoint(true); c.count(); c
+          }
+        segments.clear()
+        sinkDeliveryStats("consolidate") += 1L
+      }
+    }
+
     private def deliverFrame(t: BiTimePair, s: graft.sinks.DiffSink): Unit = {
       import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
       import graft.kernel.Ckpt._
-      // The ledger only ever grows from delivered diffs, which require
-      // an accumulated R first — so rFrame == null means nothing can
-      // differ from the (empty) delivered state yet.
-      if (rFrame == null) return
+      // Nothing was ever accumulated: nothing can differ from the
+      // (empty) delivered state yet.
+      if (rFrame == null && segments.isEmpty && pendingDelta == null) return
       // Provably-empty delivery: with no delta since the last deliver
       // and the ledger fully covered at this event bound,
       // acc(t) = Σ_all ledger = R and diff(t) = 0 — no jobs to run.
       // (A standing whose referenced attributes saw no transition this
       // time, on a monotone event schedule, pays nothing.)
-      if (!dirty && fullyDelivered && t._2 >= ledgerMaxEvent) return
-      val base = rFrame
-      val cols = base.columns.dropRight(1).toSeq
-      val diff0 = ledgerFrame match {
+      if (!dirty && fullyDelivered && t._2 >= ledgerMaxEvent) {
+        sinkDeliveryStats("skip") += 1L
+        return
+      }
+      val cols = (pendingDelta match {
+        case null => if (rFrame ne null) rFrame else segments.head._2
+        case p    => p
+      }).columns.dropRight(1).toSeq
+      if (fullyDelivered && t._2 >= ledgerMaxEvent) {
+        // MONOTONE FAST PATH (the round-13 scale note): the last
+        // deliver's accumulation covered the whole ledger (Σ_all = R
+        // held then) and this time's event bound covers every entry, so
+        // acc(t) = Σ_all = R(before the pending deltas) and
+        // diff(t) = pendingDelta exactly — deliver it directly,
+        // O(delta) scanned bytes, no O(|R| + |ledger|) merge. The full
+        // merge below remains for genuine product-order regressions
+        // (a processed time whose event undercuts a delivered one).
+        val diff = pendingDelta.withColumnRenamed("_w", "_diff")
+          .graftCheckpoint(true)
+        if (diff.count() > 0L) {
+          segments += ((t._2, diff))
+          ledgerMaxEvent = math.max(ledgerMaxEvent, t._2)
+          s.deliver(name, t._1, diff.select(
+            cols.map(col) :+ lit(t._1).as("_t") :+ lit(t._2).as("_event") :+
+              col("_diff"): _*))
+        }
+        pendingDelta = null
+        dirty = false
+        fullyDelivered = true // t._2 ≥ (possibly raised) ledgerMaxEvent
+        sinkDeliveryStats("fast") += 1L
+        maybeConsolidate()
+        return
+      }
+      // FULL MERGE (first deliver, or a product-order regression):
+      // reconstruct R(now) and the event-filtered accumulation from the
+      // consolidated frames + delivered segments + pending deltas, and
+      // make this a consolidation point (the merge already swept them).
+      val base = netUnion(
+        rFrame +: (segFrames(withEvent = false) :+ pendingDelta), cols)
+        .graftCheckpoint(false)
+      val ledgerAll = netUnion(
+        ledgerFrame +: segFrames(withEvent = true), cols :+ "_event")
+      val diff0 = ledgerAll match {
         case null => base.withColumnRenamed("_w", "_diff")
         case l =>
           val acc = l.where(col("_event") <= t._2)
@@ -618,30 +725,43 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
                 coalesce(col("a._acc"), lit(0L))).as("_diff"): _*)
       }
       val diff = diff0.where(col("_diff") =!= 0L).graftCheckpoint(true)
+      rFrame = base
       if (diff.count() > 0L) {
         val entry = diff.select(cols.map(col) :+ lit(t._2).as("_event") :+
           col("_diff").as("_w"): _*)
-        ledgerFrame = (ledgerFrame match {
+        ledgerFrame = (ledgerAll match {
           case null => entry
           case l => l.unionByName(entry)
             .groupBy((cols :+ "_event").map(col): _*)
             .agg(sum(col("_w")).as("_w")).where(col("_w") =!= 0L)
-        }).graftCheckpoint(false) // lazy — materializes at the next deliver
+        }).graftCheckpoint(false) // lazy — materializes at the next merge
         ledgerMaxEvent = math.max(ledgerMaxEvent, t._2)
         s.deliver(name, t._1, diff.select(
           cols.map(col) :+ lit(t._1).as("_t") :+ lit(t._2).as("_event") :+
             col("_diff"): _*))
-      }
+      } else ledgerFrame =
+        if (ledgerAll eq null) null else ledgerAll.graftCheckpoint(false)
+      segments.clear()
+      pendingDelta = null
       // After a deliver whose accumulation covered the WHOLE ledger,
       // Σ_all ledger == R (diff closed the gap); entries above t.event
       // (impossible here since the merge bound max at t._2 when it was
       // covering) would break the invariant — tracked via the bound.
       dirty = false
       fullyDelivered = t._2 >= ledgerMaxEvent
+      sinkDeliveryStats("full") += 1L
     }
   }
 
   private val standings = mutable.Map.empty[String, Standing]
+
+  /** Spec probe: which delivery path each sink deliver took — `fast`
+    * (monotone O(delta) direct delivery), `full` (the O(|R|+|ledger|)
+    * product-order merge), `skip` (provably empty), `consolidate`
+    * (segment fold). Pins the fast-path contract in
+    * `BiSinkDeliverySpec`. */
+  private[graft] val sinkDeliveryStats =
+    mutable.Map.empty[String, Long].withDefaultValue(0L)
 
   private val biDebug = sys.env.contains("GRAFT_BI_DEBUG")
   private def btrace(msg: => String): Unit =

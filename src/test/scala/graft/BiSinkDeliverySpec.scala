@@ -130,6 +130,62 @@ class BiSinkDeliverySpec extends AnyFunSuite {
     assert(want("qx").nonEmpty && want("qy").nonEmpty)
   }
 
+  test("monotone schedules take the O(delta) fast path; regressions full-merge; consolidation stays exact") {
+    // Drive a MONOTONE event schedule (event grows with sys) through
+    // the sink edge with a tiny segment cap, then a late event write.
+    // Pins: (1) after the first deliver every monotone time is a FAST
+    // deliver (pendingDelta handed to the sink directly — no
+    // O(|R|+|ledger|) merge); (2) the segment cap folds segments
+    // (consolidation) without changing output; (3) the late write falls
+    // back to exactly one full merge; (4) multiset parity with the
+    // collected path throughout.
+    def drive(sinkSide: Boolean): (Out, Map[String, Long]) = {
+      val bm = new BiMaintained(spark, partitions = 4)
+      bm.createAttribute(":fp/x", AttributeConfig(InputSemantics.Raw))
+      bm.register(Rule("q", Plan.MatchA(0, ":fp/x", 1)))
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(Seq[Any], (Long, Long), Long)]
+      if (sinkSide) {
+        val sink = new ForeachFrameSink((_, _, df) => {
+          val n = df.columns.length - 3
+          df.collect().foreach { row =>
+            got += (((0 until n).map(i => Engine.deepNative(row.get(i))),
+              (row.getLong(n), row.getLong(n + 1)), row.getLong(n + 2)))
+          }
+        })
+        bm.interestSink("q", sink)
+      } else bm.interest("q")
+      (0L to 7L).foreach { s =>
+        bm.transact(Seq(bm.BiDatom(Value.eid(s), ":fp/x", Value.num(s), (s, s), 1L)))
+        bm.advance(s + 1L)
+        if (!sinkSide) got ++= bm.drain("q")
+      }
+      // Late event write: sys=8 at event 0 undercuts every delivered
+      // coordinate — the product-order regression the merge exists for.
+      bm.transact(Seq(bm.BiDatom(Value.eid(99L), ":fp/x", Value.num(7L), (8L, 0L), 1L)))
+      bm.advance(9L)
+      if (!sinkSide) got ++= bm.drain("q")
+      (ms(got.toSeq), bm.sinkDeliveryStats.toMap)
+    }
+    val prev = sys.props.put("graft.bi.sink.segcap", "3")
+    try {
+      val (want, _) = drive(sinkSide = false)
+      val (gotS, stats) = drive(sinkSide = true)
+      assert(gotS == want, s"fast-path drain diverged:\n want=$want\n got =$gotS")
+      assert(want.nonEmpty)
+      // First deliver + the regression are full merges; the 7 monotone
+      // times in between are all fast; the cap-3 segment buffer folds.
+      assert(stats.getOrElse("fast", 0L) == 7L, s"stats=$stats")
+      assert(stats.getOrElse("full", 0L) == 2L, s"stats=$stats")
+      assert(stats.getOrElse("consolidate", 0L) >= 1L, s"stats=$stats")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.bi.sink.segcap") = v
+        case None    => sys.props.remove("graft.bi.sink.segcap")
+      }
+    }
+  }
+
   test("data-sized standing MatchA delivers 1M+ rows with a control-plane driver") {
     val n = 600000
     val bm = new BiMaintained(spark, partitions = 8)
