@@ -92,6 +92,27 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
   private val interests = mutable.LinkedHashSet.empty[String]
   private var sysFrontier: Long = 0L
   private var seqCounter: Long = 0L
+  private var eventWatermark: Long = Long.MinValue
+
+  /** Declare the EVENT-axis watermark: no future transact will write a
+    * datom with `event < bound` (enforced loudly on every ingest path).
+    * This is the event mirror of `advance`'s sys frontier, and it is
+    * what makes delivery-ledger compaction SOUND: ledger entries are
+    * distinguished only by `event ≤ t.event` range tests against future
+    * query times, and future times' events come from future datoms —
+    * so only a declared bound (the reference's frontier-driven
+    * compaction discipline) can license collapsing entries at dominated
+    * event coordinates into one. Entries at events ≤
+    * `min(coarse(bound), min pending event)` then merge at the bound at
+    * the next consolidation, and the ledger plateaus under monotone
+    * churn instead of growing with distinct event coordinates
+    * (`BiSinkDeliverySpec`). Unset (the default): the ledger keeps
+    * every event coordinate forever — exact, no assumption. */
+  def advanceEvent(bound: Long): Unit = {
+    require(bound >= eventWatermark,
+      s"cannot rewind the event watermark from $eventWatermark to $bound")
+    eventWatermark = bound
+  }
 
   /** Driver-store byte gate. Unlike the closure maintainer's driver
     * index (which is BROADCAST — shipped to every executor per job),
@@ -288,6 +309,10 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
       require(ct._1 >= sysFrontier,
         s"write at closed system time ${ct._1}: frontier at $sysFrontier")
     }
+    if (eventWatermark != Long.MinValue) for (d <- datoms)
+      require(d.t._2 >= eventWatermark,
+        s"write at event time ${d.t._2} under the declared event " +
+          s"watermark $eventWatermark")
     val recs = datoms.map { d =>
       configs.getOrElseUpdate(d.a, AttributeConfig())
       if (!firstKind.contains(d.a)) firstKind(d.a) = ValueKind.of(d.v)
@@ -404,6 +429,12 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
       val minSys = times.iterator.map(_._1).min
       require(minSys >= sysFrontier,
         s"write at closed system time $minSys: frontier at $sysFrontier")
+    }
+    if (eventWatermark != Long.MinValue) {
+      val minEv = fineTimes.map(_._2).min()
+      require(minEv >= eventWatermark,
+        s"write at event time $minEv under the declared event " +
+          s"watermark $eventWatermark")
     }
 
     // Attribute registration (distinct list — bounded by the schema).
@@ -603,18 +634,76 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
               "register the interest with interestSink for data-sized " +
               "results")
         }
+        compactLedgerDriver()
+    }
+
+    /** The collected-path twin of the distributed event-dominance
+      * collapse: TreeMap entries at events ≤ the collapse bound merge
+      * into one map at the bound (their range-scan behavior is
+      * identical for every possible future query under the declared
+      * watermark). */
+    private def compactLedgerDriver(): Unit = collapseBound.foreach { b =>
+      val below = ledger.iterator.takeWhile(_._1 <= b).toSeq
+      if (below.size > 1 || below.exists(_._1 < b)) {
+        val merged = below.iterator.map(_._2)
+          .foldLeft(Map.empty[Seq[Any], Long]) { (acc0, mm) =>
+            mm.foldLeft(acc0) { case (m, (k, w)) =>
+              val nw = m.getOrElse(k, 0L) + w
+              if (nw == 0L) m.removed(k) else m.updated(k, nw)
+            }
+          }
+        val above = TreeMap.from(ledger.iterator.filter(_._1 > b))
+        ledger = if (merged.isEmpty) above else above.updated(b, merged)
+      }
     }
 
     /** Net a union of already-checkpointed frames on `by` (null inputs
-      * skipped; null when all are). */
-    private def netUnion(frames: Seq[DataFrame], by: Seq[String]): DataFrame = {
+      * skipped; null when all are). `forceNet` nets even a single frame
+      * (needed when an event-floor rewrite introduced merge candidates). */
+    private def netUnion(frames: Seq[DataFrame], by: Seq[String],
+        forceNet: Boolean = false): DataFrame = {
       import org.apache.spark.sql.functions.{col, sum}
       frames.filter(_ ne null) match {
-        case Seq()  => null
-        case Seq(f) => f
+        case Seq()                  => null
+        case Seq(f) if !forceNet    => f
         case fs => fs.reduce(_ unionByName _).groupBy(by.map(col): _*)
           .agg(sum(col("_w")).as("_w")).where(col("_w") =!= 0L)
       }
+    }
+
+    /** Event coordinate at or below which ledger entries are
+      * indistinguishable by every POSSIBLE future accumulation query —
+      * None without a declared watermark (then nothing may collapse:
+      * a future late write could query between any two coordinates).
+      * Future query events come from (a) future datoms, whose fine
+      * events the watermark bounds (coarse is monotone, so this lane's
+      * coarse events are ≥ coarse(watermark)), and (b) the
+      * already-pending lattice times. Entries at events ≤ the bound
+      * merge AT the bound: any future query's range test includes
+      * either all of them or none. */
+    private def collapseBound: Option[Long] =
+      if (eventWatermark == Long.MinValue) None
+      else {
+        val cw = lane.win match {
+          case Some((_, we)) => BiTime.coarse(eventWatermark, we)
+          case None          => eventWatermark
+        }
+        val pendMin = lane.pendingTimes.iterator.map(_._2)
+          .minOption.getOrElse(Long.MaxValue)
+        Some(math.min(cw, pendMin))
+      }
+
+    private[BiMaintained] def ledgerRowCount: Long =
+      if (ledgerFrame eq null) 0L else ledgerFrame.count()
+
+    /** Rewrite a ledger-shaped frame's dominated event coordinates to
+      * the collapse bound (net afterwards to realize the merge). */
+    private def floorEvents(f: DataFrame, bound: Long): DataFrame = {
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val tupleCols = f.columns.filterNot(c => c == "_event" || c == "_w").toSeq
+      f.select(tupleCols.map(col) :+
+        when(col("_event") <= bound, lit(bound)).otherwise(col("_event"))
+          .as("_event") :+ col("_w"): _*)
     }
 
     private def segFrames(withEvent: Boolean): Seq[DataFrame] = {
@@ -635,18 +724,22 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
       * fold per `graft.bi.sink.segcap` (default 32) fast delivers.
       * EAGER cuts — a lazily stacked consolidation would re-grow the
       * lineage the segment discipline exists to bound. */
-    private def maybeConsolidate(): Unit = {
+    private[BiMaintained] def maybeConsolidate(force: Boolean = false): Unit = {
       import graft.kernel.Ckpt._
       val cap = sys.props.get("graft.bi.sink.segcap").map(_.toInt).getOrElse(32)
-      if (segments.size >= cap) {
+      if (segments.size >= cap || (force && segments.nonEmpty)) {
         val cols = segments.head._2.columns.dropRight(1).toSeq
         rFrame = netUnion(rFrame +: segFrames(withEvent = false), cols) match {
           case null => null
           case f => val c = f.graftCheckpoint(true); c.count(); c
         }
+        val fl = collapseBound
+        val ledgerIn = (ledgerFrame +: segFrames(withEvent = true)).map {
+          case null => null
+          case f    => fl.fold(f)(floorEvents(f, _))
+        }
         ledgerFrame =
-          netUnion(ledgerFrame +: segFrames(withEvent = true),
-            cols :+ "_event") match {
+          netUnion(ledgerIn, cols :+ "_event", forceNet = fl.nonEmpty) match {
             case null => null
             case f => val c = f.graftCheckpoint(true); c.count(); c
           }
@@ -706,8 +799,12 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
       val base = netUnion(
         rFrame +: (segFrames(withEvent = false) :+ pendingDelta), cols)
         .graftCheckpoint(false)
+      val flB = collapseBound
       val ledgerAll = netUnion(
-        ledgerFrame +: segFrames(withEvent = true), cols :+ "_event")
+        (ledgerFrame +: segFrames(withEvent = true)).map {
+          case null => null
+          case f    => flB.fold(f)(floorEvents(f, _))
+        }, cols :+ "_event", forceNet = flB.nonEmpty)
       val diff0 = ledgerAll match {
         case null => base.withColumnRenamed("_w", "_diff")
         case l =>
@@ -754,6 +851,15 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
   }
 
   private val standings = mutable.Map.empty[String, Standing]
+
+  /** Spec probe: the sink-path ledger's resident row count after a
+    * forced segment fold — pins the event-dominance plateau under a
+    * declared watermark. */
+  private[graft] def ledgerRowsProbe(name: String): Long = {
+    val st = standings(name)
+    st.maybeConsolidate(force = true)
+    st.ledgerRowCount
+  }
 
   /** Spec probe: which delivery path each sink deliver took — `fast`
     * (monotone O(delta) direct delivery), `full` (the O(|R|+|ledger|)
