@@ -43,11 +43,30 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.contains(name))
     }
+    // Shared cross-query artifacts (the corpus token-hash pass, LSH
+    // bucket/pair tables, the digest-group family) are built once per
+    // (session, SF) and read by many queries; building them under their
+    // OWN named cell stops the cost landing on whichever consumer runs
+    // first alphabetically (the q_dedup_clusters / q_contamination
+    // attribution adjudications). The "a_" prefix sorts the cell first,
+    // making the artifact line self-describing. Skipped for
+    // SPARK_GRAFT_ONLY subsets (local iteration keeps raw attribution).
+    val artRow: Seq[(String, Double, Option[String])] =
+      if (only.nonEmpty) Seq.empty
+      else {
+        val t0 = System.nanoTime()
+        val err =
+          try { graft.queries.PipelineQueries.prebuildSharedArtifacts(spark, sfDir); None }
+          catch { case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+        val secs = if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0
+        Seq(("a_shared_artifacts", secs, err))
+      }
     // A failing query must be VISIBLE in the artifact: its queries entry
     // goes negative (-1, unmistakable as a timing) and its exception
     // message lands in a top-level "errors" object — a broken query can
     // never masquerade as a fast one.
-    val results = selected.map { case (name, fn) =>
+    val results = artRow ++ selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>

@@ -71,9 +71,15 @@ object CoreQueries {
       // with distributed key-building and per-partition sequence
       // numbering. Combined with sinkDelivery, the oracle then gates
       // the fully distributed bi path: ingest → store → delivery.
-      frameIngest: Boolean = false): DataFrame = {
+      frameIngest: Boolean = false,
+      // compactSys = true halves the sys axis (ok % 2, two advances) —
+      // the frame-ingest cell gates the INGEST edge, whose per-lattice-
+      // time job cost dominates on the distributed store; delivery
+      // lattice width stays priced by q_bitemporal_sink's 6-time cell.
+      compactSys: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{expr, lit, row_number, when}
+    val sysMod = if (compactSys) 2L else 3L
     val eventCol =
       if (compactEvents) expr("pmod(CAST(o_orderkey AS BIGINT) div 3, 2)")
       else col("o_orderkey") % 7
@@ -81,7 +87,7 @@ object CoreQueries {
       .where(col("o_orderkey") <= gate)
       .select(col("o_custkey").cast("long").as("e"),
         col("o_totalprice").cast("long").as("v"),
-        (col("o_orderkey") % 3).cast("long").as("sys"),
+        (col("o_orderkey") % sysMod).cast("long").as("sys"),
         eventCol.cast("long").as("event"),
         col("o_orderkey").cast("long").as("ok"))
       .withColumn("rn", row_number().over(
@@ -110,22 +116,23 @@ object CoreQueries {
       }))
     else bm.interest("bt")
     if (frameIngest) {
-      // The data-sized edge: each system batch stays a DataFrame all
-      // the way into the distributed store — no driver Seq exists.
+      // The data-sized edge, in the REAL backfill shape: the whole
+      // versioned history (sys 0..2 mixed in one frame) ingests as ONE
+      // bulk transactFrame — a DataFrame end to end, no driver Seq —
+      // and the frontier then advances through the already-pending
+      // lattice (drain is advance-schedule independent, BiMaintainedSpec).
       val history = repsDf.withColumn("a", lit(":bt/price"))
         .select("e", "a", "v", "sys", "event", "diff").persist()
-      (0L to 2L).foreach { sysT =>
-        bm.transactFrame(history.where(col("sys") === sysT))
-        bm.advance(sysT + 1L)
-      }
+      bm.transactFrame(history)
       val _ = history.unpersist(blocking = false)
+      (0L until sysMod).foreach(sysT => bm.advance(sysT + 1L))
       import s.implicits._
-      bm.transactFrame(Seq((-1L, ":bt/price", 0L, 3L, 100L, 1L))
+      bm.transactFrame(Seq((-1L, ":bt/price", 0L, sysMod, 100L, 1L))
         .toDF("e", "a", "v", "sys", "event", "diff"))
-      bm.advance(4L)
+      bm.advance(sysMod + 1L)
     } else {
       val reps = repsDf.collect()
-      (0L to 2L).foreach { sys =>
+      (0L until sysMod).foreach { sys =>
         val batch = reps.toSeq.filter(_.getLong(2) == sys).map { r =>
           bm.BiDatom(Value.eid(r.getLong(0)), ":bt/price",
             Value.num(r.getLong(1)), (sys, r.getLong(3)), r.getLong(4))
@@ -134,8 +141,8 @@ object CoreQueries {
         bm.advance(sys + 1L)
       }
       bm.transact(Seq(bm.BiDatom(
-        Value.eid(-1L), ":bt/price", Value.num(0L), (3L, 100L), 1L)))
-      bm.advance(4L)
+        Value.eid(-1L), ":bt/price", Value.num(0L), (sysMod, 100L), 1L)))
+      bm.advance(sysMod + 1L)
     }
     if (!sinkDelivery) bm.drain("bt").foreach { case (tuple, _, w) =>
       acc(tuple) = acc.getOrElse(tuple, 0L) + w
@@ -514,7 +521,8 @@ object CoreQueries {
       // BiFrameIngestSpec pins the zero-driver-materialization claim at
       // 1M datoms; this cell pins hash-exactness.
       bitemporalMaintainQ(s, dir, gate = 3000L, slack = None,
-        sinkDelivery = true, compactEvents = true, frameIngest = true)),
+        sinkDelivery = true, compactEvents = true, frameIngest = true,
+        compactSys = true)),
 
     "q_lww_maintain" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{lit, pmod, sum}
@@ -1013,11 +1021,11 @@ object CoreQueries {
            FROM (
              SELECT CAST(o_custkey AS BIGINT) AS e,
                     CAST(floor(o_totalprice) AS BIGINT) AS v,
-                    o_orderkey % 3 AS sys,
+                    o_orderkey % 2 AS sys,
                     (CAST(o_orderkey AS BIGINT) // 3) % 2 AS event,
                     CASE WHEN o_orderkey % 11 = 0 THEN -1 ELSE 1 END AS diff,
                     row_number() OVER (
-                      PARTITION BY o_custkey, o_orderkey % 3,
+                      PARTITION BY o_custkey, o_orderkey % 2,
                                    (CAST(o_orderkey AS BIGINT) // 3) % 2
                       ORDER BY o_orderkey DESC) AS rn
              FROM orders WHERE o_orderkey <= 3000)

@@ -127,6 +127,24 @@ object PipelineQueries {
       g, corpusM, bg, benchM, 4))
   }
 
+  /** Force-build every cross-query shared artifact for `(s, dir)` —
+    * the corpus token-hash pass, the LSH bucket/pair tables, and the
+    * digest-group family (all eagerly checkpointed memo entries above).
+    * Bench calls this under its own timing cell (`a_shared_artifacts`)
+    * so consumer cells price their OWN plans instead of whichever query
+    * alphabetically first touches a shared checkpoint (the round-13
+    * attribution adjudications: q_dedup_clusters at sf1 was ~80%
+    * artifact build; q_contamination moved when exact-first became its
+    * default). */
+  def prebuildSharedArtifacts(s: SparkSession, dir: String): Unit = {
+    docsHp(s, dir)
+    lshBucketTable(s, dir)
+    lshCandidatePairs(s, dir)
+    digestGroups(s, dir)
+    digestMembers(s, dir)
+    ()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")),

@@ -887,8 +887,14 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     val pruneUpTo = lanes.valuesIterator.map { l =>
       if (l eq lane) newBound else l.processedBound
     }.min
+    // Single-attribute domains skip the distributed store's per-time
+    // distinct-attribute job: with exactly one registered attribute,
+    // every emitted row is provably it.
+    val attrHint =
+      if (firstKind.size == 1) Some(firstKind.keysIterator.next()) else None
     val deltas = store.transition(
-      lane.id, lane.win, lane.lastProcessed, t, sem, pruneUpTo, kindOf)
+      lane.id, lane.win, lane.lastProcessed, t, sem, pruneUpTo, kindOf,
+      attrHint)
     lane.lastProcessed = Some(t)
     val t2 = System.nanoTime()
     for (name <- laneInterests) {

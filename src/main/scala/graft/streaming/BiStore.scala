@@ -42,7 +42,12 @@ private[streaming] sealed trait BiStore {
   def transition(lane: Int, win: Option[(Long, Long)],
       tPrev: Option[(Long, Long)], t: (Long, Long),
       sem: BiVisibility.Sem, pruneUpTo: Long,
-      kindOf: String => ValueKind): Map[String, DataFrame]
+      kindOf: String => ValueKind,
+      // Caller-known single-attribute domains (Some(a) = every emitted
+      // row is attribute `a`): lets the distributed sibling skip the
+      // per-time distinct-attribute job — per-lattice-time job count is
+      // the dominant cost of small advances on the cell store.
+      attrHint: Option[String] = None): Map[String, DataFrame]
 
   /** Lane `lane`'s full emitted view per attribute — replay for
     * late/rebuilt standing queries. */
@@ -106,7 +111,8 @@ private[streaming] final class DriverBiStore(spark: SparkSession)
   def transition(lane: Int, win: Option[(Long, Long)],
       tPrev: Option[(Long, Long)], t: (Long, Long),
       sem: BiVisibility.Sem, pruneUpTo: Long,
-      kindOf: String => ValueKind): Map[String, DataFrame] = {
+      kindOf: String => ValueKind,
+      attrHint: Option[String] = None): Map[String, DataFrame] = {
     val t0 = System.nanoTime()
     val (next, rows) = vis.transition(lane, win, tPrev, t, sem, pruneUpTo)
     vis = next
@@ -194,13 +200,18 @@ private[streaming] final class CellBiStore(
   def transition(lane: Int, win: Option[(Long, Long)],
       tPrev: Option[(Long, Long)], t: (Long, Long),
       sem: BiVisibility.Sem, pruneUpTo: Long,
-      kindOf: String => ValueKind): Map[String, DataFrame] = {
+      kindOf: String => ValueKind,
+      // Caller-known single-attribute domains (Some(a) = every emitted
+      // row is attribute `a`): lets the distributed sibling skip the
+      // per-time distinct-attribute job — per-lattice-time job count is
+      // the dominant cost of small advances on the cell store.
+      attrHint: Option[String] = None): Map[String, DataFrame] = {
     val (out, n) = cell.advance1Counted(
         sc.parallelize(Seq.empty[Int], partitions)) { (vis, _) =>
       val (next, rows) = vis.transition(lane, win, tPrev, t, sem, pruneUpTo)
       (next, rows)
     }
-    framesFrom(out, n, kindOf)
+    framesFrom(out, n, kindOf, attrHint)
   }
 
   def dump(lane: Int, kindOf: String => ValueKind): Map[String, DataFrame] = {
@@ -234,9 +245,11 @@ private[streaming] final class CellBiStore(
   /** Per-attribute typed frames over a checkpointed (a, e, v, w) RDD —
     * the only driver-sized read is the distinct attribute-name list. */
   private def framesFrom(out: RDD[(String, Any, Any, Long)], n: Long,
-      kindOf: String => ValueKind): Map[String, DataFrame] =
+      kindOf: String => ValueKind,
+      attrHint: Option[String] = None): Map[String, DataFrame] =
     if (n == 0L) Map.empty
-    else out.map(_._1).distinct().collect().iterator.map { a =>
+    else attrHint.map(Array(_))
+      .getOrElse(out.map(_._1).distinct().collect()).iterator.map { a =>
       a -> spark.createDataFrame(
         out.filter(_._1 == a).map { case (_, e, v, w) => Row(e, v, w) },
         BiStore.schema(kindOf(a)))
