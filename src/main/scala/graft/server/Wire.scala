@@ -319,6 +319,88 @@ object Wire {
 
   // --------------------------------------------------------------- pieces
 
+  // ------------------------------------------- bitemporal domain wire
+
+  /** `Time::Bi(Duration, u64)` (`src/timestamp/mod.rs:13-20`):
+    * `{"Bi":[{"secs":s,"nanos":n}, event]}` — the sys coordinate maps to
+    * epoch-ms exactly like `Real`; a bare `[sys, event]` number pair or
+    * `{"Bi":[sysMs, event]}` is accepted as the lenient CLI shape. */
+  def biTimeOf(j: J): (Long, Long) = j match {
+    case JArr(Vector(s: JNum, e: JNum)) => (long(s), long(e))
+    case o: JObj =>
+      o.fields match {
+        case Vector(("Bi", JArr(Vector(d, e)))) =>
+          val sysMs = d match {
+            case n: JNum => long(n)
+            case ro: JObj => long(ro.get("secs").get) * 1000L +
+              long(ro.get("nanos").get) / 1000000L
+            case other => scala.sys.error(s"unsupported bi sys time: $other")
+          }
+          (sysMs, long(e))
+        case other => scala.sys.error(s"unsupported bi time: $other")
+      }
+    case other => scala.sys.error(s"unsupported bi time: $other")
+  }
+
+  def renderBiTime(t: (Long, Long)): String =
+    s"""{"Bi":[{"secs":${t._1 / 1000L},"nanos":${(t._1 % 1000L) * 1000000L}},${t._2}]}"""
+
+  /** Bitemporal-domain request surface: the SAME reference `Request`
+    * grammar, read with `Time::Bi` where the unitemporal server reads
+    * `TxId`/`Real` — Transact datoms carry pair times, an Interest
+    * granularity is a pair window, AdvanceDomain advances the system
+    * frontier. Every other request passes through unchanged (one domain
+    * type per server process, as the reference runs). */
+  sealed trait BiWireReq
+  object BiWireReq {
+    final case class BiTransact(
+        datoms: Seq[(Long, String, Value, (Long, Long), Long)]) extends BiWireReq
+    final case class BiInterest(name: String,
+        granularity: Option[(Long, Long)],
+        sink: Option[Request.SinkSpec]) extends BiWireReq
+    final case class BiAdvance(sys: Long) extends BiWireReq
+    final case class Passthrough(r: Request) extends BiWireReq
+  }
+
+  def parseBiRequests(json: String): Seq[BiWireReq] = {
+    def one(j: J): BiWireReq = j match {
+      case o: JObj =>
+        o.fields match {
+          case Vector(("Transact", JArr(ds))) =>
+            BiWireReq.BiTransact(ds.map {
+              case JArr(Vector(e, JStr(a), v, t, d)) =>
+                (eidOf(e), a, valueOf(v), biTimeOf(t), long(d))
+              case other => scala.sys.error(s"malformed bi datom: $other")
+            })
+          case Vector(("Interest", io: JObj)) =>
+            BiWireReq.BiInterest(str(io.get("name").get),
+              io.get("granularity").filter(_ != JNull).map(biTimeOf),
+              io.get("sink").filter(_ != JNull).map(sinkOf))
+          case Vector(("AdvanceDomain", JArr(Vector(_, t)))) =>
+            val sysT = t match {
+              case to: JObj if to.fields.exists(_._1 == "Bi") => biTimeOf(t)._1
+              case _ => timeOf(t)
+            }
+            BiWireReq.BiAdvance(sysT)
+          case _ => BiWireReq.Passthrough(requestOf(j))
+        }
+      case _ => BiWireReq.Passthrough(requestOf(j))
+    }
+    parseJson(json) match {
+      case JArr(items) => items.map(one)
+      case single      => Seq(one(single))
+    }
+  }
+
+  /** `Output::QueryDiff` with `Time::Bi` coordinates. */
+  def renderBiQueryDiff(name: String,
+      batch: Seq[(Seq[Value], (Long, Long), Long)]): String = {
+    val rows = batch.map { case (tuple, t, d) =>
+      s"""[[${tuple.map(renderValue).mkString(",")}],${renderBiTime(t)},$d]"""
+    }
+    s"""{"QueryDiff":[${qs(name)},[${rows.mkString(",")}]]}"""
+  }
+
   def datomOf(j: J): Datom = j match {
     case JArr(Vector(e, JStr(a), v, t, d)) =>
       Datom(eidOf(e), a, valueOf(v),

@@ -29,7 +29,22 @@ final class WsServer(engine: Engine, port: Int = 0,
     // Optional wall-clock domain drive: advance one epoch every period and
     // push resulting diffs — the reference server's realtime loop
     // (`server/src/main.rs:640-660`) via the scheduler module.
-    tickPeriodMillis: Option[Long] = None) {
+    tickPeriodMillis: Option[Long] = None,
+    // BITEMPORAL domain mode ([[WsServer.bi]]): the server wraps a
+    // [[graft.streaming.BiMaintained]] instead of the unitemporal engine
+    // and reads the SAME reference Request grammar with `Time::Bi`
+    // coordinates — one domain type per server process, exactly as the
+    // reference runs. Interest granularity maps to a Coarsen lane, a
+    // CsvFile sink to the data-sized `interestSink` delivery edge, and
+    // Uninterest / disconnect to lane teardown.
+    biDomain: Option[graft.streaming.BiMaintained] = None) {
+
+  require(biDomain.isEmpty || engine == null,
+    "a server process wraps ONE domain: engine or biDomain, not both")
+  require(biDomain.nonEmpty || engine != null,
+    "a server needs a domain: pass an engine or use WsServer.bi")
+  require(biDomain.isEmpty || tickPeriodMillis.isEmpty,
+    "the realtime ticker drives the unitemporal engine only")
 
   private val serverSocket = new ServerSocket(port)
   @volatile private var running = true
@@ -188,7 +203,7 @@ final class WsServer(engine: Engine, port: Int = 0,
           heldCoarse.filterInPlace { case ((cid, _), _) => cid != id }
           names.foreach { name =>
             if (!clients.values.exists(_._2.contains(name)))
-              try engine.uninterest(name) catch { case NonFatal(_) => () }
+              try domainUninterest(name) catch { case NonFatal(_) => () }
           }
         }
       }
@@ -203,6 +218,97 @@ final class WsServer(engine: Engine, port: Int = 0,
     * (`server/src/main.rs:616-624`). */
   private def handleMessage(id: Long, text: String): Unit = synchronized {
     nextTx += 1
+    try biDomain match {
+      case Some(bm) => handleBi(bm, id, text)
+      case None     => handleUni(id, text)
+    } catch {
+      case NonFatal(e) =>
+        val (category, message) = e match {
+          case graft.model.GraftError(c, m) => (c, m)
+          case _ => ("df.error.category/incorrect", String.valueOf(e.getMessage))
+        }
+        clients.get(id).foreach { case (out, _) =>
+          send(out, Wire.renderOutput(Output.Error(id, category, message, nextTx)))
+        }
+    }
+  }
+
+  /** Tear a standing down on whichever domain this server wraps. */
+  private def domainUninterest(name: String): Unit = biDomain match {
+    case Some(bm) => bm.uninterest(name)
+    case None     => engine.uninterest(name)
+  }
+
+  /** Bitemporal command dispatch — the same sequencing discipline as the
+    * unitemporal path (one request batch at a time under the lock), with
+    * `Time::Bi` coordinates: Transact carries (sys, event) pair times,
+    * Interest granularity selects the Coarsen lane (with an optional
+    * CsvFile sink routing to the data-sized `interestSink` edge),
+    * AdvanceDomain moves the system frontier and pushes each standing's
+    * drained diffs as `QueryDiff` rows with `Bi` times. */
+  private def handleBi(bm: graft.streaming.BiMaintained, id: Long,
+      text: String): Unit = {
+    import Wire.BiWireReq
+    Wire.parseBiRequests(text).foreach {
+      case BiWireReq.BiTransact(ds) =>
+        bm.transact(ds.map { case (e, a, v, t, d) =>
+          bm.BiDatom(Value.VEid(e), a, v, t, d)
+        })
+      case BiWireReq.BiInterest(name, g, sinkSpec) =>
+        sinkSpec match {
+          case None => bm.interest(name, g)
+          case Some(Request.SinkSpec.CsvFile(path, _, delim, _)) =>
+            bm.interestSink(name, new graft.sinks.CsvDirSink(path, delim), g)
+          case Some(Request.SinkSpec.TheVoid(_)) =>
+            bm.interestSink(name, new graft.sinks.ForeachFrameSink(
+              (_, _, df) => { val _ = df.count(); () }), g)
+          case Some(other) =>
+            scala.sys.error(s"unsupported bitemporal sink: $other")
+        }
+        clients(id)._2 += name
+      case BiWireReq.BiAdvance(sysT) =>
+        bm.advance(sysT)
+      case BiWireReq.Passthrough(Request.CreateAttribute(name, config)) =>
+        bm.createAttribute(name, config)
+      case BiWireReq.Passthrough(Request.Register(rules, _)) =>
+        rules.foreach(bm.register)
+      case BiWireReq.Passthrough(Request.Uninterest(name)) =>
+        clients(id)._2 -= name
+        if (!clients.values.exists(_._2.contains(name)))
+          bm.uninterest(name)
+      case BiWireReq.Passthrough(Request.Status) =>
+        clients.get(id).foreach { case (out, _) =>
+          send(out, Wire.renderOutput(Output.Message(id,
+            """{"category":"df/status","message":"running"}""")))
+        }
+      case BiWireReq.Passthrough(Request.Disconnect) => ()
+      case BiWireReq.Passthrough(other) =>
+        scala.sys.error(s"unsupported in a bitemporal domain: $other")
+    }
+    flushBiDiffs(bm)
+  }
+
+  /** Push each bitemporal standing's drained diffs to its interested
+    * clients as `QueryDiff` rows carrying `Time::Bi` (sink-delivered
+    * standings drain empty by design — their diffs went to the sink). */
+  private def flushBiDiffs(bm: graft.streaming.BiMaintained): Unit =
+    for (name <- bm.interestNames) {
+      val diffs = bm.drain(name)
+      if (diffs.nonEmpty) {
+        val batch = diffs.map { case (tuple, t, d) =>
+          (tuple.map(asValue(_, None)), t, d)
+        }
+        val msg = Wire.renderBiQueryDiff(name, batch)
+        clients.values.foreach { case (out, names) =>
+          if (names.contains(name)) send(out, msg)
+        }
+      }
+    }
+
+  private def handleUni(id: Long, text: String): Unit = {
+    // Errors are reported to the offending client here (the original
+    // unitemporal path's contract); the bi path reports via the
+    // handleMessage-level catch.
     try {
       val requests = Wire.parseRequests(text)
       requests.foreach {
@@ -644,4 +750,12 @@ final class WsServer(engine: Engine, port: Int = 0,
     out.write(payload)
     out.flush()
   }
+}
+
+object WsServer {
+  /** Serve a BITEMPORAL domain: the reference Request grammar with
+    * `Time::Bi` coordinates over one [[graft.streaming.BiMaintained]]
+    * (one domain type per server process, as the reference runs). */
+  def bi(domain: graft.streaming.BiMaintained, port: Int = 0): WsServer =
+    new WsServer(null, port, None, Some(domain))
 }

@@ -986,6 +986,9 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     "resultRows" -> standings.valuesIterator.map(_.r.size.toLong).sum,
     "outRows" -> standings.valuesIterator.map(_.out.size.toLong).sum)
 
+  /** Names with a live standing interest (wire-serving fan-out). */
+  def interestNames: Seq[String] = interests.toSeq
+
   def drain(name: String): Seq[(Seq[Any], BiTimePair, Long)] = {
     val buf = standings(name).out
     val res = buf.toSeq

@@ -779,4 +779,81 @@ class WsServerSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ------------------------------------------------------ bitemporal mode
+
+  private def withBiServer(f: (graft.streaming.BiMaintained, Client) => Unit): Unit = {
+    val bm = new graft.streaming.BiMaintained(spark, partitions = 4)
+    val server = WsServer.bi(bm).start()
+    val client = new Client(server.boundPort)
+    try f(bm, client)
+    finally {
+      try client.close() catch { case _: Throwable => () }
+      server.stop()
+    }
+  }
+
+  test("bitemporal domain over the wire: Bi-time delivery, teardown, late re-attach") {
+    withBiServer { (_, client) =>
+      client.send("""{"CreateAttribute":{"name":":w/price"}}""")
+      client.send("""{"Register":{"rules":[{"name":"bi_price","plan":
+        {"MatchA":[0,":w/price",1]}}],"publish":["bi_price"]}}""")
+      client.send("""{"Interest":{"name":"bi_price","granularity":null}}""")
+      // One fact at Pair(sys=0ms, event=5).
+      client.send("""{"Transact":[[1,":w/price",{"Number":10},
+        {"Bi":[{"secs":0,"nanos":0},5]},1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"Bi":[{"secs":0,"nanos":1000000},0]}]}""")
+      val msg = client.next()
+      assert(msg.contains("\"QueryDiff\"") && msg.contains("bi_price"), msg)
+      assert(msg.contains("\"Bi\""), s"expected a Bi-coordinate time: $msg")
+      assert(msg.contains("[[1,10],"), msg)
+      // A LATE EVENT write at a higher system time — the bitemporal point.
+      client.send("""{"Transact":[[1,":w/price",{"Number":7},
+        {"Bi":[{"secs":0,"nanos":1000000},3]},1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":2}]}""")
+      val msg2 = client.next()
+      assert(msg2.contains("\"QueryDiff\"") && msg2.contains("[[1,7],"), msg2)
+      // Teardown over the wire: the standing unwinds with the last
+      // interested client; later advances must stay silent.
+      client.send("""{"Uninterest":"bi_price"}""")
+      client.send("""{"Transact":[[2,":w/price",{"Number":99},
+        {"Bi":[{"secs":0,"nanos":2000000},9]},1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":3}]}""")
+      client.send("\"Status\"")
+      val msg3 = client.next()
+      assert(msg3.contains("df/status"),
+        s"expected only the status reply after teardown, got $msg3")
+      // LATE RE-ATTACH: the lane rebuilds its lattice from the shared
+      // history and replays the completed times (all three facts).
+      client.send("""{"Interest":{"name":"bi_price","granularity":null}}""")
+      val replay = client.next()
+      assert(replay.contains("\"QueryDiff\"") &&
+        replay.contains("[[1,10],") &&
+        replay.contains("[[1,7],") &&
+        replay.contains("[[2,99],"), replay)
+    }
+  }
+
+  test("bitemporal CsvFile sink over the wire routes the data-sized delivery edge") {
+    withBiServer { (_, client) =>
+      val dir = Files.createTempDirectory("graft-bi-csv").toString
+      client.send("""{"CreateAttribute":{"name":":w2/x"}}""")
+      client.send("""{"Register":{"rules":[{"name":"bi_csv","plan":
+        {"MatchA":[0,":w2/x",1]}}],"publish":["bi_csv"]}}""")
+      client.send(s"""{"Interest":{"name":"bi_csv","granularity":null,
+        "sink":{"CsvFile":{"path":"$dir","has_headers":true,"delimiter":44}}}}""")
+      client.send("""{"Transact":[[1,":w2/x",{"Number":5},
+        {"Bi":[{"secs":0,"nanos":0},0]},1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+      client.send("\"Status\"")
+      assert(client.next().contains("df/status"))
+      // The diffs went to the DiffSink as distributed CSV writes — the
+      // wire stays quiet and the files exist under <dir>/bi_csv.
+      val files = java.nio.file.Files.walk(Paths.get(dir, "bi_csv"))
+      val csvs = try files.iterator().asScala
+        .count(f => f.toString.endsWith(".csv"))
+      finally files.close()
+      assert(csvs > 0, s"no csv part files under $dir/bi_csv")
+    }
+  }
 }
