@@ -1034,6 +1034,65 @@ object StreamScaleSmoke {
       }
     }
 
+    // DATA-SIZED bitemporal INGEST (round 14): a 4M-datom versioned-fact
+    // backfill enters as DataFrames end to end — transactFrame builds
+    // keys and sequence numbers distributed and shuffles once into the
+    // CellBiStore partitions; the driver sees only the coarse lattice
+    // (frameIngestProbe). Monotone event schedule → every post-first
+    // deliver takes the O(delta) fast path. With churn: each batch also
+    // retracts half of the previous batch through the SAME bulk edge.
+    if (section("biframe")) {
+      import graft.streaming.BiMaintained
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val bm = new BiMaintained(spark, partitions = 32)
+      bm.createAttribute(":bf/x", AttributeConfig(InputSemantics.Raw))
+      bm.register(Rule("bfq", Plan.MatchA(1, ":bf/x", 2)))
+      var delivered = 0L
+      bm.interestSink("bfq", new graft.sinks.ForeachFrameSink(
+        (_, _, df) => delivered += df.count()))
+      val n = 500000L
+      var total = 0L; var expected = 0L; var clock = 0L
+      (1 to 8).foreach { b =>
+        val base = total
+        val inserts = spark.range(n).select(
+          (col("id") + base).as("e"), lit(":bf/x").as("a"),
+          pmod(col("id"), lit(1000L)).as("v"),
+          lit(clock).as("sys"), lit(clock).as("event"), lit(1L).as("diff"))
+        // From batch 2 on, retract HALF the previous batch's facts in the
+        // same bulk frame — signed data-sized churn through the edge.
+        val frame =
+          if (b == 1) inserts
+          else inserts.unionByName(spark.range(n / 2).select(
+            (col("id") * 2L + (base - n)).as("e"), lit(":bf/x").as("a"),
+            pmod(col("id") * 2L, lit(1000L)).as("v"),
+            lit(clock).as("sys"), lit(clock).as("event"), lit(-1L).as("diff")))
+        frame.persist()
+        val t0 = now()
+        bm.transactFrame(frame)
+        val tIngest = secs(t0)
+        bm.advance(clock + 1L)
+        val _u = frame.unpersist(blocking = false)
+        total += n; clock += 1L
+        expected += n + (if (b == 1) 0L else n / 2) // diffs: inserts + retractions
+        val cp = bm.controlPlaneStats
+        val probe = bm.frameIngestProbe
+        println(f"[scale] biframe batch=$b%d ingested=${probe("datoms")}%d " +
+          f"driverLatticeRows=${probe("driverLatticeRows")}%d " +
+          f"delivered=$delivered%d driverResultRows=${cp("resultRows")}%d " +
+          f"ingest=$tIngest%.2f advance=${secs(t0) - tIngest}%.2f")
+      }
+      assert(delivered == expected,
+        s"sink must receive every signed diff: $delivered of $expected")
+      val cp = bm.controlPlaneStats
+      assert(cp("resultRows") == 0L && cp("ledgerEntries") == 0L &&
+        cp("outRows") == 0L, s"driver must stay control-plane: $cp")
+      val stats = bm.sinkDeliveryStats
+      assert(stats.getOrElse("fast", 0L) >= 6L,
+        s"monotone schedule must ride the fast path: $stats")
+      println(f"[scale] biframe END total=$total%d delivered=$delivered%d " +
+        f"paths=${stats.toMap}%s (4M-datom DataFrame backfill, zero driver Seqs)")
+    }
+
     println("[scale] smoke complete — no driver failure")
     spark.stop()
   }

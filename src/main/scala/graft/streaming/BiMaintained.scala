@@ -485,6 +485,43 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     * materialization claim for the bulk edge. */
   private[graft] var frameIngestProbe: Map[String, Long] = Map.empty
 
+  /** STREAMING data-sized bitemporal ingest: drive a Structured
+    * Streaming frame of versioned facts (columns `e, a, v, sys, event,
+    * diff`) through [[transactFrame]] per micro-batch — the maintained
+    * mirror of [[BiStream.attach]] WITHOUT its control-size gate,
+    * because batches enter the distributed store directly and never
+    * land on the driver. System time must be strictly increasing across
+    * micro-batches (the same closed-time contract BiStream enforces —
+    * violations fail loudly inside transactFrame); each batch advances
+    * the frontier past its max sys and hands every standing's drained
+    * diffs to `onDiffs` (sink-delivered standings deliver through their
+    * sinks instead, with `drain` empty by design). */
+  def attachStream(datoms: DataFrame, queryName: String)(
+      onDiffs: (String, Seq[(Seq[Any], BiTimePair, Long)]) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    datoms.writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // One cache for transactFrame's passes (lattice, zip, ingest);
+        // the agg below is control-plane (two scalars).
+        import org.apache.spark.sql.functions.{count, lit, max}
+        val sel = batch.select("e", "a", "v", "sys", "event", "diff")
+        sel.persist()
+        try {
+          val agg = sel.agg(max("sys"), count(lit(1))).head()
+          if (agg.getLong(1) > 0L) {
+            transactFrame(sel)
+            advance(agg.getLong(0) + 1L)
+            interestNames.foreach { name =>
+              val diffs = drain(name)
+              if (diffs.nonEmpty) onDiffs(name, diffs)
+            }
+          }
+        } finally { val _ = sel.unpersist(blocking = false) }
+      }
+      .start()
+
   // ---- per-interest standing state --------------------------------------
 
   private final class Standing(name: String, val lane: Lane,

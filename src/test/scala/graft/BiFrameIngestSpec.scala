@@ -165,6 +165,45 @@ class BiFrameIngestSpec extends AnyFunSuite {
       s"driver must hold only control-plane state, got $cp")
   }
 
+  test("attachStream routes micro-batches through transactFrame — no control-size gate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val bm = new BiMaintained(spark, partitions = 4)
+    bm.createAttribute(":st/x", AttributeConfig(InputSemantics.Raw))
+    bm.register(Rule("q", Plan.MatchA(0, ":st/x", 1)))
+    bm.interest("q")
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[Any], (Long, Long), Long)]
+    val in = MemoryStream[(Long, String, Long, Long, Long, Long)]
+    val frame = in.toDF().toDF("e", "a", "v", "sys", "event", "diff")
+    val query = bm.attachStream(frame, "bi-frame-stream-spec") {
+      (_, diffs) => got ++= diffs
+    }
+    try {
+      // A DATA-SIZED micro-batch — well over BiStream's default 100k
+      // transaction gate — enters distributed; no gate exists here.
+      in.addData((0L until 150000L).map(i =>
+        (i, ":st/x", i % 1000L, 0L, i % 3L, 1L)))
+      query.processAllAvailable()
+      assert(got.map(_._3).sum == 150000L,
+        s"expected 150k net insertions, got ${got.map(_._3).sum}")
+      assert(bm.frameIngestProbe("datoms") == 150000L)
+      // A later batch with a LATE EVENT write (sys=1, event=0): the
+      // product-order correction must flow through like the Seq path.
+      got.clear()
+      in.addData(Seq((200000L, ":st/x", 7L, 1L, 0L, 1L)))
+      query.processAllAvailable()
+      assert(got.map(_._3).sum == 1L, s"late write lost: $got")
+      // A rewound system time must fail the stream loudly (closed-time
+      // contract), not silently corrupt.
+      in.addData(Seq((200001L, ":st/x", 8L, 0L, 9L, 1L)))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+  }
+
   test("closed-time frames reject all-or-nothing; dense lattices trip the cap") {
     val bm = new BiMaintained(spark, partitions = 4)
     bm.createAttribute(":fr2/x", AttributeConfig(InputSemantics.Raw))
