@@ -226,8 +226,23 @@ private[streaming] final class CellBiStore(
       (next, Array(next.estimatedBytes))
     }.fold(0L)(_ + _)
 
-  def coarseTimes(win: Option[(Long, Long)]): Seq[(Long, Long)] =
-    cell.rdd.flatMap(_.coarseTimes(win)).distinct().collect().toSeq
+  def coarseTimes(win: Option[(Long, Long)]): Seq[(Long, Long)] = {
+    // Same loud cap as the bulk-ingest lattice pass: a late attach on a
+    // dense WINDOWLESS history would otherwise collect a data-sized
+    // lattice onto the driver — the fix is a Coarsen granularity.
+    val cap = sys.props.get("graft.bi.lattice.cap").map(_.toLong)
+      .getOrElse(1000000L)
+    val lat = cell.rdd.flatMap(_.coarseTimes(win)).distinct()
+    lat.persist()
+    try {
+      val n = lat.count()
+      require(n <= cap,
+        s"late-attach time lattice has $n distinct coarse times on lane " +
+          s"$win (cap $cap, -Dgraft.bi.lattice.cap): a dense history " +
+          "needs a Coarsen granularity to bound the lattice")
+      lat.collect().toSeq
+    } finally { val _ = lat.unpersist(blocking = false) }
+  }
 
   def compact(bound: Long, wins: Seq[Option[(Long, Long)]],
       sem: BiVisibility.Sem): Unit = {
