@@ -233,9 +233,15 @@ final class WsServer(engine: Engine, port: Int = 0,
     }
   }
 
+  // Bi mode: the (granularity, sink spec) each standing was attached
+  // with — the engine holds one per rule, so the wire layer owns
+  // idempotency and fan-out membership.
+  private val biAttached =
+    mutable.Map.empty[String, (Option[(Long, Long)], Option[Request.SinkSpec])]
+
   /** Tear a standing down on whichever domain this server wraps. */
   private def domainUninterest(name: String): Unit = biDomain match {
-    case Some(bm) => bm.uninterest(name)
+    case Some(bm) => bm.uninterest(name); biAttached -= name
     case None     => engine.uninterest(name)
   }
 
@@ -255,15 +261,30 @@ final class WsServer(engine: Engine, port: Int = 0,
           bm.BiDatom(Value.VEid(e), a, v, t, d)
         })
       case BiWireReq.BiInterest(name, g, sinkSpec) =>
-        sinkSpec match {
-          case None => bm.interest(name, g)
-          case Some(Request.SinkSpec.CsvFile(path, _, delim, _)) =>
-            bm.interestSink(name, new graft.sinks.CsvDirSink(path, delim), g)
-          case Some(Request.SinkSpec.TheVoid(_)) =>
-            bm.interestSink(name, new graft.sinks.ForeachFrameSink(
-              (_, _, df) => { val _ = df.count(); () }), g)
-          case Some(other) =>
-            scala.sys.error(s"unsupported bitemporal sink: $other")
+        // The bi engine pins ONE (granularity, sink) per standing — so
+        // attach only on the FIRST Interest for a name and make every
+        // identical re-send (reconnects, second subscribers joining the
+        // fan-out) idempotent; a MISMATCHED config is a clear error
+        // rather than an attach-time reference-equality failure.
+        biAttached.get(name) match {
+          case Some((g0, s0)) =>
+            if (g0 != g || s0 != sinkSpec) scala.sys.error(
+              s"interest '$name' is already served at granularity $g0 " +
+                s"with sink $s0; bitemporal standings hold one " +
+                "(granularity, sink) per rule — uninterest first")
+          case None =>
+            sinkSpec match {
+              case None => bm.interest(name, g)
+              case Some(Request.SinkSpec.CsvFile(path, _, delim, _)) =>
+                bm.interestSink(name,
+                  new graft.sinks.CsvDirSink(path, delim), g)
+              case Some(Request.SinkSpec.TheVoid(_)) =>
+                bm.interestSink(name, new graft.sinks.ForeachFrameSink(
+                  (_, _, df) => { val _ = df.count(); () }), g)
+              case Some(other) =>
+                scala.sys.error(s"unsupported bitemporal sink: $other")
+            }
+            biAttached(name) = (g, sinkSpec)
         }
         clients(id)._2 += name
       case BiWireReq.BiAdvance(sysT) =>
@@ -274,8 +295,10 @@ final class WsServer(engine: Engine, port: Int = 0,
         rules.foreach(bm.register)
       case BiWireReq.Passthrough(Request.Uninterest(name)) =>
         clients(id)._2 -= name
-        if (!clients.values.exists(_._2.contains(name)))
+        if (!clients.values.exists(_._2.contains(name))) {
           bm.uninterest(name)
+          biAttached -= name
+        }
       case BiWireReq.Passthrough(Request.Status) =>
         clients.get(id).foreach { case (out, _) =>
           send(out, Wire.renderOutput(Output.Message(id,

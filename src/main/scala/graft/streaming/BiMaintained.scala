@@ -400,29 +400,27 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     if (lanes.isEmpty) { val _ = laneOf(coarsen) }
     val laneSeq = lanes.valuesIterator.toSeq
 
+    // ONE snapshot for every pass: the validation passes and the ingest
+    // must observe the SAME rows, so a non-deterministic input (sample,
+    // limit, changing source files, a retried shuffle stage) cannot
+    // validate one row set and ingest another — and the later passes
+    // read cache instead of rescanning the source.
+    frame.persist()
+    try {
+
     // Per-lane coarse lattices (distributed; collected at lattice size)
     // — also the frontier validation input, so it runs before ANY
     // driver state mutates.
-    val latticeCap = sys.props.get("graft.bi.lattice.cap").map(_.toLong)
-      .getOrElse(1000000L)
     val fineTimes = frame.select("sys", "event").rdd
       .map(r => (r.getLong(0), r.getLong(1)))
     val laneTimes: Seq[(Lane, Array[(Long, Long)])] = laneSeq.map { lane =>
       val w = lane.win
-      val lat = (w match {
+      val lat = w match {
         case None => fineTimes
         case Some((ws, we)) =>
           fineTimes.map(t => (BiTime.coarse(t._1, ws), BiTime.coarse(t._2, we)))
-      }).distinct()
-      lat.persist()
-      try {
-        val cnt = lat.count()
-        require(cnt <= latticeCap,
-          s"bulk-ingest time lattice has $cnt distinct coarse times on " +
-            s"lane $w (cap $latticeCap, -Dgraft.bi.lattice.cap): a dense " +
-            "history needs a Coarsen granularity to bound the lattice")
-        lane -> lat.collect()
-      } finally { val _ = lat.unpersist(blocking = false) }
+      }
+      lane -> BiStore.cappedLatticeCollect(lat, w, "bulk-ingest")
     }
     if (laneTimes.headOption.forall(_._2.isEmpty)) return // empty frame
     for ((lane, times) <- laneTimes) {
@@ -449,34 +447,54 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     }
 
     // A bulk frame is data-sized by declaration: route through the
-    // distributed store, migrating a driver-resident history first.
-    store match {
+    // distributed store, migrating a driver-resident history first —
+    // UNLESS the A/B dial pins the driver sibling, in which case the
+    // keyed batch collects (the dial owner asked for driver-resident
+    // behavior and owns the size).
+    val pinDriver = sys.props.get("graft.bi.distributed").contains("off")
+    if (!pinDriver) store match {
       case d: DriverBiStore =>
         val cellS = new CellBiStore(spark, partitions)
         cellS.plant(d.vis.split(partitions))
         store = cellS
       case _ => ()
     }
-    val cellS = store.asInstanceOf[CellBiStore]
     val lwwAttrs: Set[String] = attrs.iterator
       .filter(a => semanticsOf(a) == InputSemantics.LastWriteWins).toSet
     val base = seqCounter
-    val recs = frame.rdd.zipWithIndex().map { case (row, i) =>
-      val a = row.getString(1)
-      val e = row.getLong(0)
-      val v = row.get(2)
-      val lww = lwwAttrs.contains(a)
-      val key = if (lww) BiKey(a, e, null) else BiKey(a, e, v)
-      (key, BiRec(row.getLong(3), row.getLong(4), base + 1L + i,
-        row.getLong(5), if (lww) v else null))
+    // Sequence numbers order by FINE (sys, event) within the frame (one
+    // global sort), so on a Coarsen lane the LWW winner between same-key
+    // facts in one coarse cell is the latest FINE time — what a
+    // sequential fine-grained transact stream would have produced — and
+    // the outcome is deterministic regardless of partition/file order.
+    // Ties at an IDENTICAL fine (sys, event) remain frame-order
+    // arbitrary (real backfills carry distinct times per key).
+    import org.apache.spark.sql.functions.col
+    val recs = frame.orderBy(col("sys"), col("event")).rdd.zipWithIndex()
+      .map { case (row, i) =>
+        val a = row.getString(1)
+        val e = row.getLong(0)
+        val v = row.get(2)
+        val lww = lwwAttrs.contains(a)
+        val key = if (lww) BiKey(a, e, null) else BiKey(a, e, v)
+        (key, BiRec(row.getLong(3), row.getLong(4), base + 1L + i,
+          row.getLong(5), if (lww) v else null))
+      }
+    val n = store match {
+      case cellS: CellBiStore => cellS.ingestRdd(recs)
+      case d: DriverBiStore =>
+        val batch = recs.collect()
+        d.ingest(batch.toSeq)
+        batch.length.toLong
     }
-    val n = cellS.ingestRdd(recs)
     seqCounter += n
     for ((lane, times) <- laneTimes) lane.pendingTimes ++= times
     frameIngestProbe = Map(
       "datoms" -> n,
       "driverLatticeRows" -> laneTimes.iterator.map(_._2.length.toLong).sum,
       "driverAttrRows" -> attrs.length.toLong)
+
+    } finally { val _ = frame.unpersist(blocking = false) }
   }
 
   /** Spec probe: the last [[transactFrame]]'s ingested datom count vs

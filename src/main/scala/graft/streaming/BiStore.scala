@@ -76,6 +76,27 @@ private[streaming] sealed trait BiStore {
 }
 
 private[streaming] object BiStore {
+  /** Collect a distinct coarse-time lattice onto the driver behind the
+    * loud `-Dgraft.bi.lattice.cap` guard (default 1M): a dense
+    * WINDOWLESS history would otherwise collect a data-sized lattice —
+    * the fix is a Coarsen granularity. Shared by the bulk-ingest
+    * lattice pass and the late-attach replay. */
+  def cappedLatticeCollect(lat0: RDD[(Long, Long)],
+      win: Option[(Long, Long)], context: String): Array[(Long, Long)] = {
+    val cap = sys.props.get("graft.bi.lattice.cap").map(_.toLong)
+      .getOrElse(1000000L)
+    val lat = lat0.distinct()
+    lat.persist()
+    try {
+      val n = lat.count()
+      require(n <= cap,
+        s"$context time lattice has $n distinct coarse times on lane " +
+          s"$win (cap $cap, -Dgraft.bi.lattice.cap): a dense history " +
+          "needs a Coarsen granularity to bound the lattice")
+      lat.collect()
+    } finally { val _ = lat.unpersist(blocking = false) }
+  }
+
   /** `(e, v, diff)` schema of a view-transition frame. */
   def schema(kind: ValueKind): StructType = StructType(Seq(
     StructField("e", LongType, false),
@@ -226,23 +247,9 @@ private[streaming] final class CellBiStore(
       (next, Array(next.estimatedBytes))
     }.fold(0L)(_ + _)
 
-  def coarseTimes(win: Option[(Long, Long)]): Seq[(Long, Long)] = {
-    // Same loud cap as the bulk-ingest lattice pass: a late attach on a
-    // dense WINDOWLESS history would otherwise collect a data-sized
-    // lattice onto the driver — the fix is a Coarsen granularity.
-    val cap = sys.props.get("graft.bi.lattice.cap").map(_.toLong)
-      .getOrElse(1000000L)
-    val lat = cell.rdd.flatMap(_.coarseTimes(win)).distinct()
-    lat.persist()
-    try {
-      val n = lat.count()
-      require(n <= cap,
-        s"late-attach time lattice has $n distinct coarse times on lane " +
-          s"$win (cap $cap, -Dgraft.bi.lattice.cap): a dense history " +
-          "needs a Coarsen granularity to bound the lattice")
-      lat.collect().toSeq
-    } finally { val _ = lat.unpersist(blocking = false) }
-  }
+  def coarseTimes(win: Option[(Long, Long)]): Seq[(Long, Long)] =
+    BiStore.cappedLatticeCollect(
+      cell.rdd.flatMap(_.coarseTimes(win)), win, "late-attach").toSeq
 
   def compact(bound: Long, wins: Seq[Option[(Long, Long)]],
       sem: BiVisibility.Sem): Unit = {

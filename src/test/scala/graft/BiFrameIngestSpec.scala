@@ -204,6 +204,37 @@ class BiFrameIngestSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("coarse-cell LWW winners order by FINE time, not partition order") {
+    // On a Coarsen lane two same-key facts at distinct fine times can
+    // land in ONE coarse cell, where the winner falls to the sequence
+    // tie-break. The frame path assigns sequence numbers in fine
+    // (sys, event) order (one global sort), so the LATER fine time wins
+    // deterministically — what a sequential fine-grained transact
+    // stream produces — regardless of the frame's partition/file order.
+    def winner(shufflePartitions: Boolean): Seq[(Seq[Any], (Long, Long), Long)] = {
+      val bm = new BiMaintained(spark, partitions = 4,
+        coarsen = Some((10L, 10L)))
+      bm.createAttribute(":cw/x", AttributeConfig(InputSemantics.LastWriteWins))
+      bm.register(Rule("q", Plan.MatchA(0, ":cw/x", 1)))
+      bm.interest("q")
+      // (e=1, old, sys=1, ev=1) and (e=1, new, sys=2, ev=2): same coarse
+      // cell (10,10). Build the frame so the OLD fact sits in the LAST
+      // partition (the order zipWithIndex would otherwise reward).
+      val rows = Seq((1L, ":cw/x", 200L, 2L, 2L, 1L), (1L, ":cw/x", 100L, 1L, 1L, 1L))
+      import spark.implicits._
+      val df0 = (if (shufflePartitions) rows else rows.reverse)
+        .toDF("e", "a", "v", "sys", "event", "diff").repartition(2)
+      bm.transactFrame(df0)
+      bm.advance(11L)
+      bm.drain("q")
+    }
+    val a = winner(shufflePartitions = true)
+    val b = winner(shufflePartitions = false)
+    assert(a == b, s"partition order changed the LWW winner:\n a=$a\n b=$b")
+    assert(a.exists { case (tuple, _, w) => tuple == Seq(1L, 200L) && w == 1L },
+      s"the later fine time must win the coarse cell: $a")
+  }
+
   test("closed-time frames reject all-or-nothing; dense lattices trip the cap") {
     val bm = new BiMaintained(spark, partitions = 4)
     bm.createAttribute(":fr2/x", AttributeConfig(InputSemantics.Raw))

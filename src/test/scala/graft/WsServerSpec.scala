@@ -834,6 +834,27 @@ class WsServerSpec extends AnyFunSuite {
     }
   }
 
+  test("bitemporal Interest is idempotent; a mismatched config errors cleanly") {
+    withBiServer { (_, client) =>
+      client.send("""{"CreateAttribute":{"name":":w3/x"}}""")
+      client.send("""{"Register":{"rules":[{"name":"bi_idem","plan":
+        {"MatchA":[0,":w3/x",1]}}],"publish":["bi_idem"]}}""")
+      client.send("""{"Interest":{"name":"bi_idem","granularity":null}}""")
+      // Re-sending the SAME Interest (reconnects do) must be a no-op,
+      // not an attach-time failure.
+      client.send("""{"Interest":{"name":"bi_idem","granularity":null}}""")
+      client.send("""{"Transact":[[1,":w3/x",{"Number":1},
+        {"Bi":[{"secs":0,"nanos":0},0]},1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+      assert(client.next().contains("\"QueryDiff\""))
+      // A DIFFERENT granularity on the same standing is a clear error
+      // (the bi engine holds one (granularity, sink) per rule).
+      client.send("""{"Interest":{"name":"bi_idem","granularity":{"Bi":[{"secs":0,"nanos":0},10]}}}""")
+      val err = client.next()
+      assert(err.contains("\"Error\"") && err.contains("already served"), err)
+    }
+  }
+
   test("bitemporal CsvFile sink over the wire routes the data-sized delivery edge") {
     withBiServer { (_, client) =>
       val dir = Files.createTempDirectory("graft-bi-csv").toString
