@@ -462,15 +462,20 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     val lwwAttrs: Set[String] = attrs.iterator
       .filter(a => semanticsOf(a) == InputSemantics.LastWriteWins).toSet
     val base = seqCounter
-    // Sequence numbers order by FINE (sys, event) within the frame (one
-    // global sort), so on a Coarsen lane the LWW winner between same-key
-    // facts in one coarse cell is the latest FINE time — what a
-    // sequential fine-grained transact stream would have produced — and
-    // the outcome is deterministic regardless of partition/file order.
+    // For LWW frames, sequence numbers order by FINE (sys, event) — one
+    // global sort — so on a Coarsen lane (including one attached LATER)
+    // the winner between same-key facts in one coarse cell is the latest
+    // FINE time: what a sequential fine-grained transact stream would
+    // have produced, deterministic regardless of partition/file order.
     // Ties at an IDENTICAL fine (sys, event) remain frame-order
-    // arbitrary (real backfills carry distinct times per key).
+    // arbitrary (real backfills carry distinct times per key). Raw and
+    // Distinct semantics never observe seq order across distinct times,
+    // so non-LWW frames skip the sort shuffle (~2× ingest cost).
     import org.apache.spark.sql.functions.col
-    val recs = frame.orderBy(col("sys"), col("event")).rdd.zipWithIndex()
+    val ordered =
+      if (lwwAttrs.nonEmpty) frame.orderBy(col("sys"), col("event"))
+      else frame
+    val recs = ordered.rdd.zipWithIndex()
       .map { case (row, i) =>
         val a = row.getString(1)
         val e = row.getLong(0)
