@@ -526,22 +526,19 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
       .outputMode("append")
       .queryName(queryName)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // One cache for transactFrame's passes (lattice, zip, ingest);
-        // the agg below is control-plane (two scalars).
+        // The agg is control-plane (two scalars, one scan);
+        // transactFrame caches its own snapshot for its passes.
         import org.apache.spark.sql.functions.{count, lit, max}
         val sel = batch.select("e", "a", "v", "sys", "event", "diff")
-        sel.persist()
-        try {
-          val agg = sel.agg(max("sys"), count(lit(1))).head()
-          if (agg.getLong(1) > 0L) {
-            transactFrame(sel)
-            advance(agg.getLong(0) + 1L)
-            interestNames.foreach { name =>
-              val diffs = drain(name)
-              if (diffs.nonEmpty) onDiffs(name, diffs)
-            }
+        val agg = sel.agg(max("sys"), count(lit(1))).head()
+        if (agg.getLong(1) > 0L) {
+          transactFrame(sel)
+          advance(agg.getLong(0) + 1L)
+          interestNames.foreach { name =>
+            val diffs = drain(name)
+            if (diffs.nonEmpty) onDiffs(name, diffs)
           }
-        } finally { val _ = sel.unpersist(blocking = false) }
+        }
       }
       .start()
 
@@ -971,7 +968,17 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
   /** Advance the system frontier: every input time with `sys < sysNext`
     * completes; each lane's completed coarse times are processed
     * lex-ordered — ONE shared visible-view transition per (lane, time)
-    * feeds every standing query attached there. */
+    * feeds every standing query attached there.
+    *
+    * Cost shape: the advance runs O(completed coarse times) SEQUENTIAL
+    * per-time rounds (transition → standing advance → deliver), each a
+    * handful of distributed jobs whose data-side work is
+    * delta-proportional (and O(delta) at delivery on monotone
+    * schedules). The time lattice is therefore the driver-sequenced
+    * dimension — exactly the reference's per-timestamp progress
+    * rounds — and `Coarsen` is the dial that keeps it control-plane
+    * on dense histories (the lattice caps enforce this loudly on the
+    * bulk paths). */
   def advance(sysNext: Long): Unit = {
     require(sysNext > sysFrontier, s"cannot rewind from $sysFrontier to $sysNext")
     val sem = semResolver
