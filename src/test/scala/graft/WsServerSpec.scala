@@ -834,6 +834,29 @@ class WsServerSpec extends AnyFunSuite {
     }
   }
 
+  test("bitemporal Interest granularity coarsens wire delivery to the lane lattice") {
+    withBiServer { (_, client) =>
+      client.send("""{"CreateAttribute":{"name":":w4/x"}}""")
+      client.send("""{"Register":{"rules":[{"name":"bi_coarse","plan":
+        {"MatchA":[0,":w4/x",1]}}],"publish":["bi_coarse"]}}""")
+      // Granularity Bi(2ms, 2): both fine facts below land in ONE
+      // coarse cell (2ms, 2) — one delivery at the coarse time.
+      client.send("""{"Interest":{"name":"bi_coarse",
+        "granularity":{"Bi":[{"secs":0,"nanos":2000000},2]}}}""")
+      client.send("""{"Transact":[
+        [1,":w4/x",{"Number":5},{"Bi":[{"secs":0,"nanos":0},0]},1],
+        [2,":w4/x",{"Number":6},{"Bi":[{"secs":0,"nanos":1000000},1]},1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":3}]}""")
+      val msg = client.next()
+      assert(msg.contains("\"QueryDiff\"") && msg.contains("bi_coarse"), msg)
+      // Both facts deliver AT the coarse lattice point, not their fine
+      // times.
+      assert(msg.contains("""{"Bi":[{"secs":0,"nanos":2000000},2]}"""), msg)
+      assert(!msg.contains("""{"Bi":[{"secs":0,"nanos":0},0]}"""), msg)
+      assert(msg.contains("[[1,5],") && msg.contains("[[2,6],"), msg)
+    }
+  }
+
   test("bitemporal Interest is idempotent; a mismatched config errors cleanly") {
     withBiServer { (_, client) =>
       client.send("""{"CreateAttribute":{"name":":w3/x"}}""")
