@@ -1066,12 +1066,10 @@ object StreamScaleSmoke {
             (col("id") * 2L + (base - n)).as("e"), lit(":bf/x").as("a"),
             pmod(col("id") * 2L, lit(1000L)).as("v"),
             lit(clock).as("sys"), lit(clock).as("event"), lit(-1L).as("diff")))
-        frame.persist()
         val t0 = now()
-        bm.transactFrame(frame)
+        bm.transactFrame(frame) // snapshots (persists) internally
         val tIngest = secs(t0)
         bm.advance(clock + 1L)
-        val _u = frame.unpersist(blocking = false)
         total += n; clock += 1L
         expected += n + (if (b == 1) 0L else n / 2) // diffs: inserts + retractions
         val cp = bm.controlPlaneStats

@@ -266,9 +266,19 @@ final class WsServer(engine: Engine, port: Int = 0,
         // identical re-send (reconnects, second subscribers joining the
         // fan-out) idempotent; a MISMATCHED config is a clear error
         // rather than an attach-time reference-equality failure.
+        // Compare on the fields the attach actually USES (CsvFile's
+        // header/flexible flags never reach the CsvDirSink), so a
+        // semantically identical re-send stays idempotent.
+        def sinkKey(sp: Option[Request.SinkSpec]): Any = sp match {
+          case None => "none"
+          case Some(Request.SinkSpec.CsvFile(path, _, delim, _)) =>
+            ("csv", path, delim)
+          case Some(Request.SinkSpec.TheVoid(_)) => "void"
+          case Some(other)                       => other
+        }
         biAttached.get(name) match {
           case Some((g0, s0)) =>
-            if (g0 != g || s0 != sinkSpec) scala.sys.error(
+            if (g0 != g || sinkKey(s0) != sinkKey(sinkSpec)) scala.sys.error(
               s"interest '$name' is already served at granularity $g0 " +
                 s"with sink $s0; bitemporal standings hold one " +
                 "(granularity, sink) per rule — uninterest first")
@@ -295,10 +305,8 @@ final class WsServer(engine: Engine, port: Int = 0,
         rules.foreach(bm.register)
       case BiWireReq.Passthrough(Request.Uninterest(name)) =>
         clients(id)._2 -= name
-        if (!clients.values.exists(_._2.contains(name))) {
-          bm.uninterest(name)
-          biAttached -= name
-        }
+        if (!clients.values.exists(_._2.contains(name)))
+          domainUninterest(name)
       case BiWireReq.Passthrough(Request.Status) =>
         clients.get(id).foreach { case (out, _) =>
           send(out, Wire.renderOutput(Output.Message(id,

@@ -436,14 +436,17 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     }
 
     // Attribute registration (distinct list — bounded by the schema).
+    // Validate EVERY attribute's kind before registering ANY — the
+    // all-or-nothing rule extends to the attribute catalog: a frame
+    // rejected on its second attribute must not leave the first behind
+    // as a phantom registration.
     val attrs = frame.select("a").distinct().rdd.map(_.getString(0)).collect()
+    for (a <- attrs) firstKind.get(a).foreach(k =>
+      require(k.dataType == vType,
+        s"attribute $a already registered with kind $k; frame carries $vType"))
     for (a <- attrs) {
       configs.getOrElseUpdate(a, AttributeConfig())
-      firstKind.get(a) match {
-        case Some(k) => require(k.dataType == vType,
-          s"attribute $a already registered with kind $k; frame carries $vType")
-        case None => firstKind(a) = vKind
-      }
+      if (!firstKind.contains(a)) firstKind(a) = vKind
     }
 
     // A bulk frame is data-sized by declaration: route through the
@@ -525,22 +528,40 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     datoms.writeStream
       .outputMode("append")
       .queryName(queryName)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // The agg is control-plane (two scalars, one scan);
-        // transactFrame caches its own snapshot for its passes.
-        import org.apache.spark.sql.functions.{count, lit, max}
-        val sel = batch.select("e", "a", "v", "sys", "event", "diff")
-        val agg = sel.agg(max("sys"), count(lit(1))).head()
-        if (agg.getLong(1) > 0L) {
-          transactFrame(sel)
-          advance(agg.getLong(0) + 1L)
-          interestNames.foreach { name =>
-            val diffs = drain(name)
-            if (diffs.nonEmpty) onDiffs(name, diffs)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // The engine is single-writer (the reference sequences all
+        // commands through one worker; WsServer holds its own lock) —
+        // serialize micro-batches against other attached streams and
+        // any embedder calls that synchronize on this instance.
+        BiMaintained.this.synchronized {
+          // foreachBatch is at-least-once: a batch that already
+          // transacted (a retry after the DOWNSTREAM callback failed)
+          // must not double-ingest. The id records only AFTER
+          // transact+advance succeed, so a failure INSIDE them retries
+          // the ingest; a later failure retries only the delivery
+          // (at-least-once onDiffs — the streaming layer's contract).
+          val replay = streamBatchSeen.get(queryName).exists(_ >= batchId)
+          import org.apache.spark.sql.functions.{count, lit, max}
+          val sel = batch.select("e", "a", "v", "sys", "event", "diff")
+          val agg = sel.agg(max("sys"), count(lit(1))).head()
+          if (!replay && agg.getLong(1) > 0L) {
+            transactFrame(sel)
+            advance(agg.getLong(0) + 1L)
+            streamBatchSeen(queryName) = batchId
+            interestNames.foreach { name =>
+              val diffs = drain(name)
+              if (diffs.nonEmpty) onDiffs(name, diffs)
+            }
           }
         }
       }
       .start()
+
+  // Highest micro-batch id already transacted per attached stream —
+  // the replay guard above (same-process retries; a fresh engine starts
+  // a fresh history, so cross-process replay rebuilds from scratch as
+  // BiStream does).
+  private val streamBatchSeen = mutable.Map.empty[String, Long]
 
   // ---- per-interest standing state --------------------------------------
 
