@@ -1067,6 +1067,15 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
   /** Test hook: resident datom records (shrinks under compaction). */
   private[graft] def datomCountProbe: Long = store.datomCount
 
+  /** Spec probe: the distributed store's live StateCell generation —
+    * None on the driver sibling. Recoverability drills wipe its cached
+    * blocks and assert the history recomputes from reliable files. */
+  private[graft] def storeGenerationProbe: Option[org.apache.spark.rdd.RDD[_]] =
+    store match {
+      case c: CellBiStore => Some(c.liveGenerationProbe)
+      case _              => None
+    }
+
   def controlPlaneStats: Map[String, Long] = Map(
     "lanes" -> lanes.size.toLong,
     "pendingTimes" -> lanes.valuesIterator.map(_.pendingTimes.size.toLong).sum,

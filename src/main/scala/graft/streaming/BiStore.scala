@@ -282,4 +282,9 @@ private[streaming] final class CellBiStore(
   def measuredResidentBytes: Long =
     cell.rdd.map(v => org.apache.spark.util.GraftSizeOf.estimate(v))
       .fold(0L)(_ + _)
+
+  /** Spec probe: the cell's live generation (the recoverability drill
+    * target under the reliable-checkpoint dial). */
+  private[graft] def liveGenerationProbe: org.apache.spark.rdd.RDD[_] =
+    cell.liveGeneration
 }

@@ -77,6 +77,45 @@ class CheckpointDialSpec extends AnyFunSuite {
     finally s.close()
   }
 
+  test("the distributed bitemporal history survives a cache wipe under the dial") {
+    // The integration drill for the round-14 checkpoint fix at the edge
+    // it matters most: a CellBiStore history (StateCell-backed) must
+    // recompute from its OWN reliable files after its cached blocks are
+    // lost — the executor-loss scenario the dial exists for.
+    import graft.model._
+    val dir = Files.createTempDirectory("graft-ckpt-bi")
+    val prevDist = sys.props.put("graft.bi.distributed", "on")
+    try withDial(dir) {
+      val bm = new graft.streaming.BiMaintained(spark, partitions = 2)
+      bm.createAttribute(":ck/x", AttributeConfig(InputSemantics.Raw))
+      bm.register(Rule("q", Plan.MatchA(0, ":ck/x", 1)))
+      bm.interest("q")
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      bm.transactFrame(spark.range(1000L).select(
+        col("id").as("e"), lit(":ck/x").as("a"),
+        pmod(col("id"), lit(7L)).as("v"),
+        lit(0L).as("sys"), lit(0L).as("event"), lit(1L).as("diff")))
+      bm.advance(1L)
+      assert(bm.drain("q").map(_._3).sum == 1000L)
+      // Executor-loss drill: wipe the live generation's cached blocks.
+      bm.storeGenerationProbe.get.unpersist(blocking = true)
+      // The next batch zips against the wiped state — it must recompute
+      // from the generation's reliable checkpoint files, not fail or
+      // silently restart from empty.
+      import spark.implicits._
+      bm.transactFrame(Seq((5000L, ":ck/x", 1L, 1L, 1L, 1L))
+        .toDF("e", "a", "v", "sys", "event", "diff"))
+      bm.advance(2L)
+      val second = bm.drain("q")
+      assert(second.map(_._3).sum == 1L,
+        s"history lost after the cache wipe: $second")
+      assert(bm.datomCountProbe == 1001L)
+    } finally prevDist match {
+      case Some(v) => sys.props("graft.bi.distributed") = v
+      case None    => sys.props.remove("graft.bi.distributed")
+    }
+  }
+
   test("state generations are recoverable AND superseded ones deleted under the dial") {
     val dir = Files.createTempDirectory("graft-ckpt-gc")
     withDial(dir) {
