@@ -159,9 +159,11 @@ object Wire {
         case Vector(("CloseInput", JStr(n))) => Request.CloseInput(n)
         case Vector(("RegisterSource", so: JObj)) =>
           // serde shape: {"CsvFile": {path, has_headers, delimiter(u8),
-          // comment(u8|null), eid_offset, schema: [[aid,[off,ValueHint]]]}}
-          // — reference `src/sources/csv_file.rs:17-40`. Unsupported
-          // reference fields (flexible, fuel, timestamp_offset) ignored.
+          // comment(u8|null), eid_offset, timestamp_offset(usize|null),
+          // schema: [[aid,[off,ValueHint]]]}} — reference
+          // `src/sources/csv_file.rs:17-40`. timestamp_offset feeds the
+          // EVENT coordinate in a bitemporal domain; unsupported
+          // reference fields (flexible, fuel) ignored.
           def charOf(j: J): String = j match {
             case n: JNum => long(n).toChar.toString
             case other   => str(other)
@@ -187,7 +189,9 @@ object Wire {
                 delimiter = co.get("delimiter").map(charOf).getOrElse(","),
                 comment = co.get("comment").filter(_ != JNull).map(charOf),
                 eidOffset = co.get("eid_offset").map(int).getOrElse(0),
-                schema = schema)))
+                schema = schema,
+                tsOffset = co.get("timestamp_offset")
+                  .filter(_ != JNull).map(int))))
             case Vector(("JsonFile", co: JObj)) =>
               Request.RegisterSource(Right(graft.sources.FileSources.JsonFile(
                 path = str(co.get("path").get),
@@ -246,7 +250,9 @@ object Wire {
           s"""{"RegisterSource":{"CsvFile":{"path":${qs(c.path)},""" +
             s""""has_headers":${c.hasHeaders},"delimiter":${charJson(c.delimiter)},""" +
             s""""comment":${c.comment.map(charJson).getOrElse("null")},""" +
-            s""""eid_offset":${c.eidOffset},"schema":[$schema]}}}"""
+            s""""eid_offset":${c.eidOffset},"timestamp_offset":${
+              c.tsOffset.map(_.toString).getOrElse("null")},""" +
+            s""""schema":[$schema]}}}"""
         case Right(jf) =>
           val attrs = jf.attributes.map { case (aid, kind) =>
             s"[${qs(aid)},${hint(kind)}]"

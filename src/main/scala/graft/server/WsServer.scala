@@ -307,6 +307,16 @@ final class WsServer(engine: Engine, port: Int = 0,
         clients(id)._2 -= name
         if (!clients.values.exists(_._2.contains(name)))
           domainUninterest(name)
+      case BiWireReq.Passthrough(Request.RegisterSource(src)) =>
+        // Data-sized bitemporal ingest is wire-drivable: the source's
+        // per-attribute rows enter through the distributed
+        // registerHistory edge (sys = frontier, event = the CSV's
+        // timestamp_offset column or 0) — never a driver Seq. The
+        // registration lands "now": the next AdvanceDomain past the
+        // frontier delivers it (the reference's source-join semantics,
+        // `server/src/main.rs:396-420`, timestamp-generic sources
+        // `src/sources/mod.rs:47-64`).
+        bm.registerSource(src)
       case BiWireReq.Passthrough(Request.Status) =>
         clients.get(id).foreach { case (out, _) =>
           send(out, Wire.renderOutput(Output.Message(id,

@@ -33,7 +33,12 @@ object FileSources {
       delimiter: String = ",",
       comment: Option[String] = None,
       eidOffset: Int = 0,
-      schema: Seq[(String, (Int, ValueKind))] = Seq.empty)
+      schema: Seq[(String, (Int, ValueKind))] = Seq.empty,
+      // Reference `timestamp_offset` (`csv_file.rs:30-31`): the column
+      // carrying each row's EVENT time. Read by the bitemporal
+      // registration path ([[sourceCsvBi]]); the unitemporal batch path
+      // ignores it, as before.
+      tsOffset: Option[Int] = None)
 
   /** Reference `JsonFile` (`src/sources/json_file.rs:24-150`): newline-
     * delimited JSON objects; the object's line index becomes its eid; one
@@ -126,6 +131,42 @@ object FileSources {
         kind)
     }
   }
+
+  /** BITEMPORAL batch read: each attribute's rows become versioned
+    * facts `(e, v, sys, event, diff)` for the data-sized
+    * [[graft.streaming.BiMaintained.registerHistory]] edge — system
+    * time `sysAt` (the hosting domain's frontier: the server learned
+    * these facts NOW — the bi mirror of the unitemporal registration
+    * landing at `notePending(frontier)`), event time from the CSV's
+    * `tsOffset` column when declared (the reference's
+    * `timestamp_offset`, `csv_file.rs:30-31`) else 0 (valid since the
+    * epoch), diff +1. One scan serves all attributes. */
+  def sourceCsvBi(spark: SparkSession, src: CsvFile,
+      sysAt: Long): Seq[(String, DataFrame, ValueKind)] = {
+    var reader = spark.read
+      .option("header", src.hasHeaders.toString)
+      .option("delimiter", src.delimiter)
+      .option("inferSchema", "false")
+    src.comment.foreach(c => reader = reader.option("comment", c))
+    val raw = reader.csv(src.path)
+    val cols = raw.columns
+    val e = col(cols(src.eidOffset)).cast("long").as("e")
+    val event = src.tsOffset
+      .map(i => col(cols(i)).cast("long")).getOrElse(lit(0L)).as("event")
+    src.schema.map { case (aid, (offset, kind)) =>
+      (aid, raw.select(e, castTo(col(cols(offset)), kind).as("v"),
+        lit(sysAt).as("sys"), event, lit(1L).as("diff")), kind)
+    }
+  }
+
+  /** BITEMPORAL batch read of newline-delimited JSON: line index = eid,
+    * system time `sysAt`, event time 0, diff +1 (see [[sourceCsvBi]]). */
+  def sourceJsonBi(spark: SparkSession, src: JsonFile,
+      sysAt: Long): Seq[(String, DataFrame, ValueKind)] =
+    sourceJson(spark, src).map { case (aid, df, kind) =>
+      (aid, df.select(col("e"), col("v"), lit(sysAt).as("sys"),
+        lit(0L).as("event"), lit(1L).as("diff")), kind)
+    }
 
   /** Register a CSV source's attributes into a domain with Distinct
     * semantics, as the reference does (`csv_file.rs:204-212`). */

@@ -278,6 +278,7 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
   def uninterest(name: String): Unit =
     standings.remove(name).foreach { st =>
       interests -= name
+      streamPendingOut -= name
       val lane = st.lane
       lane.members -= name
       if (lane.members.isEmpty) {
@@ -344,10 +345,45 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
       col("sys"), col("event"), col("diff")))
   }
 
+  /** Attach a FILE SOURCE to this bitemporal domain — the bi-domain
+    * route for `Request::RegisterSource` (the reference's sources are
+    * timestamp-generic, `src/sources/mod.rs:47-64`, and RegisterSource
+    * works in whatever domain the server hosts, `src/server/mod.rs:171`
+    * — mirrored here so the fully distributed bulk-ingest edge is
+    * client-drivable over the wire). Each declared attribute's rows
+    * enter through the data-sized [[registerHistory]] path: SYSTEM time
+    * is the current frontier (the registration lands "now" — the bi
+    * mirror of the unitemporal `notePending(frontier)` rule), EVENT
+    * time comes from the CSV's `timestamp_offset` column when declared
+    * (else 0: valid since the epoch), diff +1. Attributes NEW to the
+    * domain register with Distinct semantics and the schema's declared
+    * kind (KEid survives the LONG-typed frame), exactly as the
+    * reference's CSV sources do (`csv_file.rs:204-212`); nothing
+    * data-sized lands on the driver ([[frameIngestProbe]] pins it). */
+  def registerSource(source: Either[graft.sources.FileSources.CsvFile,
+      graft.sources.FileSources.JsonFile]): Unit = {
+    import graft.sources.FileSources
+    val perAttr = source match {
+      case Left(csv) => FileSources.sourceCsvBi(spark, csv, sysFrontier)
+      case Right(js) => FileSources.sourceJsonBi(spark, js, sysFrontier)
+    }
+    for ((aid, _, kind) <- perAttr) {
+      configs.getOrElseUpdate(aid,
+        AttributeConfig(InputSemantics.Distinct))
+      if (!firstKind.contains(aid)) firstKind(aid) = kind
+    }
+    for ((aid, df, _) <- perAttr) registerHistory(aid, df)
+  }
+
   /** Bulk DATA-SIZED bitemporal ingest: one transact whose datom batch
     * is a DataFrame `(e LONG, a STRING, v <type>, sys LONG, event LONG,
     * diff LONG)` — a 100 TB versioned-fact backfill enters the
     * distributed store WITHOUT ever serializing through a driver `Seq`.
+    * `v` is either ONE scalar column (LONG / STRING / BOOLEAN / DOUBLE)
+    * or, for a heterogeneous backfill, a MIXED-KIND struct with one
+    * nullable field per kind carried (`s` STRING, `n` LONG, `b`
+    * BOOLEAN, `r` DOUBLE; exactly one non-null per row) — one frame
+    * then transacts string and numeric attributes together.
     * Execution shape (nothing data-sized on the driver):
     *
     *  - CONTROL-PLANE passes: the distinct attribute list (bounded by
@@ -389,13 +425,44 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     require(frame.schema("a").dataType == StringType,
       s"transactFrame column a must be STRING")
     val vType = frame.schema("v").dataType
-    val vKind = vType match {
-      case LongType    => ValueKind.KNumber
-      case StringType  => ValueKind.KString
-      case BooleanType => ValueKind.KBool
-      case DoubleType  => ValueKind.KReal
+    // Scalar frames carry ONE v kind. A MIXED-KIND frame (heterogeneous
+    // backfill: string + numeric attributes in one transact) declares
+    // `v` as a STRUCT with one nullable field per kind it carries —
+    // `s` STRING, `n` LONG, `b` BOOLEAN, `r` DOUBLE — exactly one
+    // non-null per row (validated distributed, inside the all-or-
+    // nothing window, by the same schema-bounded distinct pass that
+    // registers attributes). Both shapes share the single snapshot,
+    // lattice/frontier passes and the one ingest shuffle.
+    val mixedFields: Option[Seq[String]] = vType match {
+      case st: org.apache.spark.sql.types.StructType =>
+        val expect = Map("s" -> (StringType: org.apache.spark.sql.types.DataType),
+          "n" -> LongType, "b" -> BooleanType, "r" -> DoubleType)
+        val fs = st.fields.toSeq.map { f =>
+          expect.get(f.name) match {
+            case Some(dt) =>
+              require(f.dataType == dt,
+                s"mixed-kind v field ${f.name} must be $dt, got ${f.dataType}")
+              f.name
+            case None => throw new IllegalArgumentException(
+              s"mixed-kind v field ${f.name} is not one of " +
+                expect.keys.toSeq.sorted.mkString("/"))
+          }
+        }
+        require(fs.nonEmpty, "mixed-kind v struct has no fields")
+        Some(fs)
+      case LongType | StringType | BooleanType | DoubleType => None
       case other => throw new IllegalArgumentException(
         s"transactFrame v type $other is not a bitemporal scalar kind")
+    }
+    val kindOfLabel = Map[String, ValueKind](
+      "s" -> ValueKind.KString, "n" -> ValueKind.KNumber,
+      "b" -> ValueKind.KBool, "r" -> ValueKind.KReal)
+    val scalarKind: Option[ValueKind] = vType match {
+      case LongType    => Some(ValueKind.KNumber)
+      case StringType  => Some(ValueKind.KString)
+      case BooleanType => Some(ValueKind.KBool)
+      case DoubleType  => Some(ValueKind.KReal)
+      case _           => None
     }
     if (lanes.isEmpty) { val _ = laneOf(coarsen) }
     val laneSeq = lanes.valuesIterator.toSeq
@@ -422,7 +489,14 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
       }
       lane -> BiStore.cappedLatticeCollect(lat, w, "bulk-ingest")
     }
-    if (laneTimes.headOption.forall(_._2.isEmpty)) return // empty frame
+    if (laneTimes.headOption.forall(_._2.isEmpty)) {
+      // Empty frame: nothing ingests — reset the probe so a read after
+      // this call reports THIS call's (zero) driver materialization,
+      // not a stale predecessor's.
+      frameIngestProbe = Map(
+        "datoms" -> 0L, "driverLatticeRows" -> 0L, "driverAttrRows" -> 0L)
+      return
+    }
     for ((lane, times) <- laneTimes) {
       val minSys = times.iterator.map(_._1).min
       require(minSys >= sysFrontier,
@@ -435,19 +509,43 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
           s"watermark $eventWatermark")
     }
 
-    // Attribute registration (distinct list — bounded by the schema).
-    // Validate EVERY attribute's kind before registering ANY — the
-    // all-or-nothing rule extends to the attribute catalog: a frame
-    // rejected on its second attribute must not leave the first behind
-    // as a phantom registration.
-    val attrs = frame.select("a").distinct().rdd.map(_.getString(0)).collect()
-    for (a <- attrs) firstKind.get(a).foreach(k =>
-      require(k.dataType == vType,
-        s"attribute $a already registered with kind $k; frame carries $vType"))
-    for (a <- attrs) {
-      configs.getOrElseUpdate(a, AttributeConfig())
-      if (!firstKind.contains(a)) firstKind(a) = vKind
+    // Attribute registration (distinct (attr, kind) list — bounded by
+    // schema × kinds). Validate EVERY attribute's kind before
+    // registering ANY — the all-or-nothing rule extends to the
+    // attribute catalog: a frame rejected on its second attribute must
+    // not leave the first behind as a phantom registration. In mixed
+    // mode the SAME pass proves each row carries exactly one non-null
+    // kind field and each attribute exactly one kind.
+    val attrKinds: Map[String, ValueKind] = mixedFields match {
+      case None =>
+        frame.select("a").distinct().rdd.map(_.getString(0)).collect()
+          .iterator.map(a => a -> scalarKind.get).toMap
+      case Some(fs) =>
+        import org.apache.spark.sql.functions.{coalesce, lit, when}
+        val nonNull = fs.map(f =>
+          when(col(s"v.$f").isNotNull, 1).otherwise(0)).reduce(_ + _)
+        val label = when(nonNull === 1, coalesce(fs.map(f =>
+          when(col(s"v.$f").isNotNull, lit(f))): _*)).otherwise(lit("!"))
+        val pairs = frame.select(col("a"), label.as("k")).distinct().rdd
+          .map(r => (r.getString(0), r.getString(1))).collect()
+        for ((a, k) <- pairs) require(k != "!",
+          s"mixed-kind frame has rows for attribute $a without exactly " +
+            "one non-null v field")
+        val byAttr = pairs.groupBy(_._1)
+        for ((a, ks) <- byAttr) require(ks.length == 1,
+          s"attribute $a carries ${ks.length} v kinds in one frame: " +
+            ks.map(_._2).sorted.mkString(", "))
+        byAttr.iterator.map { case (a, ks) => a -> kindOfLabel(ks.head._2) }
+          .toMap
     }
+    for ((a, k) <- attrKinds) firstKind.get(a).foreach(k0 =>
+      require(k0.dataType == k.dataType,
+        s"attribute $a already registered with kind $k0; frame carries $k"))
+    for ((a, k) <- attrKinds) {
+      configs.getOrElseUpdate(a, AttributeConfig())
+      if (!firstKind.contains(a)) firstKind(a) = k
+    }
+    val attrs: Array[String] = attrKinds.keys.toArray
 
     // A bulk frame is data-sized by declaration: route through the
     // distributed store, migrating a driver-resident history first —
@@ -465,24 +563,46 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     val lwwAttrs: Set[String] = attrs.iterator
       .filter(a => semanticsOf(a) == InputSemantics.LastWriteWins).toSet
     val base = seqCounter
-    // For LWW frames, sequence numbers order by FINE (sys, event) — one
-    // global sort — so on a Coarsen lane (including one attached LATER)
-    // the winner between same-key facts in one coarse cell is the latest
-    // FINE time: what a sequential fine-grained transact stream would
-    // have produced, deterministic regardless of partition/file order.
-    // Ties at an IDENTICAL fine (sys, event) remain frame-order
-    // arbitrary (real backfills carry distinct times per key). Raw and
-    // Distinct semantics never observe seq order across distinct times,
-    // so non-LWW frames skip the sort shuffle (~2× ingest cost).
+    // For LWW frames, sequence numbers order by FINE (sys, event)
+    // WITHIN EACH KEY — so on a Coarsen lane (including one attached
+    // LATER) the winner between same-key facts in one coarse cell is
+    // the latest FINE time: what a sequential fine-grained transact
+    // stream would have produced, deterministic regardless of
+    // partition/file order. Per-KEY order is all LWW resolution ever
+    // observes ([[BiTime.lwwGreater]] compares seq only between records
+    // of ONE BiKey, and a key never splits across partitions under the
+    // hash repartition), so a hash exchange + per-partition sort
+    // suffices where a global `orderBy` would pay a range-partitioned
+    // total sort (sampling pass + skew-sensitive range exchange — the
+    // documented ~2× LWW ingest cost, retired round 15). Ties at an
+    // IDENTICAL fine (sys, event) remain partition-order arbitrary
+    // (real backfills carry distinct times per key). Raw and Distinct
+    // semantics never observe seq order across distinct times, so
+    // non-LWW frames skip the exchange entirely.
     import org.apache.spark.sql.functions.col
     val ordered =
-      if (lwwAttrs.nonEmpty) frame.orderBy(col("sys"), col("event"))
+      if (lwwAttrs.nonEmpty)
+        frame.repartition(partitions, col("a"), col("e"))
+          .sortWithinPartitions(col("a"), col("e"), col("sys"), col("event"))
       else frame
+    val mixN = mixedFields.map(_.size).getOrElse(0)
     val recs = ordered.rdd.zipWithIndex()
       .map { case (row, i) =>
         val a = row.getString(1)
         val e = row.getLong(0)
-        val v = row.get(2)
+        val v: Any =
+          if (mixN == 0) row.get(2)
+          else {
+            // Mixed mode: the row's value is its single non-null
+            // struct field (exactly-one pinned by the attrKinds pass).
+            val s = row.getStruct(2)
+            var j = 0; var out: Any = null
+            while (j < mixN && out == null) {
+              if (!s.isNullAt(j)) out = s.get(j)
+              j += 1
+            }
+            out
+          }
         val lww = lwwAttrs.contains(a)
         val key = if (lww) BiKey(a, e, null) else BiKey(a, e, v)
         (key, BiRec(row.getLong(3), row.getLong(4), base + 1L + i,
@@ -521,7 +641,33 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     * violations fail loudly inside transactFrame); each batch advances
     * the frontier past its max sys and hands every standing's drained
     * diffs to `onDiffs` (sink-delivered standings deliver through their
-    * sinks instead, with `drain` empty by design). */
+    * sinks instead, with `drain` empty by design).
+    *
+    * Coarsen lanes: the auto-advance to `maxSys + 1` may land mid
+    * coarse bucket — that is SAFE here because [[BiTime.coarse]] rounds
+    * strictly UP (`(t/w + 1)·w`), so any later fine sys `s` maps to a
+    * coarse bound `> s ≥ maxSys + 1` and transactFrame's frontier check
+    * (which compares COARSE times on windowed lanes) never rejects a
+    * batch that honored the increasing-sys contract; a bucket only
+    * delivers once a later batch (or an explicit [[advance]]) carries
+    * the frontier past its bound — the usual windowed-stream finality
+    * rule (`BiFrameIngestSpec` pins the mid-bucket boundary case).
+    *
+    * Delivery is AT-LEAST-ONCE: drained diffs move to a per-standing
+    * pending buffer that clears only after its `onDiffs` call returns,
+    * so a callback failure leaves them buffered and the retried batch
+    * re-delivers them (possibly duplicated if the failure hit after the
+    * callback's side effects — the standard at-least-once contract).
+    *
+    * RESTART contract: the ingest replay guard (`streamBatchSeen`) and
+    * the pending delivery buffers are IN-MEMORY — they cover Spark's
+    * within-session foreachBatch retries, not a driver restart. Across
+    * a restart a fresh engine starts a fresh history and the stream's
+    * own checkpoint replays its source from the beginning, rebuilding
+    * state from scratch (exactly [[BiStream.attach]]'s contract and the
+    * reference's memory-resident server, `server/src/main.rs`). An
+    * embedder needing exactly-once ingest across restarts must persist
+    * `(queryName, batchId)` watermarks alongside its own sink. */
   def attachStream(datoms: DataFrame, queryName: String)(
       onDiffs: (String, Seq[(Seq[Any], BiTimePair, Long)]) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -538,8 +684,7 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
           // transacted (a retry after the DOWNSTREAM callback failed)
           // must not double-ingest. The id records only AFTER
           // transact+advance succeed, so a failure INSIDE them retries
-          // the ingest; a later failure retries only the delivery
-          // (at-least-once onDiffs — the streaming layer's contract).
+          // the ingest; a later failure retries only the delivery.
           val replay = streamBatchSeen.get(queryName).exists(_ >= batchId)
           import org.apache.spark.sql.functions.{count, lit, max}
           val sel = batch.select("e", "a", "v", "sys", "event", "diff")
@@ -548,9 +693,22 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
             transactFrame(sel)
             advance(agg.getLong(0) + 1L)
             streamBatchSeen(queryName) = batchId
-            interestNames.foreach { name =>
-              val diffs = drain(name)
-              if (diffs.nonEmpty) onDiffs(name, diffs)
+          }
+          // Delivery runs OUTSIDE the replay guard: drain() is
+          // destructive, so drained diffs land in a pending buffer
+          // first and clear only AFTER onDiffs returned — a callback
+          // failure leaves them pending and the replayed batch (ingest
+          // already committed, replay=true) re-enters here and flushes
+          // them, instead of the drained batch vanishing because the
+          // guard skipped the whole delivery loop (round-14 ADVICE).
+          interestNames.foreach { name =>
+            val drained = drain(name)
+            if (drained.nonEmpty)
+              streamPendingOut.getOrElseUpdate(
+                name, mutable.ArrayBuffer.empty) ++= drained
+            streamPendingOut.get(name).filter(_.nonEmpty).foreach { buf =>
+              onDiffs(name, buf.toSeq)
+              buf.clear()
             }
           }
         }
@@ -562,6 +720,12 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
   // a fresh history, so cross-process replay rebuilds from scratch as
   // BiStream does).
   private val streamBatchSeen = mutable.Map.empty[String, Long]
+
+  // Diffs drained for a standing but not yet ACKNOWLEDGED by its
+  // onDiffs callback (same-process delivery retry state; see the
+  // restart contract in [[attachStream]]).
+  private val streamPendingOut =
+    mutable.Map.empty[String, mutable.ArrayBuffer[(Seq[Any], BiTimePair, Long)]]
 
   // ---- per-interest standing state --------------------------------------
 

@@ -51,6 +51,16 @@ private[streaming] final class StateCell[S <: AnyRef: ClassTag](
 
   private var prevGen: RDD[_] = null
 
+  // Superseded generations whose reliable files could NOT be dropped at
+  // their supersede point because the SUCCEEDING generation's checkpoint
+  // had not landed (degraded case: recovery would still walk the
+  // predecessor's files). Retried at the next commit whose generation IS
+  // self-contained on reliable storage — once any later generation
+  // landed, no recovery path reads these files again. Bounded: entries
+  // accumulate only while checkpoints keep failing to land, and the
+  // first healthy commit drains the whole queue.
+  private var undroppedGens: List[RDD[_]] = Nil
+
   private var cur: RDD[W] = {
     val z = zero
     val sz = sizeOf
@@ -125,7 +135,15 @@ private[streaming] final class StateCell[S <: AnyRef: ClassTag](
       // generation is self-contained on reliable storage (its own
       // checkpoint landed); if it did not land, recovery still walks
       // the lineage through the superseded files, so keep them.
-      if (mat.isCheckpointed) graft.kernel.Ckpt.dropCheckpoint(prevGen)
+      if (mat.isCheckpointed) {
+        graft.kernel.Ckpt.dropCheckpoint(prevGen)
+        // A landed generation also licenses dropping every EARLIER
+        // generation still queued from degraded commits.
+        undroppedGens.foreach(graft.kernel.Ckpt.dropCheckpoint)
+        undroppedGens = Nil
+      } else if (prevGen.isCheckpointed) {
+        undroppedGens = prevGen :: undroppedGens
+      }
     }
     prevGen = mat
     (out, n)

@@ -270,9 +270,11 @@ class BiFrameIngestSpec extends AnyFunSuite {
     // On a Coarsen lane two same-key facts at distinct fine times can
     // land in ONE coarse cell, where the winner falls to the sequence
     // tie-break. The frame path assigns sequence numbers in fine
-    // (sys, event) order (one global sort), so the LATER fine time wins
-    // deterministically — what a sequential fine-grained transact
-    // stream produces — regardless of the frame's partition/file order.
+    // (sys, event) order WITHIN EACH KEY (hash exchange + per-partition
+    // sort — per-key order is all lwwGreater ever compares), so the
+    // LATER fine time wins deterministically — what a sequential
+    // fine-grained transact stream produces — regardless of the frame's
+    // partition/file order.
     def winner(shufflePartitions: Boolean): Seq[(Seq[Any], (Long, Long), Long)] = {
       val bm = new BiMaintained(spark, partitions = 4,
         coarsen = Some((10L, 10L)))
@@ -295,6 +297,175 @@ class BiFrameIngestSpec extends AnyFunSuite {
     assert(a == b, s"partition order changed the LWW winner:\n a=$a\n b=$b")
     assert(a.exists { case (tuple, _, w) => tuple == Seq(1L, 200L) && w == 1L },
       s"the later fine time must win the coarse cell: $a")
+  }
+
+  test("mixed-kind frame (string + numeric attrs in ONE frame) == sequential per-kind frames") {
+    import org.apache.spark.sql.functions.struct
+    // Heterogeneous backfill: :mk/name STRING, :mk/age LONG — one frame
+    // carrying both through the variant-struct v (s/n fields, exactly
+    // one non-null per row).
+    val rows = Seq(
+      (1L, ":mk/name", Some("ada"), None: Option[Long], 0L, 0L, 1L),
+      (2L, ":mk/name", Some("bob"), None: Option[Long], 0L, 1L, 1L),
+      (1L, ":mk/age", None: Option[String], Some(36L), 0L, 0L, 1L),
+      (1L, ":mk/name", Some("ada"), None: Option[Long], 1L, 0L, -1L),
+      (2L, ":mk/age", None: Option[String], Some(41L), 1L, 2L, 1L))
+    def drive(mixed: Boolean): Out = {
+      val bm = new BiMaintained(spark, partitions = 4)
+      Seq(":mk/name", ":mk/age").foreach(a =>
+        bm.createAttribute(a, AttributeConfig(InputSemantics.Raw)))
+      bm.register(Rule("q", Plan.Join(Seq(0),
+        Plan.MatchA(0, ":mk/name", 1), Plan.MatchA(0, ":mk/age", 2))))
+      bm.interest("q")
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(Seq[Any], (Long, Long), Long)]
+      import spark.implicits._
+      rows.groupBy(_._5).toSeq.sortBy(_._1).foreach { case (s, ds) =>
+        val df = ds.toDF("e", "a", "vs", "vn", "sys", "event", "diff")
+        if (mixed)
+          bm.transactFrame(df.select(col("e"), col("a"),
+            struct(col("vs").as("s"), col("vn").as("n")).as("v"),
+            col("sys"), col("event"), col("diff")))
+        else {
+          // Per-kind split: one scalar frame per value type.
+          val sf = df.where(col("vs").isNotNull)
+            .select(col("e"), col("a"), col("vs").as("v"),
+              col("sys"), col("event"), col("diff"))
+          val nf = df.where(col("vn").isNotNull)
+            .select(col("e"), col("a"), col("vn").as("v"),
+              col("sys"), col("event"), col("diff"))
+          if (!sf.isEmpty) bm.transactFrame(sf)
+          if (!nf.isEmpty) bm.transactFrame(nf)
+        }
+        bm.advance(s + 1L)
+        got ++= bm.drain("q")
+      }
+      got ++= bm.drain("q")
+      ms(got.toSeq)
+    }
+    val want = drive(mixed = false)
+    val got = drive(mixed = true)
+    assert(got == want, s"mixed-kind frame diverged:\n want=$want\n got =$got")
+    assert(want.nonEmpty, "vacuous mixed-kind case")
+  }
+
+  test("mixed-kind frames reject invalid rows and per-attribute kind conflicts, all-or-nothing") {
+    import org.apache.spark.sql.functions.struct
+    import spark.implicits._
+    val bm = new BiMaintained(spark, partitions = 4)
+    bm.createAttribute(":mk2/x", AttributeConfig(InputSemantics.Raw))
+    bm.register(Rule("q", Plan.MatchA(0, ":mk2/x", 1)))
+    bm.interest("q")
+    def mkFrame(rows: Seq[(Long, String, Option[String], Option[Long], Long, Long, Long)]): DataFrame =
+      rows.toDF("e", "a", "vs", "vn", "sys", "event", "diff")
+        .select(col("e"), col("a"),
+          struct(col("vs").as("s"), col("vn").as("n")).as("v"),
+          col("sys"), col("event"), col("diff"))
+    val before = bm.controlPlaneStats
+    // A row with BOTH kind fields non-null must reject the whole frame.
+    intercept[IllegalArgumentException] { bm.transactFrame(mkFrame(Seq(
+      (1L, ":mk2/x", Some("a"), Some(1L), 0L, 0L, 1L)))) }
+    // A row with NO kind field non-null must reject too.
+    intercept[IllegalArgumentException] { bm.transactFrame(mkFrame(Seq(
+      (1L, ":mk2/x", None, None, 0L, 0L, 1L)))) }
+    // One attribute carrying two kinds in one frame must reject.
+    intercept[IllegalArgumentException] { bm.transactFrame(mkFrame(Seq(
+      (1L, ":mk2/x", Some("a"), None, 0L, 0L, 1L),
+      (2L, ":mk2/x", None, Some(1L), 0L, 1L, 1L)))) }
+    // A struct field outside the s/n/b/r vocabulary must reject.
+    intercept[IllegalArgumentException] { bm.transactFrame(
+      Seq((1L, ":mk2/x", 1L, 0L, 0L, 1L)).toDF("e", "a", "vx", "sys", "event", "diff")
+        .select(col("e"), col("a"), struct(col("vx").as("z")).as("v"),
+          col("sys"), col("event"), col("diff"))) }
+    assert(bm.controlPlaneStats == before, "rejected frames mutated state")
+    assert(bm.datomCountProbe == 0L)
+  }
+
+  test("empty frame resets frameIngestProbe instead of reporting the predecessor") {
+    val bm = new BiMaintained(spark, partitions = 4)
+    bm.createAttribute(":ef/x", AttributeConfig(InputSemantics.Raw))
+    bm.transactFrame(frameOf(Seq(BD(1, ":ef/x", 1, 0, 0, 1))))
+    assert(bm.frameIngestProbe("datoms") == 1L)
+    bm.transactFrame(frameOf(Seq.empty))
+    assert(bm.frameIngestProbe ==
+      Map("datoms" -> 0L, "driverLatticeRows" -> 0L, "driverAttrRows" -> 0L),
+      s"stale probe after empty frame: ${bm.frameIngestProbe}")
+  }
+
+  test("attachStream delivery is at-least-once: a failed onDiffs is re-delivered, never lost") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val bm = new BiMaintained(spark, partitions = 4)
+    bm.createAttribute(":alo/x", AttributeConfig(InputSemantics.Raw))
+    bm.register(Rule("q", Plan.MatchA(0, ":alo/x", 1)))
+    bm.interest("q")
+    val in = MemoryStream[(Long, String, Long, Long, Long, Long)]
+    val frame = in.toDF().toDF("e", "a", "v", "sys", "event", "diff")
+    // First attempt: the downstream callback fails AFTER the ingest
+    // committed. Pre-fix, the drained diffs were destructively cleared
+    // and the replay guard skipped delivery forever — silent loss.
+    val q1 = bm.attachStream(frame, "alo-stream") { (_, _) =>
+      throw new RuntimeException("downstream sink unavailable")
+    }
+    in.addData(Seq((1L, ":alo/x", 10L, 0L, 0L, 1L), (2L, ":alo/x", 20L, 0L, 1L, 1L)))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    assert(bm.datomCountProbe == 2L, "ingest itself must have committed")
+    // Retry (a fresh query over the same source replays batch 0): the
+    // replay guard must skip the double-ingest but FLUSH the pending
+    // delivery from the failed attempt.
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[Any], (Long, Long), Long)]
+    val q2 = bm.attachStream(frame, "alo-stream") { (_, diffs) => got ++= diffs }
+    try {
+      q2.processAllAvailable()
+      assert(bm.datomCountProbe == 2L, "replayed batch double-ingested")
+      assert(ms(got.toSeq) == ms(Seq(
+        (Seq(1L, 10L), (0L, 0L), 1L), (Seq(2L, 20L), (0L, 1L), 1L))),
+        s"re-delivery diverged: $got")
+      // And the buffer cleared after the successful delivery: a further
+      // batch delivers only its own diffs.
+      got.clear()
+      in.addData(Seq((3L, ":alo/x", 30L, 1L, 0L, 1L)))
+      q2.processAllAvailable()
+      assert(ms(got.toSeq) == ms(Seq((Seq(3L, 30L), (1L, 0L), 1L))),
+        s"pending buffer leaked into the next batch: $got")
+    } finally q2.stop()
+  }
+
+  test("attachStream on a Coarsen lane survives mid-bucket batch boundaries") {
+    // The auto-advance to maxSys+1 lands mid coarse bucket; because
+    // coarsening rounds STRICTLY UP, a later batch in the SAME bucket
+    // passes the (coarse) frontier check, and the bucket delivers once
+    // a batch lands past its bound (round-14 ADVICE adjudication).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val bm = new BiMaintained(spark, partitions = 4, coarsen = Some((10L, 10L)))
+    bm.createAttribute(":cb/x", AttributeConfig(InputSemantics.Raw))
+    bm.register(Rule("q", Plan.MatchA(0, ":cb/x", 1)))
+    bm.interest("q")
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[Any], (Long, Long), Long)]
+    val in = MemoryStream[(Long, String, Long, Long, Long, Long)]
+    val query = bm.attachStream(
+      in.toDF().toDF("e", "a", "v", "sys", "event", "diff"),
+      "coarse-bucket-stream") { (_, diffs) => got ++= diffs }
+    try {
+      in.addData(Seq((1L, ":cb/x", 1L, 1L, 0L, 1L)))   // bucket (0,10]
+      query.processAllAvailable()                       // frontier -> 2 (mid-bucket)
+      in.addData(Seq((2L, ":cb/x", 2L, 5L, 0L, 1L)))   // SAME bucket, later fine sys
+      query.processAllAvailable()                       // must not reject
+      assert(got.isEmpty, s"bucket delivered before its bound closed: $got")
+      in.addData(Seq((3L, ":cb/x", 3L, 15L, 0L, 1L)))  // next bucket: closes (0,10]
+      query.processAllAvailable()
+      assert(ms(got.toSeq) == ms(Seq(
+        (Seq(1L, 1L), (10L, 10L), 1L), (Seq(2L, 2L), (10L, 10L), 1L))),
+        s"coarse bucket delivery diverged: $got")
+    } finally query.stop()
   }
 
   test("closed-time frames reject all-or-nothing; dense lattices trip the cap") {

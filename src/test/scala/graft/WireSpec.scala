@@ -59,7 +59,19 @@ class WireSpec extends AnyFunSuite {
         Some(Request.SinkSpec.AssocIn(None)), None),
       Request.Interest("q", None,
         Some(Request.SinkSpec.CsvFile("/tmp/out.csv", hasHeaders = true,
-          delimiter = ';', flexible = false)), None)
+          delimiter = ';', flexible = false)), None),
+      // RegisterSource round-trips, including the timestamp_offset the
+      // bitemporal domain reads as the event coordinate.
+      Request.RegisterSource(Left(graft.sources.FileSources.CsvFile(
+        path = "/tmp/in.csv", hasHeaders = true, delimiter = ",",
+        comment = None, eidOffset = 0,
+        schema = Seq(":src/x" -> ((1, graft.model.ValueKind.KNumber))),
+        tsOffset = Some(2)))),
+      Request.RegisterSource(Left(graft.sources.FileSources.CsvFile(
+        path = "/tmp/in.csv", hasHeaders = false, delimiter = "|",
+        comment = None, eidOffset = 0,
+        schema = Seq(":src/s" -> ((1, graft.model.ValueKind.KString))),
+        tsOffset = None)))
     ).foreach { r =>
       assert(Wire.parseRequests(Wire.renderRequest(r)) == Seq(r))
     }

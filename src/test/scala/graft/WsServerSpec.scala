@@ -878,6 +878,57 @@ class WsServerSpec extends AnyFunSuite {
     }
   }
 
+  test("bitemporal RegisterSource over the wire drives the data-sized ingest edge") {
+    withBiServer { (bm, client) =>
+      // A CSV with a timestamp column: each row becomes a versioned
+      // fact at Pair(sys = current frontier, event = ts column). The
+      // duplicate row pins the reference's Distinct source semantics.
+      val dir = Files.createTempDirectory("graft-bi-src")
+      val f = dir.resolve("facts.csv")
+      java.nio.file.Files.writeString(f,
+        "id,price,ts\n1,10,3\n2,20,5\n1,10,3\n")
+      client.send("""{"Register":{"rules":[{"name":"bi_src","plan":
+        {"MatchA":[0,":src/price",1]}}],"publish":["bi_src"]}}""")
+      client.send("""{"Interest":{"name":"bi_src","granularity":null}}""")
+      client.send(s"""{"RegisterSource":{"CsvFile":{"path":"$f",
+        "has_headers":true,"delimiter":44,"eid_offset":0,
+        "timestamp_offset":2,
+        "schema":[[":src/price",[1,{"Number":0}]]]}}}""")
+      // Sequence behind the command loop (requests process in order),
+      // then pin the zero-driver-materialization claim: the source's
+      // rows entered through the distributed registerHistory edge.
+      client.send("\"Status\"")
+      assert(client.next().contains("df/status"))
+      val probe = bm.frameIngestProbe
+      assert(probe("datoms") == 3L && probe("driverLatticeRows") <= 2L &&
+        probe("driverAttrRows") == 1L,
+        s"wire RegisterSource materialized data on the driver: $probe")
+      // The registration landed at the frontier: the next advance
+      // delivers, with EVENT coordinates from the timestamp column and
+      // the duplicate row collapsed by Distinct semantics (weight 1).
+      client.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+      val msg = client.next()
+      assert(msg.contains("\"QueryDiff\"") && msg.contains("bi_src"), msg)
+      assert(msg.contains("""[[1,10],{"Bi":[{"secs":0,"nanos":0},3]},1]"""),
+        s"expected the deduped fact at event 3 with weight 1: $msg")
+      assert(msg.contains("""[[2,20],{"Bi":[{"secs":0,"nanos":0},5]},1]"""),
+        s"expected the second fact at event 5: $msg")
+      // A LATER registration lands at the advanced frontier (sys=1):
+      // bitemporal RegisterSource is incremental, not one-shot.
+      val f2 = dir.resolve("more.csv")
+      java.nio.file.Files.writeString(f2, "id,price,ts\n3,30,4\n")
+      client.send(s"""{"RegisterSource":{"CsvFile":{"path":"$f2",
+        "has_headers":true,"delimiter":44,"eid_offset":0,
+        "timestamp_offset":2,
+        "schema":[[":src/price",[1,{"Number":0}]]]}}}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":2}]}""")
+      val msg2 = client.next()
+      assert(msg2.contains("\"QueryDiff\"") &&
+        msg2.contains("""[[3,30],{"Bi":[{"secs":0,"nanos":1000000},4]},1]"""),
+        s"expected the second registration at sys=1ms, event=4: $msg2")
+    }
+  }
+
   test("bitemporal CsvFile sink over the wire routes the data-sized delivery edge") {
     withBiServer { (_, client) =>
       val dir = Files.createTempDirectory("graft-bi-csv").toString
