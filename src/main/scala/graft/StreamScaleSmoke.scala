@@ -1091,6 +1091,115 @@ object StreamScaleSmoke {
         f"paths=${stats.toMap}%s (4M-datom DataFrame backfill, zero driver Seqs)")
     }
 
+    // LWW bulk-ingest sequence numbering (round 15): the per-key hash
+    // exchange + partition sort that replaced the global orderBy. A/B
+    // the two ordering plans in isolation on one cached 4M-row frame
+    // (the only part that changed), then run the real LWW transactFrame
+    // end to end on the new shape.
+    if (section("bilww")) {
+      import graft.streaming.BiMaintained
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val n = 4000000L
+      val frame = spark.range(n).select(
+        pmod(col("id"), lit(200000L)).as("e"), lit(":lw/x").as("a"),
+        col("id").as("v"), pmod(col("id"), lit(4L)).as("sys"),
+        col("id").as("event"), lit(1L).as("diff")).persist()
+      frame.count()
+      val t0 = now()
+      val g = frame.orderBy(col("sys"), col("event")).rdd.zipWithIndex().count()
+      val tGlobal = secs(t0)
+      val t1 = now()
+      val p = frame.repartition(32, col("a"), col("e"))
+        .sortWithinPartitions(col("a"), col("e"), col("sys"), col("event"))
+        .rdd.zipWithIndex().count()
+      val tPerKey = secs(t1)
+      assert(g == n && p == n)
+      // Real end-to-end LWW ingest on the per-key shape. Coarsen lane:
+      // 4M distinct fine events would (correctly) trip the windowless
+      // lattice cap; a dense LWW backfill declares a granularity.
+      val bm = new BiMaintained(spark, partitions = 32,
+        coarsen = Some((4L, n)))
+      bm.createAttribute(":lw/x", AttributeConfig(InputSemantics.LastWriteWins))
+      val t2 = now()
+      bm.transactFrame(frame)
+      val tIngest = secs(t2)
+      assert(bm.frameIngestProbe("datoms") == n)
+      println(f"[scale] bilww n=$n%d order-plans: global-sort=$tGlobal%.2f " +
+        f"per-key=$tPerKey%.2f lww-transactFrame(per-key)=$tIngest%.2f")
+      frame.unpersist()
+    }
+
+    // Job-count audit of the q_derive_maintain shape (round 15): the
+    // bench's most expensive cell is advance-count-bound by
+    // construction; this section replicates it at the bench SF with a
+    // job-counting listener so per-phase Spark-job totals (transact /
+    // advance / drain per batch) are measured, not guessed.
+    if (section("derivejobs")) {
+      import org.apache.spark.scheduler.SparkListenerJobStart
+      val jobs = new AtomicLong(0L)
+      val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val listener = new SparkListener {
+        override def onJobStart(ev: SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          sites.add(ev.stageInfos.lastOption.map(_.name).getOrElse("?")
+            .takeWhile(_ != '\n'))
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val e = new graft.engine.Engine(spark)
+      Seq("link", "dname", "dbal").foreach { a =>
+        e.createAttribute(a, AttributeConfig(InputSemantics.Distinct))
+      }
+      e.handle(graft.server.Request.Derive("cust", "{ link { dname } }"))
+      e.register(Rule("fans", Plan.Join(Seq(0),
+        Plan.MatchA(0, "cust/dname", 1), Plan.MatchA(0, "dbal", 2))))
+      e.interestIncremental("fans")
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_custkey") <= 2000)
+        .select(col("c_custkey").cast("long").as("c"),
+          col("c_name").as("n"), col("c_acctbal").cast("double").as("b"))
+        .collect()
+      def datoms(pred: Long => Boolean, diff: Long, linkOnly: Boolean) =
+        cust.toSeq.filter(r => pred(r.getLong(0))).flatMap { r =>
+          val c = r.getLong(0)
+          val link = Datom(c, "link", Value.eid(c), None, diff)
+          if (linkOnly) Seq(link)
+          else Seq(link,
+            Datom(c, "dname", Value.str(r.getString(1)), None, diff),
+            Datom(c, "dbal", Value.VReal(r.getDouble(2)), None, diff))
+        }
+      var total = 0L
+      Seq(
+        datoms(c => c % 3 < 2, 1L, linkOnly = false),
+        datoms(c => c % 3 == 2, 1L, linkOnly = false),
+        datoms(c => c % 5 == 0, -1L, linkOnly = true)
+      ).zipWithIndex.foreach { case (tx, i) =>
+        val j0 = jobs.get(); val t0 = now()
+        e.transact(tx)
+        val j1 = jobs.get(); val t1 = now()
+        e.advance(i + 1L)
+        val j2 = jobs.get(); val t2 = now()
+        val n = e.drain("fans").length
+        val j3 = jobs.get()
+        println(f"[scale] derivejobs batch=${i + 1}%d jobs: " +
+          f"transact=${j1 - j0}%d advance=${j2 - j1}%d drain=${j3 - j2}%d " +
+          f"times: transact=${(t1 - t0) / 1e9}%.2f advance=${(t2 - t1) / 1e9}%.2f " +
+          f"drained=$n%d")
+        if (sys.env.contains("GRAFT_DERIVEJOBS_SITES")) {
+          import scala.jdk.CollectionConverters._
+          sites.asScala.toSeq.groupBy(identity).toSeq
+            .map { case (s, xs) => (xs.length, s) }.sortBy(-_._1)
+            .foreach { case (c, s) => println(s"[scale]   $c x $s") }
+        }
+        sites.clear()
+        total += j3 - j0
+      }
+      println(s"[scale] derivejobs END totalJobs=$total")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+
     println("[scale] smoke complete — no driver failure")
     spark.stop()
   }

@@ -263,10 +263,18 @@ class IncrementalQuery(
     /** One co-partitioned NETTED delta batch (unique keys) → the ±1
       * zero-crossing diffs. */
     def advance(delta: RDD[(Seq[Any], Long)]): RDD[(Seq[Any], Long)] =
-      if (!packed) wCell.advance1(delta)(thresholdAdvanceIdx)
+      advanceCounted(delta)._1
+
+    /** [[advance]] plus the output-diff count — FREE: the commit's one
+      * materializing job already counts its outputs, so callers that
+      * would otherwise probe emptiness with a separate `isEmpty` job
+      * read it here instead. */
+    def advanceCounted(
+        delta: RDD[(Seq[Any], Long)]): (RDD[(Seq[Any], Long)], Long) =
+      if (!packed) wCell.advance1Counted(delta)(thresholdAdvanceIdx)
       else {
         val w = width
-        pCell.advance1(delta) { case ((runs, nullM), dIt) =>
+        pCell.advance1Counted(delta) { case ((runs, nullM), dIt) =>
           val buf = mutable.ArrayBuilder.make[Long]
           val out = mutable.ArrayBuffer.empty[(Seq[Any], Long)]
           var nm = nullM
@@ -2168,17 +2176,34 @@ class IncrementalQuery(
       StructField("v", kind.dataType, true),
       StructField(Rel.W, LongType, false)))
 
-    def advance(delta: DataFrame): DataFrame = {
+    /** Returns the set-transition diffs plus their count (free — read
+      * off the state commit's materializing job, replacing a separate
+      * per-attribute `isEmpty` probe job on the hot advance path). */
+    def advanceCounted(delta: DataFrame): (DataFrame, Long) = {
       val d = delta.rdd
         .map(r => (Seq(r.get(0), r.get(1)): Seq[Any], r.getLong(2)))
         .reduceByKey(part, _ + _)
-      val diffs = cell.advance(d)
-      spark.createDataFrame(
-        diffs.map { case (k, w) => Row(k(0), k(1), w) }, schema)
+      val (diffs, n) = cell.advanceCounted(d)
+      (spark.createDataFrame(
+        diffs.map { case (k, w) => Row(k(0), k(1), w) }, schema), n)
     }
   }
 
   private val attrThresholds = mutable.Map.empty[String, AttrThreshold]
+
+  /** Materialize a per-attribute delta projection ONCE, returning the
+    * frame plus its row count from the same job: the RDD checkpoint's
+    * materializing action IS a count, where `Dataset.graftCheckpoint
+    * (eager) + isEmpty` paid two scheduler round-trips for the same
+    * truncated lineage and emptiness answer. Same cut semantics — the
+    * RDD seam honors the reliable-checkpoint dial exactly like the
+    * Dataset seam ([[graft.kernel.Ckpt]]). */
+  private def materializeCounted(df: DataFrame): (DataFrame, Long) = {
+    val schema = df.schema
+    val rdd = df.rdd.graftCheckpoint()
+    val n = rdd.count()
+    (spark.createDataFrame(rdd, schema), n)
+  }
 
   /** Per-attribute LastWriteWins view maintained — the engine's LWW
     * collection is "latest event per entity wins; output its value iff
@@ -2203,7 +2228,9 @@ class IncrementalQuery(
       StructField("v", kind.dataType, true),
       StructField(Rel.W, LongType, false)))
 
-    def advance(delta: DataFrame): DataFrame = {
+    /** Returns the LWW-view diffs plus their count (free off the state
+      * commit — see [[AttrThreshold.advanceCounted]]). */
+    def advanceCounted(delta: DataFrame): (DataFrame, Long) = {
       // Batch winner per entity: the max-(t, seq) event. seq is the
       // domain's global transaction counter, so this is total order.
       val d = delta.rdd
@@ -2211,9 +2238,9 @@ class IncrementalQuery(
           (r.getLong(2), r.getLong(4), r.get(1), r.getLong(3) > 0L)))
         .reduceByKey(part, (a, b) =>
           if (a._1 > b._1 || (a._1 == b._1 && a._2 > b._2)) a else b)
-      val diffs = cell.advance1(d)(IncrementalQuery.lwwAdvanceIdx)
-      spark.createDataFrame(
-        diffs.map { case (e, v, w) => Row(e, v, w) }, schema)
+      val (diffs, n) = cell.advance1Counted(d)(IncrementalQuery.lwwAdvanceIdx)
+      (spark.createDataFrame(
+        diffs.map { case (e, v, w) => Row(e, v, w) }, schema), n)
     }
   }
 
@@ -2228,27 +2255,41 @@ class IncrementalQuery(
     * LastWriteWins view, so the plan sees the latest-event-wins
     * relation's transitions. */
   def advance(deltas: Map[String, DataFrame]): DataFrame = {
+    // Per attribute: the raw delta materializes through ONE counted
+    // checkpoint job (the count doubles as the emptiness probe), and
+    // the input view's output emptiness reads off the state commit's
+    // free count — the previous shape (eager Dataset checkpoint +
+    // `isEmpty` + a second `isEmpty` on the view output) paid three
+    // scheduler round-trips per attribute per advance for the same
+    // information.
     val attrDeltas: Map[String, DataFrame] = deltas.flatMap { case (a, df) =>
       require(kinds.contains(a), s"unknown attribute $a")
-      val d = if (lwwAttrs(a)) {
+      if (lwwAttrs(a)) {
         require(df.columns.toSet == Set("e", "v", "t", "diff", "seq"),
           s"LastWriteWins attribute $a needs raw ordered events " +
             s"(e, v, t, diff, seq), got ${df.columns.mkString(", ")}")
-        val raw = df.select(col("e").cast("long"),
+        val (raw, nRaw) = materializeCounted(df.select(col("e").cast("long"),
           col("v").cast(kinds(a).dataType), col("t").cast("long"),
-          col("diff").cast("long"), col("seq").cast("long"))
-          .graftCheckpoint(true)
-        if (raw.isEmpty) raw.limit(0)
-        else attrLwws.getOrElseUpdate(a, new AttrLww(kinds(a))).advance(raw)
+          col("diff").cast("long"), col("seq").cast("long")))
+        if (nRaw == 0L) None
+        else {
+          val (d, n) = attrLwws.getOrElseUpdate(a, new AttrLww(kinds(a)))
+            .advanceCounted(raw)
+          if (n == 0L) None else Some(a -> d)
+        }
       } else {
-        val raw = df.select(col("e").cast("long"),
+        val (raw, nRaw) = materializeCounted(df.select(col("e").cast("long"),
           col("v").cast(kinds(a).dataType),
-          col("diff").cast("long").as(Rel.W)).graftCheckpoint(true)
-        if (raw.isEmpty || !distinctAttrs(a)) raw
-        else attrThresholds.getOrElseUpdate(a, new AttrThreshold(kinds(a)))
-          .advance(raw)
+          col("diff").cast("long").as(Rel.W)))
+        if (nRaw == 0L) None
+        else if (!distinctAttrs(a)) Some(a -> raw)
+        else {
+          val (d, n) = attrThresholds
+            .getOrElseUpdate(a, new AttrThreshold(kinds(a)))
+            .advanceCounted(raw)
+          if (n == 0L) None else Some(a -> d)
+        }
       }
-      if (d.isEmpty) None else Some(a -> d)
     }
     if (attrDeltas.isEmpty) root.emptyDiff
     else {
