@@ -2192,17 +2192,18 @@ class IncrementalQuery(
   private val attrThresholds = mutable.Map.empty[String, AttrThreshold]
 
   /** Materialize a per-attribute delta projection ONCE, returning the
-    * frame plus its row count from the same job: the RDD checkpoint's
-    * materializing action IS a count, where `Dataset.graftCheckpoint
-    * (eager) + isEmpty` paid two scheduler round-trips for the same
-    * truncated lineage and emptiness answer. Same cut semantics — the
-    * RDD seam honors the reliable-checkpoint dial exactly like the
-    * Dataset seam ([[graft.kernel.Ckpt]]). */
+    * frame plus its row count from the same job: a LAZY checkpoint
+    * whose first action is the count — the marked RDD materializes,
+    * truncates, and counts in ONE scheduler round-trip, where
+    * `graftCheckpoint(eager) + isEmpty` paid two for the same answer.
+    * Deliberately NOT `df.rdd.graftCheckpoint() + count`: that leaves
+    * InternalRow land, and every downstream consumer then pays a
+    * Row↔InternalRow conversion boundary — measured as +0.5-2 s on
+    * each bitemporal bench cell (many standings × attributes ×
+    * advances) before this was caught in the round-15 same-window A/B. */
   private def materializeCounted(df: DataFrame): (DataFrame, Long) = {
-    val schema = df.schema
-    val rdd = df.rdd.graftCheckpoint()
-    val n = rdd.count()
-    (spark.createDataFrame(rdd, schema), n)
+    val mat = df.graftCheckpoint(eager = false)
+    (mat, mat.count())
   }
 
   /** Per-attribute LastWriteWins view maintained — the engine's LWW
