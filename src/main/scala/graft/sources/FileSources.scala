@@ -36,8 +36,8 @@ object FileSources {
       schema: Seq[(String, (Int, ValueKind))] = Seq.empty,
       // Reference `timestamp_offset` (`csv_file.rs:30-31`): the column
       // carrying each row's EVENT time. Read by the bitemporal
-      // registration path ([[sourceCsvBi]]); the unitemporal batch path
-      // ignores it, as before.
+      // registration path ([[sourceCsvBiFrame]]); the unitemporal batch
+      // path ignores it, as before.
       tsOffset: Option[Int] = None)
 
   /** Reference `JsonFile` (`src/sources/json_file.rs:24-150`): newline-
@@ -132,17 +132,52 @@ object FileSources {
     }
   }
 
-  /** BITEMPORAL batch read: each attribute's rows become versioned
-    * facts `(e, v, sys, event, diff)` for the data-sized
-    * [[graft.streaming.BiMaintained.registerHistory]] edge — system
-    * time `sysAt` (the hosting domain's frontier: the server learned
-    * these facts NOW — the bi mirror of the unitemporal registration
-    * landing at `notePending(frontier)`), event time from the CSV's
-    * `tsOffset` column when declared (the reference's
-    * `timestamp_offset`, `csv_file.rs:30-31`) else 0 (valid since the
-    * epoch), diff +1. One scan serves all attributes. */
-  def sourceCsvBi(spark: SparkSession, src: CsvFile,
-      sysAt: Long): Seq[(String, DataFrame, ValueKind)] = {
+  // Mixed-kind `v` struct for the bitemporal bulk frame (the
+  // transactFrame vocabulary: s STRING / n LONG / b BOOLEAN / r DOUBLE,
+  // exactly one non-null per row).
+  private def mixedV(c: org.apache.spark.sql.Column, kind: ValueKind) = {
+    val nullS = lit(null).cast(StringType)
+    val nullN = lit(null).cast(LongType)
+    val nullB = lit(null).cast(BooleanType)
+    val nullR = lit(null).cast(DoubleType)
+    val (s, n, b, r) = kind match {
+      case KString        => (c, nullN, nullB, nullR)
+      case KNumber | KEid => (nullS, c, nullB, nullR)
+      case KBool          => (nullS, nullN, c, nullR)
+      case other          => sys.error(s"unsupported source type hint $other")
+    }
+    struct(s.as("s"), n.as("n"), b.as("b"), r.as("r"))
+  }
+
+  // Loud malformed-cell guard: a null after the cast fails the FIRST
+  // pass over the frame with a clean message (and transactFrame's
+  // lattice pass runs before ANY state mutates), instead of the opaque
+  // null-at-index task error a later Row accessor would throw.
+  private def requireCast(c: org.apache.spark.sql.Column, what: String,
+      path: String) =
+    when(c.isNull,
+      raise_error(lit(s"bi source $what is null or non-numeric in $path"))
+        .cast(LongType))
+      .otherwise(c)
+
+  /** BITEMPORAL batch read: ONE scan of the CSV becomes ONE versioned-
+    * fact frame `(e, a, v<struct>, sys, event, diff)` for the
+    * data-sized [[graft.streaming.BiMaintained.transactFrame]] edge —
+    * every declared attribute rides the mixed-kind `v` struct, so a
+    * multi-attribute source ingests ATOMICALLY (one all-or-nothing
+    * transact) in one pass (per-row explode, not one scan per
+    * attribute). System time is `sysAt` (the hosting domain's frontier:
+    * the server learned these facts NOW — the bi mirror of the
+    * unitemporal registration landing at `notePending(frontier)`);
+    * event time comes from the `tsOffset` column when declared (the
+    * reference's `timestamp_offset`, `csv_file.rs:30-31`) else 0
+    * (valid since the epoch); diff +1. Malformed eid/timestamp cells
+    * fail loudly before any engine state mutates; a malformed VALUE
+    * cell rejects through transactFrame's exactly-one-kind proof.
+    * Returns the frame plus the declared (attribute, kind) list. */
+  def sourceCsvBiFrame(spark: SparkSession, src: CsvFile,
+      sysAt: Long): (DataFrame, Seq[(String, ValueKind)]) = {
+    require(src.schema.nonEmpty, s"CSV source ${src.path} declares no attributes")
     var reader = spark.read
       .option("header", src.hasHeaders.toString)
       .option("delimiter", src.delimiter)
@@ -150,23 +185,45 @@ object FileSources {
     src.comment.foreach(c => reader = reader.option("comment", c))
     val raw = reader.csv(src.path)
     val cols = raw.columns
-    val e = col(cols(src.eidOffset)).cast("long").as("e")
-    val event = src.tsOffset
-      .map(i => col(cols(i)).cast("long")).getOrElse(lit(0L)).as("event")
-    src.schema.map { case (aid, (offset, kind)) =>
-      (aid, raw.select(e, castTo(col(cols(offset)), kind).as("v"),
-        lit(sysAt).as("sys"), event, lit(1L).as("diff")), kind)
+    def bound(i: Int, what: String): Int = {
+      require(i >= 0 && i < cols.length,
+        s"$what offset $i out of range: ${src.path} has ${cols.length} columns")
+      i
     }
+    val e = requireCast(col(cols(bound(src.eidOffset, "eid")))
+      .cast("long"), "entity id", src.path).as("e")
+    val event = src.tsOffset
+      .map(i => requireCast(col(cols(bound(i, "timestamp"))).cast("long"),
+        "timestamp", src.path))
+      .getOrElse(lit(0L)).as("event")
+    val pairs = array(src.schema.map { case (aid, (offset, kind)) =>
+      struct(lit(aid).as("a"),
+        mixedV(castTo(col(cols(bound(offset, s"attribute $aid"))), kind), kind)
+          .as("v"))
+    }: _*)
+    val frame = raw
+      .select(e, explode(pairs).as("av"), lit(sysAt).as("sys"), event,
+        lit(1L).as("diff"))
+      .select(col("e"), col("av.a").as("a"), col("av.v").as("v"),
+        col("sys"), col("event"), col("diff"))
+    (frame, src.schema.map { case (aid, (_, kind)) => (aid, kind) })
   }
 
-  /** BITEMPORAL batch read of newline-delimited JSON: line index = eid,
-    * system time `sysAt`, event time 0, diff +1 (see [[sourceCsvBi]]). */
-  def sourceJsonBi(spark: SparkSession, src: JsonFile,
-      sysAt: Long): Seq[(String, DataFrame, ValueKind)] =
-    sourceJson(spark, src).map { case (aid, df, kind) =>
-      (aid, df.select(col("e"), col("v"), lit(sysAt).as("sys"),
-        lit(0L).as("event"), lit(1L).as("diff")), kind)
+  /** BITEMPORAL batch read of newline-delimited JSON as ONE versioned-
+    * fact frame: line index = eid, system time `sysAt`, event time 0,
+    * diff +1 (see [[sourceCsvBiFrame]]). Objects missing an attribute
+    * (or carrying an uncastable value — `from_json` yields null)
+    * contribute no datom for it, the [[sourceJson]] convention. */
+  def sourceJsonBiFrame(spark: SparkSession, src: JsonFile,
+      sysAt: Long): (DataFrame, Seq[(String, ValueKind)]) = {
+    require(src.attributes.nonEmpty,
+      s"JSON source ${src.path} declares no attributes")
+    val perAttr = sourceJson(spark, src).map { case (aid, df, kind) =>
+      df.select(col("e"), lit(aid).as("a"), mixedV(col("v"), kind).as("v"),
+        lit(sysAt).as("sys"), lit(0L).as("event"), lit(1L).as("diff"))
     }
+    (perAttr.reduce(_ unionByName _), src.attributes)
+  }
 
   /** Register a CSV source's attributes into a domain with Distinct
     * semantics, as the reference does (`csv_file.rs:204-212`). */

@@ -278,7 +278,7 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
   def uninterest(name: String): Unit =
     standings.remove(name).foreach { st =>
       interests -= name
-      streamPendingOut -= name
+      streamPendingOut.filterInPlace { case ((_, n), _) => n != name }
       val lane = st.lane
       lane.members -= name
       if (lane.members.isEmpty) {
@@ -350,29 +350,51 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     * timestamp-generic, `src/sources/mod.rs:47-64`, and RegisterSource
     * works in whatever domain the server hosts, `src/server/mod.rs:171`
     * — mirrored here so the fully distributed bulk-ingest edge is
-    * client-drivable over the wire). Each declared attribute's rows
-    * enter through the data-sized [[registerHistory]] path: SYSTEM time
-    * is the current frontier (the registration lands "now" — the bi
+    * client-drivable over the wire). The whole source enters as ONE
+    * mixed-kind [[transactFrame]] — one scan, one all-or-nothing
+    * transact even across attributes of different kinds: SYSTEM time is
+    * the current frontier (the registration lands "now" — the bi
     * mirror of the unitemporal `notePending(frontier)` rule), EVENT
     * time comes from the CSV's `timestamp_offset` column when declared
     * (else 0: valid since the epoch), diff +1. Attributes NEW to the
     * domain register with Distinct semantics and the schema's declared
     * kind (KEid survives the LONG-typed frame), exactly as the
-    * reference's CSV sources do (`csv_file.rs:204-212`); nothing
-    * data-sized lands on the driver ([[frameIngestProbe]] pins it). */
+    * reference's CSV sources do (`csv_file.rs:204-212`); a REJECTED
+    * source (kind conflict, malformed cells, closed times) rolls those
+    * registrations back and ingests nothing. Nothing data-sized lands
+    * on the driver ([[frameIngestProbe]] pins it). */
   def registerSource(source: Either[graft.sources.FileSources.CsvFile,
       graft.sources.FileSources.JsonFile]): Unit = {
     import graft.sources.FileSources
-    val perAttr = source match {
-      case Left(csv) => FileSources.sourceCsvBi(spark, csv, sysFrontier)
-      case Right(js) => FileSources.sourceJsonBi(spark, js, sysFrontier)
+    val (frame, attrKinds) = source match {
+      case Left(csv) => FileSources.sourceCsvBiFrame(spark, csv, sysFrontier)
+      case Right(js) => FileSources.sourceJsonBiFrame(spark, js, sysFrontier)
     }
-    for ((aid, _, kind) <- perAttr) {
-      configs.getOrElseUpdate(aid,
-        AttributeConfig(InputSemantics.Distinct))
-      if (!firstKind.contains(aid)) firstKind(aid) = kind
+    // Pre-register semantics + declared kinds (they must be visible to
+    // the ingest: semantics pick the store keys, the declared kind
+    // keeps KEid from degrading to KNumber) — but keep the
+    // all-or-nothing rule: a rejected frame must not leave phantom
+    // registrations, so additions roll back on ANY failure.
+    // transactFrame itself mutates nothing until every validation pass
+    // held.
+    val addedConfigs = attrKinds.collect {
+      case (aid, _) if !configs.contains(aid) => aid
     }
-    for ((aid, df, _) <- perAttr) registerHistory(aid, df)
+    val addedKinds = attrKinds.collect {
+      case (aid, _) if !firstKind.contains(aid) => aid
+    }
+    try {
+      for ((aid, kind) <- attrKinds) {
+        configs.getOrElseUpdate(aid, AttributeConfig(InputSemantics.Distinct))
+        if (!firstKind.contains(aid)) firstKind(aid) = kind
+      }
+      transactFrame(frame)
+    } catch {
+      case t: Throwable =>
+        addedConfigs.foreach(configs -= _)
+        addedKinds.foreach(firstKind -= _)
+        throw t
+    }
   }
 
   /** Bulk DATA-SIZED bitemporal ingest: one transact whose datom batch
@@ -433,37 +455,37 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     // nothing window, by the same schema-bounded distinct pass that
     // registers attributes). Both shapes share the single snapshot,
     // lattice/frontier passes and the one ingest shuffle.
-    val mixedFields: Option[Seq[String]] = vType match {
-      case st: org.apache.spark.sql.types.StructType =>
-        val expect = Map("s" -> (StringType: org.apache.spark.sql.types.DataType),
-          "n" -> LongType, "b" -> BooleanType, "r" -> DoubleType)
-        val fs = st.fields.toSeq.map { f =>
-          expect.get(f.name) match {
-            case Some(dt) =>
-              require(f.dataType == dt,
-                s"mixed-kind v field ${f.name} must be $dt, got ${f.dataType}")
-              f.name
-            case None => throw new IllegalArgumentException(
-              s"mixed-kind v field ${f.name} is not one of " +
-                expect.keys.toSeq.sorted.mkString("/"))
-          }
-        }
-        require(fs.nonEmpty, "mixed-kind v struct has no fields")
-        Some(fs)
-      case LongType | StringType | BooleanType | DoubleType => None
-      case other => throw new IllegalArgumentException(
-        s"transactFrame v type $other is not a bitemporal scalar kind")
-    }
+    // ONE classification of the v column: Right(kind) for a scalar
+    // frame, Left(struct field names) for mixed-kind — the kind
+    // vocabulary lives in kindOfLabel alone, shared by both shapes.
     val kindOfLabel = Map[String, ValueKind](
       "s" -> ValueKind.KString, "n" -> ValueKind.KNumber,
       "b" -> ValueKind.KBool, "r" -> ValueKind.KReal)
-    val scalarKind: Option[ValueKind] = vType match {
-      case LongType    => Some(ValueKind.KNumber)
-      case StringType  => Some(ValueKind.KString)
-      case BooleanType => Some(ValueKind.KBool)
-      case DoubleType  => Some(ValueKind.KReal)
-      case _           => None
+    val classified: Either[Seq[String], ValueKind] = vType match {
+      case st: org.apache.spark.sql.types.StructType =>
+        val fs = st.fields.toSeq.map { f =>
+          kindOfLabel.get(f.name) match {
+            case Some(k) =>
+              require(f.dataType == k.dataType,
+                s"mixed-kind v field ${f.name} must be ${k.dataType}, " +
+                  s"got ${f.dataType}")
+              f.name
+            case None => throw new IllegalArgumentException(
+              s"mixed-kind v field ${f.name} is not one of " +
+                kindOfLabel.keys.toSeq.sorted.mkString("/"))
+          }
+        }
+        require(fs.nonEmpty, "mixed-kind v struct has no fields")
+        Left(fs)
+      case dt =>
+        kindOfLabel.values.find(_.dataType == dt) match {
+          case Some(k) => Right(k)
+          case None => throw new IllegalArgumentException(
+            s"transactFrame v type $dt is not a bitemporal scalar kind")
+        }
     }
+    val mixedFields: Option[Seq[String]] = classified.left.toOption
+    val scalarKind: Option[ValueKind] = classified.toOption
     if (lanes.isEmpty) { val _ = laneOf(coarsen) }
     val laneSeq = lanes.valuesIterator.toSeq
 
@@ -701,15 +723,21 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
           // already committed, replay=true) re-enters here and flushes
           // them, instead of the drained batch vanishing because the
           // guard skipped the whole delivery loop (round-14 ADVICE).
+          // Pending buffers are keyed by (stream, standing): a buffer
+          // parked by THIS stream's failed callback is flushed only by
+          // THIS stream's replay — another attached stream's batch must
+          // not deliver it through the wrong onDiffs (and clear it out
+          // from under the owner's retry).
           interestNames.foreach { name =>
             val drained = drain(name)
             if (drained.nonEmpty)
               streamPendingOut.getOrElseUpdate(
-                name, mutable.ArrayBuffer.empty) ++= drained
-            streamPendingOut.get(name).filter(_.nonEmpty).foreach { buf =>
-              onDiffs(name, buf.toSeq)
-              buf.clear()
-            }
+                (queryName, name), mutable.ArrayBuffer.empty) ++= drained
+            streamPendingOut.get((queryName, name)).filter(_.nonEmpty)
+              .foreach { buf =>
+                onDiffs(name, buf.toSeq)
+                buf.clear()
+              }
           }
         }
       }
@@ -721,11 +749,13 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
   // BiStream does).
   private val streamBatchSeen = mutable.Map.empty[String, Long]
 
-  // Diffs drained for a standing but not yet ACKNOWLEDGED by its
-  // onDiffs callback (same-process delivery retry state; see the
-  // restart contract in [[attachStream]]).
-  private val streamPendingOut =
-    mutable.Map.empty[String, mutable.ArrayBuffer[(Seq[Any], BiTimePair, Long)]]
+  // Diffs drained for a standing by an attached stream's batch but not
+  // yet ACKNOWLEDGED by that stream's onDiffs callback — keyed
+  // (stream queryName, standing name) so one stream's parked delivery
+  // is never flushed through another stream's callback (same-process
+  // delivery retry state; see the restart contract in [[attachStream]]).
+  private val streamPendingOut = mutable.Map
+    .empty[(String, String), mutable.ArrayBuffer[(Seq[Any], BiTimePair, Long)]]
 
   // ---- per-interest standing state --------------------------------------
 

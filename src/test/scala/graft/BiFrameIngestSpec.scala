@@ -468,6 +468,55 @@ class BiFrameIngestSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("registerSource is atomic across attributes: a kind conflict rejects the whole source") {
+    import graft.sources.FileSources
+    val dir = java.nio.file.Files.createTempDirectory("graft-bi-rs")
+    val f = dir.resolve("facts.csv")
+    java.nio.file.Files.writeString(f, "id,x,y\n1,10,hello\n2,20,world\n")
+    val bm = new BiMaintained(spark, partitions = 4)
+    // :rs/a is already a STRING attribute; the CSV declares it Number.
+    bm.transact(Seq(bm.BiDatom(Value.eid(9), ":rs/a", Value.str("s"), (0L, 0L), 1L)))
+    bm.advance(1L)
+    val before = bm.datomCountProbe
+    // One source, two attributes: :rs/b (fresh, valid) + :rs/a
+    // (conflicting). Pre-fix, :rs/b ingested fully before :rs/a's
+    // rejection; now the whole source is ONE mixed-kind transactFrame
+    // and nothing lands — including no phantom registration of :rs/b.
+    intercept[IllegalArgumentException] {
+      bm.registerSource(Left(FileSources.CsvFile(path = f.toString,
+        schema = Seq(":rs/b" -> ((1, ValueKind.KNumber)),
+          ":rs/a" -> ((1, ValueKind.KNumber))))))
+    }
+    assert(bm.datomCountProbe == before, "rejected source ingested data")
+    // No phantom :rs/b registration: re-registering it as a STRING
+    // attribute must succeed (a leaked KNumber firstKind would reject).
+    bm.registerSource(Left(FileSources.CsvFile(path = f.toString,
+      schema = Seq(":rs/b" -> ((2, ValueKind.KString))))))
+    assert(bm.datomCountProbe == before + 2L)
+    // And the whole-source ingest is ONE frame: a fresh two-kind source
+    // lands atomically with the probe seeing a single bulk transact.
+    val f2 = dir.resolve("facts2.csv")
+    java.nio.file.Files.writeString(f2, "id,n,s,ts\n3,30,aa,5\n4,40,bb,6\n")
+    bm.registerSource(Left(FileSources.CsvFile(path = f2.toString,
+      schema = Seq(":rs/n" -> ((1, ValueKind.KNumber)),
+        ":rs/s" -> ((2, ValueKind.KString))),
+      tsOffset = Some(3))))
+    assert(bm.frameIngestProbe("datoms") == 4L,
+      s"expected one 4-datom frame: ${bm.frameIngestProbe}")
+    // Malformed eid cells fail loudly, not as an opaque task NPE.
+    val f3 = dir.resolve("bad.csv")
+    java.nio.file.Files.writeString(f3, "id,x\noops,1\n")
+    val ex = intercept[Exception] {
+      bm.registerSource(Left(FileSources.CsvFile(path = f3.toString,
+        schema = Seq(":rs/n" -> ((1, ValueKind.KNumber))))))
+    }
+    assert(ex.getMessage != null &&
+      (ex.getMessage.contains("entity id") ||
+        String.valueOf(ex.getCause).contains("entity id")),
+      s"expected the loud malformed-eid message, got $ex")
+    assert(bm.datomCountProbe == before + 6L)
+  }
+
   test("closed-time frames reject all-or-nothing; dense lattices trip the cap") {
     val bm = new BiMaintained(spark, partitions = 4)
     bm.createAttribute(":fr2/x", AttributeConfig(InputSemantics.Raw))

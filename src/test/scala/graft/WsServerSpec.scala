@@ -926,6 +926,19 @@ class WsServerSpec extends AnyFunSuite {
       assert(msg2.contains("\"QueryDiff\"") &&
         msg2.contains("""[[3,30],{"Bi":[{"secs":0,"nanos":1000000},4]},1]"""),
         s"expected the second registration at sys=1ms, event=4: $msg2")
+      // The JsonFile shape rides the same edge (line index = eid,
+      // event 0, sys = the now-advanced frontier).
+      val fj = dir.resolve("facts.jsonl")
+      java.nio.file.Files.writeString(fj,
+        """{":src/price": 70}""" + "\n" + """{":src/price": 80}""" + "\n")
+      client.send(s"""{"RegisterSource":{"JsonFile":{"path":"$fj",
+        "attributes":[[":src/price",{"Number":0}]]}}}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":3}]}""")
+      val msg3 = client.next()
+      assert(msg3.contains("\"QueryDiff\"") &&
+        msg3.contains("""[[0,70],{"Bi":[{"secs":0,"nanos":2000000},0]},1]""") &&
+        msg3.contains("""[[1,80],{"Bi":[{"secs":0,"nanos":2000000},0]},1]"""),
+        s"expected the JSON registration at sys=2ms, event=0: $msg3")
     }
   }
 
