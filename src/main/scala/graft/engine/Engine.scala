@@ -271,8 +271,12 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
           // Reference semantics (`server/src/main.rs:396-420`): the source's
           // attribute streams join the domain; here the file materializes
           // into Distinct-semantics attribute collections.
-          case Left(csv)   => graft.sources.FileSources.registerCsv(domain, csv)
-          case Right(json) => graft.sources.FileSources.registerJson(domain, json)
+          case csv: graft.sources.FileSources.CsvFile =>
+            graft.sources.FileSources.registerCsv(domain, csv)
+          case json: graft.sources.FileSources.JsonFile =>
+            graft.sources.FileSources.registerJson(domain, json)
+          case pq: graft.sources.FileSources.ParquetFile =>
+            graft.sources.FileSources.registerParquet(domain, pq)
         }
         // The registration lands "now": the next advance must snapshot at
         // this time to emit the new data as diffs.

@@ -509,6 +509,33 @@ object CoreQueries {
       bitemporalMaintainQ(s, dir, gate = 3000L, slack = None,
         sinkDelivery = true, compactEvents = true)),
 
+    "q_source_parquet" -> ((s, dir) => {
+      // The SOURCE edge under the oracle gate: a parquet table enters a
+      // fresh domain through `Request::RegisterSource`'s registration
+      // path (FileSources.registerParquet — named columns, Distinct
+      // semantics, lazy 2-column projections so each attribute's scan
+      // prunes to its own column) and a compiled Join reads it back.
+      // The CSV/JSON sources share this exact registration edge
+      // (Engine R.RegisterSource); parquet is the shape a 100 TB
+      // backfill actually arrives in.
+      import graft.sources.FileSources
+      val dom = new graft.domain.Domain(s)
+      FileSources.registerParquet(dom, FileSources.ParquetFile(
+        path = s"$dir/documents.parquet", eidColumn = "doc_id",
+        attributes = Seq(
+          ":src_doc/lang" -> (("lang", ValueKind.KString)),
+          ":src_doc/nchars" -> (("n_chars", ValueKind.KNumber)))))
+      val compiler = new graft.compile.Compiler(dom.asOf(Long.MaxValue))
+      val rel = compiler.compile(
+        Join(Seq(0),
+          MatchAV(0, ":src_doc/lang", Value.str("en")),
+          matchA(0, ":src_doc/nchars", 1)), Map.empty)
+        .getOrElse(sys.error("source plan compiled to empty relation"))
+      require(rel.unit, "source query must stay on the unit-weight path")
+      rel.df.select(col(graft.compile.Rel.c(0)).as("e"),
+        col(graft.compile.Rel.c(1)).as("n"))
+    }),
+
     "q_bitemporal_frame" -> ((s, dir) =>
       // The q_bitemporal_sink computation with the DATA-SIZED INGEST
       // edge too (`transactFrame`, round 14): the datom batches stay
@@ -1101,6 +1128,8 @@ object CoreQueries {
            SELECT src, dst FROM surviving
            UNION
            SELECT e.src, c.dst FROM surviving e JOIN closure c ON e.dst = c.src)
-         SELECT src, dst FROM closure"""
+         SELECT src, dst FROM closure""",
+    "q_source_parquet" ->
+      "SELECT doc_id AS e, n_chars AS n FROM documents WHERE lang = 'en'"
   )
 }

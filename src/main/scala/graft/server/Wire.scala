@@ -56,10 +56,11 @@ object Request {
       extends Request
   final case class AdvanceDomain(domain: Option[String], t: Long) extends Request
   /** Attach an external data source publishing one or more attributes
-    * (`Request::RegisterSource`, `src/server/mod.rs:171`). */
+    * (`Request::RegisterSource`, `src/server/mod.rs:171`). The source
+    * vocabulary is [[graft.sources.FileSources.Source]]: the
+    * reference's CsvFile/JsonFile plus the beyond-parity ParquetFile. */
   final case class RegisterSource(
-      source: Either[graft.sources.FileSources.CsvFile,
-        graft.sources.FileSources.JsonFile]) extends Request
+      source: graft.sources.FileSources.Source) extends Request
   case object Tick extends Request
   final case class CloseInput(name: String) extends Request
   case object Disconnect extends Request
@@ -180,7 +181,7 @@ object Wire {
                   case other => sys.error(s"malformed schema entry: $other")
                 }
               }
-              Request.RegisterSource(Left(graft.sources.FileSources.CsvFile(
+              Request.RegisterSource(graft.sources.FileSources.CsvFile(
                 path = str(co.get("path").get),
                 hasHeaders = co.get("has_headers") match {
                   case Some(JBool(b)) => b
@@ -191,9 +192,9 @@ object Wire {
                 eidOffset = co.get("eid_offset").map(int).getOrElse(0),
                 schema = schema,
                 tsOffset = co.get("timestamp_offset")
-                  .filter(_ != JNull).map(int))))
+                  .filter(_ != JNull).map(int)))
             case Vector(("JsonFile", co: JObj)) =>
-              Request.RegisterSource(Right(graft.sources.FileSources.JsonFile(
+              Request.RegisterSource(graft.sources.FileSources.JsonFile(
                 path = str(co.get("path").get),
                 attributes = arr(co.get("attributes").get).map { e =>
                   arr(e) match {
@@ -201,7 +202,28 @@ object Wire {
                       (str(aidJ), ValueKind.of(valueOf(hint)))
                     case other => sys.error(s"malformed attribute entry: $other")
                   }
-                })))
+                }))
+            case Vector(("ParquetFile", co: JObj)) =>
+              // Beyond-parity source (FileSources.ParquetFile): named
+              // columns, {"ParquetFile":{path, eid_column,
+              // timestamp_column(string|null),
+              // attributes:[[aid,[column,ValueHint]]]}}.
+              Request.RegisterSource(graft.sources.FileSources.ParquetFile(
+                path = str(co.get("path").get),
+                eidColumn = str(co.get("eid_column").get),
+                attributes = arr(co.get("attributes").get).map { e =>
+                  arr(e) match {
+                    case Seq(aidJ, colHint) => arr(colHint) match {
+                      case Seq(column, hint) =>
+                        (str(aidJ), (str(column), ValueKind.of(valueOf(hint))))
+                      case other =>
+                        sys.error(s"malformed attribute entry: $other")
+                    }
+                    case other => sys.error(s"malformed attribute entry: $other")
+                  }
+                },
+                tsColumn = co.get("timestamp_column")
+                  .filter(_ != JNull).map(str)))
             case other => sys.error(s"unknown source: $other")
           }
         case other => sys.error(s"unknown request: $other")
@@ -235,10 +257,11 @@ object Wire {
         case ValueKind.KEid     => """{"Eid":0}"""
         case ValueKind.KBool    => """{"Bool":false}"""
         case ValueKind.KInstant => """{"Instant":0}"""
+        case ValueKind.KReal    => """{"Real":0.0}"""
         case other              => sys.error(s"unsupported source type hint $other")
       }
       src match {
-        case Left(c) =>
+        case c: graft.sources.FileSources.CsvFile =>
           val schema = c.schema.map { case (aid, (off, kind)) =>
             s"[${qs(aid)},[$off,${hint(kind)}]]"
           }.mkString(",")
@@ -253,11 +276,19 @@ object Wire {
             s""""eid_offset":${c.eidOffset},"timestamp_offset":${
               c.tsOffset.map(_.toString).getOrElse("null")},""" +
             s""""schema":[$schema]}}}"""
-        case Right(jf) =>
+        case jf: graft.sources.FileSources.JsonFile =>
           val attrs = jf.attributes.map { case (aid, kind) =>
             s"[${qs(aid)},${hint(kind)}]"
           }.mkString(",")
           s"""{"RegisterSource":{"JsonFile":{"path":${qs(jf.path)},"attributes":[$attrs]}}}"""
+        case p: graft.sources.FileSources.ParquetFile =>
+          val attrs = p.attributes.map { case (aid, (column, kind)) =>
+            s"[${qs(aid)},[${qs(column)},${hint(kind)}]]"
+          }.mkString(",")
+          s"""{"RegisterSource":{"ParquetFile":{"path":${qs(p.path)},""" +
+            s""""eid_column":${qs(p.eidColumn)},"timestamp_column":${
+              p.tsColumn.map(qs).getOrElse("null")},""" +
+            s""""attributes":[$attrs]}}}"""
       }
     case Request.CreateAttribute(n, c) =>
       s"""{"CreateAttribute":{"name":${qs(n)},"config":{"input_semantics":${
@@ -518,6 +549,9 @@ object Wire {
     case Request.SinkSpec.CsvFile(path, headers, delim, flex) =>
       s"""{"CsvFile":{"path":${qs(path)},"has_headers":$headers,""" +
         s""""delimiter":${delim.toInt},"flexible":$flex}}"""
+    case Request.SinkSpec.JsonDoc(aids) =>
+      if (aids.isEmpty) """{"JsonDoc":null}"""
+      else s"""{"JsonDoc":{"required_aids":[${aids.map(qs).mkString(",")}]}}"""
   }
 
   def ruleOf(j: J): Rule = j match {

@@ -23,6 +23,17 @@ import graft.model.ValueKind._
   */
 object FileSources {
 
+  /** The registrable source vocabulary — the Spark mirror of the
+    * reference's `Source` enum (`src/sources/mod.rs:20-33`: CsvFile,
+    * JsonFile, plus logging sources handled elsewhere), extended with
+    * [[ParquetFile]]: the reference predates columnar lakes, but a
+    * 100 TB backfill arrives as parquet, not CSV — the parquet source
+    * rides the same registration edges (batch Distinct attributes in a
+    * unitemporal domain, one mixed-kind versioned-fact frame in a
+    * bitemporal one) with column PRUNING and predicate pushdown the
+    * text formats cannot give. */
+  sealed trait Source
+
   /** Reference `CsvFile` (`src/sources/csv_file.rs:17-39`): positional
     * schema `(aid, (column offset, type hint))`, entity id at `eidOffset`.
     * Only String / Number / Eid hints are supported (`csv_file.rs:147-159`).
@@ -38,7 +49,7 @@ object FileSources {
       // carrying each row's EVENT time. Read by the bitemporal
       // registration path ([[sourceCsvBiFrame]]); the unitemporal batch
       // path ignores it, as before.
-      tsOffset: Option[Int] = None)
+      tsOffset: Option[Int] = None) extends Source
 
   /** Reference `JsonFile` (`src/sources/json_file.rs:24-150`): newline-
     * delimited JSON objects; the object's line index becomes its eid; one
@@ -46,13 +57,31 @@ object FileSources {
     * (`json_file.rs:108-131`). */
   final case class JsonFile(
       path: String,
-      attributes: Seq[(String, ValueKind)])
+      attributes: Seq[(String, ValueKind)]) extends Source
+
+  /** Parquet source (beyond the reference — see [[Source]]): named
+    * columns instead of positional offsets, `eidColumn` carrying the
+    * entity id, one attribute per `(aid, (column, kind))` entry, and an
+    * optional `tsColumn` feeding the EVENT coordinate in a bitemporal
+    * domain (the parquet analog of the reference's `timestamp_offset`).
+    * Kinds may additionally be Real/Instant — parquet carries typed
+    * doubles and timestamps natively. A NULL cell means "this entity
+    * has no value for that attribute" (the [[JsonFile]] convention —
+    * parquet nulls are typed and deliberate, unlike a malformed CSV
+    * cell, which stays loud). */
+  final case class ParquetFile(
+      path: String,
+      eidColumn: String,
+      attributes: Seq[(String, (String, ValueKind))],
+      tsColumn: Option[String] = None) extends Source
 
   private def castTo(c: org.apache.spark.sql.Column, kind: ValueKind) = kind match {
-    case KString          => c.cast("string")
-    case KNumber | KEid   => c.cast("long")
-    case KBool            => c.cast("boolean")
-    case other            => sys.error(s"unsupported source type hint $other")
+    case KString            => c.cast("string")
+    case KNumber | KEid     => c.cast("long")
+    case KInstant           => c.cast("long")
+    case KBool              => c.cast("boolean")
+    case KReal              => c.cast("double")
+    case other              => sys.error(s"unsupported source type hint $other")
   }
 
   /** Read a CSV into per-attribute `(e, v)` DataFrames. One scan serves all
@@ -141,10 +170,11 @@ object FileSources {
     val nullB = lit(null).cast(BooleanType)
     val nullR = lit(null).cast(DoubleType)
     val (s, n, b, r) = kind match {
-      case KString        => (c, nullN, nullB, nullR)
-      case KNumber | KEid => (nullS, c, nullB, nullR)
-      case KBool          => (nullS, nullN, c, nullR)
-      case other          => sys.error(s"unsupported source type hint $other")
+      case KString                   => (c, nullN, nullB, nullR)
+      case KNumber | KEid | KInstant => (nullS, c, nullB, nullR)
+      case KBool                     => (nullS, nullN, c, nullR)
+      case KReal                     => (nullS, nullN, nullB, c)
+      case other => sys.error(s"unsupported source type hint $other")
     }
     struct(s.as("s"), n.as("n"), b.as("b"), r.as("r"))
   }
@@ -225,6 +255,72 @@ object FileSources {
     (perAttr.reduce(_ unionByName _), src.attributes)
   }
 
+  /** Read a parquet file/directory into per-attribute `(e, v)`
+    * DataFrames. One logical scan serves all attributes, and because
+    * each branch selects only `(eidColumn, its column)`, Catalyst's
+    * column pruning reaches the parquet reader per branch — at 100 TB
+    * an attribute's datoms cost its OWN column's bytes, not the
+    * table's. NULL cells contribute no datom (see [[ParquetFile]]). */
+  def sourceParquet(spark: SparkSession,
+      src: ParquetFile): Seq[(String, DataFrame, ValueKind)] = {
+    require(src.attributes.nonEmpty,
+      s"parquet source ${src.path} declares no attributes")
+    val raw = spark.read.parquet(src.path)
+    def named(c: String, what: String): org.apache.spark.sql.Column = {
+      require(raw.columns.contains(c),
+        s"$what column '$c' not in ${src.path} (has ${raw.columns.mkString(", ")})")
+      col(c)
+    }
+    val e = named(src.eidColumn, "eid").cast("long").as("e")
+    src.attributes.map { case (aid, (column, kind)) =>
+      (aid,
+        raw.select(e, castTo(named(column, s"attribute $aid"), kind).as("v"))
+          .where(col("v").isNotNull),
+        kind)
+    }
+  }
+
+  /** BITEMPORAL batch read of a parquet table as ONE versioned-fact
+    * frame (see [[sourceCsvBiFrame]] for the frame contract): system
+    * time `sysAt`, event time from `tsColumn` when declared else 0,
+    * diff +1, every attribute riding the mixed-kind `v` struct so the
+    * whole table ingests as one all-or-nothing transact. A NULL value
+    * cell contributes no datom (the typed-null convention of
+    * [[ParquetFile]]); a NULL eid or timestamp is loud — those columns
+    * are the frame's coordinates, not optional payload. */
+  def sourceParquetBiFrame(spark: SparkSession, src: ParquetFile,
+      sysAt: Long): (DataFrame, Seq[(String, ValueKind)]) = {
+    require(src.attributes.nonEmpty,
+      s"parquet source ${src.path} declares no attributes")
+    val raw = spark.read.parquet(src.path)
+    def named(c: String, what: String): org.apache.spark.sql.Column = {
+      require(raw.columns.contains(c),
+        s"$what column '$c' not in ${src.path} (has ${raw.columns.mkString(", ")})")
+      col(c)
+    }
+    val e = requireCast(named(src.eidColumn, "eid").cast("long"),
+      "entity id", src.path).as("e")
+    val event = src.tsColumn
+      .map(c => requireCast(named(c, "timestamp").cast("long"),
+        "timestamp", src.path))
+      .getOrElse(lit(0L)).as("event")
+    val pairs = array(src.attributes.map { case (aid, (column, kind)) =>
+      struct(lit(aid).as("a"),
+        mixedV(castTo(named(column, s"attribute $aid"), kind), kind).as("v"))
+    }: _*)
+    val frame = raw
+      .select(e, explode(pairs).as("av"), lit(sysAt).as("sys"), event,
+        lit(1L).as("diff"))
+      // Typed-null cells drop out here — BEFORE transactFrame's
+      // exactly-one-non-null proof, which remains the loud guard for a
+      // row that somehow carries none of the declared kinds.
+      .where(col("av.v.s").isNotNull || col("av.v.n").isNotNull ||
+        col("av.v.b").isNotNull || col("av.v.r").isNotNull)
+      .select(col("e"), col("av.a").as("a"), col("av.v").as("v"),
+        col("sys"), col("event"), col("diff"))
+    (frame, src.attributes.map { case (aid, (_, kind)) => (aid, kind) })
+  }
+
   /** Register a CSV source's attributes into a domain with Distinct
     * semantics, as the reference does (`csv_file.rs:204-212`). */
   def registerCsv(domain: Domain, src: CsvFile): Unit =
@@ -235,6 +331,14 @@ object FileSources {
   /** Register a JSON source's attributes into a domain (Distinct). */
   def registerJson(domain: Domain, src: JsonFile): Unit =
     sourceJson(domain.spark, src).foreach { case (aid, df, kind) =>
+      domain.registerStatic(aid, df.distinct(), kind)
+    }
+
+  /** Register a parquet source's attributes into a domain (Distinct —
+    * the same semantics every registered file source gets,
+    * `csv_file.rs:204-212`). */
+  def registerParquet(domain: Domain, src: ParquetFile): Unit =
+    sourceParquet(domain.spark, src).foreach { case (aid, df, kind) =>
       domain.registerStatic(aid, df.distinct(), kind)
     }
 }

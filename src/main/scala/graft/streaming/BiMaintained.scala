@@ -363,12 +363,15 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     * source (kind conflict, malformed cells, closed times) rolls those
     * registrations back and ingests nothing. Nothing data-sized lands
     * on the driver ([[frameIngestProbe]] pins it). */
-  def registerSource(source: Either[graft.sources.FileSources.CsvFile,
-      graft.sources.FileSources.JsonFile]): Unit = {
+  def registerSource(source: graft.sources.FileSources.Source): Unit = {
     import graft.sources.FileSources
     val (frame, attrKinds) = source match {
-      case Left(csv) => FileSources.sourceCsvBiFrame(spark, csv, sysFrontier)
-      case Right(js) => FileSources.sourceJsonBiFrame(spark, js, sysFrontier)
+      case csv: FileSources.CsvFile =>
+        FileSources.sourceCsvBiFrame(spark, csv, sysFrontier)
+      case js: FileSources.JsonFile =>
+        FileSources.sourceJsonBiFrame(spark, js, sysFrontier)
+      case pq: FileSources.ParquetFile =>
+        FileSources.sourceParquetBiFrame(spark, pq, sysFrontier)
     }
     // Pre-register semantics + declared kinds (they must be visible to
     // the ingest: semantics pick the store keys, the declared kind

@@ -483,38 +483,80 @@ class BiFrameIngestSpec extends AnyFunSuite {
     // rejection; now the whole source is ONE mixed-kind transactFrame
     // and nothing lands — including no phantom registration of :rs/b.
     intercept[IllegalArgumentException] {
-      bm.registerSource(Left(FileSources.CsvFile(path = f.toString,
+      bm.registerSource(FileSources.CsvFile(path = f.toString,
         schema = Seq(":rs/b" -> ((1, ValueKind.KNumber)),
-          ":rs/a" -> ((1, ValueKind.KNumber))))))
+          ":rs/a" -> ((1, ValueKind.KNumber)))))
     }
     assert(bm.datomCountProbe == before, "rejected source ingested data")
     // No phantom :rs/b registration: re-registering it as a STRING
     // attribute must succeed (a leaked KNumber firstKind would reject).
-    bm.registerSource(Left(FileSources.CsvFile(path = f.toString,
-      schema = Seq(":rs/b" -> ((2, ValueKind.KString))))))
+    bm.registerSource(FileSources.CsvFile(path = f.toString,
+      schema = Seq(":rs/b" -> ((2, ValueKind.KString)))))
     assert(bm.datomCountProbe == before + 2L)
     // And the whole-source ingest is ONE frame: a fresh two-kind source
     // lands atomically with the probe seeing a single bulk transact.
     val f2 = dir.resolve("facts2.csv")
     java.nio.file.Files.writeString(f2, "id,n,s,ts\n3,30,aa,5\n4,40,bb,6\n")
-    bm.registerSource(Left(FileSources.CsvFile(path = f2.toString,
+    bm.registerSource(FileSources.CsvFile(path = f2.toString,
       schema = Seq(":rs/n" -> ((1, ValueKind.KNumber)),
         ":rs/s" -> ((2, ValueKind.KString))),
-      tsOffset = Some(3))))
+      tsOffset = Some(3)))
     assert(bm.frameIngestProbe("datoms") == 4L,
       s"expected one 4-datom frame: ${bm.frameIngestProbe}")
     // Malformed eid cells fail loudly, not as an opaque task NPE.
     val f3 = dir.resolve("bad.csv")
     java.nio.file.Files.writeString(f3, "id,x\noops,1\n")
     val ex = intercept[Exception] {
-      bm.registerSource(Left(FileSources.CsvFile(path = f3.toString,
-        schema = Seq(":rs/n" -> ((1, ValueKind.KNumber))))))
+      bm.registerSource(FileSources.CsvFile(path = f3.toString,
+        schema = Seq(":rs/n" -> ((1, ValueKind.KNumber)))))
     }
     assert(ex.getMessage != null &&
       (ex.getMessage.contains("entity id") ||
         String.valueOf(ex.getCause).contains("entity id")),
       s"expected the loud malformed-eid message, got $ex")
     assert(bm.datomCountProbe == before + 6L)
+  }
+
+  test("registerSource ingests a parquet table: ts column is the event axis, typed nulls drop") {
+    import graft.sources.FileSources
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bi-pq")
+    val f = dir.resolve("facts.parquet").toString
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, 1.5, "aa", 10L),
+        Row(2L, 2.5, null, 20L), // null label: no :pq/s datom
+        Row(3L, 3.5, "cc", 30L)),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("price", DoubleType, true),
+        StructField("label", StringType, true),
+        StructField("ts", LongType, false))))
+      .write.mode("overwrite").parquet(f)
+
+    val bm = new BiMaintained(spark, partitions = 4)
+    bm.register(Rule("r", Plan.MatchA(0, ":pq/r", 1)))
+    bm.register(Rule("s", Plan.MatchA(0, ":pq/s", 1)))
+    bm.interest("r"); bm.interest("s")
+    // Real + String attributes in ONE atomic frame, events from `ts`.
+    bm.registerSource(FileSources.ParquetFile(
+      path = f, eidColumn = "id",
+      attributes = Seq(
+        ":pq/r" -> (("price", ValueKind.KReal)),
+        ":pq/s" -> (("label", ValueKind.KString))),
+      tsColumn = Some("ts")))
+    assert(bm.frameIngestProbe("datoms") == 5L, // 3 reals + 2 strings
+      s"expected one 5-datom frame: ${bm.frameIngestProbe}")
+    bm.advance(1L)
+    val reals = bm.drain("r").map { case (t, (sys, ev), w) =>
+      (t(0), t(1), sys, ev, w) }.toSet
+    assert(reals == Set(
+      (1L, 1.5, 0L, 10L, 1L), (2L, 2.5, 0L, 20L, 1L),
+      (3L, 3.5, 0L, 30L, 1L)))
+    val strs = bm.drain("s").map { case (t, (sys, ev), w) =>
+      (t(0), t(1), sys, ev, w) }.toSet
+    assert(strs == Set((1L, "aa", 0L, 10L, 1L), (3L, "cc", 0L, 30L, 1L)))
   }
 
   test("closed-time frames reject all-or-nothing; dense lattices trip the cap") {

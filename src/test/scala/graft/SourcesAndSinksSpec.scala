@@ -229,4 +229,80 @@ class SourcesAndSinksSpec extends AnyFunSuite {
     }.toSet
     assert(got == Set((1L, 33L, 1L), (2L, 41L, 1L)))
   }
+
+  test("ParquetFile: named columns, typed nulls drop, Real kind carried") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_pq")
+    val f = dir.resolve("docs.parquet").toString
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "en", 0.91, 120L),
+        Row(2L, null, 0.42, 80L), // null lang: no :d/lang datom
+        Row(3L, "de", null, 60L), // null score: no :d/score datom
+        Row(3L, "de", null, 60L)), // duplicate row dedupes (Distinct)
+      StructType(Seq(
+        StructField("doc_id", LongType, false),
+        StructField("lang", StringType, true),
+        StructField("score", DoubleType, true),
+        StructField("n", LongType, true))))
+      .write.mode("overwrite").parquet(f)
+
+    val domain = new Domain(spark)
+    FileSources.registerParquet(domain, FileSources.ParquetFile(
+      path = f, eidColumn = "doc_id",
+      attributes = Seq(
+        ":d/lang" -> (("lang", KString)),
+        ":d/score" -> (("score", KReal)),
+        ":d/n" -> (("n", KNumber)))))
+
+    val compiler = new Compiler(domain.asOf(Long.MaxValue))
+    val langs = compiler.run(matchA(0, ":d/lang", 1)).df
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(langs == Set((1L, "en"), (3L, "de")))
+    val scores = compiler.run(matchA(0, ":d/score", 1)).df
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(scores == Set((1L, 0.91), (2L, 0.42)))
+    val ns = compiler.run(matchA(0, ":d/n", 1)).df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ns == Set((1L, 120L), (2L, 80L), (3L, 60L)))
+
+    // A misnamed column is loud at registration, not a task error.
+    val ex = intercept[IllegalArgumentException] {
+      FileSources.sourceParquet(spark, FileSources.ParquetFile(
+        path = f, eidColumn = "doc_id",
+        attributes = Seq(":d/x" -> (("nope", KString)))))
+    }
+    assert(ex.getMessage.contains("nope"))
+  }
+
+  test("RegisterSource request wires a parquet source through the engine") {
+    import graft.engine.Engine
+    import graft.server.{Request, Wire}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_regpq")
+    val f = dir.resolve("t.parquet").toString
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, 33L), Row(2L, 41L)),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("age", LongType, true))))
+      .write.mode("overwrite").parquet(f)
+
+    val json =
+      s"""{"RegisterSource":{"ParquetFile":{"path":"$f","eid_column":"id",
+          "timestamp_column":null,"attributes":[[":age",["age",{"Number":0}]]]}}}"""
+    val reqs = Wire.parseRequests(json)
+    assert(Wire.parseRequests(Wire.renderRequest(reqs.head)) == reqs)
+
+    val engine = new Engine(spark)
+    reqs.foreach(engine.handle)
+    engine.handle(Request.Subscribe(":age"))
+    engine.advance(1)
+    val got = engine.drain(":age").map { case (tuple, _, d) =>
+      (tuple(0).asInstanceOf[Long], tuple(1).asInstanceOf[Long], d)
+    }.toSet
+    assert(got == Set((1L, 33L, 1L), (2L, 41L, 1L)))
+  }
 }

@@ -60,18 +60,34 @@ class WireSpec extends AnyFunSuite {
       Request.Interest("q", None,
         Some(Request.SinkSpec.CsvFile("/tmp/out.csv", hasHeaders = true,
           delimiter = ';', flexible = false)), None),
+      Request.Interest("q", None,
+        Some(Request.SinkSpec.JsonDoc(Seq.empty)), None),
+      Request.Interest("q", None,
+        Some(Request.SinkSpec.JsonDoc(Seq(":doc/title", ":doc/body"))), None),
       // RegisterSource round-trips, including the timestamp_offset the
       // bitemporal domain reads as the event coordinate.
-      Request.RegisterSource(Left(graft.sources.FileSources.CsvFile(
+      Request.RegisterSource(graft.sources.FileSources.CsvFile(
         path = "/tmp/in.csv", hasHeaders = true, delimiter = ",",
         comment = None, eidOffset = 0,
         schema = Seq(":src/x" -> ((1, graft.model.ValueKind.KNumber))),
-        tsOffset = Some(2)))),
-      Request.RegisterSource(Left(graft.sources.FileSources.CsvFile(
+        tsOffset = Some(2))),
+      Request.RegisterSource(graft.sources.FileSources.CsvFile(
         path = "/tmp/in.csv", hasHeaders = false, delimiter = "|",
         comment = None, eidOffset = 0,
         schema = Seq(":src/s" -> ((1, graft.model.ValueKind.KString))),
-        tsOffset = None)))
+        tsOffset = None)),
+      // ParquetFile (beyond-parity): named columns, optional
+      // timestamp_column, Real/Instant hints allowed.
+      Request.RegisterSource(graft.sources.FileSources.ParquetFile(
+        path = "/tmp/in.parquet", eidColumn = "doc_id",
+        attributes = Seq(
+          ":doc/lang" -> (("lang", graft.model.ValueKind.KString)),
+          ":doc/score" -> (("score", graft.model.ValueKind.KReal))),
+        tsColumn = Some("ts"))),
+      Request.RegisterSource(graft.sources.FileSources.ParquetFile(
+        path = "/tmp/in.parquet", eidColumn = "id",
+        attributes = Seq(":doc/n" -> (("n", graft.model.ValueKind.KNumber))),
+        tsColumn = None))
     ).foreach { r =>
       assert(Wire.parseRequests(Wire.renderRequest(r)) == Seq(r))
     }
