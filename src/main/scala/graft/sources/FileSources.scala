@@ -161,6 +161,44 @@ object FileSources {
     }
   }
 
+  /** Streaming variant of [[sourceParquet]]: watch a DIRECTORY of
+    * parquet files, fanning each new file's rows into per-attribute
+    * `(e, v, t, diff)` update streams — [[streamCsv]] with the columnar
+    * reader (per-branch column pruning holds under `readStream` too).
+    * Event time comes from `tsColumn` when declared, else the ingest
+    * batch's processing time. Feed the results through
+    * `DatomStreams.distinctSet`/`lastWriteWins` for input semantics. */
+  def streamParquet(
+      spark: SparkSession,
+      dir: String,
+      schemaDDL: String,
+      eidColumn: String,
+      attributes: Seq[(String, (String, ValueKind))],
+      tsColumn: Option[String] = None,
+      maxFilesPerTrigger: Int = 1): Seq[(String, DataFrame, ValueKind)] = {
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .schema(schemaDDL)
+      .parquet(dir)
+    def named(c: String, what: String): org.apache.spark.sql.Column = {
+      require(raw.columns.contains(c),
+        s"$what column '$c' not in the declared stream schema " +
+          s"(has ${raw.columns.mkString(", ")})")
+      col(c)
+    }
+    val e = named(eidColumn, "eid").cast("long").as("e")
+    val t = tsColumn
+      .map(c => named(c, "timestamp").cast("long"))
+      .getOrElse(unix_millis(current_timestamp()))
+      .as("t")
+    attributes.map { case (aid, (column, kind)) =>
+      (aid,
+        raw.select(e, castTo(named(column, s"attribute $aid"), kind).as("v"),
+          t, lit(1L).as("diff")).where(col("v").isNotNull),
+        kind)
+    }
+  }
+
   // Mixed-kind `v` struct for the bitemporal bulk frame (the
   // transactFrame vocabulary: s STRING / n LONG / b BOOLEAN / r DOUBLE,
   // exactly one non-null per row).

@@ -106,6 +106,53 @@ class SourcesAndSinksSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streamParquet fans incoming files into per-attribute update streams") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_pq_stream")
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("name", StringType, true),
+      StructField("ts", LongType, false)))
+    def write(sub: String, rows: Seq[Row]): Unit =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve(sub).toString)
+    // Streaming file sources watch a flat dir of files; write each batch
+    // to a staging dir and move its part file in (the atomic-arrival
+    // convention file streams expect).
+    def arrive(sub: String, rows: Seq[Row]): Unit = {
+      write(s"stage_$sub", rows)
+      val part = Files.list(dir.resolve(s"stage_$sub")).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, dir.resolve(s"$sub.parquet"))
+    }
+    arrive("batch1", Seq(Row(1L, "alice", 10L), Row(2L, null, 20L)))
+
+    val sources = FileSources.streamParquet(
+      spark, dir.toString + "/*.parquet",
+      schemaDDL = "id LONG, name STRING, ts LONG",
+      eidColumn = "id",
+      attributes = Seq(":name" -> (("name", KString))),
+      tsColumn = Some("ts"))
+    val (aid, df, _) = sources.head
+    assert(aid == ":name")
+    val query = df.writeStream.format("memory").queryName("pq_stream_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      query.processAllAvailable()
+      arrive("batch2", Seq(Row(3L, "carol", 30L)))
+      query.processAllAvailable()
+      val got = spark.table("pq_stream_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // the null name row contributed no datom (typed-null convention)
+      assert(got == Set((1L, "alice", 10L, 1L), (3L, "carol", 30L, 1L)))
+    } finally query.stop()
+  }
+
   test("TheVoid sink swallows a stream while logging per-epoch latency") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -939,6 +939,27 @@ class WsServerSpec extends AnyFunSuite {
         msg3.contains("""[[0,70],{"Bi":[{"secs":0,"nanos":2000000},0]},1]""") &&
         msg3.contains("""[[1,80],{"Bi":[{"secs":0,"nanos":2000000},0]},1]"""),
         s"expected the JSON registration at sys=2ms, event=0: $msg3")
+      // And the ParquetFile shape (beyond-parity: named columns,
+      // timestamp_column as the event axis) rides the same edge at the
+      // now-advanced frontier (sys=3).
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val fp = dir.resolve("facts_pq").toString
+      TestSpark.spark.createDataFrame(
+        java.util.Arrays.asList(Row(9L, 90L, 7L)),
+        StructType(Seq(
+          StructField("id", LongType, false),
+          StructField("price", LongType, true),
+          StructField("ts", LongType, false))))
+        .write.mode("overwrite").parquet(fp)
+      client.send(s"""{"RegisterSource":{"ParquetFile":{"path":"$fp",
+        "eid_column":"id","timestamp_column":"ts",
+        "attributes":[[":src/price",["price",{"Number":0}]]]}}}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":4}]}""")
+      val msg4 = client.next()
+      assert(msg4.contains("\"QueryDiff\"") &&
+        msg4.contains("""[[9,90],{"Bi":[{"secs":0,"nanos":3000000},7]},1]"""),
+        s"expected the parquet registration at sys=3ms, event=7: $msg4")
     }
   }
 
