@@ -46,6 +46,17 @@ object Request {
       * snapshots of the roots that changed. Roots missing any of
       * `requiredAids` are excised (`with_required_aids`). */
     final case class JsonDoc(requiredAids: Seq[String]) extends SinkSpec
+    /** Parquet directory sink (beyond parity — the columnar twin of the
+      * source-side ParquetFile): the rule's maintained diffs land under
+      * `path/<rule>/` partitioned by emitted time
+      * ([[graft.sinks.ParquetDirSink]]) — the DATA-SIZED delivery edge
+      * over the wire, in both domain modes: results are computed and
+      * written distributed, never collected to the server. Per-RULE
+      * like every data-sized standing (idempotent identical re-sends;
+      * a mismatched path errors); in a unitemporal domain attach it
+      * before the rule's first advance (the maintained baseline streams
+      * once). */
+    final case class ParquetDir(path: String) extends SinkSpec
   }
   final case class Interest(name: String, granularity: Option[Long] = None,
       sink: Option[SinkSpec] = None, disableLogging: Option[Boolean] = None)
@@ -529,6 +540,10 @@ object Wire {
             co.get("has_headers").filter(_ != JNull).map(bool).getOrElse(true),
             co.get("delimiter").filter(_ != JNull).map(int(_).toChar).getOrElse(','),
             co.get("flexible").filter(_ != JNull).map(bool).getOrElse(false))
+        case Vector(("ParquetDir", JStr(p))) => Request.SinkSpec.ParquetDir(p)
+        case Vector(("ParquetDir", po: JObj)) =>
+          Request.SinkSpec.ParquetDir(str(po.get("path")
+            .getOrElse(sys.error("ParquetDir sink needs a path"))))
         case Vector(("JsonDoc", JNull)) => Request.SinkSpec.JsonDoc(Seq.empty)
         case Vector(("JsonDoc", jo: JObj)) =>
           Request.SinkSpec.JsonDoc(
@@ -552,6 +567,8 @@ object Wire {
     case Request.SinkSpec.JsonDoc(aids) =>
       if (aids.isEmpty) """{"JsonDoc":null}"""
       else s"""{"JsonDoc":{"required_aids":[${aids.map(qs).mkString(",")}]}}"""
+    case Request.SinkSpec.ParquetDir(path) =>
+      s"""{"ParquetDir":{"path":${qs(path)}}}"""
   }
 
   def ruleOf(j: J): Rule = j match {

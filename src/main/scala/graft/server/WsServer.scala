@@ -273,8 +273,9 @@ final class WsServer(engine: Engine, port: Int = 0,
           case None => "none"
           case Some(Request.SinkSpec.CsvFile(path, _, delim, _)) =>
             ("csv", path, delim)
-          case Some(Request.SinkSpec.TheVoid(_)) => "void"
-          case Some(other)                       => other
+          case Some(Request.SinkSpec.ParquetDir(path)) => ("pqdir", path)
+          case Some(Request.SinkSpec.TheVoid(_))       => "void"
+          case Some(other)                             => other
         }
         biAttached.get(name) match {
           case Some((g0, s0)) =>
@@ -288,6 +289,9 @@ final class WsServer(engine: Engine, port: Int = 0,
               case Some(Request.SinkSpec.CsvFile(path, _, delim, _)) =>
                 bm.interestSink(name,
                   new graft.sinks.CsvDirSink(path, delim), g)
+              case Some(Request.SinkSpec.ParquetDir(path)) =>
+                bm.interestSink(name,
+                  new graft.sinks.ParquetDirSink(path), g)
               case Some(Request.SinkSpec.TheVoid(_)) =>
                 bm.interestSink(name, new graft.sinks.ForeachFrameSink(
                   (_, _, df) => { val _ = df.count(); () }), g)
@@ -317,6 +321,24 @@ final class WsServer(engine: Engine, port: Int = 0,
         // `server/src/main.rs:396-420`, timestamp-generic sources
         // `src/sources/mod.rs:47-64`).
         bm.registerSource(src)
+      case BiWireReq.Passthrough(Request.Subscribe(attr)) =>
+        // Whole-attribute interest — the reference's Subscribe is
+        // timestamp-generic like the rest of the server loop
+        // (`src/server/mod.rs:363-374`): a MatchA rule named after the
+        // attribute, served through the shared bi standing machinery on
+        // a windowless lane. Idempotent across clients (the rule is
+        // per-name; later subscribers join the fan-out).
+        if (!biAttached.contains(attr)) {
+          bm.register(graft.model.Rule(attr, graft.model.Plan.MatchA(0, attr, 1)))
+          bm.interest(attr, None)
+          biAttached(attr) = (None, None)
+        }
+        clients(id)._2 += attr
+      case BiWireReq.Passthrough(Request.Tick) =>
+        // Wall-clock progress: advance the system frontier by one epoch
+        // (`Request::Tick` — the bi mirror of the unitemporal
+        // `advance(frontier + 1)`).
+        bm.advance(bm.frontier + 1L)
       case BiWireReq.Passthrough(Request.Status) =>
         clients.get(id).foreach { case (out, _) =>
           send(out, Wire.renderOutput(Output.Message(id,
@@ -403,6 +425,29 @@ final class WsServer(engine: Engine, port: Int = 0,
             case Some(Request.SinkSpec.JsonDoc(required)) =>
               sinkStates((id, name)) =
                 JsonState(new graft.sinks.JsonDocSink(required))
+            case Some(Request.SinkSpec.ParquetDir(path)) =>
+              // DATA-SIZED delivery over the wire: the rule's maintained
+              // diffs are computed AND written distributed
+              // (ParquetDirSink: one dir per rule, partitioned by
+              // emitted time) — nothing result-sized reaches the server.
+              // The engine pins ONE sink per rule, so this standing is
+              // per-RULE (like the bi mode's data-sized sinks):
+              // identical re-sends are idempotent, a mismatched path is
+              // a clear error, and the engine's attach-before-first-
+              // advance contract surfaces as a wire Error rather than a
+              // torn baseline.
+              uniParquetAttached.get(name) match {
+                case Some(p0) =>
+                  if (p0 != path) scala.sys.error(
+                    s"interest '$name' already lands parquet at $p0; " +
+                      "data-sized standings hold one sink per rule — " +
+                      "uninterest first")
+                case None =>
+                  engine.interestIncrementalSink(name,
+                    new graft.sinks.ParquetDirSink(path))
+                  uniParquetAttached(name) = path
+              }
+              sinkStates -= ((id, name))
           }
         case Request.Subscribe(attr) =>
           engine.handle(Request.Subscribe(attr))
@@ -423,8 +468,10 @@ final class WsServer(engine: Engine, port: Int = 0,
           heldCoarse -= ((id, name))
           // Tear the dataflow down only when the LAST interested client
           // leaves (server/src/main.rs:276-281).
-          if (!clients.values.exists(_._2.contains(name)))
+          if (!clients.values.exists(_._2.contains(name))) {
             engine.uninterest(name)
+            uniParquetAttached -= name
+          }
         case Request.Status =>
           // server/src/main.rs:605-614.
           clients.get(id).foreach { case (out, _) =>
@@ -458,6 +505,10 @@ final class WsServer(engine: Engine, port: Int = 0,
   private final case class JsonState(sink: graft.sinks.JsonDocSink)
       extends SinkState
   private val sinkStates = mutable.Map.empty[(Long, String), SinkState]
+  // Per-RULE parquet delivery standings (the engine pins one DiffSink per
+  // rule — unlike the per-(client, name) wire sinks above, which divert
+  // already-collected QueryDiff batches).
+  private val uniParquetAttached = mutable.Map.empty[String, String]
   // PER-INTEREST delivery granularity (`Interest.granularity`,
   // `src/server/mod.rs:110-119` — each subscriber requests its OWN
   // Coarsen): the engine serves every rule at fine times; this layer

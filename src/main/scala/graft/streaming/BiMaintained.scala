@@ -91,6 +91,10 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
   private val rules = mutable.LinkedHashMap.empty[String, Rule]
   private val interests = mutable.LinkedHashSet.empty[String]
   private var sysFrontier: Long = 0L
+  /** The open system-time frontier (next writable sys) — the wire's
+    * `Tick` advances to `frontier + 1` (`Request::Tick`, mirroring the
+    * unitemporal `Engine`'s rule). */
+  def frontier: Long = sysFrontier
   private var seqCounter: Long = 0L
   private var eventWatermark: Long = Long.MinValue
 

@@ -32,6 +32,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the constant filter pushed to parquet:\n$plan")
   }
 
+  test("parquet-source attributes scan as pruned projections with pushed filters") {
+    // The registered-source edge keeps the property that makes EAV
+    // viable on a columnar lake: each attribute's scan reads its OWN
+    // column (plus the eid), and a MatchAV constant reaches the reader.
+    val plan = planOf("q_source_parquet")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string"),
+      s"expected the lang branch pruned to (doc_id, lang):\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint"),
+      s"expected the n_chars branch pruned to (doc_id, n_chars):\n$plan")
+    assert(plan.contains("EqualTo(lang,en)"),
+      s"expected the language constant pushed to parquet:\n$plan")
+  }
+
   test("hector predicate query broadcasts both dimension sides") {
     val plan = planOf("q_hector_pred")
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")

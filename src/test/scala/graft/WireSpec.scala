@@ -64,6 +64,8 @@ class WireSpec extends AnyFunSuite {
         Some(Request.SinkSpec.JsonDoc(Seq.empty)), None),
       Request.Interest("q", None,
         Some(Request.SinkSpec.JsonDoc(Seq(":doc/title", ":doc/body"))), None),
+      Request.Interest("q", None,
+        Some(Request.SinkSpec.ParquetDir("/tmp/out_pq")), None),
       // RegisterSource round-trips, including the timestamp_offset the
       // bitemporal domain reads as the event coordinate.
       Request.RegisterSource(graft.sources.FileSources.CsvFile(

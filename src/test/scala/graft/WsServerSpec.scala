@@ -462,6 +462,44 @@ class WsServerSpec extends AnyFunSuite {
     assert(lines.tail.toSet == Set("1;7", "2;9"))
   }
 
+  test("Interest with a ParquetDir sink lands diffs columnar, never on the wire") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pqsink").toString
+    withServer { (_, client) =>
+      client.send("""{"CreateAttribute":{"name":":pv","config":{"input_semantics":"Distinct"}}}""")
+      client.send("""{"Register":{"rules":[{"name":"pq_rule","plan":
+        {"MatchA":[0,":pv",1]}}],"publish":["pq_rule"]}}""")
+      client.send(s"""{"Interest":{"name":"pq_rule","granularity":null,
+        "sink":{"ParquetDir":{"path":"$root"}},"disable_logging":null}}""")
+      // An identical re-send is idempotent (a reconnecting client).
+      client.send(s"""{"Interest":{"name":"pq_rule","granularity":null,
+        "sink":{"ParquetDir":{"path":"$root"}},"disable_logging":null}}""")
+      client.send("""{"Transact":[[1,":pv",7,null,1],[2,":pv",9,null,1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+      client.send("""{"Transact":[[1,":pv",7,null,-1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":2}]}""")
+      // No QueryDiff on the wire — Status answers first.
+      client.send(""""Status"""")
+      Wire.parseOutput(client.next()) match {
+        case Output.Message(_, json) => assert(json.contains("df/status"))
+        case other => fail(s"parquet sink leaked output: $other")
+      }
+      // A MISMATCHED path is a clear error, not a second standing.
+      client.send(s"""{"Interest":{"name":"pq_rule","granularity":null,
+        "sink":{"ParquetDir":{"path":"$root/elsewhere"}},"disable_logging":null}}""")
+      Wire.parseOutput(client.next()) match {
+        case Output.Error(_, _, msg, _) => assert(msg.contains("one sink"))
+        case other => fail(s"expected the per-rule sink error: $other")
+      }
+    }
+    // Diffs landed columnar, partitioned by emitted time, retraction
+    // carried as _diff = -1 (the maintained O(delta) path end to end).
+    val got = spark.read.parquet(s"$root/pq_rule")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(r.fieldIndex("_diff")), r.getAs[Any]("_t").toString.toLong))
+      .toSet
+    assert(got == Set((1L, 7L, 1L, 0L), (2L, 9L, 1L, 0L), (1L, 7L, -1L, 1L)))
+  }
+
   test("Interest with a TheVoid sink swallows diffs and logs epochs") {
     withServer { (server, client) =>
       client.send("""{"CreateAttribute":{"name":":v","config":{"input_semantics":"Distinct"}}}""")
@@ -983,6 +1021,59 @@ class WsServerSpec extends AnyFunSuite {
         .count(f => f.toString.endsWith(".csv"))
       finally files.close()
       assert(csvs > 0, s"no csv part files under $dir/bi_csv")
+    }
+  }
+
+  test("bitemporal ParquetDir sink over the wire lands Bi-time diffs columnar") {
+    withBiServer { (_, client) =>
+      val dir = Files.createTempDirectory("graft-bi-pqs").toString
+      client.send("""{"CreateAttribute":{"name":":w3/x"}}""")
+      client.send("""{"Register":{"rules":[{"name":"bi_pq","plan":
+        {"MatchA":[0,":w3/x",1]}}],"publish":["bi_pq"]}}""")
+      client.send(s"""{"Interest":{"name":"bi_pq","granularity":null,
+        "sink":{"ParquetDir":{"path":"$dir"}}}}""")
+      client.send("""{"Transact":[[1,":w3/x",{"Number":5},
+        {"Bi":[{"secs":0,"nanos":0},4]},1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+      client.send("\"Status\"")
+      assert(client.next().contains("df/status"))
+      // The diffs landed as distributed parquet — wire quiet, event
+      // coordinate carried in the frame's time columns.
+      val rows = spark.read.parquet(s"$dir/bi_pq").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getLong(0) == 1L && r.getLong(1) == 5L,
+        s"unexpected tuple: $r")
+      assert(r.getAs[Any]("_event").toString.toLong == 4L,
+        s"expected the event coordinate 4: $r")
+    }
+  }
+
+  test("bitemporal Subscribe and Tick work like the unitemporal server loop") {
+    withBiServer { (bm, client) =>
+      client.send("""{"CreateAttribute":{"name":":w4/x"}}""")
+      // Subscribe = whole-attribute standing (timestamp-generic in the
+      // reference server loop), delivered with Bi coordinates.
+      client.send("""{"Subscribe":":w4/x"}""")
+      client.send("""{"Transact":[[1,":w4/x",{"Number":5},
+        {"Bi":[{"secs":0,"nanos":0},2]},1]]}""")
+      // Tick advances the system frontier one epoch — no explicit
+      // AdvanceDomain needed to see the subscription's diffs.
+      client.send("\"Tick\"")
+      val msg = client.next()
+      assert(msg.contains("\"QueryDiff\"") && msg.contains(":w4/x") &&
+        msg.contains("""[[1,5],{"Bi":[{"secs":0,"nanos":0},2]},1]"""),
+        s"expected the subscribed datom at Bi(0, 2): $msg")
+      assert(bm.frontier == 1L, s"Tick should advance to 1, at ${bm.frontier}")
+      // A second subscriber to the same attribute joins the fan-out
+      // (idempotent — no duplicate rule/standing).
+      client.send("""{"Subscribe":":w4/x"}""")
+      client.send("""{"Transact":[[2,":w4/x",{"Number":7},
+        {"Bi":[{"secs":0,"nanos":1000000},0]},1]]}""")
+      client.send("\"Tick\"")
+      val msg2 = client.next()
+      assert(msg2.contains("""[[2,7],{"Bi":[{"secs":0,"nanos":1000000},0]},1]"""),
+        s"expected the second datom after re-subscribe + Tick: $msg2")
     }
   }
 }
