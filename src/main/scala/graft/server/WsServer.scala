@@ -239,10 +239,14 @@ final class WsServer(engine: Engine, port: Int = 0,
   private val biAttached =
     mutable.Map.empty[String, (Option[(Long, Long)], Option[Request.SinkSpec])]
 
-  /** Tear a standing down on whichever domain this server wraps. */
+  /** Tear a standing down on whichever domain this server wraps. The
+    * per-rule parquet record goes with it — a disconnect-then-reconnect
+    * client re-sending the same ParquetDir Interest must RE-attach the
+    * engine sink (the engine's standing was torn down), not hit a stale
+    * idempotence record that silently leaves delivery on the wire. */
   private def domainUninterest(name: String): Unit = biDomain match {
     case Some(bm) => bm.uninterest(name); biAttached -= name
-    case None     => engine.uninterest(name)
+    case None     => engine.uninterest(name); uniParquetAttached -= name
   }
 
   /** Bitemporal command dispatch — the same sequencing discipline as the
@@ -437,15 +441,19 @@ final class WsServer(engine: Engine, port: Int = 0,
               // advance contract surfaces as a wire Error rather than a
               // torn baseline.
               uniParquetAttached.get(name) match {
-                case Some(p0) =>
-                  if (p0 != path) scala.sys.error(
-                    s"interest '$name' already lands parquet at $p0; " +
-                      "data-sized standings hold one sink per rule — " +
-                      "uninterest first")
+                case Some((p0, g0)) =>
+                  if (p0 != path || g0 != g) scala.sys.error(
+                    s"interest '$name' already lands parquet at $p0 " +
+                      s"(granularity $g0); data-sized standings hold one " +
+                      "sink per rule — uninterest first")
                 case None =>
+                  // The request's granularity rides to the engine edge —
+                  // coarsening happens inside the standing (clientGrain
+                  // is dead state for sink-delivered rules: drain stays
+                  // empty, so the wire-layer Coarsen never runs).
                   engine.interestIncrementalSink(name,
-                    new graft.sinks.ParquetDirSink(path))
-                  uniParquetAttached(name) = path
+                    new graft.sinks.ParquetDirSink(path), g)
+                  uniParquetAttached(name) = (path, g)
               }
               sinkStates -= ((id, name))
           }
@@ -468,10 +476,8 @@ final class WsServer(engine: Engine, port: Int = 0,
           heldCoarse -= ((id, name))
           // Tear the dataflow down only when the LAST interested client
           // leaves (server/src/main.rs:276-281).
-          if (!clients.values.exists(_._2.contains(name))) {
-            engine.uninterest(name)
-            uniParquetAttached -= name
-          }
+          if (!clients.values.exists(_._2.contains(name)))
+            domainUninterest(name)
         case Request.Status =>
           // server/src/main.rs:605-614.
           clients.get(id).foreach { case (out, _) =>
@@ -505,10 +511,11 @@ final class WsServer(engine: Engine, port: Int = 0,
   private final case class JsonState(sink: graft.sinks.JsonDocSink)
       extends SinkState
   private val sinkStates = mutable.Map.empty[(Long, String), SinkState]
-  // Per-RULE parquet delivery standings (the engine pins one DiffSink per
-  // rule — unlike the per-(client, name) wire sinks above, which divert
-  // already-collected QueryDiff batches).
-  private val uniParquetAttached = mutable.Map.empty[String, String]
+  // Per-RULE parquet delivery standings, (path, granularity) — the
+  // engine pins one DiffSink per rule, unlike the per-(client, name)
+  // wire sinks above, which divert already-collected QueryDiff batches.
+  private val uniParquetAttached =
+    mutable.Map.empty[String, (String, Option[Long])]
   // PER-INTEREST delivery granularity (`Interest.granularity`,
   // `src/server/mod.rs:110-119` — each subscriber requests its OWN
   // Coarsen): the engine serves every rule at fine times; this layer

@@ -84,6 +84,50 @@ object FileSources {
     case other              => sys.error(s"unsupported source type hint $other")
   }
 
+  // Column-existence guard shared by the parquet readers: a misnamed
+  // column is loud at registration, not a task error mid-scan.
+  private def namedIn(cols: Seq[String], where: String)(
+      c: String, what: String): org.apache.spark.sql.Column = {
+    require(cols.contains(c),
+      s"$what column '$c' not in $where (has ${cols.mkString(", ")})")
+    col(c)
+  }
+
+  // Kind-typed read of a parquet column. KInstant is the one kind whose
+  // source representation varies: a native TIMESTAMP/TIMESTAMP_NTZ
+  // column converts to epoch MILLISECONDS (the engine/wire Instant
+  // convention — `Value::Instant` carries ms, and a bare cast("long")
+  // would yield SECONDS, a silent 1000x time error), while an already-
+  // integral column passes through as ms.
+  private def kindColumn(schema: StructType, column: String,
+      kind: ValueKind): org.apache.spark.sql.Column = kind match {
+    case KInstant => schema(column).dataType match {
+      case TimestampType    => unix_millis(col(column))
+      case TimestampNTZType => unix_millis(col(column).cast(TimestampType))
+      case _                => col(column).cast("long")
+    }
+    case k => castTo(col(column), k)
+  }
+
+  // The loud/silent split the parquet source contract promises: a NULL
+  // SOURCE cell is a deliberate typed null (contributes no datom — the
+  // value stays null and the caller filters the row); a NON-null cell
+  // whose cast to the declared kind nulls out is MALFORMED and fails
+  // the scan loudly — without this split the two are indistinguishable
+  // after the cast, and malformed cells would silently vanish as if
+  // deliberate.
+  private def guardedCast(schema: StructType, column: String,
+      kind: ValueKind, aid: String,
+      where: String): org.apache.spark.sql.Column = {
+    val src = col(column)
+    val casted = kindColumn(schema, column, kind)
+    when(src.isNull, lit(null).cast(kind.dataType))
+      .otherwise(when(casted.isNull,
+        raise_error(lit(s"attribute $aid cell in column '$column' is not " +
+          s"a valid $kind in $where")).cast(kind.dataType))
+        .otherwise(casted))
+  }
+
   /** Read a CSV into per-attribute `(e, v)` DataFrames. One scan serves all
     * attributes (Catalyst prunes unused columns per branch). */
   def sourceCsv(spark: SparkSession, src: CsvFile): Seq[(String, DataFrame, ValueKind)] = {
@@ -180,21 +224,22 @@ object FileSources {
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .schema(schemaDDL)
       .parquet(dir)
-    def named(c: String, what: String): org.apache.spark.sql.Column = {
-      require(raw.columns.contains(c),
-        s"$what column '$c' not in the declared stream schema " +
-          s"(has ${raw.columns.mkString(", ")})")
-      col(c)
-    }
-    val e = named(eidColumn, "eid").cast("long").as("e")
+    val named = namedIn(raw.columns.toSeq, "the declared stream schema") _
+    val e = requireCast(named(eidColumn, "eid").cast("long"),
+      "entity id", dir).as("e")
     val t = tsColumn
-      .map(c => named(c, "timestamp").cast("long"))
+      .map { c =>
+        val _ = named(c, "timestamp")
+        requireCast(kindColumn(raw.schema, c, KInstant), "timestamp", dir)
+      }
       .getOrElse(unix_millis(current_timestamp()))
       .as("t")
     attributes.map { case (aid, (column, kind)) =>
+      val _ = named(column, s"attribute $aid")
       (aid,
-        raw.select(e, castTo(named(column, s"attribute $aid"), kind).as("v"),
-          t, lit(1L).as("diff")).where(col("v").isNotNull),
+        raw.where(col(column).isNotNull)
+          .select(e, guardedCast(raw.schema, column, kind, aid, dir).as("v"),
+            t, lit(1L).as("diff")),
         kind)
     }
   }
@@ -304,16 +349,17 @@ object FileSources {
     require(src.attributes.nonEmpty,
       s"parquet source ${src.path} declares no attributes")
     val raw = spark.read.parquet(src.path)
-    def named(c: String, what: String): org.apache.spark.sql.Column = {
-      require(raw.columns.contains(c),
-        s"$what column '$c' not in ${src.path} (has ${raw.columns.mkString(", ")})")
-      col(c)
-    }
-    val e = named(src.eidColumn, "eid").cast("long").as("e")
+    val named = namedIn(raw.columns.toSeq, src.path) _
+    // A null/uncastable entity id is loud — it is the datom's
+    // coordinate, and a silently-null `e` would diverge from the oracle.
+    val e = requireCast(named(src.eidColumn, "eid").cast("long"),
+      "entity id", src.path).as("e")
     src.attributes.map { case (aid, (column, kind)) =>
+      val _ = named(column, s"attribute $aid")
       (aid,
-        raw.select(e, castTo(named(column, s"attribute $aid"), kind).as("v"))
-          .where(col("v").isNotNull),
+        raw.where(col(column).isNotNull)
+          .select(e,
+            guardedCast(raw.schema, column, kind, aid, src.path).as("v")),
         kind)
     }
   }
@@ -331,29 +377,36 @@ object FileSources {
     require(src.attributes.nonEmpty,
       s"parquet source ${src.path} declares no attributes")
     val raw = spark.read.parquet(src.path)
-    def named(c: String, what: String): org.apache.spark.sql.Column = {
-      require(raw.columns.contains(c),
-        s"$what column '$c' not in ${src.path} (has ${raw.columns.mkString(", ")})")
-      col(c)
-    }
+    val named = namedIn(raw.columns.toSeq, src.path) _
     val e = requireCast(named(src.eidColumn, "eid").cast("long"),
       "entity id", src.path).as("e")
+    // The event coordinate converts like any Instant (a native
+    // TIMESTAMP column becomes epoch-ms, not a seconds-valued cast).
     val event = src.tsColumn
-      .map(c => requireCast(named(c, "timestamp").cast("long"),
-        "timestamp", src.path))
+      .map { c =>
+        val _ = named(c, "timestamp")
+        requireCast(kindColumn(raw.schema, c, KInstant),
+          "timestamp", src.path)
+      }
       .getOrElse(lit(0L)).as("event")
     val pairs = array(src.attributes.map { case (aid, (column, kind)) =>
+      val _ = named(column, s"attribute $aid")
+      // keep = the SOURCE cell's nullity, recorded BEFORE the cast: a
+      // deliberate typed null drops below; a non-null cell that fails
+      // its cast raises inside guardedCast — the two are no longer
+      // conflated, so a malformed value can never silently vanish.
       struct(lit(aid).as("a"),
-        mixedV(castTo(named(column, s"attribute $aid"), kind), kind).as("v"))
+        mixedV(guardedCast(raw.schema, column, kind, aid, src.path), kind)
+          .as("v"),
+        col(column).isNotNull.as("keep"))
     }: _*)
     val frame = raw
       .select(e, explode(pairs).as("av"), lit(sysAt).as("sys"), event,
         lit(1L).as("diff"))
-      // Typed-null cells drop out here — BEFORE transactFrame's
-      // exactly-one-non-null proof, which remains the loud guard for a
-      // row that somehow carries none of the declared kinds.
-      .where(col("av.v.s").isNotNull || col("av.v.n").isNotNull ||
-        col("av.v.b").isNotNull || col("av.v.r").isNotNull)
+      // Typed-null cells drop out here — transactFrame's exactly-one-
+      // non-null proof stays the backstop for a row that somehow
+      // carries none of the declared kinds.
+      .where(col("av.keep"))
       .select(col("e"), col("av.a").as("a"), col("av.v").as("v"),
         col("sys"), col("event"), col("diff"))
     (frame, src.attributes.map { case (aid, (_, kind)) => (aid, kind) })

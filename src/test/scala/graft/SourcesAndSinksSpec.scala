@@ -323,6 +323,45 @@ class SourcesAndSinksSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("nope"))
   }
 
+  test("ParquetFile: malformed cells are loud, Instant timestamps land as epoch-ms") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_pq2")
+    val f = dir.resolve("t.parquet").toString
+    val ts1 = java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(1700000000123L))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "12", ts1),
+        Row(2L, null, ts1), // typed null: silently no datom
+        Row(3L, "abc", ts1)), // non-null but uncastable: LOUD
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("n_str", StringType, true),
+        StructField("ts", TimestampType, true))))
+      .write.mode("overwrite").parquet(f)
+
+    // A cast-failure null is NOT the same as a deliberate typed null:
+    // the malformed "abc" fails the scan with a clear message instead
+    // of silently vanishing like row 2's null.
+    val (_, badDf, _) = FileSources.sourceParquet(spark, FileSources.ParquetFile(
+      path = f, eidColumn = "id",
+      attributes = Seq(":m/n" -> (("n_str", KNumber))))).head
+    val ex = intercept[Exception] { badDf.collect() }
+    assert(String.valueOf(ex.getMessage).contains("not a valid") ||
+      String.valueOf(ex.getCause).contains("not a valid"),
+      s"expected the loud malformed-cell message, got $ex")
+
+    // A native TIMESTAMP column declared Instant converts to epoch
+    // MILLISECONDS (the engine/wire Value::Instant convention), not the
+    // seconds a bare long cast would give.
+    val (_, tsDf, _) = FileSources.sourceParquet(spark, FileSources.ParquetFile(
+      path = f, eidColumn = "id",
+      attributes = Seq(":m/ts" -> (("ts", KInstant))))).head
+    val got = tsDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1700000000123L), (2L, 1700000000123L),
+      (3L, 1700000000123L)), s"expected epoch-ms instants: $got")
+  }
+
   test("RegisterSource request wires a parquet source through the engine") {
     import graft.engine.Engine
     import graft.server.{Request, Wire}

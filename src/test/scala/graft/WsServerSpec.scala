@@ -464,7 +464,10 @@ class WsServerSpec extends AnyFunSuite {
 
   test("Interest with a ParquetDir sink lands diffs columnar, never on the wire") {
     val root = java.nio.file.Files.createTempDirectory("graft-pqsink").toString
-    withServer { (_, client) =>
+    val engine = new Engine(spark)
+    val server = new WsServer(engine).start()
+    val client = new Client(server.boundPort)
+    try {
       client.send("""{"CreateAttribute":{"name":":pv","config":{"input_semantics":"Distinct"}}}""")
       client.send("""{"Register":{"rules":[{"name":"pq_rule","plan":
         {"MatchA":[0,":pv",1]}}],"publish":["pq_rule"]}}""")
@@ -490,14 +493,42 @@ class WsServerSpec extends AnyFunSuite {
         case Output.Error(_, _, msg, _) => assert(msg.contains("one sink"))
         case other => fail(s"expected the per-rule sink error: $other")
       }
+      // Diffs landed columnar, partitioned by emitted time, retraction
+      // carried as _diff = -1 (the maintained O(delta) path end to end).
+      val got = spark.read.parquet(s"$root/pq_rule")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(r.fieldIndex("_diff")), r.getAs[Any]("_t").toString.toLong))
+        .toSet
+      assert(got == Set((1L, 7L, 1L, 0L), (2L, 9L, 1L, 0L), (1L, 7L, -1L, 1L)))
+      // DISCONNECT tears the standing AND its per-rule parquet record
+      // down — a reconnecting client re-sending the same Interest must
+      // RE-attach the sink (a stale idempotence record would silently
+      // leave delivery on the wire and write nothing).
+      client.close()
+      val deadline = System.currentTimeMillis() + 10000
+      while (engine.interestNames.contains("pq_rule") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(!engine.interestNames.contains("pq_rule"))
+      val client2 = new Client(server.boundPort)
+      try {
+        client2.send(s"""{"Interest":{"name":"pq_rule","granularity":null,
+          "sink":{"ParquetDir":{"path":"$root"}},"disable_logging":null}}""")
+        client2.send("""{"Transact":[[3,":pv",11,null,1]]}""")
+        client2.send("""{"AdvanceDomain":[null,{"TxId":3}]}""")
+        client2.send(""""Status"""")
+        Wire.parseOutput(client2.next()) match {
+          case Output.Message(_, json) => assert(json.contains("df/status"))
+          case other => fail(s"re-attached parquet sink leaked output: $other")
+        }
+        val after = spark.read.parquet(s"$root/pq_rule")
+          .where(org.apache.spark.sql.functions.col("c0") === 3L).collect()
+        assert(after.nonEmpty && after.forall(r =>
+          r.getLong(1) == 11L && r.getLong(r.fieldIndex("_diff")) == 1L),
+          s"expected the post-reconnect datom in parquet: ${after.toSeq}")
+      } finally { try client2.close() catch { case _: Throwable => () } }
+    } finally {
+      server.stop()
     }
-    // Diffs landed columnar, partitioned by emitted time, retraction
-    // carried as _diff = -1 (the maintained O(delta) path end to end).
-    val got = spark.read.parquet(s"$root/pq_rule")
-      .collect().map(r => (r.getLong(0), r.getLong(1),
-        r.getLong(r.fieldIndex("_diff")), r.getAs[Any]("_t").toString.toLong))
-      .toSet
-    assert(got == Set((1L, 7L, 1L, 0L), (2L, 9L, 1L, 0L), (1L, 7L, -1L, 1L)))
   }
 
   test("Interest with a TheVoid sink swallows diffs and logs epochs") {
