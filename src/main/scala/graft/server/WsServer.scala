@@ -348,6 +348,13 @@ final class WsServer(engine: Engine, port: Int = 0,
           send(out, Wire.renderOutput(Output.Message(id,
             """{"category":"df/status","message":"running"}""")))
         }
+      case BiWireReq.Passthrough(Request.CloseInput(name)) =>
+        // Timestamp-generic like the rest of the surface: later writes
+        // to the attribute (Seq transacts, bulk frames, sources) are
+        // conflicts, rejected inside the all-or-nothing window.
+        bm.closeInput(name)
+      case BiWireReq.Passthrough(Request.Setup)      => ()
+      case BiWireReq.Passthrough(Request.Shutdown)   => ()
       case BiWireReq.Passthrough(Request.Disconnect) => ()
       case BiWireReq.Passthrough(other) =>
         scala.sys.error(s"unsupported in a bitemporal domain: $other")

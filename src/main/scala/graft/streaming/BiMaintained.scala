@@ -190,6 +190,15 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
 
   def register(rule: Rule): Unit = rules(rule.name) = rule
 
+  // Inputs closed via `Request::CloseInput` — the reference's sources
+  // and sessions are timestamp-generic, so the close applies in the bi
+  // domain exactly as unitemporally: later writes to the attribute are
+  // conflicts, enforced inside each ingest path's all-or-nothing
+  // validation window (a batch carrying one closed attribute mutates
+  // nothing).
+  private val closedInputs = mutable.Set.empty[String]
+  def closeInput(name: String): Unit = closedInputs += name
+
   /** Express interest at the instance default granularity. */
   def interest(name: String): Unit = interest(name, coarsen)
 
@@ -309,6 +318,7 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     // interest has declared one yet.
     if (lanes.isEmpty) { val _ = laneOf(coarsen) }
     val laneSeq = lanes.valuesIterator.toSeq
+    for (d <- datoms) require(!closedInputs(d.a), s"input ${d.a} is closed")
     for (d <- datoms; lane <- laneSeq) {
       val ct = lane.coarseTime(d.t)
       require(ct._1 >= sysFrontier,
@@ -567,6 +577,8 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
         byAttr.iterator.map { case (a, ks) => a -> kindOfLabel(ks.head._2) }
           .toMap
     }
+    for ((a, _) <- attrKinds)
+      require(!closedInputs(a), s"input $a is closed")
     for ((a, k) <- attrKinds) firstKind.get(a).foreach(k0 =>
       require(k0.dataType == k.dataType,
         s"attribute $a already registered with kind $k0; frame carries $k"))

@@ -559,6 +559,35 @@ class BiFrameIngestSpec extends AnyFunSuite {
     assert(strs == Set((1L, "aa", 0L, 10L, 1L), (3L, "cc", 0L, 30L, 1L)))
   }
 
+  test("CloseInput rejects later writes on every ingest path, all-or-nothing") {
+    val bm = new BiMaintained(spark, partitions = 4)
+    bm.createAttribute(":ci/x", AttributeConfig(InputSemantics.Raw))
+    bm.createAttribute(":ci/y", AttributeConfig(InputSemantics.Raw))
+    bm.transact(Seq(bm.BiDatom(Value.eid(1), ":ci/x", Value.num(1), (0L, 0L), 1L)))
+    bm.advance(1L)
+    val before = bm.datomCountProbe
+    bm.closeInput(":ci/x")
+    // Seq transact: a batch carrying the closed attribute mutates
+    // nothing — including its open-attribute datoms.
+    val e1 = intercept[IllegalArgumentException] {
+      bm.transact(Seq(
+        bm.BiDatom(Value.eid(2), ":ci/y", Value.num(2), (1L, 0L), 1L),
+        bm.BiDatom(Value.eid(2), ":ci/x", Value.num(2), (1L, 0L), 1L)))
+    }
+    assert(e1.getMessage.contains("closed"))
+    assert(bm.datomCountProbe == before, "closed-input batch mutated state")
+    // Bulk frame: same rule through transactFrame's validation window.
+    val e2 = intercept[Exception] {
+      bm.transactFrame(frameOf(Seq(
+        BD(3, ":ci/y", 3, 1, 0, 1), BD(3, ":ci/x", 3, 1, 0, 1))))
+    }
+    assert(String.valueOf(e2.getMessage).contains("closed"))
+    assert(bm.datomCountProbe == before, "closed-input frame mutated state")
+    // The open attribute still writes.
+    bm.transact(Seq(bm.BiDatom(Value.eid(4), ":ci/y", Value.num(4), (1L, 0L), 1L)))
+    assert(bm.datomCountProbe == before + 1L)
+  }
+
   test("closed-time frames reject all-or-nothing; dense lattices trip the cap") {
     val bm = new BiMaintained(spark, partitions = 4)
     bm.createAttribute(":fr2/x", AttributeConfig(InputSemantics.Raw))

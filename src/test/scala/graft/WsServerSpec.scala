@@ -1105,6 +1105,14 @@ class WsServerSpec extends AnyFunSuite {
       val msg2 = client.next()
       assert(msg2.contains("""[[2,7],{"Bi":[{"secs":0,"nanos":1000000},0]},1]"""),
         s"expected the second datom after re-subscribe + Tick: $msg2")
+      // CloseInput applies in the bi domain too: a later write to the
+      // closed attribute comes back as a wire Error.
+      client.send("""{"CloseInput":":w4/x"}""")
+      client.send("""{"Transact":[[3,":w4/x",{"Number":9},
+        {"Bi":[{"secs":0,"nanos":2000000},0]},1]]}""")
+      val msg3 = client.next()
+      assert(msg3.contains("\"Error\"") && msg3.contains("closed"),
+        s"expected a closed-input Error: $msg3")
     }
   }
 }
