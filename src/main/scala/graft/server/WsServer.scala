@@ -416,6 +416,14 @@ final class WsServer(engine: Engine, port: Int = 0,
             case Some(gr) => clientGrain((id, name)) = gr
             case None     => clientGrain -= ((id, name))
           }
+          // Interest registration must not outlive a FAILED sink attach:
+          // if the ParquetDir branch below rejects (path mismatch,
+          // attach-after-advance), a client that was not previously
+          // interested would otherwise stay registered and receive the
+          // plain result-sized QueryDiff delivery it explicitly asked to
+          // divert — roll the registration back before the error goes
+          // out.
+          val wasInterested = clients(id)._2.contains(name)
           clients(id)._2 += name
           // Sink routing (reference: `Interest.sink`, server/src/main.rs:
           // 494-520): diffs divert into the sink; AssocIn forwards its
@@ -447,7 +455,7 @@ final class WsServer(engine: Engine, port: Int = 0,
               // a clear error, and the engine's attach-before-first-
               // advance contract surfaces as a wire Error rather than a
               // torn baseline.
-              uniParquetAttached.get(name) match {
+              try uniParquetAttached.get(name) match {
                 case Some((p0, g0)) =>
                   if (p0 != path || g0 != g) scala.sys.error(
                     s"interest '$name' already lands parquet at $p0 " +
@@ -461,6 +469,16 @@ final class WsServer(engine: Engine, port: Int = 0,
                   engine.interestIncrementalSink(name,
                     new graft.sinks.ParquetDirSink(path), g)
                   uniParquetAttached(name) = (path, g)
+              } catch {
+                case NonFatal(e) =>
+                  if (!wasInterested) {
+                    clients(id)._2 -= name
+                    clientGrain -= ((id, name))
+                    heldCoarse -= ((id, name))
+                    if (!clients.values.exists(_._2.contains(name)))
+                      domainUninterest(name)
+                  }
+                  throw e
               }
               sinkStates -= ((id, name))
           }

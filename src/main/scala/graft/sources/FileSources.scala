@@ -98,7 +98,12 @@ object FileSources {
   // column converts to epoch MILLISECONDS (the engine/wire Instant
   // convention — `Value::Instant` carries ms, and a bare cast("long")
   // would yield SECONDS, a silent 1000x time error), while an already-
-  // integral column passes through as ms.
+  // integral column passes through as ms. A zoneless NTZ value is
+  // interpreted in the SESSION timezone — the repo-wide convention
+  // (Q.tsMicros, the oracle harness, Verify/Bench all pin UTC); a
+  // deployment reading NTZ instants must pin
+  // spark.sql.session.timeZone the same way or the same file ingests
+  // different instants on differently-configured hosts.
   private def kindColumn(schema: StructType, column: String,
       kind: ValueKind): org.apache.spark.sql.Column = kind match {
     case KInstant => schema(column).dataType match {
@@ -211,7 +216,15 @@ object FileSources {
     * reader (per-branch column pruning holds under `readStream` too).
     * Event time comes from `tsColumn` when declared, else the ingest
     * batch's processing time. Feed the results through
-    * `DatomStreams.distinctSet`/`lastWriteWins` for input semantics. */
+    * `DatomStreams.distinctSet`/`lastWriteWins` for input semantics.
+    *
+    * Malformed COORDINATES (null/uncastable eid or timestamp) FAIL THE
+    * STREAM — deliberate fail-stop: a silently-null coordinate would
+    * corrupt downstream state irrecoverably, and Structured Streaming
+    * retries would re-deliver the corruption forever; the operator
+    * instead sees the poisoned file named in the error, removes or
+    * repairs it, and restarts. Value cells keep the typed-null
+    * convention (null = no datom; non-null-but-uncastable = loud). */
   def streamParquet(
       spark: SparkSession,
       dir: String,
@@ -263,13 +276,15 @@ object FileSources {
   }
 
   // Loud malformed-cell guard: a null after the cast fails the FIRST
-  // pass over the frame with a clean message (and transactFrame's
-  // lattice pass runs before ANY state mutates), instead of the opaque
-  // null-at-index task error a later Row accessor would throw.
+  // pass over the frame with a clean message (on the bi edge,
+  // transactFrame's lattice pass runs before ANY state mutates),
+  // instead of the opaque null-at-index task error a later Row accessor
+  // would throw. Shared by the uni, bi, and streaming parquet paths —
+  // the message names the coordinate, not a domain mode.
   private def requireCast(c: org.apache.spark.sql.Column, what: String,
       path: String) =
     when(c.isNull,
-      raise_error(lit(s"bi source $what is null or non-numeric in $path"))
+      raise_error(lit(s"source $what is null or non-numeric in $path"))
         .cast(LongType))
       .otherwise(c)
 

@@ -525,6 +525,26 @@ class WsServerSpec extends AnyFunSuite {
         assert(after.nonEmpty && after.forall(r =>
           r.getLong(1) == 11L && r.getLong(r.fieldIndex("_diff")) == 1L),
           s"expected the post-reconnect datom in parquet: ${after.toSeq}")
+        // A FAILED sink attach must not leave the client registered for
+        // the plain delivery it asked to divert: a fresh client whose
+        // mismatched-path Interest errors gets NO QueryDiff on later
+        // advances.
+        val client3 = new Client(server.boundPort)
+        try {
+          client3.send(s"""{"Interest":{"name":"pq_rule","granularity":null,
+            "sink":{"ParquetDir":{"path":"$root/other"}},"disable_logging":null}}""")
+          Wire.parseOutput(client3.next()) match {
+            case Output.Error(_, _, msg, _) => assert(msg.contains("one sink"))
+            case other => fail(s"expected the per-rule sink error: $other")
+          }
+          client3.send("""{"Transact":[[4,":pv",13,null,1]]}""")
+          client3.send("""{"AdvanceDomain":[null,{"TxId":4}]}""")
+          client3.send(""""Status"""")
+          Wire.parseOutput(client3.next()) match {
+            case Output.Message(_, json) => assert(json.contains("df/status"))
+            case other => fail(s"failed sink attach leaked plain delivery: $other")
+          }
+        } finally { try client3.close() catch { case _: Throwable => () } }
       } finally { try client2.close() catch { case _: Throwable => () } }
     } finally {
       server.stop()
