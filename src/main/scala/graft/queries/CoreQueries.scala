@@ -433,6 +433,43 @@ object CoreQueries {
         .select(col("c0").as("custkey"), col("c1").as("order_count"))
     }),
 
+    "q_sink_parquet" -> ((s, dir) => {
+      // The ParquetDir DELIVERY edge under the oracle gate — the
+      // columnar twin of q_source_parquet: a standing maintained
+      // aggregate delivers its diffs through the engine's
+      // interestIncrementalSink → ParquetDirSink (the wire's
+      // {"sink":{"ParquetDir":…}} route — computed AND written
+      // distributed, never collected to the driver), batch 3 retracts
+      // batch 1, and the accumulated parquet epochs consolidated by
+      // signed weight must reproduce the batch aggregate over the
+      // survivors. Entity bound 8000 keeps the harness transacts
+      // control-sized at every SF (the documented oracle-harness gate).
+      import org.apache.spark.sql.functions.sum
+      val e = new graft.engine.Engine(s)
+      e.createAttribute(":sp/custkey", AttributeConfig())
+      e.register(Rule("spq", Aggregate(Seq(1, 0),
+        matchA(0, ":sp/custkey", 1),
+        Seq(AggregationFn.COUNT), Seq(1), Seq(0), Seq.empty)))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q-sink-pq").toString
+      e.interestIncrementalSink("spq", new graft.sinks.ParquetDirSink(root))
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderkey") <= 8000)
+        .select(col("o_orderkey").cast("long").as("e"),
+          col("o_custkey").cast("long").as("v")).collect()
+      def batch(pred: Long => Boolean, diff: Long) =
+        orders.toSeq.filter(r => pred(r.getLong(0))).map(r =>
+          Datom(r.getLong(0), ":sp/custkey", Value.eid(r.getLong(1)), None, diff))
+      e.transact(batch(_ % 4 == 0, 1L)); e.advance(1)
+      e.transact(batch(_ % 4 == 1, 1L)); e.advance(2)
+      e.transact(batch(_ % 4 == 2, 1L)); e.advance(3)
+      e.transact(batch(_ % 4 == 3, 1L) ++ batch(_ % 4 == 0, -1L)); e.advance(4)
+      s.read.parquet(s"$root/spq")
+        .groupBy(col("c0"), col("c1")).agg(sum(col("_diff")).as("w"))
+        .where(col("w") > 0)
+        .select(col("c0").as("custkey"), col("c1").as("order_count"))
+    }),
+
     "q_incremental_stats" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{lit, pmod, sum}
       // The q_agg_stats shape MAINTAINED: five aggregation functions
@@ -1130,6 +1167,11 @@ object CoreQueries {
            SELECT e.src, c.dst FROM surviving e JOIN closure c ON e.dst = c.src)
          SELECT src, dst FROM closure""",
     "q_source_parquet" ->
-      "SELECT doc_id AS e, n_chars AS n FROM documents WHERE lang = 'en'"
+      "SELECT doc_id AS e, n_chars AS n FROM documents WHERE lang = 'en'",
+    "q_sink_parquet" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey,
+                CAST(count(*) AS BIGINT) AS order_count
+         FROM orders WHERE o_orderkey <= 8000 AND o_orderkey % 4 <> 0
+         GROUP BY 1"""
   )
 }
