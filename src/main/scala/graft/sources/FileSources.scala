@@ -124,13 +124,28 @@ object FileSources {
   private def guardedCast(schema: StructType, column: String,
       kind: ValueKind, aid: String,
       where: String): org.apache.spark.sql.Column = {
-    val src = col(column)
+    val srcType = schema(column).dataType
     val casted = kindColumn(schema, column, kind)
-    when(src.isNull, lit(null).cast(kind.dataType))
-      .otherwise(when(casted.isNull,
-        raise_error(lit(s"attribute $aid cell in column '$column' is not " +
-          s"a valid $kind in $where")).cast(kind.dataType))
-        .otherwise(casted))
+    // INFALLIBLE conversions skip the guard entirely: a same-type or
+    // lossless-upcast read (the production shape — parquet columns
+    // typed to match their declared kinds) can never produce a
+    // cast-null, and wrapping it in CASE WHEN would block Catalyst's
+    // constant/filter pushdown into the parquet reader for nothing.
+    // unix_millis of a non-null TIMESTAMP is likewise total.
+    val infallible = srcType == kind.dataType ||
+      org.apache.spark.sql.catalyst.expressions.Cast
+        .canUpCast(srcType, kind.dataType) ||
+      (kind == KInstant && (srcType == TimestampType ||
+        srcType == TimestampNTZType))
+    if (infallible) casted
+    else {
+      val src = col(column)
+      when(src.isNull, lit(null).cast(kind.dataType))
+        .otherwise(when(casted.isNull,
+          raise_error(lit(s"attribute $aid cell in column '$column' is not " +
+            s"a valid $kind in $where")).cast(kind.dataType))
+          .otherwise(casted))
+    }
   }
 
   /** Read a CSV into per-attribute `(e, v)` DataFrames. One scan serves all
