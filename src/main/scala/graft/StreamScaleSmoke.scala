@@ -1091,6 +1091,83 @@ object StreamScaleSmoke {
         f"paths=${stats.toMap}%s (4M-datom DataFrame backfill, zero driver Seqs)")
     }
 
+    // Wire-shaped bulk bitemporal backfill from PARQUET (round 15):
+    // registerSource reads a 1M-row mixed-kind parquet table (double +
+    // string attributes, a long event column) as ONE atomic 2M-datom
+    // transactFrame — the scan, explode, frontier validation, and
+    // ingest shuffle all distributed; the driver sees only the
+    // control-plane probe rows. A second registration at the advanced
+    // frontier pins the incremental-source rule at scale.
+    if (section("pqsource")) {
+      import graft.sources.FileSources
+      import graft.streaming.BiMaintained
+      import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+      val n = 500000L
+      val dir = java.nio.file.Files.createTempDirectory("graft-smoke-pq")
+      def writeBatch(sub: String, base: Long): String = {
+        val p = dir.resolve(sub).toString
+        spark.range(n).select(
+          (col("id") + base).as("doc"),
+          (col("id") % 1000L).cast("double").as("price"),
+          concat(lit("s"), pmod(col("id"), lit(5000L))).as("label"),
+          // MONOTONE event axis across batches (the realistic backfill
+          // shape — batches arrive in event order), so delivery rides
+          // the O(delta) fast path; repeating events across sys are
+          // product-order regressions whose full-merge cost the bisink
+          // smoke already prices.
+          (lit(2L * base / n) + pmod(col("id"), lit(2L))).as("ts"))
+          .write.mode("overwrite").parquet(p)
+        p
+      }
+      val bm = new BiMaintained(spark, partitions = 32)
+      // A/B dial: GRAFT_PQSOURCE_RAW=1 pre-registers the attributes Raw
+      // (isolating the Distinct-semantics resolution cost from the
+      // ingest/delivery edge).
+      if (sys.env.contains("GRAFT_PQSOURCE_RAW")) {
+        bm.createAttribute(":pq/price", AttributeConfig(InputSemantics.Raw))
+        bm.createAttribute(":pq/label", AttributeConfig(InputSemantics.Raw))
+      }
+      bm.register(Rule("pq", Plan.MatchA(1, ":pq/price", 2)))
+      var delivered = 0L
+      bm.interestSink("pq", new graft.sinks.ForeachFrameSink(
+        (_, _, df) => delivered += df.count()))
+      (0 until 3).foreach { b =>
+        val p = writeBatch(s"b$b", b * n)
+        val t0 = now()
+        val attrs =
+          if (sys.env.contains("GRAFT_PQSOURCE_ONEATTR"))
+            Seq(":pq/price" -> (("price", graft.model.ValueKind.KReal)))
+          else Seq(
+            ":pq/price" -> (("price", graft.model.ValueKind.KReal)),
+            ":pq/label" -> (("label", graft.model.ValueKind.KString)))
+        bm.registerSource(FileSources.ParquetFile(
+          path = p, eidColumn = "doc",
+          attributes = attrs, tsColumn = Some("ts")))
+        val tIngest = secs(t0)
+        bm.advance(b + 1L)
+        val probe = bm.frameIngestProbe
+        println(f"[scale] pqsource batch=$b%d datoms=${probe("datoms")}%d " +
+          f"driverLatticeRows=${probe("driverLatticeRows")}%d " +
+          f"driverAttrRows=${probe("driverAttrRows")}%d " +
+          f"delivered=$delivered%d " +
+          f"ingest=$tIngest%.2f advance=${secs(t0) - tIngest}%.2f")
+        val na = if (sys.env.contains("GRAFT_PQSOURCE_ONEATTR")) 1L else 2L
+        assert(probe("datoms") == na * n,
+          s"expected one ${na * n}-datom frame: $probe")
+        assert(probe("driverAttrRows") == na,
+          s"attr pass must stay schema-bounded: $probe")
+        assert(probe("driverLatticeRows") <= 4L,
+          s"lattice pass must stay lattice-sized: $probe")
+        assert(delivered == (b + 1) * n,
+          s"advance must deliver batch $b's priced datoms: $delivered")
+      }
+      val cp = bm.controlPlaneStats
+      assert(cp("resultRows") == 0L && cp("outRows") == 0L,
+        s"driver must stay control-plane: $cp")
+      println(f"[scale] pqsource END delivered=$delivered%d " +
+        "(3 bulk parquet registrations, zero driver Seqs)")
+    }
+
     // LWW bulk-ingest sequence numbering (round 15): the per-key hash
     // exchange + partition sort that replaced the global orderBy. A/B
     // the two ordering plans in isolation on one cached 4M-row frame
