@@ -559,6 +559,82 @@ class BiFrameIngestSpec extends AnyFunSuite {
     assert(strs == Set((1L, "aa", 0L, 10L, 1L), (3L, "cc", 0L, 30L, 1L)))
   }
 
+  test("property: registerSource(parquet) drain == equivalent mixed-kind transactFrame drain") {
+    // The two bulk bi ingest shapes must agree datom-for-datom: a
+    // random mixed-kind table written to parquet and entering through
+    // registerSource (scan → explode → mixedV → one atomic frame at
+    // sys = frontier, events from the ts column) vs the SAME rows
+    // hand-built as a mixed-kind transactFrame. Sources only assert
+    // (+1), so the property is positive-diff; retractions are the
+    // frame property above.
+    import graft.sources.FileSources
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(421L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bi-pqprop")
+    (0 until 3).foreach { it =>
+      val rows = (0 until (30 + rnd.nextInt(40))).map { i =>
+        Row(rnd.nextInt(8).toLong,
+          if (rnd.nextBoolean()) rnd.nextInt(5).toDouble / 2.0 else null,
+          if (rnd.nextBoolean()) s"w${rnd.nextInt(4)}" else null,
+          rnd.nextInt(4).toLong)
+      }
+      val f = dir.resolve(s"t$it.parquet").toString
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.distinct: _*),
+        StructType(Seq(
+          StructField("id", LongType, false),
+          StructField("r", DoubleType, true),
+          StructField("s", StringType, true),
+          StructField("ts", LongType, false))))
+        .write.mode("overwrite").parquet(f)
+      def drive(viaSource: Boolean): Out = {
+        val bm = new BiMaintained(spark, partitions = 4)
+        Seq(s"q$it" -> s":pp$it/r", s"s$it" -> s":pp$it/s").foreach {
+          case (rule, a) =>
+            // Match the source registration's Distinct semantics on the
+            // hand-built branch so duplicate-producing rows agree.
+            bm.createAttribute(a, AttributeConfig(InputSemantics.Distinct))
+            bm.register(Rule(rule, Plan.MatchA(0, a, 1)))
+        }
+        bm.interest(s"q$it"); bm.interest(s"s$it")
+        if (viaSource)
+          bm.registerSource(FileSources.ParquetFile(
+            path = f, eidColumn = "id",
+            attributes = Seq(
+              s":pp$it/r" -> (("r", ValueKind.KReal)),
+              s":pp$it/s" -> (("s", ValueKind.KString))),
+            tsColumn = Some("ts")))
+        else {
+          import org.apache.spark.sql.functions.{col, lit, struct}
+          val nullN = lit(null).cast(LongType)
+          val nullB = lit(null).cast(BooleanType)
+          val base = spark.read.parquet(f)
+          val mk = (c: org.apache.spark.sql.Column, isS: Boolean) =>
+            if (isS) struct(c.as("s"), nullN.as("n"), nullB.as("b"),
+              lit(null).cast(DoubleType).as("r"))
+            else struct(lit(null).cast(StringType).as("s"), nullN.as("n"),
+              nullB.as("b"), c.as("r"))
+          val rPart = base.where(col("r").isNotNull).select(
+            col("id").as("e"), lit(s":pp$it/r").as("a"),
+            mk(col("r"), false).as("v"), lit(0L).as("sys"),
+            col("ts").as("event"), lit(1L).as("diff"))
+          val sPart = base.where(col("s").isNotNull).select(
+            col("id").as("e"), lit(s":pp$it/s").as("a"),
+            mk(col("s"), true).as("v"), lit(0L).as("sys"),
+            col("ts").as("event"), lit(1L).as("diff"))
+          bm.transactFrame(rPart.unionByName(sPart))
+        }
+        bm.advance(1L)
+        ms((bm.drain(s"q$it") ++ bm.drain(s"s$it")).toSeq)
+      }
+      val want = drive(viaSource = false)
+      val got = drive(viaSource = true)
+      assert(got == want, s"iteration $it:\n want=$want\n got =$got")
+      assert(want.nonEmpty, s"iteration $it produced no diffs (vacuous)")
+    }
+  }
+
   test("CloseInput rejects later writes on every ingest path, all-or-nothing") {
     val bm = new BiMaintained(spark, partitions = 4)
     bm.createAttribute(":ci/x", AttributeConfig(InputSemantics.Raw))
