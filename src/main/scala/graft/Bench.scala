@@ -1,8 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Host contention probe: (1-min load average, count of OTHER java
+    * processes). Emitted at window start and end so a reader of the
+    * bench artifact can REJECT a contaminated capture without a re-run
+    * (the round-15 adjudication: a driver window inflated unchanged
+    * cells up to 37x; the artifact itself carried no evidence either
+    * way). An sbt-launched run reports >=1 competing JVM (the sbt
+    * parent) as its quiet-host baseline. */
+  private def hostLoad(): (Double, Int) = {
+    val load =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val self = ProcessHandle.current().pid()
+    val jvms =
+      try new java.io.File("/proc").listFiles((_, n) => n.forall(_.isDigit))
+        .count { d =>
+          try d.getName.toLong != self && {
+            val src = scala.io.Source.fromFile(d.getPath + "/comm")
+            try src.mkString.trim == "java" finally src.close()
+          }
+          catch { case _: Throwable => false }
+        }
+      catch { case _: Throwable => -1 }
+    (load, jvms)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val (loadStart, jvmsStart) = hostLoad()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -86,9 +113,11 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) =>
       s"\"" + k + "\":" + jstr(m.take(300)) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val (loadEnd, jvmsEnd) = hostLoad()
+    val host = s""""host":{"load_start":$loadStart,"load_end":$loadEnd,"jvms_start":$jvmsStart,"jvms_end":$jvmsEnd}"""
     // Full-precision line first — the per-round capture files keep whole
     // stdout, so this is the builder/judge A/B record.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$host,"sf":"$sfDir"}""")
     // The driver keeps only the LAST 2000 chars of stdout and parses a
     // JSON line out of that tail; at 85 queries the full-precision line
     // is ~3.3k chars, so every round's parsed field came back null. Emit
@@ -116,7 +145,7 @@ object Bench {
         .mkString("{", ",", "}")
       val cerrs = results.collect { case (k, _, Some(m)) =>
         s"\"" + k + "\":" + jstr(m.take(60)) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, p)},"unit":"sec","queries":$cqs,"errors":$cerrs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, p)},"unit":"sec","queries":$cqs,"errors":$cerrs,$host,"sf":"$sfDir"}"""
     }
     println(Iterator(3, 2, 1).map(compact).find(_.length <= 1900)
       .getOrElse(compact(1)))

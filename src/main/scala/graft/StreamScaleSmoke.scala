@@ -1092,8 +1092,8 @@ object StreamScaleSmoke {
     }
 
     // Wire-shaped bulk bitemporal backfill from PARQUET (round 15):
-    // registerSource reads a 1M-row mixed-kind parquet table (double +
-    // string attributes, a long event column) as ONE atomic 2M-datom
+    // registerSource reads a 500k-row mixed-kind parquet table (double +
+    // string attributes, a long event column) as ONE atomic 1M-datom
     // transactFrame — the scan, explode, frontier validation, and
     // ingest shuffle all distributed; the driver sees only the
     // control-plane probe rows. A second registration at the advanced

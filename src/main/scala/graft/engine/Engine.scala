@@ -236,28 +236,14 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
         // the namespace, AND each pulled path re-published as a derived
         // attribute `ns/attr` other rules can MatchA against — the
         // reference's derive materialization (`src/derive/graphql.rs:501-534`,
-        // `aid.with_namespace`, `src/lib.rs:72-74`).
+        // `aid.with_namespace`, `src/lib.rs:72-74`). The per-path view
+        // plans are timestamp-generic (shared with the bitemporal domain's
+        // Derive) — `DerivedViews.pathViews`.
         register(Rule(ns, graft.plans.GraphQl.plan(query)))
         interest(ns)
-        graft.plans.GraphQl.paths(query).foreach {
-          case Plan.PullLevel(_, inner, pullVar, pullAttrs, _, _) =>
-            pullAttrs.foreach { a =>
-              // (level entity, pulled value) pairs: join the level's plan
-              // with the attribute at the pull variable. Fresh output var
-              // below the GraphQl gensym range (1000000+).
-              val fresh = 999999
-              val plan = Plan.Project(Seq(pullVar, fresh),
-                Plan.Join(Seq(pullVar), inner, Plan.MatchA(pullVar, a, fresh)))
-              registerDerivedView(s"$ns/$a", a, plan,
-                head = Seq(pullVar, fresh))
-            }
-          case Plan.PullAll(_, pullAttrs) =>
-            // Root level with no bindings: ns/attr is the attribute itself.
-            pullAttrs.foreach { a =>
-              registerDerivedView(s"$ns/$a", a, Plan.MatchA(0, a, 1),
-                head = Seq(0, 1))
-            }
-          case _ => ()
+        graft.plans.DerivedViews.pathViews(ns, query).foreach {
+          case (name, sourceAttr, plan, head) =>
+            registerDerivedView(name, sourceAttr, plan, head)
         }
       // Wire-level sink routing is the transport's concern (WsServer);
       // the embedded path registers plain interest.
@@ -328,70 +314,12 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
   private val derivedPlans =
     scala.collection.mutable.Map.empty[String, (Plan, Seq[Int])]
 
-  /** Inline derived-attribute `MatchA` scans into their defining plans:
-    * head renamed to the scan's vars, internal vars freshened above
-    * every var in sight, the result wrapped in a single-branch Union —
-    * the view's distinctify (weight-1) contract. Other derived usages
-    * (const-bound scans, Hector bindings, pull attributes) stay on the
+  /** Inline derived-attribute `MatchA` scans into their defining plans
+    * (`DerivedViews.inline` — shared with the bitemporal domain's
+    * standings). Derived usages outside plain MatchA stay on the
     * snapshot path, loudly. */
-  private def inlineDerived(plan: Plan, allPlans: Iterable[Plan]): Plan = {
-    if (derivedPlans.isEmpty) return plan
-    import graft.streaming.{IncrementalQuery => IQ}
-    var fresh = {
-      var mx = 0
-      (Seq(plan) ++ allPlans ++ derivedPlans.values.map(_._1)).foreach { p =>
-        IQ.mapVars(p, v => { if (v > mx) mx = v; v })
-      }
-      mx + 1
-    }
-    def reject(a: String): Nothing = throw GraftError.incorrect(
-      s"incremental maintenance over derived attribute $a supports " +
-        "plain MatchA scans; use the snapshot path")
-    def rw(q: Plan): Plan = q match {
-      case Plan.MatchA(e, a, v) if derivedPlans.contains(a) =>
-        val (dp0, head) = derivedPlans(a)
-        val dp = rw(dp0)
-        // Rename by the DECLARED head (entity var, value var) — keyed on
-        // variable identity, so the plan's bound-variable ORDER is
-        // irrelevant and a (value, entity)-shaped plan cannot silently
-        // swap. The set check catches a head that drifted from the plan.
-        val hv = Plan.boundVariables(dp, _ => Seq.empty)
-        require(hv.length == 2 && hv.toSet == head.toSet,
-          s"derived view $a: declared head $head does not match the " +
-            s"plan's bound variables $hv")
-        val m = scala.collection.mutable.Map(head(0) -> e, head(1) -> v)
-        Plan.Union(Seq(e, v), Seq(IQ.mapVars(dp,
-          x => m.getOrElseUpdate(x, { val f = fresh; fresh += 1; f }))))
-      case Plan.MatchEA(_, a, _) if derivedPlans.contains(a) => reject(a)
-      case Plan.MatchAV(_, a, _) if derivedPlans.contains(a) => reject(a)
-      case h @ Plan.Hector(_, bs) =>
-        bs.foreach {
-          case Binding.Attr(_, a, _) if derivedPlans.contains(a) => reject(a)
-          case Binding.Not(Binding.Attr(_, a, _)) if derivedPlans.contains(a) =>
-            reject(a)
-          case _ => ()
-        }
-        h
-      case Plan.Project(vs, s2)   => Plan.Project(vs, rw(s2))
-      case f: Plan.Filter         => f.copy(plan = rw(f.plan))
-      case t: Plan.Transform      => t.copy(plan = rw(t.plan))
-      case Plan.Negate(s2)        => Plan.Negate(rw(s2))
-      case Plan.Join(vs, l, r)    => val nl = rw(l); Plan.Join(vs, nl, rw(r))
-      case Plan.Antijoin(vs, l, r) =>
-        val nl = rw(l); Plan.Antijoin(vs, nl, rw(r))
-      case Plan.Union(vs, ps)     => Plan.Union(vs, ps.map(rw))
-      case ag: Plan.Aggregate     => ag.copy(plan = rw(ag.plan))
-      case pl @ Plan.PullLevel(vs, s2, pv, pas, paths, cm) =>
-        pas.find(derivedPlans.contains).foreach(reject)
-        Plan.PullLevel(vs, rw(s2), pv, pas, paths, cm)
-      case Plan.Pull(vs, ps)      => Plan.Pull(vs, ps.map(rw))
-      case pa @ Plan.PullAll(_, pas) =>
-        pas.find(derivedPlans.contains).foreach(reject)
-        pa
-      case other => other
-    }
-    rw(plan)
-  }
+  private def inlineDerived(plan: Plan, allPlans: Iterable[Plan]): Plan =
+    graft.plans.DerivedViews.inline(plan, allPlans, derivedPlans)
 
   /** Datoms without an explicit time are stamped with the current epoch.
     * Explicit times below the advanced frontier are rejected loudly — the

@@ -1,0 +1,109 @@
+package graft.plans
+
+import graft.model.{Binding, GraftError, Plan}
+
+/** Derived-attribute machinery shared by the unitemporal `Engine` and the
+  * bitemporal `BiMaintained`: a `Request::Derive` republishes a GraphQL
+  * document's pulled paths as derived attributes `ns/attr` that other
+  * rules can `MatchA` against — the reference's derive materialization
+  * (`src/derive/graphql.rs:501-534`, `aid.with_namespace`,
+  * `src/lib.rs:72-74`). The reference server loop is timestamp-generic
+  * (`src/server/mod.rs:158-160`), which is exactly why the two pieces
+  * both engines need — the per-path defining plans and the scan inliner —
+  * live here rather than inside either engine.
+  */
+object DerivedViews {
+
+  /** The derived views a `Derive(ns, query)` request defines:
+    * `(viewName, sourceAttr, plan, head)` per pulled path. Each plan is
+    * binary — (level entity, pulled value) — and `head` DECLARES which
+    * plan variable is the entity and which the value, keyed on variable
+    * identity so a (value, entity)-shaped plan cannot silently swap. */
+  def pathViews(ns: String, query: String): Seq[(String, String, Plan, Seq[Int])] =
+    GraphQl.paths(query).flatMap {
+      case Plan.PullLevel(_, inner, pullVar, pullAttrs, _, _) =>
+        pullAttrs.map { a =>
+          // (level entity, pulled value) pairs: join the level's plan
+          // with the attribute at the pull variable. Fresh output var
+          // below the GraphQl gensym range (1000000+).
+          val fresh = 999999
+          val plan: Plan = Plan.Project(Seq(pullVar, fresh),
+            Plan.Join(Seq(pullVar), inner, Plan.MatchA(pullVar, a, fresh)))
+          (s"$ns/$a", a, plan, Seq(pullVar, fresh))
+        }
+      case Plan.PullAll(_, pullAttrs) =>
+        // Root level with no bindings: ns/attr is the attribute itself.
+        pullAttrs.map(a =>
+          (s"$ns/$a", a, Plan.MatchA(0, a, 1): Plan, Seq(0, 1)))
+      case _ => Seq.empty
+    }
+
+  /** Inline derived-attribute `MatchA` scans into their defining plans:
+    * head renamed to the scan's vars, internal vars freshened above
+    * every var in sight, the result wrapped in a single-branch Union —
+    * the view's distinctify (weight-1) contract. Other derived usages
+    * (const-bound scans, Hector bindings, pull attributes) reject
+    * loudly with `demoteHint` appended — the unitemporal engine's
+    * snapshot path serves them; the bitemporal domain has no such
+    * fallback, so its hint says to restructure instead. */
+  def inline(plan: Plan, allPlans: Iterable[Plan],
+      derived: collection.Map[String, (Plan, Seq[Int])],
+      demoteHint: String = "use the snapshot path"): Plan = {
+    if (derived.isEmpty) return plan
+    import graft.streaming.{IncrementalQuery => IQ}
+    var fresh = {
+      var mx = 0
+      (Seq(plan) ++ allPlans ++ derived.values.map(_._1)).foreach { p =>
+        IQ.mapVars(p, v => { if (v > mx) mx = v; v })
+      }
+      mx + 1
+    }
+    def reject(a: String): Nothing = throw GraftError.incorrect(
+      s"incremental maintenance over derived attribute $a supports " +
+        s"plain MatchA scans; $demoteHint")
+    def rw(q: Plan): Plan = q match {
+      case Plan.MatchA(e, a, v) if derived.contains(a) =>
+        val (dp0, head) = derived(a)
+        val dp = rw(dp0)
+        // Rename by the DECLARED head (entity var, value var) — keyed on
+        // variable identity, so the plan's bound-variable ORDER is
+        // irrelevant and a (value, entity)-shaped plan cannot silently
+        // swap. The set check catches a head that drifted from the plan.
+        val hv = Plan.boundVariables(dp, _ => Seq.empty)
+        require(hv.length == 2 && hv.toSet == head.toSet,
+          s"derived view $a: declared head $head does not match the " +
+            s"plan's bound variables $hv")
+        val m = scala.collection.mutable.Map(head(0) -> e, head(1) -> v)
+        Plan.Union(Seq(e, v), Seq(IQ.mapVars(dp,
+          x => m.getOrElseUpdate(x, { val f = fresh; fresh += 1; f }))))
+      case Plan.MatchEA(_, a, _) if derived.contains(a) => reject(a)
+      case Plan.MatchAV(_, a, _) if derived.contains(a) => reject(a)
+      case h @ Plan.Hector(_, bs) =>
+        bs.foreach {
+          case Binding.Attr(_, a, _) if derived.contains(a) => reject(a)
+          case Binding.Not(Binding.Attr(_, a, _)) if derived.contains(a) =>
+            reject(a)
+          case _ => ()
+        }
+        h
+      case Plan.Project(vs, s2)   => Plan.Project(vs, rw(s2))
+      case f: Plan.Filter         => f.copy(plan = rw(f.plan))
+      case t: Plan.Transform      => t.copy(plan = rw(t.plan))
+      case Plan.Negate(s2)        => Plan.Negate(rw(s2))
+      case Plan.Join(vs, l, r)    => val nl = rw(l); Plan.Join(vs, nl, rw(r))
+      case Plan.Antijoin(vs, l, r) =>
+        val nl = rw(l); Plan.Antijoin(vs, nl, rw(r))
+      case Plan.Union(vs, ps)     => Plan.Union(vs, ps.map(rw))
+      case ag: Plan.Aggregate     => ag.copy(plan = rw(ag.plan))
+      case pl @ Plan.PullLevel(vs, s2, pv, pas, paths, cm) =>
+        pas.find(derived.contains).foreach(reject)
+        Plan.PullLevel(vs, rw(s2), pv, pas, paths, cm)
+      case Plan.Pull(vs, ps)      => Plan.Pull(vs, ps.map(rw))
+      case pa @ Plan.PullAll(_, pas) =>
+        pas.find(derived.contains).foreach(reject)
+        pa
+      case other => other
+    }
+    rw(plan)
+  }
+}

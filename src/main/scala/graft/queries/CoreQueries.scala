@@ -719,6 +719,58 @@ object CoreQueries {
       rows.toDF("e", "name", "bal")
     }),
 
+    "q_derive_bi" -> ((s, dir) => {
+      // The q_derive_maintain shape BITEMPORALLY (round 16 — Derive is
+      // the last request to go timestamp-generic): BiMaintained.derive
+      // republishes the pulled path as cust_bi/dname, a rule joins that
+      // derived attribute with dbal, and the standing's inlined view is
+      // driven through three (sys, event) batches — batch 3 retracts
+      // the custkey%5==0 LINK datoms at a higher system time, so the
+      // derived rows (and the join rows) must collapse even though
+      // dname/dbal survive. Accumulated drains == SQL over survivors
+      // (the same oracle as the unitemporal twin). Entity bound 2000
+      // keeps the harness transacts control-sized at every SF.
+      val bm = new graft.streaming.BiMaintained(s, partitions = 8)
+      Seq("bd_link", "bd_dname", "bd_dbal").foreach(a =>
+        bm.createAttribute(a, AttributeConfig(InputSemantics.Distinct)))
+      bm.derive("cust_bi", "{ bd_link { bd_dname } }")
+      bm.register(Rule("bifans", Join(Seq(0),
+        matchA(0, "cust_bi/bd_dname", 1), matchA(0, "bd_dbal", 2))))
+      bm.interest("bifans", None)
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_custkey") <= 2000)
+        .select(col("c_custkey").cast("long").as("c"),
+          col("c_name").as("n"), col("c_acctbal").cast("double").as("b"))
+        .collect()
+      def datoms(pred: Long => Boolean, t: (Long, Long), diff: Long,
+          linkOnly: Boolean) =
+        cust.toSeq.filter(r => pred(r.getLong(0))).flatMap { r =>
+          val c = r.getLong(0)
+          val link = bm.BiDatom(Value.eid(c), "bd_link", Value.eid(c), t, diff)
+          if (linkOnly) Seq(link)
+          else Seq(link,
+            bm.BiDatom(Value.eid(c), "bd_dname", Value.str(r.getString(1)), t, diff),
+            bm.BiDatom(Value.eid(c), "bd_dbal", Value.VReal(r.getDouble(2)), t, diff))
+        }
+      val acc = scala.collection.mutable.Map
+        .empty[Seq[Any], Long].withDefaultValue(0L)
+      Seq(
+        datoms(c => c % 3 < 2, (0L, 0L), 1L, linkOnly = false),
+        datoms(c => c % 3 == 2, (1L, 1L), 1L, linkOnly = false),
+        datoms(c => c % 5 == 0, (2L, 2L), -1L, linkOnly = true)
+      ).zipWithIndex.foreach { case (tx, i) =>
+        bm.transact(tx)
+        bm.advance(i + 1L)
+        bm.drain("bifans").foreach { case (row, _, w) => acc(row) += w }
+      }
+      val rows = acc.toSeq.collect { case (r, w) if w > 0 =>
+        (r(0).asInstanceOf[Long], r(1).asInstanceOf[String],
+          r(2).asInstanceOf[Double])
+      }
+      import s.implicits._
+      rows.toDF("e", "name", "bal")
+    }),
+
     "q_pull_maintain" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{lit, pmod, sum}
       // The PULL family maintained: a standing document-projection
@@ -1122,6 +1174,14 @@ object CoreQueries {
     // (batch 3 retracts the custkey%5==0 links; dname/dbal survive but
     // the derived rows collapse).
     "q_derive_maintain" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS e, c_name AS name,
+                CAST(c_acctbal AS DOUBLE) AS bal
+         FROM customer WHERE c_custkey <= 2000 AND c_custkey % 5 <> 0""",
+
+    // The bitemporal Derive twin: identical survivor algebra (the link
+    // retraction at a higher SYSTEM time collapses the derived rows in
+    // the final accumulated view exactly like the unitemporal retract).
+    "q_derive_bi" ->
       """SELECT CAST(c_custkey AS BIGINT) AS e, c_name AS name,
                 CAST(c_acctbal AS DOUBLE) AS bal
          FROM customer WHERE c_custkey <= 2000 AND c_custkey % 5 <> 0""",

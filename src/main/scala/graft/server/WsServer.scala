@@ -331,13 +331,37 @@ final class WsServer(engine: Engine, port: Int = 0,
         // (`src/server/mod.rs:363-374`): a MatchA rule named after the
         // attribute, served through the shared bi standing machinery on
         // a windowless lane. Idempotent across clients (the rule is
-        // per-name; later subscribers join the fan-out).
+        // per-name; later subscribers join the fan-out). A user rule
+        // that happens to share the attribute's name is a loud error —
+        // silently joining its standing (or overwriting it via
+        // register) would serve the subscriber someone else's query.
+        val subPlan = graft.model.Plan.MatchA(0, attr, 1)
+        bm.registeredPlan(attr).foreach { p =>
+          if (p != subPlan) scala.sys.error(
+            s"Subscribe '$attr' collides with a registered rule of the " +
+              "same name; rename the rule or Interest it directly")
+        }
         if (!biAttached.contains(attr)) {
-          bm.register(graft.model.Rule(attr, graft.model.Plan.MatchA(0, attr, 1)))
+          bm.register(graft.model.Rule(attr, subPlan))
           bm.interest(attr, None)
           biAttached(attr) = (None, None)
         }
         clients(id)._2 += attr
+      case BiWireReq.Passthrough(Request.Derive(ns, query)) =>
+        // Timestamp-generic Derive (`Request::Derive`,
+        // `src/server/mod.rs:158-160`): the GraphQL pull rule registers
+        // and serves under the namespace on a windowless lane (like
+        // Subscribe), and each pulled path becomes a derived attribute
+        // `ns/attr` that later-registered bi rules can MatchA against —
+        // their standings inline the view plans at attach
+        // (BiMaintained.derive). Idempotent across clients; a namespace
+        // colliding with an unrelated user rule errors inside derive.
+        bm.derive(ns, query)
+        if (!biAttached.contains(ns)) {
+          bm.interest(ns, None)
+          biAttached(ns) = (None, None)
+        }
+        clients(id)._2 += ns
       case BiWireReq.Passthrough(Request.Tick) =>
         // Wall-clock progress: advance the system frontier by one epoch
         // (`Request::Tick` — the bi mirror of the unitemporal
@@ -462,6 +486,21 @@ final class WsServer(engine: Engine, port: Int = 0,
                       s"(granularity $g0); data-sized standings hold one " +
                       "sink per rule — uninterest first")
                 case None =>
+                  // A per-RULE engine sink empties drain() for the rule,
+                  // so it must never DIVERT another client's standing
+                  // plain QueryDiff delivery (the per-(client, name)
+                  // sink contract above). Reject the attach while any
+                  // OTHER client holds a plain interest in the rule —
+                  // the rollback below then undoes this client's
+                  // registration.
+                  val plainWatchers = clients.count { case (cid, (_, names)) =>
+                    cid != id && names.contains(name)
+                  }
+                  if (plainWatchers > 0) scala.sys.error(
+                    s"interest '$name' already delivers plain QueryDiffs " +
+                      s"to $plainWatchers other client(s); a ParquetDir " +
+                      "sink is per-rule and would divert them — those " +
+                      "clients must Uninterest first")
                   // The request's granularity rides to the engine edge —
                   // coarsening happens inside the standing (clientGrain
                   // is dead state for sink-delivered rules: drain stays

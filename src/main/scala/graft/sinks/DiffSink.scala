@@ -28,7 +28,14 @@ trait DiffSink {
 
 /** Appends each advance's diffs under `root/<rule>/` as parquet,
   * partitioned by emitted time — the durable, cluster-sized delivery path
-  * (readers see one directory per rule, one partition per epoch). */
+  * (readers see one directory per rule, one partition per epoch).
+  *
+  * READER CONTRACT: the directory is a CHANGELOG, not a snapshot — rows
+  * carry a signed `_diff`, and retractions arrive as `_diff = -1` rows in
+  * later partitions. A consumer that wants the current state must
+  * consolidate by summed `_diff` first (group by the result columns, sum
+  * `_diff`, keep positive — exactly what the `q_sink_parquet` oracle
+  * does); reading the directory raw double-counts every retracted row. */
 final class ParquetDirSink(root: String) extends DiffSink {
   def deliver(name: String, t: Long, diffs: DataFrame): Unit =
     diffs.write.mode("append").partitionBy("_t").parquet(s"$root/$name")

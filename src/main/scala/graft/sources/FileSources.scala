@@ -140,10 +140,26 @@ object FileSources {
     if (infallible) casted
     else {
       val src = col(column)
+      // Fallible-but-NON-NULLING casts need their own guard: a numeric
+      // narrowing (DoubleType declared KNumber, LongType declared KReal,
+      // …) is total under non-ANSI cast semantics — 1.9 truncates to 1
+      // without ever nulling, so the cast-null check alone would let a
+      // declared-kind mismatch silently lose precision. For numeric
+      // sources, require the cast to ROUND-TRIP back to the source
+      // value (value-preserving cells — 1.0 → 1 — pass; 1.9, NaN,
+      // overflow fail loudly). String sources keep the null-based guard
+      // only: their malformed cells DO null out, and a round-trip would
+      // reject benign spellings ("01", " 1", "+1") of valid cells.
+      val ok = srcType match {
+        case _: org.apache.spark.sql.types.NumericType =>
+          casted.isNotNull && (casted.cast(srcType) === src)
+        case _ => casted.isNotNull
+      }
       when(src.isNull, lit(null).cast(kind.dataType))
-        .otherwise(when(casted.isNull,
+        .otherwise(when(!ok,
           raise_error(lit(s"attribute $aid cell in column '$column' is not " +
-            s"a valid $kind in $where")).cast(kind.dataType))
+            s"a valid $kind in $where (cast nulls or does not round-trip)"))
+            .cast(kind.dataType))
           .otherwise(casted))
     }
   }

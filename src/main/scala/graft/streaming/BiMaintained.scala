@@ -190,6 +190,43 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
 
   def register(rule: Rule): Unit = rules(rule.name) = rule
 
+  /** Probe: the plan registered under `name`, if any — the wire layer's
+    * Subscribe/Derive collision guards read it before registering their
+    * implicit rules, so an implicit standing can never silently join or
+    * overwrite an unrelated same-named user rule. */
+  def registeredPlan(name: String): Option[graft.model.Plan] =
+    rules.get(name).map(_.plan)
+
+  // Derived-attribute defining plans (binary head: entity var, value
+  // var) — recorded by `derive`, inlined into each Standing's plan at
+  // attach (`DerivedViews.inline`), exactly like the unitemporal
+  // maintained path. There is no bitemporal snapshot fallback, so
+  // derived usages outside plain MatchA reject loudly at attach.
+  private val derivedPlans =
+    mutable.Map.empty[String, (graft.model.Plan, Seq[Int])]
+
+  /** `Request::Derive` in the bitemporal domain — the reference server
+    * loop is timestamp-generic (`src/server/mod.rs:158-160`,
+    * `src/derive/graphql.rs`): the GraphQL document's pull plan
+    * registers as rule `ns` (the caller attaches interest like any
+    * standing), and each pulled path becomes a derived attribute
+    * `ns/attr` usable in later-registered rules' `MatchA` scans.
+    * ORDER MATTERS: derive BEFORE attaching a standing that scans
+    * `ns/attr` — a Standing inlines the derived plans known at its
+    * attach; re-deriving the same document is idempotent. */
+  def derive(ns: String, query: String): Unit = {
+    val plan = graft.plans.GraphQl.plan(query)
+    registeredPlan(ns).foreach { p =>
+      if (p != plan) scala.sys.error(
+        s"derive namespace '$ns' collides with a registered rule of the " +
+          "same name; rename the rule or the namespace")
+    }
+    register(Rule(ns, plan))
+    graft.plans.DerivedViews.pathViews(ns, query).foreach {
+      case (name, _, viewPlan, head) => derivedPlans(name) = (viewPlan, head)
+    }
+  }
+
   // Inputs closed via `Request::CloseInput` — the reference's sources
   // and sessions are timestamp-generic, so the close applies in the bi
   // domain exactly as unitemporally: later writes to the attribute are
@@ -780,9 +817,22 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
 
   private final class Standing(name: String, val lane: Lane,
       val sink: Option[graft.sinks.DiffSink]) {
-    private val plan = rules(name).plan
-    private val rulePlans: Map[String, Plan] =
+    // Derived-attribute MatchA scans inline into their defining view
+    // plans (the unitemporal maintained path's move, shared through
+    // DerivedViews) — the standing maintains the VIEW's algebra over
+    // base attributes; `refAttrs`/`kinds` below therefore see only
+    // base attributes. Snapshot taken at attach: derive before interest.
+    private val rulePlans0: Map[String, Plan] =
       rules.iterator.map { case (n, ru) => n -> ru.plan }.toMap
+    private val biHint =
+      "derived attributes are MatchA-only in the bitemporal domain"
+    private val plan = graft.plans.DerivedViews.inline(
+      rules(name).plan, rulePlans0.values, derivedPlans, biHint)
+    private val rulePlans: Map[String, Plan] =
+      rulePlans0.map { case (n, p) =>
+        n -> graft.plans.DerivedViews.inline(p, rulePlans0.values,
+          derivedPlans, biHint)
+      }
     val refAttrs: Set[String] =
       IncrementalQuery.planAttributes(plan, rulePlans)
     var iq: IncrementalQuery = null

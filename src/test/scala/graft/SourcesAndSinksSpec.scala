@@ -323,6 +323,43 @@ class SourcesAndSinksSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("nope"))
   }
 
+  test("ParquetFile: numeric narrowing must round-trip — lossy cells are loud") {
+    // A DoubleType column declared KNumber is a TOTAL cast under
+    // non-ANSI semantics (1.9 truncates to 1 without nulling), so the
+    // cast-null guard alone would silently lose precision (round-15
+    // ADVICE). The guarded branch now requires the cast to round-trip
+    // back to the source value: value-preserving cells (1.0, 80.0) pass,
+    // a fractional cell fails the scan loudly.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_pq3")
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("x", DoubleType, true)))
+    val good = dir.resolve("good.parquet").toString
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, 120.0), Row(2L, null), Row(3L, 80.0)),
+      schema).write.mode("overwrite").parquet(good)
+    val (_, okDf, _) = FileSources.sourceParquet(spark, FileSources.ParquetFile(
+      path = good, eidColumn = "id",
+      attributes = Seq(":rt/n" -> (("x", KNumber))))).head
+    assert(okDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 120L), (3L, 80L)),
+      "whole-valued doubles must pass (typed null row 2 drops silently)")
+
+    val bad = dir.resolve("bad.parquet").toString
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, 120.0), Row(2L, 1.9)),
+      schema).write.mode("overwrite").parquet(bad)
+    val (_, badDf, _) = FileSources.sourceParquet(spark, FileSources.ParquetFile(
+      path = bad, eidColumn = "id",
+      attributes = Seq(":rt/n" -> (("x", KNumber))))).head
+    val ex = intercept[Exception] { badDf.collect() }
+    assert(String.valueOf(ex.getMessage).contains("not a valid") ||
+      String.valueOf(ex.getCause).contains("not a valid"),
+      s"expected the loud lossy-narrowing message, got $ex")
+  }
+
   test("ParquetFile: malformed cells are loud, Instant timestamps land as epoch-ms") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

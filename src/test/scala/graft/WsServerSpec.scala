@@ -551,6 +551,44 @@ class WsServerSpec extends AnyFunSuite {
     }
   }
 
+  test("ParquetDir attach is rejected while another client watches plainly") {
+    // Round-15 ADVICE (medium): the per-RULE engine sink empties
+    // drain() for the rule, so attaching it while ANOTHER client holds
+    // a plain Interest would silently stop that client's QueryDiff
+    // delivery. The attach must error and the plain watcher must keep
+    // receiving diffs.
+    val root = java.nio.file.Files.createTempDirectory("graft-pqdivert").toString
+    val engine = new Engine(spark)
+    val server = new WsServer(engine).start()
+    val watcher = new Client(server.boundPort)
+    val attacher = new Client(server.boundPort)
+    try {
+      watcher.send("""{"CreateAttribute":{"name":":dv","config":{"input_semantics":"Distinct"}}}""")
+      watcher.send("""{"Register":{"rules":[{"name":"dv_rule","plan":
+        {"MatchA":[0,":dv",1]}}],"publish":["dv_rule"]}}""")
+      watcher.send("""{"Interest":{"name":"dv_rule","granularity":null}}""")
+      attacher.send(s"""{"Interest":{"name":"dv_rule","granularity":null,
+        "sink":{"ParquetDir":{"path":"$root"}},"disable_logging":null}}""")
+      Wire.parseOutput(attacher.next()) match {
+        case Output.Error(_, _, msg, _) =>
+          assert(msg.contains("divert"), s"expected the divert error: $msg")
+        case other => fail(s"expected the divert rejection: $other")
+      }
+      // The plain watcher's delivery is intact.
+      watcher.send("""{"Transact":[[1,":dv",5,null,1]]}""")
+      watcher.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+      Wire.parseOutput(watcher.next()) match {
+        case Output.QueryDiff(name, batch) =>
+          assert(name == "dv_rule" && batch.nonEmpty, s"$name $batch")
+        case other => fail(s"plain delivery was diverted: $other")
+      }
+    } finally {
+      try watcher.close() catch { case _: Throwable => () }
+      try attacher.close() catch { case _: Throwable => () }
+      server.stop()
+    }
+  }
+
   test("Interest with a TheVoid sink swallows diffs and logs epochs") {
     withServer { (server, client) =>
       client.send("""{"CreateAttribute":{"name":":v","config":{"input_semantics":"Distinct"}}}""")
@@ -1133,6 +1171,77 @@ class WsServerSpec extends AnyFunSuite {
       val msg3 = client.next()
       assert(msg3.contains("\"Error\"") && msg3.contains("closed"),
         s"expected a closed-input Error: $msg3")
+    }
+  }
+
+  test("bitemporal Derive republishes pulled paths as MatchA-able attributes") {
+    // The last wire asymmetry closed (round 16): `Request::Derive` is
+    // timestamp-generic in the reference server loop (src/server/mod.rs:
+    // 158-160, src/derive/graphql.rs) — the GraphQL pull rule serves
+    // under the namespace, and a LATER-registered bi rule joins the
+    // derived attribute cust/dname (inlined into its standing at
+    // attach) with a base attribute. The link retraction at a higher
+    // system time must collapse the joined row even though dname/dbal
+    // survive — the q_derive_maintain shape, bitemporally.
+    withBiServer { (_, client) =>
+      client.send("""{"CreateAttribute":{"name":"link"}}""")
+      client.send("""{"CreateAttribute":{"name":"dname"}}""")
+      client.send("""{"CreateAttribute":{"name":"dbal"}}""")
+      client.send("""{"Derive":["cust","{ link { dname } }"]}""")
+      client.send("""{"Register":{"rules":[{"name":"bifans","plan":
+        {"Join":{"variables":[0],
+          "left_plan":{"MatchA":[0,"cust/dname",1]},
+          "right_plan":{"MatchA":[0,"dbal",2]}}}}],
+        "publish":["bifans"]}}""")
+      client.send("""{"Interest":{"name":"bifans","granularity":null}}""")
+      // Self-link (the q_derive_maintain shape): the derived view's
+      // entity is the pull TARGET, so the self-link keeps cust/dname and
+      // dbal on one entity for the join.
+      client.send("""{"Transact":[
+        [1,"link",{"Eid":1},{"Bi":[{"secs":0,"nanos":0},0]},1],
+        [1,"dname","n7",{"Bi":[{"secs":0,"nanos":0},0]},1],
+        [1,"dbal",{"Number":5},{"Bi":[{"secs":0,"nanos":0},0]},1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+      // The namespace rule ("cust") also serves — skim to the joined
+      // rule's delivery.
+      def until(pred: String => Boolean, what: String): String = {
+        var m = client.next(); var tries = 0
+        while (!pred(m) && tries < 5) { m = client.next(); tries += 1 }
+        assert(pred(m), s"expected $what, last message: $m")
+        m
+      }
+      val msg = until(m => m.contains("bifans"), "a bifans QueryDiff")
+      assert(msg.contains("\"QueryDiff\"") &&
+        msg.contains("""[[1,"n7",5],""") && msg.contains("\"Bi\""),
+        s"expected the derived join row at a Bi coordinate: $msg")
+      // Retract the LINK at a higher system time: the derived row (and
+      // the join) must collapse although dname/dbal survive.
+      client.send("""{"Transact":[
+        [1,"link",{"Eid":1},{"Bi":[{"secs":0,"nanos":1000000},0]},-1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":2}]}""")
+      val msg2 = until(m => m.contains("bifans"), "the retraction QueryDiff")
+      assert(msg2.contains("""[[1,"n7",5],""") && msg2.contains(",-1]"),
+        s"expected the joined row retracted: $msg2")
+      // Re-deriving the same document is idempotent over the wire.
+      client.send("""{"Derive":["cust","{ link { dname } }"]}""")
+      client.send("\"Status\"")
+      val msg3 = until(m => m.contains("df/status"), "a status reply")
+      assert(msg3.contains("df/status"), msg3)
+    }
+  }
+
+  test("bitemporal Subscribe colliding with a same-named user rule errors") {
+    withBiServer { (_, client) =>
+      client.send("""{"CreateAttribute":{"name":":w5/x"}}""")
+      client.send("""{"Register":{"rules":[{"name":":w5/x","plan":
+        {"MatchA":[0,":w5/other",1]}}],"publish":[":w5/x"]}}""")
+      // Subscribing to the attribute whose name a DIFFERENT rule holds
+      // must error loudly instead of silently joining (or overwriting)
+      // that rule's standing.
+      client.send("""{"Subscribe":":w5/x"}""")
+      val msg = client.next()
+      assert(msg.contains("\"Error\"") && msg.contains("collides"),
+        s"expected a collision Error: $msg")
     }
   }
 }
