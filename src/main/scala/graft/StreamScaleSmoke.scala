@@ -1168,6 +1168,76 @@ object StreamScaleSmoke {
         "(3 bulk parquet registrations, zero driver Seqs)")
     }
 
+    // Bitemporal DERIVE at data size (round 16): the inlined derived
+    // view — a JOIN of link targets against their prices — maintained
+    // by a standing MatchA over the derived attribute, fed 500k-row
+    // parquet registrations (1M datoms/batch through the same
+    // registerSource edge pqsource pins). The question this answers:
+    // does the INLINE (Union-wrapped view plan) keep the standing's
+    // per-advance cost O(delta) with sink delivery, or does the view
+    // join re-price resident state per advance? Pinned every run:
+    // exact delivery (each entity yields one derived row), zero
+    // data-sized driver materialization.
+    if (section("biderive")) {
+      import graft.sources.FileSources
+      import graft.streaming.BiMaintained
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val n = 500000L
+      val dir = java.nio.file.Files.createTempDirectory("graft-smoke-bd")
+      def writeBatch(sub: String, base: Long): String = {
+        val p = dir.resolve(sub).toString
+        spark.range(n).select(
+          (col("id") + base).as("doc"),
+          // self-link: the derived view's entity is the pull target
+          (col("id") + base).as("lnk"),
+          (col("id") % 1000L).cast("double").as("price"),
+          (lit(2L * base / n) + pmod(col("id"), lit(2L))).as("ts"))
+          .write.mode("overwrite").parquet(p)
+        p
+      }
+      val bm = new BiMaintained(spark, partitions = 32)
+      // Derive BEFORE any standing attaches (the documented order): the
+      // pulled path republishes as bd/bdprice = link targets x prices.
+      // A/B dial GRAFT_BIDERIVE_DIRECT=1: register the view's JOIN as a
+      // plain rule instead (no derive, no distinctify Union wrap) —
+      // isolates the INLINE machinery's cost (the weight-1 support
+      // threshold over the view output) from the join itself.
+      bm.createAttribute("bdlnk", AttributeConfig(InputSemantics.Distinct))
+      bm.createAttribute("bdprice", AttributeConfig(InputSemantics.Distinct))
+      if (sys.env.contains("GRAFT_BIDERIVE_DIRECT")) {
+        bm.register(Rule("bdq", Plan.Project(Seq(1, 2), Plan.Join(Seq(1),
+          Plan.MatchA(0, "bdlnk", 1), Plan.MatchA(1, "bdprice", 2)))))
+      } else {
+        bm.derive("bd", "{ bdlnk { bdprice } }")
+        bm.register(Rule("bdq", Plan.MatchA(1, "bd/bdprice", 2)))
+      }
+      var delivered = 0L
+      bm.interestSink("bdq", new graft.sinks.ForeachFrameSink(
+        (_, _, df) => delivered += df.count()))
+      (0 until 3).foreach { b =>
+        val p = writeBatch(s"b$b", b * n)
+        val t0 = now()
+        bm.registerSource(FileSources.ParquetFile(
+          path = p, eidColumn = "doc",
+          attributes = Seq(
+            "bdlnk" -> (("lnk", graft.model.ValueKind.KEid)),
+            "bdprice" -> (("price", graft.model.ValueKind.KReal))),
+          tsColumn = Some("ts")))
+        val tIngest = secs(t0)
+        bm.advance(b + 1L)
+        val cp = bm.controlPlaneStats
+        println(f"[scale] biderive batch=$b%d delivered=$delivered%d " +
+          f"driverResultRows=${cp("resultRows")}%d " +
+          f"ingest=$tIngest%.2f advance=${secs(t0) - tIngest}%.2f")
+        assert(delivered == (b + 1) * n,
+          s"each entity must yield exactly one derived row: $delivered")
+        assert(cp("resultRows") == 0L && cp("outRows") == 0L,
+          s"driver must stay control-plane: $cp")
+      }
+      println(f"[scale] biderive END delivered=$delivered%d " +
+        "(derived-view standing over 3 bulk registrations, zero driver Seqs)")
+    }
+
     // LWW bulk-ingest sequence numbering (round 15): the per-key hash
     // exchange + partition sort that replaced the global orderBy. A/B
     // the two ordering plans in isolation on one cached 4M-row frame
