@@ -411,6 +411,23 @@ final class WsServer(engine: Engine, port: Int = 0,
       val requests = Wire.parseRequests(text)
       requests.foreach {
         case Request.Interest(name, g, sink, _) =>
+          // The divert guard's OTHER direction: while a per-rule
+          // ParquetDir sink stands, drain() is empty for the rule, so
+          // ANY wire-delivered Interest (plain or via a per-client sink
+          // state) would silently receive nothing. Reject it loudly
+          // BEFORE any registration mutates; only a ParquetDir re-send
+          // proceeds (idempotent on a matching path, a clear error on a
+          // mismatch — both handled below).
+          uniParquetAttached.get(name).foreach { case (p0, _) =>
+            val isParquetResend = sink match {
+              case Some(Request.SinkSpec.ParquetDir(_)) => true
+              case _                                    => false
+            }
+            if (!isParquetResend) scala.sys.error(
+              s"interest '$name' lands parquet at $p0 (per-rule sink); " +
+                "wire delivery for this rule is diverted — Uninterest " +
+                "first or re-send the matching ParquetDir sink")
+          }
           // Stream-served rules need no engine registration — the live
           // query delivers; Interest only wires up this client. Engine-
           // served rules go through the MAINTAINED path (the reference's
@@ -454,7 +471,10 @@ final class WsServer(engine: Engine, port: Int = 0,
           // Output::Json stream to the owning client, TheVoid swallows.
           // State is PER (client, name): one client's sink must never
           // divert another client's plain QueryDiff delivery, and this
-          // client's later plain Interest restores direct delivery.
+          // client's later plain Interest restores direct delivery —
+          // EXCEPT ParquetDir, which is a per-RULE engine sink: while it
+          // stands, every non-ParquetDir Interest on the rule is
+          // rejected up front (the guard at the top of this case).
           sink match {
             case None =>
               sinkStates -= ((id, name))

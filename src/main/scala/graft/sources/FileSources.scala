@@ -141,17 +141,29 @@ object FileSources {
     else {
       val src = col(column)
       // Fallible-but-NON-NULLING casts need their own guard: a numeric
-      // narrowing (DoubleType declared KNumber, LongType declared KReal,
-      // …) is total under non-ANSI cast semantics — 1.9 truncates to 1
-      // without ever nulling, so the cast-null check alone would let a
-      // declared-kind mismatch silently lose precision. For numeric
-      // sources, require the cast to ROUND-TRIP back to the source
-      // value (value-preserving cells — 1.0 → 1 — pass; 1.9, NaN,
-      // overflow fail loudly). String sources keep the null-based guard
-      // only: their malformed cells DO null out, and a round-trip would
-      // reject benign spellings ("01", " 1", "+1") of valid cells.
+      // narrowing into an INTEGRAL kind (DoubleType or DecimalType
+      // declared KNumber/KEid/KInstant) is total under non-ANSI cast
+      // semantics — 1.9 truncates to 1 without ever nulling, so the
+      // cast-null check alone would let a declared-kind mismatch
+      // silently lose precision. For numeric sources feeding an
+      // integral target, require the cast to ROUND-TRIP back to the
+      // source value (value-preserving cells — 1.0 → 1 — pass; 1.9,
+      // NaN, overflow fail loudly). The round-trip deliberately does
+      // NOT apply to floating targets (KReal): a decimal(38,18) cell
+      // like 0.1 has no exact double, so a round-trip would abort
+      // virtually every fractional decimal — double is the best
+      // representation of the kind the user declared. String sources
+      // keep the null-based guard only: their malformed cells DO null
+      // out, and a round-trip would reject benign spellings ("01",
+      // " 1", "+1") of valid cells. The guard's outer boundary is
+      // Spark's `Cast.canUpCast` (the `infallible` branch above): note
+      // it deems Long→Double upcast-safe per numeric precedence, so a
+      // LongType column declared KReal scans UNGUARDED (pushdown
+      // preserved) and loses precision above 2^53 exactly as a Spark
+      // SQL cast would — a documented Spark boundary, not this guard's.
+      val integralTarget = kind.dataType == LongType
       val ok = srcType match {
-        case _: org.apache.spark.sql.types.NumericType =>
+        case _: org.apache.spark.sql.types.NumericType if integralTarget =>
           casted.isNotNull && (casted.cast(srcType) === src)
         case _ => casted.isNotNull
       }

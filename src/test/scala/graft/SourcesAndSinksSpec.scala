@@ -358,6 +358,35 @@ class SourcesAndSinksSpec extends AnyFunSuite {
     assert(String.valueOf(ex.getMessage).contains("not a valid") ||
       String.valueOf(ex.getCause).contains("not a valid"),
       s"expected the loud lossy-narrowing message, got $ex")
+
+    // The round-trip guard applies ONLY to integral targets: a
+    // decimal(38,18) column declared KReal must still ingest (0.1 has
+    // no exact double — a round-trip would abort virtually every
+    // fractional decimal; double is the best representation of the
+    // declared kind). A decimal declared KNumber keeps the integral
+    // round-trip: 2.500 is loud, 3.000 passes.
+    val dec = dir.resolve("dec.parquet").toString
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, new java.math.BigDecimal("0.100000000000000000")),
+        Row(2L, new java.math.BigDecimal("3.000000000000000000"))),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("d", DecimalType(38, 18), true))))
+      .write.mode("overwrite").parquet(dec)
+    val (_, decReal, _) = FileSources.sourceParquet(spark, FileSources.ParquetFile(
+      path = dec, eidColumn = "id",
+      attributes = Seq(":rt/r" -> (("d", KReal))))).head
+    assert(decReal.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 0.1), (2L, 3.0)),
+      "fractional decimals declared KReal must ingest, not abort")
+    val (_, decNum, _) = FileSources.sourceParquet(spark, FileSources.ParquetFile(
+      path = dec, eidColumn = "id",
+      attributes = Seq(":rt/n2" -> (("d", KNumber))))).head
+    val ex2 = intercept[Exception] { decNum.collect() }
+    assert(String.valueOf(ex2.getMessage).contains("not a valid") ||
+      String.valueOf(ex2.getCause).contains("not a valid"),
+      s"expected the loud decimal->integral truncation, got $ex2")
   }
 
   test("ParquetFile: malformed cells are loud, Instant timestamps land as epoch-ms") {

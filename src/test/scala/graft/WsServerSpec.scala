@@ -567,6 +567,14 @@ class WsServerSpec extends AnyFunSuite {
       watcher.send("""{"Register":{"rules":[{"name":"dv_rule","plan":
         {"MatchA":[0,":dv",1]}}],"publish":["dv_rule"]}}""")
       watcher.send("""{"Interest":{"name":"dv_rule","granularity":null}}""")
+      // The two clients ride separate server reader threads; a Status
+      // round-trip pins the watcher's Interest as PROCESSED before the
+      // attacher races it (plain Interest sends no ack of its own).
+      watcher.send(""""Status"""")
+      Wire.parseOutput(watcher.next()) match {
+        case Output.Message(_, json) => assert(json.contains("df/status"))
+        case other => fail(s"expected the status ack: $other")
+      }
       attacher.send(s"""{"Interest":{"name":"dv_rule","granularity":null,
         "sink":{"ParquetDir":{"path":"$root"}},"disable_logging":null}}""")
       Wire.parseOutput(attacher.next()) match {
@@ -581,6 +589,25 @@ class WsServerSpec extends AnyFunSuite {
         case Output.QueryDiff(name, batch) =>
           assert(name == "dv_rule" && batch.nonEmpty, s"$name $batch")
         case other => fail(s"plain delivery was diverted: $other")
+      }
+      // The OTHER direction: once a ParquetDir sink stands on a rule
+      // (fresh rule, no plain watchers), a later plain Interest must be
+      // rejected — drain() is empty for the rule, so accepting it would
+      // register a client that silently receives nothing.
+      attacher.send("""{"Register":{"rules":[{"name":"dv_rule2","plan":
+        {"MatchA":[0,":dv",1]}}],"publish":["dv_rule2"]}}""")
+      attacher.send(s"""{"Interest":{"name":"dv_rule2","granularity":null,
+        "sink":{"ParquetDir":{"path":"$root/two"}},"disable_logging":null}}""")
+      attacher.send(""""Status"""")
+      Wire.parseOutput(attacher.next()) match {
+        case Output.Message(_, json) => assert(json.contains("df/status"))
+        case other => fail(s"expected the status ack: $other")
+      }
+      watcher.send("""{"Interest":{"name":"dv_rule2","granularity":null}}""")
+      Wire.parseOutput(watcher.next()) match {
+        case Output.Error(_, _, msg, _) =>
+          assert(msg.contains("diverted"), s"expected the divert error: $msg")
+        case other => fail(s"expected the reverse divert rejection: $other")
       }
     } finally {
       try watcher.close() catch { case _: Throwable => () }
