@@ -223,7 +223,19 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     }
     register(Rule(ns, plan))
     graft.plans.DerivedViews.pathViews(ns, query).foreach {
-      case (name, _, viewPlan, head) => derivedPlans(name) = (viewPlan, head)
+      case (name, _, viewPlan, head) =>
+        // A standing that attached BEFORE this derive snapshot the
+        // attribute as a plain (kind-unknown, forever-empty) scan —
+        // silently serving nothing. Loud is the only correct answer:
+        // the caller must derive first, then attach.
+        val stale = standings.collect {
+          case (sn, st) if st.refAttrs.contains(name) => sn
+        }
+        if (stale.nonEmpty) scala.sys.error(
+          s"standing(s) ${stale.mkString(", ")} already scan '$name' as a " +
+            "plain attribute; derive before attaching interest " +
+            "(uninterest, derive, re-attach)")
+        derivedPlans(name) = (viewPlan, head)
     }
   }
 

@@ -236,14 +236,23 @@ class IncrementalQuery(
     * Distinct-attribute threshold: row → net weight, emitting the ±1
     * zero-crossing transitions. ALL-LONG rows pack into [[PackedRuns]]
     * (~8·(width+1) B/entry against the boxed trie's measured ~200–240 B
-    * — the round-10 footprint cut); null-bearing rows (and non-long
+    * — the round-10 footprint cut); null-bearing rows (and non-packable
     * kinds) stay in a boxed side map, so packing is an optimization,
-    * never a semantics change. `-Dgraft.iq.runs=off` forces the boxed
-    * path for A/B. */
+    * never a semantics change. KReal columns pack too (round 16), via
+    * the Hector cells' order-preserving [[IncrementalHector.encReal]]
+    * encoding — which also FIXES key equality for reals to match SQL
+    * (NaN = NaN found, -0.0 = 0.0 merged; the boxed Seq key's primitive
+    * `==` made a NaN key unfindable). Output rows keep the original
+    * boxed values — encoding exists only inside the key array, so no
+    * decode ever runs. `-Dgraft.iq.runs=off` forces the boxed path for
+    * A/B. */
   private final class SupportCell(kinds: Seq[ValueKind]) {
     supportCells += this
     private val packed = !sys.props.get("graft.iq.runs").contains("off") &&
-      kinds.nonEmpty && kinds.forall(ValueKind.longBacked)
+      kinds.nonEmpty &&
+      kinds.forall(k => ValueKind.longBacked(k) || k == ValueKind.KReal)
+    private val realCol: Array[Boolean] =
+      kinds.map(_ == ValueKind.KReal).toArray
     private val width = kinds.length
     private val wCell: StateCell[IncrementalQuery.WMap] =
       if (packed) null
@@ -274,6 +283,7 @@ class IncrementalQuery(
       if (!packed) wCell.advance1Counted(delta)(thresholdAdvanceIdx)
       else {
         val w = width
+        val rc = realCol
         pCell.advance1Counted(delta) { case ((runs, nullM), dIt) =>
           val buf = mutable.ArrayBuilder.make[Long]
           val out = mutable.ArrayBuffer.empty[(Seq[Any], Long)]
@@ -289,7 +299,13 @@ class IncrementalQuery(
               } else {
                 val key = new Array[Long](w)
                 var i = 0
-                while (i < w) { key(i) = k(i).asInstanceOf[Long]; i += 1 }
+                while (i < w) {
+                  key(i) =
+                    if (rc(i))
+                      IncrementalHector.encReal(k(i).asInstanceOf[Double])
+                    else k(i).asInstanceOf[Long]
+                  i += 1
+                }
                 val old = runs.get(key)
                 val nw = old + dw
                 var j = 0

@@ -52,4 +52,20 @@ class BiDeriveSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("collides"), err.getMessage)
   }
+
+  test("derive after a standing already scans the attribute is loud") {
+    // A standing attached BEFORE derive snapshot `cust2/dname` as a
+    // plain (kind-unknown) attribute scan — it would serve empty
+    // forever. The derive must reject instead of leaving it silent.
+    val bm = new graft.streaming.BiMaintained(spark, partitions = 4)
+    bm.createAttribute("link")
+    bm.createAttribute("dname")
+    bm.register(Rule("early", Plan.MatchA(0, "cust2/dname", 1)))
+    bm.interest("early", None)
+    val err = intercept[RuntimeException] {
+      bm.derive("cust2", "{ link { dname } }")
+    }
+    assert(err.getMessage.contains("derive before attaching"),
+      err.getMessage)
+  }
 }

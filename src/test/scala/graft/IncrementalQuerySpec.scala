@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.compile.Compiler
 import graft.domain.AttributeSource
 import graft.model._
-import graft.model.ValueKind.{KEid, KNumber}
+import graft.model.ValueKind.{KEid, KNumber, KReal}
 import graft.streaming.IncrementalQuery
 
 /** Composed incremental maintenance: across ANY history of signed datom
@@ -666,5 +666,45 @@ class IncrementalQuerySpec extends AnyFunSuite {
     // COUNT vanishes (not throws) at net count 0.
     assert(run(AggregationFn.COUNT, illFormed).isEmpty)
     assert(run(AggregationFn.AVG, Seq((5L, 1L), (9L, 1L))).isDefined)
+  }
+
+  test("KReal support threshold: packed runs == boxed path; NaN is SQL-correct") {
+    // Round 16: KReal columns join the PackedRuns fast path through the
+    // Hector cells' order-preserving encReal encoding. Parity with the
+    // boxed path (-Dgraft.iq.runs=off) on ordinary reals, and the NaN
+    // behavior the encoding FIXES pinned explicitly: a boxed Seq key's
+    // primitive == makes a NaN key unfindable (support never
+    // accumulates), while the packed key treats NaN = NaN like SQL.
+    import spark.implicits._
+    val plan = Plan.Union(Seq(1, 2), Seq(Plan.MatchA(1, ":rr", 2)))
+    val kindsR = Map(":rr" -> KReal)
+    def drive(runsOff: Boolean,
+        batches: Seq[Seq[(Long, Double, Long)]]): Seq[String] = {
+      if (runsOff) sys.props("graft.iq.runs") = "off"
+      else sys.props -= "graft.iq.runs"
+      try {
+        val iq = new IncrementalQuery(spark, plan, kindsR)
+        batches.map { b =>
+          multiset(iq.advance(Map(":rr" -> b.toDF("e", "v", "diff"))))
+            .toSeq.map { case (k, w) => s"${k.mkString(",")}:$w" }
+            .sorted.mkString(";")
+        }
+      } finally sys.props -= "graft.iq.runs"
+    }
+    // Ordinary reals (incl. a beyond-2^53 double): packed == boxed.
+    val plain = Seq(
+      Seq((1L, 1.5, 1L), (3L, 9.007199254740994e15, 1L), (1L, 1.5, 1L)),
+      Seq((1L, 1.5, -1L), (2L, 0.25, 1L)),
+      Seq((1L, 1.5, -1L), (2L, 0.25, -1L)))
+    assert(drive(runsOff = false, plain) == drive(runsOff = true, plain))
+    // NaN on the PACKED path: support accumulates across batches (one
+    // +1 at first support, nothing while supported, one -1 at zero).
+    val nan = Seq(
+      Seq((7L, Double.NaN, 1L)),
+      Seq((7L, Double.NaN, 1L)),
+      Seq((7L, Double.NaN, -2L)))
+    val got = drive(runsOff = false, nan)
+    assert(got(0).contains(":1") && got(1) == "" && got(2).contains(":-1"),
+      s"packed NaN support must accumulate like SQL equality: $got")
   }
 }
