@@ -441,6 +441,13 @@ object Wire {
   }
 
   /** `Output::QueryDiff` with `Time::Bi` coordinates. */
+  /** `Output::Json` with a `Time::Bi` coordinate — the bi twin of
+    * `renderOutput`'s Json case (per-client AssocIn/JsonDoc sinks are
+    * timestamp-generic in the reference, like the rest of the loop). */
+  def renderBiJson(name: String, json: String, t: (Long, Long),
+      d: Long): String =
+    s"""{"Json":[${qs(name)},$json,${renderBiTime(t)},$d]}"""
+
   def renderBiQueryDiff(name: String,
       batch: Seq[(Seq[Value], (Long, Long), Long)]): String = {
     val rows = batch.map { case (tuple, t, d) =>

@@ -199,6 +199,7 @@ final class WsServer(engine: Engine, port: Int = 0,
           // sink state would silently swallow a reconnecting client's
           // plain delivery under a reused id — and its granularity state.
           sinkStates.filterInPlace { case ((cid, _), _) => cid != id }
+          biSinkStates.filterInPlace { case ((cid, _), _) => cid != id }
           clientGrain.filterInPlace { case ((cid, _), _) => cid != id }
           heldCoarse.filterInPlace { case ((cid, _), _) => cid != id }
           names.foreach { name =>
@@ -239,6 +240,13 @@ final class WsServer(engine: Engine, port: Int = 0,
   private val biAttached =
     mutable.Map.empty[String, (Option[(Long, Long)], Option[Request.SinkSpec])]
 
+  // Per-(client, name) BITEMPORAL wire sink states (AssocIn / JsonDoc):
+  // folded from the drained diffs like the unitemporal sinkStates —
+  // they ride the shared plain standing, so one client's wire sink
+  // never diverts another's QueryDiff delivery. Engine-side DiffSinks
+  // (CsvDir / ParquetDir / TheVoid) stay per-rule in biAttached.
+  private val biSinkStates = mutable.Map.empty[(Long, String), SinkState]
+
   /** Tear a standing down on whichever domain this server wraps. The
     * per-rule parquet record goes with it — a disconnect-then-reconnect
     * client re-sending the same ParquetDir Interest must RE-attach the
@@ -264,7 +272,22 @@ final class WsServer(engine: Engine, port: Int = 0,
         bm.transact(ds.map { case (e, a, v, t, d) =>
           bm.BiDatom(Value.VEid(e), a, v, t, d)
         })
-      case BiWireReq.BiInterest(name, g, sinkSpec) =>
+      case BiWireReq.BiInterest(name, g, sinkSpec0) =>
+        // AssocIn / JsonDoc are PER-CLIENT wire sinks folded from the
+        // drained diffs (the unitemporal model — the reference's sink
+        // enum is timestamp-generic like the rest of the loop): they
+        // ride the shared PLAIN standing, so the per-rule engine-sink
+        // pin below sees None and a second subscriber (with or without
+        // its own wire sink) joins the fan-out instead of erroring.
+        val wireSink: Option[SinkState] = sinkSpec0 match {
+          case Some(Request.SinkSpec.AssocIn(stateful)) =>
+            Some(AssocState(stateful,
+              if (stateful.isDefined) Some(graft.sinks.AssocIn.Obj()) else None))
+          case Some(Request.SinkSpec.JsonDoc(required)) =>
+            Some(JsonState(new graft.sinks.JsonDocSink(required)))
+          case _ => None
+        }
+        val sinkSpec = if (wireSink.isDefined) None else sinkSpec0
         // The bi engine pins ONE (granularity, sink) per standing — so
         // attach only on the FIRST Interest for a name and make every
         // identical re-send (reconnects, second subscribers joining the
@@ -304,6 +327,10 @@ final class WsServer(engine: Engine, port: Int = 0,
             }
             biAttached(name) = (g, sinkSpec)
         }
+        wireSink match {
+          case Some(st) => biSinkStates((id, name)) = st
+          case None     => biSinkStates -= ((id, name))
+        }
         clients(id)._2 += name
       case BiWireReq.BiAdvance(sysT) =>
         bm.advance(sysT)
@@ -313,6 +340,7 @@ final class WsServer(engine: Engine, port: Int = 0,
         rules.foreach(bm.register)
       case BiWireReq.Passthrough(Request.Uninterest(name)) =>
         clients(id)._2 -= name
+        biSinkStates -= ((id, name))
         if (!clients.values.exists(_._2.contains(name)))
           domainUninterest(name)
       case BiWireReq.Passthrough(Request.RegisterSource(src)) =>
@@ -387,19 +415,66 @@ final class WsServer(engine: Engine, port: Int = 0,
   }
 
   /** Push each bitemporal standing's drained diffs to its interested
-    * clients as `QueryDiff` rows carrying `Time::Bi` (sink-delivered
-    * standings drain empty by design — their diffs went to the sink). */
+    * clients — as `QueryDiff` rows carrying `Time::Bi`, or folded
+    * through the client's per-(client, name) wire sink (AssocIn /
+    * JsonDoc) when one is attached (engine-sink-delivered standings
+    * drain empty by design — their diffs went to the DiffSink). */
   private def flushBiDiffs(bm: graft.streaming.BiMaintained): Unit =
     for (name <- bm.interestNames) {
       val diffs = bm.drain(name)
       if (diffs.nonEmpty) {
+        // QueryDiff keeps the established bare-value wire shape; the
+        // per-client sinks get KIND-TAGGED tuples (an entity must come
+        // back as an Eid — AssocIn's path-key parsing rejects untagged
+        // numbers), like the uni path's kindsFor re-tagging.
         val batch = diffs.map { case (tuple, t, d) =>
           (tuple.map(asValue(_, None)), t, d)
         }
-        val msg = Wire.renderBiQueryDiff(name, batch)
-        clients.values.foreach { case (out, names) =>
-          if (names.contains(name)) send(out, msg)
+        lazy val msg = Wire.renderBiQueryDiff(name, batch)
+        lazy val tagged = {
+          val kinds = bm.resultKinds(name)
+          diffs.map { case (tuple, t, d) =>
+            (tuple.zipWithIndex.map { case (v, i) =>
+              asValue(v, kinds.flatMap(_.lift(i)))
+            }, t, d)
+          }
         }
+        clients.foreach { case (cid, (out, names)) =>
+          if (names.contains(name)) biSinkStates.get((cid, name)) match {
+            case Some(a: AssocState) => biSinkAssoc(cid, name, a, tagged)
+            case Some(j: JsonState)  => biSinkJson(cid, name, j, tagged)
+            case _                   => send(out, msg)
+          }
+        }
+      }
+    }
+
+  private val biTimeOrd: Ordering[(Long, Long)] =
+    Ordering.Tuple2[Long, Long]
+
+  /** Bi twin of [[sinkAssoc]]: groups by the `(sys, event)` coordinate
+    * (lex order — the processing order the standing delivered in) and
+    * folds each group through the shared AssocIn core; within a group
+    * every row carries one time, so only diff order reaches the merge. */
+  private def biSinkAssoc(cid: Long, name: String, a: AssocState,
+      batch: Seq[(Seq[Value], (Long, Long), Long)]): Unit =
+    for ((t, rows) <- batch.groupBy(_._2).toSeq.sortBy(_._1)(biTimeOrd)) {
+      val paths = rows.map { case (tuple, _, d) => (tuple, 0L, d) }
+      for ((_, json) <- assocOutputs(a, paths);
+           (out, _) <- clients.get(cid)) {
+        send(out, Wire.renderBiJson(name, json, t, 1L))
+      }
+    }
+
+  /** Bi twin of [[sinkJson]]. */
+  private def biSinkJson(cid: Long, name: String, j: JsonState,
+      batch: Seq[(Seq[Value], (Long, Long), Long)]): Unit =
+    for ((t, rows) <- batch.groupBy(_._2).toSeq.sortBy(_._1)(biTimeOrd)) {
+      val outs = jsonDocOutputs(name, j,
+        rows.map { case (tuple, _, d) => (tuple, d) })
+      for ((root, json) <- outs; (out, _) <- clients.get(cid)) {
+        send(out, Wire.renderBiJson(name,
+          s"""{${Wire.qs(root)}:$json}""", t, 1L))
       }
     }
 
@@ -777,36 +852,43 @@ final class WsServer(engine: Engine, port: Int = 0,
     * into nested documents per completed time; stateless mode emits one
     * `Output::Json` per top-level key, stateful mode reports the changed
     * sub-structures at the configured granularity depth. */
-  private def sinkAssoc(cid: Long, name: String, a: AssocState,
-      batch: Seq[(Seq[Value], Long, Long)]): Unit = {
+  /** One time-group's AssocIn fold — shared by the unitemporal and
+    * bitemporal routes (the sink itself is timestamp-agnostic: within a
+    * group every row carries the same time, so only the diff order
+    * matters to `mergePaths`). */
+  private def assocOutputs(a: AssocState,
+      paths: Seq[(Seq[Value], Long, Long)]): Seq[(String, String)] = {
     import graft.sinks.AssocIn
-    for ((t, rows) <- batch.groupBy(_._2).toSeq.sortBy(_._1)) {
-      val paths = rows.map { case (tuple, tt, d) => (tuple, tt, d) }
-      val outputs: Seq[(String, String)] = a.acc match {
-        case None =>
-          val doc = AssocIn.Obj()
-          AssocIn.mergePaths(doc, paths)
-          doc.fields.toSeq.map { case (k, node) => (k, AssocIn.render(node)) }
-        case Some(acc) =>
-          val granularity = a.stateful.getOrElse(1)
-          val changes = AssocIn.mergePaths(acc, paths, granularity)
-          changes.distinct.flatMap { keyPath =>
-            // Walk to the changed sub-structure; a deleted path emits
-            // nothing (mirroring the reference's map indexing behavior).
-            val node = keyPath.foldLeft(Option(acc: AssocIn.Node)) {
-              case (Some(AssocIn.Obj(fs)), k) => fs.get(k)
-              case _                          => None
-            }
-            node.map(n => (keyPath.mkString("/"), AssocIn.render(n)))
+    a.acc match {
+      case None =>
+        val doc = AssocIn.Obj()
+        AssocIn.mergePaths(doc, paths)
+        doc.fields.toSeq.map { case (k, node) => (k, AssocIn.render(node)) }
+      case Some(acc) =>
+        val granularity = a.stateful.getOrElse(1)
+        val changes = AssocIn.mergePaths(acc, paths, granularity)
+        changes.distinct.flatMap { keyPath =>
+          // Walk to the changed sub-structure; a deleted path emits
+          // nothing (mirroring the reference's map indexing behavior).
+          val node = keyPath.foldLeft(Option(acc: AssocIn.Node)) {
+            case (Some(AssocIn.Obj(fs)), k) => fs.get(k)
+            case _                          => None
           }
-      }
+          node.map(n => (keyPath.mkString("/"), AssocIn.render(n)))
+        }
+    }
+  }
+
+  private def sinkAssoc(cid: Long, name: String, a: AssocState,
+      batch: Seq[(Seq[Value], Long, Long)]): Unit =
+    for ((t, rows) <- batch.groupBy(_._2).toSeq.sortBy(_._1)) {
       // The folded Json stream goes to the OWNING client only — its
       // AssocState (and stateful accumulator) belongs to its Interest.
-      for ((_, json) <- outputs; (out, _) <- clients.get(cid)) {
+      for ((_, json) <- assocOutputs(a, rows);
+           (out, _) <- clients.get(cid)) {
         send(out, Wire.renderOutput(Output.Json(name, json, t, 1L)))
       }
     }
-  }
 
   /** GraphQL-v2-style document sink (`src/plan/graphql_v2.rs:395-498` via
     * [[graft.sinks.JsonDocSink]]): pull-shaped tuples `[root, …, aid, v]`
@@ -814,22 +896,30 @@ final class WsServer(engine: Engine, port: Int = 0,
     * document snapshot as `Output::Json` to the owning client. Tuples that
     * aren't pull-shaped (no leaf aid) key under the rule name, so plain
     * `[e v]` relations still document-ize sensibly. */
+  /** One time-group's JsonDoc advance — shared by the unitemporal and
+    * bitemporal routes. Within a timestamp retractions apply first (the
+    * AssocIn convention, `assoc_in.rs:169-172`) so a same-batch
+    * re-assertion wins deterministically — the reference's graphql_v2
+    * ignores diff in arrival order, which is nondeterministic across
+    * workers. */
+  private def jsonDocOutputs(name: String, j: JsonState,
+      rows: Seq[(Seq[Value], Long)]): Seq[(String, String)] = {
+    val paths = rows.sortBy(_._2).map { case (tuple, _) =>
+      val aid = tuple.takeRight(2).head match {
+        case Value.VAid(a) if tuple.length >= 3 => a
+        case _                                  => name
+      }
+      (Seq(aid), Seq(tuple.head, tuple.last))
+    }
+    j.sink.advance(paths)
+  }
+
   private def sinkJson(cid: Long, name: String, j: JsonState,
       batch: Seq[(Seq[Value], Long, Long)]): Unit = {
     for ((t, rows) <- batch.groupBy(_._2).toSeq.sortBy(_._1)) {
-      // Within a timestamp retractions apply first (the AssocIn
-      // convention, `assoc_in.rs:169-172`) so a same-batch re-assertion
-      // wins deterministically — the reference's graphql_v2 ignores diff
-      // in arrival order, which is nondeterministic across workers.
-      val paths = rows.sortBy(_._3).map { case (tuple, _, _) =>
-        val aid = tuple.takeRight(2).head match {
-          case Value.VAid(a) if tuple.length >= 3 => a
-          case _                                  => name
-        }
-        (Seq(aid), Seq(tuple.head, tuple.last))
-      }
-      for ((root, json) <- j.sink.advance(paths);
-           (out, _) <- clients.get(cid)) {
+      val outs = jsonDocOutputs(name, j,
+        rows.map { case (tuple, _, d) => (tuple, d) })
+      for ((root, json) <- outs; (out, _) <- clients.get(cid)) {
         send(out, Wire.renderOutput(
           Output.Json(name, s"""{${Wire.qs(root)}:$json}""", t, 1L)))
       }

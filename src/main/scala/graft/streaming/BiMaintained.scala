@@ -197,6 +197,14 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
   def registeredPlan(name: String): Option[graft.model.Plan] =
     rules.get(name).map(_.plan)
 
+  /** Column kinds of a standing's result, once its query has built —
+    * the wire layer's per-client sinks (AssocIn / JsonDoc) re-tag
+    * collected natives with them: an entity column must come back as an
+    * Eid (AssocIn's path-key parsing rejects untagged numbers), exactly
+    * like the unitemporal `Engine.kindsFor`. */
+  def resultKinds(name: String): Option[Seq[ValueKind]] =
+    standings.get(name).flatMap(st => Option(st.iq)).map(_.outputKinds)
+
   // Derived-attribute defining plans (binary head: entity var, value
   // var) — recorded by `derive`, inlined into each Standing's plan at
   // attach (`DerivedViews.inline`), exactly like the unitemporal

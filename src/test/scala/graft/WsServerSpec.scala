@@ -1201,6 +1201,63 @@ class WsServerSpec extends AnyFunSuite {
     }
   }
 
+  test("bitemporal AssocIn wire sink folds Bi diffs per client, no diversion") {
+    // Round 16: AssocIn / JsonDoc are per-CLIENT wire sinks in the bi
+    // domain too (the reference sink enum is timestamp-generic). The
+    // sink rides the shared plain standing: a second client's plain
+    // Interest on the same rule keeps its QueryDiff delivery.
+    val bm = new graft.streaming.BiMaintained(spark, partitions = 4)
+    val server = WsServer.bi(bm).start()
+    val folder = new Client(server.boundPort)
+    val plain = new Client(server.boundPort)
+    try {
+      folder.send("""{"CreateAttribute":{"name":":ba/age"}}""")
+      folder.send("""{"Register":{"rules":[{"name":"bages","plan":
+        {"MatchA":[0,":ba/age",1]}}],"publish":["bages"]}}""")
+      folder.send("""{"Interest":{"name":"bages","granularity":null,
+        "sink":{"AssocIn":{"stateful":1}},"disable_logging":null}}""")
+      folder.send(""""Status"""")
+      assert(folder.next().contains("df/status"))
+      plain.send("""{"Interest":{"name":"bages","granularity":null}}""")
+      folder.send("""{"Transact":[[100,":ba/age",{"Number":43},
+        {"Bi":[{"secs":0,"nanos":0},0]},1]]}""")
+      folder.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+      val fmsg = folder.next()
+      assert(fmsg.contains("\"Json\"") && fmsg.contains("43") &&
+        fmsg.contains("\"Bi\""),
+        s"expected a folded Json output with a Bi time: $fmsg")
+      val pmsg = plain.next()
+      assert(pmsg.contains("\"QueryDiff\"") && pmsg.contains("[[100,43],"),
+        s"the plain client's QueryDiff delivery must be intact: $pmsg")
+    } finally {
+      try folder.close() catch { case _: Throwable => () }
+      try plain.close() catch { case _: Throwable => () }
+      server.stop()
+    }
+  }
+
+  test("bitemporal JsonDoc wire sink emits flattened Bi document snapshots") {
+    withBiServer { (_, client) =>
+      client.send("""{"CreateAttribute":{"name":":bp/child"}}""")
+      client.send("""{"CreateAttribute":{"name":":bc/name"}}""")
+      client.send("""{"Register":{"rules":[{"name":"bfam","plan":
+        {"PullLevel":{"variables":[],"plan":{"MatchA":[0,":bp/child",1]},
+          "pull_variable":1,"pull_attributes":[":bc/name"],
+          "path_attributes":[":bp/child"],"cardinality_many":true}}}],
+        "publish":["bfam"]}}""")
+      client.send("""{"Interest":{"name":"bfam","granularity":null,
+        "sink":{"JsonDoc":{"required_aids":[":bc/name"]}},"disable_logging":null}}""")
+      client.send("""{"Transact":[
+        [100,":bp/child",{"Eid":200},{"Bi":[{"secs":0,"nanos":0},0]},1],
+        [200,":bc/name","Alice",{"Bi":[{"secs":0,"nanos":0},0]},1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+      val msg = client.next()
+      assert(msg.contains("\"Json\"") && msg.contains("Alice") &&
+        msg.contains("\"Bi\"") && msg.contains("\"100\""),
+        s"expected the flattened Bi document snapshot: $msg")
+    }
+  }
+
   test("bitemporal Derive republishes pulled paths as MatchA-able attributes") {
     // The last wire asymmetry closed (round 16): `Request::Derive` is
     // timestamp-generic in the reference server loop (src/server/mod.rs:
