@@ -440,7 +440,6 @@ object Wire {
     }
   }
 
-  /** `Output::QueryDiff` with `Time::Bi` coordinates. */
   /** `Output::Json` with a `Time::Bi` coordinate — the bi twin of
     * `renderOutput`'s Json case (per-client AssocIn/JsonDoc sinks are
     * timestamp-generic in the reference, like the rest of the loop). */
@@ -448,6 +447,7 @@ object Wire {
       d: Long): String =
     s"""{"Json":[${qs(name)},$json,${renderBiTime(t)},$d]}"""
 
+  /** `Output::QueryDiff` with `Time::Bi` coordinates. */
   def renderBiQueryDiff(name: String,
       batch: Seq[(Seq[Value], (Long, Long), Long)]): String = {
     val rows = batch.map { case (tuple, t, d) =>

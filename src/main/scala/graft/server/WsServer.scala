@@ -426,24 +426,46 @@ final class WsServer(engine: Engine, port: Int = 0,
         // QueryDiff keeps the established bare-value wire shape; the
         // per-client sinks get KIND-TAGGED tuples (an entity must come
         // back as an Eid — AssocIn's path-key parsing rejects untagged
-        // numbers), like the uni path's kindsFor re-tagging.
-        val batch = diffs.map { case (tuple, t, d) =>
-          (tuple.map(asValue(_, None)), t, d)
-        }
-        lazy val msg = Wire.renderBiQueryDiff(name, batch)
+        // numbers), with pull path-array cells EXPANDED positionally
+        // like the uni flushDiffs (root eid, attribute aids, leaf
+        // value) — the bi Derive + AssocIn pairing is the reference's
+        // gql request shape. Both conversions are pay-per-use.
+        lazy val msg = Wire.renderBiQueryDiff(name,
+          diffs.map { case (tuple, t, d) =>
+            (tuple.map(asValue(_, None)), t, d)
+          })
         lazy val tagged = {
           val kinds = bm.resultKinds(name)
+          val pathArray = bm.isPathArrayResult(name)
           diffs.map { case (tuple, t, d) =>
-            (tuple.zipWithIndex.map { case (v, i) =>
-              asValue(v, kinds.flatMap(_.lift(i)))
-            }, t, d)
+            tuple match {
+              case Seq(cell: scala.collection.Seq[_]) if pathArray =>
+                val vs = cell.toSeq
+                val keys = vs.init.map {
+                  case n: Long   => Value.VEid(n)
+                  case a: String => Value.VAid(a)
+                  case other     => asValue(other, None)
+                }
+                ((keys :+ asValue(vs.last, None)).toSeq, t, d)
+              case _ =>
+                (tuple.zipWithIndex.map { case (v, i) =>
+                  asValue(v, kinds.flatMap(_.lift(i)))
+                }, t, d)
+            }
           }
         }
         clients.foreach { case (cid, (out, names)) =>
           if (names.contains(name)) biSinkStates.get((cid, name)) match {
-            case Some(a: AssocState) => biSinkAssoc(cid, name, a, tagged)
-            case Some(j: JsonState)  => biSinkJson(cid, name, j, tagged)
-            case _                   => send(out, msg)
+            // A sink fold failing for ONE client (a malformed path
+            // shape, a closed socket) must not abort the flush loop —
+            // the drain already cleared the buffer, so an abort would
+            // silently lose this advance's diffs for every LATER
+            // client in the iteration. Contain per client, loudly.
+            case Some(a: AssocState) =>
+              guardedSinkFold(cid, out) { biSinkAssoc(cid, name, a, tagged) }
+            case Some(j: JsonState) =>
+              guardedSinkFold(cid, out) { biSinkJson(cid, name, j, tagged) }
+            case _ => send(out, msg)
           }
         }
       }
@@ -451,6 +473,24 @@ final class WsServer(engine: Engine, port: Int = 0,
 
   private val biTimeOrd: Ordering[(Long, Long)] =
     Ordering.Tuple2[Long, Long]
+
+  /** Contain one client's sink-fold failure: report it to THAT client
+    * as a wire Error and let the flush loop continue — the drained
+    * buffer is already cleared, so aborting would lose the advance's
+    * diffs for every remaining subscriber. */
+  private def guardedSinkFold(cid: Long, out: DataOutputStream)(
+      body: => Unit): Unit =
+    try body catch {
+      case NonFatal(e) =>
+        val (category, message) = e match {
+          case graft.model.GraftError(c, m) => (c, m)
+          case _ =>
+            ("df.error.category/incorrect", String.valueOf(e.getMessage))
+        }
+        try send(out, Wire.renderOutput(
+          Output.Error(cid, category, message, 0L)))
+        catch { case NonFatal(_) => () }
+    }
 
   /** Bi twin of [[sinkAssoc]]: groups by the `(sys, event)` coordinate
     * (lex order — the processing order the standing delivered in) and

@@ -205,6 +205,14 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
   def resultKinds(name: String): Option[Seq[ValueKind]] =
     standings.get(name).flatMap(st => Option(st.iq)).map(_.outputKinds)
 
+  /** Whether `name`'s result tuples are packed pull paths (one
+    * array<variant> cell per row) — the explicit serde marker the wire
+    * layer consults before expanding (the uni `Engine.isPathArrayResult`
+    * twin; never inferred from payload shape). */
+  def isPathArrayResult(name: String): Boolean =
+    standings.get(name).flatMap(st => Option(st.iq))
+      .exists(_.outputIsPathArray)
+
   // Derived-attribute defining plans (binary head: entity var, value
   // var) — recorded by `derive`, inlined into each Standing's plan at
   // attach (`DerivedViews.inline`), exactly like the unitemporal
@@ -224,26 +232,31 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     * attach; re-deriving the same document is idempotent. */
   def derive(ns: String, query: String): Unit = {
     val plan = graft.plans.GraphQl.plan(query)
+    val views = graft.plans.DerivedViews.pathViews(ns, query)
+    // ALL checks before ANY mutation — a failed derive must leave no
+    // half-applied state (no registered ns rule, no subset of the
+    // document's derived attributes live).
     registeredPlan(ns).foreach { p =>
       if (p != plan) scala.sys.error(
         s"derive namespace '$ns' collides with a registered rule of the " +
           "same name; rename the rule or the namespace")
     }
+    // A standing that attached BEFORE this derive snapshot the
+    // attribute as a plain (kind-unknown, forever-empty) scan —
+    // silently serving nothing. Loud is the only correct answer:
+    // the caller must derive first, then attach.
+    val stale = views.flatMap { case (name, _, _, _) =>
+      standings.collect {
+        case (sn, st) if st.refAttrs.contains(name) => s"$sn (scans $name)"
+      }
+    }
+    if (stale.nonEmpty) scala.sys.error(
+      s"standing(s) ${stale.mkString(", ")} already scan derived " +
+        "attributes as plain attributes; derive before attaching " +
+        "interest (uninterest, derive, re-attach)")
     register(Rule(ns, plan))
-    graft.plans.DerivedViews.pathViews(ns, query).foreach {
-      case (name, _, viewPlan, head) =>
-        // A standing that attached BEFORE this derive snapshot the
-        // attribute as a plain (kind-unknown, forever-empty) scan —
-        // silently serving nothing. Loud is the only correct answer:
-        // the caller must derive first, then attach.
-        val stale = standings.collect {
-          case (sn, st) if st.refAttrs.contains(name) => sn
-        }
-        if (stale.nonEmpty) scala.sys.error(
-          s"standing(s) ${stale.mkString(", ")} already scan '$name' as a " +
-            "plain attribute; derive before attaching interest " +
-            "(uninterest, derive, re-attach)")
-        derivedPlans(name) = (viewPlan, head)
+    views.foreach { case (name, _, viewPlan, head) =>
+      derivedPlans(name) = (viewPlan, head)
     }
   }
 

@@ -238,14 +238,16 @@ class IncrementalQuery(
     * (~8·(width+1) B/entry against the boxed trie's measured ~200–240 B
     * — the round-10 footprint cut); null-bearing rows (and non-packable
     * kinds) stay in a boxed side map, so packing is an optimization,
-    * never a semantics change. KReal columns pack too (round 16), via
-    * the Hector cells' order-preserving [[IncrementalHector.encReal]]
-    * encoding — which also FIXES key equality for reals to match SQL
-    * (NaN = NaN found, -0.0 = 0.0 merged; the boxed Seq key's primitive
-    * `==` made a NaN key unfindable). Output rows keep the original
-    * boxed values — encoding exists only inside the key array, so no
-    * decode ever runs. `-Dgraft.iq.runs=off` forces the boxed path for
-    * A/B. */
+    * never a semantics change for long-backed rows. KReal columns pack
+    * too (round 16), via the Hector cells' order-preserving
+    * [[IncrementalHector.encReal]] encoding — which also FIXES key
+    * equality for reals to match SQL (NaN = NaN found, -0.0 = 0.0
+    * merged; the boxed Seq key's primitive `==` made a NaN key
+    * unfindable). Output rows keep the original boxed values —
+    * encoding exists only inside the key array, so no decode ever
+    * runs. `-Dgraft.iq.runs=off` forces the boxed path for a FOOTPRINT
+    * A/B; on NaN-keyed real rows the off-dial keeps the legacy
+    * unfindable-key behavior, so it is not a semantics oracle there. */
   private final class SupportCell(kinds: Seq[ValueKind]) {
     supportCells += this
     private val packed = !sys.props.get("graft.iq.runs").contains("off") &&
@@ -285,17 +287,34 @@ class IncrementalQuery(
         val w = width
         val rc = realCol
         pCell.advance1Counted(delta) { case ((runs, nullM), dIt) =>
-          val buf = mutable.ArrayBuilder.make[Long]
-          val out = mutable.ArrayBuffer.empty[(Seq[Any], Long)]
-          var nm = nullM
+          // NET the batch per ENCODED key first: encReal canonicalizes
+          // keys the upstream boxed reduceByKey could not merge (two
+          // same-batch NaN rows are distinct boxed Seq keys but ONE
+          // packed key; likewise -0.0 vs 0.0), and the threshold below
+          // must see the batch's NET weight against ONE pre-batch
+          // support read — folding duplicates one at a time read a
+          // stale `runs` snapshot each and a same-batch NaN
+          // double-assert emitted +2 from a distinct threshold
+          // (round-16 review, confirmed by repro).
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[scala.collection.immutable.ArraySeq[Long], (Seq[Any], Long)]
+          // Null-bearing rows net under a TRANSFORMED key (KReal cells
+          // to canonical bits): the boxed Seq's primitive == made a
+          // null+NaN row unfindable across batches — support could
+          // never accumulate and nullM grew one dead entry per batch.
+          val nullAcc = scala.collection.mutable.LinkedHashMap
+            .empty[Seq[Any], (Seq[Any], Long)]
           dIt.foreach { case (k, dw) =>
             if (dw != 0L) {
               if (k.exists(_ == null)) {
-                val old = nm.getOrElse(k, 0L)
-                val nw = old + dw
-                if (nw == 0L) nm -= k else nm = nm.updated(k, nw)
-                if (old > 0 && nw <= 0) out += ((k, -1L))
-                else if (old <= 0 && nw > 0) out += ((k, 1L))
+                val tk: Seq[Any] = k.zipWithIndex.map { case (v, i) =>
+                  if (v == null) null
+                  else if (rc(i))
+                    IncrementalHector.encReal(v.asInstanceOf[Double])
+                  else v
+                }
+                val (sample, sum) = nullAcc.getOrElse(tk, (k, 0L))
+                nullAcc(tk) = (sample, sum + dw)
               } else {
                 val key = new Array[Long](w)
                 var i = 0
@@ -306,14 +325,34 @@ class IncrementalQuery(
                     else k(i).asInstanceOf[Long]
                   i += 1
                 }
-                val old = runs.get(key)
-                val nw = old + dw
-                var j = 0
-                while (j < w) { buf += key(j); j += 1 }
-                buf += dw
-                if (old > 0 && nw <= 0) out += ((k, -1L))
-                else if (old <= 0 && nw > 0) out += ((k, 1L))
+                val ks = scala.collection.immutable.ArraySeq.unsafeWrapArray(key)
+                val (sample, sum) = acc.getOrElse(ks, (k, 0L))
+                acc(ks) = (sample, sum + dw)
               }
+            }
+          }
+          val buf = mutable.ArrayBuilder.make[Long]
+          val out = mutable.ArrayBuffer.empty[(Seq[Any], Long)]
+          var nm = nullM
+          acc.foreach { case (ks, (sample, dw)) =>
+            if (dw != 0L) {
+              val key = ks.unsafeArray.asInstanceOf[Array[Long]]
+              val old = runs.get(key)
+              val nw = old + dw
+              var j = 0
+              while (j < w) { buf += key(j); j += 1 }
+              buf += dw
+              if (old > 0 && nw <= 0) out += ((sample, -1L))
+              else if (old <= 0 && nw > 0) out += ((sample, 1L))
+            }
+          }
+          nullAcc.foreach { case (tk, (sample, dw)) =>
+            if (dw != 0L) {
+              val old = nm.getOrElse(tk, 0L)
+              val nw = old + dw
+              if (nw == 0L) nm -= tk else nm = nm.updated(tk, nw)
+              if (old > 0 && nw <= 0) out += ((sample, -1L))
+              else if (old <= 0 && nw > 0) out += ((sample, 1L))
             }
           }
           ((runs.merged(buf.result()), nm), out.toArray)

@@ -698,13 +698,16 @@ class IncrementalQuerySpec extends AnyFunSuite {
       Seq((1L, 1.5, -1L), (2L, 0.25, -1L)))
     assert(drive(runsOff = false, plain) == drive(runsOff = true, plain))
     // NaN on the PACKED path: support accumulates across batches (one
-    // +1 at first support, nothing while supported, one -1 at zero).
+    // +1 at first support, nothing while supported, one -1 at zero) —
+    // and SAME-BATCH duplicate NaN rows (which the upstream boxed
+    // reduceByKey cannot merge) net to exactly ONE transition, not one
+    // per duplicate (the round-16 review's confirmed +2 repro).
     val nan = Seq(
+      Seq((7L, Double.NaN, 1L), (7L, Double.NaN, 1L)),
       Seq((7L, Double.NaN, 1L)),
-      Seq((7L, Double.NaN, 1L)),
-      Seq((7L, Double.NaN, -2L)))
+      Seq((7L, Double.NaN, -3L)))
     val got = drive(runsOff = false, nan)
-    assert(got(0).contains(":1") && got(1) == "" && got(2).contains(":-1"),
-      s"packed NaN support must accumulate like SQL equality: $got")
+    assert(got == Seq("7,NaN:1", "", "7,NaN:-1"),
+      s"packed NaN support must net per batch and accumulate like SQL: $got")
   }
 }

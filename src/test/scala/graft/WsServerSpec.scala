@@ -1219,6 +1219,11 @@ class WsServerSpec extends AnyFunSuite {
       folder.send(""""Status"""")
       assert(folder.next().contains("df/status"))
       plain.send("""{"Interest":{"name":"bages","granularity":null}}""")
+      // Pin the plain client's Interest as PROCESSED before the folder
+      // races it with the advance (the cross-client discipline the
+      // divert test documents).
+      plain.send(""""Status"""")
+      assert(plain.next().contains("df/status"))
       folder.send("""{"Transact":[[100,":ba/age",{"Number":43},
         {"Bi":[{"secs":0,"nanos":0},0]},1]]}""")
       folder.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
@@ -1233,6 +1238,32 @@ class WsServerSpec extends AnyFunSuite {
       try folder.close() catch { case _: Throwable => () }
       try plain.close() catch { case _: Throwable => () }
       server.stop()
+    }
+  }
+
+  test("bitemporal Derive + AssocIn folds pull path-arrays into documents") {
+    // The reference's gql pairing, bitemporally: Derive registers the
+    // pull rule; an AssocIn Interest on the namespace folds its
+    // PATH-ARRAY tuples (single variant cell per row — expanded
+    // positionally to root eid / attribute aids / leaf value, the uni
+    // flushDiffs twin) into nested Json documents.
+    withBiServer { (_, client) =>
+      client.send("""{"CreateAttribute":{"name":"glink"}}""")
+      client.send("""{"CreateAttribute":{"name":"gname"}}""")
+      client.send("""{"Derive":["gcust","{ glink { gname } }"]}""")
+      client.send("""{"Interest":{"name":"gcust","granularity":null,
+        "sink":{"AssocIn":{"stateful":null}},"disable_logging":null}}""")
+      client.send("""{"Transact":[
+        [1,"glink",{"Eid":1},{"Bi":[{"secs":0,"nanos":0},0]},1],
+        [1,"gname","n7",{"Bi":[{"secs":0,"nanos":0},0]},1]]}""")
+      client.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+      var msg = client.next(); var tries = 0
+      while (!(msg != null && msg.contains("\"Json\"")) && tries < 5) {
+        msg = client.next(); tries += 1
+      }
+      assert(msg != null && msg.contains("\"Json\"") &&
+        msg.contains("n7") && msg.contains("\"Bi\""),
+        s"expected the folded pull document with a Bi time: $msg")
     }
   }
 
