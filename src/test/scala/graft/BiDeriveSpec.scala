@@ -68,4 +68,74 @@ class BiDeriveSpec extends AnyFunSuite {
     assert(err.getMessage.contains("derive before attaching"),
       err.getMessage)
   }
+
+  test("derive parity: bi drains == uni maintained drains on random histories") {
+    // The round's cross-domain property: the SAME signed history driven
+    // through the unitemporal maintained engine (Derive + standing) and
+    // the bitemporal domain (derive + standing at (sys, 0) times) must
+    // accumulate identical multisets — the inline machinery is shared
+    // (DerivedViews), so any divergence is a domain-mode bug. Random
+    // links are many-to-one (several entities link one target), so the
+    // derived view's weight-1 distinctify contract is exercised, not
+    // just the self-link shape.
+    for (seed <- Seq(11L, 23L, 47L)) {
+      val rnd = new scala.util.Random(seed)
+      val net = scala.collection.mutable.Map
+        .empty[(String, Long, Any), Long].withDefaultValue(0L)
+      def batch(): Seq[(String, Long, Any, Long)] = Seq.fill(30) {
+        val (a, e, v): (String, Long, Any) = rnd.nextInt(3) match {
+          case 0 => ("plink", rnd.nextInt(5).toLong,
+            Value.eid(rnd.nextInt(5).toLong))
+          case 1 => ("pdname", rnd.nextInt(5).toLong, s"n${rnd.nextInt(3)}")
+          case _ => ("pdbal", rnd.nextInt(5).toLong, rnd.nextInt(3).toLong)
+        }
+        val k = (a, e, v)
+        val d = if (rnd.nextInt(4) == 0 && net(k) > 0L) -1L else 1L
+        net(k) += d
+        (a, e, v, d)
+      }
+      val batches = Seq.fill(3)(batch())
+
+      val eng = new graft.engine.Engine(spark)
+      Seq("plink", "pdname", "pdbal").foreach(a => eng.createAttribute(a,
+        graft.model.AttributeConfig(graft.model.InputSemantics.Distinct)))
+      eng.handle(graft.server.Request.Derive("pc", "{ plink { pdname } }"))
+      eng.register(Rule("pfans", Plan.Join(Seq(0),
+        Plan.MatchA(0, "pc/pdname", 1), Plan.MatchA(0, "pdbal", 2))))
+      eng.interestIncremental("pfans")
+
+      val bm = new graft.streaming.BiMaintained(spark, partitions = 4)
+      Seq("plink", "pdname", "pdbal").foreach(a => bm.createAttribute(a,
+        graft.model.AttributeConfig(graft.model.InputSemantics.Distinct)))
+      bm.derive("pc", "{ plink { pdname } }")
+      bm.register(Rule("pfans", Plan.Join(Seq(0),
+        Plan.MatchA(0, "pc/pdname", 1), Plan.MatchA(0, "pdbal", 2))))
+      bm.interest("pfans", None)
+
+      def wrap(v: Any): Value = v match {
+        case s: String => Value.str(s)
+        case n: Long   => Value.num(n)
+        case vv: Value => vv
+      }
+      val uniAcc = scala.collection.mutable.Map
+        .empty[Seq[Any], Long].withDefaultValue(0L)
+      val biAcc = scala.collection.mutable.Map
+        .empty[Seq[Any], Long].withDefaultValue(0L)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        eng.transact(b.map { case (a, e, v, d) =>
+          graft.model.Datom(e, a, wrap(v), None, d)
+        })
+        eng.advance(i + 1L)
+        eng.drain("pfans").foreach { case (row, _, w) => uniAcc(row) += w }
+        bm.transact(b.map { case (a, e, v, d) =>
+          bm.BiDatom(Value.eid(e), a, wrap(v), (i.toLong, 0L), d)
+        })
+        bm.advance(i + 1L)
+        bm.drain("pfans").foreach { case (row, _, w) => biAcc(row) += w }
+      }
+      val uni = uniAcc.filter(_._2 != 0L).toMap
+      val bi = biAcc.filter(_._2 != 0L).toMap
+      assert(uni == bi, s"seed $seed: uni=$uni bi=$bi")
+    }
+  }
 }

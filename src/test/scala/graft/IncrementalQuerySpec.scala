@@ -710,4 +710,29 @@ class IncrementalQuerySpec extends AnyFunSuite {
     assert(got == Seq("7,NaN:1", "", "7,NaN:-1"),
       s"packed NaN support must net per batch and accumulate like SQL: $got")
   }
+
+  test("KReal threshold packing cuts measured resident bytes vs boxed") {
+    // The packing's stated win is FOOTPRINT (wall-clock at the smoke was
+    // flat): pin the ~8x claim with the measured-bytes probe on the
+    // same 20k-row real-valued distinct threshold, packed vs
+    // -Dgraft.iq.runs=off.
+    import spark.implicits._
+    val plan = Plan.Union(Seq(1, 2), Seq(Plan.MatchA(1, ":rr", 2)))
+    val kindsR = Map(":rr" -> KReal)
+    val rows = (0 until 20000).map(i => (i.toLong, i * 0.5, 1L))
+    def bytes(runsOff: Boolean): Long = {
+      if (runsOff) sys.props("graft.iq.runs") = "off"
+      else sys.props -= "graft.iq.runs"
+      try {
+        val iq = new IncrementalQuery(spark, plan, kindsR)
+        iq.advance(Map(":rr" -> rows.toDF("e", "v", "diff"))).count()
+        iq.supportStateMeasuredBytes
+      } finally sys.props -= "graft.iq.runs"
+    }
+    val packed = bytes(runsOff = false)
+    val boxed = bytes(runsOff = true)
+    assert(packed > 0 && boxed > 0, s"probes must measure: $packed / $boxed")
+    assert(packed * 3 < boxed,
+      s"packed real threshold must be at least 3x smaller: packed=$packed boxed=$boxed")
+  }
 }
