@@ -430,13 +430,18 @@ final class WsServer(engine: Engine, port: Int = 0,
         // like the uni flushDiffs (root eid, attribute aids, leaf
         // value) — the bi Derive + AssocIn pairing is the reference's
         // gql request shape. Both conversions are pay-per-use.
+        lazy val pathArray = bm.isPathArrayResult(name)
+        // Path-array rules render EXPANDED on the QueryDiff route too
+        // (the uni wire shape — a raw path cell would mis-tag a 2-long
+        // path as a Rational or stringify longer ones); scalar rules
+        // keep the established bare-value QueryDiff shape.
         lazy val msg = Wire.renderBiQueryDiff(name,
-          diffs.map { case (tuple, t, d) =>
+          if (pathArray) tagged
+          else diffs.map { case (tuple, t, d) =>
             (tuple.map(asValue(_, None)), t, d)
           })
         lazy val tagged = {
           val kinds = bm.resultKinds(name)
-          val pathArray = bm.isPathArrayResult(name)
           diffs.map { case (tuple, t, d) =>
             tuple match {
               case Seq(cell: scala.collection.Seq[_]) if pathArray =>
