@@ -114,7 +114,13 @@ object Bench {
       s"\"" + k + "\":" + jstr(m.take(300)) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val (loadEnd, jvmsEnd) = hostLoad()
-    val host = s""""host":{"load_start":$loadStart,"load_end":$loadEnd,"jvms_start":$jvmsStart,"jvms_end":$jvmsEnd}"""
+    // Self-rejecting capture (r16 VERDICT #3): three rounds running the
+    // driver window was contaminated and the comparison had to re-parse
+    // host fields to discover it. A top-level flag makes the rejection
+    // programmatic. Threshold: >1 competing JVM (an sbt launch always
+    // sees its own parent) or a 1-min load already >2 at window START.
+    val contaminated = loadStart > 2.0 || jvmsStart > 1
+    val host = s""""contaminated":$contaminated,"host":{"load_start":$loadStart,"load_end":$loadEnd,"jvms_start":$jvmsStart,"jvms_end":$jvmsEnd}"""
     // Full-precision line first — the per-round capture files keep whole
     // stdout, so this is the builder/judge A/B record.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$host,"sf":"$sfDir"}""")

@@ -551,8 +551,28 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     val rulePlans0: Map[String, Plan] =
       domain.rules.map { case (n, r) => n -> r.plan }
     val plan = inlineDerived(domain.rules(name).plan, rulePlans0.values)
+    // Inline ONLY the rules reachable from this interest's plan (its
+    // NameExpr closure): a registered-but-never-referenced rule using a
+    // derived attribute in an unsupported shape (Hector binding,
+    // MatchEA/MatchAV) rejects with GraftError — which the
+    // UnmaintainablePlan demotion below does NOT catch — so eagerly
+    // inlining the whole rules map broke every other standing's
+    // incremental init (round-16 advisory, bi twin in
+    // BiMaintained.Standing). The bad rule still rejects loudly when a
+    // standing actually references it.
+    val reachable: Set[String] = {
+      val seen = scala.collection.mutable.Set(name)
+      def expand(p: Plan): Unit =
+        Plan.dependencies(p)._2.foreach { n =>
+          if (seen.add(n)) rulePlans0.get(n).foreach(expand)
+        }
+      expand(domain.rules(name).plan)
+      seen.toSet
+    }
     val rulePlans: Map[String, Plan] =
-      rulePlans0.map { case (n, p) => n -> inlineDerived(p, rulePlans0.values) }
+      rulePlans0.collect { case (n, p) if reachable(n) =>
+        n -> inlineDerived(p, rulePlans0.values)
+      }
     val attrs = graft.streaming.IncrementalQuery.planAttributes(plan, rulePlans)
     // Distinct attributes pass a maintained per-attribute support
     // threshold inside IncrementalQuery — the standing analog of the

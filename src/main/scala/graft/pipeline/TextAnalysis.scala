@@ -54,6 +54,41 @@ object TextAnalysis {
       regexp_replace(acc, re, token)
     }
 
+  /** Synthetic PII corpus for the oracle cell: the real documents corpus
+    * contains no PII-shaped text (a 0-match oracle would be vacuous), so
+    * `q_text_pii` injects these rows keyed by real doc ids. The texts
+    * deliberately avoid the one Java-regex feature DuckDB's RE2 lacks —
+    * the phone pattern's lookbehind — by never placing a digit or hyphen
+    * immediately before a phone-shaped run, so a lookbehind-free oracle
+    * regex agrees on exactly these strings. No single quotes (the texts
+    * embed into a SQL VALUES list verbatim). */
+  val PiiSnippets: Seq[String] = Seq(
+    "contact alice.smith+dev@example-corp.io for project details",
+    "ssn on file 123-45-6789 confirmed by hr",
+    "card 4111 1111 1111 1111 charged at checkout",
+    "call (415) 555-2671 or 415-555-2671 before noon",
+    "server at 192.168.10.254 responded to ping",
+    "mixed row bob@x.org then 987-65-4320 then 10.0.0.1 done",
+    "clean row with no identifiers at all")
+
+  /** Redaction audit surface for the oracle cell: the redacted text plus
+    * per-category hit counts DERIVED from the redacted text itself
+    * (occurrences of each placeholder token, computed with plain
+    * length/replace arithmetic) — the same counts are expressible in
+    * DuckDB without regexp_count, so the oracle reproduces every column
+    * exactly. Only sound when the input text cannot already contain a
+    * placeholder token (true for [[PiiSnippets]]). */
+  def piiAudit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = PiiPatterns.map { case (name, _, token) =>
+      ((length(col("redacted")) -
+        length(replace(col("redacted"), lit(token), lit("")))) /
+        token.length).cast("long").as(s"n_$name")
+    }
+    docs.select(col(idCol).cast("long").as("id"),
+        redactPii(col(textCol)).as("redacted"))
+      .select(col("id") +: col("redacted") +: counts: _*)
+  }
+
   /** Per-document PII hit counts, one column per category (the audit side
     * of [[redactPii]]: route documents to redaction/quarantine by count).
     * Counted on the same progressively-redacted text the replacement

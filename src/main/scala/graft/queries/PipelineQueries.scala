@@ -314,6 +314,26 @@ object PipelineQueries {
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")),
 
+    "q_text_pii" -> ((s, dir) => {
+      // The corpus has no PII-shaped text, so the cell builds its own
+      // input INSIDE the query: one deterministic synthetic PII snippet
+      // per sampled doc id (round-robin over PiiSnippets), redacted by
+      // the native 5-regex codegen chain and audited via placeholder
+      // token counts — the DuckDB oracle reproduces both from the same
+      // VALUES list. The 42-row sample is oracle-harness construction;
+      // the redaction chain itself is one codegen pass, no shuffle,
+      // corpus-scale parallel.
+      val snips = TextAnalysis.PiiSnippets
+      val rows = docs(s, dir)
+        .select(col("doc_id").cast("long").as("id"))
+        .orderBy(col("id")).limit(42)
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("id"))).cast("long") - 1L)
+        .withColumn("text", element_at(array(snips.map(lit): _*),
+          (col("rn") % snips.length).cast("int") + 1))
+      TextAnalysis.piiAudit(rows, "id", "text")
+    }),
+
     "q_multimodal_features" -> ((s, dir) => {
       // REAL container-header decode over opaque binary media: each doc's
       // text is wrapped in a genuine PNG / BMP / WAV container (dims and
@@ -932,6 +952,43 @@ object PipelineQueries {
       s"""SELECT CAST(doc_id AS BIGINT) AS id,
                  ${h64Sql(Portable.normalizedSql("text"))} AS fp
           FROM documents""",
+
+    "q_text_pii" -> {
+      // Same injected rows as the Spark cell (VALUES over PiiSnippets,
+      // round-robin by row_number over the 42 lowest doc ids). DuckDB's
+      // RE2 lacks the phone pattern's lookbehind; the snippets are
+      // constructed so a lookbehind-free variant agrees on exactly these
+      // strings (no digit/hyphen ever precedes a phone-shaped run).
+      val snips = TextAnalysis.PiiSnippets
+      val n = snips.length
+      val values = snips.zipWithIndex
+        .map { case (t, i) => s"($i, '$t')" }.mkString(", ")
+      val oraclePatterns = TextAnalysis.PiiPatterns.map {
+        case ("phone", _, tok) =>
+          ("phone",
+            "(\\+?\\d{1,2}[ .-])?(\\(\\d{3}\\)[ .]?|\\d{3}[ .-])\\d{3}[ .-]\\d{4}\\b",
+            tok)
+        case other => other
+      }
+      val redExpr = oraclePatterns.foldLeft("text") {
+        case (acc, (_, re, tok)) => s"regexp_replace($acc, '$re', '$tok', 'g')"
+      }
+      val countCols = oraclePatterns.map { case (name, _, tok) =>
+        s"CAST((len(redacted) - len(replace(redacted, '$tok', ''))) / ${tok.length} AS BIGINT) AS n_$name"
+      }.mkString(",\n                 ")
+      s"""WITH ids AS (
+            SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+            ORDER BY 1 LIMIT 42),
+          numbered AS (
+            SELECT id, row_number() OVER (ORDER BY id) - 1 AS rn FROM ids),
+          snips(i, txt) AS (VALUES $values),
+          rows AS (SELECT id, txt AS text FROM numbered
+                   JOIN snips ON numbered.rn % $n = snips.i),
+          red AS (SELECT id, $redExpr AS redacted FROM rows)
+          SELECT id, redacted,
+                 $countCols
+          FROM red"""
+    },
 
     "q_topk_per_group" ->
       """SELECT lang, id, nchars, rank FROM (

@@ -444,7 +444,14 @@ final class WsServer(engine: Engine, port: Int = 0,
           val kinds = bm.resultKinds(name)
           diffs.map { case (tuple, t, d) =>
             tuple match {
-              case Seq(cell: scala.collection.Seq[_]) if pathArray =>
+              // `cell.nonEmpty`: an empty path cell is malformed, but
+              // `vs.init`/`vs.last` throwing here would abort the whole
+              // flush loop AFTER drain() cleared the buffer — silent
+              // diff loss for every later client/rule (round-16
+              // advisory). Degrade to the generic tagging instead
+              // (asValue renders a Seq safely).
+              case Seq(cell: scala.collection.Seq[_])
+                  if pathArray && cell.nonEmpty =>
                 val vs = cell.toSeq
                 val keys = vs.init.map {
                   case n: Long   => Value.VEid(n)
@@ -470,7 +477,11 @@ final class WsServer(engine: Engine, port: Int = 0,
               guardedSinkFold(cid, out) { biSinkAssoc(cid, name, a, tagged) }
             case Some(j: JsonState) =>
               guardedSinkFold(cid, out) { biSinkJson(cid, name, j, tagged) }
-            case _ => send(out, msg)
+            // The plain QueryDiff route forces the lazy `tagged`
+            // expansion too (path-array rules) — same per-client
+            // containment so one malformed row can't starve the rest
+            // of the iteration (round-16 advisory).
+            case _ => guardedSinkFold(cid, out) { send(out, msg) }
           }
         }
       }
@@ -759,7 +770,12 @@ final class WsServer(engine: Engine, port: Int = 0,
             // engine's native collection drops the variant tags, so
             // positional tagging restores what AssocIn/clients need —
             // the streaming route keeps exact tags via variant structs).
-            case Seq(cell: scala.collection.Seq[_]) if pathArray =>
+            // `cell.nonEmpty`: a malformed empty path cell degrades to
+            // the generic tagging (asValue renders a Seq safely) rather
+            // than aborting the flush after the drain cleared the
+            // buffer — same containment rationale as the bi route.
+            case Seq(cell: scala.collection.Seq[_])
+                if pathArray && cell.nonEmpty =>
               val vs = cell.toSeq
               val keys = vs.init.map {
                 case n: Long   => Value.VEid(n)

@@ -859,10 +859,27 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
       rules.iterator.map { case (n, ru) => n -> ru.plan }.toMap
     private val biHint =
       "derived attributes are MatchA-only in the bitemporal domain"
+    // Inline ONLY the rules reachable from this standing's plan (its
+    // NameExpr closure): a rule that is registered but never attached
+    // may use a derived attribute in an unsupported shape (Hector
+    // binding, MatchEA/MatchAV), and eagerly inlining the whole rules
+    // map made EVERY later attach throw on it — even for standings
+    // that never reference that rule (round-16 advisory). The
+    // unsupported rule still rejects loudly, but only when a standing
+    // actually attaches to (or references) it.
+    private val reachable: Set[String] = {
+      val seen = mutable.Set(name)
+      def expand(p: Plan): Unit =
+        Plan.dependencies(p)._2.foreach { n =>
+          if (seen.add(n)) rulePlans0.get(n).foreach(expand)
+        }
+      expand(rules(name).plan)
+      seen.toSet
+    }
     private val plan = graft.plans.DerivedViews.inline(
       rules(name).plan, rulePlans0.values, derivedPlans, biHint)
     private val rulePlans: Map[String, Plan] =
-      rulePlans0.map { case (n, p) =>
+      rulePlans0.collect { case (n, p) if reachable(n) =>
         n -> graft.plans.DerivedViews.inline(p, rulePlans0.values,
           derivedPlans, biHint)
       }

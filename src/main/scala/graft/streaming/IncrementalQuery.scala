@@ -245,9 +245,13 @@ class IncrementalQuery(
     * merged; the boxed Seq key's primitive `==` made a NaN key
     * unfindable). Output rows keep the original boxed values —
     * encoding exists only inside the key array, so no decode ever
-    * runs. `-Dgraft.iq.runs=off` forces the boxed path for a FOOTPRINT
-    * A/B; on NaN-keyed real rows the off-dial keeps the legacy
-    * unfindable-key behavior, so it is not a semantics oracle there. */
+    * runs. The boxed path (mixed non-packable kinds, or the
+    * `-Dgraft.iq.runs=off` dial) applies the SAME encoded-key
+    * treatment to its KReal slots (round 17), so both dials share one
+    * key-equality semantics and `off` is purely a footprint A/B.
+    * Emitted transition rows carry canon()-ed KReal samples on every
+    * path, so cross-batch assert/retract pairs cancel under
+    * java.lang.Double.equals in downstream accumulators. */
   private final class SupportCell(kinds: Seq[ValueKind]) {
     supportCells += this
     private val packed = !sys.props.get("graft.iq.runs").contains("off") &&
@@ -255,7 +259,25 @@ class IncrementalQuery(
       kinds.forall(k => ValueKind.longBacked(k) || k == ValueKind.KReal)
     private val realCol: Array[Boolean] =
       kinds.map(_ == ValueKind.KReal).toArray
+    private val hasReal = realCol.exists(identity)
     private val width = kinds.length
+
+    /** Canonicalize the KReal cells of an EMITTED transition row: keys
+      * net under encReal (-0.0 = 0.0, NaN = NaN) but the per-batch raw
+      * sample could carry whichever representative arrived first, so a
+      * +1 keyed 0.0 in one batch and a -1 keyed -0.0 in a later batch
+      * would never cancel under java.lang.Double.equals in downstream
+      * accumulators (round-16 advisory). Emissions are ±1 transitions
+      * only, so this is O(transitions), not O(delta). A standalone
+      * function value (not a method) so executor closures don't capture
+      * the non-serializable cell. */
+    private val canonSample: Seq[Any] => Seq[Any] = {
+      val rc = realCol
+      if (!hasReal) identity
+      else k => k.zipWithIndex.map { case (v, i) =>
+        if (rc(i) && v != null) IncrementalHector.canon(v) else v
+      }
+    }
     private val wCell: StateCell[IncrementalQuery.WMap] =
       if (packed) null
       else new StateCell[IncrementalQuery.WMap](
@@ -282,10 +304,46 @@ class IncrementalQuery(
       * read it here instead. */
     def advanceCounted(
         delta: RDD[(Seq[Any], Long)]): (RDD[(Seq[Any], Long)], Long) =
-      if (!packed) wCell.advance1Counted(delta)(thresholdAdvanceIdx)
+      if (!packed && !hasReal) wCell.advance1Counted(delta)(thresholdAdvanceIdx)
+      else if (!packed) {
+        // Boxed path WITH real columns (mixed non-packable kinds, or the
+        // -Dgraft.iq.runs=off dial): Scala's `==` on boxed doubles is
+        // primitive comparison, so a NaN key was unfindable in the WMap —
+        // support could never accumulate across batches (round-16 VERDICT
+        // item: the off-dial was a footprint A/B, not a semantics oracle,
+        // on NaN-keyed rows; worse, MIXED kinds like (string, real) ride
+        // this path unconditionally). Fix = the same encoded-key netting
+        // the packed path uses: map keys carry encReal bits in KReal
+        // slots (long equality == SQL double equality), emissions carry
+        // the canonicalized boxed sample. Both dials now share one
+        // key-equality semantics; `off` is purely a footprint A/B.
+        val rc = realCol
+        val cs = canonSample
+        wCell.advance1Counted(delta) { (s, dIt) =>
+          var m = s
+          val out = mutable.ArrayBuffer.empty[(Seq[Any], Long)]
+          dIt.foreach { case (k, dw) =>
+            if (dw != 0L) {
+              val tk: Seq[Any] = k.zipWithIndex.map { case (v, i) =>
+                if (rc(i) && v != null)
+                  java.lang.Long.valueOf(
+                    IncrementalHector.encReal(v.asInstanceOf[Double]))
+                else v
+              }
+              val w = m.getOrElse(tk, 0L)
+              val nw = w + dw
+              if (nw == 0L) m -= tk else m = m.updated(tk, nw)
+              if (w > 0 && nw <= 0) out += ((cs(k), -1L))
+              else if (w <= 0 && nw > 0) out += ((cs(k), 1L))
+            }
+          }
+          (m, out.toArray)
+        }
+      }
       else {
         val w = width
         val rc = realCol
+        val cs = canonSample
         pCell.advance1Counted(delta) { case ((runs, nullM), dIt) =>
           // NET the batch per ENCODED key first: encReal canonicalizes
           // keys the upstream boxed reduceByKey could not merge (two
@@ -342,8 +400,8 @@ class IncrementalQuery(
               var j = 0
               while (j < w) { buf += key(j); j += 1 }
               buf += dw
-              if (old > 0 && nw <= 0) out += ((sample, -1L))
-              else if (old <= 0 && nw > 0) out += ((sample, 1L))
+              if (old > 0 && nw <= 0) out += ((cs(sample), -1L))
+              else if (old <= 0 && nw > 0) out += ((cs(sample), 1L))
             }
           }
           nullAcc.foreach { case (tk, (sample, dw)) =>
@@ -351,8 +409,8 @@ class IncrementalQuery(
               val old = nm.getOrElse(tk, 0L)
               val nw = old + dw
               if (nw == 0L) nm -= tk else nm = nm.updated(tk, nw)
-              if (old > 0 && nw <= 0) out += ((sample, -1L))
-              else if (old <= 0 && nw > 0) out += ((sample, 1L))
+              if (old > 0 && nw <= 0) out += ((cs(sample), -1L))
+              else if (old <= 0 && nw > 0) out += ((cs(sample), 1L))
             }
           }
           ((runs.merged(buf.result()), nm), out.toArray)

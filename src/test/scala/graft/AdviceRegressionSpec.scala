@@ -277,4 +277,33 @@ class AdviceRegressionSpec extends AnyFunSuite with EngineCases {
       keys.foreach { case (k, want) => assert(s.conf.get(k) == want) }
     } finally sys.props.remove("graft.fixpoint.kernel")
   }
+
+  test("unreachable rule with unsupported derived usage doesn't poison " +
+      "other standings (r16 ADVICE)") {
+    // A rule that is REGISTERED but never attached (and never referenced)
+    // uses the derived attribute in a shape DerivedViews.inline rejects
+    // (MatchEA). Eagerly inlining the whole rules map at incremental init
+    // made every OTHER standing's attach throw; the inline closure must
+    // be restricted to rules reachable from the attaching standing.
+    val engine = new Engine(spark)
+    Seq("rlink", "rdname", "rdbal").foreach(a => engine.createAttribute(a,
+      AttributeConfig(InputSemantics.Distinct)))
+    engine.handle(graft.server.Request.Derive("rc", "{ rlink { rdname } }"))
+    // The poison rule: MatchEA over the derived attribute, never attached.
+    engine.register(Rule("rbad", MatchEA(1L, "rc/rdname", 0)))
+    engine.register(Rule("rgood", Join(Seq(0),
+      MatchA(0, "rc/rdname", 1), MatchA(0, "rdbal", 2))))
+    engine.interestIncremental("rgood")
+    engine.transact(Seq(
+      Datom(1L, "rlink", Value.eid(1L), None, 1L),
+      Datom(1L, "rdname", Value.str("n1"), None, 1L),
+      Datom(1L, "rdbal", Value.num(5L), None, 1L)))
+    engine.advance(1L) // pre-fix: threw GraftError inlining rbad
+    assert(engine.drain("rgood").exists { case (row, _, w) =>
+      w == 1L && row(1) == "n1" })
+    // Attaching the bad rule itself still rejects loudly.
+    engine.interestIncremental("rbad")
+    val ex = intercept[GraftError] { engine.advance(2L) }
+    assert(ex.getMessage.contains("MatchA scans"), ex.getMessage)
+  }
 }

@@ -69,6 +69,31 @@ class BiDeriveSpec extends AnyFunSuite {
       err.getMessage)
   }
 
+  test("unreachable rule with unsupported derived usage doesn't poison " +
+      "other bi standings (r16 ADVICE)") {
+    // A registered-but-never-attached rule using the derived attribute in
+    // a rejected shape (MatchEA) must not break the attach of standings
+    // that never reference it — the Standing's inline closure is
+    // restricted to rules reachable from its own plan.
+    val bm = new graft.streaming.BiMaintained(spark, partitions = 4)
+    Seq("ulink", "udname", "udbal").foreach(bm.createAttribute(_))
+    bm.derive("uc", "{ ulink { udname } }")
+    bm.register(Rule("ubad", Plan.MatchEA(1L, "uc/udname", 0)))
+    bm.register(Rule("ugood", Plan.Join(Seq(0),
+      Plan.MatchA(0, "uc/udname", 1), Plan.MatchA(0, "udbal", 2))))
+    bm.interest("ugood", None) // pre-fix: threw GraftError inlining ubad
+    bm.transact(Seq(
+      bm.BiDatom(Value.eid(1), "ulink", Value.eid(1), (0L, 0L), 1L),
+      bm.BiDatom(Value.eid(1), "udname", Value.str("n1"), (0L, 0L), 1L),
+      bm.BiDatom(Value.eid(1), "udbal", Value.num(5L), (0L, 0L), 1L)))
+    bm.advance(1L)
+    assert(bm.drain("ugood").exists { case (row, _, w) =>
+      w == 1L && row(1) == "n1" })
+    // Attaching the bad rule itself still rejects loudly.
+    val err = intercept[RuntimeException] { bm.interest("ubad", None) }
+    assert(err.getMessage.contains("MatchA scans"), err.getMessage)
+  }
+
   test("derive parity: bi drains == uni maintained drains on random histories") {
     // The round's cross-domain property: the SAME signed history driven
     // through the unitemporal maintained engine (Derive + standing) and

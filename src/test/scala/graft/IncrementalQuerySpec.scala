@@ -709,6 +709,25 @@ class IncrementalQuerySpec extends AnyFunSuite {
     val got = drive(runsOff = false, nan)
     assert(got == Seq("7,NaN:1", "", "7,NaN:-1"),
       s"packed NaN support must net per batch and accumulate like SQL: $got")
+    // Round 17: the BOXED path gets the same encoded-key treatment for
+    // KReal slots, so the off-dial is now a pure footprint A/B — NaN
+    // support accumulates identically (previously the boxed Seq key's
+    // primitive == left it unfindable and this read "+1;+1;+1").
+    val gotOff = drive(runsOff = true, nan)
+    assert(gotOff == Seq("7,NaN:1", "", "7,NaN:-1"),
+      s"boxed NaN support must match the packed path (one key semantics): $gotOff")
+    // Emitted-sample canonicalization (round-16 advisory): asserting 0.0
+    // in one batch and retracting -0.0 in a later one must emit a
+    // CANCELABLE pair — both transitions keyed by the canonical 0.0
+    // boxed sample, on both dials.
+    val signedZero = Seq(
+      Seq((9L, 0.0, 1L)),
+      Seq((9L, -0.0, -1L)))
+    for (off <- Seq(false, true)) {
+      val z = drive(runsOff = off, signedZero)
+      assert(z == Seq("9,0.0:1", "9,0.0:-1"),
+        s"signed-zero transitions must emit canonical samples (off=$off): $z")
+    }
   }
 
   test("KReal threshold packing cuts measured resident bytes vs boxed") {
