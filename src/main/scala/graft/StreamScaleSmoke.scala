@@ -1173,11 +1173,15 @@ object StreamScaleSmoke {
     // by a standing MatchA over the derived attribute, fed 500k-row
     // parquet registrations (1M datoms/batch through the same
     // registerSource edge pqsource pins). The question this answers:
-    // does the INLINE (Union-wrapped view plan) keep the standing's
-    // per-advance cost O(delta) with sink delivery, or does the view
-    // join re-price resident state per advance? Pinned every run:
-    // exact delivery (each entity yields one derived row), zero
-    // data-sized driver materialization.
+    // does the INLINE keep the standing's per-advance cost O(delta)
+    // with sink delivery, or does the view join re-price resident
+    // state per advance? Round 17: with Distinct attributes the inline
+    // takes the DISTINCT PUSHDOWN (single-entity-column threshold
+    // below the join) and the single-Attr Hector inner rewrites to a
+    // linear MatchA — the wrapped dial now reads at PARITY with the
+    // direct dial (medians 13.2 vs 15.2 s/advance quiet; r16: 2-3x).
+    // Pinned every run: exact delivery (each entity yields one derived
+    // row), zero data-sized driver materialization.
     if (section("biderive")) {
       import graft.sources.FileSources
       import graft.streaming.BiMaintained

@@ -317,9 +317,17 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
   /** Inline derived-attribute `MatchA` scans into their defining plans
     * (`DerivedViews.inline` — shared with the bitemporal domain's
     * standings). Derived usages outside plain MatchA stay on the
-    * snapshot path, loudly. */
+    * snapshot path, loudly. The uniqueness predicate enables the
+    * distinct pushdown: Distinct/LWW attributes resolve to weight ≤ 1
+    * per (e, v) inside the maintained path (per-attribute support
+    * threshold / latest-event view), so the view's full-row distinctify
+    * narrows to a single-entity-column threshold; Raw and static-frame
+    * attributes keep the full wrap. */
   private def inlineDerived(plan: Plan, allPlans: Iterable[Plan]): Plan =
-    graft.plans.DerivedViews.inline(plan, allPlans, derivedPlans)
+    graft.plans.DerivedViews.inline(plan, allPlans, derivedPlans,
+      uniqueAttr = a => domain.staticFrame(a).isEmpty &&
+        (domain.semanticsOf(a) == InputSemantics.Distinct ||
+         domain.semanticsOf(a) == InputSemantics.LastWriteWins))
 
   /** Datoms without an explicit time are stamped with the current epoch.
     * Explicit times below the advanced frontier are rejected loudly — the

@@ -160,6 +160,14 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     val pendingTimes = mutable.SortedSet.empty[BiTimePair]
     var lastProcessed: Option[BiTimePair] = None
     val members = mutable.LinkedHashSet.empty[String]
+    // Attributes this lane's emitted view has been maintained for (lazy
+    // per-attribute views, round 17): transitions aggregate ONLY the
+    // attributes some attached standing reads; a newly-demanded
+    // attribute is backfilled from history at its first appearance.
+    // Grows monotonically — a detached standing's attributes keep being
+    // maintained until the lane itself is GC'd (cheap relative to the
+    // re-backfill churn an eager shrink would invite).
+    val covered = mutable.Set.empty[String]
 
     def winSys: Long = win.map(_._1).getOrElse(0L)
 
@@ -876,12 +884,18 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
       expand(rules(name).plan)
       seen.toSet
     }
+    // Distinct/LWW attributes resolve to weight ≤ 1 per (e, v) inside
+    // the maintained path, enabling DerivedViews' distinct pushdown
+    // (single-entity-column threshold instead of the full-row wrap).
+    private val uniq: String => Boolean = a =>
+      semanticsOf(a) == InputSemantics.Distinct ||
+        semanticsOf(a) == InputSemantics.LastWriteWins
     private val plan = graft.plans.DerivedViews.inline(
-      rules(name).plan, rulePlans0.values, derivedPlans, biHint)
+      rules(name).plan, rulePlans0.values, derivedPlans, biHint, uniq)
     private val rulePlans: Map[String, Plan] =
       rulePlans0.collect { case (n, p) if reachable(n) =>
         n -> graft.plans.DerivedViews.inline(p, rulePlans0.values,
-          derivedPlans, biHint)
+          derivedPlans, biHint, uniq)
       }
     val refAttrs: Set[String] =
       IncrementalQuery.planAttributes(plan, rulePlans)
@@ -1271,6 +1285,22 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
   private def processTime(lane: Lane, t: BiTimePair,
       sem: BiVisibility.Sem, laneInterests: Iterable[String]): Unit = {
     val t0 = System.nanoTime()
+    // Lazy per-attribute views (round 17): the transition below only
+    // aggregates attributes some attached standing READS — a registered
+    // attribute no standing scans costs ~0 per advance (the pqsource
+    // ONEATTR finding: each maintained attribute cost a constant
+    // ~0.8-1.7 s/advance regardless of demand). Attributes entering the
+    // demand set late (a new standing, a rule rebuilt with wider
+    // refAttrs) are BACKFILLED from the shared history at the lane's
+    // last processed time BEFORE the standings' replay dump reads the
+    // emitted view — exact, because the emitted view is a pure function
+    // of (history, lane time).
+    val demand: Set[String] =
+      laneInterests.iterator.flatMap(n => standings(n).refAttrs).toSet
+    val missing = demand -- lane.covered
+    if (missing.nonEmpty && lane.lastProcessed.nonEmpty)
+      store.backfill(lane.id, lane.win, lane.lastProcessed.get, sem, missing)
+    lane.covered ++= demand
     // Standing queries (re)build against the PRE-transition view.
     for (name <- laneInterests) standings(name).ensureBuilt()
     val t1 = System.nanoTime()
@@ -1285,7 +1315,7 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
       if (firstKind.size == 1) Some(firstKind.keysIterator.next()) else None
     val deltas = store.transition(
       lane.id, lane.win, lane.lastProcessed, t, sem, pruneUpTo, kindOf,
-      attrHint)
+      attrHint, Some(lane.covered.toSet))
     lane.lastProcessed = Some(t)
     val t2 = System.nanoTime()
     for (name <- laneInterests) {

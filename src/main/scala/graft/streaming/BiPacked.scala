@@ -118,7 +118,9 @@ final class BiPacked private (
   def transition(lane: Int, win: Option[(Long, Long)],
       tPrev: Option[(Long, Long)], t: (Long, Long),
       sem: BiVisibility.Sem,
-      pruneUpTo: Long): (BiVis, Array[(String, Any, Any, Long)]) = {
+      pruneUpTo: Long,
+      demand: String => Boolean = _ => true)
+    : (BiVis, Array[(String, Any, Any, Long)]) = {
     val (ws, we) = win.getOrElse((0L, 0L))
     val sy = BiTime.visBound(t._1, ws)
     val ev = BiTime.visBound(t._2, we)
@@ -194,7 +196,7 @@ final class BiPacked private (
     val key = new Array[Long](3)
     val eKey = new Array[Long](4)
     cands.foreach { case cand @ (ai, ec, vc) =>
-      if (seen.add(cand)) {
+      if (seen.add(cand) && demand(attrNames(ai.toInt))) {
         key(0) = ai; key(1) = ec; key(2) = vc
         val aName = attrNames(ai.toInt)
         val cur = aggregate(key, sy, ev, win, sem(aName))
@@ -267,6 +269,48 @@ final class BiPacked private (
     val it = emitted.prefix(eKey)
     if (it.hasNext) { val (rest, w) = it.next(); Some((rest(0), w)) }
     else None
+  }
+
+  /** Reconstruct lane `lane`'s emitted view for previously-undemanded
+    * `attrs` at its last processed coarse time `t` — one pass over the
+    * lex-sorted datom runs' distinct key prefixes (the late-lane
+    * fallback's iteration), restricted to those attributes, each
+    * aggregated at the translated fine bounds and upserted. */
+  def backfill(lane: Int, win: Option[(Long, Long)], t: (Long, Long),
+      sem: BiVisibility.Sem, attrs: Set[String]): BiPacked = {
+    val aidSet: Set[Long] = attrs.flatMap(attrIds.get)
+    if (aidSet.isEmpty) return this
+    val (ws, we) = win.getOrElse((0L, 0L))
+    val sy = BiTime.visBound(t._1, ws)
+    val ev = BiTime.visBound(t._2, we)
+    val ed = mutable.ArrayBuilder.make[Long]
+    val key = new Array[Long](3)
+    val eKey = new Array[Long](4)
+    var last: (Long, Long, Long) = null
+    recs.iterator.foreach { case (rk, _) =>
+      val cand = (rk(0), rk(1), rk(2))
+      if (cand != last) {
+        last = cand
+        if (aidSet.contains(rk(0))) {
+          key(0) = rk(0); key(1) = rk(1); key(2) = rk(2)
+          val cur = aggregate(key, sy, ev, win, sem(attrNames(rk(0).toInt)))
+          eKey(0) = lane.toLong; eKey(1) = rk(0)
+          eKey(2) = rk(1); eKey(3) = rk(2)
+          val prev = emittedOf(eKey)
+          if (cur != prev) {
+            def push(vEmit: Long, dw: Long): Unit = {
+              ed += lane.toLong; ed += rk(0); ed += rk(1); ed += rk(2)
+              ed += vEmit; ed += dw
+            }
+            prev.foreach { case (pv, pw) => push(pv, -pw) }
+            cur.foreach { case (cv, cw) => push(cv, cw) }
+          }
+        }
+      }
+    }
+    new BiPacked(attrNames, attrIds, dictVals, dictIds, dictBytes,
+      recs, bySys, byEvent, emitted.merged(ed.result()), prunedThrough,
+      datomCount)
   }
 
   def dumpEmitted(lane: Int): Iterator[(String, Any, Any, Long)] =

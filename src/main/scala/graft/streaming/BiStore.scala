@@ -47,7 +47,20 @@ private[streaming] sealed trait BiStore {
       // row is attribute `a`): lets the distributed sibling skip the
       // per-time distinct-attribute job — per-lattice-time job count is
       // the dominant cost of small advances on the cell store.
-      attrHint: Option[String] = None): Map[String, DataFrame]
+      attrHint: Option[String] = None,
+      // Demanded attributes (round 17 — lazy per-attribute views): only
+      // attributes some attached standing reads are aggregated and
+      // tracked; None = maintain everything (the pre-r17 behavior,
+      // kept for tests). A later standing over a skipped attribute is
+      // served via [[backfill]].
+      demand: Option[Set[String]] = None): Map[String, DataFrame]
+
+  /** Reconstruct lane `lane`'s emitted view for newly-demanded `attrs`
+    * (skipped by earlier demand-filtered transitions) at its last
+    * processed coarse time `t` — run BEFORE the late standing's replay
+    * [[dump]]. */
+  def backfill(lane: Int, win: Option[(Long, Long)], t: (Long, Long),
+      sem: BiVisibility.Sem, attrs: Set[String]): Unit
 
   /** Lane `lane`'s full emitted view per attribute — replay for
     * late/rebuilt standing queries. */
@@ -133,9 +146,14 @@ private[streaming] final class DriverBiStore(spark: SparkSession)
       tPrev: Option[(Long, Long)], t: (Long, Long),
       sem: BiVisibility.Sem, pruneUpTo: Long,
       kindOf: String => ValueKind,
-      attrHint: Option[String] = None): Map[String, DataFrame] = {
+      attrHint: Option[String] = None,
+      demand: Option[Set[String]] = None): Map[String, DataFrame] = {
     val t0 = System.nanoTime()
-    val (next, rows) = vis.transition(lane, win, tPrev, t, sem, pruneUpTo)
+    val dm: String => Boolean = demand match {
+      case Some(s) => s
+      case None    => _ => true
+    }
+    val (next, rows) = vis.transition(lane, win, tPrev, t, sem, pruneUpTo, dm)
     vis = next
     val t1 = System.nanoTime()
     val out = BiStore.framesOf(spark, rows, kindOf)
@@ -144,6 +162,10 @@ private[streaming] final class DriverBiStore(spark: SparkSession)
         f"frames=${(System.nanoTime() - t1) / 1e6}%.0fms rows=${rows.length}%d")
     out
   }
+
+  def backfill(lane: Int, win: Option[(Long, Long)], t: (Long, Long),
+      sem: BiVisibility.Sem, attrs: Set[String]): Unit =
+    vis = vis.backfill(lane, win, t, sem, attrs)
 
   def dump(lane: Int, kindOf: String => ValueKind): Map[String, DataFrame] =
     BiStore.framesOf(spark, vis.dumpEmitted(lane).toSeq, kindOf)
@@ -226,14 +248,31 @@ private[streaming] final class CellBiStore(
       // row is attribute `a`): lets the distributed sibling skip the
       // per-time distinct-attribute job — per-lattice-time job count is
       // the dominant cost of small advances on the cell store.
-      attrHint: Option[String] = None): Map[String, DataFrame] = {
+      attrHint: Option[String] = None,
+      demand: Option[Set[String]] = None): Map[String, DataFrame] = {
+    // Resolve the demand ONCE into a serializable set: a Set[String] is
+    // the executor-closure-safe form (the function variant would drag
+    // the caller's object graph into the task).
+    val dmSet = demand
     val (out, n) = cell.advance1Counted(
         sc.parallelize(Seq.empty[Int], partitions)) { (vis, _) =>
-      val (next, rows) = vis.transition(lane, win, tPrev, t, sem, pruneUpTo)
+      val dm: String => Boolean = dmSet match {
+        case Some(s) => s
+        case None    => _ => true
+      }
+      val (next, rows) = vis.transition(lane, win, tPrev, t, sem, pruneUpTo, dm)
       (next, rows)
     }
     framesFrom(out, n, kindOf, attrHint)
   }
+
+  def backfill(lane: Int, win: Option[(Long, Long)], t: (Long, Long),
+      sem: BiVisibility.Sem, attrs: Set[String]): Unit =
+    measuredBytes = cell.advance1(
+        sc.parallelize(Seq.empty[Int], partitions)) { (vis, _) =>
+      val next = vis.backfill(lane, win, t, sem, attrs)
+      (next, Array(next.estimatedBytes))
+    }.fold(0L)(_ + _)
 
   def dump(lane: Int, kindOf: String => ValueKind): Map[String, DataFrame] = {
     val out = cell.rdd.flatMap(_.dumpEmitted(lane)).graftCheckpoint()

@@ -45,7 +45,29 @@ private[streaming] trait BiVis extends Serializable {
   def transition(lane: Int, win: Option[(Long, Long)],
       tPrev: Option[(Long, Long)], t: (Long, Long),
       sem: BiVisibility.Sem,
-      pruneUpTo: Long): (BiVis, Array[(String, Any, Any, Long)])
+      pruneUpTo: Long,
+      // DEMAND filter (round 17 — lazy per-attribute views): only
+      // attributes some attached standing actually reads are aggregated
+      // and tracked in the lane's emitted view; an undemanded
+      // attribute's candidates are skipped outright, so a registered-
+      // but-unread attribute costs ~0 per advance. A later standing
+      // that demands it is served by [[backfill]] — the emitted view is
+      // a pure function of (history, lane time), so reconstruction is
+      // exact. Index pruning is demand-INDEPENDENT (pruned entries are
+      // never needed again by any current lane; backfill scans the
+      // datom records, not the sys index).
+      demand: String => Boolean = _ => true)
+    : (BiVis, Array[(String, Any, Any, Long)])
+
+  /** Reconstruct lane `lane`'s emitted view for `attrs` — attributes the
+    * lane's transitions skipped under the demand filter — at its last
+    * processed coarse time `t`: aggregate every key of those attributes
+    * at the translated fine bounds and upsert the visible results into
+    * the lane's emitted view (exact: the emitted view is a pure function
+    * of the shared history and the lane time). Called BEFORE a late
+    * standing's replay dump. */
+  def backfill(lane: Int, win: Option[(Long, Long)], t: (Long, Long),
+      sem: BiVisibility.Sem, attrs: Set[String]): BiVis
 
   /** Lane `lane`'s full emitted view — replay feed for late/rebuilt
     * standing queries on that lane. */

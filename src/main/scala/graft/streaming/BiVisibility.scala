@@ -82,7 +82,9 @@ final class BiVisibility private (
     * coarse-lex-latest winner — BiEngine's `asOfBi` rules verbatim). */
   def transition(lane: Int, win: Option[(Long, Long)],
       tPrev: Option[(Long, Long)], t: (Long, Long), sem: Sem,
-      pruneUpTo: Long): (BiVisibility, Array[(String, Any, Any, Long)]) = {
+      pruneUpTo: Long,
+      demand: String => Boolean = _ => true)
+    : (BiVisibility, Array[(String, Any, Any, Long)]) = {
     val (ws, we) = win.getOrElse((0L, 0L))
     val sy = BiTime.visBound(t._1, ws)
     val ev = BiTime.visBound(t._2, we)
@@ -113,7 +115,7 @@ final class BiVisibility private (
     val out = mutable.ArrayBuffer.empty[(String, Any, Any, Long)]
     var em = emitted.getOrElse(lane, HashMap.empty)
     cands.foreach { k =>
-      if (seen.add(k)) {
+      if (seen.add(k) && demand(k.a)) {
         val cur = aggregate(k, sy, ev, win, sem(k.a))
         val prev = em.get(k)
         (prev, cur) match {
@@ -170,6 +172,29 @@ final class BiVisibility private (
         val w = math.max(0L, visible.map(_.diff).sum)
         if (w > 0L) Some(BiEmit(k.v, w)) else None
     }
+  }
+
+  /** Reconstruct lane `lane`'s emitted view for previously-undemanded
+    * `attrs` at its last processed coarse time `t` — one pass over those
+    * attributes' keys, aggregated at the translated fine bounds (exact
+    * on compacted history too: survivors carry collapsed sys ≤ every
+    * lane's processed bound and verbatim event coordinates). */
+  def backfill(lane: Int, win: Option[(Long, Long)], t: (Long, Long),
+      sem: Sem, attrs: Set[String]): BiVisibility = {
+    val (ws, we) = win.getOrElse((0L, 0L))
+    val sy = BiTime.visBound(t._1, ws)
+    val ev = BiTime.visBound(t._2, we)
+    var em = emitted.getOrElse(lane, HashMap.empty)
+    datoms.keysIterator.foreach { k =>
+      if (attrs.contains(k.a)) {
+        aggregate(k, sy, ev, win, sem(k.a)) match {
+          case Some(c) => em = em.updated(k, c)
+          case None    => em = em.removed(k)
+        }
+      }
+    }
+    new BiVisibility(datoms, bySys, byEvent, emitted.updated(lane, em),
+      prunedThrough, datomCount)
   }
 
   /** Lane `lane`'s full emitted view — replay feed for a standing query

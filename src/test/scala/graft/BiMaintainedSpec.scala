@@ -170,6 +170,71 @@ class BiMaintainedSpec extends AnyFunSuite {
     }
   }
 
+  test("late standing over a previously-UNREAD attribute backfills exactly (lazy views)") {
+    // Round 17 (lazy per-attribute views): transitions aggregate only
+    // the attributes some attached standing READS, so :bm/y is skipped
+    // while only the :bm/x standing is attached — and :bm/y is written
+    // ONLY at sys 0, so its keys never reappear in later slabs. A late
+    // :bm/y standing can therefore only be served by the history
+    // BACKFILL at its first processTime; without it the accumulated net
+    // is empty. All four backend x store combinations, full zoo.
+    val prevPacked = sys.props.get("graft.bi.packed")
+    val prevDist = sys.props.get("graft.bi.distributed")
+    try {
+      for {
+        packedOff <- Seq(false, true)
+        distributed <- Seq(false, true)
+        sem <- semanticsZoo
+      } {
+        if (packedOff) sys.props("graft.bi.packed") = "off"
+        else sys.props.remove("graft.bi.packed")
+        sys.props("graft.bi.distributed") = if (distributed) "on" else "off"
+        def run(late: Boolean): Map[Seq[Any], Long] = {
+          val bm = new BiMaintained(spark, partitions = 4)
+          Seq(":bm/x", ":bm/y").foreach(a =>
+            bm.createAttribute(a, AttributeConfig(sem)))
+          bm.register(Rule("qx", Plan.MatchA(0, ":bm/x", 1)))
+          bm.register(Rule("qy", Plan.MatchA(0, ":bm/y", 1)))
+          bm.interest("qx", None)
+          if (!late) bm.interest("qy", None)
+          val acc = scala.collection.mutable.Map
+            .empty[Seq[Any], Long].withDefaultValue(0L)
+          val batches = Seq(
+            Seq((1L, ":bm/y", 5L), (1L, ":bm/x", 7L)),
+            Seq((2L, ":bm/x", 8L)),
+            Seq((1L, ":bm/x", 9L)))
+          batches.zipWithIndex.foreach { case (ds, i) =>
+            if (late && i == batches.length - 1) bm.interest("qy", None)
+            bm.transact(ds.map { case (e, a, v) =>
+              bm.BiDatom(Value.eid(e), a, Value.num(v),
+                (i.toLong, i.toLong), 1L)
+            })
+            bm.advance(i + 1L)
+            bm.drain("qx")
+            if (!late || i == batches.length - 1)
+              bm.drain("qy").foreach { case (row, _, w) => acc(row) += w }
+          }
+          acc.filter(_._2 != 0L).toMap
+        }
+        val want = run(late = false)
+        val got = run(late = true)
+        assert(want == Map(Seq(1L, 5L) -> 1L), s"non-vacuous want: $want")
+        assert(got == want,
+          s"packedOff=$packedOff dist=$distributed sem=$sem: " +
+            s"want=$want got=$got")
+      }
+    } finally {
+      prevPacked match {
+        case Some(v) => sys.props("graft.bi.packed") = v
+        case None    => sys.props.remove("graft.bi.packed")
+      }
+      prevDist match {
+        case Some(v) => sys.props("graft.bi.distributed") = v
+        case None    => sys.props.remove("graft.bi.distributed")
+      }
+    }
+  }
+
   test("driver store migrates to the distributed sibling mid-history at the byte gate") {
     // Gate "1" flips on the first transact (nothing processed yet);
     // gate "1500" flips mid-history, AFTER earlier times were processed

@@ -61,6 +61,100 @@ class DeriveSpec extends AnyFunSuite {
     assert(engine.drain("named") == Seq((Seq(5L, "eve"), 0L, 1L)))
   }
 
+  test("inline pushes the distinctify below the join for key-unique attrs") {
+    // Round 17 (r16 VERDICT #1): when the pulled attribute is key-unique
+    // by input semantics, the view's full-row Union wrap narrows to a
+    // single-entity-column threshold BELOW the defining join; a
+    // non-unique attribute keeps the full wrap (the pushdown would be
+    // unsound — raw (e, v) weights can exceed 1).
+    val dp: Plan = Project(Seq(1, 999999), Join(Seq(1),
+      Hector(Seq(0, 1), Seq(Binding.Attr(0, "link", 1))),
+      MatchA(1, "dname", 999999)))
+    val derived = Map("ns/dname" -> ((dp: Plan, Seq(1, 999999))))
+    val scan: Plan = MatchA(10, "ns/dname", 11)
+    graft.plans.DerivedViews.inline(scan, Nil, derived,
+        uniqueAttr = Set("dname")) match {
+      case Join(Seq(10), Union(Seq(10), Seq(Project(Seq(10), _))),
+          MatchA(10, "dname", 11)) => ()
+      case other => fail(s"expected pushed-down shape, got $other")
+    }
+    graft.plans.DerivedViews.inline(scan, Nil, derived) match {
+      case Union(Seq(10, 11), Seq(Project(Seq(10, 11), _))) => ()
+      case other => fail(s"expected full-row distinctify wrap, got $other")
+    }
+    // PullAll-shaped view over a key-unique attribute: no wrap at all.
+    val dpAll: Plan = MatchA(0, "name", 1)
+    val derivedAll = Map("p/name" -> ((dpAll, Seq(0, 1))))
+    graft.plans.DerivedViews.inline(MatchA(20, "p/name", 21), Nil,
+        derivedAll, uniqueAttr = Set("name")) match {
+      case MatchA(20, "name", 21) => ()
+      case other => fail(s"expected bare scan, got $other")
+    }
+    graft.plans.DerivedViews.inline(MatchA(20, "p/name", 21), Nil,
+        derivedAll) match {
+      case Union(Seq(20, 21), Seq(MatchA(20, "name", 21))) => ()
+      case other => fail(s"expected wrapped scan, got $other")
+    }
+  }
+
+  test("pushed-down view: retracting one of two links keeps the row") {
+    // The weight-1 contract the pushdown must preserve: two entities link
+    // one target — retracting ONE link must emit NOTHING (support 2 -> 1),
+    // retracting the second collapses the row.
+    val e = new Engine(spark)
+    Seq("klink", "kname", "kbal").foreach(a =>
+      e.createAttribute(a, AttributeConfig(InputSemantics.Distinct)))
+    e.handle(Request.Derive("kc", "{ klink { kname } }"))
+    e.register(Rule("kfans", Join(Seq(0),
+      MatchA(0, "kc/kname", 1), MatchA(0, "kbal", 2))))
+    e.interestIncremental("kfans")
+    e.transact(Seq(
+      Datom.add(1L, "klink", Value.eid(7)),
+      Datom.add(2L, "klink", Value.eid(7)),
+      Datom.add(7L, "kname", Value.str("x")),
+      Datom.add(7L, "kbal", Value.num(3L))))
+    e.advance(1)
+    assert(e.drain("kfans").map { case (t, _, d) => (t, d) } ==
+      Seq((Seq(7L, "x", 3L), 1L)))
+    e.transact(Seq(Datom(1L, "klink", Value.eid(7), None, -1L)))
+    e.advance(2)
+    assert(e.drain("kfans").isEmpty, "one surviving link must keep the row")
+    e.transact(Seq(Datom(2L, "klink", Value.eid(7), None, -1L)))
+    e.advance(3)
+    assert(e.drain("kfans").map { case (t, _, d) => (t, d) } ==
+      Seq((Seq(7L, "x", 3L), -1L)))
+  }
+
+  test("Raw pulled attribute keeps the full-row distinctify") {
+    // Uniqueness does NOT hold (Raw semantics: duplicate (e, v) asserts
+    // accumulate weight): the threshold must stay — the view serves
+    // weight 1 while ANY support remains and collapses only at zero.
+    val e = new Engine(spark)
+    e.createAttribute("wl", AttributeConfig(InputSemantics.Distinct))
+    e.createAttribute("wn", AttributeConfig(InputSemantics.Raw))
+    e.createAttribute("wb", AttributeConfig(InputSemantics.Distinct))
+    e.handle(Request.Derive("wc", "{ wl { wn } }"))
+    e.register(Rule("wfans", Join(Seq(0),
+      MatchA(0, "wc/wn", 1), MatchA(0, "wb", 2))))
+    e.interestIncremental("wfans")
+    e.transact(Seq(
+      Datom.add(1L, "wl", Value.eid(7)),
+      Datom.add(7L, "wn", Value.str("x")),
+      Datom.add(7L, "wn", Value.str("x")), // raw duplicate
+      Datom.add(7L, "wb", Value.num(3L))))
+    e.advance(1)
+    assert(e.drain("wfans").map { case (t, _, d) => (t, d) } ==
+      Seq((Seq(7L, "x", 3L), 1L)))
+    e.transact(Seq(Datom(7L, "wn", Value.str("x"), None, -1L)))
+    e.advance(2)
+    assert(e.drain("wfans").isEmpty,
+      "one raw duplicate surviving must keep the row")
+    e.transact(Seq(Datom(7L, "wn", Value.str("x"), None, -1L)))
+    e.advance(3)
+    assert(e.drain("wfans").map { case (t, _, d) => (t, d) } ==
+      Seq((Seq(7L, "x", 3L), -1L)))
+  }
+
   test("registration errors carry reference categories (lib.rs:163-208)") {
     val engine = new Engine(spark)
     engine.createAttribute(":a")
