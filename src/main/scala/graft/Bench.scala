@@ -119,7 +119,11 @@ object Bench {
     // host fields to discover it. A top-level flag makes the rejection
     // programmatic. Threshold: >1 competing JVM (an sbt launch always
     // sees its own parent) or a 1-min load already >2 at window START.
-    val contaminated = loadStart > 2.0 || jvmsStart > 1
+    // Probe failure (-1 sentinels) FAILS CLOSED: an unprobeable window
+    // reads contaminated, not clean — the flag exists precisely for
+    // when the evidence would otherwise be missing.
+    val contaminated = loadStart < 0.0 || jvmsStart < 0 ||
+      loadStart > 2.0 || jvmsStart > 1
     val host = s""""contaminated":$contaminated,"host":{"load_start":$loadStart,"load_end":$loadEnd,"jvms_start":$jvmsStart,"jvms_end":$jvmsEnd}"""
     // Full-precision line first — the per-round capture files keep whole
     // stdout, so this is the builder/judge A/B record.

@@ -568,15 +568,7 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     // incremental init (round-16 advisory, bi twin in
     // BiMaintained.Standing). The bad rule still rejects loudly when a
     // standing actually references it.
-    val reachable: Set[String] = {
-      val seen = scala.collection.mutable.Set(name)
-      def expand(p: Plan): Unit =
-        Plan.dependencies(p)._2.foreach { n =>
-          if (seen.add(n)) rulePlans0.get(n).foreach(expand)
-        }
-      expand(domain.rules(name).plan)
-      seen.toSet
-    }
+    val reachable: Set[String] = Plan.reachableRules(name, rulePlans0)
     val rulePlans: Map[String, Plan] =
       rulePlans0.collect { case (n, p) if reachable(n) =>
         n -> inlineDerived(p, rulePlans0.values)

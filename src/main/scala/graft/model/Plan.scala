@@ -163,6 +163,23 @@ object Plan {
 
   private def merge(a: (Set[String], Set[String]), b: (Set[String], Set[String])) =
     (a._1 ++ b._1, a._2 ++ b._2)
+
+  /** Rule names reachable from `root`'s plan through `NameExpr`
+    * references (root included; references to names absent from `plans`
+    * are kept but not expanded). Shared by both engines' maintained
+    * attach paths, which restrict derived-view inlining to the rules a
+    * standing can actually reach — a registered-but-unreferenced rule
+    * with an unsupported derived usage must not poison other standings
+    * (round-16 advisory). */
+  def reachableRules(root: String, plans: collection.Map[String, Plan]): Set[String] = {
+    val seen = scala.collection.mutable.Set(root)
+    def expand(p: Plan): Unit =
+      dependencies(p)._2.foreach { n =>
+        if (seen.add(n)) plans.get(n).foreach(expand)
+      }
+    plans.get(root).foreach(expand)
+    seen.toSet
+  }
 }
 
 /** Built-in binary predicates — reference `BinaryPredicate`

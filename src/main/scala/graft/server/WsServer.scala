@@ -790,11 +790,17 @@ final class WsServer(engine: Engine, port: Int = 0,
           }
         }
         lazy val plainMsg = Wire.renderOutput(Output.QueryDiff(name, batch))
+        // Per-client containment on the UNI route too (round-17 review —
+        // the round-16 advisory's fix had only reached the bi route): a
+        // sink fold throwing for ONE client must not abort the loop
+        // after drain() already cleared the buffer, silently losing the
+        // advance's diffs for every later client and rule.
         for ((cid, (out, names)) <- clients if names.contains(name)) {
           val cBatch = coarsened(cid, name, batch)
           if (cBatch.nonEmpty) sinkStates.get((cid, name)) match {
             case None if cBatch eq batch => send(out, plainMsg)
-            case _                       => route(cid, name, out, cBatch)
+            case _ =>
+              guardedSinkFold(cid, out) { route(cid, name, out, cBatch) }
           }
         }
       } else {
@@ -803,7 +809,8 @@ final class WsServer(engine: Engine, port: Int = 0,
         for ((cid, (out, names)) <- clients if names.contains(name)
             if clientGrain.contains((cid, name))) {
           val cBatch = coarsened(cid, name, Seq.empty)
-          if (cBatch.nonEmpty) route(cid, name, out, cBatch)
+          if (cBatch.nonEmpty)
+            guardedSinkFold(cid, out) { route(cid, name, out, cBatch) }
         }
       }
     }

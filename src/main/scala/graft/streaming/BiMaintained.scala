@@ -875,15 +875,7 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     // that never reference that rule (round-16 advisory). The
     // unsupported rule still rejects loudly, but only when a standing
     // actually attaches to (or references) it.
-    private val reachable: Set[String] = {
-      val seen = mutable.Set(name)
-      def expand(p: Plan): Unit =
-        Plan.dependencies(p)._2.foreach { n =>
-          if (seen.add(n)) rulePlans0.get(n).foreach(expand)
-        }
-      expand(rules(name).plan)
-      seen.toSet
-    }
+    private val reachable: Set[String] = Plan.reachableRules(name, rulePlans0)
     // Distinct/LWW attributes resolve to weight ≤ 1 per (e, v) inside
     // the maintained path, enabling DerivedViews' distinct pushdown
     // (single-entity-column threshold instead of the full-row wrap).

@@ -157,22 +157,7 @@ final class BiPacked private (
         // Late-lane replay: the needed sys range reaches into the
         // pruned region — stream the DISTINCT key prefixes of the
         // (lex-sorted, netted) datom runs instead of the index.
-        new Iterator[(Long, Long, Long)] {
-          private val it = recs.iterator
-          private var last: (Long, Long, Long) = null
-          private var nextK: (Long, Long, Long) = null
-          advance()
-          private def advance(): Unit = {
-            nextK = null
-            while (nextK == null && it.hasNext) {
-              val (k, _) = it.next()
-              val cand = (k(0), k(1), k(2))
-              if (cand != last) { last = cand; nextK = cand }
-            }
-          }
-          def hasNext: Boolean = nextK != null
-          def next(): (Long, Long, Long) = { val o = nextK; advance(); o }
-        }
+        distinctKeyPrefixes
       } else {
         val raw: Iterator[(Array[Long], Long)] = tPrev match {
           case None => pruning(bySys.rangeByFirst(Long.MinValue, sy))
@@ -228,6 +213,27 @@ final class BiPacked private (
       emitted.merged(ed.result()), prunedNext, datomCount),
       out.toArray)
   }
+
+  /** DISTINCT key prefixes `(aid, e, v)` of the lex-sorted (netted)
+    * datom runs — adjacency dedup, one streaming pass. Shared by the
+    * transition's late-lane fallback and [[backfill]]. */
+  private def distinctKeyPrefixes: Iterator[(Long, Long, Long)] =
+    new Iterator[(Long, Long, Long)] {
+      private val it = recs.iterator
+      private var last: (Long, Long, Long) = null
+      private var nextK: (Long, Long, Long) = null
+      advance()
+      private def advance(): Unit = {
+        nextK = null
+        while (nextK == null && it.hasNext) {
+          val (k, _) = it.next()
+          val cand = (k(0), k(1), k(2))
+          if (cand != last) { last = cand; nextK = cand }
+        }
+      }
+      def hasNext: Boolean = nextK != null
+      def next(): (Long, Long, Long) = { val o = nextK; advance(); o }
+    }
 
   /** Visible aggregate of the encoded key at the TRANSLATED fine bounds
     * `(sy, ev)` as `(vEmit code, w)` — the packed mirror of the boxed
@@ -286,24 +292,26 @@ final class BiPacked private (
     val ed = mutable.ArrayBuilder.make[Long]
     val key = new Array[Long](3)
     val eKey = new Array[Long](4)
-    var last: (Long, Long, Long) = null
-    recs.iterator.foreach { case (rk, _) =>
-      val cand = (rk(0), rk(1), rk(2))
-      if (cand != last) {
-        last = cand
-        if (aidSet.contains(rk(0))) {
-          key(0) = rk(0); key(1) = rk(1); key(2) = rk(2)
-          val cur = aggregate(key, sy, ev, win, sem(attrNames(rk(0).toInt)))
-          eKey(0) = lane.toLong; eKey(1) = rk(0)
-          eKey(2) = rk(1); eKey(3) = rk(2)
-          val prev = emittedOf(eKey)
-          if (cur != prev) {
-            def push(vEmit: Long, dw: Long): Unit = {
-              ed += lane.toLong; ed += rk(0); ed += rk(1); ed += rk(2)
-              ed += vEmit; ed += dw
-            }
-            prev.foreach { case (pv, pw) => push(pv, -pw) }
-            cur.foreach { case (cv, cw) => push(cv, cw) }
+    distinctKeyPrefixes.foreach { case (ai, ec, vc) =>
+      if (aidSet.contains(ai)) {
+        key(0) = ai; key(1) = ec; key(2) = vc
+        val cur = aggregate(key, sy, ev, win, sem(attrNames(ai.toInt)))
+        eKey(0) = lane.toLong; eKey(1) = ai; eKey(2) = ec; eKey(3) = vc
+        val prev = emittedOf(eKey)
+        if (cur != prev) {
+          def push(vEmit: Long, dw: Long): Unit = {
+            ed += lane.toLong; ed += ai; ed += ec; ed += vc
+            ed += vEmit; ed += dw
+          }
+          // Same emission discipline as transition: a weight change on
+          // the same value is ONE merged signed entry, not a
+          // retract/assert pair left for the run merge to net.
+          (prev, cur) match {
+            case (Some((pv, pw)), Some((cv, cw))) if pv == cv =>
+              if (cw != pw) push(cv, cw - pw)
+            case _ =>
+              prev.foreach { case (pv, pw) => push(pv, -pw) }
+              cur.foreach { case (cv, cw) => push(cv, cw) }
           }
         }
       }

@@ -89,6 +89,12 @@ private[streaming] sealed trait BiStore {
 }
 
 private[streaming] object BiStore {
+  /** Demand Option → predicate, shared by both siblings. The returned
+    * lambda captures only the Set (or nothing), so it is safe to ship
+    * into executor closures. */
+  def demandFn(demand: Option[Set[String]]): String => Boolean =
+    demand.fold((_: String) => true)(s => s)
+
   /** Collect a distinct coarse-time lattice onto the driver behind the
     * loud `-Dgraft.bi.lattice.cap` guard (default 1M): a dense
     * WINDOWLESS history would otherwise collect a data-sized lattice —
@@ -149,11 +155,8 @@ private[streaming] final class DriverBiStore(spark: SparkSession)
       attrHint: Option[String] = None,
       demand: Option[Set[String]] = None): Map[String, DataFrame] = {
     val t0 = System.nanoTime()
-    val dm: String => Boolean = demand match {
-      case Some(s) => s
-      case None    => _ => true
-    }
-    val (next, rows) = vis.transition(lane, win, tPrev, t, sem, pruneUpTo, dm)
+    val (next, rows) = vis.transition(lane, win, tPrev, t, sem, pruneUpTo,
+      BiStore.demandFn(demand))
     vis = next
     val t1 = System.nanoTime()
     val out = BiStore.framesOf(spark, rows, kindOf)
@@ -250,20 +253,22 @@ private[streaming] final class CellBiStore(
       // the dominant cost of small advances on the cell store.
       attrHint: Option[String] = None,
       demand: Option[Set[String]] = None): Map[String, DataFrame] = {
-    // Resolve the demand ONCE into a serializable set: a Set[String] is
-    // the executor-closure-safe form (the function variant would drag
-    // the caller's object graph into the task).
-    val dmSet = demand
+    // Resolved on the driver — the lambda captures only the Set, so the
+    // task closure stays free of the store's object graph.
+    val dm = BiStore.demandFn(demand)
     val (out, n) = cell.advance1Counted(
         sc.parallelize(Seq.empty[Int], partitions)) { (vis, _) =>
-      val dm: String => Boolean = dmSet match {
-        case Some(s) => s
-        case None    => _ => true
-      }
       val (next, rows) = vis.transition(lane, win, tPrev, t, sem, pruneUpTo, dm)
       (next, rows)
     }
-    framesFrom(out, n, kindOf, attrHint)
+    // A singleton DEMAND set is as good an attribute hint as a
+    // single-attribute domain: the transition only emitted demanded
+    // attributes, so every row is provably the one demanded — the
+    // per-time distinct-attribute job (the dominant cost of small
+    // advances) is skipped for single-standing single-attribute lanes
+    // regardless of how wide the registered catalog is.
+    val hint = attrHint.orElse(demand.collect { case s if s.size == 1 => s.head })
+    framesFrom(out, n, kindOf, hint)
   }
 
   def backfill(lane: Int, win: Option[(Long, Long)], t: (Long, Long),
