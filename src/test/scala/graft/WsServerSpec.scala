@@ -411,6 +411,46 @@ class WsServerSpec extends AnyFunSuite {
     }
   }
 
+  test("a failing sink fold is contained per client on the uni route") {
+    // Round-17 review: the round-16 advisory's per-client containment
+    // had only reached the BI flush loop. One client's AssocIn fold
+    // throwing (a NUMBER in pull-path key position) must not abort the
+    // uni flush after drain() cleared the buffer — the plain watcher
+    // still gets its QueryDiff, and the failing client gets a loud
+    // wire Error instead of silence.
+    withServer { (server, a) =>
+      val b = new Client(server.boundPort)
+      try {
+        a.send("""{"CreateAttribute":{"name":":num","config":{"input_semantics":"Distinct"}}}""")
+        a.send("""{"CreateAttribute":{"name":":nm","config":{"input_semantics":"Distinct"}}}""")
+        a.send("""{"Register":{"rules":[{"name":"badpath","plan":
+          {"Join":{"variables":[0],"left_plan":{"MatchA":[0,":num",1]},
+            "right_plan":{"MatchA":[0,":nm",2]}}}}],"publish":["badpath"]}}""")
+        a.send("""{"Interest":{"name":"badpath","granularity":null,
+          "sink":{"AssocIn":{"stateful":null}},"disable_logging":null}}""")
+        b.send("""{"Interest":{"name":"badpath","granularity":null,
+          "sink":null,"disable_logging":null}}""")
+        // Ensure both interests landed before the advance.
+        b.send("\"Status\"")
+        Wire.parseOutput(b.next()) match {
+          case Output.Message(_, json) => assert(json.contains("df/status"))
+          case o => fail(s"expected Status, got $o")
+        }
+        a.send("""{"Transact":[[5,":num",7,null,1],[5,":nm","x",null,1]]}""")
+        a.send("""{"AdvanceDomain":[null,{"TxId":1}]}""")
+        Wire.parseOutput(b.next()) match {
+          case Output.QueryDiff("badpath", batch) => assert(batch.nonEmpty)
+          case o => fail(s"expected B's QueryDiff, got $o")
+        }
+        Wire.parseOutput(a.next()) match {
+          case Output.Error(_, _, msg, _) =>
+            assert(msg.contains("Expected a key"), msg)
+          case o => fail(s"expected A's contained sink error, got $o")
+        }
+      } finally { try b.close() catch { case _: Throwable => () } }
+    }
+  }
+
   test("Interest with a JsonDoc sink emits flattened document snapshots") {
     withServer { (_, client) =>
       client.send("""{"CreateAttribute":{"name":":p/child","config":{"input_semantics":"Distinct"}}}""")
