@@ -27,9 +27,44 @@ object Bench {
     (load, jvms)
   }
 
+  /** Fixed-work calibration probe: a pure-CPU xorshift spin and one
+    * 8 MB fsync'd write to the tmp volume, each timed in wall seconds.
+    * The WORK is identical every run, so a stalled window shows up
+    * directly as an inflated calibration — even when load averages look
+    * quiet (the round-17 finding: byte-identical code read 135 → 245 s
+    * across one day, every window starting at load < 1.2; CPU-steal or
+    * page-cache flush stalls are invisible to /proc/loadavg at window
+    * start). Readers compare start/end calibration across captures the
+    * way they compare host load. */
+  private def calibrate(): (Double, Double) = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 50000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    val cpu = (System.nanoTime() - t0) / 1e9
+    // Keep x observable so the spin cannot be eliminated.
+    if (x == 42L) System.err.print("")
+    val t1 = System.nanoTime()
+    val io =
+      try {
+        val f = java.io.File.createTempFile("graft-calib", ".bin")
+        try {
+          val ch = java.nio.channels.FileChannel.open(f.toPath,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            ch.write(java.nio.ByteBuffer.wrap(new Array[Byte](8 << 20)))
+            ch.force(true)
+          } finally ch.close()
+          (System.nanoTime() - t1) / 1e9
+        } finally { val _ = f.delete() }
+      } catch { case _: Throwable => -1.0 }
+    (cpu, io)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val (loadStart, jvmsStart) = hostLoad()
+    val (cpuStart, ioStart) = calibrate()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -114,6 +149,9 @@ object Bench {
       s"\"" + k + "\":" + jstr(m.take(300)) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val (loadEnd, jvmsEnd) = hostLoad()
+    val (cpuEnd, ioEnd) = calibrate()
+    def c3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", v: java.lang.Double)
     // Self-rejecting capture (r16 VERDICT #3): three rounds running the
     // driver window was contaminated and the comparison had to re-parse
     // host fields to discover it. A top-level flag makes the rejection
@@ -124,7 +162,7 @@ object Bench {
     // when the evidence would otherwise be missing.
     val contaminated = loadStart < 0.0 || jvmsStart < 0 ||
       loadStart > 2.0 || jvmsStart > 1
-    val host = s""""contaminated":$contaminated,"host":{"load_start":$loadStart,"load_end":$loadEnd,"jvms_start":$jvmsStart,"jvms_end":$jvmsEnd}"""
+    val host = s""""contaminated":$contaminated,"host":{"load_start":$loadStart,"load_end":$loadEnd,"jvms_start":$jvmsStart,"jvms_end":$jvmsEnd,"calib_cpu_start":${c3(cpuStart)},"calib_io_start":${c3(ioStart)},"calib_cpu_end":${c3(cpuEnd)},"calib_io_end":${c3(ioEnd)}}"""
     // Full-precision line first — the per-round capture files keep whole
     // stdout, so this is the builder/judge A/B record.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$host,"sf":"$sfDir"}""")
