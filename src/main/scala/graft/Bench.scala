@@ -63,7 +63,21 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val (loadStart, jvmsStart) = hostLoad()
+    // Act on the flag BEFORE the window opens (r17 VERDICT #3): four
+    // rounds running the driver's capture started under load and had to
+    // be re-adjudicated from a builder re-run. Probe; if the window
+    // would already read contaminated, wait and re-probe (bounded — at
+    // most ~2.5 min) so the published artifact is clean on the first
+    // driver attempt whenever the host quiets down at all.
+    var (loadStart, jvmsStart) = hostLoad()
+    var waits = 0
+    while ((loadStart > 2.0 || jvmsStart > 1) && waits < 5) {
+      System.err.println(
+        s"[bench] contaminated window (load=$loadStart jvms=$jvmsStart); waiting 30s")
+      Thread.sleep(30000L)
+      val p = hostLoad(); loadStart = p._1; jvmsStart = p._2
+      waits += 1
+    }
     val (cpuStart, ioStart) = calibrate()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -157,11 +171,21 @@ object Bench {
     // host fields to discover it. A top-level flag makes the rejection
     // programmatic. Threshold: >1 competing JVM (an sbt launch always
     // sees its own parent) or a 1-min load already >2 at window START.
-    // Probe failure (-1 sentinels) FAILS CLOSED: an unprobeable window
-    // reads contaminated, not clean — the flag exists precisely for
-    // when the evidence would otherwise be missing.
+    // Probe failure (-1 sentinels) FAILS CLOSED on EVERY probe — host
+    // load AND the calibration pair, start and end (r17 ADVICE: the
+    // calibration sentinels were previously ignored): an unprobeable
+    // window reads contaminated, not clean. The CPU calibration is
+    // fixed work on one thread, so end > 2x start can only be
+    // mid-window CPU starvation (steal, competing spin) — the stall
+    // mode /proc/loadavg misses at window start (SCALE_NOTES: 135 to
+    // 245 s on identical code, every window opening below load 1.2).
+    // The IO calibration stays reader-compared telemetry only: fsync
+    // latency legitimately swings several-fold with page-cache state,
+    // so it gates on probe FAILURE, not on inflation.
     val contaminated = loadStart < 0.0 || jvmsStart < 0 ||
-      loadStart > 2.0 || jvmsStart > 1
+      loadStart > 2.0 || jvmsStart > 1 ||
+      cpuStart < 0.0 || ioStart < 0.0 || cpuEnd < 0.0 || ioEnd < 0.0 ||
+      cpuEnd > 2.0 * cpuStart
     val host = s""""contaminated":$contaminated,"host":{"load_start":$loadStart,"load_end":$loadEnd,"jvms_start":$jvmsStart,"jvms_end":$jvmsEnd,"calib_cpu_start":${c3(cpuStart)},"calib_io_start":${c3(ioStart)},"calib_cpu_end":${c3(cpuEnd)},"calib_io_end":${c3(ioEnd)}}"""
     // Full-precision line first — the per-round capture files keep whole
     // stdout, so this is the builder/judge A/B record.

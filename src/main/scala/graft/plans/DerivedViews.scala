@@ -124,10 +124,17 @@ object DerivedViews {
           // entity before the join is exactly the view's weight-1
           // contract — and the threshold state narrows to one long
           // column. `e != v` guards the degenerate self-valued scan.
+          // The `!bound(innerP).contains(v)` guard (r17 ADVICE): the
+          // pattern trusts the GraphQL-lowered shape where only the
+          // MatchA side binds the value variable. Should a future
+          // derived plan bind v inside `inner` too, Project(Seq(e), ..)
+          // would silently drop that constraint — fall back to the
+          // full-row wrap instead.
           case Plan.Project(Seq(pe, pv),
               Plan.Join(Seq(je), innerP, Plan.MatchA(ae, aa, av)))
               if e != v && pe == e && pv == v && je == e && ae == e &&
-                av == v && !derived.contains(aa) && uniqueAttr(aa) =>
+                av == v && !derived.contains(aa) && uniqueAttr(aa) &&
+                !Plan.boundVariables(innerP, _ => Seq.empty).contains(v) =>
             Plan.Join(Seq(e),
               Plan.Union(Seq(e), Seq(Plan.Project(Seq(e), innerP))),
               Plan.MatchA(e, aa, v))

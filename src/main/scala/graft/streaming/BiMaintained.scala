@@ -164,9 +164,11 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     // per-attribute views, round 17): transitions aggregate ONLY the
     // attributes some attached standing reads; a newly-demanded
     // attribute is backfilled from history at its first appearance.
-    // Grows monotonically — a detached standing's attributes keep being
-    // maintained until the lane itself is GC'd (cheap relative to the
-    // re-backfill churn an eager shrink would invite).
+    // Bounded by the LIVE demand set at uninterest (round 18): when a
+    // member detaches, attributes no remaining member reads are dropped
+    // past the `graft.bi.covered.slack` allowance — re-demand pays one
+    // prefix-ranged backfill instead of every advance paying for the
+    // unread attribute.
     val covered = mutable.Set.empty[String]
 
     def winSys: Long = win.map(_._1).getOrElse(0L)
@@ -375,6 +377,23 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
       if (lane.members.isEmpty) {
         lanes.remove(lane.win)
         if (lane.lastProcessed.nonEmpty) store.dropLane(lane.id)
+      } else {
+        // Bound `covered` by the LIVE demand set (r17 VERDICT #5): an
+        // attribute no remaining member reads would otherwise keep
+        // being maintained until lane GC — at scale, churning standings
+        // would quietly re-create the eager per-advance cost the lazy
+        // views removed. Shrinking accepts one prefix-ranged backfill
+        // on re-demand (the emitted view's stale rows are upserted
+        // against history there; replay dumps filter by refAttrs, so
+        // they are unreadable in between). `graft.bi.covered.slack`
+        // keeps N stale attributes maintained for flappy
+        // detach/re-attach cycles (default 0: always shrink).
+        val live: Set[String] =
+          lane.members.iterator.flatMap(n => standings(n).refAttrs).toSet
+        val stale = lane.covered.toSet -- live
+        val slack =
+          sys.props.getOrElse("graft.bi.covered.slack", "0").toInt
+        if (stale.size > slack) lane.covered --= stale
       }
     }
 

@@ -278,10 +278,12 @@ final class BiPacked private (
   }
 
   /** Reconstruct lane `lane`'s emitted view for previously-undemanded
-    * `attrs` at its last processed coarse time `t` — one pass over the
-    * lex-sorted datom runs' distinct key prefixes (the late-lane
-    * fallback's iteration), restricted to those attributes, each
-    * aggregated at the translated fine bounds and upserted. */
+    * `attrs` at its last processed coarse time `t` — one PREFIX-RANGED
+    * pass per demanded attribute over the lex-sorted (attribute-first)
+    * datom runs (r17 VERDICT #2: the previous whole-store
+    * distinct-prefix sweep paid O(all keys) to backfill one late
+    * attribute out of a wide store), each distinct key aggregated at
+    * the translated fine bounds and upserted. */
   def backfill(lane: Int, win: Option[(Long, Long)], t: (Long, Long),
       sem: BiVisibility.Sem, attrs: Set[String]): BiPacked = {
     val aidSet: Set[Long] = attrs.flatMap(attrIds.get)
@@ -292,26 +294,35 @@ final class BiPacked private (
     val ed = mutable.ArrayBuilder.make[Long]
     val key = new Array[Long](3)
     val eKey = new Array[Long](4)
-    distinctKeyPrefixes.foreach { case (ai, ec, vc) =>
-      if (aidSet.contains(ai)) {
-        key(0) = ai; key(1) = ec; key(2) = vc
-        val cur = aggregate(key, sy, ev, win, sem(attrNames(ai.toInt)))
-        eKey(0) = lane.toLong; eKey(1) = ai; eKey(2) = ec; eKey(3) = vc
-        val prev = emittedOf(eKey)
-        if (cur != prev) {
-          def push(vEmit: Long, dw: Long): Unit = {
-            ed += lane.toLong; ed += ai; ed += ec; ed += vc
-            ed += vEmit; ed += dw
-          }
-          // Same emission discipline as transition: a weight change on
-          // the same value is ONE merged signed entry, not a
-          // retract/assert pair left for the run merge to net.
-          (prev, cur) match {
-            case (Some((pv, pw)), Some((cv, cw))) if pv == cv =>
-              if (cw != pw) push(cv, cw - pw)
-            case _ =>
-              prev.foreach { case (pv, pw) => push(pv, -pw) }
-              cur.foreach { case (cv, cw) => push(cv, cw) }
+    aidSet.toArray.sorted.foreach { ai =>
+      // Adjacency dedup of (e, v) inside ONE attribute's prefix range —
+      // the merged iterator streams in lex order, so distinct keys are
+      // contiguous.
+      var lastE = 0L; var lastV = 0L; var any = false
+      recs.iteratorForPrefix(Array(ai)).foreach { case (rk, _) =>
+        val ec = rk(1); val vc = rk(2)
+        if (!any || ec != lastE || vc != lastV) {
+          any = true; lastE = ec; lastV = vc
+          BiPacked.backfillKeysScanned.incrementAndGet()
+          key(0) = ai; key(1) = ec; key(2) = vc
+          val cur = aggregate(key, sy, ev, win, sem(attrNames(ai.toInt)))
+          eKey(0) = lane.toLong; eKey(1) = ai; eKey(2) = ec; eKey(3) = vc
+          val prev = emittedOf(eKey)
+          if (cur != prev) {
+            def push(vEmit: Long, dw: Long): Unit = {
+              ed += lane.toLong; ed += ai; ed += ec; ed += vc
+              ed += vEmit; ed += dw
+            }
+            // Same emission discipline as transition: a weight change on
+            // the same value is ONE merged signed entry, not a
+            // retract/assert pair left for the run merge to net.
+            (prev, cur) match {
+              case (Some((pv, pw)), Some((cv, cw))) if pv == cv =>
+                if (cw != pw) push(cv, cw - pw)
+              case _ =>
+                prev.foreach { case (pv, pw) => push(pv, -pw) }
+                cur.foreach { case (cv, cw) => push(cv, cw) }
+            }
           }
         }
       }
@@ -482,6 +493,14 @@ object BiPacked {
   private final val TagDict = 0L
   private final val TagInline = 1L
   private final val TagNull = 2L
+
+  /** Per-JVM telemetry: distinct (attribute, e, v) keys visited by
+    * [[BiPacked.backfill]] since process start. The spec's evidence
+    * that a late one-attribute demand scans ONLY that attribute's keys
+    * (r17 VERDICT #2), not the whole store — meaningful per JVM
+    * (exact under local[\*]; per-executor on a cluster, like any
+    * task-side metric). Never read by the engine. */
+  val backfillKeysScanned = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Approximate heap cost of one interned dictionary value: the boxed
     * payload plus its HashMap entry and Vector slot. */

@@ -317,18 +317,37 @@ class IncrementalQuery(
         // slots (long equality == SQL double equality), emissions carry
         // the canonicalized boxed sample. Both dials now share one
         // key-equality semantics; `off` is purely a footprint A/B.
-        val rc = realCol
+        // Only the REAL columns' indices — the r17 advisory: rebuilding
+        // the whole key Seq (zipWithIndex + per-element tuple + boxed
+        // Long) for every delta row taxes the mixed-kind path even when
+        // the row's real slots are all null. Probe the real slots first;
+        // rows with nothing to re-encode keep their original Seq.
+        val realIdx: Array[Int] =
+          realCol.zipWithIndex.collect { case (true, i) => i }
         val cs = canonSample
         wCell.advance1Counted(delta) { (s, dIt) =>
           var m = s
           val out = mutable.ArrayBuffer.empty[(Seq[Any], Long)]
           dIt.foreach { case (k, dw) =>
             if (dw != 0L) {
-              val tk: Seq[Any] = k.zipWithIndex.map { case (v, i) =>
-                if (rc(i) && v != null)
-                  java.lang.Long.valueOf(
-                    IncrementalHector.encReal(v.asInstanceOf[Double]))
-                else v
+              var needs = false
+              var j = 0
+              while (j < realIdx.length && !needs) {
+                if (k(realIdx(j)) != null) needs = true
+                j += 1
+              }
+              val tk: Seq[Any] = if (!needs) k else {
+                val a = k.toArray
+                var p = 0
+                while (p < realIdx.length) {
+                  val i = realIdx(p)
+                  val v = a(i)
+                  if (v != null)
+                    a(i) = java.lang.Long.valueOf(
+                      IncrementalHector.encReal(v.asInstanceOf[Double]))
+                  p += 1
+                }
+                scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
               }
               val w = m.getOrElse(tk, 0L)
               val nw = w + dw

@@ -119,8 +119,50 @@ final class PackedRuns private (
     }
 
   /** All net entries (k-way merge, zeros dropped) as (packed key, w). */
-  def iterator: Iterator[(Array[Long], Long)] = new Iterator[(Array[Long], Long)] {
-    private val cursors = Array.fill(runs.length)(0)
+  def iterator: Iterator[(Array[Long], Long)] = iteratorBounded(null)
+
+  /** [[iterator]] restricted to records whose leading `pfx.length`
+    * columns equal `pfx` — each run contributes one binary seek to the
+    * prefix's lower bound and a contiguous scan of its in-prefix
+    * records, so reading ONE attribute's records out of a wide
+    * lex-sorted store costs O(runs · log n + that prefix's records),
+    * not O(store). Streaming with the same netting/zero-dropping as
+    * the full iterator. */
+  def iteratorForPrefix(pfx: Array[Long]): Iterator[(Array[Long], Long)] = {
+    require(pfx != null && pfx.length <= width,
+      s"prefix width ${if (pfx == null) -1 else pfx.length} must be <= $width")
+    iteratorBounded(pfx)
+  }
+
+  private def iteratorBounded(pfx: Array[Long]): Iterator[(Array[Long], Long)] =
+    new Iterator[(Array[Long], Long)] {
+    private val cursors =
+      if (pfx == null) Array.fill(runs.length)(0)
+      else Array.tabulate(runs.length) { ri =>
+        // lower bound over the PREFIX columns only
+        val r = runs(ri)
+        var lo = 0
+        var hi = r.length / stride
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          val i = mid * stride
+          var c = 0
+          var k = 0
+          while (c == 0 && k < pfx.length) {
+            c = java.lang.Long.compare(r(i + k), pfx(k)); k += 1
+          }
+          if (c < 0) lo = mid + 1 else hi = mid
+        }
+        lo * stride
+      }
+    private def inRange(ri: Int): Boolean =
+      cursors(ri) < runs(ri).length && (pfx == null || {
+        val r = runs(ri); val i = cursors(ri)
+        var k = 0
+        var eq = true
+        while (eq && k < pfx.length) { eq = r(i + k) == pfx(k); k += 1 }
+        eq
+      })
     private var nextKV: (Array[Long], Long) = null
     advanceTo()
     private def cmpRuns(ri: Int, key: Array[Long]): Int =
@@ -131,7 +173,7 @@ final class PackedRuns private (
         var best: Array[Long] = null
         var ri = 0
         while (ri < runs.length) {
-          if (cursors(ri) < runs(ri).length) {
+          if (inRange(ri)) {
             if (best == null || cmpRuns(ri, best) < 0) {
               val r = runs(ri); val i = cursors(ri)
               best = java.util.Arrays.copyOfRange(r, i, i + width)
@@ -143,7 +185,7 @@ final class PackedRuns private (
         var w = 0L
         ri = 0
         while (ri < runs.length) {
-          if (cursors(ri) < runs(ri).length && cmpRuns(ri, best) == 0) {
+          if (inRange(ri) && cmpRuns(ri, best) == 0) {
             w += runs(ri)(cursors(ri) + width)
             cursors(ri) += stride
           }

@@ -235,6 +235,122 @@ class BiMaintainedSpec extends AnyFunSuite {
     }
   }
 
+  test("packed backfill scans only the demanded attribute's keys (r17 VERDICT #2)") {
+    // The lex-sorted runs are attribute-first, so a late one-attribute
+    // demand must be served by a PREFIX-RANGED scan: with :sc/x holding
+    // 200 distinct keys and :sc/y holding 3, backfilling :sc/y may
+    // visit exactly :sc/y's 3 distinct (e, v) keys — not the store's
+    // 203. The counter is per-JVM telemetry; suites run sequentially in
+    // the forked test JVM, so the delta is this test's alone.
+    val prevPacked = sys.props.get("graft.bi.packed")
+    val prevDist = sys.props.get("graft.bi.distributed")
+    try {
+      sys.props.remove("graft.bi.packed") // default = packed
+      sys.props("graft.bi.distributed") = "off"
+      val bm = new BiMaintained(spark, partitions = 4)
+      Seq(":sc/x", ":sc/y").foreach(a =>
+        bm.createAttribute(a, AttributeConfig(InputSemantics.Distinct)))
+      bm.register(Rule("scx", Plan.MatchA(0, ":sc/x", 1)))
+      bm.register(Rule("scy", Plan.MatchA(0, ":sc/y", 1)))
+      bm.interest("scx", None)
+      bm.transact(
+        (1L to 200L).map(e =>
+          bm.BiDatom(Value.eid(e), ":sc/x", Value.num(e * 10), (0L, 0L), 1L)) ++
+        (1L to 3L).map(e =>
+          bm.BiDatom(Value.eid(e), ":sc/y", Value.num(e), (0L, 0L), 1L)))
+      bm.advance(1L)
+      bm.drain("scx")
+      val before = graft.streaming.BiPacked.backfillKeysScanned.get()
+      bm.interest("scy", None) // late demand → backfill at next processTime
+      bm.transact(Seq(
+        bm.BiDatom(Value.eid(300L), ":sc/x", Value.num(999L), (1L, 1L), 1L)))
+      bm.advance(2L)
+      val scanned =
+        graft.streaming.BiPacked.backfillKeysScanned.get() - before
+      assert(scanned == 3L,
+        s"backfill must touch only :sc/y's 3 keys, scanned $scanned")
+      bm.drain("scx")
+      val got = bm.drain("scy").map { case (row, _, w) => (row, w) }.toSet
+      assert(got == (1L to 3L).map(e => (Seq[Any](e, e), 1L)).toSet, s"$got")
+    } finally {
+      prevPacked match {
+        case Some(v) => sys.props("graft.bi.packed") = v
+        case None    => sys.props.remove("graft.bi.packed")
+      }
+      prevDist match {
+        case Some(v) => sys.props("graft.bi.distributed") = v
+        case None    => sys.props.remove("graft.bi.distributed")
+      }
+    }
+  }
+
+  test("uninterest shrinks `covered` to live demand; re-attach backfills exactly (r17 VERDICT #5)") {
+    // attach → detach → advance×2 → re-attach. While detached, :cv/y
+    // must be UNMAINTAINED (bounded covered set — otherwise churning
+    // standings re-create the eager per-advance cost lazy views
+    // removed); the re-attach is served by one history backfill. Proof
+    // of "unmaintained": the backfill counter moves on the re-attach
+    // advance, and it moves by exactly :cv/y's distinct keys — a
+    // maintained attribute is never in the `missing` set. Exactness:
+    // the re-attached drain nets to the CURRENT visible state,
+    // including everything written while detached.
+    val prevPacked = sys.props.get("graft.bi.packed")
+    val prevDist = sys.props.get("graft.bi.distributed")
+    try {
+      sys.props.remove("graft.bi.packed")
+      sys.props("graft.bi.distributed") = "off"
+      val bm = new BiMaintained(spark, partitions = 4)
+      Seq(":cv/x", ":cv/y").foreach(a =>
+        bm.createAttribute(a, AttributeConfig(InputSemantics.Distinct)))
+      bm.register(Rule("cvx", Plan.MatchA(0, ":cv/x", 1)))
+      bm.register(Rule("cvy", Plan.MatchA(0, ":cv/y", 1)))
+      bm.interest("cvx", None)
+      bm.interest("cvy", None)
+      bm.transact(Seq(
+        bm.BiDatom(Value.eid(1L), ":cv/x", Value.num(10L), (0L, 0L), 1L),
+        bm.BiDatom(Value.eid(1L), ":cv/y", Value.num(5L), (0L, 0L), 1L)))
+      bm.advance(1L)
+      bm.drain("cvx"); bm.drain("cvy")
+      bm.uninterest("cvy")
+      // Detached: y writes land in history but no lane maintains them.
+      bm.transact(Seq(
+        bm.BiDatom(Value.eid(2L), ":cv/y", Value.num(6L), (1L, 1L), 1L),
+        bm.BiDatom(Value.eid(2L), ":cv/x", Value.num(20L), (1L, 1L), 1L)))
+      bm.advance(2L)
+      bm.drain("cvx")
+      bm.transact(Seq(
+        bm.BiDatom(Value.eid(1L), ":cv/y", Value.num(5L), (2L, 2L), -1L)))
+      bm.advance(3L)
+      bm.drain("cvx")
+      // Re-attach: the next processed time must BACKFILL :cv/y.
+      bm.interest("cvy", None)
+      val before = graft.streaming.BiPacked.backfillKeysScanned.get()
+      bm.transact(Seq(
+        bm.BiDatom(Value.eid(3L), ":cv/x", Value.num(30L), (3L, 3L), 1L)))
+      bm.advance(4L)
+      val scanned =
+        graft.streaming.BiPacked.backfillKeysScanned.get() - before
+      assert(scanned == 2L,
+        s"re-attach must backfill exactly :cv/y's 2 distinct keys " +
+          s"(unmaintained while detached), scanned $scanned")
+      bm.drain("cvx")
+      val acc = scala.collection.mutable.Map
+        .empty[Seq[Any], Long].withDefaultValue(0L)
+      bm.drain("cvy").foreach { case (row, _, w) => acc(row) += w }
+      assert(acc.filter(_._2 != 0L).toMap == Map(Seq[Any](2L, 6L) -> 1L),
+        s"re-attached drain must net to the CURRENT visible state: $acc")
+    } finally {
+      prevPacked match {
+        case Some(v) => sys.props("graft.bi.packed") = v
+        case None    => sys.props.remove("graft.bi.packed")
+      }
+      prevDist match {
+        case Some(v) => sys.props("graft.bi.distributed") = v
+        case None    => sys.props.remove("graft.bi.distributed")
+      }
+    }
+  }
+
   test("driver store migrates to the distributed sibling mid-history at the byte gate") {
     // Gate "1" flips on the first transact (nothing processed yet);
     // gate "1500" flips mid-history, AFTER earlier times were processed

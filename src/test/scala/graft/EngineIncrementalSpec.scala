@@ -115,6 +115,57 @@ class EngineIncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("registered-but-unread attributes cost ZERO Spark jobs per advance (uni lazy demand)") {
+    // r17 VERDICT #6: the bi domain's demand-driven laziness was pinned
+    // by the pqsource probe; this is the uni twin. The maintained path
+    // prices by DEMAND by construction — `incrementalDeltas` iterates
+    // the standing's referencedAttributes only, and an advance whose
+    // buffered deltas touch none of them skips the standing outright —
+    // so advances that write ONLY a registered-but-unread attribute
+    // (with its own registered-but-uninterested rule) must schedule NO
+    // Spark job at all, regardless of catalog width.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val e = new Engine(spark)
+    e.createAttribute(":u/x", AttributeConfig(InputSemantics.Distinct))
+    e.createAttribute(":u/y", AttributeConfig(InputSemantics.Distinct))
+    e.register(Rule("qx", matchA(0, ":u/x", 1)))
+    e.register(Rule("qy", matchA(0, ":u/y", 1))) // never interested
+    e.interestIncremental("qx")
+    e.transact(Seq(Datom(1, ":u/x", Value.num(1), None, 1),
+      Datom(1, ":u/y", Value.num(9), None, 1)))
+    e.advance(1L)
+    assert(e.drain("qx").nonEmpty)
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val _ = jobs.incrementAndGet()
+      }
+    }
+    def settled(): Long = {
+      // The listener bus is async: wait until the counter stops moving.
+      val deadline = System.nanoTime + 10_000_000_000L
+      var prev = -1L
+      var cur = jobs.get
+      while (prev != cur && System.nanoTime < deadline) {
+        prev = cur; Thread.sleep(200); cur = jobs.get
+      }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      jobs.set(0)
+      (2L to 4L).foreach { t =>
+        e.transact(Seq(Datom(t, ":u/y", Value.num(t), None, 1)))
+        e.advance(t)
+        assert(e.drain("qx").isEmpty)
+      }
+      val n = settled()
+      assert(n == 0L,
+        s"3 unread-attribute advances scheduled $n Spark jobs; the " +
+          "maintained path must price by demand, not catalog width")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("late subscriber replays accumulated state at the current frontier") {
     val history = Seq(
       Seq(Datom(1, ":p/x", Value.num(1), None, 1),

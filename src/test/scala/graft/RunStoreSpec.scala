@@ -80,6 +80,17 @@ class RunStoreSpec extends AnyFunSuite {
         }
         assert(runs.iterator.map { case (k, w) => k.toVector -> w }.toMap ==
           model.toMap, s"iterator width=$width seed=$seed batch=$i")
+        // prefix-ranged iteration == full iteration filtered, at every
+        // prefix width (r18: the backfill's per-attribute seek)
+        for (pw <- 1 to width; p0 <- -2L to 2L) {
+          val pfx = Array.fill(pw)(p0)
+          val want = model.collect {
+            case (k, w) if k.take(pw) == pfx.toVector => k -> w
+          }.toMap
+          assert(runs.iteratorForPrefix(pfx)
+            .map { case (k, w) => k.toVector -> w }.toMap == want,
+            s"iteratorForPrefix(${pfx.toSeq}) width=$width seed=$seed batch=$i")
+        }
       }
     }
   }

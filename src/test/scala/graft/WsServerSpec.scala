@@ -428,9 +428,18 @@ class WsServerSpec extends AnyFunSuite {
             "right_plan":{"MatchA":[0,":nm",2]}}}}],"publish":["badpath"]}}""")
         a.send("""{"Interest":{"name":"badpath","granularity":null,
           "sink":{"AssocIn":{"stateful":null}},"disable_logging":null}}""")
+        // Cross-client barrier: a and b are separate sockets, so b's
+        // Interest could otherwise reach the server before a's Register
+        // (observed as df.error.category/not-found under full-suite
+        // load). Await a's Status ack before b sends anything.
+        a.send("\"Status\"")
+        Wire.parseOutput(a.next()) match {
+          case Output.Message(_, json) => assert(json.contains("df/status"))
+          case o => fail(s"expected A's Status, got $o")
+        }
         b.send("""{"Interest":{"name":"badpath","granularity":null,
           "sink":null,"disable_logging":null}}""")
-        // Ensure both interests landed before the advance.
+        // Ensure b's interest landed before the advance.
         b.send("\"Status\"")
         Wire.parseOutput(b.next()) match {
           case Output.Message(_, json) => assert(json.contains("df/status"))
