@@ -96,4 +96,26 @@ object Sampling {
     df.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
+
+  /** Deterministic training-shard shuffle: the "write the corpus out in
+    * a fixed random order, split into N shards" step before training.
+    * Each row's portable hash (`h64("shard:" ++ id)`) is both its shard
+    * assignment (`h mod nShards`) and its sort key within the shard, so
+    * the global order is a pure function of the ids — reproducible
+    * across engines, runs, and cluster sizes, and any shard can be
+    * re-derived independently (no RNG state, no global sort).
+    *
+    * Scale shape: the hash is map-side; the per-shard position is ONE
+    * hash shuffle keyed by shard plus a spillable per-partition sort
+    * (a single window sweep). nShards should be ≥ the write parallelism
+    * wanted at the sink — each shard lands in one task's sorted run. */
+  def shardShuffle(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    val h = h64(concat_ws(":", lit("shard"), col(idCol).cast("string")))
+    df.select(col(idCol).cast("long").as("id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("h").asc, col("id").asc)).cast("long"))
+      .select(col("id"), col("shard"), col("pos"))
+  }
 }

@@ -34,6 +34,35 @@ object TextAnalysis {
       (length(t) - length(regexp_replace(t, "[0-9]", ""))).as("ndigits"))
   }
 
+  /** Self-trained unigram language-model score per document — the
+    * likelihood-based quality filter of a training-data pipeline ("drop
+    * documents whose tokens the corpus itself finds improbable"),
+    * expressed float-free so the result hash-compares across engines:
+    * each token scores its corpus probability in ppm via exact integer
+    * division (`cnt · 10⁶ div Σcnt`), and a document carries the SUM and
+    * the MIN of its token scores (Σ is the quantized unnormalized
+    * likelihood; MIN is the rarest-token facet rare-garbage filters cut
+    * on) plus its token count for consumers that want the mean.
+    *
+    * Scale shape: one explode (map-side), one token-keyed count shuffle
+    * for the vocabulary, one token-keyed shuffle join scoring the corpus
+    * against it (vocabulary ≪ corpus but NOT broadcast-sized at 100 TB —
+    * the join stays a hash join on the token key), one doc-keyed
+    * aggregation. The grand total rides as a broadcast one-row frame. */
+  def unigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("total"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("id"), expr("(cnt * 1000000L) DIV total").as("ppm"))
+      .groupBy("id").agg(
+        count(lit(1)).cast("long").as("ntokens"),
+        sum("ppm").cast("long").as("lm_ppm_sum"),
+        min("ppm").cast("long").as("lm_ppm_min"))
+  }
+
   /** PII patterns, ordered most-specific-first so a match is consumed by
     * its own category (an SSN never half-matches as a phone, an email's
     * digits never match as a card number). Java-regex only — every rule

@@ -396,6 +396,20 @@ object PipelineQueries {
           Map("en" -> 500, "zh" -> 100), 250)
         .select(col("doc_id").cast("long").as("id"), col("lang"))),
 
+    "q_shard_shuffle" -> ((s, dir) =>
+      // Deterministic training-shard shuffle: hash-ordered global
+      // permutation split into 8 shards, each row's position derivable
+      // from the ids alone (no RNG state, reproducible at any cluster
+      // size — one shard-keyed shuffle + per-partition sort).
+      graft.pipeline.Sampling.shardShuffle(docs(s, dir), "doc_id", 8)),
+
+    "q_text_lm_score" -> ((s, dir) =>
+      // Self-trained unigram LM quality score, ppm-quantized: vocabulary
+      // counted over the corpus itself, each document scored by the sum
+      // and min of its tokens' corpus probabilities — exact integer
+      // arithmetic end to end.
+      TextAnalysis.unigramLmScore(docs(s, dir), "doc_id", "text")),
+
     "q_agg_hll" -> ((s, dir) =>
       // Deterministic HyperLogLog register table over document texts: the
       // 100 TB COUNT(DISTINCT) primitive — per-partition state is a fixed
@@ -1002,6 +1016,30 @@ object PipelineQueries {
       s"""SELECT CAST(doc_id AS BIGINT) AS id, lang FROM documents
           WHERE ${h64Sql("doc_id")} % 1000 <
                 CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 100 ELSE 250 END""",
+
+    "q_shard_shuffle" ->
+      s"""SELECT id, shard,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                   ORDER BY h ASC, id ASC) AS BIGINT) AS pos
+          FROM (SELECT CAST(doc_id AS BIGINT) AS id,
+                       ${h64Sql("'shard:' || CAST(doc_id AS VARCHAR)")} AS h,
+                       ${h64Sql("'shard:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
+                FROM documents)""",
+
+    "q_text_lm_score" ->
+      s"""WITH toks AS (
+            SELECT CAST(doc_id AS BIGINT) AS id,
+                   unnest(${tokensSql("text")}) AS tok
+            FROM documents),
+          vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+          tot AS (SELECT SUM(cnt) AS total FROM vocab),
+          scored AS (
+            SELECT id, (cnt * 1000000) // total AS ppm
+            FROM toks JOIN vocab USING (tok), tot)
+          SELECT id, CAST(COUNT(*) AS BIGINT) AS ntokens,
+                 CAST(SUM(ppm) AS BIGINT) AS lm_ppm_sum,
+                 CAST(MIN(ppm) AS BIGINT) AS lm_ppm_min
+          FROM scored GROUP BY id""",
 
     "q_agg_hll" ->
       graft.pipeline.Sketches.hllRegistersSql("text", "documents"),

@@ -260,6 +260,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly one shuffle:\n$plan")
   }
 
+  test("shard shuffle is one hash exchange + one window; no join, no global sort") {
+    // The training-shard permutation must stay a pure function of the
+    // ids with per-shard locality: hash map-side, ONE shuffle keyed by
+    // shard, one spillable per-partition sort — never a global sort
+    // (rangepartitioning) and never a join-back.
+    val plan = planOf("q_shard_shuffle")
+    assert(plan.contains("Window"), s"expected the per-shard window:\n$plan")
+    assert(!plan.contains("Join"), s"shard shuffle must not join:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"shard shuffle must not global-sort:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one shard-keyed shuffle:\n$plan")
+  }
+
+  test("unigram LM score scans (doc_id, text) once per side and joins on the token key") {
+    // The vocabulary join must be a hash join on the token key (at
+    // 100 TB the vocab is not broadcast-sized; at test SF AQE may
+    // broadcast it — both are hash joins). The only nested-loop is the
+    // broadcast ONE-ROW grand total.
+    val plan = planOf("q_text_lm_score")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string"),
+      s"expected the scan pruned to (doc_id, text):\n$plan")
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nlj <= 1, s"only the one-row total may nested-loop:\n$plan")
+  }
+
   test("GLOBAL sweep: no UDFs, no cartesian products, anywhere in the query surface") {
     // Engine-wide guarantee, not per-query: every driver query's
     // physical plan is UDF-free (whole-stage-codegen expressions only)
