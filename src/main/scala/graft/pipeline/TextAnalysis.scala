@@ -50,8 +50,13 @@ object TextAnalysis {
     * the join stays a hash join on the token key), one doc-keyed
     * aggregation. The grand total rides as a broadcast one-row frame. */
   def unigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Drop the empty pseudo-token (splitting an empty/whitespace-only
+    // text yields [""] in both engines — sibling convention): an empty
+    // document contributes nothing to the vocabulary and gets NO score
+    // row, rather than a nonzero "likelihood" for the '' token.
     val toks = docs.select(col(idCol).cast("long").as("id"),
       explode(tokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(sum("cnt").as("total"))
     toks.join(vocab, "tok")

@@ -1018,19 +1018,19 @@ object PipelineQueries {
                 CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 100 ELSE 250 END""",
 
     "q_shard_shuffle" ->
-      s"""SELECT id, shard,
-                 CAST(ROW_NUMBER() OVER (PARTITION BY shard
+      s"""SELECT id, h % 8 AS shard,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY h % 8
                    ORDER BY h ASC, id ASC) AS BIGINT) AS pos
           FROM (SELECT CAST(doc_id AS BIGINT) AS id,
-                       ${h64Sql("'shard:' || CAST(doc_id AS VARCHAR)")} AS h,
-                       ${h64Sql("'shard:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
+                       ${h64Sql("'shard:' || CAST(doc_id AS VARCHAR)")} AS h
                 FROM documents)""",
 
     "q_text_lm_score" ->
       s"""WITH toks AS (
-            SELECT CAST(doc_id AS BIGINT) AS id,
-                   unnest(${tokensSql("text")}) AS tok
-            FROM documents),
+            SELECT id, tok FROM (
+              SELECT CAST(doc_id AS BIGINT) AS id,
+                     unnest(${tokensSql("text")}) AS tok
+              FROM documents) WHERE tok <> ''),
           vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
           tot AS (SELECT SUM(cnt) AS total FROM vocab),
           scored AS (

@@ -385,14 +385,18 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
         // views removed. Shrinking accepts one prefix-ranged backfill
         // on re-demand (the emitted view's stale rows are upserted
         // against history there; replay dumps filter by refAttrs, so
-        // they are unreadable in between). `graft.bi.covered.slack`
-        // keeps N stale attributes maintained for flappy
-        // detach/re-attach cycles (default 0: always shrink).
+        // they are unreadable in between). `graft.bi.covered.slack` is
+        // a HYSTERESIS threshold, not a retained count: while the stale
+        // set stays at or under it nothing shrinks (flappy single
+        // detach/re-attach cycles keep their maintenance); once it is
+        // exceeded, the WHOLE stale set drops (default 0: always
+        // shrink). Malformed values read as 0 — a teardown must never
+        // throw halfway.
         val live: Set[String] =
           lane.members.iterator.flatMap(n => standings(n).refAttrs).toSet
         val stale = lane.covered.toSet -- live
-        val slack =
-          sys.props.getOrElse("graft.bi.covered.slack", "0").toInt
+        val slack = sys.props.get("graft.bi.covered.slack")
+          .flatMap(_.toIntOption).getOrElse(0)
         if (stale.size > slack) lane.covered --= stale
       }
     }

@@ -295,37 +295,39 @@ final class BiPacked private (
     val key = new Array[Long](3)
     val eKey = new Array[Long](4)
     aidSet.toArray.sorted.foreach { ai =>
-      // Adjacency dedup of (e, v) inside ONE attribute's prefix range —
-      // the merged iterator streams in lex order, so distinct keys are
-      // contiguous.
-      var lastE = 0L; var lastV = 0L; var any = false
-      recs.iteratorForPrefix(Array(ai)).foreach { case (rk, _) =>
-        val ec = rk(1); val vc = rk(2)
-        if (!any || ec != lastE || vc != lastV) {
-          any = true; lastE = ec; lastV = vc
-          BiPacked.backfillKeysScanned.incrementAndGet()
-          key(0) = ai; key(1) = ec; key(2) = vc
-          val cur = aggregate(key, sy, ev, win, sem(attrNames(ai.toInt)))
-          eKey(0) = lane.toLong; eKey(1) = ai; eKey(2) = ec; eKey(3) = vc
-          val prev = emittedOf(eKey)
-          if (cur != prev) {
-            def push(vEmit: Long, dw: Long): Unit = {
-              ed += lane.toLong; ed += ai; ed += ec; ed += vc
-              ed += vEmit; ed += dw
-            }
-            // Same emission discipline as transition: a weight change on
-            // the same value is ONE merged signed entry, not a
-            // retract/assert pair left for the run merge to net.
-            (prev, cur) match {
-              case (Some((pv, pw)), Some((cv, cw))) if pv == cv =>
-                if (cw != pw) push(cv, cw - pw)
-              case _ =>
-                prev.foreach { case (pv, pw) => push(pv, -pw) }
-                cur.foreach { case (cv, cw) => push(cv, cw) }
-            }
+      val seen = mutable.HashSet.empty[(Long, Long)]
+      def touch(ec: Long, vc: Long): Unit = if (seen.add((ec, vc))) {
+        BiPacked.backfillKeysScanned.incrementAndGet()
+        key(0) = ai; key(1) = ec; key(2) = vc
+        val cur = aggregate(key, sy, ev, win, sem(attrNames(ai.toInt)))
+        eKey(0) = lane.toLong; eKey(1) = ai; eKey(2) = ec; eKey(3) = vc
+        val prev = emittedOf(eKey)
+        if (cur != prev) {
+          def push(vEmit: Long, dw: Long): Unit = {
+            ed += lane.toLong; ed += ai; ed += ec; ed += vc
+            ed += vEmit; ed += dw
+          }
+          // Same emission discipline as transition: a weight change on
+          // the same value is ONE merged signed entry, not a
+          // retract/assert pair left for the run merge to net.
+          (prev, cur) match {
+            case (Some((pv, pw)), Some((cv, cw))) if pv == cv =>
+              if (cw != pw) push(cv, cw - pw)
+            case _ =>
+              prev.foreach { case (pv, pw) => push(pv, -pw) }
+              cur.foreach { case (cv, cw) => push(cv, cw) }
           }
         }
       }
+      recs.iteratorForPrefix(Array(ai)).foreach(r => touch(r._1(1), r._1(2)))
+      // Also the lane's EXISTING emitted keys for this attribute: a key
+      // fully retracted AND slack-compacted away while the attribute was
+      // unmaintained (covered-shrink window) has no history records
+      // left, so the prefix scan above never visits it — but its stale
+      // emitted row must still RETRACT (aggregate = None vs prev).
+      // Without this, a re-attached standing replays a phantom row.
+      emitted.prefix(Array(lane.toLong, ai))
+        .foreach(r => touch(r._1(0), r._1(1)))
     }
     new BiPacked(attrNames, attrIds, dictVals, dictIds, dictBytes,
       recs, bySys, byEvent, emitted.merged(ed.result()), prunedThrough,

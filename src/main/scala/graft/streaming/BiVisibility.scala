@@ -193,6 +193,13 @@ final class BiVisibility private (
         }
       }
     }
+    // Stale emitted keys with NO surviving history (fully retracted and
+    // slack-compacted away while the attribute was unmaintained under a
+    // covered-shrink window) are unreachable from the datoms iteration —
+    // retract them here or a re-attached standing replays phantom rows.
+    em.keysIterator.toList.foreach { k =>
+      if (attrs.contains(k.a) && !datoms.contains(k)) em = em.removed(k)
+    }
     new BiVisibility(datoms, bySys, byEvent, emitted.updated(lane, em),
       prunedThrough, datomCount)
   }

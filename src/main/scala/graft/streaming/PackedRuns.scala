@@ -39,6 +39,24 @@ final class PackedRuns private (
     lo * stride
   }
 
+  /** [[lowerBound]] comparing only the leading `pfx.length` columns —
+    * the seek shared by [[prefix]] and [[iteratorForPrefix]]. */
+  private def lowerBoundForPrefix(r: Array[Long], pfx: Array[Long]): Int = {
+    var lo = 0
+    var hi = r.length / stride
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val i = mid * stride
+      var c = 0
+      var k = 0
+      while (c == 0 && k < pfx.length) {
+        c = java.lang.Long.compare(r(i + k), pfx(k)); k += 1
+      }
+      if (c < 0) lo = mid + 1 else hi = mid
+    }
+    lo * stride
+  }
+
   /** Net weight of `key` — 0 means absent. */
   def get(key: Array[Long]): Long = {
     var w = 0L
@@ -63,20 +81,7 @@ final class PackedRuns private (
     var ri = 0
     while (ri < runs.length) {
       val r = runs(ri)
-      // lower bound over the key PREFIX only
-      var lo = 0
-      var hi = r.length / stride
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        val i = mid * stride
-        var c = 0
-        var k = 0
-        while (c == 0 && k < kw) {
-          c = java.lang.Long.compare(r(i + k), key(k)); k += 1
-        }
-        if (c < 0) lo = mid + 1 else hi = mid
-      }
-      var i = lo * stride
+      var i = lowerBoundForPrefix(r, key)
       def prefixEq(at: Int): Boolean = {
         var k = 0
         while (k < kw) {
@@ -138,23 +143,7 @@ final class PackedRuns private (
     new Iterator[(Array[Long], Long)] {
     private val cursors =
       if (pfx == null) Array.fill(runs.length)(0)
-      else Array.tabulate(runs.length) { ri =>
-        // lower bound over the PREFIX columns only
-        val r = runs(ri)
-        var lo = 0
-        var hi = r.length / stride
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          val i = mid * stride
-          var c = 0
-          var k = 0
-          while (c == 0 && k < pfx.length) {
-            c = java.lang.Long.compare(r(i + k), pfx(k)); k += 1
-          }
-          if (c < 0) lo = mid + 1 else hi = mid
-        }
-        lo * stride
-      }
+      else Array.tabulate(runs.length)(ri => lowerBoundForPrefix(runs(ri), pfx))
     private def inRange(ri: Int): Boolean =
       cursors(ri) < runs(ri).length && (pfx == null || {
         val r = runs(ri); val i = cursors(ri)

@@ -351,6 +351,81 @@ class BiMaintainedSpec extends AnyFunSuite {
     }
   }
 
+  test("re-attach after full retraction + compaction delivers NO phantom row (r18 review)") {
+    // The covered-shrink hole the round-18 review found: while :fp/y is
+    // detached (unmaintained), its only datom is fully retracted and
+    // slack compaction then drops the netted key group from HISTORY —
+    // but the lane's stale emitted row survives compaction verbatim.
+    // A backfill that only visits history keys can never retract it,
+    // so the re-attached standing would replay a phantom (1, 5) row.
+    // The fix visits the union of history keys and the lane's emitted
+    // keys. Both store backends.
+    val prevPacked = sys.props.get("graft.bi.packed")
+    val prevDist = sys.props.get("graft.bi.distributed")
+    val prevSlack = sys.props.get("graft.bi.slack")
+    try {
+      sys.props("graft.bi.distributed") = "off"
+      sys.props("graft.bi.slack") = "0" // compact aggressively
+      for (packedOff <- Seq(false, true)) {
+        if (packedOff) sys.props("graft.bi.packed") = "off"
+        else sys.props.remove("graft.bi.packed")
+        val bm = new BiMaintained(spark, partitions = 4)
+        Seq(":fp/x", ":fp/y").foreach(a =>
+          bm.createAttribute(a, AttributeConfig(InputSemantics.Distinct)))
+        bm.register(Rule("fpx", Plan.MatchA(0, ":fp/x", 1)))
+        bm.register(Rule("fpy", Plan.MatchA(0, ":fp/y", 1)))
+        bm.interest("fpx", None); bm.interest("fpy", None)
+        bm.transact(Seq(
+          bm.BiDatom(Value.eid(1L), ":fp/x", Value.num(10L), (0L, 0L), 1L),
+          bm.BiDatom(Value.eid(1L), ":fp/y", Value.num(5L), (0L, 0L), 1L)))
+        bm.advance(1L)
+        bm.drain("fpx"); bm.drain("fpy")
+        bm.uninterest("fpy") // covered shrinks; :fp/y unmaintained
+        // Full retraction at the SAME event coordinate: the per-event
+        // net is 0, so compaction drops the key group from history.
+        bm.transact(Seq(
+          bm.BiDatom(Value.eid(1L), ":fp/y", Value.num(5L), (1L, 0L), -1L),
+          bm.BiDatom(Value.eid(2L), ":fp/x", Value.num(20L), (1L, 1L), 1L)))
+        bm.advance(2L)
+        bm.drain("fpx")
+        bm.transact(Seq(
+          bm.BiDatom(Value.eid(3L), ":fp/x", Value.num(30L), (2L, 2L), 1L)))
+        bm.advance(3L)
+        bm.drain("fpx")
+        // Re-attach: backfill must retract the stale emitted row even
+        // though :fp/y has NO history records left.
+        bm.interest("fpy", None)
+        val before = graft.streaming.BiPacked.backfillKeysScanned.get()
+        bm.transact(Seq(
+          bm.BiDatom(Value.eid(4L), ":fp/x", Value.num(40L), (3L, 3L), 1L)))
+        bm.advance(4L)
+        bm.drain("fpx")
+        if (!packedOff) {
+          // Non-vacuity: the ONE key the packed backfill visited came
+          // from the EMITTED view, not history — compaction really did
+          // drop the key group, so only the new emitted-union branch
+          // could have served the retraction.
+          val scanned =
+            graft.streaming.BiPacked.backfillKeysScanned.get() - before
+          assert(scanned == 1L,
+            s"expected exactly the emitted-only key, scanned $scanned")
+        }
+        val acc = scala.collection.mutable.Map
+          .empty[Seq[Any], Long].withDefaultValue(0L)
+        bm.drain("fpy").foreach { case (row, _, w) => acc(row) += w }
+        assert(acc.filter(_._2 != 0L).isEmpty,
+          s"packedOff=$packedOff: fully-retracted+compacted :fp/y must " +
+            s"re-attach EMPTY, got $acc")
+      }
+    } finally {
+      Seq(("graft.bi.packed", prevPacked), ("graft.bi.distributed", prevDist),
+        ("graft.bi.slack", prevSlack)).foreach {
+        case (k, Some(v)) => sys.props(k) = v
+        case (k, None)    => sys.props.remove(k)
+      }
+    }
+  }
+
   test("driver store migrates to the distributed sibling mid-history at the byte gate") {
     // Gate "1" flips on the first transact (nothing processed yet);
     // gate "1500" flips mid-history, AFTER earlier times were processed
