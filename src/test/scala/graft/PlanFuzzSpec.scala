@@ -20,8 +20,15 @@ import graft.model.Plan._
   *      maintainable fragment with standing incremental state and
   *      auto-demotes the rest to the snapshot path),
   *
-  * and all of them must agree exactly (signed multisets). Generation is
-  * deterministic (fixed seeds) so any failure is reproducible by seed.
+  * and all of them must agree exactly (signed multisets) — after EVERY
+  * transaction, not just at the end, so intermediate diffs that are wrong
+  * but cancel by the final epoch still fail. Generation is deterministic
+  * (fixed seeds) so any failure is reproducible by seed.
+  *
+  * Each attribute draws random INPUT SEMANTICS per seed (Raw / Distinct /
+  * LastWriteWins — `src/lib.rs:342-357`), exercising the engine's
+  * per-attribute resolution and the weight-1 fast paths keyed on it; the
+  * naive accumulator models all three from first principles.
   *
   * Class discipline: var ids 0-3 and 6-9 always carry LongType natives,
   * 4-5 StringType — so any two occurrences of a var id are union- and
@@ -286,17 +293,50 @@ class PlanFuzzSpec extends AnyFunSuite {
     seedTx +: txs
   }
 
-  private def accumulate(history: Seq[Seq[Datom]]): NaiveEval.Attrs =
+  private def genSemantics(rnd: Random): Map[String, InputSemantics] =
+    attrNames.map { a =>
+      a -> (rnd.nextInt(4) match {
+        case 0 | 1 => InputSemantics.Raw
+        case 2     => InputSemantics.Distinct
+        case _     => InputSemantics.LastWriteWins
+      })
+    }.toMap
+
+  /** First-principles per-attribute resolution (`src/lib.rs:342-357`,
+    * `src/operators/last_write_wins.rs:71-101`): Raw nets the weights;
+    * Distinct keeps positive support at weight 1; LastWriteWins keeps the
+    * latest event per entity — datoms carry no explicit time, so history
+    * order IS time-then-sequence order — present iff that event was an
+    * assertion. */
+  private def accumulate(history: Seq[Seq[Datom]],
+      sem: Map[String, InputSemantics]): NaiveEval.Attrs =
     history.flatten.groupBy(_.a).map { case (a, ds) =>
-      a -> ds.groupMapReduce(d => (d.e, d.v.native))(_.diff)(_ + _)
+      a -> (sem(a) match {
+        case InputSemantics.Raw =>
+          ds.groupMapReduce(d => (d.e, d.v.native))(_.diff)(_ + _)
+            .filter(_._2 != 0L)
+        case InputSemantics.Distinct =>
+          ds.groupMapReduce(d => (d.e, d.v.native))(_.diff)(_ + _)
+            .collect { case (k, w) if w > 0L => (k, 1L) }
+        case InputSemantics.LastWriteWins =>
+          val last = mutable.LinkedHashMap.empty[Long, Datom]
+          ds.foreach(d => last(d.e) = d)
+          last.values.collect {
+            case d if d.diff > 0L => ((d.e, d.v.native), 1L)
+          }.toMap
+      })
     }
 
   // ---- engine harness --------------------------------------------------------
-  private def runEngine(plan: Plan, history: Seq[Seq[Datom]], maintained: Boolean)
-      : (Map[Seq[Any], Long], Map[Seq[Any], Long], Boolean) = {
+  /** Feeds `history` one tx per epoch; after each advance asserts the
+    * accumulated drained diffs equal `expectAt(prefix)`. Returns the final
+    * net, the from-scratch recompute, and the incremental-service flag. */
+  private def runEngine(plan: Plan, history: Seq[Seq[Datom]],
+      sem: Map[String, InputSemantics], maintained: Boolean,
+      expectAt: Seq[Seq[Datom]] => Map[Seq[Any], Long],
+      context: => String): (Map[Seq[Any], Long], Map[Seq[Any], Long], Boolean) = {
     val engine = new Engine(spark)
-    attrNames.foreach(a =>
-      engine.createAttribute(a, AttributeConfig(InputSemantics.Raw)))
+    attrNames.foreach(a => engine.createAttribute(a, AttributeConfig(sem(a))))
     engine.register(Rule("fuzz", plan))
     if (maintained) engine.interestMaintained("fuzz") else engine.interest("fuzz")
     val acc = mutable.Map.empty[Seq[Any], Long]
@@ -306,6 +346,9 @@ class PlanFuzzSpec extends AnyFunSuite {
       engine.drain("fuzz").foreach { case (tuple, _, d) =>
         acc(tuple) = acc.getOrElse(tuple, 0L) + d
       }
+      val net = acc.filter(_._2 != 0L).toMap
+      assert(net == expectAt(history.take(i + 1)),
+        s"\nafter tx $i (accumulated vs naive prefix)$context")
     }
     val net = acc.filter(_._2 != 0L).toMap
     val frame = engine.resultFrame("fuzz")
@@ -317,28 +360,33 @@ class PlanFuzzSpec extends AnyFunSuite {
     (net, recomputed, engine.servedIncrementally("fuzz"))
   }
 
-  private def naiveNet(plan: Plan, history: Seq[Seq[Datom]]): Map[Seq[Any], Long] =
-    NaiveEval.eval(plan, accumulate(history)).rows
+  private def naiveNet(plan: Plan, history: Seq[Seq[Datom]],
+      sem: Map[String, InputSemantics]): Map[Seq[Any], Long] =
+    NaiveEval.eval(plan, accumulate(history, sem)).rows
       .map { case (r, w) => (r: Seq[Any]) -> w }
 
   // ---- the properties ---------------------------------------------------------
   test("random plans: naive oracle == snapshot engine (accumulated + recompute)") {
     var nonEmpty = 0
+    var nonRaw = 0
     for (seed <- 0 until 36) {
       val rnd = new Random(0xC0FFEEL + seed * 7919L)
       val tp = gen(rnd, 1 + rnd.nextInt(3))
       val history = genHistory(rnd)
-      val expect = naiveNet(tp.plan, history)
-      val (net, recomputed, _) = runEngine(tp.plan, history, maintained = false)
-      assert(net == expect,
-        s"\nseed=$seed (accumulated vs naive)\nplan=${tp.plan}\nhistory=$history")
-      assert(recomputed == expect,
-        s"\nseed=$seed (recompute vs naive)\nplan=${tp.plan}\nhistory=$history")
+      val sem = genSemantics(rnd)
+      def ctx = s"\nseed=$seed\nplan=${tp.plan}\nsem=$sem\nhistory=$history"
+      val expect = naiveNet(tp.plan, history, sem)
+      val (net, recomputed, _) = runEngine(tp.plan, history, sem,
+        maintained = false, naiveNet(tp.plan, _, sem), ctx)
+      assert(net == expect, s"\nseed=$seed (accumulated vs naive)$ctx")
+      assert(recomputed == expect, s"\nseed=$seed (recompute vs naive)$ctx")
       if (expect.nonEmpty) nonEmpty += 1
+      if (sem.valuesIterator.exists(_ != InputSemantics.Raw)) nonRaw += 1
     }
     // Non-vacuity: a generator drifting toward empty results would make
     // every equality trivially true.
     assert(nonEmpty >= 12, s"only $nonEmpty/36 fuzz plans produced rows")
+    assert(nonRaw >= 12, s"only $nonRaw/36 catalogs drew non-Raw semantics")
   }
 
   test("random plans: naive oracle == maintained engine") {
@@ -348,12 +396,14 @@ class PlanFuzzSpec extends AnyFunSuite {
       val rnd = new Random(0xBAD5EEDL + seed * 104729L)
       val tp = gen(rnd, 1 + rnd.nextInt(3))
       val history = genHistory(rnd)
-      val expect = naiveNet(tp.plan, history)
-      val (net, recomputed, inc) = runEngine(tp.plan, history, maintained = true)
-      assert(net == expect,
-        s"\nseed=$seed (maintained vs naive)\nplan=${tp.plan}\nhistory=$history")
+      val sem = genSemantics(rnd)
+      def ctx = s"\nseed=$seed\nplan=${tp.plan}\nsem=$sem\nhistory=$history"
+      val expect = naiveNet(tp.plan, history, sem)
+      val (net, recomputed, inc) = runEngine(tp.plan, history, sem,
+        maintained = true, naiveNet(tp.plan, _, sem), ctx)
+      assert(net == expect, s"\nseed=$seed (maintained vs naive)$ctx")
       assert(recomputed == expect,
-        s"\nseed=$seed (maintained recompute vs naive)\nplan=${tp.plan}\nhistory=$history")
+        s"\nseed=$seed (maintained recompute vs naive)$ctx")
       if (expect.nonEmpty) nonEmpty += 1
       if (inc) served += 1
     }
