@@ -163,4 +163,26 @@ class PlanFuzzSpec extends AnyFunSuite {
     // rest legitimately demote to the snapshot path).
     assert(served >= 4, s"only $served/18 plans were served incrementally")
   }
+
+  test("random aggregate plans: naive oracle == maintained engine") {
+    // Aggregates are rare in unconstrained generation (1-in-10 per node),
+    // so the general maintained test can leave MIN/MAX/MEDIAN groups
+    // unexercised; these seeds redraw until the tree carries one.
+    var nonEmpty = 0
+    for (seed <- 200 until 208) {
+      val rnd = new Random(0xA66E5EEDL + seed * 7919L)
+      val tp = Iterator.continually(gen(rnd, 2)).find(_.hasAgg).get
+      val history = genHistory(rnd)
+      val sem = genSemantics(rnd)
+      def ctx = s"\nseed=$seed\nplan=${tp.plan}\nsem=$sem\nhistory=$history"
+      val expect = naiveNet(tp.plan, history, sem)
+      val (net, recomputed, _) = runEngine(tp.plan, history, sem,
+        maintained = true, naiveNet(tp.plan, _, sem), ctx)
+      assert(net == expect, s"\nseed=$seed (maintained agg vs naive)$ctx")
+      assert(recomputed == expect,
+        s"\nseed=$seed (maintained agg recompute vs naive)$ctx")
+      if (expect.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 4, s"only $nonEmpty/8 aggregate fuzz plans produced rows")
+  }
 }
