@@ -423,7 +423,7 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
                 case None => sink.deliver(name, t, frame)
               }
             case None =>
-              val rows = collectDiffs(diff)
+              val rows = collectDiffs(diff, incrementalQs(name).outputIsPathArray)
               if (rows.nonEmpty) {
                 val (tOut, buf) = coarse match {
                   case Some(c) =>
@@ -602,7 +602,7 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
             sink.deliver(name, frontier, sinkFrame(diffs, frontier))
           case None =>
             val buf = outputs(name)
-            collectDiffs(diffs).foreach { case (tuple, w) =>
+            collectDiffs(diffs, iq.outputIsPathArray).foreach { case (tuple, w) =>
               buf += ((tuple, frontier, w))
             }
         }
@@ -694,11 +694,19 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
   }
 
   /** Collect a maintained query's consolidated diff frame into drain
-    * tuples (same deepNative canonicalization as the snapshot path). */
-  private def collectDiffs(df: DataFrame): Seq[(Seq[Any], Long)] =
+    * tuples (same deepNative canonicalization as the snapshot path).
+    * `pathArray` mirrors [[snapshot]]'s unpacking: a Pull result's single
+    * array<variant> cell IS the path, and drained tuples must have the
+    * reference's flat `Vec<Value>` path shape on BOTH serving paths
+    * (`tests/pull_test.rs` expectations; caught by the plan fuzz — the
+    * maintained route used to drain the packed cell wrapped). */
+  private def collectDiffs(df: DataFrame, pathArray: Boolean): Seq[(Seq[Any], Long)] =
     df.collect().iterator.map { row =>
       val n = row.length - 1
-      ((0 until n).map(i => Engine.deepNative(row.get(i))), row.getLong(n))
+      val tuple: Seq[Any] =
+        if (pathArray) Engine.deepNative(row.get(0)).asInstanceOf[Seq[Any]]
+        else (0 until n).map(i => Engine.deepNative(row.get(i)))
+      (tuple, row.getLong(n))
     }.toSeq
 
   private def snapshot(name: String, t: Long): Map[Seq[Any], Long] = {

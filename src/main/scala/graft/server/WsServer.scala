@@ -763,31 +763,28 @@ final class WsServer(engine: Engine, port: Int = 0,
         // a Seq is never misrendered (round-10 ADVICE).
         val pathArray = engine.isPathArrayResult(name)
         val batch = diffs.map { case (tuple, t, d) =>
-          tuple match {
-            // Pull path-array tuples (single KVariant column): the cell
-            // IS the path — expand it, re-tagging keys by position (a
-            // pull path is root-eid, attribute aids, leaf value; the
-            // engine's native collection drops the variant tags, so
-            // positional tagging restores what AssocIn/clients need —
-            // the streaming route keeps exact tags via variant structs).
-            // `cell.nonEmpty`: a malformed empty path cell degrades to
-            // the generic tagging (asValue renders a Seq safely) rather
-            // than aborting the flush after the drain cleared the
-            // buffer — same containment rationale as the bi route.
-            case Seq(cell: scala.collection.Seq[_])
-                if pathArray && cell.nonEmpty =>
-              val vs = cell.toSeq
-              val keys = vs.init.map {
-                case n: Long   => Value.VEid(n)
-                case a: String => Value.VAid(a)
-                case other     => asValue(other, None)
-              }
-              ((keys :+ asValue(vs.last, None)).toSeq, t, d)
-            case _ =>
-              (tuple.zipWithIndex.map { case (v, i) =>
-                asValue(v, kinds.flatMap(_.lift(i)))
-              }, t, d)
-          }
+          // Pull path-array tuples arrive EXPANDED from the drain on both
+          // serving paths (snapshot and maintained unpack the packed
+          // array<variant> cell at collection — Engine.snapshot /
+          // collectDiffs): the tuple IS the path, re-tag its keys by
+          // position (root-eid, attribute aids, leaf value; the engine's
+          // native collection drops the variant tags, so positional
+          // tagging restores what AssocIn/clients need — the streaming
+          // route keeps exact tags via variant structs). A malformed
+          // empty path tuple degrades to the generic tagging rather than
+          // aborting the flush after the drain cleared the buffer — same
+          // containment rationale as the bi route.
+          if (pathArray && tuple.nonEmpty) {
+            val keys = tuple.init.map {
+              case n: Long   => Value.VEid(n)
+              case a: String => Value.VAid(a)
+              case other     => asValue(other, None)
+            }
+            ((keys :+ asValue(tuple.last, None)).toSeq, t, d)
+          } else
+            (tuple.zipWithIndex.map { case (v, i) =>
+              asValue(v, kinds.flatMap(_.lift(i)))
+            }, t, d)
         }
         lazy val plainMsg = Wire.renderOutput(Output.QueryDiff(name, batch))
         // Per-client containment on the UNI route too (round-17 review —

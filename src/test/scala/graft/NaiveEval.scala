@@ -21,9 +21,11 @@ import graft.model.Plan._
   *
   * Supported: MatchA/MatchEA/MatchAV, Project, Join, Antijoin, Negate,
   * Union, Filter, Transform, Aggregate (COUNT/SUM/MIN/MAX/MEDIAN), Hector
-  * (Attr/Const/BinaryPred/Not bindings). Pull family, NameExpr and
-  * AVG/VARIANCE are out of scope (covered by the ported suites and the
-  * fixed-pool property specs).
+  * (Attr/Const/BinaryPred/Not bindings), PullLevel/Pull/PullAll (paths as
+  * interleaved natives; Pull packs each path as one nested Seq cell,
+  * mirroring the compiled array<variant> column after native decode).
+  * NameExpr and AVG/VARIANCE are out of scope (covered by the ported
+  * suites and the fixed-pool property specs).
   */
 object NaiveEval {
   type Row = Vector[Any]
@@ -209,7 +211,87 @@ object NaiveEval {
 
     case Hector(target, bindings) => hector(target, bindings, attrs)
 
+    case PullLevel(_, p, pullVar, pullAttrs, pathAttrs, cardMany) =>
+      pullLevel(eval(p, attrs), pullVar, pullAttrs, pathAttrs, cardMany, attrs)
+
+    case Pull(_, paths) =>
+      // Heterogeneous-arity paths: the compiled plan packs each into ONE
+      // array<variant> column (src/plan/pull.rs:239-284) and the engine
+      // UNPACKS it again at collection (`Engine.snapshot` isPathArray) —
+      // so the observable tuple IS the path. Rows here may therefore have
+      // differing arity inside one relation.
+      val unioned = paths.flatMap(p => eval(p, attrs).rows.toSeq)
+      NRel(Seq(-1), consolidate(unioned))
+
+    case PullAll(_, pullAttrs) =>
+      // [e a v] per listed attribute — src/plan/pull.rs:288-358.
+      NRel(Seq(-1, -2, -3), consolidate(pullAttrs.flatMap { a =>
+        attrs.getOrElse(a, Map.empty).map { case ((e, v), w) =>
+          (Vector[Any](e, a, v), w)
+        }
+      }))
+
     case other => sys.error(s"NaiveEval does not support $other")
+  }
+
+  /** interleave(values, constants) — the pull path layout
+    * (`src/plan/pull.rs:53-79`, `Compiler.pullInterleave`): even slots
+    * take the next input column, odd slots the next path attribute. */
+  private def interleave(vals: Row, consts: Seq[String]): Row =
+    if (vals.isEmpty || consts.isEmpty) vals
+    else {
+      val out = Vector.newBuilder[Any]
+      var (nv, nc) = (0, 0)
+      (0 until (vals.size + consts.size)).foreach { i =>
+        if (i % 2 == 0) { out += vals(nv); nv += 1 }
+        else { out += consts(nc); nc += 1 }
+      }
+      out.result()
+    }
+
+  /** One pull level (`src/plan/pull.rs:94-237`, `Compiler.pullLevel`):
+    * per pulled attribute, input rows joined to its (e, v) pairs emit the
+    * interleaved path plus `(attribute, value)`; cardinality-one levels
+    * drop the trailing child column and add the synthetic db__id branch
+    * retaining the child id (`src/plan/pull.rs:211-230`). */
+  private def pullLevel(input: NRel, pullVar: Int, pullAttrs: Seq[String],
+      pathAttrs: Seq[String], cardMany: Boolean, attrs: Attrs): NRel = {
+    if (pullAttrs.isEmpty) {
+      if (pathAttrs.isEmpty) input
+      else {
+        val rows = input.rows.toSeq.map { case (r, w) =>
+          (interleave(r, pathAttrs), w)
+        }
+        val arity = rows.headOption.map(_._1.length)
+          .getOrElse(input.vars.length + pathAttrs.length)
+        NRel((0 until arity).map(i => -(i + 1)), consolidate(rows))
+      }
+    } else {
+      val eIdx = input.idx(pullVar)
+      val keepChild = pathAttrs.isEmpty || cardMany
+      val branches = pullAttrs.flatMap { a =>
+        val table = attrs.getOrElse(a, Map.empty).toSeq
+        input.rows.toSeq.flatMap { case (r, w) =>
+          val path = interleave(r, pathAttrs)
+          val base = if (keepChild) path else path.dropRight(1)
+          table.collect {
+            case ((ent, vv), aw) if (ent: Any) == r(eIdx) =>
+              (base :+ (a: Any) :+ vv, w * aw)
+          }
+        }
+      }
+      val dbId =
+        if (keepChild) Seq.empty
+        else input.rows.toSeq.map { case (r, w) =>
+          val path = interleave(r, pathAttrs)
+          (path.dropRight(1) :+ ("db__id": Any) :+ path.last, w)
+        }
+      val all = branches ++ dbId
+      val arity = all.headOption.map(_._1.length).getOrElse(
+        (if (keepChild) input.vars.length + pathAttrs.length
+         else input.vars.length + pathAttrs.length - 1) + 2)
+      NRel((0 until arity).map(i => -(i + 1)), consolidate(all))
+    }
   }
 
   private def aggregate(

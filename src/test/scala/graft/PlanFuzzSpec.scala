@@ -104,8 +104,14 @@ class PlanFuzzSpec extends AnyFunSuite {
     val frame = engine.resultFrame("fuzz")
     val n = frame.columns.length - 1
     val recomputed = frame.collect().iterator.map { row =>
-      ((0 until n).map(i => Engine.deepNative(row.get(i))): Seq[Any]) ->
-        row.getLong(n)
+      // Pull results pack heterogeneous paths into one array<variant>
+      // column; the engine unpacks them at collection (Engine.snapshot) —
+      // mirror that here so the recompute compares in tuple space.
+      val tuple: Seq[Any] =
+        if (engine.isPathArrayResult("fuzz"))
+          Engine.deepNative(row.get(0)).asInstanceOf[Seq[Any]]
+        else (0 until n).map(i => Engine.deepNative(row.get(i)))
+      tuple -> row.getLong(n)
     }.toMap
     (net, recomputed, engine.servedIncrementally("fuzz"))
   }
@@ -184,5 +190,67 @@ class PlanFuzzSpec extends AnyFunSuite {
       if (expect.nonEmpty) nonEmpty += 1
     }
     assert(nonEmpty >= 4, s"only $nonEmpty/8 aggregate fuzz plans produced rows")
+  }
+
+  test("random pull plans: naive oracle == snapshot and maintained engines") {
+    // Pull family over random inner trees, path layouts and cardinality
+    // flags (the driver oracle pins three fixed shapes; this searches the
+    // space): PullAll, single PullLevel, and heterogeneous-arity Pull,
+    // whose packed path rows compare as nested Seq cells.
+    var nonEmpty = 0
+    for (seed <- 300 until 312) {
+      val rnd = new Random(0x50115EEDL + seed * 7919L)
+      val plan = genPull(rnd)
+      val history = genHistory(rnd)
+      val sem = genSemantics(rnd)
+      def ctx = s"\nseed=$seed\nplan=$plan\nsem=$sem\nhistory=$history"
+      val expect = naiveNet(plan, history, sem)
+      val (net, recomputed, _) = runEngine(plan, history, sem,
+        maintained = false, naiveNet(plan, _, sem), ctx)
+      assert(net == expect, s"\nseed=$seed (pull snapshot vs naive)$ctx")
+      assert(recomputed == expect, s"\nseed=$seed (pull recompute vs naive)$ctx")
+      val (netM, recomputedM, _) = runEngine(plan, history, sem,
+        maintained = true, naiveNet(plan, _, sem), ctx)
+      assert(netM == expect, s"\nseed=$seed (pull maintained vs naive)$ctx")
+      assert(recomputedM == expect,
+        s"\nseed=$seed (pull maintained recompute vs naive)$ctx")
+      if (expect.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 6, s"only $nonEmpty/12 pull fuzz plans produced rows")
+  }
+
+  test("pull db__id branch: naive == snapshot == maintained on a retraction history") {
+    // The synthetic child-id branch (cardinality-one level with path
+    // attributes — src/plan/pull.rs:211-230) is rare in random draws;
+    // this pins it deterministically on all three evaluators, including
+    // a retraction that must withdraw BOTH the value path and its db__id
+    // row. Weight-sensitive: under Raw semantics the duplicate edge
+    // contributes weight 2 to each path.
+    val plan = Plan.PullLevel(Seq(0, 1), Plan.MatchA(0, ":z/r", 1),
+      pullVariable = 1, pullAttributes = Seq(":z/m"),
+      pathAttributes = Seq(":path/edge"), cardinalityMany = false)
+    val history: Seq[Seq[Datom]] = Seq(
+      Seq(Datom(1L, ":z/r", Value.eid(2L), None, 1L),
+        Datom(1L, ":z/r", Value.eid(2L), None, 1L), // duplicate edge (w=2)
+        Datom(2L, ":z/m", Value.num(9L), None, 1L)),
+      Seq(Datom(2L, ":z/m", Value.num(9L), None, -1L)))
+    val sem = attrNames.map(_ -> (InputSemantics.Raw: InputSemantics)).toMap
+    def ctx = s"\nplan=$plan\nsem=$sem\nhistory=$history"
+    // After tx0: value path (1, :path/edge, :z/m, 9) ×2 and db__id path
+    // (1, :path/edge, db__id, 2) ×2. After tx1 the value path retracts;
+    // db__id stays (the edge is still there).
+    assert(naiveNet(plan, history.take(1), sem) == Map(
+      (Seq[Any](1L, ":path/edge", ":z/m", 9L): Seq[Any]) -> 2L,
+      (Seq[Any](1L, ":path/edge", "db__id", 2L): Seq[Any]) -> 2L))
+    val expect = naiveNet(plan, history, sem)
+    assert(expect == Map(
+      (Seq[Any](1L, ":path/edge", "db__id", 2L): Seq[Any]) -> 2L))
+    for (maintained <- Seq(false, true)) {
+      val (net, recomputed, _) = runEngine(plan, history, sem,
+        maintained, naiveNet(plan, _, sem), ctx)
+      assert(net == expect, s"\n(db__id maintained=$maintained)$ctx")
+      assert(recomputed == expect,
+        s"\n(db__id recompute maintained=$maintained)$ctx")
+    }
   }
 }

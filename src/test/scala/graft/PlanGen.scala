@@ -150,6 +150,42 @@ object PlanGen {
     TP(Hector(target, bindings), target, hasAgg = false)
   }
 
+  /** A random top-level Pull-family plan: a PullLevel over a shallow
+    * inner tree, a Pull over 1-2 heterogeneous-arity levels, or a
+    * PullAll. Pull outputs use synthetic path columns (negative ids), so
+    * these wrap the TOP of a tree only — mirroring the reference, where
+    * pull is the document edge, not a composable relational operator.
+    * The interleave layout needs |pathAttrs| ∈ {arity−1, arity} (the
+    * compiled alternation consumes them pairwise). */
+  def genPull(rnd: Random): Plan = rnd.nextInt(4) match {
+    case 0 => // PullAll over a random nonempty attribute subset
+      val n = 1 + rnd.nextInt(attrNames.length)
+      Plan.PullAll(Seq(-1, -2, -3), rnd.shuffle(attrNames).take(n))
+    case 1 | 2 => genPullLevel(rnd)
+    case _ =>
+      val n = 1 + rnd.nextInt(2)
+      Plan.Pull(Seq(-1), Seq.fill(n)(genPullLevel(rnd)))
+  }
+
+  private def genPullLevel(rnd: Random): Plan = {
+    // Inner tree must bind an L-class var to pull on (entity ids join
+    // against the Long `e` column of the pulled attribute tables).
+    val inner = Iterator.continually(gen(rnd, rnd.nextInt(2)))
+      .find(_.vars.exists(cls(_) == 'L')).get
+    val pullVar = pick(rnd, inner.vars.distinct.filter(cls(_) == 'L'))
+    val arity = inner.vars.length
+    val pathAttrs: Seq[String] = rnd.nextInt(3) match {
+      case 0 => Seq.empty
+      case _ =>
+        val n = if (rnd.nextBoolean()) arity - 1 else arity
+        (0 until n).map(i => s":path/p$i")
+    }
+    val nPull = rnd.nextInt(3) // 0 => path-decoration-only level
+    val pullAttrs = rnd.shuffle(attrNames).take(nPull)
+    Plan.PullLevel(inner.vars, inner.plan, pullVar, pullAttrs, pathAttrs,
+      cardinalityMany = rnd.nextBoolean())
+  }
+
   def gen(rnd: Random, depth: Int): TP = {
     if (depth <= 0) return genLeaf(rnd)
     rnd.nextInt(10) match {
