@@ -195,6 +195,41 @@ class BiPlanFuzzSpec extends AnyFunSuite {
     assert(served >= 4, s"only $served/10 plans were served by BiMaintained")
   }
 
+  test("random plans agree on the boxed backend and the distributed store (dials forced)") {
+    // The main test runs the default packed/driver path; the boxed
+    // BiVisibility backend and the StateCell-distributed store implement
+    // visibility independently — re-fuzz a seed slice on each dial
+    // against the same naive oracle (the zoo spec pins fixed plans on
+    // these dials; this searches shapes).
+    for ((prop, value, label, seeds) <- Seq(
+        ("graft.bi.packed", "off", "boxed", 0 until 4),
+        ("graft.bi.distributed", "on", "cell", 4 until 8))) {
+      val prev = sys.props.get(prop)
+      sys.props(prop) = value
+      try {
+        var served = 0
+        for (seed <- seeds) {
+          val rnd = new Random(0xB17E5EEDL + seed * 7919L)
+          val tp = gen(rnd, 1 + rnd.nextInt(2))
+          val batches = genBiHistory(rnd)
+          val sem = genSemantics(rnd)
+          def ctx = s"\nseed=$seed ($label)\nplan=${tp.plan}\nsem=$sem\nbatches=$batches"
+          val expect = naiveBiDrains(tp.plan, batches, sem)
+          driveMaintained(tp.plan, batches, sem) match {
+            case Some(got) =>
+              assert(got == expect, s"\nseed=$seed ($label vs naive)$ctx")
+              served += 1
+            case None =>
+          }
+        }
+        assert(served >= 2, s"only $served/4 plans served on the $label dial")
+      } finally prev match {
+        case Some(v) => sys.props(prop) = v
+        case None    => sys.props.remove(prop)
+      }
+    }
+  }
+
   test("Raw clamp: a retraction of a never-asserted pair reads as absent on every evaluator") {
     // The corner the random histories rarely reach: at (0,1) the pair
     // (1, 7) has net weight -1 on a Raw attribute. The bi family's
