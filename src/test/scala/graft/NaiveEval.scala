@@ -20,12 +20,13 @@ import graft.model.Plan._
   * grouping/distinct treats null as a normal key (GROUP BY semantics).
   *
   * Supported: MatchA/MatchEA/MatchAV, Project, Join, Antijoin, Negate,
-  * Union, Filter, Transform, Aggregate (COUNT/SUM/MIN/MAX/MEDIAN), Hector
+  * Union, Filter, Transform, Aggregate (all seven fns — AVG/VARIANCE as
+  * exact gcd-reduced rationals comparing as Seq(num, den)), Hector
   * (Attr/Const/BinaryPred/Not bindings), PullLevel/Pull/PullAll (paths as
   * interleaved natives; Pull packs each path as one nested Seq cell,
   * mirroring the compiled array<variant> column after native decode).
-  * NameExpr and AVG/VARIANCE are out of scope (covered by the ported
-  * suites and the fixed-pool property specs).
+  * NameExpr is out of scope (covered by the ported suites, the closure
+  * property specs, and the kernel fixpoint specs).
   */
 object NaiveEval {
   type Row = Vector[Any]
@@ -341,7 +342,20 @@ object NaiveEval {
                     (row(vi) +: withIdx.map(row.apply)).toVector
                   }.distinct.sorted(rowOrdering)
                   if (entries.isEmpty) null else entries(entries.length / 2)(0)
-                case other => sys.error(s"NaiveEval does not support $other")
+                case AVG =>
+                  // Exact rational Σ(v·w) / Σw, gcd-reduced — the
+                  // reference's Rational32 (src/plan/aggregate_neu.rs:
+                  // 206-215); a zero net count is an ill-formed history
+                  // (the engine raises — generators keep weights unit).
+                  require(wsum != 0L, "AVG over net count 0")
+                  rational(weighted(grp, vi, identity), wsum)
+                case VARIANCE =>
+                  // (Σv²·w · Σw − (Σv·w)²) / (Σw)² exactly
+                  // — src/plan/aggregate_neu.rs:231-239.
+                  require(wsum != 0L, "VARIANCE over net count 0")
+                  val s = weighted(grp, vi, identity)
+                  val ssq = weighted(grp, vi, x => x * x)
+                  rational(ssq * wsum - s * s, wsum * wsum)
               }
             }
             // Re-insert at find-clause positions: the i-th aggregation
@@ -366,6 +380,22 @@ object NaiveEval {
         }
       }
     NRel(outVars, consolidate(outRows))
+  }
+
+  private def weighted(grp: Seq[(Row, Long)], vi: Int, f: Long => Long): Long =
+    grp.collect { case (row, w) if row(vi) != null =>
+      f(row(vi).asInstanceOf[Long]) * w
+    }.sum
+
+  /** gcd-reduced, positive-denominator rational as Seq(num, den) — the
+    * engine's `Compiler.rationalizeUdf` output after native decode. */
+  private def rational(num: Long, den: Long): Any = {
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val sign = if (den < 0) -1L else 1L
+    val g = gcd(math.abs(num), math.abs(den))
+    val gg = if (g == 0) 1L else g
+    Seq(sign * num / gg, sign * den / gg)
   }
 
   private val anyOrdering: Ordering[Any] =

@@ -219,6 +219,51 @@ class PlanFuzzSpec extends AnyFunSuite {
     assert(nonEmpty >= 6, s"only $nonEmpty/12 pull fuzz plans produced rows")
   }
 
+  test("random AVG/VARIANCE aggregates: naive == snapshot == maintained") {
+    // Exact-rational aggregates generate only at the TREE TOP over a
+    // unit-weight Union wrap: their struct outputs would break the
+    // L-class discipline if consumed by parent operators, and the
+    // engine (correctly) raises on net-count-0 groups — unit weights
+    // make every group well-formed by construction.
+    import AggregationFn._
+    var nonEmpty = 0
+    for (seed <- 400 until 410) {
+      val rnd = new Random(0x4A7105EEDL + seed * 7919L)
+      val inner = Iterator.continually(gen(rnd, 1 + rnd.nextInt(2)))
+        .find(t => !t.hasAgg && t.vars.distinct.exists(cls(_) == 'L')).get
+      val vars = inner.vars.distinct
+      val wrapped = Plan.Union(vars, Seq(inner.plan)) // set-distinct: w=1
+      val keys = rnd.shuffle(vars).take(rnd.nextInt(math.min(3, vars.length)))
+      val restL = vars.filterNot(keys.contains).filter(cls(_) == 'L')
+      if (restL.isEmpty) ()
+      else {
+        val rat = pick(rnd, Seq(AVG, VARIANCE))
+        val picked = Seq((rat, pick(rnd, restL))) ++
+          (if (rnd.nextBoolean())
+            Seq((pick(rnd, Seq(COUNT, MIN, MEDIAN)), pick(rnd, restL)))
+          else Seq.empty)
+        val (fns, aggVs) = picked.unzip
+        val withVars =
+          if (rnd.nextInt(5) == 0) Seq(pick(rnd, vars)) else Seq.empty
+        val outVars = rnd.shuffle(keys ++ aggVs)
+        val plan = Plan.Aggregate(outVars, wrapped, fns, keys, aggVs, withVars)
+        val history = genHistory(rnd)
+        val sem = genSemantics(rnd)
+        def ctx = s"\nseed=$seed\nplan=$plan\nsem=$sem\nhistory=$history"
+        val expect = naiveNet(plan, history, sem)
+        for (maintained <- Seq(false, true)) {
+          val (net, recomputed, _) = runEngine(plan, history, sem,
+            maintained, naiveNet(plan, _, sem), ctx)
+          assert(net == expect, s"\nseed=$seed (rational maintained=$maintained)$ctx")
+          assert(recomputed == expect,
+            s"\nseed=$seed (rational recompute maintained=$maintained)$ctx")
+        }
+        if (expect.nonEmpty) nonEmpty += 1
+      }
+    }
+    assert(nonEmpty >= 5, s"only $nonEmpty/10 rational fuzz plans produced rows")
+  }
+
   test("pull db__id branch: naive == snapshot == maintained on a retraction history") {
     // The synthetic child-id branch (cardinality-one level with path
     // attributes — src/plan/pull.rs:211-230) is rare in random draws;
