@@ -87,7 +87,7 @@ object Bench {
     }
     val (cpuStart, ioStart) = calibrate()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    var builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -95,10 +95,29 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Always use the sort shuffle writer (never the bypass writer): for
+      // the ≤200-partition shuffles this session runs, the bypass writer
+      // creates one file PER REDUCE PARTITION per map task, then merges
+      // and deletes them — profiled at 36-75% of executor task time as
+      // open/copyFileStreamNIO/delete syscalls on the maintained cells'
+      // control-sized shuffles (r18 optimization round). The sort writer
+      // emits one file + index per map task. Scale-consistent: above 200
+      // partitions Spark uses the sort path regardless, so this aligns
+      // local behavior with at-scale behavior instead of tuning for the
+      // box.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       // GC-clean reliable checkpoint files under -Dgraft.checkpoint.dir
       // (must be set at SparkContext construction; see kernel.Ckpt).
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-      .getOrCreate()
+    // Local A/B hook (GRAFT_CONF="k=v;k=v"): extra session confs for
+    // same-window config A/Bs. The driver sets no env, so its captures
+    // always run the defaults above.
+    sys.env.get("GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder = builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session first (codegen compilation, parquet footer reads,
     // broadcast machinery, domain-catalog load for the bench SF) so startup

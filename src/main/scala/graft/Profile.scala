@@ -19,7 +19,7 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    var builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -27,8 +27,16 @@ object Profile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Sort shuffle writer always — see the Bench builder comment.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-      .getOrCreate()
+    // A/B hook: GRAFT_CONF="k=v;k=v" extra session confs for this run.
+    sys.env.get("GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder = builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val jobs = new AtomicInteger(0)
@@ -38,11 +46,33 @@ object Profile {
     val gcTimeMs = new AtomicLong(0L)
     val shuffleReadB = new AtomicLong(0L)
     val shuffleWriteB = new AtomicLong(0L)
+    // Per-stage-callsite aggregation: name -> (stages, tasks, taskMs)
+    val bySite = new java.util.concurrent.ConcurrentHashMap[
+      String, (Int, Int, Long)]()
+    val stageNames = new java.util.concurrent.ConcurrentHashMap[
+      Int, String]()
+    val stageWall = new java.util.concurrent.ConcurrentHashMap[
+      Int, Long]()
+    val jobSites = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
     val listener = new SparkListener {
-      override def onJobStart(e: SparkListenerJobStart): Unit =
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
-      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        val site = e.stageInfos.sortBy(_.stageId).lastOption
+          .map(_.name).getOrElse("?")
+        jobSites.computeIfAbsent(site, _ => new AtomicLong()).incrementAndGet()
+        ()
+      }
+      override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
+        stageNames.put(e.stageInfo.stageId, e.stageInfo.name)
+        ()
+      }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        val si = e.stageInfo
+        for (s <- si.submissionTime; c <- si.completionTime)
+          stageWall.merge(si.stageId, c - s, (a, b) => a + b)
+        ()
+      }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         val m = e.taskMetrics
@@ -51,6 +81,10 @@ object Profile {
           gcTimeMs.addAndGet(m.jvmGCTime)
           shuffleReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shuffleWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          val key = Option(stageNames.get(e.stageId)).getOrElse("?")
+          bySite.merge(key, (0, 1, m.executorRunTime),
+            (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+          ()
         }
       }
     }
@@ -66,6 +100,36 @@ object Profile {
         catch { case _: Throwable => () }
       }
 
+    // In-process sampling profiler (GRAFT_PROFILE_STACKS=1): every 25 ms
+    // aggregate RUNNABLE "Executor task launch worker" frames — local-mode
+    // executors live in this JVM, so this is a poor-man's flame graph of
+    // task-side work with zero external tooling.
+    val frameCounts = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+    val sampling = new java.util.concurrent.atomic.AtomicBoolean(false)
+    if (sys.env.contains("GRAFT_PROFILE_STACKS")) {
+      val t = new Thread(() => {
+        while (true) {
+          if (sampling.get()) {
+            val all = Thread.getAllStackTraces()
+            all.forEach { (th, frames) =>
+              if (th.getName.startsWith("Executor task launch") &&
+                  th.getState == Thread.State.RUNNABLE && frames.nonEmpty) {
+                // Pick the deepest frame below generated/reflective glue,
+                // qualified by one caller for context.
+                val leaf = frames.take(12).map(f =>
+                  f.getClassName + "." + f.getMethodName)
+                  .mkString(" <- ")
+                frameCounts.computeIfAbsent(leaf, _ => new AtomicLong())
+                  .incrementAndGet()
+              }
+            }
+          }
+          Thread.sleep(25)
+        }
+      }, "graft-profile-sampler")
+      t.setDaemon(true); t.start()
+    }
+
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter {
       case (name, _) => only.forall(_.contains(name))
@@ -78,11 +142,14 @@ object Profile {
       jobs.set(0); stages.set(0); tasks.set(0)
       taskTimeMs.set(0); gcTimeMs.set(0)
       shuffleReadB.set(0); shuffleWriteB.set(0)
+      bySite.clear(); stageWall.clear(); jobSites.clear()
+      frameCounts.clear(); sampling.set(true)
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
       val wall = (System.nanoTime() - t0) / 1e9
+      sampling.set(false)
       Thread.sleep(300)
       err match {
         case Some(m) => println(f"$name%-28s ERROR ${m.take(80)}")
@@ -91,6 +158,35 @@ object Profile {
           f"${tasks.get}%7d ${taskTimeMs.get / 1e3}%8.1f " +
           f"${gcTimeMs.get / 1e3}%6.1f " +
           f"${shuffleReadB.get / 1000000}%7d ${shuffleWriteB.get / 1000000}%7d")
+      }
+      if (sys.env.contains("GRAFT_PROFILE_JOBS")) {
+        import scala.jdk.CollectionConverters._
+        jobSites.asScala.toSeq.sortBy(-_._2.get).take(15).foreach {
+          case (site, n) => println(f"    jobs ${n.get}%3d  $site")
+        }
+      }
+      if (sys.env.contains("GRAFT_PROFILE_STACKS")) {
+        import scala.jdk.CollectionConverters._
+        val total = frameCounts.asScala.values.map(_.get).sum.max(1L)
+        frameCounts.asScala.toSeq.sortBy(-_._2.get).take(12).foreach {
+          case (fr, n) =>
+            println(f"    ${n.get * 100.0 / total}%5.1f%% ${fr.take(420)}")
+        }
+      }
+      if (sys.env.contains("GRAFT_PROFILE_SITES")) {
+        // JVM-global Janino codegen counters: generated-class compile time
+        // is a classic hidden per-advance cost when plan source text churns
+        // (cache is keyed on source). Printed as cumulative deltas.
+        val cm = org.apache.spark.metrics.source.CodegenMetrics
+        val ct = cm.METRIC_COMPILATION_TIME
+        println(f"    codegen(cum): compiles=${ct.getCount}" +
+          f" meanMs=${ct.getSnapshot.getMean}%.1f" +
+          f" ≈totalMs=${ct.getCount * ct.getSnapshot.getMean}%.0f")
+        import scala.jdk.CollectionConverters._
+        bySite.asScala.toSeq.sortBy(-_._2._3).take(15).foreach {
+          case (site, (_, nTasks, ms)) =>
+            println(f"    ${ms / 1e3}%8.2fs $nTasks%5d tasks  $site%s")
+        }
       }
     }
     spark.stop()

@@ -15,6 +15,8 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Sort shuffle writer always — see the Bench builder comment.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       // GC-clean reliable checkpoint files under -Dgraft.checkpoint.dir
       // (must be set at SparkContext construction; see kernel.Ckpt).
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")

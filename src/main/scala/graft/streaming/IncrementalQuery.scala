@@ -1253,9 +1253,15 @@ class IncrementalQuery(
     // ---- set algebra: every operand is partitioned by `part`; the
     // delta-sized side is hash-built per partition, the other streams ----
 
-    private def checkpointed(s: PSet): PSet = {
-      val c = s.graftCheckpoint(); c.count(); c
+    /** Checkpoint + materialize, returning the count the materializing
+      * job already computed — round loops and emptiness gates read THIS
+      * count instead of paying a second (cached, but still
+      * scheduler-latency-priced) count job per round. */
+    private def checkpointedC(s: PSet): (PSet, Long) = {
+      val c = s.graftCheckpoint(); val n = c.count(); (c, n)
     }
+
+    private def checkpointed(s: PSet): PSet = checkpointedC(s)._1
 
     private def asSet(rows: RDD[Seq[Any]]): PSet =
       rows.map(k => (k, null: Null)).reduceByKey(part, (a, _) => a)
@@ -1353,11 +1359,11 @@ class IncrementalQuery(
       out
     }
 
-    private def checkpointedT(s: PSet, what: String): PSet = {
+    private def checkpointedTC(s: PSet, what: String): (PSet, Long) = {
       val t0 = System.nanoTime()
-      val c = checkpointed(s)
+      val cn = checkpointedC(s)
       rtrace(f"$what materializeMs=${(System.nanoTime() - t0) / 1000000}")
-      c
+      cn
     }
 
     private def occCount(p: Plan, name: String): Int = p match {
@@ -1994,9 +2000,23 @@ class IncrementalQuery(
         val d = node.advance(attrDeltas)
         val w = inputKinds(n).length
         val rdd = d.rdd.map(r => (rowKey(r, w), r.getLong(w)))
-        val adds = checkpointed(asSet(rdd.filter(_._2 > 0L).keys))
-        val dels = checkpointed(asSet(rdd.filter(_._2 < 0L).keys))
-        (n, adds, dels, adds.count(), dels.count())
+        // ONE job materializes BOTH localCheckpoints and returns both
+        // counts: the union action computes (and caches) every adds/dels
+        // partition, and doCheckpoint then truncates both marked branches
+        // — this was 4 jobs (2 materializing counts + 2 cached re-counts)
+        // per touched input per advance.
+        val adds = asSet(rdd.filter(_._2 > 0L).keys).graftCheckpoint()
+        val dels = asSet(rdd.filter(_._2 < 0L).keys).graftCheckpoint()
+        val (ac, dc) = sc.union(
+            adds.map(_ => (1L, 0L)), dels.map(_ => (0L, 1L)))
+          .mapPartitions({ it =>
+            var a = 0L; var b = 0L
+            it.foreach { p => a += p._1; b += p._2 }
+            Iterator.single((a, b))
+          }, preservesPartitioning = false)
+          .collect()
+          .foldLeft((0L, 0L)) { case ((x, y), (p, q)) => (x + p, y + q) }
+        (n, adds, dels, ac, dc)
       }
       val anyAdd = trans.exists(_._4 > 0L)
       val anyDel = trans.exists(_._5 > 0L)
@@ -2030,8 +2050,8 @@ class IncrementalQuery(
             stepCandidates(r, roundDeltas, envOld).flatMap { cand =>
               var s = intersect(asSet(cand), recState(r))
               over(r).foreach(o => s = minus(s, o))
-              val c = checkpointedT(s, s"over:$r")
-              if (c.count() == 0L) None
+              val (c, cn) = checkpointedTC(s, s"over:$r")
+              if (cn == 0L) None
               else {
                 over(r) = compactedParts(over(r) :+ c)
                 Some((r, sig(r)._2, c))
@@ -2075,9 +2095,9 @@ class IncrementalQuery(
                   Plan.NameExpr(hv, "@over"))
                 val envR = envKeep +
                   ("@over" -> relOf(sig(r)._2, Seq(overTotal(r)), isSmall = true))
-                val c = checkpointedT(intersect(
+                val (c, cn) = checkpointedTC(intersect(
                   overTotal(r), asSet(evalSet(restricted, envR))), s"rederive0:$r")
-                if (c.count() == 0L) None
+                if (cn == 0L) None
                 else {
                   redv(r) = compactedParts(redv(r) :+ c)
                   Some((r, sig(r)._2, c))
@@ -2093,8 +2113,8 @@ class IncrementalQuery(
               stepCandidates(r, roundR, envK).flatMap { cand =>
                 var s = intersect(asSet(cand), overTotal(r))
                 redv(r).foreach(o => s = minus(s, o))
-                val c = checkpointedT(s, s"rederive:$r")
-                if (c.count() == 0L) None
+                val (c, cn) = checkpointedTC(s, s"rederive:$r")
+                if (cn == 0L) None
                 else {
                   redv(r) = compactedParts(redv(r) :+ c)
                   Some((r, sig(r)._2, c))
@@ -2105,8 +2125,8 @@ class IncrementalQuery(
           clique.foreach { r =>
             var gone = overTotal(r)
             redv(r).foreach(rr => gone = without(gone, rr))
-            val g = checkpointed(gone)
-            if (r == target && g.count() > 0L)
+            val (g, gn) = checkpointedC(gone)
+            if (r == target && gn > 0L)
               emitted += g.map { case (k, _) => (k, -1L) }
             recState(r) = checkpointed(disjointUnion(keep(r) +: redv(r)))
           }
@@ -2153,8 +2173,8 @@ class IncrementalQuery(
             stepCandidates(r, roundDeltas, env).flatMap { cand =>
               var s = minus(asSet(cand), recState(r))
               newParts(r).foreach(p2 => s = minus(s, p2))
-              val c = checkpointedT(s, s"add:$r")
-              if (c.count() == 0L) None
+              val (c, cn) = checkpointedTC(s, s"add:$r")
+              if (cn == 0L) None
               else {
                 newParts(r) = compactedParts(newParts(r) :+ c)
                 Some((r, sig(r)._2, c))
