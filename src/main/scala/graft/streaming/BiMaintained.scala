@@ -1151,7 +1151,9 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
         val cols = segments.head._2.columns.dropRight(1).toSeq
         rFrame = netUnion(rFrame +: segFrames(withEvent = false), cols) match {
           case null => null
-          case f => val c = f.graftCheckpoint(true); c.count(); c
+          // Eager Dataset checkpoint already materializes internally —
+          // a trailing count() was a second, redundant job per fold.
+          case f => f.graftCheckpoint(true)
         }
         val fl = collapseBound
         val ledgerIn = (ledgerFrame +: segFrames(withEvent = true)).map {
@@ -1161,7 +1163,7 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
         ledgerFrame =
           netUnion(ledgerIn, cols :+ "_event", forceNet = fl.nonEmpty) match {
             case null => null
-            case f => val c = f.graftCheckpoint(true); c.count(); c
+            case f => f.graftCheckpoint(true)
           }
         segments.clear()
         sinkDeliveryStats("consolidate") += 1L
@@ -1196,8 +1198,11 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
         // O(delta) scanned bytes, no O(|R| + |ledger|) merge. The full
         // merge below remains for genuine product-order regressions
         // (a processed time whose event undercuts a delivered one).
+        // LAZY checkpoint + count: the count job materializes the cut
+        // (RDD.doCheckpoint runs at job end), so the gate and the
+        // truncation share ONE job instead of eager-then-count's two.
         val diff = pendingDelta.withColumnRenamed("_w", "_diff")
-          .graftCheckpoint(true)
+          .graftCheckpoint(false)
         if (diff.count() > 0L) {
           segments += ((t._2, diff))
           ledgerMaxEvent = math.max(ledgerMaxEvent, t._2)
@@ -1241,7 +1246,8 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
               (coalesce(col("r._w"), lit(0L)) -
                 coalesce(col("a._acc"), lit(0L))).as("_diff"): _*)
       }
-      val diff = diff0.where(col("_diff") =!= 0L).graftCheckpoint(true)
+      // Lazy cut + count — one materializing job (see the fast path).
+      val diff = diff0.where(col("_diff") =!= 0L).graftCheckpoint(false)
       rFrame = base
       if (diff.count() > 0L) {
         val entry = diff.select(cols.map(col) :+ lit(t._2).as("_event") :+

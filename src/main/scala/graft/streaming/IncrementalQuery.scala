@@ -2521,8 +2521,10 @@ class IncrementalQuery(
               if (d.isEmpty) None else Some(a -> d)
             }.toMap
             if (byAttr.nonEmpty) {
-              val diffs = advance(byAttr).graftCheckpoint(true)
-              if (!diffs.isEmpty) onDiffs(t, diffs)
+              // Lazy cut: the count gate's job materializes the
+              // checkpoint (was eager-then-isEmpty — two jobs).
+              val diffs = advance(byAttr).graftCheckpoint(false)
+              if (diffs.count() > 0L) onDiffs(t, diffs)
             }
           }
         } finally batch.unpersist()
