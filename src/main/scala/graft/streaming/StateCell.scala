@@ -64,12 +64,20 @@ private[streaming] final class StateCell[S <: AnyRef: ClassTag](
   private var cur: RDD[W] = {
     val z = zero
     val sz = sizeOf
+    // LAZY zero state: no eager count job at construction — the first
+    // commit's materializing job computes (and caches/truncates) the
+    // zero partitions along with the first generation. Safe because the
+    // zero state has no predecessor whose blocks could be unpersisted
+    // out from under an unmaterialized successor (the reason commits
+    // MUST count before dropping the superseded generation). Engines
+    // that build several cells per standing (and the bi path, which
+    // rebuilds on kind discovery) were paying one scheduler-latency
+    // job per cell for a deterministic empty index.
     val init = sc.parallelize(0 until numPartitions, numPartitions)
       .mapPartitions { _ =>
         val s = z(); Iterator.single(new GraftSizedValue(s, 64L + sz(s)))
       }
       .graftCheckpoint()
-    init.count()
     prevGen = init
     init
   }
