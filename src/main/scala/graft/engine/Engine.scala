@@ -23,7 +23,11 @@ import graft.sinks.DiffSink
   * §4.2). Distributed evaluation, driver-side diffing — snapshots collected
   * here are query *results*, which are small relative to inputs.
   */
-class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
+class Engine(val spark: SparkSession, setSemantics: Boolean = false,
+    // State-partition dial for maintained standings (0 = the session's
+    // spark.sql.shuffle.partitions) — the IncrementalQuery `partitions`
+    // discipline: size to the MAINTAINED STATE, not the bulk data.
+    statePartitions: Int = 0) {
 
   val domain = new Domain(spark)
 
@@ -587,7 +591,8 @@ class Engine(val spark: SparkSession, setSemantics: Boolean = false) {
     val known = domain.knownKinds
     if (!attrs.forall(known.contains)) return false
     val iq = new graft.streaming.IncrementalQuery(spark, plan, known,
-      rulePlans, distinctAttrs, lwwAttrs, setSemantics = setSemantics)
+      rulePlans, distinctAttrs, lwwAttrs, setSemantics = setSemantics,
+      partitions = statePartitions)
     incrementalQs(name) = iq
     resultKinds(name) = iq.outputKinds
     if (iq.outputIsPathArray) pathArrayResults += name else pathArrayResults -= name

@@ -96,7 +96,11 @@ object CoreQueries {
       .where(col("rn") === 1)
       .select(col("e"), col("v"), col("sys"), col("event"),
         when(col("ok") % 11 === 0, -1L).otherwise(1L).as("diff"))
-    val bm = new graft.streaming.BiMaintained(s, slack = slack)
+    // State-partition dial sized to the maintained state, matching the
+    // q_derive_bi / IncrementalQuery cells (the documented scale dial:
+    // oracle-sized standings run leaner with fewer; data-sized states
+    // size it up).
+    val bm = new graft.streaming.BiMaintained(s, partitions = 8, slack = slack)
     bm.createAttribute(":bt/price",
       AttributeConfig(InputSemantics.LastWriteWins))
     bm.register(Rule("bt", matchA(0, ":bt/price", 1)))
@@ -445,7 +449,7 @@ object CoreQueries {
       // survivors. Entity bound 8000 keeps the harness transacts
       // control-sized at every SF (the documented oracle-harness gate).
       import org.apache.spark.sql.functions.sum
-      val e = new graft.engine.Engine(s)
+      val e = new graft.engine.Engine(s, statePartitions = 8)
       e.createAttribute(":sp/custkey", AttributeConfig())
       e.register(Rule("spq", Aggregate(Seq(1, 0),
         matchA(0, ":sp/custkey", 1),
@@ -677,7 +681,7 @@ object CoreQueries {
       // control-sized at every SF (the closure queries' bound
       // discipline). Accumulated drains == SQL over the survivors.
       import org.apache.spark.sql.functions.lit
-      val e = new graft.engine.Engine(s)
+      val e = new graft.engine.Engine(s, statePartitions = 8)
       Seq("link" -> InputSemantics.Distinct, "dname" -> InputSemantics.Distinct,
         "dbal" -> InputSemantics.Distinct).foreach { case (a, sem) =>
         e.createAttribute(a, AttributeConfig(sem))

@@ -969,12 +969,18 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
         refAttrs.iterator.map(a => a -> kindOf(a)).toMap
       if (iq == null) {
         kinds = current
-        iq = new IncrementalQuery(spark, plan, kinds, rulePlans)
+        // The instance's state-partition dial flows through to the
+        // standing's stateful nodes — previously only the store was
+        // sized to it and the IncrementalQuery silently fell back to
+        // the session's shuffle partitions.
+        iq = new IncrementalQuery(spark, plan, kinds, rulePlans,
+          partitions = partitions)
         val replay = store.dump(lane.id, kindOf).view.filterKeys(refAttrs).toMap
         if (replay.nonEmpty) accumulate(iq.advance(replay))
       } else if (kinds != current) {
         kinds = current
-        iq = new IncrementalQuery(spark, plan, kinds, rulePlans)
+        iq = new IncrementalQuery(spark, plan, kinds, rulePlans,
+          partitions = partitions)
         val replay = store.dump(lane.id, kindOf).view.filterKeys(refAttrs).toMap
         if (replay.nonEmpty) { val _ = iq.advance(replay).count() }
       }
