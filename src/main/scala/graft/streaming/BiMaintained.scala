@@ -976,13 +976,15 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
         iq = new IncrementalQuery(spark, plan, kinds, rulePlans,
           partitions = partitions)
         val replay = store.dump(lane.id, kindOf).view.filterKeys(refAttrs).toMap
-        if (replay.nonEmpty) accumulate(iq.advance(replay))
+        if (replay.nonEmpty) accumulate(iq.advance(
+          BiStore.framesOnly(replay), BiStore.knownCounts(replay)))
       } else if (kinds != current) {
         kinds = current
         iq = new IncrementalQuery(spark, plan, kinds, rulePlans,
           partitions = partitions)
         val replay = store.dump(lane.id, kindOf).view.filterKeys(refAttrs).toMap
-        if (replay.nonEmpty) { val _ = iq.advance(replay).count() }
+        if (replay.nonEmpty) { val _ = iq.advance(
+          BiStore.framesOnly(replay), BiStore.knownCounts(replay)).count() }
       }
     }
 
@@ -1348,7 +1350,8 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     for (name <- laneInterests) {
       val st = standings(name)
       val sub = deltas.view.filterKeys(st.refAttrs).toMap
-      if (sub.nonEmpty) st.accumulate(st.iq.advance(sub))
+      if (sub.nonEmpty) st.accumulate(st.iq.advance(
+        BiStore.framesOnly(sub), BiStore.knownCounts(sub)))
       st.deliver(t)
     }
     btrace(f"lane=${lane.win} t=$t build=${(t1 - t0) / 1e6}%.0fms " +

@@ -53,7 +53,7 @@ private[streaming] sealed trait BiStore {
       // tracked; None = maintain everything (the pre-r17 behavior,
       // kept for tests). A later standing over a skipped attribute is
       // served via [[backfill]].
-      demand: Option[Set[String]] = None): Map[String, DataFrame]
+      demand: Option[Set[String]] = None): BiStore.Frames
 
   /** Reconstruct lane `lane`'s emitted view for newly-demanded `attrs`
     * (skipped by earlier demand-filtered transitions) at its last
@@ -64,7 +64,7 @@ private[streaming] sealed trait BiStore {
 
   /** Lane `lane`'s full emitted view per attribute — replay for
     * late/rebuilt standing queries. */
-  def dump(lane: Int, kindOf: String => ValueKind): Map[String, DataFrame]
+  def dump(lane: Int, kindOf: String => ValueKind): BiStore.Frames
 
   /** Drop lane `lane`'s emitted view (lane teardown — its last interest
     * left). The shared history is untouched. */
@@ -89,6 +89,22 @@ private[streaming] sealed trait BiStore {
 }
 
 private[streaming] object BiStore {
+  /** Per-attribute transition/dump frames, each with its row count when
+    * the store already knows it driver-side (the DriverBiStore builds
+    * its frames from in-memory rows): a known count lets the standing's
+    * `IncrementalQuery.advance` skip the per-attribute materialize+count
+    * job whose only purpose is rediscovering the size. None = the frame
+    * is RDD-backed distributed state (CellBiStore) — counting it would
+    * itself cost the job the channel exists to avoid. */
+  type Frames = Map[String, (DataFrame, Option[Long])]
+
+  /** The plain per-attribute frame view of [[Frames]]. */
+  def framesOnly(fs: Frames): Map[String, DataFrame] =
+    fs.view.mapValues(_._1).toMap
+
+  /** The known-count view of [[Frames]] (absent = unknown). */
+  def knownCounts(fs: Frames): Map[String, Long] =
+    fs.collect { case (a, (_, Some(n))) => a -> n }
   /** Demand Option → predicate, shared by both siblings. The returned
     * lambda captures only the Set (or nothing), so it is safe to ship
     * into executor closures. */
@@ -130,12 +146,13 @@ private[streaming] object BiStore {
       spark.sparkContext.parallelize(rows, nPart), schema(kind))
   }
 
-  /** Group driver-side transition rows into per-attribute frames. */
+  /** Group driver-side transition rows into per-attribute frames, each
+    * carrying its (driver-known) row count. */
   def framesOf(spark: SparkSession, rows: Iterable[(String, Any, Any, Long)],
-      kindOf: String => ValueKind): Map[String, DataFrame] =
+      kindOf: String => ValueKind): Frames =
     rows.groupBy(_._1).map { case (a, rs) =>
-      a -> frame(spark, kindOf(a),
-        rs.iterator.map { case (_, e, v, w) => Row(e, v, w) }.toSeq)
+      val rws = rs.iterator.map { case (_, e, v, w) => Row(e, v, w) }.toSeq
+      a -> ((frame(spark, kindOf(a), rws), Some(rws.size.toLong)))
     }
 }
 
@@ -153,7 +170,7 @@ private[streaming] final class DriverBiStore(spark: SparkSession)
       sem: BiVisibility.Sem, pruneUpTo: Long,
       kindOf: String => ValueKind,
       attrHint: Option[String] = None,
-      demand: Option[Set[String]] = None): Map[String, DataFrame] = {
+      demand: Option[Set[String]] = None): BiStore.Frames = {
     val t0 = System.nanoTime()
     val (next, rows) = vis.transition(lane, win, tPrev, t, sem, pruneUpTo,
       BiStore.demandFn(demand))
@@ -170,7 +187,7 @@ private[streaming] final class DriverBiStore(spark: SparkSession)
       sem: BiVisibility.Sem, attrs: Set[String]): Unit =
     vis = vis.backfill(lane, win, t, sem, attrs)
 
-  def dump(lane: Int, kindOf: String => ValueKind): Map[String, DataFrame] =
+  def dump(lane: Int, kindOf: String => ValueKind): BiStore.Frames =
     BiStore.framesOf(spark, vis.dumpEmitted(lane).toSeq, kindOf)
 
   def dropLane(lane: Int): Unit = vis = vis.dropLane(lane)
@@ -252,7 +269,7 @@ private[streaming] final class CellBiStore(
       // per-time distinct-attribute job — per-lattice-time job count is
       // the dominant cost of small advances on the cell store.
       attrHint: Option[String] = None,
-      demand: Option[Set[String]] = None): Map[String, DataFrame] = {
+      demand: Option[Set[String]] = None): BiStore.Frames = {
     // Resolved on the driver — the lambda captures only the Set, so the
     // task closure stays free of the store's object graph.
     val dm = BiStore.demandFn(demand)
@@ -279,7 +296,7 @@ private[streaming] final class CellBiStore(
       (next, Array(next.estimatedBytes))
     }.fold(0L)(_ + _)
 
-  def dump(lane: Int, kindOf: String => ValueKind): Map[String, DataFrame] = {
+  def dump(lane: Int, kindOf: String => ValueKind): BiStore.Frames = {
     val out = cell.rdd.flatMap(_.dumpEmitted(lane)).graftCheckpoint()
     framesFrom(out, out.count(), kindOf)
   }
@@ -312,14 +329,22 @@ private[streaming] final class CellBiStore(
     * the only driver-sized read is the distinct attribute-name list. */
   private def framesFrom(out: RDD[(String, Any, Any, Long)], n: Long,
       kindOf: String => ValueKind,
-      attrHint: Option[String] = None): Map[String, DataFrame] =
+      attrHint: Option[String] = None): BiStore.Frames =
     if (n == 0L) Map.empty
-    else attrHint.map(Array(_))
-      .getOrElse(out.map(_._1).distinct().collect()).iterator.map { a =>
-      a -> spark.createDataFrame(
-        out.filter(_._1 == a).map { case (_, e, v, w) => Row(e, v, w) },
-        BiStore.schema(kindOf(a)))
-    }.toMap
+    else attrHint match {
+      // Single-attribute output: every emitted row is provably the
+      // hinted attribute, so `n` IS the frame's count — the consumer
+      // skips its materialize+count job (the same per-time job economy
+      // the hint already buys for the distinct-attribute pass).
+      case Some(a) => Map(a -> ((spark.createDataFrame(
+        out.map { case (_, e, v, w) => Row(e, v, w) },
+        BiStore.schema(kindOf(a))), Some(n))))
+      case None => out.map(_._1).distinct().collect().iterator.map { a =>
+        a -> ((spark.createDataFrame(
+          out.filter(_._1 == a).map { case (_, e, v, w) => Row(e, v, w) },
+          BiStore.schema(kindOf(a))), None: Option[Long]))
+      }.toMap
+    }
 
   def estimatedBytes: Long = measuredBytes
 

@@ -2407,7 +2407,18 @@ class IncrementalQuery(
     * ordered EVENTS (`e, v, t, diff, seq` rows) and pass a per-attribute
     * LastWriteWins view, so the plan sees the latest-event-wins
     * relation's transitions. */
-  def advance(deltas: Map[String, DataFrame]): DataFrame = {
+  def advance(deltas: Map[String, DataFrame]): DataFrame =
+    advance(deltas, Map.empty)
+
+  /** [[advance]] with caller-known per-attribute delta row counts: a
+    * DRIVER-BUILT delta frame (the DriverBiStore's parallelize-backed
+    * transition frames) already knows its size, so the per-attribute
+    * materialize+count job exists only to rediscover it — skip both
+    * (recomputing a parallelize-backed select is free, so the
+    * checkpoint buys nothing either). Attributes absent from
+    * `knownCounts` take the counted-checkpoint path unchanged. */
+  def advance(deltas: Map[String, DataFrame],
+      knownCounts: Map[String, Long]): DataFrame = {
     // Per attribute: the raw delta materializes through ONE counted
     // checkpoint job (the count doubles as the emptiness probe), and
     // the input view's output emptiness reads off the state commit's
@@ -2415,15 +2426,20 @@ class IncrementalQuery(
     // `isEmpty` + a second `isEmpty` on the view output) paid three
     // scheduler round-trips per attribute per advance for the same
     // information.
+    def counted(df: DataFrame, a: String): (DataFrame, Long) =
+      knownCounts.get(a) match {
+        case Some(n) => (df, n)
+        case None    => materializeCounted(df)
+      }
     val attrDeltas: Map[String, DataFrame] = deltas.flatMap { case (a, df) =>
       require(kinds.contains(a), s"unknown attribute $a")
       if (lwwAttrs(a)) {
         require(df.columns.toSet == Set("e", "v", "t", "diff", "seq"),
           s"LastWriteWins attribute $a needs raw ordered events " +
             s"(e, v, t, diff, seq), got ${df.columns.mkString(", ")}")
-        val (raw, nRaw) = materializeCounted(df.select(col("e").cast("long"),
+        val (raw, nRaw) = counted(df.select(col("e").cast("long"),
           col("v").cast(kinds(a).dataType), col("t").cast("long"),
-          col("diff").cast("long"), col("seq").cast("long")))
+          col("diff").cast("long"), col("seq").cast("long")), a)
         if (nRaw == 0L) None
         else {
           val (d, n) = attrLwws.getOrElseUpdate(a, new AttrLww(kinds(a)))
@@ -2431,9 +2447,9 @@ class IncrementalQuery(
           if (n == 0L) None else Some(a -> d)
         }
       } else {
-        val (raw, nRaw) = materializeCounted(df.select(col("e").cast("long"),
+        val (raw, nRaw) = counted(df.select(col("e").cast("long"),
           col("v").cast(kinds(a).dataType),
-          col("diff").cast("long").as(Rel.W)))
+          col("diff").cast("long").as(Rel.W)), a)
         if (nRaw == 0L) None
         else if (!distinctAttrs(a)) Some(a -> raw)
         else {
