@@ -36,7 +36,7 @@ object Bench {
     * page-cache flush stalls are invisible to /proc/loadavg at window
     * start). Readers compare start/end calibration across captures the
     * way they compare host load. */
-  private def calibrate(): (Double, Double) = {
+  private def calibrateCpu(): Double = {
     val t0 = System.nanoTime()
     var x = 0x9E3779B97F4A7C15L
     var i = 0
@@ -44,6 +44,19 @@ object Bench {
     val cpu = (System.nanoTime() - t0) / 1e9
     // Keep x observable so the spin cannot be eliminated.
     if (x == 42L) System.err.print("")
+    cpu
+  }
+
+  /** Quiet-host baseline for the fixed-work CPU spin on the bench box,
+    * committed so the mid-run stall gate has an absolute reference: ten
+    * accepted r17/r18 captures read 0.095-0.122 s start AND end. The io
+    * probe has NO usable quiet baseline (the same accepted captures span
+    * 0.043-0.437 s — fsync latency legitimately swings with page-cache
+    * state), which is why the stall gate is CPU-probe-based. */
+  private val quietCpuBaseline = 0.10
+
+  private def calibrate(): (Double, Double) = {
+    val cpu = calibrateCpu()
     val t1 = System.nanoTime()
     val io =
       try {
@@ -85,39 +98,24 @@ object Bench {
       val p = hostLoad(); loadStart = p._1; jvmsStart = p._2
       waits += 1
     }
-    val (cpuStart, ioStart) = calibrate()
+    var (cpuStart, ioStart) = calibrate()
+    // Same discipline for a CPU-starved start (steal with a quiet load
+    // average — the r18 driver window): re-probe until the fixed-work
+    // spin reads near its committed quiet baseline, bounded.
+    var cwaits = 0
+    while (cpuStart > 2.5 * quietCpuBaseline && cwaits < 5) {
+      System.err.println(
+        s"[bench] CPU-starved window (calib_cpu=$cpuStart); waiting 30s")
+      Thread.sleep(30000L)
+      val p = calibrate(); cpuStart = p._1; ioStart = p._2
+      cwaits += 1
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    var builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      // Always use the sort shuffle writer (never the bypass writer): for
-      // the ≤200-partition shuffles this session runs, the bypass writer
-      // creates one file PER REDUCE PARTITION per map task, then merges
-      // and deletes them — profiled at 36-75% of executor task time as
-      // open/copyFileStreamNIO/delete syscalls on the maintained cells'
-      // control-sized shuffles (r18 optimization round). The sort writer
-      // emits one file + index per map task. Scale-consistent: above 200
-      // partitions Spark uses the sort path regardless, so this aligns
-      // local behavior with at-scale behavior instead of tuning for the
-      // box.
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
-      // GC-clean reliable checkpoint files under -Dgraft.checkpoint.dir
-      // (must be set at SparkContext construction; see kernel.Ckpt).
-      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-    // Local A/B hook (GRAFT_CONF="k=v;k=v"): extra session confs for
-    // same-window config A/Bs. The driver sets no env, so its captures
-    // always run the defaults above.
-    sys.env.get("GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder = builder.config(k, v)
-      })
-    val spark = builder.getOrCreate()
+    // Session conf posture lives in GraftSession (shared with Verify/
+    // Plans/Profile/StreamScaleSmoke — one definition, no per-entry-point
+    // drift); the GRAFT_CONF A/B hook is parsed there and EMBEDDED in the
+    // output below so a capture run with overrides is self-describing.
+    val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session first (codegen compilation, parquet footer reads,
     // broadcast machinery, domain-catalog load for the bench SF) so startup
@@ -153,9 +151,21 @@ object Bench {
     // attribution adjudications). The "a_" prefix sorts the cell first,
     // making the artifact line self-describing. Skipped for
     // SPARK_GRAFT_ONLY subsets (local iteration keeps raw attribution).
+    // MID-RUN stall probes (r18 adjudication): the driver's 32-core r18
+    // window read clean on every start/end gate yet its cells were 2-5x
+    // inflated — the stall began after window start and recovered before
+    // window end, exactly where the start/end calibrations cannot see.
+    // One fixed-work CPU spin (~0.1 s quiet) runs BETWEEN cells, outside
+    // every per-query timer, so the per-query seconds and their sum are
+    // untouched; the gate below flags the window when the MEDIAN mid-run
+    // probe exceeds 2.5x the committed quiet baseline (a majority-stalled
+    // window cannot read clean, while a brief page-cache burp on a few
+    // probes cannot flag a quiet one).
+    val midCalib = scala.collection.mutable.ArrayBuffer.empty[Double]
     val artRow: Seq[(String, Double, Option[String])] =
       if (only.nonEmpty) Seq.empty
       else {
+        midCalib += calibrateCpu()
         val t0 = System.nanoTime()
         val err =
           try { graft.queries.PipelineQueries.prebuildSharedArtifacts(spark, sfDir); None }
@@ -169,6 +179,7 @@ object Bench {
     // message lands in a top-level "errors" object — a broken query can
     // never masquerade as a fast one.
     val results = artRow ++ selected.map { case (name, fn) =>
+      midCalib += calibrateCpu()
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
@@ -210,19 +221,32 @@ object Bench {
     // calibration stays reader-compared telemetry only: fsync latency
     // legitimately swings several-fold with page-cache state, so it
     // gates on probe FAILURE, not on inflation.
+    val midSorted = midCalib.toSeq.sorted
+    val midMed =
+      if (midSorted.isEmpty) -1.0 else midSorted(midSorted.length / 2)
+    val midMax = if (midSorted.isEmpty) -1.0 else midSorted.last
+    // Mid-run stall gate: the median fixed-work spin across the window
+    // must stay near the committed quiet baseline (see quietCpuBaseline).
+    // 2.5x: accepted quiet captures read 0.095-0.122 start AND end, so
+    // 0.25 is far above quiet-window variance but well below what a
+    // window inflating cells 2-5x reads. Probe failure fails closed.
+    val midStalled = midMed < 0.0 || midMed > 2.5 * quietCpuBaseline
     val contaminated = hostContaminated(loadStart, jvmsStart) ||
       cpuStart < 0.0 || ioStart < 0.0 || cpuEnd < 0.0 || ioEnd < 0.0 ||
-      math.max(cpuStart, cpuEnd) > 2.0 * math.min(cpuStart, cpuEnd)
-    val host = s""""contaminated":$contaminated,"host":{"load_start":$loadStart,"load_end":$loadEnd,"jvms_start":$jvmsStart,"jvms_end":$jvmsEnd,"calib_cpu_start":${c3(cpuStart)},"calib_io_start":${c3(ioStart)},"calib_cpu_end":${c3(cpuEnd)},"calib_io_end":${c3(ioEnd)}}"""
+      math.max(cpuStart, cpuEnd) > 2.0 * math.min(cpuStart, cpuEnd) ||
+      midStalled
+    // GRAFT_CONF overrides (if any) ride in the host block so a capture
+    // taken with a non-default session conf can never masquerade as a
+    // committed-defaults run (r18 ADVICE).
+    val confStr =
+      if (GraftSession.confOverrides.isEmpty) ""
+      else GraftSession.confOverrides
+        .map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString(""","conf_overrides":{""", ",", "}")
+    val host = s""""contaminated":$contaminated,"host":{"load_start":$loadStart,"load_end":$loadEnd,"jvms_start":$jvmsStart,"jvms_end":$jvmsEnd,"calib_cpu_start":${c3(cpuStart)},"calib_io_start":${c3(ioStart)},"calib_cpu_end":${c3(cpuEnd)},"calib_io_end":${c3(ioEnd)},"calib_cpu_mid_med":${c3(midMed)},"calib_cpu_mid_max":${c3(midMax)},"calib_cpu_mid_n":${midCalib.length}}$confStr"""
     // Full-precision line first — the per-round capture files keep whole
     // stdout, so this is the builder/judge A/B record.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$host,"sf":"$sfDir"}""")
-    // The driver keeps only the LAST 2000 chars of stdout and parses a
-    // JSON line out of that tail; at 85 queries the full-precision line
-    // is ~3.3k chars, so every round's parsed field came back null. Emit
-    // a final COMPACT line (adaptive precision, trailing zeros stripped)
-    // sized to fit the tail window — the truncated full line above can't
-    // parse, so any line-scanning parser lands on this one.
     def fmt(v: Double, p: Int): String = {
       // Locale.ROOT: a default locale with comma decimal separators
       // would make the JSON line unparseable.
@@ -230,24 +254,24 @@ object Bench {
         .reverse.dropWhile(_ == '0').reverse
       if (s.endsWith(".")) s.dropRight(1) else s
     }
-    def compact(p: Int): String = {
-      // A positive sub-resolution value must not render as "0" (it would
-      // read as an instant query) — raise its precision until a digit
-      // survives (1 ms floor).
-      def vfmt(v: Double): String = {
-        val s = fmt(v, p)
-        if (s == "0" && v > 0)
-          Iterator(2, 3).map(fmt(v, _)).find(_ != "0").getOrElse("0.001")
-        else s
-      }
-      val cqs = results.map { case (k, v, _) => s"\"" + k + "\":" + vfmt(v) }
-        .mkString("{", ",", "}")
+    // The driver keeps only the LAST 2000 chars of stdout and parses a
+    // JSON line out of that tail. At 95 cells the per-query NAMES alone
+    // are ~1.8k chars — no precision trick fits a per-query map into the
+    // tail next to sbt's own trailing lines, which is why every driver
+    // comparison since r16 read parsed=null. The final line therefore
+    // carries NO per-query map: total + errors + contamination + host
+    // (≤ ~700 chars), so the driver's total comparison and gates parse
+    // again. The full-precision line above keeps the per-query record
+    // for humans, judges, and the committed capture files.
+    def tailLine(errLimit: Int): String = {
       val cerrs = results.collect { case (k, _, Some(m)) =>
-        s"\"" + k + "\":" + jstr(m.take(60)) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, p)},"unit":"sec","queries":$cqs,"errors":$cerrs,$host,"sf":"$sfDir"}"""
+        s"\"" + k + "\":" + jstr(m.take(errLimit)) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","errors":$cerrs,$host,"sf":"$sfDir"}"""
     }
-    println(Iterator(3, 2, 1).map(compact).find(_.length <= 1900)
-      .getOrElse(compact(1)))
+    // Degrade error detail, never the metric, if many cells failed at
+    // once (the line must stay parseable inside the 2000-char tail).
+    println(Iterator(60, 20, 0).map(tailLine).find(_.length <= 1200)
+      .getOrElse(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","errors":{"_n":${results.count(_._3.nonEmpty)}},$host,"sf":"$sfDir"}"""))
     spark.stop()
   }
 }

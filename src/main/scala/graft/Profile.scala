@@ -2,7 +2,6 @@ package graft
 import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 import org.apache.spark.scheduler._
-import org.apache.spark.sql.SparkSession
 
 /** Measurement harness for the optimization rounds (guide §1): runs the
   * named bench cells with a SparkListener attached and prints, per cell,
@@ -19,24 +18,9 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    var builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      // Sort shuffle writer always — see the Bench builder comment.
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
-      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-    // A/B hook: GRAFT_CONF="k=v;k=v" extra session confs for this run.
-    sys.env.get("GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder = builder.config(k, v)
-      })
-    val spark = builder.getOrCreate()
+    // Shared session posture (incl. the GRAFT_CONF A/B hook) — see
+    // GraftSession.
+    val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val jobs = new AtomicInteger(0)

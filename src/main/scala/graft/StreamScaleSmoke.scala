@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 import scala.collection.mutable
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-import org.apache.spark.sql.SparkSession
+
 import org.apache.spark.sql.functions.col
 
 import graft.engine.BiEngine
@@ -34,17 +34,11 @@ object StreamScaleSmoke {
   private def secs(t0: Long): Double = (now() - t0) / 1e9
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .appName("graft-stream-scale-smoke")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      // GC-clean reliable checkpoint files under -Dgraft.checkpoint.dir
-      // (must be set at SparkContext construction; see kernel.Ckpt).
-      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    // Shared session posture — see GraftSession. (This builder used to be
+    // a fifth copy-paste and drifted: it missed the sort-writer setting
+    // for a round.)
+    val spark = GraftSession
+      .builder("32", appName = "graft-stream-scale-smoke").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
