@@ -1246,9 +1246,16 @@ class IncrementalQuery(
     private val recState = mutable.Map.empty[String, PSet]
     clique.foreach(r => recState(r) = emptySet)
     private val inputState = mutable.Map.empty[String, PSet]
+    // Row count of each input's CURRENT state — free off the fused
+    // state-commit jobs; the kernel broadcast's size gate reads it
+    // instead of paying take()'s multi-job partition escalation.
+    private val inputCount = mutable.Map.empty[String, Long]
     private val inputKinds: Map[String, Seq[ValueKind]] =
       inputs.map { case (n, node) => n -> node.nodeKinds }.toMap
-    inputs.foreach { case (n, _) => inputState(n) = emptySet }
+    inputs.foreach { case (n, _) =>
+      inputState(n) = emptySet
+      inputCount(n) = 0L
+    }
 
     // ---- set algebra: every operand is partitioned by `part`; the
     // delta-sized side is hash-built per partition, the other streams ----
@@ -1364,6 +1371,120 @@ class IncrementalQuery(
       val cn = checkpointedC(s)
       rtrace(f"$what materializeMs=${(System.nanoTime() - t0) / 1000000}")
       cn
+    }
+
+    /** Materialize several marked (graftCheckpoint-ed) sets through ONE
+      * tagged-count union action, returning each set's count in order —
+      * the n-ary generalization of the input-transition fusion: per-job
+      * scheduler latency is the maintained cells' wall floor (r18
+      * profile: wall ≈ jobs × 40-100 ms while task time / cores is a
+      * fraction of it), so k independent checkpoints that can share a
+      * materializing job must. CHAIN-dependent sets are safe too: every
+      * set is a direct union branch, so the one action computes (and
+      * caches — localCheckpoint marks the storage level, so a partition
+      * computed as an intermediate stage of a later branch lands in the
+      * cache) every partition, and `RDD.doCheckpoint` truncates every
+      * marked branch at job end, exactly as the two-branch transition
+      * fusion already does. */
+    private def materializeCounts(ss: Seq[PSet]): Array[Long] = {
+      val tagged = ss.zipWithIndex.map { case (s, i) =>
+        s.mapPartitions({ it =>
+          var c = 0L; it.foreach(_ => c += 1L)
+          Iterator.single((i, c))
+        }, preservesPartitioning = false)
+      }
+      val out = new Array[Long](ss.length)
+      sc.union(tagged).collect().foreach { case (i, c) => out(i) += c }
+      out
+    }
+
+    /** The kernel/arrangement expansion for the single-rule linear
+      * clique when it is available this phase, else None (rounds then
+      * take the per-round Catalyst plan path). Mirrors the dispatch in
+      * [[stepCandidates]]; resolved once per round BATCH — the static
+      * generation cannot change inside a phase's round loop. */
+    private def expandFn(): Option[PSet => RDD[Seq[Any]]] =
+      linearShape.flatMap { sh =>
+        kernelBroadcast() match {
+          case Some(bc) => Some((d: PSet) => kernelExpand(sh, d, bc))
+          case None =>
+            kernelArrangement().map(arr => (d: PSet) => arrExpand(sh, d, arr))
+        }
+      }
+
+    /** Round-loop job batching (r19): up to `roundBatch` semi-naive
+      * rounds chained LAZILY and materialized through one
+      * [[materializeCounts]] job — a length-d kernel round chain costs
+      * ⌈d/B⌉ scheduler round-trips instead of d. Round i expands round
+      * i−1's delta and trims through the caller's `trim` (the phase's
+      * intersect/minus-with-state chain) plus the in-batch
+      * predecessors; rounds past the fixpoint are definitionally empty
+      * (expand(∅)=∅) and cost empty partitions only. The caller consumes
+      * the (set, count) pairs IN ORDER and stops at the first zero —
+      * identical loop semantics, batched materialization. Kernel path
+      * only: the per-round Catalyst path would pay B speculative plan
+      * compiles, the cost the khop composition experiment measured as a
+      * loss. `-Dgraft.recursion.roundbatch=1` restores per-round jobs
+      * for A/B. */
+    private val roundBatch: Int =
+      math.max(1, Integer.getInteger("graft.recursion.roundbatch", 4))
+
+    private def batchedRounds(d0: PSet, expand: PSet => RDD[Seq[Any]],
+        trim: PSet => PSet, what: String): Seq[(PSet, Long)] = {
+      val t0 = System.nanoTime()
+      val chain = new Array[PSet](roundBatch)
+      var prev = d0
+      var i = 0
+      while (i < roundBatch) {
+        var s = trim(asSet(expand(prev)))
+        var j = 0
+        while (j < i) { s = minus(s, chain(j)); j += 1 }
+        val c = s.graftCheckpoint()
+        chain(i) = c
+        prev = c
+        i += 1
+      }
+      val counts = materializeCounts(chain.toIndexedSeq)
+      rtrace(f"$what roundBatch=$roundBatch counts=${counts.mkString(",")} " +
+        f"materializeMs=${(System.nanoTime() - t0) / 1000000}")
+      chain.toIndexedSeq.zip(counts.toIndexedSeq)
+    }
+
+    /** Drive one phase's round loop with kernel-path batching: `step`
+      * is the existing one-round Catalyst fallback (first rounds over
+      * input deltas, multi-rule cliques, no kernel), `trim` the phase's
+      * per-candidate set refinement, `consume` registers a non-empty
+      * round's set (parts vector, emission). Returns nothing — loop
+      * state lives in the caller's closures. */
+    private def driveRounds(
+        initial: Seq[(String, Seq[ValueKind], PSet)],
+        step: Seq[(String, Seq[ValueKind], PSet)] => Seq[(String, Seq[ValueKind], PSet)],
+        trim: PSet => PSet,
+        consume: PSet => Unit,
+        what: String): Unit = {
+      var roundDeltas = initial
+      while (roundDeltas.nonEmpty) {
+        val kernelCase = roundDeltas match {
+          case Seq((dn, _, d)) if dn == target && roundBatch > 1 =>
+            expandFn().map(f => (f, d))
+          case _ => None
+        }
+        kernelCase match {
+          case Some((f, d0)) =>
+            var cont: Option[PSet] = None
+            val it = batchedRounds(d0, f, trim, what).iterator
+            var done = false
+            while (it.hasNext && !done) {
+              val (c, cn) = it.next()
+              if (cn == 0L) done = true
+              else { consume(c); cont = Some(c) }
+            }
+            roundDeltas =
+              if (done) Seq.empty
+              else cont.map(c => (target, sig(target)._2, c)).toSeq
+          case None => roundDeltas = step(roundDeltas)
+        }
+      }
     }
 
     private def occCount(p: Plan, name: String): Int = p match {
@@ -1679,8 +1800,20 @@ class IncrementalQuery(
         else bcBytes / (24L * sh.staticCols + 8L)
       if (maxRows <= 0L) return None
       val cap = math.min(maxRows, Int.MaxValue.toLong - 1L).toInt
-      val taken = evalSet(sh.staticPlan, env).take(cap + 1)
-      if (taken.length > cap) return None
+      // Bare-input static: the size gate reads the input state's known
+      // count (zero jobs — maintained by the fused state commits; the
+      // NameExpr rename is bijective, so the evaluated row count IS the
+      // state count), and a collect replaces take()'s multi-job
+      // partition escalation. Derived statics keep the capped take.
+      val taken: Array[Seq[Any]] = staticBareInput match {
+        case Some(n) =>
+          if (inputCount(n) > cap) return None
+          evalSet(sh.staticPlan, env).collect()
+        case None =>
+          val t = evalSet(sh.staticPlan, env).take(cap + 1)
+          if (t.length > cap) return None
+          t
+      }
       val m = new java.util.HashMap[Seq[Any], Array[Array[Any]]]()
       val keyIdx = sh.keyIdxStatic
       taken.groupBy { t =>
@@ -1996,27 +2129,27 @@ class IncrementalQuery(
       // re-reads the checkpoint, not the maintenance pass). Children run
       // under the USER conf like every other node; only the recursion's
       // internal round evaluations take the tuned conf.
-      val trans = inputs.map { case (n, node) =>
+      // ONE job materializes EVERY touched input's adds/dels
+      // localCheckpoints and returns all counts: the union action
+      // computes (and caches) every partition, and doCheckpoint then
+      // truncates every marked branch. This was 4 jobs (2 materializing
+      // counts + 2 cached re-counts) per touched input per advance
+      // before r18, and one fused job PER INPUT until r19 fused across
+      // inputs too. Safe to defer the materialization past the child
+      // advances: each child's output is already committed
+      // (checkpoint-backed) state by the time advance returns.
+      val built = inputs.map { case (n, node) =>
         val d = node.advance(attrDeltas)
         val w = inputKinds(n).length
         val rdd = d.rdd.map(r => (rowKey(r, w), r.getLong(w)))
-        // ONE job materializes BOTH localCheckpoints and returns both
-        // counts: the union action computes (and caches) every adds/dels
-        // partition, and doCheckpoint then truncates both marked branches
-        // — this was 4 jobs (2 materializing counts + 2 cached re-counts)
-        // per touched input per advance.
         val adds = asSet(rdd.filter(_._2 > 0L).keys).graftCheckpoint()
         val dels = asSet(rdd.filter(_._2 < 0L).keys).graftCheckpoint()
-        val (ac, dc) = sc.union(
-            adds.map(_ => (1L, 0L)), dels.map(_ => (0L, 1L)))
-          .mapPartitions({ it =>
-            var a = 0L; var b = 0L
-            it.foreach { p => a += p._1; b += p._2 }
-            Iterator.single((a, b))
-          }, preservesPartitioning = false)
-          .collect()
-          .foldLeft((0L, 0L)) { case ((x, y), (p, q)) => (x + p, y + q) }
-        (n, adds, dels, ac, dc)
+        (n, adds, dels)
+      }
+      val tcounts = materializeCounts(
+        built.flatMap { case (_, a, d) => Seq(a, d) })
+      val trans = built.zipWithIndex.map { case ((n, adds, dels), i) =>
+        (n, adds, dels, tcounts(2 * i), tcounts(2 * i + 1))
       }
       val anyAdd = trans.exists(_._4 > 0L)
       val anyDel = trans.exists(_._5 > 0L)
@@ -2042,12 +2175,11 @@ class IncrementalQuery(
           clique.map(r => r -> Seq(recState(r))).toMap)
         val over = mutable.Map.empty[String, Vector[PSet]]
         clique.foreach(r => over(r) = Vector.empty)
-        var roundDeltas: Seq[(String, Seq[ValueKind], PSet)] =
-          trans.collect { case (n, _, dels, _, dc) if dc > 0L =>
-            (n, inputKinds(n), dels) }
-        while (roundDeltas.nonEmpty) {
-          roundDeltas = clique.flatMap { r =>
-            stepCandidates(r, roundDeltas, envOld).flatMap { cand =>
+        driveRounds(
+          initial = trans.collect { case (n, _, dels, _, dc) if dc > 0L =>
+            (n, inputKinds(n), dels) },
+          step = rd => clique.flatMap { r =>
+            stepCandidates(r, rd, envOld).flatMap { cand =>
               var s = intersect(asSet(cand), recState(r))
               over(r).foreach(o => s = minus(s, o))
               val (c, cn) = checkpointedTC(s, s"over:$r")
@@ -2057,22 +2189,45 @@ class IncrementalQuery(
                 Some((r, sig(r)._2, c))
               }
             }
-          }
-        }
-        trans.foreach { case (n, _, dels, _, dc) =>
-          if (dc > 0L) {
-            inputState(n) = checkpointed(without(inputState(n), dels))
-            noteInputChanged(n, dels, isAdd = false)
+          },
+          trim = { s0 =>
+            var s = intersect(s0, recState(target))
+            over(target).foreach(o => s = minus(s, o))
+            s
+          },
+          consume = c => over(target) = compactedParts(over(target) :+ c),
+          what = s"over:$target")
+        // Fused input-state retraction commit: every touched input's new
+        // state materializes through ONE job; counts land in inputCount
+        // (the kernel broadcast gate reads them for free).
+        locally {
+          val upd = trans.collect { case (n, _, dels, _, dc) if dc > 0L =>
+            (n, dels) }
+          if (upd.nonEmpty) {
+            val next = upd.map { case (n, dels) =>
+              without(inputState(n), dels).graftCheckpoint() }
+            val cs = materializeCounts(next)
+            upd.zip(next).zipWithIndex.foreach { case (((n, dels), st), i) =>
+              inputState(n) = st
+              inputCount(n) = cs(i)
+              noteInputChanged(n, dels, isAdd = false)
+            }
           }
         }
         if (clique.exists(r => over(r).nonEmpty)) {
+          // Fused: every rule's overdelete total AND its keep set
+          // materialize through one job (keep's lineage passes through
+          // overTotal — chain-safe, see materializeCounts).
           val overTotal: Map[String, PSet] = clique.map { r =>
             r -> (if (over(r).isEmpty) emptySet
-                  else checkpointed(disjointUnion(over(r))))
+                  else disjointUnion(over(r)).graftCheckpoint())
           }.toMap
           val keep: Map[String, PSet] = clique.map { r =>
-            r -> checkpointed(without(recState(r), overTotal(r)))
+            r -> without(recState(r), overTotal(r)).graftCheckpoint()
           }.toMap
+          materializeCounts(
+            clique.filter(r => over(r).nonEmpty).map(overTotal) ++
+              clique.map(keep))
           val redv = mutable.Map.empty[String, Vector[PSet]]
           clique.foreach(r => redv(r) = Vector.empty)
           // Round 0: one full body evaluation per rule that lost facts —
@@ -2104,42 +2259,67 @@ class IncrementalQuery(
                 }
               }
             }
-          while (roundR.nonEmpty) {
-            // By-name: kernel rounds never build the env (driver cost).
-            lazy val envK = envOf(
-              inputs.map { case (n, _) => n -> Seq(inputState(n)) }.toMap,
-              clique.map(r => r -> (keep(r) +: redv(r))).toMap)
-            roundR = clique.flatMap { r =>
-              stepCandidates(r, roundR, envK).flatMap { cand =>
-                var s = intersect(asSet(cand), overTotal(r))
-                redv(r).foreach(o => s = minus(s, o))
-                val (c, cn) = checkpointedTC(s, s"rederive:$r")
-                if (cn == 0L) None
-                else {
-                  redv(r) = compactedParts(redv(r) :+ c)
-                  Some((r, sig(r)._2, c))
+          driveRounds(
+            initial = roundR,
+            step = rd => {
+              // By-name: kernel rounds never build the env (driver cost).
+              lazy val envK = envOf(
+                inputs.map { case (n, _) => n -> Seq(inputState(n)) }.toMap,
+                clique.map(r => r -> (keep(r) +: redv(r))).toMap)
+              clique.flatMap { r =>
+                stepCandidates(r, rd, envK).flatMap { cand =>
+                  var s = intersect(asSet(cand), overTotal(r))
+                  redv(r).foreach(o => s = minus(s, o))
+                  val (c, cn) = checkpointedTC(s, s"rederive:$r")
+                  if (cn == 0L) None
+                  else {
+                    redv(r) = compactedParts(redv(r) :+ c)
+                    Some((r, sig(r)._2, c))
+                  }
                 }
               }
-            }
-          }
-          clique.foreach { r =>
+            },
+            trim = { s0 =>
+              var s = intersect(s0, overTotal(target))
+              redv(target).foreach(o => s = minus(s, o))
+              s
+            },
+            consume = c => redv(target) = compactedParts(redv(target) :+ c),
+            what = s"rederive:$target")
+          // Fused: every rule's gone set (emission needs its count) and
+          // its rederived state commit share one materializing job.
+          val goneS = clique.map { r =>
             var gone = overTotal(r)
             redv(r).foreach(rr => gone = without(gone, rr))
-            val (g, gn) = checkpointedC(gone)
-            if (r == target && gn > 0L)
-              emitted += g.map { case (k, _) => (k, -1L) }
-            recState(r) = checkpointed(disjointUnion(keep(r) +: redv(r)))
+            gone.graftCheckpoint()
+          }
+          val nextRec = clique.map { r =>
+            disjointUnion(keep(r) +: redv(r)).graftCheckpoint()
+          }
+          val gcs = materializeCounts(goneS ++ nextRec)
+          clique.zipWithIndex.foreach { case (r, i) =>
+            if (r == target && gcs(i) > 0L)
+              emitted += goneS(i).map { case (k, _) => (k, -1L) }
+            recState(r) = nextRec(i)
           }
         }
       }
 
       // ---- additions: warm-started semi-naive ----
       if (anyAdd) {
-        trans.foreach { case (n, adds, _, ac, _) =>
-          if (ac > 0L) {
-            inputState(n) =
-              checkpointed(disjointUnion(Seq(inputState(n), adds)))
-            noteInputChanged(n, adds, isAdd = true)
+        // Fused input-state assertion commit (see the retraction twin).
+        locally {
+          val upd = trans.collect { case (n, adds, _, ac, _) if ac > 0L =>
+            (n, adds) }
+          if (upd.nonEmpty) {
+            val next = upd.map { case (n, adds) =>
+              disjointUnion(Seq(inputState(n), adds)).graftCheckpoint() }
+            val cs = materializeCounts(next)
+            upd.zip(next).zipWithIndex.foreach { case (((n, adds), st), i) =>
+              inputState(n) = st
+              inputCount(n) = cs(i)
+              noteInputChanged(n, adds, isAdd = true)
+            }
           }
         }
         // BULK first batch: with every fixpoint still empty and no
@@ -2161,34 +2341,46 @@ class IncrementalQuery(
         }
         val newParts = mutable.Map.empty[String, Vector[PSet]]
         clique.foreach(r => newParts(r) = Vector.empty)
-        var roundDeltas: Seq[(String, Seq[ValueKind], PSet)] =
-          trans.collect { case (n, adds, _, ac, _) if ac > 0L =>
-            (n, inputKinds(n), adds) }
-        while (roundDeltas.nonEmpty) {
-          // By-name: kernel rounds never build the env (driver cost).
-          lazy val env = envOf(
-            inputs.map { case (n, _) => n -> Seq(inputState(n)) }.toMap,
-            clique.map(r => r -> (recState(r) +: newParts(r))).toMap)
-          roundDeltas = clique.flatMap { r =>
-            stepCandidates(r, roundDeltas, env).flatMap { cand =>
-              var s = minus(asSet(cand), recState(r))
-              newParts(r).foreach(p2 => s = minus(s, p2))
-              val (c, cn) = checkpointedTC(s, s"add:$r")
-              if (cn == 0L) None
-              else {
-                newParts(r) = compactedParts(newParts(r) :+ c)
-                Some((r, sig(r)._2, c))
+        driveRounds(
+          initial = trans.collect { case (n, adds, _, ac, _) if ac > 0L =>
+            (n, inputKinds(n), adds) },
+          step = rd => {
+            // By-name: kernel rounds never build the env (driver cost).
+            lazy val env = envOf(
+              inputs.map { case (n, _) => n -> Seq(inputState(n)) }.toMap,
+              clique.map(r => r -> (recState(r) +: newParts(r))).toMap)
+            clique.flatMap { r =>
+              stepCandidates(r, rd, env).flatMap { cand =>
+                var s = minus(asSet(cand), recState(r))
+                newParts(r).foreach(p2 => s = minus(s, p2))
+                val (c, cn) = checkpointedTC(s, s"add:$r")
+                if (cn == 0L) None
+                else {
+                  newParts(r) = compactedParts(newParts(r) :+ c)
+                  Some((r, sig(r)._2, c))
+                }
               }
             }
+          },
+          trim = { s0 =>
+            var s = minus(s0, recState(target))
+            newParts(target).foreach(p2 => s = minus(s, p2))
+            s
+          },
+          consume = c => newParts(target) = compactedParts(newParts(target) :+ c),
+          what = s"add:$target")
+        // Fused warm-start state commit across rules.
+        val updR = clique.filter(r => newParts(r).nonEmpty)
+        if (updR.nonEmpty) {
+          val nextRec = updR.map { r =>
+            disjointUnion(recState(r) +: newParts(r)).graftCheckpoint()
           }
-        }
-        clique.foreach { r =>
-          if (newParts(r).nonEmpty) {
+          materializeCounts(nextRec)
+          updR.zip(nextRec).foreach { case (r, st) =>
             if (r == target)
               newParts(r).foreach(p2 =>
                 emitted += p2.map { case (k, _) => (k, 1L) })
-            recState(r) =
-              checkpointed(disjointUnion(recState(r) +: newParts(r)))
+            recState(r) = st
           }
         }
       }

@@ -48,19 +48,28 @@ class RecursionAdvanceJobsSpec extends AnyFunSuite {
     iq.advance(Map(":jc/edge" ->
       batch(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)), 1L))).count()
 
+    // Count only THIS test's jobs (job-group tagged) and flush the
+    // listener bus instead of sleeping — a concurrent suite on the
+    // shared session (or stray ContextCleaner work) must not inflate
+    // the budget (r18 ADVICE).
+    val group = "recursion-advance-jobs-spec"
     val jobs = new AtomicInteger(0)
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        if (e.properties != null &&
+            group == e.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet()
+        ()
       }
     }
     spark.sparkContext.addSparkListener(listener)
     try {
+      spark.sparkContext.setJobGroup(group, "warm adds-only advance")
       // Warm adds-only advance: one new edge extends a length-3 chain —
       // a genuine multi-round delta (4 closure facts over 2+ rounds).
       val d2 = iq.advance(Map(":jc/edge" -> batch(Seq((0L, 1L)), 1L)))
       assert(d2.collect().length == 4)
-      Thread.sleep(500) // let listener events drain
+      org.apache.spark.GraftTestBus.flush(spark.sparkContext)
       val addJobs = jobs.get
       info(s"adds-only warm advance: $addJobs jobs")
       // Measured 2026-08-18 on the fused code: 10 jobs (1 fused
@@ -71,15 +80,21 @@ class RecursionAdvanceJobsSpec extends AnyFunSuite {
       assert(addJobs <= 15, s"adds-only warm advance ran $addJobs jobs")
 
       jobs.set(0)
+      spark.sparkContext.setJobGroup(group, "warm retraction advance")
       // Warm retraction advance: drives delete-and-rederive (overdelete
       // rounds + rederive-0 + gone/keep commits).
       val d3 = iq.advance(Map(":jc/edge" -> batch(Seq((2L, 3L)), -1L)))
       assert(d3.collect().nonEmpty)
-      Thread.sleep(500)
+      org.apache.spark.GraftTestBus.flush(spark.sparkContext)
       val delJobs = jobs.get
       info(s"retraction advance: $delJobs jobs")
-      // Measured 2026-08-18 on the fused code: 15 jobs.
+      // Measured 2026-08-18 on the fused code: 15 jobs (the r19 round
+      // batching leaves this tiny advance's count unchanged — its round
+      // chains are 1-2 deep; the budget pins the fusion discipline).
       assert(delJobs <= 24, s"retraction advance ran $delJobs jobs")
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 }
