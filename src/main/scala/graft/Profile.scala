@@ -41,8 +41,16 @@ object Profile {
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
-        val site = e.stageInfos.sortBy(_.stageId).lastOption
-          .map(_.name).getOrElse("?")
+        // Dataset actions all share one SQLExecution thread-pool frame as
+        // the stage NAME; the stage DETAILS carry the full callsite stack
+        // — attribute the job to its first graft.* frame when one exists.
+        val last = e.stageInfos.sortBy(_.stageId).lastOption
+        val site = last.map { si =>
+          si.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("Profile"))
+            .map(_.trim.stripPrefix("at ").takeWhile(_ != ')') + ")")
+            .getOrElse(si.name)
+        }.getOrElse("?")
         jobSites.computeIfAbsent(site, _ => new AtomicLong()).incrementAndGet()
         ()
       }

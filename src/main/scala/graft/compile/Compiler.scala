@@ -1206,26 +1206,52 @@ class Compiler(
       : (Vector[org.apache.spark.rdd.RDD[(K, Null)]], Long) = {
     import org.apache.spark.rdd.RDD
     val maxChain = 16
+    // Round-loop job batching (r19, same dial as the maintained
+    // recursion): up to B semi-naive iterations chain LAZILY and
+    // materialize through one tagged-count job — a depth-d fixpoint
+    // costs ⌈d/B⌉ scheduler round-trips instead of d. Iterations are
+    // consumed in order and the first empty one ends the loop
+    // (expand(∅)=∅, so later speculative links are definitionally
+    // empty and cost only empty partitions) — identical loop
+    // semantics, batched materialization.
+    val roundBatch =
+      math.max(1, Integer.getInteger("graft.recursion.roundbatch", 4))
     var parts = Vector[RDD[(K, Null)]](d0)
     var delta: RDD[(K, Null)] = d0
     var total = rows0
     var n = rows0
     var iter = 0
     while (n > 0 && iter < maxIterations) {
-      iter += 1
-      val cand: RDD[(K, Null)] = expand(delta)
-      val fresh = graft.kernel.RddKernel.freshDelta(cand, part, parts)
-      n = fresh.count()
-      if (n > 0) {
-        parts = parts :+ fresh
-        delta = fresh
-        total += n
-        if (parts.length >= maxChain)
-          parts = Vector(graft.kernel.RddKernel.compact(parts))
+      val b = math.min(roundBatch, maxIterations - iter)
+      val chain = new Array[RDD[(K, Null)]](b)
+      var i = 0
+      var prev = delta
+      while (i < b) {
+        val cand: RDD[(K, Null)] = expand(prev)
+        chain(i) = graft.kernel.RddKernel.freshDelta(
+          cand, part, parts ++ chain.take(i))
+        prev = chain(i)
+        i += 1
       }
-      if (fixpointDebug) System.err.println(
-        s"[fixpoint] kernel iter=$iter delta=$n total=$total " +
-          s"elapsedMs=${(System.nanoTime() - debugT0) / 1000000}")
+      val counts =
+        graft.kernel.RddKernel.materializeCounts(chain.toIndexedSeq)
+      var j = 0
+      var stop = false
+      while (j < b && !stop) {
+        iter += 1
+        n = counts(j)
+        if (n > 0) {
+          parts = parts :+ chain(j)
+          delta = chain(j)
+          total += n
+          if (parts.length >= maxChain)
+            parts = Vector(graft.kernel.RddKernel.compact(parts))
+        } else stop = true
+        if (fixpointDebug) System.err.println(
+          s"[fixpoint] kernel iter=$iter delta=$n total=$total " +
+            s"elapsedMs=${(System.nanoTime() - debugT0) / 1000000}")
+        j += 1
+      }
     }
     (parts, total)
   }

@@ -105,4 +105,25 @@ object RddKernel {
     comp.count()
     comp
   }
+
+  /** Materialize several marked (graftCheckpoint-ed) sets through ONE
+    * tagged-count union action, returning each set's count in order —
+    * per-job scheduler latency dominates control-sized fixpoint rounds,
+    * so k checkpoints that can share a materializing job must.
+    * Chain-dependent sets are safe: every set is a direct union branch,
+    * so the one action computes (and caches — the checkpoint marks the
+    * storage level) every partition and `RDD.doCheckpoint` truncates
+    * every marked branch at job end. */
+  def materializeCounts[K](ss: Seq[RDD[(K, Null)]]): Array[Long] = {
+    val tagged = ss.zipWithIndex.map { case (s, i) =>
+      s.mapPartitions({ it =>
+        var c = 0L; it.foreach(_ => c += 1L)
+        Iterator.single((i, c))
+      }, preservesPartitioning = false)
+    }
+    val out = new Array[Long](ss.length)
+    ss.head.sparkContext.union(tagged).collect()
+      .foreach { case (i, c) => out(i) += c }
+    out
+  }
 }

@@ -954,6 +954,14 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     private var dirty = false
     private var ledgerMaxEvent = Long.MinValue
     private var fullyDelivered = false
+    // True while every delta staged since the last deliver was proven
+    // control-sized (see processTime's small-advance gate) — the sink
+    // fast path's pending-delta cut then materializes under the
+    // control-plan conf. Reset pessimistically on any non-small stage.
+    private var stagedSmall = true
+
+    private[BiMaintained] def noteStaged(small: Boolean): Unit =
+      stagedSmall &&= small
 
     /** Build — or REBUILD when a referenced attribute's first datom
       * reveals a kind after the first build (the standing query's
@@ -1211,7 +1219,13 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
         // truncation share ONE job instead of eager-then-count's two.
         val diff = pendingDelta.withColumnRenamed("_w", "_diff")
           .graftCheckpoint(false)
-        if (diff.count() > 0L) {
+        // Proven-small staged delta → control-plan conf for the one
+        // materializing cut+gate job (see processTime's gate).
+        val nDiff =
+          if (stagedSmall) IncrementalQuery.tunedControl(partitions)(diff.count())
+          else diff.count()
+        stagedSmall = true
+        if (nDiff > 0L) {
           segments += ((t._2, diff))
           ledgerMaxEvent = math.max(ledgerMaxEvent, t._2)
           s.deliver(name, t._1, diff.select(
@@ -1274,6 +1288,7 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
         if (ledgerAll eq null) null else ledgerAll.graftCheckpoint(false)
       segments.clear()
       pendingDelta = null
+      stagedSmall = true
       // After a deliver whose accumulation covered the WHOLE ledger,
       // Σ_all ledger == R (diff closed the gap); entries above t.event
       // (impossible here since the merge bound max at t._2 when it was
@@ -1347,16 +1362,43 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
       attrHint, Some(lane.covered.toSet))
     lane.lastProcessed = Some(t)
     val t2 = System.nanoTime()
+    // Size-adaptive small-advance conf (r19): when the engine KNOWS this
+    // time's transition is control-sized — every frame carries a
+    // driver-known count and they sum under `graft.bi.smalladvance` —
+    // the standings' DELTA-SIZED plans (advance output consolidation,
+    // the sink fast path's pending-delta cut) materialize under
+    // [[IncrementalQuery.tunedControl]]: adaptive stage materialization
+    // costs 2+ scheduler round-trips per exchange, the dominant cost of
+    // a small lattice-time advance (measured: the bitemporal cells run
+    // ~2.3 Spark jobs per time, nearly all AQE stage jobs). Data-sized
+    // transitions (any unknown or large count) keep the full adaptive
+    // conf, as do the R/ledger-sized merges and consolidation folds —
+    // this is a size gate on proven-small plans, not a mode.
+    val small = deltas.nonEmpty &&
+      deltas.valuesIterator.forall(_._2.isDefined) &&
+      deltas.valuesIterator.map(_._2.get).sum <= BiMaintained.smallAdvanceRows
     for (name <- laneInterests) {
       val st = standings(name)
       val sub = deltas.view.filterKeys(st.refAttrs).toMap
-      if (sub.nonEmpty) st.accumulate(st.iq.advance(
-        BiStore.framesOnly(sub), BiStore.knownCounts(sub)))
+      if (sub.nonEmpty) {
+        def adv(): Unit = {
+          val d = st.iq.advance(
+            BiStore.framesOnly(sub), BiStore.knownCounts(sub))
+          btrace(s"advance plan=" +
+            d.queryExecution.executedPlan.getClass.getSimpleName +
+            s" aqe=${org.apache.spark.sql.internal.SQLConf.get.adaptiveExecutionEnabled}")
+          st.accumulate(d)
+        }
+        if (small) IncrementalQuery.tunedControl(partitions)(adv())
+        else adv()
+        st.noteStaged(small)
+      }
       st.deliver(t)
     }
     btrace(f"lane=${lane.win} t=$t build=${(t1 - t0) / 1e6}%.0fms " +
       f"transition=${(t2 - t1) / 1e6}%.0fms " +
-      f"advance+deliver=${(System.nanoTime() - t2) / 1e6}%.0fms")
+      f"advance+deliver=${(System.nanoTime() - t2) / 1e6}%.0fms " +
+      f"small=$small counts=${deltas.valuesIterator.map(_._2).toSeq}")
   }
 
   /** Advance the system frontier: every input time with `sys < sysNext`
@@ -1465,4 +1507,17 @@ class BiMaintained(val spark: SparkSession, partitions: Int = 32,
     buf.clear()
     res
   }
+}
+
+object BiMaintained {
+  /** Row gate for the per-time small-advance conf (processTime): a
+    * lattice-time transition whose driver-known frame counts sum at or
+    * under this runs its delta-sized standing plans under the
+    * control-plan conf ([[IncrementalQuery.tunedControl]]). 64k rows is
+    * comfortably below where adaptive partition coalescing starts
+    * earning its per-exchange stage jobs; data-sized transitions
+    * (unknown or larger counts) keep the adaptive conf. Dial:
+    * `-Dgraft.bi.smalladvance=<rows>`. */
+  private[streaming] def smallAdvanceRows: Long =
+    sys.props.get("graft.bi.smalladvance").map(_.toLong).getOrElse(65536L)
 }

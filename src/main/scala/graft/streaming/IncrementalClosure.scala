@@ -293,13 +293,39 @@ class IncrementalClosure(
       }
     }
     val cand0 = sc.parallelize(dels.map(e => (e: Tup, null)), 1).union(direct)
+    // Round-loop job batching (r19, shared dial with the recursion
+    // kernels): up to B rounds chain lazily and materialize through one
+    // tagged-count job; links past the fixpoint are definitionally
+    // empty. Consumed in order, first zero ends the loop — identical
+    // semantics, ⌈depth/B⌉ scheduler round-trips.
+    val roundBatch =
+      math.max(1, Integer.getInteger("graft.recursion.roundbatch", 4))
     var oChain = Vector.empty[RDD[(Tup, Null)]]
     var oDelta = RddKernel.freshDelta(cand0, part, oChain)
     var n = oDelta.count()
+    if (n > 0) oChain = oChain :+ oDelta
     while (n > 0) {
-      oChain = oChain :+ oDelta
-      oDelta = RddKernel.freshDelta(expand(oDelta, oldRevBc), part, oChain)
-      n = oDelta.count()
+      val chain = new Array[RDD[(Tup, Null)]](roundBatch)
+      var i = 0
+      var prev = oDelta
+      while (i < roundBatch) {
+        chain(i) = RddKernel.freshDelta(
+          expand(prev, oldRevBc), part, oChain ++ chain.take(i))
+        prev = chain(i)
+        i += 1
+      }
+      val counts = RddKernel.materializeCounts(chain.toIndexedSeq)
+      n = 0L
+      var j = 0
+      var stop = false
+      while (j < roundBatch && !stop) {
+        if (counts(j) > 0L) {
+          oChain = oChain :+ chain(j)
+          oDelta = chain(j)
+          n = counts(j)
+          j += 1
+        } else { stop = true; n = 0L }
+      }
     }
     trace(s"overdelete fixpoint done links=${oChain.length}")
     if (oChain.isEmpty) return emptyPart()
@@ -342,15 +368,35 @@ class IncrementalClosure(
     var rDelta = RddKernel.freshDelta(r0a.union(r0b), part, rChain)
     var rn = rDelta.count()
     trace(s"rederive r0 n=$rn")
+    if (rn > 0) rChain = rChain :+ rDelta
+    // Same batched shape as the overdelete loop above.
     while (rn > 0) {
-      rChain = rChain :+ rDelta
-      // (y,z) newly rederived, E'-path into x, (x,z) still overdeleted —
-      // every k-hop intermediate is itself in closure(E'), so retain(O)
-      // keeps exactly the rederived slice.
-      val inO = RddKernel.retain(
-        RddKernel.dedup(expand(rDelta, newRevBc), part), oChain)
-      rDelta = RddKernel.subtract(inO, rChain).graftCheckpoint()
-      rn = rDelta.count()
+      val chain = new Array[RDD[(Tup, Null)]](roundBatch)
+      var i = 0
+      var prev = rDelta
+      while (i < roundBatch) {
+        // (y,z) newly rederived, E'-path into x, (x,z) still overdeleted —
+        // every k-hop intermediate is itself in closure(E'), so retain(O)
+        // keeps exactly the rederived slice.
+        val inO = RddKernel.retain(
+          RddKernel.dedup(expand(prev, newRevBc), part), oChain)
+        chain(i) = RddKernel.subtract(inO, rChain ++ chain.take(i))
+          .graftCheckpoint()
+        prev = chain(i)
+        i += 1
+      }
+      val counts = RddKernel.materializeCounts(chain.toIndexedSeq)
+      rn = 0L
+      var j = 0
+      var stop = false
+      while (j < roundBatch && !stop) {
+        if (counts(j) > 0L) {
+          rChain = rChain :+ chain(j)
+          rDelta = chain(j)
+          rn = counts(j)
+          j += 1
+        } else { stop = true; rn = 0L }
+      }
     }
 
     val removed = RddKernel.subtract(oAll, rChain).graftCheckpoint()

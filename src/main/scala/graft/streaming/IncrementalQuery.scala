@@ -2743,6 +2743,26 @@ class IncrementalQuery(
 
 object IncrementalQuery {
 
+  /** Control-sized plan conf (thread-local, never session-global): run
+    * `f`'s plan materializations with adaptive execution, whole-stage
+    * codegen, and constraint propagation OFF and the shuffle-partition
+    * dial at the caller's STATE dial. For a plan the caller has PROVEN
+    * control-sized (driver-known row counts under a gate), adaptive
+    * stage materialization costs 2+ scheduler round-trips per exchange
+    * — the dominant cost of a small advance — while buying nothing a
+    * fixed state-dial shuffle doesn't already give; codegen compilation
+    * likewise costs more driver time than it saves in executor time at
+    * these sizes (the recursion rounds' measured `tuned{}` finding).
+    * Size-gated by the CALLER: data-sized plans must never come here. */
+  def tunedControl[T](shufflePartitions: Int)(f: => T): T = {
+    val c = org.apache.spark.sql.internal.SQLConf.get.clone()
+    c.setConfString("spark.sql.adaptive.enabled", "false")
+    c.setConfString("spark.sql.codegen.wholeStage", "false")
+    c.setConfString("spark.sql.constraintPropagation.enabled", "false")
+    c.setConfString("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    org.apache.spark.sql.internal.SQLConf.withExistingConf(c)(f)
+  }
+
   /** Partitioned static-arrangement index of the linear-recursion
     * kernel: join key → matching static rows (top-level so closures
     * shipping it capture no node reference). */
